@@ -1,0 +1,798 @@
+"""SiriEngine — the query/ingest façade.
+
+Spark-first lifecycle (SURVEY.md §3.4): ``query(q)`` → recursive-descent
+parse with time-expression constant folding (`now` captured once, ref
+src/siri/db/query.c:592-594) → logical spec (selection predicate,
+where-predicate, time range, pipeline list, merge spec) → DataFrame
+expression chain (Catalyst handles pushdown/partial aggregation) →
+collect → ``{series: [[ts, val], ...]}``.
+
+Ingest mirrors src/siri/db/insert.c semantics (auto-create series with
+inferred type on first insert, reject wrong-typed points, keep
+duplicate timestamps, accept out-of-order arrival); the pool/replica
+machinery of the reference is irrelevant — Spark owns distribution.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .errors import InsertError, QueryError
+from .functions import pipeline as P
+from .functions.pipeline import COLS, StageResult, TypeSet
+from .model import (
+    CATALOG_SCHEMA,
+    NAME_TPS,
+    POINTS_SCHEMA,
+    TP_DOUBLE,
+    TP_INT,
+    TP_STRING,
+    TP_NAMES,
+    point_row,
+    value_of_row,
+)
+from .operators.selection import collect_names, compile_match
+from .operators.where import compile_where
+from .plans import nodes as N
+from .plans import timeexpr as TE
+from .plans.parser import Parser
+
+#: defaults mirror include/siri/db/db.h:16-17
+DEFAULT_SELECT_POINTS_LIMIT = 1_000_000
+DEFAULT_LIST_LIMIT = 10_000
+#: shard durations (siridb defaults: 1w number, 3d log)
+DEFAULT_DURATION_NUM_S = 604800
+DEFAULT_DURATION_LOG_S = 259200
+
+__version__ = "0.1.0"
+
+
+class SiriEngine:
+    def __init__(self, spark: SparkSession, precision: str = "s",
+                 store=None):
+        if precision not in TE.PRECISIONS:
+            raise ValueError(f"invalid precision {precision!r}")
+        self.spark = spark
+        self.precision = precision
+        self.factor = TE.factor(precision)
+        self.store = store  # optional sources.store.PointsStore
+        self._mem_rows: list = []
+        self._mem_df: DataFrame | None = None
+        self._catalog: DataFrame | None = None
+        self._seq = 0
+        self.groups: dict[str, tuple[str, bool]] = {}
+        self.tags: dict[str, set] = {}
+        self.users: dict[str, dict] = {"iris": {"password": "siri",
+                                                "access": ["full"]}}
+        self.select_points_limit = DEFAULT_SELECT_POINTS_LIMIT
+        self.list_limit = DEFAULT_LIST_LIMIT
+        self.drop_threshold = 1.0
+        self.timezone = "NAIVE"
+        self.expiration_num = 0
+        self.expiration_log = 0
+        self.tee = None
+        self.duration_num = DEFAULT_DURATION_NUM_S * self.factor
+        self.duration_log = DEFAULT_DURATION_LOG_S * self.factor
+        self._started = _time.time()
+
+    # ------------------------------------------------------------- ingest
+    def insert(self, data) -> dict:
+        """Insert points. Accepts the reference's two shapes
+        (insert.c:72-88): a map {series: [[ts, val], ...]} or a list of
+        {'name': ..., 'points': [...]} maps."""
+        if isinstance(data, list):
+            data = {d["name"]: d["points"] for d in data}
+        if not isinstance(data, dict):
+            raise InsertError("Expecting a map or array of series.")
+        existing = {r["name"]: r["tp"] for r in self._series_types(
+            list(data.keys()))}
+        rows = []
+        n = 0
+        for name, points in data.items():
+            if not points:
+                raise InsertError(
+                    "Expecting at least one point for series '%s'." % name)
+            tp = existing.get(name)
+            for pt in points:
+                ts, val = pt[0], pt[1]
+                row = point_row(name, ts, val, self._seq)
+                if tp is None:
+                    tp = row[6]
+                elif row[6] != tp:
+                    raise InsertError(
+                        "Wrong type for series '%s'." % name)
+                self._seq += 1
+                rows.append(row)
+                n += 1
+        if self.store is not None:
+            self.store.append(self.spark, rows)
+        else:
+            self._mem_rows.extend(rows)
+        self._invalidate()
+        return {"success_msg": f"Successfully inserted {n} point(s)."}
+
+    def _series_types(self, names: list) -> list:
+        if (self._mem_df is None and not self._mem_rows
+                and self.store is None):
+            return []
+        cat = self.catalog_df()
+        rows = cat.where(F.col("name").isin(names)) \
+                  .select("name", "type").collect()
+        return [{"name": r["name"], "tp":
+                 {v: k for k, v in TP_NAMES.items()}[r["type"]]}
+                for r in rows]
+
+    def _invalidate(self):
+        self._mem_df = None
+        if self._catalog is not None:
+            try:
+                self._catalog.unpersist()
+            except Exception:
+                pass
+        self._catalog = None
+
+    # -------------------------------------------------------------- frames
+    def points_df(self) -> DataFrame:
+        if self.store is not None:
+            return self.store.read(self.spark)
+        if self._mem_df is None:
+            self._mem_df = self.spark.createDataFrame(
+                self._mem_rows, POINTS_SCHEMA)
+        return self._mem_df
+
+    def catalog_df(self) -> DataFrame:
+        """Derived series catalog (FIXTURES.md §2). At scale this comes
+        free from a maintained aggregate; here it's one groupBy over the
+        points table, cached until the next insert/drop."""
+        if self._catalog is None:
+            dur_num, dur_log = self.duration_num, self.duration_log
+            cat = (
+                self.points_df()
+                .groupBy(F.col("series").alias("name"))
+                .agg(
+                    F.count(F.lit(1)).alias("length"),
+                    F.min("ts").alias("start"),
+                    F.max("ts").alias("end"),
+                    F.max("tp").alias("tp"),
+                )
+                .select(
+                    "name",
+                    F.when(F.col("tp") == TP_INT, "integer")
+                    .when(F.col("tp") == TP_DOUBLE, "float")
+                    .otherwise("string").alias("type"),
+                    "length", "start", "end",
+                    F.lit(0).alias("pool"),
+                    F.when(F.col("tp") == TP_STRING, dur_log)
+                    .otherwise(dur_num).cast("long").alias("shard_duration"),
+                )
+            )
+            self._catalog = cat.cache()
+        return self._catalog
+
+    # --------------------------------------------------------------- query
+    def query(self, q: str) -> dict:
+        t0 = _time.perf_counter()
+        parsed = Parser(q, self.precision, tzinfo=None).parse()
+        stmt = parsed.stmt
+        result = self._dispatch(stmt)
+        if parsed.timeit:
+            result = dict(result)
+            result["__timeit__"] = [{
+                "server": "sparksiri:0",
+                "time": _time.perf_counter() - t0,
+            }]
+        return result
+
+    def _dispatch(self, stmt) -> dict:
+        if isinstance(stmt, N.SelectStmt):
+            return self._select(stmt)
+        if isinstance(stmt, N.ListStmt):
+            return self._list(stmt)
+        if isinstance(stmt, N.CountStmt):
+            return self._count(stmt)
+        if isinstance(stmt, N.ShowStmt):
+            return self._show(stmt)
+        if isinstance(stmt, N.CalcStmt):
+            return {"calc": stmt.value}
+        if isinstance(stmt, N.CreateGroup):
+            return self._create_group(stmt)
+        if isinstance(stmt, N.CreateUser):
+            return self._create_user(stmt)
+        if isinstance(stmt, N.DropStmt):
+            return self._drop(stmt)
+        if isinstance(stmt, N.AlterDatabase):
+            return self._alter_database(stmt)
+        if isinstance(stmt, N.AlterSeries):
+            return self._alter_series(stmt)
+        if isinstance(stmt, N.AlterGroup):
+            return self._alter_group(stmt)
+        if isinstance(stmt, N.AlterTag):
+            return self._alter_tag(stmt)
+        if isinstance(stmt, N.AlterUser):
+            return self._alter_user(stmt)
+        if isinstance(stmt, N.GrantStmt):
+            return self._grant(stmt)
+        if isinstance(stmt, N.RevokeStmt):
+            return self._revoke(stmt)
+        if isinstance(stmt, N.HelpStmt):
+            return {"help": "See SiriDB documentation."}
+        raise QueryError("Unsupported statement.")
+
+    # -------------------------------------------------------------- select
+    def _selected_catalog(self, match, where) -> DataFrame:
+        pred = compile_match(match, self.groups, self.tags,
+                             col=F.col("name"))
+        cat = self.catalog_df().where(pred)
+        if where is not None:
+            cat = cat.where(compile_where(where))
+        return cat
+
+    def _select(self, stmt: N.SelectStmt) -> dict:
+        cat = self._selected_catalog(stmt.match, stmt.where)
+        # ONE driver-side collect over the (small) catalog: gives the
+        # selected names (result dicts are keyed per series — inherently
+        # driver-sized, as in the reference), the static type set, and
+        # the points-limit fast-path bound.
+        sel_rows = cat.select("name", "type", "length").collect()
+        tps = frozenset(
+            {v: k for k, v in TP_NAMES.items()}[r["type"]]
+            for r in sel_rows)
+        total_points = sum(r["length"] for r in sel_rows)
+        sel_names = [r["name"] for r in sel_rows]
+        if not tps:
+            return {}
+        types = TypeSet(tps)
+
+        df = self.points_df()
+        pred = compile_match(stmt.match, self.groups, self.tags)
+        df = df.where(pred)
+        if stmt.where is not None:
+            names = cat.select(F.col("name").alias("series"))
+            df = df.join(F.broadcast(names), "series", "semi")
+
+        # time range (ref listener.c:1955-2129: after ⇒ ts>=t,
+        # before ⇒ ts<t, between ⇒ a<=ts<b) and head/tail
+        tr = stmt.timerange
+        restricted = False
+        if tr is not None:
+            kind = tr[0]
+            if kind == "after":
+                df = df.where(F.col("ts") >= tr[1])
+                restricted = True
+            elif kind == "before":
+                df = df.where(F.col("ts") < tr[1])
+                restricted = True
+            elif kind == "between":
+                df = df.where((F.col("ts") >= tr[1])
+                              & (F.col("ts") < tr[2]))
+                restricted = True
+            elif kind in ("head", "tail"):
+                order = [F.col("ts"), F.col("seq")] if kind == "head" else \
+                    [F.col("ts").desc(), F.col("seq").desc()]
+                w = Window.partitionBy("series").orderBy(*order)
+                df = (df.withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= tr[1]).drop("_rn"))
+                total_points = min(total_points,
+                                   tr[1] * max(len(sel_names), 1))
+                restricted = True
+
+        # select-points guardrail (db.h:16, listener.c:5598-5610):
+        # catalog bound first; exact count only when the bound trips.
+        if total_points > self.select_points_limit:
+            n = df.count()
+            if n > self.select_points_limit:
+                raise QueryError(
+                    "Query has reached the maximum number of selected "
+                    f"points ({self.select_points_limit}). Please use "
+                    "another time window, an aggregation function or "
+                    "select less series to reduce the number of points.")
+
+        multi = len(stmt.pipelines) > 1
+        if multi:
+            presuf = {(p.prefix or "", p.suffix or "")
+                      for p in stmt.pipelines}
+            if len(presuf) != len(stmt.pipelines):
+                raise QueryError(
+                    "When using multiple select methods, add a prefix "
+                    "and/or suffix to the selection to make them unique.")
+            df = df.cache()
+
+        merge = stmt.merge
+        if merge is not None and merge.name == "":
+            raise QueryError(
+                "Error while merging points. Make sure the destination "
+                "series name is valid.")
+
+        results = []
+        checks = []
+        for pl in stmt.pipelines:
+            res = self._run_pipeline(df, pl.funcs, types)
+            out, rtypes = res.df, res.types
+            checks.extend(res.checks)
+            if merge is not None:
+                # merge semantics (points.c:338-453): per-pipeline k-way
+                # union into ONE series named prefix+merge_name+suffix;
+                # int+double → double; string+number → error. The merge
+                # algorithm choice of the reference (points.c:439-450) is
+                # irrelevant — Spark re-sorts/shuffles.
+                if TP_STRING in rtypes.tps and (
+                        rtypes.tps & {TP_INT, TP_DOUBLE}):
+                    raise QueryError(
+                        "Cannot merge string and number series.")
+                mname = (pl.prefix or "") + merge.name + (pl.suffix or "")
+                out = out.withColumn("series", F.lit(mname))
+                if rtypes.tps == {TP_INT, TP_DOUBLE}:
+                    out = out.select(
+                        "series", "ts", "seq",
+                        F.lit(None).cast("long").alias("val_int"),
+                        F.coalesce(F.col("val_dbl"),
+                                   F.col("val_int").cast("double"))
+                        .alias("val_dbl"),
+                        "val_str", F.lit(TP_DOUBLE).alias("tp"))
+                    rtypes = TypeSet(frozenset({TP_DOUBLE}))
+            elif pl.prefix or pl.suffix:
+                out = out.withColumn(
+                    "series",
+                    F.concat(F.lit(pl.prefix or ""), F.col("series"),
+                             F.lit(pl.suffix or "")))
+            results.append((out, rtypes))
+
+        uni = results[0][0]
+        for extra, _ in results[1:]:
+            uni = uni.unionByName(extra)
+
+        if merge is not None and merge.using:
+            mtypes = TypeSet(frozenset().union(
+                *(t.tps for _, t in results)))
+            res = self._run_pipeline(uni, merge.using, mtypes)
+            uni = res.df
+            checks.extend(res.checks)
+
+        final = [(uni, None)]
+
+        for chk in checks:
+            chk.run()
+
+        # every selected series appears in the result, even when its
+        # pipeline produced no points (e.g. difference() on 1 point)
+        seeds = []
+        for pl in stmt.pipelines:
+            if merge is not None:
+                seeds.append((pl.prefix or "") + merge.name
+                             + (pl.suffix or ""))
+            else:
+                seeds.extend((pl.prefix or "") + nm + (pl.suffix or "")
+                             for nm in sel_names)
+
+        out_df = final[0][0]
+        result = self._collect(out_df, seeds)
+        if multi:
+            df.unpersist()
+        return result
+
+    def _run_pipeline(self, df: DataFrame, funcs: list,
+                      types: TypeSet) -> StageResult:
+        """Apply chained `=>` functions left-to-right per series
+        (ref listener.c:5676-5695)."""
+        checks = []
+        for f in funcs:
+            if isinstance(f, N.AllPointsFunc):
+                continue
+            if isinstance(f, N.AggFunc):
+                if f.group_by is not None:
+                    res = P.apply_bucket_agg(df, f.name, f.group_by,
+                                             f.offset, types)
+                else:
+                    res = P.apply_to_one(df, f.name, types)
+            elif isinstance(f, N.DifferenceFunc):
+                if f.group_by is not None:
+                    res = P.apply_bucket_agg(df, "difference", f.group_by,
+                                             f.offset, types)
+                else:
+                    res = P.apply_difference(df, types)
+            elif isinstance(f, N.DerivativeFunc):
+                if f.group_by is not None:
+                    res = P.apply_bucket_agg(df, "derivative", f.group_by,
+                                             f.offset, types,
+                                             timespan=f.timespan)
+                else:
+                    res = P.apply_derivative(df, f.timespan, types)
+            elif isinstance(f, N.FilterFunc):
+                res = P.apply_filter(df, f, types)
+            elif isinstance(f, N.LimitFunc):
+                res = P.apply_limit(df, f.limit, f.agg, types)
+            elif isinstance(f, N.TimevalFunc):
+                res = P.apply_timeval(df, types)
+            elif isinstance(f, N.IntervalFunc):
+                res = P.apply_interval(df, types)
+            else:
+                raise AssertionError(type(f))
+            df, types = res.df, res.types
+            checks.extend(res.checks)
+        return StageResult(df, types, checks)
+
+    def _collect(self, df: DataFrame, seeds: list | None = None) -> dict:
+        rows = df.select(*COLS).collect()
+        rows.sort(key=lambda r: (r["ts"], r["seq"]))
+        out: dict = {s: [] for s in seeds} if seeds else {}
+        for r in rows:
+            out.setdefault(r["series"], []).append([r["ts"],
+                                                    value_of_row(r)])
+        return out
+
+    # ------------------------------------------------------ list/count/show
+    def _entity_df(self, entity: str) -> DataFrame:
+        if entity == "series":
+            return self.catalog_df()
+        if entity == "groups":
+            rows = [(name, pat, self._group_count(name))
+                    for name, (pat, _ci) in sorted(self.groups.items())]
+            return self.spark.createDataFrame(
+                rows or [], "name string, expression string, series long")
+        if entity == "tags":
+            rows = [(name, len(members))
+                    for name, members in sorted(self.tags.items())]
+            return self.spark.createDataFrame(
+                rows or [], "name string, series long")
+        if entity == "users":
+            rows = [(name, ",".join(u["access"]))
+                    for name, u in sorted(self.users.items())]
+            return self.spark.createDataFrame(
+                rows or [], "name string, access string")
+        if entity == "pools":
+            cat = self.catalog_df()
+            return cat.groupBy(F.col("pool")).agg(
+                F.lit(1).alias("servers"),
+                F.count(F.lit(1)).alias("series"))
+        if entity == "servers":
+            return self.spark.createDataFrame(
+                [("sparksiri:0", 0, __version__, True, "running")],
+                "name string, pool int, version string, online boolean, "
+                "status string")
+        if entity == "shards":
+            return self._shards_df()
+        raise QueryError(f"Cannot list '{entity}'.")
+
+    def _shards_df(self) -> DataFrame:
+        """Shard-equivalents: time buckets of the points table
+        (ref shards.c:273-340 — shard id = ts/duration*duration)."""
+        dur_num, dur_log = self.duration_num, self.duration_log
+        dur = F.when(F.col("tp") == TP_STRING, dur_log).otherwise(dur_num)
+        return (
+            self.points_df()
+            .select((F.col("ts") - F.col("ts") % dur).alias("sid"),
+                    F.when(F.col("tp") == TP_STRING, "log")
+                    .otherwise("number").alias("type"), "ts")
+            .groupBy("sid", "type")
+            .agg(F.count(F.lit(1)).alias("points"),
+                 F.min("ts").alias("start"), F.max("ts").alias("end"))
+            .select("sid", F.lit(0).alias("pool"),
+                    F.lit("sparksiri:0").alias("server"),
+                    (F.col("points") * 16).alias("size"),
+                    "start", "end", "type",
+                    F.lit("ok").alias("status"))
+        )
+
+    def _group_count(self, name: str) -> int:
+        pat, ci = self.groups[name]
+        rx = P.anchored_regex(pat, ci)
+        return self.catalog_df().where(F.col("name").rlike(rx)).count()
+
+    _LIST_DEFAULT_COLS = {
+        "series": ["name"],
+        "groups": ["name", "series"],
+        "tags": ["name", "series"],
+        "users": ["name", "access"],
+        "pools": ["pool", "servers", "series"],
+        "servers": ["name", "pool", "version", "online", "status"],
+        "shards": ["sid", "pool", "server", "size", "start", "end"],
+    }
+
+    def _list(self, stmt: N.ListStmt) -> dict:
+        df = self._entity_df(stmt.entity)
+        if stmt.entity == "series" and stmt.match is not None:
+            pred = compile_match(stmt.match, self.groups, self.tags,
+                                 col=F.col("name"))
+            df = df.where(pred)
+        if stmt.where is not None:
+            df = df.where(compile_where(stmt.where))
+        cols = stmt.columns or self._LIST_DEFAULT_COLS[stmt.entity]
+        limit = stmt.limit if stmt.limit is not None else self.list_limit
+        if stmt.limit is not None and (
+                stmt.limit <= 0 or stmt.limit > self.list_limit):
+            raise QueryError(
+                "Limit must be a value between 0 and "
+                f"{self.list_limit} but received: {stmt.limit}.")
+        rows = df.select(*cols).limit(limit).collect()
+        return {"columns": cols,
+                stmt.entity: [[r[c] for c in cols] for r in rows]}
+
+    def _count(self, stmt: N.CountStmt) -> dict:
+        if stmt.entity == "series":
+            cat = self.catalog_df()
+            if stmt.match is not None:
+                cat = cat.where(compile_match(
+                    stmt.match, self.groups, self.tags, col=F.col("name")))
+            if stmt.where is not None:
+                cat = cat.where(compile_where(stmt.where))
+            if stmt.variant == "length":
+                row = cat.agg(F.coalesce(F.sum("length"),
+                                         F.lit(0)).alias("n")).collect()[0]
+                return {"series_length": row["n"]}
+            return {"series": cat.count()}
+        df = self._entity_df(stmt.entity)
+        if stmt.where is not None:
+            df = df.where(compile_where(stmt.where))
+        if stmt.entity == "shards" and stmt.variant == "size":
+            row = df.agg(F.coalesce(F.sum("size"),
+                                    F.lit(0)).alias("n")).collect()[0]
+            return {"shards_size": row["n"]}
+        return {stmt.entity: df.count()}
+
+    def _show(self, stmt: N.ShowStmt) -> dict:
+        all_fields = self._show_fields()
+        fields = stmt.fields or sorted(all_fields)
+        data = []
+        for f in fields:
+            if f not in all_fields:
+                raise QueryError(f"Unknown show field '{f}'.")
+            data.append({"name": f, "value": all_fields[f]()})
+        return {"data": data}
+
+    def _show_fields(self) -> dict:
+        eng = self
+        return {
+            "active_handles": lambda: 1,
+            "active_tasks": lambda: 1,
+            "buffer_path": lambda: "",
+            "buffer_size": lambda: 1024,
+            "dbname": lambda: "sparksiri",
+            "dbpath": lambda: "",
+            "drop_threshold": lambda: eng.drop_threshold,
+            "duration_log": lambda: eng.duration_log,
+            "duration_num": lambda: eng.duration_num,
+            "expiration_log": lambda: eng.expiration_log,
+            "expiration_num": lambda: eng.expiration_num,
+            "fifo_files": lambda: 0,
+            "idle_percentage": lambda: 0,
+            "idle_time": lambda: 0,
+            "ip_support": lambda: "ALL",
+            "libuv": lambda: "spark",
+            "list_limit": lambda: eng.list_limit,
+            "log_level": lambda: "info",
+            "max_open_files": lambda: 0,
+            "mem_usage": lambda: 0,
+            "open_files": lambda: 0,
+            "pool": lambda: 0,
+            "received_points": lambda: eng._seq,
+            "reindex_progress": lambda: "finished",
+            "selected_points": lambda: 0,
+            "select_points_limit": lambda: eng.select_points_limit,
+            "server": lambda: "sparksiri:0",
+            "startup_time": lambda: 0,
+            "status": lambda: "running",
+            "sync_progress": lambda: "finished",
+            "tee": lambda: eng.tee or "disabled",
+            "time_precision": lambda: eng.precision,
+            "timezone": lambda: eng.timezone,
+            "uptime": lambda: int(_time.time() - eng._started),
+            "uuid": lambda: "00000000-0000-0000-0000-000000000000",
+            "version": lambda: __version__,
+            "who_am_i": lambda: "iris",
+        }
+
+    # --------------------------------------------------------- DDL-ish ops
+    def _create_group(self, stmt: N.CreateGroup) -> dict:
+        if stmt.name in self.groups:
+            raise QueryError(f"Group '{stmt.name}' already exists.")
+        self.groups[stmt.name] = (stmt.pattern, stmt.case_insensitive)
+        return {"success_msg": f"Successfully created group '{stmt.name}'."}
+
+    def _create_user(self, stmt: N.CreateUser) -> dict:
+        if stmt.name in self.users:
+            raise QueryError(f"User name '{stmt.name}' already exists.")
+        self.users[stmt.name] = {"password": stmt.password, "access": []}
+        return {"success_msg": f"Successfully created user '{stmt.name}'."}
+
+    def _drop(self, stmt: N.DropStmt) -> dict:
+        if stmt.entity == "group":
+            if stmt.name not in self.groups:
+                raise QueryError(f"Cannot find group: '{stmt.name}'")
+            del self.groups[stmt.name]
+            return {"success_msg":
+                    f"Successfully dropped group '{stmt.name}'."}
+        if stmt.entity == "tag":
+            if stmt.name not in self.tags:
+                raise QueryError(f"Cannot find tag: '{stmt.name}'")
+            del self.tags[stmt.name]
+            return {"success_msg": f"Successfully dropped tag '{stmt.name}'."}
+        if stmt.entity == "user":
+            if stmt.name not in self.users:
+                raise QueryError(f"Cannot find user: '{stmt.name}'")
+            del self.users[stmt.name]
+            return {"success_msg":
+                    f"Successfully dropped user '{stmt.name}'."}
+        if stmt.entity == "series":
+            return self._drop_series(stmt)
+        if stmt.entity == "shards":
+            return self._drop_shards(stmt)
+        raise QueryError(f"Cannot drop '{stmt.entity}'.")
+
+    def _drop_series(self, stmt: N.DropStmt) -> dict:
+        cat = self.catalog_df()
+        total = cat.count()
+        sel = cat
+        if stmt.match is not None:
+            sel = sel.where(compile_match(stmt.match, self.groups,
+                                          self.tags, col=F.col("name")))
+        if stmt.where is not None:
+            sel = sel.where(compile_where(stmt.where))
+        names = [r["name"] for r in sel.select("name").collect()]
+        n = len(names)
+        # drop_threshold guard (grammar.py:725-733, exit_drop_series)
+        if (not stmt.ignore_threshold and total
+                and n / total > self.drop_threshold):
+            raise QueryError(
+                f"This query would drop {n} series. Add 'set "
+                "ignore_threshold true' to the query statement if you "
+                "really want to do this.")
+        if self.store is not None:
+            self.store.delete_series(self.spark, names)
+        else:
+            self._mem_rows = [r for r in self._mem_rows
+                              if r[0] not in set(names)]
+        for members in self.tags.values():
+            members -= set(names)
+        self._invalidate()
+        return {"success_msg": f"Successfully dropped {n} series."}
+
+    def _drop_shards(self, stmt: N.DropStmt) -> dict:
+        sh = self._shards_df()
+        if stmt.where is not None:
+            sh = sh.where(compile_where(stmt.where))
+        sids = [(r["sid"], r["type"]) for r in
+                sh.select("sid", "type").collect()]
+        n = len(sids)
+        dur_num, dur_log = self.duration_num, self.duration_log
+        keep = []
+        for r in self._mem_rows:
+            dur = dur_log if r[6] == TP_STRING else dur_num
+            sid = r[1] - r[1] % dur
+            tp_name = "log" if r[6] == TP_STRING else "number"
+            if (sid, tp_name) not in set(sids):
+                keep.append(r)
+        self._mem_rows = keep
+        self._invalidate()
+        return {"success_msg":
+                f"Successfully dropped {n} shards. (this number does not "
+                "include shards which are dropped on replica servers)"}
+
+    def _alter_database(self, stmt: N.AlterDatabase) -> dict:
+        key, value = stmt.key, stmt.value
+        if key == "drop_threshold":
+            old, self.drop_threshold = self.drop_threshold, float(value)
+            return {"success_msg":
+                    "Successfully changed drop_threshold from "
+                    f"{old:g} to {float(value):g}."}
+        if key == "list_limit":
+            old, self.list_limit = self.list_limit, int(value)
+            return {"success_msg":
+                    f"Successfully changed list limit from {old} "
+                    f"to {int(value)}."}
+        if key == "select_points_limit":
+            old = self.select_points_limit
+            self.select_points_limit = int(value)
+            return {"success_msg":
+                    "Successfully changed select points limit from "
+                    f"{old} to {int(value)}."}
+        if key == "timezone":
+            old, self.timezone = self.timezone, value
+            return {"success_msg":
+                    f"Successfully changed timezone from '{old}' "
+                    f"to '{value}'."}
+        if key in ("expiration_num", "expiration_log"):
+            old = getattr(self, key)
+            setattr(self, key, int(value))
+            self._apply_expiration()
+            return {"success_msg":
+                    f"Successfully changed expiration from {old} "
+                    f"to {int(value)}."}
+        if key == "tee":
+            if value in (None, "false"):
+                self.tee = None
+                return {"success_msg": "Successfully disabled tee."}
+            self.tee = value
+            return {"success_msg":
+                    f"Successfully configured tee to {value}."}
+        raise QueryError(f"Cannot set '{key}'.")
+
+    def _apply_expiration(self):
+        """Retention (ref db.c:865-878): drop points older than
+        now − expiration, at shard granularity."""
+        now = TE.now_ts(self.precision)
+        changed = False
+        for key, dur, tp_str in (
+                ("expiration_num", self.duration_num, False),
+                ("expiration_log", self.duration_log, True)):
+            exp = getattr(self, key)
+            if not exp:
+                continue
+            cutoff = now - exp
+            cutoff_sid = cutoff - cutoff % dur
+            if self.store is not None:
+                self.store.expire(self.spark, cutoff_sid, tp_str)
+                changed = True
+                continue
+            keep = []
+            for r in self._mem_rows:
+                is_str = r[6] == TP_STRING
+                if is_str != tp_str:
+                    keep.append(r)
+                    continue
+                sid = r[1] - r[1] % dur
+                if sid >= cutoff_sid:
+                    keep.append(r)
+            self._mem_rows = keep
+            changed = True
+        if changed:
+            self._invalidate()
+
+    def _alter_series(self, stmt: N.AlterSeries) -> dict:
+        sel = self._selected_catalog(stmt.match, stmt.where)
+        names = {r["name"] for r in sel.select("name").collect()}
+        if stmt.action == "tag":
+            self.tags.setdefault(stmt.tag, set()).update(names)
+            return {"success_msg":
+                    f"Successfully tagged {len(names)} series."}
+        if stmt.tag not in self.tags:
+            raise QueryError(f"Cannot find tag: '{stmt.tag}'")
+        self.tags[stmt.tag] -= names
+        return {"success_msg":
+                f"Successfully untagged {len(names)} series."}
+
+    def _alter_group(self, stmt: N.AlterGroup) -> dict:
+        if stmt.name not in self.groups:
+            raise QueryError(f"Cannot find group: '{stmt.name}'")
+        if stmt.key == "expression":
+            self.groups[stmt.name] = (stmt.value, stmt.case_insensitive)
+        else:
+            self.groups[stmt.value] = self.groups.pop(stmt.name)
+        return {"success_msg": f"Successfully updated group '{stmt.name}'."}
+
+    def _alter_tag(self, stmt: N.AlterTag) -> dict:
+        if stmt.name not in self.tags:
+            raise QueryError(f"Cannot find tag: '{stmt.name}'")
+        self.tags[stmt.new_name] = self.tags.pop(stmt.name)
+        return {"success_msg": f"Successfully updated tag '{stmt.name}'."}
+
+    def _alter_user(self, stmt: N.AlterUser) -> dict:
+        if stmt.name not in self.users:
+            raise QueryError(f"Cannot find user: '{stmt.name}'")
+        if stmt.key == "password":
+            self.users[stmt.name]["password"] = stmt.value
+        else:
+            self.users[stmt.value] = self.users.pop(stmt.name)
+        return {"success_msg": f"Successfully updated user '{stmt.name}'."}
+
+    def _grant(self, stmt: N.GrantStmt) -> dict:
+        if stmt.user not in self.users:
+            raise QueryError(f"Cannot find user: '{stmt.user}'")
+        acc = self.users[stmt.user]["access"]
+        for a in stmt.access:
+            if a not in acc:
+                acc.append(a)
+        return {"success_msg":
+                f"Successfully granted permissions to user '{stmt.user}'."}
+
+    def _revoke(self, stmt: N.RevokeStmt) -> dict:
+        if stmt.user not in self.users:
+            raise QueryError(f"Cannot find user: '{stmt.user}'")
+        acc = self.users[stmt.user]["access"]
+        self.users[stmt.user]["access"] = [a for a in acc
+                                           if a not in stmt.access]
+        return {"success_msg":
+                "Successfully revoked permissions from user "
+                f"'{stmt.user}'."}

@@ -1,0 +1,466 @@
+"""Select-pipeline compiler: AST functions → DataFrame stages.
+
+Re-expression of /root/reference/src/siri/db/aggregate.c (1,803 LoC)
+as Catalyst expressions over the long points DataFrame
+(series, ts, seq, val_int, val_dbl, val_str, tp).
+
+Semantics parity notes (all verified by transliterated goldens):
+- Bucketing: right-closed, END-labeled, ``+offset`` (aggregate.c:41-43)
+  — see functions/buckets.py.
+- Whole-window collapse labels results with the LAST point's ts (the
+  first's for ``first()``) — aggregate.c:1110-1112.
+- Type rules (aggregate.c:1078-1102): min/max/sum/first/last/
+  median_low/median_high/difference keep the series type;
+  mean/median/variance/pvariance/stddev/derivative force double;
+  count/timeval/interval force int.
+- n==1: variance/stddev → 0.0 (not NULL) — variance.c:9-52.
+- Int overflow in sum/difference is a query error (aggregate.c:1647-52)
+  — detected via try_sum/try_subtract (NULL ⇒ overflowed).
+- NaN filter semantics follow cexpr_double_cmp (src/cexpr/cexpr.c:137-162):
+  ==/>=/<= against nan match NaN; </> never match NaN.
+- Regexes are anchored (siridb_re_compile) → rlike('^(?:...)').
+
+Every stage is a pure DataFrame transform: one shuffle per aggregation,
+window functions for lag-based transforms, no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import QueryError
+from ..model import TP_DOUBLE, TP_INT, TP_STRING
+from ..plans import nodes as N
+from .buckets import bucket_ts
+
+COLS = ["series", "ts", "seq", "val_int", "val_dbl", "val_str", "tp"]
+
+#: numeric view of a point value (exact for doubles; int64→double cast
+#: only feeds forced-double aggregates, matching the reference)
+def _num() -> Column:
+    return F.coalesce(F.col("val_dbl"), F.col("val_int").cast("double"))
+
+
+def _order() -> Column:
+    """Tie-break ordering: (ts, insert-seq) — equal timestamps keep
+    insert order (points.c:226-245, 'equal ts' fixture)."""
+    return F.struct(F.col("ts"), F.col("seq"))
+
+FORCE_DOUBLE = {"mean", "median", "variance", "pvariance", "stddev"}
+KEEP_TYPE = {"min", "max", "sum", "first", "last", "median_low",
+             "median_high"}
+NUMERIC_ONLY = {"mean", "median", "median_low", "median_high", "min",
+                "max", "sum", "variance", "pvariance", "stddev"}
+
+
+@dataclass
+class TypeSet:
+    """Static per-pipeline tracking of the series-type classes present in
+    the selection (known from the catalog — no extra Spark job)."""
+
+    tps: frozenset
+
+    def require_numeric(self, fname: str):
+        if TP_STRING in self.tps:
+            raise QueryError(f"Cannot use {fname}() on string type.")
+
+    def after(self, fname: str) -> "TypeSet":
+        if fname in FORCE_DOUBLE or fname == "derivative":
+            return TypeSet(frozenset({TP_DOUBLE}))
+        if fname in ("count", "timeval", "interval"):
+            return TypeSet(frozenset({TP_INT}))
+        return self
+
+
+def _norm(df: DataFrame, *, ts, vi=None, vd=None, vs=None, tp=None,
+          seq=None) -> DataFrame:
+    """Project a stage result back to the canonical column layout."""
+    return df.select(
+        F.col("series"),
+        ts.cast("long").alias("ts"),
+        (seq if seq is not None else F.lit(0)).cast("long").alias("seq"),
+        (vi if vi is not None else F.lit(None)).cast("long").alias("val_int"),
+        (vd if vd is not None else F.lit(None)).cast("double").alias("val_dbl"),
+        (vs if vs is not None else F.lit(None)).cast("string").alias("val_str"),
+        (tp if tp is not None else F.col("tp")).cast("int").alias("tp"),
+    )
+
+
+class OverflowCheck:
+    """Deferred overflow probe: try_sum/try_subtract yield NULL on int64
+    overflow; a NULL value cell for an int-typed series row ⇒ the
+    reference would have raised. The engine runs these probes (tiny
+    post-aggregation scans) before results are returned."""
+
+    def __init__(self, df: DataFrame, fname: str):
+        self.df = df
+        self.fname = fname
+
+    def run(self):
+        bad = self.df.where(
+            (F.col("tp") == TP_INT) & F.col("val_int").isNull()
+        )
+        if not bad.isEmpty():
+            raise QueryError(
+                f"Overflow detected while using {self.fname}().")
+
+
+class StageResult:
+    def __init__(self, df: DataFrame, types: TypeSet, checks: list):
+        self.df = df
+        self.types = types
+        self.checks = checks
+
+
+# --------------------------------------------------------------- aggregates
+def _agg_exprs(name: str, types: TypeSet, timespan: float | None = None):
+    """Aggregate value expressions for one bucket/window group."""
+    num = _num()
+    if name == "count":
+        return dict(vi=F.count(F.lit(1)))
+    if name == "sum":
+        return dict(vi=F.try_sum("val_int"), vd=F.sum("val_dbl"))
+    if name == "mean":
+        return dict(vd=F.avg(num))
+    if name == "median":
+        return dict(vd=F.percentile(num, F.lit(0.5)))
+    if name in ("median_low", "median_high"):
+        out = {}
+        for key, col in (("vi", "val_int"), ("vd", "val_dbl")):
+            arr = F.array_sort(F.collect_list(col))
+            n = F.size(arr)
+            idx = ((n - 1) / 2 if name == "median_low" else n / 2)
+            out[key] = F.get(arr, idx.cast("int"))
+        return out
+    if name == "variance":
+        return dict(vd=F.coalesce(F.var_samp(num), F.lit(0.0)))
+    if name == "pvariance":
+        return dict(vd=F.coalesce(F.var_pop(num), F.lit(0.0)))
+    if name == "stddev":
+        return dict(vd=F.coalesce(F.stddev_samp(num), F.lit(0.0)))
+    if name == "min":
+        return dict(vi=F.min("val_int"), vd=F.min("val_dbl"))
+    if name == "max":
+        return dict(vi=F.max("val_int"), vd=F.max("val_dbl"))
+    if name == "first":
+        return dict(vi=F.min_by("val_int", _order()),
+                    vd=F.min_by("val_dbl", _order()),
+                    vs=F.min_by("val_str", _order()))
+    if name == "last":
+        return dict(vi=F.max_by("val_int", _order()),
+                    vd=F.max_by("val_dbl", _order()),
+                    vs=F.max_by("val_str", _order()))
+    if name == "difference":
+        return dict(
+            vi=F.try_subtract(F.max_by("val_int", _order()),
+                              F.min_by("val_int", _order())),
+            vd=F.max_by("val_dbl", _order()) - F.min_by("val_dbl", _order()),
+        )
+    if name == "derivative":
+        return dict(
+            vd=(F.max_by(num, _order()) - F.min_by(num, _order()))
+            * F.lit(float(timespan)),
+        )
+    raise AssertionError(name)
+
+
+def _tp_expr(name: str) -> Column:
+    if name in FORCE_DOUBLE or name == "derivative":
+        return F.lit(TP_DOUBLE)
+    if name == "count":
+        return F.lit(TP_INT)
+    return F.max("tp")
+
+
+def _check_agg_types(name: str, types: TypeSet):
+    if name in NUMERIC_ONLY or name in ("difference", "derivative"):
+        if TP_STRING in types.tps and name not in ("first", "last", "count"):
+            raise QueryError(f"Cannot use {name}() on string type.")
+
+
+def assign_sweep_buckets(df: DataFrame, group_by, offset) -> DataFrame:
+    """Exact bucket-label assignment for offset != 0.
+
+    The reference's AGGREGATE_group_by (aggregate.c:1188-1220) is a
+    per-series SWEEP: the bucket label is GROUP_TS(first point not
+    covered by the previous bucket), and the bucket absorbs every
+    following point with ts <= label. With a non-zero offset the label
+    of a point in the "offset tail" (k*g, k*g+off] jumps a full
+    group_by, so bucket boundaries become data-dependent — not
+    expressible as a per-row Catalyst expression. We therefore assign
+    labels with a vectorized Arrow-batched applyInPandas
+    (O(buckets·log n) searchsorted sweep), then aggregate JVM-side.
+    With offset == 0 the closed form in bucket_ts() is provably
+    identical and this path is never taken.
+
+    ``group_by``/``offset`` may be ints or per-series column names
+    (limit()'s computed widths, aggregate.c:677-694).
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    g_fixed = group_by if isinstance(group_by, int) else None
+    off_fixed = offset if isinstance(offset, int) else None
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("bucket", T.LongType())])
+
+    def sweep(pdf):
+        pdf = pdf.sort_values(["ts", "seq"], kind="mergesort")
+        g = g_fixed if g_fixed is not None else int(pdf[group_by].iloc[0])
+        off = off_fixed if off_fixed is not None else int(pdf[offset].iloc[0])
+        ts = pdf["ts"].to_numpy()
+        n = len(ts)
+        labels = np.empty(n, dtype="int64")
+        pos = 0
+        while pos < n:
+            cur = (int(ts[pos]) + g - 1) // g * g + off
+            j = int(np.searchsorted(ts, cur, side="right"))
+            j = max(j, pos + 1)
+            labels[pos:j] = cur
+            pos = j
+        pdf = pdf.assign(bucket=labels)
+        return pdf
+
+    return df.groupBy("series").applyInPandas(sweep, schema=schema)
+
+
+def apply_bucket_agg(df: DataFrame, name: str, group_by, offset,
+                     types: TypeSet, timespan=None) -> StageResult:
+    """groupBy(series, bucket) aggregation — one shuffle, map-side
+    partial aggregation via Catalyst (mirrors the reference's per-pool
+    pre-aggregation advice, help/help_select.md:84-96)."""
+    _check_agg_types(name, types)
+    exprs = _agg_exprs(name, types, timespan)
+    plain = isinstance(group_by, int) and isinstance(offset, int) \
+        and offset == 0
+    if plain:
+        grouped = df.groupBy(
+            "series", bucket_ts(F.col("ts"), group_by, offset).alias("ts"))
+    else:
+        swept = assign_sweep_buckets(df, group_by, offset)
+        grouped = swept.groupBy("series", F.col("bucket").alias("ts"))
+    agged = (
+        grouped
+        .agg(*[v.alias(k) for k, v in exprs.items()],
+             _tp_expr(name).alias("ntp"))
+    )
+    out = _norm(agged, ts=F.col("ts"),
+                vi=F.col("vi") if "vi" in exprs else None,
+                vd=F.col("vd") if "vd" in exprs else None,
+                vs=F.col("vs") if "vs" in exprs else None,
+                tp=F.col("ntp"))
+    checks = []
+    if name in ("sum", "difference") and TP_INT in types.tps:
+        checks.append(OverflowCheck(out, name))
+    return StageResult(out, types.after(name), checks)
+
+
+def apply_to_one(df: DataFrame, name: str, types: TypeSet,
+                 timespan=None) -> StageResult:
+    """Whole-window collapse (AGGREGATE_to_one, aggregate.c:1068-1124):
+    label = last point's ts; first's ts for first()."""
+    _check_agg_types(name, types)
+    exprs = _agg_exprs(name, types, timespan)
+    label = F.min("ts") if name == "first" else F.max("ts")
+    agged = df.groupBy("series").agg(
+        label.alias("ts"),
+        *[v.alias(k) for k, v in exprs.items()],
+        _tp_expr(name).alias("ntp"),
+    )
+    out = _norm(agged, ts=F.col("ts"),
+                vi=F.col("vi") if "vi" in exprs else None,
+                vd=F.col("vd") if "vd" in exprs else None,
+                vs=F.col("vs") if "vs" in exprs else None,
+                tp=F.col("ntp"))
+    checks = []
+    if name in ("sum", "difference") and TP_INT in types.tps:
+        checks.append(OverflowCheck(out, name))
+    return StageResult(out, types.after(name), checks)
+
+
+# --------------------------------------------------------------- transforms
+def _series_window():
+    return Window.partitionBy("series").orderBy("ts", "seq")
+
+
+def apply_difference(df: DataFrame, types: TypeSet) -> StageResult:
+    if TP_STRING in types.tps:
+        raise QueryError("Cannot use difference() on string type.")
+    w = _series_window()
+    step = df.select(
+        "series", "ts", "seq", "tp",
+        F.try_subtract(F.col("val_int"), F.lag("val_int").over(w))
+        .alias("vi"),
+        (F.col("val_dbl") - F.lag("val_dbl").over(w)).alias("vd"),
+        F.lag("ts").over(w).isNotNull().alias("has_prev"),
+    ).where("has_prev")
+    out = _norm(step, ts=F.col("ts"), vi=F.col("vi"), vd=F.col("vd"),
+                seq=F.col("seq"))
+    checks = []
+    if TP_INT in types.tps:
+        checks.append(OverflowCheck(out, "difference"))
+    return StageResult(out, types, checks)
+
+
+def apply_derivative(df: DataFrame, timespan: float,
+                     types: TypeSet) -> StageResult:
+    if TP_STRING in types.tps:
+        raise QueryError("Cannot use derivative() on string type.")
+    w = _series_window()
+    num = _num()
+    step = df.select(
+        "series", "ts", "seq",
+        (F.try_divide(
+            num - F.lag(num).over(w),
+            (F.col("ts") - F.lag("ts").over(w)).cast("double"))
+         * F.lit(float(timespan))).alias("vd"),
+        F.lag("ts").over(w).isNotNull().alias("has_prev"),
+    ).where("has_prev")
+    out = _norm(step, ts=F.col("ts"), vd=F.col("vd"),
+                tp=F.lit(TP_DOUBLE), seq=F.col("seq"))
+    return StageResult(out, TypeSet(frozenset({TP_DOUBLE})), [])
+
+
+def apply_interval(df: DataFrame, types: TypeSet) -> StageResult:
+    w = _series_window()
+    step = df.select(
+        "series", "ts", "seq",
+        (F.col("ts") - F.lag("ts").over(w)).alias("vi"),
+        F.lag("ts").over(w).isNotNull().alias("has_prev"),
+    ).where("has_prev")
+    out = _norm(step, ts=F.col("ts"), vi=F.col("vi"),
+                tp=F.lit(TP_INT), seq=F.col("seq"))
+    return StageResult(out, TypeSet(frozenset({TP_INT})), [])
+
+
+def apply_timeval(df: DataFrame, types: TypeSet) -> StageResult:
+    out = _norm(df, ts=F.col("ts"), vi=F.col("ts"),
+                tp=F.lit(TP_INT), seq=F.col("seq"))
+    return StageResult(out, TypeSet(frozenset({TP_INT})), [])
+
+
+# ------------------------------------------------------------------- filter
+def _cmp_double(col: Column, op: str, b: float) -> Column:
+    """Exact cexpr_double_cmp semantics (src/cexpr/cexpr.c:137-162)."""
+    import math
+
+    isnan = F.isnan(col)
+    if math.isnan(b):
+        if op in ("==", ">=", "<="):
+            return isnan
+        if op == "!=":
+            return ~isnan
+        return F.lit(False)  # < > never match when b is nan
+    if op == "==":
+        return (col == F.lit(b)) & ~isnan
+    if op == "!=":
+        return (col != F.lit(b)) | isnan
+    if op == ">":
+        return (col > F.lit(b)) & ~isnan
+    if op == "<":
+        return (col < F.lit(b)) & ~isnan
+    if op == ">=":
+        return (col >= F.lit(b)) & ~isnan
+    if op == "<=":
+        return (col <= F.lit(b)) & ~isnan
+    raise AssertionError(op)
+
+
+def _cmp_int(col: Column, op: str, b: int) -> Column:
+    ops = {"==": col == b, "!=": col != b, ">": col > b, "<": col < b,
+           ">=": col >= b, "<=": col <= b}
+    return ops[op]
+
+
+def _cmp_str(col: Column, op: str, b: str) -> Column:
+    ops = {
+        "==": col == b, "!=": col != b, ">": col > b, "<": col < b,
+        ">=": col >= b, "<=": col <= b,
+        "~": col.contains(b), "!~": ~col.contains(b),
+    }
+    return ops[op]
+
+
+def anchored_regex(pattern: str, case_insensitive: bool) -> str:
+    """siridb_re_compile anchors patterns; /…/i → (?i)."""
+    prefix = "(?i)" if case_insensitive else ""
+    return f"{prefix}^(?:{pattern})"
+
+
+def apply_filter(df: DataFrame, f: N.FilterFunc,
+                 types: TypeSet) -> StageResult:
+    has_str = TP_STRING in types.tps
+    has_num = bool(types.tps & {TP_INT, TP_DOUBLE})
+
+    if f.value_tp in ("string", "regex"):
+        if has_num:
+            raise QueryError("Cannot use a string filter on number type.")
+        if f.value_tp == "regex":
+            pat, ci = f.value
+            rx = anchored_regex(pat, ci)
+            cond = F.col("val_str").rlike(rx)
+            if f.op == "!=":
+                cond = ~cond
+        else:
+            cond = _cmp_str(F.col("val_str"), f.op, f.value)
+        return StageResult(df.where(cond), types, [])
+
+    # numeric filter
+    if has_str:
+        raise QueryError("Cannot use a number filter on string type.")
+    conds = []
+    if TP_INT in types.tps:
+        # double filter value on int series truncates (aggregate.c:952)
+        bi = int(f.value) if f.value_tp in ("int", "double") else None
+        if bi is None:
+            # nan/inf filter on int series: compare as double
+            conds.append((F.col("tp") == TP_INT)
+                         & _cmp_double(F.col("val_int").cast("double"),
+                                       f.op, float(f.value)))
+        else:
+            conds.append((F.col("tp") == TP_INT)
+                         & _cmp_int(F.col("val_int"), f.op, bi))
+    if TP_DOUBLE in types.tps:
+        conds.append((F.col("tp") == TP_DOUBLE)
+                     & _cmp_double(F.col("val_dbl"), f.op, float(f.value)))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return StageResult(df.where(cond), types, [])
+
+
+# -------------------------------------------------------------------- limit
+def apply_limit(df: DataFrame, limit: int, agg_name: str,
+                types: TypeSet) -> StageResult:
+    """limit(N, fn): adaptive per-series downsample
+    (AGGREGATE_limit, aggregate.c:677-694). Two cheap passes: a
+    per-series stats agg (broadcast back) + the bucketed aggregation
+    with per-series computed widths."""
+    stats = df.groupBy("series").agg(
+        F.min("ts").alias("_first_ts"),
+        F.max("ts").alias("_last_ts"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    over = (
+        stats.where(F.col("_cnt") > limit)
+        .select(
+            "series", "_first_ts",
+            # int64-exact: `div` (never double `/`) for ns-precision ts
+            (F.expr(f"(_last_ts - _first_ts) div {int(limit)}") + 1)
+            .cast("long").alias("_g"),
+        )
+        .select(
+            "series", "_g",
+            ((F.col("_first_ts") - 1) % F.col("_g")).alias("_off"),
+        )
+    )
+    joined = df.join(F.broadcast(over), "series", "left")
+    passthrough = joined.where(F.col("_g").isNull()).select(*COLS)
+    capped = joined.where(F.col("_g").isNotNull())
+    res = apply_bucket_agg(capped, agg_name, "_g", "_off", types)
+    out = res.df.unionByName(passthrough)
+    return StageResult(out, types.after(agg_name), res.checks)
