@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() covers SURVEY.md §2's operator inventory — every select-
+pipeline function, set algebra, where, time ranges, head/tail, merge —
+running through the REAL engine (SiriEngine.select_df), plus the
+training-data-pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing) and two TPC-H-style analytics queries.
+oracle_sql() gives the DuckDB-equivalent for every SQL-expressible
+entry (bucket label formula: right-closed end-labeled
+((ts+g-1)//g)*g — ref src/siri/db/aggregate.c:41-43).
+
+Float columns are rounded identically on both sides (sum→4dp,
+ratios/moments→6dp) so value-hashes are insensitive to summation
+order.
 """
 
 from __future__ import annotations
@@ -12,27 +19,588 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from siridb_server_spark import SiriEngine
+from siridb_server_spark.operators import dedup as D
+from siridb_server_spark.operators import multimodal as MM
+from siridb_server_spark.operators import similarity as SIM
+from siridb_server_spark.operators import text as TX
+from siridb_server_spark.sources.testdata import (
+    EVENTS_PTS_INT_SQL,
+    EVENTS_PTS_SQL,
+    events_points,
+    load,
+)
+
+H = 3_600_000_000_000  # 1h in nanoseconds (engine precision = ns)
+D6 = 86_400_000_000_000  # 1d in ns
+BETWEEN_A = 1_704_844_800_000_000_000  # 2024-01-10T00:00:00Z in ns
+BETWEEN_B = 1_705_708_800_000_000_000  # 2024-01-20T00:00:00Z in ns
 
 
+def _eng(spark: SparkSession, sf_dir: str, as_int: bool = False) -> SiriEngine:
+    return SiriEngine.from_points(
+        spark, events_points(spark, sf_dir, as_int), precision="ns")
+
+
+def _pv(df: DataFrame, col: str, nd: int | None = None) -> DataFrame:
+    c = F.col(col)
+    if nd is not None:
+        c = F.round(c, nd)
+    return df.select("series", "ts", c.alias("val"))
+
+
+def _sel(q: str, col: str = "val_dbl", nd: int | None = None,
+         as_int: bool = False):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _pv(_eng(spark, sf_dir, as_int).select_df(q), col, nd)
+    return run
+
+
+def _bucket_sql(agg: str, g: int, nd: int | None = None,
+                int_pts: bool = False) -> str:
+    val = f"round({agg}, {nd})" if nd is not None else agg
+    pre = EVENTS_PTS_INT_SQL if int_pts else EVENTS_PTS_SQL
+    return (
+        f"{pre} SELECT series, ((ts + {g - 1}) // {g}) * {g} AS ts, "
+        f"{val} AS val FROM pts GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-series hourly mean/max fan-out with prefixes over
+    sf0.001 — multi-pipeline select through the full engine."""
+    eng = _eng(spark, "/root/testdata/sf0.001")
+    df = eng.select_df(
+        'select mean(1h) prefix "m-", max(1h) prefix "x-" from /.*/')
+    return df.select("series", "ts",
+                     F.round(F.col("val_dbl"), 6).alias("val"))
 
 
+# ----------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- bucketed aggregates (SURVEY §2.1) over events points
+    q["siri_count_bucket"] = _sel("select count(1h) from /.*/", "val_int")
+    q["siri_sum_bucket"] = _sel("select sum(1h) from /.*/", "val_dbl", 4)
+    q["siri_mean_bucket"] = _sel("select mean(1d) from /.*/", "val_dbl", 6)
+    q["siri_min_bucket"] = _sel("select min(1d) from /.*/")
+    q["siri_max_bucket"] = _sel("select max(1d) from /.*/")
+    q["siri_median_bucket"] = _sel("select median(1d) from /.*/",
+                                   "val_dbl", 6)
+    q["siri_median_low_bucket"] = _sel("select median_low(1d) from /.*/")
+    q["siri_median_high_bucket"] = _sel("select median_high(1d) from /.*/")
+    q["siri_variance_bucket"] = _sel("select variance(1d) from /.*/",
+                                     "val_dbl", 6)
+    q["siri_pvariance_bucket"] = _sel("select pvariance(1d) from /.*/",
+                                      "val_dbl", 6)
+    q["siri_stddev_bucket"] = _sel("select stddev(1d) from /.*/",
+                                   "val_dbl", 6)
+    q["siri_first_bucket"] = _sel("select first(1d) from /.*/")
+    q["siri_last_bucket"] = _sel("select last(1d) from /.*/")
+    q["siri_difference_bucket"] = _sel("select difference(1d) from /.*/")
+    q["siri_derivative_bucket"] = _sel(
+        "select derivative(1s, 1d) from /.*/", "val_dbl", 6)
+
+    # --- int-typed series (type preservation + exact int64 math)
+    q["siri_sum_int_bucket"] = _sel("select sum(1d) from /.*/",
+                                    "val_int", as_int=True)
+    q["siri_minmax_int_to_one"] = _sel("select max() from /.*/",
+                                       "val_int", as_int=True)
+
+    # --- transforms
+    q["siri_difference_points"] = _sel(
+        "select filter(>190) => difference() from /.*/", "val_dbl")
+    q["siri_derivative_points"] = _sel(
+        "select derivative(1s) from 'purchase|1', 'error|2'",
+        "val_dbl", 6)
+    q["siri_interval"] = _sel(
+        "select interval() from /error.*/", "val_int")
+    q["siri_timeval"] = _sel("select timeval() from /signup.*/",
+                             "val_int")
+    q["siri_filter_range"] = _sel(
+        "select filter(>50) => filter(<=150) from /.*/", "val_dbl")
+
+    # --- to-one collapse (label = last ts; first's for first())
+    q["siri_count_to_one"] = _sel("select count() from /.*/", "val_int")
+    q["siri_first_to_one"] = _sel("select first() from /.*/")
+
+    # --- selection algebra / where / time ranges / head-tail
+    q["siri_set_algebra"] = _sel(
+        "select count() from /error.*/ | /signup.*/ - 'error|13'",
+        "val_int")
+    q["siri_where_length"] = _sel(
+        "select last() from /.*/ where length > 20")
+    q["siri_between_mean"] = _sel(
+        f"select mean(1d) from /.*/ between {BETWEEN_A} and {BETWEEN_B}",
+        "val_dbl", 6)
+    q["siri_head"] = _sel("select * from /purchase.*/ head 3")
+    q["siri_tail"] = _sel("select * from /purchase.*/ tail 3")
+
+    # --- merge + offset (sweep-bucketing path)
+    q["siri_merge_using_mean"] = _sel(
+        "select * from /.*/ merge as 'all' using mean(1d)",
+        "val_dbl", 6)
+    q["siri_offset_bucket"] = _sel(
+        "select * from /.*/ merge as 'all' using count(1d) => offset(1h)",
+        "val_int")
+
+    # --- adaptive downsample (limit) — engine-only (per-series sweep)
+    q["siri_limit_downsample"] = _sel(
+        "select limit(20, mean) from /.*/", "val_dbl", 6)
+
+    # --- catalog surface
+    def siri_catalog(spark, sf_dir):
+        eng = _eng(spark, sf_dir)
+        return eng.catalog_df().select(
+            "name", "type", "length", "start",
+            F.col("end").alias("end_ts"))
+
+    q["siri_catalog"] = siri_catalog
+
+    def siri_series_length(spark, sf_dir):
+        eng = _eng(spark, sf_dir)
+        return eng.catalog_df().agg(
+            F.sum("length").alias("total_points"))
+
+    q["siri_count_series_length"] = siri_series_length
+
+    # --- dedup operators
+    q["dedup_exact"] = lambda spark, sf_dir: D.exact_duplicates(
+        load(spark, sf_dir, "documents"))
+    q["dedup_ngram_jaccard"] = lambda spark, sf_dir: D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < 300),
+        threshold=0.8)
+    q["dedup_minhash_lsh"] = lambda spark, sf_dir: D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5)
+    q["dedup_simhash"] = lambda spark, sf_dir: D.simhash_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3)
+
+    # --- text analysis
+    q["text_quality"] = lambda spark, sf_dir: TX.quality_features(
+        load(spark, sf_dir, "documents"))
+
+    def text_langid(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        return docs.select("doc_id",
+                           TX.lang_id(F.col("text")).alias("pred_lang"))
+
+    q["text_langid"] = text_langid
+
+    def text_tokens(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("ws_tokens"),
+            TX.bpe_token_count(F.col("text")).alias("bpe_tokens"))
+
+    q["text_tokens"] = text_tokens
+
+    def text_fingerprint(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+    q["text_fingerprint"] = text_fingerprint
+
+    # --- similarity search
+    def _query_vec(spark, sf_dir):
+        row = load(spark, sf_dir, "embeddings") \
+            .where(F.col("vec_id") == 0).select("embedding").first()
+        return list(row["embedding"])
+
+    def sim_bruteforce_topk(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        vec = _query_vec(spark, sf_dir)
+        return SIM.brute_force_topk(
+            emb.where(F.col("vec_id") != 0), vec, k=10)
+
+    q["sim_bruteforce_topk"] = sim_bruteforce_topk
+
+    def sim_ivf_topk(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        vec = _query_vec(spark, sf_dir)
+        return SIM.ivf_topk(emb.where(F.col("vec_id") != 0), vec,
+                            k=10, nprobe=3)
+
+    q["sim_ivf_topk"] = sim_ivf_topk
+
+    def sim_lsh_topk(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        vec = _query_vec(spark, sf_dir)
+        return SIM.lsh_topk(emb.where(F.col("vec_id") != 0), vec,
+                            k=10, n_planes=4)
+
+    q["sim_lsh_topk"] = sim_lsh_topk
+
+    q["sim_cosine_pairs"] = lambda spark, sf_dir: SIM.cosine_pairs_blocked(
+        load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+    # --- multimodal plumbing (decode stubbed; Arrow path real)
+    q["multimodal_meta"] = lambda spark, sf_dir: MM.decode_image_meta(
+        MM.documents_as_media(load(spark, sf_dir, "documents")))
+    q["multimodal_frames"] = lambda spark, sf_dir: MM.frame_sample_stub(
+        MM.documents_as_media(load(spark, sf_dir, "documents")),
+        every_n=10)
+
+    # --- general analytics (TPC-H style; broadcast-join shape)
+    def tpch_q1ish(spark, sf_dir):
+        li = load(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+        )
+
+    q["tpch_q1ish"] = tpch_q1ish
+
+    def tpch_join_revenue(spark, sf_dir):
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        return (
+            li.join(F.broadcast(orders),
+                    li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+        )
+
+    q["tpch_join_revenue"] = tpch_join_revenue
+
+    def events_json_props(spark, sf_dir):
+        ev = load(spark, sf_dir, "events")
+        return (
+            ev.select(F.col("event_type"),
+                      F.get_json_object("props", "$.k").cast("long")
+                      .alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"),
+                 F.count(F.lit(1)).alias("n"))
+        )
+
+    q["events_json_props"] = events_json_props
+
+    return q
 
 
+# ------------------------------------------------------------------ oracles
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P = EVENTS_PTS_SQL
+    PI = EVENTS_PTS_INT_SQL
+    o: dict[str, str] = {}
+
+    o["siri_count_bucket"] = _bucket_sql("count(*)", H)
+    o["siri_sum_bucket"] = _bucket_sql("round(sum(val), 4)", H)
+    o["siri_mean_bucket"] = _bucket_sql("avg(val)", D6, nd=6)
+    o["siri_min_bucket"] = _bucket_sql("min(val)", D6)
+    o["siri_max_bucket"] = _bucket_sql("max(val)", D6)
+    o["siri_median_bucket"] = _bucket_sql("quantile_cont(val, 0.5)",
+                                          D6, nd=6)
+    for name, idx in (("siri_median_low_bucket", "(n - 1) // 2 + 1"),
+                      ("siri_median_high_bucket", "n // 2 + 1")):
+        o[name] = (
+            f"{P}, b AS (SELECT series,"
+            f" ((ts + {D6 - 1}) // {D6}) * {D6} AS ts, val,"
+            " row_number() OVER (PARTITION BY series,"
+            f" ((ts + {D6 - 1}) // {D6}) ORDER BY val) AS rn,"
+            " count(*) OVER (PARTITION BY series,"
+            f" ((ts + {D6 - 1}) // {D6})) AS n FROM pts)"
+            f" SELECT series, ts, val FROM b WHERE rn = {idx}"
+        )
+    o["siri_variance_bucket"] = _bucket_sql(
+        "coalesce(var_samp(val), 0.0)", D6, nd=6)
+    o["siri_pvariance_bucket"] = _bucket_sql(
+        "coalesce(var_pop(val), 0.0)", D6, nd=6)
+    o["siri_stddev_bucket"] = _bucket_sql(
+        "coalesce(stddev_samp(val), 0.0)", D6, nd=6)
+    for name, rn in (("siri_first_bucket", "ASC"),
+                     ("siri_last_bucket", "DESC")):
+        o[name] = (
+            f"{P}, b AS (SELECT series,"
+            f" ((ts + {D6 - 1}) // {D6}) * {D6} AS bts, val,"
+            " row_number() OVER (PARTITION BY series,"
+            f" ((ts + {D6 - 1}) // {D6}) ORDER BY ts {rn}, seq {rn})"
+            " AS rn FROM pts)"
+            " SELECT series, bts AS ts, val FROM b WHERE rn = 1"
+        )
+    o["siri_difference_bucket"] = (
+        f"{P}, b AS (SELECT series,"
+        f" ((ts + {D6 - 1}) // {D6}) * {D6} AS bts, val,"
+        " row_number() OVER (PARTITION BY series,"
+        f" ((ts + {D6 - 1}) // {D6}) ORDER BY ts, seq) AS rf,"
+        " row_number() OVER (PARTITION BY series,"
+        f" ((ts + {D6 - 1}) // {D6}) ORDER BY ts DESC, seq DESC) AS rl"
+        " FROM pts)"
+        " SELECT series, bts AS ts,"
+        " max(CASE WHEN rl = 1 THEN val END)"
+        " - max(CASE WHEN rf = 1 THEN val END) AS val"
+        " FROM b GROUP BY 1, 2"
+    )
+    o["siri_derivative_bucket"] = (
+        f"{P}, b AS (SELECT series,"
+        f" ((ts + {D6 - 1}) // {D6}) * {D6} AS bts, val,"
+        " row_number() OVER (PARTITION BY series,"
+        f" ((ts + {D6 - 1}) // {D6}) ORDER BY ts, seq) AS rf,"
+        " row_number() OVER (PARTITION BY series,"
+        f" ((ts + {D6 - 1}) // {D6}) ORDER BY ts DESC, seq DESC) AS rl"
+        " FROM pts)"
+        " SELECT series, bts AS ts,"
+        " round((max(CASE WHEN rl = 1 THEN val END)"
+        f" - max(CASE WHEN rf = 1 THEN val END)) * (1000000000.0 / {D6}),"
+        " 6) AS val FROM b GROUP BY 1, 2"
+    )
+
+    o["siri_sum_int_bucket"] = (
+        f"{PI} SELECT series, ((ts + {D6 - 1}) // {D6}) * {D6} AS ts,"
+        " CAST(sum(val) AS BIGINT) AS val FROM pts GROUP BY 1, 2"
+    )
+    o["siri_minmax_int_to_one"] = (
+        f"{PI} SELECT series, max(ts) AS ts, max(val) AS val"
+        " FROM pts GROUP BY 1"
+    )
+
+    o["siri_difference_points"] = (
+        f"{P}, f AS (SELECT * FROM pts WHERE val > 190)"
+        " SELECT series, ts, val - lag(val) OVER"
+        " (PARTITION BY series ORDER BY ts, seq) AS val FROM f"
+        " QUALIFY lag(val) OVER (PARTITION BY series ORDER BY ts, seq)"
+        " IS NOT NULL"
+    )
+    o["siri_derivative_points"] = (
+        f"{P}, f AS (SELECT * FROM pts WHERE series IN"
+        " ('purchase|1', 'error|2'))"
+        " SELECT series, ts, round((val - lag(val) OVER w)"
+        " / CAST(ts - lag(ts) OVER w AS DOUBLE) * 1000000000.0, 6) AS val"
+        " FROM f WINDOW w AS (PARTITION BY series ORDER BY ts, seq)"
+        " QUALIFY lag(ts) OVER w IS NOT NULL"
+    )
+    o["siri_interval"] = (
+        f"{P}, f AS (SELECT * FROM pts WHERE"
+        " regexp_matches(series, '^(?:error.*)'))"
+        " SELECT series, ts, ts - lag(ts) OVER"
+        " (PARTITION BY series ORDER BY ts, seq) AS val FROM f"
+        " QUALIFY lag(ts) OVER (PARTITION BY series ORDER BY ts, seq)"
+        " IS NOT NULL"
+    )
+    o["siri_timeval"] = (
+        f"{P} SELECT series, ts, ts AS val FROM pts"
+        " WHERE regexp_matches(series, '^(?:signup.*)')"
+    )
+    o["siri_filter_range"] = (
+        f"{P} SELECT series, ts, val FROM pts"
+        " WHERE val > 50 AND val <= 150"
+    )
+
+    o["siri_count_to_one"] = (
+        f"{P} SELECT series, max(ts) AS ts, count(*) AS val"
+        " FROM pts GROUP BY 1"
+    )
+    o["siri_first_to_one"] = (
+        f"{P}, b AS (SELECT series, ts, val, row_number() OVER"
+        " (PARTITION BY series ORDER BY ts, seq) AS rn,"
+        " min(ts) OVER (PARTITION BY series) AS fts FROM pts)"
+        " SELECT series, fts AS ts, val FROM b WHERE rn = 1"
+    )
+
+    o["siri_set_algebra"] = (
+        f"{P} SELECT series, max(ts) AS ts, count(*) AS val FROM pts"
+        " WHERE (regexp_matches(series, '^(?:error.*)')"
+        " OR regexp_matches(series, '^(?:signup.*)'))"
+        " AND series <> 'error|13' GROUP BY 1"
+    )
+    o["siri_where_length"] = (
+        f"{P}, keep AS (SELECT series FROM pts GROUP BY 1"
+        " HAVING count(*) > 20),"
+        " b AS (SELECT p.series, ts, val, row_number() OVER"
+        " (PARTITION BY p.series ORDER BY ts DESC, seq DESC) AS rn,"
+        " max(ts) OVER (PARTITION BY p.series) AS lts"
+        " FROM pts p JOIN keep k ON p.series = k.series)"
+        " SELECT series, lts AS ts, val FROM b WHERE rn = 1"
+    )
+    o["siri_between_mean"] = (
+        f"{P} SELECT series, ((ts + {D6 - 1}) // {D6}) * {D6} AS ts,"
+        " round(avg(val), 6) AS val FROM pts"
+        f" WHERE ts >= {BETWEEN_A} AND ts < {BETWEEN_B} GROUP BY 1, 2"
+    )
+    for name, order in (("siri_head", "ASC"), ("siri_tail", "DESC")):
+        o[name] = (
+            f"{P}, b AS (SELECT series, ts, val, row_number() OVER"
+            f" (PARTITION BY series ORDER BY ts {order}, seq {order})"
+            " AS rn FROM pts WHERE"
+            " regexp_matches(series, '^(?:purchase.*)'))"
+            " SELECT series, ts, val FROM b WHERE rn <= 3"
+        )
+
+    o["siri_merge_using_mean"] = (
+        f"{P} SELECT 'all' AS series,"
+        f" ((ts + {D6 - 1}) // {D6}) * {D6} AS ts,"
+        " round(avg(val), 6) AS val FROM pts GROUP BY 1, 2"
+    )
+    # offset: the engine sweeps (aggregate.c:1188-1220) — with a dense
+    # merged stream every bucket is (B_{k-1}, B_k], B_k = k*g + off,
+    # except the first, labeled GROUP_TS(min_ts)
+    o["siri_offset_bucket"] = (
+        f"{P}, m AS (SELECT ((min(ts) + {D6 - 1}) // {D6}) * {D6}"
+        f" + {H} AS l1 FROM pts)"
+        " SELECT 'all' AS series,"
+        " CASE WHEN ts <= l1 THEN l1 ELSE"
+        f" ((ts - {H} + {D6 - 1}) // {D6}) * {D6} + {H} END AS ts,"
+        " count(*) AS val FROM pts, m GROUP BY 1, 2"
+    )
+
+    o["siri_catalog"] = (
+        f"{P} SELECT series AS name,"
+        " 'float' AS type, count(*) AS length,"
+        " min(ts) AS start, max(ts) AS end_ts FROM pts GROUP BY 1"
+    )
+    o["siri_count_series_length"] = (
+        f"{P} SELECT count(*) AS total_points FROM pts"
+    )
+
+    # --- dedup / text / similarity / multimodal
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,"
+        " count(*) AS n_copies FROM documents GROUP BY 1"
+    )
+    o["dedup_ngram_jaccard"] = (
+        "WITH dw AS (SELECT DISTINCT doc_id,"
+        " unnest(string_split(lower(trim(text)), ' ')) AS w"
+        " FROM documents WHERE doc_id < 300),"
+        " dwf AS (SELECT * FROM dw WHERE w <> ''),"
+        " sz AS (SELECT doc_id, count(*) AS n FROM dwf GROUP BY 1),"
+        " i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " count(*) AS i FROM dwf a JOIN dwf b ON a.w = b.w"
+        " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+        " SELECT id_a, id_b,"
+        " round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard"
+        " FROM i JOIN sz sa ON id_a = sa.doc_id"
+        " JOIN sz sb ON id_b = sb.doc_id"
+        " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8"
+    )
+    o["text_quality"] = (
+        "SELECT doc_id, length(text) AS n_chars,"
+        " CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,"
+        " round(length(text) * 1.0 /"
+        " len(string_split_regex(trim(text), '\\s+')), 6)"
+        " AS avg_token_len,"
+        " len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,"
+        " round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0"
+        " / length(text), 6) AS punct_ratio,"
+        " round(len(regexp_extract_all(text, '[0-9]')) * 1.0"
+        " / length(text), 6) AS digit_ratio,"
+        " (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1"
+        " ELSE 0 END + CASE WHEN ' ' || lower(text) || ' ' LIKE"
+        " '% and %' THEN 1 ELSE 0 END + CASE WHEN ' ' || lower(text)"
+        " || ' ' LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN ' ' ||"
+        " lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END +"
+        " CASE WHEN ' ' || lower(text) || ' ' LIKE '% is %' THEN 1"
+        " ELSE 0 END) AS n_stopwords FROM documents"
+    )
+
+    def _hits(markers):
+        return " + ".join(
+            "CASE WHEN ' ' || lower(text) || ' ' LIKE '% " + m
+            + " %' THEN 1 ELSE 0 END" for m in markers)
+
+    marks = TX.LANG_MARKERS
+    o["text_langid"] = (
+        "WITH s AS (SELECT doc_id,"
+        + ", ".join(f"({_hits(ms)}) AS s_{lang}"
+                    for lang, ms in marks.items())
+        + " FROM documents) SELECT doc_id,"
+        " CASE"
+        " WHEN s_fr > s_de AND s_fr > s_es AND s_fr > s_en"
+        " THEN 'fr'"
+        " WHEN s_de > s_es AND s_de > s_en THEN 'de'"
+        " WHEN s_es > s_en THEN 'es'"
+        " WHEN s_en > 0 THEN 'en'"
+        " ELSE 'und' END AS pred_lang FROM s"
+    )
+    o["text_tokens"] = (
+        "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,"
+        " len(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens"
+        " FROM documents"
+    )
+    o["text_fingerprint"] = (
+        "SELECT doc_id, md5(array_to_string(list_sort("
+        "string_split_regex(trim(lower(text)), '\\s+')), ' ')) AS fp"
+        " FROM documents"
+    )
+
+    cos_core = (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings"
+        " WHERE vec_id = 0),"
+        " prod AS (SELECT e.vec_id,"
+        " CAST(unnest(e.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(q.qe) AS DOUBLE) AS y"
+        " FROM embeddings e, q WHERE e.vec_id <> 0),"
+        " s AS (SELECT vec_id, sum(x * y) AS d, sum(x * x) AS na,"
+        " sum(y * y) AS nb FROM prod GROUP BY 1)"
+    )
+    o["sim_bruteforce_topk"] = (
+        cos_core
+        + " SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 6) AS cos"
+        " FROM s ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id"
+        " LIMIT 10"
+    )
+    o["sim_cosine_pairs"] = (
+        "WITH prod AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        " CAST(unnest(a.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(b.embedding) AS DOUBLE) AS y"
+        " FROM embeddings a JOIN embeddings b ON a.label = b.label"
+        " AND a.vec_id < b.vec_id),"
+        " s AS (SELECT id_a, id_b, sum(x * y) AS d, sum(x * x) AS na,"
+        " sum(y * y) AS nb FROM prod GROUP BY 1, 2)"
+        " SELECT id_a, id_b, round(d / (sqrt(na) * sqrt(nb)), 6)"
+        " AS cos FROM s"
+        " WHERE round(d / (sqrt(na) * sqrt(nb)), 6) >= 0.3"
+    )
+
+    o["multimodal_meta"] = (
+        "SELECT doc_id AS media_id,"
+        " octet_length(encode(text)) AS n_bytes,"
+        " (octet_length(encode(text)) * 7) % 640 + 1 AS width,"
+        " (octet_length(encode(text)) * 13) % 480 + 1 AS height,"
+        " octet_length(encode(text)) % 97 + 1 AS n_frames"
+        " FROM documents"
+    )
+    o["multimodal_frames"] = (
+        "SELECT doc_id AS media_id, unnest(range(0,"
+        " octet_length(encode(text)) % 97 + 1, 10)) AS frame_idx"
+        " FROM documents"
+    )
+
+    o["tpch_q1ish"] = (
+        "SELECT l_returnflag, l_linestatus,"
+        " round(sum(l_quantity), 4) AS sum_qty,"
+        " round(sum(l_extendedprice), 2) AS sum_price,"
+        " round(avg(l_discount), 6) AS avg_disc,"
+        " count(*) AS count_order"
+        " FROM lineitem GROUP BY 1, 2"
+    )
+    o["tpch_join_revenue"] = (
+        "SELECT o_orderpriority,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+        " count(*) AS n_items"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " GROUP BY 1"
+    )
+    o["events_json_props"] = (
+        "SELECT event_type,"
+        " CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+        " AS BIGINT) AS sum_k, count(*) AS n"
+        " FROM events GROUP BY 1"
+    )
+    return o

@@ -1,0 +1,97 @@
+"""Headline benchmark. Runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}}
+
+Materialization is a noop-sink write (not count()) so Catalyst cannot
+prune the aggregate expressions away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    # siri engine core: scan → bucket agg (1 shuffle)
+    "siri_sum_bucket",
+    "siri_mean_bucket",
+    "siri_median_bucket",
+    "siri_variance_bucket",
+    "siri_first_bucket",
+    # window transforms (partitioned sort)
+    "siri_interval",
+    "siri_derivative_points",
+    # whole-window collapse + selection algebra
+    "siri_count_to_one",
+    "siri_set_algebra",
+    # merge + adaptive downsample (sweep path)
+    "siri_merge_using_mean",
+    "siri_limit_downsample",
+    # training-data pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_fingerprint",
+    "sim_bruteforce_topk",
+    "sim_cosine_pairs",
+    "multimodal_meta",
+    # general analytics
+    "tpch_q1ish",
+    "tpch_join_revenue",
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("sparksiri-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "sparksiri headline queries wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

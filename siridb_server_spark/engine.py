@@ -78,6 +78,16 @@ class SiriEngine:
         self.duration_log = DEFAULT_DURATION_LOG_S * self.factor
         self._started = _time.time()
 
+    @classmethod
+    def from_points(cls, spark: SparkSession, df: DataFrame,
+                    precision: str = "s") -> "SiriEngine":
+        """Wrap an existing long-format points DataFrame (columns
+        series, ts, seq, val_int, val_dbl, val_str, tp) — the scale
+        path: the frame typically comes from partitioned parquet."""
+        eng = cls(spark, precision)
+        eng._mem_df = df
+        return eng
+
     # ------------------------------------------------------------- ingest
     def insert(self, data) -> dict:
         """Insert points. Accepts the reference's two shapes
@@ -230,7 +240,21 @@ class SiriEngine:
             cat = cat.where(compile_where(where))
         return cat
 
+    def select_df(self, q: str) -> DataFrame:
+        """Compile a select statement to its result DataFrame without
+        collecting (the distributed API; ``query`` collects to the
+        reference's dict shape)."""
+        parsed = Parser(q, self.precision, tzinfo=None).parse()
+        if not isinstance(parsed.stmt, N.SelectStmt):
+            raise QueryError("select_df() requires a select statement.")
+        out_df, _seeds = self._select_plan(parsed.stmt)
+        return out_df
+
     def _select(self, stmt: N.SelectStmt) -> dict:
+        out_df, seeds = self._select_plan(stmt)
+        return self._collect(out_df, seeds)
+
+    def _select_plan(self, stmt: N.SelectStmt):
         cat = self._selected_catalog(stmt.match, stmt.where)
         # ONE driver-side collect over the (small) catalog: gives the
         # selected names (result dicts are keyed per series — inherently
@@ -243,7 +267,7 @@ class SiriEngine:
         total_points = sum(r["length"] for r in sel_rows)
         sel_names = [r["name"] for r in sel_rows]
         if not tps:
-            return {}
+            return self.points_df().limit(0), []
         types = TypeSet(tps)
 
         df = self.points_df()
@@ -367,11 +391,11 @@ class SiriEngine:
                 seeds.extend((pl.prefix or "") + nm + (pl.suffix or "")
                              for nm in sel_names)
 
+        # NOTE: the multi-pipeline cache stays resident until Spark's LRU
+        # evicts it — unpersisting here would drop it before the caller
+        # materializes the plan.
         out_df = final[0][0]
-        result = self._collect(out_df, seeds)
-        if multi:
-            df.unpersist()
-        return result
+        return out_df, seeds
 
     def _run_pipeline(self, df: DataFrame, funcs: list,
                       types: TypeSet) -> StageResult:

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine / dot product as pure Catalyst expressions (zip_with +
+  aggregate — no Python UDF, stays in whole-stage codegen).
+- brute-force top-k: the exact baseline; a single narrow projection +
+  global top-k (Spark TakeOrdered — no full sort).
+- IVF (inverted-file) top-k: label/centroid coarse quantizer → probe
+  the nearest partitions only. At 100 TB the embedding table is
+  partitioned by the coarse cell id, so probing = partition pruning.
+- LSH (random hyperplane) bucketed search: deterministic seeded
+  planes; same banding pattern as MinHash.
+- cosine near-dup pairs within blocks (label or LSH bucket) — the
+  embedding analogue of near-dup text dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y:
+                   x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(emb: DataFrame, query_vec, k: int = 10,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine against one query vector. The global
+    top-k is a TakeOrdered (per-partition heap + merge), not a full
+    sort — scales to arbitrarily many rows."""
+    q = _lit_vec(query_vec)
+    return (
+        emb.select(F.col(id_col),
+                   cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 6).alias("cos"))
+    )
+
+
+def label_centroids(emb: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid — the coarse quantizer for IVF. posexplode →
+    per-(label, position) mean → re-assemble ordered arrays."""
+    exploded = emb.select(
+        label_col, F.posexplode(vec_col).alias("pos", "v"))
+    means = exploded.groupBy(label_col, "pos").agg(
+        F.avg("v").alias("m"))
+    return (
+        means.groupBy(label_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(label_col,
+                F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(emb: DataFrame, query_vec, k: int = 10, nprobe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             label_col: str = "label") -> DataFrame:
+    """IVF search: rank coarse cells (labels) by centroid cosine on
+    the driver (|cells| rows — tiny), then brute-force ONLY within the
+    nprobe nearest cells. With the table partitioned by cell id the
+    isin() filter becomes partition pruning — the scan never touches
+    the other cells."""
+    cents = label_centroids(emb, vec_col, label_col).collect()
+
+    def py_cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        cents, key=lambda r: -py_cos(r["centroid"], list(query_vec)))
+    probes = [r[label_col] for r in ranked[:nprobe]]
+    return brute_force_topk(
+        emb.where(F.col(label_col).isin(probes)), query_vec, k,
+        vec_col, id_col)
+
+
+def lsh_bucket(vec_col: Column, planes) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane."""
+    out = F.lit(0)
+    for i, plane in enumerate(planes):
+        out = out + F.when(dot(vec_col, _lit_vec(plane)) >= 0,
+                           F.lit(1 << i)).otherwise(0)
+    return out
+
+
+def deterministic_planes(dim: int, n_planes: int, seed: int = 42):
+    """Seeded hyperplanes (numpy RNG) — deterministic across runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_topk(emb: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
+             seed: int = 42, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """LSH-bucketed ANN: search only the query's bucket. Recall is
+    tunable via n_planes (fewer planes → bigger buckets)."""
+    planes = deterministic_planes(len(query_vec), n_planes, seed)
+
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * float(b)
+               for a, b in zip(query_vec, plane)) >= 0:
+            qb |= 1 << i
+    bucketed = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col),
+                                                    planes))
+    return brute_force_topk(
+        bucketed.where(F.col("_bucket") == qb), query_vec, k,
+        vec_col, id_col)
+
+
+def cosine_pairs_blocked(emb: DataFrame, threshold: float = 0.35,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         block_col: str = "label") -> DataFrame:
+    """Embedding near-dup pairs, blocked: O(n²) only WITHIN blocks
+    (label = coarse cell). Output: (id_a, id_b, cos), id_a < id_b."""
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

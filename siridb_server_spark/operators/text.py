@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure JVM-side column expressions (no Python UDFs): language-ID
+(stopword n-gram heuristic), quality scoring (length/punctuation/
+stopword/digit ratios), token counting (whitespace + BPE-ish regex),
+and document fingerprinting. Designed to run over billions of
+documents: every operator is a narrow projection — no shuffle, no
+collect — so Catalyst fuses it into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram language heuristic.
+#: deliberately small & deterministic so the DuckDB oracle can mirror it.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+_WORD_RE = r"\s+"
+#: BPE-ish token split: words, numbers, and single punctuation marks
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), _WORD_RE)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+        .otherwise(F.size(words(text))).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count via regex extraction."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0))) \
+        .cast("long")
+
+
+def _marker_hits(text: Column, markers: list) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = F.lit(0)
+    for m in markers:
+        out = out + F.when(padded.contains(f" {m} "), 1).otherwise(0)
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language-ID: the language whose stopword markers hit
+    the most; 'und' (undetermined) when nothing matches. Deterministic
+    tie-break by language code order en < es < de < fr via strictly-
+    greater comparison in that order."""
+    scores = [(lang, _marker_hits(text, ms))
+              for lang, ms in LANG_MARKERS.items()]
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features per document (round-trippable in ANSI
+    SQL for the correctness oracle)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(
+        t, F.lit(r"[^\w\s]"), F.lit(0))).cast("long")
+    n_digits = F.size(F.regexp_extract_all(
+        t, F.lit(r"[0-9]"), F.lit(0))).cast("long")
+    n_stop = _marker_hits(t, LANG_MARKERS["en"]).cast("long")
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.try_divide(n_chars.cast("double"),
+                             n_tokens.cast("double")), 6)
+        .alias("avg_token_len"),
+        n_punct.alias("n_punct"),
+        F.round(F.try_divide(n_punct.cast("double"),
+                             n_chars.cast("double")), 6)
+        .alias("punct_ratio"),
+        F.round(F.try_divide(n_digits.cast("double"),
+                             n_chars.cast("double")), 6)
+        .alias("digit_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted,
+    lower-cased word multiset (classic shingle-free near-dup key)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(words(F.lower(text)))))
+
+
+def rolling_fingerprints(text: Column, window: int = 8) -> Column:
+    """Rolling window fingerprints (winnowing-style): md5 of each
+    ``window``-word shingle — the building block for fuzzy containment
+    checks. Returns array<string>."""
+    w = words(F.lower(text))
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, window))))

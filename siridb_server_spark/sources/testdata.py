@@ -1,0 +1,76 @@
+"""Adapters from the driver's TPC-H-ish testdata to the engine's
+points model (TESTDATA.md; mapping rationale in FIXTURES.md §6).
+
+events(event_id, ts TIMESTAMP(NANOS), user_id, event_type, value,
+props) → points: series = event_type|user_id, ts = epoch NANOSECONDS
+(the events parquet stores TIMESTAMP(NANOS), which stock Spark reads
+only via spark.sql.legacy.parquet.nanosAsLong → raw int64 — exactly
+the engine's model: ns-precision integer timestamps, never
+TimestampType), seq = event_id (deterministic duplicate-ts
+tie-break), val = value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS); read it as raw int64 ns
+    # (no-op for the micros/millis tables)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_points(spark: SparkSession, sf_dir: str,
+                  as_int: bool = False) -> DataFrame:
+    """Long-format points DataFrame from the events table.
+
+    ``as_int=True`` maps values to an integer series
+    (floor(value*100)) to exercise the engine's int64 code paths
+    (typed sums, overflow guards, type preservation)."""
+    ev = load(spark, sf_dir, "events")
+    series = F.concat_ws(
+        "|", F.col("event_type"), F.col("user_id").cast("string"))
+    # DuckDB (the correctness oracle) reads TIMESTAMP(NANOS) parquet at
+    # microsecond resolution; truncate the sub-microsecond part so both
+    # engines observe identical int64 values.
+    ts = F.col("ts").cast("long")
+    base = [
+        series.alias("series"),
+        (ts - ts % 1000).alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+    ]
+    if as_int:
+        val = [
+            F.floor(F.col("value") * 100).cast("long").alias("val_int"),
+            F.lit(None).cast("double").alias("val_dbl"),
+            F.lit(None).cast("string").alias("val_str"),
+            F.lit(0).alias("tp"),
+        ]
+    else:
+        val = [
+            F.lit(None).cast("long").alias("val_int"),
+            F.col("value").alias("val_dbl"),
+            F.lit(None).cast("string").alias("val_str"),
+            F.lit(1).alias("tp"),
+        ]
+    return ev.select(*base, *val)
+
+
+#: the same mapping as a DuckDB CTE — the prefix of every oracle query
+EVENTS_PTS_SQL = (
+    "WITH pts AS (SELECT event_type || '|' || CAST(user_id AS VARCHAR)"
+    " AS series, epoch_ns(ts) AS ts, event_id AS seq, value AS val"
+    " FROM events)"
+)
+
+EVENTS_PTS_INT_SQL = (
+    "WITH pts AS (SELECT event_type || '|' || CAST(user_id AS VARCHAR)"
+    " AS series, epoch_ns(ts) AS ts, event_id AS seq,"
+    " CAST(floor(value * 100) AS BIGINT) AS val FROM events)"
+)
