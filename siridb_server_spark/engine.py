@@ -528,7 +528,7 @@ class SiriEngine:
         if stmt.limit is not None and (
                 stmt.limit <= 0 or stmt.limit > self.list_limit):
             raise QueryError(
-                "Limit must be a value between 0 and "
+                "Limit must be a value between 1 and "
                 f"{self.list_limit} but received: {stmt.limit}.")
         rows = df.select(*cols).limit(limit).collect()
         return {"columns": cols,

@@ -229,7 +229,7 @@ class Parser:
         return None
 
     def _series_operand(self, depth: int):
-        if depth > MAX_SERIES_PARENS:
+        if depth >= MAX_SERIES_PARENS:
             raise QueryError(
                 "Memory allocation error or maximum recursion depth reached.")
         if self._token("("):
@@ -488,11 +488,26 @@ class Parser:
 
     # ----------------------------------------------------------- statements
     def parse(self) -> N.Query:
-        timeit = self._keyword("timeit")
-        stmt = self._statement()
-        if not self._eof():
-            self._error("end of statement")
-        return N.Query(stmt, timeit)
+        import sys
+
+        # deep series_match nesting (≤ 499 parens is legal) needs more
+        # frames than CPython's default limit
+        old = sys.getrecursionlimit()
+        if old < 6000:
+            sys.setrecursionlimit(6000)
+        try:
+            timeit = self._keyword("timeit")
+            stmt = self._statement()
+            if not self._eof():
+                self._error("end of statement")
+            return N.Query(stmt, timeit)
+        except RecursionError:
+            raise QueryError(
+                "Memory allocation error or maximum recursion depth "
+                "reached.") from None
+        finally:
+            if old < 6000:
+                sys.setrecursionlimit(old)
 
     def _statement(self):
         if self._keyword("select"):

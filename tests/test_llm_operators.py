@@ -1,0 +1,187 @@
+"""Unit tests for the training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal plumbing)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from siridb_server_spark.operators import dedup as D
+from siridb_server_spark.operators import multimodal as MM
+from siridb_server_spark.operators import similarity as SIM
+from siridb_server_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "completely different content entirely unrelated words"),
+        (4, "el gato la casa de la madre que los ninos"),
+        (5, "dog lazy the over jumps fox brown quick the"),  # shuffled
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    res = {r["keep_id"]: r["n_copies"]
+           for r in D.exact_duplicates(docs).collect()}
+    assert res[0] == 2  # docs 0,1 identical
+    assert res[2] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, 0.7).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 5) in pairs  # same word set, shuffled order
+    assert (0, 3) not in pairs
+    assert pairs[(0, 2)] == pytest.approx(8 / 9, abs=1e-5)  # adds 'a'
+
+
+def test_minhash_lsh(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_pairs(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sigs[0] == sigs[1] == sigs[5]  # same word set → same simhash
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) not in pairs
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world, it's 42 degrees!"), (1, ""), (2, "  one  ")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["ws"], r["bpe"]) for r in df.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws"),
+        TX.bpe_token_count(F.col("text")).alias("bpe")).collect()}
+    assert rows[0][0] == 5
+    # hello world , it ' s 42 degrees !  → 9 BPE-ish tokens
+    assert rows[0][1] == 9
+    assert rows[1] == (0, 0)
+    assert rows[2][0] == 1
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog of the house"),
+         (1, "el gato de la casa que los"),
+         (2, "der hund und die katze ist das"),
+         (3, "le chat et la maison les est"),
+         (4, "xyzzy plugh")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "es"
+    assert rows[2] == "de"
+    assert rows[3] == "fr"
+    assert rows[4] == "und"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(0, "the code is 99% done!")], "doc_id long, text string")
+    r = TX.quality_features(df).collect()[0]
+    assert r["n_chars"] == 21
+    assert r["n_tokens"] == 5
+    assert r["n_punct"] == 2  # % and !
+    assert r["n_digits" if "n_digits" in r.__fields__ else "digit_ratio"]
+    assert r["n_stopwords"] == 2  # the, is
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a"), (2, "a b d")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [-1.0, 0.0, 0.0], 1),
+        (4, [0.707, 0.707, 0.0], 1),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_expr(emb):
+    r = emb.where(F.col("vec_id") == 4).select(
+        SIM.cosine(F.col("embedding"),
+                   F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)))
+        .alias("c")).collect()[0]["c"]
+    assert r == pytest.approx(0.707, abs=1e-3)
+
+
+def test_brute_force_topk(emb):
+    got = SIM.brute_force_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 4]
+    assert got[0]["cos"] == pytest.approx(1.0)
+
+
+def test_ivf_topk(emb):
+    got = SIM.ivf_topk(emb, [1.0, 0.0, 0.0], k=2, nprobe=1)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert ids == [0, 1]  # label-0 cell is nearest; 3 excluded
+
+
+def test_lsh_topk(emb):
+    got = SIM.lsh_topk(emb, [1.0, 0.0, 0.0], k=5, n_planes=2)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert 0 in ids  # query's own bucket must contain the exact match
+
+
+def test_cosine_pairs_blocked(emb):
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in SIM.cosine_pairs_blocked(emb, 0.9).collect()}
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs  # opposite-ish, below threshold
+    assert all(c >= 0.9 for c in pairs.values())
+
+
+def test_multimodal_meta(spark):
+    docs = spark.createDataFrame(
+        [(7, "hello")], "doc_id long, text string")
+    media = MM.documents_as_media(docs)
+    r = MM.decode_image_meta(media).collect()[0]
+    assert r["media_id"] == 7
+    assert r["n_bytes"] == 5
+    assert r["width"] == 5 * 7 % 640 + 1
+    assert r["height"] == 5 * 13 % 480 + 1
+
+
+def test_multimodal_frames(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 30)], "doc_id long, text string")
+    media = MM.documents_as_media(docs)
+    rows = MM.frame_sample_stub(media, every_n=10).collect()
+    # 30 bytes → n_frames = 30 % 97 + 1 = 31 → frames 0,10,20,30
+    assert [r["frame_idx"] for r in rows] == [0, 10, 20, 30]
+
+
+def test_rolling_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(str(i) for i in range(12)))],
+        "doc_id long, text string")
+    r = df.select(TX.rolling_fingerprints(
+        F.col("text"), 8).alias("fps")).collect()[0]["fps"]
+    assert len(r) == 5  # 12 words → 5 windows of 8
+    assert len(set(r)) == 5

@@ -1,0 +1,186 @@
+"""Metadata-surface tests: groups/tags (semantics from
+/root/reference/itest/test_group.py and test_tags.py), list/count/show
+result shapes, alter/drop lifecycle, calc/timeit."""
+
+import pytest
+
+from siridb_server_spark import QueryError, SiriEngine
+
+DATA = {
+    "a1": [[100, 1], [200, 2]],
+    "a2": [[100, 1.5]],
+    "b2": [[100, 3]],
+    "c2": [[100, "x"]],
+}
+
+
+@pytest.fixture()
+def eng(spark):
+    e = SiriEngine(spark, precision="s")
+    e.insert(DATA)
+    return e
+
+
+def test_groups_set_ops(eng):
+    eng.query("create group `a` for /a.*/")
+    eng.query("create group `two` for /.*2/")
+    assert sorted(eng.query("list series `a` & `two`")["series"]) == [
+        ["a2"]]
+    assert sorted(eng.query("list series `a` | `two`")["series"]) == [
+        ["a1"], ["a2"], ["b2"], ["c2"]]
+    assert sorted(eng.query("list series `a` ^ `two`")["series"]) == [
+        ["a1"], ["b2"], ["c2"]]
+    assert sorted(eng.query("list series `a` - `two`")["series"]) == [
+        ["a1"]]
+    assert sorted(
+        eng.query('list series `a`, `two` - "c2"')["series"]) == [
+        ["a1"], ["a2"], ["b2"]]
+    assert sorted(
+        eng.query('list series `a`, `two` & "c2"')["series"]) == [
+        ["c2"]]
+    assert eng.query("count groups") == {"groups": 2}
+    assert eng.query("count series `a`") == {"series": 2}
+    assert eng.query("drop group `a`") == {
+        "success_msg": "Successfully dropped group 'a'."}
+    with pytest.raises(QueryError, match="Cannot find group or tag"):
+        eng.query("list series `a`")
+
+
+def test_tags_lifecycle(eng):
+    eng.query("alter series /a.*/ tag `mytag`")
+    assert eng.query("count series `mytag`") == {"series": 2}
+    assert sorted(eng.query("list series `mytag`")["series"]) == [
+        ["a1"], ["a2"]]
+    assert eng.query("count tags") == {"tags": 1}
+    r = eng.query("list tags")
+    assert r["columns"] == ["name", "series"]
+    assert r["tags"] == [["mytag", 2]]
+    eng.query('alter series "a1" untag `mytag`')
+    assert eng.query("count series `mytag`") == {"series": 1}
+    eng.query("alter tag `mytag` set name `renamed`")
+    assert eng.query("count series `renamed`") == {"series": 1}
+    eng.query("drop tag `renamed`")
+    assert eng.query("count tags") == {"tags": 0}
+
+
+def test_group_overlap_tag_precedence(eng):
+    # group is looked up before tag (listener.c:884-1004)
+    eng.query("alter series /b.*/ tag `x`")
+    eng.query("create group `x` for /a.*/")
+    assert eng.query("count series `x`") == {"series": 2}  # the group
+
+
+def test_list_series_columns(eng):
+    r = eng.query('list series name, type, length, start, end "a1"')
+    assert r["columns"] == ["name", "type", "length", "start", "end"]
+    assert r["series"] == [["a1", "integer", 2, 100, 200]]
+
+
+def test_list_where_type(eng):
+    r = eng.query("list series where type == string")
+    assert r["series"] == [["c2"]]
+    r = eng.query("list series where type != string and length > 1")
+    assert sorted(r["series"]) == [["a1"]]
+
+
+def test_list_where_name_contains(eng):
+    r = eng.query('list series where name ~ "a"')
+    assert sorted(r["series"]) == [["a1"], ["a2"]]
+    r = eng.query('list series where name !~ "a" and name != "c2"')
+    assert sorted(r["series"]) == [["b2"]]
+
+
+def test_count_series_length(eng):
+    assert eng.query("count series length") == {"series_length": 5}
+    assert eng.query("count series length /a.*/") == {"series_length": 3}
+
+
+def test_count_shards_and_pools(eng):
+    assert eng.query("count pools") == {"pools": 1}
+    r = eng.query("count shards")
+    assert r["shards"] >= 1
+    r = eng.query("count shards size")
+    assert r["shards_size"] > 0
+
+
+def test_list_shards_and_servers(eng):
+    r = eng.query("list shards")
+    assert r["columns"] == ["sid", "pool", "server", "size", "start",
+                            "end"]
+    r = eng.query("list servers")
+    assert r["servers"][0][0] == "sparksiri:0"
+    r = eng.query("list pools")
+    assert r["pools"] == [[0, 1, 4]]
+
+
+def test_show(eng):
+    r = eng.query("show time_precision, dbname, version")
+    kv = {d["name"]: d["value"] for d in r["data"]}
+    assert kv["time_precision"] == "s"
+    assert kv["dbname"] == "sparksiri"
+    r_all = eng.query("show")
+    assert len(r_all["data"]) >= 30
+
+
+def test_users_lifecycle(eng):
+    assert eng.query('create user "sasha" set password "secret"') == {
+        "success_msg": "Successfully created user 'sasha'."}
+    assert eng.query('grant read, write to user "sasha"') == {
+        "success_msg":
+        "Successfully granted permissions to user 'sasha'."}
+    r = eng.query("list users")
+    assert ["sasha", "read,write"] in r["users"]
+    eng.query('revoke write from user "sasha"')
+    r = eng.query("list users")
+    assert ["sasha", "read"] in r["users"]
+    eng.query('alter user "sasha" set password "new"')
+    assert eng.query('drop user "sasha"') == {
+        "success_msg": "Successfully dropped user 'sasha'."}
+    assert eng.query("count users") == {"users": 1}
+
+
+def test_calc_and_timeit(eng):
+    assert eng.query("2 + 3 * 3") == {"calc": 11}
+    assert eng.query("(2 + 3) * 3") == {"calc": 15}
+    assert eng.query("10 / 4") == {"calc": 2}  # C truncation
+    assert eng.query("-7 % 3") == {"calc": -1}  # C sign semantics
+    r = eng.query("timeit count series")
+    assert r["series"] == 4
+    assert r["__timeit__"][0]["server"] == "sparksiri:0"
+
+
+def test_timeit_select(eng):
+    r = eng.query('timeit select * from "a1"')
+    assert r["a1"] == [[100, 1], [200, 2]]
+    assert "__timeit__" in r
+
+
+def test_drop_series_updates_catalog(eng):
+    eng.query('drop series "a1" set ignore_threshold true')
+    assert eng.query("count series") == {"series": 3}
+    assert eng.query("count series length") == {"series_length": 3}
+
+
+def test_drop_shards(eng):
+    r = eng.query("drop shards set ignore_threshold true")
+    assert "Successfully dropped" in r["success_msg"]
+    assert eng.query("count series") == {"series": 0}
+
+
+def test_expiration(eng, spark):
+    import time
+    now = int(time.time())
+    e2 = SiriEngine(spark, precision="s")
+    e2.insert({"old": [[now - 40 * 86400, 1]],
+               "new": [[now - 60, 2]]})
+    e2.query("alter database set expiration_num 2w set ignore_threshold true")
+    left = e2.query("list series")["series"]
+    assert ["new"] in left
+    assert ["old"] not in left
+
+
+def test_alter_group_expression(eng):
+    eng.query("create group `g` for /a.*/")
+    assert eng.query("count series `g`") == {"series": 2}
+    eng.query("alter group `g` set expression /b.*/")
+    assert eng.query("count series `g`") == {"series": 1}

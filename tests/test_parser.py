@@ -1,0 +1,149 @@
+"""Parser/time-expression unit tests (no Spark needed)."""
+
+import pytest
+
+from siridb_server_spark.errors import ParseError, QueryError
+from siridb_server_spark.plans import nodes as N
+from siridb_server_spark.plans.parser import Parser
+from siridb_server_spark.plans.timeexpr import c_div, c_mod
+
+
+def parse(q, precision="s", now=1_000_000):
+    return Parser(q, precision, now=now).parse()
+
+
+def test_calc_precedence():
+    assert parse("2 + 3 * 4").stmt.value == 14
+    assert parse("(2 + 3) * 4").stmt.value == 20
+    assert parse("10 / 3").stmt.value == 3
+    assert parse("-10 / 3").stmt.value == -3  # C truncation toward zero
+    assert parse("-7 % 3").stmt.value == -1
+
+
+def test_time_units():
+    assert parse("1h + 30m").stmt.value == 5400
+    assert parse("2w", precision="ms").stmt.value == 2 * 604800 * 1000
+    assert parse("now - 100").stmt.value == 1_000_000 - 100
+    assert parse("1s", precision="ns").stmt.value == 10 ** 9
+
+
+def test_iso_dates():
+    # 2024-01-01T00:00:00Z
+    assert parse("'2024-01-01'").stmt.value == 1704067200
+    assert parse("'2024'").stmt.value == 1704067200 - 0  # same instant
+    assert parse("'2024-01-01 00:00:10'").stmt.value == 1704067210
+    assert parse("'2024-01-01'", precision="ms").stmt.value == \
+        1704067200000
+
+
+def test_select_structure():
+    q = parse("select sum(1h) => filter(>5) from /a.*/ after now - 1d "
+              "merge as 'm' using mean(2h)")
+    s = q.stmt
+    assert isinstance(s, N.SelectStmt)
+    assert len(s.pipelines) == 1
+    funcs = s.pipelines[0].funcs
+    assert isinstance(funcs[0], N.AggFunc)
+    assert funcs[0].name == "sum" and funcs[0].group_by == 3600
+    assert isinstance(funcs[1], N.FilterFunc)
+    assert s.timerange == ("after", 1_000_000 - 86400)
+    assert s.merge.name == "m"
+    assert s.merge.using[0].name == "mean"
+
+
+def test_offset_binding():
+    q = parse("select count(10) => offset(3) from 'a'")
+    f = q.stmt.pipelines[0].funcs[0]
+    assert f.offset == 3
+    with pytest.raises(QueryError,
+                       match="Offset must be used after an aggregation"):
+        parse("select offset(3) from 'a'")
+    with pytest.raises(QueryError,
+                       match="Offset must be used after an aggregation"):
+        parse("select difference() => offset(3) from 'a'")
+
+
+def test_offset_mod_group():
+    q = parse("select count(10) => offset(23) from 'a'")
+    assert q.stmt.pipelines[0].funcs[0].offset == 3
+
+
+def test_string_concat_quotes():
+    q = parse('select * from "ab""cd"')
+    assert q.stmt.match.name == "abcd"
+
+
+def test_regex_ci():
+    q = parse("select * from /AbC.*/i")
+    assert q.stmt.match.case_insensitive is True
+
+
+def test_filter_default_eq():
+    f = parse("select filter(5) from 'a'").stmt.pipelines[0].funcs[0]
+    assert f.op == "==" and f.value_tp == "int" and f.value == 5
+    f = parse("select filter(5.5) from 'a'").stmt.pipelines[0].funcs[0]
+    assert f.value_tp == "double"
+    f = parse("select filter(>=-inf) from 'a'").stmt.pipelines[0].funcs[0]
+    assert f.value_tp == "ninf"
+
+
+def test_timeit_prefix():
+    assert parse("timeit count series").timeit is True
+
+
+def test_comment():
+    q = parse("count series  # trailing comment")
+    assert isinstance(q.stmt, N.CountStmt)
+
+
+def test_grant_revoke():
+    g = parse('grant read, write to user "u"').stmt
+    assert g.access == ["read", "write"] and g.user == "u"
+    r = parse('revoke full from user "u"').stmt
+    assert r.access == ["full"]
+
+
+def test_parse_error_position():
+    with pytest.raises(ParseError, match="Query error at position"):
+        parse("select sum(1h) from")
+
+
+def test_c_division_semantics():
+    assert c_div(7, 2) == 3
+    assert c_div(-7, 2) == -3
+    assert c_mod(-7, 3) == -1
+    assert c_mod(7, -3) == 1
+    with pytest.raises(QueryError):
+        c_div(1, 0)
+
+
+def test_between_values():
+    s = parse("select * from 'a' between 10 and 20").stmt
+    assert s.timerange == ("between", 10, 20)
+
+
+def test_head_tail():
+    assert parse("select * from 'a' head 5").stmt.timerange == ("head", 5)
+    assert parse("select * from 'a' tail 7").stmt.timerange == ("tail", 7)
+
+
+def test_multi_pipeline_presuf():
+    s = parse('select min(1h) prefix "a-", max(1h) suffix "-b" '
+              "from 'x'").stmt
+    assert s.pipelines[0].prefix == "a-"
+    assert s.pipelines[1].suffix == "-b"
+
+
+def test_derivative_args():
+    f = parse("select derivative(1, 1h) from 'a'").stmt \
+        .pipelines[0].funcs[0]
+    assert f.group_by == 3600
+    assert f.timespan == pytest.approx(1 / 3600)
+    f = parse("select derivative() from 'a'").stmt.pipelines[0].funcs[0]
+    assert f.group_by is None and f.timespan == 1.0
+
+
+def test_limit_parse():
+    f = parse("select limit(5, median_low) from 'a'").stmt \
+        .pipelines[0].funcs[0]
+    assert f.limit == 5 and f.agg == "median_low"
