@@ -79,6 +79,18 @@ class SiriEngine:
         self._started = _time.time()
 
     @classmethod
+    def open(cls, spark: SparkSession, path: str,
+             precision: str = "s") -> "SiriEngine":
+        """Open (or create) a persistent database at ``path`` —
+        shard-equivalent partitioned parquet (sources/store.py)."""
+        from .sources.store import PointsStore
+
+        eng = cls(spark, precision)
+        eng.store = PointsStore(path, eng.duration_num,
+                                eng.duration_log)
+        return eng
+
+    @classmethod
     def from_points(cls, spark: SparkSession, df: DataFrame,
                     precision: str = "s") -> "SiriEngine":
         """Wrap an existing long-format points DataFrame (columns
@@ -147,11 +159,18 @@ class SiriEngine:
     # -------------------------------------------------------------- frames
     def points_df(self) -> DataFrame:
         if self.store is not None:
-            return self.store.read(self.spark)
+            return self.store.read(self.spark).drop("_sid")
         if self._mem_df is None:
             self._mem_df = self.spark.createDataFrame(
                 self._mem_rows, POINTS_SCHEMA)
         return self._mem_df
+
+    def _points_for_select(self) -> DataFrame:
+        """Points frame for select: keeps the shard-id partition column
+        when store-backed so time ranges become PartitionFilters."""
+        if self.store is not None:
+            return self.store.read(self.spark)
+        return self.points_df()
 
     def catalog_df(self) -> DataFrame:
         """Derived series catalog (FIXTURES.md §2). At scale this comes
@@ -270,7 +289,7 @@ class SiriEngine:
             return self.points_df().limit(0), []
         types = TypeSet(tps)
 
-        df = self.points_df()
+        df = self._points_for_select()
         pred = compile_match(stmt.match, self.groups, self.tags)
         df = df.where(pred)
         if stmt.where is not None:
@@ -278,20 +297,33 @@ class SiriEngine:
             df = df.join(F.broadcast(names), "series", "semi")
 
         # time range (ref listener.c:1955-2129: after ⇒ ts>=t,
-        # before ⇒ ts<t, between ⇒ a<=ts<b) and head/tail
+        # before ⇒ ts<t, between ⇒ a<=ts<b) and head/tail.
+        # Store-backed frames carry the shard-id partition column:
+        # derive sid bounds so the scan prunes whole shard directories
+        # (the analogue of the reference's shard skipping,
+        # series.c:927-938).
+        has_sid = "_sid" in df.columns
+        maxdur = max(self.duration_num, self.duration_log)
         tr = stmt.timerange
         restricted = False
         if tr is not None:
             kind = tr[0]
             if kind == "after":
                 df = df.where(F.col("ts") >= tr[1])
+                if has_sid:
+                    df = df.where(F.col("_sid") > tr[1] - maxdur)
                 restricted = True
             elif kind == "before":
                 df = df.where(F.col("ts") < tr[1])
+                if has_sid:
+                    df = df.where(F.col("_sid") < tr[1])
                 restricted = True
             elif kind == "between":
                 df = df.where((F.col("ts") >= tr[1])
                               & (F.col("ts") < tr[2]))
+                if has_sid:
+                    df = df.where((F.col("_sid") > tr[1] - maxdur)
+                                  & (F.col("_sid") < tr[2]))
                 restricted = True
             elif kind in ("head", "tail"):
                 order = [F.col("ts"), F.col("seq")] if kind == "head" else \
@@ -302,6 +334,9 @@ class SiriEngine:
                 total_points = min(total_points,
                                    tr[1] * max(len(sel_names), 1))
                 restricted = True
+
+        if has_sid:
+            df = df.drop("_sid")
 
         # select-points guardrail (db.h:16, listener.c:5598-5610):
         # catalog bound first; exact count only when the bound trips.
@@ -677,18 +712,25 @@ class SiriEngine:
         sh = self._shards_df()
         if stmt.where is not None:
             sh = sh.where(compile_where(stmt.where))
-        sids = [(r["sid"], r["type"]) for r in
-                sh.select("sid", "type").collect()]
+        sids = {(r["sid"], r["type"]) for r in
+                sh.select("sid", "type").collect()}
         n = len(sids)
-        dur_num, dur_log = self.duration_num, self.duration_log
-        keep = []
-        for r in self._mem_rows:
-            dur = dur_log if r[6] == TP_STRING else dur_num
-            sid = r[1] - r[1] % dur
-            tp_name = "log" if r[6] == TP_STRING else "number"
-            if (sid, tp_name) not in set(sids):
-                keep.append(r)
-        self._mem_rows = keep
+        if self.store is not None:
+            import shutil
+            for kind, sid, p in list(self.store._sid_dirs()):
+                tp_name = "log" if kind == "log" else "number"
+                if (sid, tp_name) in sids:
+                    shutil.rmtree(p)
+        else:
+            dur_num, dur_log = self.duration_num, self.duration_log
+            keep = []
+            for r in self._mem_rows:
+                dur = dur_log if r[6] == TP_STRING else dur_num
+                sid = r[1] - r[1] % dur
+                tp_name = "log" if r[6] == TP_STRING else "number"
+                if (sid, tp_name) not in sids:
+                    keep.append(r)
+            self._mem_rows = keep
         self._invalidate()
         return {"success_msg":
                 f"Successfully dropped {n} shards. (this number does not "

@@ -1,0 +1,184 @@
+"""Persistent points storage: shard-equivalent partitioned parquet.
+
+Reference storage model: time-bucketed shard files, shard id =
+ts/duration*duration, per-series compressed blocks with a
+(start_ts, end_ts) index (src/siri/db/shards.c:273-340,
+series.h:149-157). Spark-first re-expression:
+
+    <path>/kind=num|log/sid=<bucket>/part-*.parquet
+
+- ``sid`` (the shard id) is a physical partition column → time-range
+  queries prune whole directories (the analogue of shard skipping,
+  series.c:927-938); within a file, parquet row-group min/max stats on
+  ``ts``/``series`` replace the reference's per-series block index —
+  both come free from the format.
+- numeric vs string series live in separate ``kind`` partitions with
+  independent durations (duration_num/duration_log), mirroring the
+  reference's number/log shard split.
+- compression: parquet dictionary/delta encodings + zstd replace the
+  custom int-zip/double-xor codecs (points.c:459-889).
+- out-of-order and duplicate-ts points append as-is (the reference
+  marks such shards HAS_OVERLAP and re-sorts on read, shard.h:12;
+  here sorting happens in the query's window/agg operators anyway).
+- ``optimize()`` = the background shard-rewrite job (optimize.c:33-55):
+  rewrites small fragmented appends into one compact file per
+  partition.
+
+At 100 TB: the same layout holds — sid partitions bound scan width,
+appends are per-micro-batch files, OPTIMIZE compacts, and retention
+drops whole sid directories without touching data files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import POINTS_SCHEMA, TP_STRING
+
+#: target points per shard (ref src/siri/db/shard.c:36)
+OPTIMAL_POINTS_PER_SHARD = 2000
+
+
+def duration_from_interval(interval: int, factor: int,
+                           duration_num: int = 0,
+                           duration_log: int = 0) -> int:
+    """Auto shard-duration from the median insert interval — exact
+    port of siridb_shard_duration_from_interval
+    (src/siri/db/shard.c:136-167)."""
+    n = interval * OPTIMAL_POINTS_PER_SHARD
+    if n == duration_num:
+        return duration_num
+    if n == duration_log:
+        return duration_log
+    week = 3600 * 24 * 7 * factor
+    x = n // week
+    if x:
+        return (x + 1) * week
+    day = 3600 * 24 * factor
+    x = n // day
+    if x:
+        return (x + 1) * day
+    hour = 3600 * factor
+    x = n // hour
+    return (x + 1) * hour
+
+
+class PointsStore:
+    def __init__(self, path: str, duration_num: int, duration_log: int):
+        self.path = path
+        self.duration_num = duration_num
+        self.duration_log = duration_log
+
+    # ------------------------------------------------------------- write
+    def _with_partitions(self, df: DataFrame) -> DataFrame:
+        dur = F.when(F.col("tp") == TP_STRING,
+                     F.lit(self.duration_log)) \
+            .otherwise(F.lit(self.duration_num))
+        return df.withColumn(
+            "kind", F.when(F.col("tp") == TP_STRING, "log")
+            .otherwise("num")) \
+            .withColumn("sid", (F.col("ts") - F.col("ts") % dur)
+                        .cast("long"))
+
+    def append_df(self, df: DataFrame):
+        (self._with_partitions(df)
+         .write.partitionBy("kind", "sid")
+         .mode("append")
+         .option("compression", "zstd")
+         .parquet(self.path))
+
+    def append_rows(self, spark: SparkSession, rows: list):
+        self.append_df(spark.createDataFrame(rows, POINTS_SCHEMA))
+
+    # alias used by the engine
+    def append(self, spark: SparkSession, rows: list):
+        self.append_rows(spark, rows)
+
+    # -------------------------------------------------------------- read
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Canonical points frame + the ``sid`` partition column (the
+        engine adds sid predicates from time ranges → directory-level
+        pruning shows up as PartitionFilters in the scan)."""
+        if not self._exists():
+            return spark.createDataFrame([], POINTS_SCHEMA)
+        return spark.read.parquet(self.path).select(
+            "series", "ts", "seq", "val_int", "val_dbl", "val_str",
+            "tp", F.col("sid").cast("long").alias("_sid"))
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            e.startswith("kind=") for e in os.listdir(self.path))
+
+    # ------------------------------------------------------- maintenance
+    def _sid_dirs(self):
+        for kind in ("num", "log"):
+            kdir = os.path.join(self.path, f"kind={kind}")
+            if not os.path.isdir(kdir):
+                continue
+            for entry in os.listdir(kdir):
+                if entry.startswith("sid="):
+                    yield kind, int(entry[4:]), os.path.join(kdir, entry)
+
+    def expire(self, spark: SparkSession, cutoff_sid: int,
+               tp_str: bool):
+        """Retention: drop whole shard partitions older than the
+        cutoff (ref db.c:865-878 — expiration is shard-granular).
+        Directory removal only — no data rewrite."""
+        want = "log" if tp_str else "num"
+        for kind, sid, p in list(self._sid_dirs()):
+            if kind == want and sid < cutoff_sid:
+                shutil.rmtree(p)
+
+    def delete_series(self, spark: SparkSession, names: list):
+        """Anti-join rewrite (drop series). At 100 TB this is a Delta
+        DELETE / partition-scoped rewrite; on plain parquet we rewrite
+        the partitions that contain the series (parquet row-group
+        stats tell us which via a pushed-down filter)."""
+        if not self._exists() or not names:
+            return
+        df = spark.read.parquet(self.path)
+        hit_sids = {(r["kind"], r["sid"]) for r in df.where(
+            F.col("series").isin(names))
+            .select("kind", "sid").distinct().collect()}
+        if not hit_sids:
+            return
+        for kind, sid, p in list(self._sid_dirs()):
+            if (kind, sid) not in hit_sids:
+                continue
+            part = spark.read.parquet(p).where(
+                ~F.col("series").isin(names))
+            tmp = p + ".rewrite"
+            part.write.mode("overwrite") \
+                .option("compression", "zstd").parquet(tmp)
+            shutil.rmtree(p)
+            os.rename(tmp, p)
+
+    def optimize(self, spark: SparkSession,
+                 max_files_per_partition: int = 1):
+        """Compaction (ref src/siri/optimize.c:33-55): rewrite
+        fragmented partitions into ``max_files_per_partition`` files."""
+        for _kind, _sid, p in list(self._sid_dirs()):
+            files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            if len(files) <= max_files_per_partition:
+                continue
+            part = spark.read.parquet(p) \
+                .coalesce(max_files_per_partition)
+            tmp = p + ".compact"
+            part.write.mode("overwrite") \
+                .option("compression", "zstd").parquet(tmp)
+            shutil.rmtree(p)
+            os.rename(tmp, p)
+
+    def stats(self) -> dict:
+        out = {"partitions": 0, "files": 0, "bytes": 0}
+        for _kind, _sid, p in self._sid_dirs():
+            out["partitions"] += 1
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    out["files"] += 1
+                    out["bytes"] += os.path.getsize(os.path.join(p, f))
+        return out

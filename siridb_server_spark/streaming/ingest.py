@@ -1,0 +1,109 @@
+"""Structured Streaming ingest.
+
+The reference's "streaming" is ingest-side only: clients push point
+batches over TCP, the server buffers and flushes to shards
+(src/siri/db/insert.c, series.c:131-178). There are no watermarks or
+late-data semantics — late points are accepted and inserted in
+ts-order (shard flag HAS_OVERLAP, shard.h:12). The Spark-equivalent
+posture (SURVEY §2.8): an append-mode foreachBatch sink into the
+partitioned store, NO watermark (late data must land), queries run
+batch over the table.
+
+``tee`` duplicates every incoming batch to a side output — the
+equivalent of src/siri/db/tee.c (377 LoC, named-pipe fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import POINTS_SCHEMA
+
+
+def canonicalize(batch_df: DataFrame, series_col: str, ts_col: str,
+                 value_col: str, seq_col: str | None = None) -> DataFrame:
+    """Shape an arbitrary streaming frame into the points model.
+    Value type is inferred from the column's Spark type (the model
+    fixes a series' type at first insert, series.h:62)."""
+    dtype = dict(batch_df.dtypes)[value_col]
+    ts = F.col(ts_col).cast("long")
+    seq = (F.col(seq_col).cast("long") if seq_col
+           else F.monotonically_increasing_id())
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        vals = [F.col(value_col).cast("long").alias("val_int"),
+                F.lit(None).cast("double").alias("val_dbl"),
+                F.lit(None).cast("string").alias("val_str"),
+                F.lit(0).alias("tp")]
+    elif dtype in ("double", "float", "decimal"):
+        vals = [F.lit(None).cast("long").alias("val_int"),
+                F.col(value_col).cast("double").alias("val_dbl"),
+                F.lit(None).cast("string").alias("val_str"),
+                F.lit(1).alias("tp")]
+    else:
+        vals = [F.lit(None).cast("long").alias("val_int"),
+                F.lit(None).cast("double").alias("val_dbl"),
+                F.col(value_col).cast("string").alias("val_str"),
+                F.lit(2).alias("tp")]
+    return batch_df.select(
+        F.col(series_col).cast("string").alias("series"),
+        ts.alias("ts"), seq.alias("seq"), *vals)
+
+
+def start_ingest(stream_df: DataFrame, store, *,
+                 series_col: str = "series", ts_col: str = "ts",
+                 value_col: str = "value", seq_col: str | None = None,
+                 tee_path: str | None = None,
+                 checkpoint: str | None = None,
+                 trigger_seconds: float | None = None):
+    """Start the append-only ingest job: micro-batch → canonical
+    points → partitioned store append (the micro-batch IS the
+    reference's write buffer, buffer.h:15); optional tee side-output.
+
+    Returns the StreamingQuery (call .stop() / .awaitTermination())."""
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        pts = canonicalize(batch_df, series_col, ts_col, value_col,
+                           seq_col)
+        store.append_df(pts)
+        if tee_path is not None:
+            (batch_df.write.mode("append")
+             .option("compression", "zstd")
+             .parquet(tee_path))
+
+    writer = stream_df.writeStream.foreachBatch(sink) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_rollup(stream_df: DataFrame, group_by_ns: int, *,
+                    series_col: str = "series", ts_col: str = "ts",
+                    value_col: str = "value",
+                    watermark_delay: str | None = None):
+    """Continuous tumbling-bucket rollup with the ENGINE's bucket
+    semantics (right-closed, END-labeled, aggregate.c:41-43 — not
+    F.window's left-closed buckets). Optional watermark for bounded
+    state when the source can bound lateness; omit it for
+    reference-parity (late data always accepted, SURVEY §2.8)."""
+    g = int(group_by_ns)
+    ts = F.col(ts_col).cast("long")
+    shifted = ts + F.lit(g - 1)
+    bucket = (shifted - (shifted % F.lit(g))).alias("bucket_ts")
+    df = stream_df
+    if watermark_delay is not None:
+        # watermark needs a time-typed column; derive one transiently
+        df = df.withColumn(
+            "_event_time",
+            F.timestamp_micros((ts / 1000).cast("long")))
+        df = df.withWatermark("_event_time", watermark_delay)
+    grouped = df.groupBy(F.col(series_col).alias("series"), bucket)
+    return grouped.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("double")).alias("sum"),
+        F.min(F.col(value_col).cast("double")).alias("min"),
+        F.max(F.col(value_col).cast("double")).alias("max"),
+    )

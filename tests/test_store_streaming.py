@@ -1,0 +1,145 @@
+"""Persistent store + streaming ingest tests: out-of-order writes,
+partition layout, pruning, retention, compaction, drop-series rewrite,
+and a live rate-source ingest round-trip."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from siridb_server_spark import SiriEngine
+from siridb_server_spark.sources.store import (
+    OPTIMAL_POINTS_PER_SHARD,
+    PointsStore,
+    duration_from_interval,
+)
+from siridb_server_spark.streaming import ingest as ING
+
+
+def test_duration_from_interval():
+    # port parity with shard.c:136-167
+    assert duration_from_interval(1, 1) == (
+        (1 * OPTIMAL_POINTS_PER_SHARD) // 3600 + 1) * 3600
+    # 1-week-scale intervals round up to whole weeks
+    week = 3600 * 24 * 7
+    assert duration_from_interval(400, 1) == (
+        (400 * 2000) // week + 1) * week
+    # passthrough when equal to an existing duration
+    assert duration_from_interval(
+        302400, 1, duration_num=302400 * 2000) == 302400 * 2000
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return SiriEngine.open(spark, str(tmp_path / "db"), precision="s")
+
+
+def test_store_roundtrip_out_of_order(eng):
+    eng.insert({"cpu": [[1000000, 2.0], [100, 1.0], [100, 3.0]],
+                "log": [[100, "a"]]})
+    eng.insert({"cpu": [[500, 9.9]]})  # second shard-file append
+    got = eng.query("select * from 'cpu'")
+    assert got == {"cpu": [[100, 1.0], [100, 3.0], [500, 9.9],
+                           [1000000, 2.0]]}
+    # partition layout: numeric and log kinds split
+    st = eng.store.stats()
+    assert st["partitions"] >= 2
+    root = eng.store.path
+    assert os.path.isdir(os.path.join(root, "kind=num"))
+    assert os.path.isdir(os.path.join(root, "kind=log"))
+
+
+def test_store_partition_pruning(eng):
+    dur = eng.duration_num  # 604800 s
+    eng.insert({"s": [[100, 1], [dur + 5, 2], [3 * dur + 7, 3]]})
+    df = eng.select_df(f"select * from 's' after {3 * dur}")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = eng.query(f"select * from 's' after {3 * dur}")
+    assert got == {"s": [[3 * dur + 7, 3]]}
+    # the pruned scan must read fewer partitions than exist
+    assert "_sid" not in df.columns
+
+
+def test_store_retention_and_drop(eng):
+    now = int(time.time())
+    dur = eng.duration_num
+    eng.insert({"old": [[now - 40 * 86400, 1]],
+                "new": [[now, 2]], "other": [[now, 5]]})
+    eng.query("alter database set expiration_num 2w")
+    left = sorted(r[0] for r in eng.query("list series")["series"])
+    assert left == ["new", "other"]
+    # drop series rewrites only affected partitions
+    eng.query('drop series "other" set ignore_threshold true')
+    assert sorted(r[0] for r in eng.query("list series")["series"]) \
+        == ["new"]
+    got = eng.query("select * from /.*/")
+    assert got == {"new": [[now, 2]]}
+
+
+def test_store_compaction(eng, spark):
+    for i in range(4):
+        eng.insert({"s": [[100 + i, i]]})
+    before = eng.store.stats()
+    assert before["files"] >= 4
+    eng.store.optimize(spark)
+    after = eng.store.stats()
+    assert after["files"] < before["files"]
+    got = eng.query("select count() from 's'")
+    assert got["s"][0][1] == 4
+
+
+def test_drop_shards_store(eng):
+    eng.insert({"a": [[100, 1], [eng.duration_num + 1, 2]]})
+    eng.query(f"drop shards where sid < {eng.duration_num} "
+              "set ignore_threshold true")
+    got = eng.query("select * from 'a'")
+    assert got == {"a": [[eng.duration_num + 1, 2]]}
+
+
+def test_streaming_rate_ingest(spark, tmp_path):
+    store = PointsStore(str(tmp_path / "sdb"), 604800 * 10 ** 9,
+                        259200 * 10 ** 9)
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", "50").load())
+    shaped = rate.select(
+        F.concat(F.lit("sensor-"), (F.col("value") % 3).cast("string"))
+        .alias("series"),
+        (F.unix_micros(F.col("timestamp")) * 1000).alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("value").alias("seq"))
+    q = ING.start_ingest(
+        shaped, store, series_col="series", ts_col="ts",
+        value_col="value", seq_col="seq",
+        checkpoint=str(tmp_path / "ckpt"),
+        tee_path=str(tmp_path / "tee"))
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            time.sleep(1.5)
+            if store._exists():
+                n = store.read(spark).count()
+                if n >= 20:
+                    break
+        assert n >= 20, f"only {n} points ingested"
+    finally:
+        q.stop()
+    # tee side-output received the same batches
+    tee = spark.read.parquet(str(tmp_path / "tee"))
+    assert tee.count() >= 20
+    # engine can query the streamed store
+    eng = SiriEngine.open(spark, str(tmp_path / "sdb"), precision="ns")
+    res = eng.query("select count() from /sensor.*/")
+    assert sum(v[0][1] for v in res.values()) >= 20
+
+
+def test_windowed_rollup_semantics(spark):
+    # batch-mode check of the right-closed END-labeled bucket column
+    df = spark.createDataFrame(
+        [("s", 3, 1.0), ("s", 6, 2.0), ("s", 7, 3.0)],
+        "series string, ts long, value double")
+    out = {r["bucket_ts"]: r["cnt"]
+           for r in ING.windowed_rollup(df, 6).collect()}
+    assert out == {6: 2, 12: 1}  # golden: test_aggr.c:38-50
