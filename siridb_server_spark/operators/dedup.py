@@ -87,18 +87,31 @@ def shingles(text_col: str, n: int = 3):
 def minhash_signatures(df: DataFrame, num_hashes: int = 16,
                        shingle_n: int = 3, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """MinHash signatures: explode shingles once, compute all k mins in
-    ONE aggregation (k seeded xxhash64 views of each shingle)."""
+    """MinHash signatures as ONE array column: explode (shingle, seed)
+    pairs → min per (doc, seed) → assemble the ordered signature.
+    Deliberately avoids a k-expression aggregate: k min-columns make
+    Janino compile a huge generated class (seconds of driver time),
+    while this shape is two tiny hash aggregations regardless of k.
+    Output: (doc_id, sig array<long>[k])."""
     sh = (
         df.select(F.col(id_col).alias("doc_id"),
                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
+        .select("doc_id", "sh",
+                F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+                .alias("seed"))
+        .select("doc_id", "seed",
+                F.xxhash64(F.concat(F.col("seed").cast("string"),
+                                    F.lit("|"), F.col("sh")))
+                .alias("h"))
     )
-    mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("sh"))))
-        .alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    mins = sh.groupBy("doc_id", "seed").agg(F.min("h").alias("m"))
+    return (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "m")))
+             .alias("sm"))
+        .select("doc_id",
+                F.transform("sm", lambda s: s["m"]).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
@@ -113,23 +126,27 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
     k = num_hashes
     rows_per_band = k // bands
     sig = minhash_signatures(df, k, shingle_n, text_col, id_col)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*cols).alias("bh")))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.get("sig", i)
+                         for i in range(b * rows_per_band,
+                                        (b + 1) * rows_per_band)])
+            .alias("bh"))
+        for b in range(bands)
+    ]
     banded = sig.select(
-        "doc_id", *[F.col(f"h{i}") for i in range(k)],
-        F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", *[f"h{i}" for i in range(k)],
+        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "sig",
              F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # signatures feed BOTH sides of the self-join: persist so the
+    # shingle explode + min aggregation runs once, not twice
+    banded = banded.persist()
     a = banded.alias("a")
     b_ = banded.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
-        for i in range(k))
+    agree = F.size(F.filter(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                   lambda x, y: x == y), lambda m: m))
     cands = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
@@ -147,21 +164,29 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
 def simhash(df: DataFrame, bits: int = 48, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """SimHash signatures: per-bit majority vote over token hashes.
-    One explode + one groupBy; the 48-bit signature fits a BIGINT.
-    Output: (doc_id, simhash)."""
+    (doc, word-hash) explodes over bit positions → sign votes →
+    signature reassembled via sum(2^bit). Small fixed codegen
+    regardless of ``bits`` (a bits-wide aggregate expression list
+    would cost seconds of Janino compile time).
+    The 48-bit signature fits a BIGINT. Output: (doc_id, simhash)."""
     dw = _doc_words(df, text_col, id_col)
-    h = F.xxhash64("w")
-    votes = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    voted = dw.groupBy("doc_id").agg(*votes)
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
-        sig = bit if sig is None else sig + bit
-    return voted.select("doc_id", sig.cast("long").alias("simhash"))
+    exploded = (
+        dw.select("doc_id", F.xxhash64("w").alias("h"))
+        .select("doc_id", "h",
+                F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
+                .alias("bit"))
+        .select(
+            "doc_id", "bit",
+            F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 "
+                   "THEN 1 ELSE -1 END").alias("vote"))
+    )
+    votes = exploded.groupBy("doc_id", "bit").agg(
+        F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.expr(
+            "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+            "ELSE CAST(0 AS BIGINT) END"))
+        .cast("long").alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 48,

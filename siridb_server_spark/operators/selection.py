@@ -32,6 +32,8 @@ def compile_match(node, groups: dict, tags: dict,
         if isinstance(n, N.SeriesName):
             return c == F.lit(n.name)
         if isinstance(n, N.SeriesRegex):
+            if n.pattern in (".*", "^.*", ".*$"):
+                return F.lit(True)  # /.*/ idiom → no per-row regex
             return c.rlike(anchored_regex(n.pattern, n.case_insensitive))
         if isinstance(n, N.GroupTagMatch):
             # group looked up first, then tag (listener.c:884-1004)

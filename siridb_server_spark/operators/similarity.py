@@ -133,14 +133,29 @@ def lsh_topk(emb: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
         vec_col, id_col)
 
 
-def cosine_pairs_blocked(emb: DataFrame, threshold: float = 0.35,
-                         vec_col: str = "embedding",
-                         id_col: str = "vec_id",
-                         block_col: str = "label") -> DataFrame:
-    """Embedding near-dup pairs, blocked: O(n²) only WITHIN blocks
-    (label = coarse cell). Output: (id_a, id_b, cos), id_a < id_b."""
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+def unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Normalize once per VECTOR (n rows), so pair similarity becomes a
+    single dot product — at n² pair scale this cuts the per-pair work
+    3× (no norms inside the join)."""
+    n = norm(F.col(vec_col))
+    return emb.withColumn(
+        "_uvec",
+        F.transform(F.col(vec_col),
+                    lambda x: F.try_divide(x.cast("double"), n)))
+
+
+def cosine_pairs_blocked_expr(emb: DataFrame, threshold: float = 0.35,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              block_col: str = "label") -> DataFrame:
+    """Pure-Catalyst variant of cosine_pairs_blocked (self-join +
+    zip_with dot). Correct, but higher-order-function expressions run
+    interpreted per pair — prefer cosine_pairs_blocked (BLAS) when
+    blocks are large."""
+    nv = unit_vectors(emb, vec_col).select(
+        id_col, block_col, "_uvec")
+    a, b = nv.alias("a"), nv.alias("b")
+    cos = dot(F.col("a._uvec"), F.col("b._uvec"))
     return (
         a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -149,3 +164,51 @@ def cosine_pairs_blocked(emb: DataFrame, threshold: float = 0.35,
                 F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def cosine_pairs_blocked(emb: DataFrame, threshold: float = 0.35,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         block_col: str = "label") -> DataFrame:
+    """Embedding near-dup pairs, blocked: O(n²) only WITHIN blocks
+    (label = coarse cell / IVF partition). Each block is one Arrow
+    batch → numpy/BLAS matmul (M·Mᵀ on unit rows), emitting only
+    above-threshold pairs. This is the 100 TB shape: block size is
+    bounded by the quantizer, blocks are independent tasks, and the
+    n²·d inner loop runs vectorized instead of per-row interpreted.
+    Output: (id_a, id_b, cos), id_a < id_b."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+    thr = float(threshold)
+
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos"])
+        M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        M /= norms
+        S = M @ M.T
+        ia, ib = np.triu_indices(n, k=1)
+        cos = np.round(S[ia, ib], 6)
+        mask = cos >= thr
+        return pd.DataFrame({
+            "id_a": ids[ia[mask]].astype("int64"),
+            "id_b": ids[ib[mask]].astype("int64"),
+            "cos": cos[mask],
+        })
+
+    return (emb.select(id_col, block_col, vec_col)
+            .groupBy(block_col)
+            .applyInPandas(block_pairs, schema=schema))
