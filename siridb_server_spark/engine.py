@@ -106,9 +106,17 @@ class SiriEngine:
         (insert.c:72-88): a map {series: [[ts, val], ...]} or a list of
         {'name': ..., 'points': [...]} maps."""
         if isinstance(data, list):
-            data = {d["name"]: d["points"] for d in data}
+            try:
+                data = {d["name"]: d["points"] for d in data}
+            except (TypeError, KeyError):
+                raise InsertError(
+                    "Expecting a series name and points.") from None
         if not isinstance(data, dict):
             raise InsertError("Expecting a map or array of series.")
+        for name in data:
+            if not isinstance(name, str) or name == "" \
+                    or len(name) > 65534:
+                raise InsertError("Series name is invalid.")
         existing = {r["name"]: r["tp"] for r in self._series_types(
             list(data.keys()))}
         rows = []
@@ -119,6 +127,9 @@ class SiriEngine:
                     "Expecting at least one point for series '%s'." % name)
             tp = existing.get(name)
             for pt in points:
+                if not isinstance(pt, (list, tuple)) or len(pt) != 2:
+                    raise InsertError(
+                        "Expecting an array with a timestamp and value.")
                 ts, val = pt[0], pt[1]
                 row = point_row(name, ts, val, self._seq)
                 if tp is None:

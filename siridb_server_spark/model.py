@@ -89,7 +89,7 @@ def infer_tp(value) -> int:
 def point_row(series: str, ts: int, value, seq: int, tp: int | None = None):
     """Build one schema row tuple for a point."""
     vtp = infer_tp(value) if tp is None else tp
-    if not isinstance(ts, int) or ts < 0:
+    if isinstance(ts, bool) or not isinstance(ts, int) or ts < 0:
         raise InsertError("Timestamp is invalid; timestamps must be integers.")
     if vtp == TP_INT:
         if not (INT64_MIN <= value <= INT64_MAX):
