@@ -213,9 +213,21 @@ class SiriEngine:
         return self._catalog
 
     # --------------------------------------------------------------- query
+    def _tzinfo(self):
+        """Database timezone for ISO-8601 date strings (ref
+        query.c:916-945; 'NAIVE' behaves as UTC here)."""
+        if self.timezone in ("NAIVE", "UTC"):
+            return None
+        try:
+            from zoneinfo import ZoneInfo
+
+            return ZoneInfo(self.timezone)
+        except Exception:
+            return None
+
     def query(self, q: str) -> dict:
         t0 = _time.perf_counter()
-        parsed = Parser(q, self.precision, tzinfo=None).parse()
+        parsed = Parser(q, self.precision, tzinfo=self._tzinfo()).parse()
         stmt = parsed.stmt
         result = self._dispatch(stmt)
         if parsed.timeit:
@@ -274,7 +286,7 @@ class SiriEngine:
         """Compile a select statement to its result DataFrame without
         collecting (the distributed API; ``query`` collects to the
         reference's dict shape)."""
-        parsed = Parser(q, self.precision, tzinfo=None).parse()
+        parsed = Parser(q, self.precision, tzinfo=self._tzinfo()).parse()
         if not isinstance(parsed.stmt, N.SelectStmt):
             raise QueryError("select_df() requires a select statement.")
         out_df, _seeds = self._select_plan(parsed.stmt)
@@ -299,6 +311,12 @@ class SiriEngine:
         if not tps:
             return self.points_df().limit(0), []
         types = TypeSet(tps)
+
+        fast = self._skip_points_plan(stmt)
+        if fast is not None:
+            return fast, [
+                (stmt.pipelines[0].prefix or "") + nm
+                + (stmt.pipelines[0].suffix or "") for nm in sel_names]
 
         df = self._points_for_select()
         pred = compile_match(stmt.match, self.groups, self.tags)
@@ -442,6 +460,38 @@ class SiriEngine:
         # materializes the plan.
         out_df = final[0][0]
         return out_df, seeds
+
+    def _skip_points_plan(self, stmt: N.SelectStmt):
+        """Skip-get-points fast path (ref siridb_aggregate_can_skip,
+        aggregate.c:495-510 + async_no_points_aggregate,
+        listener.c:5447-5586): ``count()`` with no bucket, no time
+        range and no merge is answered from the catalog — the points
+        table is never scanned. Returns the result DataFrame or None."""
+        if stmt.merge is not None or stmt.timerange is not None \
+                or len(stmt.pipelines) != 1:
+            return None
+        pl = stmt.pipelines[0]
+        funcs = [f for f in pl.funcs
+                 if not isinstance(f, N.AllPointsFunc)]
+        if len(funcs) != 1 or not isinstance(funcs[0], N.AggFunc):
+            return None
+        f = funcs[0]
+        if f.name != "count" or f.group_by is not None:
+            return None
+        cat = self._selected_catalog(stmt.match, stmt.where)
+        name = F.col("name")
+        if pl.prefix or pl.suffix:
+            name = F.concat(F.lit(pl.prefix or ""), name,
+                            F.lit(pl.suffix or ""))
+        return cat.select(
+            name.alias("series"),
+            F.col("end").alias("ts"),
+            F.lit(0).cast("long").alias("seq"),
+            F.col("length").cast("long").alias("val_int"),
+            F.lit(None).cast("double").alias("val_dbl"),
+            F.lit(None).cast("string").alias("val_str"),
+            F.lit(TP_INT).alias("tp"),
+        )
 
     def _run_pipeline(self, df: DataFrame, funcs: list,
                       types: TypeSet) -> StageResult:
