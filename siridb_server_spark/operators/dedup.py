@@ -42,6 +42,23 @@ def _doc_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _doc_word_hashes(df: DataFrame, text_col: str,
+                     id_col: str) -> DataFrame:
+    """Distinct (doc_id, word-hash) pairs. Hashing BEFORE the
+    distinct means the dedup shuffle moves 8-byte longs instead of
+    raw tokens — at 100 TB that is the difference between shuffling
+    the corpus and shuffling ~2% of it. Downstream set algebra
+    (votes, intersections) is hash-based anyway."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .select("doc_id", F.xxhash64("w").alias("h"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
@@ -49,15 +66,17 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
 
     Inverted-index self-join: only pairs sharing ≥1 token are
     generated; |A∩B| falls out of the pair count, |A∪B| from the
-    per-doc sizes (broadcast — it's one row per doc_id).
+    per-doc sizes (broadcast — it's one row per doc_id). The join
+    key is the token's 64-bit hash, not the token string — an
+    8-byte shuffle key regardless of token length.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    dw = _doc_words(df, text_col, id_col)
+    dw = _doc_word_hashes(df, text_col, id_col)
     sizes = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = dw.alias("a")
     b = dw.alias("b")
     inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"),
                  F.col("b.doc_id").alias("id_b"))
@@ -87,31 +106,27 @@ def shingles(text_col: str, n: int = 3):
 def minhash_signatures(df: DataFrame, num_hashes: int = 16,
                        shingle_n: int = 3, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """MinHash signatures as ONE array column: explode (shingle, seed)
-    pairs → min per (doc, seed) → assemble the ordered signature.
-    Deliberately avoids a k-expression aggregate: k min-columns make
-    Janino compile a huge generated class (seconds of driver time),
-    while this shape is two tiny hash aggregations regardless of k.
+    """MinHash signatures as ONE array column.
+
+    One row per (doc, shingle) — the shingle is hashed ONCE with
+    xxhash64, then the k independent hash functions are derived
+    JVM-side as xxhash64(base_hash, seed) inside k ``min`` aggregate
+    expressions. No row blowup (the old shape exploded k× rows and
+    needed a second shuffle), map-side partial aggregation does the
+    min before any data moves. k=16 aggregate columns keep the
+    generated code small.
     Output: (doc_id, sig array<long>[k])."""
     sh = (
         df.select(F.col(id_col).alias("doc_id"),
                   F.explode(shingles(text_col, shingle_n)).alias("sh"))
-        .select("doc_id", "sh",
-                F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
-                .alias("seed"))
-        .select("doc_id", "seed",
-                F.xxhash64(F.concat(F.col("seed").cast("string"),
-                                    F.lit("|"), F.col("sh")))
-                .alias("h"))
+        .select("doc_id", F.xxhash64("sh").alias("h"))
     )
-    mins = sh.groupBy("doc_id", "seed").agg(F.min("h").alias("m"))
-    return (
-        mins.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "m")))
-             .alias("sm"))
-        .select("doc_id",
-                F.transform("sm", lambda s: s["m"]).alias("sig"))
-    )
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}")
+          for i in range(num_hashes)])
+    return mins.select(
+        "doc_id",
+        F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
@@ -161,35 +176,35 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
                 .alias("est_jaccard"))
 
 
-def simhash(df: DataFrame, bits: int = 48, text_col: str = "text",
+def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """SimHash signatures: per-bit majority vote over token hashes.
-    (doc, word-hash) explodes over bit positions → sign votes →
-    signature reassembled via sum(2^bit). Small fixed codegen
-    regardless of ``bits`` (a bits-wide aggregate expression list
-    would cost seconds of Janino compile time).
-    The 48-bit signature fits a BIGINT. Output: (doc_id, simhash)."""
-    dw = _doc_words(df, text_col, id_col)
-    exploded = (
-        dw.select("doc_id", F.xxhash64("w").alias("h"))
-        .select("doc_id", "h",
-                F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
-                .alias("bit"))
-        .select(
-            "doc_id", "bit",
-            F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 "
-                   "THEN 1 ELSE -1 END").alias("vote"))
-    )
-    votes = exploded.groupBy("doc_id", "bit").agg(
-        F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.expr(
-            "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
-            "ELSE CAST(0 AS BIGINT) END"))
-        .cast("long").alias("simhash"))
+    The full 64-bit signature packs one BIGINT (bit 63 lands in the
+    sign bit — harmless, it's a bit pattern). Wider signatures mean
+    wider LSH band keys downstream: 16-bit chunks give 65k buckets
+    per band instead of 4k, which is what keeps candidate-pair
+    counts linear instead of quadratic on dup-heavy corpora.
+    Output: (doc_id, simhash)."""
+    h = _doc_word_hashes(df, text_col, id_col)
+    # one sum aggregate per bit (popcount-per-position), one shuffle,
+    # map-side combine; majority vote 2*s > n reassembles the word.
+    agg = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)))
+          .alias(f"s{i}") for i in range(bits)])
+    word = None
+    for i in range(bits):
+        # bit 63 is the sign bit of a two's-complement long
+        v = (1 << i) if i < 63 else -(1 << 63)
+        bit = F.when(F.col(f"s{i}") * 2 > F.col("n"),
+                     F.lit(v).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        word = bit if word is None else \
+            word.bitwiseOR(bit) if i == 63 else word + bit
+    return agg.select("doc_id", word.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 48,
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
                   bands: int = 4, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
@@ -198,6 +213,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 48,
     Output: (id_a, id_b, hamming)."""
     sig = simhash(df, bits, text_col, id_col)
     chunk = bits // bands
+    # both sides of the self-join read the signatures: persist so the
+    # tokenize + 48-way vote aggregation runs once, not twice
+    sig = sig.persist()
     banded = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
