@@ -182,50 +182,77 @@ def _check_agg_types(name: str, types: TypeSet):
 
 
 def assign_sweep_buckets(df: DataFrame, group_by, offset) -> DataFrame:
-    """Exact bucket-label assignment for offset != 0.
+    """Exact bucket-label assignment for offset != 0 — pure JVM.
 
     The reference's AGGREGATE_group_by (aggregate.c:1188-1220) is a
     per-series SWEEP: the bucket label is GROUP_TS(first point not
     covered by the previous bucket), and the bucket absorbs every
-    following point with ts <= label. With a non-zero offset the label
-    of a point in the "offset tail" (k*g, k*g+off] jumps a full
-    group_by, so bucket boundaries become data-dependent — not
-    expressible as a per-row Catalyst expression. We therefore assign
-    labels with a vectorized Arrow-batched applyInPandas
-    (O(buckets·log n) searchsorted sweep), then aggregate JVM-side.
-    With offset == 0 the closed form in bucket_ts() is provably
-    identical and this path is never taken.
+    following point with ts <= label. With a non-zero offset a point
+    in the "offset tail" (k*g, k*g+off] has GROUP_TS one full group
+    further, so labels become data-dependent.
+
+    The sweep reduces exactly to bucket granularity: partition points
+    into closed-form candidate buckets B(t) = ceil((t-off)/g)*g + off
+    (right-closed spans (B-g, B], each wholly absorbed by one sweep
+    label since consecutive labels differ by >= g). Per bucket,
+    ``jump`` := its earliest point lies in the tail (B-off, B], which
+    sends the label to B+g and absorbs an immediately adjacent next
+    bucket; an absorbed bucket never sets state, so within a run of
+    adjacent jump-chained buckets absorption alternates. That makes
+    the label a closed-form window expression over the (tiny)
+    bucket-level rows:
+
+        c        = lag(jump) and B == lag(B) + g        (chain link)
+        absorbed = c and (distance from run start is odd)
+        label    = B        if absorbed or not jump
+                   B + g    otherwise
+
+    All JVM-side: one partial-aggregated groupBy for bucket minima, a
+    window over ~(span/g) rows per series, and a co-partitioned join
+    back to points. Replaces an Arrow round-trip of every point
+    through Python with O(buckets) metadata work — at 100 TB the
+    points never leave the JVM.
 
     ``group_by``/``offset`` may be ints or per-series column names
     (limit()'s computed widths, aggregate.c:677-694).
     """
-    import numpy as np
+    g = (F.lit(group_by) if isinstance(group_by, int)
+         else F.col(group_by)).cast("long")
+    off = (F.lit(offset) if isinstance(offset, int)
+           else F.col(offset)).cast("long")
+    # closed-form candidate bucket; numerator >= 0 (ts >= 0, off < g)
+    # so truncating int div == floor div; int64-exact for ns ts
+    num = F.col("ts") - off + g - F.lit(1)
+    b = (num - (num % g) + off).cast("long")
 
-    from pyspark.sql import types as T
-
-    g_fixed = group_by if isinstance(group_by, int) else None
-    off_fixed = offset if isinstance(offset, int) else None
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("bucket", T.LongType())])
-
-    def sweep(pdf):
-        pdf = pdf.sort_values(["ts", "seq"], kind="mergesort")
-        g = g_fixed if g_fixed is not None else int(pdf[group_by].iloc[0])
-        off = off_fixed if off_fixed is not None else int(pdf[offset].iloc[0])
-        ts = pdf["ts"].to_numpy()
-        n = len(ts)
-        labels = np.empty(n, dtype="int64")
-        pos = 0
-        while pos < n:
-            cur = (int(ts[pos]) + g - 1) // g * g + off
-            j = int(np.searchsorted(ts, cur, side="right"))
-            j = max(j, pos + 1)
-            labels[pos:j] = cur
-            pos = j
-        pdf = pdf.assign(bucket=labels)
-        return pdf
-
-    return df.groupBy("series").applyInPandas(sweep, schema=schema)
+    pts = df.withColumn("_b", b).withColumn("_g", g).withColumn("_off", off)
+    bstats = (pts.groupBy("series", "_b")
+              .agg(F.min("ts").alias("_m"),
+                   F.first("_g").alias("_bg"),
+                   F.first("_off").alias("_boff")))
+    w = Window.partitionBy("series").orderBy("_b")
+    jump = F.col("_m") > F.col("_b") - F.col("_boff")
+    chained = (F.lag(jump).over(w)
+               & (F.col("_b") == F.lag("_b").over(w) + F.col("_bg")))
+    labeled = (
+        bstats
+        .withColumn("_c", F.coalesce(chained, F.lit(False)))
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn("_runstart", F.max(
+            F.when(~F.col("_c"), F.col("_r"))).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)))
+        .withColumn("_absorbed",
+                    F.col("_c")
+                    & ((F.col("_r") - F.col("_runstart")) % 2 == 1))
+        .select(
+            "series", "_b",
+            F.when(F.col("_absorbed") | ~jump, F.col("_b"))
+            .otherwise(F.col("_b") + F.col("_bg"))
+            .cast("long").alias("bucket"))
+    )
+    return (pts.join(labeled, ["series", "_b"])
+            .drop("_b", "_g", "_off"))
 
 
 def apply_bucket_agg(df: DataFrame, name: str, group_by, offset,

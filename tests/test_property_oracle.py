@@ -91,6 +91,24 @@ def test_bucketed_offset_sweep(scenario, g, off):
               (g, off, name))
 
 
+@pytest.mark.parametrize("g,off,max_gap", [
+    (10, 7, 30),    # off near g: tail jumps common → absorption chains
+    (10, 9, 4),     # dense + widest tail: adjacent jump-chained buckets
+    (50, 49, 120),
+])
+def test_offset_sweep_dense_stress(spark, g, off, max_gap):
+    """The JVM window-function sweep must match the reference's
+    point-level sweep on data engineered to hit chained tail-jump
+    absorption (aggregate.c:1188-1220 with offset)."""
+    rng = random.Random(1337)
+    eng = SiriEngine(spark, precision="s")
+    pts = gen_points(rng, 400, True, max_gap=max_gap)
+    stored = insert_shuffled(eng, "dense", pts, rng)
+    got = eng.query(f'select count({g}) => offset({off}) from "dense"')
+    check(got["dense"], O.bucketed("count", stored, g, off, True),
+          (g, off))
+
+
 def test_transforms(scenario):
     eng, series = scenario
     for name, (pts, is_int) in series.items():
