@@ -169,11 +169,12 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"),
                 (agree / F.lit(float(k))).alias("est_jaccard"))
+        # filter before distinct — see simhash_pairs
+        .where(F.col("est_jaccard") >= threshold)
         .distinct()
     )
-    return cands.where(F.col("est_jaccard") >= threshold) \
-        .select("id_a", "id_b", F.round("est_jaccard", 6)
-                .alias("est_jaccard"))
+    return cands.select("id_a", "id_b", F.round("est_jaccard", 6)
+                        .alias("est_jaccard"))
 
 
 def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
@@ -185,19 +186,33 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
     per band instead of 4k, which is what keeps candidate-pair
     counts linear instead of quadratic on dup-heavy corpora.
     Output: (doc_id, simhash)."""
+    assert bits == 64, "lane-packed simhash is fixed at 64 bits"
     h = _doc_word_hashes(df, text_col, id_col)
-    # one sum aggregate per bit (popcount-per-position), one shuffle,
-    # map-side combine; majority vote 2*s > n reassembles the word.
+    # Lane-packed popcount-per-position: bit positions {i, i+16,
+    # i+32, i+48} share one long as four 16-bit counters, so the
+    # aggregation carries 16 sum buffers instead of 64 — 4× narrower
+    # shuffle rows and aggregate state. One shuffle, map-side
+    # combine. Bound: ≤ 65535 distinct tokens per document (lane
+    # width); web/corpus documents are far below this.
+    def lane(i):
+        e = None
+        for k in range(4):
+            term = F.shiftleft(
+                F.shiftright("h", i + 16 * k).bitwiseAND(F.lit(1)),
+                16 * k)
+            e = term if e is None else e.bitwiseOR(term)
+        return F.sum(e).alias(f"p{i}")
+
     agg = h.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)))
-          .alias(f"s{i}") for i in range(bits)])
+        F.count(F.lit(1)).alias("n"), *[lane(i) for i in range(16)])
+    # majority vote 2*s > n per position reassembles the signature
     word = None
-    for i in range(bits):
+    for i in range(64):
+        s = F.shiftright(f"p{i % 16}", 16 * (i // 16)) \
+            .bitwiseAND(F.lit(0xFFFF))
         # bit 63 is the sign bit of a two's-complement long
         v = (1 << i) if i < 63 else -(1 << 63)
-        bit = F.when(F.col(f"s{i}") * 2 > F.col("n"),
-                     F.lit(v).cast("long")) \
+        bit = F.when(s * 2 > F.col("n"), F.lit(v).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
         word = bit if word is None else \
             word.bitwiseOR(bit) if i == 63 else word + bit
@@ -235,6 +250,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"),
                 ham.alias("hamming"))
-        .distinct()
+        # filter BEFORE distinct: the Hamming cut drops most of the
+        # candidate stream, so the dedup shuffle only carries real
+        # near-dup pairs
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
