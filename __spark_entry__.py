@@ -148,7 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select * from /.*/ merge as 'all' using count(1d) => offset(1h)",
         "val_int")
 
-    # --- adaptive downsample (limit) — engine-only (per-series sweep)
+    # --- adaptive downsample (limit) — oracle via window-fn sweep SQL
     q["siri_limit_downsample"] = _sel(
         "select limit(20, mean) from /.*/", "val_dbl", 6)
 
@@ -454,6 +454,43 @@ def oracle_sql() -> dict[str, str]:
         " CASE WHEN ts <= l1 THEN l1 ELSE"
         f" ((ts - {H} + {D6 - 1}) // {D6}) * {D6} + {H} END AS ts,"
         " count(*) AS val FROM pts, m GROUP BY 1, 2"
+    )
+
+    # limit(N, mean): the reference's adaptive downsample
+    # (aggregate.c:677-694) — per-series computed g/off feeding the
+    # same sweep (aggregate.c:1188-1220), here via its window-function
+    # closed form (jump = bucket min in the offset tail; absorption
+    # alternates within runs of adjacent jumping buckets)
+    _LN = 20
+    o["siri_limit_downsample"] = (
+        f"{P},"
+        " st AS (SELECT series, min(ts) AS f, max(ts) AS l,"
+        " count(*) AS n FROM pts GROUP BY 1),"
+        f" par AS (SELECT series, n, (l - f) // {_LN} + 1 AS g,"
+        f" (f - 1) % ((l - f) // {_LN} + 1) AS off FROM st),"
+        " small AS (SELECT p.series, p.ts, round(p.val, 6) AS val"
+        f" FROM pts p JOIN par USING (series) WHERE n <= {_LN}),"
+        " cand AS (SELECT p.series, p.ts, p.val, g, off,"
+        " ((p.ts - off + g - 1) // g) * g + off AS b"
+        f" FROM pts p JOIN par USING (series) WHERE n > {_LN}),"
+        " bst AS (SELECT series, b, any_value(g) AS g,"
+        " any_value(off) AS off, min(ts) AS m FROM cand GROUP BY 1, 2),"
+        " chain AS (SELECT series, b, g, off, m, (m > b - off) AS jump,"
+        " coalesce(lag(m > b - off) OVER w AND b = lag(b) OVER w + g,"
+        " FALSE) AS c, row_number() OVER w AS rn FROM bst"
+        " WINDOW w AS (PARTITION BY series ORDER BY b)),"
+        " runs AS (SELECT series, b, g, jump, c, rn,"
+        " max(CASE WHEN NOT c THEN rn END)"
+        " OVER (PARTITION BY series ORDER BY b ROWS UNBOUNDED"
+        " PRECEDING) AS runstart FROM chain),"
+        " lab AS (SELECT series, b,"
+        " CASE WHEN c AND (rn - runstart) % 2 = 1 THEN b"
+        " WHEN jump THEN b + g ELSE b END AS label FROM runs),"
+        " big AS (SELECT c.series, lab.label AS ts,"
+        " round(avg(c.val), 6) AS val FROM cand c"
+        " JOIN lab ON c.series = lab.series AND c.b = lab.b"
+        " GROUP BY 1, 2)"
+        " SELECT * FROM small UNION ALL SELECT * FROM big"
     )
 
     o["siri_catalog"] = (
