@@ -20,6 +20,8 @@ import time as _time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import access as ACL
+from . import help as HELP
 from .errors import InsertError, QueryError
 from .functions import pipeline as P
 from .functions.pipeline import COLS, StageResult, TypeSet
@@ -65,8 +67,12 @@ class SiriEngine:
         self._seq = 0
         self.groups: dict[str, tuple[str, bool]] = {}
         self.tags: dict[str, set] = {}
-        self.users: dict[str, dict] = {"iris": {"password": "siri",
-                                                "access": ["full"]}}
+        self.users: dict[str, dict] = {
+            "iris": {"password": "siri", "access": ACL.PROFILE_FULL}}
+        # the authenticated session user; all query()/insert() calls
+        # are privilege-checked against it (ref listener.c:433
+        # MASTER_CHECK_ACCESSIBLE)
+        self.session_user = "iris"
         self.select_points_limit = DEFAULT_SELECT_POINTS_LIMIT
         self.list_limit = DEFAULT_LIST_LIMIT
         self.drop_threshold = 1.0
@@ -105,6 +111,7 @@ class SiriEngine:
         """Insert points. Accepts the reference's two shapes
         (insert.c:72-88): a map {series: [[ts, val], ...]} or a list of
         {'name': ..., 'points': [...]} maps."""
+        self._check_access(ACL.INSERT)
         if isinstance(data, list):
             try:
                 data = {d["name"]: d["points"] for d in data}
@@ -238,7 +245,35 @@ class SiriEngine:
             }]
         return result
 
+    # statement → required privilege bit (ref listener.c enter_*
+    # access checks via MASTER_CHECK_ACCESSIBLE, listener.c:433)
+    _ACCESS_NEEDED = (
+        (N.SelectStmt, ACL.SELECT),
+        (N.ListStmt, ACL.LIST),
+        (N.CountStmt, ACL.COUNT),
+        (N.ShowStmt, ACL.SHOW),
+        (N.CreateGroup, ACL.CREATE),
+        (N.CreateUser, ACL.CREATE),
+        (N.DropStmt, ACL.DROP),
+        (N.AlterDatabase, ACL.ALTER),
+        (N.AlterSeries, ACL.ALTER),
+        (N.AlterGroup, ACL.ALTER),
+        (N.AlterTag, ACL.ALTER),
+        (N.AlterUser, ACL.ALTER),
+        (N.GrantStmt, ACL.GRANT),
+        (N.RevokeStmt, ACL.REVOKE),
+    )
+
+    def _check_access(self, needed: int):
+        user = self.users.get(self.session_user)
+        have = user["access"] if user else 0
+        ACL.check_access(self.session_user, have, needed)
+
     def _dispatch(self, stmt) -> dict:
+        for klass, bit in self._ACCESS_NEEDED:
+            if isinstance(stmt, klass):
+                self._check_access(bit)
+                break
         if isinstance(stmt, N.SelectStmt):
             return self._select(stmt)
         if isinstance(stmt, N.ListStmt):
@@ -270,7 +305,13 @@ class SiriEngine:
         if isinstance(stmt, N.RevokeStmt):
             return self._revoke(stmt)
         if isinstance(stmt, N.HelpStmt):
-            return {"help": "See SiriDB documentation."}
+            try:
+                return {"help": HELP.help_text(stmt.topic)}
+            except KeyError:
+                raise QueryError(
+                    f"Cannot find help about '{stmt.topic}'. Use "
+                    "'help' to see a list of all available topics."
+                ) from None
         raise QueryError("Unsupported statement.")
 
     # -------------------------------------------------------------- select
@@ -289,6 +330,7 @@ class SiriEngine:
         parsed = Parser(q, self.precision, tzinfo=self._tzinfo()).parse()
         if not isinstance(parsed.stmt, N.SelectStmt):
             raise QueryError("select_df() requires a select statement.")
+        self._check_access(ACL.SELECT)
         out_df, _seeds = self._select_plan(parsed.stmt)
         return out_df
 
@@ -558,7 +600,7 @@ class SiriEngine:
             return self.spark.createDataFrame(
                 rows or [], "name string, series long")
         if entity == "users":
-            rows = [(name, ",".join(u["access"]))
+            rows = [(name, ACL.access_to_str(u["access"]))
                     for name, u in sorted(self.users.items())]
             return self.spark.createDataFrame(
                 rows or [], "name string, access string")
@@ -714,7 +756,7 @@ class SiriEngine:
     def _create_user(self, stmt: N.CreateUser) -> dict:
         if stmt.name in self.users:
             raise QueryError(f"User name '{stmt.name}' already exists.")
-        self.users[stmt.name] = {"password": stmt.password, "access": []}
+        self.users[stmt.name] = {"password": stmt.password, "access": 0}
         return {"success_msg": f"Successfully created user '{stmt.name}'."}
 
     def _drop(self, stmt: N.DropStmt) -> dict:
@@ -907,19 +949,16 @@ class SiriEngine:
     def _grant(self, stmt: N.GrantStmt) -> dict:
         if stmt.user not in self.users:
             raise QueryError(f"Cannot find user: '{stmt.user}'")
-        acc = self.users[stmt.user]["access"]
-        for a in stmt.access:
-            if a not in acc:
-                acc.append(a)
+        self.users[stmt.user]["access"] |= \
+            ACL.access_from_names(stmt.access)
         return {"success_msg":
                 f"Successfully granted permissions to user '{stmt.user}'."}
 
     def _revoke(self, stmt: N.RevokeStmt) -> dict:
         if stmt.user not in self.users:
             raise QueryError(f"Cannot find user: '{stmt.user}'")
-        acc = self.users[stmt.user]["access"]
-        self.users[stmt.user]["access"] = [a for a in acc
-                                           if a not in stmt.access]
+        self.users[stmt.user]["access"] &= \
+            ~ACL.access_from_names(stmt.access)
         return {"success_msg":
                 "Successfully revoked permissions from user "
                 f"'{stmt.user}'."}

@@ -129,10 +129,12 @@ def test_users_lifecycle(eng):
         "success_msg":
         "Successfully granted permissions to user 'sasha'."}
     r = eng.query("list users")
-    assert ["sasha", "read,write"] in r["users"]
-    eng.query('revoke write from user "sasha"')
+    # read ⊂ write (access.h:29-32): greedy decomposition prints the
+    # containing profile, exactly as siridb_access_to_str does
+    assert ["sasha", "write"] in r["users"]
+    eng.query('revoke insert from user "sasha"')
     r = eng.query("list users")
-    assert ["sasha", "read"] in r["users"]
+    assert ["sasha", "read and create"] in r["users"]
     eng.query('alter user "sasha" set password "new"')
     assert eng.query('drop user "sasha"') == {
         "success_msg": "Successfully dropped user 'sasha'."}
@@ -184,3 +186,62 @@ def test_alter_group_expression(eng):
     assert eng.query("count series `g`") == {"series": 2}
     eng.query("alter group `g` set expression /b.*/")
     assert eng.query("count series `g`") == {"series": 1}
+
+
+# ---------------------------------------------------------------- access
+def test_access_enforcement(spark):
+    """Privilege bits/profiles (access.h:8-42), denial message
+    (user.c:197-218), enforcement per statement (listener.c:433)."""
+    import pytest
+
+    from siridb_server_spark.errors import QueryError
+
+    e = SiriEngine(spark, precision="s")
+    e.insert({"x": [[1, 1]]})
+    e.query("create user 'bob' set password 'pw123456'")
+    e.session_user = "bob"
+    with pytest.raises(QueryError,
+                       match=r"Access denied. User 'bob' has no "
+                             r"'select' privileges."):
+        e.query("select * from 'x'")
+    with pytest.raises(QueryError, match="no 'insert' privileges"):
+        e.insert({"x": [[2, 2]]})
+    with pytest.raises(QueryError, match="no 'grant' privileges"):
+        e.query("grant full to user 'bob'")
+    e.session_user = "iris"
+    e.query("grant read to user 'bob'")
+    e.session_user = "bob"
+    assert e.query("select * from 'x'") == {"x": [[1, 1]]}
+    assert e.query("count series") == {"series": 1}
+    with pytest.raises(QueryError, match="no 'drop' privileges"):
+        e.query("drop series 'x'")
+    e.session_user = "iris"
+    e.query("revoke read from user 'bob'")
+    r = e.query("list users")
+    assert ["bob", "no access"] in r["users"]
+    assert ["iris", "full"] in r["users"]
+
+
+def test_access_profile_composition():
+    from siridb_server_spark import access as A
+
+    assert A.access_to_str(A.PROFILE_READ) == "read"
+    assert A.access_to_str(A.SHOW | A.COUNT | A.LIST) == \
+        "count, list and show"
+    assert A.access_to_str(0) == "no access"
+    assert A.access_from_names(["write"]) == A.PROFILE_WRITE
+    # revoking 'insert' from write leaves read | create
+    left = A.PROFILE_WRITE & ~A.INSERT
+    assert A.access_to_str(left) == "read and create"
+
+
+def test_help_topics(eng):
+    r = eng.query("help")
+    assert "select" in r["help"] and "functions" in r["help"]
+    assert "right-closed" in eng.query("help functions")["help"]
+    assert "merge as" in eng.query("help select")["help"]
+    import pytest
+
+    from siridb_server_spark.errors import QueryError
+    with pytest.raises(QueryError, match="Cannot find help"):
+        eng.query("help nonsense")
