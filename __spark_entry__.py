@@ -179,6 +179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda spark, sf_dir: D.simhash_pairs(
         load(spark, sf_dir, "documents"), max_hamming=3)
 
+    def dedup_resolve(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 300)
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+        return D.resolve_duplicates(docs, pairs)
+
+    q["dedup_resolve"] = dedup_resolve
+
     # --- text analysis
     q["text_quality"] = lambda spark, sf_dir: TX.quality_features(
         load(spark, sf_dir, "documents"))
@@ -522,6 +530,24 @@ def oracle_sql() -> dict[str, str]:
         " JOIN sz sb ON id_b = sb.doc_id"
         " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8"
     )
+    # duplicate-cluster resolution: connected components (min label
+    # reachable over the undirected near-dup graph) via recursive CTE
+    _JP = o["dedup_ngram_jaccard"]
+    o["dedup_resolve"] = (
+        "WITH RECURSIVE pairs AS (" + _JP + "),"
+        " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs),"
+        " walk(node, comp) AS ("
+        " SELECT a, a FROM edges"
+        " UNION"
+        " SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node),"
+        " cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY 1)"
+        " SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS keep_id,"
+        " d.doc_id = coalesce(cc.comp, d.doc_id) AS is_kept"
+        " FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d"
+        " LEFT JOIN cc ON d.doc_id = cc.node"
+    )
+
     o["text_quality"] = (
         "SELECT doc_id, length(text) AS n_chars,"
         " CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"

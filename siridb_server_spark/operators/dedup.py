@@ -177,6 +177,61 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
                         .alias("est_jaccard"))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster resolution: connected components of the
+    near-dup pair graph by iterative min-label propagation.
+
+    Each round every node adopts the minimum component id among
+    itself and its neighbors (one join + one groupBy); convergence in
+    O(cluster diameter) rounds — near-dup clusters from LSH banding
+    are clique-like, so 2-4 rounds in practice. Lineage is truncated
+    per round (localCheckpoint) so the plan doesn't grow with
+    iterations. The driver round-trip per iteration is one `limit(1)
+    .count()` convergence probe.
+    Output: (node, comp) with comp = min doc_id of the component.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (e.union(e.select(F.col("b").alias("a"),
+                              F.col("a").alias("b"))))\
+        .distinct().persist()
+    labels = (edges.select("a").distinct()
+              .select(F.col("a").alias("node"),
+                      F.col("a").alias("comp")))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["a"] == labels["node"])
+                .select(F.col("b").alias("node"), F.col("comp")))
+        new = (labels.unionByName(prop)
+               .groupBy("node").agg(F.min("comp").alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def resolve_duplicates(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Keep-one-per-cluster dedup decision: every doc mapped to its
+    cluster representative (the minimum doc id of its component;
+    singletons map to themselves). Output: (doc_id, keep_id,
+    is_kept)."""
+    comp = connected_components(pairs)
+    return (df.select(F.col(id_col).alias("doc_id"))
+            .join(comp, F.col("doc_id") == F.col("node"), "left")
+            .select(
+                "doc_id",
+                F.coalesce("comp", F.col("doc_id")).alias("keep_id"))
+            .withColumn("is_kept",
+                        F.col("doc_id") == F.col("keep_id")))
+
+
 def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """SimHash signatures: per-bit majority vote over token hashes.

@@ -185,3 +185,26 @@ def test_rolling_fingerprints(spark):
         F.col("text"), 8).alias("fps")).collect()[0]["fps"]
     assert len(r) == 5  # 12 words → 5 windows of 8
     assert len(set(r)) == 5
+
+
+def test_connected_components(spark):
+    # two chains + a singleton edge: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a long, id_b long")
+    comp = {r["node"]: r["comp"]
+            for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20}
+
+
+def test_resolve_duplicates(docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.7)
+    res = {r["doc_id"]: (r["keep_id"], r["is_kept"])
+           for r in D.resolve_duplicates(docs, pairs).collect()}
+    # 0,1,2,5 form one near-dup cluster kept by doc 0
+    assert res[0] == (0, True)
+    assert res[1] == (0, False)
+    assert res[5] == (0, False)
+    assert res[3] == (3, True)  # singleton keeps itself
+    assert res[4] == (4, True)
