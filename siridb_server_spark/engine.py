@@ -191,20 +191,28 @@ class SiriEngine:
         return self.points_df()
 
     def catalog_df(self) -> DataFrame:
-        """Derived series catalog (FIXTURES.md §2). At scale this comes
-        free from a maintained aggregate; here it's one groupBy over the
-        points table, cached until the next insert/drop."""
+        """Series catalog. Store-backed engines read the store's
+        incrementally-maintained catalog table (O(series), no points
+        scan — the analogue of the reference's live series structs,
+        series.h:54-72); memory-backed engines derive it with one
+        groupBy, cached until the next insert/drop."""
         if self._catalog is None:
             dur_num, dur_log = self.duration_num, self.duration_log
+            stats = None
+            if self.store is not None:
+                stats = self.store.read_catalog(self.spark)
+            if stats is None:
+                stats = (
+                    self.points_df()
+                    .groupBy(F.col("series").alias("name"))
+                    .agg(
+                        F.count(F.lit(1)).alias("length"),
+                        F.min("ts").alias("start"),
+                        F.max("ts").alias("end"),
+                        F.max("tp").alias("tp"),
+                    ))
             cat = (
-                self.points_df()
-                .groupBy(F.col("series").alias("name"))
-                .agg(
-                    F.count(F.lit(1)).alias("length"),
-                    F.min("ts").alias("start"),
-                    F.max("ts").alias("end"),
-                    F.max("tp").alias("tp"),
-                )
+                stats
                 .select(
                     "name",
                     F.when(F.col("tp") == TP_INT, "integer")
@@ -824,6 +832,7 @@ class SiriEngine:
                 tp_name = "log" if kind == "log" else "number"
                 if (sid, tp_name) in sids:
                     shutil.rmtree(p)
+            self.store.rebuild_catalog(self.spark)
         else:
             dur_num, dur_log = self.duration_num, self.duration_log
             keep = []

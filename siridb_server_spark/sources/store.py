@@ -85,11 +85,21 @@ class PointsStore:
                         .cast("long"))
 
     def append_df(self, df: DataFrame):
+        # crash-consistency protocol for the maintained catalog: the
+        # pending marker is set BEFORE points land and cleared only
+        # AFTER the catalog swap. An interrupt anywhere between
+        # (killed micro-batch, process crash) leaves the marker, and
+        # the next read_catalog() sees it and rebuilds — the catalog
+        # can lag but can never silently under-count. (On Delta the
+        # same guarantee comes from writing both in one transaction.)
+        self._set_pending()
         (self._with_partitions(df)
          .write.partitionBy("kind", "sid")
          .mode("append")
          .option("compression", "zstd")
          .parquet(self.path))
+        self._merge_catalog(df.sparkSession, self._batch_stats(df))
+        self._clear_pending()
 
     def append_rows(self, spark: SparkSession, rows: list):
         self.append_df(spark.createDataFrame(rows, POINTS_SCHEMA))
@@ -113,6 +123,85 @@ class PointsStore:
         return os.path.isdir(self.path) and any(
             e.startswith("kind=") for e in os.listdir(self.path))
 
+    # ------------------------------------------------------------ catalog
+    # Incrementally-maintained series catalog: (name, length, start,
+    # end, tp) merged per ingest batch. The reference keeps the same
+    # stats live on each series struct (series.h:54-72, updated on
+    # every insert); a derived groupBy over the points table would be
+    # a full 100 TB scan per `list series`/skip-points query, while
+    # this merge costs O(|catalog| + |batch|) per batch. The side
+    # table lives under `_catalog` — Spark's scan ignores
+    # underscore-prefixed paths, so it's invisible to points reads.
+    @property
+    def _catalog_path(self) -> str:
+        return os.path.join(self.path, "_catalog")
+
+    @property
+    def _pending_path(self) -> str:
+        return os.path.join(self.path, "_catalog.pending")
+
+    def _set_pending(self):
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._pending_path, "w"):
+            pass
+
+    def _clear_pending(self):
+        try:
+            os.remove(self._pending_path)
+        except FileNotFoundError:
+            pass
+
+    @staticmethod
+    def _batch_stats(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("series").alias("name")).agg(
+            F.count(F.lit(1)).alias("length"),
+            F.min("ts").alias("start"),
+            F.max("ts").alias("end"),
+            F.max("tp").alias("tp"))
+
+    def _merge_catalog(self, spark: SparkSession, stats: DataFrame):
+        # raw read — the appender holds the pending marker itself;
+        # going through read_catalog() would see it and "repair" from
+        # points that already include this batch (double count)
+        old = self._read_catalog_raw(spark)
+        if old is not None:
+            stats = old.unionByName(stats).groupBy("name").agg(
+                F.sum("length").alias("length"),
+                F.min("start").alias("start"),
+                F.max("end").alias("end"),
+                F.max("tp").alias("tp"))
+        self._write_catalog(stats)
+
+    def _write_catalog(self, stats: DataFrame):
+        tmp = self._catalog_path + ".tmp"
+        stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self._catalog_path):
+            shutil.rmtree(self._catalog_path)
+        os.rename(tmp, self._catalog_path)
+
+    def _read_catalog_raw(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self._catalog_path):
+            return None
+        return spark.read.parquet(self._catalog_path)
+
+    def read_catalog(self, spark: SparkSession) -> DataFrame | None:
+        if os.path.exists(self._pending_path):
+            # an append was interrupted between points and catalog:
+            # repair once from the points table
+            self.rebuild_catalog(spark)
+            self._clear_pending()
+        return self._read_catalog_raw(spark)
+
+    def rebuild_catalog(self, spark: SparkSession):
+        """Full recompute — the rare maintenance path (after expire,
+        which changes per-series start/length at shard granularity)."""
+        if not self._exists():
+            if os.path.isdir(self._catalog_path):
+                shutil.rmtree(self._catalog_path)
+            return
+        self._write_catalog(
+            self._batch_stats(spark.read.parquet(self.path)))
+
     # ------------------------------------------------------- maintenance
     def _sid_dirs(self):
         for kind in ("num", "log"):
@@ -129,9 +218,13 @@ class PointsStore:
         cutoff (ref db.c:865-878 — expiration is shard-granular).
         Directory removal only — no data rewrite."""
         want = "log" if tp_str else "num"
+        removed = False
         for kind, sid, p in list(self._sid_dirs()):
             if kind == want and sid < cutoff_sid:
                 shutil.rmtree(p)
+                removed = True
+        if removed:
+            self.rebuild_catalog(spark)
 
     def delete_series(self, spark: SparkSession, names: list):
         """Anti-join rewrite (drop series). At 100 TB this is a Delta
@@ -156,6 +249,9 @@ class PointsStore:
                 .option("compression", "zstd").parquet(tmp)
             shutil.rmtree(p)
             os.rename(tmp, p)
+        cat = self.read_catalog(spark)
+        if cat is not None:
+            self._write_catalog(cat.where(~F.col("name").isin(names)))
 
     def optimize(self, spark: SparkSession,
                  max_files_per_partition: int = 1):

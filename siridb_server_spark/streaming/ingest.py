@@ -63,13 +63,16 @@ def start_ingest(stream_df: DataFrame, store, *,
     Returns the StreamingQuery (call .stop() / .awaitTermination())."""
 
     def sink(batch_df: DataFrame, batch_id: int):
-        pts = canonicalize(batch_df, series_col, ts_col, value_col,
-                           seq_col)
-        store.append_df(pts)
+        # tee duplicates the INCOMING batch before local processing,
+        # exactly like the reference forwards the raw insert packet
+        # to the pipe before handling it (tee.c)
         if tee_path is not None:
             (batch_df.write.mode("append")
              .option("compression", "zstd")
              .parquet(tee_path))
+        pts = canonicalize(batch_df, series_col, ts_col, value_col,
+                           seq_col)
+        store.append_df(pts)
 
     writer = stream_df.writeStream.foreachBatch(sink) \
         .outputMode("append")

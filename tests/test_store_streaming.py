@@ -143,3 +143,32 @@ def test_windowed_rollup_semantics(spark):
     out = {r["bucket_ts"]: r["cnt"]
            for r in ING.windowed_rollup(df, 6).collect()}
     assert out == {6: 2, 12: 1}  # golden: test_aggr.c:38-50
+
+
+def test_incremental_catalog_maintenance(spark, tmp_path):
+    """The store catalog merges per batch (O(catalog), no points
+    scan), follows deletes/expiration, and self-repairs after an
+    interrupted append (pending marker → one-time rebuild)."""
+    eng = SiriEngine.open(spark, str(tmp_path / "cdb"), precision="s")
+    eng.insert({"a": [[100, 1], [200, 2]], "b": [[150, 1.5]]})
+    eng.insert({"a": [[300, 3]]})
+    cat = {r["name"]: (r["length"], r["start"], r["end"])
+           for r in eng.store.read_catalog(spark).collect()}
+    assert cat == {"a": (3, 100, 300), "b": (1, 150, 150)}
+    # skip-points count() answered from the maintained catalog
+    assert eng.query("select count() from 'a'") == {"a": [[300, 3]]}
+    # drop series → anti-joined out of the catalog
+    eng.query('drop series "b" set ignore_threshold true')
+    names = [r["name"] for r in eng.store.read_catalog(spark).collect()]
+    assert names == ["a"]
+    # simulate an append interrupted between points and catalog:
+    # marker present + stale catalog → read_catalog() must rebuild
+    eng.store._set_pending()
+    eng.store._write_catalog(
+        eng.store.read_catalog(spark).limit(0))  # clears the marker
+    eng.store._set_pending()
+    repaired = {r["name"]: r["length"]
+                for r in eng.store.read_catalog(spark).collect()}
+    assert repaired == {"a": 3}
+    import os
+    assert not os.path.exists(eng.store._pending_path)
