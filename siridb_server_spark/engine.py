@@ -65,6 +65,7 @@ class SiriEngine:
         self._mem_df: DataFrame | None = None
         self._catalog: DataFrame | None = None
         self._seq = 0
+        self._multi_cache: DataFrame | None = None
         self.groups: dict[str, tuple[str, bool]] = {}
         self.tags: dict[str, set] = {}
         self.users: dict[str, dict] = {
@@ -344,7 +345,17 @@ class SiriEngine:
 
     def _select(self, stmt: N.SelectStmt) -> dict:
         out_df, seeds = self._select_plan(stmt)
-        return self._collect(out_df, seeds)
+        try:
+            return self._collect(out_df, seeds)
+        finally:
+            # the multi-pipeline points cache is only useful within
+            # this query's materialization — release it eagerly
+            self._release_multi_cache()
+
+    def _release_multi_cache(self):
+        if self._multi_cache is not None:
+            self._multi_cache.unpersist()
+            self._multi_cache = None
 
     def _select_plan(self, stmt: N.SelectStmt):
         cat = self._selected_catalog(stmt.match, stmt.where)
@@ -436,7 +447,14 @@ class SiriEngine:
                 raise QueryError(
                     "When using multiple select methods, add a prefix "
                     "and/or suffix to the selection to make them unique.")
+            # the reference reads each series' points once and reuses
+            # them across comma-pipelines (listener.c:5632-5668); the
+            # cache is the Spark equivalent. At most ONE such cache is
+            # live per engine (select_df callers keep it until the
+            # next select), and query() releases it after collecting.
+            self._release_multi_cache()
             df = df.cache()
+            self._multi_cache = df
 
         merge = stmt.merge
         if merge is not None and merge.name == "":
