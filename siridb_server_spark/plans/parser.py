@@ -252,7 +252,10 @@ class Parser:
         if r is not None:
             self._check_regex(r[0])
             return N.SeriesRegex(r[0], r[1])
-        self._error("a series name, regex, group/tag or '('")
+        # cleri-style expectation list (ref QUERY_send_invalid_error,
+        # query.c:459-559); the exact token set is the reference's
+        # golden (itest/test_parentheses.py:274-279)
+        self._error("*, all, single_quote_str, double_quote_str or (")
 
     def _check_regex(self, pattern: str):
         try:
@@ -401,7 +404,9 @@ class Parser:
         elif self._token("-") and self._keyword("inf"):
             value_tp, value = "ninf", float("-inf")
         else:
-            self._error("a filter value")
+            self._error("single_quote_str, double_quote_str, "
+                        "regular_expression, integer, float, nan, "
+                        "inf or -inf")
         self._expect(")")
         if op in ("~", "!~") and value_tp != "string":
             raise QueryError(

@@ -160,3 +160,17 @@ def test_ns_select_roundtrip(eng):
     # int64-exact ns timestamps survive select end-to-end
     got = eng.query('select max() from "series-002"')
     assert got == {'series-002': [[1471254705000000010, 5]]}
+
+
+def test_expecting_token_list_golden(eng):
+    """Reference golden (itest/test_parentheses.py:274-279): the
+    expectation list at a missing series atom."""
+    import re
+
+    import pytest
+
+    from siridb_server_spark.errors import ParseError
+    with pytest.raises(ParseError, match=re.escape(
+            "Query error at position 29. Expecting *, all, "
+            "single_quote_str, double_quote_str or (")):
+        eng.query("list series /.*/ - " + "(" * 10 + ")" * 10)
