@@ -66,6 +66,9 @@ class SiriEngine:
         self._catalog: DataFrame | None = None
         self._seq = 0
         self._multi_cache: DataFrame | None = None
+        self.server_name = "sparksiri:0"
+        self.log_level = "info"
+        self.backup_mode = False
         self.groups: dict[str, tuple[str, bool]] = {}
         self.tags: dict[str, set] = {}
         self.users: dict[str, dict] = {
@@ -269,6 +272,8 @@ class SiriEngine:
         (N.AlterGroup, ACL.ALTER),
         (N.AlterTag, ACL.ALTER),
         (N.AlterUser, ACL.ALTER),
+        (N.AlterServer, ACL.ALTER),
+        (N.AlterServers, ACL.ALTER),
         (N.GrantStmt, ACL.GRANT),
         (N.RevokeStmt, ACL.REVOKE),
     )
@@ -309,6 +314,10 @@ class SiriEngine:
             return self._alter_tag(stmt)
         if isinstance(stmt, N.AlterUser):
             return self._alter_user(stmt)
+        if isinstance(stmt, N.AlterServer):
+            return self._alter_server(stmt)
+        if isinstance(stmt, N.AlterServers):
+            return self._alter_servers(stmt)
         if isinstance(stmt, N.GrantStmt):
             return self._grant(stmt)
         if isinstance(stmt, N.RevokeStmt):
@@ -636,13 +645,19 @@ class SiriEngine:
                 F.lit(1).alias("servers"),
                 F.count(F.lit(1)).alias("series"))
         if entity == "servers":
-            return self.spark.createDataFrame(
-                [("sparksiri:0", 0, __version__, True, "running")],
-                "name string, pool int, version string, online boolean, "
-                "status string")
+            return self._servers_df()
         if entity == "shards":
             return self._shards_df()
         raise QueryError(f"Cannot list '{entity}'.")
+
+    def _servers_df(self) -> DataFrame:
+        status = "running (backup mode)" if self.backup_mode \
+            else "running"
+        return self.spark.createDataFrame(
+            [(self.server_name, 0, __version__, True, status,
+              self.log_level)],
+            "name string, pool int, version string, online boolean, "
+            "status string, log_level string")
 
     def _shards_df(self) -> DataFrame:
         """Shard-equivalents: time buckets of the points table
@@ -750,7 +765,7 @@ class SiriEngine:
             "ip_support": lambda: "ALL",
             "libuv": lambda: "spark",
             "list_limit": lambda: eng.list_limit,
-            "log_level": lambda: "info",
+            "log_level": lambda: eng.log_level,
             "max_open_files": lambda: 0,
             "mem_usage": lambda: 0,
             "open_files": lambda: 0,
@@ -972,6 +987,39 @@ class SiriEngine:
         else:
             self.users[stmt.value] = self.users.pop(stmt.name)
         return {"success_msg": f"Successfully updated user '{stmt.name}'."}
+
+    def _alter_server(self, stmt: N.AlterServer) -> dict:
+        """Single-node: one server, name 'sparksiri:0' (ref
+        exit_set_log_level listener.c:4530+, success strings
+        listener.c:178-186). Spark owns real distribution."""
+        if stmt.name != self.server_name:
+            raise QueryError(f"Cannot find server: '{stmt.name}'")
+        if stmt.key == "log_level":
+            self.log_level = stmt.value
+            return {"success_msg":
+                    f"Successfully set log level to '{stmt.value}' "
+                    f"on '{self.server_name}'."}
+        if stmt.key == "backup_mode":
+            self.backup_mode = bool(stmt.value)
+            state = "enabled" if self.backup_mode else "disabled"
+            return {"success_msg":
+                    f"Successfully {state} backup mode on "
+                    f"'{self.server_name}'."}
+        setattr(self, f"server_{stmt.key}", stmt.value)
+        return {"success_msg":
+                f"Successfully updated {stmt.key} on "
+                f"'{self.server_name}'."}
+
+    def _alter_servers(self, stmt: N.AlterServers) -> dict:
+        n = 1
+        if stmt.where is not None:
+            sv = self._servers_df().where(compile_where(stmt.where))
+            n = sv.count()
+        if n:
+            self.log_level = stmt.level
+        return {"success_msg":
+                f"Successfully set log level to '{stmt.level}' on "
+                f"{n} servers."}
 
     def _grant(self, stmt: N.GrantStmt) -> dict:
         if stmt.user not in self.users:

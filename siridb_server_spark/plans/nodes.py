@@ -223,6 +223,19 @@ class AlterUser:
 
 
 @dataclass
+class AlterServer:
+    name: str
+    key: str  # 'log_level' | 'backup_mode' | 'address' | 'port'
+    value: object = None
+
+
+@dataclass
+class AlterServers:
+    where: object = None
+    level: str = ""
+
+
+@dataclass
 class GrantStmt:
     access: list
     user: str

@@ -629,7 +629,8 @@ class Parser:
             ("shards", ("sid", "pool", "server", "size", "start", "end",
                         "type", "status"), self._where_shard),
             ("servers", ("name", "pool", "version", "online", "status",
-                         "address", "port", "uuid"), self._where_server),
+                         "address", "port", "uuid", "log_level"),
+             self._where_server),
         ):
             if self._keyword(entity):
                 cols = self._columns(cols_allowed)
@@ -858,7 +859,46 @@ class Parser:
                     self._error("a name")
                 return N.AlterUser(name, "name", new)
             self._error("'password' or 'name'")
+        if self._keyword("servers"):
+            where = self._where_server()
+            if not (self._keyword("set") and self._keyword("log_level")):
+                self._error("set log_level")
+            return N.AlterServers(where, self._log_level())
+        if self._keyword("server"):
+            name = self._string()
+            if name is None:
+                self._error("a server uuid or name string")
+            if not self._keyword("set"):
+                self._error("'set'")
+            if self._keyword("log_level"):
+                return N.AlterServer(name, "log_level",
+                                     self._log_level())
+            if self._keyword("backup_mode"):
+                if self._keyword("true"):
+                    return N.AlterServer(name, "backup_mode", True)
+                if self._keyword("false"):
+                    return N.AlterServer(name, "backup_mode", False)
+                self._error("true or false")
+            if self._keyword("address"):
+                addr = self._string()
+                if addr is None:
+                    self._error("an address string")
+                return N.AlterServer(name, "address", addr)
+            if self._keyword("port"):
+                m = self._match(_RE_INT)
+                if m is None:
+                    self._error("integer")
+                return N.AlterServer(name, "port", int(m.group(0)))
+            self._error("log_level, backup_mode, address or port")
         self._error("an alterable entity")
+
+    def _log_level(self) -> str:
+        for lvl in ("debug", "info", "warning", "error", "critical"):
+            if self._keyword(lvl):
+                return lvl
+        # expectation list is the reference's golden
+        # (itest/test_server.py:79-83)
+        self._error("debug, info, warning, error or critical")
 
     def _grant_revoke(self, kind: str):
         access = []

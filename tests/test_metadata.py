@@ -245,3 +245,27 @@ def test_help_topics(eng):
     from siridb_server_spark.errors import QueryError
     with pytest.raises(QueryError, match="Cannot find help"):
         eng.query("help nonsense")
+
+
+def test_alter_server(eng):
+    r = eng.query("alter server 'sparksiri:0' set log_level debug")
+    assert r == {"success_msg":
+                 "Successfully set log level to 'debug' on "
+                 "'sparksiri:0'."}
+    assert eng.query("list servers log_level")["servers"] == [["debug"]]
+    kv = {d["name"]: d["value"]
+          for d in eng.query("show log_level")["data"]}
+    assert kv["log_level"] == "debug"
+    r = eng.query("alter servers set log_level warning")
+    assert r["success_msg"] == \
+        "Successfully set log level to 'warning' on 1 servers."
+    eng.query("alter server 'sparksiri:0' set backup_mode true")
+    assert eng.query("list servers status")["servers"] == [
+        ["running (backup mode)"]]
+    with pytest.raises(QueryError, match="Cannot find server"):
+        eng.query("alter server 'other:0' set log_level info")
+    # golden expectation list (itest/test_server.py:79-83)
+    from siridb_server_spark.errors import ParseError
+    with pytest.raises(ParseError,
+                       match="debug, info, warning, error or critical"):
+        eng.query("alter server 'sparksiri:0' set log_level unknown")
