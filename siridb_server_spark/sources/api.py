@@ -1,0 +1,80 @@
+"""HTTP API surface, transport-free.
+
+The reference serves POST /query/<db> and POST /insert/<db> with
+JSON bodies (src/siri/api.c:233-241, JSON→qpack conversion at
+:651-728, status codes E400..E503, error payloads as
+{"error_msg": ...} — api.c:915-925). This module implements the
+same request contract as a plain function so any WSGI/ASGI server
+(or test) can mount it; the container has no HTTP stack, and the
+transport is not where the semantics live.
+
+`handle_request` returns (status_code, payload): payload is a dict
+(JSON-ready) or a plain string for bare errors.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .. import access as ACL
+from ..errors import InsertError, ParseError, QueryError
+
+DBNAME = "sparksiri"
+
+
+def _auth(engine, user: str | None, password: str | None):
+    if user is None:
+        return None
+    u = engine.users.get(user)
+    if u is None or u["password"] != password:
+        return None
+    return user
+
+
+def handle_request(engine, method: str, path: str, body,
+                   user: str | None = None,
+                   password: str | None = None,
+                   content_type: str = "application/json"):
+    parts = [p for p in path.split("/") if p]
+    if len(parts) != 2 or parts[0] not in ("query", "insert"):
+        return 404, "NOT FOUND"
+    route, db = parts
+    if method.upper() != "POST":
+        return 405, "METHOD NOT ALLOWED"
+    if db != DBNAME:
+        return 404, "NOT FOUND"
+    authed = _auth(engine, user, password)
+    if authed is None:
+        return 401, "UNAUTHORIZED"
+    if "json" not in content_type:
+        return 415, "UNSUPPORTED MEDIA TYPE"
+    if isinstance(body, (bytes, str)):
+        try:
+            body = json.loads(body)
+        except (ValueError, TypeError):
+            return 400, "BAD REQUEST"
+
+    have = engine.users[authed]["access"]
+    needed = ACL.SELECT if route == "query" else ACL.INSERT
+    # the reference pre-checks only the insert bit at the HTTP layer
+    # (api.c:662) and lets the query path do per-statement checks;
+    # we do both through the engine's dispatcher
+    if route == "insert" and have & needed != needed:
+        return 403, "FORBIDDEN"
+
+    prev = engine.session_user
+    engine.session_user = authed
+    try:
+        if route == "query":
+            if not isinstance(body, dict) or "q" not in body:
+                return 400, "BAD REQUEST"
+            try:
+                return 200, engine.query(body["q"])
+            except (QueryError, ParseError) as e:
+                return 400, {"error_msg": str(e)}
+        try:
+            return 200, engine.insert(body)
+        except (InsertError, QueryError) as e:
+            return 400, {"error_msg": str(e)}
+    finally:
+        engine.session_user = prev

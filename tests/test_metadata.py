@@ -269,3 +269,48 @@ def test_alter_server(eng):
     with pytest.raises(ParseError,
                        match="debug, info, warning, error or critical"):
         eng.query("alter server 'sparksiri:0' set log_level unknown")
+
+
+def test_http_api_contract(spark):
+    """Transport-free replay of the reference's HTTP contract
+    (api.c:233-241, 651-728): routes, auth, status codes, error
+    payload shape (itest/test_http_api.py is the reference model)."""
+    from siridb_server_spark.sources.api import handle_request
+
+    e = SiriEngine(spark, precision="s")
+    ins = '{"hx": [[100, 1.5], [160, 2.5]]}'
+    st, r = handle_request(e, "POST", "/insert/sparksiri", ins,
+                           user="iris", password="siri")
+    assert st == 200 and r["success_msg"] == \
+        "Successfully inserted 2 point(s)."
+    st, r = handle_request(e, "POST", "/query/sparksiri",
+                           '{"q": "select sum(60) from \'hx\'"}',
+                           user="iris", password="siri")
+    assert st == 200 and r == {"hx": [[120, 1.5], [180, 2.5]]}
+    # error payload shape
+    st, r = handle_request(e, "POST", "/query/sparksiri",
+                           '{"q": "select nope() from \'hx\'"}',
+                           user="iris", password="siri")
+    assert st == 400 and "error_msg" in r
+    # auth / routing / method / media-type codes
+    assert handle_request(e, "POST", "/query/sparksiri",
+                          '{"q": "show"}', user="iris",
+                          password="wrong")[0] == 401
+    assert handle_request(e, "POST", "/query/otherdb", "{}",
+                          user="iris", password="siri")[0] == 404
+    assert handle_request(e, "GET", "/query/sparksiri", "{}",
+                          user="iris", password="siri")[0] == 405
+    assert handle_request(e, "POST", "/query/sparksiri", "{}",
+                          user="iris", password="siri",
+                          content_type="text/csv")[0] == 415
+    assert handle_request(e, "POST", "/query/sparksiri", "not json",
+                          user="iris", password="siri")[0] == 400
+    # insert privilege enforced at the HTTP layer (api.c:662)
+    e.query("create user 'ro' set password 'pw123456'")
+    e.query("grant read to user 'ro'")
+    assert handle_request(e, "POST", "/insert/sparksiri", ins,
+                          user="ro", password="pw123456")[0] == 403
+    st, r = handle_request(e, "POST", "/query/sparksiri",
+                           '{"q": "count series"}',
+                           user="ro", password="pw123456")
+    assert st == 200 and r == {"series": 1}
