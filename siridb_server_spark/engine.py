@@ -33,6 +33,8 @@ from .model import (
     TP_INT,
     TP_STRING,
     TP_NAMES,
+    coerce_value,
+    infer_tp,
     point_row,
     value_of_row,
 )
@@ -142,12 +144,16 @@ class SiriEngine:
                     raise InsertError(
                         "Expecting an array with a timestamp and value.")
                 ts, val = pt[0], pt[1]
-                row = point_row(name, ts, val, self._seq)
                 if tp is None:
+                    row = point_row(name, ts, val, self._seq)
                     tp = row[6]
-                elif row[6] != tp:
-                    raise InsertError(
-                        "Wrong type for series '%s'." % name)
+                else:
+                    # reference coerces mismatched values into the
+                    # series' existing type instead of rejecting them
+                    # (siridb_series_ensure_type, series.c:1141-1219)
+                    infer_tp(val)  # still reject bool/None/objects
+                    row = point_row(
+                        name, ts, coerce_value(tp, val), self._seq, tp)
                 self._seq += 1
                 rows.append(row)
                 n += 1

@@ -22,6 +22,7 @@ Spark-first re-expression: ONE long DataFrame, one row per point:
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import types as T
 
@@ -84,6 +85,48 @@ def infer_tp(value) -> int:
         "Error in point at position 0. "
         "Only integer, float and string values are supported."
     )
+
+
+_STRTOLL_RE = re.compile(r"^\s*([+-]?\d+)")
+_STRTOD_RE = re.compile(
+    r"^\s*([+-]?(?:inf(?:inity)?|nan|\d+\.?\d*(?:[eE][+-]?\d+)?"
+    r"|\.\d+(?:[eE][+-]?\d+)?))",
+    re.IGNORECASE,
+)
+
+
+def coerce_value(tp: int, value):
+    """Coerce a wrong-typed inserted value into the series' existing
+    type — the reference does NOT reject type mismatches; it converts
+    in place (siridb_series_ensure_type, src/siri/db/series.c:1141-1219,
+    golden itest/test_series.py:26-77): int series truncate doubles
+    (C cast) and strtoll strings (overflow clamps, garbage → 0);
+    double series strtod strings; string series format ints with %d
+    and doubles with C-locale "%f"."""
+    if tp == TP_INT:
+        if isinstance(value, float):
+            if math.isnan(value):
+                return 0
+            v = int(value)  # C cast truncates toward zero
+        elif isinstance(value, str):
+            m = _STRTOLL_RE.match(value)
+            v = int(m.group(1)) if m else 0
+        else:
+            return value
+        return max(INT64_MIN, min(INT64_MAX, v))
+    if tp == TP_DOUBLE:
+        if isinstance(value, int):
+            return float(value)
+        if isinstance(value, str):
+            m = _STRTOD_RE.match(value)
+            return float(m.group(1)) if m else 0.0
+        return value
+    # TP_STRING
+    if isinstance(value, int):
+        return "%d" % value
+    if isinstance(value, float):
+        return "%f" % value
+    return value
 
 
 def point_row(series: str, ts: int, value, seq: int, tp: int | None = None):

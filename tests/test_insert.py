@@ -38,16 +38,76 @@ def test_list_shape_empty_name(eng):
         eng.insert([{"name": "", "points": [[1, 0]]}])
 
 
-def test_wrong_type_second_insert(eng):
-    eng.insert({"t": [[1, 1]]})
-    with pytest.raises(InsertError, match="Wrong type"):
-        eng.insert({"t": [[2, "str"]]})
-    with pytest.raises(InsertError, match="Wrong type"):
-        eng.insert({"t": [[2, 2.5]]})
+def test_type_coercion_second_insert(eng):
+    """Mismatched types are COERCED into the series' first-insert type,
+    never rejected (siridb_series_ensure_type, series.c:1141-1219;
+    golden itest/test_series.py:26-77 — string expectations there use
+    the server's locale decimal comma; ours is C-locale)."""
+    r = eng.insert({
+        "string": [
+            [1538660000, "some string value"],
+            [1538660010, -123456789],
+            [1538660020, -0.5],
+        ],
+        "integer": [
+            [1538660000, 1],
+            [1538660010, 35.6],
+            [1538660020, "-50%"],
+            [1538660030, ""],
+            [1538660035, "garbage"],
+            [1538660040, "18446744073709551616"],    # strtoll clamps
+            [1538660050, "-18446744073709551616"],
+        ],
+        "double": [
+            [1538660000, 1.0],
+            [1538660010, -35],
+            [1538660020, "-50%"],
+            [1538660030, ""],
+            [1538660035, "garbage"],
+        ],
+    })
+    assert r["success_msg"] == "Successfully inserted 15 point(s)."
+    assert eng.query(
+        'select * from "string", "integer", "double"') == {
+        "string": [
+            [1538660000, "some string value"],
+            [1538660010, "-123456789"],
+            [1538660020, "-0.500000"],
+        ],
+        "integer": [
+            [1538660000, 1],
+            [1538660010, 35],
+            [1538660020, -50],
+            [1538660030, 0],
+            [1538660035, 0],
+            [1538660040, 9223372036854775807],
+            [1538660050, -9223372036854775808],
+        ],
+        "double": [
+            [1538660000, 1.0],
+            [1538660010, -35.0],
+            [1538660020, -50.0],
+            [1538660030, 0.0],
+            [1538660035, 0.0],
+        ],
+    }
     # same type appends fine, out of order, duplicates kept
+    eng.insert({"t": [[1, 1]]})
     eng.insert({"t": [[1, 7], [0, 5]]})
     assert eng.query("select * from 't'") == {
         "t": [[0, 5], [1, 1], [1, 7]]}
+
+
+def test_unicode_names_and_missing_series(eng):
+    """Unicode series names round-trip; selecting a non-existent name
+    is silently empty, not an error (itest/test_series.py:96-113)."""
+    pi, klingon = "ԉ π", "qajunpaQHeylIjmo' batlh"
+    eng.insert({pi: [[1, 5], [2, 6]], klingon: [[1, 1.5]]})
+    assert eng.query(f'select * from "{pi}", "nexist"') == {
+        pi: [[1, 5], [2, 6]]}
+    assert eng.query('select * from "nexist"') == {}
+    assert eng.query(f'select * from "{klingon}"') == {
+        klingon: [[1, 1.5]]}
 
 
 def test_series_name_too_long(eng):
