@@ -268,17 +268,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q1ish"] = tpch_q1ish
 
     def tpch_join_revenue(spark, sf_dir):
+        # Scale shape: orders/customer are fact-sized at 100 TB, so no
+        # forced broadcast (AQE picks broadcast when a side is small).
+        # Pre-aggregating lineitem by orderkey shrinks the join's left
+        # side 4:1 and its hash partitioning is reused by the join —
+        # no extra shuffle versus joining raw lineitem.
         li = load(spark, sf_dir, "lineitem")
         orders = load(spark, sf_dir, "orders")
         cust = load(spark, sf_dir, "customer")
         rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        pre = (li.select("l_orderkey", rev.alias("rev"))
+               .groupBy("l_orderkey")
+               .agg(F.sum("rev").alias("rev"),
+                    F.count(F.lit(1)).alias("n")))
+        o2 = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+        c2 = cust.select("c_custkey")
         return (
-            li.join(F.broadcast(orders),
-                    li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            pre.join(o2, pre.l_orderkey == o2.o_orderkey)
+            .join(c2, o2.o_custkey == c2.c_custkey)
             .groupBy("o_orderpriority")
-            .agg(F.round(F.sum(rev), 2).alias("revenue"),
-                 F.count(F.lit(1)).alias("n_items"))
+            .agg(F.round(F.sum("rev"), 2).alias("revenue"),
+                 F.sum("n").alias("n_items"))
         )
 
     q["tpch_join_revenue"] = tpch_join_revenue
