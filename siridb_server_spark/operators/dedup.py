@@ -108,25 +108,25 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
                        id_col: str = "doc_id") -> DataFrame:
     """MinHash signatures as ONE array column.
 
-    One row per (doc, shingle) — the shingle is hashed ONCE with
-    xxhash64, then the k independent hash functions are derived
-    JVM-side as xxhash64(base_hash, seed) inside k ``min`` aggregate
-    expressions. No row blowup (the old shape exploded k× rows and
-    needed a second shuffle), map-side partial aggregation does the
-    min before any data moves. k=16 aggregate columns keep the
-    generated code small.
+    MinHash is per-document math, so the signature is computed ROW-
+    LOCALLY: each shingle is hashed ONCE with xxhash64, then the k
+    independent hash functions are derived as xxhash64(base_hash,
+    seed) inside k ``array_min`` expressions over the shingle-hash
+    array. ZERO shuffles — at 100 TB the signature stage is a pure
+    map over the input splits (the earlier shape exploded shingles
+    and shuffled the token stream into a groupBy vote).
     Output: (doc_id, sig array<long>[k])."""
-    sh = (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(shingles(text_col, shingle_n)).alias("sh"))
-        .select("doc_id", F.xxhash64("sh").alias("h"))
+    hs = F.transform(shingles(text_col, shingle_n),
+                     lambda s: F.xxhash64(s))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.array(*[
+                F.array_min(F.transform(
+                    "hs", lambda h: F.xxhash64(h, F.lit(i))))
+                for i in range(num_hashes)]).alias("sig"))
     )
-    mins = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}")
-          for i in range(num_hashes)])
-    return mins.select(
-        "doc_id",
-        F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
@@ -242,24 +242,35 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
     counts linear instead of quadratic on dup-heavy corpora.
     Output: (doc_id, simhash)."""
     assert bits == 64, "lane-packed simhash is fixed at 64 bits"
-    h = _doc_word_hashes(df, text_col, id_col)
-    # Lane-packed popcount-per-position: bit positions {i, i+16,
-    # i+32, i+48} share one long as four 16-bit counters, so the
-    # aggregation carries 16 sum buffers instead of 64 — 4× narrower
-    # shuffle rows and aggregate state. One shuffle, map-side
-    # combine. Bound: ≤ 65535 distinct tokens per document (lane
-    # width); web/corpus documents are far below this.
-    def lane(i):
-        e = None
-        for k in range(4):
-            term = F.shiftleft(
-                F.shiftright("h", i + 16 * k).bitwiseAND(F.lit(1)),
-                16 * k)
-            e = term if e is None else e.bitwiseOR(term)
-        return F.sum(e).alias(f"p{i}")
+    # SimHash is per-document math — no cross-row dependency — so the
+    # whole signature is computed ROW-LOCALLY with array expressions:
+    # tokenize, array_distinct, hash, then a lane-packed bit vote via
+    # F.aggregate over the hash array. Zero shuffles until the LSH
+    # banding join; at 100 TB the signature stage is a pure map over
+    # the input splits. Lane packing: bit positions {i, i+16, i+32,
+    # i+48} share one long as four 16-bit counters, so the fold
+    # carries 16 longs instead of 64. Bound: ≤ 65535 distinct tokens
+    # per document (lane width); real documents are far below this.
+    arr = F.array_distinct(F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != ""))
+    hs = F.transform(arr, lambda x: F.xxhash64(x))
 
-    agg = h.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), *[lane(i) for i in range(16)])
+    def lane(i):
+        def step(acc, h):
+            e = None
+            for k in range(4):
+                term = F.shiftleft(
+                    F.shiftright(h, i + 16 * k).bitwiseAND(F.lit(1)),
+                    16 * k)
+                e = term if e is None else e.bitwiseOR(term)
+            return acc + e
+        return F.aggregate("hs", F.lit(0).cast("long"), step) \
+            .alias(f"p{i}")
+
+    agg = (df.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+           .select("doc_id", F.size("hs").alias("n"),
+                   *[lane(i) for i in range(16)]))
     # majority vote 2*s > n per position reassembles the signature
     word = None
     for i in range(64):

@@ -12,6 +12,8 @@ tie-break), val = value.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,7 +25,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.parquet carries TIMESTAMP(NANOS); read it as raw int64 ns
     # (no-op for the micros/millis tables)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Split correction for the map-heavy corpora ONLY: the testdata
+    # files are single-row-group parquet, so a scan yields ONE task no
+    # matter how many cores exist. Production-scale inputs arrive as
+    # thousands of native splits; emulate that for documents/
+    # embeddings, whose operators (simhash, minhash, text features,
+    # ANN) do row-local heavy lifting with no early shuffle to spread
+    # the work. The relational/points tables are left alone — their
+    # first groupBy/join shuffle already redistributes, and a forced
+    # repartition would be a pure extra shuffle at any scale.
+    if name in ("documents", "embeddings"):
+        try:
+            sz = os.path.getsize(f"{sf_dir}/{name}.parquet")
+        except OSError:
+            sz = 0
+        cores = spark.sparkContext.defaultParallelism
+        if sz >= 256 * 1024:
+            df = df.repartition(cores)
+    return df
 
 
 def events_points(spark: SparkSession, sf_dir: str,
