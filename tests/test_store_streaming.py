@@ -172,3 +172,46 @@ def test_incremental_catalog_maintenance(spark, tmp_path):
     assert repaired == {"a": 3}
     import os
     assert not os.path.exists(eng.store._pending_path)
+
+
+def test_stateful_streaming_dedup_and_stats(spark, tmp_path):
+    """applyInPandasWithState operators: cross-batch, cross-RESTART
+    state via the checkpoint — a duplicate arriving in a later run is
+    suppressed; per-series stats accumulate across runs."""
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id long, text string, series string, ts long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def run_once(name, ckpt, build):
+        out = str(tmp_path / name)
+
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (build(stream).writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    write_batch([(1, "hello", "a", 100), (2, "world", "a", 200)])
+    got = run_once("dd1", "cd", lambda s: ST.streaming_dedup_first_seen(s))
+    assert {r[1] for r in got} == {1, 2}
+    stats = run_once("ss1", "cs", lambda s: ST.streaming_series_stats(s))
+    assert stats == {("a", 2, 100, 200)}
+
+    # second run, same checkpoints: duplicate text suppressed by
+    # restored state; stats continue from (2, 100, 200)
+    write_batch([(3, "hello", "a", 50), (4, "fresh", "b", 500)])
+    got2 = run_once("dd2", "cd", lambda s: ST.streaming_dedup_first_seen(s))
+    assert {r[1] for r in got2} == {4}
+    stats2 = run_once("ss2", "cs", lambda s: ST.streaming_series_stats(s))
+    assert stats2 == {("a", 3, 50, 200), ("b", 1, 500, 500)}
