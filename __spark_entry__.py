@@ -179,6 +179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda spark, sf_dir: D.simhash_pairs(
         load(spark, sf_dir, "documents"), max_hamming=3)
 
+    def dedup_contamination(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        return D.ngram_contamination(
+            docs.where(F.col("doc_id") % 20 != 0),
+            docs.where(F.col("doc_id") % 20 == 0), n=3)
+
+    q["dedup_contamination"] = dedup_contamination
+
     def dedup_resolve(spark, sf_dir):
         docs = load(spark, sf_dir, "documents").where(
             F.col("doc_id") < 300)
@@ -539,6 +547,23 @@ def oracle_sql() -> dict[str, str]:
         " FROM i JOIN sz sa ON id_a = sa.doc_id"
         " JOIN sz sb ON id_b = sb.doc_id"
         " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8"
+    )
+    # train/eval decontamination: distinct shared 3-gram count per
+    # training doc against the eval slice's gram set (slice w[i:i+2]
+    # is 1-based inclusive — DuckDB's clamp at short docs matches
+    # Spark's slice(w, i, 3))
+    o["dedup_contamination"] = (
+        "WITH tok AS (SELECT doc_id,"
+        " list_filter(string_split(lower(trim(text)), ' '),"
+        " x -> x <> '') AS w FROM documents),"
+        " grams AS (SELECT doc_id, list_distinct(list_transform("
+        " range(1, greatest(len(w) - 2, 1) + 1),"
+        " i -> array_to_string(w[i:i+2], ' '))) AS gs FROM tok),"
+        " x AS (SELECT doc_id, unnest(gs) AS g FROM grams),"
+        " ev AS (SELECT DISTINCT g FROM x WHERE doc_id % 20 = 0),"
+        " tr AS (SELECT doc_id, g FROM x WHERE doc_id % 20 <> 0)"
+        " SELECT tr.doc_id, count(*) AS overlap"
+        " FROM tr JOIN ev USING (g) GROUP BY 1 HAVING count(*) >= 1"
     )
     # duplicate-cluster resolution: connected components (min label
     # reachable over the undirected near-dup graph) via recursive CTE

@@ -59,6 +59,34 @@ def _doc_word_hashes(df: DataFrame, text_col: str,
     )
 
 
+def ngram_contamination(train_df: DataFrame, eval_df: DataFrame,
+                        n: int = 3, min_overlap: int = 1,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing
+    ≥ min_overlap distinct n-gram shingles with ANY document of an
+    evaluation/benchmark set (the standard leakage check before
+    training on a crawled corpus).
+
+    Scale shape: the training side is a pure map (row-local shingle
+    hashing — ``shingles`` dedups per doc, so no pre-join distinct
+    shuffle); the eval side collapses to a distinct-hash set that is
+    tiny relative to any training corpus and is BROADCAST. One
+    groupBy(doc_id) on the (rare) hits is the only shuffle, so a
+    100 TB train scan stays embarrassingly parallel.
+    Output: (doc_id, overlap) for contaminated training docs."""
+    hs = F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+    tr = (train_df.select(F.col(id_col).alias("doc_id"),
+                          F.explode(hs).alias("h")))
+    ev = (eval_df.select(F.explode(hs).alias("h")).distinct())
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .where(F.col("overlap") >= min_overlap)
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

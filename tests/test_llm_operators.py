@@ -41,6 +41,24 @@ def test_ngram_jaccard(docs):
     assert pairs[(0, 2)] == pytest.approx(8 / 9, abs=1e-5)  # adds 'a'
 
 
+def test_ngram_contamination(docs, spark):
+    # eval set = doc 0's exact text; train docs sharing 3-grams with
+    # it are contaminated, unrelated docs are not
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    train = docs.where("doc_id > 0")
+    got = {r["doc_id"]: r["overlap"]
+           for r in D.ngram_contamination(train, ev, n=3).collect()}
+    assert got[1] == 7          # identical text: all 7 3-grams shared
+    assert got[2] == 4          # near dup: changed word kills 3 of 7
+    assert 3 not in got and 4 not in got
+    # min_overlap raises the bar
+    strict = {r["doc_id"] for r in D.ngram_contamination(
+        train, ev, n=3, min_overlap=6).collect()}
+    assert strict == {1}
+
+
 def test_minhash_lsh(docs):
     pairs = {(r["id_a"], r["id_b"])
              for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
