@@ -222,6 +222,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprint"] = text_fingerprint
 
+    def text_topk_per_source(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        scored = TX.quality_features(docs, keep=("source",))
+        return TX.topk_per_group(
+            scored.select("doc_id", "source", "n_stopwords",
+                          "n_tokens"),
+            "source",
+            [F.col("n_stopwords").desc(), F.col("doc_id")], k=5)
+
+    q["text_topk_per_source"] = text_topk_per_source
+
     # --- similarity search
     def _query_vec(spark, sf_dir):
         row = load(spark, sf_dir, "embeddings") \
@@ -243,6 +254,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             k=10, nprobe=3)
 
     q["sim_ivf_topk"] = sim_ivf_topk
+
+    def sim_ivf_kmeans(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        vec = _query_vec(spark, sf_dir)
+        cents = SIM.kmeans_fit(emb, k=4, iters=3)
+        return SIM.ivf_topk_trained(
+            emb.where(F.col("vec_id") != 0), vec, cents,
+            k=10, nprobe=2)
+
+    q["sim_ivf_kmeans"] = sim_ivf_kmeans
 
     def sim_lsh_topk(spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
@@ -610,6 +631,16 @@ def oracle_sql() -> dict[str, str]:
             + " %' THEN 1 ELSE 0 END" for m in markers)
 
     marks = TX.LANG_MARKERS
+    o["text_topk_per_source"] = (
+        "WITH q AS (SELECT doc_id, source, (" + _hits(marks["en"])
+        + ") AS n_stopwords, CASE WHEN length(trim(text)) = 0 THEN 0"
+        " ELSE len(string_split_regex(trim(text), '\\s+')) END"
+        " AS n_tokens FROM documents),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY source"
+        " ORDER BY n_stopwords DESC, doc_id) AS rk FROM q)"
+        " SELECT doc_id, source, n_stopwords, n_tokens"
+        " FROM r WHERE rk <= 5"
+    )
     o["text_langid"] = (
         "WITH s AS (SELECT doc_id,"
         + ", ".join(f"({_hits(ms)}) AS s_{lang}"

@@ -212,3 +212,76 @@ def cosine_pairs_blocked(emb: DataFrame, threshold: float = 0.35,
     return (emb.select(id_col, block_col, vec_col)
             .groupBy(block_col)
             .applyInPandas(block_pairs, schema=schema))
+
+
+def _sq_dist(vec_col, centroid) -> Column:
+    """Row-local squared L2 distance to one (python-list) centroid."""
+    return F.aggregate(
+        F.zip_with(vec_col, _lit_vec(centroid),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_cells(emb: DataFrame, centroids: list,
+                 vec_col: str = "embedding") -> Column:
+    """Nearest-centroid cell id as a row-local column expression: the
+    centroid list is baked into the plan (implicit broadcast — k×dim
+    floats, tiny), so assignment is a pure map with no shuffle and no
+    Python. For k beyond a few hundred switch to a pandas UDF; IVF
+    coarse quantizers stay far below that."""
+    d = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 5,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> list:
+    """Lloyd's k-means as a driver-side loop of DataFrame jobs — the
+    canonical Spark iterative algorithm. Per iteration: one map
+    (assign, broadcast centroids) + one groupBy((cell, pos)) mean;
+    only k×dim aggregated floats ever reach the driver. Deterministic
+    init: the k rows with the smallest xxhash64(id) (TakeOrdered — a
+    per-partition heap, not a global sort).
+
+    Returns the centroids as a python list of lists (feed to
+    assign_cells / ivf_topk_trained)."""
+    init = (emb.select(
+        vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h").limit(k).collect())
+    cents = [list(r[vec_col]) for r in init]
+    for _ in range(iters):
+        cell = assign_cells(emb, cents, vec_col)
+        means = (emb.select(cell.alias("cell"),
+                            F.posexplode(vec_col).alias("pos", "v"))
+                 .groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+                 .collect())
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            [d[p] for p in sorted(d)] if (d := by_cell.get(i)) else
+            cents[i]
+            for i in range(len(cents))]
+    return cents
+
+
+def ivf_topk_trained(emb: DataFrame, query_vec, centroids: list,
+                     k: int = 10, nprobe: int = 2,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """IVF search against k-means cells (no pre-existing label
+    needed): rank centroids on the driver, brute-force only within
+    the nprobe nearest cells. With the table pre-partitioned by the
+    assigned cell this is partition pruning, same as ivf_topk."""
+    q = list(map(float, query_vec))
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(q, c))
+
+    probes = sorted(range(len(centroids)),
+                    key=lambda i: d2(centroids[i]))[:nprobe]
+    cell = assign_cells(emb, centroids, vec_col)
+    return brute_force_topk(
+        emb.withColumn("_cell", cell)
+        .where(F.col("_cell").isin(probes)).drop("_cell"),
+        query_vec, k, vec_col, id_col)

@@ -10,7 +10,7 @@ collect — so Catalyst fuses it into the scan stage.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram language heuristic.
@@ -67,9 +67,12 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(df: DataFrame, text_col: str = "text",
+                     keep: tuple = ()) -> DataFrame:
     """Quality-scoring features per document (round-trippable in ANSI
-    SQL for the correctness oracle)."""
+    SQL for the correctness oracle). ``keep`` names extra columns to
+    carry through (e.g. the source/domain for downstream per-group
+    curation — cheaper than re-joining on doc_id)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
@@ -80,6 +83,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = _marker_hits(t, LANG_MARKERS["en"]).cast("long")
     return df.select(
         "doc_id",
+        *keep,
         n_chars.cast("long").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(F.try_divide(n_chars.cast("double"),
@@ -112,3 +116,18 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
     return F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, window))))
+
+
+def topk_per_group(df: DataFrame, group_col: str, order_by: list,
+                   k: int) -> DataFrame:
+    """Per-group top-k selection (corpus curation: keep the k best
+    documents per source/domain by a quality ordering).
+
+    One window row_number over a single hash shuffle on the group
+    key. At 100 TB this is the canonical shape — no global sort, and
+    skewed groups are bounded by AQE skew handling; callers must
+    include a deterministic tie-break column (e.g. doc_id) in
+    ``order_by`` for reproducible corpora."""
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))

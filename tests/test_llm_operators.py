@@ -226,3 +226,29 @@ def test_resolve_duplicates(docs):
     assert res[5] == (0, False)
     assert res[3] == (3, True)  # singleton keeps itself
     assert res[4] == (4, True)
+
+
+def test_topk_per_group(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), float(i)) for i in range(10)],
+        "doc_id long, source string, score double")
+    got = {(r["source"], r["doc_id"]) for r in TX.topk_per_group(
+        df, "source", [F.col("score").desc(), F.col("doc_id")],
+        k=2).collect()}
+    assert got == {("s0", 8), ("s0", 6), ("s1", 9), ("s1", 7)}
+
+
+def test_kmeans_ivf(spark):
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1),
+                 float(i % 3 == 2)], 0) for i in range(30)]
+    emb3 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    cents = SIM.kmeans_fit(emb3, k=3, iters=4)
+    # converges to the three one-hot corners
+    assert sorted(tuple(round(x) for x in c) for c in cents) == [
+        (0, 0, 1), (0, 1, 0), (1, 0, 0)]
+    got = SIM.ivf_topk_trained(
+        emb3, [1.0, 0.0, 0.0], cents, k=3, nprobe=1).collect()
+    assert all(r["vec_id"] % 3 == 0 for r in got)
+    assert got[0]["cos"] == pytest.approx(1.0)
