@@ -39,8 +39,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_contamination",
     "text_quality",
     "text_fingerprint",
+    "text_topk_per_source",
     "sim_bruteforce_topk",
     "sim_cosine_pairs",
     "multimodal_meta",
@@ -95,6 +97,28 @@ def main():
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         total += best
+
+    # ingest throughput: canonicalize + partitioned-store append of
+    # the full events table (the reference's envelope is thousands of
+    # points per insert batch; this is one 100k-point batch at sf0.1)
+    import shutil
+    import tempfile
+
+    from siridb_server_spark.sources.store import PointsStore
+    from siridb_server_spark.sources.testdata import events_points
+
+    tmp = tempfile.mkdtemp(prefix="sparksiri-bench-")
+    try:
+        store = PointsStore(f"{tmp}/db", 604800 * 10 ** 9,
+                            259200 * 10 ** 9)
+        pts = events_points(spark, SF_DIR)
+        t0 = time.perf_counter()
+        store.append_df(pts)
+        dt = time.perf_counter() - t0
+        timings["ingest_events_store"] = round(dt, 3)
+        total += dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -314,3 +314,19 @@ def test_http_api_contract(spark):
                            '{"q": "count series"}',
                            user="ro", password="pw123456")
     assert st == 200 and r == {"series": 1}
+
+
+def test_ten_thousand_series_envelope(spark):
+    """Reference envelope: a database holds ≥10k listable series
+    (itest/testing/helpers.py:78-79 generates 10,000). Exercises the
+    derived catalog, list_limit cap, and set algebra at that width."""
+    from siridb_server_spark import SiriEngine
+    eng = SiriEngine(spark, precision="s")
+    names = [f"m-{i:05d}" for i in range(10_000)]
+    eng.insert({n: [[1 + (i % 7), i]] for i, n in enumerate(names)})
+    assert eng.query("count series") == {"series": 10_000}
+    assert eng.query("count series /m-00.*/") == {"series": 1_000}
+    # default list_limit caps at 10k rows (db.h:17)
+    assert len(eng.query("list series")["series"]) == 10_000
+    got = eng.query("count series length /m-.*/ - /m-000.*/")
+    assert got == {"series_length": 10_000 - 100}
