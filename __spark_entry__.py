@@ -47,7 +47,10 @@ def _eng(spark: SparkSession, sf_dir: str, as_int: bool = False) -> SiriEngine:
 def _pv(df: DataFrame, col: str, nd: int | None = None) -> DataFrame:
     c = F.col(col)
     if nd is not None:
-        c = F.round(c, nd)
+        # + 0.0 normalizes IEEE -0.0 to +0.0 so the value hash is
+        # stable across engines (Spark BigDecimal HALF_UP vs DuckDB
+        # round disagree on the sign of a zero result)
+        c = F.round(c, nd) + F.lit(0.0)
     return df.select("series", "ts", c.alias("val"))
 
 
@@ -60,7 +63,7 @@ def _sel(q: str, col: str = "val_dbl", nd: int | None = None,
 
 def _bucket_sql(agg: str, g: int, nd: int | None = None,
                 int_pts: bool = False) -> str:
-    val = f"round({agg}, {nd})" if nd is not None else agg
+    val = f"round({agg}, {nd}) + 0.0" if nd is not None else agg
     pre = EVENTS_PTS_INT_SQL if int_pts else EVENTS_PTS_SQL
     return (
         f"{pre} SELECT series, ((ts + {g - 1}) // {g}) * {g} AS ts, "
@@ -76,7 +79,8 @@ def entry(spark: SparkSession) -> DataFrame:
     df = eng.select_df(
         'select mean(1h) prefix "m-", max(1h) prefix "x-" from /.*/')
     return df.select("series", "ts",
-                     F.round(F.col("val_dbl"), 6).alias("val"))
+                     (F.round(F.col("val_dbl"), 6)
+                      + F.lit(0.0)).alias("val"))
 
 
 # ----------------------------------------------------------------- queries
@@ -288,9 +292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = load(spark, sf_dir, "lineitem")
         return (
             li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            .agg((F.round(F.sum("l_quantity"), 4)
+                  + F.lit(0.0)).alias("sum_qty"),
+                 (F.round(F.sum("l_extendedprice"), 2)
+                  + F.lit(0.0)).alias("sum_price"),
+                 (F.round(F.avg("l_discount"), 6)
+                  + F.lit(0.0)).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order"))
         )
 
@@ -316,7 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pre.join(o2, pre.l_orderkey == o2.o_orderkey)
             .join(c2, o2.o_custkey == c2.c_custkey)
             .groupBy("o_orderpriority")
-            .agg(F.round(F.sum("rev"), 2).alias("revenue"),
+            .agg((F.round(F.sum("rev"), 2) + F.lit(0.0)).alias("revenue"),
                  F.sum("n").alias("n_items"))
         )
 
@@ -345,7 +352,7 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["siri_count_bucket"] = _bucket_sql("count(*)", H)
-    o["siri_sum_bucket"] = _bucket_sql("round(sum(val), 4)", H)
+    o["siri_sum_bucket"] = _bucket_sql("sum(val)", H, nd=4)
     o["siri_mean_bucket"] = _bucket_sql("avg(val)", D6, nd=6)
     o["siri_min_bucket"] = _bucket_sql("min(val)", D6)
     o["siri_max_bucket"] = _bucket_sql("max(val)", D6)
@@ -402,7 +409,7 @@ def oracle_sql() -> dict[str, str]:
         " SELECT series, bts AS ts,"
         " round((max(CASE WHEN rl = 1 THEN val END)"
         f" - max(CASE WHEN rf = 1 THEN val END)) * (1000000000.0 / {D6}),"
-        " 6) AS val FROM b GROUP BY 1, 2"
+        " 6) + 0.0 AS val FROM b GROUP BY 1, 2"
     )
 
     o["siri_sum_int_bucket"] = (
@@ -425,7 +432,8 @@ def oracle_sql() -> dict[str, str]:
         f"{P}, f AS (SELECT * FROM pts WHERE series IN"
         " ('purchase|1', 'error|2'))"
         " SELECT series, ts, round((val - lag(val) OVER w)"
-        " / CAST(ts - lag(ts) OVER w AS DOUBLE) * 1000000000.0, 6) AS val"
+        " / CAST(ts - lag(ts) OVER w AS DOUBLE) * 1000000000.0, 6)"
+        " + 0.0 AS val"
         " FROM f WINDOW w AS (PARTITION BY series ORDER BY ts, seq)"
         " QUALIFY lag(ts) OVER w IS NOT NULL"
     )
@@ -474,7 +482,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["siri_between_mean"] = (
         f"{P} SELECT series, ((ts + {D6 - 1}) // {D6}) * {D6} AS ts,"
-        " round(avg(val), 6) AS val FROM pts"
+        " round(avg(val), 6) + 0.0 AS val FROM pts"
         f" WHERE ts >= {BETWEEN_A} AND ts < {BETWEEN_B} GROUP BY 1, 2"
     )
     for name, order in (("siri_head", "ASC"), ("siri_tail", "DESC")):
@@ -489,7 +497,7 @@ def oracle_sql() -> dict[str, str]:
     o["siri_merge_using_mean"] = (
         f"{P} SELECT 'all' AS series,"
         f" ((ts + {D6 - 1}) // {D6}) * {D6} AS ts,"
-        " round(avg(val), 6) AS val FROM pts GROUP BY 1, 2"
+        " round(avg(val), 6) + 0.0 AS val FROM pts GROUP BY 1, 2"
     )
     # offset: the engine sweeps (aggregate.c:1188-1220) — with a dense
     # merged stream every bucket is (B_{k-1}, B_k], B_k = k*g + off,
@@ -515,7 +523,7 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS n FROM pts GROUP BY 1),"
         f" par AS (SELECT series, n, (l - f) // {_LN} + 1 AS g,"
         f" (f - 1) % ((l - f) // {_LN} + 1) AS off FROM st),"
-        " small AS (SELECT p.series, p.ts, round(p.val, 6) AS val"
+        " small AS (SELECT p.series, p.ts, round(p.val, 6) + 0.0 AS val"
         f" FROM pts p JOIN par USING (series) WHERE n <= {_LN}),"
         " cand AS (SELECT p.series, p.ts, p.val, g, off,"
         " ((p.ts - off + g - 1) // g) * g + off AS b"
@@ -534,7 +542,7 @@ def oracle_sql() -> dict[str, str]:
         " CASE WHEN c AND (rn - runstart) % 2 = 1 THEN b"
         " WHEN jump THEN b + g ELSE b END AS label FROM runs),"
         " big AS (SELECT c.series, lab.label AS ts,"
-        " round(avg(c.val), 6) AS val FROM cand c"
+        " round(avg(c.val), 6) + 0.0 AS val FROM cand c"
         " JOIN lab ON c.series = lab.series AND c.b = lab.b"
         " GROUP BY 1, 2)"
         " SELECT * FROM small UNION ALL SELECT * FROM big"
@@ -564,7 +572,7 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS i FROM dwf a JOIN dwf b ON a.w = b.w"
         " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
         " SELECT id_a, id_b,"
-        " round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard"
+        " round(i * 1.0 / (sa.n + sb.n - i), 6) + 0.0 AS jaccard"
         " FROM i JOIN sz sa ON id_a = sa.doc_id"
         " JOIN sz sb ON id_b = sb.doc_id"
         " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8"
@@ -610,12 +618,12 @@ def oracle_sql() -> dict[str, str]:
         " len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,"
         " round(length(text) * 1.0 /"
         " len(string_split_regex(trim(text), '\\s+')), 6)"
-        " AS avg_token_len,"
+        " + 0.0 AS avg_token_len,"
         " len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,"
         " round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0"
-        " / length(text), 6) AS punct_ratio,"
+        " / length(text), 6) + 0.0 AS punct_ratio,"
         " round(len(regexp_extract_all(text, '[0-9]')) * 1.0"
-        " / length(text), 6) AS digit_ratio,"
+        " / length(text), 6) + 0.0 AS digit_ratio,"
         " (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1"
         " ELSE 0 END + CASE WHEN ' ' || lower(text) || ' ' LIKE"
         " '% and %' THEN 1 ELSE 0 END + CASE WHEN ' ' || lower(text)"
@@ -679,7 +687,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["sim_bruteforce_topk"] = (
         cos_core
-        + " SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 6) AS cos"
+        + " SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 6)"
+        " + 0.0 AS cos"
         " FROM s ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id"
         " LIMIT 10"
     )
@@ -692,7 +701,7 @@ def oracle_sql() -> dict[str, str]:
         " s AS (SELECT id_a, id_b, sum(x * y) AS d, sum(x * x) AS na,"
         " sum(y * y) AS nb FROM prod GROUP BY 1, 2)"
         " SELECT id_a, id_b, round(d / (sqrt(na) * sqrt(nb)), 6)"
-        " AS cos FROM s"
+        " + 0.0 AS cos FROM s"
         " WHERE round(d / (sqrt(na) * sqrt(nb)), 6) >= 0.3"
     )
 
@@ -712,15 +721,16 @@ def oracle_sql() -> dict[str, str]:
 
     o["tpch_q1ish"] = (
         "SELECT l_returnflag, l_linestatus,"
-        " round(sum(l_quantity), 4) AS sum_qty,"
-        " round(sum(l_extendedprice), 2) AS sum_price,"
-        " round(avg(l_discount), 6) AS avg_disc,"
+        " round(sum(l_quantity), 4) + 0.0 AS sum_qty,"
+        " round(sum(l_extendedprice), 2) + 0.0 AS sum_price,"
+        " round(avg(l_discount), 6) + 0.0 AS avg_disc,"
         " count(*) AS count_order"
         " FROM lineitem GROUP BY 1, 2"
     )
     o["tpch_join_revenue"] = (
         "SELECT o_orderpriority,"
-        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2)"
+        " + 0.0 AS revenue,"
         " count(*) AS n_items"
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         " JOIN customer ON o_custkey = c_custkey"

@@ -26,7 +26,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        # repr distinguishes -0.0 from 0.0, like the driver's value
+        # hash does (plain == would forgive the sign)
+        return repr(round(v, 9))
     return v
 
 

@@ -119,7 +119,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .where(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b",
+                (F.round(jac, 6) + F.lit(0.0)).alias("jaccard"))
     )
 
 
@@ -201,7 +202,8 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
         .where(F.col("est_jaccard") >= threshold)
         .distinct()
     )
-    return cands.select("id_a", "id_b", F.round("est_jaccard", 6)
+    return cands.select("id_a", "id_b",
+                        (F.round("est_jaccard", 6) + F.lit(0.0))
                         .alias("est_jaccard"))
 
 

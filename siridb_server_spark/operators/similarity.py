@@ -52,7 +52,7 @@ def brute_force_topk(emb: DataFrame, query_vec, k: int = 10,
                    cosine(F.col(vec_col), q).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
-        .select(id_col, F.round("cos", 6).alias("cos"))
+        .select(id_col, (F.round("cos", 6) + F.lit(0.0)).alias("cos"))
     )
 
 
@@ -161,7 +161,7 @@ def cosine_pairs_blocked_expr(emb: DataFrame, threshold: float = 0.35,
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.round(cos, 6).alias("cos"))
+                (F.round(cos, 6) + F.lit(0.0)).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 

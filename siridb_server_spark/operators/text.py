@@ -86,15 +86,15 @@ def quality_features(df: DataFrame, text_col: str = "text",
         *keep,
         n_chars.cast("long").alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(F.try_divide(n_chars.cast("double"),
-                             n_tokens.cast("double")), 6)
+        (F.round(F.try_divide(n_chars.cast("double"),
+                              n_tokens.cast("double")), 6) + F.lit(0.0))
         .alias("avg_token_len"),
         n_punct.alias("n_punct"),
-        F.round(F.try_divide(n_punct.cast("double"),
-                             n_chars.cast("double")), 6)
+        (F.round(F.try_divide(n_punct.cast("double"),
+                              n_chars.cast("double")), 6) + F.lit(0.0))
         .alias("punct_ratio"),
-        F.round(F.try_divide(n_digits.cast("double"),
-                             n_chars.cast("double")), 6)
+        (F.round(F.try_divide(n_digits.cast("double"),
+                              n_chars.cast("double")), 6) + F.lit(0.0))
         .alias("digit_ratio"),
         n_stop.alias("n_stopwords"),
     )
