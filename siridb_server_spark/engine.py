@@ -65,6 +65,9 @@ class SiriEngine:
         self.store = store  # optional sources.store.PointsStore
         self._mem_rows: list = []
         self._mem_df: DataFrame | None = None
+        # from_points() base frame; survives _invalidate() so
+        # insert/drop/expiration never discard the wrapped data
+        self._base_df: DataFrame | None = None
         self._catalog: DataFrame | None = None
         self._seq = 0
         self._multi_cache: DataFrame | None = None
@@ -109,7 +112,10 @@ class SiriEngine:
         series, ts, seq, val_int, val_dbl, val_str, tp) — the scale
         path: the frame typically comes from partitioned parquet."""
         eng = cls(spark, precision)
-        eng._mem_df = df
+        eng._base_df = df
+        # points inserted later must sort after the wrapped frame's
+        # rows on (ts, seq) ties
+        eng._seq = 1 << 40
         return eng
 
     # ------------------------------------------------------------- ingest
@@ -166,7 +172,7 @@ class SiriEngine:
 
     def _series_types(self, names: list) -> list:
         if (self._mem_df is None and not self._mem_rows
-                and self.store is None):
+                and self._base_df is None and self.store is None):
             return []
         cat = self.catalog_df()
         rows = cat.where(F.col("name").isin(names)) \
@@ -189,8 +195,14 @@ class SiriEngine:
         if self.store is not None:
             return self.store.read(self.spark).drop("_sid")
         if self._mem_df is None:
-            self._mem_df = self.spark.createDataFrame(
-                self._mem_rows, POINTS_SCHEMA)
+            if self._base_df is not None and not self._mem_rows:
+                self._mem_df = self._base_df
+            else:
+                df = self.spark.createDataFrame(
+                    self._mem_rows, POINTS_SCHEMA)
+                if self._base_df is not None:
+                    df = self._base_df.unionByName(df)
+                self._mem_df = df
         return self._mem_df
 
     def _points_for_select(self) -> DataFrame:
@@ -853,6 +865,9 @@ class SiriEngine:
         else:
             self._mem_rows = [r for r in self._mem_rows
                               if r[0] not in set(names)]
+            if self._base_df is not None and names:
+                self._base_df = self._base_df.where(
+                    ~F.col("series").isin(names))
         for members in self.tags.values():
             members -= set(names)
         self._invalidate()
@@ -882,6 +897,17 @@ class SiriEngine:
                 if (sid, tp_name) not in sids:
                     keep.append(r)
             self._mem_rows = keep
+            if self._base_df is not None and sids:
+                dur_c = F.when(F.col("tp") == TP_STRING,
+                               F.lit(dur_log)).otherwise(F.lit(dur_num))
+                sid_c = F.col("ts") - F.col("ts") % dur_c
+                tpn_c = F.when(F.col("tp") == TP_STRING,
+                               F.lit("log")).otherwise(F.lit("number"))
+                drop_c = F.lit(False)
+                for sid, tp_name in sids:
+                    drop_c = drop_c | ((sid_c == F.lit(sid))
+                                       & (tpn_c == F.lit(tp_name)))
+                self._base_df = self._base_df.where(~drop_c)
         self._invalidate()
         return {"success_msg":
                 f"Successfully dropped {n} shards. (this number does not "
@@ -953,6 +979,12 @@ class SiriEngine:
                 if sid >= cutoff_sid:
                     keep.append(r)
             self._mem_rows = keep
+            if self._base_df is not None:
+                match_c = ((F.col("tp") == TP_STRING) if tp_str
+                           else (F.col("tp") != TP_STRING))
+                sid_c = F.col("ts") - F.col("ts") % F.lit(dur)
+                self._base_df = self._base_df.where(
+                    ~(match_c & (sid_c < F.lit(cutoff_sid))))
             changed = True
         if changed:
             self._invalidate()

@@ -20,6 +20,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Signature frames feed both sides of a self-join, so they are
+# persisted — but the result is returned lazily, so they can't be
+# unpersisted here. Bound the footprint instead: keep the most recent
+# few and evict the oldest (the engine's points cache does the same,
+# one live entry).
+_SIG_CACHE: list[DataFrame] = []
+_SIG_CACHE_MAX = 2
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _SIG_CACHE.append(df)
+    while len(_SIG_CACHE) > _SIG_CACHE_MAX:
+        try:
+            _SIG_CACHE.pop(0).unpersist()
+        except Exception:
+            pass
+    return df
+
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -132,6 +151,41 @@ def shingles(text_col: str, n: int = 3):
         idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
 
 
+def shingle_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                          shingle_n: int = 3, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """EXACT n-word-shingle-set Jaccard pairs — the ground truth that
+    MinHash+LSH approximates (same shingle definition). Inverted-index
+    self-join on 8-byte shingle hashes, so only pairs sharing at least
+    one shingle ever materialize — never all-pairs.
+    Output: (id_a, id_b, jaccard)."""
+    sh = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(shingles(text_col, shingle_n))
+                    .alias("s"))
+          .select("doc_id", F.xxhash64("s").alias("h")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("n").alias("nb"))
+    jac = (F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b",
+                (F.round(jac, 6) + F.lit(0.0)).alias("jaccard"))
+    )
+
+
 def minhash_signatures(df: DataFrame, num_hashes: int = 16,
                        shingle_n: int = 3, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
@@ -185,7 +239,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
              F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     # signatures feed BOTH sides of the self-join: persist so the
     # shingle explode + min aggregation runs once, not twice
-    banded = banded.persist()
+    banded = _persist_bounded(banded)
     a = banded.alias("a")
     b_ = banded.alias("b")
     agree = F.size(F.filter(
@@ -326,7 +380,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
     chunk = bits // bands
     # both sides of the self-join read the signatures: persist so the
     # tokenize + 48-way vote aggregation runs once, not twice
-    sig = sig.persist()
+    sig = _persist_bounded(sig)
     banded = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

@@ -38,7 +38,9 @@ AGG_NAMES = (
     "count", "sum", "mean", "median_low", "median_high", "median",
     "min", "max", "variance", "pvariance", "stddev", "first", "last",
 )
-LIMIT_AGGS = AGG_NAMES + ("timeval", "interval")
+# f_limit's Choice admits only the 13 aggregates — not timeval/interval
+# (ref grammar/grammar.py:555-574)
+LIMIT_AGGS = AGG_NAMES
 
 SERIES_COLUMNS = (
     "name", "type", "length", "start", "end", "shard_duration", "pool",

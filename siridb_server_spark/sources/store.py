@@ -42,6 +42,12 @@ from ..model import POINTS_SCHEMA, TP_STRING
 #: target points per shard (ref src/siri/db/shard.c:36)
 OPTIMAL_POINTS_PER_SHARD = 2000
 
+#: hash buckets for the incrementally-maintained series catalog — an
+#: ingest batch rewrites only the buckets its series hash into, so the
+#: per-batch catalog cost is O(|catalog|/N_CATALOG_BUCKETS × touched)
+#: instead of a single-task full rewrite
+N_CATALOG_BUCKETS = 32
+
 
 def duration_from_interval(interval: int, factor: int,
                            duration_num: int = 0,
@@ -113,6 +119,7 @@ class PointsStore:
         """Canonical points frame + the ``sid`` partition column (the
         engine adds sid predicates from time ranges → directory-level
         pruning shows up as PartitionFilters in the scan)."""
+        self._repair_rewrites()
         if not self._exists():
             return spark.createDataFrame([], POINTS_SCHEMA)
         return spark.read.parquet(self.path).select(
@@ -159,25 +166,121 @@ class PointsStore:
             F.max("ts").alias("end"),
             F.max("tp").alias("tp"))
 
+    @staticmethod
+    def _with_bucket(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("name"), F.lit(N_CATALOG_BUCKETS))
+            .cast("int"))
+
     def _merge_catalog(self, spark: SparkSession, stats: DataFrame):
         # raw read — the appender holds the pending marker itself;
         # going through read_catalog() would see it and "repair" from
         # points that already include this batch (double count)
+        stats = self._with_bucket(stats)
         old = self._read_catalog_raw(spark)
-        if old is not None:
-            stats = old.unionByName(stats).groupBy("name").agg(
-                F.sum("length").alias("length"),
-                F.min("start").alias("start"),
-                F.max("end").alias("end"),
-                F.max("tp").alias("tp"))
-        self._write_catalog(stats)
+        if old is not None and "bucket" not in old.columns:
+            # legacy unbucketed catalog: fold in once, full rewrite
+            merged = self._with_bucket(old).unionByName(stats)
+            self._write_catalog(self._fold(merged), full=True)
+            return
+        if old is None:
+            self._write_catalog(self._fold(stats), full=True)
+            return
+        # incremental path: merge + rewrite ONLY the buckets this
+        # batch's series hash into — dynamic partition overwrite
+        # leaves the other N-1 bucket directories untouched
+        touched = [r["bucket"] for r in
+                   stats.select("bucket").distinct().collect()]
+        merged = self._fold(
+            old.where(F.col("bucket").isin(touched)).unionByName(stats))
+        self._write_catalog(merged, full=False)
 
-    def _write_catalog(self, stats: DataFrame):
-        tmp = self._catalog_path + ".tmp"
-        stats.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(self._catalog_path):
-            shutil.rmtree(self._catalog_path)
-        os.rename(tmp, self._catalog_path)
+    @staticmethod
+    def _fold(stats: DataFrame) -> DataFrame:
+        return stats.groupBy("name", "bucket").agg(
+            F.sum("length").alias("length"),
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+            F.max("tp").alias("tp"))
+
+    def _write_catalog(self, stats: DataFrame, full: bool = True):
+        """Bucket-partitioned catalog write. ``full=False`` replaces
+        only the bucket partitions present in ``stats``. Both paths
+        stage to a sibling underscore dir first (the input may read
+        from the live catalog, and Spark refuses to overwrite a path
+        it is reading); crash-consistency comes from the caller's
+        pending marker, not from write atomicity. (On Delta this whole
+        dance is one MERGE.)"""
+        if "bucket" not in stats.columns:
+            stats = self._with_bucket(stats)
+        stage = self._catalog_path + (".tmp" if full else ".stage")
+        (stats.repartition(N_CATALOG_BUCKETS, "bucket")
+         .write.mode("overwrite")
+         .partitionBy("bucket")
+         .parquet(stage))
+        if full:
+            if os.path.isdir(self._catalog_path):
+                shutil.rmtree(self._catalog_path)
+            os.rename(stage, self._catalog_path)
+            return
+        for entry in os.listdir(stage):
+            if not entry.startswith("bucket="):
+                continue
+            target = os.path.join(self._catalog_path, entry)
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            os.rename(os.path.join(stage, entry), target)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # --------------------------------------------- crash-safe rewrites
+    # Shard rewrites (delete_series/optimize) stage the new partition
+    # under `_rewrite/` — underscore-prefixed, so Spark partition
+    # discovery never sees a half-written replacement — and commit by
+    # rmtree(old) + rename(staged). A staged dir is committable iff
+    # its _SUCCESS marker exists; _repair_rewrites() finishes (or
+    # discards) whatever a crash left behind, in either crash window.
+    @property
+    def _rewrite_root(self) -> str:
+        return os.path.join(self.path, "_rewrite")
+
+    def _rewrite_tmp(self, kind: str, sid: int) -> str:
+        return os.path.join(self._rewrite_root, f"kind={kind}",
+                            f"sid={sid}")
+
+    def _repair_rewrites(self):
+        root = self._rewrite_root
+        if not os.path.isdir(root):
+            return
+        for kdir in os.listdir(root):
+            kpath = os.path.join(root, kdir)
+            if not os.path.isdir(kpath):
+                continue
+            for entry in os.listdir(kpath):
+                tmp = os.path.join(kpath, entry)
+                target = os.path.join(self.path, kdir, entry)
+                committed = os.path.exists(
+                    os.path.join(tmp, "_SUCCESS"))
+                if committed and not os.path.exists(target):
+                    # crash fell between rmtree(target) and rename:
+                    # finish the swap — the staged dir is complete
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    os.rename(tmp, target)
+                else:
+                    # either the staged write never completed or the
+                    # old partition is still in place — discard
+                    shutil.rmtree(tmp)
+        shutil.rmtree(root, ignore_errors=True)
+
+    def _swap_partition(self, tmp: str, target: str):
+        # the staged write is complete (caller just wrote it); stamp
+        # the marker in case the committer was configured not to
+        marker = os.path.join(tmp, "_SUCCESS")
+        if not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+        shutil.rmtree(target)
+        os.rename(tmp, target)
 
     def _read_catalog_raw(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.isdir(self._catalog_path):
@@ -218,19 +321,24 @@ class PointsStore:
         cutoff (ref db.c:865-878 — expiration is shard-granular).
         Directory removal only — no data rewrite."""
         want = "log" if tp_str else "num"
-        removed = False
-        for kind, sid, p in list(self._sid_dirs()):
-            if kind == want and sid < cutoff_sid:
-                shutil.rmtree(p)
-                removed = True
-        if removed:
-            self.rebuild_catalog(spark)
+        doomed = [p for kind, sid, p in self._sid_dirs()
+                  if kind == want and sid < cutoff_sid]
+        if not doomed:
+            return
+        # pending marker: a crash mid-loop leaves the catalog stale,
+        # and the next read_catalog() rebuilds it from the points
+        self._set_pending()
+        for p in doomed:
+            shutil.rmtree(p)
+        self.rebuild_catalog(spark)
+        self._clear_pending()
 
     def delete_series(self, spark: SparkSession, names: list):
         """Anti-join rewrite (drop series). At 100 TB this is a Delta
         DELETE / partition-scoped rewrite; on plain parquet we rewrite
         the partitions that contain the series (parquet row-group
         stats tell us which via a pushed-down filter)."""
+        self._repair_rewrites()
         if not self._exists() or not names:
             return
         df = spark.read.parquet(self.path)
@@ -239,35 +347,38 @@ class PointsStore:
             .select("kind", "sid").distinct().collect()}
         if not hit_sids:
             return
+        cat = self.read_catalog(spark)
+        self._set_pending()
         for kind, sid, p in list(self._sid_dirs()):
             if (kind, sid) not in hit_sids:
                 continue
             part = spark.read.parquet(p).where(
                 ~F.col("series").isin(names))
-            tmp = p + ".rewrite"
+            tmp = self._rewrite_tmp(kind, sid)
             part.write.mode("overwrite") \
                 .option("compression", "zstd").parquet(tmp)
-            shutil.rmtree(p)
-            os.rename(tmp, p)
-        cat = self.read_catalog(spark)
+            self._swap_partition(tmp, p)
+        shutil.rmtree(self._rewrite_root, ignore_errors=True)
         if cat is not None:
             self._write_catalog(cat.where(~F.col("name").isin(names)))
+        self._clear_pending()
 
     def optimize(self, spark: SparkSession,
                  max_files_per_partition: int = 1):
         """Compaction (ref src/siri/optimize.c:33-55): rewrite
         fragmented partitions into ``max_files_per_partition`` files."""
-        for _kind, _sid, p in list(self._sid_dirs()):
+        self._repair_rewrites()
+        for kind, sid, p in list(self._sid_dirs()):
             files = [f for f in os.listdir(p) if f.endswith(".parquet")]
             if len(files) <= max_files_per_partition:
                 continue
             part = spark.read.parquet(p) \
                 .coalesce(max_files_per_partition)
-            tmp = p + ".compact"
+            tmp = self._rewrite_tmp(kind, sid)
             part.write.mode("overwrite") \
                 .option("compression", "zstd").parquet(tmp)
-            shutil.rmtree(p)
-            os.rename(tmp, p)
+            self._swap_partition(tmp, p)
+        shutil.rmtree(self._rewrite_root, ignore_errors=True)
 
     def stats(self) -> dict:
         out = {"partitions": 0, "files": 0, "bytes": 0}

@@ -35,7 +35,7 @@ def canonicalize(batch_df: DataFrame, series_col: str, ts_col: str,
                 F.lit(None).cast("double").alias("val_dbl"),
                 F.lit(None).cast("string").alias("val_str"),
                 F.lit(0).alias("tp")]
-    elif dtype in ("double", "float", "decimal"):
+    elif dtype in ("double", "float") or dtype.startswith("decimal"):
         vals = [F.lit(None).cast("long").alias("val_int"),
                 F.col(value_col).cast("double").alias("val_dbl"),
                 F.lit(None).cast("string").alias("val_str"),

@@ -113,3 +113,25 @@ def test_unicode_names_and_missing_series(eng):
 def test_series_name_too_long(eng):
     with pytest.raises(InsertError):
         eng.insert({"x" * 65535: [[1, 1]]})
+
+
+def test_from_points_engine_survives_mutations(eng, spark):
+    """Mutating a from_points()-wrapped engine must not discard the
+    wrapped frame: inserts union with it, drops filter it."""
+    from siridb_server_spark.model import POINTS_SCHEMA
+    base = spark.createDataFrame(
+        [("w", 100, 0, None, 1.0, None, 1),
+         ("w", 200, 1, None, 2.0, None, 1),
+         ("x", 150, 2, None, 9.0, None, 1)], POINTS_SCHEMA)
+    e2 = SiriEngine.from_points(spark, base, precision="s")
+    # insert on top of the wrapped data
+    e2.insert({"w": [[300, 3.0]], "y": [[50, 0.5]]})
+    assert e2.query("select * from 'w'") == {
+        "w": [[100, 1.0], [200, 2.0], [300, 3.0]]}
+    assert e2.query("select * from 'y'") == {"y": [[50, 0.5]]}
+    # drop one wrapped series: the other wrapped series stays
+    e2.query('drop series "x" set ignore_threshold true')
+    got = e2.query("list series")
+    assert sorted(s[0] for s in got["series"]) == ["w", "y"]
+    assert e2.query("select * from 'w'") == {
+        "w": [[100, 1.0], [200, 2.0], [300, 3.0]]}

@@ -147,3 +147,13 @@ def test_limit_parse():
     f = parse("select limit(5, median_low) from 'a'").stmt \
         .pipelines[0].funcs[0]
     assert f.limit == 5 and f.agg == "median_low"
+
+
+def test_limit_rejects_timeval_interval():
+    """f_limit's Choice admits only the 13 aggregates — timeval()/
+    interval() are a parse error, not a crash (ref
+    grammar/grammar.py:555-574)."""
+    from siridb_server_spark.plans.parser import parse
+    for fn in ("timeval", "interval"):
+        with pytest.raises((ParseError, QueryError)):
+            parse(f"select limit(2, {fn}) from 'a'")

@@ -215,3 +215,89 @@ def test_stateful_streaming_dedup_and_stats(spark, tmp_path):
     assert {r[1] for r in got2} == {4}
     stats2 = run_once("ss2", "cs", lambda s: ST.streaming_series_stats(s))
     assert stats2 == {("a", 3, 50, 200), ("b", 1, 500, 500)}
+
+
+def test_catalog_is_bucketed_and_appends_touch_only_hit_buckets(
+        spark, tmp_path):
+    """The incremental catalog is hash-bucketed: a batch rewrites only
+    the bucket partitions its series hash into, never the whole
+    catalog (the 100 TB ingest path: O(catalog/N × touched) per
+    micro-batch, not a single-task full rewrite)."""
+    eng = SiriEngine.open(spark, str(tmp_path / "bdb"), precision="s")
+    eng.insert({f"s{i}": [[100 + i, float(i)]] for i in range(40)})
+    cpath = eng.store._catalog_path
+    buckets = sorted(e for e in os.listdir(cpath)
+                     if e.startswith("bucket="))
+    assert len(buckets) > 1  # sharded, not one blob
+    before = {}
+    for b in buckets:
+        bdir = os.path.join(cpath, b)
+        before[b] = sorted(os.listdir(bdir))
+    # second append touches ONE series → only its bucket may change
+    eng.insert({"s0": [[999, 7.0]]})
+    hit = eng.store._with_bucket(
+        spark.createDataFrame([("s0",)], "name string"))\
+        .collect()[0]["bucket"]
+    changed = []
+    for b in sorted(e for e in os.listdir(cpath)
+                    if e.startswith("bucket=")):
+        bdir = os.path.join(cpath, b)
+        if sorted(os.listdir(bdir)) != before.get(b):
+            changed.append(int(b.split("=")[1]))
+    assert changed == [hit]
+    # and the merged stats are right
+    cat = {r["name"]: r["length"]
+           for r in eng.store.read_catalog(spark).collect()}
+    assert cat["s0"] == 2 and len(cat) == 40
+
+
+def test_rewrite_crash_repair_both_windows(spark, tmp_path):
+    """delete_series stages partition rewrites under `_rewrite/`
+    (underscore → invisible to partition discovery) and commits via
+    swap. Both crash windows repair: an uncommitted stage is
+    discarded; a committed stage whose target vanished is renamed
+    into place."""
+    eng = SiriEngine.open(spark, str(tmp_path / "rdb"), precision="s")
+    eng.insert({"a": [[100, 1.0], [200, 2.0]], "b": [[150, 5.0]]})
+    store = eng.store
+    kind, sid, p = next(store._sid_dirs())
+    # window 1: staged dir exists WITHOUT _SUCCESS (write died) and
+    # the live partition is intact → repair discards the stage
+    tmp = store._rewrite_tmp(kind, sid)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-junk.parquet"), "w") as f:
+        f.write("junk")
+    store._repair_rewrites()
+    assert not os.path.isdir(store._rewrite_root)
+    assert eng.query("select * from 'a'") == {
+        "a": [[100, 1.0], [200, 2.0]]}
+    # window 2: committed stage (_SUCCESS) + target removed (crash
+    # between rmtree and rename) → repair finishes the swap
+    import shutil as _sh
+    tmp = store._rewrite_tmp(kind, sid)
+    _sh.copytree(p, tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    _sh.rmtree(p)
+    store._repair_rewrites()
+    assert os.path.isdir(p) and not os.path.isdir(store._rewrite_root)
+    assert eng.query("select * from 'a'") == {
+        "a": [[100, 1.0], [200, 2.0]]}
+    # the real rewrite path still works end-to-end
+    eng.query('drop series "b" set ignore_threshold true')
+    assert eng.query("list series") == {
+        "columns": ["name"], "series": [["a"]]}
+    assert not os.path.isdir(store._rewrite_root)
+
+
+def test_decimal_stream_canonicalizes_as_numeric(spark):
+    """decimal(p,s) value columns are numeric series, not strings
+    (dtype string is 'decimal(10,2)', never the bare word)."""
+    df = spark.createDataFrame(
+        [("s", 100, "1.25")], "series string, ts long, v string"
+    ).select("series", "ts",
+             F.col("v").cast("decimal(10,2)").alias("v"))
+    out = ING.canonicalize(df, "series", "ts", "v")
+    row = out.collect()[0]
+    assert row["tp"] == 1 and row["val_dbl"] == 1.25
+    assert row["val_str"] is None
