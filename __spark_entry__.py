@@ -178,10 +178,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda spark, sf_dir: D.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents").where(F.col("doc_id") < 300),
         threshold=0.8)
-    q["dedup_minhash_lsh"] = lambda spark, sf_dir: D.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.5)
-    q["dedup_simhash"] = lambda spark, sf_dir: D.simhash_pairs(
-        load(spark, sf_dir, "documents"), max_hamming=3)
+    def _prop(name: str, df_count: DataFrame) -> DataFrame:
+        return df_count.agg(
+            F.lit(name).alias("prop"),
+            F.count(F.lit(1)).cast("long").alias("n"))
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        """MinHash+LSH checked against ground truth: the oracle
+        computes the exact shingle-Jaccard pair count in SQL, and the
+        recall/precision rows are pinned invariants (the documents
+        tables have no pairs in (0.35, 0.9), so at (k=16, b=4) the
+        emitted set provably equals the exact J>=0.5 set — verified
+        empirically at sf0.001/0.01)."""
+        docs = load(spark, sf_dir, "documents")
+        emitted = D.minhash_lsh_pairs(docs, threshold=0.5)
+        exact_hi = D.shingle_jaccard_pairs(docs, threshold=0.5)
+        exact_floor = D.shingle_jaccard_pairs(docs, threshold=0.35)
+        on = ["id_a", "id_b"]
+        return (
+            _prop("high_j_pairs_total", exact_hi)
+            .unionByName(_prop(
+                "high_j_pairs_missed",
+                exact_hi.join(emitted, on, "left_anti")))
+            .unionByName(_prop(
+                "emitted_below_floor",
+                emitted.join(exact_floor, on, "left_anti"))))
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf_dir):
+        """SimHash banding checked against the exact all-pairs
+        Hamming join (pigeonhole: 4 bands, hamming<=3 → at least one
+        band collides, so the banded join must emit exactly the
+        close-pair set). The all-pairs verify is the CHECK path only —
+        the operator itself never goes all-pairs."""
+        docs = load(spark, sf_dir, "documents")
+        emitted = D.simhash_pairs(docs, max_hamming=3)
+        sig = D.simhash(docs)
+        a, b = sig.alias("a"), sig.alias("b")
+        ham = F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        close = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+                 .select(F.col("a.doc_id").alias("id_a"),
+                         F.col("b.doc_id").alias("id_b"),
+                         ham.alias("h"))
+                 .where(F.col("h") <= 3))
+        on = ["id_a", "id_b"]
+        return (
+            _prop("n_docs", docs)
+            .unionByName(_prop(
+                "close_pairs_missed",
+                close.join(emitted, on, "left_anti")))
+            .unionByName(_prop(
+                "emitted_not_close",
+                emitted.join(close, on, "left_anti"))))
+
+    q["dedup_simhash"] = dedup_simhash
 
     def dedup_contamination(spark, sf_dir):
         docs = load(spark, sf_dir, "documents")
@@ -259,21 +311,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_topk"] = sim_ivf_topk
 
+    def _ann_props(spark, sf_dir, res: DataFrame, k: int) -> DataFrame:
+        """Invariant rows for an approximate top-k result: k rows
+        returned; every (id, cos) matches the exact cosine recomputed
+        from the table; no approximate hit outscores the true top-1."""
+        emb = load(spark, sf_dir, "embeddings")
+        vec = _query_vec(spark, sf_dir)
+        q_arr = F.array(*[F.lit(float(x)) for x in vec])
+        truth = emb.where(F.col("vec_id") != 0).select(
+            "vec_id",
+            (F.round(SIM.cosine(F.col("embedding"), q_arr), 6)
+             + F.lit(0.0)).alias("true_cos"))
+        joined = res.join(truth, "vec_id", "left")
+        bad_cos = joined.where(
+            F.col("true_cos").isNull()
+            | (F.abs(F.col("cos") - F.col("true_cos")) > 1e-9))
+        top1 = SIM.brute_force_topk(
+            emb.where(F.col("vec_id") != 0), vec, k=1)
+        beats = res.crossJoin(
+            top1.select(F.col("cos").alias("best"))).where(
+            F.col("cos") > F.col("best") + 1e-9)
+        return (
+            res.agg(F.lit("k_returned").alias("prop"),
+                    F.count(F.lit(1)).cast("long").alias("n"))
+            .unionByName(_prop("cos_mismatch", bad_cos))
+            .unionByName(_prop("beats_exact_top1", beats)))
+
     def sim_ivf_kmeans(spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
         vec = _query_vec(spark, sf_dir)
         cents = SIM.kmeans_fit(emb, k=4, iters=3)
-        return SIM.ivf_topk_trained(
+        res = SIM.ivf_topk_trained(
             emb.where(F.col("vec_id") != 0), vec, cents,
             k=10, nprobe=2)
+        return _ann_props(spark, sf_dir, res, 10)
 
     q["sim_ivf_kmeans"] = sim_ivf_kmeans
 
     def sim_lsh_topk(spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
         vec = _query_vec(spark, sf_dir)
-        return SIM.lsh_topk(emb.where(F.col("vec_id") != 0), vec,
-                            k=10, n_planes=4)
+        res = SIM.lsh_topk(emb.where(F.col("vec_id") != 0), vec,
+                           k=10, n_planes=4)
+        return _ann_props(spark, sf_dir, res, 10)
 
     q["sim_lsh_topk"] = sim_lsh_topk
 
@@ -612,6 +692,48 @@ def oracle_sql() -> dict[str, str]:
         " LEFT JOIN cc ON d.doc_id = cc.node"
     )
 
+    # MinHash+LSH property oracle. high_j_pairs_total is genuinely
+    # cross-engine (DuckDB recomputes exact 3-word-shingle Jaccard
+    # from scratch); the other two rows pin recall/precision
+    # invariants that hold deterministically for these tables + fixed
+    # hash functions (no pairs in the (0.35, 0.9) Jaccard gap).
+    # Shingle construction mirrors operators/dedup.py shingles():
+    # w = split(lower(trim(text)), '\\s+') (unfiltered),
+    # grams = distinct concat of w[i:i+2], i in 1..max(len-2, 1).
+    _SHJ = (
+        "WITH tok AS (SELECT doc_id,"
+        " string_split_regex(trim(lower(text)), '\\s+') AS w"
+        " FROM documents),"
+        " g AS (SELECT doc_id, list_distinct(list_transform("
+        " range(1, greatest(len(w) - 2, 1) + 1),"
+        " i -> array_to_string(w[i:i+2], ' '))) AS gs FROM tok),"
+        " x AS (SELECT doc_id, unnest(gs) AS s FROM g),"
+        " sz AS (SELECT doc_id, count(*) AS n FROM x GROUP BY 1),"
+        " i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " count(*) AS i FROM x a JOIN x b ON a.s = b.s"
+        " AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+        " j AS (SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS j"
+        " FROM i JOIN sz sa ON id_a = sa.doc_id"
+        " JOIN sz sb ON id_b = sb.doc_id)"
+    )
+    o["dedup_minhash_lsh"] = (
+        _SHJ +
+        " SELECT 'high_j_pairs_total' AS prop,"
+        " CAST(count(*) AS BIGINT) AS n FROM j WHERE j >= 0.5"
+        " UNION ALL SELECT 'high_j_pairs_missed', 0"
+        " UNION ALL SELECT 'emitted_below_floor', 0"
+    )
+    # SimHash property oracle: n_docs is cross-engine; the two zero
+    # rows pin the pigeonhole theorem (4 bands, hamming<=3 → at least
+    # one band collides → the banded join emits exactly the exact
+    # all-pairs close set).
+    o["dedup_simhash"] = (
+        "SELECT 'n_docs' AS prop, CAST(count(*) AS BIGINT) AS n"
+        " FROM documents"
+        " UNION ALL SELECT 'close_pairs_missed', 0"
+        " UNION ALL SELECT 'emitted_not_close', 0"
+    )
+
     o["text_quality"] = (
         "SELECT doc_id, length(text) AS n_chars,"
         " CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
@@ -692,6 +814,47 @@ def oracle_sql() -> dict[str, str]:
         " FROM s ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id"
         " LIMIT 10"
     )
+    # Full-value IVF oracle: DuckDB recomputes the label centroids,
+    # ranks cells by centroid cosine, probes the top 3, and
+    # brute-forces within them — the whole deterministic IVF path
+    # (positional unnest pairs of a list and range() zip in DuckDB).
+    o["sim_ivf_topk"] = (
+        "WITH e AS (SELECT vec_id, label, embedding FROM embeddings"
+        " WHERE vec_id <> 0),"
+        " pos AS (SELECT label, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, unnest(range(1, len(embedding) + 1)) AS i FROM e),"
+        " cent AS (SELECT label, i, avg(x) AS c FROM pos"
+        " GROUP BY 1, 2),"
+        " qv AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS y,"
+        " unnest(range(1, len(embedding) + 1)) AS i FROM embeddings"
+        " WHERE vec_id = 0),"
+        " cd AS (SELECT label, sum(c * y) AS d, sum(c * c) AS na,"
+        " sum(y * y) AS nb FROM cent JOIN qv USING (i) GROUP BY 1),"
+        " probes AS (SELECT label FROM cd"
+        " ORDER BY d / (sqrt(na) * sqrt(nb)) DESC LIMIT 3),"
+        " prod AS (SELECT e.vec_id,"
+        " CAST(unnest(e.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(q.qe) AS DOUBLE) AS y"
+        " FROM e, (SELECT embedding AS qe FROM embeddings"
+        " WHERE vec_id = 0) q"
+        " WHERE e.label IN (SELECT label FROM probes)),"
+        " s AS (SELECT vec_id, sum(x * y) AS d, sum(x * x) AS na,"
+        " sum(y * y) AS nb FROM prod GROUP BY 1)"
+        " SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 6)"
+        " + 0.0 AS cos FROM s"
+        " ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10"
+    )
+    # Approximate-ANN property oracles: k rows back, every returned
+    # cosine equals the exact cosine for that id, and nothing
+    # outscores the true top-1.
+    _ANN_PROPS = (
+        "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
+        " UNION ALL SELECT 'cos_mismatch', 0"
+        " UNION ALL SELECT 'beats_exact_top1', 0"
+    )
+    o["sim_ivf_kmeans"] = _ANN_PROPS
+    o["sim_lsh_topk"] = _ANN_PROPS
+
     o["sim_cosine_pairs"] = (
         "WITH prod AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
         " CAST(unnest(a.embedding) AS DOUBLE) AS x,"

@@ -74,6 +74,17 @@ def main():
 
     qs = entry.queries()
 
+    # time the RAW near-dup operators here — their queries() entries
+    # wrap them in property-verification joins for the correctness
+    # gate, which isn't what the headline timing should measure
+    from siridb_server_spark.operators import dedup as D
+    from siridb_server_spark.sources.testdata import load as _load
+
+    qs["dedup_minhash_lsh"] = lambda s, d: D.minhash_lsh_pairs(
+        _load(s, d, "documents"), threshold=0.5)
+    qs["dedup_simhash"] = lambda s, d: D.simhash_pairs(
+        _load(s, d, "documents"), max_hamming=3)
+
     # untimed warmup: JVM/codegen spin-up + file-index priming so the
     # timings measure steady-state query cost, not session startup
     for t in ("events", "documents", "embeddings", "lineitem"):
