@@ -367,7 +367,11 @@ class SiriEngine:
         if not isinstance(parsed.stmt, N.SelectStmt):
             raise QueryError("select_df() requires a select statement.")
         self._check_access(ACL.SELECT)
-        out_df, _seeds = self._select_plan(parsed.stmt)
+        # need_seeds=False: the distributed API never ships the series
+        # names to the driver — at 100M series the type set and points
+        # bound come from a 1-row aggregation instead
+        out_df, _seeds = self._select_plan(parsed.stmt,
+                                           need_seeds=False)
         return out_df
 
     def _select(self, stmt: N.SelectStmt) -> dict:
@@ -384,18 +388,30 @@ class SiriEngine:
             self._multi_cache.unpersist()
             self._multi_cache = None
 
-    def _select_plan(self, stmt: N.SelectStmt):
+    def _select_plan(self, stmt: N.SelectStmt, need_seeds: bool = True):
         cat = self._selected_catalog(stmt.match, stmt.where)
-        # ONE driver-side collect over the (small) catalog: gives the
-        # selected names (result dicts are keyed per series — inherently
-        # driver-sized, as in the reference), the static type set, and
-        # the points-limit fast-path bound.
-        sel_rows = cat.select("name", "type", "length").collect()
-        tps = frozenset(
-            {v: k for k, v in TP_NAMES.items()}[r["type"]]
-            for r in sel_rows)
-        total_points = sum(r["length"] for r in sel_rows)
-        sel_names = [r["name"] for r in sel_rows]
+        tp_of = {v: k for k, v in TP_NAMES.items()}
+        if need_seeds:
+            # query(): ONE driver-side collect over the catalog — the
+            # result dict is keyed per series, inherently driver-sized
+            # (as in the reference), so the names must come down anyway
+            sel_rows = cat.select("name", "type", "length").collect()
+            tps = frozenset(tp_of[r["type"]] for r in sel_rows)
+            total_points = sum(r["length"] for r in sel_rows)
+            sel_names = [r["name"] for r in sel_rows]
+            n_sel = len(sel_names)
+        else:
+            # select_df(): the plan only needs the type set, the
+            # points-limit bound, and the series count — one tiny
+            # aggregation row, never O(|series|) on the driver
+            agg = cat.agg(
+                F.collect_set("type").alias("tps"),
+                F.sum("length").alias("total"),
+                F.count(F.lit(1)).alias("n")).collect()[0]
+            tps = frozenset(tp_of[t] for t in agg["tps"])
+            total_points = agg["total"] or 0
+            sel_names = []
+            n_sel = agg["n"]
         if not tps:
             return self.points_df().limit(0), []
         types = TypeSet(tps)
@@ -449,7 +465,7 @@ class SiriEngine:
                 df = (df.withColumn("_rn", F.row_number().over(w))
                       .where(F.col("_rn") <= tr[1]).drop("_rn"))
                 total_points = min(total_points,
-                                   tr[1] * max(len(sel_names), 1))
+                                   tr[1] * max(n_sel, 1))
                 restricted = True
 
         if has_sid:
@@ -546,7 +562,7 @@ class SiriEngine:
             if merge is not None:
                 seeds.append((pl.prefix or "") + merge.name
                              + (pl.suffix or ""))
-            else:
+            elif need_seeds:
                 seeds.extend((pl.prefix or "") + nm + (pl.suffix or "")
                              for nm in sel_names)
 

@@ -79,3 +79,26 @@ def test_tpch_join_broadcasts(spark):
         spark, "/root/testdata/sf0.001")
     plan = physical(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_select_df_never_collects_series_names(store_eng, monkeypatch):
+    """select_df (the distributed API) must not ship O(|series|) rows
+    to the driver — the type set and points bound come from a 1-row
+    aggregation. query() may collect names (its result dict is keyed
+    per series, inherently driver-sized)."""
+    from pyspark.sql import DataFrame
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    df = store_eng.select_df("select mean(1000) from /.*/")
+    assert all(s <= 1 for s in sizes), sizes
+    # the plan still materializes correctly without any seed collect
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert df.count() > 0
