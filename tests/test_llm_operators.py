@@ -252,3 +252,41 @@ def test_kmeans_ivf(spark):
         emb3, [1.0, 0.0, 0.0], cents, k=3, nprobe=1).collect()
     assert all(r["vec_id"] % 3 == 0 for r in got)
     assert got[0]["cos"] == pytest.approx(1.0)
+
+
+def test_arrow_scorer_matches_expression_and_nulls_zero_vectors(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    got = SIM.brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    # zero-norm vector scores NULL (try_divide parity) and sorts LAST
+    assert [r["vec_id"] for r in got] == [1, 3, 2]
+    assert got[2]["cos"] is None
+    a = SIM.brute_force_topk(df, [1.0, 0.0], k=3, arrow=True).collect()
+    b = SIM.brute_force_topk(df, [1.0, 0.0], k=3,
+                             arrow=False).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_ivf_index_build_once_search_many(emb):
+    idx = SIM.IVFIndex.from_labels(emb.where(F.col("vec_id") != 0))
+    try:
+        got = idx.search([1.0, 0.0, 0.0], k=2, nprobe=1)
+        # parity with the per-call operator on the same probe count
+        ref = SIM.ivf_topk(emb.where(F.col("vec_id") != 0),
+                           [1.0, 0.0, 0.0], k=2, nprobe=1)
+        assert ([tuple(r) for r in got.collect()]
+                == [tuple(r) for r in ref.collect()])
+        # the second search scans the CACHED cell-partitioned frame —
+        # no re-read of the corpus, no centroid recompute
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        # trained variant: returns k rows from the persisted cells
+        idx2 = SIM.IVFIndex.train(emb, k=2, iters=2)
+        try:
+            assert idx2.search([1.0, 0.0, 0.0], k=3,
+                               nprobe=2).count() == 3
+        finally:
+            idx2.unpersist()
+    finally:
+        idx.unpersist()
