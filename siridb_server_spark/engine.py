@@ -163,12 +163,40 @@ class SiriEngine:
                 self._seq += 1
                 rows.append(row)
                 n += 1
-        if self.store is not None:
-            self.store.append(self.spark, rows)
-        else:
-            self._mem_rows.extend(rows)
+        # expiration at ingest (ref shards.c:277 + itest
+        # test_expiration.py: a point landing in an already-expired
+        # shard is never written, so an all-expired insert leaves no
+        # series behind); n still counts submitted points, as the
+        # reference's success message does
+        rows = self._drop_expired_rows(rows)
+        if rows:
+            if self.store is not None:
+                self.store.append(self.spark, rows)
+            else:
+                self._mem_rows.extend(rows)
         self._invalidate()
+        # heartbeat analogue (heartbeat.c:62 →
+        # siridb_update_shard_expiration): previously-valid shards that
+        # crossed the cutoff are dropped on the next ingest
+        if self.expiration_num or self.expiration_log:
+            self._apply_expiration()
         return {"success_msg": f"Successfully inserted {n} point(s)."}
+
+    def _drop_expired_rows(self, rows: list) -> list:
+        if not (self.expiration_num or self.expiration_log):
+            return rows
+        now = TE.now_ts(self.precision)
+        keep = []
+        for r in rows:
+            is_str = r[6] == TP_STRING
+            exp = self.expiration_log if is_str else self.expiration_num
+            if exp:
+                dur = self.duration_log if is_str else self.duration_num
+                cutoff_sid = (now - exp) - (now - exp) % dur
+                if r[1] - r[1] % dur < cutoff_sid:
+                    continue
+            keep.append(r)
+        return keep
 
     def _series_types(self, names: list) -> list:
         if (self._mem_df is None and not self._mem_rows

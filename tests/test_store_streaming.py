@@ -301,3 +301,40 @@ def test_decimal_stream_canonicalizes_as_numeric(spark):
     row = out.collect()[0]
     assert row["tp"] == 1 and row["val_dbl"] == 1.25
     assert row["val_str"] is None
+
+
+def test_expiration_applies_automatically(spark, tmp_path):
+    """Port of the reference's itest/test_expiration.py scenario
+    (shard-granular retention, db.c:865-878 + shards.c:277):
+    - setting expiration_num drops shards past the cutoff;
+    - inserting a point into an already-expired shard never creates
+      it (an all-expired insert leaves no series);
+    - a later insert (the heartbeat analogue) retires shards that
+      crossed the cutoff since."""
+    import time as _t
+
+    eng = SiriEngine.open(spark, str(tmp_path / "xdb"), precision="s")
+    now = int(_t.time())
+    week = 3600 * 24 * 7
+    eng.insert({"s": [[now - 4 * week, 1.0], [now - 10, 2.0]]})
+    assert eng.query("count shards")["shards"] == 2
+    # expiration_num 3w → the 4-week-old shard goes
+    eng.query(f"alter database set expiration_num {3 * week}")
+    assert eng.query("count shards")["shards"] == 1
+    assert eng.query("select * from 's'") == {"s": [[now - 10, 2.0]]}
+    # expired-at-ingest: a 15-day-old log point with expiration_log 2w
+    # is dropped before it lands; the series never exists
+    eng.query(f"alter database set expiration_log {2 * week}")
+    eng.insert({"series_log": [[now - 15 * 24 * 3600, "expired"]]})
+    got = eng.query('list series "series_log"')
+    assert got["series"] == []
+    # mixed insert keeps only the valid point
+    eng.insert({"series_log": [[now - 15 * 24 * 3600, "expired"],
+                               [now - 7 * 24 * 3600, "valid"]]})
+    got = eng.query('list series name, length "series_log"')
+    assert got["series"] == [["series_log", 1]]
+    # heartbeat analogue on the in-memory engine too
+    mem = SiriEngine(spark, precision="s")
+    mem.insert({"m": [[now - 4 * week, 1.0], [now, 2.0]]})
+    mem.query(f"alter database set expiration_num {3 * week}")
+    assert mem.query("select * from 'm'") == {"m": [[now, 2.0]]}
