@@ -69,7 +69,23 @@ def handle_request(engine, method: str, path: str, body,
             if not isinstance(body, dict) or "q" not in body:
                 return 400, "BAD REQUEST"
             try:
-                return 200, engine.query(body["q"])
+                res = engine.query(body["q"])
+                # optional 't': convert result timestamps to the
+                # requested precision (ref api.c + itest
+                # test_http_api.py: {'q': ..., 't': 'ms'})
+                t = body.get("t")
+                if t is not None:
+                    from ..plans import timeexpr as TE
+                    if t not in TE.PRECISIONS:
+                        return 400, {"error_msg":
+                                     f"invalid time precision: '{t}'"}
+                    tf, ef = TE.factor(t), engine.factor
+                    if tf != ef and isinstance(res, dict):
+                        res = {
+                            k: [[p[0] * tf // ef, p[1]] for p in v]
+                            if isinstance(v, list) else v
+                            for k, v in res.items()}
+                return 200, res
             except (QueryError, ParseError) as e:
                 return 400, {"error_msg": str(e)}
         try:

@@ -1,0 +1,97 @@
+"""End-to-end HTTP transport tests: real POSTs over a socket against
+the stdlib server, porting the single-database cases of the
+reference's itest/test_http_api.py (status codes, auth, error
+payloads, the 't' precision option, /get-version)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from siridb_server_spark import SiriEngine, __version__
+from siridb_server_spark.sources.http import ApiServer
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    eng = SiriEngine(spark, precision="s")
+    eng.insert({"data": [[1579521271, 10], [1579521573, 20]]})
+    srv = ApiServer(eng).start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, path, payload, auth=("iris", "siri"),
+          content_type="application/json", raw=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=raw if raw is not None else json.dumps(payload).encode(),
+        method="POST")
+    req.add_header("Content-Type", content_type)
+    if auth:
+        import base64
+        tok = base64.b64encode(f"{auth[0]}:{auth[1]}".encode()).decode()
+        req.add_header("Authorization", f"Basic {tok}")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_insert_empty_body_is_400(served):
+    status, _ = _post(served, "/insert/sparksiri", None, raw=b"")
+    assert status == 400
+
+
+def test_insert_and_query_roundtrip(served):
+    status, out = _post(served, "/insert/sparksiri",
+                        {"data2": [[1579521271, 1.5]]})
+    assert status == 200
+    assert out == {"success_msg": "Successfully inserted 1 point(s)."}
+    status, out = _post(served, "/query/sparksiri",
+                        {"q": 'select * from "data"'})
+    assert status == 200
+    assert out == {"data": [[1579521271, 10], [1579521573, 20]]}
+
+
+def test_query_precision_option(served):
+    # ref itest: {'q': ..., 't': 'ms'} scales result timestamps
+    status, out = _post(served, "/query/sparksiri",
+                        {"q": 'select * from "data"', "t": "ms"})
+    assert status == 200
+    assert out == {"data": [[1579521271000, 10], [1579521573000, 20]]}
+    status, out = _post(served, "/query/sparksiri",
+                        {"q": 'select * from "data"', "t": "century"})
+    assert status == 400 and "error_msg" in out
+
+
+def test_auth_and_routing_status_codes(served):
+    assert _post(served, "/query/sparksiri", {"q": "show"},
+                 auth=("iris", "wrong"))[0] == 401
+    assert _post(served, "/query/sparksiri", {"q": "show"},
+                 auth=None)[0] == 401
+    assert _post(served, "/query/nosuchdb", {"q": "show"})[0] == 404
+    assert _post(served, "/nosuchroute/sparksiri", {})[0] == 404
+    assert _post(served, "/query/sparksiri", {"q": "show"},
+                 content_type="text/plain")[0] == 415
+    status, out = _post(served, "/query/sparksiri",
+                        {"q": "select oops from nothing"})
+    assert status == 400 and "error_msg" in out
+
+
+def test_get_version(served):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{served.port}/get-version") as r:
+        assert r.status == 200
+        v = json.loads(r.read())
+    assert isinstance(v, list) and v[0] == __version__
+    # GET on an unknown path
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{served.port}/insert/sparksiri")
+        raised = None
+    except urllib.error.HTTPError as e:
+        raised = e.code
+    assert raised == 404
