@@ -12,11 +12,17 @@ Four tiers, cheapest first:
 - SimHash: 64-bit signature via per-bit majority vote, banded join on
   signature chunks, Hamming verify with bit_count(xor).
 
-Everything is JVM-side column expressions — no Python UDFs.
+Everything is JVM-side column expressions, with one exception: the
+simhash bit-vote runs as an Arrow-batched numpy kernel (the
+expression form exists behind arrow=False but higher-order functions
+evaluate interpreted, outside whole-stage codegen — the vectorized
+vote is ~10× cheaper per doc). No row-at-a-time Python anywhere.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -316,8 +322,44 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame,
                         F.col("doc_id") == F.col("keep_id")))
 
 
+def _simhash_vote_arrow():
+    """Arrow-batched majority vote: token hashes (computed JVM-side
+    with xxhash64) arrive as one array column per doc; the per-bit
+    vote runs as vectorized numpy bit-unpacking + reduceat over the
+    whole batch. The pure-expression lane vote below is semantically
+    identical but runs interpreted (higher-order functions sit
+    outside whole-stage codegen) at ~0.4 ms/doc; this path is ~10×
+    cheaper per doc and is the 100 TB shape for the signature map."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def vote(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype="int64")
+        arrs = [np.asarray(a, dtype=np.int64).view(np.uint64)
+                for a in hs]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        out = np.zeros(len(arrs), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = (np.concatenate([a for a in arrs if len(a)])
+                    .view(np.uint8).reshape(-1, 8))
+            bits = np.unpackbits(flat, axis=1, bitorder="little")
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nz])[:-1]
+            sums = np.add.reduceat(bits.astype(np.int64), starts,
+                                   axis=0)
+            maj = (sums * 2 > lens[nz, None]).astype(np.uint64)
+            weights = np.left_shift(
+                np.uint64(1), np.arange(64, dtype=np.uint64))
+            out[nz] = (maj * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
+
+    return vote
+
+
 def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id", arrow: bool = True) -> DataFrame:
     """SimHash signatures: per-bit majority vote over token hashes.
     The full 64-bit signature packs one BIGINT (bit 63 lands in the
     sign bit — harmless, it's a bit pattern). Wider signatures mean
@@ -326,6 +368,14 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
     counts linear instead of quadratic on dup-heavy corpora.
     Output: (doc_id, simhash)."""
     assert bits == 64, "lane-packed simhash is fixed at 64 bits"
+    if arrow:
+        arr = F.array_distinct(F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != ""))
+        hs = F.transform(arr, lambda x: F.xxhash64(x))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            _simhash_vote_arrow()(hs).alias("simhash"))
     # SimHash is per-document math — no cross-row dependency — so the
     # whole signature is computed ROW-LOCALLY with array expressions:
     # tokenize, array_distinct, hash, then a lane-packed bit vote via

@@ -44,9 +44,12 @@ OPTIMAL_POINTS_PER_SHARD = 2000
 
 #: hash buckets for the incrementally-maintained series catalog — an
 #: ingest batch rewrites only the buckets its series hash into, so the
-#: per-batch catalog cost is O(|catalog|/N_CATALOG_BUCKETS × touched)
-#: instead of a single-task full rewrite
-N_CATALOG_BUCKETS = 32
+#: per-batch catalog cost is O(|catalog|/buckets × touched buckets)
+#: instead of a single-task full rewrite. Default is sized for ~10⁵-10⁶
+#: series (per-bucket directory commits dominate below that); a
+#: 100M-series deployment raises PointsStore(catalog_buckets=...) so
+#: each bucket stays ~1M rows.
+N_CATALOG_BUCKETS = 8
 
 
 def duration_from_interval(interval: int, factor: int,
@@ -74,10 +77,12 @@ def duration_from_interval(interval: int, factor: int,
 
 
 class PointsStore:
-    def __init__(self, path: str, duration_num: int, duration_log: int):
+    def __init__(self, path: str, duration_num: int, duration_log: int,
+                 catalog_buckets: int = N_CATALOG_BUCKETS):
         self.path = path
         self.duration_num = duration_num
         self.duration_log = duration_log
+        self.catalog_buckets = catalog_buckets
 
     # ------------------------------------------------------------- write
     def _with_partitions(self, df: DataFrame) -> DataFrame:
@@ -166,35 +171,60 @@ class PointsStore:
             F.max("ts").alias("end"),
             F.max("tp").alias("tp"))
 
-    @staticmethod
-    def _with_bucket(df: DataFrame) -> DataFrame:
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if "bucket" in df.columns:
+            return df
         return df.withColumn(
             "bucket",
-            F.pmod(F.xxhash64("name"), F.lit(N_CATALOG_BUCKETS))
+            F.pmod(F.xxhash64("name"), F.lit(self.catalog_buckets))
             .cast("int"))
 
+    # The catalog is LSM-shaped: an ingest batch APPENDS one small
+    # delta file — O(batch) work, no read-merge of the base — reads
+    # fold base ∪ deltas (associative: sum/min/max), and once deltas
+    # pile up a compaction folds them into only the bucket partitions
+    # they touch. This is the reference's split between live in-memory
+    # series stats and the periodically-flushed database file
+    # (series.h:54-72 / db.c), re-expressed for a distributed FS.
+    @property
+    def _delta_path(self) -> str:
+        return os.path.join(self.path, "_catalog_delta")
+
+    #: compact when this many delta files accumulate
+    DELTA_COMPACT_AT = 16
+
+    def _n_delta_files(self) -> int:
+        if not os.path.isdir(self._delta_path):
+            return 0
+        return sum(1 for f in os.listdir(self._delta_path)
+                   if f.endswith(".parquet"))
+
     def _merge_catalog(self, spark: SparkSession, stats: DataFrame):
-        # raw read — the appender holds the pending marker itself;
-        # going through read_catalog() would see it and "repair" from
-        # points that already include this batch (double count)
-        stats = self._with_bucket(stats)
-        old = self._read_catalog_raw(spark)
-        if old is not None and "bucket" not in old.columns:
-            # legacy unbucketed catalog: fold in once, full rewrite
-            merged = self._with_bucket(old).unionByName(stats)
-            self._write_catalog(self._fold(merged), full=True)
+        # the appender holds the pending marker, so a crash anywhere
+        # here (or mid-compaction) triggers the one-time rebuild
+        (self._with_bucket(stats).coalesce(1)
+         .write.mode("append").parquet(self._delta_path))
+        if self._n_delta_files() > self.DELTA_COMPACT_AT:
+            self._compact_catalog(spark)
+
+    def _compact_catalog(self, spark: SparkSession):
+        delta = (spark.read.parquet(self._delta_path)
+                 if os.path.isdir(self._delta_path) else None)
+        if delta is None:
             return
-        if old is None:
-            self._write_catalog(self._fold(stats), full=True)
-            return
-        # incremental path: merge + rewrite ONLY the buckets this
-        # batch's series hash into — dynamic partition overwrite
-        # leaves the other N-1 bucket directories untouched
-        touched = [r["bucket"] for r in
-                   stats.select("bucket").distinct().collect()]
-        merged = self._fold(
-            old.where(F.col("bucket").isin(touched)).unionByName(stats))
-        self._write_catalog(merged, full=False)
+        base = (spark.read.parquet(self._catalog_path)
+                if os.path.isdir(self._catalog_path) else None)
+        if base is None:
+            self._write_catalog(self._fold(delta), full=True)
+        else:
+            # fold deltas into ONLY the bucket partitions they touch
+            base = self._with_bucket(base)
+            touched = base.join(delta.select("bucket").distinct(),
+                                "bucket", "semi")
+            self._write_catalog(
+                self._fold(touched.unionByName(self._with_bucket(delta))),
+                full=False)
+        shutil.rmtree(self._delta_path, ignore_errors=True)
 
     @staticmethod
     def _fold(stats: DataFrame) -> DataFrame:
@@ -215,8 +245,11 @@ class PointsStore:
         if "bucket" not in stats.columns:
             stats = self._with_bucket(stats)
         stage = self._catalog_path + (".tmp" if full else ".stage")
-        (stats.repartition(N_CATALOG_BUCKETS, "bucket")
-         .write.mode("overwrite")
+        # no explicit repartition: the _fold upstream already
+        # shuffled on (name, bucket) and AQE coalesces its output, so
+        # a tiny catalog writes from 1-2 tasks (few files per bucket
+        # dir) while a 100M-series one fans out across tasks
+        (stats.write.mode("overwrite")
          .partitionBy("bucket")
          .parquet(stage))
         if full:
@@ -283,9 +316,18 @@ class PointsStore:
         os.rename(tmp, target)
 
     def _read_catalog_raw(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.isdir(self._catalog_path):
+        has_base = os.path.isdir(self._catalog_path)
+        has_delta = self._n_delta_files() > 0
+        if not has_base and not has_delta:
             return None
-        return spark.read.parquet(self._catalog_path)
+        if not has_delta:
+            return spark.read.parquet(self._catalog_path)
+        delta = self._with_bucket(spark.read.parquet(self._delta_path))
+        if not has_base:
+            return self._fold(delta)
+        base = self._with_bucket(spark.read.parquet(self._catalog_path))
+        return self._fold(base.unionByName(
+            delta.select(*base.columns)))
 
     def read_catalog(self, spark: SparkSession) -> DataFrame | None:
         if os.path.exists(self._pending_path):
@@ -297,7 +339,9 @@ class PointsStore:
 
     def rebuild_catalog(self, spark: SparkSession):
         """Full recompute — the rare maintenance path (after expire,
-        which changes per-series start/length at shard granularity)."""
+        which changes per-series start/length at shard granularity).
+        Supersedes any pending deltas, so they are cleared."""
+        shutil.rmtree(self._delta_path, ignore_errors=True)
         if not self._exists():
             if os.path.isdir(self._catalog_path):
                 shutil.rmtree(self._catalog_path)
@@ -360,7 +404,10 @@ class PointsStore:
             self._swap_partition(tmp, p)
         shutil.rmtree(self._rewrite_root, ignore_errors=True)
         if cat is not None:
+            # cat is the FOLDED base ∪ deltas view; writing it as the
+            # new full base supersedes the delta files
             self._write_catalog(cat.where(~F.col("name").isin(names)))
+            shutil.rmtree(self._delta_path, ignore_errors=True)
         self._clear_pending()
 
     def optimize(self, spark: SparkSession,

@@ -217,38 +217,47 @@ def test_stateful_streaming_dedup_and_stats(spark, tmp_path):
     assert stats2 == {("a", 3, 50, 200), ("b", 1, 500, 500)}
 
 
-def test_catalog_is_bucketed_and_appends_touch_only_hit_buckets(
-        spark, tmp_path):
-    """The incremental catalog is hash-bucketed: a batch rewrites only
-    the bucket partitions its series hash into, never the whole
-    catalog (the 100 TB ingest path: O(catalog/N × touched) per
-    micro-batch, not a single-task full rewrite)."""
+def test_catalog_lsm_deltas_and_bucketed_compaction(spark, tmp_path):
+    """The catalog is LSM-shaped for the 100 TB ingest path: an
+    append writes ONE O(batch) delta file (no read-merge of the
+    base), reads fold base ∪ deltas, and compaction rewrites only
+    the bucket partitions the deltas touch."""
     eng = SiriEngine.open(spark, str(tmp_path / "bdb"), precision="s")
+    store = eng.store
     eng.insert({f"s{i}": [[100 + i, float(i)]] for i in range(40)})
-    cpath = eng.store._catalog_path
-    buckets = sorted(e for e in os.listdir(cpath)
+    # the append produced a delta, not a base rewrite
+    assert store._n_delta_files() == 1
+    assert not os.path.isdir(store._catalog_path)
+    eng.insert({"s0": [[999, 7.0]]})
+    assert store._n_delta_files() == 2
+    # folded read is correct before any compaction
+    cat = {r["name"]: r["length"]
+           for r in store.read_catalog(spark).collect()}
+    assert cat["s0"] == 2 and len(cat) == 40
+    # compaction: deltas fold into hash-bucketed base partitions
+    store._compact_catalog(spark)
+    assert store._n_delta_files() == 0
+    buckets = sorted(e for e in os.listdir(store._catalog_path)
                      if e.startswith("bucket="))
     assert len(buckets) > 1  # sharded, not one blob
-    before = {}
-    for b in buckets:
-        bdir = os.path.join(cpath, b)
-        before[b] = sorted(os.listdir(bdir))
-    # second append touches ONE series → only its bucket may change
-    eng.insert({"s0": [[999, 7.0]]})
-    hit = eng.store._with_bucket(
+    before = {b: sorted(os.listdir(os.path.join(store._catalog_path,
+                                                b))) for b in buckets}
+    # a narrow batch + compaction rewrites ONLY its series' bucket
+    eng.insert({"s0": [[1500, 8.0]]})
+    store._compact_catalog(spark)
+    hit = store._with_bucket(
         spark.createDataFrame([("s0",)], "name string"))\
         .collect()[0]["bucket"]
     changed = []
-    for b in sorted(e for e in os.listdir(cpath)
+    for b in sorted(e for e in os.listdir(store._catalog_path)
                     if e.startswith("bucket=")):
-        bdir = os.path.join(cpath, b)
+        bdir = os.path.join(store._catalog_path, b)
         if sorted(os.listdir(bdir)) != before.get(b):
             changed.append(int(b.split("=")[1]))
     assert changed == [hit]
-    # and the merged stats are right
     cat = {r["name"]: r["length"]
-           for r in eng.store.read_catalog(spark).collect()}
-    assert cat["s0"] == 2 and len(cat) == 40
+           for r in store.read_catalog(spark).collect()}
+    assert cat["s0"] == 3 and len(cat) == 40
 
 
 def test_rewrite_crash_repair_both_windows(spark, tmp_path):
