@@ -306,7 +306,11 @@ class Parser:
                 if self._keyword(agg):
                     break
             else:
-                self._error("an aggregation function")
+                # f_limit's Choice order (grammar/grammar.py:555-574)
+                self._error(
+                    "mean, median, median_high, median_low, sum, "
+                    "min, max, count, variance, pvariance, stddev, "
+                    "first or last")
             self._expect(")")
             if n <= 0:
                 raise QueryError(
@@ -354,7 +358,13 @@ class Parser:
                 g = self._optional_group_by()
                 return emit(N.AggFunc(name, g))
 
-        self._error("an aggregation or transform function")
+        # cleri expectation list in the grammar's Choice order
+        # (aggregate_functions, ref grammar/grammar.py:577-599)
+        self._error(
+            "*, all, offset, limit, mean, sum, median, median_low, "
+            "median_high, min, max, count, variance, pvariance, "
+            "stddev, first, last, timeval, interval, difference, "
+            "derivative, filter or points")
 
     def _peek_close(self) -> bool:
         self._ws()
@@ -487,7 +497,11 @@ class Parser:
                 if s is None:
                     self._error("a string")
                 return N.WhereCond(prop, op, s)
-        self._error("a property name")
+        # cleri expectation list: the Prio alternatives in grammar
+        # order (where_series et al., ref grammar/grammar.py:350-366)
+        opts = list(pi) + list(ps) + list(pt) \
+            + (["type"] if has_type else []) + ["("]
+        self._error(", ".join(opts[:-1]) + " or " + opts[-1])
 
     def _where_series(self):
         return self._where(("length", "pool"), ("name",),
@@ -541,7 +555,18 @@ class Parser:
             self.pos = len(self.q)
             return N.HelpStmt(topic)
         # calc statement: a bare time expression (grammar calc_stmt)
-        return N.CalcStmt(self._time_expr())
+        start = self.pos
+        try:
+            return N.CalcStmt(self._time_expr())
+        except ParseError:
+            # unknown statement start: the full START expectation
+            # list in the grammar's Choice order (grammar.py:877-892;
+            # calc_stmt expands to the time-expression terminals)
+            self.pos = start
+            self._error(
+                "timeit, select, list, count, alter, create, drop, "
+                "grant, revoke, show, integer, date/time_string, "
+                "now, (, help or end_of_statement")
 
     def _select_stmt(self) -> N.SelectStmt:
         pipelines = [self._select_aggregate()]
@@ -788,15 +813,36 @@ class Parser:
         if self._keyword("database"):
             if not self._keyword("set"):
                 self._error("'set'")
+            def _float_value():
+                m = self._match(_RE_FLOAT)
+                if m is None:
+                    self._error("float")
+                return float(m.group(0))
+
+            def _str_value():
+                s = self._string()
+                if s is None:
+                    self._error("single_quote_str or double_quote_str")
+                return s
+
+            def _tee_value():
+                # set_tee: Choice(k_false, string) — grammar.py:616
+                if self._keyword("false"):
+                    return "false"
+                s = self._string()
+                if s is None:
+                    self._error("false, single_quote_str or"
+                                " double_quote_str")
+                return s
+
             for key, parse in (
-                ("drop_threshold",
-                 lambda: float(self._match(_RE_FLOAT).group(0))),
+                ("drop_threshold", _float_value),
                 ("list_limit", self._int_expr),
                 ("select_points_limit", self._int_expr),
-                ("timezone", self._string),
+                ("timezone", _str_value),
                 ("expiration_num", self._time_expr),
                 ("expiration_log", self._time_expr),
-                ("tee", self._string),
+                ("tee", _tee_value),
             ):
                 if self._keyword(key):
                     value = parse()

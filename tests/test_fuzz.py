@@ -130,3 +130,76 @@ def test_fuzz_meta_calc(eng, seed):
             assert isinstance(res, dict), q
         except (QueryError, ParseError) as e:
             assert str(e), q
+
+
+def test_error_format_and_expectation_lists():
+    """Parse errors follow the reference's shape — 'Query error at
+    position N. Expecting A, B or C' (QUERY_send_invalid_error,
+    query.c:459-559) — with grammar-ordered expectation lists at the
+    statement start, aggregate position, f_limit choice, and where
+    properties."""
+    from siridb_server_spark.plans.parser import parse
+
+    cases = {
+        "foobar": ("position 0", "timeit, select, list, count, alter,"
+                   " create, drop, grant, revoke, show, integer,"
+                   " date/time_string, now, (, help or"
+                   " end_of_statement"),
+        "select bogus(1h) from /.*/": (
+            "position 7", "*, all, offset, limit, mean, sum, median,"
+            " median_low, median_high, min, max, count, variance,"
+            " pvariance, stddev, first, last, timeval, interval,"
+            " difference, derivative, filter or points"),
+        "select limit(2, timeval) from 'a'": (
+            "position 16", "mean, median, median_high, median_low,"
+            " sum, min, max, count, variance, pvariance, stddev,"
+            " first or last"),
+        "list series where bogus > 1": (
+            "position 18", "length, pool, name, start, end,"
+            " shard_duration, type or ("),
+    }
+    for q, (pos, expecting) in cases.items():
+        with pytest.raises((ParseError, QueryError)) as e:
+            parse(q)
+        msg = str(e.value)
+        assert msg.startswith("Query error at "), (q, msg)
+        assert pos in msg and f"Expecting {expecting}" in msg, (q, msg)
+
+
+def test_fuzz_garbage_errors_keep_reference_shape():
+    """Every parse error raised on corrupted input keeps the
+    reference's error shape — never a traceback or bare assert."""
+    import re as _re
+
+    from siridb_server_spark.plans.parser import parse
+
+    rng = random.Random(1234)
+    shape = _re.compile(
+        r"^Query error at position \d+\. Expecting .+")
+    seeds = [
+        "select mean(1h) from /.*/", "list series where length > 2",
+        "count shards", "alter database set drop_threshold 0.5",
+        "create group `g` for /x.*/", "grant full to user 'iris'",
+    ]
+    checked = 0
+    for _ in range(400):
+        q = rng.choice(seeds)
+        # corrupt: truncate, splice garbage, or shuffle a word
+        r = rng.random()
+        if r < 0.4:
+            q = q[:rng.randint(0, len(q) - 1)]
+        elif r < 0.7:
+            i = rng.randint(0, len(q))
+            q = q[:i] + rng.choice(["$", "~~", "qq ", ")("]) + q[i:]
+        else:
+            words = q.split()
+            rng.shuffle(words)
+            q = " ".join(words)
+        try:
+            parse(q)
+        except ParseError as e:
+            assert shape.match(str(e)), (q, str(e))
+            checked += 1
+        except QueryError:
+            pass  # semantic errors have their own reference texts
+    assert checked > 50  # the corruptions really exercised the shape
