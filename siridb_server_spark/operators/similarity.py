@@ -318,6 +318,33 @@ class IVFIndex:
     def unpersist(self):
         self.cells.unpersist()
 
+    def save(self, path: str):
+        """Persist the index: cells as parquet PARTITIONED BY CELL —
+        the 100 TB layout where search's probe filter is directory-
+        level partition pruning — plus the centroid list (one tiny
+        parquet)."""
+        (self.cells.withColumnRenamed("_cell", "cell")
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(f"{path}/cells"))
+        spark = self.cells.sparkSession
+        cent_rows = [(cid, [float(x) for x in vec])
+                     for cid, vec in self.centroids]
+        (spark.createDataFrame(
+            cent_rows, "cell long, centroid array<double>")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{path}/centroids"))
+
+    @classmethod
+    def load(cls, spark, path: str, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> "IVFIndex":
+        """Open a saved index. Searches scan only the probed cells'
+        directories (PartitionFilters on the parquet scan)."""
+        cents = [(r["cell"], list(r["centroid"])) for r in
+                 spark.read.parquet(f"{path}/centroids").collect()]
+        cells = (spark.read.parquet(f"{path}/cells")
+                 .withColumnRenamed("cell", "_cell"))
+        return cls(cents, cells, vec_col, id_col)
+
 
 def _sq_dist(vec_col, centroid) -> Column:
     """Row-local squared L2 distance to one (python-list) centroid."""

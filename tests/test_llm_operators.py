@@ -290,3 +290,20 @@ def test_ivf_index_build_once_search_many(emb):
             idx2.unpersist()
     finally:
         idx.unpersist()
+
+
+def test_ivf_index_save_load_prunes_partitions(emb, spark, tmp_path):
+    """A saved index lays cells out as parquet partitionBy(cell); a
+    search on the loaded index shows PartitionFilters on the scan —
+    probing IS directory pruning at scale."""
+    idx = SIM.IVFIndex.from_labels(emb.where(F.col("vec_id") != 0))
+    want = [tuple(r) for r in
+            idx.search([1.0, 0.0, 0.0], k=2, nprobe=1).collect()]
+    idx.save(str(tmp_path / "ivf"))
+    idx.unpersist()
+    idx2 = SIM.IVFIndex.load(spark, str(tmp_path / "ivf"))
+    got_df = idx2.search([1.0, 0.0, 0.0], k=2, nprobe=1)
+    assert [tuple(r) for r in got_df.collect()] == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
