@@ -271,6 +271,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_tokens"] = text_tokens
 
+    def text_clean(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", TX.clean_text(F.col("text")).alias("cleaned"))
+
+    q["text_clean"] = text_clean
+
+    def text_pii_mask(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", TX.mask_pii(F.col("text")).alias("masked"))
+
+    q["text_pii_mask"] = text_pii_mask
+
     def text_fingerprint(spark, sf_dir):
         docs = load(spark, sf_dir, "documents")
         return docs.select(
@@ -790,6 +804,26 @@ def oracle_sql() -> dict[str, str]:
         " len(regexp_extract_all(text,"
         " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens"
         " FROM documents"
+    )
+    # cleaning / PII masking: regexes stay in the Java-regex ∩ RE2
+    # subset so both engines apply identical semantics (DuckDB needs
+    # the 'g' flag; Spark replaces all matches by default)
+    o["text_clean"] = (
+        "SELECT doc_id, trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(text, '<[^>]*>', ' ', 'g'),"
+        " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),"
+        " '&quot;', '\"'), '&#39;', ''''), '&amp;', '&'),"
+        " '\\s+', ' ', 'g')) AS cleaned FROM documents"
+    )
+    o["text_pii_mask"] = (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',"
+        " '<EMAIL>', 'g'),"
+        " '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',"
+        " '<IP>', 'g'),"
+        " '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g')"
+        " AS masked FROM documents"
     )
     o["text_fingerprint"] = (
         "SELECT doc_id, md5(array_to_string(list_sort("

@@ -27,6 +27,47 @@ _WORD_RE = r"\s+"
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+#: regexes shared with the DuckDB oracle — kept inside the common
+#: Java-regex/RE2 subset (no backrefs, no lookaround)
+HTML_TAG_RE = r"<[^>]*>"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def strip_html(text: Column) -> Column:
+    """Drop markup tags and unescape the common entities — the first
+    pass of a web-scrape curation pipeline. Row-local regex, fuses
+    into the scan."""
+    out = F.regexp_replace(text, HTML_TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
+def normalize_ws(text: Column) -> Column:
+    """Collapse all whitespace runs to single spaces and trim."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def mask_pii(text: Column) -> Column:
+    """Mask emails, IPv4 addresses, and phone-ish number runs with
+    typed placeholders — the standard pre-training privacy scrub.
+    Order matters: emails first (their domains contain dots that the
+    other patterns could chew on), then IPs, then phones."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def clean_text(text: Column) -> Column:
+    """strip_html → normalize_ws: the canonical cleaning pass."""
+    return normalize_ws(strip_html(text))
+
+
 def words(text: Column) -> Column:
     return F.split(F.trim(text), _WORD_RE)
 

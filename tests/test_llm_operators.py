@@ -307,3 +307,20 @@ def test_ivf_index_save_load_prunes_partitions(emb, spark, tmp_path):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     import re
     assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
+
+
+def test_text_cleaning_and_pii_mask(spark):
+    rows = [
+        (1, "<p>Hello &amp; <b>world</b></p>\n\n  spaced   out "),
+        (2, "mail me: bob.smith+x@corp.example.org or"
+            " call +1 (555) 123-4567"),
+        (3, "server at 10.0.42.7 answered"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", TX.clean_text(F.col("text")).alias("c")).collect()}
+    assert got[1] == "Hello & world spaced out"
+    masked = {r["doc_id"]: r["m"] for r in df.select(
+        "doc_id", TX.mask_pii(F.col("text")).alias("m")).collect()}
+    assert masked[2] == "mail me: <EMAIL> or call <PHONE>"
+    assert masked[3] == "server at <IP> answered"
