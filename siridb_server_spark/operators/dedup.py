@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Signature frames feed both sides of a self-join, so they are
@@ -218,14 +218,35 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
     )
 
 
+def _cap_hot_buckets(banded: DataFrame, keys: list,
+                     max_bucket: int | None) -> DataFrame:
+    """Standard LSH hot-bucket cap: a band key shared by B docs emits
+    B²/2 candidate pairs in ONE task — on dup-heavy corpora a single
+    boilerplate bucket can dominate the whole job (the self-join skew
+    AQE can't fully split, since the explosion happens inside the
+    join). Dropping buckets above `max_bucket` bounds per-key work;
+    members of such buckets are near-certain duplicates of each other
+    and almost always still pair through their other bands (or get
+    caught by exact dedup first). None = no cap."""
+    if max_bucket is None:
+        return banded
+    w_cnt = F.count(F.lit(1)).over(
+        Window.partitionBy(*[F.col(c) for c in keys]))
+    return (banded.withColumn("_bsz", w_cnt)
+            .where(F.col("_bsz") <= max_bucket).drop("_bsz"))
+
+
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
                       threshold: float = 0.5,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      max_bucket: int | None = None) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures into buckets; only
     same-bucket docs become candidates; verify with the estimated
-    Jaccard (fraction of agreeing hash components).
+    Jaccard (fraction of agreeing hash components). `max_bucket`
+    bounds the per-bucket candidate blowup on dup-heavy corpora (see
+    _cap_hot_buckets).
     Output: (id_a, id_b, est_jaccard)."""
     k = num_hashes
     rows_per_band = k // bands
@@ -243,6 +264,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
         "doc_id", "sig", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "sig",
              F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _cap_hot_buckets(banded, ["band", "bh"], max_bucket)
     # signatures feed BOTH sides of the self-join: persist so the
     # shingle explode + min aggregation runs once, not twice
     banded = _persist_bounded(banded)
@@ -421,10 +443,14 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
                   bands: int = 4, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
     Banding on signature chunks guarantees recall for distances <
-    bands (pigeonhole); verify via bit_count(xor).
+    bands (pigeonhole); verify via bit_count(xor). `max_bucket`
+    bounds per-band-key candidate blowup (see _cap_hot_buckets; note
+    a cap weakens the pigeonhole completeness guarantee for members
+    of dropped buckets).
     Output: (id_a, id_b, hamming)."""
     sig = simhash(df, bits, text_col, id_col)
     chunk = bits // bands
@@ -440,6 +466,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
                 .bitwiseAND(F.lit((1 << chunk) - 1)).alias("key"))
             for b in range(bands)])).alias("bb"))\
         .select("doc_id", "simhash", "bb.band", "bb.key")
+    banded = _cap_hot_buckets(banded, ["band", "key"], max_bucket)
     a, b_ = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

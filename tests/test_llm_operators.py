@@ -324,3 +324,28 @@ def test_text_cleaning_and_pii_mask(spark):
         "doc_id", TX.mask_pii(F.col("text")).alias("m")).collect()}
     assert masked[2] == "mail me: <EMAIL> or call <PHONE>"
     assert masked[3] == "server at <IP> answered"
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket drops pathological band buckets (boilerplate
+    floods) so one key can't emit B²/2 candidate pairs in one task;
+    near-dups below the cap still pair."""
+    rows = [(i, "exact same boilerplate text everywhere")
+            for i in range(20)]
+    rows += [(100, "a genuinely unique document about gardens"),
+             (101, "a genuinely unique document about gardens")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.minhash_lsh_pairs(df, threshold=0.5, max_bucket=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 20-doc flood bucket (190 pairs/band) is dropped...
+    assert not any(a < 20 and b < 20 for a, b in pairs)
+    # ...while the small near-dup pair still pairs through its bands
+    assert (100, 101) in pairs
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                D.minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert any(a < 20 and b < 20 for a, b in uncapped)
+    # simhash: same cap semantics
+    s_capped = {(r["id_a"], r["id_b"]) for r in D.simhash_pairs(
+        df, max_hamming=3, max_bucket=5).collect()}
+    assert not any(a < 20 and b < 20 for a, b in s_capped)
+    assert (100, 101) in s_capped
