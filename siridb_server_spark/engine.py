@@ -91,6 +91,7 @@ class SiriEngine:
         self.tee = None
         self.duration_num = DEFAULT_DURATION_NUM_S * self.factor
         self.duration_log = DEFAULT_DURATION_LOG_S * self.factor
+        self._exp_applied: dict = {}  # expiration key → last cutoff sid
         self._started = _time.time()
 
     @classmethod
@@ -983,6 +984,7 @@ class SiriEngine:
         if key in ("expiration_num", "expiration_log"):
             old = getattr(self, key)
             setattr(self, key, int(value))
+            self._exp_applied.pop(key, None)  # force re-application
             self._apply_expiration()
             return {"success_msg":
                     f"Successfully changed expiration from {old} "
@@ -1009,6 +1011,12 @@ class SiriEngine:
                 continue
             cutoff = now - exp
             cutoff_sid = cutoff - cutoff % dur
+            # the insert heartbeat calls this per batch: skip until
+            # the cutoff crosses into a new shard (ingest-time
+            # filtering already covers points landing in old shards)
+            if self._exp_applied.get(key) == cutoff_sid:
+                continue
+            self._exp_applied[key] = cutoff_sid
             if self.store is not None:
                 self.store.expire(self.spark, cutoff_sid, tp_str)
                 changed = True
@@ -1032,6 +1040,21 @@ class SiriEngine:
             changed = True
         if changed:
             self._invalidate()
+
+    def maintain(self, max_files_per_partition: int = 1) -> dict:
+        """One operational entry point for the background maintenance
+        the reference runs on timers (siri/optimize.c:33-55 shard
+        rewrites, heartbeat.c:62 expiration): retention, shard
+        compaction, and catalog delta compaction."""
+        self._exp_applied.clear()
+        self._apply_expiration()
+        if self.store is not None:
+            self.store.optimize(self.spark, max_files_per_partition)
+            self.store._set_pending()
+            self.store._compact_catalog(self.spark)
+            self.store._clear_pending()
+            self._invalidate()
+        return {"success_msg": "Maintenance finished."}
 
     def _alter_series(self, stmt: N.AlterSeries) -> dict:
         sel = self._selected_catalog(stmt.match, stmt.where)

@@ -347,3 +347,31 @@ def test_expiration_applies_automatically(spark, tmp_path):
     mem.insert({"m": [[now - 4 * week, 1.0], [now, 2.0]]})
     mem.query(f"alter database set expiration_num {3 * week}")
     assert mem.query("select * from 'm'") == {"m": [[now, 2.0]]}
+
+
+def test_maintain_compacts_and_expires(spark, tmp_path):
+    """maintain() = the reference's timer-driven background work:
+    shard compaction, catalog delta compaction, retention."""
+    import time as _t
+
+    eng = SiriEngine.open(spark, str(tmp_path / "mdb"), precision="s")
+    now = int(_t.time())
+    week = 3600 * 24 * 7
+    for i in range(3):  # fragmented appends, 2 deltas+ pending
+        eng.insert({"s": [[now - 10 + i, float(i)]]})
+    assert eng.store._n_delta_files() == 3
+    kind, sid, p = next(eng.store._sid_dirs())
+    assert len([f for f in os.listdir(p)
+                if f.endswith(".parquet")]) == 3
+    eng.expiration_num = 3 * week
+    eng.insert({"old": [[now - 8 * week, 1.0]]})  # dropped at ingest
+    out = eng.maintain()
+    assert out["success_msg"] == "Maintenance finished."
+    # compaction: one file per shard partition, no deltas left
+    assert eng.store._n_delta_files() == 0
+    assert len([f for f in os.listdir(p)
+                if f.endswith(".parquet")]) == 1
+    assert eng.query("list series") == {
+        "columns": ["name"], "series": [["s"]]}
+    assert eng.query("select count() from 's'") == {
+        "s": [[now - 8, 3]]}
