@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from siridb_server_spark import SiriEngine
+from siridb_server_spark.operators import curation as CU
 from siridb_server_spark.operators import dedup as D
 from siridb_server_spark.operators import multimodal as MM
 from siridb_server_spark.operators import similarity as SIM
@@ -93,12 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["siri_mean_bucket"] = _sel("select mean(1d) from /.*/", "val_dbl", 6)
     q["siri_median_bucket"] = _sel("select median(1d) from /.*/",
                                    "val_dbl", 6)
-    q["siri_median_low_bucket"] = _sel("select median_low(1d) from /.*/")
-    q["siri_median_high_bucket"] = _sel("select median_high(1d) from /.*/")
     q["siri_variance_bucket"] = _sel("select variance(1d) from /.*/",
                                      "val_dbl", 6)
-    q["siri_pvariance_bucket"] = _sel("select pvariance(1d) from /.*/",
-                                      "val_dbl", 6)
     q["siri_stddev_bucket"] = _sel("select stddev(1d) from /.*/",
                                    "val_dbl", 6)
     q["siri_first_bucket"] = _sel("select first(1d) from /.*/")
@@ -290,6 +287,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprint"] = text_fingerprint
 
+    q["text_repetition"] = lambda spark, sf_dir: TX.repetition_features(
+        load(spark, sf_dir, "documents"))
+
+    q["curation_sample_sources"] = lambda spark, sf_dir: \
+        CU.sample_by_source(load(spark, sf_dir, "documents"),
+                            alpha=0.5, target_frac=0.5)
+
+    q["curation_pack_sequences"] = lambda spark, sf_dir: \
+        CU.pack_sequences(load(spark, sf_dir, "documents"), budget=256)
+
     def text_topk_per_source(spark, sf_dir):
         docs = load(spark, sf_dir, "documents")
         scored = TX.quality_features(docs, keep=("source",))
@@ -440,6 +447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # siri_minmax_int_to_one) — the least information lost if skipped
     q["siri_min_bucket"] = _sel("select min(1d) from /.*/")
     q["siri_max_bucket"] = _sel("select max(1d) from /.*/")
+    q["siri_median_low_bucket"] = _sel("select median_low(1d) from /.*/")
+    q["siri_median_high_bucket"] = _sel("select median_high(1d) from /.*/")
+    q["siri_pvariance_bucket"] = _sel("select pvariance(1d) from /.*/",
+                                      "val_dbl", 6)
 
     return q
 
@@ -834,6 +845,77 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, md5(array_to_string(list_sort("
         "string_split_regex(trim(lower(text)), '\\s+')), ' ')) AS fp"
         " FROM documents"
+    )
+
+    # repetition features: the oracle recomputes via unnest + GROUP BY
+    # (different algorithm, same result as the row-local sorted-run
+    # fold). All ratios: round(x,6)+0.0, empty docs → 0.0.
+    o["text_repetition"] = (
+        "WITH w AS (SELECT doc_id, text,"
+        " string_split_regex(trim(lower(text)), '\\s+') AS ws,"
+        " list_filter(list_transform(string_split(text, chr(10)),"
+        " l -> trim(l)), l -> l <> '') AS lines"
+        " FROM documents),"
+        " bg AS (SELECT doc_id, unnest(list_transform("
+        " range(1, greatest(len(ws), 1)),"
+        " i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),"
+        " bgc AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM"
+        " (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)"
+        " GROUP BY 1),"
+        " tg AS (SELECT doc_id, unnest(list_transform("
+        " range(1, greatest(len(ws) - 1, 1)),"
+        " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g"
+        " FROM w),"
+        " tgc AS (SELECT doc_id, sum(c) - count(*) AS dup_tg,"
+        " sum(c) AS n_tg FROM (SELECT doc_id, g, count(*) AS c"
+        " FROM tg GROUP BY 1, 2) GROUP BY 1)"
+        " SELECT w.doc_id,"
+        " CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END"
+        " AS n_words,"
+        " CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE coalesce("
+        " round((len(ws) - len(list_distinct(ws))) * 1.0 / len(ws), 6)"
+        " + 0.0, 0.0) END AS dup_word_frac,"
+        " CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE coalesce("
+        " round((len(lines) - len(list_distinct(lines))) * 1.0"
+        " / len(lines), 6) + 0.0, 0.0) END AS dup_line_frac,"
+        " CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE coalesce("
+        " round(top_c * 1.0 / n_bg, 6) + 0.0, 0.0) END"
+        " AS top_bigram_frac,"
+        " CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE coalesce("
+        " round(dup_tg * 1.0 / n_tg, 6) + 0.0, 0.0) END"
+        " AS dup_trigram_frac"
+        " FROM w LEFT JOIN bgc ON w.doc_id = bgc.doc_id"
+        " LEFT JOIN tgc ON w.doc_id = tgc.doc_id"
+    )
+
+    # temperature sampling: the keep decision replays bit-identically
+    # (same md5-prefix uniform, same IEEE op order for the rate)
+    o["curation_sample_sources"] = (
+        "WITH c AS (SELECT source, count(*) AS n_s FROM documents"
+        " GROUP BY 1),"
+        " t AS (SELECT sum(n_s) AS n_tot, sum(pow(n_s, 0.5)) AS w_tot"
+        " FROM c),"
+        " r AS (SELECT source, least(1.0,"
+        " pow(n_s, 0.5) / w_tot * 0.5 * n_tot / n_s) AS keep_rate"
+        " FROM c, t)"
+        " SELECT d.doc_id, d.source, round(keep_rate, 6) + 0.0"
+        " AS keep_rate FROM documents d JOIN r ON d.source = r.source"
+        " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT / 4294967296.0 < keep_rate"
+    )
+
+    o["curation_pack_sequences"] = (
+        "WITH n AS (SELECT doc_id, source,"
+        " CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END AS n_tokens"
+        " FROM documents),"
+        " s AS (SELECT doc_id, source, n_tokens,"
+        " coalesce(sum(n_tokens) OVER (PARTITION BY source"
+        " ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " 1 PRECEDING), 0) AS start FROM n)"
+        " SELECT doc_id, source, n_tokens,"
+        " CAST(start // 256 AS BIGINT) AS seq_id,"
+        " CAST(start % 256 AS BIGINT) AS seq_offset FROM s"
     )
 
     cos_core = (

@@ -1,0 +1,88 @@
+"""Corpus-curation operators: deterministic source-temperature
+sampling and sequence packing for training-data pipelines.
+
+Both are pure DataFrame algebra. Sampling uses a portable md5-derived
+uniform so the DuckDB oracle can replay the exact same keep/drop
+decisions; packing is a per-group window cumulative sum (one shuffle
+on the group key, no global sort) — the canonical 100 TB shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+#: 2**32 — the md5-prefix hash space
+_HASH_SPACE = 4294967296.0
+
+
+def uniform01(col: Column) -> Column:
+    """Deterministic uniform in [0, 1) from any key column: first 8
+    hex digits of md5, as an unsigned 32-bit fraction. Exactly
+    reproducible in ANSI SQL (``('0x' || substr(md5(x),1,8))::BIGINT /
+    4294967296.0``), which is what makes sampling decisions
+    oracle-checkable and re-runs of a pipeline stable — unlike
+    ``F.rand`` whose draws depend on partitioning."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long") / F.lit(_HASH_SPACE))
+
+
+def sample_by_source(df: DataFrame, alpha: float = 0.5,
+                     target_frac: float = 0.5,
+                     id_col: str = "doc_id",
+                     source_col: str = "source") -> DataFrame:
+    """Temperature-weighted stratified sampling: keep each source with
+    rate ∝ count^alpha (alpha<1 flattens the source distribution, the
+    standard multilingual/multi-source rebalancing), scaled so the
+    expected total is ``target_frac`` of the corpus, capped at 1.
+
+    Plan shape: one small per-source count aggregate (|sources| rows),
+    a broadcast of the 1-row totals onto it, and a broadcast join of
+    the per-source rate back onto the corpus — the big table is
+    touched once, map-side only. The keep decision is
+    ``uniform01(id) < rate``: row-local, deterministic, replayable.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    totals = counts.agg(
+        F.sum("n_s").alias("n_tot"),
+        F.sum(F.pow(F.col("n_s"), F.lit(alpha))).alias("w_tot"))
+    # rate = ((n_s^a / w_tot) * target_frac * n_tot) / n_s  — keep the
+    # op order fixed: the oracle replays it and IEEE doubles only
+    # match if both sides evaluate identically.
+    rate = F.least(
+        F.lit(1.0),
+        F.pow(F.col("n_s"), F.lit(alpha)) / F.col("w_tot")
+        * F.lit(target_frac) * F.col("n_tot") / F.col("n_s"))
+    rates = (counts.crossJoin(F.broadcast(totals))
+             .select(source_col, rate.alias("keep_rate")))
+    return (df.join(F.broadcast(rates), source_col)
+            .where(uniform01(F.col(id_col)) < F.col("keep_rate"))
+            .select(id_col, source_col,
+                    (F.round("keep_rate", 6) + F.lit(0.0))
+                    .alias("keep_rate")))
+
+
+def pack_sequences(df: DataFrame, budget: int = 256,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   group_col: str = "source") -> DataFrame:
+    """Concat-and-chunk sequence packing: within each group (source),
+    documents are laid out in id order and split into fixed
+    ``budget``-token training sequences; a document starting at global
+    token offset ``start`` lands in sequence ``start // budget`` at
+    offset ``start % budget`` (documents may span a boundary, as in
+    standard LM pretraining packing).
+
+    One window cumulative sum partitioned by the group key — a single
+    hash shuffle, no global ordering, so packing parallelizes across
+    sources/shards at any scale. Integer math throughout (exact)."""
+    n = token_count(F.col(text_col))
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (df.select(id_col, group_col, n.alias("n_tokens"))
+            .select(
+                id_col, group_col, "n_tokens",
+                F.floor(start / budget).cast("long").alias("seq_id"),
+                (start % budget).cast("long").alias("seq_offset")))

@@ -159,6 +159,88 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, window))))
 
 
+def _ngrams(ws: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the
+    document has fewer than n words (guards sequence() descending)."""
+    size = F.size(ws)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — the
+    count of the most frequent element, computed row-locally in
+    O(n log n) (sort + one linear fold) instead of an explode +
+    groupBy shuffle. This is what keeps per-document n-gram stats
+    shuffle-free at corpus scale."""
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.coalesce(
+        F.round(F.try_divide(num.cast("double"), den.cast("double")), 6)
+        + F.lit(0.0),
+        F.lit(0.0))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        keep: tuple = ()) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rule
+    family): duplicate-word fraction, duplicate-line fraction, the
+    frequency share of the most common word bigram, and the duplicate
+    trigram fraction. Machine-generated and boilerplate text scores
+    high on all four; the classic curation rule drops documents above
+    per-feature thresholds.
+
+    Everything is row-local column algebra — array_distinct for
+    duplicate fractions, sort + run-length fold (``_max_run``) for the
+    top-bigram share — so the operator is a narrow projection with
+    zero shuffles that Catalyst fuses into the scan, at any corpus
+    size. Mirrors the reference's per-series derived stats idea
+    (series.c length/start/end) applied to documents."""
+    t = F.col(text_col)
+    ws = words(F.lower(t))
+    n_words = token_count(t)
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "")
+    n_lines = F.size(lines)
+    bg = _ngrams(ws, 2)
+    tg = _ngrams(ws, 3)
+    empty = F.length(F.trim(t)) == 0
+    z = F.lit(0.0)
+    return df.select(
+        "doc_id",
+        *keep,
+        n_words.alias("n_words"),
+        F.when(empty, z).otherwise(
+            _frac(n_words - F.size(F.array_distinct(ws)), n_words)
+        ).alias("dup_word_frac"),
+        F.when(empty, z).otherwise(
+            _frac(n_lines - F.size(F.array_distinct(lines)), n_lines)
+        ).alias("dup_line_frac"),
+        F.when(empty, z).otherwise(
+            _frac(_max_run(F.array_sort(bg)), F.size(bg))
+        ).alias("top_bigram_frac"),
+        F.when(empty, z).otherwise(
+            _frac(F.size(tg) - F.size(F.array_distinct(tg)), F.size(tg))
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def topk_per_group(df: DataFrame, group_col: str, order_by: list,
                    k: int) -> DataFrame:
     """Per-group top-k selection (corpus curation: keep the k best

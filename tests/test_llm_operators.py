@@ -6,6 +6,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from siridb_server_spark.operators import curation as CU
 from siridb_server_spark.operators import dedup as D
 from siridb_server_spark.operators import multimodal as MM
 from siridb_server_spark.operators import similarity as SIM
@@ -349,3 +350,71 @@ def test_lsh_hot_bucket_cap(spark):
         df, max_hamming=3, max_bucket=5).collect()}
     assert not any(a < 20 and b < 20 for a, b in s_capped)
     assert (100, 101) in s_capped
+
+
+def test_repetition_features(spark):
+    rows = [
+        (1, "a a a b"),                 # heavy word repetition
+        (2, "x\nx\ny words here now"),  # duplicate lines
+        (3, ""),                        # empty → all zeros
+        (4, "one"),                     # single word, no n-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in TX.repetition_features(df).collect()}
+    # doc 1: 4 words, 2 distinct → dup_word 0.5; bigrams
+    # [a a, a a, a b] → top 2/3; trigrams [a a a, a a b] → no dup
+    assert got[1]["n_words"] == 4
+    assert got[1]["dup_word_frac"] == 0.5
+    assert got[1]["top_bigram_frac"] == round(2 / 3, 6)
+    assert got[1]["dup_trigram_frac"] == 0.0
+    # doc 2: 3 lines, 2 distinct → 1/3
+    assert got[2]["dup_line_frac"] == round(1 / 3, 6)
+    assert got[3] == {"doc_id": 3, "n_words": 0, "dup_word_frac": 0.0,
+                      "dup_line_frac": 0.0, "top_bigram_frac": 0.0,
+                      "dup_trigram_frac": 0.0}
+    assert got[4]["top_bigram_frac"] == 0.0
+
+
+def test_sample_by_source(spark):
+    """Deterministic temperature sampling: rates follow the
+    count^alpha formula and the per-doc keep decision replays
+    exactly from the md5 uniform (no F.rand nondeterminism)."""
+    import hashlib
+    import math as _m
+
+    rows = [(i, f"w{i}", "big" if i < 90 else "small")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string,"
+                               " source string")
+    out = CU.sample_by_source(df, alpha=0.5, target_frac=0.5)
+    got = {(r["doc_id"]): r["keep_rate"] for r in out.collect()}
+    w_tot = _m.sqrt(90) + _m.sqrt(10)
+    rate = {"big": min(1.0, _m.sqrt(90) / w_tot * 0.5 * 100 / 90),
+            "small": min(1.0, _m.sqrt(10) / w_tot * 0.5 * 100 / 10)}
+    # alpha<1 flattens: the small source keeps a larger fraction
+    assert rate["small"] > rate["big"]
+
+    def u01(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    expect = {i: round(rate["big" if i < 90 else "small"], 6)
+              for i in range(100)
+              if u01(i) < rate["big" if i < 90 else "small"]}
+    assert got == expect
+
+
+def test_pack_sequences(spark):
+    rows = [(1, "a b c", "s"),        # 3 tokens, start 0
+            (2, "d e f g", "s"),      # 4 tokens, start 3
+            (3, "h i", "s"),          # start 7 → seq 1, offset 2
+            (4, "x " * 6, "t")]       # other group starts fresh
+    df = spark.createDataFrame(rows, "doc_id long, text string,"
+                               " source string")
+    out = {r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_tokens"])
+           for r in CU.pack_sequences(df, budget=5).collect()}
+    assert out[1] == (0, 0, 3)
+    assert out[2] == (0, 3, 4)   # spans the seq-0/1 boundary
+    assert out[3] == (1, 2, 2)
+    assert out[4] == (0, 0, 6)
