@@ -742,25 +742,27 @@ class Parser:
         if self._keyword("group"):
             name = self._grave()
             if name is None:
-                self._error("a group name (`name`)")
+                self._error("grave_str")
             if not self._keyword("for"):
-                self._error("'for'")
+                self._error("for")
             r = self._regex()
             if r is None:
-                self._error("a regular expression")
+                self._error("regular_expression")
             self._check_regex(r[0])
             return N.CreateGroup(name, r[0], r[1])
         if self._keyword("user"):
             name = self._string()
             if name is None:
-                self._error("a user name")
-            if not (self._keyword("set") and self._keyword("password")):
-                self._error("'set password'")
+                self._error("single_quote_str or double_quote_str")
+            if not self._keyword("set"):
+                self._error("set")
+            if not self._keyword("password"):
+                self._error("password")
             pw = self._string()
             if pw is None:
-                self._error("a password string")
+                self._error("single_quote_str or double_quote_str")
             return N.CreateUser(name, pw)
-        self._error("'group' or 'user'")
+        self._error("group or user")
 
     def _ignore_threshold(self) -> bool:
         save = self.pos
@@ -769,7 +771,7 @@ class Parser:
                 return True
             if self._keyword("false"):
                 return False
-            self._error("'true' or 'false'")
+            self._error("true or false")
         self.pos = save
         return False
 
@@ -790,29 +792,31 @@ class Parser:
         if self._keyword("group"):
             name = self._grave()
             if name is None:
-                self._error("a group name")
+                self._error("grave_str")
             return N.DropStmt("group", name=name)
         if self._keyword("tag"):
             name = self._grave()
             if name is None:
-                self._error("a tag name")
+                self._error("grave_str")
             return N.DropStmt("tag", name=name)
         if self._keyword("user"):
             name = self._string()
             if name is None:
-                self._error("a user name")
+                self._error("single_quote_str or double_quote_str")
             return N.DropStmt("user", name=name)
         if self._keyword("server"):
             name = self._string()
             if name is None:
-                self._error("a server uuid")
+                self._error("uuid, single_quote_str or double_quote_str")
             return N.DropStmt("server", name=name)
-        self._error("a droppable entity")
+        # grammar order: drop_group, drop_tag, drop_series, drop_shards,
+        # drop_server, drop_user (grammar.py:783-789)
+        self._error("group, tag, series, shards, server or user")
 
     def _alter_stmt(self):
         if self._keyword("database"):
             if not self._keyword("set"):
-                self._error("'set'")
+                self._error("set")
             def _float_value():
                 m = self._match(_RE_FLOAT)
                 if m is None:
@@ -848,7 +852,9 @@ class Parser:
                     value = parse()
                     ignore = self._ignore_threshold()
                     return N.AlterDatabase(key, value, ignore)
-            self._error("a database setting")
+            self._error(
+                "drop_threshold, list_limit, select_points_limit,"
+                " timezone, expiration_num, expiration_log or tee")
         if self._keyword("series"):
             match = self.series_match()
             where = self._where_series()
@@ -856,68 +862,75 @@ class Parser:
                 action = "tag"
             elif self._keyword("untag"):
                 action = "untag"
+            elif where is None:
+                # the optional where-clause is still open at this point
+                self._error("where, tag or untag")
             else:
-                self._error("'tag' or 'untag'")
+                self._error("tag or untag")
             tag = self._grave()
             if tag is None:
-                self._error("a tag name")
+                self._error("grave_str")
             return N.AlterSeries(match, where, action, tag)
         if self._keyword("group"):
             name = self._grave()
             if name is None:
-                self._error("a group name")
+                self._error("grave_str")
             if not self._keyword("set"):
-                self._error("'set'")
+                self._error("set")
             if self._keyword("expression"):
                 r = self._regex()
                 if r is None:
-                    self._error("a regular expression")
+                    self._error("regular_expression")
                 self._check_regex(r[0])
                 return N.AlterGroup(name, "expression", r[0], r[1])
             if self._keyword("name"):
                 new = self._grave() or self._string()
                 if new is None:
-                    self._error("a name")
+                    self._error("single_quote_str or double_quote_str")
                 return N.AlterGroup(name, "name", new)
-            self._error("'expression' or 'name'")
+            self._error("expression or name")
         if self._keyword("tag"):
             name = self._grave()
             if name is None:
-                self._error("a tag name")
-            if not (self._keyword("set") and self._keyword("name")):
-                self._error("'set name'")
+                self._error("grave_str")
+            if not self._keyword("set"):
+                self._error("set")
+            if not self._keyword("name"):
+                self._error("name")
             new = self._grave() or self._string()
             if new is None:
-                self._error("a name")
+                self._error("single_quote_str or double_quote_str")
             return N.AlterTag(name, new)
         if self._keyword("user"):
             name = self._string()
             if name is None:
-                self._error("a user name")
+                self._error("single_quote_str or double_quote_str")
             if not self._keyword("set"):
-                self._error("'set'")
+                self._error("set")
             if self._keyword("password"):
                 pw = self._string()
                 if pw is None:
-                    self._error("a password")
+                    self._error("single_quote_str or double_quote_str")
                 return N.AlterUser(name, "password", pw)
             if self._keyword("name"):
                 new = self._string()
                 if new is None:
-                    self._error("a name")
+                    self._error("single_quote_str or double_quote_str")
                 return N.AlterUser(name, "name", new)
-            self._error("'password' or 'name'")
+            self._error("password or name")
         if self._keyword("servers"):
             where = self._where_server()
-            if not (self._keyword("set") and self._keyword("log_level")):
-                self._error("set log_level")
+            if not self._keyword("set"):
+                self._error("where or set" if where is None else "set")
+            if not self._keyword("log_level"):
+                self._error("log_level")
             return N.AlterServers(where, self._log_level())
         if self._keyword("server"):
             name = self._string()
             if name is None:
-                self._error("a server uuid or name string")
+                self._error("uuid, single_quote_str or double_quote_str")
             if not self._keyword("set"):
-                self._error("'set'")
+                self._error("set")
             if self._keyword("log_level"):
                 return N.AlterServer(name, "log_level",
                                      self._log_level())
@@ -930,7 +943,7 @@ class Parser:
             if self._keyword("address"):
                 addr = self._string()
                 if addr is None:
-                    self._error("an address string")
+                    self._error("single_quote_str or double_quote_str")
                 return N.AlterServer(name, "address", addr)
             if self._keyword("port"):
                 m = self._match(_RE_INT)
@@ -938,7 +951,11 @@ class Parser:
                     self._error("integer")
                 return N.AlterServer(name, "port", int(m.group(0)))
             self._error("log_level, backup_mode, address or port")
-        self._error("an alterable entity")
+        # grammar order: alter_series, alter_user, alter_group,
+        # alter_tag, alter_server, alter_servers, alter_database
+        # (grammar.py:760-768)
+        self._error("series, user, group, tag, server, servers"
+                    " or database")
 
     def _log_level(self) -> str:
         for lvl in ("debug", "info", "warning", "error", "critical"):
@@ -957,18 +974,19 @@ class Parser:
                     got = a
                     break
             if got is None:
-                self._error("an access keyword")
+                self._error(", ".join(ACCESS_KEYWORDS[:-1]) + " or "
+                            + ACCESS_KEYWORDS[-1])
             access.append(got)
             if not self._token(","):
                 break
         target_kw = "to" if kind == "grant" else "from"
         if not self._keyword(target_kw):
-            self._error(f"'{target_kw}'")
+            self._error(target_kw)
         if not self._keyword("user"):
-            self._error("'user'")
+            self._error("user")
         name = self._string()
         if name is None:
-            self._error("a user name")
+            self._error("single_quote_str or double_quote_str")
         if kind == "grant":
             pw = None
             save = self.pos
