@@ -96,10 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    "val_dbl", 6)
     q["siri_variance_bucket"] = _sel("select variance(1d) from /.*/",
                                      "val_dbl", 6)
-    q["siri_stddev_bucket"] = _sel("select stddev(1d) from /.*/",
-                                   "val_dbl", 6)
     q["siri_first_bucket"] = _sel("select first(1d) from /.*/")
-    q["siri_last_bucket"] = _sel("select last(1d) from /.*/")
     q["siri_difference_bucket"] = _sel("select difference(1d) from /.*/")
     q["siri_derivative_bucket"] = _sel(
         "select derivative(1s, 1d) from /.*/", "val_dbl", 6)
@@ -246,6 +243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_resolve"] = dedup_resolve
 
+    q["dedup_spans"] = lambda spark, sf_dir: D.duplicate_spans(
+        load(spark, sf_dir, "documents"), k=10)
+
     # --- text analysis
     q["text_quality"] = lambda spark, sf_dir: TX.quality_features(
         load(spark, sf_dir, "documents"))
@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pack_sequences"] = lambda spark, sf_dir: \
         CU.pack_sequences(load(spark, sf_dir, "documents"), budget=256)
+
+    q["curation_split"] = lambda spark, sf_dir: \
+        CU.assign_splits(load(spark, sf_dir, "documents"))
 
     def text_topk_per_source(spark, sf_dir):
         docs = load(spark, sf_dir, "documents")
@@ -442,15 +445,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_json_props"] = events_json_props
 
     # deliberately last: the driver's correctness run caps at 50
-    # entries, and these two share the apply_bucket_agg path with ten
+    # entries, and these share the apply_bucket_agg path with ten
     # earlier green entries (typed min/max is also covered by
-    # siri_minmax_int_to_one) — the least information lost if skipped
+    # siri_minmax_int_to_one; stddev/last were driver-green in r01
+    # with their variance/first twins still in-window) — the least
+    # information lost if skipped
     q["siri_min_bucket"] = _sel("select min(1d) from /.*/")
     q["siri_max_bucket"] = _sel("select max(1d) from /.*/")
     q["siri_median_low_bucket"] = _sel("select median_low(1d) from /.*/")
     q["siri_median_high_bucket"] = _sel("select median_high(1d) from /.*/")
     q["siri_pvariance_bucket"] = _sel("select pvariance(1d) from /.*/",
                                       "val_dbl", 6)
+    q["siri_stddev_bucket"] = _sel("select stddev(1d) from /.*/",
+                                   "val_dbl", 6)
+    q["siri_last_bucket"] = _sel("select last(1d) from /.*/")
 
     return q
 
@@ -722,6 +730,27 @@ def oracle_sql() -> dict[str, str]:
         " LEFT JOIN cc ON d.doc_id = cc.node"
     )
 
+    # span-level exact dedup: keep-first over non-overlapping 10-word
+    # spans; winner = min (doc_id, position) per distinct span text.
+    # Spark groups by xxhash64(span), DuckDB by the span itself — the
+    # equivalence classes (and so the winners) are identical.
+    o["dedup_spans"] = (
+        "WITH w AS (SELECT doc_id,"
+        " string_split_regex(trim(text), '\\s+') AS ws"
+        " FROM documents WHERE length(trim(text)) > 0),"
+        " s AS (SELECT doc_id, j,"
+        " array_to_string(ws[(j*10+1):(j*10+10)], ' ') AS span"
+        " FROM w, unnest(range(0, CAST(ceil(len(ws)/10.0) AS INT)))"
+        " AS t(j)),"
+        " r AS (SELECT doc_id, j, span, row_number() OVER"
+        " (PARTITION BY span ORDER BY doc_id, j) AS rn FROM s)"
+        " SELECT doc_id, count(*) AS n_spans,"
+        " sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,"
+        " coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '"
+        " ORDER BY j), '') AS cleaned_text"
+        " FROM r GROUP BY doc_id"
+    )
+
     # MinHash+LSH property oracle. high_j_pairs_total is genuinely
     # cross-engine (DuckDB recomputes exact 3-word-shingle Jaccard
     # from scratch); the other two rows pin recall/precision
@@ -916,6 +945,17 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, source, n_tokens,"
         " CAST(start // 256 AS BIGINT) AS seq_id,"
         " CAST(start % 256 AS BIGINT) AS seq_offset FROM s"
+    )
+
+    # deterministic train/val/test split: same md5-prefix uniform as
+    # sampling, cumulative ladder 0.9 / 0.05 / 0.05
+    o["curation_split"] = (
+        "SELECT doc_id, CASE WHEN u < 0.9 THEN 'train'"
+        " WHEN u < 0.95 THEN 'validation'"
+        " ELSE 'test' END AS split FROM"
+        " (SELECT doc_id, ('0x' ||"
+        " substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " / 4294967296.0 AS u FROM documents)"
     )
 
     cos_core = (

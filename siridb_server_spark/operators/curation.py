@@ -29,6 +29,23 @@ def uniform01(col: Column) -> Column:
             .cast("long") / F.lit(_HASH_SPACE))
 
 
+def assign_splits(df: DataFrame,
+                  fracs: tuple[float, float] = (0.9, 0.05),
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/validation/test assignment: each row lands
+    in a split by where ``uniform01(id)`` falls in the cumulative
+    fraction ladder — train below ``fracs[0]``, validation below
+    ``fracs[0]+fracs[1]``, test otherwise. Pure row-local map (zero
+    shuffles, fuses into the scan), stable across re-runs and across
+    engines — the property that matters when the split must never
+    leak between pipeline versions. Output: (id, split)."""
+    u = uniform01(F.col(id_col))
+    split = (F.when(u < F.lit(fracs[0]), "train")
+             .when(u < F.lit(fracs[0] + fracs[1]), "validation")
+             .otherwise("test"))
+    return df.select(F.col(id_col), split.alias("split"))
+
+
 def sample_by_source(df: DataFrame, alpha: float = 0.5,
                      target_frac: float = 0.5,
                      id_col: str = "doc_id",

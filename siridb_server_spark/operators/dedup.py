@@ -57,6 +57,60 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def duplicate_spans(df: DataFrame, k: int = 10,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Span-level exact dedup (the C4 / "Deduplicating Training Data
+    Makes Language Models Better" substring pass, at fixed-width
+    granularity): cut every document into non-overlapping ``k``-word
+    spans, keep each distinct span's globally-first occurrence
+    (ordered by (doc_id, span position)), and rebuild documents from
+    their surviving spans.
+
+    Output: (doc_id, n_spans, n_kept, cleaned_text) — documents whose
+    every span appeared earlier elsewhere come back with
+    ``n_kept = 0`` and an empty ``cleaned_text``.
+
+    Scale shape: span chunking is row-local array algebra (no
+    shuffle); the keep-first decision is ONE groupBy on the 8-byte
+    span hash with a map-side partial ``min(struct(doc_id, j))`` —
+    skew-safe even for viral spans, the partial agg collapses hot
+    keys per task — then a hash join back on the span hash (AQE skew
+    join splits any residual hot bucket) and one groupBy(doc_id) to
+    reassemble. The shuffle payload is hashes + ids, never the
+    corpus: at 100 TB the wide span text stays columnar in the scan
+    and only re-surfaces in the final per-doc rebuild."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.ceil(F.size("ws") / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda j: F.array_join(
+            F.slice(F.col("ws"), j * k + 1, k), " "))
+    spans = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+        .select("doc_id", F.posexplode(chunks).alias("j", "span"))
+        .withColumn("h", F.xxhash64("span"))
+    )
+    winners = (spans.groupBy("h")
+               .agg(F.min(F.struct("doc_id", "j")).alias("w")))
+    kept = (F.col("w.doc_id") == F.col("doc_id")) & \
+        (F.col("w.j") == F.col("j"))
+    return (
+        spans.join(winners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(kept, F.struct("j", "span")))),
+                    lambda s: s["span"]),
+                " ").alias("cleaned_text"))
+    )
+
+
 def _doc_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (
         df.select(F.col(id_col).alias("doc_id"),

@@ -418,3 +418,56 @@ def test_pack_sequences(spark):
     assert out[2] == (0, 3, 4)   # spans the seq-0/1 boundary
     assert out[3] == (1, 2, 2)
     assert out[4] == (0, 0, 6)
+
+
+def test_duplicate_spans(spark):
+    """Span-level keep-first: a span is kept only at its globally
+    earliest (doc_id, position); fully-duplicated docs collapse to
+    empty cleaned_text."""
+    rows = [(0, "a b c d e f"),     # spans: "a b c", "d e f" — both first
+            (1, "a b c x y z"),     # "a b c" dup → dropped; "x y z" kept
+            (2, "d e f"),           # entirely duplicated → empty
+            (3, "")]                # empty text → filtered out
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_spans"], r["n_kept"], r["cleaned_text"])
+           for r in D.duplicate_spans(df, k=3).collect()}
+    assert out[0] == (2, 2, "a b c d e f")
+    assert out[1] == (2, 1, "x y z")
+    assert out[2] == (1, 0, "")
+    assert 3 not in out
+
+
+def test_duplicate_spans_keep_first_within_doc(spark):
+    """A span repeated WITHIN one doc keeps only its first position."""
+    df = spark.createDataFrame([(7, "p q r p q r")],
+                               "doc_id long, text string")
+    out = D.duplicate_spans(df, k=3).collect()[0]
+    assert (out["n_spans"], out["n_kept"]) == (2, 1)
+    assert out["cleaned_text"] == "p q r"
+
+
+def test_assign_splits(spark):
+    """Hash-ladder split: deterministic, replayable from md5, and
+    every row lands in exactly one of the three splits."""
+    import hashlib
+
+    df = spark.createDataFrame([(i, "t") for i in range(200)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["split"]
+           for r in CU.assign_splits(df, fracs=(0.8, 0.1)).collect()}
+
+    def u01(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    for i in range(200):
+        u = u01(i)
+        want = ("train" if u < 0.8
+                else "validation" if u < 0.9 else "test")
+        assert got[i] == want
+    assert set(got.values()) == {"train", "validation", "test"}
+    # stable across runs (no rand dependence on partitioning)
+    again = {r["doc_id"]: r["split"]
+             for r in CU.assign_splits(df.repartition(7),
+                                       fracs=(0.8, 0.1)).collect()}
+    assert again == got
