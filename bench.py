@@ -104,6 +104,12 @@ def main():
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     qs["siri_count_to_one"](spark, SF_DIR).write \
         .format("noop").mode("overwrite").save()
+    # ...including the Python/Arrow workers: the first pandas_udf in a
+    # session forks the daemon + worker pool and initializes Arrow
+    # IPC (1-5 s, high variance); without this the first Arrow-kernel
+    # entry (dedup_simhash) absorbs that one-time cost
+    D.simhash(_load(spark, SF_DIR, "documents").limit(64)).write \
+        .format("noop").mode("overwrite").save()
 
     timings = {}
     total = 0.0
