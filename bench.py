@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_contamination",
+    "dedup_spans",
     "text_quality",
     "text_fingerprint",
     "text_topk_per_source",

@@ -79,7 +79,11 @@ def duplicate_spans(df: DataFrame, k: int = 10,
     join splits any residual hot bucket) and one groupBy(doc_id) to
     reassemble. The shuffle payload is hashes + ids, never the
     corpus: at 100 TB the wide span text stays columnar in the scan
-    and only re-surfaces in the final per-doc rebuild."""
+    and only re-surfaces in the final per-doc rebuild. The input is
+    deliberately scanned twice (spans side + winners side) instead of
+    persisting the exploded span stream — re-chunking is cheap map
+    work, while caching the explosion would hold a corpus-sized
+    intermediate."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_spans = F.ceil(F.size("ws") / F.lit(k)).cast("int")
     chunks = F.transform(
