@@ -26,6 +26,7 @@ from siridb_server_spark.operators import curation as CU
 from siridb_server_spark.operators import dedup as D
 from siridb_server_spark.operators import multimodal as MM
 from siridb_server_spark.operators import similarity as SIM
+from siridb_server_spark.operators import asof as AS
 from siridb_server_spark.operators import text as TX
 from siridb_server_spark.sources.testdata import (
     EVENTS_PTS_INT_SQL,
@@ -115,8 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_dbl", 6)
     q["siri_interval"] = _sel(
         "select interval() from /error.*/", "val_int")
-    q["siri_timeval"] = _sel("select timeval() from /signup.*/",
-                             "val_int")
     q["siri_filter_range"] = _sel(
         "select filter(>50) => filter(<=150) from /.*/", "val_dbl")
 
@@ -133,7 +132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["siri_between_mean"] = _sel(
         f"select mean(1d) from /.*/ between {BETWEEN_A} and {BETWEEN_B}",
         "val_dbl", 6)
-    q["siri_head"] = _sel("select * from /purchase.*/ head 3")
     q["siri_tail"] = _sel("select * from /purchase.*/ tail 3")
 
     # --- merge + offset (sweep-bucketing path)
@@ -289,6 +287,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition"] = lambda spark, sf_dir: TX.repetition_features(
         load(spark, sf_dir, "documents"))
+
+    q["text_unigram_lm"] = lambda spark, sf_dir: TX.unigram_logprob(
+        load(spark, sf_dir, "documents"))
+
+    def ts_asof_join(spark, sf_dir):
+        """Every purchase event joined to the most recent error event
+        of the same user at-or-before it (left semantics)."""
+        ev = load(spark, sf_dir, "events")
+        ts = F.col("ts").cast("long")
+        base = ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type", (ts - ts % 1000).alias("ts"), "value")
+        left = (base.where(F.col("event_type") == "purchase")
+                .drop("event_type"))
+        # dedup right per (user, ts): keep the max-event_id row so the
+        # carry-forward (and the oracle) pick deterministically
+        right = (base.where(F.col("event_type") == "error")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max(F.struct("event_id", "value")).alias("m"))
+                 .select("user_id", "ts",
+                         F.col("m.value").alias("err_value")))
+        res = AS.asof_join(left, right, on="ts", by="user_id",
+                           right_cols=["err_value"])
+        # matched rows only (ASOF JOIN inner semantics) — the driver
+        # compare stays null-free; left semantics are unit-tested
+        return res.where(F.col("err_value").isNotNull()).select(
+            "user_id", "event_id", "ts",
+            (F.round("value", 6) + F.lit(0.0)).alias("value"),
+            (F.round("err_value", 6) + F.lit(0.0)).alias("err_value"),
+            "ts_right")
+
+    q["ts_asof_join"] = ts_asof_join
 
     q["curation_sample_sources"] = lambda spark, sf_dir: \
         CU.sample_by_source(load(spark, sf_dir, "documents"),
@@ -459,6 +490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["siri_stddev_bucket"] = _sel("select stddev(1d) from /.*/",
                                    "val_dbl", 6)
     q["siri_last_bucket"] = _sel("select last(1d) from /.*/")
+    q["siri_timeval"] = _sel("select timeval() from /signup.*/",
+                             "val_int")
+    q["siri_head"] = _sel("select * from /purchase.*/ head 3")
 
     return q
 
@@ -945,6 +979,41 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, source, n_tokens,"
         " CAST(start // 256 AS BIGINT) AS seq_id,"
         " CAST(start % 256 AS BIGINT) AS seq_offset FROM s"
+    )
+
+    # unigram-LM cross-entropy: DuckDB rebuilds the same corpus
+    # frequency table and per-doc mean of -ln p(w); Spark groups by
+    # xxhash64(w), DuckDB by w itself — identical classes
+    o["text_unigram_lm"] = (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+        "trim(lower(text)), '\\s+')) AS w FROM documents"
+        " WHERE length(trim(text)) > 0),"
+        " t2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),"
+        " f AS (SELECT w, count(*) AS n_w FROM t2 GROUP BY 1),"
+        " tot AS (SELECT sum(n_w) AS n_tot FROM f)"
+        " SELECT doc_id, count(*) AS n_tokens,"
+        " round(avg(-ln(n_w / n_tot)), 6) + 0.0 AS xent"
+        " FROM t2 JOIN f USING (w), tot GROUP BY doc_id"
+    )
+
+    # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for
+    # the union+carry-forward window implementation
+    o["ts_asof_join"] = (
+        "WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts,"
+        " event_type, value FROM events),"
+        " l AS (SELECT event_id, user_id, ts, value FROM e"
+        " WHERE event_type = 'purchase'),"
+        " r0 AS (SELECT user_id, ts, value, row_number() OVER"
+        " (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn"
+        " FROM e WHERE event_type = 'error'),"
+        " r AS (SELECT user_id, ts, value AS err_value FROM r0"
+        " WHERE rn = 1)"
+        " SELECT l.user_id, l.event_id, l.ts,"
+        " round(l.value, 6) + 0.0 AS value,"
+        " round(r.err_value, 6) + 0.0 AS err_value,"
+        " r.ts AS ts_right"
+        " FROM l ASOF JOIN r"
+        " ON l.user_id = r.user_id AND l.ts >= r.ts"
     )
 
     # deterministic train/val/test split: same md5-prefix uniform as

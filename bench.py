@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_contamination",
     "dedup_spans",
+    "ts_asof_join",
+    "text_unigram_lm",
     "text_quality",
     "text_fingerprint",
     "text_topk_per_source",

@@ -34,8 +34,10 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # repr-wrap for the sort: tuples with None/mixed types aren't
+    # orderable in Python, and repr equality is what matters
     return sorted(
-        tuple(norm_cell(r[i]) for i in order) for r in rows)
+        tuple(repr(norm_cell(r[i])) for i in order) for r in rows)
 
 
 def main():

@@ -254,3 +254,36 @@ def topk_per_group(df: DataFrame, group_col: str, order_by: list,
     w = Window.partitionBy(group_col).orderBy(*order_by)
     return (df.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k).drop("_rk"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model scoring: cross-entropy of each document
+    under the corpus's own unigram distribution (the stand-in for a
+    CCNet/KenLM perplexity filter — rare-token-heavy gibberish scores
+    high, repetitive boilerplate scores low).
+
+    Two aggregates, both with map-side partial combine: (1) corpus
+    token counts grouped by the 8-byte token hash (the vocabulary is
+    tiny relative to the corpus, so this shuffle carries ~|vocab|
+    rows per task); (2) per-doc mean of -ln p(token) after a hash
+    join of the token stream against the frequency table — AQE
+    broadcasts the frequency side whenever the vocabulary fits, which
+    at web scale (~10^7 types) it does. No Python anywhere.
+    Output: (doc_id, n_tokens, xent) — xent in nats, 6 decimals."""
+    toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(words(F.lower(F.col(text_col))))
+                    .alias("w"))
+            .where(F.col("w") != "")
+            .select("doc_id", F.xxhash64("w").alias("h")))
+    freq = toks.groupBy("h").agg(F.count(F.lit(1)).alias("n_w"))
+    total = freq.agg(F.sum("n_w").alias("n_tot"))
+    logp = F.log(F.col("n_w") / F.col("n_tot"))
+    scored = (toks.join(freq, "h")
+              .crossJoin(F.broadcast(total))
+              .select("doc_id", (-logp).alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (F.round(F.avg("nll"), 6) + F.lit(0.0))
+                 .alias("xent")))
