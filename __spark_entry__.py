@@ -28,6 +28,7 @@ from siridb_server_spark.operators import multimodal as MM
 from siridb_server_spark.operators import similarity as SIM
 from siridb_server_spark.operators import asof as AS
 from siridb_server_spark.operators import text as TX
+from siridb_server_spark.operators import timeseries as TSO
 from siridb_server_spark.sources.testdata import (
     EVENTS_PTS_INT_SQL,
     EVENTS_PTS_SQL,
@@ -98,7 +99,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["siri_variance_bucket"] = _sel("select variance(1d) from /.*/",
                                      "val_dbl", 6)
     q["siri_first_bucket"] = _sel("select first(1d) from /.*/")
-    q["siri_difference_bucket"] = _sel("select difference(1d) from /.*/")
     q["siri_derivative_bucket"] = _sel(
         "select derivative(1s, 1d) from /.*/", "val_dbl", 6)
 
@@ -121,7 +121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- to-one collapse (label = last ts; first's for first())
     q["siri_count_to_one"] = _sel("select count() from /.*/", "val_int")
-    q["siri_first_to_one"] = _sel("select first() from /.*/")
 
     # --- selection algebra / where / time ranges / head-tail
     q["siri_set_algebra"] = _sel(
@@ -132,7 +131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["siri_between_mean"] = _sel(
         f"select mean(1d) from /.*/ between {BETWEEN_A} and {BETWEEN_B}",
         "val_dbl", 6)
-    q["siri_tail"] = _sel("select * from /purchase.*/ tail 3")
 
     # --- merge + offset (sweep-bucketing path)
     q["siri_merge_using_mean"] = _sel(
@@ -321,6 +319,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_asof_join"] = ts_asof_join
 
+    def _pts_dedup(spark, sf_dir):
+        """events points, one row per (series, ts): last-writer-wins
+        by seq so window ordering is deterministic on both engines."""
+        pts = events_points(spark, sf_dir)
+        return (pts.groupBy("series", "ts")
+                .agg(F.max(F.struct("seq", "val_dbl")).alias("m"))
+                .select("series", "ts", F.col("m.val_dbl").alias("val")))
+
+    q["ts_resample_interp"] = lambda spark, sf_dir: \
+        TSO.resample_interpolate(_pts_dedup(spark, sf_dir),
+                                 step=3_600_000_000_000)
+
+    def ts_sessionize(spark, sf_dir):
+        ev = load(spark, sf_dir, "events")
+        ts = F.col("ts").cast("long")
+        base = ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            (ts - ts % 1000).alias("ts"))
+        return TSO.sessionize(base, gap=3_600_000_000_000,
+                              seq_col="event_id")
+
+    q["ts_sessionize"] = ts_sessionize
+
+    q["ts_counter_rate"] = lambda spark, sf_dir: \
+        TSO.counter_rate(_pts_dedup(spark, sf_dir),
+                         scale=1_000_000_000)
+
     q["curation_sample_sources"] = lambda spark, sf_dir: \
         CU.sample_by_source(load(spark, sf_dir, "documents"),
                             alpha=0.5, target_frac=0.5)
@@ -493,6 +519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["siri_timeval"] = _sel("select timeval() from /signup.*/",
                              "val_int")
     q["siri_head"] = _sel("select * from /purchase.*/ head 3")
+    q["siri_tail"] = _sel("select * from /purchase.*/ tail 3")
+    q["siri_first_to_one"] = _sel("select first() from /.*/")
+    q["siri_difference_bucket"] = _sel("select difference(1d) from /.*/")
 
     return q
 
@@ -779,7 +808,8 @@ def oracle_sql() -> dict[str, str]:
         " r AS (SELECT doc_id, j, span, row_number() OVER"
         " (PARTITION BY span ORDER BY doc_id, j) AS rn FROM s)"
         " SELECT doc_id, count(*) AS n_spans,"
-        " sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,"
+        " CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_kept,"
         " coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '"
         " ORDER BY j), '') AS cleaned_text"
         " FROM r GROUP BY doc_id"
@@ -1014,6 +1044,56 @@ def oracle_sql() -> dict[str, str]:
         " r.ts AS ts_right"
         " FROM l ASOF JOIN r"
         " ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+
+    # (series, ts)-deduped points shared by the timeseries oracles:
+    # last-writer-wins by seq, mirroring _pts_dedup
+    _PD = (
+        P + ", pd0 AS (SELECT series, ts, val, row_number() OVER"
+        " (PARTITION BY series, ts ORDER BY seq DESC) AS rn FROM pts),"
+        " pd AS (SELECT series, ts, val FROM pd0 WHERE rn = 1)"
+    )
+
+    # grid resample + linear interpolation, step = 1h in ns; grid
+    # arithmetic stays in BIGINT (ts - ts % step), never double
+    o["ts_resample_interp"] = (
+        _PD + ", p AS (SELECT series, ts, val AS v0,"
+        " lead(ts) OVER w AS t1, lead(val) OVER w AS v1,"
+        " row_number() OVER w AS rn FROM pd"
+        " WINDOW w AS (PARTITION BY series ORDER BY ts)),"
+        " g AS (SELECT series, ts, v0, t1, v1,"
+        " unnest(generate_series(ts - ts % 3600000000000"
+        " + 3600000000000, t1 - t1 % 3600000000000,"
+        " 3600000000000)) AS gts FROM p WHERE t1 IS NOT NULL"
+        " UNION ALL SELECT series, ts, v0, t1, v1, ts FROM p"
+        " WHERE rn = 1 AND ts % 3600000000000 = 0)"
+        " SELECT series, gts AS ts, round(CASE WHEN gts = ts THEN v0"
+        " ELSE v0 + (v1 - v0) * (gts - ts) / (t1 - ts) END, 6) + 0.0"
+        " AS val FROM g"
+    )
+
+    # inactivity-gap sessionization over raw events per user, 1h gap
+    o["ts_sessionize"] = (
+        "WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts"
+        " FROM events),"
+        " s AS (SELECT event_id, user_id, ts, CASE WHEN"
+        " lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w"
+        " > 3600000000000 THEN 1 ELSE 0 END AS ns FROM e"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+        " SELECT event_id, user_id, ts, CAST(sum(ns) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS session_id FROM s"
+    )
+
+    # reset-aware counter rate per second (scale = 1e9 on ns)
+    o["ts_counter_rate"] = (
+        _PD + ", r AS (SELECT series, ts,"
+        " CASE WHEN val >= lag(val) OVER w THEN val - lag(val) OVER w"
+        " ELSE val END * 1000000000 / (ts - lag(ts) OVER w) AS rate"
+        " FROM pd WINDOW w AS (PARTITION BY series ORDER BY ts))"
+        " SELECT series, ts, round(rate, 6) + 0.0 AS rate FROM r"
+        " WHERE rate IS NOT NULL"
     )
 
     # deterministic train/val/test split: same md5-prefix uniform as

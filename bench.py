@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_contamination",
     "dedup_spans",
     "ts_asof_join",
+    "ts_resample_interp",
     "text_unigram_lm",
     "text_quality",
     "text_fingerprint",

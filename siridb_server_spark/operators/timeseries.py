@@ -1,0 +1,106 @@
+"""Time-series operators beyond the SiriDB surface: grid resampling
+with linear interpolation, inactivity-gap sessionization, and
+monotonic-counter rates with reset handling.
+
+All three are single-shuffle window algebra — hash partition on the
+series/entity key, one per-partition sort, then row-local math. No
+Python, no self-joins, no driver loops; the shapes scale linearly and
+AQE handles residual skew. (Interpolation's grid explode multiplies
+rows by ~gap/step, the same factor any gap-filling engine pays.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_interpolate(df: DataFrame, step: int,
+                         key_col: str = "series",
+                         ts_col: str = "ts",
+                         val_col: str = "val") -> DataFrame:
+    """Resample each series onto the regular ``step`` grid, linearly
+    interpolating between the neighbouring observed points (gap
+    filling). Grid points are the multiples of ``step`` inside each
+    adjacent observed pair ``(t0, t1]``, plus a series' first point
+    when it lands exactly on the grid — i.e. every multiple of step
+    in ``[min_ts, max_ts]`` per series.
+
+    One lead() window per series then a row-local ``sequence`` +
+    explode — no joins. Output: (key, ts, val) with val =
+    v0 + (v1-v0)·(t-t0)/(t1-t0), 6 decimals."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    nxt_t = F.lead(ts_col).over(w)
+    nxt_v = F.lead(val_col).over(w)
+    # grid points in (t0, t1]: first multiple of step STRICTLY after
+    # t0, through the last at-or-before t1. Modulo arithmetic, not
+    # floor(ts/step): long/int division goes through double, which
+    # is lossy past 2^53 — ns-epoch timestamps are ~1.7e18
+    g0 = F.col(ts_col) - F.col(ts_col) % step + step
+    g1 = F.col("__t1") - F.col("__t1") % step
+    first_on_grid = (F.col(ts_col) % step == 0) & \
+        F.row_number().over(w).eqNullSafe(1)
+    pairs = (df.select(
+        F.col(key_col).alias("key"), F.col(ts_col),
+        F.col(val_col).cast("double").alias("v0"),
+        nxt_t.alias("__t1"), nxt_v.cast("double").alias("__v1"),
+        first_on_grid.alias("__first")))
+    grid = F.when(
+        F.col("__t1").isNotNull() & (g1 >= g0),
+        F.sequence(g0, g1, F.lit(step))).otherwise(
+        F.array().cast("array<bigint>"))
+    # exact-hit starts contribute themselves (the sequence above is
+    # strictly-after t0, so a first point on the grid is added here)
+    grid = F.when(F.col("__first"),
+                  F.concat(F.array(F.col(ts_col)), grid)) \
+        .otherwise(grid)
+    interp = F.col("v0") + (F.col("__v1") - F.col("v0")) * \
+        (F.col("g") - F.col(ts_col)) / (F.col("__t1") - F.col(ts_col))
+    val = F.when(F.col("g") == F.col(ts_col), F.col("v0")) \
+        .otherwise(interp)
+    return (pairs
+            .select("key", F.col(ts_col), "v0", "__t1", "__v1",
+                    F.explode(grid).alias("g"))
+            .select(F.col("key").alias(key_col),
+                    F.col("g").alias(ts_col),
+                    (F.round(val, 6) + F.lit(0.0)).alias(val_col)))
+
+
+def sessionize(df: DataFrame, gap: int,
+               key_col: str = "user_id", ts_col: str = "ts",
+               seq_col: str | None = None) -> DataFrame:
+    """Inactivity-gap sessionization: within each key, a new session
+    starts when the time since the previous event exceeds ``gap``.
+    ``seq_col`` breaks duplicate-timestamp ordering ties
+    deterministically. Output: input columns + ``session_id``
+    (1-based per key, in time order)."""
+    order = [F.col(ts_col)] + \
+        ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col(ts_col) - prev > gap), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+
+
+def counter_rate(df: DataFrame, scale: int = 1,
+                 key_col: str = "series", ts_col: str = "ts",
+                 val_col: str = "val") -> DataFrame:
+    """Per-second (×``scale``) rate of a monotonic counter with reset
+    handling: a value drop means the counter restarted, so the
+    increase since the reset is the value itself (the standard
+    Prometheus ``rate()`` treatment). First point per key has no
+    rate. Output: (key, ts, rate), 6 decimals."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    pv = F.lag(val_col).over(w)
+    pt = F.lag(ts_col).over(w)
+    inc = F.when(F.col(val_col) >= pv, F.col(val_col) - pv) \
+        .otherwise(F.col(val_col))
+    rate = inc * F.lit(scale) / (F.col(ts_col) - pt)
+    return (df.select(
+        F.col(key_col), F.col(ts_col),
+        (F.round(rate, 6) + F.lit(0.0)).alias("rate"))
+        .where(F.col("rate").isNotNull()))

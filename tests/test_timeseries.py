@@ -1,0 +1,55 @@
+"""Grid interpolation, sessionization, counter-rate operators."""
+
+from siridb_server_spark.operators import timeseries as TS
+
+
+def test_resample_interpolate(spark):
+    pts = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 25, 4.0), ("a", 30, 6.0),
+         ("b", 7, 5.0)],
+        "series string, ts long, val double")
+    out = {(r["series"], r["ts"]): r["val"]
+           for r in TS.resample_interpolate(pts, 10).collect()}
+    # a: pairs (10,25] -> grid 20; (25,30] -> grid 30; first pt 10
+    assert out[("a", 10)] == 1.0            # exact first point on grid
+    assert out[("a", 20)] == 3.0            # 1 + 3*(10/15)
+    assert out[("a", 30)] == 6.0            # boundary hits v1 exactly
+    # b: single point off-grid -> nothing
+    assert [k for k in out if k[0] == "b"] == []
+    assert len(out) == 3
+
+
+def test_resample_interpolate_gap_fill(spark):
+    pts = spark.createDataFrame(
+        [("s", 0, 0.0), ("s", 40, 8.0)],
+        "series string, ts long, val double")
+    out = {r["ts"]: r["val"]
+           for r in TS.resample_interpolate(pts, 10).collect()}
+    assert out == {0: 0.0, 10: 2.0, 20: 4.0, 30: 6.0, 40: 8.0}
+
+
+def test_sessionize(spark):
+    ev = spark.createDataFrame(
+        [(1, 100, 0), (1, 150, 1), (1, 400, 2), (1, 420, 3),
+         (2, 90, 4)],
+        "user_id long, ts long, event_id long")
+    out = {r["event_id"]: r["session_id"]
+           for r in TS.sessionize(ev, gap=100,
+                                  seq_col="event_id").collect()}
+    assert out[0] == 1 and out[1] == 1      # 50 <= gap
+    assert out[2] == 2                      # 250 > gap -> new session
+    assert out[3] == 2
+    assert out[4] == 1                      # separate key
+
+
+def test_counter_rate(spark):
+    pts = spark.createDataFrame(
+        [("c", 0, 10.0), ("c", 10, 30.0), ("c", 20, 5.0),
+         ("c", 30, 25.0)],
+        "series string, ts long, val double")
+    out = {r["ts"]: r["rate"]
+           for r in TS.counter_rate(pts).collect()}
+    assert 0 not in out                     # first point: no rate
+    assert out[10] == 2.0                   # (30-10)/10
+    assert out[20] == 0.5                   # reset: 5/10
+    assert out[30] == 2.0                   # (25-5)/10
