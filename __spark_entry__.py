@@ -105,8 +105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- int-typed series (type preservation + exact int64 math)
     q["siri_sum_int_bucket"] = _sel("select sum(1d) from /.*/",
                                     "val_int", as_int=True)
-    q["siri_minmax_int_to_one"] = _sel("select max() from /.*/",
-                                       "val_int", as_int=True)
 
     # --- transforms
     q["siri_difference_points"] = _sel(
@@ -288,6 +286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_unigram_lm"] = lambda spark, sf_dir: TX.unigram_logprob(
         load(spark, sf_dir, "documents"))
+
+    q["text_top_ngrams"] = lambda spark, sf_dir: TX.top_ngrams(
+        load(spark, sf_dir, "documents"), n=2, k=50)
 
     def ts_asof_join(spark, sf_dir):
         """Every purchase event joined to the most recent error event
@@ -522,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["siri_tail"] = _sel("select * from /purchase.*/ tail 3")
     q["siri_first_to_one"] = _sel("select first() from /.*/")
     q["siri_difference_bucket"] = _sel("select difference(1d) from /.*/")
+    q["siri_minmax_int_to_one"] = _sel("select max() from /.*/",
+                                       "val_int", as_int=True)
 
     return q
 
@@ -1024,6 +1027,20 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, count(*) AS n_tokens,"
         " round(avg(-ln(n_w / n_tot)), 6) + 0.0 AS xent"
         " FROM t2 JOIN f USING (w), tot GROUP BY doc_id"
+    )
+
+    # corpus bigram census: exact counts, deterministic tie-break
+    o["text_top_ngrams"] = (
+        "WITH w AS (SELECT string_split_regex(trim(lower(text)),"
+        " '\\s+') AS ws FROM documents"
+        " WHERE length(trim(text)) > 0),"
+        " g AS (SELECT unnest(list_transform(range(1, len(ws)),"
+        " i -> array_to_string(ws[i:i+1], ' '))) AS ngram"
+        " FROM w WHERE len(ws) >= 2),"
+        " c AS (SELECT ngram, count(*) AS n_occurrences FROM g"
+        " GROUP BY 1)"
+        " SELECT ngram, n_occurrences FROM c"
+        " ORDER BY n_occurrences DESC, ngram LIMIT 50"
     )
 
     # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for

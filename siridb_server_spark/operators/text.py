@@ -287,3 +287,23 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  (F.round(F.avg("nll"), 6) + F.lit(0.0))
                  .alias("xent")))
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k n-gram census (vocabulary/boilerplate
+    audit — the exact counterpart of a heavy-hitters sketch; at
+    100 TB swap in count-min + TakeOrdered if the full n-gram key
+    space stops fitting the shuffle).
+
+    One groupBy with map-side partial counts, then a k-row
+    TakeOrdered (no global sort). Ties broken lexicographically for
+    a deterministic census. Output: (ngram, n_occurrences)."""
+    ws = words(F.lower(F.trim(F.col(text_col))))
+    grams = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.explode(_ngrams(ws, n)).alias("ngram")))
+    counted = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    return (counted
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(k))

@@ -113,3 +113,70 @@ def streaming_dedup_first_seen(stream_df: DataFrame, *,
             fn, DEDUP_SCHEMA, _DEDUP_STATE_SCHEMA,
             "update", GroupStateTimeout.NoTimeout)
     )
+
+
+SESSION_SCHEMA = ("user_id long, session_seq long, start long,"
+                  " end long, n_events long")
+_SESSION_STATE_SCHEMA = ("session_seq long, start long, end long,"
+                         " n_events long")
+
+
+def streaming_sessionize(stream_df: DataFrame, gap: int, *,
+                         key_col: str = "user_id",
+                         ts_col: str = "ts") -> DataFrame:
+    """Streaming inactivity-gap sessionization — the streaming twin
+    of ``operators.timeseries.sessionize``: a session CLOSES (and is
+    emitted) when a later event of the same key arrives more than
+    ``gap`` after the session's last event; the still-open session
+    rides in state across micro-batches and restarts.
+
+    Late events (earlier than the open session's end) extend the
+    current session rather than reopening closed ones — streaming
+    dedup of history is the batch operator's job; this one's
+    contract is monotone state, O(1) per key.
+
+    Output per closed session: (key, session_seq, start, end,
+    n_events), session_seq 1-based per key in close order."""
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        seq, start, end, n = state.get if state.exists else \
+            (0, None, None, 0)
+        closed = []
+        ts_all = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_all.append(pdf["ts"])
+        if ts_all:
+            for t in sorted(pd.concat(ts_all).astype("int64")):
+                t = int(t)
+                if start is None:
+                    seq, start, end, n = seq + 1, t, t, 1
+                elif t - end > gap:
+                    closed.append((seq, start, end, n))
+                    seq, start, end, n = seq + 1, t, t, 1
+                else:
+                    end, n = max(end, t), n + 1
+        state.update((seq, start, end, n))
+        if closed:
+            yield pd.DataFrame(
+                [(key[0], s, a, b, c) for s, a, b, c in closed],
+                columns=["user_id", "session_seq", "start", "end",
+                         "n_events"])
+        else:
+            yield pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "session_seq": pd.Series([], dtype="int64"),
+                "start": pd.Series([], dtype="int64"),
+                "end": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64")})
+
+    shaped = stream_df.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("long").alias("ts"))
+    return (
+        shaped.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_SCHEMA, _SESSION_STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout)
+    )

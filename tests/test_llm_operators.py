@@ -471,3 +471,17 @@ def test_assign_splits(spark):
              for r in CU.assign_splits(df.repartition(7),
                                        fracs=(0.8, 0.1)).collect()}
     assert again == got
+
+
+def test_top_ngrams(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, "z")],
+        "doc_id long, text string")
+    rows = TX.top_ngrams(df, n=2, k=3).collect()
+    got = [(r["ngram"], r["n_occurrences"]) for r in rows]
+    # bigrams: "a b" x3 ("a b a b c" twice? no: a-b, b-a, a-b, b-c => 2) + doc1 a-b => 3
+    assert got[0] == ("a b", 3)
+    assert ("b a", 1) in got or ("b c", 1) in got
+    assert len(got) == 3
+    # doc 2 has no bigrams; deterministic tie-break is lexicographic
+    assert got[1][1] >= got[2][1]

@@ -375,3 +375,44 @@ def test_maintain_compacts_and_expires(spark, tmp_path):
         "columns": ["name"], "series": [["s"]]}
     assert eng.query("select count() from 's'") == {
         "s": [[now - 8, 3]]}
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """Inactivity-gap sessions close only when a later event arrives
+    past the gap; the open session survives micro-batches AND
+    restarts in the checkpointed state."""
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    schema = "user_id long, ts long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def run_once(name):
+        out = str(tmp_path / name)
+
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (ST.streaming_sessionize(stream, gap=100)
+             .writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "sess_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    # user 1: events 0,50 (one session), then 300 → closes session 1
+    write_batch([(1, 0), (1, 50), (1, 300), (2, 10)])
+    got = run_once("s1")
+    assert got == {(1, 1, 0, 50, 2)}   # session 2 and user 2 still open
+
+    # restart: 320 extends user 1's open session; 900 closes it;
+    # user 2's 500 closes their first session
+    write_batch([(1, 320), (1, 900), (2, 500)])
+    got2 = run_once("s2")
+    assert (1, 2, 300, 320, 2) in got2
+    assert (2, 1, 10, 10, 1) in got2
