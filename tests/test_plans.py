@@ -102,3 +102,58 @@ def test_select_df_never_collects_series_names(store_eng, monkeypatch):
     # the plan still materializes correctly without any seed collect
     monkeypatch.setattr(DataFrame, "collect", orig)
     assert df.count() > 0
+
+
+def test_asof_join_single_exchange_before_window(spark):
+    """The as-of join is ONE hash shuffle + window — no range-join
+    blowup, no broadcast requirement, no Python nodes."""
+    from siridb_server_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 1.0)], "k long, ts long, v double")
+    right = spark.createDataFrame(
+        [(1, 8, 2.0)], "k long, ts long, r double")
+    plan = physical(asof_join(left, right, on="ts", by="k",
+                              right_cols=["r"]))
+    assert "Window" in plan
+    assert "Join" not in plan           # carry-forward, not a join
+    assert not [n for n in PY_NODES if n in plan], plan
+
+
+def test_duplicate_spans_partial_agg_and_pruned_scan(spark):
+    """Keep-first dedup must map-side combine on the span hash (skew
+    armor) and prune the documents scan to (doc_id, text)."""
+    from siridb_server_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = physical(duplicate_spans(docs, k=10))
+    assert "partial_min" in plan, plan
+    import re
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    assert scans and all(
+        "lang" not in s and "source" not in s for s in scans), scans
+
+
+def test_interpolation_no_python_and_single_window_shuffle(spark):
+    """Grid interpolation stays in Tungsten: lead window + row-local
+    sequence/explode, no joins, no Python."""
+    from siridb_server_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    pts = spark.createDataFrame(
+        [("a", 10, 1.0)], "series string, ts long, val double")
+    plan = physical(resample_interpolate(pts, 10))
+    assert "Generate" in plan and "Window" in plan
+    assert "Join" not in plan
+    assert not [n for n in PY_NODES if n in plan], plan
+
+
+def test_unigram_lm_partial_counts(spark):
+    """Both aggregates of the LM scorer partial-combine map-side."""
+    from siridb_server_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = physical(unigram_logprob(docs))
+    assert "partial_count" in plan, plan
+    assert not [n for n in PY_NODES if n in plan], plan
