@@ -573,7 +573,7 @@ class Parser:
         while self._token(","):
             pipelines.append(self._select_aggregate())
         if not self._keyword("from"):
-            self._error("'from'")
+            self._error("from")
         match = self.series_match()
         where = self._where_series()
         timerange = None
@@ -582,7 +582,7 @@ class Parser:
         elif self._keyword("between"):
             a = self._time_expr()
             if not self._keyword("and"):
-                self._error("'and'")
+                self._error("and")
             b = self._time_expr()
             if a > b:
                 raise QueryError(
@@ -598,14 +598,33 @@ class Parser:
         merge = None
         if self._keyword("merge"):
             if not self._keyword("as"):
-                self._error("'as'")
+                self._error("as")
             name = self._string()
             if name is None:
-                self._error("a series name string")
+                self._error("single_quote_str or double_quote_str")
             using = None
             if self._keyword("using"):
                 using = self.aggregate_functions()
             merge = N.MergeAs(name, using)
+        if not self._eof():
+            # merged expectations of every still-open optional branch,
+            # in grammar order (select_stmt, grammar.py:818-831:
+            # Optional(where) Optional(Choice(after, between, before,
+            # tail, head)) Optional(merge_as) then end)
+            exp = []
+            if where is None and timerange is None and merge is None:
+                exp.append("where")
+            if timerange is None and merge is None:
+                exp += ["after", "between", "before", "tail", "head"]
+            if merge is None:
+                exp.append("merge")
+            elif merge.using is None:
+                exp.append("using")
+            exp.append("end_of_statement")
+            if len(exp) == 1:
+                self._error(exp[0])
+            else:
+                self._error(", ".join(exp[:-1]) + " or " + exp[-1])
         return N.SelectStmt(pipelines, match, where, timerange, merge)
 
     def _select_aggregate(self) -> N.Pipeline:

@@ -157,3 +157,27 @@ def test_limit_rejects_timeval_interval():
     for fn in ("timeval", "interval"):
         with pytest.raises((ParseError, QueryError)):
             parse(f"select limit(2, {fn}) from 'a'")
+
+
+def test_select_tail_merged_expectations():
+    """Trailing garbage after a select lists every still-open
+    optional branch in grammar order (select_stmt,
+    ref grammar/grammar.py:818-831)."""
+    cases = {
+        "select sum(5) from 'a' x":
+            "where, after, between, before, tail, head, merge"
+            " or end_of_statement",
+        "select sum(5) from 'a' where length > 0 x":
+            "after, between, before, tail, head, merge"
+            " or end_of_statement",
+        "select sum(5) from 'a' head 1 x":
+            "merge or end_of_statement",
+        "select sum(5) from 'a' merge as 'm' x":
+            "using or end_of_statement",
+        "select sum(5) from 'a' merge as 'm' using mean(5) x":
+            "end_of_statement",
+    }
+    for q, exp in cases.items():
+        with pytest.raises((ParseError, QueryError)) as ei:
+            parse(q)
+        assert str(ei.value).endswith("Expecting " + exp), (q, str(ei.value))
