@@ -207,7 +207,7 @@ class Parser:
         m = self._match(_RE_INT)
         if m:
             return int(m.group(0))
-        self._error("an integer or time expression")
+        self._error("integer or (")
 
     # --------------------------------------------------------- series match
     def series_match(self, depth: int = 0):
@@ -471,7 +471,7 @@ class Parser:
         if has_type and self._keyword("type"):
             op = self._int_operator()
             if op not in ("==", "!="):
-                self._error("'==' or '!='")
+                self._error("== or !=")
             for tv in tvals:
                 if self._keyword(tv):
                     return N.WhereCond("type", op, tv)
@@ -480,22 +480,23 @@ class Parser:
             if self._keyword(prop):
                 op = self._int_operator()
                 if op is None:
-                    self._error("a compare operator")
+                    self._error("==, !=, <=, >=, < or >")
                 return N.WhereCond(prop, op, self._time_expr())
         for prop in pi:
             if self._keyword(prop):
                 op = self._int_operator()
                 if op is None:
-                    self._error("a compare operator")
+                    self._error("==, !=, <=, >=, < or >")
                 return N.WhereCond(prop, op, self._int_expr())
         for prop in ps:
             if self._keyword(prop):
                 op = self._str_operator()
                 if op is None:
-                    self._error("a compare operator")
+                    self._error("==, !=, <=, >=, < or >")
                 s = self._string()
                 if s is None:
-                    self._error("a string")
+                    self._error(
+                        "single_quote_str or double_quote_str")
                 return N.WhereCond(prop, op, s)
         # cleri expectation list: the Prio alternatives in grammar
         # order (where_series et al., ref grammar/grammar.py:350-366)
@@ -633,11 +634,11 @@ class Parser:
         if self._keyword("prefix"):
             prefix = self._string()
             if prefix is None:
-                self._error("a string")
+                self._error("single_quote_str or double_quote_str")
         if self._keyword("suffix"):
             suffix = self._string()
             if suffix is None:
-                self._error("a string")
+                self._error("single_quote_str or double_quote_str")
         return N.Pipeline(funcs, prefix, suffix)
 
     def _columns(self, allowed) -> list | None:
@@ -740,7 +741,11 @@ class Parser:
         ):
             if self._keyword(entity):
                 return N.CountStmt(entity, None, None, where_fn())
-        self._error("a countable entity")
+        # grammar order: count_groups, count_pools, count_series,
+        # count_servers, count_shards, count_users, count_tags
+        # (grammar.py:772-784)
+        self._error("groups, pools, series, servers, shards, users"
+                    " or tags")
 
     def _show_stmt(self) -> N.ShowStmt:
         fields = []
