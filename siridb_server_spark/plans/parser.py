@@ -114,9 +114,18 @@ class Parser:
 
     def _error(self, expecting: str):
         self._ws()
-        raise ParseError(
+        err = ParseError(
             f"Query error at position {self.pos}. Expecting {expecting}"
         )
+        err.pos = self.pos
+        raise err
+
+    def _merged_error(self, exp: list):
+        """cleri merges every still-open alternative at the furthest
+        position into one expectation list (ref query.c:459-559)."""
+        if len(exp) == 1:
+            self._error(exp[0])
+        self._error(", ".join(exp[:-1]) + " or " + exp[-1])
 
     def _eof(self) -> bool:
         self._ws()
@@ -210,6 +219,20 @@ class Parser:
         self._error("integer or (")
 
     # --------------------------------------------------------- series match
+    def _opt_series_match(self):
+        """Optional(series_match): backtrack only when no token of a
+        match was consumed — a failure deeper inside a partially
+        consumed match is a real error and propagates."""
+        self._ws()
+        save = self.pos
+        try:
+            return self.series_match()
+        except ParseError as ex:
+            if getattr(ex, "pos", None) == save:
+                self.pos = save
+                return None
+            raise
+
     def series_match(self, depth: int = 0):
         left = self._series_operand(depth)
         while True:
