@@ -81,9 +81,20 @@ def handle_request(engine, method: str, path: str, body,
                                      f"invalid time precision: '{t}'"}
                     tf, ef = TE.factor(t), engine.factor
                     if tf != ef and isinstance(res, dict):
+                        # the reference converts select-result point
+                        # timestamps only (api.c); non-select results
+                        # ('list', 'show', 'calc', ...) are not
+                        # [[ts, val], ...] lists and pass through
+                        def _is_points(v):
+                            return (isinstance(v, list) and
+                                    all(isinstance(p, list) and p
+                                        and isinstance(p[0], int)
+                                        and not isinstance(p[0], bool)
+                                        for p in v))
+
                         res = {
                             k: [[p[0] * tf // ef, p[1]] for p in v]
-                            if isinstance(v, list) else v
+                            if _is_points(v) else v
                             for k, v in res.items()}
                 return 200, res
             except (QueryError, ParseError) as e:

@@ -56,15 +56,24 @@ def _make_handler(engine, lock):
                 self._send(404, "NOT FOUND")
 
         def do_POST(self):
-            n = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(n) if n else b""
-            user, password = self._creds()
-            ct = self.headers.get("Content-Type", "application/json")
-            with lock:
-                status, payload = handle_request(
-                    engine, "POST", self.path, body,
-                    user, password, ct)
-            self._send(status, payload)
+            # one bad request must yield a JSON 500, never an
+            # aborted/hung connection (ref api.c always responds)
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                user, password = self._creds()
+                ct = self.headers.get(
+                    "Content-Type", "application/json")
+                with lock:
+                    status, payload = handle_request(
+                        engine, "POST", self.path, body,
+                        user, password, ct)
+                self._send(status, payload)
+            except Exception as exc:  # noqa: BLE001
+                try:
+                    self._send(500, {"error_msg": str(exc)})
+                except Exception:
+                    pass
 
     return Handler
 
