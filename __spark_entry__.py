@@ -32,6 +32,7 @@ from siridb_server_spark.operators import timeseries as TSO
 from siridb_server_spark.sources.testdata import (
     EVENTS_PTS_INT_SQL,
     EVENTS_PTS_SQL,
+    epoch_ns,
     events_points,
     load,
 )
@@ -294,11 +295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Every purchase event joined to the most recent error event
         of the same user at-or-before it (left semantics)."""
         ev = load(spark, sf_dir, "events")
-        ts = F.col("ts").cast("long")
         base = ev.select(
             F.col("event_id").cast("long").alias("event_id"),
             F.col("user_id").cast("long").alias("user_id"),
-            "event_type", (ts - ts % 1000).alias("ts"), "value")
+            "event_type", epoch_ns(ev).alias("ts"), "value")
         left = (base.where(F.col("event_type") == "purchase")
                 .drop("event_type"))
         # dedup right per (user, ts): keep the max-event_id row so the
@@ -334,11 +334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ts_sessionize(spark, sf_dir):
         ev = load(spark, sf_dir, "events")
-        ts = F.col("ts").cast("long")
         base = ev.select(
             F.col("event_id").cast("long").alias("event_id"),
             F.col("user_id").cast("long").alias("user_id"),
-            (ts - ts % 1000).alias("ts"))
+            epoch_ns(ev).alias("ts"))
         return TSO.sessionize(base, gap=3_600_000_000_000,
                               seq_col="event_id")
 

@@ -292,6 +292,14 @@ class SiriEngine:
             return None
 
     def query(self, q: str) -> dict:
+        return self.query_kinded(q)[1]
+
+    def query_kinded(self, q: str):
+        """Like :meth:`query`, but returns ``(stmt, result)`` so
+        callers (the HTTP layer) can branch on the statement kind —
+        e.g. the reference's 't' precision conversion applies only to
+        select points and calc values (listener.c:6712, 2148-2157),
+        never to list rows."""
         t0 = _time.perf_counter()
         parsed = Parser(q, self.precision, tzinfo=self._tzinfo()).parse()
         stmt = parsed.stmt
@@ -302,7 +310,7 @@ class SiriEngine:
                 "server": "sparksiri:0",
                 "time": _time.perf_counter() - t0,
             }]
-        return result
+        return stmt, result
 
     # statement → required privilege bit (ref listener.c enter_*
     # access checks via MASTER_CHECK_ACCESSIBLE, listener.c:433)

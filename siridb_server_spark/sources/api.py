@@ -69,33 +69,33 @@ def handle_request(engine, method: str, path: str, body,
             if not isinstance(body, dict) or "q" not in body:
                 return 400, "BAD REQUEST"
             try:
-                res = engine.query(body["q"])
+                stmt, res = engine.query_kinded(body["q"])
                 # optional 't': convert result timestamps to the
                 # requested precision (ref api.c + itest
-                # test_http_api.py: {'q': ..., 't': 'ms'})
+                # test_http_api.py: {'q': ..., 't': 'ms'}). The
+                # reference converts select point timestamps
+                # (listener.c:6712, 6795) and calc values
+                # (listener.c:2148-2157, query.c:573-580) — never
+                # list/show/count rows, so branch on the statement
+                # kind, not the result shape.
                 t = body.get("t")
                 if t is not None:
+                    from ..plans import nodes as N
                     from ..plans import timeexpr as TE
                     if t not in TE.PRECISIONS:
                         return 400, {"error_msg":
                                      f"invalid time precision: '{t}'"}
                     tf, ef = TE.factor(t), engine.factor
                     if tf != ef and isinstance(res, dict):
-                        # the reference converts select-result point
-                        # timestamps only (api.c); non-select results
-                        # ('list', 'show', 'calc', ...) are not
-                        # [[ts, val], ...] lists and pass through
-                        def _is_points(v):
-                            return (isinstance(v, list) and
-                                    all(isinstance(p, list) and p
-                                        and isinstance(p[0], int)
-                                        and not isinstance(p[0], bool)
-                                        for p in v))
-
-                        res = {
-                            k: [[p[0] * tf // ef, p[1]] for p in v]
-                            if _is_points(v) else v
-                            for k, v in res.items()}
+                        if isinstance(stmt, N.SelectStmt):
+                            res = {
+                                k: [[p[0] * tf // ef, p[1]] for p in v]
+                                if isinstance(v, list) else v
+                                for k, v in res.items()}
+                        elif isinstance(stmt, N.CalcStmt) and \
+                                isinstance(res.get("calc"), int):
+                            res = dict(res)
+                            res["calc"] = res["calc"] * tf // ef
                 return 200, res
             except (QueryError, ParseError) as e:
                 return 400, {"error_msg": str(e)}

@@ -45,6 +45,8 @@ def _make_handler(engine, lock):
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -56,10 +58,18 @@ def _make_handler(engine, lock):
                 self._send(404, "NOT FOUND")
 
         def do_POST(self):
-            # one bad request must yield a JSON 500, never an
+            # one bad request must yield a JSON response, never an
             # aborted/hung connection (ref api.c always responds)
             try:
-                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    # malformed Content-Length is the client's fault
+                    # (ref maps bad requests to E400, api.c:915-925);
+                    # the body is unreadable, so drop the connection
+                    self.close_connection = True
+                    self._send(400, "BAD REQUEST")
+                    return
                 body = self.rfile.read(n) if n else b""
                 user, password = self._creds()
                 ct = self.headers.get(
@@ -70,6 +80,10 @@ def _make_handler(engine, lock):
                         user, password, ct)
                 self._send(status, payload)
             except Exception as exc:  # noqa: BLE001
+                # unknown failure point: body bytes may be stuck in
+                # the socket, so a keep-alive follow-up would misparse
+                # them as the next request line — close instead
+                self.close_connection = True
                 try:
                     self._send(500, {"error_msg": str(exc)})
                 except Exception:

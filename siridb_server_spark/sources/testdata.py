@@ -1,13 +1,17 @@
 """Adapters from the driver's TPC-H-ish testdata to the engine's
 points model (TESTDATA.md; mapping rationale in FIXTURES.md §6).
 
-events(event_id, ts TIMESTAMP(NANOS), user_id, event_type, value,
-props) → points: series = event_type|user_id, ts = epoch NANOSECONDS
-(the events parquet stores TIMESTAMP(NANOS), which stock Spark reads
-only via spark.sql.legacy.parquet.nanosAsLong → raw int64 — exactly
-the engine's model: ns-precision integer timestamps, never
-TimestampType), seq = event_id (deterministic duplicate-ts
-tie-break), val = value.
+events(event_id, ts, user_id, event_type, value, props) → points:
+series = event_type|user_id, ts = epoch NANOSECONDS, seq = event_id
+(deterministic duplicate-ts tie-break), val = value.
+
+The events parquet's ts logical type has varied across testdata
+generations — TIMESTAMP(NANOS) (readable only via
+spark.sql.legacy.parquet.nanosAsLong → raw int64 ns) and
+timestamp[us] (read as TIMESTAMP_NTZ). ``epoch_ns`` normalizes
+either to the engine's model: ns-precision integer epochs,
+interpreted as UTC, identical to DuckDB's ``epoch_ns(ts)`` so the
+correctness oracle sees the same int64 values.
 """
 
 from __future__ import annotations
@@ -22,9 +26,12 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS); read it as raw int64 ns
-    # (no-op for the micros/millis tables)
+    # If events.parquet carries TIMESTAMP(NANOS), read it as raw int64
+    # ns (no-op for micros/millis tables, which stay TimestampType)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive timestamps are interpreted as UTC on both engines (DuckDB
+    # epoch_ns has no timezone; pin Spark's NTZ→TIMESTAMP cast to match)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Split correction for the map-heavy corpora ONLY: the testdata
     # files are single-row-group parquet, so a scan yields ONE task no
@@ -46,6 +53,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def epoch_ns(df: DataFrame, col: str = "ts"):
+    """Epoch-nanosecond BIGINT column from ``col``, whichever logical
+    type the parquet generation used (see module docstring). Matches
+    DuckDB's ``epoch_ns(ts)`` value-for-value."""
+    dtype = dict(df.dtypes).get(col, "")
+    c = F.col(col)
+    if dtype.startswith("timestamp"):
+        # timestamp[us] → TIMESTAMP_NTZ; session tz is pinned to UTC
+        # in load(), so the cast reads the naive value as UTC
+        return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
+    # TIMESTAMP(NANOS) read as int64 ns: DuckDB reads the same file at
+    # microsecond resolution, so truncate sub-µs for oracle parity
+    lc = c.cast("long")
+    return lc - lc % 1000
+
+
 def events_points(spark: SparkSession, sf_dir: str,
                   as_int: bool = False) -> DataFrame:
     """Long-format points DataFrame from the events table.
@@ -56,13 +79,9 @@ def events_points(spark: SparkSession, sf_dir: str,
     ev = load(spark, sf_dir, "events")
     series = F.concat_ws(
         "|", F.col("event_type"), F.col("user_id").cast("string"))
-    # DuckDB (the correctness oracle) reads TIMESTAMP(NANOS) parquet at
-    # microsecond resolution; truncate the sub-microsecond part so both
-    # engines observe identical int64 values.
-    ts = F.col("ts").cast("long")
     base = [
         series.alias("series"),
-        (ts - ts % 1000).alias("ts"),
+        epoch_ns(ev).alias("ts"),
         F.col("event_id").cast("long").alias("seq"),
     ]
     if as_int:

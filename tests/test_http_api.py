@@ -95,3 +95,40 @@ def test_get_version(served):
     except urllib.error.HTTPError as e:
         raised = e.code
     assert raised == 404
+
+
+def test_precision_option_scopes_by_statement_kind(served):
+    # 't' must scale select points and calc values ONLY — never list
+    # rows, even when their first column is an integer
+    # (ref listener.c:6712, 6795 for points; 2148-2157 for calc)
+    status, out = _post(served, "/query/sparksiri",
+                        {"q": "list series length, start, end",
+                         "t": "ms"})
+    assert status == 200
+    assert out["columns"] == ["length", "start", "end"]
+    rows = out["series"]
+    assert rows and all(len(r) == 3 for r in rows)
+    # starts are raw seconds-precision epochs, NOT ms-scaled
+    assert any(r[1] == 1579521271 for r in rows)
+    # calc: an int literal on a seconds db converts s → ms
+    status, out = _post(served, "/query/sparksiri",
+                        {"q": "1579521271", "t": "ms"})
+    assert status == 200
+    assert out["calc"] == 1579521271000
+
+
+def test_malformed_content_length_is_400_and_closes(served):
+    import socket
+    with socket.create_connection(("127.0.0.1", served.port),
+                                  timeout=5) as s:
+        s.sendall(b"POST /query/sparksiri HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Type: application/json\r\n"
+                  b"Content-Length: banana\r\n\r\n")
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+    assert b"400" in data.split(b"\r\n", 1)[0]
+    assert b"Connection: close" in data or b"connection: close" in data
