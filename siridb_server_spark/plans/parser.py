@@ -680,6 +680,36 @@ class Parser:
             if not self._token(","):
                 return cols
 
+    #: the series-atom FIRST set (the reference's golden wording,
+    #: itest/test_parentheses.py:274-279)
+    _SERIES_ATOM_TOKS = ("*", "all", "single_quote_str",
+                         "double_quote_str", "(")
+
+    def _tail_error(self, *branches):
+        """Merged expectation list for trailing input after a
+        statement whose tail is a run of Optionals: every still-open
+        branch contributes its FIRST-set tokens in grammar order,
+        then end_of_statement (cleri merges open optionals the same
+        way; ref query.c:459-559)."""
+        exp = [t for open_, toks in branches if open_ for t in toks]
+        exp.append("end_of_statement")
+        self._merged_error(exp)
+
+    def _opt_series_match(self):
+        """Optional(series_match): None when the next token can't even
+        start a series atom (the caller's merged tail error then lists
+        every open branch, as cleri does for a failed Optional);
+        errors past the first token still propagate."""
+        self._ws()
+        start = self.pos
+        try:
+            return self.series_match()
+        except ParseError as e:
+            if getattr(e, "pos", None) != start:
+                raise
+            self.pos = start
+            return None
+
     def _list_stmt(self) -> N.ListStmt:
         if self._keyword("series"):
             cols = self._columns(SERIES_COLUMNS)
@@ -687,9 +717,20 @@ class Parser:
             where = None
             if not self._peek_kw("where") and not self._peek_kw("limit") \
                     and not self._eof():
-                match = self.series_match()
+                match = self._opt_series_match()
             where = self._where_series()
             limit = self._int_expr() if self._keyword("limit") else None
+            if not self._eof():
+                # list_series tail (ref grammar/grammar.py:700-707:
+                # Optional(columns) Optional(match) Optional(where)
+                # Optional(limit))
+                self._tail_error(
+                    (cols is None and match is None and where is None
+                     and limit is None, SERIES_COLUMNS),
+                    (match is None and where is None and limit is None,
+                     self._SERIES_ATOM_TOKS),
+                    (where is None and limit is None, ("where",)),
+                    (limit is None, ("limit",)))
             return N.ListStmt("series", cols, match, where, limit)
         for entity, cols_allowed, where_fn in (
             ("groups", ("name", "series", "expression"), self._where_group),
@@ -706,6 +747,12 @@ class Parser:
                 cols = self._columns(cols_allowed)
                 where = where_fn()
                 limit = self._int_expr() if self._keyword("limit") else None
+                if not self._eof():
+                    self._tail_error(
+                        (cols is None and where is None and limit is None,
+                         cols_allowed),
+                        (where is None and limit is None, ("where",)),
+                        (limit is None, ("limit",)))
                 return N.ListStmt(entity, cols, None, where, limit)
         self._error("series, groups, tags, users, pools, shards or servers")
 
@@ -747,23 +794,46 @@ class Parser:
             if self._keyword("length"):
                 match = None
                 if not self._peek_kw("where") and not self._eof():
-                    match = self.series_match()
-                return N.CountStmt("series", "length", match,
-                                   self._where_series())
+                    match = self._opt_series_match()
+                where = self._where_series()
+                if not self._eof():
+                    self._tail_error(
+                        (match is None and where is None,
+                         self._SERIES_ATOM_TOKS),
+                        (where is None, ("where",)))
+                return N.CountStmt("series", "length", match, where)
             match = None
             if not self._peek_kw("where") and not self._eof():
-                match = self.series_match()
-            return N.CountStmt("series", None, match, self._where_series())
+                match = self._opt_series_match()
+            where = self._where_series()
+            if not self._eof():
+                # count_series and count_series_length share the
+                # k_series prefix, so "length" stays expected until a
+                # match/where closes that alternative
+                self._tail_error(
+                    (match is None and where is None, ("length",)),
+                    (match is None and where is None,
+                     self._SERIES_ATOM_TOKS),
+                    (where is None, ("where",)))
+            return N.CountStmt("series", None, match, where)
         if self._keyword("shards"):
             variant = "size" if self._keyword("size") else None
-            return N.CountStmt("shards", variant, None, self._where_shard())
+            where = self._where_shard()
+            if not self._eof():
+                self._tail_error(
+                    (variant is None and where is None, ("size",)),
+                    (where is None, ("where",)))
+            return N.CountStmt("shards", variant, None, where)
         for entity, where_fn in (
             ("groups", self._where_group), ("tags", self._where_tag),
             ("users", self._where_user), ("pools", self._where_pool),
             ("servers", self._where_server),
         ):
             if self._keyword(entity):
-                return N.CountStmt(entity, None, None, where_fn())
+                where = where_fn()
+                if not self._eof():
+                    self._tail_error((where is None, ("where",)))
+                return N.CountStmt(entity, None, None, where)
         # grammar order: count_groups, count_pools, count_series,
         # count_servers, count_shards, count_users, count_tags
         # (grammar.py:772-784)

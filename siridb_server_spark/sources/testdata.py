@@ -48,8 +48,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except OSError:
             sz = 0
         cores = spark.sparkContext.defaultParallelism
-        if sz >= 256 * 1024:
-            df = df.repartition(cores)
+        # One split per ~128 KB of parquet, capped at the core count:
+        # big corpora still fan out to every core, but tiny tables
+        # keep a handful of partitions so per-task scheduling and
+        # Arrow-batch overhead can't dominate the row-local work
+        # (measured: 32 splits of a 600 KB table run 30-70% slower
+        # than 4-8 splits on these operators)
+        target = min(cores, sz // (128 * 1024))
+        if target > 1:
+            df = df.repartition(target)
     return df
 
 

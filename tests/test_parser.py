@@ -181,3 +181,46 @@ def test_select_tail_merged_expectations():
         with pytest.raises((ParseError, QueryError)) as ei:
             parse(q)
         assert str(ei.value).endswith("Expecting " + exp), (q, str(ei.value))
+
+
+def test_list_count_tail_merged_expectations():
+    """Trailing garbage after list/count merges every still-open
+    optional branch in grammar order, like the select tail."""
+    cases = {
+        "list series xx":
+            "name, type, length, start, end, shard_duration, pool, "
+            "*, all, single_quote_str, double_quote_str, (, where, "
+            "limit or end_of_statement",
+        "list series name xx":
+            "*, all, single_quote_str, double_quote_str, (, where, "
+            "limit or end_of_statement",
+        "list series 'a' xx":
+            "where, limit or end_of_statement",
+        "list series where length > 0 xx":
+            "limit or end_of_statement",
+        "list series limit 5 xx":
+            "end_of_statement",
+        "list users name xx":
+            "where, limit or end_of_statement",
+        "list users limit 2 xx":
+            "end_of_statement",
+        "count series xx":
+            "length, *, all, single_quote_str, double_quote_str, (, "
+            "where or end_of_statement",
+        "count series 'a' xx":
+            "where or end_of_statement",
+        "count series length 'a' xx":
+            "where or end_of_statement",
+        "count shards xx":
+            "size, where or end_of_statement",
+        "count shards size xx":
+            "where or end_of_statement",
+        "count users xx":
+            "where or end_of_statement",
+        "count users where name == 'iris' xx":
+            "end_of_statement",
+    }
+    for q, exp in cases.items():
+        with pytest.raises((ParseError, QueryError)) as ei:
+            parse(q)
+        assert str(ei.value).endswith("Expecting " + exp), (q, str(ei.value))
