@@ -50,9 +50,14 @@ BENCH_QUERIES = [
     "sim_bruteforce_topk",
     "sim_ivf_index_search",
     "sim_cosine_pairs",
+    "sim_dup_clusters",
     "multimodal_meta",
+    # window time-series + corpus statistics
+    "ts_moving_avg",
+    "text_tfidf_sources",
     # general analytics
     "tpch_q1ish",
+    "tpch_q6ish",
     "tpch_join_revenue",
 ]
 

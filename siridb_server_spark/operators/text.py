@@ -307,3 +307,66 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
     return (counted
             .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
             .limit(k))
+
+
+def length_histogram(df: DataFrame, width: int = 16,
+                     text_col: str = "text",
+                     lang_col: str = "lang") -> DataFrame:
+    """Per-language token-length histogram (corpus shape audit —
+    the first chart anyone draws over a new crawl).
+
+    Token counts are row-local expressions fused into the scan; the
+    histogram is one groupBy on (lang, bucket) with map-side partial
+    counts — the result is O(|langs| × |buckets|) rows no matter the
+    corpus size. Output: (lang, bucket, n_docs, avg_chars) with
+    bucket = floor(n_tokens / width) * width."""
+    n_tok = token_count(F.col(text_col))
+    bucket = (n_tok - n_tok % width).alias("bucket")
+    return (df.select(F.col(lang_col).alias("lang"), bucket,
+                      F.length(F.col(text_col)).alias("n_chars"))
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.round(F.avg("n_chars"), 4) + F.lit(0.0))
+                 .alias("avg_chars")))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5,
+                    text_col: str = "text",
+                    group_col: str = "source") -> DataFrame:
+    """Per-source characteristic terms by tf-idf (what distinguishes
+    one slice of the corpus from the rest — boilerplate and
+    source-specific vocabulary surface immediately).
+
+    Terms are lowercase letter runs. Three aggregates, all with
+    map-side partial combine: term count per (source, term), document
+    frequency per term over sources, then a per-source top-k window.
+    The df side joins on the term itself; at web scale the distinct
+    term table is vocabulary-sized, so AQE broadcasts it. Ties break
+    lexicographically for a deterministic result.
+    Output: (source, term, tf, score) — score = tf · ln(N/df), 6
+    decimals."""
+    from .dedup import _persist_bounded
+
+    terms = (df.select(F.col(group_col).alias("source"),
+                       F.explode(F.split(F.lower(F.col(text_col)),
+                                         "[^a-z]+")).alias("term"))
+             .where(F.col("term") != ""))
+    # tf feeds BOTH join sides (scores and document frequency);
+    # persist it so the corpus is tokenized once, not re-scanned per
+    # branch — at 100 TB the tf table is vocabulary×sources-sized,
+    # orders of magnitude smaller than the corpus
+    tf = _persist_bounded(terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    n_sources = df.select(group_col).distinct().count()
+    scored = (tf.join(dfreq, "term")
+              .select("source", "term", "tf",
+                      (F.round(F.col("tf")
+                               * F.log(F.lit(float(n_sources))
+                                       / F.col("df")), 6)
+                       + F.lit(0.0)).alias("score")))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))

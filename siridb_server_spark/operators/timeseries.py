@@ -104,3 +104,38 @@ def counter_rate(df: DataFrame, scale: int = 1,
         F.col(key_col), F.col(ts_col),
         (F.round(rate, 6) + F.lit(0.0)).alias("rate"))
         .where(F.col("rate").isNotNull()))
+
+
+def moving_avg(df: DataFrame, window: int = 5,
+               key_col: str = "series", ts_col: str = "ts",
+               val_col: str = "val") -> DataFrame:
+    """Trailing moving average over the previous ``window`` points
+    (inclusive) per series — the standard smoothing pass before
+    anomaly thresholds.
+
+    One window over one hash shuffle on the series key; the frame is
+    ROWS-based so duplicate timestamps don't change the math (the
+    caller supplies deduped points). Output: (key, ts, avg), 6
+    decimals."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col)
+         .rowsBetween(-(window - 1), 0))
+    return df.select(
+        F.col(key_col), F.col(ts_col),
+        (F.round(F.avg(F.col(val_col)).over(w), 6) + F.lit(0.0))
+        .alias("avg"))
+
+
+def top_series(df: DataFrame, k: int = 20,
+               key_col: str = "series",
+               val_col: str = "val") -> DataFrame:
+    """The k series with the largest total value — the "which metrics
+    dominate" leaderboard.
+
+    One groupBy with partial aggregation (result is |series| rows),
+    then a k-row TakeOrdered — no global sort. The total is rounded
+    BEFORE ranking so the order is insensitive to summation order;
+    ties break by name. Output: (series, total)."""
+    totals = (df.groupBy(key_col)
+              .agg((F.round(F.sum(val_col), 4) + F.lit(0.0))
+                   .alias("total")))
+    return totals.orderBy(F.desc("total"), F.asc(key_col)).limit(k)

@@ -485,3 +485,48 @@ def test_top_ngrams(spark):
     assert len(got) == 3
     # doc 2 has no bigrams; deterministic tie-break is lexicographic
     assert got[1][1] >= got[2][1]
+
+
+def test_length_histogram_buckets_and_empty_text(spark):
+    from siridb_server_spark.operators.text import length_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "one two three", "en"), (2, " ".join(["w"] * 17), "en"),
+         (3, "", "de"), (4, "je suis", "fr")],
+        "doc_id long, text string, lang string")
+    rows = {(r["lang"], r["bucket"]): (r["n_docs"], r["avg_chars"])
+            for r in length_histogram(docs, width=16).collect()}
+    assert rows[("en", 0)] == (1, 13.0)   # 3 tokens → bucket 0
+    assert rows[("en", 16)] == (1, 33.0)  # 17 tokens → bucket 16
+    assert rows[("de", 0)][0] == 1        # empty text counts 0 tokens
+    assert rows[("fr", 0)][0] == 1
+
+
+def test_tfidf_surfaces_source_specific_terms(spark):
+    from siridb_server_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha shared", "s1"), (2, "beta shared", "s2")],
+        "doc_id long, text string, source string")
+    out = tfidf_top_terms(docs, k=1).collect()
+    best = {r["source"]: (r["term"], r["tf"]) for r in out}
+    # 'shared' appears in every source → idf 0; unique terms win
+    assert best["s1"] == ("alpha", 2)
+    assert best["s2"] == ("beta", 1)
+
+
+def test_dup_clusters_transitive_closure(spark):
+    from siridb_server_spark.operators.dedup import resolve_duplicates
+
+    emb = spark.createDataFrame(
+        [(i,) for i in range(5)], "vec_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 4)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["keep_id"], r["is_kept"])
+           for r in resolve_duplicates(emb, pairs,
+                                       id_col="vec_id").collect()}
+    # 1-2-4 collapse transitively to min id 1; 0 and 3 are singletons
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[4] == (1, False)
+    assert out[0] == (0, True) and out[3] == (3, True)

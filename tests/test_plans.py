@@ -157,3 +157,53 @@ def test_unigram_lm_partial_counts(spark):
     plan = physical(unigram_logprob(docs))
     assert "partial_count" in plan, plan
     assert not [n for n in PY_NODES if n in plan], plan
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    """Every tpch_q6ish predicate (timestamp band + value bands) must
+    push into the parquet scan so only matching row groups are read."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_q6ish"](spark, "/root/testdata/sf0.001")
+    plan = physical(df)
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    for tok in ("l_shipdate", "l_discount", "l_quantity"):
+        assert tok in pushed, plan
+    assert "ReadSchema" in plan
+    # scan pruned to the four referenced columns
+    import re
+    scan = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan
+
+
+def test_moving_avg_single_window_shuffle_no_python(spark):
+    from siridb_server_spark.operators.timeseries import moving_avg
+
+    pts = spark.createDataFrame(
+        [("a", 10, 1.0)], "series string, ts long, val double")
+    plan = physical(moving_avg(pts, window=5))
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 1, plan
+    assert not [n for n in PY_NODES if n in plan], plan
+
+
+def test_tfidf_partial_counts_topk_pushdown_no_python(spark):
+    """tf-idf: map-side partial counts, per-source top-k runs through
+    WindowGroupLimit (rank pushdown, no full per-group sort spill),
+    document frequency joined without Python nodes."""
+    from siridb_server_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = physical(tfidf_top_terms(docs, k=5))
+    assert "partial_count" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert not [n for n in PY_NODES if n in plan], plan
+
+
+def test_top_series_takeordered_not_global_sort(spark):
+    from siridb_server_spark.operators.timeseries import top_series
+
+    pts = spark.createDataFrame(
+        [("a", 10, 1.0)], "series string, ts long, val double")
+    plan = physical(top_series(pts, k=20))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -53,3 +53,33 @@ def test_counter_rate(spark):
     assert out[10] == 2.0                   # (30-10)/10
     assert out[20] == 0.5                   # reset: 5/10
     assert out[30] == 2.0                   # (25-5)/10
+
+
+def test_moving_avg_trailing_frame(spark):
+    from siridb_server_spark.operators.timeseries import moving_avg
+
+    pts = spark.createDataFrame(
+        [("a", t, float(v)) for t, v in
+         [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0),
+          (6, 6.0)]] + [("b", 1, 10.0)],
+        "series string, ts long, val double")
+    rows = {(r["series"], r["ts"]): r["avg"]
+            for r in moving_avg(pts, window=5).collect()}
+    assert rows[("a", 1)] == 1.0          # frame = first point only
+    assert rows[("a", 3)] == 2.0          # mean(1,2,3)
+    assert rows[("a", 5)] == 3.0          # mean(1..5)
+    assert rows[("a", 6)] == 4.0          # mean(2..6): window slides
+    assert rows[("b", 1)] == 10.0         # keys independent
+
+
+def test_top_series_rounded_rank_and_ties(spark):
+    from siridb_server_spark.operators.timeseries import top_series
+
+    pts = spark.createDataFrame(
+        [("b", 1, 2.0), ("b", 2, 1.0), ("a", 1, 3.0),
+         ("c", 1, 0.5)],
+        "series string, ts long, val double")
+    out = top_series(pts, k=2).collect()
+    # a and b tie at 3.0 → lexicographic, c excluded by k
+    assert [(r["series"], r["total"]) for r in out] == \
+        [("a", 3.0), ("b", 3.0)]
