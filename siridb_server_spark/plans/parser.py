@@ -616,9 +616,9 @@ class Parser:
         elif self._keyword("before"):
             timerange = ("before", self._time_expr())
         elif self._keyword("tail"):
-            timerange = ("tail", self._int_expr())
+            timerange = ("tail", self._headtail("Tail"))
         elif self._keyword("head"):
-            timerange = ("head", self._int_expr())
+            timerange = ("head", self._headtail("Head"))
         merge = None
         if self._keyword("merge"):
             if not self._keyword("as"):
@@ -695,20 +695,18 @@ class Parser:
         exp.append("end_of_statement")
         self._merged_error(exp)
 
-    def _opt_series_match(self):
-        """Optional(series_match): None when the next token can't even
-        start a series atom (the caller's merged tail error then lists
-        every open branch, as cleri does for a failed Optional);
-        errors past the first token still propagate."""
-        self._ws()
-        start = self.pos
-        try:
-            return self.series_match()
-        except ParseError as e:
-            if getattr(e, "pos", None) != start:
-                raise
-            self.pos = start
-            return None
+    #: ref include/siri/siri.h:21
+    MAX_HEADTAIL = 1_000_000
+
+    def _headtail(self, label: str) -> int:
+        """head/tail N bound (ref listener.c:1965-1999 exit_head_expr/
+        exit_tail_expr: 1 <= N <= MAX_HEADTAIL, message parity)."""
+        n = self._int_expr()
+        if n < 1 or n > self.MAX_HEADTAIL:
+            raise QueryError(
+                f"{label} must be a value between 1 and "
+                f"{self.MAX_HEADTAIL}, got {n}")
+        return n
 
     def _list_stmt(self) -> N.ListStmt:
         if self._keyword("series"):

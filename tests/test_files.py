@@ -1,0 +1,62 @@
+"""File-format adapters: CSV / JSON-lines → points, JSONL → documents."""
+
+import json
+
+from siridb_server_spark import SiriEngine
+from siridb_server_spark.model import TP_INT
+from siridb_server_spark.sources import files as FS
+
+
+def test_long_csv_roundtrip_through_engine(spark, tmp_path):
+    p = tmp_path / "pts.csv"
+    p.write_text("series,ts,value\n"
+                 "cpu,1471254705,1.5\n"
+                 "cpu,1471254710,2.5\n"
+                 "mem,1471254705,7.0\n")
+    pts = FS.read_points_csv(spark, str(p))
+    eng = SiriEngine.from_points(spark, pts, precision="s")
+    assert eng.query("select * from 'cpu'") == {
+        "cpu": [[1471254705, 1.5], [1471254710, 2.5]]}
+    assert eng.query("select sum(5) from 'mem'") == {
+        "mem": [[1471254705, 7.0]]}
+
+
+def test_jsonl_points_int_type(spark, tmp_path):
+    p = tmp_path / "pts.jsonl"
+    p.write_text("\n".join(json.dumps(
+        {"series": "s", "ts": 100 + i, "value": str(i)})
+        for i in range(3)))
+    pts = FS.read_points_jsonl(spark, str(p), tp=TP_INT)
+    rows = sorted((r["ts"], r["val_int"], r["tp"])
+                  for r in pts.collect())
+    assert rows == [(100, 0, 0), (101, 1, 0), (102, 2, 0)]
+    assert all(r["val_dbl"] is None for r in pts.collect())
+
+
+def test_wide_csv_unpivot(spark, tmp_path):
+    p = tmp_path / "wide.csv"
+    p.write_text("ts,cpu,mem\n"
+                 "10,1.0,\n"
+                 "20,2.0,5.0\n")
+    pts = FS.read_points_wide_csv(spark, str(p))
+    rows = sorted((r["series"], r["ts"], r["val_dbl"])
+                  for r in pts.collect())
+    # null cell (mem@10) is dropped, not a null point
+    assert rows == [("cpu", 10, 1.0), ("cpu", 20, 2.0),
+                    ("mem", 20, 5.0)]
+
+
+def test_documents_jsonl_defaults(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        json.dumps({"doc_id": 1, "text": "hello world",
+                    "lang": "en", "source": "s1"}) + "\n"
+        + json.dumps({"text": "no id here"}) + "\n")
+    docs = FS.read_documents_jsonl(spark, str(p))
+    rows = {r["text"]: r for r in docs.collect()}
+    assert rows["hello world"]["doc_id"] == 1
+    assert rows["hello world"]["n_chars"] == 11
+    assert rows["no id here"]["doc_id"] is not None  # hash fallback
+    # operators consume the shape directly
+    from siridb_server_spark.operators.text import length_histogram
+    assert length_histogram(docs, width=16).count() >= 1

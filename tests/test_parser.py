@@ -224,3 +224,20 @@ def test_list_count_tail_merged_expectations():
         with pytest.raises((ParseError, QueryError)) as ei:
             parse(q)
         assert str(ei.value).endswith("Expecting " + exp), (q, str(ei.value))
+
+
+def test_head_tail_bounds():
+    """ref listener.c exit_head_expr/exit_tail_expr: N in
+    [1, MAX_HEADTAIL], message parity."""
+    for q, msg in [
+        ("select * from 'a' head 0",
+         "Head must be a value between 1 and 1000000, got 0"),
+        ("select * from 'a' tail 1000001",
+         "Tail must be a value between 1 and 1000000, got 1000001"),
+    ]:
+        with pytest.raises(QueryError) as ei:
+            parse(q)
+        assert str(ei.value) == msg
+    # boundary values parse fine
+    parse("select * from 'a' head 1")
+    parse("select * from 'a' tail 1000000")
