@@ -547,6 +547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf_sources"] = lambda spark, sf_dir: TX.tfidf_top_terms(
         load(spark, sf_dir, "documents"), k=5)
 
+    q["text_bm25_search"] = lambda spark, sf_dir: TX.bm25_topk(
+        load(spark, sf_dir, "documents"),
+        ["hash", "join", "vector"], k=10)
+
     def sim_dup_clusters(spark, sf_dir):
         """Embedding near-dup clustering: cosine pairs above the
         threshold (within quantizer blocks) become edges; connected
@@ -591,7 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-new operators so fresh code gets driver-checked first.
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
-             "text_pii_mask", "curation_pack_sequences",
+             "text_pii_mask", "text_top_ngrams",
+             "curation_pack_sequences",
              "curation_split", "sim_ivf_kmeans", "sim_lsh_topk",
              "multimodal_meta", "multimodal_frames")
     q = {**{k: v for k, v in q.items() if k not in _TAIL},
@@ -1356,6 +1361,28 @@ def oracle_sql() -> dict[str, str]:
         " r AS (SELECT *, row_number() OVER (PARTITION BY source"
         " ORDER BY score DESC, term) AS rk FROM scored)"
         " SELECT source, term, tf, score FROM r WHERE rk <= 5"
+    )
+    # Okapi BM25 over the letter-run tokenizer; idf = ln(1 +
+    # (N-df+0.5)/(df+0.5)), k1=1.2 b=0.75, N/avgdl over docs with
+    # >=1 token; rounded score is the ranking key on both sides
+    o["text_bm25_search"] = (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+        "lower(text), '[^a-z]+')) AS term FROM documents),"
+        " t AS (SELECT doc_id, term FROM toks WHERE term <> ''),"
+        " per_doc AS (SELECT doc_id, count(*) AS dl FROM t"
+        " GROUP BY 1),"
+        " consts AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs"
+        " FROM per_doc),"
+        " tf AS (SELECT doc_id, term, count(*) AS tf FROM t"
+        " WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),"
+        " dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),"
+        " scored AS (SELECT doc_id, sum("
+        " ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+        " * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))"
+        " AS s FROM tf JOIN dfreq USING (term)"
+        " JOIN per_doc USING (doc_id) CROSS JOIN consts GROUP BY 1)"
+        " SELECT doc_id, round(s, 6) + 0.0 AS score FROM scored"
+        " ORDER BY score DESC, doc_id LIMIT 10"
     )
     # connected components over the exact block-local cosine pair
     # graph (same edges as sim_cosine_pairs), min-label clusters

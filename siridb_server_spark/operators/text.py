@@ -370,3 +370,53 @@ def tfidf_top_terms(df: DataFrame, k: int = 5,
         F.desc("score"), F.asc("term"))
     return (scored.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k).drop("_rk"))
+
+
+def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 keyword search: score every document against a bag
+    of query terms, return the top-k.
+
+    Terms are lowercase letter runs (the tf-idf tokenizer). One
+    explode+groupBy computes per-doc term frequencies for the query
+    terms ONLY (the filter prunes before the shuffle, so the scored
+    stream is |matching postings|, not |corpus tokens|); document
+    frequencies and the corpus-size/average-length constants are
+    one tiny aggregate broadcast back. Scoring is row-local; the
+    top-k is a TakeOrdered. Ties break by doc id.
+    Output: (doc_id, score) — 6 decimals, idf = ln(1 + (N-df+0.5)/
+    (df+0.5)) (the standard non-negative variant)."""
+    qset = sorted({t.lower() for t in query_terms})
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        "[^a-z]+")).alias("term"))
+            .where(F.col("term") != ""))
+    # per-doc length over ALL terms (BM25's dl), computed without a
+    # second scan: count all tokens per doc, keep query-term tfs
+    per_doc = (toks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("dl")))
+    tf = (toks.where(F.col("term").isin(qset))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    consts = per_doc.agg(F.avg("dl").alias("avgdl"),
+                         F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(per_doc, "doc_id")
+              .crossJoin(F.broadcast(consts)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf_part = (F.col("tf") * (k1 + 1)) / \
+        (F.col("tf") + F.lit(k1)
+         * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    return (scored
+            .groupBy("doc_id")
+            .agg(F.sum(idf * tf_part).alias("s"))
+            .select("doc_id",
+                    (F.round("s", 6) + F.lit(0.0)).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))

@@ -530,3 +530,20 @@ def test_dup_clusters_transitive_closure(spark):
     assert out[2] == (1, False)
     assert out[4] == (1, False)
     assert out[0] == (0, True) and out[3] == (3, True)
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from siridb_server_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark flink"),
+         (3, "duck goose"), (4, "spark " + "pad " * 50)],
+        "doc_id long, text string")
+    out = bm25_topk(docs, ["spark"], k=3).collect()
+    ids = [r["doc_id"] for r in out]
+    # only matching docs appear; higher tf and shorter dl rank first
+    assert set(ids) <= {1, 2, 4}
+    assert ids[0] == 1
+    # long padded doc ranks below the short one despite same tf
+    assert ids.index(2) < ids.index(4)
+    assert all(r["score"] > 0 for r in out)
