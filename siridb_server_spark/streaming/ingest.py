@@ -110,3 +110,45 @@ def windowed_rollup(stream_df: DataFrame, group_by_ns: int, *,
         F.min(F.col(value_col).cast("double")).alias("min"),
         F.max(F.col(value_col).cast("double")).alias("max"),
     )
+
+
+def windowed_rollup_append(stream_df: DataFrame, group_by_ns: int, *,
+                           watermark_delay: str = "10 seconds",
+                           series_col: str = "series",
+                           ts_col: str = "ts",
+                           value_col: str = "value"):
+    """Append-mode rollup with bounded state: the watermark closes
+    buckets and DROPS later-than-delay data — the Spark-native scale
+    path when the source can bound lateness (contrast: the engine /
+    ``windowed_rollup`` accept late points forever, reference parity,
+    SURVEY §2.8 — at the cost of unbounded reprocessing windows).
+
+    Append mode requires the event-time window itself in the grouping
+    keys, so the ENGINE's right-closed END-labeled buckets
+    (aggregate.c:41-43) are expressed through ``F.window``'s
+    left-closed [start, end) by shifting event time back one
+    microsecond: a point at exactly k·g lands in [k·g - g, k·g) whose
+    END is k·g — the engine's label. Requires ``group_by_ns`` to be a
+    whole number of microseconds (every SiriDB bucket unit is).
+    Output: (series, bucket_ts ns, cnt, sum, min, max) rows emitted
+    once per closed bucket."""
+    g = int(group_by_ns)
+    if g % 1000:
+        raise ValueError("group_by_ns must be whole microseconds")
+    ts = F.col(ts_col).cast("long")
+    # ns → µs, then the -1µs shift for right-closed semantics
+    event = F.timestamp_micros(
+        F.floor((ts - 1) / F.lit(1000)).cast("long"))
+    df = (stream_df
+          .withColumn("_event_time", event)
+          .withWatermark("_event_time", watermark_delay))
+    win = F.window("_event_time", f"{g // 1000} microseconds")
+    return (df.groupBy(F.col(series_col).alias("series"), win)
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col(value_col).cast("double")).alias("sum"),
+                 F.min(F.col(value_col).cast("double")).alias("min"),
+                 F.max(F.col(value_col).cast("double")).alias("max"))
+            .select("series",
+                    (F.unix_micros(F.col("window.end")) * 1000)
+                    .alias("bucket_ts"),
+                    "cnt", "sum", "min", "max"))

@@ -416,3 +416,61 @@ def test_streaming_sessionize(spark, tmp_path):
     got2 = run_once("s2")
     assert (1, 2, 300, 320, 2) in got2
     assert (2, 1, 10, 10, 1) in got2
+
+
+def test_windowed_rollup_append_watermark_drops_late(spark, tmp_path):
+    """Append-mode rollup: the watermark closes buckets (emitted
+    exactly once) and later-than-delay points are DROPPED — the
+    bounded-state contrast to the reference's accept-late semantics.
+    Two runs over one checkpoint: run 1 sees the on-time point plus a
+    far-future point that advances the watermark; run 2 delivers a
+    late point into the already-closed bucket."""
+    import os
+
+    from siridb_server_spark.streaming.ingest import (
+        windowed_rollup_append,
+    )
+
+    G = 10_000_000_000  # 10 s buckets (ns)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "series string, ts long, value double"
+
+    def run_once(label):
+        stream = spark.readStream.schema(schema).json(src)
+        q = (windowed_rollup_append(stream, G,
+                                    watermark_delay="5 seconds")
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    import json as _json
+
+    def write_batch(name, rows):
+        with open(f"{src}/{name}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # run 1: on-time point in bucket (0, 10s]; sentinel at t=100s
+    # advances the watermark to 95s >> bucket end
+    write_batch("a", [
+        {"series": "s", "ts": 2 * 10 ** 9, "value": 1.0},
+        {"series": "s", "ts": 100 * 10 ** 9, "value": 9.0},
+    ])
+    run_once("r1")
+    # run 2: a late point for the closed bucket — must be dropped
+    write_batch("b", [
+        {"series": "s", "ts": 3 * 10 ** 9, "value": 100.0},
+    ])
+    run_once("r2")
+
+    got = {r["bucket_ts"]: (r["cnt"], r["sum"])
+           for r in spark.read.parquet(out).collect()}
+    # the (0,10s] bucket closed with ONLY the on-time point; the late
+    # value=100 never entered it
+    assert got.get(10 * 10 ** 9) == (1, 1.0), got
