@@ -563,6 +563,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_dup_clusters"] = sim_dup_clusters
 
+    def sim_pq_ann(spark, sf_dir):
+        """Property rows for the product-quantization index: k rows
+        returned, every code within [0, k_codebook), and recall@10
+        against the exact-L2 top-10 of at least 5 (deterministic
+        pipeline; generous floor so borderline float summation order
+        can't flip it)."""
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        vec = _query_vec(spark, sf_dir)
+        idx = SIM.PQIndex.train(emb, m=8, k=16, iters=3)
+        res = idx.search_rerank(emb, vec, k=10, shortlist=200)
+        exact = SIM.l2_topk_exact(emb, vec, k=10)
+        hit = res.join(exact.select("vec_id"), "vec_id", "semi")
+        bad_code = idx.codes.where(
+            F.exists("code", lambda c: (c < 0) | (c >= 16)))
+        recall_ok = hit.agg(
+            F.lit("recall_at_10_ge_5").alias("prop"),
+            F.when(F.count(F.lit(1)) >= 5, F.lit(1)).otherwise(0)
+            .cast("long").alias("n"))
+        return (res.agg(F.lit("k_returned").alias("prop"),
+                        F.count(F.lit(1)).cast("long").alias("n"))
+                .unionByName(_prop("code_out_of_range", bad_code))
+                .unionByName(recall_ok))
+
+    q["sim_pq_ann"] = sim_pq_ann
+
     # deliberately last: the driver's correctness run caps at 50
     # entries, and these share the apply_bucket_agg path with ten
     # earlier green entries (typed min/max is also covered by
@@ -1256,6 +1282,11 @@ def oracle_sql() -> dict[str, str]:
     )
     o["sim_ivf_kmeans"] = _ANN_PROPS
     o["sim_lsh_topk"] = _ANN_PROPS
+    o["sim_pq_ann"] = (
+        "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
+        " UNION ALL SELECT 'code_out_of_range', 0"
+        " UNION ALL SELECT 'recall_at_10_ge_5', 1"
+    )
 
     o["sim_cosine_pairs"] = (
         "WITH prod AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"

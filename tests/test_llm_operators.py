@@ -547,3 +547,31 @@ def test_bm25_ranks_matching_docs(spark):
     # long padded doc ranks below the short one despite same tf
     assert ids.index(2) < ids.index(4)
     assert all(r["score"] > 0 for r in out)
+
+
+def test_pq_index_codes_and_rerank(spark):
+    import random
+
+    from siridb_server_spark.operators.similarity import (
+        PQIndex,
+        l2_topk_exact,
+    )
+
+    rng = random.Random(11)
+    # clustered data: PQ recall should be near-perfect with rerank
+    base = [[float(c)] * 16 for c in (0, 10, 20, 30)]
+    rows = [(i, [v + rng.uniform(-0.5, 0.5)
+                 for v in base[i % 4]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = PQIndex.train(emb, m=4, k=4, iters=3)
+    # codes bounded
+    from pyspark.sql import functions as F
+    assert idx.codes.where(
+        F.exists("code", lambda c: (c < 0) | (c >= 4))).count() == 0
+    q = rows[0][1]
+    got = [r["vec_id"] for r in
+           idx.search_rerank(emb, q, k=5, shortlist=40).collect()]
+    exact = [r["vec_id"] for r in
+             l2_topk_exact(emb, q, k=5).collect()]
+    assert got == exact  # rerank reproduces the exact ranking
+    idx.unpersist()
