@@ -535,6 +535,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_monthly_revenue"] = tpch_monthly_revenue
 
+    def tpch_q3ish(spark, sf_dir):
+        """q3 shape: top-10 orders by pre-ship revenue for one market
+        segment — date predicates push to both fact scans, the
+        customer dim broadcasts, and the final top-k is a
+        TakeOrdered on the rounded revenue (cross-engine tie-safe)."""
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        cut = F.lit("1998-01-01").cast("timestamp_ntz")
+        c2 = cust.where(F.col("c_mktsegment") == "BUILDING") \
+            .select("c_custkey")
+        o2 = (orders.where(F.col("o_orderdate") < cut)
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+        l2 = (li.where(F.col("l_shipdate") >= cut)
+              .select("l_orderkey",
+                      (F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("rev")))
+        return (
+            l2.join(o2, l2.l_orderkey == o2.o_orderkey)
+            .join(F.broadcast(c2), o2.o_custkey == c2.c_custkey)
+            .groupBy("o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("orderdate"))
+            .agg((F.round(F.sum("rev"), 2) + F.lit(0.0))
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+
+    q["tpch_q3ish"] = tpch_q3ish
+
     q["ts_moving_avg"] = lambda spark, sf_dir: TSO.moving_avg(
         _pts_dedup(spark, sf_dir), window=5)
 
@@ -622,7 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
              "text_pii_mask", "text_top_ngrams",
-             "curation_pack_sequences",
+             "curation_sample_sources", "curation_pack_sequences",
              "curation_split", "sim_ivf_kmeans", "sim_lsh_topk",
              "multimodal_meta", "multimodal_frames")
     q = {**{k: v for k, v in q.items() if k not in _TAIL},
@@ -1350,6 +1381,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT strftime(o_orderdate, '%Y-%m') AS month,"
         " round(sum(o_totalprice), 2) + 0.0 AS revenue,"
         " count(*) AS n_orders FROM orders GROUP BY 1"
+    )
+    o["tpch_q3ish"] = (
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')"
+        " AS orderdate,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0"
+        " AS revenue"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " WHERE c_mktsegment = 'BUILDING'"
+        " AND o_orderdate < TIMESTAMP '1998-01-01'"
+        " AND l_shipdate >= TIMESTAMP '1998-01-01'"
+        " GROUP BY 1, 2"
+        " ORDER BY revenue DESC, o_orderkey LIMIT 10"
     )
     # trailing 5-point moving average over the deduped points
     o["ts_moving_avg"] = (
