@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from siridb_server_spark import SiriEngine
@@ -343,6 +343,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_sessionize"] = ts_sessionize
 
+    def events_funnel(spark, sf_dir):
+        """Conversion funnel: per user, signup events that are
+        followed by a purchase within 24 h. One hash shuffle on
+        user_id feeds a per-user sort; the carry-forward is a
+        single min-over-following-window — no self-join, no range
+        join blowup (the as-of pattern in reverse). Output: per-day
+        signup count, converted count, conversion rate."""
+        ev = load(spark, sf_dir, "events")
+        day_ns = 86_400_000_000_000
+        base = (ev.where(F.col("event_type").isin("signup", "purchase"))
+                .select(F.col("user_id").cast("long").alias("user_id"),
+                        "event_type", epoch_ns(ev).alias("ts"),
+                        F.col("event_id").cast("long").alias("eid")))
+        w = (Window.partitionBy("user_id").orderBy("ts", "eid")
+             .rowsBetween(1, Window.unboundedFollowing))
+        nxt_purchase = F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w)
+        sign = (base.withColumn("_np", nxt_purchase)
+                .where(F.col("event_type") == "signup")
+                .select("ts",
+                        (F.col("_np").isNotNull()
+                         & (F.col("_np") - F.col("ts") <= day_ns))
+                        .alias("conv")))
+        return (sign.groupBy((F.col("ts") - F.col("ts") % day_ns)
+                             .alias("day"))
+                .agg(F.count(F.lit(1)).alias("signups"),
+                     F.sum(F.col("conv").cast("long"))
+                     .alias("converted"),
+                     (F.round(F.avg(F.col("conv").cast("double")), 6)
+                      + F.lit(0.0)).alias("rate")))
+
+    q["events_funnel"] = events_funnel
+
     q["ts_counter_rate"] = lambda spark, sf_dir: \
         TSO.counter_rate(_pts_dedup(spark, sf_dir),
                          scale=1_000_000_000)
@@ -653,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
              "text_pii_mask", "text_top_ngrams",
+             "dedup_ngram_jaccard",
              "curation_sample_sources", "curation_pack_sequences",
              "curation_split", "sim_ivf_kmeans", "sim_lsh_topk",
              "multimodal_meta", "multimodal_frames")
@@ -1235,6 +1270,26 @@ def oracle_sql() -> dict[str, str]:
         " AS BIGINT) AS session_id FROM s"
     )
 
+    # signup→purchase-within-24h funnel; the forward-looking min is
+    # the same window on both engines
+    o["events_funnel"] = (
+        "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts,"
+        " event_id AS eid FROM events"
+        " WHERE event_type IN ('signup', 'purchase')),"
+        " x AS (SELECT *, min(CASE WHEN event_type = 'purchase'"
+        " THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, eid"
+        " ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np"
+        " FROM e),"
+        " s AS (SELECT ts, (np IS NOT NULL AND"
+        " np - ts <= 86400000000000) AS conv FROM x"
+        " WHERE event_type = 'signup')"
+        " SELECT ts - ts % 86400000000000 AS day,"
+        " count(*) AS signups,"
+        " CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS converted,"
+        " round(avg(CASE WHEN conv THEN 1.0 ELSE 0.0 END), 6) + 0.0"
+        " AS rate FROM s GROUP BY 1"
+    )
     # reset-aware counter rate per second (scale = 1e9 on ns)
     o["ts_counter_rate"] = (
         _PD + ", r AS (SELECT series, ts,"
