@@ -66,9 +66,10 @@ def epoch_ns(df: DataFrame, col: str = "ts"):
     DuckDB's ``epoch_ns(ts)`` value-for-value."""
     dtype = dict(df.dtypes).get(col, "")
     c = F.col(col)
-    if dtype.startswith("timestamp"):
-        # timestamp[us] → TIMESTAMP_NTZ; session tz is pinned to UTC
-        # in load(), so the cast reads the naive value as UTC
+    if dtype.startswith("timestamp") or dtype == "date":
+        # timestamp[us] → TIMESTAMP_NTZ (or DATE); session tz is
+        # pinned to UTC in load(), so the cast reads naive values
+        # as UTC
         return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
     # TIMESTAMP(NANOS) read as int64 ns: DuckDB reads the same file at
     # microsecond resolution, so truncate sub-µs for oracle parity
