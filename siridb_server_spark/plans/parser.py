@@ -839,7 +839,11 @@ class Parser:
                     " or tags")
 
     def _show_stmt(self) -> N.ShowStmt:
+        # show_stmt = k_show List(Choice(<37 fields>)) — grammar
+        # ref grammar/grammar.py:833-871; cleri's List expects a
+        # field after a separator and merges [',', end] after one
         fields = []
+        dangling_comma = False
         while True:
             got = None
             for f in SHOW_FIELDS:
@@ -847,10 +851,17 @@ class Parser:
                     got = f
                     break
             if got is None:
+                if dangling_comma:
+                    self._merged_error(list(SHOW_FIELDS))
                 break
             fields.append(got)
-            if not self._token(","):
+            dangling_comma = self._token(",")
+            if not dangling_comma:
                 break
+        if not self._eof():
+            if fields:
+                self._merged_error([",", "end_of_statement"])
+            self._merged_error(list(SHOW_FIELDS) + ["end_of_statement"])
         return N.ShowStmt(fields)
 
     def _create_stmt(self):

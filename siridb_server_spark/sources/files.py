@@ -33,16 +33,19 @@ _LONG_CSV_SCHEMA = T.StructType([
 ])
 
 
-def _to_points(df: DataFrame, tp: int) -> DataFrame:
+def _to_points(df: DataFrame, tp: int, seq=None) -> DataFrame:
     """(series, ts, value:str) → points rows of one declared type.
-    seq is a per-file-order sequence for duplicate-ts tie-breaks
-    (monotonically_increasing_id is partition-local monotone, which
-    matches the reference's insert-order semantics per batch)."""
+    seq defaults to a per-file-order sequence for duplicate-ts
+    tie-breaks (monotonically_increasing_id is partition-local
+    monotone, which matches the reference's insert-order semantics
+    per batch)."""
     val = F.col("value")
+    if seq is None:
+        seq = F.monotonically_increasing_id()
     return df.select(
         "series",
         F.col("ts").cast("long").alias("ts"),
-        F.monotonically_increasing_id().alias("seq"),
+        seq.alias("seq"),
         (val.cast("long") if tp == TP_INT
          else F.lit(None).cast("long")).alias("val_int"),
         (val.cast("double") if tp == TP_DOUBLE
@@ -68,6 +71,20 @@ def read_points_jsonl(spark: SparkSession, path: str,
     """JSON-lines {"series":..,"ts":..,"value":..} → points."""
     df = spark.read.schema(_LONG_CSV_SCHEMA).json(path)
     return _to_points(df, tp)
+
+
+def stream_points_jsonl(spark: SparkSession, path: str,
+                        tp: int = TP_DOUBLE) -> DataFrame:
+    """Streaming twin of :func:`read_points_jsonl`: a file-source
+    stream over a directory of JSON-lines — drop files in, micro-
+    batches flow out (feed to ``streaming.ingest.start_ingest`` or a
+    rollup). ``seq`` derives from a hash of the full record
+    (monotonically_increasing_id is not available in streaming), so
+    duplicate-ts ties break deterministically by content rather than
+    by arrival order — documented divergence from the batch reader."""
+    df = spark.readStream.schema(_LONG_CSV_SCHEMA).json(path)
+    return _to_points(df, tp,
+                      seq=F.xxhash64("series", "ts", "value"))
 
 
 def read_points_wide_csv(spark: SparkSession, path: str,

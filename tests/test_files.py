@@ -60,3 +60,32 @@ def test_documents_jsonl_defaults(spark, tmp_path):
     # operators consume the shape directly
     from siridb_server_spark.operators.text import length_histogram
     assert length_histogram(docs, width=16).count() >= 1
+
+
+def test_stream_points_jsonl_into_store(spark, tmp_path):
+    """File-source streaming: JSONL files land as micro-batches in
+    the partitioned store; the engine reads the result."""
+    import json as _json
+    import os
+
+    from siridb_server_spark.sources.store import PointsStore
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(f"{src}/a.jsonl", "w") as f:
+        for i in range(3):
+            f.write(_json.dumps({"series": "cpu",
+                                 "ts": 1471254705 + i,
+                                 "value": float(i)}) + "\n")
+    pts = FS.stream_points_jsonl(spark, src)
+    assert pts.isStreaming
+    store = PointsStore(str(tmp_path / "db"), 604800, 259200)
+    q = (pts.writeStream.foreachBatch(
+            lambda b, _id: store.append_df(b))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = store.read(spark).orderBy("ts").collect()
+    assert [(r["series"], r["ts"], r["val_dbl"]) for r in rows] == \
+        [("cpu", 1471254705, 0.0), ("cpu", 1471254706, 1.0),
+         ("cpu", 1471254707, 2.0)]

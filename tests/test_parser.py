@@ -241,3 +241,24 @@ def test_head_tail_bounds():
     # boundary values parse fine
     parse("select * from 'a' head 1")
     parse("select * from 'a' tail 1000000")
+
+
+def test_show_tail_expectations():
+    """show_stmt = k_show List(Choice(fields)) — trailing junk lists
+    the field set (grammar.py:833-871); after a parsed field the List
+    can only continue with ',' or end."""
+    with pytest.raises((ParseError, QueryError)) as ei:
+        parse("show pool xx")
+    assert str(ei.value).endswith("Expecting , or end_of_statement")
+    with pytest.raises((ParseError, QueryError)) as ei:
+        parse("show xx")
+    msg = str(ei.value)
+    assert "active_handles" in msg and msg.endswith(
+        "who_am_i or end_of_statement")
+    with pytest.raises((ParseError, QueryError)) as ei:
+        parse("show pool,")
+    assert "active_handles" in str(ei.value)
+    assert str(ei.value).endswith("or who_am_i")
+    # valid forms still parse
+    assert parse("show").stmt.fields == []
+    assert parse("show pool, uptime").stmt.fields == ["pool", "uptime"]
