@@ -654,6 +654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_pq_ann"] = sim_pq_ann
 
+    q["text_quality_gate"] = lambda spark, sf_dir: TX.quality_gate(
+        load(spark, sf_dir, "documents"))
+
     # deliberately last: the driver's correctness run caps at 50
     # entries, and these share the apply_bucket_agg path with ten
     # earlier green entries (typed min/max is also covered by
@@ -1372,6 +1375,23 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
         " UNION ALL SELECT 'code_out_of_range', 0"
         " UNION ALL SELECT 'recall_at_10_ge_5', 1"
+    )
+    # Gopher-style keep/drop: same feature math as text_quality
+    o["text_quality_gate"] = (
+        "WITH f AS (SELECT doc_id,"
+        " CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,"
+        " round(length(text) * 1.0 /"
+        " len(string_split_regex(trim(text), '\\s+')), 6) + 0.0"
+        " AS avg_tok,"
+        " round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0"
+        " / length(text), 6) + 0.0 AS punct,"
+        " round(len(regexp_extract_all(text, '[0-9]')) * 1.0"
+        " / length(text), 6) + 0.0 AS digit FROM documents)"
+        " SELECT doc_id, n_tokens, coalesce("
+        " n_tokens BETWEEN 10 AND 1000"
+        " AND avg_tok BETWEEN 2.0 AND 12.0"
+        " AND punct <= 0.2 AND digit <= 0.2, FALSE) AS keep FROM f"
     )
 
     o["sim_cosine_pairs"] = (

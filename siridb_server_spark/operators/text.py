@@ -420,3 +420,29 @@ def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
                     (F.round("s", 6) + F.lit(0.0)).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+def quality_gate(df: DataFrame, min_tokens: int = 10,
+                 max_tokens: int = 1000,
+                 min_avg_token: float = 2.0,
+                 max_avg_token: float = 12.0,
+                 max_punct_ratio: float = 0.2,
+                 max_digit_ratio: float = 0.2,
+                 text_col: str = "text") -> DataFrame:
+    """Composed Gopher-style quality filter: the keep/drop decision a
+    corpus pipeline actually applies, built from quality_features'
+    length, word-length, punctuation, and digit rules. Row-local on
+    top of the feature projection — still fuses into the scan, no
+    shuffle. NULL features (empty docs) fail closed.
+    Output: (doc_id, n_tokens, keep)."""
+    feats = quality_features(df, text_col=text_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("avg_token_len") >= min_avg_token)
+        & (F.col("avg_token_len") <= max_avg_token)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("digit_ratio") <= max_digit_ratio))
+    return feats.select(
+        "doc_id", "n_tokens",
+        F.coalesce(keep, F.lit(False)).alias("keep"))

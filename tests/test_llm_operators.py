@@ -575,3 +575,17 @@ def test_pq_index_codes_and_rerank(spark):
              l2_topk_exact(emb, q, k=5).collect()]
     assert got == exact  # rerank reproduces the exact ranking
     idx.unpersist()
+
+
+def test_quality_gate_fails_closed_on_edge_docs(spark):
+    from siridb_server_spark.operators.text import quality_gate
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["word"] * 50)),        # clean → keep
+         (2, ""),                             # empty → drop (null-safe)
+         (3, "a b"),                          # too short → drop
+         (4, "!!! ??? ... ;;; " * 20),        # punct-heavy → drop
+         (5, " ".join(["12345"] * 40))],      # digit-heavy → drop
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["keep"] for r in quality_gate(docs).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
