@@ -657,6 +657,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality_gate"] = lambda spark, sf_dir: TX.quality_gate(
         load(spark, sf_dir, "documents"))
 
+    def corpus_sketch_stats(spark, sf_dir):
+        """Sketch-based corpus statistics — at 100 TB exact distinct
+        counts and exact quantiles need corpus-sized shuffles, so the
+        serving path is HLL++ (approx_count_distinct) and KLL-style
+        quantiles (percentile_approx), both mergeable map-side
+        sketches. Property rows pin them to the exact answers at this
+        scale: relative HLL error within 3×rsd, approx quantiles
+        within one exact-rank neighborhood."""
+        docs = load(spark, sf_dir, "documents")
+        toks = (docs.select(F.explode(F.split(F.lower("text"),
+                                              "[^a-z]+")).alias("t"))
+                .where(F.col("t") != ""))
+        ex = toks.agg(F.count_distinct("t").alias("x")).first()["x"]
+        ap = toks.agg(F.approx_count_distinct("t", rsd=0.02)
+                      .alias("x")).first()["x"]
+        hll_ok = 1 if abs(ap - ex) <= max(1, int(0.06 * ex)) else 0
+        lens = docs.select(F.length("text").alias("n"))
+        exact = lens.agg(
+            F.expr("percentile(n, array(0.5, 0.9, 0.99))")
+            .alias("p")).first()["p"]
+        approx = lens.agg(
+            F.percentile_approx("n", [0.5, 0.9, 0.99], 10000)
+            .alias("p")).first()["p"]
+        q_ok = 1 if all(
+            abs(a - e) <= max(2.0, 0.02 * e)
+            for a, e in zip(approx, exact)) else 0
+        return spark.createDataFrame(
+            [("hll_within_3rsd", hll_ok),
+             ("quantiles_within_2pct", q_ok)],
+            "prop string, n long")
+
+    q["corpus_sketch_stats"] = corpus_sketch_stats
+
     # deliberately last: the driver's correctness run caps at 50
     # entries, and these share the apply_bucket_agg path with ten
     # earlier green entries (typed min/max is also covered by
@@ -1375,6 +1408,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
         " UNION ALL SELECT 'code_out_of_range', 0"
         " UNION ALL SELECT 'recall_at_10_ge_5', 1"
+    )
+    o["corpus_sketch_stats"] = (
+        "SELECT 'hll_within_3rsd' AS prop, CAST(1 AS BIGINT) AS n"
+        " UNION ALL SELECT 'quantiles_within_2pct', 1"
     )
     # Gopher-style keep/drop: same feature math as text_quality
     o["text_quality_gate"] = (
