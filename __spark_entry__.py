@@ -381,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TSO.counter_rate(_pts_dedup(spark, sf_dir),
                          scale=1_000_000_000)
 
+    q["ts_zscore_anomalies"] = lambda spark, sf_dir: \
+        TSO.zscore_anomalies(_pts_dedup(spark, sf_dir),
+                             window=20, threshold=2.5)
+
     q["curation_sample_sources"] = lambda spark, sf_dir: \
         CU.sample_by_source(load(spark, sf_dir, "documents"),
                             alpha=0.5, target_frac=0.5)
@@ -722,7 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-new operators so fresh code gets driver-checked first.
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
-             "text_pii_mask", "text_top_ngrams",
+             "text_pii_mask", "text_top_ngrams", "text_fingerprint",
              "dedup_ngram_jaccard",
              "curation_sample_sources", "curation_pack_sequences",
              "curation_split", "sim_ivf_kmeans", "sim_lsh_topk",
@@ -1306,6 +1310,17 @@ def oracle_sql() -> dict[str, str]:
         " AS BIGINT) AS session_id FROM s"
     )
 
+    # trailing z-score anomalies, exclusive 20-point frame, |z| > 2.5
+    o["ts_zscore_anomalies"] = (
+        _PD + ", r AS (SELECT series, ts, val,"
+        " avg(val) OVER w AS mu, stddev_samp(val) OVER w AS sd,"
+        " count(val) OVER w AS n FROM pd"
+        " WINDOW w AS (PARTITION BY series ORDER BY ts"
+        " ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))"
+        " SELECT series, ts, val,"
+        " round((val - mu) / sd, 6) + 0.0 AS z FROM r"
+        " WHERE n >= 3 AND sd > 0 AND abs((val - mu) / sd) > 2.5"
+    )
     # signup→purchase-within-24h funnel; the forward-looking min is
     # the same window on both engines
     o["events_funnel"] = (

@@ -139,3 +139,29 @@ def top_series(df: DataFrame, k: int = 20,
               .agg((F.round(F.sum(val_col), 4) + F.lit(0.0))
                    .alias("total")))
     return totals.orderBy(F.desc("total"), F.asc(key_col)).limit(k)
+
+
+def zscore_anomalies(df: DataFrame, window: int = 20,
+                     threshold: float = 3.0,
+                     key_col: str = "series", ts_col: str = "ts",
+                     val_col: str = "val") -> DataFrame:
+    """Trailing z-score anomaly detection: each point scored against
+    the mean/stddev of the PREVIOUS ``window`` points (exclusive —
+    the point can't suppress its own anomaly). Points with
+    |z| > threshold and at least 3 prior points are flagged.
+
+    One window over one hash shuffle on the series key; sample
+    stddev to match SQL engines. Output: (key, ts, val, z) for
+    flagged points only, z at 6 decimals."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col)
+         .rowsBetween(-window, -1))
+    mu = F.avg(F.col(val_col)).over(w)
+    sd = F.stddev_samp(F.col(val_col)).over(w)
+    n = F.count(F.col(val_col)).over(w)
+    z = (F.col(val_col) - mu) / sd
+    return (df.select(
+        F.col(key_col), F.col(ts_col), F.col(val_col),
+        F.when((n >= 3) & (sd > 0), z).alias("_z"))
+        .where(F.abs(F.col("_z")) > threshold)
+        .select(key_col, ts_col, val_col,
+                (F.round(F.col("_z"), 6) + F.lit(0.0)).alias("z")))

@@ -83,3 +83,19 @@ def test_top_series_rounded_rank_and_ties(spark):
     # a and b tie at 3.0 → lexicographic, c excluded by k
     assert [(r["series"], r["total"]) for r in out] == \
         [("a", 3.0), ("b", 3.0)]
+
+
+def test_zscore_anomalies_exclusive_frame(spark):
+    from siridb_server_spark.operators.timeseries import (
+        zscore_anomalies,
+    )
+
+    # stable baseline then one spike; baseline alternates so sd > 0
+    pts = [("a", t, float(v)) for t, v in
+           [(1, 1.0), (2, 1.2), (3, 0.8), (4, 1.1), (5, 0.9),
+            (6, 1.0), (7, 50.0), (8, 1.0)]]
+    df = spark.createDataFrame(
+        pts, "series string, ts long, val double")
+    out = zscore_anomalies(df, window=5, threshold=3.0).collect()
+    assert [(r["ts"], r["val"]) for r in out] == [(7, 50.0)]
+    assert out[0]["z"] > 3.0
