@@ -180,3 +180,69 @@ def streaming_sessionize(stream_df: DataFrame, gap: int, *,
             fn, SESSION_SCHEMA, _SESSION_STATE_SCHEMA,
             "update", GroupStateTimeout.NoTimeout)
     )
+
+
+ANOMALY_SCHEMA = "series string, ts long, val double, z double"
+_ANOMALY_STATE_SCHEMA = "vals array<double>"
+
+
+def streaming_zscore_anomalies(stream_df: DataFrame, *,
+                               window: int = 20,
+                               threshold: float = 3.0,
+                               series_col: str = "series",
+                               ts_col: str = "ts",
+                               val_col: str = "val") -> DataFrame:
+    """Streaming twin of ``timeseries.zscore_anomalies``: each
+    arriving point is scored against the trailing ``window`` values
+    of its series, carried in checkpointed state, so anomalies fire
+    continuously across micro-batches AND restarts.
+
+    State per series is a bounded ring of the last ``window`` floats
+    (O(window) — independent of stream length). The frame is
+    exclusive, like the batch twin: a point is scored BEFORE being
+    appended, so a spike can't suppress its own detection. Points
+    inside a batch are processed in (ts) order for determinism.
+    Output (append mode — every emitted row is final): flagged
+    points only."""
+
+    def fn(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        vals = list(state.get[0]) if state.exists else []
+        out_ts, out_v, out_z = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["val"]):
+                n = len(vals)
+                if n >= 3:
+                    mu = sum(vals) / n
+                    var = sum((x - mu) ** 2 for x in vals) / (n - 1)
+                    sd = math.sqrt(var)
+                    if sd > 0:
+                        z = (float(v) - mu) / sd
+                        if abs(z) > threshold:
+                            out_ts.append(int(ts))
+                            out_v.append(float(v))
+                            out_z.append(round(z, 6) + 0.0)
+                vals.append(float(v))
+                if len(vals) > window:
+                    vals.pop(0)
+        state.update((vals,))
+        yield pd.DataFrame({
+            "series": [key[0]] * len(out_ts), "ts": out_ts,
+            "val": out_v, "z": out_z})
+
+    shaped = stream_df.select(
+        F.col(series_col).cast("string").alias("series"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(val_col).cast("double").alias("val"))
+    return (
+        shaped.groupBy("series")
+        .applyInPandasWithState(
+            fn, ANOMALY_SCHEMA, _ANOMALY_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )

@@ -474,3 +474,50 @@ def test_windowed_rollup_append_watermark_drops_late(spark, tmp_path):
     # the (0,10s] bucket closed with ONLY the on-time point; the late
     # value=100 never entered it
     assert got.get(10 * 10 ** 9) == (1, 1.0), got
+
+
+def test_streaming_zscore_state_survives_restart(spark, tmp_path):
+    """The anomaly detector's trailing window lives in checkpointed
+    state: a spike in run 2 is scored against the baseline streamed
+    in run 1 — and the exclusive frame means the spike itself doesn't
+    raise the baseline for the next point."""
+    import json as _json
+    import os
+
+    from siridb_server_spark.streaming.stateful import (
+        streaming_zscore_anomalies,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    schema = "series string, ts long, val double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = (streaming_zscore_anomalies(stream, window=5,
+                                        threshold=3.0)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def write(name, rows):
+        with open(f"{src}/{name}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # run 1: alternating baseline (sd > 0), no anomalies
+    write("a", [{"series": "s", "ts": t,
+                 "val": 1.0 + 0.2 * (t % 2)} for t in range(1, 6)])
+    run_once()
+    # run 2: spike + normal follow-up
+    write("b", [{"series": "s", "ts": 6, "val": 50.0},
+                {"series": "s", "ts": 7, "val": 1.1}])
+    run_once()
+
+    rows = [(r["ts"], r["val"]) for r in
+            spark.read.parquet(out).collect()]
+    assert rows == [(6, 50.0)], rows
