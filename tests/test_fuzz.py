@@ -203,3 +203,32 @@ def test_fuzz_garbage_errors_keep_reference_shape():
         except QueryError:
             pass  # semantic errors have their own reference texts
     assert checked > 50  # the corruptions really exercised the shape
+
+
+def test_fuzz_statement_tails_merge_expectations():
+    """Fuzzed trailing junk after ANY complete statement yields a
+    merged expectation list that ends with end_of_statement when the
+    statement could have ended there — covering the select, list,
+    count, and show tails closed in round 4."""
+    from siridb_server_spark.plans.parser import parse
+
+    rng = random.Random(99)
+    complete = [
+        "select sum(1h) from 'a'",
+        "select mean(1d) from /.*/ where length > 0",
+        "list series", "list series name, length",
+        "list users", "list shards sid",
+        "count series", "count series length 'a'",
+        "count shards size", "count groups",
+        "show", "show pool", "show pool, uptime",
+    ]
+    junk = ["zz", "$", "frobnicate", "123abc", "~"]
+    for _ in range(200):
+        q = f"{rng.choice(complete)} {rng.choice(junk)}"
+        with pytest.raises((ParseError, QueryError)) as e:
+            parse(q)
+        msg = str(e.value)
+        assert "Expecting" in msg, (q, msg)
+        assert msg.endswith("end_of_statement") or \
+            "end_of_statement" in msg or msg.endswith("who_am_i"), \
+            (q, msg)
