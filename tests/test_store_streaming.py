@@ -521,3 +521,30 @@ def test_streaming_zscore_state_survives_restart(spark, tmp_path):
     rows = [(r["ts"], r["val"]) for r in
             spark.read.parquet(out).collect()]
     assert rows == [(6, 50.0)], rows
+
+
+def test_log_series_store_restart_roundtrip(spark, tmp_path):
+    """String ("log") series survive the store byte-for-byte across
+    an engine restart — including unicode outside the BMP and a
+    multi-KB value (ref itest/test_log.py:186-246: same data before
+    and after a server stop/start)."""
+    data = {
+        "log": [[1471254705, "one"], [1471254707, "two words"],
+                [1471254710, ""]],
+        "utf16": [[1471254705, "hi é中\U0001f600 end"],
+                  [1471254708, "русский"]],
+        "long_log": [[1471254705, "x" * 5000 + " tail"]],
+    }
+    path = str(tmp_path / "logdb")
+    eng = SiriEngine.open(spark, path, precision="s")
+    eng.insert(data)
+    assert eng.query('select * from "utf16"') == {
+        "utf16": data["utf16"]}
+    # fresh engine over the same store directory = restart
+    eng2 = SiriEngine.open(spark, path, precision="s")
+    for name, pts in data.items():
+        assert eng2.query(f'select * from "{name}"') == {name: pts}
+    # string filters still work on the store-backed path
+    assert eng2.query(
+        'select filter(~"words") from "log"') == {
+        "log": [[1471254707, "two words"]]}
