@@ -484,6 +484,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         MM.documents_as_media(load(spark, sf_dir, "documents")),
         every_n=10)
 
+    def _ppm(w, h, px, comment=False):
+        head = b"P6\n" + (b"# c\n" if comment else b"") \
+            + f"{w} {h}\n255\n".encode()
+        return head + b"".join(bytes(p) for p in px)
+
+    def _wav(channels, rate, frames):
+        import struct
+        data = b"".join(struct.pack("<h", s)
+                        for f in frames for s in f)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * 2, channels * 2, 16)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+            + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) \
+            + b"WAVE" + body
+
+    def multimodal_ppm_decode(spark, sf_dir):
+        """REAL P6 decode through the Arrow path on hand-constructed
+        images whose metadata is known exactly (uniform color → means
+        equal the color; the oracle is those constants)."""
+        rows = [
+            (1, "image", _ppm(4, 3, [(10, 20, 30)] * 12), "image/ppm"),
+            (2, "image", _ppm(2, 2, [(0, 0, 0), (255, 255, 255),
+                                     (255, 0, 0), (1, 2, 3)]),
+             "image/ppm"),
+            (3, "image", _ppm(1, 1, [(5, 6, 7)], comment=True),
+             "image/ppm"),
+            (4, "image", b"not a ppm", "application/octet-stream"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.decode_ppm_meta(media)
+
+    q["multimodal_ppm_decode"] = multimodal_ppm_decode
+
+    def multimodal_wav_decode(spark, sf_dir):
+        rows = [
+            (1, "audio", _wav(1, 8000, [(100,), (-100,), (100,),
+                                        (-100,)]), "audio/wav"),
+            (2, "audio", _wav(2, 44100, [(1000, -1000),
+                                         (1000, -1000)]), "audio/wav"),
+            (3, "audio", b"RIFFxxxx", "application/octet-stream"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.decode_wav_meta(media)
+
+    q["multimodal_wav_decode"] = multimodal_wav_decode
+
     # --- general analytics (TPC-H style; broadcast-join shape)
     def tpch_q1ish(spark, sf_dir):
         li = load(spark, sf_dir, "lineitem")
@@ -727,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
              "text_pii_mask", "text_top_ngrams", "text_fingerprint",
+             "text_repetition", "text_topk_per_source",
              "dedup_ngram_jaccard",
              "curation_sample_sources", "curation_pack_sequences",
              "curation_split", "sim_ivf_kmeans", "sim_lsh_topk",
@@ -1473,6 +1521,27 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents"
     )
 
+    # real container-format decodes on hand-constructed payloads:
+    # the expected metadata is known by construction
+    o["multimodal_ppm_decode"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id, CAST(4 AS BIGINT)"
+        " AS width, CAST(3 AS BIGINT) AS height, CAST(255 AS BIGINT)"
+        " AS maxval, CAST(10.0 AS DOUBLE) AS mean_r,"
+        " CAST(20.0 AS DOUBLE) AS mean_g,"
+        " CAST(30.0 AS DOUBLE) AS mean_b"
+        " UNION ALL SELECT 2, 2, 2, 255, 127.75, 64.25, 64.5"
+        " UNION ALL SELECT 3, 1, 1, 255, 5.0, 6.0, 7.0"
+        " UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
+    o["multimodal_wav_decode"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id, CAST(1 AS BIGINT)"
+        " AS channels, CAST(8000 AS BIGINT) AS sample_rate,"
+        " CAST(16 AS BIGINT) AS bits, CAST(4 AS BIGINT) AS n_samples,"
+        " CAST(0.0005 AS DOUBLE) AS duration_s,"
+        " CAST(100.0 AS DOUBLE) AS rms"
+        " UNION ALL SELECT 2, 2, 44100, 16, 2, 0.000045, 1000.0"
+        " UNION ALL SELECT 3, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
     o["tpch_q1ish"] = (
         "SELECT l_returnflag, l_linestatus,"
         " round(sum(l_quantity), 4) + 0.0 AS sum_qty,"

@@ -589,3 +589,38 @@ def test_quality_gate_fails_closed_on_edge_docs(spark):
         "doc_id long, text string")
     out = {r["doc_id"]: r["keep"] for r in quality_gate(docs).collect()}
     assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_ppm_and_wav_real_decode(spark):
+    """Library-free REAL decoders: exact header fields and channel
+    means/RMS on hand-constructed payloads (incl. header comments,
+    truncated rasters, and odd-sized RIFF chunks)."""
+    import struct
+
+    from siridb_server_spark.operators import multimodal as MM
+
+    ppm = (b"P6\n# hello\n2 1\n255\n" + bytes([10, 20, 30, 30, 20, 10]))
+    trunc = b"P6\n4 4\n255\n" + b"\x00" * 5          # short raster
+    media = spark.createDataFrame(
+        [(1, "image", ppm, "image/ppm"),
+         (2, "image", trunc, "image/ppm")], MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           MM.decode_ppm_meta(media).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (2, 1)
+    assert (out[1]["mean_r"], out[1]["mean_g"], out[1]["mean_b"]) == \
+        (20.0, 20.0, 20.0)
+    assert out[2]["width"] is None  # truncated → NULL, not a crash
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    # odd-sized junk chunk before data exercises word alignment
+    data = struct.pack("<3h", 7, -7, 7)
+    wav = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"junk" + struct.pack("<I", 3) + b"abc\x00"
+           + b"data" + struct.pack("<I", len(data)) + data)
+    media = spark.createDataFrame(
+        [(1, "audio", wav, "audio/wav")], MM.MEDIA_SCHEMA)
+    row = MM.decode_wav_meta(media).collect()[0]
+    assert (row["channels"], row["sample_rate"], row["n_samples"]) == \
+        (1, 16000, 3)
+    assert row["rms"] == 7.0
