@@ -207,3 +207,28 @@ def test_top_series_takeordered_not_global_sort(spark):
         [("a", 10, 1.0)], "series string, ts long, val double")
     plan = physical(top_series(pts, k=20))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_no_python_broadcast_df(spark):
+    """BM25 stays JVM-side end to end; the document-frequency side is
+    broadcast, and the top-k is a TakeOrdered."""
+    from siridb_server_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = physical(bm25_topk(docs, ["hash", "join"], k=10))
+    assert not [n for n in PY_NODES if n in plan], plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_funnel_single_user_shuffle_no_join(spark):
+    """The conversion funnel is one window over one hash shuffle on
+    the user key — no self-join."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["events_funnel"](
+        spark, "/root/testdata/sf0.001")
+    plan = physical(df)
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    assert not [n for n in PY_NODES if n in plan], plan
