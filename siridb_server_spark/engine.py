@@ -234,6 +234,18 @@ class SiriEngine:
                 self._mem_df = df
         return self._mem_df
 
+    def register_views(self, prefix: str = "siri_") -> None:
+        """Expose the engine's frames to plain Spark SQL as temp
+        views: ``<prefix>points`` (series, ts, seq, typed vals) and
+        ``<prefix>series`` (the catalog). SiriDB-language users query
+        through :meth:`query`/:meth:`select_df`; Spark-native users
+        can then ``spark.sql("SELECT ... FROM siri_points ...")`` over
+        the same storage — both read the identical store-backed scans
+        (partition pruning included), so the two surfaces can't
+        drift."""
+        self.points_df().createOrReplaceTempView(f"{prefix}points")
+        self.catalog_df().createOrReplaceTempView(f"{prefix}series")
+
     def _points_for_select(self) -> DataFrame:
         """Points frame for select: keeps the shard-id partition column
         when store-backed so time ranges become PartitionFilters."""

@@ -330,3 +330,20 @@ def test_ten_thousand_series_envelope(spark):
     assert len(eng.query("list series")["series"]) == 10_000
     got = eng.query("count series length /m-.*/ - /m-000.*/")
     assert got == {"series_length": 10_000 - 100}
+
+
+def test_register_views_sql_surface(eng):
+    """register_views exposes points/catalog to plain Spark SQL; the
+    SQL surface and the engine surface read the same data."""
+    eng.register_views()
+    spark = eng.spark
+    n_sql = spark.sql(
+        "SELECT count(*) AS n FROM siri_points").first()["n"]
+    total = sum(len(v) for v in eng.query(
+        "select * from /.*/").values())
+    assert n_sql == total
+    cat = spark.sql(
+        "SELECT name, length FROM siri_series ORDER BY name").collect()
+    listed = eng.query("list series name, length")["series"]
+    assert [(r["name"], r["length"]) for r in cat] == \
+        sorted([tuple(r) for r in listed])
