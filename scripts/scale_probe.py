@@ -1,0 +1,151 @@
+"""Scaling probe: replicate the sf0.1 testdata K× into a temp dir
+(with shifted keys so group/series cardinality grows with volume, and
+perturbed text so dedup doesn't collapse the copies), then time the
+headline queries at 1× and K× in one session and report the ratio.
+
+A near-linear ratio (≈K on a fixed-core box once the 1× run no longer
+saturates the cores, sublinear otherwise) is the empirical check that
+no operator hides a super-linear term — the evidence behind
+ARCHITECTURE.md's 100 TB claims. Usage:
+
+    python scripts/scale_probe.py [K] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+QUERIES = sys.argv[2:] or [
+    "siri_sum_bucket", "siri_median_bucket", "siri_limit_downsample",
+    "ts_resample_interp", "ts_asof_join", "ts_moving_avg",
+    "dedup_simhash", "dedup_contamination", "dedup_spans",
+    "text_tfidf_sources", "text_bm25_search", "text_unigram_lm",
+    "sim_cosine_pairs", "sim_bruteforce_topk",
+    "tpch_q1ish", "tpch_q6ish", "tpch_join_revenue",
+    "events_funnel",
+]
+
+
+def replicate(spark: SparkSession, out: str, k: int) -> None:
+    """K copies with shifted keys: events gain new users (so the
+    series count scales with volume), documents/embeddings gain new
+    ids with perturbed content, tpch tables gain new key ranges."""
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+
+    def shifted(df, i, **cols):
+        return df.select(*[
+            (cols[c](i).alias(c) if c in cols else c)
+            for c in df.columns])
+
+    parts = [shifted(
+        ev, i,
+        event_id=lambda i: F.col("event_id") + i * 10_000_000,
+        user_id=lambda i: F.col("user_id") + i * 10_000,
+    ) for i in range(k)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    parts = [shifted(
+        docs, i,
+        doc_id=lambda i: F.col("doc_id") + i * 1_000_000,
+        text=lambda i: F.concat(F.col("text"),
+                                F.lit(f" copyv{i}")),
+    ) for i in range(k)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    parts = [shifted(
+        emb, i,
+        vec_id=lambda i: F.col("vec_id") + i * 1_000_000,
+    ) for i in range(k)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    parts = [shifted(
+        li, i,
+        l_orderkey=lambda i: F.col("l_orderkey") + i * 10_000_000,
+    ) for i in range(k)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    parts = [shifted(
+        orders, i,
+        o_orderkey=lambda i: F.col("o_orderkey") + i * 10_000_000,
+        o_custkey=lambda i: F.col("o_custkey"),
+    ) for i in range(k)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+def best_of(fn, n=2):
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main():
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("scale-probe")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    out = tempfile.mkdtemp(prefix="sparksiri-scale-")
+    try:
+        replicate(spark, out, K)
+        qs = entry.queries()
+        # warm codegen + python workers on the small side
+        qs["dedup_simhash"](spark, BASE).write \
+            .format("noop").mode("overwrite").save()
+        report = {}
+        for name in QUERIES:
+            fn = qs[name]
+            t1 = best_of(lambda: fn(spark, BASE).write
+                         .format("noop").mode("overwrite").save())
+            tk = best_of(lambda: fn(spark, out).write
+                         .format("noop").mode("overwrite").save())
+            report[name] = {
+                "t1": round(t1, 3), "tK": round(tk, 3),
+                "ratio": round(tk / t1, 2)}
+            print(name, report[name], flush=True)
+        print(json.dumps({"K": K, "results": report}))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
