@@ -708,6 +708,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality_gate"] = lambda spark, sf_dir: TX.quality_gate(
         load(spark, sf_dir, "documents"))
 
+    def text_langid_confusion(spark, sf_dir):
+        """Heuristic-vs-label confusion matrix — the evaluation view
+        of the language-ID operator (which slices of the corpus does
+        the heuristic get wrong, and toward what)."""
+        docs = load(spark, sf_dir, "documents")
+        return (docs.select(F.col("lang").alias("label"),
+                            TX.lang_id(F.col("text"))
+                            .alias("pred"))
+                .groupBy("label", "pred")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    q["text_langid_confusion"] = text_langid_confusion
+
     def corpus_sketch_stats(spark, sf_dir):
         """Sketch-based corpus statistics — at 100 TB exact distinct
         counts and exact quantiles need corpus-sized shuffles, so the
@@ -1475,6 +1488,17 @@ def oracle_sql() -> dict[str, str]:
     o["corpus_sketch_stats"] = (
         "SELECT 'hll_within_3rsd' AS prop, CAST(1 AS BIGINT) AS n"
         " UNION ALL SELECT 'quantiles_within_2pct', 1"
+    )
+    # confusion matrix over the same CASE expression as text_langid
+    _lid = o["text_langid"]
+    o["text_langid_confusion"] = (
+        "WITH pred AS (" + _lid.replace("SELECT doc_id,",
+                                        "SELECT doc_id, lang,", 1)
+        .replace("FROM documents) SELECT doc_id,",
+                 "FROM documents) SELECT doc_id, lang,", 1)
+        + ") SELECT d.lang AS label, p.pred_lang AS pred,"
+        " count(*) AS n FROM documents d JOIN pred p USING (doc_id)"
+        " GROUP BY 1, 2"
     )
     # Gopher-style keep/drop: same feature math as text_quality
     o["text_quality_gate"] = (
