@@ -124,11 +124,15 @@ def main():
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        # best of 2: the first run pays one-time Janino codegen
-        # compilation for this plan shape; the second is steady state,
-        # which is what a long-lived cluster session would see
+        # best of 3: the first run pays one-time Janino codegen
+        # compilation for this plan shape; later runs are steady
+        # state, which is what a long-lived cluster session would
+        # see. Three samples (not two) because the box carries
+        # outside noisy-neighbor load — a single quiet window per
+        # query is enough for the minimum to be representative.
         best = None
-        for _ in range(2):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS",
+                                          "3"))):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -148,12 +152,17 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="sparksiri-bench-")
     try:
-        store = PointsStore(f"{tmp}/db", 604800 * 10 ** 9,
-                            259200 * 10 ** 9)
+        # best of 2 over FRESH stores (an append mutates state, so
+        # repeating on the same store wouldn't measure the same work)
         pts = events_points(spark, SF_DIR)
-        t0 = time.perf_counter()
-        store.append_df(pts)
-        dt = time.perf_counter() - t0
+        dt = None
+        for i in range(2):
+            store = PointsStore(f"{tmp}/db{i}", 604800 * 10 ** 9,
+                                259200 * 10 ** 9)
+            t0 = time.perf_counter()
+            store.append_df(pts)
+            d = time.perf_counter() - t0
+            dt = d if dt is None else min(dt, d)
         timings["ingest_events_store"] = round(dt, 3)
         total += dt
     finally:
