@@ -436,3 +436,40 @@ class PointsStore:
                     out["files"] += 1
                     out["bytes"] += os.path.getsize(os.path.join(p, f))
         return out
+
+    # ---------------------------------------------------------- backup
+    def snapshot(self, dest: str) -> str:
+        """Consistent point-in-time backup: copy the store directory
+        (points partitions + catalog + deltas) to ``dest``. Refuses
+        to run while an append is in flight (pending marker set) —
+        the reference's backup_mode likewise quiesces the database
+        before its file copy (src/siri/db/db.c backup handling).
+        Parquet files are immutable once written, so a quiesced copy
+        is consistent by construction; at 100 TB the same layout
+        snapshots via the object store's native copy/manifest instead
+        of a local copytree. Returns ``dest``."""
+        if os.path.exists(self._pending_path):
+            raise RuntimeError(
+                "snapshot refused: an append is in progress "
+                "(pending marker present)")
+        if os.path.exists(dest):
+            raise FileExistsError(dest)
+        if self._exists() or os.path.isdir(self.path):
+            shutil.copytree(self.path, dest)
+        else:
+            os.makedirs(dest, exist_ok=True)
+        return dest
+
+    @classmethod
+    def restore(cls, snapshot_path: str, dest: str,
+                duration_num: int, duration_log: int,
+                catalog_buckets: int = N_CATALOG_BUCKETS
+                ) -> "PointsStore":
+        """Materialize a snapshot as a live store at ``dest`` and
+        open it. The copy is verbatim; the store's own crash-repair
+        (pending-marker rebuild) covers a snapshot taken from an
+        older layout."""
+        if os.path.exists(dest):
+            raise FileExistsError(dest)
+        shutil.copytree(snapshot_path, dest)
+        return cls(dest, duration_num, duration_log, catalog_buckets)

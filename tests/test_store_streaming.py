@@ -331,14 +331,18 @@ def test_expiration_applies_automatically(spark, tmp_path):
     eng.query(f"alter database set expiration_num {3 * week}")
     assert eng.query("count shards")["shards"] == 1
     assert eng.query("select * from 's'") == {"s": [[now - 10, 2.0]]}
-    # expired-at-ingest: a 15-day-old log point with expiration_log 2w
-    # is dropped before it lands; the series never exists
+    # expired-at-ingest: a 3-week-old log point with expiration_log 2w
+    # is dropped before it lands; the series never exists. Expiration
+    # is SHARD-granular (ref shards.c:277 drops whole expired
+    # shards), so the margin past the cutoff must exceed the log
+    # shard duration (3 d) — a 15-day-old point would flap with
+    # wall-clock phase.
     eng.query(f"alter database set expiration_log {2 * week}")
-    eng.insert({"series_log": [[now - 15 * 24 * 3600, "expired"]]})
+    eng.insert({"series_log": [[now - 3 * week, "expired"]]})
     got = eng.query('list series "series_log"')
     assert got["series"] == []
     # mixed insert keeps only the valid point
-    eng.insert({"series_log": [[now - 15 * 24 * 3600, "expired"],
+    eng.insert({"series_log": [[now - 3 * week, "expired"],
                                [now - 7 * 24 * 3600, "valid"]]})
     got = eng.query('list series name, length "series_log"')
     assert got["series"] == [["series_log", 1]]
@@ -548,3 +552,39 @@ def test_log_series_store_restart_roundtrip(spark, tmp_path):
     assert eng2.query(
         'select filter(~"words") from "log"') == {
         "log": [[1471254707, "two words"]]}
+
+
+def test_store_snapshot_restore_roundtrip(spark, tmp_path):
+    """Quiesced snapshot → restore yields a store (and engine) with
+    identical data; a pending append marker blocks the snapshot."""
+    src = str(tmp_path / "livedb")
+    eng = SiriEngine.open(spark, src, precision="s")
+    eng.insert({"cpu": [[1471254705, 1.0], [1471254710, 2.5]],
+                "log": [[1471254705, "hello"]]})
+
+    store = eng.store
+    snap = store.snapshot(str(tmp_path / "snap"))
+    # snapshot is immune to later writes
+    eng.insert({"cpu": [[1471254720, 9.9]]})
+
+    from siridb_server_spark.sources.store import PointsStore
+    restored = PointsStore.restore(
+        snap, str(tmp_path / "restored"),
+        store.duration_num, store.duration_log)
+    eng2 = SiriEngine.open(spark, restored.path, precision="s")
+    assert eng2.query('select * from "cpu"') == {
+        "cpu": [[1471254705, 1.0], [1471254710, 2.5]]}
+    assert eng2.query('select * from "log"') == {
+        "log": [[1471254705, "hello"]]}
+    # the live store kept the extra point
+    assert eng.query('select * from "cpu"')["cpu"][-1] == \
+        [1471254720, 9.9]
+
+    # a pending marker (in-flight append) refuses the snapshot
+    store._set_pending()
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="pending"):
+            store.snapshot(str(tmp_path / "snap2"))
+    finally:
+        store._clear_pending()
