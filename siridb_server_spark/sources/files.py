@@ -42,6 +42,11 @@ def _to_points(df: DataFrame, tp: int, seq=None) -> DataFrame:
     val = F.col("value")
     if seq is None:
         seq = F.monotonically_increasing_id()
+    # malformed records surface as NULL series/ts under Spark's
+    # PERMISSIVE parse mode; the points model declares both non-null,
+    # so drop them here instead of poisoning every downstream groupBy
+    df = df.where(F.col("series").isNotNull()
+                  & F.col("ts").isNotNull())
     return df.select(
         "series",
         F.col("ts").cast("long").alias("ts"),

@@ -89,3 +89,18 @@ def test_stream_points_jsonl_into_store(spark, tmp_path):
     assert [(r["series"], r["ts"], r["val_dbl"]) for r in rows] == \
         [("cpu", 1471254705, 0.0), ("cpu", 1471254706, 1.0),
          ("cpu", 1471254707, 2.0)]
+
+
+def test_malformed_records_dropped_not_poisoning(spark, tmp_path):
+    """PERMISSIVE-mode nulls from corrupt lines never enter the
+    points model (which declares series/ts non-null)."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"series": "ok", "ts": 10, "value": "1.5"}\n'
+        "this is not json at all\n"
+        '{"ts": 20, "value": "2.0"}\n'          # missing series
+        '{"series": "ok", "value": "3.0"}\n')   # missing ts
+    pts = FS.read_points_jsonl(spark, str(p))
+    rows = [(r["series"], r["ts"], r["val_dbl"])
+            for r in pts.collect()]
+    assert rows == [("ok", 10, 1.5)]
