@@ -109,21 +109,28 @@ def main():
 
     # untimed warmup: JVM/codegen spin-up + file-index priming so the
     # timings measure steady-state query cost, not session startup
-    for t in ("events", "documents", "embeddings", "lineitem"):
-        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-    qs["siri_count_to_one"](spark, SF_DIR).write \
-        .format("noop").mode("overwrite").save()
-    # ...including the Python/Arrow workers: the first pandas_udf in a
-    # session forks the daemon + worker pool and initializes Arrow
-    # IPC (1-5 s, high variance); without this the first Arrow-kernel
-    # entry (dedup_simhash) absorbs that one-time cost
-    D.simhash(_load(spark, SF_DIR, "documents").limit(64)).write \
-        .format("noop").mode("overwrite").save()
+    errors = {}
+    try:
+        for t in ("events", "documents", "embeddings", "lineitem"):
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        qs["siri_count_to_one"](spark, SF_DIR).write \
+            .format("noop").mode("overwrite").save()
+        # ...including the Python/Arrow workers: the first pandas_udf
+        # in a session forks the daemon + worker pool and initializes
+        # Arrow IPC (1-5 s, high variance); without this the first
+        # Arrow-kernel entry (dedup_simhash) absorbs that cost
+        D.simhash(_load(spark, SF_DIR, "documents").limit(64)).write \
+            .format("noop").mode("overwrite").save()
+    except Exception as exc:  # still bench what we can
+        errors["_warmup"] = repr(exc)
 
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:
+            errors[name] = "missing queries() entry"
+            continue
         # best of 3: the first run pays one-time Janino codegen
         # compilation for this plan shape; later runs are steady
         # state, which is what a long-lived cluster session would
@@ -131,13 +138,19 @@ def main():
         # outside noisy-neighbor load — a single quiet window per
         # query is enough for the minimum to be representative.
         best = None
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS",
-                                          "3"))):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(int(os.environ.get(
+                    "SPARK_GRAFT_BENCH_RUNS", "3"))):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:
+            # one broken query must not zero out the whole bench:
+            # record the failure and keep timing the rest
+            errors[name] = repr(exc)[:500]
+            continue
         timings[name] = round(best, 3)
         total += best
 
@@ -165,18 +178,23 @@ def main():
             dt = d if dt is None else min(dt, d)
         timings["ingest_events_store"] = round(dt, 3)
         total += dt
+    except Exception as exc:
+        errors["ingest_events_store"] = repr(exc)[:500]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "sparksiri headline queries wall-clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         "cpus": CPUS,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
