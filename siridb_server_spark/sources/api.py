@@ -46,13 +46,24 @@ def handle_request(engine, method: str, path: str, body,
     authed = _auth(engine, user, password)
     if authed is None:
         return 401, "UNAUTHORIZED"
-    if "json" not in content_type:
+    # the reference accepts application/json and application/[x-]qpack
+    # and answers in the request's content type (api.c:351-368,
+    # :671-728); same negotiation here
+    if "qpack" in content_type:
+        if isinstance(body, (bytes, bytearray)):
+            from . import qpack
+            try:
+                body = qpack.unpackb(bytes(body))
+            except (ValueError, TypeError):
+                return 400, "BAD REQUEST"
+    elif "json" in content_type:
+        if isinstance(body, (bytes, str)):
+            try:
+                body = json.loads(body)
+            except (ValueError, TypeError):
+                return 400, "BAD REQUEST"
+    else:
         return 415, "UNSUPPORTED MEDIA TYPE"
-    if isinstance(body, (bytes, str)):
-        try:
-            body = json.loads(body)
-        except (ValueError, TypeError):
-            return 400, "BAD REQUEST"
 
     have = engine.users[authed]["access"]
     needed = ACL.SELECT if route == "query" else ACL.INSERT

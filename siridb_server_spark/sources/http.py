@@ -3,8 +3,10 @@
 The reference serves the same routes over libuv + http_parser
 (src/siri/api.c:233-241); here the stdlib ThreadingHTTPServer mounts
 ``sources.api.handle_request`` on a socket — no third-party deps.
-JSON bodies only (the reference additionally speaks qpack,
-api.c:556-575; N/A here, see COVERAGE.md). The cluster/service admin
+Bodies are JSON or qpack (``sources/qpack.py``), negotiated by
+Content-Type exactly as the reference does (api.c:351-368), and the
+response is encoded in the request's content type (api.c:858).
+The cluster/service admin
 routes on the service port (new-pool/new-replica/new-account,
 src/siri/service/) are N/A per SURVEY §2.7 — Spark owns distribution.
 
@@ -40,10 +42,16 @@ def _make_handler(engine, lock):
                     return None, None
             return None, None
 
-        def _send(self, status: int, payload):
-            body = json.dumps(payload).encode()
+        def _send(self, status: int, payload,
+                  ct: str = "application/json"):
+            # answer in the request's content type (ref api.c:858)
+            if ct == "application/qpack":
+                from .qpack import packb
+                body = packb(payload)
+            else:
+                body = json.dumps(payload).encode()
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ct)
             self.send_header("Content-Length", str(len(body)))
             if self.close_connection:
                 self.send_header("Connection", "close")
@@ -74,11 +82,13 @@ def _make_handler(engine, lock):
                 user, password = self._creds()
                 ct = self.headers.get(
                     "Content-Type", "application/json")
+                resp_ct = ("application/qpack" if "qpack" in ct
+                           else "application/json")
                 with lock:
                     status, payload = handle_request(
                         engine, "POST", self.path, body,
                         user, password, ct)
-                self._send(status, payload)
+                self._send(status, payload, resp_ct)
             except Exception as exc:  # noqa: BLE001
                 # unknown failure point: body bytes may be stuck in
                 # the socket, so a keep-alive follow-up would misparse
