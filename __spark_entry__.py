@@ -395,6 +395,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curation_split"] = lambda spark, sf_dir: \
         CU.assign_splits(load(spark, sf_dir, "documents"))
 
+    q["text_bigram_lm"] = lambda spark, sf_dir: \
+        TX.bigram_logprob(load(spark, sf_dir, "documents"))
+
+    q["curation_mix_weights"] = lambda spark, sf_dir: \
+        CU.mix_weights(load(spark, sf_dir, "documents"),
+                       alpha=0.3, max_weight=5.0)
+
+    q["curation_shard_export"] = lambda spark, sf_dir: \
+        CU.shard_export(load(spark, sf_dir, "documents"), n_shards=32)
+
+    def ts_range_join(spark, sf_dir):
+        """Bucketed point-in-interval join: the 100 longest user
+        sessions become intervals; count ALL events inside each
+        window ("total system activity during this session"). The
+        theta-join collapses to an equi-join on 1 h buckets — see
+        timeseries.point_in_interval_join."""
+        ev = load(spark, sf_dir, "events")
+        base = ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            epoch_ns(ev).alias("ts"))
+        sess = TSO.sessionize(base, gap=3_600_000_000_000,
+                              seq_col="event_id")
+        ivl = (sess.groupBy(F.col("user_id").alias("s_user"),
+                            "session_id")
+               .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+        top = (ivl.orderBy(F.desc(F.col("hi") - F.col("lo")),
+                           "s_user", "session_id").limit(100))
+        joined = TSO.point_in_interval_join(
+            base.select("ts"), top, width=3_600_000_000_000)
+        return (joined.groupBy("s_user", "session_id", "lo", "hi")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(F.col("s_user").alias("user_id"),
+                        "session_id", "lo", "hi", "n_events"))
+
+    q["ts_range_join"] = ts_range_join
+
     def text_topk_per_source(spark, sf_dir):
         docs = load(spark, sf_dir, "documents")
         scored = TX.quality_features(docs, keep=("source",))
@@ -1421,6 +1458,73 @@ def oracle_sql() -> dict[str, str]:
         " (SELECT doc_id, ('0x' ||"
         " substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
         " / 4294967296.0 AS u FROM documents)"
+    )
+
+    o["text_bigram_lm"] = (
+        "WITH d AS (SELECT doc_id, list_filter(string_split_regex("
+        "trim(lower(text)), '\\s+'), x -> x <> '') AS ws"
+        " FROM documents WHERE length(trim(text)) > 0),"
+        " d2 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 2),"
+        " bi AS (SELECT doc_id, unnest(list_transform("
+        "range(1, len(ws)),"
+        " i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS p"
+        " FROM d2),"
+        " b2 AS (SELECT doc_id, struct_extract(p, 'a') AS a,"
+        " struct_extract(p, 'b') AS b FROM bi),"
+        " c2 AS (SELECT a, b, count(*) AS n_ab FROM b2 GROUP BY 1, 2),"
+        " c1 AS (SELECT a, count(*) AS n_a FROM b2 GROUP BY 1),"
+        " v AS (SELECT count(DISTINCT b) AS v FROM b2)"
+        " SELECT doc_id, count(*) AS n_bigrams,"
+        " round(avg(-ln((n_ab + 0.5) / (n_a + 0.5 * v))), 6) + 0.0"
+        " AS xent2"
+        " FROM b2 JOIN c2 USING (a, b) JOIN c1 USING (a), v"
+        " GROUP BY doc_id"
+    )
+
+    o["curation_mix_weights"] = (
+        "WITH per AS (SELECT source, count(*) AS n_docs,"
+        " sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END)"
+        " AS n_tokens FROM documents GROUP BY 1),"
+        " tot AS (SELECT sum(n_tokens) AS tok_tot,"
+        " sum(pow(n_tokens, 0.3)) AS w_tot FROM per)"
+        " SELECT source, n_docs, n_tokens,"
+        " round(n_tokens / tok_tot, 6) + 0.0 AS token_share,"
+        " round(pow(n_tokens, 0.3) / w_tot, 6) + 0.0"
+        " AS target_share,"
+        " round(least(5.0, (pow(n_tokens, 0.3) / w_tot)"
+        " / (n_tokens / tok_tot)), 6) + 0.0 AS weight"
+        " FROM per, tot"
+    )
+
+    o["curation_shard_export"] = (
+        "WITH k AS (SELECT doc_id, ('0x' ||"
+        " substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " AS skey FROM documents)"
+        " SELECT doc_id, CAST(skey % 32 AS INT) AS shard,"
+        " CAST(row_number() OVER (PARTITION BY skey % 32"
+        " ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos FROM k"
+    )
+
+    o["ts_range_join"] = (
+        "WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts"
+        " FROM events),"
+        " s AS (SELECT event_id, user_id, ts, CASE WHEN"
+        " lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w"
+        " > 3600000000000 THEN 1 ELSE 0 END AS ns FROM e"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        " sess AS (SELECT user_id, ts, CAST(sum(ns) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS session_id FROM s),"
+        " ivl AS (SELECT user_id, session_id, min(ts) AS lo,"
+        " max(ts) AS hi FROM sess GROUP BY 1, 2),"
+        " top AS (SELECT * FROM ivl ORDER BY hi - lo DESC,"
+        " user_id, session_id LIMIT 100)"
+        " SELECT t.user_id, t.session_id, t.lo, t.hi,"
+        " count(*) AS n_events FROM top t"
+        " JOIN e ON e.ts >= t.lo AND e.ts <= t.hi"
+        " GROUP BY 1, 2, 3, 4"
     )
 
     cos_core = (

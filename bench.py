@@ -42,8 +42,10 @@ BENCH_QUERIES = [
     "dedup_contamination",
     "dedup_spans",
     "ts_asof_join",
+    "ts_range_join",
     "ts_resample_interp",
     "text_unigram_lm",
+    "text_bigram_lm",
     "text_quality",
     "text_fingerprint",
     "text_topk_per_source",

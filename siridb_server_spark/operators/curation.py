@@ -103,3 +103,64 @@ def pack_sequences(df: DataFrame, budget: int = 256,
                 id_col, group_col, "n_tokens",
                 F.floor(start / budget).cast("long").alias("seq_id"),
                 (start % budget).cast("long").alias("seq_offset")))
+
+
+def mix_weights(df: DataFrame, alpha: float = 0.3,
+                max_weight: float = 5.0,
+                source_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Static data-mixture weights: each source's sampling weight is
+    the ratio of its temperature-flattened target share
+    (∝ tokens^alpha) to its actual token share, capped at
+    ``max_weight`` epochs — the standard recipe for rebalancing a
+    web-scale corpus toward under-represented sources without
+    repeating any source unboundedly.
+
+    Plan shape: one groupBy on source (map-side partial token sums —
+    the only pass over the corpus), then a 1-row totals aggregate
+    broadcast back onto the |sources|-row table. Output is
+    |sources| rows: (source, n_docs, n_tokens, token_share,
+    target_share, weight), 6 decimals, op order fixed for the
+    oracle."""
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"))
+    tot = per.agg(
+        F.sum("n_tokens").alias("tok_tot"),
+        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("w_tot"))
+    share = F.col("n_tokens") / F.col("tok_tot")
+    target = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("w_tot")
+    weight = F.least(F.lit(max_weight), target / share)
+    return (per.crossJoin(F.broadcast(tot))
+            .select(source_col, "n_docs", "n_tokens",
+                    (F.round(share, 6) + F.lit(0.0))
+                    .alias("token_share"),
+                    (F.round(target, 6) + F.lit(0.0))
+                    .alias("target_share"),
+                    (F.round(weight, 6) + F.lit(0.0))
+                    .alias("weight")))
+
+
+def shard_export(df: DataFrame, n_shards: int = 32,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic training-shard layout: a portable hash shuffle
+    (md5-prefix, same family as ``uniform01``) assigns every document
+    a shard and a position within it — the writer-side contract of a
+    webdataset/tfrecord export, decoupled from Spark's physical
+    partitioning so re-runs and other engines produce byte-identical
+    shards.
+
+    Hash-mod sharding gives ±O(√(n/shards)) balance with zero
+    coordination; position is a per-shard window row_number — one
+    hash shuffle on the shard key, each shard sorts independently,
+    no global ordering anywhere. Output: (id, shard, pos)."""
+    key = (F.conv(F.substring(
+        F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long"))
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (df.select(F.col(id_col), key.alias("_skey"))
+            .withColumn("shard", F.pmod(F.col("_skey"),
+                                        F.lit(n_shards)).cast("int"))
+            .withColumn("pos",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .select(id_col, "shard", "pos"))

@@ -289,6 +289,49 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                  .alias("xent")))
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   k: float = 0.5) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing: per-doc
+    cross-entropy under the corpus's own bigram distribution,
+    P(b|a) = (c(a,b) + k) / (c(a) + k·V). One step up from
+    ``unigram_logprob`` toward a KenLM-style perplexity filter —
+    catches shuffled-word salad that a unigram model scores as
+    perfectly normal.
+
+    Scale shape: bigram construction is ROW-LOCAL (a transform over
+    the token array — no self-join on positions); the two count
+    aggregates both partial-combine map-side and their shuffles carry
+    |bigram types| / |unigram types| rows, tiny next to the corpus;
+    the score join is hash-on-(a,b), and AQE broadcasts the count
+    side when the vocabulary fits. No Python anywhere.
+    Output: (doc_id, n_bigrams, xent2) — nats, 6 decimals."""
+    ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
+                  lambda x: x != "")
+    docs = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+            .where(F.size("ws") >= 2))
+    bi = (docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws) - 2),"
+            " i -> struct(ws[i] AS a, ws[i + 1] AS b))")).alias("p"))
+        .select("doc_id", "p.a", "p.b"))
+    c2 = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    c1 = bi.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    v = bi.agg(F.countDistinct("b").alias("v"))
+    # keep the float op order fixed — the oracle replays it verbatim
+    p = (F.col("n_ab") + F.lit(k)) / \
+        (F.col("n_a") + F.lit(k) * F.col("v"))
+    scored = (bi.join(c2, ["a", "b"]).join(c1, ["a"])
+              .crossJoin(F.broadcast(v))
+              .select("doc_id", (-F.log(p)).alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (F.round(F.avg("nll"), 6) + F.lit(0.0))
+                 .alias("xent2")))
+
+
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
                text_col: str = "text") -> DataFrame:
     """Corpus-level top-k n-gram census (vocabulary/boilerplate

@@ -165,3 +165,39 @@ def zscore_anomalies(df: DataFrame, window: int = 20,
         .where(F.abs(F.col("_z")) > threshold)
         .select(key_col, ts_col, val_col,
                 (F.round(F.col("_z"), 6) + F.lit(0.0)).alias("z")))
+
+
+def point_in_interval_join(points: DataFrame, intervals: DataFrame,
+                           width: int,
+                           ts_col: str = "ts",
+                           lo_col: str = "lo",
+                           hi_col: str = "hi",
+                           how: str = "inner") -> DataFrame:
+    """Bucketed range join (point-in-interval): the classic scale
+    rewrite of the theta-join ``lo <= ts AND ts <= hi`` that a naive
+    planner turns into a broadcast-nested-loop. Each interval is
+    exploded into the coarse ``width``-sized buckets it overlaps;
+    each point maps to exactly one bucket; the pair space collapses
+    to an EQUI-join on the bucket key, and the exact containment
+    predicate filters the equi-joined candidates.
+
+    Cost: interval rows duplicate by ~(hi-lo)/width + 1, points are
+    never duplicated, and the join is a plain hash shuffle — pick
+    ``width`` near the typical interval length so the duplication
+    factor stays ~2 while each bucket pairs only co-located
+    candidates. Works at any scale; skewed buckets (one hot window)
+    are AQE skew-join territory.
+
+    ``points`` and ``intervals`` keep their own columns (names must
+    not collide). Integer bucket math — no doubles, no 2^53 loss."""
+    b_lo = F.col(lo_col) - F.col(lo_col) % width
+    b_hi = F.col(hi_col) - F.col(hi_col) % width
+    ivl = intervals.withColumn(
+        "_rb", F.explode(F.sequence(b_lo, b_hi, F.lit(width))))
+    pts = points.withColumn(
+        "_rb", F.col(ts_col) - F.col(ts_col) % width)
+    joined = pts.join(
+        ivl, (pts["_rb"] == ivl["_rb"])
+        & (F.col(ts_col) >= F.col(lo_col))
+        & (F.col(ts_col) <= F.col(hi_col)), how)
+    return joined.drop("_rb")

@@ -1,0 +1,94 @@
+"""Hand-computable fixtures for the round-4 operators: bigram LM
+scoring, mixture weights, shard export, and the bucketed range join."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from siridb_server_spark.operators import curation as CU
+from siridb_server_spark.operators import text as TX
+from siridb_server_spark.operators import timeseries as TSO
+
+
+def test_bigram_logprob_two_docs(spark):
+    # corpus: "a b a b" and "a b" → bigrams: (a,b)x3, (b,a)x1
+    # c(a,b)=3 c(b,a)=1 c1(a)=3 c1(b)=1 V=|{a,b}|=2
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           TX.bigram_logprob(docs).collect()}
+    p_ab = (3 + 0.5) / (3 + 0.5 * 2)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 2)
+    x1 = round((2 * -math.log(p_ab) + -math.log(p_ba)) / 3, 6)
+    x2 = round(-math.log(p_ab), 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["xent2"] == pytest.approx(x1, abs=1e-9)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["xent2"] == pytest.approx(x2, abs=1e-9)
+
+
+def test_bigram_logprob_short_docs_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, "   "), (3, "x y")], ["doc_id", "text"])
+    got = TX.bigram_logprob(docs).collect()
+    assert [r["doc_id"] for r in got] == [3]
+
+
+def test_mix_weights_flattens_toward_small_sources(spark):
+    rows = [(i, "big", "t " * 9) for i in range(8)] + \
+        [(100, "small", "t t")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["source"]: r for r in
+           CU.mix_weights(docs, alpha=0.3, max_weight=5.0).collect()}
+    assert out["big"]["n_tokens"] == 8 * 9
+    assert out["small"]["n_tokens"] == 2
+    # temperature flattening: small source upweighted, big capped ≤ 1
+    assert out["small"]["weight"] > 1.0
+    assert out["big"]["weight"] < 1.0
+    # cap applies
+    assert out["small"]["weight"] <= 5.0
+    # shares sum to 1
+    assert (out["big"]["token_share"] + out["small"]["token_share"]
+            == pytest.approx(1.0, abs=1e-5))
+
+
+def test_shard_export_deterministic_dense_positions(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], ["doc_id"])
+    a = CU.shard_export(docs, n_shards=8).collect()
+    b = CU.shard_export(docs, n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        # dense 0..n-1 within each shard
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_point_in_interval_join_matches_theta_join(spark):
+    pts = spark.createDataFrame(
+        [(t,) for t in range(0, 1000, 7)], ["ts"])
+    ivl = spark.createDataFrame(
+        [(1, 10, 10), (2, 95, 210), (3, 500, 999), (4, 1500, 1600)],
+        ["ivl_id", "lo", "hi"])
+    got = (TSO.point_in_interval_join(pts, ivl, width=100)
+           .groupBy("ivl_id").agg(F.count(F.lit(1)).alias("n"))
+           .collect())
+    expect = {}
+    for i, lo, hi in [(1, 10, 10), (2, 95, 210), (3, 500, 999),
+                      (4, 1500, 1600)]:
+        n = sum(1 for t in range(0, 1000, 7) if lo <= t <= hi)
+        if n:
+            expect[i] = n
+    assert {r["ivl_id"]: r["n"] for r in got} == expect
+
+
+def test_point_in_interval_join_no_duplicate_pairs(spark):
+    # interval spanning many buckets must still yield each point once
+    pts = spark.createDataFrame([(50,), (250,), (990,)], ["ts"])
+    ivl = spark.createDataFrame([(1, 0, 1000)], ["ivl_id", "lo", "hi"])
+    got = TSO.point_in_interval_join(pts, ivl, width=100).collect()
+    assert sorted(r["ts"] for r in got) == [50, 250, 990]
