@@ -232,3 +232,34 @@ def test_funnel_single_user_shuffle_no_join(spark):
     assert "Join" not in plan, plan
     assert "Window" in plan
     assert not [n for n in PY_NODES if n in plan], plan
+
+
+def test_range_join_is_equi_hash_join_not_nested_loop(spark):
+    """The bucketed range join must compile to a HASH join on the
+    bucket key (broadcast or shuffled), never the
+    BroadcastNestedLoopJoin a raw lo<=ts<=hi theta-join produces."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["ts_range_join"](
+        spark, "/root/testdata/sf0.001")
+    plan = physical(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
+    for node in PY_NODES:
+        assert node not in plan, plan
+
+
+def test_bigram_lm_rowlocal_bigrams_no_python(spark):
+    """Bigram construction is a row-local Generate (explode of the
+    transformed token array) — no self-join on positions — and the
+    whole pipeline stays JVM-side. The only nested-loop allowed is
+    the 1-row scalar (vocab size) broadcast."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["text_bigram_lm"](
+        spark, "/root/testdata/sf0.001")
+    plan = physical(df)
+    assert "Generate explode" in plan, plan
+    for node in PY_NODES:
+        assert node not in plan, plan
