@@ -8,6 +8,7 @@ here as a Structured Streaming micro-batch source.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from siridb_server_spark.sources.datasource import (
     SiriDBShardReader,
@@ -128,3 +129,37 @@ def test_stream_tails_new_appends_exactly_once(spark, tmp_path):
             "a", "a", "b", "c"]
     finally:
         q2.stop()
+
+
+def test_stream_from_store_through_engine_rollup(spark, tmp_path):
+    """End-to-end: points appended to the store are tailed by the
+    siridb stream source and rolled up with the ENGINE's bucket
+    semantics (right-closed, END-labeled) — the reference's on-ingest
+    fan-out to live aggregating clients, as one Spark pipeline."""
+    from siridb_server_spark.streaming.ingest import windowed_rollup
+
+    st = PointsStore(str(tmp_path / "db"), 1000, 1000)
+    st.append_rows(spark, [("cpu", 1, 0, None, 1.0, None, 1),
+                           ("cpu", 5, 1, None, 2.0, None, 1),
+                           ("cpu", 6, 2, None, 4.0, None, 1)])
+    register(spark)
+    sdf = (spark.readStream.format("siridb").load(st.path)
+           .select("series", "ts", F.col("val_dbl").alias("value")))
+    rolled = windowed_rollup(sdf, 5)
+    q = (rolled.writeStream.outputMode("complete")
+         .format("memory").queryName("rollup")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        got = {(r["series"], r["bucket_ts"]): r["sum"]
+               for r in spark.sql("select * from rollup").collect()}
+        # right-closed buckets: ts 1,5 → bucket 5; ts 6 → bucket 10
+        assert got == {("cpu", 5): 3.0, ("cpu", 10): 4.0}
+        # live append lands in the next micro-batch
+        st.append_rows(spark, [("cpu", 9, 3, None, 10.0, None, 1)])
+        q.processAllAvailable()
+        got = {(r["series"], r["bucket_ts"]): r["sum"]
+               for r in spark.sql("select * from rollup").collect()}
+        assert got[("cpu", 10)] == 14.0
+    finally:
+        q.stop()
