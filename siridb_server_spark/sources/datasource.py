@@ -34,6 +34,7 @@ from typing import Iterable, Iterator, List, Sequence
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -43,6 +44,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from ..model import POINTS_SCHEMA
@@ -264,6 +266,152 @@ class SiriDBStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    #: [(kind, sid, staged_file)] written by this task
+    files: list
+    #: [(name, length, start, end, tp)] partial catalog stats
+    stats: list
+
+
+class SiriDBArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("siridb").mode("append")``: the points-store
+    append as a first-class Spark sink.
+
+    Protocol (mirrors ``PointsStore.append_df``'s crash-consistency):
+    each task writes its rows into per-(kind, sid) parquet files under
+    the underscore-staged ``_writer_stage/`` (invisible to readers)
+    and reports the file list + per-series partial stats in its commit
+    message; ``commit`` — which only runs if every task succeeded —
+    sets the catalog pending marker, renames the staged files into
+    their shard partitions, appends ONE catalog delta built by folding
+    the per-task stats (bucket = Spark-compatible xxh64 pmod — no
+    SparkSession needed), and clears the marker. ``abort`` discards
+    the staging directory; nothing ever became visible. A crash inside
+    commit leaves the marker set, and the next ``read_catalog``
+    rebuilds — lagging is possible, silent under-counting is not."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "siridb sink requires a path: .save('<store dir>')")
+        dn, dl = options.get("duration_num"), options.get(
+            "duration_log")
+        if not dn or not dl:
+            raise ValueError(
+                "siridb sink requires duration_num and duration_log "
+                "options (shard durations in the store's ts unit)")
+        self.dur_num, self.dur_log = int(dn), int(dl)
+        self.buckets = int(options.get("catalog_buckets") or 8)
+        self.stage = os.path.join(self.path, "_writer_stage")
+
+    def write(self, iterator) -> _WriteResult:
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _WriteResult([], [])
+        tbl = pa.Table.from_batches(batches)
+        missing = [c for c in _POINT_COLS if c not in tbl.column_names]
+        if missing:
+            raise ValueError(f"siridb sink: missing columns {missing}")
+        tbl = tbl.select(_POINT_COLS)
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False)
+        tp = tbl.column("tp").to_numpy(zero_copy_only=False)
+        is_log = tp == 2  # TP_STRING
+        dur = np.where(is_log, self.dur_log, self.dur_num)
+        sid = ts - ts % dur
+        task_dir = os.path.join(self.stage, uuid.uuid4().hex)
+        os.makedirs(task_dir, exist_ok=True)
+        files = []
+        for k_flag in (False, True):
+            kmask = is_log == k_flag
+            for s in np.unique(sid[kmask]) if kmask.any() else ():
+                mask = kmask & (sid == s)
+                sub = tbl.filter(pa.array(mask))
+                fp = os.path.join(
+                    task_dir, f"part-{uuid.uuid4().hex}.parquet")
+                pq.write_table(sub, fp, compression="zstd")
+                files.append(("log" if k_flag else "num",
+                              int(s), fp))
+        pdf = tbl.select(["series", "ts", "tp"]).to_pandas()
+        g = pdf.groupby("series").agg(
+            length=("ts", "size"), start=("ts", "min"),
+            end=("ts", "max"), tp=("tp", "max"))
+        stats = [(str(name), int(r.length), int(r.start),
+                  int(r.end), int(r.tp))
+                 for name, r in g.iterrows()]
+        return _WriteResult(files, stats)
+
+    # ------------------------------------------------------ driver side
+    def commit(self, messages):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .xxh import xxh64_signed
+
+        pending = os.path.join(self.path, "_catalog.pending")
+        with open(pending, "w"):
+            pass
+        for msg in messages:
+            if msg is None:
+                continue
+            for kind, sid, staged in msg.files:
+                target = os.path.join(
+                    self.path, f"kind={kind}", f"sid={sid}")
+                os.makedirs(target, exist_ok=True)
+                os.rename(staged, os.path.join(
+                    target, os.path.basename(staged)))
+        # fold per-task stats (associative) and append ONE delta file
+        folded: dict = {}
+        for msg in messages:
+            if msg is None:
+                continue
+            for name, length, start, end, tp in msg.stats:
+                cur = folded.get(name)
+                folded[name] = (
+                    (length, start, end, tp) if cur is None else
+                    (cur[0] + length, min(cur[1], start),
+                     max(cur[2], end), max(cur[3], tp)))
+        if folded:
+            import uuid
+
+            names = sorted(folded)
+            delta = pa.table({
+                "name": pa.array(names, pa.string()),
+                "length": pa.array(
+                    [folded[n][0] for n in names], pa.int64()),
+                "start": pa.array(
+                    [folded[n][1] for n in names], pa.int64()),
+                "end": pa.array(
+                    [folded[n][2] for n in names], pa.int64()),
+                "tp": pa.array(
+                    [folded[n][3] for n in names], pa.int32()),
+                "bucket": pa.array(
+                    [xxh64_signed(n.encode("utf-8")) % self.buckets
+                     for n in names], pa.int32()),
+            })
+            ddir = os.path.join(self.path, "_catalog_delta")
+            os.makedirs(ddir, exist_ok=True)
+            pq.write_table(delta, os.path.join(
+                ddir, f"delta-{uuid.uuid4().hex}.parquet"))
+        import shutil
+
+        shutil.rmtree(self.stage, ignore_errors=True)
+        os.remove(pending)
+
+    def abort(self, messages):
+        import shutil
+
+        # nothing became visible; drop the staging area
+        shutil.rmtree(self.stage, ignore_errors=True)
+
+
 class SiriDBDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -277,6 +425,14 @@ class SiriDBDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return SiriDBStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "siridb sink is append-only (the store's shard "
+                "layout has no overwrite semantics); use "
+                ".mode('append')")
+        return SiriDBArrowWriter(self.options)
 
 
 def register(spark) -> None:

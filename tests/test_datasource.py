@@ -163,3 +163,98 @@ def test_stream_from_store_through_engine_rollup(spark, tmp_path):
         assert got[("cpu", 10)] == 14.0
     finally:
         q.stop()
+
+
+# ------------------------------------------------------------- writer
+def _write(df, path):
+    (df.write.format("siridb")
+     .option("duration_num", "1000").option("duration_log", "1000")
+     .mode("append").save(path))
+
+
+def test_write_roundtrip_and_catalog_delta(spark, tmp_path):
+    from siridb_server_spark.model import POINTS_SCHEMA
+
+    register(spark)
+    path = str(tmp_path / "db")
+    rows = [(f"s{i % 3}", t, i, i, None, None, 0)
+            for i, t in enumerate(range(0, 5000, 7))]
+    _write(spark.createDataFrame(rows, POINTS_SCHEMA), path)
+    assert spark.read.format("siridb").load(path).count() == len(rows)
+    st = PointsStore(path, 1000, 1000)
+    assert st.read(spark).count() == len(rows)
+    cat = {r["name"]: (r["length"], r["start"], r["end"])
+           for r in st.read_catalog(spark).collect()}
+    assert cat["s0"] == (239, 0, 4998)
+    # staging and pending marker are gone after commit
+    import os
+    assert not os.path.exists(path + "/_writer_stage")
+    assert not os.path.exists(path + "/_catalog.pending")
+
+
+def test_write_catalog_bucket_matches_spark_through_compaction(
+        spark, tmp_path):
+    """The writer computes catalog buckets with the pure-Python
+    xxh64; a store-side compaction folds base ∪ deltas grouped by
+    (name, bucket) — a bucket mismatch would leave duplicate rows
+    per name. Also pin xxh64 against Spark's xxhash64 directly."""
+    from pyspark.sql import functions as SF
+
+    from siridb_server_spark.model import POINTS_SCHEMA
+    from siridb_server_spark.sources.xxh import xxh64_signed
+
+    names = ["", "a", "cpu|123", "x" * 7, "y" * 8, "z" * 31,
+             "w" * 32, "q" * 100, "héllo wörld" * 5]
+    got = spark.createDataFrame([(n,) for n in names], ["n"]) \
+        .select(SF.xxhash64("n").alias("h"), "n").collect()
+    for r in got:
+        assert xxh64_signed(r["n"].encode("utf-8")) == r["h"], r["n"]
+
+    register(spark)
+    path = str(tmp_path / "db")
+    st = PointsStore(path, 1000, 1000)
+    st.append_rows(spark, [("cpu|1", 10, 0, 5, None, None, 0)])
+    _write(spark.createDataFrame(
+        [("cpu|1", 2000, 1, 7, None, None, 0)], POINTS_SCHEMA), path)
+    st._compact_catalog(spark)
+    rows = st.read_catalog(spark).where("name = 'cpu|1'").collect()
+    assert len(rows) == 1
+    assert (rows[0]["length"], rows[0]["start"], rows[0]["end"]) \
+        == (2, 10, 2000)
+
+
+def test_write_splits_kinds_by_type(spark, tmp_path):
+    from siridb_server_spark.model import POINTS_SCHEMA
+
+    register(spark)
+    path = str(tmp_path / "db")
+    _write(spark.createDataFrame(
+        [("n", 10, 0, 5, None, None, 0),
+         ("l", 10, 1, None, None, "msg", 2)], POINTS_SCHEMA), path)
+    df = spark.read.format("siridb").load(path)
+    assert {r["kind"] for r in df.select("kind").collect()} \
+        == {"num", "log"}
+
+
+def test_write_overwrite_mode_rejected(spark, tmp_path):
+    from siridb_server_spark.model import POINTS_SCHEMA
+
+    register(spark)
+    df = spark.createDataFrame(
+        [("n", 10, 0, 5, None, None, 0)], POINTS_SCHEMA)
+    with pytest.raises(Exception, match="append-only"):
+        (df.write.format("siridb")
+         .option("duration_num", "1000")
+         .option("duration_log", "1000")
+         .mode("overwrite").save(str(tmp_path / "db")))
+
+
+def test_write_requires_durations(spark, tmp_path):
+    from siridb_server_spark.model import POINTS_SCHEMA
+
+    register(spark)
+    df = spark.createDataFrame(
+        [("n", 10, 0, 5, None, None, 0)], POINTS_SCHEMA)
+    with pytest.raises(Exception, match="duration_num"):
+        df.write.format("siridb").mode("append") \
+            .save(str(tmp_path / "db"))
