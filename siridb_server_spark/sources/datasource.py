@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -320,7 +321,19 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
         missing = [c for c in _POINT_COLS if c not in tbl.column_names]
         if missing:
             raise ValueError(f"siridb sink: missing columns {missing}")
-        tbl = tbl.select(_POINT_COLS)
+        # normalize to the store's physical types — readers declare
+        # int32 tp / int64 ts, and a permissive upstream (hand-built
+        # batches, JSON inference) may carry wider lanes
+        target = pa.schema([
+            pa.field("series", pa.string()),
+            pa.field("ts", pa.int64()),
+            pa.field("seq", pa.int64()),
+            pa.field("val_int", pa.int64()),
+            pa.field("val_dbl", pa.float64()),
+            pa.field("val_str", pa.string()),
+            pa.field("tp", pa.int32()),
+        ])
+        tbl = tbl.select(_POINT_COLS).cast(target)
         ts = tbl.column("ts").to_numpy(zero_copy_only=False)
         tp = tbl.column("tp").to_numpy(zero_copy_only=False)
         is_log = tp == 2  # TP_STRING
@@ -412,6 +425,36 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
         shutil.rmtree(self.stage, ignore_errors=True)
 
 
+class SiriDBStreamArrowWriter(SiriDBArrowWriter,
+                              DataSourceStreamArrowWriter):
+    """``writeStream.format("siridb")``: streaming ingest into the
+    store, one crash-consistent append per micro-batch. Re-uses the
+    batch writer's stage/commit protocol; a per-batch commit marker
+    (``_stream_commits/<epoch>``) makes replayed micro-batches
+    no-ops, so a restart after a committed-but-unacknowledged batch
+    does not double-append — the same commit-log idempotence Spark's
+    own file sink provides."""
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, "_stream_commits",
+                            str(batch_id))
+
+    def commit(self, messages, batchId: int):  # noqa: N803
+        import shutil
+
+        if os.path.exists(self._marker(batchId)):
+            shutil.rmtree(self.stage, ignore_errors=True)
+            return
+        super().commit(messages)
+        os.makedirs(os.path.dirname(self._marker(batchId)),
+                    exist_ok=True)
+        with open(self._marker(batchId), "w"):
+            pass
+
+    def abort(self, messages, batchId: int):  # noqa: N803
+        super().abort(messages)
+
+
 class SiriDBDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -433,6 +476,9 @@ class SiriDBDataSource(DataSource):
                 "layout has no overwrite semantics); use "
                 ".mode('append')")
         return SiriDBArrowWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        return SiriDBStreamArrowWriter(self.options)
 
 
 def register(spark) -> None:

@@ -258,3 +258,108 @@ def test_write_requires_durations(spark, tmp_path):
     with pytest.raises(Exception, match="duration_num"):
         df.write.format("siridb").mode("append") \
             .save(str(tmp_path / "db"))
+
+
+def test_stream_write_appends_per_microbatch(spark, tmp_path):
+    import json
+    import os
+
+    register(spark)
+    src, db, ck = (str(tmp_path / "in"), str(tmp_path / "db"),
+                   str(tmp_path / "ck"))
+    os.makedirs(src)
+    with open(src + "/a.json", "w") as f:
+        for i in range(10):
+            f.write(json.dumps(
+                {"series": f"s{i % 2}", "ts": i * 100, "seq": i,
+                 "val_int": i, "val_dbl": None, "val_str": None,
+                 "tp": 0}) + "\n")
+    schema = ("series string, ts long, seq long, val_int long,"
+              " val_dbl double, val_str string, tp int")
+    q = (spark.readStream.schema(schema).json(src)
+         .writeStream.format("siridb")
+         .option("duration_num", "1000")
+         .option("duration_log", "1000")
+         .option("checkpointLocation", ck).start(db))
+    try:
+        q.processAllAvailable()
+        with open(src + "/b.json", "w") as f:
+            f.write(json.dumps(
+                {"series": "s0", "ts": 5000, "seq": 99,
+                 "val_int": 7, "val_dbl": None, "val_str": None,
+                 "tp": 0}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.format("siridb").load(db).count() == 11
+    st = PointsStore(db, 1000, 1000)
+    cat = {r["name"]: r["length"]
+           for r in st.read_catalog(spark).collect()}
+    assert cat == {"s0": 6, "s1": 5}
+
+
+def test_stream_write_replayed_batch_is_noop(spark, tmp_path):
+    """A micro-batch retried after its commit marker landed must not
+    double-append (the writer's commit-log idempotence)."""
+    import pyarrow as pa
+
+    from siridb_server_spark.sources.datasource import (
+        SiriDBStreamArrowWriter,
+    )
+
+    register(spark)
+    db = str(tmp_path / "db")
+    w = SiriDBStreamArrowWriter(
+        {"path": db, "duration_num": "1000", "duration_log": "1000"})
+    batch = pa.RecordBatch.from_pydict({
+        "series": ["a"], "ts": [10], "seq": [0], "val_int": [5],
+        "val_dbl": pa.array([None], pa.float64()),
+        "val_str": pa.array([None], pa.string()), "tp": [0]})
+    msg = w.write(iter([batch]))
+    w.commit([msg], 0)
+    # replay of batch 0: stage again, commit must discard it
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], 0)
+    assert spark.read.format("siridb").load(db).count() == 1
+    st = PointsStore(db, 1000, 1000)
+    assert {r["name"]: r["length"]
+            for r in st.read_catalog(spark).collect()} == {"a": 1}
+
+
+def test_store_to_store_replication_pipeline(spark, tmp_path):
+    """readStream siridb → writeStream siridb: continuous replication
+    between stores — the reference's replica fan-out (N/A as a
+    bespoke protocol per SURVEY §2.7) re-expressed as one Structured
+    Streaming query. New appends on the primary flow into the
+    replica's shard layout and catalog without any custom plumbing."""
+    primary = PointsStore(str(tmp_path / "p"), 1000, 1000)
+    primary.append_rows(spark, [("a", 1, 0, 1, None, None, 0),
+                                ("a", 1500, 1, 2, None, None, 0)])
+    register(spark)
+    replica = str(tmp_path / "r")
+    q = (spark.readStream.format("siridb").load(primary.path)
+         .select(*[f.name for f in
+                   spark.read.format("siridb").load(primary.path)
+                   .schema.fields if f.name not in ("kind", "sid")])
+         .writeStream.format("siridb")
+         .option("duration_num", "1000")
+         .option("duration_log", "1000")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start(replica))
+    try:
+        q.processAllAvailable()
+        assert spark.read.format("siridb").load(replica).count() == 2
+        primary.append_rows(spark, [("b", 9000, 2, 3, None, None, 0)])
+        q.processAllAvailable()
+        got = spark.read.format("siridb").load(replica)
+        assert got.count() == 3
+        # replica has the same shard layout the primary would
+        assert {(r["kind"], r["sid"]) for r in
+                got.select("kind", "sid").collect()} == {
+            ("num", 0), ("num", 1000), ("num", 9000)}
+    finally:
+        q.stop()
+    rep = PointsStore(replica, 1000, 1000)
+    cat = {r["name"]: r["length"]
+           for r in rep.read_catalog(spark).collect()}
+    assert cat == {"a": 2, "b": 1}
