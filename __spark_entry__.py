@@ -405,6 +405,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curation_shard_export"] = lambda spark, sf_dir: \
         CU.shard_export(load(spark, sf_dir, "documents"), n_shards=32)
 
+    def text_boilerplate(spark, sf_dir):
+        """C4-style boilerplate-line removal. The synthetic docs are
+        single-line, so wrap each into 8-word lines first (row-local)
+        — cross-doc repeated 8-word lines (which dedup_spans proved
+        exist) then read as boilerplate and are dropped."""
+        docs = load(spark, sf_dir, "documents")
+        ws = F.split(F.trim(F.col("text")), r"\s+")
+        n = F.size(ws)
+        wrapped = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(n / F.lit(8)) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ws, i * 8 + 1, 8))), "\n")
+        return TX.remove_boilerplate_lines(
+            docs.select("doc_id", wrapped.alias("text")), min_docs=2)
+
+    q["text_boilerplate"] = text_boilerplate
+
+    def events_cohorts(spark, sf_dir):
+        """Weekly cohort-retention matrix: cohort = a user's first
+        active week; one distinct (user, week) reduction, a tiny
+        per-user min, one counting aggregate — three hash shuffles
+        on user-sized data, no window over the full event stream."""
+        week = 7 * 24 * 3600 * 10 ** 9
+        ev = load(spark, sf_dir, "events")
+        wk = (ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            epoch_ns(ev).alias("ets"))
+            .select("user_id",
+                    F.expr(f"ets div {week}").alias("week"))
+            .distinct())
+        first = wk.groupBy("user_id").agg(
+            F.min("week").alias("cohort"))
+        return (wk.join(first, "user_id")
+                .groupBy("cohort",
+                         (F.col("week") - F.col("cohort"))
+                         .alias("week_offset"))
+                .agg(F.countDistinct("user_id").alias("n_users")))
+
+    q["events_cohorts"] = events_cohorts
+
     def ts_range_join(spark, sf_dir):
         """Bucketed point-in-interval join: the 100 longest user
         sessions become intervals; count ALL events inside each
@@ -1504,6 +1545,43 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, CAST(skey % 32 AS INT) AS shard,"
         " CAST(row_number() OVER (PARTITION BY skey % 32"
         " ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos FROM k"
+    )
+
+    o["text_boilerplate"] = (
+        "WITH d0 AS (SELECT doc_id, string_split_regex(trim(text),"
+        " '\\s+') AS ws FROM documents),"
+        " w AS (SELECT doc_id, array_to_string(list_transform("
+        "range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),"
+        " i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ')),"
+        " chr(10)) AS text FROM d0),"
+        " dl AS (SELECT doc_id, string_split(text, chr(10)) AS ls"
+        " FROM w),"
+        " ln AS (SELECT doc_id, ls,"
+        " unnest(range(1, len(ls) + 1)) AS i FROM dl),"
+        " l AS (SELECT doc_id, CAST(i AS BIGINT) AS i, ls[i] AS line"
+        " FROM ln),"
+        " f AS (SELECT trim(line) AS t FROM l WHERE trim(line) <> ''"
+        " GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),"
+        " k AS (SELECT doc_id, i, line FROM l"
+        " WHERE trim(line) NOT IN (SELECT t FROM f)),"
+        " reb AS (SELECT doc_id, count(*) AS n_kept,"
+        " string_agg(line, chr(10) ORDER BY i, line) AS text_clean"
+        " FROM k GROUP BY 1),"
+        " tot AS (SELECT doc_id, count(*) AS n_lines FROM l"
+        " GROUP BY 1)"
+        " SELECT doc_id, n_lines, coalesce(n_kept, 0) AS n_kept,"
+        " coalesce(text_clean, '') AS text_clean"
+        " FROM tot LEFT JOIN reb USING (doc_id)"
+    )
+
+    o["events_cohorts"] = (
+        "WITH wk AS (SELECT DISTINCT user_id,"
+        " epoch_ns(ts) // 604800000000000 AS week FROM events),"
+        " f AS (SELECT user_id, min(week) AS cohort FROM wk"
+        " GROUP BY 1)"
+        " SELECT cohort, week - cohort AS week_offset,"
+        " count(DISTINCT user_id) AS n_users"
+        " FROM wk JOIN f USING (user_id) GROUP BY 1, 2"
     )
 
     o["ts_range_join"] = (

@@ -489,3 +489,48 @@ def quality_gate(df: DataFrame, min_tokens: int = 10,
     return feats.select(
         "doc_id", "n_tokens",
         F.coalesce(keep, F.lit(False)).alias("keep"))
+
+
+def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """C4-style boilerplate-line removal: a (trimmed, non-empty) line
+    that occurs in ≥ ``min_docs`` DISTINCT documents is boilerplate
+    (cookie banners, nav bars, license headers) and is dropped from
+    every document; each document is rebuilt from its kept lines in
+    original order.
+
+    Plan shape: posexplode lines (row-local), one distinct-count
+    aggregate over trimmed lines (map-side partial), a hash join of
+    the line stream against the frequency table (AQE broadcasts it
+    when the boilerplate vocabulary fits — it is tiny next to the
+    corpus), and one per-doc sort-free rebuild via array_sort on
+    (idx, line) structs. At 100 TB the join key would be an 8-byte
+    line hash rather than the line text; the string key here keeps
+    the operator bit-identical to the SQL oracle.
+    Output: (doc_id, n_lines, n_kept, text_clean)."""
+    lines = (df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("idx", "line")))
+    freq = (lines.where(F.trim("line") != "")
+            .groupBy(F.trim("line").alias("t"))
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= min_docs))
+    kept = (lines.join(freq, F.trim(lines["line"]) == freq["t"],
+                       "left_anti"))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("idx", "line"))),
+                            lambda s: s["line"]), "\n")
+                    .alias("text_clean")))
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("text_clean", F.lit(""))
+                    .alias("text_clean")))

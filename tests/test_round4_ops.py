@@ -92,3 +92,37 @@ def test_point_in_interval_join_no_duplicate_pairs(spark):
     ivl = spark.createDataFrame([(1, 0, 1000)], ["ivl_id", "lo", "hi"])
     got = TSO.point_in_interval_join(pts, ivl, width=100).collect()
     assert sorted(r["ts"] for r in got) == [50, 250, 990]
+
+
+def test_remove_boilerplate_lines(spark):
+    banner = "accept all cookies"
+    docs = spark.createDataFrame([
+        (1, f"{banner}\nunique content one\nmore text"),
+        (2, f"{banner}\nother body"),
+        (3, f"  {banner}  \nthird doc"),          # trim-matched
+        (4, "nothing shared here"),
+        (5, ""),                                   # single empty line
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           TX.remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[1]["text_clean"] == "unique content one\nmore text"
+    assert out[2]["text_clean"] == "other body"
+    assert out[3]["text_clean"] == "third doc"
+    # below the threshold nothing is touched
+    assert out[4]["text_clean"] == "nothing shared here"
+    # empty docs survive with empty output, not dropped rows
+    assert (out[5]["n_lines"], out[5]["n_kept"]) == (1, 1)
+    assert out[5]["text_clean"] == ""
+
+
+def test_remove_boilerplate_keeps_order(spark):
+    shared = "shared line"
+    docs = spark.createDataFrame([
+        (1, f"z last\n{shared}\na first"),
+        (2, f"{shared}\nx"),
+        (3, f"{shared}\ny"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r["text_clean"] for r in
+           TX.remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[1] == "z last\na first"  # original order, not sorted
