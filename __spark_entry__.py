@@ -596,6 +596,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_ppm_decode"] = multimodal_ppm_decode
 
+    def multimodal_ppm_resize(spark, sf_dir):
+        """REAL nearest-neighbor resize to 2x2 on hand-constructed
+        P6 images — sampled source pixels (y*h//2, x*w//2) are known
+        exactly, so the oracle is constants."""
+        rows = [
+            # 4x2: sampled pixels are (0,0) (0,2) (1,0) (1,2)
+            (1, "image", _ppm(4, 2, [
+                (0, 0, 0), (9, 9, 9), (20, 40, 60), (7, 7, 7),
+                (100, 0, 0), (8, 8, 8), (200, 0, 0), (6, 6, 6)]),
+             "image/ppm"),
+            # 2x2 → identity sampling
+            (2, "image", _ppm(2, 2, [(0, 0, 0), (4, 8, 12),
+                                     (16, 20, 24), (40, 44, 48)]),
+             "image/ppm"),
+            (3, "image", b"not a ppm", "application/octet-stream"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.resize_ppm(media, 2, 2).drop("payload")
+
+    q["multimodal_ppm_resize"] = multimodal_ppm_resize
+
     def multimodal_wav_decode(spark, sf_dir):
         rows = [
             (1, "audio", _wav(1, 8000, [(100,), (-100,), (100,),
@@ -1739,6 +1760,16 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 3, 1, 1, 255, 5.0, 6.0, 7.0"
         " UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL, NULL"
     )
+    o["multimodal_ppm_resize"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id, CAST(2 AS BIGINT)"
+        " AS width, CAST(2 AS BIGINT) AS height, CAST(23 AS BIGINT)"
+        " AS n_bytes, CAST(80.0 AS DOUBLE) AS mean_r,"
+        " CAST(10.0 AS DOUBLE) AS mean_g,"
+        " CAST(15.0 AS DOUBLE) AS mean_b"
+        " UNION ALL SELECT 2, 2, 2, 23, 15.0, 18.0, 21.0"
+        " UNION ALL SELECT 3, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
+
     o["multimodal_wav_decode"] = (
         "SELECT CAST(1 AS BIGINT) AS media_id, CAST(1 AS BIGINT)"
         " AS channels, CAST(8000 AS BIGINT) AS sample_rate,"

@@ -35,6 +35,8 @@ QUERIES = sys.argv[2:] or [
     "sim_cosine_pairs", "sim_bruteforce_topk",
     "tpch_q1ish", "tpch_q6ish", "tpch_join_revenue",
     "events_funnel",
+    "ts_range_join", "text_bigram_lm", "text_boilerplate",
+    "events_cohorts", "curation_shard_export",
 ]
 
 

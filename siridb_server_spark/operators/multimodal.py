@@ -146,10 +146,9 @@ PPM_META_SCHEMA = T.StructType([
 ])
 
 
-def _parse_ppm(payload: bytes):
-    """P6 PPM: 'P6\\n<w> <h>\\n<maxval>\\n<raw RGB bytes>' (comments
-    allowed). Returns (w, h, maxval, mean_r, mean_g, mean_b) or None
-    if not a valid P6."""
+def _parse_ppm_raster(payload: bytes):
+    """P6 PPM header + raster. Returns (w, h, maxval, HxWx3 uint8
+    array) or None if not a valid P6."""
     import numpy as np
 
     if not payload or not payload.startswith(b"P6"):
@@ -181,8 +180,18 @@ def _parse_ppm(payload: bytes):
     raster = payload[pos:pos + need]
     if len(raster) < need:
         return None
-    arr = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
-    means = arr.mean(axis=0)
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return (w, h, maxval, arr)
+
+
+def _parse_ppm(payload: bytes):
+    """(w, h, maxval, mean_r, mean_g, mean_b) of a P6 payload, or
+    None if not a valid P6."""
+    parsed = _parse_ppm_raster(payload)
+    if parsed is None:
+        return None
+    w, h, maxval, arr = parsed
+    means = arr.reshape(-1, 3).mean(axis=0)
     return (w, h, maxval, round(float(means[0]), 6),
             round(float(means[1]), 6), round(float(means[2]), 6))
 
@@ -267,3 +276,55 @@ def decode_wav_meta(media: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in WAV_META_SCHEMA])
 
     return media.mapInPandas(run, schema=WAV_META_SCHEMA)
+
+
+PPM_RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+])
+
+
+def resize_ppm(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize for P6 PPM payloads (the
+    library-free counterpart of the stubbed codec resize): source
+    pixel for output (y, x) is (y·h_src // h_out, x·w_src // w_out),
+    re-encoded as a new P6 payload. One numpy fancy-index per image,
+    Arrow-batched through mapInPandas — the per-image work is
+    row-local, so the operator is a pure map at any corpus size.
+    Invalid payloads yield NULL metadata (kept, not dropped).
+    Output: (media_id, width, height, payload, n_bytes,
+    mean_r/g/b of the thumbnail, 6 decimals)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_ppm_raster(p if p is not None else b"")
+                if parsed is None:
+                    rows.append((int(mid),) + (None,) * 7)
+                    continue
+                w, h, maxval, img = parsed
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                thumb = img[ys][:, xs]
+                payload = (b"P6\n%d %d\n%d\n"
+                           % (out_w, out_h, maxval)) + thumb.tobytes()
+                means = thumb.reshape(-1, 3).mean(axis=0)
+                rows.append((int(mid), out_w, out_h, payload,
+                             len(payload),
+                             round(float(means[0]), 6),
+                             round(float(means[1]), 6),
+                             round(float(means[2]), 6)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_RESIZE_SCHEMA])
+
+    return media.mapInPandas(run, schema=PPM_RESIZE_SCHEMA)

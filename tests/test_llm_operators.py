@@ -624,3 +624,43 @@ def test_ppm_and_wav_real_decode(spark):
     assert (row["channels"], row["sample_rate"], row["n_samples"]) == \
         (1, 16000, 3)
     assert row["rms"] == 7.0
+
+
+def test_ppm_resize_real_nearest_neighbor(spark):
+    """resize_ppm: downsample picks pixels at (y*h//out, x*w//out),
+    upsample replicates; the output payload is itself a valid P6 that
+    decode_ppm_meta re-reads with matching dims and means."""
+    from siridb_server_spark.operators import multimodal as MM
+
+    def ppm(w, h, px):
+        return (f"P6\n{w} {h}\n255\n".encode()
+                + b"".join(bytes(p) for p in px))
+
+    # 4x2 → 2x2: samples (0,0) (0,2) (1,0) (1,2)
+    src = ppm(4, 2, [(0, 0, 0), (9, 9, 9), (20, 40, 60), (7, 7, 7),
+                     (100, 0, 0), (8, 8, 8), (200, 0, 0), (6, 6, 6)])
+    media = spark.createDataFrame(
+        [(1, "image", src, "image/ppm"),
+         (2, "image", b"nope", "text/plain")], MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           MM.resize_ppm(media, 2, 2).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)
+    assert (out[1]["mean_r"], out[1]["mean_g"], out[1]["mean_b"]) == \
+        (80.0, 10.0, 15.0)
+    assert out[2]["width"] is None
+    # round-trip: the emitted payload is a decodable P6
+    back = spark.createDataFrame(
+        [(9, "image", bytes(out[1]["payload"]), "image/ppm")],
+        MM.MEDIA_SCHEMA)
+    meta = MM.decode_ppm_meta(back).collect()[0]
+    assert (meta["width"], meta["height"]) == (2, 2)
+    assert (meta["mean_r"], meta["mean_g"], meta["mean_b"]) == \
+        (80.0, 10.0, 15.0)
+    # 2x3 upsample from 1x1: every output pixel is the source pixel
+    one = ppm(1, 1, [(5, 6, 7)])
+    media = spark.createDataFrame(
+        [(3, "image", one, "image/ppm")], MM.MEDIA_SCHEMA)
+    row = MM.resize_ppm(media, 2, 3).collect()[0]
+    assert (row["width"], row["height"], row["n_bytes"]) == (2, 3, 29)
+    assert (row["mean_r"], row["mean_g"], row["mean_b"]) == \
+        (5.0, 6.0, 7.0)
