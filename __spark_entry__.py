@@ -446,6 +446,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_cohorts"] = events_cohorts
 
+    def ts_corr_topk(spark, sf_dir):
+        """Top-10 series most correlated with the busiest series
+        (hourly bucket means, Pearson over co-present buckets).
+        Per-event-type series — dense enough for shared buckets."""
+        ev = load(spark, sf_dir, "events")
+        pts = ev.select(F.col("event_type").alias("series"),
+                        epoch_ns(ev).alias("ts"),
+                        F.col("value").alias("val"))
+        return TSO.correlated_series(
+            pts, group_ns=3_600_000_000_000, k=10)
+
+    q["ts_corr_topk"] = ts_corr_topk
+
     def ts_range_join(spark, sf_dir):
         """Bucketed point-in-interval join: the 100 longest user
         sessions become intervals; count ALL events inside each
@@ -1603,6 +1616,32 @@ def oracle_sql() -> dict[str, str]:
         " SELECT cohort, week - cohort AS week_offset,"
         " count(DISTINCT user_id) AS n_users"
         " FROM wk JOIN f USING (user_id) GROUP BY 1, 2"
+    )
+
+    o["ts_corr_topk"] = (
+        "WITH pts AS (SELECT event_type AS series, epoch_ns(ts)"
+        " AS ts, value AS val FROM events)"
+        ", bm AS (SELECT series, ts // 3600000000000 AS b,"
+        " avg(val) AS v FROM pts GROUP BY 1, 2),"
+        " ref AS (SELECT series FROM pts GROUP BY series"
+        " ORDER BY count(*) DESC, series LIMIT 1),"
+        " refb AS (SELECT b, v AS qv FROM bm"
+        " WHERE series IN (SELECT series FROM ref)),"
+        " j AS (SELECT bm.series, bm.v, refb.qv FROM bm"
+        " JOIN refb USING (b)"
+        " WHERE bm.series NOT IN (SELECT series FROM ref)),"
+        " a AS (SELECT series, count(*) AS n_buckets,"
+        " sum(v * qv) AS sxy, sum(v) AS sx, sum(qv) AS sy,"
+        " sum(v * v) AS sxx, sum(qv * qv) AS syy FROM j GROUP BY 1),"
+        " c AS (SELECT series, n_buckets,"
+        " (n_buckets * sxy - sx * sy) / nullif(sqrt("
+        " greatest(0.0, n_buckets * sxx - sx * sx)"
+        " * greatest(0.0, n_buckets * syy - sy * sy)), 0) AS c"
+        " FROM a)"
+        " SELECT series, n_buckets, round(c, 6) + 0.0 AS corr"
+        " FROM c WHERE n_buckets >= 3 AND c IS NOT NULL"
+        " AND NOT isnan(c)"
+        " ORDER BY corr DESC, series LIMIT 10"
     )
 
     o["ts_range_join"] = (

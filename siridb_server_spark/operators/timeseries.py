@@ -201,3 +201,60 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         & (F.col(ts_col) >= F.col(lo_col))
         & (F.col(ts_col) <= F.col(hi_col)), how)
     return joined.drop("_rb")
+
+
+def correlated_series(df: DataFrame, group_ns: int, k: int = 10,
+                      min_buckets: int = 3,
+                      key_col: str = "series",
+                      ts_col: str = "ts",
+                      val_col: str = "val") -> DataFrame:
+    """Top-k series most correlated with a reference series — the
+    "which metrics move together" query every TSDB dashboard grows.
+    The reference series is picked deterministically (most points,
+    name tie-break), each series is reduced to aligned bucket means,
+    and Pearson correlation runs over co-present buckets only
+    (>= ``min_buckets``).
+
+    Scale shape: one bucket-mean aggregate over the points (map-side
+    partial), the reference's bucket vector is a tiny broadcast
+    (span/group rows), correlation is one hash aggregate per series,
+    and the top-k is a TakeOrdered — never a global sort, never a
+    series×series matrix. Output: (series, n_buckets, corr) ordered
+    by corr desc, name asc."""
+    bm = (df.groupBy(key_col,
+                     F.expr(f"{ts_col} div {int(group_ns)}")
+                     .alias("_b"))
+          .agg(F.avg(val_col).alias("_v")))
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    ref = (counts.orderBy(F.desc("_n"), F.asc(key_col)).limit(1)
+           .select(key_col))
+    refb = (bm.join(ref, key_col)
+            .select(F.col("_b"), F.col("_v").alias("_qv")))
+    joined = (bm.join(ref.withColumnRenamed(key_col, "_refname"),
+                      F.col(key_col) == F.col("_refname"),
+                      "left_anti")
+              .join(F.broadcast(refb), "_b"))
+    # explicit Pearson (not F.corr): ANSI mode makes corr() throw
+    # DIVIDE_BY_ZERO on a zero-variance pairing, and the fixed
+    # sum-of-products op order is what the SQL oracle replays
+    agg = (joined.groupBy(key_col)
+           .agg(F.count(F.lit(1)).alias("n_buckets"),
+                F.sum(F.col("_v") * F.col("_qv")).alias("_sxy"),
+                F.sum("_v").alias("_sx"),
+                F.sum("_qv").alias("_sy"),
+                F.sum(F.col("_v") * F.col("_v")).alias("_sxx"),
+                F.sum(F.col("_qv") * F.col("_qv")).alias("_syy")))
+    n = F.col("n_buckets")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        F.greatest(F.lit(0.0),
+                   n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * F.greatest(F.lit(0.0),
+                     n * F.col("_syy") - F.col("_sy") * F.col("_sy")))
+    c = F.try_divide(num, den)
+    corr = (agg.select(key_col, "n_buckets", c.alias("_c"))
+            .where((F.col("n_buckets") >= min_buckets)
+                   & F.col("_c").isNotNull() & ~F.isnan("_c")))
+    return (corr.select(key_col, "n_buckets",
+                        (F.round("_c", 6) + F.lit(0.0)).alias("corr"))
+            .orderBy(F.desc("corr"), F.asc(key_col)).limit(k))

@@ -126,3 +126,27 @@ def test_remove_boilerplate_keeps_order(spark):
     out = {r["doc_id"]: r["text_clean"] for r in
            TX.remove_boilerplate_lines(docs, min_docs=3).collect()}
     assert out[1] == "z last\na first"  # original order, not sorted
+
+
+def test_correlated_series_hand_computed(spark):
+    # ref series "a" has most points; "b" = 2*a + 1 (corr +1),
+    # "c" = -a (corr -1), "d" shares only 2 buckets (filtered out)
+    rows = []
+    for b, v in [(0, 1.0), (1, 3.0), (2, 2.0), (3, 5.0)]:
+        rows.append(("a", b * 10, v))
+        rows.append(("b", b * 10, 2 * v + 1))
+        rows.append(("c", b * 10, -v))
+    rows += [("d", 0, 9.0), ("d", 10, 1.0)]
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    out = TSO.correlated_series(df, group_ns=10, k=10).collect()
+    assert [(r["series"], r["corr"]) for r in out] == [
+        ("b", 1.0), ("c", -1.0)]
+    assert all(r["n_buckets"] == 4 for r in out)
+
+
+def test_correlated_series_constant_ref_excluded(spark):
+    # zero-variance pairing yields NULL/NaN corr → filtered, not crash
+    rows = [("a", i * 10, 5.0) for i in range(4)] + \
+        [("z", i * 10, float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    assert TSO.correlated_series(df, group_ns=10, k=10).count() == 0
