@@ -246,3 +246,75 @@ def streaming_zscore_anomalies(stream_df: DataFrame, *,
             fn, ANOMALY_SCHEMA, _ANOMALY_STATE_SCHEMA,
             "append", GroupStateTimeout.NoTimeout)
     )
+
+
+HH_SCHEMA = "shard int, token string, count long, err long"
+_HH_STATE_SCHEMA = ("tokens array<string>, counts array<long>,"
+                    " errs array<long>")
+
+
+def streaming_heavy_hitters(stream_df: DataFrame, *,
+                            capacity: int = 64, shards: int = 8,
+                            token_col: str = "token") -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: a space-saving
+    summary of ``capacity`` entries per hash shard, keyed by
+    ``hash(token) % shards`` — state is O(shards × capacity) no
+    matter how many distinct tokens arrive, unlike a per-token
+    counter whose state grows with the vocabulary. Each token hashes
+    to exactly one shard, so the classic guarantee holds globally:
+    ``count - err <= true_count <= count``, and any token with true
+    count above the shard's minimum survives in the summary.
+
+    Per micro-batch, per shard: batch-local exact counts (pandas
+    value_counts), then the space-saving merge — present tokens add
+    their batch count; new tokens take a free slot or evict the
+    current minimum, inheriting its count as overestimation error.
+    Emits the shard's full summary each batch (update mode); the
+    top-k view is a union of shard summaries ordered by count."""
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            tokens, counts, errs = state.get
+            summary = {t: [c, e] for t, c, e in
+                       zip(tokens, counts, errs)}
+        else:
+            summary = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            batch = pdf["token"].value_counts()
+            # largest first: a heavy new token should not be evicted
+            # by a lighter one arriving later in the same batch
+            for tok, n in batch.items():
+                n = int(n)
+                if tok in summary:
+                    summary[tok][0] += n
+                elif len(summary) < capacity:
+                    summary[tok] = [n, 0]
+                else:
+                    victim = min(summary, key=lambda t:
+                                 (summary[t][0], t))
+                    base = summary.pop(victim)[0]
+                    summary[tok] = [base + n, base]
+        items = sorted(summary.items(),
+                       key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(([t for t, _ in items],
+                      [c for _, (c, _e) in items],
+                      [e for _, (_c, e) in items]))
+        yield pd.DataFrame({
+            "shard": [int(key[0])] * len(items),
+            "token": [t for t, _ in items],
+            "count": [c for _, (c, _e) in items],
+            "err": [e for _, (_c, e) in items],
+        })
+
+    keyed = stream_df.select(
+        F.pmod(F.xxhash64(F.col(token_col)), F.lit(shards))
+        .cast("int").alias("shard"),
+        F.col(token_col).alias("token"))
+    return (keyed.groupBy("shard")
+            .applyInPandasWithState(
+                fn, HH_SCHEMA, _HH_STATE_SCHEMA, "update",
+                GroupStateTimeout.NoTimeout))

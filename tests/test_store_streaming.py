@@ -588,3 +588,59 @@ def test_store_snapshot_restore_roundtrip(spark, tmp_path):
             store.snapshot(str(tmp_path / "snap2"))
     finally:
         store._clear_pending()
+
+
+def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
+    """Space-saving heavy hitters: state is capped at
+    shards × capacity entries; heavy tokens survive eviction with
+    count - err <= true_count <= count, across micro-batches AND a
+    checkpoint restart."""
+    from collections import Counter
+
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "hh_in"
+    src.mkdir()
+    schema = "token string"
+
+    def write_batch(tokens):
+        spark.createDataFrame([(t,) for t in tokens], schema) \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once(name):
+        out = str(tmp_path / name)
+
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (ST.streaming_heavy_hitters(
+            stream, capacity=4, shards=2)
+            .writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "hh_ck"))
+            .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # keep only each shard's LAST summary (update mode emits one
+        # per batch); token→row from the final state
+        rows = spark.read.parquet(out).collect()
+        return {r["token"]: r for r in rows}
+
+    batch1 = ["hot"] * 50 + ["warm"] * 20 + \
+        [f"noise{i}" for i in range(30)]
+    write_batch(batch1)
+    # restart with more data: heavy tokens keep accumulating
+    batch2 = ["hot"] * 25 + ["warm"] * 10 + \
+        [f"late{i}" for i in range(20)]
+    write_batch(batch2)
+    got = run_once("hh_out")
+
+    true = Counter(batch1 + batch2)
+    assert "hot" in got and "warm" in got
+    for tok in ("hot", "warm"):
+        c, e = got[tok]["count"], got[tok]["err"]
+        assert c - e <= true[tok] <= c, (tok, c, e, true[tok])
+    # bounded state: never more than shards × capacity live entries
+    per_shard = Counter()
+    for r in got.values():
+        per_shard[r["shard"]] += 1
+    assert all(n <= 4 for n in per_shard.values()), per_shard
