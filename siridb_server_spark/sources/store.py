@@ -411,9 +411,19 @@ class PointsStore:
         self._clear_pending()
 
     def optimize(self, spark: SparkSession,
-                 max_files_per_partition: int = 1):
+                 max_files_per_partition: int = 1,
+                 sort: bool = True):
         """Compaction (ref src/siri/optimize.c:33-55): rewrite
-        fragmented partitions into ``max_files_per_partition`` files."""
+        fragmented partitions into ``max_files_per_partition`` files.
+
+        ``sort=True`` additionally lays each rewritten file out in
+        (series, ts, seq) order — the reference's optimize pass
+        likewise re-sorts shards that accumulated out-of-order
+        appends (HAS_OVERLAP, shard.h:12). Beyond parity, sorting
+        tightens parquet column-chunk min/max stats: a per-series
+        read of a compacted shard skips row groups whose series
+        range can't match, the format-native analogue of the
+        reference's per-series block index."""
         self._repair_rewrites()
         for kind, sid, p in list(self._sid_dirs()):
             files = [f for f in os.listdir(p) if f.endswith(".parquet")]
@@ -421,6 +431,8 @@ class PointsStore:
                 continue
             part = spark.read.parquet(p) \
                 .coalesce(max_files_per_partition)
+            if sort:
+                part = part.sortWithinPartitions("series", "ts", "seq")
             tmp = self._rewrite_tmp(kind, sid)
             part.write.mode("overwrite") \
                 .option("compression", "zstd").parquet(tmp)

@@ -644,3 +644,30 @@ def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
     for r in got.values():
         per_shard[r["shard"]] += 1
     assert all(n <= 4 for n in per_shard.values()), per_shard
+
+
+def test_optimize_sorts_shards_for_rowgroup_pruning(spark, tmp_path):
+    """optimize() re-sorts rewritten shards by (series, ts, seq) —
+    reference parity with the HAS_OVERLAP re-sort (shard.h:12) — so
+    parquet column-chunk stats carry tight per-series ranges."""
+    import pyarrow.parquet as pq
+
+    from siridb_server_spark.sources.store import PointsStore
+
+    st = PointsStore(str(tmp_path / "db"), 10_000, 10_000)
+    # interleaved, out-of-order appends into one shard
+    st.append_rows(spark, [("z", 5, 0, 1, None, None, 0),
+                           ("a", 3, 1, 2, None, None, 0)])
+    st.append_rows(spark, [("m", 1, 2, 3, None, None, 0),
+                           ("a", 9, 3, 4, None, None, 0)])
+    st.optimize(spark)
+    [(kind, sid, p)] = list(st._sid_dirs())
+    files = [f for f in __import__("os").listdir(p)
+             if f.endswith(".parquet")]
+    assert len(files) == 1
+    tbl = pq.read_table(f"{p}/{files[0]}",
+                        columns=["series", "ts"])
+    rows = list(zip(tbl["series"].to_pylist(), tbl["ts"].to_pylist()))
+    assert rows == sorted(rows)
+    # data intact after the sorted rewrite
+    assert st.read(spark).count() == 4
