@@ -8,6 +8,17 @@ See SURVEY.md for the structural analysis of the reference
 from .engine import SiriEngine
 from .errors import InsertError, ParseError, QueryError, SiriError
 
+
+def register_datasource(spark) -> None:
+    """Register the ``siridb`` format on a session:
+    ``spark.read/readStream/write/writeStream.format("siridb")``.
+    (Lazy import so the core engine has no dependency on the
+    DataSource module.)"""
+    from .sources.datasource import register
+
+    register(spark)
+
+
 __all__ = ["SiriEngine", "QueryError", "InsertError", "ParseError",
-           "SiriError"]
+           "SiriError", "register_datasource"]
 __version__ = "0.1.0"
