@@ -423,6 +423,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_boilerplate"] = text_boilerplate
 
+    q["dedup_containment"] = lambda spark, sf_dir: \
+        D.containment_pairs(
+            load(spark, sf_dir, "documents").where("doc_id < 300"),
+            threshold=0.5, shingle_n=3)
+
     def events_cohorts(spark, sf_dir):
         """Weekly cohort-retention matrix: cohort = a user's first
         active week; one distinct (user, week) reduction, a tiny
@@ -1141,6 +1146,27 @@ def oracle_sql() -> dict[str, str]:
         " JOIN sz sb ON id_b = sb.doc_id"
         " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8"
     )
+    # asymmetric containment (excerpt detection): shared distinct
+    # 3-shingles over each side's own shingle count
+    o["dedup_containment"] = (
+        "WITH tok AS (SELECT doc_id, string_split_regex("
+        "lower(trim(text)), '\\s+') AS w FROM documents"
+        " WHERE doc_id < 300),"
+        " sh AS (SELECT doc_id, unnest(list_distinct("
+        "list_transform(range(1, greatest(len(w) - 2, 1) + 1),"
+        " i -> array_to_string(w[i:i+2], ' ')))) AS s FROM tok),"
+        " sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),"
+        " i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " count(*) AS i FROM sh a JOIN sh b ON a.s = b.s"
+        " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+        " SELECT id_a, id_b,"
+        " round(i * 1.0 / sa.n, 6) + 0.0 AS contain_a,"
+        " round(i * 1.0 / sb.n, 6) + 0.0 AS contain_b"
+        " FROM i JOIN sz sa ON id_a = sa.doc_id"
+        " JOIN sz sb ON id_b = sb.doc_id"
+        " WHERE i * 1.0 / sa.n >= 0.5 OR i * 1.0 / sb.n >= 0.5"
+    )
+
     # train/eval decontamination: distinct shared 3-gram count per
     # training doc against the eval slice's gram set (slice w[i:i+2]
     # is 1-based inclusive — DuckDB's clamp at short docs matches

@@ -591,3 +591,47 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def containment_pairs(df: DataFrame, threshold: float = 0.5,
+                      shingle_n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """ASYMMETRIC containment: |shingles(A) ∩ shingles(B)| /
+    |shingles(A)| — "how much of A appears inside B". Jaccard misses
+    excerpts (a paragraph quoted inside a much longer document has
+    tiny Jaccard but containment ≈ 1), and excerpt detection is what
+    decontamination and license-compliance sweeps actually need.
+
+    Same inverted-index shape as the Jaccard joins: pairs sharing no
+    shingle never materialize, the join key is an 8-byte shingle
+    hash, per-doc sizes broadcast. Both directions emit from ONE
+    intersection pass (contain_a = i/na, contain_b = i/nb); rows
+    keep whichever direction clears the threshold.
+    Output: (id_a, id_b, contain_a, contain_b), id_a < id_b."""
+    sh = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(shingles(text_col, shingle_n))
+                    .alias("s"))
+          .select("doc_id", F.xxhash64("s").alias("h")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("n").alias("nb"))
+    ca = F.col("i") / F.col("na")
+    cb = F.col("i") / F.col("nb")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where((ca >= threshold) | (cb >= threshold))
+        .select("id_a", "id_b",
+                (F.round(ca, 6) + F.lit(0.0)).alias("contain_a"),
+                (F.round(cb, 6) + F.lit(0.0)).alias("contain_b"))
+    )

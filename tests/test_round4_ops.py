@@ -150,3 +150,26 @@ def test_correlated_series_constant_ref_excluded(spark):
         [("z", i * 10, float(i)) for i in range(3)]
     df = spark.createDataFrame(rows, ["series", "ts", "val"])
     assert TSO.correlated_series(df, group_ns=10, k=10).count() == 0
+
+
+def test_containment_detects_excerpt_jaccard_misses(spark):
+    from siridb_server_spark.operators import dedup as D
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = quote + " " + " ".join(
+        f"filler{i} pad{i} word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "unrelated text entirely")],
+        ["doc_id", "text"])
+    out = D.containment_pairs(docs, threshold=0.9,
+                              shingle_n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["contain_a"] == 1.0       # all of the quote is inside
+    assert r["contain_b"] < 0.2        # ...a doc that is mostly not
+    # symmetric Jaccard on the same pair stays far below threshold
+    jac = D.shingle_jaccard_pairs(docs, threshold=0.0,
+                                  shingle_n=3).collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac}
+    assert j[(1, 2)] < 0.2
