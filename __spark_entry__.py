@@ -451,6 +451,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_cohorts"] = events_cohorts
 
+    def events_flow(spark, sf_dir):
+        """User-flow transition matrix: P(next event type | current)
+        across each user's time-ordered event stream — the Markov
+        view behind funnel/journey analytics. One lag window per
+        user (single hash shuffle), one counting aggregate over
+        |types|² keys, a broadcast per-source total."""
+        ev = load(spark, sf_dir, "events")
+        e = ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type").alias("et"),
+            epoch_ns(ev).alias("ts"),
+            F.col("event_id").cast("long").alias("event_id"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (e.withColumn("nxt", F.lead("et").over(w))
+                 .where(F.col("nxt").isNotNull())
+                 .groupBy(F.col("et").alias("src"),
+                          F.col("nxt").alias("dst"))
+                 .agg(F.count(F.lit(1)).alias("n")))
+        totals = pairs.groupBy("src").agg(
+            F.sum("n").alias("n_src"))
+        return (pairs.join(F.broadcast(totals), "src")
+                .select("src", "dst", "n",
+                        (F.round(F.col("n") / F.col("n_src"), 6)
+                         + F.lit(0.0)).alias("p")))
+
+    q["events_flow"] = events_flow
+
     def ts_corr_topk(spark, sf_dir):
         """Top-10 series most correlated with the busiest series
         (hourly bucket means, Pearson over co-present buckets).
@@ -1632,6 +1659,19 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, n_lines, coalesce(n_kept, 0) AS n_kept,"
         " coalesce(text_clean, '') AS text_clean"
         " FROM tot LEFT JOIN reb USING (doc_id)"
+    )
+
+    o["events_flow"] = (
+        "WITH e AS (SELECT user_id, event_type AS et,"
+        " epoch_ns(ts) AS ts, event_id FROM events),"
+        " nx AS (SELECT et AS src, lead(et) OVER ("
+        " PARTITION BY user_id ORDER BY ts, event_id) AS dst"
+        " FROM e),"
+        " pairs AS (SELECT src, dst, count(*) AS n FROM nx"
+        " WHERE dst IS NOT NULL GROUP BY 1, 2),"
+        " tot AS (SELECT src, sum(n) AS n_src FROM pairs GROUP BY 1)"
+        " SELECT src, dst, n, round(n / n_src, 6) + 0.0 AS p"
+        " FROM pairs JOIN tot USING (src)"
     )
 
     o["events_cohorts"] = (
