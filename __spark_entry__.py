@@ -478,6 +478,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_flow"] = events_flow
 
+    def ts_seasonal_profile(spark, sf_dir):
+        """Hour-of-day seasonal baseline per event-type series."""
+        ev = load(spark, sf_dir, "events")
+        pts = ev.select(F.col("event_type").alias("series"),
+                        epoch_ns(ev).alias("ts"),
+                        F.col("value").alias("val"))
+        return TSO.seasonal_profile(
+            pts, period_ns=3_600_000_000_000, n_buckets=24)
+
+    q["ts_seasonal_profile"] = ts_seasonal_profile
+
     def ts_corr_topk(spark, sf_dir):
         """Top-10 series most correlated with the busiest series
         (hourly bucket means, Pearson over co-present buckets).
@@ -1672,6 +1683,18 @@ def oracle_sql() -> dict[str, str]:
         " tot AS (SELECT src, sum(n) AS n_src FROM pairs GROUP BY 1)"
         " SELECT src, dst, n, round(n / n_src, 6) + 0.0 AS p"
         " FROM pairs JOIN tot USING (src)"
+    )
+
+    o["ts_seasonal_profile"] = (
+        "WITH pts AS (SELECT event_type AS series, epoch_ns(ts)"
+        " AS ts, value AS val FROM events),"
+        " a AS (SELECT series, (ts // 3600000000000) % 24 AS phase,"
+        " count(*) AS n, sum(val) AS sx, sum(val * val) AS sxx"
+        " FROM pts GROUP BY 1, 2)"
+        " SELECT series, phase, n,"
+        " round(sx / n, 6) + 0.0 AS avg_val,"
+        " round(sqrt(greatest(0.0, sxx - sx * sx / n)"
+        " / nullif(n - 1, 0)), 6) + 0.0 AS std_val FROM a"
     )
 
     o["events_cohorts"] = (

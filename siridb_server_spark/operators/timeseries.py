@@ -258,3 +258,37 @@ def correlated_series(df: DataFrame, group_ns: int, k: int = 10,
     return (corr.select(key_col, "n_buckets",
                         (F.round("_c", 6) + F.lit(0.0)).alias("corr"))
             .orderBy(F.desc("corr"), F.asc(key_col)).limit(k))
+
+
+def seasonal_profile(df: DataFrame, period_ns: int, n_buckets: int,
+                     key_col: str = "series",
+                     ts_col: str = "ts",
+                     val_col: str = "val") -> DataFrame:
+    """Seasonal baseline per series: mean/stddev of the value in each
+    phase bucket of a repeating period (hour-of-day profile =
+    period 1 h, 24 buckets; day-of-week = period 1 day, 7 buckets).
+    The profile is what seasonality-aware alerting compares against —
+    "is 3 AM traffic low for 3 AM?", not "is it low overall?".
+
+    One partial-aggregated groupBy over (series, phase) — output is
+    |series| × n_buckets rows no matter how many points flow in.
+    Sample stddev via the explicit sum-of-squares form with a fixed
+    op order (oracle-replayable; try_divide → NULL when n = 1).
+    Output: (series, phase, n, avg_val, std_val)."""
+    phase = F.expr(
+        f"({ts_col} div {int(period_ns)}) % {int(n_buckets)}")
+    agg = (df.groupBy(F.col(key_col).alias("series"),
+                      phase.alias("phase"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(val_col).alias("_sx"),
+                F.sum(F.col(val_col) * F.col(val_col)).alias("_sxx")))
+    n = F.col("n")
+    mean = F.col("_sx") / n
+    var = F.try_divide(
+        F.greatest(F.lit(0.0),
+                   F.col("_sxx") - F.col("_sx") * F.col("_sx") / n),
+        n - F.lit(1))
+    return agg.select(
+        "series", "phase", "n",
+        (F.round(mean, 6) + F.lit(0.0)).alias("avg_val"),
+        (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std_val"))

@@ -173,3 +173,21 @@ def test_containment_detects_excerpt_jaccard_misses(spark):
                                   shingle_n=3).collect()
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac}
     assert j[(1, 2)] < 0.2
+
+
+def test_seasonal_profile_phase_math(spark):
+    # period 10, 3 buckets: phase = (ts // 10) % 3
+    rows = [("s", 0, 1.0), ("s", 5, 3.0),      # phase 0: mean 2
+            ("s", 10, 4.0),                    # phase 1: single point
+            ("s", 20, 0.0), ("s", 50, 6.0)]    # phase 2: mean 3
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    out = {r["phase"]: r for r in
+           TSO.seasonal_profile(df, period_ns=10, n_buckets=3)
+           .collect()}
+    assert out[0]["avg_val"] == 2.0 and out[0]["n"] == 2
+    assert out[1]["avg_val"] == 4.0
+    assert out[1]["std_val"] is None          # n=1 → NULL, not crash
+    assert out[2]["avg_val"] == 3.0
+    import math
+    assert out[2]["std_val"] == pytest.approx(
+        math.sqrt(((0 - 3) ** 2 + (6 - 3) ** 2) / 1), abs=1e-6)
