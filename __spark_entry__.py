@@ -489,6 +489,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_seasonal_profile"] = ts_seasonal_profile
 
+    def ts_latency_quantiles(spark, sf_dir):
+        """p50/p90/p99 per event-type series — the SLO rollup. One
+        partial-aggregated groupBy; exact interpolated percentiles
+        (Spark percentile = DuckDB quantile_cont; at 100 TB swap in
+        approx_percentile/t-digest, same plan shape)."""
+        ev = load(spark, sf_dir, "events")
+        pts = ev.select(F.col("event_type").alias("series"),
+                        F.col("value").alias("val"))
+        g = pts.groupBy("series").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("val", F.lit(0.5)).alias("_p50"),
+            F.percentile("val", F.lit(0.9)).alias("_p90"),
+            F.percentile("val", F.lit(0.99)).alias("_p99"))
+        return g.select(
+            "series", "n",
+            (F.round("_p50", 6) + F.lit(0.0)).alias("p50"),
+            (F.round("_p90", 6) + F.lit(0.0)).alias("p90"),
+            (F.round("_p99", 6) + F.lit(0.0)).alias("p99"))
+
+    q["ts_latency_quantiles"] = ts_latency_quantiles
+
     def ts_corr_topk(spark, sf_dir):
         """Top-10 series most correlated with the busiest series
         (hourly bucket means, Pearson over co-present buckets).
@@ -1683,6 +1704,14 @@ def oracle_sql() -> dict[str, str]:
         " tot AS (SELECT src, sum(n) AS n_src FROM pairs GROUP BY 1)"
         " SELECT src, dst, n, round(n / n_src, 6) + 0.0 AS p"
         " FROM pairs JOIN tot USING (src)"
+    )
+
+    o["ts_latency_quantiles"] = (
+        "SELECT event_type AS series, count(*) AS n,"
+        " round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,"
+        " round(quantile_cont(value, 0.9), 6) + 0.0 AS p90,"
+        " round(quantile_cont(value, 0.99), 6) + 0.0 AS p99"
+        " FROM events GROUP BY 1"
     )
 
     o["ts_seasonal_profile"] = (
