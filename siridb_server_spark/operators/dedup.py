@@ -215,14 +215,13 @@ def shingles(text_col: str, n: int = 3):
         idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
 
 
-def shingle_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
-                          shingle_n: int = 3, text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
-    """EXACT n-word-shingle-set Jaccard pairs — the ground truth that
-    MinHash+LSH approximates (same shingle definition). Inverted-index
-    self-join on 8-byte shingle hashes, so only pairs sharing at least
-    one shingle ever materialize — never all-pairs.
-    Output: (id_a, id_b, jaccard)."""
+def _shingle_intersections(df: DataFrame, shingle_n: int,
+                           text_col: str, id_col: str) -> DataFrame:
+    """Shared inverted-index scaffolding for the shingle-set joins:
+    candidate pairs (id_a < id_b) sharing >= 1 shingle, with the
+    distinct-shingle intersection count ``i`` and each side's shingle
+    count ``na``/``nb`` (broadcast — one row per doc). Join key is
+    the shingle's 64-bit hash, never the shingle text."""
     sh = (df.select(F.col(id_col).alias("doc_id"),
                     F.explode(shingles(text_col, shingle_n))
                     .alias("s"))
@@ -240,10 +239,21 @@ def shingle_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                       F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"),
                       F.col("n").alias("nb"))
+    return (inter.join(F.broadcast(sa), "id_a")
+            .join(F.broadcast(sb), "id_b"))
+
+
+def shingle_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                          shingle_n: int = 3, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """EXACT n-word-shingle-set Jaccard pairs — the ground truth that
+    MinHash+LSH approximates (same shingle definition). Inverted-index
+    self-join on 8-byte shingle hashes, so only pairs sharing at least
+    one shingle ever materialize — never all-pairs.
+    Output: (id_a, id_b, jaccard)."""
     jac = (F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        _shingle_intersections(df, shingle_n, text_col, id_col)
         .where(jac >= threshold)
         .select("id_a", "id_b",
                 (F.round(jac, 6) + F.lit(0.0)).alias("jaccard"))
@@ -602,34 +612,17 @@ def containment_pairs(df: DataFrame, threshold: float = 0.5,
     tiny Jaccard but containment ≈ 1), and excerpt detection is what
     decontamination and license-compliance sweeps actually need.
 
-    Same inverted-index shape as the Jaccard joins: pairs sharing no
-    shingle never materialize, the join key is an 8-byte shingle
-    hash, per-doc sizes broadcast. Both directions emit from ONE
+    Same inverted-index shape as the Jaccard joins (shared
+    ``_shingle_intersections`` scaffolding): pairs sharing no shingle
+    never materialize, the join key is an 8-byte shingle hash,
+    per-doc sizes broadcast. Both directions emit from ONE
     intersection pass (contain_a = i/na, contain_b = i/nb); rows
     keep whichever direction clears the threshold.
     Output: (id_a, id_b, contain_a, contain_b), id_a < id_b."""
-    sh = (df.select(F.col(id_col).alias("doc_id"),
-                    F.explode(shingles(text_col, shingle_n))
-                    .alias("s"))
-          .select("doc_id", F.xxhash64("s").alias("h")))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"),
-                 F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"),
-                      F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"),
-                      F.col("n").alias("nb"))
     ca = F.col("i") / F.col("na")
     cb = F.col("i") / F.col("nb")
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        _shingle_intersections(df, shingle_n, text_col, id_col)
         .where((ca >= threshold) | (cb >= threshold))
         .select("id_a", "id_b",
                 (F.round(ca, 6) + F.lit(0.0)).alias("contain_a"),

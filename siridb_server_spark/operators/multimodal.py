@@ -176,6 +176,10 @@ def _parse_ppm_raster(payload: bytes):
         return None
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        # a zero-dimension "P6" is malformed: downstream resampling
+        # would index an empty axis — treat as invalid, not a crash
+        return None
     need = w * h * 3
     raster = payload[pos:pos + need]
     if len(raster) < need:

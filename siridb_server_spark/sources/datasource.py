@@ -72,10 +72,18 @@ class ShardFilePartition(InputPartition):
 
 
 def _shard_files(path: str):
-    """Yield (kind, sid, file_path, mtime_ns) for every committed
+    """Yield (kind, sid, file_path, ctime_ns) for every committed
     shard parquet file. Underscore/dot-prefixed entries (catalog,
     rewrite staging, markers) are invisible, same as Spark's own
-    partition discovery."""
+    partition discovery.
+
+    ctime (inode change time), NOT mtime: commit makes files visible
+    via os.rename, which PRESERVES the staged file's mtime but
+    updates ctime at rename time — so ctime orders files by when
+    they became VISIBLE, which is what the streaming watermark needs
+    (a staged-early/renamed-late file must not sort before an
+    already-watermarked one). Files deleted between listdir and stat
+    (a racing compaction) are skipped, not fatal."""
     for kind in ("num", "log"):
         kdir = os.path.join(path, f"kind={kind}")
         if not os.path.isdir(kdir):
@@ -87,12 +95,19 @@ def _shard_files(path: str):
             if not os.path.isdir(sdir):
                 continue
             sid = int(entry[4:])
-            for f in sorted(os.listdir(sdir)):
+            try:
+                names = sorted(os.listdir(sdir))
+            except FileNotFoundError:
+                continue
+            for f in names:
                 if f.startswith(("_", ".")) or not f.endswith(
                         ".parquet"):
                     continue
                 fp = os.path.join(sdir, f)
-                yield kind, sid, fp, os.stat(fp).st_mtime_ns
+                try:
+                    yield kind, sid, fp, os.stat(fp).st_ctime_ns
+                except FileNotFoundError:
+                    continue
 
 
 class _Bounds:
@@ -142,19 +157,32 @@ class _Bounds:
                     self._tighten(lo=int(f.value))
 
     def keep(self, kind: str, sid: int) -> bool:
-        """Directory-level shard skip: keep iff [sid, sid+dur) can
-        intersect [ts_lo, ts_hi]. Without a known duration the lower
-        bound can't prune (a shard starting before ts_lo may still
-        reach past it) but the upper bound always can (bucket start
-        > ts_hi ⇒ every row > ts_hi)."""
+        """Directory-level shard skip. The store's sid is TRUNC-mod
+        aligned (``ts - ts % dur``), so a shard's rows lie in:
+        sid > 0 → [sid, sid+dur); sid == 0 → (-dur, dur);
+        sid < 0 → (sid-dur, sid]. Epoch timestamps are normally
+        non-negative (the reference's are uint64), but pre-epoch
+        rows must prune CONSERVATIVELY, never wrongly. Without a
+        known duration only the bounds that need no width apply."""
         if self.kind is not None and kind != self.kind:
             return False
-        if self.ts_hi is not None and sid > self.ts_hi:
-            return False
         dur = self.dur.get(kind)
-        if (self.ts_lo is not None and dur
-                and sid + dur <= self.ts_lo):
-            return False
+        lo, hi = self.ts_lo, self.ts_hi
+        if sid > 0:
+            if hi is not None and sid > hi:
+                return False
+            if lo is not None and dur and sid + dur <= lo:
+                return False
+        elif sid == 0:
+            if hi is not None and dur and hi <= -dur:
+                return False
+            if lo is not None and dur and lo >= dur:
+                return False
+        else:
+            if lo is not None and sid < lo:
+                return False
+            if hi is not None and dur and sid - dur >= hi:
+                return False
         return True
 
 
@@ -219,9 +247,15 @@ class SiriDBShardReader(DataSourceReader):
 class SiriDBStreamReader(DataSourceStreamReader):
     """Micro-batch tail of the store: each batch covers the shard
     files that appeared since the last offset. Offsets are
-    (mtime-ns watermark, files-at-watermark) — bounded state, no
-    ever-growing seen-set. Files are immutable once committed
-    (store appends write new files), so mtime ordering is stable."""
+    (ctime-ns watermark, files-at-watermark) — bounded state, no
+    ever-growing seen-set; ctime tracks when a file became visible
+    (rename preserves mtime, see ``_shard_files``).
+
+    Appends only: ``optimize()``/``expire()`` REWRITE shard files
+    with fresh inodes containing old data, which a tail would
+    re-emit — run compaction on a store you are tailing only between
+    streaming runs (the reference likewise pauses optimize during
+    shard-touching operations, src/siri/optimize.c)."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -305,7 +339,12 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
                 "options (shard durations in the store's ts unit)")
         self.dur_num, self.dur_log = int(dn), int(dl)
         self.buckets = int(options.get("catalog_buckets") or 8)
-        self.stage = os.path.join(self.path, "_writer_stage")
+        # per-writer staging dir: concurrent writes to the same store
+        # must not rmtree each other's staged files on commit/abort
+        import uuid
+
+        self.stage = os.path.join(self.path, "_writer_stage",
+                                  uuid.uuid4().hex)
 
     def write(self, iterator) -> _WriteResult:
         import uuid
@@ -338,7 +377,12 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
         tp = tbl.column("tp").to_numpy(zero_copy_only=False)
         is_log = tp == 2  # TP_STRING
         dur = np.where(is_log, self.dur_log, self.dur_num)
-        sid = ts - ts % dur
+        # TRUNC-mod, matching Spark's % in PointsStore._with_partitions
+        # (numpy % is floor-mod — they differ on pre-epoch negative ts,
+        # and a sid mismatch would split one shard across directories
+        # and break the reader's sid-vs-ts pruning assumption)
+        rem = np.where(ts >= 0, ts % dur, -((-ts) % dur))
+        sid = ts - rem
         task_dir = os.path.join(self.stage, uuid.uuid4().hex)
         os.makedirs(task_dir, exist_ok=True)
         files = []
@@ -413,16 +457,21 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
             os.makedirs(ddir, exist_ok=True)
             pq.write_table(delta, os.path.join(
                 ddir, f"delta-{uuid.uuid4().hex}.parquet"))
-        import shutil
-
-        shutil.rmtree(self.stage, ignore_errors=True)
+        self._drop_stage()
         os.remove(pending)
 
     def abort(self, messages):
+        # nothing became visible; drop the staging area
+        self._drop_stage()
+
+    def _drop_stage(self):
+        import contextlib
         import shutil
 
-        # nothing became visible; drop the staging area
         shutil.rmtree(self.stage, ignore_errors=True)
+        # drop the shared parent too once no sibling writer is staged
+        with contextlib.suppress(OSError):
+            os.rmdir(os.path.dirname(self.stage))
 
 
 class SiriDBStreamArrowWriter(SiriDBArrowWriter,
@@ -430,10 +479,16 @@ class SiriDBStreamArrowWriter(SiriDBArrowWriter,
     """``writeStream.format("siridb")``: streaming ingest into the
     store, one crash-consistent append per micro-batch. Re-uses the
     batch writer's stage/commit protocol; a per-batch commit marker
-    (``_stream_commits/<epoch>``) makes replayed micro-batches
-    no-ops, so a restart after a committed-but-unacknowledged batch
-    does not double-append — the same commit-log idempotence Spark's
-    own file sink provides."""
+    (``_stream_commits/<epoch>``) makes a batch replayed AFTER a
+    completed commit a no-op, so the common restart path (Spark
+    acknowledged late, commit finished) does not double-append.
+
+    Honest bound: the marker lands after the rename+delta step, so a
+    crash INSIDE commit replays that one batch at-least-once (the
+    pending marker still forces a catalog rebuild, so stats stay
+    consistent with whatever data landed). Making the window zero
+    needs an atomic multi-file transaction — on Delta this whole
+    protocol is one transactional MERGE."""
 
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self.path, "_stream_commits",

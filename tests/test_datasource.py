@@ -363,3 +363,80 @@ def test_store_to_store_replication_pipeline(spark, tmp_path):
     cat = {r["name"]: r["length"]
            for r in rep.read_catalog(spark).collect()}
     assert cat == {"a": 2, "b": 1}
+
+
+# ------------------------------------------- review-fix regressions
+def test_write_negative_ts_matches_store_sid_alignment(spark,
+                                                       tmp_path):
+    """Pre-epoch timestamps: the writer's sid must be TRUNC-mod
+    (Spark's %), not numpy floor-mod, so format-written and
+    store-written rows land in the SAME shard directory."""
+    from siridb_server_spark.model import POINTS_SCHEMA
+
+    register(spark)
+    path_a, path_b = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = [("n", -5, 0, 1, None, None, 0),
+            ("n", -1500, 1, 2, None, None, 0),
+            ("n", 5, 2, 3, None, None, 0)]
+    _write(spark.createDataFrame(rows, POINTS_SCHEMA), path_a)
+    PointsStore(path_b, 1000, 1000).append_rows(spark, rows)
+    sids = lambda p: sorted(
+        (k, s) for k, s, _f, _m in _shard_files(p))
+    assert sids(path_a) == sids(path_b)
+    # reads agree and pruning never loses the pre-epoch rows
+    df = spark.read.format("siridb") \
+        .option("duration_num", "1000").load(path_a)
+    assert df.count() == 3
+    assert df.filter("ts <= -1").count() == 2
+    assert df.filter("ts >= -10 and ts <= 10").count() == 2
+
+
+def test_bounds_keep_conservative_for_nonpositive_sids():
+    b = _Bounds({"duration_num": "1000"})
+    b._tighten(hi=-2)
+    # shard 0 holds trunc-mod rows in (-1000, 1000): may match ts<=-2
+    assert b.keep("num", 0)
+    assert not b.keep("num", 1000)   # rows >= 1000 > -2
+    b2 = _Bounds({"duration_num": "1000"})
+    b2._tighten(lo=-2500)
+    # shard -2000 holds rows in (-3000, -2000]: may match ts>=-2500
+    assert b2.keep("num", -2000)
+    assert not b2.keep("num", -3000)  # rows <= -3000 < -2500
+
+
+def test_stream_picks_up_backdated_mtime_files(spark, tmp_path):
+    """Commit renames preserve mtime; the watermark must use ctime
+    (visibility time) so a staged-early/renamed-late file is never
+    skipped."""
+    import os
+    import shutil
+    import time
+
+    st = PointsStore(str(tmp_path / "db"), 1000, 1000)
+    st.append_rows(spark, [("a", 1, 0, 1, None, None, 0)])
+    register(spark)
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def start():
+        return (spark.readStream.format("siridb").load(st.path)
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt).start())
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 1
+        # simulate a commit whose staged file predates the watermark:
+        # copy an existing shard file, backdate its mtime far into
+        # the past, then rename it into the shard dir
+        [(kind, sid, p)] = list(st._sid_dirs())
+        src = next(f for f in os.listdir(p) if f.endswith(".parquet"))
+        staged = str(tmp_path / "staged.parquet")
+        shutil.copy(os.path.join(p, src), staged)
+        os.utime(staged, ns=(1, 1))  # mtime ~epoch
+        os.rename(staged, os.path.join(p, "part-backdated.parquet"))
+        q.processAllAvailable()
+        # the renamed file's rows arrive (duplicate content = 2 rows)
+        assert spark.read.parquet(out).count() == 2
+    finally:
+        q.stop()
