@@ -117,6 +117,12 @@ class _Bounds:
         self.ts_lo = self._opt_int(options, "ts_min")
         self.ts_hi = self._opt_int(options, "ts_max")
         self.kind = options.get("kind")
+        # sid bounds stay SEPARATE from ts bounds: sid is constant
+        # per directory so they prune exactly, but folding them into
+        # ts would make the row-group ts filter drop rows a sid
+        # predicate keeps (shard 0 holds pre-epoch rows)
+        self.sid_lo: int | None = None
+        self.sid_hi: int | None = None
         self.dur = {
             "num": self._opt_int(options, "duration_num"),
             "log": self._opt_int(options, "duration_log"),
@@ -132,6 +138,14 @@ class _Bounds:
             self.ts_lo = lo if self.ts_lo is None else max(self.ts_lo, lo)
         if hi is not None:
             self.ts_hi = hi if self.ts_hi is None else min(self.ts_hi, hi)
+
+    def _sid(self, lo=None, hi=None):
+        if lo is not None:
+            self.sid_lo = (lo if self.sid_lo is None
+                           else max(self.sid_lo, lo))
+        if hi is not None:
+            self.sid_hi = (hi if self.sid_hi is None
+                           else min(self.sid_hi, hi))
 
     def absorb(self, filters: List[Filter]):
         for f in filters:
@@ -151,10 +165,16 @@ class _Bounds:
                 self.kind = str(f.value)
             elif col == "sid":
                 # sid predicates map 1:1 onto directory names
-                if isinstance(f, GreaterThanOrEqual):
-                    self._tighten(lo=int(f.value))
+                if isinstance(f, GreaterThan):
+                    self._sid(lo=int(f.value) + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._sid(lo=int(f.value))
+                elif isinstance(f, LessThan):
+                    self._sid(hi=int(f.value) - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    self._sid(hi=int(f.value))
                 elif isinstance(f, EqualTo):
-                    self._tighten(lo=int(f.value))
+                    self._sid(lo=int(f.value), hi=int(f.value))
 
     def keep(self, kind: str, sid: int) -> bool:
         """Directory-level shard skip. The store's sid is TRUNC-mod
@@ -165,6 +185,10 @@ class _Bounds:
         rows must prune CONSERVATIVELY, never wrongly. Without a
         known duration only the bounds that need no width apply."""
         if self.kind is not None and kind != self.kind:
+            return False
+        if self.sid_lo is not None and sid < self.sid_lo:
+            return False
+        if self.sid_hi is not None and sid > self.sid_hi:
             return False
         dur = self.dur.get(kind)
         lo, hi = self.ts_lo, self.ts_hi

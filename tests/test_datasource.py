@@ -440,3 +440,32 @@ def test_stream_picks_up_backdated_mtime_files(spark, tmp_path):
         assert spark.read.parquet(out).count() == 2
     finally:
         q.stop()
+
+
+def test_sid_filter_prunes_without_touching_ts_rows(spark, tmp_path):
+    """A sid predicate prunes directories exactly but must NOT leak
+    into the ts row-group bounds: shard 0 holds pre-epoch rows whose
+    ts < sid, and `sid >= X` (X <= 0) keeps them."""
+    from siridb_server_spark.model import POINTS_SCHEMA
+
+    register(spark)
+    path = str(tmp_path / "db")
+    _write(spark.createDataFrame(
+        [("n", -500, 0, 1, None, None, 0),   # shard 0 (trunc-mod)
+         ("n", 10, 1, 2, None, None, 0),     # shard 0
+         ("n", 2500, 2, 3, None, None, 0)],  # shard 2000
+        POINTS_SCHEMA), path)
+    df = spark.read.format("siridb") \
+        .option("duration_num", "1000").load(path)
+    # sid >= -5 keeps shard 0 including the pre-epoch row
+    assert df.filter("sid >= -5").count() == 3
+    assert df.filter("sid >= 0").count() == 3
+    assert df.filter("sid > 0").count() == 1
+    assert df.filter("sid = 0").count() == 2
+    assert df.filter("sid <= 0").count() == 2
+    # planner-level: sid bounds prune directories exactly
+    b = _Bounds({"duration_num": "1000"})
+    b._sid(lo=1, hi=None)
+    kept = {s for k, s, _f, _m in _shard_files(path)
+            if b.keep(k, s)}
+    assert kept == {2000}
