@@ -510,6 +510,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_latency_quantiles"] = ts_latency_quantiles
 
+    def ts_seasonal_anomalies(spark, sf_dir):
+        """Points abnormal FOR THEIR HOUR-OF-DAY (seasonal z-score
+        vs the broadcast per-phase baseline)."""
+        ev = load(spark, sf_dir, "events")
+        pts = ev.select(F.col("event_type").alias("series"),
+                        epoch_ns(ev).alias("ts"),
+                        F.col("value").alias("val"))
+        return TSO.seasonal_anomalies(
+            pts, period_ns=3_600_000_000_000, n_buckets=24,
+            threshold=2.5)
+
+    q["ts_seasonal_anomalies"] = ts_seasonal_anomalies
+
     def ts_corr_topk(spark, sf_dir):
         """Top-10 series most correlated with the busiest series
         (hourly bucket means, Pearson over co-present buckets).
@@ -1712,6 +1725,26 @@ def oracle_sql() -> dict[str, str]:
         " round(quantile_cont(value, 0.9), 6) + 0.0 AS p90,"
         " round(quantile_cont(value, 0.99), 6) + 0.0 AS p99"
         " FROM events GROUP BY 1"
+    )
+
+    o["ts_seasonal_anomalies"] = (
+        "WITH pts AS (SELECT event_type AS series, epoch_ns(ts)"
+        " AS ts, value AS val FROM events),"
+        " a AS (SELECT series, (ts // 3600000000000) % 24 AS phase,"
+        " count(*) AS n, sum(val) AS sx, sum(val * val) AS sxx"
+        " FROM pts GROUP BY 1, 2),"
+        " prof AS (SELECT series, phase, n,"
+        " round(sx / n, 6) + 0.0 AS avg_val,"
+        " round(sqrt(greatest(0.0, sxx - sx * sx / n)"
+        " / nullif(n - 1, 0)), 6) + 0.0 AS std_val FROM a),"
+        " j AS (SELECT p.series, p.ts, p.val,"
+        " (p.ts // 3600000000000) % 24 AS phase,"
+        " (p.val - f.avg_val) / f.std_val AS z"
+        " FROM pts p JOIN prof f ON p.series = f.series"
+        " AND (p.ts // 3600000000000) % 24 = f.phase"
+        " WHERE f.n >= 3 AND f.std_val > 0)"
+        " SELECT series, ts, val, phase, round(z, 6) + 0.0 AS z"
+        " FROM j WHERE abs(z) > 2.5"
     )
 
     o["ts_seasonal_profile"] = (

@@ -292,3 +292,38 @@ def seasonal_profile(df: DataFrame, period_ns: int, n_buckets: int,
         "series", "phase", "n",
         (F.round(mean, 6) + F.lit(0.0)).alias("avg_val"),
         (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std_val"))
+
+
+def seasonal_anomalies(df: DataFrame, period_ns: int, n_buckets: int,
+                       threshold: float = 3.0,
+                       key_col: str = "series",
+                       ts_col: str = "ts",
+                       val_col: str = "val") -> DataFrame:
+    """Seasonality-aware anomaly detection: score each point against
+    its series' SEASONAL baseline (the :func:`seasonal_profile` for
+    its phase), flagging |val − avg| > threshold·std — "low for a
+    Tuesday 3 AM", which a global or trailing-window z-score can't
+    express.
+
+    Plan shape: the profile is |series|×buckets rows → broadcast
+    back onto the point stream (a pure map-side join at any volume);
+    the only shuffle is the profile's own aggregate. Phases with
+    n < 3 or zero variance never flag (NULL z). Output:
+    (series, ts, val, phase, z) for flagged points, z at 6
+    decimals."""
+    prof = seasonal_profile(df, period_ns, n_buckets,
+                            key_col, ts_col, val_col)
+    phase = F.expr(
+        f"({ts_col} div {int(period_ns)}) % {int(n_buckets)}")
+    pts = df.select(F.col(key_col).alias("series"),
+                    F.col(ts_col).alias("ts"),
+                    F.col(val_col).alias("val"),
+                    phase.alias("phase"))
+    z = F.try_divide(F.col("val") - F.col("avg_val"),
+                     F.col("std_val"))
+    return (pts.join(F.broadcast(prof), ["series", "phase"])
+            .where((F.col("n") >= 3) & (F.col("std_val") > 0))
+            .withColumn("_z", z)
+            .where(F.abs(F.col("_z")) > threshold)
+            .select("series", "ts", "val", "phase",
+                    (F.round("_z", 6) + F.lit(0.0)).alias("z")))

@@ -191,3 +191,21 @@ def test_seasonal_profile_phase_math(spark):
     import math
     assert out[2]["std_val"] == pytest.approx(
         math.sqrt(((0 - 3) ** 2 + (6 - 3) ** 2) / 1), abs=1e-6)
+
+
+def test_seasonal_anomalies_phase_relative(spark):
+    """A value normal globally but abnormal for its phase flags, and
+    vice versa: phase 0 oscillates near 100, phase 1 near 0 — a 0 at
+    phase 0 is anomalous even though 0 is a common value overall."""
+    rows = []
+    for i in range(10):
+        rows.append(("s", i * 20, 100.0 + (i % 2)))     # phase 0
+        rows.append(("s", i * 20 + 10, 0.0 + (i % 2)))  # phase 1
+    rows.append(("s", 200, 0.0))    # phase 0 ← anomalous FOR phase 0
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    out = TSO.seasonal_anomalies(df, period_ns=10, n_buckets=2,
+                                 threshold=3.0).collect()
+    flagged = {(r["ts"], r["phase"]) for r in out}
+    assert (200, 0) in flagged
+    # the same value at phase 1 is perfectly normal → never flagged
+    assert all(p == 0 for _t, p in flagged)
