@@ -318,3 +318,62 @@ def streaming_heavy_hitters(stream_df: DataFrame, *,
             .applyInPandasWithState(
                 fn, HH_SCHEMA, _HH_STATE_SCHEMA, "update",
                 GroupStateTimeout.NoTimeout))
+
+
+HLL_SCHEMA = "key string, estimate double, n_registers int"
+_HLL_STATE_SCHEMA = "regs binary"
+
+
+def streaming_distinct_count(stream_df: DataFrame, *,
+                             b: int = 10,
+                             key_col: str = "key",
+                             value_col: str = "value") -> DataFrame:
+    """Streaming approximate COUNT(DISTINCT value) per key with
+    BOUNDED state: a HyperLogLog register array (2^b bytes) per key,
+    merged across micro-batches in the checkpoint — the streaming
+    twin of the batch ``corpus_sketch_stats`` sketches. State per
+    key is 2^b bytes forever, where exact streaming distinct-count
+    state grows with the distinct-value set.
+
+    Standard HLL: register j = max leading-zero rank of the hashed
+    values routed to it; the estimate applies the bias-corrected
+    harmonic mean with linear counting in the small range. Emits
+    (key, estimate, n_registers) per touched key per batch (update
+    mode)."""
+    from ..sources.xxh import xxh64
+
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def fn(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        regs = bytearray(state.get[0]) if state.exists \
+            else bytearray(m)
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                h = xxh64(str(v).encode("utf-8"))
+                j = h & (m - 1)
+                w = h >> b
+                rho = (64 - b) - w.bit_length() + 1
+                if rho > regs[j]:
+                    regs[j] = rho
+        state.update((bytes(regs),))
+        raw = alpha * m * m / sum(2.0 ** -r for r in regs)
+        zeros = sum(1 for r in regs if r == 0)
+        if raw <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        else:
+            est = raw
+        yield pd.DataFrame({"key": [key[0]],
+                            "estimate": [round(est, 3)],
+                            "n_registers": [m]})
+
+    keyed = stream_df.select(F.col(key_col).alias("key"),
+                             F.col(value_col).alias("value"))
+    return (keyed.groupBy("key")
+            .applyInPandasWithState(
+                fn, HLL_SCHEMA, _HLL_STATE_SCHEMA, "update",
+                GroupStateTimeout.NoTimeout))

@@ -671,3 +671,46 @@ def test_optimize_sorts_shards_for_rowgroup_pruning(spark, tmp_path):
     assert rows == sorted(rows)
     # data intact after the sorted rewrite
     assert st.read(spark).count() == 4
+
+
+def test_streaming_distinct_count_hll_accuracy_and_merge(spark,
+                                                         tmp_path):
+    """HLL distinct count: ~2%-class accuracy at 2^10 registers,
+    state merges across micro-batches (overlapping batches must not
+    double-count), bounded to 1 KiB per key."""
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    schema = "key string, value string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    # two overlapping batches: union = 3000 distinct for k1
+    write_batch([("k1", f"v{i}") for i in range(2000)]
+                + [("k2", f"u{i}") for i in range(50)])
+    write_batch([("k1", f"v{i}") for i in range(1000, 3000)])
+
+    out = str(tmp_path / "hll_out")
+
+    def sink(bdf, _bid):
+        bdf.write.mode("append").parquet(out)
+
+    q = (spark.readStream.schema(schema).parquet(str(src))
+         .transform(lambda df: ST.streaming_distinct_count(
+             df, b=10, key_col="key", value_col="value"))
+         .writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "hll_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    # final estimate per key: HLL registers only grow, so the max
+    # emitted estimate is the latest (update mode emits per batch
+    # and parquet read order is not guaranteed)
+    est = {}
+    for r in rows:
+        est[r["key"]] = max(est.get(r["key"], 0.0), r["estimate"])
+    assert abs(est["k1"] - 3000) / 3000 < 0.10, est
+    assert abs(est["k2"] - 50) / 50 < 0.10, est
