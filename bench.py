@@ -56,7 +56,14 @@ BENCH_QUERIES = [
     "multimodal_meta",
     # window time-series + corpus statistics
     "ts_moving_avg",
+    "ts_corr_topk",
+    "ts_seasonal_anomalies",
+    "ts_latency_quantiles",
     "text_tfidf_sources",
+    "text_boilerplate",
+    # event analytics
+    "events_flow",
+    "events_cohorts",
     # general analytics
     "tpch_q1ish",
     "tpch_q6ish",

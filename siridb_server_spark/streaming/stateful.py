@@ -123,12 +123,23 @@ _SESSION_STATE_SCHEMA = ("session_seq long, start long, end long,"
 
 def streaming_sessionize(stream_df: DataFrame, gap: int, *,
                          key_col: str = "user_id",
-                         ts_col: str = "ts") -> DataFrame:
+                         ts_col: str = "ts",
+                         idle_timeout_ms: int | None = None
+                         ) -> DataFrame:
     """Streaming inactivity-gap sessionization — the streaming twin
     of ``operators.timeseries.sessionize``: a session CLOSES (and is
     emitted) when a later event of the same key arrives more than
     ``gap`` after the session's last event; the still-open session
     rides in state across micro-batches and restarts.
+
+    ``idle_timeout_ms`` additionally closes a session whose KEY has
+    gone quiet for that much processing time (a user who never comes
+    back would otherwise hold an open session — and its state —
+    forever); the flush also DROPS the key's state, so the state
+    store tracks recently-active keys only instead of every key ever
+    seen. Eviction is processing-time (Spark's state timeout), so a
+    very late event after a flush starts a new session — the same
+    trade every session-window engine makes.
 
     Late events (earlier than the open session's end) extend the
     current session rather than reopening closed ones — streaming
@@ -140,6 +151,16 @@ def streaming_sessionize(stream_df: DataFrame, gap: int, *,
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
+
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            seq, start, end, n = state.get
+            state.remove()
+            if start is not None:
+                yield pd.DataFrame(
+                    [(key[0], seq, start, end, n)],
+                    columns=["user_id", "session_seq", "start",
+                             "end", "n_events"])
+            return
         seq, start, end, n = state.get if state.exists else \
             (0, None, None, 0)
         closed = []
@@ -158,6 +179,8 @@ def streaming_sessionize(stream_df: DataFrame, gap: int, *,
                 else:
                     end, n = max(end, t), n + 1
         state.update((seq, start, end, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if closed:
             yield pd.DataFrame(
                 [(key[0], s, a, b, c) for s, a, b, c in closed],
@@ -174,11 +197,14 @@ def streaming_sessionize(stream_df: DataFrame, gap: int, *,
     shaped = stream_df.select(
         F.col(key_col).cast("long").alias("user_id"),
         F.col(ts_col).cast("long").alias("ts"))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return (
         shaped.groupBy("user_id")
         .applyInPandasWithState(
             fn, SESSION_SCHEMA, _SESSION_STATE_SCHEMA,
-            "update", GroupStateTimeout.NoTimeout)
+            "update", timeout)
     )
 
 

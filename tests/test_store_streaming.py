@@ -714,3 +714,42 @@ def test_streaming_distinct_count_hll_accuracy_and_merge(spark,
         est[r["key"]] = max(est.get(r["key"], 0.0), r["estimate"])
     assert abs(est["k1"] - 3000) / 3000 < 0.10, est
     assert abs(est["k2"] - 50) / 50 < 0.10, est
+
+
+def test_streaming_sessionize_idle_timeout_flushes(spark, tmp_path):
+    """With idle_timeout_ms, a key that goes quiet has its open
+    session flushed (emitted + state dropped) by a later batch's
+    timeout processing — no open session held forever."""
+    import time
+
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "to_in"
+    src.mkdir()
+    schema = "user_id long, ts long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    out = str(tmp_path / "to_out")
+
+    def run_once():
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (spark.readStream.schema(schema).parquet(str(src))
+             .transform(lambda df: ST.streaming_sessionize(
+                 df, gap=100, idle_timeout_ms=500))
+             .writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "to_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    write_batch([(1, 0), (1, 50)])
+    run_once()                       # opens user 1's session
+    time.sleep(2)                    # idle past the 500 ms timeout
+    write_batch([(2, 10)])           # a batch must run to fire it
+    run_once()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert (1, 1, 0, 50, 2) in got   # flushed by timeout
