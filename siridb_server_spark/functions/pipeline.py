@@ -465,14 +465,16 @@ def apply_limit(df: DataFrame, limit: int, agg_name: str,
                 types: TypeSet) -> StageResult:
     """limit(N, fn): adaptive per-series downsample
     (AGGREGATE_limit, aggregate.c:677-694). Per-series stats come
-    from an UNORDERED window over one series-hash shuffle (no sort —
-    min/max/count need no frame ordering), not a separate aggregate
-    pass: the source is scanned ONCE, and the downstream bucketed
-    groupBy's ClusteredDistribution(series, bucket) is already
-    satisfied by the window's HashPartitioning(series) (series ⊆
-    grouping keys), so no second exchange appears. Both output
-    branches (bucketed over-limit series, passthrough others) hang
-    off the same exchange, which Spark reuses (ReusedExchange).
+    from a frame-less window over one series-hash shuffle (WindowExec
+    still inserts a local sort on the partition key and buffers one
+    series at a time — acceptable: a single series fits an executor
+    by the engine's own select_points_limit), not a separate
+    aggregate pass: the source is scanned ONCE, and the downstream
+    bucketed groupBy's ClusteredDistribution(series, bucket) is
+    already satisfied by the window's HashPartitioning(series)
+    (series ⊆ grouping keys), so no second exchange appears. Both
+    output branches (bucketed over-limit series, passthrough others)
+    hang off the same exchange, which Spark reuses (ReusedExchange).
     Measured ~25% faster than the former two-scan agg+broadcast-join
     shape at sf0.1."""
     w = Window.partitionBy("series")

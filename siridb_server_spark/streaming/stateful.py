@@ -121,6 +121,60 @@ _SESSION_STATE_SCHEMA = ("session_seq long, start long, end long,"
                          " n_events long")
 
 
+def _sessionize_step(key, pdfs, state: GroupState, gap: int,
+                     idle_timeout_ms: int | None):
+    """One micro-batch of sessionization state transitions for one
+    key — module-level so the timeout/tombstone contract is unit-
+    testable with a fake GroupState (an end-to-end processing-time
+    timeout test costs minutes of wall-clock per run)."""
+    import pandas as pd
+
+    if idle_timeout_ms is not None and state.hasTimedOut:
+        seq, start, end, n = state.get
+        # tombstone: keep the seq counter so a returning key's
+        # sessions keep globally-unique (key, session_seq) pairs;
+        # no new timeout — the tombstone fires no further timers
+        state.update((seq, None, None, 0))
+        if start is not None:
+            yield pd.DataFrame(
+                [(key[0], seq, start, end, n)],
+                columns=["user_id", "session_seq", "start",
+                         "end", "n_events"])
+        return
+    seq, start, end, n = state.get if state.exists else \
+        (0, None, None, 0)
+    closed = []
+    ts_all = []
+    for pdf in pdfs:
+        if len(pdf):
+            ts_all.append(pdf["ts"])
+    if ts_all:
+        for t in sorted(pd.concat(ts_all).astype("int64")):
+            t = int(t)
+            if start is None:
+                seq, start, end, n = seq + 1, t, t, 1
+            elif t - end > gap:
+                closed.append((seq, start, end, n))
+                seq, start, end, n = seq + 1, t, t, 1
+            else:
+                end, n = max(end, t), n + 1
+    state.update((seq, start, end, n))
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)
+    if closed:
+        yield pd.DataFrame(
+            [(key[0], s, a, b, c) for s, a, b, c in closed],
+            columns=["user_id", "session_seq", "start", "end",
+                     "n_events"])
+    else:
+        yield pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "session_seq": pd.Series([], dtype="int64"),
+            "start": pd.Series([], dtype="int64"),
+            "end": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64")})
+
+
 def streaming_sessionize(stream_df: DataFrame, gap: int, *,
                          key_col: str = "user_id",
                          ts_col: str = "ts",
@@ -133,13 +187,14 @@ def streaming_sessionize(stream_df: DataFrame, gap: int, *,
     rides in state across micro-batches and restarts.
 
     ``idle_timeout_ms`` additionally closes a session whose KEY has
-    gone quiet for that much processing time (a user who never comes
-    back would otherwise hold an open session — and its state —
-    forever); the flush also DROPS the key's state, so the state
-    store tracks recently-active keys only instead of every key ever
-    seen. Eviction is processing-time (Spark's state timeout), so a
-    very late event after a flush starts a new session — the same
-    trade every session-window engine makes.
+    gone quiet for that much processing time — without it, a user
+    who never returns holds an open, never-emitted session forever.
+    The flush keeps a tiny tombstone (the session_seq counter) in
+    state so a returning key CONTINUES its numbering — emitted
+    (key, session_seq) pairs stay unique, which any upserting sink
+    depends on. Flushing is processing-time, so a very late event
+    after a flush starts a NEW session — the same trade every
+    session-window engine makes.
 
     Late events (earlier than the open session's end) extend the
     current session rather than reopening closed ones — streaming
@@ -150,49 +205,8 @@ def streaming_sessionize(stream_df: DataFrame, gap: int, *,
     n_events), session_seq 1-based per key in close order."""
 
     def fn(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        if idle_timeout_ms is not None and state.hasTimedOut:
-            seq, start, end, n = state.get
-            state.remove()
-            if start is not None:
-                yield pd.DataFrame(
-                    [(key[0], seq, start, end, n)],
-                    columns=["user_id", "session_seq", "start",
-                             "end", "n_events"])
-            return
-        seq, start, end, n = state.get if state.exists else \
-            (0, None, None, 0)
-        closed = []
-        ts_all = []
-        for pdf in pdfs:
-            if len(pdf):
-                ts_all.append(pdf["ts"])
-        if ts_all:
-            for t in sorted(pd.concat(ts_all).astype("int64")):
-                t = int(t)
-                if start is None:
-                    seq, start, end, n = seq + 1, t, t, 1
-                elif t - end > gap:
-                    closed.append((seq, start, end, n))
-                    seq, start, end, n = seq + 1, t, t, 1
-                else:
-                    end, n = max(end, t), n + 1
-        state.update((seq, start, end, n))
-        if idle_timeout_ms is not None:
-            state.setTimeoutDuration(idle_timeout_ms)
-        if closed:
-            yield pd.DataFrame(
-                [(key[0], s, a, b, c) for s, a, b, c in closed],
-                columns=["user_id", "session_seq", "start", "end",
-                         "n_events"])
-        else:
-            yield pd.DataFrame({
-                "user_id": pd.Series([], dtype="int64"),
-                "session_seq": pd.Series([], dtype="int64"),
-                "start": pd.Series([], dtype="int64"),
-                "end": pd.Series([], dtype="int64"),
-                "n_events": pd.Series([], dtype="int64")})
+        yield from _sessionize_step(key, pdfs, state, gap,
+                                    idle_timeout_ms)
 
     shaped = stream_df.select(
         F.col(key_col).cast("long").alias("user_id"),
@@ -363,13 +377,19 @@ def streaming_distinct_count(stream_df: DataFrame, *,
 
     Standard HLL: register j = max leading-zero rank of the hashed
     values routed to it; the estimate applies the bias-corrected
-    harmonic mean with linear counting in the small range. Emits
+    harmonic mean (the small-m alpha constants for b < 7) with
+    linear counting in the small range. NULL values are ignored —
+    SQL COUNT(DISTINCT) semantics. Hashing runs JVM-side
+    (``F.xxhash64``) before the stateful operator, so the hot
+    Python loop only folds pre-hashed int64s. Emits
     (key, estimate, n_registers) per touched key per batch (update
     mode)."""
-    from ..sources.xxh import xxh64
-
+    if not 4 <= b <= 18:
+        raise ValueError(f"b must be in [4, 18], got {b}")
     m = 1 << b
-    alpha = 0.7213 / (1 + 1.079 / m)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    u64 = (1 << 64) - 1
 
     def fn(key, pdfs, state: GroupState):
         import math
@@ -379,8 +399,8 @@ def streaming_distinct_count(stream_df: DataFrame, *,
         regs = bytearray(state.get[0]) if state.exists \
             else bytearray(m)
         for pdf in pdfs:
-            for v in pdf["value"]:
-                h = xxh64(str(v).encode("utf-8"))
+            for hs in pdf["h"]:
+                h = int(hs) & u64  # Spark xxhash64 is signed int64
                 j = h & (m - 1)
                 w = h >> b
                 rho = (64 - b) - w.bit_length() + 1
@@ -397,8 +417,10 @@ def streaming_distinct_count(stream_df: DataFrame, *,
                             "estimate": [round(est, 3)],
                             "n_registers": [m]})
 
-    keyed = stream_df.select(F.col(key_col).alias("key"),
-                             F.col(value_col).alias("value"))
+    keyed = (stream_df
+             .where(F.col(value_col).isNotNull())
+             .select(F.col(key_col).alias("key"),
+                     F.xxhash64(F.col(value_col)).alias("h")))
     return (keyed.groupBy("key")
             .applyInPandasWithState(
                 fn, HLL_SCHEMA, _HLL_STATE_SCHEMA, "update",

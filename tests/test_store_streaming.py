@@ -673,83 +673,62 @@ def test_optimize_sorts_shards_for_rowgroup_pruning(spark, tmp_path):
     assert st.read(spark).count() == 4
 
 
-def test_streaming_distinct_count_hll_accuracy_and_merge(spark,
-                                                         tmp_path):
-    """HLL distinct count: ~2%-class accuracy at 2^10 registers,
-    state merges across micro-batches (overlapping batches must not
-    double-count), bounded to 1 KiB per key."""
-    from siridb_server_spark.streaming import stateful as ST
+def test_sessionize_timeout_tombstone_keeps_seq(spark):
+    """State-transition contract of the idle-timeout flush, driven
+    through a fake GroupState (the end-to-end processing-time test
+    costs minutes per streaming run): the flush emits the open
+    session, leaves a seq tombstone, and a returning key CONTINUES
+    numbering — (key, session_seq) pairs stay unique."""
+    import pandas as pd
 
-    src = tmp_path / "hll_in"
-    src.mkdir()
-    schema = "key string, value string"
+    from siridb_server_spark.streaming.stateful import _sessionize_step
 
-    def write_batch(rows):
-        spark.createDataFrame(rows, schema).coalesce(1) \
-            .write.mode("append").parquet(str(src))
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self.timeouts = []
 
-    # two overlapping batches: union = 3000 distinct for k1
-    write_batch([("k1", f"v{i}") for i in range(2000)]
-                + [("k2", f"u{i}") for i in range(50)])
-    write_batch([("k1", f"v{i}") for i in range(1000, 3000)])
+        @property
+        def get(self):
+            return self._v
 
-    out = str(tmp_path / "hll_out")
+        def update(self, v):
+            self._v = v
+            self.exists = True
 
-    def sink(bdf, _bid):
-        bdf.write.mode("append").parquet(out)
+        def setTimeoutDuration(self, ms):
+            self.timeouts.append(ms)
 
-    q = (spark.readStream.schema(schema).parquet(str(src))
-         .transform(lambda df: ST.streaming_distinct_count(
-             df, b=10, key_col="key", value_col="value"))
-         .writeStream.foreachBatch(sink).outputMode("update")
-         .option("checkpointLocation", str(tmp_path / "hll_ck"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    rows = spark.read.parquet(out).collect()
-    # final estimate per key: HLL registers only grow, so the max
-    # emitted estimate is the latest (update mode emits per batch
-    # and parquet read order is not guaranteed)
-    est = {}
-    for r in rows:
-        est[r["key"]] = max(est.get(r["key"], 0.0), r["estimate"])
-    assert abs(est["k1"] - 3000) / 3000 < 0.10, est
-    assert abs(est["k2"] - 50) / 50 < 0.10, est
+    key, st = (1,), FakeState()
 
+    def step(ts_batch, timed_out=False):
+        st.hasTimedOut = timed_out
+        pdfs = ([pd.DataFrame({"ts": ts_batch})]
+                if ts_batch else [])
+        outs = list(_sessionize_step(key, iter(pdfs), st, 100, 500))
+        return (pd.concat(outs) if outs
+                else pd.DataFrame(columns=["user_id"]))
 
-def test_streaming_sessionize_idle_timeout_flushes(spark, tmp_path):
-    """With idle_timeout_ms, a key that goes quiet has its open
-    session flushed (emitted + state dropped) by a later batch's
-    timeout processing — no open session held forever."""
-    import time
-
-    from siridb_server_spark.streaming import stateful as ST
-
-    src = tmp_path / "to_in"
-    src.mkdir()
-    schema = "user_id long, ts long"
-
-    def write_batch(rows):
-        spark.createDataFrame(rows, schema).coalesce(1) \
-            .write.mode("append").parquet(str(src))
-
-    out = str(tmp_path / "to_out")
-
-    def run_once():
-        def sink(bdf, _bid):
-            bdf.write.mode("append").parquet(out)
-
-        q = (spark.readStream.schema(schema).parquet(str(src))
-             .transform(lambda df: ST.streaming_sessionize(
-                 df, gap=100, idle_timeout_ms=500))
-             .writeStream.foreachBatch(sink).outputMode("update")
-             .option("checkpointLocation", str(tmp_path / "to_ck"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination(180)
-
-    write_batch([(1, 0), (1, 50)])
-    run_once()                       # opens user 1's session
-    time.sleep(2)                    # idle past the 500 ms timeout
-    write_batch([(2, 10)])           # a batch must run to fire it
-    run_once()
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
-    assert (1, 1, 0, 50, 2) in got   # flushed by timeout
+    out1 = step([0, 50])                 # opens session 1
+    assert len(out1) == 0 and st._v == (1, 0, 50, 2)
+    out2 = step([], timed_out=True)      # idle flush
+    assert [tuple(r) for r in out2.itertuples(index=False)] == \
+        [(1, 1, 0, 50, 2)]
+    assert st._v == (1, None, None, 0)   # tombstone keeps seq
+    out3 = step([10_000, 20_000])        # returns: seq CONTINUES at 2
+    assert [tuple(r) for r in out3.itertuples(index=False)] == \
+        [(1, 2, 10_000, 10_000, 1)]
+    assert st._v == (3, 20_000, 20_000, 1)
+    # a timeout on the OPEN session 3 flushes it...
+    out4 = step([], timed_out=True)
+    assert [tuple(r) for r in out4.itertuples(index=False)] == \
+        [(1, 3, 20_000, 20_000, 1)]
+    assert st._v == (3, None, None, 0)
+    # ...and a timed-out TOMBSTONE emits nothing and stays put
+    out5 = step([], timed_out=True)
+    assert len(out5) == 0
+    assert st._v == (3, None, None, 0)
+    # timeouts were re-armed only on data batches
+    assert st.timeouts == [500, 500]
