@@ -41,6 +41,10 @@ QUERIES = sys.argv[2:] or [
 
 
 def replicate(spark: SparkSession, out: str, k: int) -> None:
+    # the events parquet has carried TIMESTAMP(NANOS) in some
+    # testdata generations — readable only with this conf (same
+    # normalization sources/testdata.py::load applies)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     """K copies with shifted keys: events gain new users (so the
     series count scales with volume), documents/embeddings gain new
     ids with perturbed content, tpch tables gain new key ranges."""

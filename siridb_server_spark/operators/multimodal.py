@@ -176,10 +176,18 @@ def _parse_ppm_raster(payload: bytes):
         return None
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields
-    if w <= 0 or h <= 0:
-        # a zero-dimension "P6" is malformed: downstream resampling
-        # would index an empty axis — treat as invalid, not a crash
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        # zero dimensions or an out-of-spec maxval: malformed —
+        # treat as invalid, not a crash or a silent misread
         return None
+    if maxval > 255:
+        # legal P6 with 2-byte big-endian samples
+        need = w * h * 6
+        raster = payload[pos:pos + need]
+        if len(raster) < need:
+            return None
+        arr16 = np.frombuffer(raster, dtype=">u2").reshape(h, w, 3)
+        return (w, h, maxval, arr16)
     need = w * h * 3
     raster = payload[pos:pos + need]
     if len(raster) < need:

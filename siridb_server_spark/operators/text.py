@@ -402,7 +402,10 @@ def tfidf_top_terms(df: DataFrame, k: int = 5,
         F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"))
-    n_sources = df.select(group_col).distinct().count()
+    # NULL groups don't count as a source (SQL COUNT(DISTINCT)
+    # semantics — keeps the idf in lockstep with the oracle)
+    n_sources = (df.where(F.col(group_col).isNotNull())
+                 .select(group_col).distinct().count())
     scored = (tf.join(dfreq, "term")
               .select("source", "term", "tf",
                       (F.round(F.col("tf")

@@ -99,9 +99,13 @@ def handle_request(engine, method: str, path: str, body,
                     tf, ef = TE.factor(t), engine.factor
                     if tf != ef and isinstance(res, dict):
                         if isinstance(stmt, N.SelectStmt):
+                            # '__timeit__' rides alongside series
+                            # lists (a list of dicts) — convert only
+                            # real point lists
                             res = {
                                 k: [[p[0] * tf // ef, p[1]] for p in v]
-                                if isinstance(v, list) else v
+                                if isinstance(v, list)
+                                and not k.startswith("__") else v
                                 for k, v in res.items()}
                         elif isinstance(stmt, N.CalcStmt) and \
                                 isinstance(res.get("calc"), int):

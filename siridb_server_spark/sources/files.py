@@ -47,13 +47,21 @@ def _to_points(df: DataFrame, tp: int, seq=None) -> DataFrame:
     # so drop them here instead of poisoning every downstream groupBy
     df = df.where(F.col("series").isNotNull()
                   & F.col("ts").isNotNull())
+    # a missing value, or one that doesn't cast to the declared type
+    # ('abc' under a numeric tp), would slip through as a NULL-valued
+    # typed point — a shape the engine/reference never produces.
+    # try_cast throughout: ANSI mode makes a plain cast THROW on the
+    # malformed row instead of letting the filter drop it
+    kind = {TP_INT: "long", TP_DOUBLE: "double",
+            TP_STRING: "string"}[tp]
+    df = df.where(val.try_cast(kind).isNotNull())
     return df.select(
         "series",
         F.col("ts").cast("long").alias("ts"),
         seq.alias("seq"),
-        (val.cast("long") if tp == TP_INT
+        (val.try_cast("long") if tp == TP_INT
          else F.lit(None).cast("long")).alias("val_int"),
-        (val.cast("double") if tp == TP_DOUBLE
+        (val.try_cast("double") if tp == TP_DOUBLE
          else F.lit(None).cast("double")).alias("val_dbl"),
         (val if tp == TP_STRING
          else F.lit(None).cast("string")).alias("val_str"),
@@ -127,11 +135,19 @@ DOCUMENTS_SCHEMA = T.StructType([
 def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """JSON-lines corpus → the documents shape every text/dedup
     operator consumes (doc_id, text, lang, source, n_chars).
-    Missing doc_id falls back to a 64-bit text hash — deterministic,
-    collision odds ~n²/2⁶⁵."""
+    Missing doc_id falls back to a UNIQUE synthetic id (text hash
+    mixed with the row's monotonic id): ids must never collide —
+    id-less duplicate texts are exactly what the dedup operators
+    exist to find, so conflating them up front would hide the
+    duplicates. The trade: synthetic ids are stable only while the
+    input file layout is (a re-read after re-partitioning renumbers;
+    corpora needing stable identity should carry doc_id)."""
     df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
     return df.select(
-        F.coalesce(F.col("doc_id"), F.xxhash64("text")).alias("doc_id"),
+        F.coalesce(F.col("doc_id"),
+                   F.xxhash64("text",
+                              F.monotonically_increasing_id()))
+        .alias("doc_id"),
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
         "lang", "source",
         F.length(F.coalesce(F.col("text"), F.lit("")))

@@ -135,12 +135,15 @@ def windowed_rollup_append(stream_df: DataFrame, group_by_ns: int, *,
     g = int(group_by_ns)
     if g % 1000:
         raise ValueError("group_by_ns must be whole microseconds")
-    ts = F.col(ts_col).cast("long")
-    # ns → µs, then the -1µs shift for right-closed semantics
-    event = F.timestamp_micros(
-        F.floor((ts - 1) / F.lit(1000)).cast("long"))
+    # ns → µs with the -1 ns shift for right-closed semantics, in
+    # exact INTEGER arithmetic: `/` on bigints is double division,
+    # and at epoch-ns magnitude (~1.6e18 > 2^53, ulp 256 ns) the
+    # -1 shift would round away, mislabeling boundary points
     df = (stream_df
-          .withColumn("_event_time", event)
+          .withColumn("_ts_l", F.col(ts_col).cast("long"))
+          .withColumn("_event_time", F.timestamp_micros(
+              F.expr("(_ts_l - 1) div 1000")))
+          .drop("_ts_l")
           .withWatermark("_event_time", watermark_delay))
     win = F.window("_event_time", f"{g // 1000} microseconds")
     return (df.groupBy(F.col(series_col).alias("series"), win)

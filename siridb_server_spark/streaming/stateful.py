@@ -252,10 +252,12 @@ def streaming_zscore_anomalies(stream_df: DataFrame, *,
 
         vals = list(state.get[0]) if state.exists else []
         out_ts, out_v, out_z = [], [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("ts")
+        # one global sort over the WHOLE micro-batch: a batch larger
+        # than one Arrow chunk would otherwise process chunks in
+        # arbitrary order, scoring early points against later ones
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts")
             for ts, v in zip(pdf["ts"], pdf["val"]):
                 n = len(vals)
                 if n >= 3:

@@ -104,3 +104,30 @@ def test_malformed_records_dropped_not_poisoning(spark, tmp_path):
     rows = [(r["series"], r["ts"], r["val_dbl"])
             for r in pts.collect()]
     assert rows == [("ok", 10, 1.5)]
+
+
+def test_non_castable_values_dropped_at_boundary(spark, tmp_path):
+    """'abc' under a numeric tp must be dropped, not stored as a
+    NULL-valued typed point."""
+    from siridb_server_spark.model import TP_DOUBLE
+    from siridb_server_spark.sources import files as FS
+
+    p = tmp_path / "pts.csv"
+    p.write_text("series,ts,value\ncpu,10,1.5\ncpu,11,abc\ncpu,,2\n")
+    df = FS.read_points_csv(spark, str(p), tp=TP_DOUBLE)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert (rows[0]["ts"], rows[0]["val_dbl"]) == (10, 1.5)
+
+
+def test_jsonl_docs_idless_duplicates_get_unique_ids(spark, tmp_path):
+    from siridb_server_spark.sources import files as FS
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"text": "same boilerplate"}\n'
+                 '{"text": "same boilerplate"}\n'
+                 '{"doc_id": 7, "text": "has id"}\n')
+    df = FS.read_documents_jsonl(spark, str(p))
+    ids = [r["doc_id"] for r in df.collect()]
+    assert len(ids) == len(set(ids)) == 3
+    assert 7 in ids

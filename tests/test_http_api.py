@@ -132,3 +132,15 @@ def test_malformed_content_length_is_400_and_closes(served):
             data += chunk
     assert b"400" in data.split(b"\r\n", 1)[0]
     assert b"Connection: close" in data or b"connection: close" in data
+
+
+def test_timeit_with_precision_option(served):
+    """'timeit select ... ' + 't': the __timeit__ entry (list of
+    dicts) must pass through unconverted while point lists scale."""
+    status, out = _post(served, "/query/sparksiri",
+                        {"q": 'timeit select * from "data"',
+                         "t": "ms"})
+    assert status == 200
+    assert "__timeit__" in out
+    assert isinstance(out["__timeit__"][0], dict)
+    assert out["data"][0][0] == 1579521271000

@@ -664,3 +664,36 @@ def test_ppm_resize_real_nearest_neighbor(spark):
     assert (row["width"], row["height"], row["n_bytes"]) == (2, 3, 29)
     assert (row["mean_r"], row["mean_g"], row["mean_b"]) == \
         (5.0, 6.0, 7.0)
+
+
+def test_ppm_16bit_and_invalid_maxval(spark):
+    """Legal P6 with maxval > 255 uses 2-byte big-endian samples —
+    decode and resize must read them, not misparse the first bytes
+    as uint8; out-of-spec maxval is invalid, not a misread."""
+    import struct
+
+    from siridb_server_spark.operators import multimodal as MM
+
+    px16 = [(1000, 2000, 3000), (3000, 2000, 1000)]
+    raster = b"".join(struct.pack(">3H", *p) for p in px16)
+    img = b"P6\n2 1\n65535\n" + raster
+    bad = b"P6\n1 1\n70000\n" + b"\x00" * 6
+    media = spark.createDataFrame(
+        [(1, "image", img, "image/ppm"),
+         (2, "image", bad, "image/ppm")], MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           MM.decode_ppm_meta(media).collect()}
+    assert (out[1]["width"], out[1]["maxval"]) == (2, 65535)
+    assert (out[1]["mean_r"], out[1]["mean_g"], out[1]["mean_b"]) \
+        == (2000.0, 2000.0, 2000.0)
+    assert out[2]["width"] is None
+    # resize keeps 16-bit samples and stays round-trippable
+    rz = MM.resize_ppm(media, 1, 1).collect()
+    r = {x["media_id"]: x for x in rz}[1]
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == \
+        (1000.0, 2000.0, 3000.0)
+    back = spark.createDataFrame(
+        [(9, "image", bytes(r["payload"]), "image/ppm")],
+        MM.MEDIA_SCHEMA)
+    meta = MM.decode_ppm_meta(back).collect()[0]
+    assert (meta["maxval"], meta["mean_r"]) == (65535, 1000.0)

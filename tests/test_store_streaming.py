@@ -732,3 +732,21 @@ def test_sessionize_timeout_tombstone_keeps_seq(spark):
     assert st._v == (3, None, None, 0)
     # timeouts were re-armed only on data batches
     assert st.timeouts == [500, 500]
+
+
+def test_windowed_rollup_append_exact_at_epoch_ns_scale(spark):
+    """The -1 ns right-closed shift must survive epoch-ns magnitude
+    (~1.6e18 > 2^53): a point exactly on a bucket boundary k·g
+    labels bucket k·g, not k·g + g. Double division would round the
+    shift away (ulp = 256 ns at that magnitude)."""
+    import pandas as pd
+
+    g = 10 ** 9  # 1 s buckets in ns
+    boundary = 1_600_000_000_000_000_000
+    df = spark.createDataFrame(
+        [("s", boundary, 1.0), ("s", boundary + 1, 2.0)],
+        "series string, ts long, value double")
+    # batch-mode replay of the streaming expression tree
+    out = ING.windowed_rollup_append(df, g)
+    got = {r["bucket_ts"]: r["cnt"] for r in out.collect()}
+    assert got == {boundary: 1, boundary + g: 1}, got
