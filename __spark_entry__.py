@@ -405,6 +405,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curation_shard_export"] = lambda spark, sf_dir: \
         CU.shard_export(load(spark, sf_dir, "documents"), n_shards=32)
 
+    q["curation_dsir"] = lambda spark, sf_dir: \
+        CU.dsir_weights(load(spark, sf_dir, "documents"),
+                        is_target=F.col("lang") == "en")
+
+    def ts_ewma(spark, sf_dir):
+        """EWMA smoothing; the entry projects each series' final
+        smoothed level (the full trajectory is pinned point-by-point
+        in pytest) — a left fold DuckDB replays via list_reduce."""
+        e = TSO.ewma(_pts_dedup(spark, sf_dir), alpha=0.25)
+        return (e.groupBy("series")
+                .agg(F.count(F.lit(1)).alias("n_points"),
+                     F.max_by("ewma", "ts").alias("_last"))
+                .select("series", "n_points",
+                        (F.round("_last", 6) + F.lit(0.0))
+                        .alias("ewma_last")))
+
+    q["ts_ewma"] = ts_ewma
+
     def text_boilerplate(spark, sf_dir):
         """C4-style boilerplate-line removal. The synthetic docs are
         single-line, so wrap each into 8-word lines first (row-local)
@@ -1677,6 +1695,41 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, CAST(skey % 32 AS INT) AS shard,"
         " CAST(row_number() OVER (PARTITION BY skey % 32"
         " ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos FROM k"
+    )
+
+    # DSIR importance weights: target = lang 'en', add-0.5 smoothing
+    # over the joint vocabulary; same float op order as the engine
+    o["curation_dsir"] = (
+        "WITH d AS (SELECT doc_id, lang = 'en' AS is_t,"
+        " list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        " x -> x <> '') AS ws"
+        " FROM documents WHERE length(trim(text)) > 0),"
+        " t AS (SELECT doc_id, is_t, unnest(ws) AS w FROM d),"
+        " ct AS (SELECT w, count(*) AS n_t FROM t WHERE is_t"
+        " GROUP BY 1),"
+        " cr AS (SELECT w, count(*) AS n_r FROM t WHERE NOT is_t"
+        " GROUP BY 1),"
+        " c AS (SELECT sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,"
+        " sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS nr,"
+        " count(DISTINCT w) AS v FROM t),"
+        " lam AS (SELECT w,"
+        " ln((coalesce(n_t, 0) + 0.5) / (nt + 0.5 * v))"
+        " - ln((coalesce(n_r, 0) + 0.5) / (nr + 0.5 * v)) AS lam"
+        " FROM ct FULL JOIN cr USING (w), c)"
+        " SELECT doc_id, count(*) AS n_tokens,"
+        " round(avg(lam), 6) + 0.0 AS dsir_logratio"
+        " FROM t JOIN lam USING (w) GROUP BY doc_id"
+    )
+
+    # EWMA final level per series: DuckDB's list_reduce replays the
+    # exact (1-a)*acc + a*x left fold over the time-ordered values
+    o["ts_ewma"] = (
+        _PD + ", l AS (SELECT series, count(*) AS n_points,"
+        " list_reduce(CAST(list(val ORDER BY ts) AS DOUBLE[]),"
+        " (acc, x) -> 0.75 * acc + 0.25 * x) AS e"
+        " FROM pd GROUP BY series)"
+        " SELECT series, n_points,"
+        " round(e, 6) + 0.0 AS ewma_last FROM l"
     )
 
     o["text_boilerplate"] = (

@@ -54,7 +54,9 @@ BENCH_QUERIES = [
     "sim_cosine_pairs",
     "sim_dup_clusters",
     "multimodal_meta",
+    "curation_dsir",
     # window time-series + corpus statistics
+    "ts_ewma",
     "ts_moving_avg",
     "ts_corr_topk",
     "ts_seasonal_anomalies",

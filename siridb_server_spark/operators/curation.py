@@ -141,6 +141,62 @@ def mix_weights(df: DataFrame, alpha: float = 0.3,
                     .alias("weight")))
 
 
+def dsir_weights(df: DataFrame, is_target: Column, k: float = 0.5,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Importance weights for data selection, DSIR-style (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): fit two smoothed bag-of-words models — one on the
+    ``is_target`` subset (the high-quality distribution you want more
+    of), one on the rest of the corpus — and score every document by
+    its per-token log likelihood ratio. Documents that look like the
+    target get positive scores; resampling ∝ exp(score·n) recovers
+    the paper's scheme.
+
+    λ_w = ln((c_t(w)+k)/(N_t+k·V)) − ln((c_r(w)+k)/(N_r+k·V)) with
+    add-k smoothing over the joint vocabulary V, so unseen-in-target
+    words are penalized, never −inf.
+
+    Scale shape: two vocabulary-sized count aggregates (map-side
+    partial combine — the shuffles carry |vocab| rows, tiny next to
+    the corpus), a 1-row constants aggregate, then ONE hash join of
+    the token stream against the λ table — AQE broadcasts the λ side
+    whenever the vocabulary fits, which at web scale (~10^7 types) it
+    does. Everything else is row-local; no Python anywhere. Float op
+    order is fixed so the oracle replays it exactly.
+    Output: (doc_id, n_tokens, dsir_logratio) — per-token mean λ in
+    nats, 6 decimals (the paper's sum = mean × n_tokens)."""
+    from .text import words
+
+    ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
+                  lambda x: x != "")
+    toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    is_target.alias("is_t"),
+                    F.explode(ws).alias("w")))
+    ct = (toks.where(F.col("is_t"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("n_t")))
+    cr = (toks.where(~F.col("is_t"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("n_r")))
+    consts = toks.agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("nr"),
+        F.countDistinct("w").alias("v"))
+    # keep the float op order fixed — the oracle replays it verbatim
+    lam = (F.log((F.coalesce(F.col("n_t"), F.lit(0)) + F.lit(k))
+                 / (F.col("nt") + F.lit(k) * F.col("v")))
+           - F.log((F.coalesce(F.col("n_r"), F.lit(0)) + F.lit(k))
+                   / (F.col("nr") + F.lit(k) * F.col("v"))))
+    lam_tbl = (ct.join(cr, "w", "full")
+               .crossJoin(F.broadcast(consts))
+               .select("w", lam.alias("lam")))
+    return (toks.join(lam_tbl, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (F.round(F.avg("lam"), 6) + F.lit(0.0))
+                 .alias("dsir_logratio")))
+
+
 def shard_export(df: DataFrame, n_shards: int = 32,
                  id_col: str = "doc_id") -> DataFrame:
     """Deterministic training-shard layout: a portable hash shuffle

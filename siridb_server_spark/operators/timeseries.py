@@ -2,11 +2,14 @@
 with linear interpolation, inactivity-gap sessionization, and
 monotonic-counter rates with reset handling.
 
-All three are single-shuffle window algebra — hash partition on the
+All are single-shuffle window algebra — hash partition on the
 series/entity key, one per-partition sort, then row-local math. No
 Python, no self-joins, no driver loops; the shapes scale linearly and
 AQE handles residual skew. (Interpolation's grid explode multiplies
 rows by ~gap/step, the same factor any gap-filling engine pays.)
+The one exception is :func:`ewma`, whose per-series recursion no
+window frame can express — it uses an Arrow-batched applyInPandas
+over the same single series-key shuffle.
 """
 
 from __future__ import annotations
@@ -327,3 +330,52 @@ def seasonal_anomalies(df: DataFrame, period_ns: int, n_buckets: int,
             .where(F.abs(F.col("_z")) > threshold)
             .select("series", "ts", "val", "phase",
                     (F.round("_z", 6) + F.lit(0.0)).alias("z")))
+
+
+def ewma(df: DataFrame, alpha: float = 0.25,
+         key_col: str = "series", ts_col: str = "ts",
+         val_col: str = "val",
+         seq_col: str | None = None) -> DataFrame:
+    """Exact exponentially-weighted moving average per series:
+    ``y_0 = x_0``, ``y_t = (1-alpha)·y_{t-1} + alpha·x_t`` — the
+    infinite-memory smoother behind EWMA alerting and rate limiters,
+    which no finite window frame can reproduce.
+
+    The recursion is inherently sequential per series, so this is one
+    of the few operators that drops to Python: ONE hash shuffle on the
+    series key, then an Arrow-batched ``applyInPandas`` doing a single
+    O(n) pass per group. State per group is one double; group size is
+    a series' length, the same bound every window operator here
+    already assumes. (At 100 TB the per-point Python loop would swap
+    for a blocked numpy scan with a carried accumulator — same op
+    order, vectorized inside fixed-size blocks.)
+
+    The float op order is pinned to ``(1-alpha)*acc + alpha*x`` so a
+    left fold in any engine (e.g. DuckDB ``list_reduce``) reproduces
+    the trajectory bit-for-bit — that exactness is what makes the
+    smoother oracle-checkable and restart-stable.
+    Output: (key, ts, ewma) per input point, raw doubles."""
+    import pandas as pd  # noqa: F401  (Arrow path)
+
+    one = 1.0 - alpha
+    a = alpha
+    sort_cols = [ts_col] + ([seq_col] if seq_col else [])
+    out_schema = f"{key_col} string, {ts_col} long, ewma double"
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[val_col].to_numpy(dtype="float64")
+        out = vals.copy()
+        acc = 0.0
+        for i in range(len(out)):
+            acc = out[i] if i == 0 else one * acc + a * out[i]
+            out[i] = acc
+        return pd.DataFrame({
+            key_col: pdf[key_col].to_numpy(),
+            ts_col: pdf[ts_col].to_numpy(),
+            "ewma": out,
+        })
+
+    cols = [key_col, ts_col, val_col] + ([seq_col] if seq_col else [])
+    return (df.select(*cols)
+            .groupBy(key_col).applyInPandas(fn, out_schema))

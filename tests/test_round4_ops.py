@@ -209,3 +209,54 @@ def test_seasonal_anomalies_phase_relative(spark):
     assert (200, 0) in flagged
     # the same value at phase 1 is perfectly normal → never flagged
     assert all(p == 0 for _t, p in flagged)
+
+
+def test_ewma_exact_recursion(spark):
+    """Point-by-point EWMA trajectory: y_0 = x_0, then
+    y = 0.75*y + 0.25*x — exact doubles, no tolerance."""
+    pts = spark.createDataFrame(
+        [("s", 1, 4.0), ("s", 2, 8.0), ("s", 3, 0.0), ("u", 5, 2.0)],
+        ["series", "ts", "val"])
+    out = {(r["series"], r["ts"]): r["ewma"]
+           for r in TSO.ewma(pts, alpha=0.25).collect()}
+    assert out[("s", 1)] == 4.0
+    assert out[("s", 2)] == 0.75 * 4.0 + 0.25 * 8.0
+    assert out[("s", 3)] == 0.75 * 5.0 + 0.25 * 0.0
+    assert out[("u", 5)] == 2.0   # first point of a series is itself
+
+
+def test_ewma_seq_tiebreak(spark):
+    """Duplicate timestamps order by seq, so the fold is
+    deterministic: (ts=1,seq=1,v=0) then (ts=1,seq=2,v=8)."""
+    pts = spark.createDataFrame(
+        [("s", 1, 2, 8.0), ("s", 1, 1, 0.0)],
+        ["series", "ts", "seq", "val"])
+    out = [r["ewma"] for r in
+           TSO.ewma(pts, alpha=0.25, seq_col="seq")
+           .orderBy("ewma").collect()]
+    assert out == [0.0, 0.75 * 0.0 + 0.25 * 8.0]
+
+
+def test_dsir_weights_hand_computed(spark):
+    """Target says 'good', raw pool says 'junk': a raw doc written
+    like the target outscores one written like the raw pool, and the
+    λ values match the add-k formula exactly."""
+    docs = spark.createDataFrame(
+        [(1, "en", "good good"), (2, "en", "good good"),
+         (3, "xx", "junk junk"), (4, "xx", "good good"),
+         (5, "xx", "junk junk")],
+        ["doc_id", "lang", "text"])
+    rows = {r["doc_id"]: r for r in CU.dsir_weights(
+        docs, is_target=F.col("lang") == "en").collect()}
+    # c_t(good)=4; c_r = {junk:4, good:2}; N_t=4 N_r=6 V=2 k=0.5
+    lam_good = math.log((4 + 0.5) / (4 + 1.0)) \
+        - math.log((2 + 0.5) / (6 + 1.0))
+    lam_junk = math.log((0 + 0.5) / (4 + 1.0)) \
+        - math.log((4 + 0.5) / (6 + 1.0))
+    assert rows[4]["dsir_logratio"] > 0 > rows[3]["dsir_logratio"]
+    assert rows[4]["dsir_logratio"] == pytest.approx(
+        round(lam_good, 6), abs=1e-9)
+    assert rows[3]["dsir_logratio"] == pytest.approx(
+        round(lam_junk, 6), abs=1e-9)
+    assert rows[1]["n_tokens"] == 2          # target docs score too
+    assert rows[1]["dsir_logratio"] == rows[4]["dsir_logratio"]
