@@ -427,3 +427,84 @@ def streaming_distinct_count(stream_df: DataFrame, *,
             .applyInPandasWithState(
                 fn, HLL_SCHEMA, _HLL_STATE_SCHEMA, "update",
                 GroupStateTimeout.NoTimeout))
+
+
+MINHASH_DEDUP_SCHEMA = "band long, bh long, doc_id long, dup_of long"
+_MINHASH_STATE_SCHEMA = "owner long, n long"
+
+
+def streaming_minhash_dedup(stream_df: DataFrame, *,
+                            num_hashes: int = 16, bands: int = 4,
+                            shingle_n: int = 3,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Streaming NEAR-duplicate detection — the streaming twin of the
+    batch ``dedup.minhash_lsh_pairs``. Each arriving document's
+    MinHash signature is banded ROW-LOCALLY (the same zero-shuffle
+    signature math as the batch operator); a stateful operator keyed
+    by (band, bucket hash) remembers each bucket's FIRST owner and
+    flags every later arrival as a candidate duplicate of it — across
+    micro-batches and across restarts (state lives in the
+    checkpoint).
+
+    State per bucket is two longs, so the store grows with
+    O(distinct documents × bands) — input volume never matters, and
+    exact duplicates all land on one owner instead of pairing
+    quadratically. Emitted rows are LSH *candidates* (a shared band
+    means estimated Jaccard is probably high); the production pattern
+    verifies them against a document store before dropping, exactly
+    like the batch operator's est_jaccard filter. A document whose
+    bands are all fresh emits nothing — it is the new owner of its
+    buckets."""
+    from ..operators.dedup import minhash_signatures
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(stream_df, num_hashes, shingle_n,
+                             text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.get("sig", i)
+                         for i in range(b * rows_per_band,
+                                        (b + 1) * rows_per_band)])
+            .alias("bh"))
+        for b in range(bands)
+    ]
+    banded = (sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+        .select(F.col("bb.band").alias("band"),
+                F.col("bb.bh").alias("bh"),
+                F.col("doc_id").cast("long").alias("doc_id")))
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        owner, n = state.get if state.exists else (None, 0)
+        dup_ids = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # ascending doc_id: deterministic owner within a batch
+            for d in sorted(int(x) for x in pdf["doc_id"]):
+                if owner is None:
+                    owner = d
+                elif d != owner:
+                    dup_ids.append(d)
+                n += 1
+        if owner is not None:
+            state.update((owner, n))
+        if not dup_ids:
+            yield pd.DataFrame(
+                {"band": [], "bh": [], "doc_id": [],
+                 "dup_of": []}).astype("int64")
+        else:
+            yield pd.DataFrame({
+                "band": [key[0]] * len(dup_ids),
+                "bh": [key[1]] * len(dup_ids),
+                "doc_id": dup_ids,
+                "dup_of": [owner] * len(dup_ids)})
+
+    return (banded.groupBy("band", "bh")
+            .applyInPandasWithState(
+                fn, MINHASH_DEDUP_SCHEMA, _MINHASH_STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))

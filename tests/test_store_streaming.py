@@ -750,3 +750,52 @@ def test_windowed_rollup_append_exact_at_epoch_ns_scale(spark):
     out = ING.windowed_rollup_append(df, g)
     got = {r["bucket_ts"]: r["cnt"] for r in out.collect()}
     assert got == {boundary: 1, boundary + g: 1}, got
+
+
+def test_streaming_minhash_near_dup_across_restart(spark, tmp_path):
+    """Streaming LSH near-dup: an exact duplicate arriving in a LATER
+    RUN is flagged against the original via checkpointed band-bucket
+    state; unrelated docs are never flagged."""
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen sleepy badgers watch from the mossy fence")
+    other = ("completely different content about spark partitions "
+             "and shuffle boundaries with no overlapping shingles "
+             "anywhere in this sentence at all honestly")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def run_once(name):
+        out = str(tmp_path / name)
+
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (ST.streaming_minhash_dedup(stream)
+             .writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    write_batch([(1, base), (2, other)])
+    first = run_once("o1")
+    # 1 and 2 share no shingles → no candidate pairs on first sight
+    assert {(r["doc_id"], r["dup_of"]) for r in first} == set()
+
+    # a later run: doc 3 duplicates doc 1 exactly (all bands collide
+    # with the state restored from the checkpoint); doc 4 is fresh
+    write_batch([(3, base), (4, "yet another unrelated doc "
+                                "full of novel words entirely")])
+    second = run_once("o2")
+    pairs = {(r["doc_id"], r["dup_of"]) for r in second}
+    assert pairs == {(3, 1)}
+    # all 4 bands agree on an exact duplicate
+    assert len(second) == 4
