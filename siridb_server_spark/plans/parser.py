@@ -74,6 +74,12 @@ class Parser:
         self.precision = precision
         self.now = TE.now_ts(precision) if now is None else now
         self.tzinfo = tzinfo
+        # positions where a folded expression / where-clause stopped
+        # consuming: cleri keeps their continuation tokens
+        # ('+ - * % /', 'and'/'or') in the expecting set when the
+        # error lands exactly there (mid-expression tail positions)
+        self._expr_open_at = -1
+        self._where_open_at = -1
 
     # ------------------------------------------------------------ low level
     def _ws(self):
@@ -127,6 +133,22 @@ class Parser:
             self._error(exp[0])
         self._error(", ".join(exp[:-1]) + " or " + exp[-1])
 
+    def _open_cont(self) -> list:
+        """Continuation tokens of partially-consumed constructs that
+        are still open alternatives at the CURRENT error position:
+        a just-finished folded expression can continue with the
+        arithmetic Tokens, a just-finished where clause with and/or.
+        cleri lists them before the outer statement's own tail
+        because the inner attempts happen first (query.c:459-559
+        walks the expect list in attempt order)."""
+        self._ws()
+        exp = []
+        if self.pos == self._expr_open_at:
+            exp.append("+ - * % /")
+        if self.pos == self._where_open_at:
+            exp += ["and", "or"]
+        return exp
+
     def _eof(self) -> bool:
         self._ws()
         return self.pos >= len(self.q)
@@ -169,6 +191,9 @@ class Parser:
                 self._token("-")
                 result -= self._expr_term(time_mode)
             else:
+                # the expression Prio's Sequence(THIS, Tokens, THIS)
+                # stays an open alternative at exactly this position
+                self._expr_open_at = self.pos
                 return result
 
     def _peek_binary_minus(self) -> bool:
@@ -197,7 +222,7 @@ class Parser:
         if self._token("("):
             v = self._expr_sum(time_mode)
             if not self._token(")"):
-                self._error("')'")
+                self._merged_error(self._open_cont() + ["')'"])
             return v
         if self._token("-"):
             return -self._expr_factor(time_mode)
@@ -216,6 +241,12 @@ class Parser:
         m = self._match(_RE_INT)
         if m:
             return int(m.group(0))
+        # the expression Prio's FIRST set in grammar order
+        # (time_expr / int_expr, ref grammar/grammar.py:227-240),
+        # token names per query.c:500-516
+        if time_mode:
+            self._error("date/time_string, now, single_quote_str, "
+                        "double_quote_str, integer or (")
         self._error("integer or (")
 
     # --------------------------------------------------------- series match
@@ -464,6 +495,8 @@ class Parser:
             elif self._keyword("or"):
                 op = "or"
             else:
+                # the where Prio's and/or sequences stay open here
+                self._where_open_at = self.pos
                 return left
             right = self._where_operand(depth, pi, ps, pt, has_type, tvals)
             left = N.WhereBool(op, left, right)
@@ -544,7 +577,8 @@ class Parser:
             timeit = self._keyword("timeit")
             stmt = self._statement()
             if not self._eof():
-                self._error("end of statement")
+                self._merged_error(
+                    self._open_cont() + ["end_of_statement"])
             return N.Query(stmt, timeit)
         except RecursionError:
             raise QueryError(
@@ -606,7 +640,7 @@ class Parser:
         elif self._keyword("between"):
             a = self._time_expr()
             if not self._keyword("and"):
-                self._error("and")
+                self._merged_error(self._open_cont() + ["and"])
             b = self._time_expr()
             if a > b:
                 raise QueryError(
@@ -635,7 +669,7 @@ class Parser:
             # in grammar order (select_stmt, grammar.py:818-831:
             # Optional(where) Optional(Choice(after, between, before,
             # tail, head)) Optional(merge_as) then end)
-            exp = []
+            exp = self._open_cont()
             if where is None and timerange is None and merge is None:
                 exp.append("where")
             if timerange is None and merge is None:
@@ -645,10 +679,7 @@ class Parser:
             elif merge.using is None:
                 exp.append("using")
             exp.append("end_of_statement")
-            if len(exp) == 1:
-                self._error(exp[0])
-            else:
-                self._error(", ".join(exp[:-1]) + " or " + exp[-1])
+            self._merged_error(exp)
         return N.SelectStmt(pipelines, match, where, timerange, merge)
 
     def _select_aggregate(self) -> N.Pipeline:
@@ -691,7 +722,8 @@ class Parser:
         branch contributes its FIRST-set tokens in grammar order,
         then end_of_statement (cleri merges open optionals the same
         way; ref query.c:459-559)."""
-        exp = [t for open_, toks in branches if open_ for t in toks]
+        exp = self._open_cont() \
+            + [t for open_, toks in branches if open_ for t in toks]
         exp.append("end_of_statement")
         self._merged_error(exp)
 

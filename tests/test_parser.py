@@ -168,10 +168,12 @@ def test_select_tail_merged_expectations():
             "where, after, between, before, tail, head, merge"
             " or end_of_statement",
         "select sum(5) from 'a' where length > 0 x":
-            "after, between, before, tail, head, merge"
-            " or end_of_statement",
+            "+ - * % /, and, or, after, between, before, tail, head,"
+            " merge or end_of_statement",
         "select sum(5) from 'a' head 1 x":
-            "merge or end_of_statement",
+            "+ - * % /, merge or end_of_statement",
+        "select sum(5) from 'a' after 1477000000 x":
+            "+ - * % /, merge or end_of_statement",
         "select sum(5) from 'a' merge as 'm' x":
             "using or end_of_statement",
         "select sum(5) from 'a' merge as 'm' using mean(5) x":
@@ -197,13 +199,13 @@ def test_list_count_tail_merged_expectations():
         "list series 'a' xx":
             "where, limit or end_of_statement",
         "list series where length > 0 xx":
-            "limit or end_of_statement",
+            "+ - * % /, and, or, limit or end_of_statement",
         "list series limit 5 xx":
-            "end_of_statement",
+            "+ - * % / or end_of_statement",
         "list users name xx":
             "where, limit or end_of_statement",
         "list users limit 2 xx":
-            "end_of_statement",
+            "+ - * % / or end_of_statement",
         "count series xx":
             "length, *, all, single_quote_str, double_quote_str, (, "
             "where or end_of_statement",
@@ -218,7 +220,7 @@ def test_list_count_tail_merged_expectations():
         "count users xx":
             "where or end_of_statement",
         "count users where name == 'iris' xx":
-            "end_of_statement",
+            "and, or or end_of_statement",
     }
     for q, exp in cases.items():
         with pytest.raises((ParseError, QueryError)) as ei:
@@ -262,3 +264,32 @@ def test_show_tail_expectations():
     # valid forms still parse
     assert parse("show").stmt.fields == []
     assert parse("show pool, uptime").stmt.fields == ["pool", "uptime"]
+
+
+def test_time_expr_mid_token_expectations():
+    """Expectation lists at positions INSIDE a time/int expression:
+    the expression Prio's FIRST set at a factor position (token
+    names per query.c:500-516), the arithmetic-Tokens continuation
+    after a complete sub-expression, and the merged and-branch in
+    'between'."""
+    cases = {
+        "select mean(1h) from 'a' after ":
+            "date/time_string, now, single_quote_str, "
+            "double_quote_str, integer or (",
+        "select mean(1h) from 'a' after 3 + ":
+            "date/time_string, now, single_quote_str, "
+            "double_quote_str, integer or (",
+        "select mean(1h) from 'a' after (3 x":
+            "+ - * % / or ')'",
+        "select sum(5) from 'a' between 3 4":
+            "+ - * % / or and",
+        "list series limit ":
+            "integer or (",
+        "5 x":
+            "+ - * % / or end_of_statement",
+    }
+    for q, exp in cases.items():
+        with pytest.raises((ParseError, QueryError)) as ei:
+            parse(q)
+        assert str(ei.value).endswith("Expecting " + exp), \
+            (q, str(ei.value))
