@@ -342,40 +342,97 @@ def ewma(df: DataFrame, alpha: float = 0.25,
     which no finite window frame can reproduce.
 
     The recursion is inherently sequential per series, so this is one
-    of the few operators that drops to Python: ONE hash shuffle on the
-    series key, then an Arrow-batched ``applyInPandas`` doing a single
-    O(n) pass per group. State per group is one double; group size is
-    a series' length, the same bound every window operator here
-    already assumes. (At 100 TB the per-point Python loop would swap
-    for a blocked numpy scan with a carried accumulator — same op
-    order, vectorized inside fixed-size blocks.)
+    of the few operators that drops to Python — but NOT to per-group
+    Python: a ``groupBy().applyInPandas`` pays function-call/frame
+    overhead per SERIES (measured ~5 s on 7.5k short series where the
+    math itself is 0.1 s). Instead: one hash repartition on the key +
+    a per-partition sort, then a ``mapInPandas`` scan whose batches
+    run pandas' C ``groupby.ewm`` kernel over MANY series at once; a
+    series split across consecutive Arrow batches is continued
+    exactly by injecting its carried level as a virtual first row
+    (y₀ = carry, y₁ = (1-a)·carry + a·x₀ — the fold's own next
+    step). Worker memory is O(series per partition) carry doubles.
 
     The float op order is pinned to ``(1-alpha)*acc + alpha*x`` so a
     left fold in any engine (e.g. DuckDB ``list_reduce``) reproduces
     the trajectory bit-for-bit — that exactness is what makes the
-    smoother oracle-checkable and restart-stable.
+    smoother oracle-checkable and restart-stable. pandas'
+    ``ewm(adjust=False)`` computes ``((1-a)·prev + a·x)/((1-a)+a)``,
+    the same IEEE sequence whenever the divisor is exactly 1.0 —
+    provable for exactly-complemented alphas (0.25, 0.5, …) and
+    verified for any alpha by a one-time 4096-point bit-equality
+    probe against the reference fold; a probe mismatch falls back to
+    the exact per-point loop (same carry injection).
     Output: (key, ts, ewma) per input point, raw doubles."""
-    import pandas as pd  # noqa: F401  (Arrow path)
+    import numpy as np
+    import pandas as pd
 
     one = 1.0 - alpha
     a = alpha
-    sort_cols = [ts_col] + ([seq_col] if seq_col else [])
-    out_schema = f"{key_col} string, {ts_col} long, ewma double"
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        vals = pdf[val_col].to_numpy(dtype="float64")
+    def _fold(vals: "np.ndarray") -> "np.ndarray":
         out = vals.copy()
         acc = 0.0
         for i in range(len(out)):
             acc = out[i] if i == 0 else one * acc + a * out[i]
             out[i] = acc
-        return pd.DataFrame({
-            key_col: pdf[key_col].to_numpy(),
-            ts_col: pdf[ts_col].to_numpy(),
-            "ewma": out,
-        })
+        return out
+
+    probe = np.sin(np.arange(4096, dtype="float64") * 0.37) * 1e3
+    vec_ok = bool(np.array_equal(
+        pd.Series(probe).ewm(alpha=alpha, adjust=False)
+        .mean().to_numpy(), _fold(probe)))
+
+    out_schema = f"{key_col} string, {ts_col} long, ewma double"
+
+    def gen(batches):
+        carry: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            held = [k for k in pd.unique(pdf[key_col]) if k in carry]
+            if held:
+                inj = pd.DataFrame({
+                    key_col: held,
+                    ts_col: np.zeros(len(held), dtype="int64"),
+                    val_col: np.array([carry[k] for k in held],
+                                      dtype="float64"),
+                    "_inj": True})
+                body = pd.concat(
+                    [inj, pdf.assign(_inj=False)], ignore_index=True)
+                # stable sort by key alone: each injected carry row
+                # lands directly BEFORE its series' (already
+                # ts-ordered) rows
+                body = body.sort_values(
+                    [key_col], kind="mergesort", ignore_index=True)
+            else:
+                body = pdf.assign(_inj=False)
+            vals = body[val_col].astype("float64")
+            if vec_ok:
+                ew = (vals.groupby(body[key_col], sort=False)
+                      .ewm(alpha=a, adjust=False).mean()
+                      .reset_index(level=0, drop=True))
+                body = body.assign(ewma=ew)
+            else:
+                parts = []
+                for _k, sub in vals.groupby(body[key_col],
+                                            sort=False):
+                    parts.append(pd.Series(
+                        _fold(sub.to_numpy()), index=sub.index))
+                body = body.assign(ewma=pd.concat(parts))
+            for k, v in body.groupby(body[key_col],
+                                     sort=False)["ewma"].last() \
+                    .items():
+                carry[k] = float(v)
+            out = body[~body["_inj"]]
+            yield pd.DataFrame({
+                key_col: out[key_col].to_numpy(),
+                ts_col: out[ts_col].to_numpy(),
+                "ewma": out["ewma"].to_numpy()})
 
     cols = [key_col, ts_col, val_col] + ([seq_col] if seq_col else [])
+    sort_cols = [key_col, ts_col] + ([seq_col] if seq_col else [])
     return (df.select(*cols)
-            .groupBy(key_col).applyInPandas(fn, out_schema))
+            .repartition(F.col(key_col))
+            .sortWithinPartitions(*sort_cols)
+            .mapInPandas(gen, out_schema))
