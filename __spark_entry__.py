@@ -1705,17 +1705,16 @@ def oracle_sql() -> dict[str, str]:
         " x -> x <> '') AS ws"
         " FROM documents WHERE length(trim(text)) > 0),"
         " t AS (SELECT doc_id, is_t, unnest(ws) AS w FROM d),"
-        " ct AS (SELECT w, count(*) AS n_t FROM t WHERE is_t"
-        " GROUP BY 1),"
-        " cr AS (SELECT w, count(*) AS n_r FROM t WHERE NOT is_t"
-        " GROUP BY 1),"
-        " c AS (SELECT sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,"
-        " sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS nr,"
-        " count(DISTINCT w) AS v FROM t),"
+        " c0 AS (SELECT w,"
+        " sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t,"
+        " sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS n_r"
+        " FROM t GROUP BY 1),"
+        " c AS (SELECT sum(n_t) AS nt, sum(n_r) AS nr,"
+        " count(*) AS v FROM c0),"
         " lam AS (SELECT w,"
-        " ln((coalesce(n_t, 0) + 0.5) / (nt + 0.5 * v))"
-        " - ln((coalesce(n_r, 0) + 0.5) / (nr + 0.5 * v)) AS lam"
-        " FROM ct FULL JOIN cr USING (w), c)"
+        " ln((n_t + 0.5) / (nt + 0.5 * v))"
+        " - ln((n_r + 0.5) / (nr + 0.5 * v)) AS lam"
+        " FROM c0, c)"
         " SELECT doc_id, count(*) AS n_tokens,"
         " round(avg(lam), 6) + 0.0 AS dsir_logratio"
         " FROM t JOIN lam USING (w) GROUP BY doc_id"

@@ -157,13 +157,16 @@ def dsir_weights(df: DataFrame, is_target: Column, k: float = 0.5,
     add-k smoothing over the joint vocabulary V, so unseen-in-target
     words are penalized, never −inf.
 
-    Scale shape: two vocabulary-sized count aggregates (map-side
-    partial combine — the shuffles carry |vocab| rows, tiny next to
-    the corpus), a 1-row constants aggregate, then ONE hash join of
-    the token stream against the λ table — AQE broadcasts the λ side
-    whenever the vocabulary fits, which at web scale (~10^7 types) it
-    does. Everything else is row-local; no Python anywhere. Float op
-    order is fixed so the oracle replays it exactly.
+    Scale shape: TWO corpus passes total. Pass 1 is one grouped
+    count over the token stream carrying both per-word counts as
+    conditional sums (map-side partial combine — the shuffle carries
+    |vocab| rows, tiny next to the corpus); the totals and the
+    vocabulary size then come from that |vocab|-row table, not from
+    the corpus. Pass 2 hash-joins the token stream against the λ
+    table — AQE broadcasts the λ side whenever the vocabulary fits,
+    which at web scale (~10^7 types) it does. Everything else is
+    row-local; no Python anywhere. Float op order is fixed so the
+    oracle replays it exactly.
     Output: (doc_id, n_tokens, dsir_logratio) — per-token mean λ in
     nats, 6 decimals (the paper's sum = mean × n_tokens)."""
     from .text import words
@@ -174,21 +177,18 @@ def dsir_weights(df: DataFrame, is_target: Column, k: float = 0.5,
             .select(F.col(id_col).alias("doc_id"),
                     is_target.alias("is_t"),
                     F.explode(ws).alias("w")))
-    ct = (toks.where(F.col("is_t"))
-          .groupBy("w").agg(F.count(F.lit(1)).alias("n_t")))
-    cr = (toks.where(~F.col("is_t"))
-          .groupBy("w").agg(F.count(F.lit(1)).alias("n_r")))
-    consts = toks.agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("nt"),
-        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("nr"),
-        F.countDistinct("w").alias("v"))
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("n_r"))
+    consts = counts.agg(
+        F.sum("n_t").alias("nt"), F.sum("n_r").alias("nr"),
+        F.count(F.lit(1)).alias("v"))
     # keep the float op order fixed — the oracle replays it verbatim
-    lam = (F.log((F.coalesce(F.col("n_t"), F.lit(0)) + F.lit(k))
+    lam = (F.log((F.col("n_t") + F.lit(k))
                  / (F.col("nt") + F.lit(k) * F.col("v")))
-           - F.log((F.coalesce(F.col("n_r"), F.lit(0)) + F.lit(k))
+           - F.log((F.col("n_r") + F.lit(k))
                    / (F.col("nr") + F.lit(k) * F.col("v"))))
-    lam_tbl = (ct.join(cr, "w", "full")
-               .crossJoin(F.broadcast(consts))
+    lam_tbl = (counts.crossJoin(F.broadcast(consts))
                .select("w", lam.alias("lam")))
     return (toks.join(lam_tbl, "w")
             .groupBy("doc_id")
