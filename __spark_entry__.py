@@ -291,6 +291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_top_ngrams"] = lambda spark, sf_dir: TX.top_ngrams(
         load(spark, sf_dir, "documents"), n=2, k=50)
 
+    q["text_approx_top_ngrams"] = lambda spark, sf_dir: \
+        TX.approx_top_ngrams(load(spark, sf_dir, "documents"),
+                             n=2, k=20)
+
     def ts_asof_join(spark, sf_dir):
         """Every purchase event joined to the most recent error event
         of the same user at-or-before it (left semantics)."""
@@ -1537,6 +1541,33 @@ def oracle_sql() -> dict[str, str]:
         " GROUP BY 1)"
         " SELECT ngram, n_occurrences FROM c"
         " ORDER BY n_occurrences DESC, ngram LIMIT 50"
+    )
+
+    # count-min heavy hitters: the md5-derived sketch hashes make the
+    # full estimate (including collision inflation) replayable in SQL
+    o["text_approx_top_ngrams"] = (
+        "WITH w AS (SELECT doc_id, string_split_regex("
+        "trim(lower(text)), '\\s+') AS ws FROM documents"
+        " WHERE length(trim(text)) > 0),"
+        " g AS (SELECT doc_id, unnest(list_transform("
+        "range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')))"
+        " AS g FROM w WHERE len(ws) >= 2),"
+        " cells AS (SELECT r, ('0x' || substr(md5("
+        "CAST(r AS VARCHAR) || '|' || g), 1, 8))::BIGINT % 4096"
+        " AS c, count(*) AS cnt"
+        " FROM g, range(0, 4) t(r) GROUP BY 1, 2),"
+        " samp AS (SELECT g FROM g WHERE ('0x' ||"
+        " substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " / 4294967296.0 < 0.25),"
+        " cand AS (SELECT g, count(*) AS s_cnt FROM samp"
+        " GROUP BY 1 ORDER BY s_cnt DESC, g LIMIT 200),"
+        " cc AS (SELECT g, r, ('0x' || substr(md5("
+        "CAST(r AS VARCHAR) || '|' || g), 1, 8))::BIGINT % 4096"
+        " AS c FROM cand, range(0, 4) t(r)),"
+        " est AS (SELECT g, min(cnt) AS est_count"
+        " FROM cc JOIN cells USING (r, c) GROUP BY 1)"
+        " SELECT g AS ngram, est_count FROM est"
+        " ORDER BY est_count DESC, g LIMIT 20"
     )
 
     # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for

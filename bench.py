@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ts_latency_quantiles",
     "text_tfidf_sources",
     "text_boilerplate",
+    "text_approx_top_ngrams",
     # event analytics
     "events_flow",
     "events_cohorts",

@@ -352,6 +352,71 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
             .limit(k))
 
 
+def _md5_cell(col: Column, seed: int, width: int) -> Column:
+    """Portable sketch hash: md5-prefix of ``"seed|gram"`` mod
+    ``width`` — bit-identical in ANSI SQL, which is what makes the
+    sketch's collision pattern (and therefore its estimates)
+    oracle-checkable. Production swap: ``xxhash64(gram, seed)`` —
+    same shape, ~10× cheaper per row."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 8), 16, 10)
+        .cast("long") % width)
+
+
+def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
+                      depth: int = 4, width: int = 4096,
+                      n_cand: int = 200, sample_frac: float = 0.25,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Approximate corpus heavy hitters: a count-min sketch plus
+    sampled candidate generation — the bounded-shuffle replacement
+    for :func:`top_ngrams` when the n-gram key space stops fitting a
+    shuffle (the swap-in that function's docstring promises).
+
+    Scale shape: the full-corpus sketch pass shuffles AT MOST
+    depth×width rows per task (map-side partial combine folds every
+    gram into the fixed cell space — corpus size never reaches the
+    exchange); candidates are counted exactly but only on a
+    deterministic md5 document sample (``sample_frac``); the
+    estimate join touches |candidates|×depth rows against the
+    depth×width sketch. Count-min never underestimates, so a true
+    heavy hitter that enters the candidate set can only rank higher,
+    never vanish; raise ``n_cand``/``sample_frac`` to tighten
+    recall, ``width`` to tighten estimates.
+    Output: (ngram, est_count) — top-k by estimate, ties broken
+    lexicographically; deterministic and engine-independent."""
+    from .curation import uniform01
+
+    ws = words(F.lower(F.trim(F.col(text_col))))
+    grams = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.col(id_col).alias("doc_id"),
+                     F.explode(_ngrams(ws, n)).alias("g")))
+
+    def cell_array(col):
+        return F.array(*[
+            F.struct(F.lit(i).cast("long").alias("r"),
+                     _md5_cell(col, i, width).alias("c"))
+            for i in range(depth)])
+
+    cells = (grams.select(F.explode(cell_array(F.col("g")))
+                          .alias("rc"))
+             .groupBy(F.col("rc.r").alias("r"),
+                      F.col("rc.c").alias("c"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    cand = (grams.where(uniform01(F.col("doc_id"))
+                        < F.lit(sample_frac))
+            .groupBy("g").agg(F.count(F.lit(1)).alias("s_cnt"))
+            .orderBy(F.desc("s_cnt"), F.asc("g")).limit(n_cand))
+    cand_cells = (cand.select(
+        "g", F.explode(cell_array(F.col("g"))).alias("rc"))
+        .select("g", F.col("rc.r").alias("r"),
+                F.col("rc.c").alias("c")))
+    est = (cells.join(F.broadcast(cand_cells), ["r", "c"])
+           .groupBy("g").agg(F.min("cnt").alias("est_count")))
+    return (est.orderBy(F.desc("est_count"), F.asc("g")).limit(k)
+            .select(F.col("g").alias("ngram"), "est_count"))
+
+
 def length_histogram(df: DataFrame, width: int = 16,
                      text_col: str = "text",
                      lang_col: str = "lang") -> DataFrame:

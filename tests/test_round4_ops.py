@@ -260,3 +260,25 @@ def test_dsir_weights_hand_computed(spark):
         round(lam_junk, 6), abs=1e-9)
     assert rows[1]["n_tokens"] == 2          # target docs score too
     assert rows[1]["dsir_logratio"] == rows[4]["dsir_logratio"]
+
+
+def test_approx_top_ngrams_matches_exact_when_collision_free(spark):
+    """Full sample + wide sketch on a tiny corpus: the count-min
+    estimate is exact and the approximate top-k equals the exact
+    census; shrinking the sketch can only INFLATE estimates."""
+    docs = spark.createDataFrame(
+        [(i, "red fox " * 5 + "blue owl " * 2) for i in range(4)]
+        + [(100, "green ant " * 3)], ["doc_id", "text"])
+    exact = TX.top_ngrams(docs, n=2, k=5).collect()
+    approx = TX.approx_top_ngrams(
+        docs, n=2, k=5, width=1 << 14, sample_frac=1.0).collect()
+    assert [(r["ngram"], r["n_occurrences"]) for r in exact] == \
+        [(r["ngram"], r["est_count"]) for r in approx]
+    # 2-cell sketch: heavy collisions — estimates never drop below
+    # the true counts (count-min one-sided error)
+    truth = {r["ngram"]: r["n_occurrences"] for r in
+             TX.top_ngrams(docs, n=2, k=100).collect()}
+    tiny = TX.approx_top_ngrams(
+        docs, n=2, k=100, width=2, sample_frac=1.0).collect()
+    assert tiny and all(
+        r["est_count"] >= truth[r["ngram"]] for r in tiny)
