@@ -865,6 +865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_moving_avg"] = lambda spark, sf_dir: TSO.moving_avg(
         _pts_dedup(spark, sf_dir), window=5)
 
+    q["ts_rolling_median"] = lambda spark, sf_dir: \
+        TSO.rolling_median(_pts_dedup(spark, sf_dir), window=7)
+
     q["ts_top_series"] = lambda spark, sf_dir: TSO.top_series(
         _pts_dedup(spark, sf_dir), k=20)
 
@@ -2107,6 +2110,15 @@ def oracle_sql() -> dict[str, str]:
         " (PARTITION BY series ORDER BY ts"
         " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0"
         " AS avg FROM pd"
+    )
+    # trailing 7-point rolling median (interpolated, like Spark's
+    # percentile) — the robust despiking twin of the moving average
+    o["ts_rolling_median"] = (
+        _PD + " SELECT series, ts,"
+        " round(quantile_cont(val, 0.5) OVER"
+        " (PARTITION BY series ORDER BY ts"
+        " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) + 0.0"
+        " AS median FROM pd"
     )
     # top-20 series by total value; totals rounded BEFORE ranking so
     # the order is insensitive to summation order, ties by name

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     # window time-series + corpus statistics
     "ts_ewma",
     "ts_moving_avg",
+    "ts_rolling_median",
     "ts_corr_topk",
     "ts_seasonal_anomalies",
     "ts_latency_quantiles",

@@ -128,6 +128,26 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def rolling_median(df: DataFrame, window: int = 7,
+                   key_col: str = "series", ts_col: str = "ts",
+                   val_col: str = "val") -> DataFrame:
+    """Trailing rolling median over the previous ``window`` points
+    (inclusive) per series — the robust despiking filter a moving
+    average can't provide (one outlier drags a mean for ``window``
+    points; a median ignores it outright).
+
+    Exact interpolated percentile over a ROWS frame on ONE series-key
+    window shuffle, JVM-side throughout — same plan shape as
+    :func:`moving_avg`, just a different frame aggregate. Output:
+    (key, ts, median), 6 decimals."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col)
+         .rowsBetween(-(window - 1), 0))
+    med = F.percentile(F.col(val_col), F.lit(0.5)).over(w)
+    return df.select(
+        F.col(key_col), F.col(ts_col),
+        (F.round(med, 6) + F.lit(0.0)).alias("median"))
+
+
 def top_series(df: DataFrame, k: int = 20,
                key_col: str = "series",
                val_col: str = "val") -> DataFrame:

@@ -282,3 +282,21 @@ def test_approx_top_ngrams_matches_exact_when_collision_free(spark):
         docs, n=2, k=100, width=2, sample_frac=1.0).collect()
     assert tiny and all(
         r["est_count"] >= truth[r["ngram"]] for r in tiny)
+
+
+def test_rolling_median_ignores_single_spike(spark):
+    """A lone outlier never moves the rolling median (window 3),
+    while a moving average would absorb it for 3 points."""
+    rows = [("s", t, 10.0) for t in range(1, 7)]
+    rows[3] = ("s", 4, 1000.0)     # spike at ts=4
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    out = {r["ts"]: r["median"] for r in
+           TSO.rolling_median(df, window=3).collect()}
+    # ts=1: [10] → 10; ts=4: [10,10,1000] → 10; ts=5: [10,1000,10]
+    # → 10; ts=6: [1000,10,10] → 10
+    assert out == {1: 10.0, 2: 10.0, 3: 10.0,
+                   4: 10.0, 5: 10.0, 6: 10.0}
+    # interpolation on an even window: [10, 1000] → 505
+    out2 = {r["ts"]: r["median"] for r in
+            TSO.rolling_median(df, window=2).collect()}
+    assert out2[5] == 505.0
