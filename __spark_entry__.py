@@ -868,6 +868,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_rolling_median"] = lambda spark, sf_dir: \
         TSO.rolling_median(_pts_dedup(spark, sf_dir), window=7)
 
+    def ts_holt_forecast(spark, sf_dir):
+        """Final Holt (level, trend) per series with ≥2 points and
+        the 5-step-ahead linear forecast off that state."""
+        h = TSO.holt_linear(_pts_dedup(spark, sf_dir))
+        last = (h.groupBy("series")
+                .agg(F.count(F.lit(1)).alias("n_points"),
+                     F.max_by(F.struct("level", "trend"), "ts")
+                     .alias("m"))
+                .where(F.col("n_points") >= 2))
+        return last.select(
+            "series", "n_points",
+            (F.round(F.col("m.level"), 6) + F.lit(0.0))
+            .alias("level"),
+            (F.round(F.col("m.trend"), 6) + F.lit(0.0))
+            .alias("trend"),
+            (F.round(F.col("m.level") + F.lit(5) * F.col("m.trend"),
+                     6) + F.lit(0.0)).alias("forecast_5"))
+
+    q["ts_holt_forecast"] = ts_holt_forecast
+
     q["ts_top_series"] = lambda spark, sf_dir: TSO.top_series(
         _pts_dedup(spark, sf_dir), k=20)
 
@@ -2111,6 +2131,33 @@ def oracle_sql() -> dict[str, str]:
         " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0"
         " AS avg FROM pd"
     )
+    # Holt level+trend: a recursive CTE replays the exact fold — the
+    # 0.25/0.75 and 0.125/0.875 literals are exactly-complemented
+    # doubles, so both engines run identical IEEE sequences
+    o["ts_holt_forecast"] = (
+        _PD.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", p AS (SELECT series, ts, val, row_number() OVER"
+        " (PARTITION BY series ORDER BY ts) AS rn FROM pd),"
+        " nn AS (SELECT series, max(rn) AS n FROM p GROUP BY 1),"
+        " it(series, i, l, b) AS ("
+        " SELECT p1.series, 2, CAST(p2.val AS DOUBLE),"
+        " CAST(p2.val - p1.val AS DOUBLE)"
+        " FROM p p1 JOIN p p2 ON p1.series = p2.series"
+        " AND p1.rn = 1 AND p2.rn = 2"
+        " UNION ALL"
+        " SELECT it.series, it.i + 1,"
+        " 0.25 * p.val + 0.75 * (it.l + it.b),"
+        " 0.125 * ((0.25 * p.val + 0.75 * (it.l + it.b)) - it.l)"
+        " + 0.875 * it.b"
+        " FROM it JOIN p ON p.series = it.series"
+        " AND p.rn = it.i + 1)"
+        " SELECT it.series, CAST(nn.n AS BIGINT) AS n_points,"
+        " round(l, 6) + 0.0 AS level,"
+        " round(b, 6) + 0.0 AS trend,"
+        " round(l + 5 * b, 6) + 0.0 AS forecast_5"
+        " FROM it JOIN nn ON nn.series = it.series AND it.i = nn.n"
+    )
+
     # trailing 7-point rolling median (interpolated, like Spark's
     # percentile) — the robust despiking twin of the moving average
     o["ts_rolling_median"] = (

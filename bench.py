@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ts_ewma",
     "ts_moving_avg",
     "ts_rolling_median",
+    "ts_holt_forecast",
     "ts_corr_topk",
     "ts_seasonal_anomalies",
     "ts_latency_quantiles",

@@ -128,6 +128,79 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def holt_linear(df: DataFrame, alpha: float = 0.25,
+                beta: float = 0.125,
+                key_col: str = "series", ts_col: str = "ts",
+                val_col: str = "val",
+                seq_col: str | None = None) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per series —
+    the forecasting step up from :func:`ewma`, which a trending
+    series defeats (a plain EWMA lags a ramp forever).
+
+    Initialization is pinned so every engine can replay it:
+    ``l_1 = x_1, b_1 = NULL``; ``l_2 = x_2, b_2 = x_2 − x_1``; then
+    ``l_t = α·x_t + (1−α)·(l + b)`` and
+    ``b_t = β·(l_t − l) + (1−β)·b``. The defaults 0.25/0.125 have
+    exactly-representable complements, so the same literals appear on
+    both sides of the oracle contract and the folds are bit-identical
+    (a recursive CTE replays them; see the ts_holt_forecast oracle).
+    An h-step forecast is ``level + h·trend`` off the last row.
+
+    Same scale shape as :func:`ewma`: hash repartition on the key +
+    partition sort, then ONE mapInPandas scan; the coupled recursion
+    runs as a per-row loop over the batch's numpy arrays with an
+    O(series-per-partition) carry dict — no per-group pandas
+    dispatch. Output: (key, ts, level, trend) per input point
+    (trend NULL on a series' first point)."""
+    import numpy as np
+    import pandas as pd
+
+    a, one_a = alpha, 1.0 - alpha
+    bt, one_b = beta, 1.0 - beta
+    out_schema = (f"{key_col} string, {ts_col} long,"
+                  " level double, trend double")
+
+    def gen(batches):
+        carry: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy()
+            vals = pdf[val_col].to_numpy(dtype="float64")
+            out_l = np.empty(len(vals))
+            out_b = np.empty(len(vals))
+            for j in range(len(vals)):
+                k, x = keys[j], vals[j]
+                st = carry.get(k)
+                if st is None:
+                    l_, b_, n = x, np.nan, 1
+                elif st[2] == 1:
+                    l_, b_, n = x, x - st[0], 2
+                else:
+                    l0, b0, n0 = st
+                    lb = l0 + b0
+                    l_ = a * x + one_a * lb
+                    b_ = bt * (l_ - l0) + one_b * b0
+                    n = n0 + 1
+                carry[k] = (l_, b_, n)
+                out_l[j] = l_
+                out_b[j] = b_
+            trend = pd.array(out_b, dtype="Float64")
+            trend[np.isnan(out_b)] = pd.NA   # first point: NULL
+            yield pd.DataFrame({
+                key_col: keys,
+                ts_col: pdf[ts_col].to_numpy(),
+                "level": out_l,
+                "trend": trend})
+
+    cols = [key_col, ts_col, val_col] + ([seq_col] if seq_col else [])
+    sort_cols = [key_col, ts_col] + ([seq_col] if seq_col else [])
+    return (df.select(*cols)
+            .repartition(F.col(key_col))
+            .sortWithinPartitions(*sort_cols)
+            .mapInPandas(gen, out_schema))
+
+
 def rolling_median(df: DataFrame, window: int = 7,
                    key_col: str = "series", ts_col: str = "ts",
                    val_col: str = "val") -> DataFrame:

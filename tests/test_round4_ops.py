@@ -300,3 +300,37 @@ def test_rolling_median_ignores_single_spike(spark):
     out2 = {r["ts"]: r["median"] for r in
             TSO.rolling_median(df, window=2).collect()}
     assert out2[5] == 505.0
+
+
+def test_holt_linear_hand_computed(spark):
+    """Pinned init (l1=x1, b1=NULL; l2=x2, b2=x2-x1) and the exact
+    update equations, checked per point."""
+    df = spark.createDataFrame(
+        [("s", 1, 10.0), ("s", 2, 12.0), ("s", 3, 20.0),
+         ("u", 9, 7.0)], ["series", "ts", "val"])
+    out = {(r["series"], r["ts"]): (r["level"], r["trend"])
+           for r in TSO.holt_linear(df).collect()}
+    assert out[("s", 1)] == (10.0, None)
+    assert out[("s", 2)] == (12.0, 2.0)
+    l3 = 0.25 * 20.0 + 0.75 * (12.0 + 2.0)
+    b3 = 0.125 * (l3 - 12.0) + 0.875 * 2.0
+    assert out[("s", 3)] == (l3, b3)
+    assert out[("u", 9)] == (7.0, None)
+
+
+def test_holt_linear_batch_boundary_carry(spark):
+    """The (level, trend) carry continues a series split across
+    Arrow batches bit-for-bit."""
+    rows = [("s", t, float((t * 7) % 13)) for t in range(1, 41)]
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    whole = {r["ts"]: (r["level"], r["trend"])
+             for r in TSO.holt_linear(df).collect()}
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   "3")
+    try:
+        split = {r["ts"]: (r["level"], r["trend"])
+                 for r in TSO.holt_linear(df).collect()}
+    finally:
+        spark.conf.unset(
+            "spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert whole == split
