@@ -888,6 +888,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_holt_forecast"] = ts_holt_forecast
 
+    q["ts_winsorize"] = lambda spark, sf_dir: \
+        TSO.winsorize(_pts_dedup(spark, sf_dir), lo=0.05, hi=0.95)
+
+    def events_coverage(spark, sf_dir):
+        """Minutes-active per user: union of 5-minute activity
+        intervals opened by each event (overlaps merge)."""
+        ev = load(spark, sf_dir, "events")
+        base = ev.select(F.col("user_id").cast("long")
+                         .alias("user_id"), epoch_ns(ev).alias("ts"))
+        return TSO.interval_coverage(base, length=300_000_000_000)
+
+    q["events_coverage"] = events_coverage
+
     q["ts_top_series"] = lambda spark, sf_dir: TSO.top_series(
         _pts_dedup(spark, sf_dir), k=20)
 
@@ -2131,6 +2144,37 @@ def oracle_sql() -> dict[str, str]:
         " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0"
         " AS avg FROM pd"
     )
+    # per-series winsorization: clip into the interpolated
+    # [p05, p95] band (quantile_cont ≡ Spark percentile)
+    o["ts_winsorize"] = (
+        _PD + ", q AS (SELECT series,"
+        " quantile_cont(val, 0.05) AS qlo,"
+        " quantile_cont(val, 0.95) AS qhi FROM pd GROUP BY 1)"
+        " SELECT series, ts, val,"
+        " round(least(greatest(val, qlo), qhi), 6) + 0.0 AS clipped"
+        " FROM pd JOIN q USING (series)"
+    )
+
+    # union-of-intervals activity coverage per user (5 min window);
+    # gap-and-island via a running max of interval ends
+    o["events_coverage"] = (
+        "WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),"
+        " f AS (SELECT user_id, ts, CASE WHEN"
+        " max(ts + 300000000000) OVER pw IS NULL OR"
+        " ts > max(ts + 300000000000) OVER pw THEN 1 ELSE 0 END"
+        " AS ni FROM e WINDOW pw AS (PARTITION BY user_id"
+        " ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND 1 PRECEDING)),"
+        " i AS (SELECT user_id, ts, sum(ni) OVER"
+        " (PARTITION BY user_id ORDER BY ts ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),"
+        " g AS (SELECT user_id, island,"
+        " max(ts + 300000000000) - min(ts) AS span FROM i"
+        " GROUP BY 1, 2)"
+        " SELECT user_id, count(*) AS n_islands,"
+        " CAST(sum(span) AS BIGINT) AS covered FROM g GROUP BY 1"
+    )
+
     # Holt level+trend: a recursive CTE replays the exact fold — the
     # 0.25/0.75 and 0.125/0.875 literals are exactly-complemented
     # doubles, so both engines run identical IEEE sequences

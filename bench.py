@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     # event analytics
     "events_flow",
     "events_cohorts",
+    "events_coverage",
     # general analytics
     "tpch_q1ish",
     "tpch_q6ish",

@@ -128,6 +128,65 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def winsorize(df: DataFrame, lo: float = 0.05, hi: float = 0.95,
+              key_col: str = "series", ts_col: str = "ts",
+              val_col: str = "val") -> DataFrame:
+    """Per-series winsorization: clip every value into its own
+    series' [p(lo), p(hi)] interpolated-percentile band — the
+    robust pre-normalization step that keeps one glitched sensor
+    reading from dominating a downstream mean/scale fit.
+
+    Two passes: a per-series percentile aggregate (|series| rows,
+    map-side partial), broadcast back onto the point stream as a
+    map-side join. All JVM. Output: (key, ts, val, clipped), 6
+    decimals on the clipped value."""
+    q = df.groupBy(key_col).agg(
+        F.percentile(F.col(val_col), F.lit(lo)).alias("_qlo"),
+        F.percentile(F.col(val_col), F.lit(hi)).alias("_qhi"))
+    clipped = F.least(F.greatest(F.col(val_col), F.col("_qlo")),
+                      F.col("_qhi"))
+    return (df.join(F.broadcast(q), key_col)
+            .select(F.col(key_col), F.col(ts_col),
+                    F.col(val_col).alias("val"),
+                    (F.round(clipped, 6) + F.lit(0.0))
+                    .alias("clipped")))
+
+
+def interval_coverage(df: DataFrame, length: int,
+                      key_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Union-of-intervals coverage per key: each event opens an
+    activity interval ``[ts, ts+length)``; overlapping intervals
+    merge, and the output is how much time each key was covered and
+    in how many disjoint activity islands — "minutes active" from
+    raw event timestamps, the quantity a naive count×length
+    over-states wherever events overlap.
+
+    Gap-and-island in one window pass: an interval starts a new
+    island when its ts clears the running max of all previous ends
+    (a window running-max — no self-join, no explode); islands then
+    reduce with one grouped aggregate. All JVM, two hash shuffles on
+    the key. Integer ns math throughout. Output:
+    (key, n_islands, covered)."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_max_end = F.max(F.col(ts_col) + length).over(w)
+    new_island = F.when(
+        prev_max_end.isNull()
+        | (F.col(ts_col) > prev_max_end), 1).otherwise(0)
+    wi = (Window.partitionBy(key_col).orderBy(ts_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    islands = (df.select(F.col(key_col), F.col(ts_col))
+               .withColumn("island",
+                           F.sum(new_island).over(wi))
+               .groupBy(key_col, "island")
+               .agg((F.max(F.col(ts_col) + length)
+                     - F.min(F.col(ts_col))).alias("span")))
+    return (islands.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum("span").alias("covered")))
+
+
 def holt_linear(df: DataFrame, alpha: float = 0.25,
                 beta: float = 0.125,
                 key_col: str = "series", ts_col: str = "ts",

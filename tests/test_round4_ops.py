@@ -334,3 +334,30 @@ def test_holt_linear_batch_boundary_carry(spark):
         spark.conf.unset(
             "spark.sql.execution.arrow.maxRecordsPerBatch")
     assert whole == split
+
+
+def test_winsorize_clips_to_series_band(spark):
+    """Values clip into each series' OWN percentile band: the spike
+    clips, normal values pass through, and another series' scale
+    never leaks in."""
+    rows = [("s", t, float(t)) for t in range(1, 20)] \
+        + [("s", 99, 1000.0)] + [("big", 1, 1e6), ("big", 2, 2e6)]
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    out = {(r["series"], r["ts"]): r["clipped"]
+           for r in TSO.winsorize(df, lo=0.05, hi=0.95).collect()}
+    assert out[("s", 99)] < 1000.0          # spike clipped
+    assert out[("s", 10)] == 10.0           # interior untouched
+    assert out[("big", 1)] >= 1e6 * 0.95    # own band, not s's
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    """Three events 10 apart with length 25 merge into ONE island
+    covering last+25-first; a far event opens a second island."""
+    df = spark.createDataFrame(
+        [(1, 0), (1, 10), (1, 20), (1, 1000), (2, 5)],
+        ["user_id", "ts"])
+    out = {r["user_id"]: (r["n_islands"], r["covered"])
+           for r in TSO.interval_coverage(
+               df, length=25, key_col="user_id").collect()}
+    assert out[1] == (2, (20 + 25 - 0) + 25)
+    assert out[2] == (1, 25)
