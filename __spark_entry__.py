@@ -742,6 +742,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_wav_decode"] = multimodal_wav_decode
 
+    def multimodal_wav_resample(spark, sf_dir):
+        """REAL linear resample to 8 kHz on hand-built PCM16 audio:
+        equal rate is identity, 4 kHz upsamples with midpoint
+        interpolation, a clip too short for one output frame and an
+        invalid payload both yield NULLs — oracle is constants."""
+        rows = [
+            (1, "audio", _wav(1, 8000, [(0,), (100,), (200,),
+                                        (300,)]), "audio/wav"),
+            (2, "audio", _wav(1, 4000, [(0,), (100,)]), "audio/wav"),
+            (3, "audio", _wav(2, 44100, [(1000, -1000),
+                                         (1000, -1000)]),
+             "audio/wav"),
+            (4, "audio", b"RIFFxxxx", "application/octet-stream"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.resample_wav(media, 8000).drop("payload")
+
+    q["multimodal_wav_resample"] = multimodal_wav_resample
+
     # --- general analytics (TPC-H style; broadcast-join shape)
     def tpch_q1ish(spark, sf_dir):
         li = load(spark, sf_dir, "lineitem")
@@ -2087,6 +2106,19 @@ def oracle_sql() -> dict[str, str]:
         " CAST(100.0 AS DOUBLE) AS rms"
         " UNION ALL SELECT 2, 2, 44100, 16, 2, 0.000045, 1000.0"
         " UNION ALL SELECT 3, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
+
+    # linear resample to 8 kHz: identity / midpoint-interpolated
+    # upsample / too-short clip → NULLs / invalid → NULLs;
+    # rms(id1) = sqrt((0²+100²+200²+300²)/4) = sqrt(35000)
+    o["multimodal_wav_resample"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id, CAST(8000 AS BIGINT)"
+        " AS sample_rate, CAST(4 AS BIGINT) AS n_samples,"
+        " CAST(52 AS BIGINT) AS n_bytes,"
+        " CAST(187.082869 AS DOUBLE) AS rms"
+        " UNION ALL SELECT 2, 8000, 4, 52, 75.0"
+        " UNION ALL SELECT 3, NULL, NULL, NULL, NULL"
+        " UNION ALL SELECT 4, NULL, NULL, NULL, NULL"
     )
     o["tpch_q1ish"] = (
         "SELECT l_returnflag, l_linestatus,"

@@ -238,9 +238,9 @@ WAV_META_SCHEMA = T.StructType([
 ])
 
 
-def _parse_wav(payload: bytes):
-    """RIFF/WAVE with PCM16 'fmt ' + 'data' chunks. Returns
-    (channels, rate, bits, n_samples, duration, rms) or None."""
+def _parse_wav_pcm(payload: bytes):
+    """RIFF/WAVE chunk walk for PCM16: returns (channels, rate,
+    interleaved int16 samples ndarray) or None."""
     import struct
 
     import numpy as np
@@ -265,10 +265,22 @@ def _parse_wav(payload: bytes):
         return None
     samples = np.frombuffer(
         data[:len(data) - len(data) % (2 * channels)], dtype="<i2")
+    return (channels, rate, samples)
+
+
+def _parse_wav(payload: bytes):
+    """RIFF/WAVE with PCM16 'fmt ' + 'data' chunks. Returns
+    (channels, rate, bits, n_samples, duration, rms) or None."""
+    import numpy as np
+
+    parsed = _parse_wav_pcm(payload)
+    if parsed is None:
+        return None
+    channels, rate, samples = parsed
     n = len(samples) // channels
     rms = float(np.sqrt(np.mean(samples.astype("float64") ** 2))) \
         if len(samples) else 0.0
-    return (channels, rate, bits, n, round(n / rate, 6),
+    return (channels, rate, 16, n, round(n / rate, 6),
             round(rms, 6))
 
 
@@ -340,3 +352,73 @@ def resize_ppm(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 rows, columns=[f.name for f in PPM_RESIZE_SCHEMA])
 
     return media.mapInPandas(run, schema=PPM_RESIZE_SCHEMA)
+
+
+WAV_RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+])
+
+
+def resample_wav(media: DataFrame, out_rate: int) -> DataFrame:
+    """REAL linear-interpolation resample for RIFF/PCM16 payloads —
+    the library-free counterpart of a stubbed codec transcoder.
+    Output frame ``i`` sits at source position ``i·rate/out_rate``;
+    each channel interpolates ``s0·(1−f) + s1·f`` between the two
+    neighbouring source frames (last frame clamps), rounds
+    half-to-even back to int16, and re-encodes a valid PCM16 WAV at
+    ``out_rate`` (``n_out = n·out_rate // rate`` frames). One
+    vectorized numpy pass per clip, Arrow-batched through
+    mapInPandas — row-local, a pure map at any corpus size. Invalid
+    payloads yield NULLs (kept, not dropped). Output: (media_id,
+    sample_rate, n_samples, payload, n_bytes, rms of the resampled
+    int16 stream, 6 decimals)."""
+    import struct
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_wav_pcm(p if p is not None else b"")
+                if parsed is None:
+                    rows.append((int(mid),) + (None,) * 5)
+                    continue
+                channels, rate, samples = parsed
+                n = len(samples) // channels
+                frames = samples[:n * channels] \
+                    .reshape(n, channels).astype("float64")
+                n_out = (n * out_rate) // rate
+                if n == 0 or n_out == 0:
+                    rows.append((int(mid),) + (None,) * 5)
+                    continue
+                pos = np.arange(n_out, dtype="float64") \
+                    * rate / out_rate
+                i0 = np.floor(pos).astype("int64")
+                frac = (pos - i0)[:, None]
+                i1 = np.minimum(i0 + 1, n - 1)
+                y = frames[i0] * (1.0 - frac) + frames[i1] * frac
+                out = np.clip(np.round(y), -32768, 32767) \
+                    .astype("<i2")
+                data = out.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, channels, out_rate,
+                                  out_rate * channels * 2,
+                                  channels * 2, 16)
+                body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+                    + b"data" + struct.pack("<I", len(data)) + data
+                payload = b"RIFF" + struct.pack("<I", 4 + len(body)) \
+                    + b"WAVE" + body
+                flat = out.astype("float64").ravel()
+                rms = round(float(np.sqrt(np.mean(flat ** 2))), 6)
+                rows.append((int(mid), out_rate, int(n_out), payload,
+                             len(payload), rms))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_RESAMPLE_SCHEMA])
+
+    return media.mapInPandas(run, schema=WAV_RESAMPLE_SCHEMA)

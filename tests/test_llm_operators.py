@@ -697,3 +697,42 @@ def test_ppm_16bit_and_invalid_maxval(spark):
         MM.MEDIA_SCHEMA)
     meta = MM.decode_ppm_meta(back).collect()[0]
     assert (meta["maxval"], meta["mean_r"]) == (65535, 1000.0)
+
+
+def test_wav_resample_roundtrip_and_interpolation(spark):
+    """Linear resample: the emitted payload is itself a valid WAV
+    that re-decodes to the resampled stream; upsampling interpolates
+    midpoints, downsampling by 2 keeps every other frame."""
+    import struct
+
+    from siridb_server_spark.operators import multimodal as MM
+
+    def wav(channels, rate, frames):
+        data = b"".join(struct.pack("<h", s)
+                        for f in frames for s in f)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * 2, channels * 2, 16)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+            + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) \
+            + b"WAVE" + body
+
+    media = spark.createDataFrame(
+        [(1, "audio", wav(1, 8000, [(0,), (100,), (200,), (300,)]),
+          "audio/wav"),
+         (2, "audio", wav(1, 4000, [(0,), (100,)]), "audio/wav")],
+        MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           MM.resample_wav(media, 4000).collect()}
+    # 8000→4000: every other frame
+    d1 = MM._parse_wav_pcm(bytes(out[1]["payload"]))
+    assert d1[1] == 4000 and list(d1[2]) == [0, 200]
+    assert out[1]["rms"] == round(((0 + 200 ** 2) / 2) ** 0.5, 6)
+    # 4000→4000: identity
+    d2 = MM._parse_wav_pcm(bytes(out[2]["payload"]))
+    assert list(d2[2]) == [0, 100]
+    # 4000→8000 upsample: midpoints appear
+    up = {r["media_id"]: r for r in
+          MM.resample_wav(media, 8000).collect()}
+    d2u = MM._parse_wav_pcm(bytes(up[2]["payload"]))
+    assert list(d2u[2]) == [0, 50, 100, 100]
