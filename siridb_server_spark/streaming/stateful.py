@@ -508,3 +508,52 @@ def streaming_minhash_dedup(stream_df: DataFrame, *,
             .applyInPandasWithState(
                 fn, MINHASH_DEDUP_SCHEMA, _MINHASH_STATE_SCHEMA,
                 "update", GroupStateTimeout.NoTimeout))
+
+
+EWMA_SCHEMA = "series string, ts long, ewma double"
+_EWMA_STATE_SCHEMA = "level double, n long"
+
+
+def streaming_ewma(stream_df: DataFrame, *, alpha: float = 0.25,
+                   series_col: str = "series", ts_col: str = "ts",
+                   val_col: str = "val") -> DataFrame:
+    """Streaming twin of ``timeseries.ewma``: the smoothed level
+    rides in ONE double of checkpointed state per series, carried
+    across micro-batches and restarts. The op order is the same
+    pinned ``(1-alpha)·acc + alpha·x`` fold as the batch operator,
+    so on the same point order the streaming trajectory is
+    bit-identical to the batch one (pinned by test) — the property
+    that lets a live smoother and a backfill job agree exactly.
+
+    In-batch points process in ts order. State is O(1) per series —
+    input volume never matters. Output (append mode — every row is
+    final): each point with its smoothed level."""
+    one, a = 1.0 - alpha, alpha
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        level, n = state.get if state.exists else (0.0, 0)
+        out_ts, out_v = [], []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["val"]):
+                x = float(v)
+                level = x if n == 0 else one * level + a * x
+                n += 1
+                out_ts.append(int(ts))
+                out_v.append(level)
+        state.update((level, n))
+        yield pd.DataFrame({
+            "series": [key[0]] * len(out_ts), "ts": out_ts,
+            "ewma": out_v})
+
+    shaped = stream_df.select(
+        F.col(series_col).cast("string").alias("series"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(val_col).cast("double").alias("val"))
+    return (shaped.groupBy("series")
+            .applyInPandasWithState(
+                fn, EWMA_SCHEMA, _EWMA_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

@@ -799,3 +799,47 @@ def test_streaming_minhash_near_dup_across_restart(spark, tmp_path):
     assert pairs == {(3, 1)}
     # all 4 bands agree on an exact duplicate
     assert len(second) == 4
+
+
+def test_streaming_ewma_matches_batch_across_restart(spark, tmp_path):
+    """The streaming EWMA trajectory equals the batch operator's
+    bit-for-bit, including across a checkpoint restart between
+    micro-batches — live smoothing and backfill agree exactly."""
+    from siridb_server_spark.operators import timeseries as TSO
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "series string, ts long, val double"
+    b1 = [("a", 1, 4.0), ("a", 2, 8.0), ("b", 1, 1.0)]
+    b2 = [("a", 3, 0.0), ("b", 2, 5.0)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def run_once(name):
+        out = str(tmp_path / name)
+
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (ST.streaming_ewma(stream)
+             .writeStream.foreachBatch(sink).outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["series"], r["ts"]): r["ewma"]
+                for r in spark.read.parquet(out).collect()}
+
+    write_batch(b1)
+    run_once("out_ewma")
+    write_batch(b2)
+    got = run_once("out_ewma")   # restart with restored state;
+                                 # same sink dir accumulates both runs
+
+    batch_df = spark.createDataFrame(b1 + b2, schema)
+    want = {(r["series"], r["ts"]): r["ewma"]
+            for r in TSO.ewma(batch_df).collect()}
+    assert got == want
