@@ -1607,8 +1607,8 @@ def oracle_sql() -> dict[str, str]:
         " g AS (SELECT doc_id, unnest(list_transform("
         "range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')))"
         " AS g FROM w WHERE len(ws) >= 2),"
-        " cells AS (SELECT r, ('0x' || substr(md5("
-        "CAST(r AS VARCHAR) || '|' || g), 1, 8))::BIGINT % 4096"
+        " cells AS (SELECT r, ('0x' || substr(md5(g),"
+        " CAST(1 + 8 * r AS INT), 8))::BIGINT % 4096"
         " AS c, count(*) AS cnt"
         " FROM g, range(0, 4) t(r) GROUP BY 1, 2),"
         " samp AS (SELECT g FROM g WHERE ('0x' ||"
@@ -1616,8 +1616,8 @@ def oracle_sql() -> dict[str, str]:
         " / 4294967296.0 < 0.25),"
         " cand AS (SELECT g, count(*) AS s_cnt FROM samp"
         " GROUP BY 1 ORDER BY s_cnt DESC, g LIMIT 200),"
-        " cc AS (SELECT g, r, ('0x' || substr(md5("
-        "CAST(r AS VARCHAR) || '|' || g), 1, 8))::BIGINT % 4096"
+        " cc AS (SELECT g, r, ('0x' || substr(md5(g),"
+        " CAST(1 + 8 * r AS INT), 8))::BIGINT % 4096"
         " AS c FROM cand, range(0, 4) t(r)),"
         " est AS (SELECT g, min(cnt) AS est_count"
         " FROM cc JOIN cells USING (r, c) GROUP BY 1)"

@@ -352,15 +352,16 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
             .limit(k))
 
 
-def _md5_cell(col: Column, seed: int, width: int) -> Column:
-    """Portable sketch hash: md5-prefix of ``"seed|gram"`` mod
-    ``width`` — bit-identical in ANSI SQL, which is what makes the
-    sketch's collision pattern (and therefore its estimates)
-    oracle-checkable. Production swap: ``xxhash64(gram, seed)`` —
-    same shape, ~10× cheaper per row."""
-    return (F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 8), 16, 10)
-        .cast("long") % width)
+def _md5_cell(md5_col: Column, row: int, width: int) -> Column:
+    """Portable sketch hash: the ``row``-th 8-hex-digit slice of ONE
+    md5 per gram, mod ``width`` — 32 hex chars give four independent
+    32-bit hashes for the price of one digest, and the value is
+    bit-identical in ANSI SQL, which is what makes the sketch's
+    collision pattern (and therefore its estimates)
+    oracle-checkable. Production swap: ``xxhash64(gram, row)`` —
+    same shape, cheaper still."""
+    return (F.conv(F.substring(md5_col, 1 + 8 * row, 8), 16, 10)
+            .cast("long") % width)
 
 
 def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
@@ -392,10 +393,14 @@ def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
              .select(F.col(id_col).alias("doc_id"),
                      F.explode(_ngrams(ws, n)).alias("g")))
 
+    if depth > 4:
+        raise ValueError("depth > 4 needs more than one md5 digest")
+
     def cell_array(col):
+        m = F.md5(col)
         return F.array(*[
             F.struct(F.lit(i).cast("long").alias("r"),
-                     _md5_cell(col, i, width).alias("c"))
+                     _md5_cell(m, i, width).alias("c"))
             for i in range(depth)])
 
     cells = (grams.select(F.explode(cell_array(F.col("g")))
