@@ -216,7 +216,8 @@ def holt_linear(df: DataFrame, alpha: float = 0.25,
 
     a, one_a = alpha, 1.0 - alpha
     bt, one_b = beta, 1.0 - beta
-    out_schema = (f"{key_col} string, {ts_col} long,"
+    key_tp = dict(df.dtypes)[key_col]   # keep the caller's key type
+    out_schema = (f"{key_col} {key_tp}, {ts_col} long,"
                   " level double, trend double")
 
     def gen(batches):
@@ -535,7 +536,8 @@ def ewma(df: DataFrame, alpha: float = 0.25,
         pd.Series(probe).ewm(alpha=alpha, adjust=False)
         .mean().to_numpy(), _fold(probe)))
 
-    out_schema = f"{key_col} string, {ts_col} long, ewma double"
+    key_tp = dict(df.dtypes)[key_col]   # keep the caller's key type
+    out_schema = f"{key_col} {key_tp}, {ts_col} long, ewma double"
 
     def gen(batches):
         carry: dict = {}

@@ -481,16 +481,17 @@ def streaming_minhash_dedup(stream_df: DataFrame, *,
 
         owner, n = state.get if state.exists else (None, 0)
         dup_ids = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # ascending doc_id: deterministic owner within a batch
-            for d in sorted(int(x) for x in pdf["doc_id"]):
-                if owner is None:
-                    owner = d
-                elif d != owner:
-                    dup_ids.append(d)
-                n += 1
+        # collect ALL chunks first, then one sort: a batch that spans
+        # several Arrow chunks must still pick the batch-global
+        # minimum as owner, or reruns with different chunking would
+        # emit different (doc_id, dup_of) pairs
+        ids = [int(x) for pdf in pdfs for x in pdf["doc_id"]]
+        for d in sorted(ids):
+            if owner is None:
+                owner = d
+            elif d != owner:
+                dup_ids.append(d)
+            n += 1
         if owner is not None:
             state.update((owner, n))
         if not dup_ids:
@@ -516,7 +517,8 @@ _EWMA_STATE_SCHEMA = "level double, n long"
 
 def streaming_ewma(stream_df: DataFrame, *, alpha: float = 0.25,
                    series_col: str = "series", ts_col: str = "ts",
-                   val_col: str = "val") -> DataFrame:
+                   val_col: str = "val",
+                   seq_col: str | None = None) -> DataFrame:
     """Streaming twin of ``timeseries.ewma``: the smoothed level
     rides in ONE double of checkpointed state per series, carried
     across micro-batches and restarts. The op order is the same
@@ -524,11 +526,16 @@ def streaming_ewma(stream_df: DataFrame, *, alpha: float = 0.25,
     so on the same point order the streaming trajectory is
     bit-identical to the batch one (pinned by test) — the property
     that lets a live smoother and a backfill job agree exactly.
+    "Same point order" is the caller's contract: feed timestamps
+    unique per series, or pass ``seq_col`` so duplicate timestamps
+    fold in a deterministic (ts, seq) order on both sides.
 
-    In-batch points process in ts order. State is O(1) per series —
-    input volume never matters. Output (append mode — every row is
-    final): each point with its smoothed level."""
+    In-batch points process in (ts[, seq]) order, stable-sorted
+    across all of the batch's Arrow chunks. State is O(1) per
+    series — input volume never matters. Output (append mode —
+    every row is final): each point with its smoothed level."""
     one, a = 1.0 - alpha, alpha
+    sort_cols = ["ts"] + (["seq"] if seq_col else [])
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -537,7 +544,8 @@ def streaming_ewma(stream_df: DataFrame, *, alpha: float = 0.25,
         out_ts, out_v = [], []
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks).sort_values("ts")
+            pdf = pd.concat(chunks).sort_values(
+                sort_cols, kind="mergesort")
             for ts, v in zip(pdf["ts"], pdf["val"]):
                 x = float(v)
                 level = x if n == 0 else one * level + a * x
@@ -549,11 +557,13 @@ def streaming_ewma(stream_df: DataFrame, *, alpha: float = 0.25,
             "series": [key[0]] * len(out_ts), "ts": out_ts,
             "ewma": out_v})
 
-    shaped = stream_df.select(
+    cols = [
         F.col(series_col).cast("string").alias("series"),
         F.col(ts_col).cast("long").alias("ts"),
-        F.col(val_col).cast("double").alias("val"))
-    return (shaped.groupBy("series")
+        F.col(val_col).cast("double").alias("val"),
+    ] + ([F.col(seq_col).cast("long").alias("seq")]
+         if seq_col else [])
+    return (stream_df.select(*cols).groupBy("series")
             .applyInPandasWithState(
                 fn, EWMA_SCHEMA, _EWMA_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))

@@ -361,3 +361,14 @@ def test_interval_coverage_merges_overlaps(spark):
                df, length=25, key_col="user_id").collect()}
     assert out[1] == (2, (20 + 25 - 0) + 25)
     assert out[2] == (1, 25)
+
+
+def test_ewma_and_holt_keep_nonstring_key_type(spark):
+    """The output schema preserves the caller's key column type —
+    integer series IDs must not crash the Arrow conversion."""
+    pts = spark.createDataFrame(
+        [(7, 1, 4.0), (7, 2, 8.0)], ["series", "ts", "val"])
+    e = TSO.ewma(pts, alpha=0.25).collect()
+    assert {r["series"] for r in e} == {7}
+    h = TSO.holt_linear(pts).collect()
+    assert {r["series"] for r in h} == {7}
