@@ -295,6 +295,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TX.approx_top_ngrams(load(spark, sf_dir, "documents"),
                              n=2, k=20)
 
+    q["text_chunking"] = lambda spark, sf_dir: \
+        TX.chunk_documents(load(spark, sf_dir, "documents"),
+                           chunk_tokens=64, overlap=16)
+
+    q["sim_label_centroids"] = lambda spark, sf_dir: \
+        SIM.label_centroid_dims(load(spark, sf_dir, "embeddings"))
+
     def ts_asof_join(spark, sf_dir):
         """Every purchase event joined to the most recent error event
         of the same user at-or-before it (left semantics)."""
@@ -1623,6 +1630,35 @@ def oracle_sql() -> dict[str, str]:
         " FROM cc JOIN cells USING (r, c) GROUP BY 1)"
         " SELECT g AS ngram, est_count FROM est"
         " ORDER BY est_count DESC, g LIMIT 20"
+    )
+
+    # sliding-window chunking: chunk i = tokens [i·48, i·48+64);
+    # n_chunks = max(1, ceil((n−16)/48)) so short docs chunk once
+    o["text_chunking"] = (
+        "WITH d AS (SELECT doc_id, list_filter(string_split_regex("
+        "trim(lower(text)), '\\s+'), x -> x <> '') AS ws"
+        " FROM documents WHERE length(trim(text)) > 0),"
+        " d2 AS (SELECT doc_id, ws, len(ws) AS n FROM d"
+        " WHERE len(ws) > 0),"
+        " c AS (SELECT doc_id, ws, unnest(range(0, greatest(1,"
+        " CAST(ceil((n - 16) / 48.0) AS BIGINT)))) AS chunk_id"
+        " FROM d2)"
+        " SELECT doc_id, chunk_id,"
+        " array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64],"
+        " ' ') AS chunk_text,"
+        " CAST(len(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64])"
+        " AS BIGINT) AS n_tokens FROM c"
+    )
+
+    # per-label mean-pooled centroids in long (label, dim) form
+    o["sim_label_centroids"] = (
+        "WITH x AS (SELECT label,"
+        " unnest(range(len(embedding))) AS dim,"
+        " unnest(embedding) AS v FROM embeddings)"
+        " SELECT label, CAST(dim AS BIGINT) AS dim,"
+        " count(*) AS n_vectors,"
+        " round(avg(v), 6) + 0.0 AS centroid"
+        " FROM x GROUP BY 1, 2"
     )
 
     # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for

@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "text_tfidf_sources",
     "text_boilerplate",
     "text_approx_top_ngrams",
+    "text_chunking",
+    "sim_label_centroids",
     # event analytics
     "events_flow",
     "events_cohorts",

@@ -513,3 +513,24 @@ def l2_topk_exact(emb: DataFrame, query_vec, k: int = 10,
                        (F.round(d, 6) + F.lit(0.0)).alias("d2"))
             .orderBy(F.asc("d2"), F.asc(id_col))
             .limit(k))
+
+
+def label_centroid_dims(emb: DataFrame, vec_col: str = "embedding",
+                        label_col: str = "label") -> DataFrame:
+    """Per-label embedding centroids in LONG form: one row per
+    (label, dimension) with the mean coordinate — the mean-pooling
+    pass behind cluster summaries, class prototypes, and drift
+    monitors, in the layout that scales to arbitrary vector width
+    (a wide array column would force whole-vector aggregation
+    buffers; long form partial-aggregates per dimension map-side).
+
+    One posexplode (row-local) + one groupBy carrying
+    |labels|×dims rows through the shuffle. Output: (label, dim,
+    n_vectors, centroid), 6 decimals."""
+    return (emb.select(F.col(label_col).alias("label"),
+                       F.posexplode(F.col(vec_col))
+                       .alias("dim", "x"))
+            .groupBy("label", F.col("dim").cast("long").alias("dim"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 (F.round(F.avg("x"), 6) + F.lit(0.0))
+                 .alias("centroid")))

@@ -352,6 +352,50 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
             .limit(k))
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-prep
+    pass that turns long documents into overlapping fixed-size token
+    windows. Chunk ``i`` covers tokens ``[i·stride, i·stride +
+    chunk_tokens)`` with ``stride = chunk_tokens − overlap``; the
+    final window is the last one that still starts inside the
+    document, so every token lands in ≥1 chunk and no empty chunks
+    are emitted.
+
+    Entirely row-local (split → sequence → transform → explode —
+    fuses into the scan, zero shuffles, a pure map at any corpus
+    size); output rows multiply by ~len/stride, the factor any
+    chunker pays. Output: (doc_id, chunk_id, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
+                  lambda x: x != "")
+    n = F.size("ws")
+    # one chunk per stride of NEW tokens; a doc shorter than the
+    # overlap still yields its single (short) chunk
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("long"))
+    chunk = F.explode(F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice("ws", i * stride + 1,
+                    chunk_tokens).alias("toks"))))
+    return (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+            .where(n > 0)
+            .select("doc_id", chunk.alias("c"))
+            .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                    F.array_join(F.col("c.toks"), " ")
+                    .alias("chunk_text"),
+                    F.size(F.col("c.toks")).cast("long")
+                    .alias("n_tokens")))
+
+
 def _md5_cell(md5_col: Column, row: int, width: int) -> Column:
     """Portable sketch hash: the ``row``-th 8-hex-digit slice of ONE
     md5 per gram, mod ``width`` — 32 hex chars give four independent

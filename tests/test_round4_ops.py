@@ -372,3 +372,36 @@ def test_ewma_and_holt_keep_nonstring_key_type(spark):
     assert {r["series"] for r in e} == {7}
     h = TSO.holt_linear(pts).collect()
     assert {r["series"] for r in h} == {7}
+
+
+def test_chunk_documents_windows_and_short_doc(spark):
+    """Chunk layout: stride = chunk−overlap windows, last window
+    only if it adds new tokens; short docs yield one chunk."""
+    text10 = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text10), (2, "a b"), (3, "  ")], ["doc_id", "text"])
+    out = {(r["doc_id"], r["chunk_id"]):
+           (r["chunk_text"], r["n_tokens"]) for r in
+           TX.chunk_documents(docs, chunk_tokens=4, overlap=2)
+           .collect()}
+    # doc 1: stride 2 → chunks at 0,2,4,6,8 → ceil((10-2)/2)=4
+    # chunks 0..3 cover tokens 0..9 (last = [6,10))
+    ids = sorted(k for k in out if k[0] == 1)
+    assert [i for _, i in ids] == [0, 1, 2, 3]
+    assert out[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(1, 3)] == ("w6 w7 w8 w9", 4)
+    # doc 2 shorter than overlap: exactly one (short) chunk
+    assert out[(2, 0)] == ("a b", 2)
+    assert (3, 0) not in out            # blank doc emits nothing
+
+
+def test_label_centroid_dims_mean_pooling(spark):
+    from siridb_server_spark.operators import similarity as SIM
+    emb = spark.createDataFrame(
+        [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [9.0, 9.0], 1)],
+        ["vec_id", "embedding", "label"])
+    out = {(r["label"], r["dim"]): (r["n_vectors"], r["centroid"])
+           for r in SIM.label_centroid_dims(emb).collect()}
+    assert out[(0, 0)] == (2, 2.0)
+    assert out[(0, 1)] == (2, 4.0)
+    assert out[(1, 1)] == (1, 9.0)
