@@ -917,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_winsorize"] = lambda spark, sf_dir: \
         TSO.winsorize(_pts_dedup(spark, sf_dir), lo=0.05, hi=0.95)
 
+    q["ts_mad"] = lambda spark, sf_dir: \
+        TSO.robust_scale(_pts_dedup(spark, sf_dir))
+
     def events_coverage(spark, sf_dir):
         """Minutes-active per user: union of 5-minute activity
         intervals opened by each event (overlaps merge)."""
@@ -2212,6 +2215,18 @@ def oracle_sql() -> dict[str, str]:
         " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0"
         " AS avg FROM pd"
     )
+    # median/MAD robust location+scale per series
+    o["ts_mad"] = (
+        _PD + ", m AS (SELECT series,"
+        " quantile_cont(val, 0.5) AS med,"
+        " count(*) AS n_points FROM pd GROUP BY 1),"
+        " d AS (SELECT pd.series, m.med, m.n_points,"
+        " abs(pd.val - m.med) AS dv FROM pd JOIN m USING (series))"
+        " SELECT series, n_points, round(med, 6) + 0.0 AS med,"
+        " round(quantile_cont(dv, 0.5), 6) + 0.0 AS mad"
+        " FROM d GROUP BY series, n_points, med"
+    )
+
     # per-series winsorization: clip into the interpolated
     # [p05, p95] band (quantile_cont ≡ Spark percentile)
     o["ts_winsorize"] = (

@@ -128,6 +128,31 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def robust_scale(df: DataFrame, key_col: str = "series",
+                 val_col: str = "val") -> DataFrame:
+    """Median/MAD per series: location = interpolated median, scale
+    = median absolute deviation around it — the outlier-immune
+    counterpart of mean/stddev for normalizing series before
+    cross-series comparison (one glitch reading moves a stddev; it
+    cannot move a MAD).
+
+    Two grouped percentile passes: per-series medians (|series|
+    rows) broadcast back onto the point stream, then the median of
+    |x − med|. All JVM, two key shuffles + one map-side join.
+    Output: (key, n_points, med, mad), 6 decimals."""
+    med = df.groupBy(key_col).agg(
+        F.percentile(F.col(val_col), F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n_points"))
+    dev = (df.join(F.broadcast(med), key_col)
+           .select(F.col(key_col), "_med", "n_points",
+                   F.abs(F.col(val_col) - F.col("_med")).alias("_d")))
+    return (dev.groupBy(key_col, "_med", "n_points")
+            .agg(F.percentile(F.col("_d"), F.lit(0.5)).alias("_mad"))
+            .select(F.col(key_col), "n_points",
+                    (F.round("_med", 6) + F.lit(0.0)).alias("med"),
+                    (F.round("_mad", 6) + F.lit(0.0)).alias("mad")))
+
+
 def winsorize(df: DataFrame, lo: float = 0.05, hi: float = 0.95,
               key_col: str = "series", ts_col: str = "ts",
               val_col: str = "val") -> DataFrame:

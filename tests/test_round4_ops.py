@@ -405,3 +405,17 @@ def test_label_centroid_dims_mean_pooling(spark):
     assert out[(0, 0)] == (2, 2.0)
     assert out[(0, 1)] == (2, 4.0)
     assert out[(1, 1)] == (1, 9.0)
+
+
+def test_robust_scale_outlier_immune(spark):
+    """One huge outlier must not move the MAD (it WOULD move a
+    stddev by orders of magnitude)."""
+    clean = [("s", t, 10.0 + (t % 3)) for t in range(9)]
+    df1 = spark.createDataFrame(clean, ["series", "ts", "val"])
+    df2 = spark.createDataFrame(
+        clean[:-1] + [("s", 99, 1e9)], ["series", "ts", "val"])
+    r1 = TSO.robust_scale(df1).collect()[0]
+    r2 = TSO.robust_scale(df2).collect()[0]
+    assert r1["med"] == 11.0 and r2["med"] == 11.0
+    assert abs(r1["mad"] - r2["mad"]) <= 1.0   # scale barely moves
+    assert r2["n_points"] == 9
