@@ -920,6 +920,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_mad"] = lambda spark, sf_dir: \
         TSO.robust_scale(_pts_dedup(spark, sf_dir))
 
+    def events_funnel_steps(spark, sf_dir):
+        """Ordered 3-step funnel view → click → purchase: how many
+        users reach each step with strict time ordering."""
+        ev = load(spark, sf_dir, "events")
+        base = ev.select(F.col("user_id").cast("long")
+                         .alias("user_id"),
+                         epoch_ns(ev).alias("ts"), "event_type")
+        per_user = TSO.funnel_steps(
+            base, ["view", "click", "purchase"])
+        return per_user.agg(
+            F.count("t1").alias("step1_users"),
+            F.count("t2").alias("step2_users"),
+            F.count("t3").alias("step3_users"))
+
+    q["events_funnel_steps"] = events_funnel_steps
+
     def events_coverage(spark, sf_dir):
         """Minutes-active per user: union of 5-minute activity
         intervals opened by each event (overlaps merge)."""
@@ -2215,6 +2231,25 @@ def oracle_sql() -> dict[str, str]:
         " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0"
         " AS avg FROM pd"
     )
+    # ordered 3-step funnel with strict inter-step ordering
+    o["events_funnel_steps"] = (
+        "WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type"
+        " FROM events),"
+        " u1 AS (SELECT user_id, min(CASE WHEN event_type = 'view'"
+        " THEN ts END) AS t1 FROM e GROUP BY 1),"
+        " u2 AS (SELECT e.user_id, u1.t1,"
+        " min(CASE WHEN event_type = 'click' AND e.ts > u1.t1"
+        " THEN e.ts END) AS t2"
+        " FROM e JOIN u1 USING (user_id) GROUP BY 1, 2),"
+        " u3 AS (SELECT e.user_id, u2.t1, u2.t2,"
+        " min(CASE WHEN event_type = 'purchase' AND e.ts > u2.t2"
+        " THEN e.ts END) AS t3"
+        " FROM e JOIN u2 USING (user_id) GROUP BY 1, 2, 3)"
+        " SELECT count(t1) AS step1_users,"
+        " count(t2) AS step2_users,"
+        " count(t3) AS step3_users FROM u3"
+    )
+
     # median/MAD robust location+scale per series
     o["ts_mad"] = (
         _PD + ", m AS (SELECT series,"

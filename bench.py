@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "events_flow",
     "events_cohorts",
     "events_coverage",
+    "events_funnel_steps",
     # general analytics
     "tpch_q1ish",
     "tpch_q6ish",

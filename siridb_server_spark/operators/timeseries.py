@@ -128,6 +128,36 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def funnel_steps(df: DataFrame, steps: list,
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered k-step funnel: per key, the earliest timestamp at
+    which each step completes given every previous step completed
+    STRICTLY earlier (view → click → purchase, in that order —
+    a click before the first view doesn't count). The k=2 special
+    case is the conversion funnel; this generalizes to any k.
+
+    Shape: k chained whole-partition window minima over ONE hash
+    shuffle on the key — every window and the final per-key collapse
+    share the same partitioning, so Catalyst plans a single
+    exchange; no self-joins and no per-step corpus passes. Output:
+    one row per key with (t1..tk), NULL from the first broken step
+    onward."""
+    w = Window.partitionBy(key_col)
+    out = df.select(key_col, ts_col, type_col)
+    prev = None
+    for i, s in enumerate(steps, 1):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        out = out.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = f"t{i}"
+    return out.groupBy(key_col).agg(*[
+        F.min(f"t{i}").alias(f"t{i}")
+        for i in range(1, len(steps) + 1)])
+
+
 def robust_scale(df: DataFrame, key_col: str = "series",
                  val_col: str = "val") -> DataFrame:
     """Median/MAD per series: location = interpolated median, scale

@@ -419,3 +419,23 @@ def test_robust_scale_outlier_immune(spark):
     assert r1["med"] == 11.0 and r2["med"] == 11.0
     assert abs(r1["mad"] - r2["mad"]) <= 1.0   # scale barely moves
     assert r2["n_points"] == 9
+
+
+def test_funnel_steps_strict_ordering(spark):
+    """A later-step event BEFORE an earlier step never counts, and
+    the chain breaks NULL-forward from the first missing step."""
+    rows = [
+        # u1 completes in order: view@1 click@2 purchase@3
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        # u2's click precedes its first view → chain stops at t1
+        (2, 5, "click"), (2, 6, "view"),
+        # u3 has click after view but purchase BEFORE the click
+        (3, 1, "view"), (3, 4, "click"), (3, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: (r["t1"], r["t2"], r["t3"]) for r in
+           TSO.funnel_steps(df, ["view", "click", "purchase"])
+           .collect()}
+    assert out[1] == (1, 2, 3)
+    assert out[2] == (6, None, None)
+    assert out[3] == (1, 4, None)
