@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda spark, sf_dir: D.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents").where(F.col("doc_id") < 300),
         threshold=0.8)
+
+    q["dedup_cross_source"] = lambda spark, sf_dir: \
+        D.cross_source_dup_rates(
+            load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 300), threshold=0.8)
     def _prop(name: str, df_count: DataFrame) -> DataFrame:
         return df_count.agg(
             F.lit(name).alias("prop"),
@@ -1362,6 +1367,20 @@ def oracle_sql() -> dict[str, str]:
     # duplicate-cluster resolution: connected components (min label
     # reachable over the undirected near-dup graph) via recursive CTE
     _JP = o["dedup_ngram_jaccard"]
+
+    # cross-source duplication matrix over the same exact-Jaccard
+    # pairs; undirected source key ordered lexicographically
+    o["dedup_cross_source"] = (
+        "WITH pairs AS (" + _JP + "),"
+        " s AS (SELECT doc_id, source FROM documents)"
+        " SELECT least(sa.source, sb.source) AS source_a,"
+        " greatest(sa.source, sb.source) AS source_b,"
+        " count(*) AS n_pairs,"
+        " round(sum(jaccard), 6) + 0.0 AS sum_jaccard"
+        " FROM pairs JOIN s sa ON pairs.id_a = sa.doc_id"
+        " JOIN s sb ON pairs.id_b = sb.doc_id GROUP BY 1, 2"
+    )
+
     o["dedup_resolve"] = (
         "WITH RECURSIVE pairs AS (" + _JP + "),"
         " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"

@@ -207,6 +207,40 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
     )
 
 
+def cross_source_dup_rates(df: DataFrame, threshold: float = 0.8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           group_col: str = "source") -> DataFrame:
+    """Which sources duplicate each other: the exact Jaccard
+    near-dup pairs rolled up into a source×source duplication
+    matrix — the curation report that says which feeds to
+    de-prioritize (or drop) before training, and whether a "new"
+    source is mostly recycled content from an old one.
+
+    Cost is the pair join's (:func:`ngram_jaccard_pairs`); the
+    rollup adds two broadcast joins of the |docs|-row (id, source)
+    table and one groupBy over ≤|sources|² keys. Pairs are
+    undirected, so the (source_a, source_b) key is ordered
+    lexicographically and each pair counts once. Output:
+    (source_a, source_b, n_pairs, sum_jaccard) — the mean is
+    sum/n; the SUM is reported because summed 1e-6-grid pair scores
+    round reproducibly across engines, while their mean lands on
+    exact rounding boundaries (1/n fractions)."""
+    pairs = ngram_jaccard_pairs(df, threshold, text_col, id_col)
+    src = df.select(F.col(id_col), F.col(group_col))
+    ga = src.select(F.col(id_col).alias("id_a"),
+                    F.col(group_col).alias("_ga"))
+    gb = src.select(F.col(id_col).alias("id_b"),
+                    F.col(group_col).alias("_gb"))
+    return (pairs.join(F.broadcast(ga), "id_a")
+            .join(F.broadcast(gb), "id_b")
+            .groupBy(F.least("_ga", "_gb").alias("source_a"),
+                     F.greatest("_ga", "_gb").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 (F.round(F.sum("jaccard"), 6) + F.lit(0.0))
+                 .alias("sum_jaccard")))
+
+
 def shingles(text_col: str, n: int = 3):
     """n-word shingle array column."""
     w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")

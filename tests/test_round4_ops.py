@@ -439,3 +439,21 @@ def test_funnel_steps_strict_ordering(spark):
     assert out[1] == (1, 2, 3)
     assert out[2] == (6, None, None)
     assert out[3] == (1, 4, None)
+
+
+def test_cross_source_dup_rates(spark):
+    """Near-dup pairs roll up into an ordered source-pair matrix."""
+    from siridb_server_spark.operators import dedup as D
+    text = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, text, "feedB"), (2, text, "feedA"),
+         (3, text, "feedA"), (4, "totally different words here",
+          "feedC")],
+        ["doc_id", "text", "source"])
+    out = {(r["source_a"], r["source_b"]):
+           (r["n_pairs"], r["sum_jaccard"]) for r in
+           D.cross_source_dup_rates(docs, threshold=0.8).collect()}
+    # pairs (1,2) (1,3) cross feedA/feedB; (2,3) inside feedA
+    assert out[("feedA", "feedB")] == (2, 2.0)
+    assert out[("feedA", "feedA")] == (1, 1.0)
+    assert ("feedC", "feedC") not in out
