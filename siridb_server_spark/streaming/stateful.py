@@ -567,3 +567,75 @@ def streaming_ewma(stream_df: DataFrame, *, alpha: float = 0.25,
             .applyInPandasWithState(
                 fn, EWMA_SCHEMA, _EWMA_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+HOLT_SCHEMA = ("series string, ts long, level double,"
+               " trend double, forecast_1 double")
+_HOLT_STATE_SCHEMA = "level double, trend double, n long"
+
+
+def streaming_holt(stream_df: DataFrame, *, alpha: float = 0.25,
+                   beta: float = 0.125,
+                   series_col: str = "series", ts_col: str = "ts",
+                   val_col: str = "val",
+                   seq_col: str | None = None) -> DataFrame:
+    """Streaming twin of ``timeseries.holt_linear``: (level, trend)
+    ride in two doubles of checkpointed state per series, updated
+    with the batch operator's exact pinned equations and init
+    (l₁=x₁, b₁=NULL; l₂=x₂, b₂=x₂−x₁) — so a live forecaster and a
+    backfill job agree bit-for-bit on the same point order (pinned
+    by test). Each emitted row carries the one-step-ahead forecast
+    ``level + trend`` — the value an alerting rule compares the NEXT
+    arrival against.
+
+    Points fold in (ts[, seq]) order, stable-sorted across the
+    batch's Arrow chunks; pass ``seq_col`` if duplicate timestamps
+    are possible. State is O(1) per series. Output (append mode):
+    every point with (level, trend, forecast_1); trend/forecast are
+    NULL on a series' first point."""
+    a, one_a = alpha, 1.0 - alpha
+    bt, one_b = beta, 1.0 - beta
+    sort_cols = ["ts"] + (["seq"] if seq_col else [])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        level, trend, n = state.get if state.exists \
+            else (0.0, 0.0, 0)
+        out = {"ts": [], "level": [], "trend": [], "forecast_1": []}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(
+                sort_cols, kind="mergesort")
+            for ts, v in zip(pdf["ts"], pdf["val"]):
+                x = float(v)
+                if n == 0:
+                    level, trend = x, 0.0
+                elif n == 1:
+                    level, trend = x, x - level
+                else:
+                    prev = level
+                    level = a * x + one_a * (level + trend)
+                    trend = bt * (level - prev) + one_b * trend
+                n += 1
+                out["ts"].append(int(ts))
+                out["level"].append(level)
+                has_b = n >= 2
+                out["trend"].append(trend if has_b else None)
+                out["forecast_1"].append(
+                    level + trend if has_b else None)
+        state.update((level, trend, n))
+        import pandas as pd
+        return iter([pd.DataFrame({
+            "series": [key[0]] * len(out["ts"]), **out})])
+
+    cols = [
+        F.col(series_col).cast("string").alias("series"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(val_col).cast("double").alias("val"),
+    ] + ([F.col(seq_col).cast("long").alias("seq")]
+         if seq_col else [])
+    return (stream_df.select(*cols).groupBy("series")
+            .applyInPandasWithState(
+                fn, HOLT_SCHEMA, _HOLT_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

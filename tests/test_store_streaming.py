@@ -843,3 +843,51 @@ def test_streaming_ewma_matches_batch_across_restart(spark, tmp_path):
     want = {(r["series"], r["ts"]): r["ewma"]
             for r in TSO.ewma(batch_df).collect()}
     assert got == want
+
+
+def test_streaming_holt_matches_batch_across_restart(spark, tmp_path):
+    """The streaming Holt (level, trend) trajectory equals the batch
+    operator's bit-for-bit across a checkpoint restart, and each row
+    carries the one-step forecast level + trend."""
+    from siridb_server_spark.operators import timeseries as TSO
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "series string, ts long, val double"
+    b1 = [("a", 1, 10.0), ("a", 2, 12.0), ("b", 1, 1.0)]
+    b2 = [("a", 3, 20.0), ("b", 2, 5.0)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def run_once():
+        out = str(tmp_path / "out_holt")
+
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (ST.streaming_holt(stream)
+             .writeStream.foreachBatch(sink).outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["series"], r["ts"]):
+                (r["level"], r["trend"], r["forecast_1"])
+                for r in spark.read.parquet(out).collect()}
+
+    write_batch(b1)
+    run_once()
+    write_batch(b2)
+    got = run_once()
+
+    batch = {(r["series"], r["ts"]): (r["level"], r["trend"])
+             for r in TSO.holt_linear(
+                 spark.createDataFrame(b1 + b2, schema)).collect()}
+    assert set(got) == set(batch)
+    for k, (lv, tr) in batch.items():
+        glv, gtr, gf = got[k]
+        assert glv == lv and gtr == tr
+        assert gf == (None if tr is None else lv + tr)
