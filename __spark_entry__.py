@@ -243,6 +243,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_resolve"] = dedup_resolve
 
+    def dedup_resolve_quality(spark, sf_dir):
+        """Keep the LONGEST member of each near-dup cluster (ties →
+        smaller id) — the policy-aware canonicalization."""
+        docs = load(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 300)
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+        return D.resolve_duplicates_by(docs, pairs, "n_chars")
+
+    q["dedup_resolve_quality"] = dedup_resolve_quality
+
     q["dedup_spans"] = lambda spark, sf_dir: D.duplicate_spans(
         load(spark, sf_dir, "documents"), k=10)
 
@@ -1379,6 +1389,31 @@ def oracle_sql() -> dict[str, str]:
         " round(sum(jaccard), 6) + 0.0 AS sum_jaccard"
         " FROM pairs JOIN s sa ON pairs.id_a = sa.doc_id"
         " JOIN s sb ON pairs.id_b = sb.doc_id GROUP BY 1, 2"
+    )
+
+    # policy-aware resolution: same recursive-CTE components, winner
+    # = max n_chars then min id per component
+    o["dedup_resolve_quality"] = (
+        "WITH RECURSIVE pairs AS (" + _JP + "),"
+        " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs),"
+        " walk(node, comp) AS ("
+        " SELECT a, a FROM edges"
+        " UNION"
+        " SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node),"
+        " cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY 1),"
+        " d AS (SELECT doc_id, n_chars FROM documents"
+        " WHERE doc_id < 300),"
+        " wc AS (SELECT d.doc_id, d.n_chars,"
+        " coalesce(cc.comp, d.doc_id) AS comp"
+        " FROM d LEFT JOIN cc ON d.doc_id = cc.node),"
+        " win AS (SELECT comp, doc_id AS keep_id FROM"
+        " (SELECT comp, doc_id, row_number() OVER"
+        " (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn"
+        " FROM wc) WHERE rn = 1)"
+        " SELECT wc.doc_id, win.keep_id,"
+        " wc.doc_id = win.keep_id AS is_kept"
+        " FROM wc JOIN win USING (comp)"
     )
 
     o["dedup_resolve"] = (

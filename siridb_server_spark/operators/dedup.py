@@ -496,6 +496,39 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame,
                         F.col("doc_id") == F.col("keep_id")))
 
 
+def resolve_duplicates_by(df: DataFrame, pairs: DataFrame,
+                          score_col: str,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Policy-aware keep-one-per-cluster dedup: the representative
+    is the cluster member with the HIGHEST ``score_col`` (quality
+    score, length, recency — whatever the pipeline optimizes),
+    ties broken toward the smaller id; singletons keep themselves.
+    ``resolve_duplicates`` is the min-id special case — this is what
+    production pipelines actually want, because the first-crawled
+    copy is often the worst one.
+
+    Same connected-components machinery; picking winners adds one
+    ``max_by(id, (score, −id))`` aggregate per component and a hash
+    join back on the component id — both carry |docs| rows, nothing
+    quadratic. Output: (doc_id, keep_id, is_kept)."""
+    comp = connected_components(pairs)
+    scored = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(score_col).alias("_s"))
+    withc = (scored.join(comp, F.col("doc_id") == F.col("node"),
+                         "left")
+             .select("doc_id", "_s",
+                     F.coalesce("comp", F.col("doc_id"))
+                     .alias("comp")))
+    winners = withc.groupBy("comp").agg(
+        F.max_by("doc_id",
+                 F.struct(F.col("_s"), -F.col("doc_id")))
+        .alias("keep_id"))
+    return (withc.join(winners, "comp")
+            .select("doc_id", "keep_id",
+                    (F.col("doc_id") == F.col("keep_id"))
+                    .alias("is_kept")))
+
+
 def _simhash_vote_arrow():
     """Arrow-batched majority vote: token hashes (computed JVM-side
     with xxhash64) arrive as one array column per doc; the per-bit

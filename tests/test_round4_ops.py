@@ -457,3 +457,21 @@ def test_cross_source_dup_rates(spark):
     assert out[("feedA", "feedB")] == (2, 2.0)
     assert out[("feedA", "feedA")] == (1, 1.0)
     assert ("feedC", "feedC") not in out
+
+
+def test_resolve_duplicates_by_highest_score(spark):
+    """The cluster keeps its highest-scoring member (ties → smaller
+    id); singletons keep themselves."""
+    from siridb_server_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0)],
+        ["doc_id", "score"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["id_a", "id_b"])   # {1,2,3} one cluster
+    out = {r["doc_id"]: (r["keep_id"], r["is_kept"]) for r in
+           D.resolve_duplicates_by(docs, pairs, "score").collect()}
+    # 2 and 3 tie at 9.0 → smaller id 2 wins
+    assert out[1] == (2, False)
+    assert out[2] == (2, True)
+    assert out[3] == (2, False)
+    assert out[4] == (4, True)                # singleton
