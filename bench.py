@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_contamination",
     "dedup_spans",
+    "dedup_cross_source",
     "ts_asof_join",
     "ts_range_join",
     "ts_resample_interp",
@@ -63,6 +64,8 @@ BENCH_QUERIES = [
     "ts_corr_topk",
     "ts_seasonal_anomalies",
     "ts_latency_quantiles",
+    "ts_mad",
+    "ts_winsorize",
     "text_tfidf_sources",
     "text_boilerplate",
     "text_approx_top_ngrams",
