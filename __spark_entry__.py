@@ -935,6 +935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_mad"] = lambda spark, sf_dir: \
         TSO.robust_scale(_pts_dedup(spark, sf_dir))
 
+    q["ts_linear_trend"] = lambda spark, sf_dir: \
+        TSO.linear_trend(_pts_dedup(spark, sf_dir))
+
     def events_funnel_steps(spark, sf_dir):
         """Ordered 3-step funnel view → click → purchase: how many
         users reach each step with strict time ordering."""
@@ -2302,6 +2305,29 @@ def oracle_sql() -> dict[str, str]:
         " SELECT count(t1) AS step1_users,"
         " count(t2) AS step2_users,"
         " count(t3) AS step3_users FROM u3"
+    )
+
+    # per-series OLS trend: five sums, time re-based per series
+    # before squaring; NULL slope on zero time-variance
+    o["ts_linear_trend"] = (
+        _PD + ", b AS (SELECT series,"
+        " (ts - min(ts) OVER (PARTITION BY series)) / 1e9 AS x,"
+        " val AS y FROM pd),"
+        " a AS (SELECT series, count(*) AS n_points,"
+        " sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,"
+        " sum(x * x) AS sxx, sum(y * y) AS syy FROM b GROUP BY 1)"
+        " SELECT series, n_points,"
+        " round((sxy - sx * sy / n_points)"
+        " / nullif(sxx - sx * sx / n_points, 0), 6) + 0.0"
+        " AS slope_per_s,"
+        " round((sy - ((sxy - sx * sy / n_points)"
+        " / nullif(sxx - sx * sx / n_points, 0)) * sx)"
+        " / n_points, 6) + 0.0 AS intercept,"
+        " round((sxy - sx * sy / n_points)"
+        " * (sxy - sx * sy / n_points)"
+        " / nullif((sxx - sx * sx / n_points)"
+        " * (syy - sy * sy / n_points), 0), 6) + 0.0 AS r2"
+        " FROM a"
     )
 
     # median/MAD robust location+scale per series

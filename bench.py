@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "ts_seasonal_anomalies",
     "ts_latency_quantiles",
     "ts_mad",
+    "ts_linear_trend",
     "ts_winsorize",
     "text_tfidf_sources",
     "text_boilerplate",

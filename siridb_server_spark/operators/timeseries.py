@@ -128,6 +128,47 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def linear_trend(df: DataFrame, key_col: str = "series",
+                 ts_col: str = "ts",
+                 val_col: str = "val") -> DataFrame:
+    """Per-series ordinary-least-squares trend line: slope (per
+    second), intercept at the series' first timestamp, and R² — the
+    "is this metric drifting, and how fast" answer a single EWMA
+    level can't give.
+
+    Closed form from five sums over ONE hash shuffle: a
+    whole-partition min re-bases time per series and the groupBy
+    reuses the same partitioning; slope = cov(x,y)/var(x) with
+    x = (ts − min_ts)/1e9 s. Time is re-based BEFORE squaring — ns
+    epochs are ~1.7e18 and x² would otherwise burn double
+    precision. Series with <2 points or zero time-variance report
+    NULL slope. Output: (key, n_points, slope_per_s, intercept,
+    r2), 6 decimals."""
+    x = (F.col(ts_col) -
+         F.min(ts_col).over(Window.partitionBy(key_col))) \
+        / F.lit(1e9)
+    base = df.select(F.col(key_col), x.alias("x"),
+                     F.col(val_col).cast("double").alias("y"))
+    agg = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n_points")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = F.try_divide(cov, varx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.try_divide(cov * cov, varx * vary)
+    return agg.select(
+        F.col(key_col), "n_points",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope_per_s"),
+        (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"))
+
+
 def funnel_steps(df: DataFrame, steps: list,
                  key_col: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type") -> DataFrame:

@@ -475,3 +475,19 @@ def test_resolve_duplicates_by_highest_score(spark):
     assert out[2] == (2, True)
     assert out[3] == (2, False)
     assert out[4] == (4, True)                # singleton
+
+
+def test_linear_trend_exact_line_and_degenerate(spark):
+    """A perfect line recovers its slope/intercept with R²=1; a
+    single point and a zero-time-variance series yield NULL slope."""
+    ns = 1_000_000_000
+    rows = [("s", t * ns, 3.0 + 2.0 * t) for t in range(5)] \
+        + [("one", 7 * ns, 9.0)] \
+        + [("flat", 5 * ns, 1.0), ("flat", 5 * ns, 2.0)]
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    out = {r["series"]: r for r in TSO.linear_trend(df).collect()}
+    assert out["s"]["slope_per_s"] == 2.0
+    assert out["s"]["intercept"] == 3.0
+    assert out["s"]["r2"] == 1.0
+    assert out["one"]["slope_per_s"] is None
+    assert out["flat"]["slope_per_s"] is None
