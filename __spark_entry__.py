@@ -938,6 +938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_linear_trend"] = lambda spark, sf_dir: \
         TSO.linear_trend(_pts_dedup(spark, sf_dir))
 
+    q["ts_level_shifts"] = lambda spark, sf_dir: \
+        TSO.level_shifts(_pts_dedup(spark, sf_dir),
+                         window=10, threshold=2.0)
+
     def events_funnel_steps(spark, sf_dir):
         """Ordered 3-step funnel view → click → purchase: how many
         users reach each step with strict time ordering."""
@@ -2305,6 +2309,25 @@ def oracle_sql() -> dict[str, str]:
         " SELECT count(t1) AS step1_users,"
         " count(t2) AS step2_users,"
         " count(t3) AS step3_users FROM u3"
+    )
+
+    # level-shift detection: two ROWS frames, full windows required
+    o["ts_level_shifts"] = (
+        _PD + ", f AS (SELECT series, ts,"
+        " count(val) OVER pre AS np, count(val) OVER post AS nq,"
+        " avg(val) OVER pre AS pre_mean,"
+        " stddev_samp(val) OVER pre AS pre_std,"
+        " avg(val) OVER post AS post_mean FROM pd"
+        " WINDOW pre AS (PARTITION BY series ORDER BY ts"
+        " ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),"
+        " post AS (PARTITION BY series ORDER BY ts"
+        " ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)),"
+        " g AS (SELECT series, ts, pre_mean, post_mean,"
+        " (post_mean - pre_mean) / nullif(pre_std, 0) AS z"
+        " FROM f WHERE np = 10 AND nq = 10 AND pre_std > 0)"
+        " SELECT series, ts, round(pre_mean, 6) + 0.0 AS pre_mean,"
+        " round(post_mean, 6) + 0.0 AS post_mean,"
+        " round(z, 6) + 0.0 AS shift_z FROM g WHERE abs(z) > 2.0"
     )
 
     # per-series OLS trend: five sums, time re-based per series

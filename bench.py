@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "ts_latency_quantiles",
     "ts_mad",
     "ts_linear_trend",
+    "ts_level_shifts",
     "ts_winsorize",
     "text_tfidf_sources",
     "text_boilerplate",

@@ -128,6 +128,46 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def level_shifts(df: DataFrame, window: int = 10,
+                 threshold: float = 3.0,
+                 key_col: str = "series", ts_col: str = "ts",
+                 val_col: str = "val") -> DataFrame:
+    """Level-shift (changepoint) detection: at every position,
+    compare the mean of the NEXT ``window`` points (current
+    included) against the mean and sample-stddev of the PREVIOUS
+    ``window``; ``|post−pre| > threshold·pre_std`` flags a step
+    change — the regime shift a per-point z-score dilutes into many
+    small anomalies and a seasonal baseline can't see at all.
+
+    Two ROWS frames over ONE series-key window shuffle, all JVM —
+    same plan family as moving_avg. Only positions with FULL
+    windows on both sides and non-zero pre-variance can flag (no
+    edge-effect false positives). Output: flagged rows only —
+    (key, ts, pre_mean, post_mean, shift_z), 6 decimals."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    wpre = w.rowsBetween(-window, -1)
+    wpost = w.rowsBetween(0, window - 1)
+    v = F.col(val_col)
+    pre_mean = F.avg(v).over(wpre)
+    pre_std = F.stddev_samp(v).over(wpre)
+    post_mean = F.avg(v).over(wpost)
+    z = F.try_divide(post_mean - pre_mean, pre_std)
+    return (df.select(
+        F.col(key_col), F.col(ts_col),
+        F.count(v).over(wpre).alias("_np"),
+        F.count(v).over(wpost).alias("_nq"),
+        pre_mean.alias("_pre"), pre_std.alias("_std"),
+        post_mean.alias("_post"), z.alias("_z"))
+        .where((F.col("_np") == window) & (F.col("_nq") == window)
+               & (F.col("_std") > 0)
+               & (F.abs(F.col("_z")) > threshold))
+        .select(F.col(key_col), F.col(ts_col),
+                (F.round("_pre", 6) + F.lit(0.0)).alias("pre_mean"),
+                (F.round("_post", 6) + F.lit(0.0))
+                .alias("post_mean"),
+                (F.round("_z", 6) + F.lit(0.0)).alias("shift_z")))
+
+
 def linear_trend(df: DataFrame, key_col: str = "series",
                  ts_col: str = "ts",
                  val_col: str = "val") -> DataFrame:

@@ -491,3 +491,23 @@ def test_linear_trend_exact_line_and_degenerate(spark):
     assert out["s"]["r2"] == 1.0
     assert out["one"]["slope_per_s"] is None
     assert out["flat"]["slope_per_s"] is None
+
+
+def test_level_shifts_flags_step_change_only(spark):
+    """A clean step change flags at the boundary; steady noise-free
+    plateaus never flag, and edge positions without full windows
+    never flag."""
+    rows = [("s", t, 10.0 + (t % 2) * 0.1) for t in range(10)] \
+        + [("s", t, 50.0 + (t % 2) * 0.1) for t in range(10, 20)]
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    out = TSO.level_shifts(df, window=5, threshold=3.0).collect()
+    flagged = {r["ts"] for r in out}
+    assert 10 in flagged                  # the step boundary
+    # detection begins as soon as the post window TOUCHES the step
+    # (ts = boundary − window + 1) and ends at the boundary — after
+    # it, the pre window's inflated std suppresses the z
+    assert flagged == set(range(6, 11))
+    for r in out:
+        if r["ts"] == 10:
+            assert r["post_mean"] > r["pre_mean"]
+            assert r["shift_z"] > 3.0
