@@ -942,6 +942,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TSO.level_shifts(_pts_dedup(spark, sf_dir),
                          window=10, threshold=2.0)
 
+    def events_sessions_rollup(spark, sf_dir):
+        """Session-level facts: duration, event count, and whether
+        the session converted (contained a purchase) — the rollup a
+        product dashboard reads instead of raw events. Reuses the
+        sessionize window (one user shuffle); the rollup groupBy
+        shares the same partitioning."""
+        ev = load(spark, sf_dir, "events")
+        base = ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type", epoch_ns(ev).alias("ts"))
+        s = TSO.sessionize(base, gap=3_600_000_000_000,
+                           seq_col="event_id")
+        return (s.groupBy("user_id", "session_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     (F.max("ts") - F.min("ts")).alias("duration"),
+                     F.max((F.col("event_type") == "purchase")
+                           .cast("long")).alias("converted")))
+
+    q["events_sessions_rollup"] = events_sessions_rollup
+
     def events_funnel_steps(spark, sf_dir):
         """Ordered 3-step funnel view → click → purchase: how many
         users reach each step with strict time ordering."""
@@ -1799,6 +1820,24 @@ def oracle_sql() -> dict[str, str]:
         " (PARTITION BY user_id ORDER BY ts, event_id"
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         " AS BIGINT) AS session_id FROM s"
+    )
+
+    # session-level rollup over the same sessionize windows
+    o["events_sessions_rollup"] = (
+        "WITH e AS (SELECT event_id, user_id, event_type,"
+        " epoch_ns(ts) AS ts FROM events),"
+        " s AS (SELECT event_id, user_id, event_type, ts, CASE WHEN"
+        " lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w"
+        " > 3600000000000 THEN 1 ELSE 0 END AS ns FROM e"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        " i AS (SELECT user_id, event_type, ts, CAST(sum(ns) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS session_id FROM s)"
+        " SELECT user_id, session_id, count(*) AS n_events,"
+        " max(ts) - min(ts) AS duration,"
+        " CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS converted FROM i GROUP BY 1, 2"
     )
 
     # trailing z-score anomalies, exclusive 20-point frame, |z| > 2.5

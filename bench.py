@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "events_cohorts",
     "events_coverage",
     "events_funnel_steps",
+    "events_sessions_rollup",
     # general analytics
     "tpch_q1ish",
     "tpch_q6ish",
