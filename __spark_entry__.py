@@ -424,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bigram_lm"] = lambda spark, sf_dir: \
         TX.bigram_logprob(load(spark, sf_dir, "documents"))
 
+    q["text_trigram_lm"] = lambda spark, sf_dir: \
+        TX.trigram_logprob(load(spark, sf_dir, "documents"))
+
     q["curation_mix_weights"] = lambda spark, sf_dir: \
         CU.mix_weights(load(spark, sf_dir, "documents"),
                        alpha=0.3, max_weight=5.0)
@@ -1911,6 +1914,41 @@ def oracle_sql() -> dict[str, str]:
         " AS xent2"
         " FROM b2 JOIN c2 USING (a, b) JOIN c1 USING (a), v"
         " GROUP BY doc_id"
+    )
+
+    # interpolated trigram LM: every component over the same trigram
+    # stream; λ = (0.2, 0.3, 0.5), add-0.5 smoothing
+    o["text_trigram_lm"] = (
+        "WITH d AS (SELECT doc_id, list_filter(string_split_regex("
+        "trim(lower(text)), '\\s+'), x -> x <> '') AS ws"
+        " FROM documents WHERE length(trim(text)) > 0),"
+        " d3 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),"
+        " tr AS (SELECT doc_id, unnest(list_transform("
+        "range(1, len(ws) - 1),"
+        " i -> struct_pack(a := ws[i], b := ws[i + 1],"
+        " c := ws[i + 2]))) AS t FROM d3),"
+        " t3 AS MATERIALIZED (SELECT doc_id, struct_extract(t, 'a') AS a,"
+        " struct_extract(t, 'b') AS b, struct_extract(t, 'c') AS c"
+        " FROM tr),"
+        " c3 AS (SELECT a, b, c, count(*) AS n_abc FROM t3"
+        " GROUP BY 1, 2, 3),"
+        " cab AS (SELECT a, b, count(*) AS n_ab FROM t3"
+        " GROUP BY 1, 2),"
+        " cbc AS (SELECT b, c, count(*) AS n_bc FROM t3"
+        " GROUP BY 1, 2),"
+        " cb AS (SELECT b, count(*) AS n_b FROM t3 GROUP BY 1),"
+        " cc AS (SELECT c, count(*) AS n_c FROM t3 GROUP BY 1),"
+        " k AS (SELECT count(*) AS n_tot, count(DISTINCT c) AS v"
+        " FROM t3)"
+        " SELECT doc_id, count(*) AS n_trigrams,"
+        " round(avg(-ln("
+        "0.5 * ((n_abc + 0.5) / (n_ab + 0.5 * v))"
+        " + 0.3 * ((n_bc + 0.5) / (n_b + 0.5 * v))"
+        " + 0.2 * ((n_c + 0.5) / (n_tot + 0.5 * v)))), 6) + 0.0"
+        " AS xent3"
+        " FROM t3 JOIN c3 USING (a, b, c) JOIN cab USING (a, b)"
+        " JOIN cbc USING (b, c) JOIN cb USING (b)"
+        " JOIN cc USING (c), k GROUP BY doc_id"
     )
 
     o["curation_mix_weights"] = (

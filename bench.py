@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ts_resample_interp",
     "text_unigram_lm",
     "text_bigram_lm",
+    "text_trigram_lm",
     "text_quality",
     "text_fingerprint",
     "text_topk_per_source",

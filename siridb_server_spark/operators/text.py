@@ -332,6 +332,61 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                  .alias("xent2")))
 
 
+def trigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: float = 0.5,
+                    lambdas: tuple = (0.2, 0.3, 0.5)) -> DataFrame:
+    """Interpolated trigram LM scoring — the top of the LM-quality
+    ladder (unigram → bigram → this): per-doc cross-entropy under
+    ``P(c|a,b) = λ₃·P₃ + λ₂·P₂ + λ₁·P₁`` with add-k smoothed
+    components, all estimated from the corpus's own trigram stream.
+    Catches text that is locally plausible two words at a time but
+    incoherent at three — the failure mode a bigram model scores as
+    normal.
+
+    Every component is defined over the SAME trigram stream (P₃ =
+    (c(a,b,c)+k)/(c(a,b)+kV), P₂ over the (b,c) suffix, P₁ over the
+    final token), so one row-local Generate feeds five count
+    aggregates — each shuffles |distinct keys| rows with map-side
+    partial combine — and the score join hits vocab-sized tables
+    that AQE broadcasts. No Python anywhere; float op order fixed
+    for the oracle. Output: (doc_id, n_trigrams, xent3) — nats, 6
+    decimals."""
+    l1, l2, l3 = (float(x) for x in lambdas)
+    ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
+                  lambda x: x != "")
+    docs = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+            .where(F.size("ws") >= 3))
+    tri = (docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws) - 3),"
+            " i -> struct(ws[i] AS a, ws[i + 1] AS b,"
+            " ws[i + 2] AS c))")).alias("t"))
+        .select("doc_id", "t.a", "t.b", "t.c"))
+    c3 = tri.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("n_abc"))
+    cab = tri.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    cbc = tri.groupBy("b", "c").agg(F.count(F.lit(1)).alias("n_bc"))
+    cb = tri.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    cc = tri.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    consts = tri.agg(F.count(F.lit(1)).alias("n_tot"),
+                     F.countDistinct("c").alias("v"))
+    kv = F.lit(k) * F.col("v")
+    p3 = (F.col("n_abc") + F.lit(k)) / (F.col("n_ab") + kv)
+    p2 = (F.col("n_bc") + F.lit(k)) / (F.col("n_b") + kv)
+    p1 = (F.col("n_c") + F.lit(k)) / (F.col("n_tot") + kv)
+    p = F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1
+    scored = (tri.join(c3, ["a", "b", "c"]).join(cab, ["a", "b"])
+              .join(cbc, ["b", "c"]).join(cb, ["b"]).join(cc, ["c"])
+              .crossJoin(F.broadcast(consts))
+              .select("doc_id", (-F.log(p)).alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 (F.round(F.avg("nll"), 6) + F.lit(0.0))
+                 .alias("xent3")))
+
+
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
                text_col: str = "text") -> DataFrame:
     """Corpus-level top-k n-gram census (vocabulary/boilerplate

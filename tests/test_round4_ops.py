@@ -511,3 +511,19 @@ def test_level_shifts_flags_step_change_only(spark):
         if r["ts"] == 10:
             assert r["post_mean"] > r["pre_mean"]
             assert r["shift_z"] > 3.0
+
+
+def test_trigram_logprob_hand_computed(spark):
+    """One doc, one trigram: all counts are 1, so
+    P = 0.5·(1.5/1+.5V) + 0.3·(1.5/1+.5V) + 0.2·(1.5/1+.5V)."""
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "ab")], ["doc_id", "text"])
+    rows = TX.trigram_logprob(docs).collect()
+    assert [r["doc_id"] for r in rows] == [1]   # doc 2 too short
+    r = rows[0]
+    v = 1.0    # one distinct final token 'z'
+    comp = 1.5 / (1 + 0.5 * v)
+    p = 0.5 * comp + 0.3 * comp + 0.2 * comp
+    assert r["n_trigrams"] == 1
+    assert r["xent3"] == pytest.approx(round(-math.log(p), 6),
+                                       abs=1e-9)
