@@ -317,6 +317,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_label_centroids"] = lambda spark, sf_dir: \
         SIM.label_centroid_dims(load(spark, sf_dir, "embeddings"))
 
+    def sim_standardize(spark, sf_dir):
+        """Whitened embeddings, projected to long (id, dim, z) form
+        for the value comparison (the operator itself reassembles
+        the array)."""
+        out = SIM.standardize_embeddings(
+            load(spark, sf_dir, "embeddings"))
+        return out.select(
+            "vec_id", F.posexplode("vector").alias("dim", "z")) \
+            .select("vec_id", F.col("dim").cast("long").alias("dim"),
+                    "z")
+
+    q["sim_standardize"] = sim_standardize
+
     def ts_asof_join(spark, sf_dir):
         """Every purchase event joined to the most recent error event
         of the same user at-or-before it (left semantics)."""
@@ -1752,6 +1765,19 @@ def oracle_sql() -> dict[str, str]:
         " ' ') AS chunk_text,"
         " CAST(len(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64])"
         " AS BIGINT) AS n_tokens FROM c"
+    )
+
+    # per-dimension z-scored embeddings in long form; zero-variance
+    # dims → NULL (arity preserved by the operator's reassembly)
+    o["sim_standardize"] = (
+        "WITH x AS (SELECT vec_id,"
+        " unnest(range(len(embedding))) AS dim,"
+        " unnest(embedding) AS v FROM embeddings),"
+        " s AS (SELECT dim, avg(v) AS mu, stddev_samp(v) AS sd"
+        " FROM x GROUP BY 1)"
+        " SELECT vec_id, CAST(dim AS BIGINT) AS dim,"
+        " round((v - mu) / nullif(sd, 0), 6) + 0.0 AS z"
+        " FROM x JOIN s USING (dim)"
     )
 
     # per-label mean-pooled centroids in long (label, dim) form

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "text_approx_top_ngrams",
     "text_chunking",
     "sim_label_centroids",
+    "sim_standardize",
     # event analytics
     "events_flow",
     "events_cohorts",

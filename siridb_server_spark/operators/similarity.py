@@ -534,3 +534,34 @@ def label_centroid_dims(emb: DataFrame, vec_col: str = "embedding",
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  (F.round(F.avg("x"), 6) + F.lit(0.0))
                  .alias("centroid")))
+
+
+def standardize_embeddings(emb: DataFrame,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension z-scoring of an embedding column, reassembled
+    in dimension order — the whitening pass before cosine/k-means
+    when dimensions carry wildly different scales (one hot dimension
+    otherwise dominates every distance).
+
+    Long-form shape like :func:`label_centroid_dims`: posexplode →
+    one dims-sized stats aggregate (broadcast back) → row-local
+    z-score → one groupBy(id) reassembly via a sorted
+    (dim, value) collect. The only corpus-sized shuffles key on the
+    vector id, so the pass scales with rows, not with vector width.
+    Zero-variance dimensions standardize to NULL (try_divide), kept
+    in place so the vector keeps its arity. Output: (id, vector) —
+    array<double>, 6 decimals per element."""
+    dims = emb.select(F.col(id_col),
+                      F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    stats = dims.groupBy("dim").agg(
+        F.avg("x").alias("_mu"),
+        F.stddev_samp("x").alias("_sd"))
+    z = F.round(F.try_divide(F.col("x") - F.col("_mu"),
+                             F.col("_sd")), 6) + F.lit(0.0)
+    return (dims.join(F.broadcast(stats), "dim")
+            .select(F.col(id_col), "dim", z.alias("z"))
+            .groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "z"))),
+                lambda s: s["z"]).alias("vector")))

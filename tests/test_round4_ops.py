@@ -527,3 +527,18 @@ def test_trigram_logprob_hand_computed(spark):
     assert r["n_trigrams"] == 1
     assert r["xent3"] == pytest.approx(round(-math.log(p), 6),
                                        abs=1e-9)
+
+
+def test_standardize_embeddings_whitens_and_keeps_arity(spark):
+    """Each dimension z-scores independently; a zero-variance dim
+    becomes NULL but keeps its slot in the reassembled vector."""
+    from siridb_server_spark.operators import similarity as SIM
+    emb = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [2.0, 7.0]), (3, [4.0, 7.0])],
+        ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["vector"] for r in
+           SIM.standardize_embeddings(emb).collect()}
+    # dim 0: mean 2, sd 2 → z = -1, 0, 1; dim 1 constant → NULL
+    assert out[1] == [-1.0, None]
+    assert out[2] == [0.0, None]
+    assert out[3] == [1.0, None]
