@@ -974,7 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (s.groupBy("user_id", "session_id")
                 .agg(F.count(F.lit(1)).alias("n_events"),
                      (F.max("ts") - F.min("ts")).alias("duration"),
-                     F.max((F.col("event_type") == "purchase")
+                     F.max(F.when(F.col("event_type") == "purchase",
+                                  F.lit(1)).otherwise(F.lit(0))
                            .cast("long")).alias("converted")))
 
     q["events_sessions_rollup"] = events_sessions_rollup
@@ -1426,7 +1427,7 @@ def oracle_sql() -> dict[str, str]:
     # pairs; undirected source key ordered lexicographically
     o["dedup_cross_source"] = (
         "WITH pairs AS (" + _JP + "),"
-        " s AS (SELECT doc_id, source FROM documents)"
+        " s AS (SELECT doc_id, coalesce(source, '(unknown)') AS source FROM documents)"
         " SELECT least(sa.source, sb.source) AS source_a,"
         " greatest(sa.source, sb.source) AS source_b,"
         " count(*) AS n_pairs,"

@@ -227,7 +227,11 @@ def cross_source_dup_rates(df: DataFrame, threshold: float = 0.8,
     round reproducibly across engines, while their mean lands on
     exact rounding boundaries (1/n fractions)."""
     pairs = ngram_jaccard_pairs(df, threshold, text_col, id_col)
-    src = df.select(F.col(id_col), F.col(group_col))
+    # NULL sources surface as their own bucket — least/greatest skip
+    # NULLs, which would silently misattribute such pairs
+    src = df.select(F.col(id_col),
+                    F.coalesce(F.col(group_col),
+                               F.lit("(unknown)")).alias(group_col))
     ga = src.select(F.col(id_col).alias("id_a"),
                     F.col(group_col).alias("_ga"))
     gb = src.select(F.col(id_col).alias("id_b"),

@@ -423,8 +423,10 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
     size); output rows multiply by ~len/stride, the factor any
     chunker pays. Output: (doc_id, chunk_id, chunk_text, n_tokens).
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            "need 0 <= overlap < chunk_tokens (the every-token-"
+            "covered guarantee breaks otherwise)")
     stride = chunk_tokens - overlap
     ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
                   lambda x: x != "")

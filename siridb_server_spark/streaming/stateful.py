@@ -625,7 +625,6 @@ def streaming_holt(stream_df: DataFrame, *, alpha: float = 0.25,
                 out["forecast_1"].append(
                     level + trend if has_b else None)
         state.update((level, trend, n))
-        import pandas as pd
         return iter([pd.DataFrame({
             "series": [key[0]] * len(out["ts"]), **out})])
 
