@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         D.cross_source_dup_rates(
             load(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 300), threshold=0.8)
+
+    q["dedup_similar_docs"] = lambda spark, sf_dir: \
+        D.similar_docs(load(spark, sf_dir, "documents"),
+                       query_id=7, k=10)
     def _prop(name: str, df_count: DataFrame) -> DataFrame:
         return df_count.agg(
             F.lit(name).alias("prop"),
@@ -1422,6 +1426,24 @@ def oracle_sql() -> dict[str, str]:
     # duplicate-cluster resolution: connected components (min label
     # reachable over the undirected near-dup graph) via recursive CTE
     _JP = o["dedup_ngram_jaccard"]
+
+    # single-doc Jaccard retrieval: the query doc's distinct tokens
+    # prune the inverted index before any aggregation
+    o["dedup_similar_docs"] = (
+        "WITH dw AS (SELECT DISTINCT doc_id, w FROM"
+        " (SELECT doc_id, unnest(list_filter(string_split_regex("
+        "trim(lower(text)), '\\s+'), x -> x <> '')) AS w"
+        " FROM documents)),"
+        " q AS (SELECT DISTINCT w FROM dw WHERE doc_id = 7),"
+        " nq AS (SELECT count(*) AS n_q FROM q),"
+        " i AS (SELECT doc_id, count(*) AS i FROM dw"
+        " JOIN q USING (w) WHERE doc_id <> 7 GROUP BY 1),"
+        " s AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1)"
+        " SELECT i.doc_id,"
+        " round(i.i / (s.n + nq.n_q - i.i), 6) + 0.0 AS jaccard"
+        " FROM i JOIN s USING (doc_id), nq"
+        " ORDER BY jaccard DESC, doc_id LIMIT 10"
+    )
 
     # cross-source duplication matrix over the same exact-Jaccard
     # pairs; undirected source key ordered lexicographically

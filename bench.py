@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_contamination",
     "dedup_spans",
     "dedup_cross_source",
+    "dedup_similar_docs",
     "ts_asof_join",
     "ts_range_join",
     "ts_resample_interp",

@@ -207,6 +207,40 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
     )
 
 
+def similar_docs(df: DataFrame, query_id, k: int = 10,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents most similar to ONE query document by
+    word-set Jaccard — the serving-path question ("who copied
+    this?") that :func:`ngram_jaccard_pairs` answers for every pair
+    at once but a single lookup shouldn't pay a corpus self-join
+    for.
+
+    The query document's token-hash set (one doc's vocabulary —
+    bounded, broadcastable) prunes the corpus-side inverted index
+    BEFORE any shuffle: the scored stream is |postings of the
+    query's tokens|, not the corpus. Exact Jaccard from the
+    intersection count + per-doc sizes (the size table joins only
+    the ≤|candidates| surviving docs), then a TakeOrdered top-k —
+    no global sort. Ties break toward the smaller id. Output:
+    (doc_id, jaccard), 6 decimals, the query itself excluded."""
+    dw = _doc_word_hashes(df, text_col, id_col)
+    qset = (dw.where(F.col("doc_id") == query_id)
+            .select("h").distinct())
+    n_q = qset.count()
+    inter = (dw.where(F.col("doc_id") != query_id)
+             .join(F.broadcast(qset), "h")
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("i")))
+    sizes = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = F.col("i") / (F.col("n") + F.lit(n_q) - F.col("i"))
+    return (inter.join(sizes, "doc_id")
+            .select("doc_id",
+                    (F.round(jac, 6) + F.lit(0.0)).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), F.asc("doc_id"))
+            .limit(k))
+
+
 def cross_source_dup_rates(df: DataFrame, threshold: float = 0.8,
                            text_col: str = "text",
                            id_col: str = "doc_id",

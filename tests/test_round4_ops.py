@@ -542,3 +542,19 @@ def test_standardize_embeddings_whitens_and_keeps_arity(spark):
     assert out[1] == [-1.0, None]
     assert out[2] == [0.0, None]
     assert out[3] == [1.0, None]
+
+
+def test_similar_docs_retrieval(spark):
+    """An exact copy ranks first with Jaccard 1; a half-overlap doc
+    ranks below it; a disjoint doc never appears; the query doc is
+    excluded from its own results."""
+    from siridb_server_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b x y"),
+         (4, "p q r s")], ["doc_id", "text"])
+    out = [(r["doc_id"], r["jaccard"]) for r in
+           D.similar_docs(docs, query_id=1, k=5).collect()]
+    assert out[0] == (2, 1.0)
+    assert out[1][0] == 3 and abs(out[1][1] - 2 / 6) < 1e-6
+    assert all(d != 4 for d, _ in out)
+    assert all(d != 1 for d, _ in out)
