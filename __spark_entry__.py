@@ -962,6 +962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TSO.level_shifts(_pts_dedup(spark, sf_dir),
                          window=10, threshold=2.0)
 
+    q["ts_value_hist"] = lambda spark, sf_dir: \
+        TSO.value_histogram(_pts_dedup(spark, sf_dir), n_bins=10)
+
     def events_sessions_rollup(spark, sf_dir):
         """Session-level facts: duration, event count, and whether
         the session converted (contained a purchase) — the rollup a
@@ -2435,6 +2438,23 @@ def oracle_sql() -> dict[str, str]:
         " SELECT count(t1) AS step1_users,"
         " count(t2) AS step2_users,"
         " count(t3) AS step3_users FROM u3"
+    )
+
+    # per-series 10-bin value histogram over each series' own range
+    o["ts_value_hist"] = (
+        _PD + ", r AS (SELECT series, min(val) AS vmin,"
+        " max(val) AS vmax FROM pd GROUP BY 1),"
+        " w AS (SELECT series, vmin, (vmax - vmin) / 10.0 AS wd"
+        " FROM r),"
+        " b AS (SELECT pd.series, CASE WHEN wd > 0 THEN"
+        " least(CAST(9 AS BIGINT),"
+        " CAST(floor((val - vmin) / wd) AS BIGINT))"
+        " ELSE CAST(0 AS BIGINT) END AS bin, vmin, wd"
+        " FROM pd JOIN w USING (series))"
+        " SELECT series, bin, count(*) AS n,"
+        " round(vmin + bin * wd, 6) + 0.0 AS lo,"
+        " round(vmin + (bin + 1) * wd, 6) + 0.0 AS hi"
+        " FROM b GROUP BY series, bin, vmin, wd"
     )
 
     # level-shift detection: two ROWS frames, full windows required

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "ts_mad",
     "ts_linear_trend",
     "ts_level_shifts",
+    "ts_value_hist",
     "ts_winsorize",
     "text_tfidf_sources",
     "text_boilerplate",

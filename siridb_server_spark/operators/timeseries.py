@@ -128,6 +128,41 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def value_histogram(df: DataFrame, n_bins: int = 10,
+                    key_col: str = "series",
+                    val_col: str = "val") -> DataFrame:
+    """Per-series fixed-bin value histogram over each series' own
+    [min, max] range — the distribution summary behind latency
+    heatmaps and drift dashboards, at O(|series|×bins) output no
+    matter how many points feed it.
+
+    Two passes sharing one key shuffle shape: a per-series min/max
+    aggregate (|series| rows, broadcast back) and one counting
+    groupBy on (key, bin) with map-side partial combine. The bin is
+    ``min(n_bins−1, floor((v−vmin)/width))`` so the maximum lands in
+    the last bin; a constant series collapses into bin 0. Output:
+    (key, bin, n, lo, hi) — bin edges at 6 decimals."""
+    rng = df.groupBy(key_col).agg(
+        F.min(val_col).alias("_vmin"), F.max(val_col).alias("_vmax"))
+    width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(n_bins))
+    raw_bin = F.floor((F.col(val_col) - F.col("_vmin"))
+                      / F.col("_width"))
+    bin_ = F.when(F.col("_width") > 0,
+                  F.least(F.lit(n_bins - 1).cast("long"), raw_bin)) \
+        .otherwise(F.lit(0).cast("long"))
+    lo = F.col("_vmin") + F.col("bin") * F.col("_width")
+    hi = F.col("_vmin") + (F.col("bin") + 1) * F.col("_width")
+    return (df.join(F.broadcast(rng), key_col)
+            .withColumn("_width", width)
+            .select(F.col(key_col), bin_.alias("bin"),
+                    "_vmin", "_width")
+            .groupBy(key_col, "bin", "_vmin", "_width")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col(key_col), "bin", "n",
+                    (F.round(lo, 6) + F.lit(0.0)).alias("lo"),
+                    (F.round(hi, 6) + F.lit(0.0)).alias("hi")))
+
+
 def level_shifts(df: DataFrame, window: int = 10,
                  threshold: float = 3.0,
                  key_col: str = "series", ts_col: str = "ts",

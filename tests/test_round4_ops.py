@@ -558,3 +558,18 @@ def test_similar_docs_retrieval(spark):
     assert out[1][0] == 3 and abs(out[1][1] - 2 / 6) < 1e-6
     assert all(d != 4 for d, _ in out)
     assert all(d != 1 for d, _ in out)
+
+
+def test_value_histogram_bins_and_degenerate(spark):
+    """Bins split each series' own range; the max lands in the last
+    bin; a constant series collapses into bin 0."""
+    rows = [("s", t, float(t)) for t in range(11)] \
+        + [("c", 0, 5.0), ("c", 1, 5.0)]
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    out = {(r["series"], r["bin"]): (r["n"], r["lo"], r["hi"])
+           for r in TSO.value_histogram(df, n_bins=10).collect()}
+    # s: range [0,10], width 1 → one point per bin, 10 at bin 9
+    assert out[("s", 0)] == (1, 0.0, 1.0)
+    assert out[("s", 9)] == (2, 9.0, 10.0)   # 9 and the max 10
+    assert ("s", 10) not in out
+    assert out[("c", 0)][0] == 2             # constant → bin 0
