@@ -174,6 +174,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_similar_docs"] = lambda spark, sf_dir: \
         D.similar_docs(load(spark, sf_dir, "documents"),
                        query_id=7, k=10)
+
+    def dedup_pipeline_summary(spark, sf_dir):
+        """End-to-end dedup report over one corpus slice: exact
+        duplicate volume, near-dup pair/cluster counts, and the
+        final keep count after cluster resolution — the one-row
+        answer to "how much of this corpus is redundant?"."""
+        docs = load(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 300)
+        ex = D.exact_duplicates(docs)
+        exact = ex.agg(
+            F.count(F.lit(1)).alias("n_contents"),
+            F.sum(F.when(F.col("n_copies") > 1,
+                         F.col("n_copies")).otherwise(0))
+            .alias("n_docs_in_exact_dups"))
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+        res = D.resolve_duplicates(docs, pairs)
+        near = (res.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_kept").cast("long")).alias("n_keep"),
+            F.countDistinct(
+                F.when(~F.col("is_kept"), F.col("keep_id")))
+            .alias("n_clusters")))
+        np_ = pairs.agg(F.count(F.lit(1)).alias("n_near_pairs"))
+        return (near.crossJoin(F.broadcast(exact))
+                .crossJoin(F.broadcast(np_))
+                .select("n_docs", "n_contents",
+                        "n_docs_in_exact_dups", "n_near_pairs",
+                        "n_clusters", "n_keep"))
+
+    q["dedup_pipeline_summary"] = dedup_pipeline_summary
     def _prop(name: str, df_count: DataFrame) -> DataFrame:
         return df_count.agg(
             F.lit(name).alias("prop"),
@@ -1446,6 +1476,37 @@ def oracle_sql() -> dict[str, str]:
         " round(i.i / (s.n + nq.n_q - i.i), 6) + 0.0 AS jaccard"
         " FROM i JOIN s USING (doc_id), nq"
         " ORDER BY jaccard DESC, doc_id LIMIT 10"
+    )
+
+    # one-row corpus redundancy report composed from the verified
+    # exact-dedup, pair-join, and connected-components oracles
+    o["dedup_pipeline_summary"] = (
+        "WITH RECURSIVE pairs AS (" + _JP + "),"
+        " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs),"
+        " walk(node, comp) AS ("
+        " SELECT a, a FROM edges"
+        " UNION"
+        " SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node),"
+        " cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY 1),"
+        " d AS (SELECT doc_id, text FROM documents"
+        " WHERE doc_id < 300),"
+        " ex AS (SELECT md5(text) AS h, count(*) AS n FROM d"
+        " GROUP BY 1),"
+        " exs AS (SELECT count(*) AS n_contents,"
+        " CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)"
+        " AS n_docs_in_exact_dups FROM ex),"
+        " r AS (SELECT d.doc_id,"
+        " coalesce(cc.comp, d.doc_id) AS keep_id FROM d"
+        " LEFT JOIN cc ON d.doc_id = cc.node),"
+        " rs AS (SELECT count(*) AS n_docs,"
+        " CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_keep,"
+        " count(DISTINCT CASE WHEN doc_id <> keep_id"
+        " THEN keep_id END) AS n_clusters FROM r),"
+        " ps AS (SELECT count(*) AS n_near_pairs FROM pairs)"
+        " SELECT n_docs, n_contents, n_docs_in_exact_dups,"
+        " n_near_pairs, n_clusters, n_keep FROM rs, exs, ps"
     )
 
     # cross-source duplication matrix over the same exact-Jaccard
