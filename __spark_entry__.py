@@ -995,6 +995,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_value_hist"] = lambda spark, sf_dir: \
         TSO.value_histogram(_pts_dedup(spark, sf_dir), n_bins=10)
 
+    q["ts_pct_change"] = lambda spark, sf_dir: \
+        TSO.bucket_pct_change(_pts_dedup(spark, sf_dir),
+                              bucket_ns=86_400_000_000_000)
+
+    def events_gap_stats(spark, sf_dir):
+        """Inter-event time per event type: gaps between consecutive
+        events of the same (user, type), rolled up per type — "how
+        often do users click?" One (user, type) lag window, one
+        counting agg; exact interpolated median."""
+        ev = load(spark, sf_dir, "events")
+        base = ev.select(F.col("user_id").cast("long")
+                         .alias("user_id"), "event_type",
+                         epoch_ns(ev).alias("ts"),
+                         F.col("event_id").cast("long").alias("eid"))
+        w = Window.partitionBy("user_id", "event_type") \
+            .orderBy("ts", "eid")
+        # seconds, not raw ns: an avg over ~1e14-ns gaps carries a
+        # summation-order float error bigger than any sane rounding
+        # grid; per-gap division happens BEFORE aggregation on both
+        # engines, so the inputs are identical doubles
+        gap = (F.col("ts") - F.lag("ts").over(w)) / F.lit(1e9)
+        gaps = base.select("event_type", gap.alias("gap")) \
+            .where(F.col("gap").isNotNull())
+        return (gaps.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_gaps"),
+                     (F.round(F.avg("gap"), 3) + F.lit(0.0))
+                     .alias("avg_gap"),
+                     (F.round(F.percentile("gap", F.lit(0.5)), 3)
+                      + F.lit(0.0)).alias("p50_gap")))
+
+    q["events_gap_stats"] = events_gap_stats
+
     def events_sessions_rollup(spark, sf_dir):
         """Session-level facts: duration, event count, and whether
         the session converted (contained a purchase) — the rollup a
@@ -2499,6 +2531,33 @@ def oracle_sql() -> dict[str, str]:
         " SELECT count(t1) AS step1_users,"
         " count(t2) AS step2_users,"
         " count(t3) AS step3_users FROM u3"
+    )
+
+    # per-series daily rollup with period-over-period change
+    o["ts_pct_change"] = (
+        _PD + ", a AS (SELECT series,"
+        " ts - ts % 86400000000000 AS bucket,"
+        " sum(val) AS tot FROM pd GROUP BY 1, 2),"
+        " l AS (SELECT series, bucket, tot,"
+        " lag(tot) OVER (PARTITION BY series ORDER BY bucket)"
+        " AS prev FROM a)"
+        " SELECT series, bucket, round(tot, 6) + 0.0 AS total,"
+        " round(tot - prev, 6) + 0.0 AS change,"
+        " round((tot - prev) / nullif(prev, 0), 6) + 0.0"
+        " AS pct_change FROM l"
+    )
+
+    # inter-event gap stats per event type over (user, type) lags
+    o["events_gap_stats"] = (
+        "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts,"
+        " event_id FROM events),"
+        " g AS (SELECT event_type, (ts - lag(ts) OVER"
+        " (PARTITION BY user_id, event_type ORDER BY ts, event_id))"
+        " / 1e9 AS gap FROM e)"
+        " SELECT event_type, count(*) AS n_gaps,"
+        " round(avg(gap), 3) + 0.0 AS avg_gap,"
+        " round(quantile_cont(gap, 0.5), 3) + 0.0 AS p50_gap"
+        " FROM g WHERE gap IS NOT NULL GROUP BY 1"
     )
 
     # per-series 10-bin value histogram over each series' own range

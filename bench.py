@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "ts_linear_trend",
     "ts_level_shifts",
     "ts_value_hist",
+    "ts_pct_change",
     "ts_winsorize",
     "text_tfidf_sources",
     "text_boilerplate",
@@ -83,6 +84,7 @@ BENCH_QUERIES = [
     "events_coverage",
     "events_funnel_steps",
     "events_sessions_rollup",
+    "events_gap_stats",
     # general analytics
     "tpch_q1ish",
     "tpch_q6ish",

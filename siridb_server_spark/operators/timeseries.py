@@ -128,6 +128,36 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def bucket_pct_change(df: DataFrame, bucket_ns: int,
+                      key_col: str = "series", ts_col: str = "ts",
+                      val_col: str = "val") -> DataFrame:
+    """Bucketed rollup with period-over-period change: per series,
+    the value sum per ``bucket_ns`` window plus the absolute and
+    percent change against the PREVIOUS existing bucket — the
+    day-over-day / week-over-week report. Missing buckets are
+    skipped, not zero-filled: the comparison is always against the
+    last bucket that had data (resample first if calendar-adjacent
+    semantics are needed).
+
+    One counting/sum groupBy on (key, bucket), then a lag window
+    over the same key partitioning — the exchange is reused. First
+    bucket per series reports NULL change. Output: (key, bucket,
+    total, change, pct_change), 6 decimals."""
+    b = (F.col(ts_col) - F.col(ts_col) % F.lit(bucket_ns)) \
+        .alias("bucket")
+    agg = (df.groupBy(F.col(key_col), b)
+           .agg(F.sum(val_col).alias("_tot")))
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    prev = F.lag("_tot").over(w)
+    return agg.select(
+        F.col(key_col), "bucket",
+        (F.round("_tot", 6) + F.lit(0.0)).alias("total"),
+        (F.round(F.col("_tot") - prev, 6) + F.lit(0.0))
+        .alias("change"),
+        (F.round(F.try_divide(F.col("_tot") - prev, prev), 6)
+         + F.lit(0.0)).alias("pct_change"))
+
+
 def value_histogram(df: DataFrame, n_bins: int = 10,
                     key_col: str = "series",
                     val_col: str = "val") -> DataFrame:

@@ -573,3 +573,19 @@ def test_value_histogram_bins_and_degenerate(spark):
     assert out[("s", 9)] == (2, 9.0, 10.0)   # 9 and the max 10
     assert ("s", 10) not in out
     assert out[("c", 0)][0] == 2             # constant → bin 0
+
+
+def test_bucket_pct_change_skips_missing_buckets(spark):
+    """Change compares adjacent EXISTING buckets; the first bucket
+    per series reports NULL change."""
+    rows = [("s", 0, 10.0), ("s", 5, 10.0),        # bucket 0: 20
+            ("s", 35, 30.0),                       # bucket 30: 30
+            ("s", 10 * 30, 15.0)]                  # bucket 300: 15
+    df = spark.createDataFrame(rows, ["series", "ts", "val"])
+    out = {r["bucket"]: (r["total"], r["change"], r["pct_change"])
+           for r in TSO.bucket_pct_change(df, bucket_ns=30)
+           .collect()}
+    assert out[0] == (20.0, None, None)
+    assert out[30] == (30.0, 10.0, 0.5)
+    # gap: bucket 300 compares against bucket 30, not zero-filled 60
+    assert out[300] == (15.0, -15.0, -0.5)
