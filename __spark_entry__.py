@@ -999,6 +999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TSO.bucket_pct_change(_pts_dedup(spark, sf_dir),
                               bucket_ns=86_400_000_000_000)
 
+    q["ts_uptime"] = lambda spark, sf_dir: \
+        TSO.uptime_report(_pts_dedup(spark, sf_dir),
+                          heartbeat_ns=86_400_000_000_000)
+
     def events_gap_stats(spark, sf_dir):
         """Inter-event time per event type: gaps between consecutive
         events of the same (user, type), rolled up per type — "how
@@ -2531,6 +2535,21 @@ def oracle_sql() -> dict[str, str]:
         " SELECT count(t1) AS step1_users,"
         " count(t2) AS step2_users,"
         " count(t3) AS step3_users FROM u3"
+    )
+
+    # per-series heartbeat uptime: gap excess beyond 1 day = downtime
+    o["ts_uptime"] = (
+        _PD + ", g AS (SELECT series, ts, ts - lag(ts) OVER"
+        " (PARTITION BY series ORDER BY ts) AS gap FROM pd),"
+        " a AS (SELECT series, count(*) AS n_points,"
+        " max(ts) - min(ts) AS span, max(gap) AS max_gap,"
+        " CAST(sum(CASE WHEN gap > 86400000000000"
+        " THEN gap - 86400000000000 ELSE 0 END) AS BIGINT)"
+        " AS downtime FROM g GROUP BY 1)"
+        " SELECT series, n_points, span, max_gap, downtime,"
+        " round(1.0 - CAST(downtime AS DOUBLE)"
+        " / nullif(CAST(span AS DOUBLE), 0), 6) + 0.0"
+        " AS uptime_frac FROM a"
     )
 
     # per-series daily rollup with period-over-period change

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "ts_level_shifts",
     "ts_value_hist",
     "ts_pct_change",
+    "ts_uptime",
     "ts_winsorize",
     "text_tfidf_sources",
     "text_boilerplate",

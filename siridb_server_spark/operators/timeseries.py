@@ -128,6 +128,39 @@ def moving_avg(df: DataFrame, window: int = 5,
         .alias("avg"))
 
 
+def uptime_report(df: DataFrame, heartbeat_ns: int,
+                  key_col: str = "series",
+                  ts_col: str = "ts") -> DataFrame:
+    """Per-series availability from heartbeat timestamps: any
+    inter-point gap beyond ``heartbeat_ns`` counts its excess as
+    downtime; uptime fraction is 1 − downtime/span — the SRE
+    answer ("was this emitter alive?") derived purely from
+    arrival times, no status field needed.
+
+    One lag window + one grouped aggregate over the same key
+    exchange. Integer ns math until the final fraction. Series with
+    a single point span zero time and report NULL uptime. Output:
+    (key, n_points, span, max_gap, downtime, uptime_frac) — the
+    fraction at 6 decimals."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    base = df.select(F.col(key_col), F.col(ts_col),
+                     gap.alias("_gap"))
+    agg = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.max(ts_col) - F.min(ts_col)).alias("span"),
+        F.max("_gap").alias("max_gap"),
+        F.sum(F.when(F.col("_gap") > heartbeat_ns,
+                     F.col("_gap") - F.lit(heartbeat_ns))
+              .otherwise(F.lit(0))).alias("downtime"))
+    up = F.lit(1.0) - F.try_divide(
+        F.col("downtime").cast("double"),
+        F.col("span").cast("double"))
+    return agg.select(
+        F.col(key_col), "n_points", "span", "max_gap", "downtime",
+        (F.round(up, 6) + F.lit(0.0)).alias("uptime_frac"))
+
+
 def bucket_pct_change(df: DataFrame, bucket_ns: int,
                       key_col: str = "series", ts_col: str = "ts",
                       val_col: str = "val") -> DataFrame:

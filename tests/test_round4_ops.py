@@ -589,3 +589,17 @@ def test_bucket_pct_change_skips_missing_buckets(spark):
     assert out[30] == (30.0, 10.0, 0.5)
     # gap: bucket 300 compares against bucket 30, not zero-filled 60
     assert out[300] == (15.0, -15.0, -0.5)
+
+
+def test_uptime_report_gap_excess(spark):
+    """Only the excess beyond the heartbeat counts as downtime; a
+    single-point series has zero span and NULL uptime."""
+    rows = [("s", 0), ("s", 10), ("s", 40), ("s", 50), ("one", 5)]
+    df = spark.createDataFrame(rows, ["series", "ts"])
+    out = {r["series"]: r for r in
+           TSO.uptime_report(df, heartbeat_ns=10).collect()}
+    s = out["s"]
+    # gaps 10, 30, 10 → downtime = 30 − 10 = 20; span 50
+    assert (s["span"], s["max_gap"], s["downtime"]) == (50, 30, 20)
+    assert s["uptime_frac"] == 1.0 - 20 / 50
+    assert out["one"]["uptime_frac"] is None
