@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TX.chunk_documents(load(spark, sf_dir, "documents"),
                            chunk_tokens=64, overlap=16)
 
+    q["text_sentences"] = lambda spark, sf_dir: \
+        TX.sentence_features(load(spark, sf_dir, "documents"))
+
     q["sim_label_centroids"] = lambda spark, sf_dir: \
         SIM.label_centroid_dims(load(spark, sf_dir, "embeddings"))
 
@@ -1870,6 +1873,21 @@ def oracle_sql() -> dict[str, str]:
         " FROM cc JOIN cells USING (r, c) GROUP BY 1)"
         " SELECT g AS ngram, est_count FROM est"
         " ORDER BY est_count DESC, g LIMIT 20"
+    )
+
+    # sentence count / mean / max length in words per document
+    o["text_sentences"] = (
+        "WITH f AS (SELECT doc_id, list_filter(list_transform("
+        "string_split_regex(text, '[.!?]+'), s -> trim(s)),"
+        " s -> s <> '') AS fr FROM documents),"
+        " c AS (SELECT doc_id, list_transform(fr,"
+        " s -> len(string_split_regex(s, '\\s+'))) AS wc FROM f)"
+        " SELECT doc_id, CAST(len(wc) AS BIGINT) AS n_sentences,"
+        " round(CAST(list_sum(wc) AS DOUBLE)"
+        " / nullif(CAST(len(wc) AS DOUBLE), 0), 6) + 0.0"
+        " AS avg_sentence_words,"
+        " CAST(list_max(list_concat(wc, [0])) AS BIGINT)"
+        " AS max_sentence_words FROM c"
     )
 
     # sliding-window chunking: chunk i = tokens [i·48, i·48+64);

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "text_boilerplate",
     "text_approx_top_ngrams",
     "text_chunking",
+    "text_sentences",
     "sim_label_centroids",
     "sim_standardize",
     # event analytics

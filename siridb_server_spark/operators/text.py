@@ -407,6 +407,36 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
             .limit(k))
 
 
+def sentence_features(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Sentence-level quality features: sentence count and mean
+    sentence length in words — the Gopher-style signals (too-short
+    "sentences" mean listicles/navigation, absurdly long ones mean
+    unpunctuated spam) that the word-level features can't express.
+    Sentences split on ``.!?`` runs; blank fragments don't count.
+
+    Row-local split/filter/aggregate — fuses into the scan, zero
+    shuffles, same plan family as quality_features. Output:
+    (doc_id, n_sentences, avg_sentence_words, max_sentence_words),
+    6 decimals on the mean."""
+    frags = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]+"),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    wc = F.transform(frags, lambda s: F.size(F.split(s, r"\s+")))
+    n = F.size(wc)
+    total = F.aggregate(wc, F.lit(0),
+                        lambda acc, x: acc + x)
+    return (df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_sentences"),
+        (F.round(F.try_divide(total.cast("double"),
+                              n.cast("double")), 6) + F.lit(0.0))
+        .alias("avg_sentence_words"),
+        F.array_max(F.concat(wc, F.array(F.lit(0))))
+        .cast("long").alias("max_sentence_words")))
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
                     overlap: int = 16, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

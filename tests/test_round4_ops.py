@@ -603,3 +603,18 @@ def test_uptime_report_gap_excess(spark):
     assert (s["span"], s["max_gap"], s["downtime"]) == (50, 30, 20)
     assert s["uptime_frac"] == 1.0 - 20 / 50
     assert out["one"]["uptime_frac"] is None
+
+
+def test_sentence_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three. four five! six?"), (2, "   ")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           TX.sentence_features(docs).collect()}
+    r = out[1]
+    assert r["n_sentences"] == 3
+    assert r["avg_sentence_words"] == round((3 + 2 + 1) / 3, 6)
+    assert r["max_sentence_words"] == 3
+    assert out[2]["n_sentences"] == 0
+    assert out[2]["avg_sentence_words"] is None
+    assert out[2]["max_sentence_words"] == 0
