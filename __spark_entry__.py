@@ -1794,8 +1794,9 @@ def oracle_sql() -> dict[str, str]:
     o["curation_sample_sources"] = (
         "WITH c AS (SELECT source, count(*) AS n_s FROM documents"
         " GROUP BY 1),"
-        " t AS (SELECT sum(n_s) AS n_tot, sum(pow(n_s, 0.5)) AS w_tot"
-        " FROM c),"
+        " t AS (SELECT sum(n_s) AS n_tot,"
+        " CAST(sum(CAST(pow(n_s, 0.5) AS DECIMAL(38,18))) AS DOUBLE)"
+        " AS w_tot FROM c),"
         " r AS (SELECT source, least(1.0,"
         " pow(n_s, 0.5) / w_tot * 0.5 * n_tot / n_s) AS keep_rate"
         " FROM c, t)"
@@ -2124,7 +2125,8 @@ def oracle_sql() -> dict[str, str]:
         " len(string_split_regex(trim(text), '\\s+')) END)"
         " AS n_tokens FROM documents GROUP BY 1),"
         " tot AS (SELECT sum(n_tokens) AS tok_tot,"
-        " sum(pow(n_tokens, 0.3)) AS w_tot FROM per)"
+        " CAST(sum(CAST(pow(n_tokens, 0.3) AS DECIMAL(38,18)))"
+        " AS DOUBLE) AS w_tot FROM per)"
         " SELECT source, n_docs, n_tokens,"
         " round(n_tokens / tok_tot, 6) + 0.0 AS token_share,"
         " round(pow(n_tokens, 0.3) / w_tot, 6) + 0.0"

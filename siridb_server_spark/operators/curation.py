@@ -18,6 +18,20 @@ from .text import token_count
 _HASH_SPACE = 4294967296.0
 
 
+def _stable_dsum(col: Column) -> Column:
+    """Order-insensitive double sum: cast each term to DECIMAL(38,18)
+    (deterministic half-up rounding at 18 fractional digits), sum
+    exactly — decimal addition is associative and commutative, so the
+    result is independent of partial-aggregation order / partitioning
+    — then cast back to double. A plain ``F.sum`` over doubles can
+    flip the last bit between local[4] and local[32], which flips
+    ``round(x, 6)`` at a round-half boundary and breaks value-hash
+    reproducibility (observed on mix_weights, CORRECTNESS_r04).
+    The oracle mirrors this as
+    ``CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE)``."""
+    return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+
 def uniform01(col: Column) -> Column:
     """Deterministic uniform in [0, 1) from any key column: first 8
     hex digits of md5, as an unsigned 32-bit fraction. Exactly
@@ -64,7 +78,7 @@ def sample_by_source(df: DataFrame, alpha: float = 0.5,
     counts = df.groupBy(source_col).agg(F.count("*").alias("n_s"))
     totals = counts.agg(
         F.sum("n_s").alias("n_tot"),
-        F.sum(F.pow(F.col("n_s"), F.lit(alpha))).alias("w_tot"))
+        _stable_dsum(F.pow(F.col("n_s"), F.lit(alpha))).alias("w_tot"))
     # rate = ((n_s^a / w_tot) * target_frac * n_tot) / n_s  — keep the
     # op order fixed: the oracle replays it and IEEE doubles only
     # match if both sides evaluate identically.
@@ -127,7 +141,8 @@ def mix_weights(df: DataFrame, alpha: float = 0.3,
         F.sum(token_count(F.col(text_col))).alias("n_tokens"))
     tot = per.agg(
         F.sum("n_tokens").alias("tok_tot"),
-        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("w_tot"))
+        _stable_dsum(F.pow(F.col("n_tokens"), F.lit(alpha)))
+        .alias("w_tot"))
     share = F.col("n_tokens") / F.col("tok_tot")
     target = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("w_tot")
     weight = F.least(F.lit(max_weight), target / share)

@@ -53,6 +53,42 @@ def test_mix_weights_flattens_toward_small_sources(spark):
             == pytest.approx(1.0, abs=1e-5))
 
 
+def test_mix_weights_invariant_under_repartition(spark):
+    # CORRECTNESS_r04 regression: w_tot was a double F.sum whose value
+    # depended on partial-aggregation order, flipping round(x, 6) at a
+    # round-half boundary between local[4] and local[32]. The decimal
+    # sum in _stable_dsum must make every output bit-identical across
+    # partitionings.
+    rows = [(i, f"s{i % 7}", "tok " * (3 + (i * 37) % 50))
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    baseline = None
+    for n in (1, 3, 7, 32):
+        got = sorted(
+            tuple(r) for r in
+            CU.mix_weights(docs.repartition(n), alpha=0.3,
+                           max_weight=5.0).collect())
+        if baseline is None:
+            baseline = got
+        else:
+            assert got == baseline, f"repartition({n}) changed output"
+
+
+def test_sample_by_source_invariant_under_repartition(spark):
+    rows = [(i, f"s{i % 5}") for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    baseline = None
+    for n in (1, 4, 32):
+        got = sorted(
+            tuple(r) for r in
+            CU.sample_by_source(docs.repartition(n), alpha=0.5,
+                                target_frac=0.5).collect())
+        if baseline is None:
+            baseline = got
+        else:
+            assert got == baseline, f"repartition({n}) changed output"
+
+
 def test_shard_export_deterministic_dense_positions(spark):
     docs = spark.createDataFrame(
         [(i,) for i in range(200)], ["doc_id"])
