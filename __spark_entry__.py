@@ -162,14 +162,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- dedup operators
     q["dedup_exact"] = lambda spark, sf_dir: D.exact_duplicates(
         load(spark, sf_dir, "documents"))
+    # document-frequency cutoff for the exact-Jaccard entries: the
+    # production guard against quadratic hot-posting-list blowup
+    # (dedup._cap_posting_lists), mirrored verbatim in the oracles'
+    # _JP CTE. 100k never binds at the correctness/bench scales
+    # (max token df at sf0.1 is ~4k), so values are exact — but the
+    # bounded path IS the path being checked.
+    MAX_DF = 100_000
+
     q["dedup_ngram_jaccard"] = lambda spark, sf_dir: D.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents").where(F.col("doc_id") < 300),
-        threshold=0.8)
+        threshold=0.8, max_df=MAX_DF)
 
     q["dedup_cross_source"] = lambda spark, sf_dir: \
         D.cross_source_dup_rates(
             load(spark, sf_dir, "documents")
-            .where(F.col("doc_id") < 300), threshold=0.8)
+            .where(F.col("doc_id") < 300), threshold=0.8,
+            max_df=MAX_DF)
 
     q["dedup_similar_docs"] = lambda spark, sf_dir: \
         D.similar_docs(load(spark, sf_dir, "documents"),
@@ -188,7 +197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(F.when(F.col("n_copies") > 1,
                          F.col("n_copies")).otherwise(0))
             .alias("n_docs_in_exact_dups"))
-        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8,
+                                      max_df=MAX_DF)
         res = D.resolve_duplicates(docs, pairs)
         near = (res.agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -272,7 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_resolve(spark, sf_dir):
         docs = load(spark, sf_dir, "documents").where(
             F.col("doc_id") < 300)
-        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8,
+                                      max_df=MAX_DF)
         return D.resolve_duplicates(docs, pairs)
 
     q["dedup_resolve"] = dedup_resolve
@@ -282,7 +293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         smaller id) — the policy-aware canonicalization."""
         docs = load(spark, sf_dir, "documents").where(
             F.col("doc_id") < 300)
-        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8,
+                                      max_df=MAX_DF)
         return D.resolve_duplicates_by(docs, pairs, "n_chars")
 
     q["dedup_resolve_quality"] = dedup_resolve_quality
@@ -1442,11 +1454,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,"
         " count(*) AS n_copies FROM documents GROUP BY 1"
     )
+    # dwf applies the same max_df=100000 posting-list cutoff as the
+    # Spark entries (dedup._cap_posting_lists): sizes and the
+    # inverted-index join both read the CAPPED postings, so the SQL
+    # stays the exact mirror even at a scale where the cutoff binds
     o["dedup_ngram_jaccard"] = (
         "WITH dw AS (SELECT DISTINCT doc_id,"
         " unnest(string_split(lower(trim(text)), ' ')) AS w"
         " FROM documents WHERE doc_id < 300),"
-        " dwf AS (SELECT * FROM dw WHERE w <> ''),"
+        " dwf AS (SELECT * FROM dw WHERE w <> ''"
+        " AND w IN (SELECT w FROM dw WHERE w <> ''"
+        " GROUP BY 1 HAVING count(*) <= 100000)),"
         " sz AS (SELECT doc_id, count(*) AS n FROM dwf GROUP BY 1),"
         " i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
         " count(*) AS i FROM dwf a JOIN dwf b ON a.w = b.w"

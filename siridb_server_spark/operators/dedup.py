@@ -170,19 +170,57 @@ def ngram_contamination(train_df: DataFrame, eval_df: DataFrame,
     )
 
 
+def _cap_posting_lists(dw: DataFrame,
+                       max_df: int | None) -> DataFrame:
+    """Document-frequency cutoff for inverted-index self-joins: drop
+    tokens/shingles whose posting list exceeds ``max_df`` documents.
+    A token appearing in d documents emits d²/2 candidate pairs — at
+    web scale one stopword in 10⁶ docs is 10¹² pairs, so WITHOUT a
+    cutoff the exact join is quadratic in the hottest posting list.
+    Dropping high-df keys is standard and principled: a key shared by
+    "everyone" contributes negligible Jaccard discrimination (it adds
+    ~1 to both |A∩B| and |A∪B| of every pair). The cutoff changes the
+    measured sets, so it is mirrored verbatim in the DuckDB oracles
+    (same df count over the same distinct (doc, key) relation).
+
+    One extra groupBy on the 8-byte key (map-side partial count) and
+    a join back on the key; the join output is exactly the surviving
+    posting stream. None = no cutoff (exact ground-truth mode)."""
+    if max_df is None:
+        return dw
+    hot = (dw.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+           .where(F.col("_df") <= max_df).select("h"))
+    return dw.join(hot, "h")
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_df: int | None = None) -> DataFrame:
     """Word-set Jaccard similarity join (n=1 shingles).
 
     Inverted-index self-join: only pairs sharing ≥1 token are
     generated; |A∩B| falls out of the pair count, |A∪B| from the
-    per-doc sizes (broadcast — it's one row per doc_id). The join
-    key is the token's 64-bit hash, not the token string — an
-    8-byte shuffle key regardless of token length.
+    per-doc sizes (one row per doc_id — AQE broadcasts it while it
+    fits; at billions of docs it becomes a plain hash join, which is
+    why the hint is left to the optimizer). The join key is the
+    token's 64-bit hash, not the token string — an 8-byte shuffle
+    key regardless of token length.
+
+    ``max_df`` bounds the quadratic hot-token blowup (see
+    :func:`_cap_posting_lists`); sizes are counted AFTER the cutoff
+    so Jaccard stays a true set similarity over the surviving
+    vocabulary. None = exact mode — the documented ground-truth path
+    for oracle checks on bounded slices; production sweeps at corpus
+    scale should set it (or use :func:`minhash_lsh_pairs`).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    dw = _doc_word_hashes(df, text_col, id_col)
+    dw = _cap_posting_lists(
+        _doc_word_hashes(df, text_col, id_col), max_df)
+    if max_df is not None:
+        # both the size agg and the two join sides read the capped
+        # postings — persist so the df-count join runs once
+        dw = _persist_bounded(dw)
     sizes = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = dw.alias("a")
     b = dw.alias("b")
@@ -199,8 +237,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                       F.col("n").alias("nb"))
     jac = (F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b",
                 (F.round(jac, 6) + F.lit(0.0)).alias("jaccard"))
@@ -222,19 +260,27 @@ def similar_docs(df: DataFrame, query_id, k: int = 10,
     query's tokens|, not the corpus. Exact Jaccard from the
     intersection count + per-doc sizes (the size table joins only
     the ≤|candidates| surviving docs), then a TakeOrdered top-k —
-    no global sort. Ties break toward the smaller id. Output:
-    (doc_id, jaccard), 6 decimals, the query itself excluded."""
-    dw = _doc_word_hashes(df, text_col, id_col)
+    no global sort. Ties break toward the smaller id.
+
+    The tokenized (doc_id, hash) relation feeds three consumers
+    (query set, candidate scoring, sizes), so it is persisted once —
+    three corpus re-tokenizations for one lookup would triple the
+    dominant cost. |query-set| rides the plan as a broadcast 1-row
+    aggregate instead of an eager ``count()`` action, so calling
+    this function stays lazy. Output: (doc_id, jaccard), 6 decimals,
+    the query itself excluded."""
+    dw = _persist_bounded(_doc_word_hashes(df, text_col, id_col))
     qset = (dw.where(F.col("doc_id") == query_id)
             .select("h").distinct())
-    n_q = qset.count()
+    n_q = qset.agg(F.count(F.lit(1)).alias("n_q"))
     inter = (dw.where(F.col("doc_id") != query_id)
              .join(F.broadcast(qset), "h")
              .groupBy("doc_id")
              .agg(F.count(F.lit(1)).alias("i")))
     sizes = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    jac = F.col("i") / (F.col("n") + F.lit(n_q) - F.col("i"))
+    jac = F.col("i") / (F.col("n") + F.col("n_q") - F.col("i"))
     return (inter.join(sizes, "doc_id")
+            .crossJoin(F.broadcast(n_q))
             .select("doc_id",
                     (F.round(jac, 6) + F.lit(0.0)).alias("jaccard"))
             .orderBy(F.desc("jaccard"), F.asc("doc_id"))
@@ -244,23 +290,38 @@ def similar_docs(df: DataFrame, query_id, k: int = 10,
 def cross_source_dup_rates(df: DataFrame, threshold: float = 0.8,
                            text_col: str = "text",
                            id_col: str = "doc_id",
-                           group_col: str = "source") -> DataFrame:
-    """Which sources duplicate each other: the exact Jaccard
-    near-dup pairs rolled up into a source×source duplication
-    matrix — the curation report that says which feeds to
-    de-prioritize (or drop) before training, and whether a "new"
-    source is mostly recycled content from an old one.
+                           group_col: str = "source",
+                           max_df: int | None = None,
+                           pairs: DataFrame | None = None) -> DataFrame:
+    """Which sources duplicate each other: near-dup pairs rolled up
+    into a source×source duplication matrix — the curation report
+    that says which feeds to de-prioritize (or drop) before
+    training, and whether a "new" source is mostly recycled content
+    from an old one.
 
-    Cost is the pair join's (:func:`ngram_jaccard_pairs`); the
-    rollup adds two broadcast joins of the |docs|-row (id, source)
-    table and one groupBy over ≤|sources|² keys. Pairs are
-    undirected, so the (source_a, source_b) key is ordered
-    lexicographically and each pair counts once. Output:
+    Candidate source, scale-tiered: pass ``pairs`` (any (id_a, id_b,
+    <score>) frame — e.g. :func:`minhash_lsh_pairs` output, the
+    bucketed generator that stays linear on stopword-heavy corpora)
+    to roll up precomputed pairs; otherwise the exact
+    :func:`ngram_jaccard_pairs` join runs, with ``max_df`` bounding
+    its hot-posting-list blowup (set it for any corpus-scale sweep;
+    None is the exact oracle mode for bounded slices).
+
+    The rollup adds two hash joins of the (id, source) projection
+    and one groupBy over ≤|sources|² keys. The join sides are NOT
+    force-broadcast: the pairs side is usually the small relation
+    and the (id, source) side is |docs| rows — at web scale that
+    exceeds any broadcast limit, so the build-side choice is left to
+    AQE. Pairs are undirected, so the (source_a, source_b) key is
+    ordered lexicographically and each pair counts once. Output:
     (source_a, source_b, n_pairs, sum_jaccard) — the mean is
     sum/n; the SUM is reported because summed 1e-6-grid pair scores
     round reproducibly across engines, while their mean lands on
     exact rounding boundaries (1/n fractions)."""
-    pairs = ngram_jaccard_pairs(df, threshold, text_col, id_col)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, threshold, text_col, id_col,
+                                    max_df=max_df)
+    score_col = pairs.columns[2]
     # NULL sources surface as their own bucket — least/greatest skip
     # NULLs, which would silently misattribute such pairs
     src = df.select(F.col(id_col),
@@ -270,12 +331,12 @@ def cross_source_dup_rates(df: DataFrame, threshold: float = 0.8,
                     F.col(group_col).alias("_ga"))
     gb = src.select(F.col(id_col).alias("id_b"),
                     F.col(group_col).alias("_gb"))
-    return (pairs.join(F.broadcast(ga), "id_a")
-            .join(F.broadcast(gb), "id_b")
+    return (pairs.join(ga, "id_a")
+            .join(gb, "id_b")
             .groupBy(F.least("_ga", "_gb").alias("source_a"),
                      F.greatest("_ga", "_gb").alias("source_b"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
-                 (F.round(F.sum("jaccard"), 6) + F.lit(0.0))
+                 (F.round(F.sum(score_col), 6) + F.lit(0.0))
                  .alias("sum_jaccard")))
 
 
@@ -288,16 +349,25 @@ def shingles(text_col: str, n: int = 3):
 
 
 def _shingle_intersections(df: DataFrame, shingle_n: int,
-                           text_col: str, id_col: str) -> DataFrame:
+                           text_col: str, id_col: str,
+                           max_df: int | None = None) -> DataFrame:
     """Shared inverted-index scaffolding for the shingle-set joins:
     candidate pairs (id_a < id_b) sharing >= 1 shingle, with the
     distinct-shingle intersection count ``i`` and each side's shingle
-    count ``na``/``nb`` (broadcast — one row per doc). Join key is
-    the shingle's 64-bit hash, never the shingle text."""
+    count ``na``/``nb`` (one row per doc — build side left to AQE;
+    at billions of docs the size table outgrows any broadcast
+    limit). Join key is the shingle's 64-bit hash, never the shingle
+    text. ``max_df`` drops shingles whose posting list exceeds it
+    (see :func:`_cap_posting_lists`) — shingles are rarer than
+    tokens, but boilerplate (headers, license blocks) still produces
+    corpus-wide posting lists at scale."""
     sh = (df.select(F.col(id_col).alias("doc_id"),
                     F.explode(shingles(text_col, shingle_n))
                     .alias("s"))
           .select("doc_id", F.xxhash64("s").alias("h")))
+    sh = _cap_posting_lists(sh, max_df)
+    if max_df is not None:
+        sh = _persist_bounded(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -311,21 +381,24 @@ def _shingle_intersections(df: DataFrame, shingle_n: int,
                       F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"),
                       F.col("n").alias("nb"))
-    return (inter.join(F.broadcast(sa), "id_a")
-            .join(F.broadcast(sb), "id_b"))
+    return (inter.join(sa, "id_a")
+            .join(sb, "id_b"))
 
 
 def shingle_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                           shingle_n: int = 3, text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          max_df: int | None = None) -> DataFrame:
     """EXACT n-word-shingle-set Jaccard pairs — the ground truth that
     MinHash+LSH approximates (same shingle definition). Inverted-index
     self-join on 8-byte shingle hashes, so only pairs sharing at least
-    one shingle ever materialize — never all-pairs.
+    one shingle ever materialize — never all-pairs. ``max_df`` caps
+    boilerplate shingles' posting lists for corpus-scale runs.
     Output: (id_a, id_b, jaccard)."""
     jac = (F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
     return (
-        _shingle_intersections(df, shingle_n, text_col, id_col)
+        _shingle_intersections(df, shingle_n, text_col, id_col,
+                               max_df=max_df)
         .where(jac >= threshold)
         .select("id_a", "id_b",
                 (F.round(jac, 6) + F.lit(0.0)).alias("jaccard"))
@@ -389,6 +462,12 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16,
     _cap_hot_buckets).
     Output: (id_a, id_b, est_jaccard)."""
     k = num_hashes
+    if bands <= 0 or k % bands != 0:
+        raise ValueError(
+            f"num_hashes ({k}) must be a positive multiple of bands"
+            f" ({bands}): a non-divisible split silently ignores the"
+            " trailing signature rows and changes the LSH"
+            " sensitivity curve")
     rows_per_band = k // bands
     sig = minhash_signatures(df, k, shingle_n, text_col, id_col)
     band_cols = [
@@ -545,10 +624,17 @@ def resolve_duplicates_by(df: DataFrame, pairs: DataFrame,
     production pipelines actually want, because the first-crawled
     copy is often the worst one.
 
-    Same connected-components machinery; picking winners adds one
-    ``max_by(id, (score, −id))`` aggregate per component and a hash
-    join back on the component id — both carry |docs| rows, nothing
-    quadratic. Output: (doc_id, keep_id, is_kept)."""
+    Same connected-components machinery; picking winners is a
+    two-stage aggregate — max score per component, then min id among
+    the rows that carry it (``eqNullSafe`` so an all-NULL-score
+    component still elects its min id rather than vanishing). Both
+    stages are skew-safe map-side-partial groupBys on the component
+    key and work for ANY orderable id/score type — a single
+    ``max_by(id, struct(score, -id))`` would be one pass but raises
+    AnalysisException for string ids (negation), silently narrowing
+    the id types the rest of the dedup stack supports. Everything
+    carries |docs| rows, nothing quadratic.
+    Output: (doc_id, keep_id, is_kept)."""
     comp = connected_components(pairs)
     scored = df.select(F.col(id_col).alias("doc_id"),
                        F.col(score_col).alias("_s"))
@@ -557,10 +643,11 @@ def resolve_duplicates_by(df: DataFrame, pairs: DataFrame,
              .select("doc_id", "_s",
                      F.coalesce("comp", F.col("doc_id"))
                      .alias("comp")))
-    winners = withc.groupBy("comp").agg(
-        F.max_by("doc_id",
-                 F.struct(F.col("_s"), -F.col("doc_id")))
-        .alias("keep_id"))
+    best = withc.groupBy("comp").agg(F.max("_s").alias("_smax"))
+    winners = (withc.join(best, "comp")
+               .where(F.col("_s").eqNullSafe(F.col("_smax")))
+               .groupBy("comp")
+               .agg(F.min("doc_id").alias("keep_id")))
     return (withc.join(winners, "comp")
             .select("doc_id", "keep_id",
                     (F.col("doc_id") == F.col("keep_id"))
@@ -710,7 +797,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
 
 def containment_pairs(df: DataFrame, threshold: float = 0.5,
                       shingle_n: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      max_df: int | None = None) -> DataFrame:
     """ASYMMETRIC containment: |shingles(A) ∩ shingles(B)| /
     |shingles(A)| — "how much of A appears inside B". Jaccard misses
     excerpts (a paragraph quoted inside a much longer document has
@@ -727,7 +815,8 @@ def containment_pairs(df: DataFrame, threshold: float = 0.5,
     ca = F.col("i") / F.col("na")
     cb = F.col("i") / F.col("nb")
     return (
-        _shingle_intersections(df, shingle_n, text_col, id_col)
+        _shingle_intersections(df, shingle_n, text_col, id_col,
+                               max_df=max_df)
         .where((ca >= threshold) | (cb >= threshold))
         .select("id_a", "id_b",
                 (F.round(ca, 6) + F.lit(0.0)).alias("contain_a"),

@@ -458,6 +458,12 @@ def streaming_minhash_dedup(stream_df: DataFrame, *,
     buckets."""
     from ..operators.dedup import minhash_signatures
 
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple"
+            f" of bands ({bands}): a non-divisible split silently"
+            " ignores the trailing signature rows and changes the"
+            " LSH sensitivity curve")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(stream_df, num_hashes, shingle_n,
                              text_col, id_col)

@@ -42,6 +42,53 @@ def test_ngram_jaccard(docs):
     assert pairs[(0, 2)] == pytest.approx(8 / 9, abs=1e-5)  # adds 'a'
 
 
+def test_ngram_jaccard_max_df_caps_hot_tokens(spark):
+    # 'stop' appears in every doc (df=4 > max_df=3) and is the ONLY
+    # link between docs 0/1 and 2/3 — with the cutoff the candidate
+    # join must not even generate those cross pairs, and Jaccard is
+    # computed over the surviving vocabulary (sizes post-cutoff).
+    rows = [(0, "stop alpha beta"), (1, "stop alpha beta"),
+            (2, "stop gamma delta"), (3, "stop gamma epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(
+               docs, threshold=0.4, max_df=3).collect()}
+    # {alpha,beta} vs {alpha,beta} → 1.0; {gamma,delta} vs
+    # {gamma,epsilon} → 1/3 < 0.4; nothing crosses the stopword
+    assert got == {(0, 1): 1.0}
+    # without the cutoff the stopword links everything: (0,2) etc.
+    # appear as candidates (below threshold) and (2,3) passes 0.4
+    # via {stop,gamma}/{stop,gamma,delta,epsilon}=0.5
+    raw = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(
+               docs, threshold=0.4, max_df=None).collect()}
+    assert (2, 3) in raw
+
+
+def test_shingle_jaccard_max_df_matches_uncut_when_loose(docs):
+    loose = sorted(tuple(r) for r in D.shingle_jaccard_pairs(
+        docs, threshold=0.5, max_df=10_000).collect())
+    exact = sorted(tuple(r) for r in D.shingle_jaccard_pairs(
+        docs, threshold=0.5).collect())
+    assert loose == exact
+
+
+def test_cross_source_accepts_lsh_pair_source(spark):
+    rows = [(0, "a", "x y z w q r s t"), (1, "b", "x y z w q r s t"),
+            (2, "a", "totally different words here now ok fine yes")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    lsh = D.minhash_lsh_pairs(docs, threshold=0.5)
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"]
+           for r in D.cross_source_dup_rates(docs, pairs=lsh).collect()}
+    assert got == {("a", "b"): 1}
+
+
+def test_minhash_lsh_rejects_non_divisible_bands(docs):
+    with pytest.raises(ValueError, match="multiple of bands"):
+        D.minhash_lsh_pairs(docs, num_hashes=16, bands=3)
+
+
 def test_ngram_contamination(docs, spark):
     # eval set = doc 0's exact text; train docs sharing 3-grams with
     # it are contaminated, unrelated docs are not
@@ -227,6 +274,41 @@ def test_resolve_duplicates(docs):
     assert res[5] == (0, False)
     assert res[3] == (3, True)  # singleton keeps itself
     assert res[4] == (4, True)
+
+
+def test_resolve_duplicates_by_string_ids(spark):
+    # ADVICE r4: the -F.col(doc_id) tiebreak raised AnalysisException
+    # for non-numeric ids; the two-stage winner agg must support any
+    # orderable id type and break score ties toward the smaller id.
+    docs = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 9), ("d", 1)],
+        "doc_id string, score int")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string")
+    res = {r["doc_id"]: (r["keep_id"], r["is_kept"])
+           for r in D.resolve_duplicates_by(
+               docs, pairs, "score").collect()}
+    # cluster {a,b,c}: max score 9 held by b and c → tie to "b"
+    assert res["a"] == ("b", False)
+    assert res["b"] == ("b", True)
+    assert res["c"] == ("b", False)
+    assert res["d"] == ("d", True)
+
+
+def test_resolve_duplicates_by_all_null_scores(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, score double")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    res = {r["doc_id"]: r["keep_id"]
+           for r in D.resolve_duplicates_by(
+               docs, pairs, "score").collect()}
+    assert res == {1: 1, 2: 1}
+
+
+def test_streaming_minhash_rejects_non_divisible_bands(docs):
+    from siridb_server_spark.streaming import stateful as ST
+    with pytest.raises(ValueError, match="multiple of bands"):
+        ST.streaming_minhash_dedup(docs, num_hashes=16, bands=5)
 
 
 def test_topk_per_group(spark):
