@@ -193,18 +193,34 @@ class PointsStore:
     #: compact when this many delta files accumulate
     DELTA_COMPACT_AT = 16
 
-    def _n_delta_files(self) -> int:
+    def _n_delta_appends(self) -> int:
+        """Number of APPENDS (not files) in the delta dir: every file
+        of one Spark write job shares the job's UUID in its
+        ``part-NNNNN-<uuid>[...].parquet`` name, so distinct UUIDs
+        count commits. Counting raw files would trip the compaction
+        threshold after one multi-bucket append."""
         if not os.path.isdir(self._delta_path):
             return 0
-        return sum(1 for f in os.listdir(self._delta_path)
-                   if f.endswith(".parquet"))
+        jobs = set()
+        for root, _dirs, files in os.walk(self._delta_path):
+            for f in files:
+                if f.endswith(".parquet") and f.startswith("part-"):
+                    jobs.add(f.split("-", 2)[-1])
+        return len(jobs)
 
     def _merge_catalog(self, spark: SparkSession, stats: DataFrame):
         # the appender holds the pending marker, so a crash anywhere
-        # here (or mid-compaction) triggers the one-time rebuild
-        (self._with_bucket(stats).coalesce(1)
-         .write.mode("append").parquet(self._delta_path))
-        if self._n_delta_files() > self.DELTA_COMPACT_AT:
+        # here (or mid-compaction) triggers the one-time rebuild.
+        # The delta is sharded by the catalog's bucket column — an
+        # append touching 10⁷ series fans out across buckets instead
+        # of funneling through one task (the r4 coalesce(1)), and
+        # reads/compaction prune to touched bucket dirs. The
+        # repartition puts each bucket in one task → one file per
+        # touched bucket per append.
+        (self._with_bucket(stats).repartition("bucket")
+         .write.mode("append").partitionBy("bucket")
+         .parquet(self._delta_path))
+        if self._n_delta_appends() > self.DELTA_COMPACT_AT:
             self._compact_catalog(spark)
 
     def _compact_catalog(self, spark: SparkSession):
@@ -317,7 +333,7 @@ class PointsStore:
 
     def _read_catalog_raw(self, spark: SparkSession) -> DataFrame | None:
         has_base = os.path.isdir(self._catalog_path)
-        has_delta = self._n_delta_files() > 0
+        has_delta = self._n_delta_appends() > 0
         if not has_base and not has_delta:
             return None
         if not has_delta:

@@ -219,24 +219,43 @@ def test_stateful_streaming_dedup_and_stats(spark, tmp_path):
 
 def test_catalog_lsm_deltas_and_bucketed_compaction(spark, tmp_path):
     """The catalog is LSM-shaped for the 100 TB ingest path: an
-    append writes ONE O(batch) delta file (no read-merge of the
-    base), reads fold base ∪ deltas, and compaction rewrites only
-    the bucket partitions the deltas touch."""
+    append writes an O(batch) delta sharded by catalog bucket (no
+    read-merge of the base, no single-task funnel), reads fold
+    base ∪ deltas, and compaction rewrites only the bucket
+    partitions the deltas touch."""
     eng = SiriEngine.open(spark, str(tmp_path / "bdb"), precision="s")
     store = eng.store
     eng.insert({f"s{i}": [[100 + i, float(i)]] for i in range(40)})
     # the append produced a delta, not a base rewrite
-    assert store._n_delta_files() == 1
+    assert store._n_delta_appends() == 1
     assert not os.path.isdir(store._catalog_path)
+    # the delta is bucket-partitioned: a wide append fans out across
+    # bucket dirs instead of one coalesce(1) task (VERDICT r4 #3)
+    dbuckets = [e for e in os.listdir(store._delta_path)
+                if e.startswith("bucket=")]
+    assert len(dbuckets) > 1
+
+    def delta_files():
+        return {os.path.join(r, f)
+                for r, _d, fs in os.walk(store._delta_path)
+                for f in fs if f.endswith(".parquet")}
+
+    first = delta_files()
     eng.insert({"s0": [[999, 7.0]]})
-    assert store._n_delta_files() == 2
+    assert store._n_delta_appends() == 2
+    # appends are pure file additions: the second append's files are
+    # disjoint from (and never rewrite) the first's, so concurrent
+    # appenders do not clobber each other
+    second = delta_files()
+    assert first < second and all(
+        os.path.exists(f) for f in first)
     # folded read is correct before any compaction
     cat = {r["name"]: r["length"]
            for r in store.read_catalog(spark).collect()}
     assert cat["s0"] == 2 and len(cat) == 40
     # compaction: deltas fold into hash-bucketed base partitions
     store._compact_catalog(spark)
-    assert store._n_delta_files() == 0
+    assert store._n_delta_appends() == 0
     buckets = sorted(e for e in os.listdir(store._catalog_path)
                      if e.startswith("bucket="))
     assert len(buckets) > 1  # sharded, not one blob
@@ -363,7 +382,7 @@ def test_maintain_compacts_and_expires(spark, tmp_path):
     week = 3600 * 24 * 7
     for i in range(3):  # fragmented appends, 2 deltas+ pending
         eng.insert({"s": [[now - 10 + i, float(i)]]})
-    assert eng.store._n_delta_files() == 3
+    assert eng.store._n_delta_appends() == 3
     kind, sid, p = next(eng.store._sid_dirs())
     assert len([f for f in os.listdir(p)
                 if f.endswith(".parquet")]) == 3
@@ -372,7 +391,7 @@ def test_maintain_compacts_and_expires(spark, tmp_path):
     out = eng.maintain()
     assert out["success_msg"] == "Maintenance finished."
     # compaction: one file per shard partition, no deltas left
-    assert eng.store._n_delta_files() == 0
+    assert eng.store._n_delta_appends() == 0
     assert len([f for f in os.listdir(p)
                 if f.endswith(".parquet")]) == 1
     assert eng.query("list series") == {
