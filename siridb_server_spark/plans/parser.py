@@ -80,6 +80,13 @@ class Parser:
         # error lands exactly there (mid-expression tail positions)
         self._expr_open_at = -1
         self._where_open_at = -1
+        # ditto for a complete series match (set-operator
+        # continuations, grammar.py:433-463 series_setopr) and a
+        # complete aggregate list / select_aggregate ('=>' List
+        # separator, then the still-open prefix/suffix optionals)
+        self._series_open_at = -1
+        self._agg_open_at = -1
+        self._agg_cont: list = []
 
     # ------------------------------------------------------------ low level
     def _ws(self):
@@ -147,6 +154,15 @@ class Parser:
             exp.append("+ - * % /")
         if self.pos == self._where_open_at:
             exp += ["and", "or"]
+        if self.pos == self._series_open_at:
+            # series_setopr in cleri attempt order (grammar.py:
+            # 433-438): each Choice lists its Tokens/Token spaced
+            # form first, then the keyword (query.c:459-559 renders
+            # Tokens via their spaced string, like '+ - * % /')
+            exp += [", |", "union", "-", "difference",
+                    "&", "intersection", "^", "symmetric_difference"]
+        if self.pos == self._agg_open_at:
+            exp += self._agg_cont
         return exp
 
     def _eof(self) -> bool:
@@ -267,6 +283,11 @@ class Parser:
     def series_match(self, depth: int = 0):
         left = self._series_operand(depth)
         while True:
+            # a complete match may always continue with a set
+            # operator: keep that continuation open for the
+            # expectation list if the parse stops exactly here
+            self._ws()
+            self._series_open_at = self.pos
             op = self._setopr()
             if op is None:
                 return left
@@ -291,7 +312,8 @@ class Parser:
         if self._token("("):
             inner = self.series_match(depth + 1)
             if not self._token(")"):
-                self._error("')'")
+                # inner List's set-operator attempts come first
+                self._merged_error(self._open_cont() + [")"])
             return inner
         return self._series_atom()
 
@@ -323,9 +345,15 @@ class Parser:
     # ------------------------------------------------------------- pipeline
     def aggregate_functions(self) -> list:
         funcs = [self._aggregate_function(funcs=None)]
-        while self._token("=>"):
+        while True:
+            # the List can always continue with '=>' — keep it in
+            # the expectation set if the parse stops exactly here
+            self._ws()
+            self._agg_open_at = self.pos
+            self._agg_cont = ["=>"]
+            if not self._token("=>"):
+                return funcs
             self._aggregate_function(funcs=funcs)
-        return funcs
 
     def _aggregate_function(self, funcs: list | None):
         """Parse one pipeline function. When `funcs` is given, append in
@@ -631,7 +659,10 @@ class Parser:
         while self._token(","):
             pipelines.append(self._select_aggregate())
         if not self._keyword("from"):
-            self._error("from")
+            # cleri attempt order: the aggregate list's own
+            # continuations ('=>', prefix/suffix), the
+            # select_aggregates List separator, then k_from
+            self._merged_error(self._open_cont() + [",", "from"])
         match = self.series_match()
         where = self._where_series()
         timerange = None
@@ -693,6 +724,18 @@ class Parser:
             suffix = self._string()
             if suffix is None:
                 self._error("single_quote_str or double_quote_str")
+        # still-open continuations after a complete select_aggregate,
+        # in grammar attempt order (select_aggregate, grammar.py:
+        # 602-607): once prefix matched, '=>' is closed; once suffix
+        # matched, both are
+        self._ws()
+        self._agg_open_at = self.pos
+        if suffix is not None:
+            self._agg_cont = []
+        elif prefix is not None:
+            self._agg_cont = ["suffix"]
+        else:
+            self._agg_cont = ["=>", "prefix", "suffix"]
         return N.Pipeline(funcs, prefix, suffix)
 
     def _columns(self, allowed) -> list | None:

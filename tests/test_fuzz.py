@@ -157,6 +157,34 @@ def test_error_format_and_expectation_lists():
         "list series where bogus > 1": (
             "position 18", "length, pool, name, start, end,"
             " shard_duration, type or ("),
+        # set-operator continuations after a COMPLETE series match
+        # (series_setopr, grammar.py:433-463: Tokens rendered via
+        # their spaced string before the keyword alternative, like
+        # the reference renders '+ - * % /')
+        "select * from 'a' xyz": (
+            "position 18", ", |, union, -, difference, &,"
+            " intersection, ^, symmetric_difference, where, after,"
+            " between, before, tail, head, merge or"
+            " end_of_statement"),
+        "select * from ('a' xyz": (
+            "position 19", ", |, union, -, difference, &,"
+            " intersection, ^, symmetric_difference or )"),
+        "list series 'a' xyz": (
+            "position 16", ", |, union, -, difference, &,"
+            " intersection, ^, symmetric_difference, where, limit"
+            " or end_of_statement"),
+        # '=>' / ',' continuations after a complete aggregate list
+        # (aggregate_functions List separator, then the still-open
+        # prefix/suffix optionals, then select_aggregates' ',' and
+        # k_from — grammar.py:577-607)
+        "select mean(1h) xyz from 'a'": (
+            "position 16", "=>, prefix, suffix, , or from"),
+        "select mean(1h) prefix 'p' xyz from 'a'": (
+            "position 27", "suffix, , or from"),
+        "select mean(1h) suffix 's' xyz from 'a'": (
+            "position 27", ", or from"),
+        "select * from 'a' merge as 'm' using mean(1h) xyz": (
+            "position 46", "=> or end_of_statement"),
     }
     for q, (pos, expecting) in cases.items():
         with pytest.raises((ParseError, QueryError)) as e:

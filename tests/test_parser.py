@@ -165,7 +165,9 @@ def test_select_tail_merged_expectations():
     ref grammar/grammar.py:818-831)."""
     cases = {
         "select sum(5) from 'a' x":
-            "where, after, between, before, tail, head, merge"
+            ", |, union, -, difference, &, intersection, ^,"
+            " symmetric_difference,"
+            " where, after, between, before, tail, head, merge"
             " or end_of_statement",
         "select sum(5) from 'a' where length > 0 x":
             "+ - * % /, and, or, after, between, before, tail, head,"
@@ -177,7 +179,7 @@ def test_select_tail_merged_expectations():
         "select sum(5) from 'a' merge as 'm' x":
             "using or end_of_statement",
         "select sum(5) from 'a' merge as 'm' using mean(5) x":
-            "end_of_statement",
+            "=> or end_of_statement",
     }
     for q, exp in cases.items():
         with pytest.raises((ParseError, QueryError)) as ei:
@@ -197,7 +199,9 @@ def test_list_count_tail_merged_expectations():
             "*, all, single_quote_str, double_quote_str, (, where, "
             "limit or end_of_statement",
         "list series 'a' xx":
-            "where, limit or end_of_statement",
+            ", |, union, -, difference, &, intersection, ^,"
+            " symmetric_difference,"
+            " where, limit or end_of_statement",
         "list series where length > 0 xx":
             "+ - * % /, and, or, limit or end_of_statement",
         "list series limit 5 xx":
@@ -210,9 +214,11 @@ def test_list_count_tail_merged_expectations():
             "length, *, all, single_quote_str, double_quote_str, (, "
             "where or end_of_statement",
         "count series 'a' xx":
-            "where or end_of_statement",
+            ", |, union, -, difference, &, intersection, ^,"
+            " symmetric_difference, where or end_of_statement",
         "count series length 'a' xx":
-            "where or end_of_statement",
+            ", |, union, -, difference, &, intersection, ^,"
+            " symmetric_difference, where or end_of_statement",
         "count shards xx":
             "size, where or end_of_statement",
         "count shards size xx":
