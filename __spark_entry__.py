@@ -795,6 +795,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_ppm_decode"] = multimodal_ppm_decode
 
+    def multimodal_png_decode(spark, sf_dir):
+        """REAL PNG decode (stdlib zlib inflate + per-filter
+        unfilter) through the same Arrow path as the PPM entry, on
+        hand-built images covering every scanline filter (0/1/2 on
+        the uniform RGB, 4/3 on the mixed one) and every supported
+        color type (RGB, gray, RGBA, palette) — metadata is known
+        exactly, so the oracle is constants. A 16-bit image and a
+        non-PNG payload yield NULLs (out of the declared subset)."""
+        import numpy as np
+        rgb1 = np.tile(np.array([10, 20, 30], np.uint8), (3, 4, 1))
+        rgb2 = np.array([[(0, 0, 0), (255, 255, 255)],
+                         [(255, 0, 0), (1, 2, 3)]], np.uint8)
+        gray = np.array([[10, 30]], np.uint8)
+        rgba = np.array([[(10, 20, 30, 255), (30, 40, 50, 0)]],
+                        np.uint8)
+        pal = np.array([[0, 1]], np.uint8)
+        bad16 = MM.encode_png(rgb1)  # corrupt depth byte to 16
+        depth_at = len(b"\x89PNG\r\n\x1a\n") + 8 + 8
+        bad16 = bad16[:depth_at] + b"\x10" + bad16[depth_at + 1:]
+        rows = [
+            (1, "image", MM.encode_png(rgb1, filters=[0, 1, 2]),
+             "image/png"),
+            (2, "image", MM.encode_png(rgb2, filters=[4, 3]),
+             "image/png"),
+            (3, "image", MM.encode_png(gray, color_type=0),
+             "image/png"),
+            (4, "image", MM.encode_png(rgba, color_type=6,
+                                       filters=[1]), "image/png"),
+            (5, "image", MM.encode_png(
+                pal, color_type=3,
+                palette=[(0, 0, 0), (255, 0, 0)]), "image/png"),
+            (6, "image", bad16, "image/png"),
+            (7, "image", b"not a png", "application/octet-stream"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.decode_png_meta(media)
+
+    q["multimodal_png_decode"] = multimodal_png_decode
+
     def multimodal_ppm_resize(spark, sf_dir):
         """REAL nearest-neighbor resize to 2x2 on hand-constructed
         P6 images — sampled source pixels (y*h//2, x*w//2) are known
@@ -2467,6 +2506,19 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 2, 2, 2, 255, 127.75, 64.25, 64.5"
         " UNION ALL SELECT 3, 1, 1, 255, 5.0, 6.0, 7.0"
         " UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
+    o["multimodal_png_decode"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id, CAST(4 AS BIGINT)"
+        " AS width, CAST(3 AS BIGINT) AS height,"
+        " CAST(3 AS BIGINT) AS channels, CAST(10.0 AS DOUBLE)"
+        " AS mean_r, CAST(20.0 AS DOUBLE) AS mean_g,"
+        " CAST(30.0 AS DOUBLE) AS mean_b"
+        " UNION ALL SELECT 2, 2, 2, 3, 127.75, 64.25, 64.5"
+        " UNION ALL SELECT 3, 2, 1, 1, 20.0, 20.0, 20.0"
+        " UNION ALL SELECT 4, 2, 1, 4, 20.0, 30.0, 40.0"
+        " UNION ALL SELECT 5, 2, 1, 1, 127.5, 0.0, 0.0"
+        " UNION ALL SELECT 6, NULL, NULL, NULL, NULL, NULL, NULL"
+        " UNION ALL SELECT 7, NULL, NULL, NULL, NULL, NULL, NULL"
     )
     o["multimodal_ppm_resize"] = (
         "SELECT CAST(1 AS BIGINT) AS media_id, CAST(2 AS BIGINT)"

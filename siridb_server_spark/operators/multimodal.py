@@ -60,23 +60,46 @@ def _fake_meta(payload: bytes) -> tuple:
     return n, (n * 7) % 640 + 1, (n * 13) % 480 + 1, n % 97 + 1
 
 
+def _real_image_meta(payload: bytes):
+    """Real (n_bytes, width, height, n_frames) for the library-free
+    image formats this module actually decodes — PNG (stdlib zlib)
+    and P6 PPM. None for anything else (codec formats)."""
+    png = _parse_png_raster(payload)
+    if png is not None:
+        return (len(payload), png[0], png[1], 1)
+    ppm = _parse_ppm_raster(payload)
+    if ppm is not None:
+        return (len(payload), ppm[0], ppm[1], 1)
+    return None
+
+
 def decode_image_meta(media: DataFrame,
                       deterministic_fake: bool = True) -> DataFrame:
     """Extract (width, height, ...) metadata per payload via Arrow-
-    batched mapInPandas. Real decoding is stubbed (no PIL/ffmpeg in
-    this container)."""
+    batched mapInPandas. PNG and P6 PPM payloads decode for REAL
+    (library-free: stdlib zlib inflate + unfilter / plain header
+    parse); other formats (JPEG/MP4 need native codec libraries) are
+    stubbed — deterministic fake metadata derived from the bytes, or
+    NotImplementedError when ``deterministic_fake=False``."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libjpeg — not "
-                    "available in this container; pass "
-                    "deterministic_fake=True")
-            metas = [_fake_meta(p if p is not None else b"")
-                     for p in pdf["payload"]]
+            metas = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                m = _real_image_meta(p)
+                if m is None:
+                    if not deterministic_fake:
+                        raise NotImplementedError(
+                            "real decode for codec formats "
+                            "(JPEG/MP4) requires PIL/ffmpeg — not "
+                            "available in this container; pass "
+                            "deterministic_fake=True (PNG and P6 "
+                            "PPM decode for real)")
+                    m = _fake_meta(p)
+                metas.append(m)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].astype("int64"),
                 "n_bytes": [m[0] for m in metas],
@@ -225,6 +248,236 @@ def decode_ppm_meta(media: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in PPM_META_SCHEMA])
 
     return media.mapInPandas(run, schema=PPM_META_SCHEMA)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: bytes per pixel of the inflated scanline stream, per color type
+#: (8-bit depth): 0=gray, 2=RGB, 3=palette index, 4=gray+alpha,
+#: 6=RGBA (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the per-scanline filters (PNG spec §9): each line
+    carries a leading filter byte (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth). None/Up vectorize over the whole line (uint8 addition
+    wraps mod 256, exactly the spec's arithmetic); Sub/Average/Paeth
+    recurse on the previous pixel so they run as per-byte loops —
+    fine, since the per-image work is row-local inside an Arrow
+    batch. Returns an (h, stride) uint8 array or None on an unknown
+    filter byte or short data."""
+    import numpy as np
+
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=pos).copy()
+        pos += stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif f == 2:  # Up
+            line += prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) \
+                    & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            return None
+        out[y] = line
+    return out
+
+
+def _parse_png_raster(payload: bytes):
+    """REAL PNG decode, library-free (stdlib zlib + numpy): 8-bit
+    non-interlaced images of color type 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha) or 6 (RGBA). Walks the chunk stream
+    (len/type/data/crc), inflates the concatenated IDAT bodies,
+    reverses the scanline filters, and maps every color type onto an
+    RGB view (gray broadcast across channels, alpha dropped, palette
+    looked up from PLTE). Returns (w, h, n_channels, HxWx3 uint8
+    rgb) or None for anything malformed / out of this subset
+    (16-bit, interlaced, truncated — those are invalid here, not a
+    crash)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 \
+            or color not in _PNG_CHANNELS or w <= 0 or h <= 0:
+        return None
+    bpp = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    img = _png_unfilter(raw, h, w * bpp, bpp)
+    if img is None:
+        return None
+    px = img.reshape(h, w, bpp)
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[:, :, :3]
+    elif color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        if plte is None or len(plte) % 3:
+            return None
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(table):
+            return None
+        rgb = table[idx]
+    return (int(w), int(h), bpp, rgb)
+
+
+def encode_png(px, color_type: int = 2, filters=None,
+               palette=None) -> bytes:
+    """Minimal PNG writer (8-bit, non-interlaced) — the encode
+    counterpart of :func:`_parse_png_raster`, used by tests and the
+    oracle fixtures to build payloads that exercise every scanline
+    filter type. ``px`` is an HxWxC (or HxW for gray/palette)
+    uint8 array-like; ``filters`` selects one forward filter byte
+    per row (default all 0/None); ``palette`` is the PLTE RGB list
+    for color type 3."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, bpp = arr.shape
+    assert bpp == _PNG_CHANNELS[color_type], "channel/type mismatch"
+    flat = arr.reshape(h, w * bpp).astype(np.int64)
+    filters = [0] * h if filters is None else list(filters)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        line, f = flat[y], filters[y]
+        left = np.zeros_like(line)
+        left[bpp:] = line[:-bpp]
+        pleft = np.zeros_like(prev)
+        pleft[bpp:] = prev[:-bpp]
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - pleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - pleft))
+            pr = np.where((pa <= pb) & (pa <= pc), left,
+                          np.where(pb <= pc, prev, pleft))
+            enc = line - pr
+        else:
+            raise ValueError(f"unknown filter {f}")
+        raw.append(f)
+        raw += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I",
+                              zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+PNG_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("channels", T.LongType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+])
+
+
+def decode_png_meta(media: DataFrame) -> DataFrame:
+    """REAL PNG decode through the same Arrow path as
+    :func:`decode_ppm_meta`: dims + source channel count + per-RGB-
+    channel mean of the decoded raster (gray broadcast, alpha
+    dropped, palette resolved). Invalid / out-of-subset payloads
+    yield NULL metadata (kept, not dropped)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m = _parse_png_raster(p if p is not None else b"")
+                if m is None:
+                    rows.append((int(mid),) + (None,) * 6)
+                    continue
+                w, h, bpp, rgb = m
+                means = rgb.reshape(-1, 3).mean(axis=0)
+                rows.append((int(mid), w, h, bpp,
+                             round(float(means[0]), 6),
+                             round(float(means[1]), 6),
+                             round(float(means[2]), 6)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_META_SCHEMA])
+
+    return media.mapInPandas(run, schema=PNG_META_SCHEMA)
 
 
 WAV_META_SCHEMA = T.StructType([

@@ -673,6 +673,69 @@ def test_quality_gate_fails_closed_on_edge_docs(spark):
     assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
 
 
+def test_png_real_decode_all_filters_and_types(spark):
+    """Round-trip through the library-free PNG codec: every scanline
+    filter (0-4) and every supported color type decodes back to the
+    exact source raster statistics."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+    rows = [
+        # one row per filter type over the SAME image: identical means
+        (1, "image", MM.encode_png(rgb, filters=[0, 1, 2, 3, 4]),
+         "image/png"),
+        (2, "image", MM.encode_png(rgb), "image/png"),
+        (3, "image", MM.encode_png(
+            np.array([[7, 9], [11, 13]], np.uint8), color_type=0,
+            filters=[2, 4]), "image/png"),
+        (4, "image", MM.encode_png(
+            np.array([[(1, 2, 3, 4)]], np.uint8), color_type=6),
+         "image/png"),
+        (5, "image", MM.encode_png(
+            np.array([[1, 0, 1]], np.uint8), color_type=3,
+            palette=[(10, 20, 30), (40, 50, 60)]), "image/png"),
+        (6, "image", b"\x89PNG\r\n\x1a\njunk", "image/png"),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           MM.decode_png_meta(media).collect()}
+    exp_means = rgb.reshape(-1, 3).mean(axis=0)
+    for mid in (1, 2):
+        r = got[mid]
+        assert (r["width"], r["height"], r["channels"]) == (4, 5, 3)
+        assert r["mean_r"] == pytest.approx(exp_means[0], abs=1e-6)
+        assert r["mean_g"] == pytest.approx(exp_means[1], abs=1e-6)
+        assert r["mean_b"] == pytest.approx(exp_means[2], abs=1e-6)
+    assert (got[3]["channels"], got[3]["mean_r"]) == (1, 10.0)
+    assert (got[4]["width"], got[4]["channels"],
+            got[4]["mean_g"]) == (1, 4, 2.0)
+    # palette: mean of colors 40/10/40, 50/20/50, 60/30/60
+    assert got[5]["mean_r"] == pytest.approx(30.0)
+    assert got[5]["mean_b"] == pytest.approx(50.0)
+    assert got[6]["width"] is None
+
+
+def test_decode_image_meta_real_for_png_fake_otherwise(spark):
+    import numpy as np
+
+    png = MM.encode_png(np.zeros((3, 7, 3), np.uint8))
+    rows = [(1, "image", png, "image/png"),
+            (2, "image", b"JFIFjunk", "image/jpeg")]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           MM.decode_image_meta(media).collect()}
+    # PNG: REAL dims, not the byte-derived fake
+    assert (got[1]["width"], got[1]["height"],
+            got[1]["n_frames"]) == (7, 3, 1)
+    # codec format: deterministic fake, and the strict mode raises
+    n = len(b"JFIFjunk")
+    assert got[2]["width"] == (n * 7) % 640 + 1
+    strict = MM.decode_image_meta(media, deterministic_fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        strict.collect()
+
+
 def test_ppm_and_wav_real_decode(spark):
     """Library-free REAL decoders: exact header fields and channel
     means/RMS on hand-constructed payloads (incl. header comments,
