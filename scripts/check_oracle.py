@@ -3,6 +3,11 @@ queries() entry and its oracle_sql() side-by-side, compares row count,
 column names, and (sorted, rounded) values. Usage:
 
     python scripts/check_oracle.py [sf_dir] [name ...]
+
+The same comparison is wired into pytest as the ``oracle`` marker
+(tests/test_oracle_full.py): ``pytest tests/ -m oracle`` proves the
+FULL query inventory against DuckDB in one command, not just the
+driver's per-round 50-query sample.
 """
 
 from __future__ import annotations
@@ -10,14 +15,19 @@ from __future__ import annotations
 import math
 import sys
 
-import duckdb
-from pyspark.sql import SparkSession
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
 
-sys.path.insert(0, "/root/repo")
-import __spark_entry__ as entry  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-ONLY = set(sys.argv[2:])
+def connect_oracle(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{sf_dir}/{t}.parquet'")
+    return con
 
 
 def norm_cell(v):
@@ -40,7 +50,50 @@ def norm_rows(cols, rows):
         tuple(repr(norm_cell(r[i])) for i in order) for r in rows)
 
 
+def compare_one(spark, con, sf_dir: str, name: str, fn,
+                oracle: str | None) -> str | None:
+    """Run one queries() entry against its oracle SQL. Returns None
+    when green (including the rows-only check for oracle-less
+    entries), else a failure description."""
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001 -- report, don't crash
+        return f"spark error: {e}"
+    if oracle is None:
+        if len(srows) == 0 and name != "dedup_exact":
+            return "zero rows (rows-only check)"
+        return None
+    try:
+        rel = con.sql(oracle)
+        ocols = list(rel.columns)
+        orows = rel.fetchall()
+    except Exception as e:  # noqa: BLE001
+        return f"oracle error: {e}"
+    if sorted(c.lower() for c in scols) != sorted(
+            c.lower() for c in ocols):
+        return f"schema {scols} vs {ocols}"
+    if len(srows) != len(orows):
+        return f"rowcount {len(srows)} vs {len(orows)}"
+    sn = norm_rows(scols, srows)
+    on = norm_rows(ocols, orows)
+    if sn != on:
+        diffs = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+        return f"values differ, e.g. {diffs}"
+    return None
+
+
 def main():
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 \
+        else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("oracle-check")
@@ -49,58 +102,24 @@ def main():
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
-                f" '{SF_DIR}/{t}.parquet'")
-
+    con = connect_oracle(sf_dir)
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if ONLY and name not in ONLY:
+        if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            failures.append((name, f"spark error: {e}"))
-            print(f"FAIL {name}: spark error: {e}")
-            continue
-        if name not in oracles:
-            print(f"ok   {name}: rows={len(srows)} (no oracle,"
-                  " rows-only check)")
-            if len(srows) == 0 and name != "dedup_exact":
-                print(f"     WARNING {name}: zero rows")
-            continue
-        try:
-            rel = con.sql(oracles[name])
-            ocols = [c for c in rel.columns]
-            orows = rel.fetchall()
-        except Exception as e:
-            failures.append((name, f"oracle error: {e}"))
-            print(f"FAIL {name}: oracle error: {e}")
-            continue
-        if sorted(c.lower() for c in scols) != sorted(
-                c.lower() for c in ocols):
-            failures.append((name, f"schema {scols} vs {ocols}"))
-            print(f"FAIL {name}: schema {scols} vs {ocols}")
-            continue
-        if len(srows) != len(orows):
-            failures.append(
-                (name, f"rowcount {len(srows)} vs {len(orows)}"))
-            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
-            continue
-        sn = norm_rows(scols, srows)
-        on = norm_rows(ocols, orows)
-        if sn != on:
-            diffs = [(a, b) for a, b in zip(sn, on) if a != b][:3]
-            failures.append((name, f"values differ, e.g. {diffs}"))
-            print(f"FAIL {name}: values differ, e.g. {diffs}")
-            continue
-        print(f"ok   {name}: rows={len(srows)} values match")
+        err = compare_one(spark, con, sf_dir, name, fn,
+                          oracles.get(name))
+        if err is None:
+            tag = "" if name in oracles \
+                else " (no oracle, rows-only check)"
+            print(f"ok   {name}{tag}")
+        elif err.startswith("zero rows"):
+            print(f"ok   {name}: WARNING {err}")
+        else:
+            failures.append((name, err))
+            print(f"FAIL {name}: {err}")
 
     print(f"\n{len(failures)} failures"
           + (f": {[f[0] for f in failures]}" if failures else ""))
