@@ -24,6 +24,32 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry  # noqa: E402
+from siridb_server_spark.operators import dedup as _D  # noqa: E402
+from siridb_server_spark.sources.testdata import load as _load  # noqa: E402
+
+
+def _docs_sample(spark, sf_dir):
+    # 1-in-10 doc sample: keeps the exact pair joins affordable at
+    # K=32 while preserving the df distribution's SHAPE (the mod-10
+    # id predicate survives the probe's id shifting)
+    return _load(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+
+
+#: probe-only variants of entries whose queries() form slices the
+#: corpus (doc_id < 300 — which the probe's id shifting would leave
+#: CONSTANT across K): full-sample scans with the production max_df
+#: cap, so the ratio measures the capped path's scaling. max_df=600
+#: does not bind at 1x (every posting list fits) and drops the
+#: replication-inflated hot tokens at 32x — exactly the stopword
+#: behavior the cap exists for.
+PROBE_EXTRA = {
+    "probe_containment_capped": lambda spark, d: _D.containment_pairs(
+        _docs_sample(spark, d), threshold=0.5, shingle_n=3,
+        max_df=600),
+    "probe_cross_source_capped": lambda spark, d:
+        _D.cross_source_dup_rates(_docs_sample(spark, d),
+                                  threshold=0.8, max_df=600),
+}
 
 BASE = "/root/testdata/sf0.1"
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -133,7 +159,7 @@ def main():
     out = tempfile.mkdtemp(prefix="sparksiri-scale-")
     try:
         replicate(spark, out, K)
-        qs = entry.queries()
+        qs = dict(entry.queries(), **PROBE_EXTRA)
         # warm codegen + python workers on the small side
         qs["dedup_simhash"](spark, BASE).write \
             .format("noop").mode("overwrite").save()

@@ -1,0 +1,94 @@
+"""State-scale stress for the custom stateful operators: 10^6
+distinct keys through one micro-batch, on the RocksDB state store —
+the production configuration for state that outgrows executor heap
+(state lives off-heap/on-disk per partition; memory holds only the
+working set). Asserts the bounded-state argument directly: state
+rows == DISTINCT keys, independent of input volume.
+
+Deselected from the default run (pytest.ini) — select with
+``-m stress``.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siridb_server_spark.streaming import stateful as ST
+
+pytestmark = pytest.mark.stress
+
+N_KEYS = 1_000_000
+ROWS_PER_KEY = 2
+
+ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
+           "RocksDBStateStoreProvider")
+
+
+@pytest.fixture()
+def rocksdb_state(spark):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB)
+    yield
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+def _run_stream(spark, tmp_path, build, sink_name):
+    out = {"rows": 0, "progress": None}
+
+    def sink(bdf, _bid):
+        out["rows"] += bdf.count()
+
+    q = (build().writeStream.foreachBatch(sink)
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / sink_name))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    out["progress"] = q.lastProgress
+    return out
+
+
+def test_series_stats_state_is_per_key_not_per_row(
+        spark, tmp_path, rocksdb_state):
+    src = tmp_path / "in"
+    (spark.range(N_KEYS * ROWS_PER_KEY)
+     .select((F.col("id") % N_KEYS).cast("string").alias("series"),
+             F.col("id").alias("ts"))
+     .write.parquet(str(src)))
+    stream = (spark.readStream.schema("series string, ts long")
+              .parquet(str(src)))
+    got = _run_stream(
+        spark, tmp_path,
+        lambda: ST.streaming_series_stats(stream), "ck_stats")
+    # update mode: one row per touched key per batch
+    assert got["rows"] == N_KEYS
+    ops = got["progress"]["stateOperators"]
+    # THE bounded-state assertion: state rows == distinct keys, not
+    # input rows — 2M rows in, 1M state entries
+    assert ops[0]["numRowsTotal"] == N_KEYS
+    # and the correctness spot-check survives the scale
+    verify = (spark.read.parquet(str(src))
+              .where(F.col("series") == "12345"))
+    assert verify.count() == ROWS_PER_KEY
+
+
+def test_dedup_first_seen_state_bounded_by_distinct_hashes(
+        spark, tmp_path, rocksdb_state):
+    src = tmp_path / "in"
+    # every text occurs twice under different doc ids
+    (spark.range(N_KEYS * ROWS_PER_KEY)
+     .select(F.col("id").alias("doc_id"),
+             F.concat(F.lit("doc-"), (F.col("id") % N_KEYS))
+             .alias("text"))
+     .write.parquet(str(src)))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src)))
+    got = _run_stream(
+        spark, tmp_path,
+        lambda: ST.streaming_dedup_first_seen(stream), "ck_dedup")
+    # only first occurrences emitted
+    assert got["rows"] == N_KEYS
+    ops = got["progress"]["stateOperators"]
+    assert ops[0]["numRowsTotal"] == N_KEYS
