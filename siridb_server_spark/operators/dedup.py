@@ -215,12 +215,13 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
     scale should set it (or use :func:`minhash_lsh_pairs`).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # the size agg and both join sides read the same (capped) posting
+    # relation — deliberately NOT persisted: all consumers live in ONE
+    # plan, where AQE's exchange reuse dedups the shared shuffle, and
+    # an explicit cache forces materialization through the block
+    # manager (measured ~2× slower at sf0.1)
     dw = _cap_posting_lists(
         _doc_word_hashes(df, text_col, id_col), max_df)
-    if max_df is not None:
-        # both the size agg and the two join sides read the capped
-        # postings — persist so the df-count join runs once
-        dw = _persist_bounded(dw)
     sizes = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = dw.alias("a")
     b = dw.alias("b")
@@ -263,13 +264,15 @@ def similar_docs(df: DataFrame, query_id, k: int = 10,
     no global sort. Ties break toward the smaller id.
 
     The tokenized (doc_id, hash) relation feeds three consumers
-    (query set, candidate scoring, sizes), so it is persisted once —
-    three corpus re-tokenizations for one lookup would triple the
-    dominant cost. |query-set| rides the plan as a broadcast 1-row
-    aggregate instead of an eager ``count()`` action, so calling
-    this function stays lazy. Output: (doc_id, jaccard), 6 decimals,
-    the query itself excluded."""
-    dw = _persist_bounded(_doc_word_hashes(df, text_col, id_col))
+    (query set, candidate scoring, sizes) inside ONE plan, where
+    AQE's exchange reuse shares the tokenize shuffle — an explicit
+    persist was measured ~2× slower at sf0.1 (cache materialization
+    through the block manager beats nothing here). |query-set| rides
+    the plan as a broadcast 1-row aggregate instead of an eager
+    ``count()`` action, so calling this function stays lazy.
+    Output: (doc_id, jaccard), 6 decimals, the query itself
+    excluded."""
+    dw = _doc_word_hashes(df, text_col, id_col)
     qset = (dw.where(F.col("doc_id") == query_id)
             .select("h").distinct())
     n_q = qset.agg(F.count(F.lit(1)).alias("n_q"))
@@ -365,9 +368,9 @@ def _shingle_intersections(df: DataFrame, shingle_n: int,
                     F.explode(shingles(text_col, shingle_n))
                     .alias("s"))
           .select("doc_id", F.xxhash64("s").alias("h")))
+    # not persisted — single-plan consumers share the shuffle via
+    # AQE exchange reuse (see ngram_jaccard_pairs)
     sh = _cap_posting_lists(sh, max_df)
-    if max_df is not None:
-        sh = _persist_bounded(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
