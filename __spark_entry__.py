@@ -834,6 +834,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_png_decode"] = multimodal_png_decode
 
+    def multimodal_gif_decode(spark, sf_dir):
+        """REAL GIF decode (library-free LZW + palette + interlace)
+        on hand-built images: a 2-frame animation (first-frame means
+        are the PPM/PNG mixed-color constants), a uniform frame
+        behind a graphic-control extension, an INTERLACED frame
+        whose row reordering must reproduce the sequential means,
+        and an invalid payload -> NULLs. The frame count comes from
+        the full block walk, not the first frame."""
+        import numpy as np
+        pal_mixed = [(0, 0, 0), (255, 255, 255), (255, 0, 0),
+                     (1, 2, 3)]
+        g1 = MM.encode_gif(
+            [np.array([[0, 1], [2, 3]]), np.zeros((2, 2), int)],
+            pal_mixed)
+        g2 = MM.encode_gif([np.zeros((3, 4), int)],
+                           [(10, 20, 30), (0, 0, 0)],
+                           with_extension=True)
+        gray = [(0, 0, 0), (40, 40, 40), (80, 80, 80),
+                (120, 120, 120)]
+        g3 = MM.encode_gif(
+            [np.arange(8).reshape(8, 1) % 4], gray,
+            interlace_first=True)
+        rows = [
+            (1, "image", g1, "image/gif"),
+            (2, "image", g2, "image/gif"),
+            (3, "image", g3, "image/gif"),
+            (4, "image", b"GIF89ajunk", "application/octet-stream"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.decode_gif_meta(media)
+
+    q["multimodal_gif_decode"] = multimodal_gif_decode
+
     def multimodal_ppm_resize(spark, sf_dir):
         """REAL nearest-neighbor resize to 2x2 on hand-constructed
         P6 images — sampled source pixels (y*h//2, x*w//2) are known
@@ -2519,6 +2552,16 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 5, 2, 1, 1, 127.5, 0.0, 0.0"
         " UNION ALL SELECT 6, NULL, NULL, NULL, NULL, NULL, NULL"
         " UNION ALL SELECT 7, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
+    o["multimodal_gif_decode"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id, CAST(2 AS BIGINT)"
+        " AS width, CAST(2 AS BIGINT) AS height,"
+        " CAST(2 AS BIGINT) AS n_frames, CAST(127.75 AS DOUBLE)"
+        " AS mean_r, CAST(64.25 AS DOUBLE) AS mean_g,"
+        " CAST(64.5 AS DOUBLE) AS mean_b"
+        " UNION ALL SELECT 2, 4, 3, 1, 10.0, 20.0, 30.0"
+        " UNION ALL SELECT 3, 1, 8, 1, 60.0, 60.0, 60.0"
+        " UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL, NULL"
     )
     o["multimodal_ppm_resize"] = (
         "SELECT CAST(1 AS BIGINT) AS media_id, CAST(2 AS BIGINT)"

@@ -80,6 +80,13 @@ BENCH_QUERIES = [
     "text_sentences",
     "sim_label_centroids",
     "sim_standardize",
+    # round-5 additions: capped exact join, mixture weights, packing,
+    # real PNG decode through the Arrow path
+    "dedup_ngram_jaccard",
+    "curation_mix_weights",
+    "curation_pack_sequences",
+    "multimodal_png_decode",
+    "multimodal_gif_decode",
     # event analytics
     "events_flow",
     "events_cohorts",

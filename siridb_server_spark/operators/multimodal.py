@@ -62,11 +62,15 @@ def _fake_meta(payload: bytes) -> tuple:
 
 def _real_image_meta(payload: bytes):
     """Real (n_bytes, width, height, n_frames) for the library-free
-    image formats this module actually decodes — PNG (stdlib zlib)
-    and P6 PPM. None for anything else (codec formats)."""
+    image formats this module actually decodes — PNG (stdlib zlib),
+    GIF (LZW, with the true animation frame count) and P6 PPM. None
+    for anything else (JPEG/MP4-class codec formats)."""
     png = _parse_png_raster(payload)
     if png is not None:
         return (len(payload), png[0], png[1], 1)
+    gif = _parse_gif_raster(payload)
+    if gif is not None:
+        return (len(payload), gif[0], gif[1], gif[2])
     ppm = _parse_ppm_raster(payload)
     if ppm is not None:
         return (len(payload), ppm[0], ppm[1], 1)
@@ -375,6 +379,234 @@ def _parse_png_raster(payload: bytes):
             return None
         rgb = table[idx]
     return (int(w), int(h), bpp, rgb)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int):
+    """GIF-variant LZW decode (little-endian bit packing, variable
+    code width mcs+1..12, CLEAR resets the table, EOI ends). Returns
+    the palette-index list or None on a corrupt stream."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {i: (i,) for i in range(clear)}
+    dict_next, width = eoi + 1, mcs + 1
+    prev = None
+    acc = nbits = 0
+    out: list = []
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = {i: (i,) for i in range(clear)}
+                dict_next, width, prev = eoi + 1, mcs + 1, None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+                table[dict_next] = prev + (entry[0],)
+                dict_next += 1
+            elif code == dict_next:
+                entry = prev + (prev[0],)
+                table[dict_next] = entry
+                dict_next += 1
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if dict_next >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+#: row emission order of an interlaced GIF frame (GIF89a spec
+#: appendix E): pass offsets/strides (0,8) (4,8) (2,4) (1,2)
+def _gif_interlace_order(h: int) -> list:
+    return (list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2)))
+
+
+def _parse_gif_raster(payload: bytes):
+    """REAL GIF decode, library-free: logical screen + palette
+    parsing, block walk (extensions skipped by sub-block length),
+    LZW-decoded FIRST frame (local palette and interlacing
+    honoured), and a full-file frame count. Returns (screen_w,
+    screen_h, n_frames, frame HxWx3 uint8 rgb) or None on anything
+    malformed."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    n_frames, first = 0, None
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                return None
+            _l, _t, fw, fh = struct.unpack("<HHHH",
+                                           payload[pos:pos + 8])
+            fp = payload[pos + 8]
+            pos += 9
+            lct = None
+            if fp & 0x80:
+                n = 2 << (fp & 7)
+                if pos + 3 * n > len(payload):
+                    return None
+                lct = np.frombuffer(payload[pos:pos + 3 * n],
+                                    np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pos >= len(payload):
+                return None
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            n_frames += 1
+            if first is None:
+                first = (fw, fh, bool(fp & 0x40),
+                         lct if lct is not None else gct,
+                         bytes(data), mcs)
+        else:
+            return None
+    if first is None:
+        return None
+    fw, fh, interlaced, pal, data, mcs = first
+    if pal is None or fw <= 0 or fh <= 0 or not 2 <= mcs <= 11:
+        return None
+    idx = _gif_lzw_decode(data, mcs)
+    if idx is None or len(idx) < fw * fh:
+        return None
+    arr = np.asarray(idx[:fw * fh], dtype=np.int64).reshape(fh, fw)
+    if interlaced:
+        ordered = np.empty_like(arr)
+        ordered[_gif_interlace_order(fh)] = arr
+        arr = ordered
+    if int(arr.max(initial=0)) >= len(pal):
+        return None
+    return (int(w), int(h), n_frames, pal[arr])
+
+
+GIF_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+])
+
+
+def decode_gif_meta(media: DataFrame) -> DataFrame:
+    """REAL GIF decode through the Arrow path: logical-screen dims,
+    the FULL animation frame count, and per-channel means of the
+    LZW-decoded first frame. Invalid payloads yield NULL metadata
+    (kept, not dropped)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m = _parse_gif_raster(p if p is not None else b"")
+                if m is None:
+                    rows.append((int(mid),) + (None,) * 6)
+                    continue
+                w, h, nf, rgb = m
+                means = rgb.reshape(-1, 3).mean(axis=0)
+                rows.append((int(mid), w, h, nf,
+                             round(float(means[0]), 6),
+                             round(float(means[1]), 6),
+                             round(float(means[2]), 6)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_META_SCHEMA])
+
+    return media.mapInPandas(run, schema=GIF_META_SCHEMA)
+
+
+def encode_gif(frames, palette, interlace_first: bool = False,
+               with_extension: bool = False) -> bytes:
+    """Minimal GIF89a writer — the encode counterpart of
+    :func:`_parse_gif_raster` for tests/oracle fixtures. ``frames``
+    is a list of HxW palette-index arrays (uniform size), ``palette``
+    the global color table (padded to a power of two). The LZW
+    stream emits a CLEAR before every literal — bloated but
+    trivially in-spec (the decoder's table never grows), which keeps
+    this writer obviously correct as a fixture generator."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.int64) for f in frames]
+    h, w = frames[0].shape
+    size = max(2, (len(palette) - 1).bit_length())
+    mcs = max(2, size)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    pal = list(palette) + [(0, 0, 0)] * ((1 << size) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (size - 1), 0, 0])
+    out += b"".join(bytes(c) for c in pal)
+    if with_extension:  # graphic control: exercised block skipping
+        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    for i, fr in enumerate(frames):
+        interlaced = interlace_first and i == 0
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlaced else 0])
+        out += bytes([mcs])
+        rows = fr[_gif_interlace_order(h)] if interlaced else fr
+        acc = nbits = 0
+        stream = bytearray()
+        codes = []
+        for px in rows.ravel():
+            codes += [clear, int(px)]
+        codes.append(eoi)
+        for code in codes:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        for j in range(0, len(stream), 255):
+            chunk = stream[j:j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return bytes(out + b"\x3B")
 
 
 def encode_png(px, color_type: int = 2, filters=None,

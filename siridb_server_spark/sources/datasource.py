@@ -343,9 +343,11 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
     and reports the file list + per-series partial stats in its commit
     message; ``commit`` — which only runs if every task succeeded —
     sets the catalog pending marker, renames the staged files into
-    their shard partitions, appends ONE catalog delta built by folding
-    the per-task stats (bucket = Spark-compatible xxh64 pmod — no
-    SparkSession needed), and clears the marker. ``abort`` discards
+    their shard partitions, appends ONE catalog delta commit built by
+    folding the per-task stats — sharded into the same Hive-style
+    ``bucket=N/`` layout as the engine's delta append (bucket =
+    Spark-compatible xxh64 pmod, no SparkSession needed) — and
+    clears the marker. ``abort`` discards
     the staging directory; nothing ever became visible. A crash inside
     commit leaves the marker set, and the next ``read_catalog``
     rebuilds — lagging is possible, silent under-counting is not."""
@@ -462,25 +464,34 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
         if folded:
             import uuid
 
-            names = sorted(folded)
-            delta = pa.table({
-                "name": pa.array(names, pa.string()),
-                "length": pa.array(
-                    [folded[n][0] for n in names], pa.int64()),
-                "start": pa.array(
-                    [folded[n][1] for n in names], pa.int64()),
-                "end": pa.array(
-                    [folded[n][2] for n in names], pa.int64()),
-                "tp": pa.array(
-                    [folded[n][3] for n in names], pa.int32()),
-                "bucket": pa.array(
-                    [xxh64_signed(n.encode("utf-8")) % self.buckets
-                     for n in names], pa.int32()),
-            })
+            # one file per touched bucket under the same Hive-style
+            # bucket=N/ layout the engine's sharded delta append
+            # writes (store.py::_merge_catalog) — a consistent layout
+            # is what lets one spark.read cover deltas from BOTH
+            # writers. All files of this commit share one uuid, so
+            # the store's append counter sees a single append.
+            by_bucket: dict = {}
+            for n in sorted(folded):
+                b = xxh64_signed(n.encode("utf-8")) % self.buckets
+                by_bucket.setdefault(b, []).append(n)
             ddir = os.path.join(self.path, "_catalog_delta")
-            os.makedirs(ddir, exist_ok=True)
-            pq.write_table(delta, os.path.join(
-                ddir, f"delta-{uuid.uuid4().hex}.parquet"))
+            commit = uuid.uuid4().hex
+            for b, names in by_bucket.items():
+                delta = pa.table({
+                    "name": pa.array(names, pa.string()),
+                    "length": pa.array(
+                        [folded[n][0] for n in names], pa.int64()),
+                    "start": pa.array(
+                        [folded[n][1] for n in names], pa.int64()),
+                    "end": pa.array(
+                        [folded[n][2] for n in names], pa.int64()),
+                    "tp": pa.array(
+                        [folded[n][3] for n in names], pa.int32()),
+                })
+                bdir = os.path.join(ddir, f"bucket={b}")
+                os.makedirs(bdir, exist_ok=True)
+                pq.write_table(delta, os.path.join(
+                    bdir, f"delta-{commit}.parquet"))
         self._drop_stage()
         os.remove(pending)
 

@@ -197,15 +197,19 @@ class PointsStore:
         """Number of APPENDS (not files) in the delta dir: every file
         of one Spark write job shares the job's UUID in its
         ``part-NNNNN-<uuid>[...].parquet`` name, so distinct UUIDs
-        count commits. Counting raw files would trip the compaction
-        threshold after one multi-bucket append."""
+        count commits; the Arrow datasource writer's single-file
+        ``delta-<uuid>.parquet`` appends count one each. Counting raw
+        files would trip the compaction threshold after one
+        multi-bucket append."""
         if not os.path.isdir(self._delta_path):
             return 0
         jobs = set()
         for root, _dirs, files in os.walk(self._delta_path):
             for f in files:
-                if f.endswith(".parquet") and f.startswith("part-"):
-                    jobs.add(f.split("-", 2)[-1])
+                if not f.endswith(".parquet"):
+                    continue
+                jobs.add(f.split("-", 2)[-1] if f.startswith("part-")
+                         else f)
         return len(jobs)
 
     def _merge_catalog(self, spark: SparkSession, stats: DataFrame):

@@ -716,6 +716,41 @@ def test_png_real_decode_all_filters_and_types(spark):
     assert got[6]["width"] is None
 
 
+def test_gif_real_decode_lzw_palette_interlace(spark):
+    import numpy as np
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    f1 = np.array([[0, 1, 2], [3, 0, 1]])
+    rows = [
+        (1, "image", MM.encode_gif([f1, np.zeros((2, 3), int)], pal,
+                                   with_extension=True),
+         "image/gif"),
+        # interlaced row order must decode back to sequential
+        (2, "image", MM.encode_gif(
+            [np.arange(32).reshape(8, 4) % 4], pal,
+            interlace_first=True), "image/gif"),
+        (3, "image", b"GIF89ajunk", "image/gif"),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           MM.decode_gif_meta(media).collect()}
+    assert (got[1]["width"], got[1]["height"],
+            got[1]["n_frames"]) == (3, 2, 2)
+    # first frame colors: 2x red, 2x green, 1x blue, 1x (10,20,30)
+    assert got[1]["mean_r"] == pytest.approx((255 * 2 + 10) / 6,
+                                             abs=1e-6)
+    assert got[1]["mean_b"] == pytest.approx((255 + 30) / 6,
+                                             abs=1e-6)
+    seq = MM.encode_gif([np.arange(32).reshape(8, 4) % 4], pal)
+    ref = MM._parse_gif_raster(seq)[3]
+    inter = MM._parse_gif_raster(
+        MM.encode_gif([np.arange(32).reshape(8, 4) % 4], pal,
+                      interlace_first=True))[3]
+    assert (ref == inter).all()
+    assert got[2]["n_frames"] == 1
+    assert got[3]["width"] is None
+
+
 def test_decode_image_meta_real_for_png_fake_otherwise(spark):
     import numpy as np
 
