@@ -867,6 +867,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_gif_decode"] = multimodal_gif_decode
 
+    def multimodal_jpeg_decode(spark, sf_dir):
+        """REAL baseline-JPEG decode (from-scratch Huffman entropy
+        decode + dequant + IDCT + YCbCr) on hand-built images whose
+        expected values are independently derivable: flat and
+        flat-tile images survive the all-ones-quant pipeline
+        EXACTLY (a flat 8x8 block is pure DC, which rounds without
+        loss), so the oracle is constants. Covers DC prediction
+        across blocks, restart intervals, 4:2:0 subsampling, a
+        progressive (SOF2) reject and a non-JPEG reject."""
+        import numpy as np
+        flat = np.full((8, 8), 100, np.uint8)
+        tiles = np.zeros((16, 16), np.uint8)
+        tiles[:8, 8:], tiles[8:, :8], tiles[8:, 8:] = 50, 100, 250
+        color = np.zeros((16, 16, 3), np.uint8)
+        color[:] = (200, 50, 120)
+        prog = bytearray(MM.encode_jpeg_baseline(flat))
+        prog[prog.index(b"\xFF\xC0") + 1] = 0xC2  # fake SOF2
+        rows = [
+            (1, "image", MM.encode_jpeg_baseline(flat),
+             "image/jpeg"),
+            (2, "image", MM.encode_jpeg_baseline(tiles),
+             "image/jpeg"),
+            (3, "image", MM.encode_jpeg_baseline(
+                tiles, restart_interval=1), "image/jpeg"),
+            (4, "image", MM.encode_jpeg_baseline(
+                color, subsample=(2, 2)), "image/jpeg"),
+            (5, "image", bytes(prog), "image/jpeg"),
+            (6, "image", b"not a jpeg", "application/octet-stream"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.decode_jpeg_meta(media)
+
+    q["multimodal_jpeg_decode"] = multimodal_jpeg_decode
+
     def multimodal_ppm_resize(spark, sf_dir):
         """REAL nearest-neighbor resize to 2x2 on hand-constructed
         P6 images — sampled source pixels (y*h//2, x*w//2) are known
@@ -2562,6 +2596,20 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 2, 4, 3, 1, 10.0, 20.0, 30.0"
         " UNION ALL SELECT 3, 1, 8, 1, 60.0, 60.0, 60.0"
         " UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
+    # tiles mean: (0 + 50 + 100 + 250) / 4 = 100 exactly (flat 8x8
+    # tiles are pure DC under all-ones quant — no rounding loss)
+    o["multimodal_jpeg_decode"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id, CAST(8 AS BIGINT)"
+        " AS width, CAST(8 AS BIGINT) AS height,"
+        " CAST(1 AS BIGINT) AS channels, CAST(100.0 AS DOUBLE)"
+        " AS mean_r, CAST(100.0 AS DOUBLE) AS mean_g,"
+        " CAST(100.0 AS DOUBLE) AS mean_b"
+        " UNION ALL SELECT 2, 16, 16, 1, 100.0, 100.0, 100.0"
+        " UNION ALL SELECT 3, 16, 16, 1, 100.0, 100.0, 100.0"
+        " UNION ALL SELECT 4, 16, 16, 3, 200.0, 50.0, 120.0"
+        " UNION ALL SELECT 5, NULL, NULL, NULL, NULL, NULL, NULL"
+        " UNION ALL SELECT 6, NULL, NULL, NULL, NULL, NULL, NULL"
     )
     o["multimodal_ppm_resize"] = (
         "SELECT CAST(1 AS BIGINT) AS media_id, CAST(2 AS BIGINT)"

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "curation_pack_sequences",
     "multimodal_png_decode",
     "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
     # event analytics
     "events_flow",
     "events_cohorts",

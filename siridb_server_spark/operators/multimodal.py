@@ -63,11 +63,16 @@ def _fake_meta(payload: bytes) -> tuple:
 def _real_image_meta(payload: bytes):
     """Real (n_bytes, width, height, n_frames) for the library-free
     image formats this module actually decodes — PNG (stdlib zlib),
-    GIF (LZW, with the true animation frame count) and P6 PPM. None
-    for anything else (JPEG/MP4-class codec formats)."""
+    baseline JPEG (from-scratch Huffman + IDCT), GIF (LZW, with the
+    true animation frame count) and P6 PPM. None for anything else
+    (video/codec formats like MP4)."""
     png = _parse_png_raster(payload)
     if png is not None:
         return (len(payload), png[0], png[1], 1)
+    if payload[:2] == b"\xFF\xD8":
+        jpg = _parse_jpeg_raster(payload)
+        if jpg is not None:
+            return (len(payload), jpg[0], jpg[1], 1)
     gif = _parse_gif_raster(payload)
     if gif is not None:
         return (len(payload), gif[0], gif[1], gif[2])
@@ -80,10 +85,11 @@ def _real_image_meta(payload: bytes):
 def decode_image_meta(media: DataFrame,
                       deterministic_fake: bool = True) -> DataFrame:
     """Extract (width, height, ...) metadata per payload via Arrow-
-    batched mapInPandas. PNG and P6 PPM payloads decode for REAL
-    (library-free: stdlib zlib inflate + unfilter / plain header
-    parse); other formats (JPEG/MP4 need native codec libraries) are
-    stubbed — deterministic fake metadata derived from the bytes, or
+    batched mapInPandas. PNG, baseline JPEG, GIF and P6 PPM payloads
+    decode for REAL (library-free: stdlib zlib / from-scratch
+    Huffman+IDCT / LZW / plain header parse); remaining formats
+    (video codecs like MP4/H.264, progressive JPEG) are stubbed —
+    deterministic fake metadata derived from the bytes, or
     NotImplementedError when ``deterministic_fake=False``."""
 
     def run(batches: Iterator) -> Iterator:
@@ -97,10 +103,11 @@ def decode_image_meta(media: DataFrame,
                 if m is None:
                     if not deterministic_fake:
                         raise NotImplementedError(
-                            "real decode for codec formats "
-                            "(JPEG/MP4) requires PIL/ffmpeg — not "
-                            "available in this container; pass "
-                            "deterministic_fake=True (PNG and P6 "
+                            "real decode for video/codec formats "
+                            "(MP4/H.264, progressive JPEG) requires "
+                            "ffmpeg — not available in this "
+                            "container; pass deterministic_fake="
+                            "True (PNG, baseline JPEG, GIF and P6 "
                             "PPM decode for real)")
                     m = _fake_meta(p)
                 metas.append(m)
@@ -379,6 +386,493 @@ def _parse_png_raster(payload: bytes):
             return None
         rgb = table[idx]
     return (int(w), int(h), bpp, rgb)
+
+
+#: 8x8 zigzag scan order (JPEG spec figure A.6): zigzag index ->
+#: (row-major) block position
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix():
+    """8-point DCT-III basis: pixels = C^T @ coeffs @ C with
+    C[u, x] = a(u) cos((2x+1)uπ/16) — the exact inverse of the
+    spec's FDCT (A.3.3), as one numpy matmul pair per block."""
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c * 0.5
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with
+    0xFF00 byte-stuffing removal; RSTn markers are consumed by the
+    decoder between restart intervals."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed FF
+            else:
+                # marker reached: feed padding 1-bits (spec F.2.2.5
+                # pads the last byte with 1s; reads past the segment
+                # mean a truncated stream and surface as an error
+                # upstream via index checks)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Drop partial bits and consume an RSTn marker if present."""
+        self.nbits = 0
+        while self.data[self.pos] == 0xFF \
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """DIFF/AC value extension (spec F.2.2.1): n-bit raw value to
+    signed magnitude."""
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _huff_table(bits, vals):
+    """Canonical Huffman (code, length) -> symbol map from the DHT
+    counts-per-length + symbol list."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _JpegBitReader, table) -> int | None:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | reader.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _parse_jpeg_raster(payload: bytes):
+    """REAL baseline JPEG decode, library-free (pure numpy): marker
+    walk, DQT/DHT/SOF0/SOS/DRI parsing, canonical Huffman entropy
+    decode with byte-unstuffing and restart intervals, dequantize +
+    zigzag + IDCT per 8x8 block, chroma upsampling for 4:4:4 / 4:2:2
+    / 4:2:0, and BT.601 YCbCr->RGB. Supported subset: baseline
+    sequential (SOF0), 8-bit, 1 or 3 components. Progressive (SOF2),
+    arithmetic coding, and 12-bit return None — malformed input is
+    invalid, never a crash. Returns (w, h, n_components, HxWx3 uint8
+    rgb)."""
+    import numpy as np
+
+    try:
+        return _parse_jpeg_raster_inner(payload, np)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            TypeError):
+        return None
+
+
+def _parse_jpeg_raster_inner(payload: bytes, np):
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xFF\xD8":
+        return None
+    pos = 2
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            return None  # EOI before SOS: no image
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i:i + n]
+                i += n
+                if pq:
+                    tbl = np.frombuffer(raw, ">u2").astype(np.int64)
+                else:
+                    tbl = np.frombuffer(raw, np.uint8).astype(np.int64)
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(
+                    bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                return None
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c:3 + 2 * c]
+                scan[cs] = (tt >> 4, tt & 15)
+            return _jpeg_decode_scan(
+                payload, pos, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval, np)
+        # APPn/COM and anything else: skipped by seglen
+    return None
+
+
+def _jpeg_decode_scan(payload, pos, frame, scan, qt, huff_dc,
+                      huff_ac, restart_interval, np):
+    w, h, comps = frame
+    if w <= 0 or h <= 0:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    idct = _jpeg_idct_matrix()
+    planes = []
+    for cid, ch, cv, tq in comps:
+        planes.append(np.zeros((mcus_y * cv * 8, mcus_x * ch * 8),
+                               dtype=np.float64))
+    reader = _JpegBitReader(payload, pos)
+    pred = [0] * len(comps)
+    zz = np.asarray(_JPEG_ZIGZAG)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu \
+                    and n_mcu % restart_interval == 0:
+                reader.align_to_marker()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                dc_tbl = huff_dc[scan[cid][0]]
+                ac_tbl = huff_ac[scan[cid][1]]
+                quant = qt[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        t = _huff_decode(reader, dc_tbl)
+                        if t is None:
+                            return None
+                        diff = _jpeg_extend(reader.receive(t), t)
+                        pred[ci] += diff
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tbl)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[k] = _jpeg_extend(
+                                reader.receive(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zz] = coef * quant
+                        px = idct.T @ block.reshape(8, 8) @ idct
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px + 128.0
+    # upsample each component plane to full resolution and crop
+    full = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0),
+                      hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return (int(w), int(h), 1, np.repeat(g[:, :, None], 3,
+                                             axis=2))
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return (int(w), int(h), 3,
+            np.clip(np.round(rgb), 0, 255).astype(np.uint8))
+
+
+JPEG_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("channels", T.LongType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+])
+
+
+def decode_jpeg_meta(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode through the Arrow path: dims +
+    component count + per-channel means of the decoded raster.
+    Progressive/arithmetic/12-bit payloads (outside the declared
+    baseline subset) and malformed input yield NULL metadata."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m = _parse_jpeg_raster(p if p is not None else b"")
+                if m is None:
+                    rows.append((int(mid),) + (None,) * 6)
+                    continue
+                w, h, nc, rgb = m
+                means = rgb.reshape(-1, 3).mean(axis=0)
+                rows.append((int(mid), w, h, nc,
+                             round(float(means[0]), 6),
+                             round(float(means[1]), 6),
+                             round(float(means[2]), 6)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_META_SCHEMA])
+
+    return media.mapInPandas(run, schema=JPEG_META_SCHEMA)
+
+
+#: fixture Huffman layout: every DC category at code length 5,
+#: every AC run/size symbol at length 9 (+1 at 10) — canonical,
+#: Kraft-feasible, and the all-ones max-length code stays unused
+_JFIX_DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JFIX_DC_VALS = list(range(12))
+_JFIX_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_JFIX_AC_VALS = list(range(256))
+
+
+def _jfix_codes(bits, vals):
+    """symbol -> (code, length) for the canonical table (the encoder
+    side of _huff_table)."""
+    out = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, ln: int):
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.nbits += ln
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+    def marker(self, m: int):
+        self.flush()
+        self.out += bytes([0xFF, m])
+
+
+def encode_jpeg_baseline(px, subsample=(1, 1),
+                         restart_interval: int = 0) -> bytes:
+    """Minimal baseline-JPEG writer — the encode counterpart of
+    :func:`_parse_jpeg_raster` for tests/oracle fixtures. ``px`` is
+    HxW (grayscale) or HxWx3 RGB uint8; ``subsample`` is the chroma
+    (h, v) decimation ((2, 2) = 4:2:0). Quantization tables are all
+    ones, so the only loss is DCT/color rounding — which lets tests
+    verify the decoder against an independently computed forward
+    transform to within tight bounds."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    sh, sv = (1, 1) if gray else subsample
+    if gray:
+        planes = [arr]
+        samps = [(1, 1)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb[::sv, ::sh], cr[::sv, ::sh]]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def padded(p, ch, cv):
+        th, tw = mcus_y * cv * 8, mcus_x * ch * 8
+        out = np.empty((th, tw))
+        ph, pw = p.shape
+        out[:ph, :pw] = p
+        out[ph:, :pw] = p[ph - 1:ph, :]
+        out[:, pw:] = out[:, pw - 1:pw]
+        return out
+
+    planes = [padded(p, ch, cv)
+              for p, (ch, cv) in zip(planes, samps)]
+    cmat = _jpeg_idct_matrix()
+    dc_codes = _jfix_codes(_JFIX_DC_BITS, _JFIX_DC_VALS)
+    ac_codes = _jfix_codes(_JFIX_AC_BITS, _JFIX_AC_VALS)
+    zz = np.asarray(_JPEG_ZIGZAG)
+
+    wtr = _JpegBitWriter()
+    wtr.out += b"\xFF\xD8"  # SOI
+    wtr.out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" \
+        + bytes([1] * 64)  # DQT id0, all ones
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (ch, cv) in enumerate(samps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    wtr.out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, vals in ((0, _JFIX_DC_BITS, _JFIX_DC_VALS),
+                           (1, _JFIX_AC_BITS, _JFIX_AC_VALS)):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        wtr.out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) \
+            + body
+    if restart_interval:
+        wtr.out += b"\xFF\xDD" + struct.pack(">HH", 4,
+                                             restart_interval)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0])
+    sos += b"\x00\x3F\x00"
+    wtr.out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def put_val(v):
+        s = 0 if v == 0 else int(abs(v)).bit_length()
+        raw = v if v >= 0 else v + (1 << s) - 1
+        return s, raw
+
+    pred = [0] * nc
+    n_mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu \
+                    and n_mcu % restart_interval == 0:
+                wtr.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                pred = [0] * nc
+            n_mcu += 1
+            for ci, (ch, cv) in enumerate(samps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        blk = planes[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = cmat @ blk @ cmat.T
+                        q = np.round(coef).astype(np.int64)
+                        zzc = q.reshape(64)[zz]
+                        diff = int(zzc[0]) - pred[ci]
+                        pred[ci] = int(zzc[0])
+                        s, raw = put_val(diff)
+                        wtr.put(*dc_codes[s])
+                        if s:
+                            wtr.put(raw, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zzc[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                wtr.put(*ac_codes[0xF0])  # ZRL
+                                run -= 16
+                            s, raw = put_val(v)
+                            wtr.put(*ac_codes[(run << 4) | s])
+                            wtr.put(raw, s)
+                            run = 0
+                        if run:
+                            wtr.put(*ac_codes[0x00])  # EOB
+    wtr.marker(0xD9)  # EOI
+    return bytes(wtr.out)
 
 
 def _gif_lzw_decode(data: bytes, mcs: int):

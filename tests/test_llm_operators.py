@@ -716,6 +716,59 @@ def test_png_real_decode_all_filters_and_types(spark):
     assert got[6]["width"] is None
 
 
+def test_jpeg_real_decode_roundtrip_against_forward_transform(spark):
+    """The decoder must invert an independently-computed forward
+    pipeline: the fixture encoder does FDCT + quantize + Huffman
+    with all-ones quant tables, so decoded pixels match the source
+    to within DCT/color rounding (±1 gray, ±2 RGB)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    gray = (np.arange(20 * 13).reshape(20, 13) * 7 % 256) \
+        .astype(np.uint8)
+    rgb = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    m = MM._parse_jpeg_raster(MM.encode_jpeg_baseline(gray))
+    assert (m[0], m[1], m[2]) == (13, 20, 1)
+    assert np.abs(m[3][:, :, 0].astype(int)
+                  - gray.astype(int)).max() <= 1
+    m2 = MM._parse_jpeg_raster(MM.encode_jpeg_baseline(rgb))
+    assert m2[2] == 3
+    assert np.abs(m2[3].astype(int) - rgb.astype(int)).max() <= 2
+    # restart intervals reset DC prediction identically
+    m3 = MM._parse_jpeg_raster(
+        MM.encode_jpeg_baseline(gray, restart_interval=2))
+    assert (m3[3] == m[3]).all() or np.abs(
+        m3[3].astype(int) - m[3].astype(int)).max() <= 1
+    # 4:2:0 uniform color recovers exactly
+    u = np.zeros((16, 16, 3), np.uint8)
+    u[:] = (200, 50, 120)
+    m4 = MM._parse_jpeg_raster(
+        MM.encode_jpeg_baseline(u, subsample=(2, 2)))
+    assert (m4[3] == u).all()
+
+
+def test_jpeg_decode_spark_path_and_rejects(spark):
+    import numpy as np
+
+    flat = np.full((8, 8), 100, np.uint8)
+    prog = bytearray(MM.encode_jpeg_baseline(flat))
+    prog[prog.index(b"\xFF\xC0") + 1] = 0xC2
+    rows = [(1, "image", MM.encode_jpeg_baseline(flat),
+             "image/jpeg"),
+            (2, "image", bytes(prog), "image/jpeg"),
+            (3, "image", b"\xFF\xD8garbage", "image/jpeg")]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           MM.decode_jpeg_meta(media).collect()}
+    assert (got[1]["width"], got[1]["mean_r"]) == (8, 100.0)
+    assert got[2]["width"] is None  # progressive out of subset
+    assert got[3]["width"] is None
+    # decode_image_meta auto-upgrades baseline JPEG to real dims
+    meta = {r["media_id"]: r for r in
+            MM.decode_image_meta(media).collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (8, 8)
+
+
 def test_gif_real_decode_lzw_palette_interlace(spark):
     import numpy as np
 
