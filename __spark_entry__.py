@@ -901,6 +901,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_jpeg_decode"] = multimodal_jpeg_decode
 
+    def multimodal_gif_frames(spark, sf_dir):
+        """REAL frame sampling over GIF animations: indices stride
+        the TRUE frame count (5 frames sampled every 2 -> 0, 2, 4;
+        1 frame -> 0; an invalid GIF contributes nothing)."""
+        import numpy as np
+        f = np.zeros((2, 2), int)
+        pal = [(0, 0, 0), (255, 255, 255)]
+        rows = [
+            (1, "video", MM.encode_gif([f] * 5, pal), "image/gif"),
+            (2, "video", MM.encode_gif([f], pal), "image/gif"),
+            (3, "video", b"GIF89ajunk", "image/gif"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.frame_sample_stub(media, every_n=2)
+
+    q["multimodal_gif_frames"] = multimodal_gif_frames
+
     def multimodal_ppm_resize(spark, sf_dir):
         """REAL nearest-neighbor resize to 2x2 on hand-constructed
         P6 images — sampled source pixels (y*h//2, x*w//2) are known
@@ -2610,6 +2627,12 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 4, 16, 16, 3, 200.0, 50.0, 120.0"
         " UNION ALL SELECT 5, NULL, NULL, NULL, NULL, NULL, NULL"
         " UNION ALL SELECT 6, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
+    o["multimodal_gif_frames"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id,"
+        " CAST(0 AS BIGINT) AS frame_idx"
+        " UNION ALL SELECT 1, 2 UNION ALL SELECT 1, 4"
+        " UNION ALL SELECT 2, 0"
     )
     o["multimodal_ppm_resize"] = (
         "SELECT CAST(1 AS BIGINT) AS media_id, CAST(2 AS BIGINT)"

@@ -139,9 +139,11 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling shape: one row in → k rows out (flatMap
-    semantics via mapInPandas). STUB: emits deterministic frame indices
-    derived from payload length."""
+    """Frame sampling: one row in → k rows out (flatMap semantics
+    via mapInPandas). REAL for GIF payloads — indices 0, every_n,
+    2·every_n, … over the TRUE animation frame count from the block
+    walk; STUB for video codec formats (MP4/H.264 need ffmpeg):
+    deterministic frame indices derived from payload length."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -149,7 +151,12 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                n_frames = (len(r["payload"] or b"") % 97 + 1)
+                p = r["payload"] or b""
+                if p[:6] in (b"GIF87a", b"GIF89a"):
+                    gif = _parse_gif_raster(bytes(p))
+                    n_frames = gif[2] if gif is not None else 0
+                else:
+                    n_frames = len(p) % 97 + 1
                 for i in range(0, n_frames, every_n):
                     rows.append((int(r["media_id"]), i))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx"])
