@@ -918,6 +918,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_gif_frames"] = multimodal_gif_frames
 
+    def multimodal_resize_any(spark, sf_dir):
+        """REAL format-agnostic resize to 2x2 across ALL the really-
+        decoded formats in one frame: a PNG (sampled source pixels
+        known exactly), a baseline JPEG of flat 8x8 tiles (flat
+        tiles decode exactly, nearest-neighbor samples one pixel per
+        tile), a GIF (identity 2x2), and an invalid payload ->
+        NULLs. Output re-encodes as PNG; n_bytes/payload dropped so
+        the oracle pins only decoder-derivable constants."""
+        import numpy as np
+        png = MM.encode_png(np.array(
+            [[(0, 0, 0), (9, 9, 9), (20, 40, 60), (7, 7, 7)],
+             [(100, 0, 0), (8, 8, 8), (200, 0, 0), (6, 6, 6)]],
+            np.uint8), filters=[2, 4])
+        tiles = np.zeros((16, 16), np.uint8)
+        tiles[:8, 8:], tiles[8:, :8], tiles[8:, 8:] = 50, 100, 250
+        jpg = MM.encode_jpeg_baseline(tiles)
+        gif = MM.encode_gif(
+            [np.array([[0, 1], [2, 3]])],
+            [(0, 0, 0), (4, 8, 12), (16, 20, 24), (40, 44, 48)])
+        rows = [
+            (1, "image", png, "image/png"),
+            (2, "image", jpg, "image/jpeg"),
+            (3, "image", gif, "image/gif"),
+            (4, "image", b"not an image", "text/plain"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.resize_image(media, 2, 2).drop("payload",
+                                                 "n_bytes")
+
+    q["multimodal_resize_any"] = multimodal_resize_any
+
     def multimodal_ppm_resize(spark, sf_dir):
         """REAL nearest-neighbor resize to 2x2 on hand-constructed
         P6 images — sampled source pixels (y*h//2, x*w//2) are known
@@ -2633,6 +2664,19 @@ def oracle_sql() -> dict[str, str]:
         " CAST(0 AS BIGINT) AS frame_idx"
         " UNION ALL SELECT 1, 2 UNION ALL SELECT 1, 4"
         " UNION ALL SELECT 2, 0"
+    )
+    # sampled pixels: png (0,0)(0,2)(1,0)(1,2) like the ppm case;
+    # jpeg one pixel per flat tile (0/50/100/250, exact); gif 2x2
+    # identity
+    o["multimodal_resize_any"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id, CAST(2 AS BIGINT)"
+        " AS width, CAST(2 AS BIGINT) AS height,"
+        " CAST(80.0 AS DOUBLE) AS mean_r,"
+        " CAST(10.0 AS DOUBLE) AS mean_g,"
+        " CAST(15.0 AS DOUBLE) AS mean_b"
+        " UNION ALL SELECT 2, 2, 2, 100.0, 100.0, 100.0"
+        " UNION ALL SELECT 3, 2, 2, 15.0, 18.0, 21.0"
+        " UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL"
     )
     o["multimodal_ppm_resize"] = (
         "SELECT CAST(1 AS BIGINT) AS media_id, CAST(2 AS BIGINT)"

@@ -769,6 +769,29 @@ def test_jpeg_decode_spark_path_and_rejects(spark):
     assert (meta[1]["width"], meta[1]["height"]) == (8, 8)
 
 
+def test_resize_image_any_format_roundtrips_as_png(spark):
+    """Format-agnostic resize decodes PNG/JPEG/GIF/PPM, resamples,
+    and re-encodes a PNG whose pixels equal the sampled source
+    pixels exactly (nearest neighbor is lossless on decoded
+    rasters)."""
+    import numpy as np
+
+    src = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    rows = [(1, "image", MM.encode_png(src), "image/png"),
+            (2, "image", b"junk", "text/plain")]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           MM.resize_image(media, 4, 3).collect()}
+    ys = (np.arange(3) * 6) // 3
+    xs = (np.arange(4) * 8) // 4
+    expect = src[ys][:, xs]
+    back = MM._parse_png_raster(bytes(got[1]["payload"]))
+    assert back is not None and (back[3] == expect).all()
+    assert got[1]["mean_r"] == pytest.approx(
+        float(expect[:, :, 0].mean()), abs=1e-6)
+    assert got[2]["payload"] is None
+
+
 def test_gif_real_decode_lzw_palette_interlace(spark):
     import numpy as np
 
