@@ -66,3 +66,96 @@ def test_arbitrary_input_never_crashes_parser(s):
         Parser(s, "s", now=1_000_000).parse()
     except (ParseError, QueryError):
         pass
+
+
+# --------------------------------------------------------- image codecs
+# The hand-rolled codecs are pure Python/numpy — property-test them
+# off-Spark: arbitrary rasters must round-trip (PNG, GIF exactly;
+# JPEG within DCT rounding bounds) for every filter/palette shape.
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_raster_any_filters(data):
+    import numpy as np
+
+    from siridb_server_spark.operators.multimodal import (
+        _parse_png_raster, encode_png)
+
+    h = data.draw(st.integers(1, 12), label="h")
+    w = data.draw(st.integers(1, 12), label="w")
+    px = np.array(
+        data.draw(st.lists(st.integers(0, 255),
+                           min_size=h * w * 3, max_size=h * w * 3)),
+        dtype=np.uint8).reshape(h, w, 3)
+    filters = data.draw(st.lists(st.integers(0, 4),
+                                 min_size=h, max_size=h))
+    got = _parse_png_raster(encode_png(px, filters=filters))
+    assert got is not None
+    assert got[:3] == (w, h, 3)
+    assert (got[3] == px).all()
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip_any_frame(data):
+    import numpy as np
+
+    from siridb_server_spark.operators.multimodal import (
+        _parse_gif_raster, encode_gif)
+
+    h = data.draw(st.integers(1, 10), label="h")
+    w = data.draw(st.integers(1, 10), label="w")
+    ncol = data.draw(st.integers(2, 16), label="ncol")
+    pal = [(i * 15 % 256, i * 37 % 256, i * 91 % 256)
+           for i in range(ncol)]
+    idx = np.array(
+        data.draw(st.lists(st.integers(0, ncol - 1),
+                           min_size=h * w, max_size=h * w)),
+        dtype=np.int64).reshape(h, w)
+    interlace = data.draw(st.booleans(), label="interlace")
+    got = _parse_gif_raster(
+        encode_gif([idx], pal, interlace_first=interlace))
+    assert got is not None and (got[0], got[1], got[2]) == (w, h, 1)
+    expect = np.array([pal[i] for i in idx.ravel()],
+                      np.uint8).reshape(h, w, 3)
+    assert (got[3] == expect).all()
+
+
+@given(st.data())
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_within_dct_rounding(data):
+    import numpy as np
+
+    from siridb_server_spark.operators.multimodal import (
+        _parse_jpeg_raster, encode_jpeg_baseline)
+
+    h = data.draw(st.integers(1, 20), label="h")
+    w = data.draw(st.integers(1, 20), label="w")
+    seed = data.draw(st.integers(0, 2 ** 31 - 1), label="seed")
+    ri = data.draw(st.integers(0, 3), label="restart")
+    gray = np.random.RandomState(seed).randint(
+        0, 256, (h, w), dtype=np.int64).astype(np.uint8)
+    got = _parse_jpeg_raster(
+        encode_jpeg_baseline(gray, restart_interval=ri))
+    assert got is not None and (got[0], got[1]) == (w, h)
+    # all-ones quant: the only loss is FDCT/IDCT float rounding
+    assert np.abs(got[3][:, :, 0].astype(int)
+                  - gray.astype(int)).max() <= 1
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_codec_parsers_never_crash_on_garbage(b):
+    from siridb_server_spark.operators.multimodal import (
+        _parse_gif_raster, _parse_jpeg_raster, _parse_png_raster,
+        _parse_ppm_raster, _parse_wav_pcm)
+
+    for parse, sig in ((_parse_png_raster, b"\x89PNG\r\n\x1a\n"),
+                       (_parse_gif_raster, b"GIF89a"),
+                       (_parse_jpeg_raster, b"\xFF\xD8"),
+                       (_parse_ppm_raster, b"P6 "),
+                       (_parse_wav_pcm, b"RIFF")):
+        # raw garbage AND signature-prefixed garbage: the parsers
+        # must return a value or None, never raise
+        parse(b)
+        parse(sig + b)
