@@ -104,13 +104,49 @@ class PointsStore:
         # can lag but can never silently under-count. (On Delta the
         # same guarantee comes from writing both in one transaction.)
         self._set_pending()
-        (self._with_partitions(df)
-         .write.partitionBy("kind", "sid")
-         .mode("append")
-         .option("compression", "zstd")
-         .parquet(self.path))
+        self._append_via_stage(
+            self._with_partitions(df), self.path, ["kind", "sid"],
+            compression="zstd")
         self._merge_catalog(df.sparkSession, self._batch_stats(df))
         self._clear_pending()
+
+    def _append_via_stage(self, df: DataFrame, target: str,
+                          partition_cols: list,
+                          compression: str | None = None):
+        """Append by staging to a per-append sibling dir and renaming
+        the files into place. A direct ``mode("append")`` is NOT safe
+        under concurrent appenders: Hadoop's FileOutputCommitter
+        shares one ``_temporary/0`` under the target, so one job's
+        commit/cleanup deletes the other's staging mid-flight
+        (observed as FileNotFoundException in the concurrency test).
+        Staging dirs are unique per append and the moved part files
+        carry per-job uuids, so concurrent appends are pure disjoint
+        file additions; a crash mid-move leaves a partial set of
+        visible files, which the caller's pending marker already
+        covers (one-time catalog rebuild)."""
+        import uuid
+
+        # dot-prefixed: invisible to Spark's file listing, so a
+        # crash-leftover stage can never pollute reads
+        stage = os.path.join(target, f".append-{uuid.uuid4().hex}")
+        w = df.write.partitionBy(*partition_cols).mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.parquet(stage)
+        try:
+            for root, dirs, files in os.walk(stage):
+                dirs[:] = [d for d in dirs if not d.startswith(".")]
+                rel = os.path.relpath(root, stage)
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    dest = target if rel == "." \
+                        else os.path.join(target, rel)
+                    os.makedirs(dest, exist_ok=True)
+                    os.rename(os.path.join(root, f),
+                              os.path.join(dest, f))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def append_rows(self, spark: SparkSession, rows: list):
         self.append_df(spark.createDataFrame(rows, POINTS_SCHEMA))
@@ -204,7 +240,9 @@ class PointsStore:
         if not os.path.isdir(self._delta_path):
             return 0
         jobs = set()
-        for root, _dirs, files in os.walk(self._delta_path):
+        for root, dirs, files in os.walk(self._delta_path):
+            # skip in-flight/crashed append stages (dot-prefixed)
+            dirs[:] = [d for d in dirs if not d.startswith(".")]
             for f in files:
                 if not f.endswith(".parquet"):
                     continue
@@ -220,10 +258,11 @@ class PointsStore:
         # of funneling through one task (the r4 coalesce(1)), and
         # reads/compaction prune to touched bucket dirs. The
         # repartition puts each bucket in one task → one file per
-        # touched bucket per append.
-        (self._with_bucket(stats).repartition("bucket")
-         .write.mode("append").partitionBy("bucket")
-         .parquet(self._delta_path))
+        # touched bucket per append; stage+rename keeps concurrent
+        # appenders from sharing a committer _temporary dir.
+        self._append_via_stage(
+            self._with_bucket(stats).repartition("bucket"),
+            self._delta_path, ["bucket"])
         if self._n_delta_appends() > self.DELTA_COMPACT_AT:
             self._compact_catalog(spark)
 

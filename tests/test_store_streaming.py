@@ -217,6 +217,32 @@ def test_stateful_streaming_dedup_and_stats(spark, tmp_path):
     assert stats2 == {("a", 3, 50, 200), ("b", 1, 500, 500)}
 
 
+def test_concurrent_appends_write_disjoint_deltas(spark, tmp_path):
+    """Two appenders racing on one store must not clobber each
+    other: delta appends are pure file additions (bucket-sharded,
+    job-uuid-named), so both batches' points AND catalog stats
+    survive a concurrent write."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    eng = SiriEngine.open(spark, str(tmp_path / "xdb"), precision="s")
+
+    def append(base):
+        eng.store.append_rows(spark, [
+            (f"s{base + i}", 100 + i, i, i, None, None, 0)
+            for i in range(20)])
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(append, 0), ex.submit(append, 1000)]
+        for f in futs:
+            f.result()
+    cat = {r["name"]: r["length"]
+           for r in eng.store.read_catalog(spark).collect()}
+    assert len(cat) == 40 and all(v == 1 for v in cat.values())
+    assert eng.store.read(spark).count() == 40
+    # both append commits visible in the delta dir
+    assert eng.store._n_delta_appends() == 2
+
+
 def test_catalog_lsm_deltas_and_bucketed_compaction(spark, tmp_path):
     """The catalog is LSM-shaped for the 100 TB ingest path: an
     append writes an O(batch) delta sharded by catalog bucket (no
