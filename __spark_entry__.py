@@ -949,6 +949,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_resize_any"] = multimodal_resize_any
 
+    def multimodal_wav_features(spark, sf_dir):
+        """REAL spectral features (numpy STFT) on signals whose
+        spectra are single exact DFT bins: a Nyquist alternation
+        (±1000 at 8 kHz -> one spike at 4000 Hz, rms exactly 1000)
+        and a period-4 square (±500 -> 2000 Hz spike, rms 500 —
+        stereo with identical channels, so the channel mean is the
+        same signal). Dominant frequency == spectral centroid ==
+        the bin frequency, all hand-derivable constants. A clip
+        shorter than one frame and an invalid payload yield NULLs."""
+        nyq = [(1000,) if i % 2 == 0 else (-1000,)
+               for i in range(512)]
+        sq = [((500, 500) if i % 4 < 2 else (-500, -500))
+              for i in range(256)]
+        rows = [
+            (1, "audio", _wav(1, 8000, nyq), "audio/wav"),
+            (2, "audio", _wav(2, 8000, sq), "audio/wav"),
+            (3, "audio", _wav(1, 8000, [(100,)] * 64), "audio/wav"),
+            (4, "audio", b"RIFFxxxx", "application/octet-stream"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.wav_features(media, frame=256, hop=128)
+
+    q["multimodal_wav_features"] = multimodal_wav_features
+
     def multimodal_ppm_resize(spark, sf_dir):
         """REAL nearest-neighbor resize to 2x2 on hand-constructed
         P6 images — sampled source pixels (y*h//2, x*w//2) are known
@@ -2677,6 +2701,16 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 2, 2, 2, 100.0, 100.0, 100.0"
         " UNION ALL SELECT 3, 2, 2, 15.0, 18.0, 21.0"
         " UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL"
+    )
+    o["multimodal_wav_features"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id,"
+        " CAST(3 AS BIGINT) AS n_frames,"
+        " CAST(4000.0 AS DOUBLE) AS dominant_hz,"
+        " CAST(4000.0 AS DOUBLE) AS spectral_centroid_hz,"
+        " CAST(1000.0 AS DOUBLE) AS rms"
+        " UNION ALL SELECT 2, 1, 2000.0, 2000.0, 500.0"
+        " UNION ALL SELECT 3, NULL, NULL, NULL, NULL"
+        " UNION ALL SELECT 4, NULL, NULL, NULL, NULL"
     )
     o["multimodal_ppm_resize"] = (
         "SELECT CAST(1 AS BIGINT) AS media_id, CAST(2 AS BIGINT)"

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
+    "multimodal_wav_features",
     # event analytics
     "events_flow",
     "events_cohorts",

@@ -1352,6 +1352,66 @@ def decode_wav_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=WAV_META_SCHEMA)
 
 
+WAV_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("dominant_hz", T.DoubleType(), True),
+    T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+])
+
+
+def wav_features(media: DataFrame, frame: int = 256,
+                 hop: int = 128) -> DataFrame:
+    """REAL audio feature extraction for RIFF/PCM16 payloads: a
+    numpy STFT (rectangular window, ``frame`` samples every ``hop``)
+    over the channel-mean signal, yielding the clip's dominant
+    frequency (argmax of the mean magnitude spectrum, DC excluded),
+    spectral centroid (magnitude-weighted mean frequency), and RMS.
+    One rfft per clip batch row — row-local, Arrow-batched, a pure
+    map at any corpus size; clips shorter than one frame and invalid
+    payloads yield NULLs. Output frequencies in Hz, 6 decimals."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_wav_pcm(p if p is not None else b"")
+                if parsed is None:
+                    rows.append((int(mid),) + (None,) * 4)
+                    continue
+                channels, rate, samples = parsed
+                n = len(samples) // channels
+                if n < frame:
+                    rows.append((int(mid),) + (None,) * 4)
+                    continue
+                sig = (samples[:n * channels]
+                       .reshape(n, channels)
+                       .mean(axis=1))
+                n_frames = 1 + (n - frame) // hop
+                idx = (np.arange(frame)[None, :]
+                       + hop * np.arange(n_frames)[:, None])
+                spec = np.abs(np.fft.rfft(sig[idx], axis=1))
+                mag = spec.mean(axis=0)
+                freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+                dom = int(np.argmax(mag[1:])) + 1  # exclude DC
+                tot = mag[1:].sum()
+                centroid = float(
+                    (freqs[1:] * mag[1:]).sum() / tot) \
+                    if tot > 0 else 0.0
+                rms = float(np.sqrt(np.mean(sig ** 2)))
+                rows.append((int(mid), int(n_frames),
+                             round(float(freqs[dom]), 6),
+                             round(centroid, 6), round(rms, 6)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_FEATURES_SCHEMA])
+
+    return media.mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
+
+
 PPM_RESIZE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.LongType(), True),

@@ -769,6 +769,47 @@ def test_jpeg_decode_spark_path_and_rejects(spark):
     assert (meta[1]["width"], meta[1]["height"]) == (8, 8)
 
 
+def test_wav_features_finds_sine_frequency(spark):
+    """A bin-centered sine's dominant frequency must come back as
+    that exact bin; centroid is checked against an independent numpy
+    computation over the same frames."""
+    import struct
+
+    import numpy as np
+
+    rate, frame, hop = 8000, 256, 128
+    f0 = 1000.0  # bin 32 of 256 at 8 kHz — integer periods per frame
+    t = np.arange(1024)
+    sig = np.round(12000 * np.sin(2 * np.pi * f0 * t / rate)) \
+        .astype(np.int64)
+
+    def wav(samples):
+        data = b"".join(struct.pack("<h", int(s)) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+            + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) \
+            + b"WAVE" + body
+
+    media = spark.createDataFrame(
+        [(1, "audio", wav(sig), "audio/wav")], MM.MEDIA_SCHEMA)
+    got = MM.wav_features(media, frame=frame, hop=hop).collect()[0]
+    assert got["dominant_hz"] == pytest.approx(f0)
+    assert got["n_frames"] == 1 + (1024 - frame) // hop
+    # independent centroid: same STFT math recomputed here
+    n_frames = got["n_frames"]
+    idx = (np.arange(frame)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    mag = np.abs(np.fft.rfft(sig[idx].astype(float), axis=1)) \
+        .mean(axis=0)
+    freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+    cexp = (freqs[1:] * mag[1:]).sum() / mag[1:].sum()
+    assert got["spectral_centroid_hz"] == pytest.approx(cexp,
+                                                        abs=1e-4)
+    # quantization noise keeps the centroid within a few Hz of f0
+    assert abs(got["spectral_centroid_hz"] - f0) < 5
+
+
 def test_resize_image_any_format_roundtrips_as_png(spark):
     """Format-agnostic resize decodes PNG/JPEG/GIF/PPM, resamples,
     and re-encodes a PNG whose pixels equal the sampled source
