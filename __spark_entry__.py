@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from siridb_server_spark import SiriEngine
+from siridb_server_spark.functions.stable import stable_dsum as SD
 from siridb_server_spark.operators import curation as CU
 from siridb_server_spark.operators import dedup as D
 from siridb_server_spark.operators import multimodal as MM
@@ -460,7 +461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("signups"),
                      F.sum(F.col("conv").cast("long"))
                      .alias("converted"),
-                     (F.round(F.avg(F.col("conv").cast("double")), 6)
+                     # exact-int sum / count: order-free, unlike a
+                     # double avg (see functions/stable.py)
+                     (F.round(F.sum(F.col("conv").cast("long"))
+                              / F.count(F.lit(1)), 6)
                       + F.lit(0.0)).alias("rate")))
 
     q["events_funnel"] = events_funnel
@@ -1031,11 +1035,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = load(spark, sf_dir, "lineitem")
         return (
             li.groupBy("l_returnflag", "l_linestatus")
-            .agg((F.round(F.sum("l_quantity"), 4)
+            .agg((F.round(SD(F.col("l_quantity")), 4)
                   + F.lit(0.0)).alias("sum_qty"),
-                 (F.round(F.sum("l_extendedprice"), 2)
+                 (F.round(SD(F.col("l_extendedprice")), 2)
                   + F.lit(0.0)).alias("sum_price"),
-                 (F.round(F.avg("l_discount"), 6)
+                 (F.round(SD(F.col("l_discount"))
+                          / F.count(F.lit(1)), 6)
                   + F.lit(0.0)).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order"))
         )
@@ -1052,9 +1057,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders = load(spark, sf_dir, "orders")
         cust = load(spark, sf_dir, "customer")
         rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        # the inner per-order partial STAYS decimal so the outer sum
+        # of partials equals the oracle's flat decimal sum exactly —
+        # associativity only holds if no intermediate double cast
         pre = (li.select("l_orderkey", rev.alias("rev"))
                .groupBy("l_orderkey")
-               .agg(F.sum("rev").alias("rev"),
+               .agg(F.sum(F.col("rev").cast("decimal(38,18)"))
+                    .alias("rev"),
                     F.count(F.lit(1)).alias("n")))
         o2 = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
         c2 = cust.select("c_custkey")
@@ -1062,7 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pre.join(o2, pre.l_orderkey == o2.o_orderkey)
             .join(c2, o2.o_custkey == c2.c_custkey)
             .groupBy("o_orderpriority")
-            .agg((F.round(F.sum("rev"), 2) + F.lit(0.0)).alias("revenue"),
+            .agg((F.round(F.sum("rev").cast("double"), 2)
+                  + F.lit(0.0)).alias("revenue"),
                  F.sum("n").alias("n_items"))
         )
 
@@ -1095,8 +1105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      & (F.col("l_discount") >= 0.03)
                      & (F.col("l_discount") <= 0.07)
                      & (F.col("l_quantity") < 24))
-            .agg((F.round(F.sum(F.col("l_extendedprice")
-                                * F.col("l_discount")), 4)
+            .agg((F.round(SD(F.col("l_extendedprice")
+                             * F.col("l_discount")), 4)
                   + F.lit(0.0)).alias("revenue"),
                  F.count(F.lit(1)).alias("n_items"))
         )
@@ -1108,7 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             orders.groupBy(F.date_format("o_orderdate", "yyyy-MM")
                            .alias("month"))
-            .agg((F.round(F.sum("o_totalprice"), 2)
+            .agg((F.round(SD(F.col("o_totalprice")), 2)
                   + F.lit(0.0)).alias("revenue"),
                  F.count(F.lit(1)).alias("n_orders"))
         )
@@ -1138,7 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("o_orderkey",
                      F.date_format("o_orderdate", "yyyy-MM-dd")
                      .alias("orderdate"))
-            .agg((F.round(F.sum("rev"), 2) + F.lit(0.0))
+            .agg((F.round(SD(F.col("rev")), 2) + F.lit(0.0))
                  .alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
             .limit(10)
@@ -1217,7 +1227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("gap").isNotNull())
         return (gaps.groupBy("event_type")
                 .agg(F.count(F.lit(1)).alias("n_gaps"),
-                     (F.round(F.avg("gap"), 3) + F.lit(0.0))
+                     # decimal sum / count — order-free double mean
+                     (F.round(SD(F.col("gap"))
+                              / F.count(F.lit(1)), 3)
+                      + F.lit(0.0))
                      .alias("avg_gap"),
                      (F.round(F.percentile("gap", F.lit(0.5)), 3)
                       + F.lit(0.0)).alias("p50_gap")))
@@ -1420,6 +1433,11 @@ def oracle_sql() -> dict[str, str]:
     P = EVENTS_PTS_SQL
     PI = EVENTS_PTS_INT_SQL
     o: dict[str, str] = {}
+    # decimal-accumulated double sum, the mirror of
+    # functions/stable.py::stable_dsum — exact, associative,
+    # partition-order-free on BOTH engines
+    _SD = ("CAST(sum(CAST(CAST({x} AS DOUBLE)"
+           " AS DECIMAL(38,18))) AS DOUBLE)")
 
     o["siri_count_bucket"] = _bucket_sql("count(*)", H)
     o["siri_sum_bucket"] = _bucket_sql("sum(val)", H, nd=4)
@@ -1752,7 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         " SELECT least(sa.source, sb.source) AS source_a,"
         " greatest(sa.source, sb.source) AS source_b,"
         " count(*) AS n_pairs,"
-        " round(sum(jaccard), 6) + 0.0 AS sum_jaccard"
+        f" round({_SD.format(x='jaccard')}, 6) + 0.0 AS sum_jaccard"
         " FROM pairs JOIN s sa ON pairs.id_a = sa.doc_id"
         " JOIN s sb ON pairs.id_b = sb.doc_id GROUP BY 1, 2"
     )
@@ -2027,7 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         " f AS (SELECT w, count(*) AS n_w FROM t2 GROUP BY 1),"
         " tot AS (SELECT sum(n_w) AS n_tot FROM f)"
         " SELECT doc_id, count(*) AS n_tokens,"
-        " round(avg(-ln(n_w / n_tot)), 6) + 0.0 AS xent"
+        f" round({_SD.format(x='-ln(n_w / n_tot)')} / count(*), 6) + 0.0 AS xent"
         " FROM t2 JOIN f USING (w), tot GROUP BY doc_id"
     )
 
@@ -2125,7 +2143,7 @@ def oracle_sql() -> dict[str, str]:
         " unnest(embedding) AS v FROM embeddings)"
         " SELECT label, CAST(dim AS BIGINT) AS dim,"
         " count(*) AS n_vectors,"
-        " round(avg(v), 6) + 0.0 AS centroid"
+        f" round({_SD.format(x='v')} / count(*), 6) + 0.0 AS centroid"
         " FROM x GROUP BY 1, 2"
     )
 
@@ -2235,7 +2253,8 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS signups,"
         " CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)"
         " AS converted,"
-        " round(avg(CASE WHEN conv THEN 1.0 ELSE 0.0 END), 6) + 0.0"
+        " round(sum(CASE WHEN conv THEN 1 ELSE 0 END)"
+        " / count(*), 6) + 0.0"
         " AS rate FROM s GROUP BY 1"
     )
     # reset-aware counter rate per second (scale = 1e9 on ns)
@@ -2274,7 +2293,7 @@ def oracle_sql() -> dict[str, str]:
         " c1 AS (SELECT a, count(*) AS n_a FROM b2 GROUP BY 1),"
         " v AS (SELECT count(DISTINCT b) AS v FROM b2)"
         " SELECT doc_id, count(*) AS n_bigrams,"
-        " round(avg(-ln((n_ab + 0.5) / (n_a + 0.5 * v))), 6) + 0.0"
+        f" round({_SD.format(x='-ln((n_ab + 0.5) / (n_a + 0.5 * v))')} / count(*), 6) + 0.0"
         " AS xent2"
         " FROM b2 JOIN c2 USING (a, b) JOIN c1 USING (a), v"
         " GROUP BY doc_id"
@@ -2305,10 +2324,7 @@ def oracle_sql() -> dict[str, str]:
         " k AS (SELECT count(*) AS n_tot, count(DISTINCT c) AS v"
         " FROM t3)"
         " SELECT doc_id, count(*) AS n_trigrams,"
-        " round(avg(-ln("
-        "0.5 * ((n_abc + 0.5) / (n_ab + 0.5 * v))"
-        " + 0.3 * ((n_bc + 0.5) / (n_b + 0.5 * v))"
-        " + 0.2 * ((n_c + 0.5) / (n_tot + 0.5 * v)))), 6) + 0.0"
+        f" round({_SD.format(x='-ln(0.5 * ((n_abc + 0.5) / (n_ab + 0.5 * v)) + 0.3 * ((n_bc + 0.5) / (n_b + 0.5 * v)) + 0.2 * ((n_c + 0.5) / (n_tot + 0.5 * v)))')} / count(*), 6) + 0.0"
         " AS xent3"
         " FROM t3 JOIN c3 USING (a, b, c) JOIN cab USING (a, b)"
         " JOIN cbc USING (b, c) JOIN cb USING (b)"
@@ -2360,7 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         " - ln((n_r + 0.5) / (nr + 0.5 * v)) AS lam"
         " FROM c0, c)"
         " SELECT doc_id, count(*) AS n_tokens,"
-        " round(avg(lam), 6) + 0.0 AS dsir_logratio"
+        f" round({_SD.format(x='lam')} / count(*), 6) + 0.0 AS dsir_logratio"
         " FROM t JOIN lam USING (w) GROUP BY doc_id"
     )
 
@@ -2746,16 +2762,18 @@ def oracle_sql() -> dict[str, str]:
     )
     o["tpch_q1ish"] = (
         "SELECT l_returnflag, l_linestatus,"
-        " round(sum(l_quantity), 4) + 0.0 AS sum_qty,"
-        " round(sum(l_extendedprice), 2) + 0.0 AS sum_price,"
-        " round(avg(l_discount), 6) + 0.0 AS avg_disc,"
+        f" round({_SD.format(x='l_quantity')}, 4) + 0.0 AS sum_qty,"
+        f" round({_SD.format(x='l_extendedprice')}, 2) + 0.0"
+        " AS sum_price,"
+        f" round({_SD.format(x='l_discount')} / count(*), 6) + 0.0"
+        " AS avg_disc,"
         " count(*) AS count_order"
         " FROM lineitem GROUP BY 1, 2"
     )
     o["tpch_join_revenue"] = (
         "SELECT o_orderpriority,"
-        " round(sum(l_extendedprice * (1 - l_discount)), 2)"
-        " + 0.0 AS revenue,"
+        f" round({_SD.format(x='l_extendedprice * (1 - l_discount)')}"
+        ", 2) + 0.0 AS revenue,"
         " count(*) AS n_items"
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         " JOIN customer ON o_custkey = c_custkey"
@@ -2768,7 +2786,8 @@ def oracle_sql() -> dict[str, str]:
         " FROM events GROUP BY 1"
     )
     o["tpch_q6ish"] = (
-        "SELECT round(sum(l_extendedprice * l_discount), 4) + 0.0"
+        "SELECT round("
+        f"{_SD.format(x='l_extendedprice * l_discount')}, 4) + 0.0"
         " AS revenue, count(*) AS n_items FROM lineitem"
         " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
         " AND l_shipdate < TIMESTAMP '1997-01-01'"
@@ -2777,13 +2796,15 @@ def oracle_sql() -> dict[str, str]:
     )
     o["tpch_monthly_revenue"] = (
         "SELECT strftime(o_orderdate, '%Y-%m') AS month,"
-        " round(sum(o_totalprice), 2) + 0.0 AS revenue,"
+        f" round({_SD.format(x='o_totalprice')}, 2) + 0.0"
+        " AS revenue,"
         " count(*) AS n_orders FROM orders GROUP BY 1"
     )
     o["tpch_q3ish"] = (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')"
         " AS orderdate,"
-        " round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0"
+        f" round({_SD.format(x='l_extendedprice * (1 - l_discount)')}"
+        ", 2) + 0.0"
         " AS revenue"
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         " JOIN customer ON o_custkey = c_custkey"
@@ -2856,7 +2877,8 @@ def oracle_sql() -> dict[str, str]:
         " (PARTITION BY user_id, event_type ORDER BY ts, event_id))"
         " / 1e9 AS gap FROM e)"
         " SELECT event_type, count(*) AS n_gaps,"
-        " round(avg(gap), 3) + 0.0 AS avg_gap,"
+        f" round({_SD.format(x='gap')} / count(*), 3) + 0.0"
+        " AS avg_gap,"
         " round(quantile_cont(gap, 0.5), 3) + 0.0 AS p50_gap"
         " FROM g WHERE gap IS NOT NULL GROUP BY 1"
     )
@@ -3002,7 +3024,8 @@ def oracle_sql() -> dict[str, str]:
     # top-20 series by total value; totals rounded BEFORE ranking so
     # the order is insensitive to summation order, ties by name
     o["ts_top_series"] = (
-        _PD + ", t AS (SELECT series, round(sum(val), 4) + 0.0"
+        _PD + ", t AS (SELECT series,"
+        f" round({_SD.format(x='val')}, 4) + 0.0"
         " AS total FROM pd GROUP BY 1)"
         " SELECT series, total FROM t"
         " ORDER BY total DESC, series LIMIT 20"
@@ -3015,7 +3038,7 @@ def oracle_sql() -> dict[str, str]:
         " END AS n_tok, length(text) AS n_chars FROM documents)"
         " SELECT lang, n_tok - n_tok % 16 AS bucket,"
         " count(*) AS n_docs,"
-        " round(avg(n_chars), 4) + 0.0 AS avg_chars"
+        " round(sum(n_chars) / count(*), 4) + 0.0 AS avg_chars"
         " FROM t GROUP BY 1, 2"
     )
     # terms = lowercase letter runs; score = tf * ln(N_sources / df)

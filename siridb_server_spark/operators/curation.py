@@ -12,24 +12,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.stable import stable_dsum
 from .text import token_count
 
 #: 2**32 — the md5-prefix hash space
 _HASH_SPACE = 4294967296.0
 
-
-def _stable_dsum(col: Column) -> Column:
-    """Order-insensitive double sum: cast each term to DECIMAL(38,18)
-    (deterministic half-up rounding at 18 fractional digits), sum
-    exactly — decimal addition is associative and commutative, so the
-    result is independent of partial-aggregation order / partitioning
-    — then cast back to double. A plain ``F.sum`` over doubles can
-    flip the last bit between local[4] and local[32], which flips
-    ``round(x, 6)`` at a round-half boundary and breaks value-hash
-    reproducibility (observed on mix_weights, CORRECTNESS_r04).
-    The oracle mirrors this as
-    ``CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE)``."""
-    return F.sum(col.cast("decimal(38,18)")).cast("double")
+# order-insensitive double sum — see functions/stable.py for why
+_stable_dsum = stable_dsum
 
 
 def uniform01(col: Column) -> Column:
@@ -213,7 +203,8 @@ def dsir_weights(df: DataFrame, is_target: Column, k: float = 0.5,
     return (toks.join(lam_tbl, "w")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 (F.round(F.avg("lam"), 6) + F.lit(0.0))
+                 (F.round(stable_dsum(F.col("lam"))
+                          / F.count(F.lit(1)), 6) + F.lit(0.0))
                  .alias("dsir_logratio")))
 
 

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.stable import stable_dsum
+
 # Signature frames feed both sides of a self-join, so they are
 # persisted — but the result is returned lazily, so they can't be
 # unpersisted here. Bound the footprint instead: keep the most recent
@@ -339,7 +341,8 @@ def cross_source_dup_rates(df: DataFrame, threshold: float = 0.8,
             .groupBy(F.least("_ga", "_gb").alias("source_a"),
                      F.greatest("_ga", "_gb").alias("source_b"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
-                 (F.round(F.sum(score_col), 6) + F.lit(0.0))
+                 (F.round(stable_dsum(F.col(score_col)), 6)
+                  + F.lit(0.0))
                  .alias("sum_jaccard")))
 
 

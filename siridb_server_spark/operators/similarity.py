@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.stable import stable_dsum
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -532,7 +534,8 @@ def label_centroid_dims(emb: DataFrame, vec_col: str = "embedding",
                        .alias("dim", "x"))
             .groupBy("label", F.col("dim").cast("long").alias("dim"))
             .agg(F.count(F.lit(1)).alias("n_vectors"),
-                 (F.round(F.avg("x"), 6) + F.lit(0.0))
+                 (F.round(stable_dsum(F.col("x"))
+                          / F.count(F.lit(1)), 6) + F.lit(0.0))
                  .alias("centroid")))
 
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.stable import stable_dsum
+
 #: tiny per-language stopword lists for the n-gram language heuristic.
 #: deliberately small & deterministic so the DuckDB oracle can mirror it.
 LANG_MARKERS = {
@@ -285,7 +287,8 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
               .select("doc_id", (-logp).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 (F.round(F.avg("nll"), 6) + F.lit(0.0))
+                 (F.round(stable_dsum(F.col("nll"))
+                          / F.count(F.lit(1)), 6) + F.lit(0.0))
                  .alias("xent")))
 
 
@@ -328,7 +331,8 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
               .select("doc_id", (-F.log(p)).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 (F.round(F.avg("nll"), 6) + F.lit(0.0))
+                 (F.round(stable_dsum(F.col("nll"))
+                          / F.count(F.lit(1)), 6) + F.lit(0.0))
                  .alias("xent2")))
 
 
@@ -383,7 +387,8 @@ def trigram_logprob(df: DataFrame, text_col: str = "text",
               .select("doc_id", (-F.log(p)).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
-                 (F.round(F.avg("nll"), 6) + F.lit(0.0))
+                 (F.round(stable_dsum(F.col("nll"))
+                          / F.count(F.lit(1)), 6) + F.lit(0.0))
                  .alias("xent3")))
 
 
@@ -570,7 +575,9 @@ def length_histogram(df: DataFrame, width: int = 16,
                       F.length(F.col(text_col)).alias("n_chars"))
             .groupBy("lang", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 (F.round(F.avg("n_chars"), 4) + F.lit(0.0))
+                 # exact-int sum / count — order-free
+                 (F.round(F.sum("n_chars") / F.count(F.lit(1)), 4)
+                  + F.lit(0.0))
                  .alias("avg_chars")))
 
 

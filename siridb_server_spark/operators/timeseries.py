@@ -522,11 +522,15 @@ def top_series(df: DataFrame, k: int = 20,
     dominate" leaderboard.
 
     One groupBy with partial aggregation (result is |series| rows),
-    then a k-row TakeOrdered — no global sort. The total is rounded
-    BEFORE ranking so the order is insensitive to summation order;
-    ties break by name. Output: (series, total)."""
+    then a k-row TakeOrdered — no global sort. The total accumulates
+    as exact decimal (functions/stable.py) and is rounded BEFORE
+    ranking, so both the values and the order are insensitive to
+    summation order; ties break by name. Output: (series, total)."""
+    from ..functions.stable import stable_dsum
+
     totals = (df.groupBy(key_col)
-              .agg((F.round(F.sum(val_col), 4) + F.lit(0.0))
+              .agg((F.round(stable_dsum(F.col(val_col)), 4)
+                    + F.lit(0.0))
                    .alias("total")))
     return totals.orderBy(F.desc("total"), F.asc(key_col)).limit(k)
 
