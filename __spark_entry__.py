@@ -1156,6 +1156,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q3ish"] = tpch_q3ish
 
+    def tpch_q5ish(spark, sf_dir):
+        """q5 shape — regional supplier revenue: the classic
+        dimension BROADCAST CHAIN. region filters nation, nation
+        keys supplier and customer, and only the lineitem⋈orders
+        fact join shuffles; the c_nationkey = s_nationkey local-
+        supplier condition rides the join, never a second shuffle.
+        region/nation/supplier are broadcast explicitly (tiny at any
+        scale); customer/orders stay AQE-planned (fact-sized at
+        100 TB). Revenue accumulates as exact decimal
+        (functions/stable.py)."""
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        supp = load(spark, sf_dir, "supplier")
+        nat = load(spark, sf_dir, "nation")
+        reg = load(spark, sf_dir, "region")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        nr = (nat.join(F.broadcast(
+            reg.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name"))
+        s2 = (supp.join(F.broadcast(nr),
+                        F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", "s_nationkey", "n_name"))
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(s2),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg((F.round(SD(rev), 2) + F.lit(0.0))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+        )
+
+    q["tpch_q5ish"] = tpch_q5ish
+
+    def tpch_q14ish(spark, sf_dir):
+        """q14 shape — promotion revenue share for one ship-month:
+        lineitem⋈part on partkey (part broadcasts while it fits;
+        the date band pushes into the fact scan), then one
+        conditional-vs-total aggregate. Both sums accumulate as
+        exact decimal; the share divides the two exact doubles, so
+        the 6-decimal rounding is partition-order-free."""
+        li = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part")
+        a = F.lit("1996-03-01").cast("timestamp_ntz")
+        b = F.lit("1996-04-01").cast("timestamp_ntz")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        promo = F.when(F.col("p_type") == "PROMO", rev) \
+            .otherwise(F.lit(0.0))
+        return (
+            li.where((F.col("l_shipdate") >= a)
+                     & (F.col("l_shipdate") < b))
+            .join(F.broadcast(part.select("p_partkey", "p_type")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .agg((F.round(F.lit(100.0) * SD(promo) / SD(rev), 6)
+                  + F.lit(0.0)).alias("promo_pct"),
+                 (F.round(SD(rev), 2) + F.lit(0.0))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+        )
+
+    q["tpch_q14ish"] = tpch_q14ish
+
     q["ts_moving_avg"] = lambda spark, sf_dir: TSO.moving_avg(
         _pts_dedup(spark, sf_dir), window=5)
 
@@ -2793,6 +2859,33 @@ def oracle_sql() -> dict[str, str]:
         " AND l_shipdate < TIMESTAMP '1997-01-01'"
         " AND l_discount BETWEEN 0.03 AND 0.07"
         " AND l_quantity < 24"
+    )
+    o["tpch_q5ish"] = (
+        "SELECT n_name,"
+        f" round({_SD.format(x='l_extendedprice * (1 - l_discount)')}"
+        ", 2) + 0.0 AS revenue,"
+        " count(*) AS n_items"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " AND c_nationkey = s_nationkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " WHERE r_name = 'ASIA' GROUP BY 1"
+    )
+    _REV = "l_extendedprice * (1 - l_discount)"
+    _PROMO = (f"CASE WHEN p_type = 'PROMO' THEN {_REV}"
+              " ELSE 0.0 END")
+    o["tpch_q14ish"] = (
+        "SELECT"
+        f" round(100.0 * {_SD.format(x=_PROMO)}"
+        f" / {_SD.format(x=_REV)}, 6) + 0.0 AS promo_pct,"
+        f" round({_SD.format(x=_REV)}, 2) + 0.0 AS revenue,"
+        " count(*) AS n_items"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE l_shipdate >= TIMESTAMP '1996-03-01'"
+        " AND l_shipdate < TIMESTAMP '1996-04-01'"
     )
     o["tpch_monthly_revenue"] = (
         "SELECT strftime(o_orderdate, '%Y-%m') AS month,"

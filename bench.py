@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "tpch_q1ish",
     "tpch_q6ish",
     "tpch_join_revenue",
+    "tpch_q5ish",
+    "tpch_q14ish",
 ]
 
 
