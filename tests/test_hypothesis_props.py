@@ -159,3 +159,51 @@ def test_codec_parsers_never_crash_on_garbage(b):
         # must return a value or None, never raise
         parse(b)
         parse(sig + b)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_qpack_tcp_frame_roundtrip(data):
+    """pack_pkg/read_pkg invert each other over a real socket pair
+    for arbitrary pids, types, and payloads; corrupted checkbits are
+    rejected (stream.c:182-199 parity)."""
+    import socket
+
+    from siridb_server_spark.sources.clserver import (
+        PKG_HEADER, pack_pkg, read_pkg)
+    from siridb_server_spark.sources.qpack import unpackb
+
+    pid = data.draw(st.integers(0, 0xFFFF), label="pid")
+    tp = data.draw(st.integers(0, 255), label="tp")
+    payload = data.draw(st.one_of(
+        st.none(),
+        st.integers(-2 ** 40, 2 ** 40),
+        st.text(max_size=40),
+        st.lists(st.integers(-1000, 1000), max_size=8),
+        st.dictionaries(st.text(min_size=1, max_size=8),
+                        st.integers(-99, 99), max_size=4)),
+        label="payload")
+    a, b = socket.socketpair()
+    try:
+        a.sendall(pack_pkg(pid, tp, payload))
+        got = read_pkg(b)
+        assert got is not None
+        rpid, rtp, data_bytes = got
+        assert (rpid, rtp) == (pid, tp)
+        if payload is None:
+            assert data_bytes == b""
+        else:
+            assert unpackb(data_bytes) == payload
+        # flip the checkbit: the reader must reject, not misparse
+        frame = bytearray(pack_pkg(pid, tp, payload))
+        frame[7] ^= 0x01
+        a.sendall(bytes(frame))
+        try:
+            read_pkg(b)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+    finally:
+        a.close()
+        b.close()
