@@ -16,6 +16,17 @@ mapInPandas (streaming Arrow batches, bounded memory via
 spark.sql.execution.arrow.maxRecordsPerBatch) rather than collect-style
 UDFs, and the recommended layout is one parquet row-group per ~128 MB
 with the binary column last.
+
+Throughput honesty: the from-scratch PNG/JPEG/GIF decoders exist to
+make the decode SEMANTICS real and oracle-checkable without native
+libraries — their inner loops (scanline unfilter for PNG filters
+1/3/4, Huffman bit-walk for JPEG, LZW for GIF) are Python-level and
+sized for thumbnails/test assets, not megapixel photos. The Spark
+plumbing (schema, batching, NULL-on-invalid, partitioning) is the
+production contract: a deployment with PIL/libjpeg-turbo swaps the
+per-payload ``_parse_*`` call inside the same mapInPandas operator
+and nothing else changes. PPM/WAV decode and all resize/resample
+paths are fully vectorized numpy and production-speed as is.
 """
 
 from __future__ import annotations
