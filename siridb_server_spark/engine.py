@@ -718,10 +718,15 @@ class SiriEngine:
             return self.spark.createDataFrame(
                 rows or [], "name string, series long")
         if entity == "users":
-            rows = [(name, ACL.access_to_str(u["access"]))
+            # access_bits is the hidden numeric twin of the printed
+            # profile string: `where access < modify` compares
+            # bitmasks (ref cexpr int compare on user->access_bit)
+            rows = [(name, ACL.access_to_str(u["access"]),
+                     u["access"])
                     for name, u in sorted(self.users.items())]
             return self.spark.createDataFrame(
-                rows or [], "name string, access string")
+                rows or [],
+                "name string, access string, access_bits long")
         if entity == "pools":
             cat = self.catalog_df()
             return cat.groupBy(F.col("pool")).agg(
@@ -784,7 +789,8 @@ class SiriEngine:
                                  col=F.col("name"))
             df = df.where(pred)
         if stmt.where is not None:
-            df = df.where(compile_where(stmt.where))
+            df = df.where(compile_where(
+                stmt.where, self._where_colmap(stmt.entity)))
         cols = stmt.columns or self._LIST_DEFAULT_COLS[stmt.entity]
         limit = stmt.limit if stmt.limit is not None else self.list_limit
         if stmt.limit is not None and (
@@ -795,6 +801,12 @@ class SiriEngine:
         rows = df.select(*cols).limit(limit).collect()
         return {"columns": cols,
                 stmt.entity: [[r[c] for c in cols] for r in rows]}
+
+    @staticmethod
+    def _where_colmap(entity: str) -> dict:
+        if entity == "users":
+            return {"access": F.col("access_bits")}
+        return {}
 
     def _count(self, stmt: N.CountStmt) -> dict:
         if stmt.entity == "series":
@@ -811,7 +823,8 @@ class SiriEngine:
             return {"series": cat.count()}
         df = self._entity_df(stmt.entity)
         if stmt.where is not None:
-            df = df.where(compile_where(stmt.where))
+            df = df.where(compile_where(
+                stmt.where, self._where_colmap(stmt.entity)))
         if stmt.entity == "shards" and stmt.variant == "size":
             row = df.agg(F.coalesce(F.sum("size"),
                                     F.lit(0)).alias("n")).collect()[0]
@@ -867,7 +880,7 @@ class SiriEngine:
             "uptime": lambda: int(_time.time() - eng._started),
             "uuid": lambda: "00000000-0000-0000-0000-000000000000",
             "version": lambda: __version__,
-            "who_am_i": lambda: "iris",
+            "who_am_i": lambda: eng.session_user,
         }
 
     # --------------------------------------------------------- DDL-ish ops
@@ -877,9 +890,56 @@ class SiriEngine:
         self.groups[stmt.name] = (stmt.pattern, stmt.case_insensitive)
         return {"success_msg": f"Successfully created group '{stmt.name}'."}
 
+    #: ref src/siri/db/user.c:19-22
+    _MIN_USER_LEN, _MAX_USER_LEN = 2, 60
+    _MIN_PASSWORD_LEN, _MAX_PASSWORD_LEN = 4, 128
+
+    @staticmethod
+    def _is_graph(s: str) -> bool:
+        """C isgraph() over every char (xstr.c:228-238): printable
+        ASCII excluding space — no spaces, tabs, etc."""
+        return all(33 <= ord(c) <= 126 for c in s)
+
+    def _validate_user_name(self, name: str):
+        """ref siridb_user_set_name (user.c:146-178). The over-max
+        message reuses the 'at least' wording with the max value —
+        the reference's own sprintf does exactly that (user.c:155),
+        ported bug-for-bug."""
+        if len(name) < self._MIN_USER_LEN:
+            raise QueryError(
+                f"User name should be at least "
+                f"{self._MIN_USER_LEN} characters.")
+        if len(name) > self._MAX_USER_LEN:
+            raise QueryError(
+                f"User name should be at least "
+                f"{self._MAX_USER_LEN} characters.")
+        if not self._is_graph(name):
+            raise QueryError(
+                "User name contains illegal characters. (only"
+                " graphical characters are allowed, no spaces,"
+                " tabs etc.)")
+        if name in self.users:
+            raise QueryError(f"User '{name}' already exists.")
+
+    def _validate_password(self, password: str):
+        """ref siridb_user_set_password (user.c:82-113)."""
+        if len(password) < self._MIN_PASSWORD_LEN:
+            raise QueryError(
+                f"Password should be at least "
+                f"{self._MIN_PASSWORD_LEN} characters.")
+        if len(password) > self._MAX_PASSWORD_LEN:
+            raise QueryError(
+                f"Password should be at most "
+                f"{self._MAX_PASSWORD_LEN} characters.")
+        if not self._is_graph(password):
+            raise QueryError(
+                "Password contains illegal characters. (only"
+                " graphical characters are allowed, no spaces,"
+                " tabs etc.)")
+
     def _create_user(self, stmt: N.CreateUser) -> dict:
-        if stmt.name in self.users:
-            raise QueryError(f"User name '{stmt.name}' already exists.")
+        self._validate_user_name(stmt.name)
+        self._validate_password(stmt.password)
         self.users[stmt.name] = {"password": stmt.password, "access": 0}
         return {"success_msg": f"Successfully created user '{stmt.name}'."}
 
@@ -1108,10 +1168,16 @@ class SiriEngine:
         if stmt.name not in self.users:
             raise QueryError(f"Cannot find user: '{stmt.name}'")
         if stmt.key == "password":
+            self._validate_password(stmt.value)
             self.users[stmt.name]["password"] = stmt.value
+            final = stmt.name
         else:
+            self._validate_user_name(stmt.value)
             self.users[stmt.value] = self.users.pop(stmt.name)
-        return {"success_msg": f"Successfully updated user '{stmt.name}'."}
+            # the reference reports the NEW name after a rename
+            # (user.c set_name then success with user->name)
+            final = stmt.value
+        return {"success_msg": f"Successfully updated user '{final}'."}
 
     def _alter_server(self, stmt: N.AlterServer) -> dict:
         """Single-node: one server, name 'sparksiri:0' (ref

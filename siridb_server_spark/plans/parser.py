@@ -508,10 +508,18 @@ class Parser:
         return N.FilterFunc(op, value_tp, value)
 
     # ---------------------------------------------------------------- where
+    #: access_keywords in the reference's Choice order
+    #: (grammar/grammar.py:200-215)
+    _ACCESS_KEYWORDS = ("read", "write", "modify", "full", "select",
+                        "show", "list", "count", "create", "insert",
+                        "drop", "grant", "revoke", "alter")
+
     def _where(self, props_int, props_str, props_time, has_type,
-               type_values=("string", "integer", "float")):
+               type_values=("string", "integer", "float"),
+               props_access=()):
         if not self._keyword("where"):
             return None
+        self._where_access = tuple(props_access)
         return self._where_expr(0, props_int, props_str, props_time,
                                 has_type, type_values)
 
@@ -552,6 +560,21 @@ class Parser:
         return None
 
     def _where_cond(self, pi, ps, pt, has_type, tvals):
+        # `access <intop> <access_keyword>` (where_user,
+        # grammar.py:426-431): bitmask comparison against the
+        # keyword's profile/bit value (cexpr int compare on
+        # user->access_bit)
+        for prop in getattr(self, "_where_access", ()):
+            if self._keyword(prop):
+                op = self._int_operator()
+                if op is None:
+                    self._error("==, !=, <=, >=, < or >")
+                from .. import access as ACL
+                for kw in self._ACCESS_KEYWORDS:
+                    if self._keyword(kw):
+                        return N.WhereCond(
+                            "access", op, ACL.access_from_name(kw))
+                self._merged_error(list(self._ACCESS_KEYWORDS))
         if has_type and self._keyword("type"):
             op = self._int_operator()
             if op not in ("==", "!="):
@@ -583,8 +606,10 @@ class Parser:
                         "single_quote_str or double_quote_str")
                 return N.WhereCond(prop, op, s)
         # cleri expectation list: the Prio alternatives in grammar
-        # order (where_series et al., ref grammar/grammar.py:350-366)
-        opts = list(pi) + list(ps) + list(pt) \
+        # order (where_series et al., ref grammar/grammar.py:350-366;
+        # where_user lists name then access, grammar.py:426-431)
+        opts = list(pi) + list(ps) \
+            + list(getattr(self, "_where_access", ())) + list(pt) \
             + (["type"] if has_type else []) + ["("]
         self._error(", ".join(opts[:-1]) + " or " + opts[-1])
 
@@ -842,7 +867,8 @@ class Parser:
         return self._where(("series",), ("name",), (), False)
 
     def _where_user(self):
-        return self._where((), ("name",), (), False)
+        return self._where((), ("name",), (), False,
+                           props_access=("access",))
 
     def _where_pool(self):
         return self._where(("pool", "servers", "series"), (), (), False)

@@ -135,7 +135,7 @@ def test_users_lifecycle(eng):
     eng.query('revoke insert from user "sasha"')
     r = eng.query("list users")
     assert ["sasha", "read and create"] in r["users"]
-    eng.query('alter user "sasha" set password "new"')
+    eng.query('alter user "sasha" set password "newpw"')
     assert eng.query('drop user "sasha"') == {
         "success_msg": "Successfully dropped user 'sasha'."}
     assert eng.query("count users") == {"users": 1}
