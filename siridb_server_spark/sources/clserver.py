@@ -264,18 +264,38 @@ class _Server(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
 
-class ClientServer:
-    """``ClientServer(engine).start()`` -> serving the qpack TCP
-    protocol on ``self.port`` (port=0 picks a free one). ``stop()``
-    shuts the socket down. Mirrors sources/http.py's ApiServer
-    lifecycle so tests/deployments treat both transports alike."""
+class _UnixServer(socketserver.ThreadingUnixStreamServer):
+    daemon_threads = True
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
-        self._server = _Server((host, port), _Handler)
+
+class ClientServer:
+    """``ClientServer(engine).start()`` -> serving the qpack client
+    protocol on ``self.port`` (port=0 picks a free one), or — with
+    ``pipe_path`` — on an AF_UNIX socket, the reference's pipe
+    support (src/siri/net/pipe.c, enable_pipe_support: same framed
+    protocol, different stream type). ``stop()`` shuts the socket
+    down. Mirrors sources/http.py's ApiServer lifecycle so
+    tests/deployments treat the transports alike."""
+
+    def __init__(self, engine, host: str = "127.0.0.1",
+                 port: int = 0, pipe_path: str | None = None):
+        if pipe_path is not None:
+            import os
+
+            try:
+                os.unlink(pipe_path)
+            except FileNotFoundError:
+                pass
+            self._server = _UnixServer(pipe_path, _Handler)
+            self.host, self.port = pipe_path, None
+            self.pipe_path = pipe_path
+        else:
+            self._server = _Server((host, port), _Handler)
+            self.host = host
+            self.port = self._server.server_address[1]
+            self.pipe_path = None
         self._server.engine = engine
         self._server.lock = threading.Lock()
-        self.host = host
-        self.port = self._server.server_address[1]
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True)
 
@@ -286,6 +306,13 @@ class ClientServer:
     def stop(self):
         self._server.shutdown()
         self._server.server_close()
+        if self.pipe_path is not None:
+            import os
+
+            try:
+                os.unlink(self.pipe_path)
+            except FileNotFoundError:
+                pass
 
 
 class SiriClient:
@@ -295,9 +322,16 @@ class SiriClient:
     python-siridb-connector). Test utility and reference
     implementation of the client side of the framing."""
 
-    def __init__(self, host: str, port: int, timeout: float = 30.0):
-        self._sock = socket.create_connection((host, port),
-                                              timeout=timeout)
+    def __init__(self, host: str, port: int | None,
+                 timeout: float = 30.0):
+        if port is None:  # AF_UNIX pipe (host is the socket path)
+            self._sock = socket.socket(socket.AF_UNIX,
+                                       socket.SOCK_STREAM)
+            self._sock.settimeout(timeout)
+            self._sock.connect(host)
+        else:
+            self._sock = socket.create_connection((host, port),
+                                                  timeout=timeout)
         self._pid = 0
 
     def _call(self, tp: int, payload=None):

@@ -160,6 +160,31 @@ def test_checkbit_violation_closes_connection(served):
         s.close()
 
 
+def test_pipe_transport_same_protocol(spark, tmp_path):
+    """The reference's pipe support (src/siri/net/pipe.c,
+    itest/test_pipe_support.py): the identical framed protocol over
+    an AF_UNIX socket — auth, insert, query round-trip."""
+    eng = SiriEngine(spark, precision="s")
+    srv = CL.ClientServer(
+        eng, pipe_path=str(tmp_path / "siridb_client.sock")).start()
+    try:
+        c = CL.SiriClient(srv.host, srv.port)
+        try:
+            tp, _ = c.auth("iris", "siri", "sparksiri")
+            assert tp == CL.CPROTO_RES_AUTH_SUCCESS
+            tp, body = c.insert({"pipe_series": [[100, 1.0]]})
+            assert tp == CL.CPROTO_RES_INSERT
+            tp, body = c.query("select * from 'pipe_series'")
+            assert tp == CL.CPROTO_RES_QUERY
+            assert body == {"pipe_series": [[100, 1.0]]}
+        finally:
+            c.close()
+    finally:
+        srv.stop()
+    import os
+    assert not os.path.exists(srv.pipe_path)
+
+
 def test_pid_echo(served):
     # responses echo the request pid (pkg.h pid field)
     c = _authed(served)
