@@ -1149,20 +1149,26 @@ class SiriEngine:
         return {"success_msg":
                 f"Successfully untagged {len(names)} series."}
 
+    # every alter-X success reports the entity's POST-update name
+    # (listener.c:2019-2077 formats group->name/tag->name/user->name
+    # after the mutation)
     def _alter_group(self, stmt: N.AlterGroup) -> dict:
         if stmt.name not in self.groups:
             raise QueryError(f"Cannot find group: '{stmt.name}'")
         if stmt.key == "expression":
             self.groups[stmt.name] = (stmt.value, stmt.case_insensitive)
+            final = stmt.name
         else:
             self.groups[stmt.value] = self.groups.pop(stmt.name)
-        return {"success_msg": f"Successfully updated group '{stmt.name}'."}
+            final = stmt.value
+        return {"success_msg": f"Successfully updated group '{final}'."}
 
     def _alter_tag(self, stmt: N.AlterTag) -> dict:
         if stmt.name not in self.tags:
             raise QueryError(f"Cannot find tag: '{stmt.name}'")
         self.tags[stmt.new_name] = self.tags.pop(stmt.name)
-        return {"success_msg": f"Successfully updated tag '{stmt.name}'."}
+        return {"success_msg":
+                f"Successfully updated tag '{stmt.new_name}'."}
 
     def _alter_user(self, stmt: N.AlterUser) -> dict:
         if stmt.name not in self.users:

@@ -91,5 +91,8 @@ def test_tag_lifecycle_golden(eng):
 
     assert _tags(eng) == [["F", 5], ["I", 4]]
 
-    q("alter tag `F` set name 'Float'")
+    # alter success reports the POST-update name
+    # (listener.c:2047-2048 formats tag->name after set_name)
+    assert q("alter tag `F` set name 'Float'") == {
+        "success_msg": "Successfully updated tag 'Float'."}
     assert _tags(eng) == [["Float", 5], ["I", 4]]
