@@ -701,6 +701,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_bruteforce_topk"] = sim_bruteforce_topk
 
+    def sim_knn_join(spark, sf_dir):
+        """Batch kNN join: 3 query vectors against the rest of the
+        corpus in one pass — per-Arrow-batch BLAS scoring with a
+        deterministic local top-k cut, so the shuffle carries
+        partitions·q·k rows, never corpus·q scores."""
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 3) \
+            .select(F.col("vec_id").alias("qid"), "embedding")
+        return SIM.knn_join(emb.where(F.col("vec_id") >= 3),
+                            queries, k=5)
+
+    q["sim_knn_join"] = sim_knn_join
+
     def sim_ivf_topk(spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
         vec = _query_vec(spark, sf_dir)
@@ -2610,6 +2623,28 @@ def oracle_sql() -> dict[str, str]:
         " + 0.0 AS cos"
         " FROM s ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id"
         " LIMIT 10"
+    )
+    # batch kNN join: every query (vec_id < 3) against the corpus;
+    # rank on the 6-decimal-rounded cosine with vec_id tie-break,
+    # exactly like the Spark operator's global window
+    o["sim_knn_join"] = (
+        "WITH prod AS (SELECT q.vec_id AS qid, e.vec_id,"
+        " CAST(unnest(e.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(q.embedding) AS DOUBLE) AS y"
+        " FROM embeddings e, embeddings q"
+        " WHERE e.vec_id >= 3 AND q.vec_id < 3),"
+        " s AS (SELECT qid, vec_id, sum(x * y) AS d,"
+        " sum(x * x) AS na, sum(y * y) AS nb"
+        " FROM prod GROUP BY 1, 2),"
+        " sc AS (SELECT qid, vec_id,"
+        " round(CASE WHEN na = 0 OR nb = 0 THEN 0.0"
+        " ELSE d / (sqrt(na) * sqrt(nb)) END, 6) + 0.0 AS cos"
+        " FROM s),"
+        " r AS (SELECT qid, vec_id, cos, row_number() OVER"
+        " (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank"
+        " FROM sc)"
+        " SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank"
+        " FROM r WHERE rank <= 5"
     )
     # Full-value IVF oracle: DuckDB recomputes the label centroids,
     # ranks cells by centroid cosine, probes the top 3, and

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.stable import stable_dsum
@@ -245,6 +245,86 @@ def cosine_pairs_blocked(emb: DataFrame, threshold: float = 0.35,
     return (emb.select(id_col, block_col, vec_col)
             .groupBy(block_col)
             .applyInPandas(block_pairs, schema=schema))
+
+
+def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             qid_col: str = "qid") -> DataFrame:
+    """Batch top-k cosine neighbors: every QUERY-SET vector against
+    the corpus in one pass — the kNN join behind retrieval eval,
+    hard-negative mining, and embedding-based labeling (the
+    single-vector ``brute_force_topk`` repeated q times would scan
+    the corpus q times).
+
+    100 TB shape: the query matrix (q×d floats — the SMALL side by
+    definition) is collected once and closed over every corpus
+    partition; each Arrow batch scores batch×q cosines with ONE BLAS
+    matmul and keeps only its LOCAL top-k per query (global top-k is
+    contained in the union of per-batch top-k), so the shuffle
+    carries ≤ partitions·q·k rows instead of corpus·q scores. A
+    final q·k-sized window ranks the survivors. Scores round to 6
+    decimals BEFORE ranking everywhere (local cut included) with
+    ties toward the smaller corpus id, so the result is
+    deterministic under any partitioning. Zero-norm vectors score
+    0. Output: (qid, vec_id, cos, rank), rank 1..k."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    qrows = queries.select(qid_col, vec_col).collect()
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "qid long, vec_id long, cos double, rank int")
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.vstack([np.asarray(r[1], dtype="float64")
+                   for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn
+
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+    kk = int(k)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy().astype("int64")
+            M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            nm = np.linalg.norm(M, axis=1, keepdims=True)
+            zero = (nm == 0.0).ravel()
+            nm[nm == 0.0] = 1.0
+            S = (M / nm) @ Q.T  # batch × q
+            S[zero, :] = 0.0
+            S = np.round(S, 6)
+            take = min(kk, len(ids))
+            out_q, out_i, out_c = [], [], []
+            for j in range(len(qids)):
+                # deterministic local cut: (cos desc, vec_id asc)
+                order = np.lexsort((ids, -S[:, j]))[:take]
+                out_q.append(np.full(take, qids[j]))
+                out_i.append(ids[order])
+                out_c.append(S[order, j])
+            yield pd.DataFrame({
+                "qid": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_i),
+                "cos": np.concatenate(out_c)})
+
+    local = emb.select(id_col, vec_col).mapInPandas(score,
+                                                    schema=schema)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.asc("vec_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= kk)
+            .select("qid", "vec_id",
+                    (F.col("cos") + F.lit(0.0)).alias("cos"),
+                    "rank"))
 
 
 class IVFIndex:

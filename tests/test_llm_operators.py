@@ -322,6 +322,29 @@ def test_topk_per_group(spark):
     assert got == {("s0", 8), ("s0", 6), ("s1", 9), ("s1", 7)}
 
 
+def test_knn_join_matches_per_query_bruteforce(emb, spark):
+    queries = emb.where("vec_id < 2") \
+        .selectExpr("vec_id AS qid", "embedding")
+    corpus = emb.where("vec_id >= 2")
+    got = SIM.knn_join(corpus, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["vec_id"], r["cos"]))
+    for qid in by_q:
+        by_q[qid].sort()
+    # every query's ranking equals the single-vector brute force
+    for qrow in queries.collect():
+        expect = [
+            (i + 1, r["vec_id"], r["cos"]) for i, r in enumerate(
+                SIM.brute_force_topk(corpus, qrow["embedding"],
+                                     k=3).collect())]
+        assert by_q[qrow["qid"]] == expect
+    # invariant under corpus repartitioning (local cut determinism)
+    again = SIM.knn_join(corpus.repartition(7), queries, k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
 def test_kmeans_ivf(spark):
     rows = [(i, [float(i % 3 == 0), float(i % 3 == 1),
                  float(i % 3 == 2)], 0) for i in range(30)]
