@@ -2093,7 +2093,8 @@ def oracle_sql() -> dict[str, str]:
         " r AS (SELECT source, least(1.0,"
         " pow(n_s, 0.5) / w_tot * 0.5 * n_tot / n_s) AS keep_rate"
         " FROM c, t)"
-        " SELECT d.doc_id, d.source, round(keep_rate, 6) + 0.0"
+        " SELECT d.doc_id, d.source,"
+        " CAST(round(keep_rate, 6) AS DECIMAL(18,6))"
         " AS keep_rate FROM documents d JOIN r ON d.source = r.source"
         " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))"
         "::BIGINT / 4294967296.0 < keep_rate"
@@ -2419,11 +2420,12 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(CAST(pow(n_tokens, 0.3) AS DECIMAL(38,18)))"
         " AS DOUBLE) AS w_tot FROM per)"
         " SELECT source, n_docs, n_tokens,"
-        " round(n_tokens / tok_tot, 6) + 0.0 AS token_share,"
-        " round(pow(n_tokens, 0.3) / w_tot, 6) + 0.0"
+        " CAST(round(n_tokens / tok_tot, 6) AS DECIMAL(18,6))"
+        " AS token_share,"
+        " CAST(round(pow(n_tokens, 0.3) / w_tot, 6) AS DECIMAL(18,6))"
         " AS target_share,"
-        " round(least(5.0, (pow(n_tokens, 0.3) / w_tot)"
-        " / (n_tokens / tok_tot)), 6) + 0.0 AS weight"
+        " CAST(round(least(5.0, (pow(n_tokens, 0.3) / w_tot)"
+        " / (n_tokens / tok_tot)), 6) AS DECIMAL(18,6)) AS weight"
         " FROM per, tot"
     )
 
@@ -2455,7 +2457,8 @@ def oracle_sql() -> dict[str, str]:
         " - ln((n_r + 0.5) / (nr + 0.5 * v)) AS lam"
         " FROM c0, c)"
         " SELECT doc_id, count(*) AS n_tokens,"
-        f" round({_SD.format(x='lam')} / count(*), 6) + 0.0 AS dsir_logratio"
+        f" CAST(round({_SD.format(x='lam')} / count(*), 6)"
+        " AS DECIMAL(18,6)) AS dsir_logratio"
         " FROM t JOIN lam USING (w) GROUP BY doc_id"
     )
 

@@ -22,6 +22,19 @@ _HASH_SPACE = 4294967296.0
 _stable_dsum = stable_dsum
 
 
+def _dec6(col: Column) -> Column:
+    """Round to 6 decimals, then emit as DECIMAL(18,6).
+
+    Rounded ratio contracts used to ship as DOUBLE; the rounded value
+    sits on a 1e-6 grid point, but the double's low bits are still a
+    float bit pattern a byte-level hasher can disagree on. Casting the
+    already-rounded value to an exact decimal removes every float bit
+    from the contract: the double is within ~1e-10 of the grid point,
+    so the half-up (Spark) and nearest (DuckDB) double→decimal casts
+    land on the same decimal no matter the tie-breaking rule."""
+    return F.round(col, 6).cast("decimal(18,6)")
+
+
 def uniform01(col: Column) -> Column:
     """Deterministic uniform in [0, 1) from any key column: first 8
     hex digits of md5, as an unsigned 32-bit fraction. Exactly
@@ -81,8 +94,7 @@ def sample_by_source(df: DataFrame, alpha: float = 0.5,
     return (df.join(F.broadcast(rates), source_col)
             .where(uniform01(F.col(id_col)) < F.col("keep_rate"))
             .select(id_col, source_col,
-                    (F.round("keep_rate", 6) + F.lit(0.0))
-                    .alias("keep_rate")))
+                    _dec6(F.col("keep_rate")).alias("keep_rate")))
 
 
 def pack_sequences(df: DataFrame, budget: int = 256,
@@ -124,7 +136,8 @@ def mix_weights(df: DataFrame, alpha: float = 0.3,
     the only pass over the corpus), then a 1-row totals aggregate
     broadcast back onto the |sources|-row table. Output is
     |sources| rows: (source, n_docs, n_tokens, token_share,
-    target_share, weight), 6 decimals, op order fixed for the
+    target_share, weight) with the ratio columns as exact
+    DECIMAL(18,6) (see :func:`_dec6`), op order fixed for the
     oracle."""
     per = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -138,12 +151,9 @@ def mix_weights(df: DataFrame, alpha: float = 0.3,
     weight = F.least(F.lit(max_weight), target / share)
     return (per.crossJoin(F.broadcast(tot))
             .select(source_col, "n_docs", "n_tokens",
-                    (F.round(share, 6) + F.lit(0.0))
-                    .alias("token_share"),
-                    (F.round(target, 6) + F.lit(0.0))
-                    .alias("target_share"),
-                    (F.round(weight, 6) + F.lit(0.0))
-                    .alias("weight")))
+                    _dec6(share).alias("token_share"),
+                    _dec6(target).alias("target_share"),
+                    _dec6(weight).alias("weight")))
 
 
 def dsir_weights(df: DataFrame, is_target: Column, k: float = 0.5,
@@ -203,9 +213,8 @@ def dsir_weights(df: DataFrame, is_target: Column, k: float = 0.5,
     return (toks.join(lam_tbl, "w")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 (F.round(stable_dsum(F.col("lam"))
-                          / F.count(F.lit(1)), 6) + F.lit(0.0))
-                 .alias("dsir_logratio")))
+                 _dec6(stable_dsum(F.col("lam"))
+                       / F.count(F.lit(1))).alias("dsir_logratio")))
 
 
 def shard_export(df: DataFrame, n_shards: int = 32,

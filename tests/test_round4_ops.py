@@ -289,10 +289,11 @@ def test_dsir_weights_hand_computed(spark):
         - math.log((2 + 0.5) / (6 + 1.0))
     lam_junk = math.log((0 + 0.5) / (4 + 1.0)) \
         - math.log((4 + 0.5) / (6 + 1.0))
+    # dsir_logratio ships as exact DECIMAL(18,6) — compare as float
     assert rows[4]["dsir_logratio"] > 0 > rows[3]["dsir_logratio"]
-    assert rows[4]["dsir_logratio"] == pytest.approx(
+    assert float(rows[4]["dsir_logratio"]) == pytest.approx(
         round(lam_good, 6), abs=1e-9)
-    assert rows[3]["dsir_logratio"] == pytest.approx(
+    assert float(rows[3]["dsir_logratio"]) == pytest.approx(
         round(lam_junk, 6), abs=1e-9)
     assert rows[1]["n_tokens"] == 2          # target docs score too
     assert rows[1]["dsir_logratio"] == rows[4]["dsir_logratio"]
