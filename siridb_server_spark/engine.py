@@ -1130,9 +1130,8 @@ class SiriEngine:
         self._apply_expiration()
         if self.store is not None:
             self.store.optimize(self.spark, max_files_per_partition)
-            self.store._set_pending()
-            self.store._compact_catalog(self.spark)
-            self.store._clear_pending()
+            with self.store._pending():
+                self.store._compact_catalog(self.spark)
             self._invalidate()
         return {"success_msg": "Maintenance finished."}
 

@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 from ..functions.stable import stable_dsum
 
 
+def _round6(a):
+    """Half-away-from-zero rounding to 6 decimals for numpy arrays.
+
+    ``np.round`` is IEEE half-to-even; every Catalyst expression in
+    this package (``F.round``) and the DuckDB oracles round half away
+    from zero, so a cosine landing exactly on a 5e-7 boundary would
+    get a different 6-decimal value (and rank) from the numpy path.
+    ``floor(|x|·1e6 + 0.5)·sign`` matches the half-up rule."""
+    s = np.abs(a) * 1e6 + 0.5
+    return np.copysign(np.floor(s) / 1e6, a)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y:
@@ -234,7 +246,7 @@ def cosine_pairs_blocked(emb: DataFrame, threshold: float = 0.35,
         M /= norms
         S = M @ M.T
         ia, ib = np.triu_indices(n, k=1)
-        cos = np.round(S[ia, ib], 6)
+        cos = _round6(S[ia, ib])
         mask = cos >= thr
         return pd.DataFrame({
             "id_a": ids[ia[mask]].astype("int64"),
@@ -302,7 +314,7 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
             nm[nm == 0.0] = 1.0
             S = (M / nm) @ Q.T  # batch × q
             S[zero, :] = 0.0
-            S = np.round(S, 6)
+            S = _round6(S)
             take = min(kk, len(ids))
             out_q, out_i, out_c = [], [], []
             for j in range(len(qids)):

@@ -131,7 +131,13 @@ class _Handler(socketserver.BaseRequestHandler):
                 if tp == CPROTO_REQ_PING:
                     resp = pack_pkg(pid, CPROTO_RES_ACK)
                 elif tp == CPROTO_REQ_AUTH:
-                    authed, resp = self._auth(engine, pid, data)
+                    # auth.c siridb_auth_user_request: credentials
+                    # are replaced only on SUCCESS — a failed re-auth
+                    # answers with the error but leaves the existing
+                    # session authentication intact
+                    new_auth, resp = self._auth(engine, pid, data)
+                    if new_auth is not None:
+                        authed = new_auth
                 elif tp == CPROTO_REQ_QUERY:
                     if authed is None:
                         resp = pack_pkg(

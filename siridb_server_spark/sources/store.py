@@ -31,8 +31,10 @@ drops whole sid directories without touching data files.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,11 +47,16 @@ OPTIMAL_POINTS_PER_SHARD = 2000
 #: hash buckets for the incrementally-maintained series catalog — an
 #: ingest batch rewrites only the buckets its series hash into, so the
 #: per-batch catalog cost is O(|catalog|/buckets × touched buckets)
-#: instead of a single-task full rewrite. Default is sized for ~10⁵-10⁶
-#: series (per-bucket directory commits dominate below that); a
-#: 100M-series deployment raises PointsStore(catalog_buckets=...) so
-#: each bucket stays ~1M rows.
+#: instead of a single-task full rewrite. This is the FLOOR: the
+#: bucket count auto-grows at compaction time (powers of two, never
+#: shrinks) so each bucket stays under TARGET_ROWS_PER_BUCKET rows —
+#: a 100M-series catalog ends up at 128 buckets without anyone tuning
+#: it. Pass PointsStore(catalog_buckets=...) to pin a fixed count.
 N_CATALOG_BUCKETS = 8
+
+#: auto-scale target: grow the bucket count once the average bucket
+#: would exceed this many catalog rows
+TARGET_ROWS_PER_BUCKET = 1_000_000
 
 
 def duration_from_interval(interval: int, factor: int,
@@ -78,11 +85,17 @@ def duration_from_interval(interval: int, factor: int,
 
 class PointsStore:
     def __init__(self, path: str, duration_num: int, duration_log: int,
-                 catalog_buckets: int = N_CATALOG_BUCKETS):
+                 catalog_buckets: int | None = None):
         self.path = path
         self.duration_num = duration_num
         self.duration_log = duration_log
-        self.catalog_buckets = catalog_buckets
+        #: explicit override pins the count; None = auto-scale from
+        #: the observed catalog size at compaction time
+        self._buckets_fixed = catalog_buckets
+        #: pending tokens THIS instance is currently appending under;
+        #: a same-pid marker not in here is an abandoned append
+        #: (exception mid-append), i.e. stale
+        self._my_active: set = set()
 
     # ------------------------------------------------------------- write
     def _with_partitions(self, df: DataFrame) -> DataFrame:
@@ -103,12 +116,11 @@ class PointsStore:
         # the next read_catalog() sees it and rebuilds — the catalog
         # can lag but can never silently under-count. (On Delta the
         # same guarantee comes from writing both in one transaction.)
-        self._set_pending()
-        self._append_via_stage(
-            self._with_partitions(df), self.path, ["kind", "sid"],
-            compression="zstd")
-        self._merge_catalog(df.sparkSession, self._batch_stats(df))
-        self._clear_pending()
+        with self._pending():
+            self._append_via_stage(
+                self._with_partitions(df), self.path, ["kind", "sid"],
+                compression="zstd")
+            self._merge_catalog(df.sparkSession, self._batch_stats(df))
 
     def _append_via_stage(self, df: DataFrame, target: str,
                           partition_cols: list,
@@ -124,8 +136,6 @@ class PointsStore:
         file additions; a crash mid-move leaves a partial set of
         visible files, which the caller's pending marker already
         covers (one-time catalog rebuild)."""
-        import uuid
-
         # dot-prefixed: invisible to Spark's file listing, so a
         # crash-leftover stage can never pollute reads
         stage = os.path.join(target, f".append-{uuid.uuid4().hex}")
@@ -185,19 +195,113 @@ class PointsStore:
         return os.path.join(self.path, "_catalog")
 
     @property
-    def _pending_path(self) -> str:
-        return os.path.join(self.path, "_catalog.pending")
+    def _catalog_meta_path(self) -> str:
+        return os.path.join(self.path, "_catalog.meta.json")
 
-    def _set_pending(self):
-        os.makedirs(self.path, exist_ok=True)
-        with open(self._pending_path, "w"):
-            pass
-
-    def _clear_pending(self):
+    @property
+    def catalog_buckets(self) -> int:
+        """Active bucket count: the explicit override if pinned, else
+        the persisted auto-scaled count (so every appender process
+        agrees), else the floor default."""
+        if self._buckets_fixed is not None:
+            return self._buckets_fixed
         try:
-            os.remove(self._pending_path)
+            import json
+            with open(self._catalog_meta_path) as fh:
+                return int(json.load(fh)["buckets"])
+        except (OSError, ValueError, KeyError):
+            return N_CATALOG_BUCKETS
+
+    def _persist_buckets(self, n: int):
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{self._catalog_meta_path}.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"buckets": int(n)}, fh)
+        os.replace(tmp, self._catalog_meta_path)
+
+    @staticmethod
+    def _auto_buckets(n_rows: int) -> int:
+        """Power-of-two bucket count keeping the average bucket under
+        TARGET_ROWS_PER_BUCKET rows, floored at N_CATALOG_BUCKETS."""
+        b = N_CATALOG_BUCKETS
+        while n_rows > b * TARGET_ROWS_PER_BUCKET:
+            b *= 2
+        return b
+
+    # Pending markers are PER-APPENDER (uuid-named, pid-stamped): a
+    # shared single marker would let appender A's clear remove
+    # appender B's crash protection mid-append. An appender clears
+    # only its own token; readers treat a marker as a crash signal
+    # only when its writing process is gone (on a distributed FS the
+    # pid check becomes a lease timestamp — same protocol). Live
+    # markers mean an append is IN FLIGHT, which is not a crash: its
+    # catalog delta lands when it finishes.
+    _PENDING_PREFIX = "_catalog.pending-"
+
+    def _set_pending(self) -> str:
+        os.makedirs(self.path, exist_ok=True)
+        tok = os.path.join(
+            self.path, f"{self._PENDING_PREFIX}{uuid.uuid4().hex}")
+        with open(tok, "w") as fh:
+            fh.write(str(os.getpid()))
+        self._my_active.add(tok)
+        return tok
+
+    def _clear_pending(self, tok: str):
+        self._my_active.discard(tok)
+        try:
+            os.remove(tok)
         except FileNotFoundError:
             pass
+
+    @contextlib.contextmanager
+    def _pending(self):
+        """Pending-marker scope: cleared on success; on an exception
+        the token is ABANDONED (dropped from the active set but left
+        on disk) so it reads as stale and the next read_catalog()
+        repairs — without this, a failed append in a long-lived
+        process would pin a 'live' marker over an under-counted
+        catalog forever."""
+        tok = self._set_pending()
+        try:
+            yield tok
+        except BaseException:
+            self._my_active.discard(tok)
+            raise
+        self._clear_pending(tok)
+
+    def _pending_markers(self) -> list:
+        if not os.path.isdir(self.path):
+            return []
+        return [os.path.join(self.path, e)
+                for e in os.listdir(self.path)
+                if e.startswith(self._PENDING_PREFIX)]
+
+    def _marker_alive(self, path: str) -> bool:
+        try:
+            with open(path) as fh:
+                pid = int(fh.read().strip() or "0")
+        except (OSError, ValueError):
+            return False  # unreadable/corrupt marker: treat as stale
+        if pid <= 0:
+            return False
+        if pid == os.getpid():
+            # our own process: alive only while the append is actually
+            # in flight on this store instance
+            return path in self._my_active
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by another user
+        return True
+
+    def _stale_markers(self) -> list:
+        return [m for m in self._pending_markers()
+                if not self._marker_alive(m)]
 
     @staticmethod
     def _batch_stats(df: DataFrame) -> DataFrame:
@@ -266,32 +370,133 @@ class PointsStore:
         if self._n_delta_appends() > self.DELTA_COMPACT_AT:
             self._compact_catalog(spark)
 
-    def _compact_catalog(self, spark: SparkSession):
-        delta = (spark.read.parquet(self._delta_path)
-                 if os.path.isdir(self._delta_path) else None)
-        if delta is None:
-            return
-        base = (spark.read.parquet(self._catalog_path)
-                if os.path.isdir(self._catalog_path) else None)
-        if base is None:
-            self._write_catalog(self._fold(delta), full=True)
-        else:
-            # fold deltas into ONLY the bucket partitions they touch
-            base = self._with_bucket(base)
-            touched = base.join(delta.select("bucket").distinct(),
-                                "bucket", "semi")
-            self._write_catalog(
-                self._fold(touched.unionByName(self._with_bucket(delta))),
-                full=False)
-        shutil.rmtree(self._delta_path, ignore_errors=True)
+    @property
+    def _compact_lock_path(self) -> str:
+        return os.path.join(self.path, "_catalog.compact.lock")
 
-    @staticmethod
-    def _fold(stats: DataFrame) -> DataFrame:
-        return stats.groupBy("name", "bucket").agg(
+    def _acquire_compact_lock(self) -> bool:
+        """O_EXCL pid-stamped lock serializing compactions. Two
+        concurrent compactions would fold the same delta files into
+        the base twice (double-counted lengths); the loser of the
+        create simply skips — its deltas get folded by a later
+        compaction. A lock left by a dead process is broken here."""
+        path = self._compact_lock_path
+        for _ in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(str(os.getpid()))
+                self._my_active.add(path)
+                return True
+            except FileExistsError:
+                if self._marker_alive(path):
+                    return False
+                try:  # stale lock from a crashed compactor
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+        return False
+
+    def _release_compact_lock(self):
+        self._my_active.discard(self._compact_lock_path)
+        try:
+            os.remove(self._compact_lock_path)
+        except FileNotFoundError:
+            pass
+
+    def _delta_files(self) -> list:
+        """Current delta parquet files (skipping in-flight dot
+        stages), as absolute paths."""
+        out = []
+        if not os.path.isdir(self._delta_path):
+            return out
+        for root, dirs, files in os.walk(self._delta_path):
+            dirs[:] = [d for d in dirs if not d.startswith(".")]
+            out.extend(os.path.join(root, f) for f in files
+                       if f.endswith(".parquet"))
+        return out
+
+    def _compact_catalog(self, spark: SparkSession):
+        if not self._acquire_compact_lock():
+            return  # another compactor is live; our deltas fold later
+        try:
+            # Snapshot the delta FILE LIST first and fold exactly
+            # those files; afterwards delete exactly those files. An
+            # rmtree of the whole delta dir would race a concurrent
+            # appender whose just-renamed delta landed after our read
+            # — silently dropping its stats with no marker left.
+            files = self._delta_files()
+            if not files:
+                return
+            delta = (spark.read.option("basePath", self._delta_path)
+                     .parquet(*files))
+            base = (spark.read.parquet(self._catalog_path)
+                    if os.path.isdir(self._catalog_path) else None)
+            if base is None:
+                folded = self._fold(delta)
+                if self._buckets_fixed is None:
+                    want = self._auto_buckets(folded.count())
+                    if want != self.catalog_buckets:
+                        self._persist_buckets(want)
+                        folded = self._fold(delta)  # re-derive
+                self._write_catalog(folded, full=True)
+            elif (self._buckets_fixed is None
+                  and self._auto_buckets(base.count())
+                  != self.catalog_buckets):
+                # catalog outgrew its bucket layout: grow the count
+                # (inside the compaction lock) and rewrite the whole
+                # catalog under the new numbering in one pass
+                self._persist_buckets(self._auto_buckets(base.count()))
+                self._write_catalog(
+                    self._fold(base.unionByName(
+                        delta.select(*base.columns))),
+                    full=True)
+            else:
+                # fold deltas into ONLY the bucket partitions touched
+                # (bucket sets re-derived from names — on-disk bucket
+                # values may predate an auto-resize)
+                base = self._with_bucket(base.drop("bucket"))
+                dtouch = (self._with_bucket(delta.drop("bucket"))
+                          .select("bucket").distinct())
+                touched = base.join(dtouch, "bucket", "semi")
+                self._write_catalog(
+                    self._fold(touched.unionByName(
+                        self._with_bucket(delta.drop("bucket")))),
+                    full=False)
+            for f in files:
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    pass
+            # sweep now-empty bucket dirs (ignore non-empty: a
+            # concurrent append may have added files)
+            if os.path.isdir(self._delta_path):
+                for entry in os.listdir(self._delta_path):
+                    p = os.path.join(self._delta_path, entry)
+                    if os.path.isdir(p):
+                        try:
+                            os.rmdir(p)
+                        except OSError:
+                            pass
+                try:
+                    os.rmdir(self._delta_path)
+                except OSError:
+                    pass
+        finally:
+            self._release_compact_lock()
+
+    def _fold(self, stats: DataFrame) -> DataFrame:
+        # bucket is ALWAYS re-derived from the name at the current
+        # count (never trusted from disk): grouping by an on-disk
+        # bucket would split one series into two rows whenever base
+        # and delta files were written under different bucket counts
+        # (auto-resize window)
+        folded = (stats.drop("bucket").groupBy("name").agg(
             F.sum("length").alias("length"),
             F.min("start").alias("start"),
             F.max("end").alias("end"),
-            F.max("tp").alias("tp"))
+            F.max("tp").alias("tp")))
+        return self._with_bucket(folded)
 
     def _write_catalog(self, stats: DataFrame, full: bool = True):
         """Bucket-partitioned catalog write. ``full=False`` replaces
@@ -303,7 +508,9 @@ class PointsStore:
         dance is one MERGE.)"""
         if "bucket" not in stats.columns:
             stats = self._with_bucket(stats)
-        stage = self._catalog_path + (".tmp" if full else ".stage")
+        # uuid'd staging dir: a fixed name would collide between
+        # concurrent compactions/rebuilds
+        stage = f"{self._catalog_path}.stage-{uuid.uuid4().hex}"
         # no explicit repartition: the _fold upstream already
         # shuffled on (name, bucket) and AQE coalesces its output, so
         # a tiny catalog writes from 1-2 tasks (few files per bucket
@@ -389,17 +596,24 @@ class PointsStore:
             delta.select(*base.columns)))
 
     def read_catalog(self, spark: SparkSession) -> DataFrame | None:
-        if os.path.exists(self._pending_path):
-            # an append was interrupted between points and catalog:
-            # repair once from the points table
+        stale = self._stale_markers()
+        if stale:
+            # an append CRASHED between points and catalog (its
+            # process is gone, or this process abandoned the token):
+            # repair once from the points table. Markers of LIVE
+            # appenders are left alone — their deltas land when they
+            # finish; rebuilding under them would double-count.
             self.rebuild_catalog(spark)
-            self._clear_pending()
+            for m in stale:
+                self._clear_pending(m)
         return self._read_catalog_raw(spark)
 
     def rebuild_catalog(self, spark: SparkSession):
         """Full recompute — the rare maintenance path (after expire,
         which changes per-series start/length at shard granularity).
-        Supersedes any pending deltas, so they are cleared."""
+        Supersedes any pending deltas, so they are cleared. Assumes a
+        quiesced store (no concurrent appenders), like the
+        reference's optimize/backup passes."""
         shutil.rmtree(self._delta_path, ignore_errors=True)
         if not self._exists():
             if os.path.isdir(self._catalog_path):
@@ -430,11 +644,10 @@ class PointsStore:
             return
         # pending marker: a crash mid-loop leaves the catalog stale,
         # and the next read_catalog() rebuilds it from the points
-        self._set_pending()
-        for p in doomed:
-            shutil.rmtree(p)
-        self.rebuild_catalog(spark)
-        self._clear_pending()
+        with self._pending():
+            for p in doomed:
+                shutil.rmtree(p)
+            self.rebuild_catalog(spark)
 
     def delete_series(self, spark: SparkSession, names: list):
         """Anti-join rewrite (drop series). At 100 TB this is a Delta
@@ -451,23 +664,23 @@ class PointsStore:
         if not hit_sids:
             return
         cat = self.read_catalog(spark)
-        self._set_pending()
-        for kind, sid, p in list(self._sid_dirs()):
-            if (kind, sid) not in hit_sids:
-                continue
-            part = spark.read.parquet(p).where(
-                ~F.col("series").isin(names))
-            tmp = self._rewrite_tmp(kind, sid)
-            part.write.mode("overwrite") \
-                .option("compression", "zstd").parquet(tmp)
-            self._swap_partition(tmp, p)
-        shutil.rmtree(self._rewrite_root, ignore_errors=True)
-        if cat is not None:
-            # cat is the FOLDED base ∪ deltas view; writing it as the
-            # new full base supersedes the delta files
-            self._write_catalog(cat.where(~F.col("name").isin(names)))
-            shutil.rmtree(self._delta_path, ignore_errors=True)
-        self._clear_pending()
+        with self._pending():
+            for kind, sid, p in list(self._sid_dirs()):
+                if (kind, sid) not in hit_sids:
+                    continue
+                part = spark.read.parquet(p).where(
+                    ~F.col("series").isin(names))
+                tmp = self._rewrite_tmp(kind, sid)
+                part.write.mode("overwrite") \
+                    .option("compression", "zstd").parquet(tmp)
+                self._swap_partition(tmp, p)
+            shutil.rmtree(self._rewrite_root, ignore_errors=True)
+            if cat is not None:
+                # cat is the FOLDED base ∪ deltas view; writing it as
+                # the new full base supersedes the delta files
+                self._write_catalog(
+                    cat.where(~F.col("name").isin(names)))
+                shutil.rmtree(self._delta_path, ignore_errors=True)
 
     def optimize(self, spark: SparkSession,
                  max_files_per_partition: int = 1,
@@ -519,7 +732,7 @@ class PointsStore:
         is consistent by construction; at 100 TB the same layout
         snapshots via the object store's native copy/manifest instead
         of a local copytree. Returns ``dest``."""
-        if os.path.exists(self._pending_path):
+        if self._pending_markers():
             raise RuntimeError(
                 "snapshot refused: an append is in progress "
                 "(pending marker present)")
@@ -534,7 +747,7 @@ class PointsStore:
     @classmethod
     def restore(cls, snapshot_path: str, dest: str,
                 duration_num: int, duration_log: int,
-                catalog_buckets: int = N_CATALOG_BUCKETS
+                catalog_buckets: int | None = None
                 ) -> "PointsStore":
         """Materialize a snapshot as a live store at ``dest`` and
         open it. The copy is verbatim; the store's own crash-repair

@@ -195,3 +195,27 @@ def test_pid_echo(served):
         assert c._pid == pid_before + 1  # _call asserts the echo
     finally:
         c.close()
+
+
+def test_failed_reauth_keeps_session(served):
+    """auth.c siridb_auth_user_request: a failed AUTH on an already-
+    authenticated connection answers with the credential error but
+    does NOT de-authenticate the session (credentials are only
+    replaced on success)."""
+    c = _authed(served)
+    try:
+        tp, _ = c.auth("iris", "wrong", "sparksiri")
+        assert tp == CL.CPROTO_ERR_AUTH_CREDENTIALS
+        # the original session auth must still hold
+        tp, body = c.query("select count() from 'data'")
+        assert tp == CL.CPROTO_RES_QUERY
+        assert body == {"data": [[1579521573, 2]]}
+        # a successful re-auth DOES replace credentials (to a
+        # read-only user), so inserts start failing with the
+        # access error — proving the swap happened
+        tp, _ = c.auth("ro", "pw123456", "sparksiri")
+        assert tp == CL.CPROTO_RES_AUTH_SUCCESS
+        tp, body = c.insert({"na": [[1, 1.0]]})
+        assert tp == CL.CPROTO_ERR_USER_ACCESS
+    finally:
+        c.close()

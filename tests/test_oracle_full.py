@@ -7,8 +7,10 @@ them in one command:
 
 Deselected from the default run (pytest.ini addopts) because it
 replays the whole inventory (~124 Spark jobs); select it explicitly.
-``SPARK_GRAFT_SF_DIR`` overrides the data directory (default
-/root/testdata/sf0.01, falling back to sf0.001 when absent).
+``SPARK_GRAFT_ORACLE_SF_DIR`` overrides the data directory (default
+/root/testdata/sf0.01, falling back to sf0.001 when absent); it is
+deliberately distinct from bench.py's ``SPARK_GRAFT_SF_DIR`` so a
+bench run at sf0.1 doesn't silently move the correctness gate.
 """
 
 import os

@@ -655,3 +655,20 @@ def test_sentence_features(spark):
     assert out[2]["n_sentences"] == 0
     assert out[2]["avg_sentence_words"] is None
     assert out[2]["max_sentence_words"] == 0
+
+
+def test_round6_half_away_from_zero():
+    """numpy scoring paths must round like F.round/DuckDB (half away
+    from zero), not np.round's half-to-even (ADVICE r5)."""
+    import numpy as np
+
+    from siridb_server_spark.operators.similarity import _round6
+
+    a = np.array([0.0000005, -0.0000005, 0.1234565, -0.1234565,
+                  0.9999994, 1.25, -2e-7])
+    got = _round6(a)
+    exp = np.array([0.000001, -0.000001, 0.123457, -0.123457,
+                    0.999999, 1.25, 0.0])
+    assert np.allclose(got, exp, atol=1e-12)
+    # np.round would disagree on the .5 boundaries
+    assert np.round(0.0000005, 6) == 0.0

@@ -161,17 +161,31 @@ def test_incremental_catalog_maintenance(spark, tmp_path):
     eng.query('drop series "b" set ignore_threshold true')
     names = [r["name"] for r in eng.store.read_catalog(spark).collect()]
     assert names == ["a"]
-    # simulate an append interrupted between points and catalog:
-    # marker present + stale catalog → read_catalog() must rebuild
-    eng.store._set_pending()
-    eng.store._write_catalog(
-        eng.store.read_catalog(spark).limit(0))  # clears the marker
-    eng.store._set_pending()
+    # make the catalog stale (as if an append wrote points but died
+    # before the catalog merge): under-counted length for 'a'
+    import os
+    stale = spark.createDataFrame(
+        [("a", 1, 100, 100, 0)],
+        "name string, length long, start long, end long, tp int")
+    eng.store._write_catalog(stale)
+    # a LIVE marker (in-flight append, this process) must NOT trigger
+    # a rebuild — the appender's delta lands when it finishes
+    tok = eng.store._set_pending()
+    live_view = {r["name"]: r["length"]
+                 for r in eng.store.read_catalog(spark).collect()}
+    assert live_view == {"a": 1}  # stale catalog returned as-is
+    eng.store._clear_pending(tok)
+    # a marker whose writing process is GONE is a crash signal:
+    # read_catalog() rebuilds from the points and clears it
+    dead = os.path.join(eng.store.path,
+                        eng.store._PENDING_PREFIX + "deadbeef")
+    with open(dead, "w") as fh:
+        fh.write("3999999")  # beyond pid_max: no such process
     repaired = {r["name"]: r["length"]
                 for r in eng.store.read_catalog(spark).collect()}
     assert repaired == {"a": 3}
-    import os
-    assert not os.path.exists(eng.store._pending_path)
+    assert not os.path.exists(dead)
+    assert eng.store._pending_markers() == []
 
 
 def test_stateful_streaming_dedup_and_stats(spark, tmp_path):
@@ -626,13 +640,13 @@ def test_store_snapshot_restore_roundtrip(spark, tmp_path):
         [1471254720, 9.9]
 
     # a pending marker (in-flight append) refuses the snapshot
-    store._set_pending()
+    tok = store._set_pending()
     try:
         import pytest as _pytest
         with _pytest.raises(RuntimeError, match="pending"):
             store.snapshot(str(tmp_path / "snap2"))
     finally:
-        store._clear_pending()
+        store._clear_pending(tok)
 
 
 def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
@@ -936,3 +950,39 @@ def test_streaming_holt_matches_batch_across_restart(spark, tmp_path):
         glv, gtr, gf = got[k]
         assert glv == lv and gtr == tr
         assert gf == (None if tr is None else lv + tr)
+
+
+def test_catalog_buckets_auto_grow(spark, tmp_path, monkeypatch):
+    """The catalog bucket count derives from observed catalog size at
+    compaction time (grow-only powers of two) and reads stay correct
+    across a growth step; an explicit catalog_buckets pins it."""
+    from siridb_server_spark.sources import store as SM
+
+    # shrink the growth target so 40 series force a resize
+    monkeypatch.setattr(SM, "TARGET_ROWS_PER_BUCKET", 2)
+    st = SM.PointsStore(str(tmp_path / "adb"), 10_000, 10_000)
+    assert st.catalog_buckets == SM.N_CATALOG_BUCKETS
+    rows = [(f"s{i}", 100 + i, 0, i, None, None, 0)
+            for i in range(40)]
+    st.append_rows(spark, rows)
+    st._compact_catalog(spark)      # 40 rows / target 2 → 32 buckets
+    grown = st.catalog_buckets
+    assert grown == 32
+    # a fresh store instance over the same path sees the persisted
+    # count (appenders must agree on the numbering)
+    st2 = SM.PointsStore(str(tmp_path / "adb"), 10_000, 10_000)
+    assert st2.catalog_buckets == grown
+    # reads stay correct across the growth step: one row per series,
+    # correct folds, and further appends under the new numbering merge
+    st2.append_rows(spark, [("s0", 500, 1, 7, None, None, 0)])
+    cat = {r["name"]: (r["length"], r["start"], r["end"])
+           for r in st2.read_catalog(spark).collect()}
+    assert len(cat) == 40
+    assert cat["s0"] == (2, 100, 500)
+    assert cat["s39"] == (1, 139, 139)
+    # pinned count never auto-resizes
+    pinned = SM.PointsStore(str(tmp_path / "pdb"), 10_000, 10_000,
+                            catalog_buckets=4)
+    pinned.append_rows(spark, rows)
+    pinned._compact_catalog(spark)
+    assert pinned.catalog_buckets == 4
