@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from siridb_server_spark import SiriEngine
+from siridb_server_spark.functions.stable import scaled_dsum as SSD
 from siridb_server_spark.functions.stable import stable_dsum as SD
 from siridb_server_spark.operators import curation as CU
 from siridb_server_spark.operators import dedup as D
@@ -935,6 +936,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_gif_frames"] = multimodal_gif_frames
 
+    def _mp4_fixture_rows():
+        """Two spec-correct hand-muxed MP4s (multimodal.py
+        build_minimal_mp4 — ISO/IEC 14496-12 box layout) + an
+        invalid payload + a NULL payload."""
+        a = MM.build_minimal_mp4(
+            320, 240, [100, 200, 150, 50, 75],
+            timescale=600, delta=60, samples_per_chunk=2)
+        b = MM.build_minimal_mp4(
+            1920, 1080, [4096] * 7, timescale=90000, delta=3000,
+            samples_per_chunk=3, codec=b"hvc1")
+        return [
+            (1, "video", a, "video/mp4"),
+            (2, "video", b, "video/mp4"),
+            (3, "video", b"not an mp4", "application/octet-stream"),
+            (4, "video", None, "video/mp4"),
+        ]
+
+    def multimodal_mp4_decode(spark, sf_dir):
+        """REAL MP4 container decode via the library-free ISO-BMFF
+        box walk: brand, codec fourcc, tkhd dimensions, true stsz
+        frame count, mvhd duration. Invalid/NULL payloads yield
+        NULL metadata (kept). Oracle pins every value byte-derived
+        from the deterministic muxer output."""
+        media = spark.createDataFrame(_mp4_fixture_rows(),
+                                      MM.MEDIA_SCHEMA)
+        return MM.decode_mp4_meta(media)
+
+    q["multimodal_mp4_decode"] = multimodal_mp4_decode
+
+    def multimodal_mp4_frames(spark, sf_dir):
+        """REAL strided frame byte-ranges from the stsc/stco/stsz
+        tables: every 2nd sample's true file offset + size —
+        the range-read contract of a distributed frame extractor.
+        Non-BMFF payloads contribute no rows."""
+        media = spark.createDataFrame(_mp4_fixture_rows(),
+                                      MM.MEDIA_SCHEMA)
+        return MM.mp4_frame_offsets(media, every_n=2)
+
+    q["multimodal_mp4_frames"] = multimodal_mp4_frames
+
     def multimodal_resize_any(spark, sf_dir):
         """REAL format-agnostic resize to 2x2 across ALL the really-
         decoded formats in one frame: a PNG (sampled source pixels
@@ -1045,14 +1086,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- general analytics (TPC-H style; broadcast-join shape)
     def tpch_q1ish(spark, sf_dir):
+        # money/quantity columns carry ≤ 2 decimals, so the 1e6-
+        # scaled long accumulation (functions/stable.py scaled_dsum)
+        # is EXACT here and ~3× cheaper than the decimal(38,18) fold
+        # it replaces (the r5 perf-weak cell); still associative and
+        # cross-engine bit-identical
         li = load(spark, sf_dir, "lineitem")
         return (
             li.groupBy("l_returnflag", "l_linestatus")
-            .agg((F.round(SD(F.col("l_quantity")), 4)
+            .agg((F.round(SSD(F.col("l_quantity")), 4)
                   + F.lit(0.0)).alias("sum_qty"),
-                 (F.round(SD(F.col("l_extendedprice")), 2)
+                 (F.round(SSD(F.col("l_extendedprice")), 2)
                   + F.lit(0.0)).alias("sum_price"),
-                 (F.round(SD(F.col("l_discount"))
+                 (F.round(SSD(F.col("l_discount"))
                           / F.count(F.lit(1)), 6)
                   + F.lit(0.0)).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order"))
@@ -1066,17 +1112,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Pre-aggregating lineitem by orderkey shrinks the join's left
         # side 4:1 and its hash partitioning is reused by the join —
         # no extra shuffle versus joining raw lineitem.
+        from siridb_server_spark.functions.stable import scaled_term
+
         li = load(spark, sf_dir, "lineitem")
         orders = load(spark, sf_dir, "orders")
         cust = load(spark, sf_dir, "customer")
         rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        # the inner per-order partial STAYS decimal so the outer sum
-        # of partials equals the oracle's flat decimal sum exactly —
-        # associativity only holds if no intermediate double cast
-        pre = (li.select("l_orderkey", rev.alias("rev"))
+        # the inner per-order partial is a 1e6-scaled LONG sum; the
+        # outer sum of partials equals the oracle's flat scaled sum
+        # exactly (long addition is associative) at ~3× less cost
+        # than the decimal(38,18) fold it replaces
+        pre = (li.select("l_orderkey",
+                         scaled_term(rev, 6).alias("rev_s"))
                .groupBy("l_orderkey")
-               .agg(F.sum(F.col("rev").cast("decimal(38,18)"))
-                    .alias("rev"),
+               .agg(F.sum("rev_s").alias("rev_s"),
                     F.count(F.lit(1)).alias("n")))
         o2 = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
         c2 = cust.select("c_custkey")
@@ -1084,7 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pre.join(o2, pre.l_orderkey == o2.o_orderkey)
             .join(c2, o2.o_custkey == c2.c_custkey)
             .groupBy("o_orderpriority")
-            .agg((F.round(F.sum("rev").cast("double"), 2)
+            .agg((F.round(F.sum("rev_s") / F.lit(1e6), 2)
                   + F.lit(0.0)).alias("revenue"),
                  F.sum("n").alias("n_items"))
         )
@@ -1118,8 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      & (F.col("l_discount") >= 0.03)
                      & (F.col("l_discount") <= 0.07)
                      & (F.col("l_quantity") < 24))
-            .agg((F.round(SD(F.col("l_extendedprice")
-                             * F.col("l_discount")), 4)
+            .agg((F.round(SSD(F.col("l_extendedprice")
+                              * F.col("l_discount")), 4)
                   + F.lit(0.0)).alias("revenue"),
                  F.count(F.lit(1)).alias("n_items"))
         )
@@ -1131,7 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             orders.groupBy(F.date_format("o_orderdate", "yyyy-MM")
                            .alias("month"))
-            .agg((F.round(SD(F.col("o_totalprice")), 2)
+            .agg((F.round(SSD(F.col("o_totalprice")), 2)
                   + F.lit(0.0)).alias("revenue"),
                  F.count(F.lit(1)).alias("n_orders"))
         )
@@ -1161,7 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("o_orderkey",
                      F.date_format("o_orderdate", "yyyy-MM-dd")
                      .alias("orderdate"))
-            .agg((F.round(SD(F.col("rev")), 2) + F.lit(0.0))
+            .agg((F.round(SSD(F.col("rev")), 2) + F.lit(0.0))
                  .alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
             .limit(10)
@@ -1177,8 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         supplier condition rides the join, never a second shuffle.
         region/nation/supplier are broadcast explicitly (tiny at any
         scale); customer/orders stay AQE-planned (fact-sized at
-        100 TB). Revenue accumulates as exact decimal
-        (functions/stable.py)."""
+        100 TB). Revenue accumulates as an exact 1e6-scaled long sum
+        (functions/stable.py scaled_dsum)."""
         li = load(spark, sf_dir, "lineitem")
         orders = load(spark, sf_dir, "orders")
         cust = load(spark, sf_dir, "customer")
@@ -1200,7 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .groupBy("n_name")
-            .agg((F.round(SD(rev), 2) + F.lit(0.0))
+            .agg((F.round(SSD(rev), 2) + F.lit(0.0))
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("n_items"))
         )
@@ -1212,8 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lineitem⋈part on partkey (part broadcasts while it fits;
         the date band pushes into the fact scan), then one
         conditional-vs-total aggregate. Both sums accumulate as
-        exact decimal; the share divides the two exact doubles, so
-        the 6-decimal rounding is partition-order-free."""
+        exact scaled longs; the share divides the two exact values,
+        so the 6-decimal rounding is partition-order-free."""
         li = load(spark, sf_dir, "lineitem")
         part = load(spark, sf_dir, "part")
         a = F.lit("1996-03-01").cast("timestamp_ntz")
@@ -1226,9 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      & (F.col("l_shipdate") < b))
             .join(F.broadcast(part.select("p_partkey", "p_type")),
                   F.col("l_partkey") == F.col("p_partkey"))
-            .agg((F.round(F.lit(100.0) * SD(promo) / SD(rev), 6)
+            .agg((F.round(F.lit(100.0) * SSD(promo) / SSD(rev), 6)
                   + F.lit(0.0)).alias("promo_pct"),
-                 (F.round(SD(rev), 2) + F.lit(0.0))
+                 (F.round(SSD(rev), 2) + F.lit(0.0))
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("n_items"))
         )
@@ -1517,6 +1566,14 @@ def oracle_sql() -> dict[str, str]:
     # partition-order-free on BOTH engines
     _SD = ("CAST(sum(CAST(CAST({x} AS DOUBLE)"
            " AS DECIMAL(38,18))) AS DOUBLE)")
+
+    # 1e6-scaled long sum, the mirror of stable.py::scaled_dsum —
+    # the cheap path for money-like sums (every step IEEE-identical
+    # on both engines)
+    from siridb_server_spark.functions.stable import SCALED_DSUM_SQL
+
+    def _SC6(x: str) -> str:
+        return SCALED_DSUM_SQL.format(x=x, s=10 ** 6)
 
     o["siri_count_bucket"] = _bucket_sql("count(*)", H)
     o["siri_sum_bucket"] = _bucket_sql("sum(val)", H, nd=4)
@@ -2864,19 +2921,50 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 3, NULL, NULL, NULL, NULL"
         " UNION ALL SELECT 4, NULL, NULL, NULL, NULL"
     )
+
+    # MP4 box-walk metadata: every constant byte-derived from the
+    # deterministic muxer (build_minimal_mp4): file lengths 1207 /
+    # 29312, tkhd dims, stsz frame counts, mvhd durations
+    # 5*60/600=0.5 and 7*3000/90000=0.233333
+    o["multimodal_mp4_decode"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id,"
+        " CAST(1207 AS BIGINT) AS n_bytes, 'isom' AS brand,"
+        " 'avc1' AS codec, CAST(320 AS BIGINT) AS width,"
+        " CAST(240 AS BIGINT) AS height,"
+        " CAST(5 AS BIGINT) AS n_frames,"
+        " CAST(0.5 AS DOUBLE) AS duration_s"
+        " UNION ALL SELECT 2, 29312, 'isom', 'hvc1', 1920, 1080,"
+        " 7, 0.233333"
+        " UNION ALL SELECT 3, 10, NULL, NULL, NULL, NULL, NULL, NULL"
+        " UNION ALL SELECT 4, 0, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
+    # every-2nd-sample byte ranges reconstructed from stsc (2 resp. 3
+    # samples/chunk) + stco chunk offsets + stsz sizes
+    o["multimodal_mp4_frames"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id,"
+        " CAST(0 AS BIGINT) AS frame_idx,"
+        " CAST(632 AS BIGINT) AS sample_offset,"
+        " CAST(100 AS BIGINT) AS sample_size"
+        " UNION ALL SELECT 1, 2, 932, 150"
+        " UNION ALL SELECT 1, 4, 1132, 75"
+        " UNION ALL SELECT 2, 0, 640, 4096"
+        " UNION ALL SELECT 2, 2, 8832, 4096"
+        " UNION ALL SELECT 2, 4, 17024, 4096"
+        " UNION ALL SELECT 2, 6, 25216, 4096"
+    )
     o["tpch_q1ish"] = (
         "SELECT l_returnflag, l_linestatus,"
-        f" round({_SD.format(x='l_quantity')}, 4) + 0.0 AS sum_qty,"
-        f" round({_SD.format(x='l_extendedprice')}, 2) + 0.0"
+        f" round({_SC6('l_quantity')}, 4) + 0.0 AS sum_qty,"
+        f" round({_SC6('l_extendedprice')}, 2) + 0.0"
         " AS sum_price,"
-        f" round({_SD.format(x='l_discount')} / count(*), 6) + 0.0"
+        f" round({_SC6('l_discount')} / count(*), 6) + 0.0"
         " AS avg_disc,"
         " count(*) AS count_order"
         " FROM lineitem GROUP BY 1, 2"
     )
     o["tpch_join_revenue"] = (
         "SELECT o_orderpriority,"
-        f" round({_SD.format(x='l_extendedprice * (1 - l_discount)')}"
+        f" round({_SC6('l_extendedprice * (1 - l_discount)')}"
         ", 2) + 0.0 AS revenue,"
         " count(*) AS n_items"
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -2891,7 +2979,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["tpch_q6ish"] = (
         "SELECT round("
-        f"{_SD.format(x='l_extendedprice * l_discount')}, 4) + 0.0"
+        f"{_SC6('l_extendedprice * l_discount')}, 4) + 0.0"
         " AS revenue, count(*) AS n_items FROM lineitem"
         " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
         " AND l_shipdate < TIMESTAMP '1997-01-01'"
@@ -2900,7 +2988,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["tpch_q5ish"] = (
         "SELECT n_name,"
-        f" round({_SD.format(x='l_extendedprice * (1 - l_discount)')}"
+        f" round({_SC6('l_extendedprice * (1 - l_discount)')}"
         ", 2) + 0.0 AS revenue,"
         " count(*) AS n_items"
         " FROM lineitem"
@@ -2917,9 +3005,9 @@ def oracle_sql() -> dict[str, str]:
               " ELSE 0.0 END")
     o["tpch_q14ish"] = (
         "SELECT"
-        f" round(100.0 * {_SD.format(x=_PROMO)}"
-        f" / {_SD.format(x=_REV)}, 6) + 0.0 AS promo_pct,"
-        f" round({_SD.format(x=_REV)}, 2) + 0.0 AS revenue,"
+        f" round(100.0 * {_SC6(_PROMO)}"
+        f" / {_SC6(_REV)}, 6) + 0.0 AS promo_pct,"
+        f" round({_SC6(_REV)}, 2) + 0.0 AS revenue,"
         " count(*) AS n_items"
         " FROM lineitem JOIN part ON l_partkey = p_partkey"
         " WHERE l_shipdate >= TIMESTAMP '1996-03-01'"
@@ -2927,14 +3015,14 @@ def oracle_sql() -> dict[str, str]:
     )
     o["tpch_monthly_revenue"] = (
         "SELECT strftime(o_orderdate, '%Y-%m') AS month,"
-        f" round({_SD.format(x='o_totalprice')}, 2) + 0.0"
+        f" round({_SC6('o_totalprice')}, 2) + 0.0"
         " AS revenue,"
         " count(*) AS n_orders FROM orders GROUP BY 1"
     )
     o["tpch_q3ish"] = (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')"
         " AS orderdate,"
-        f" round({_SD.format(x='l_extendedprice * (1 - l_discount)')}"
+        f" round({_SC6('l_extendedprice * (1 - l_discount)')}"
         ", 2) + 0.0"
         " AS revenue"
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
