@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
     "multimodal_wav_features",
+    "multimodal_mp4_decode",
     # event analytics
     "events_flow",
     "events_cohorts",

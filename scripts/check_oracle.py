@@ -8,6 +8,10 @@ The same comparison is wired into pytest as the ``oracle`` marker
 (tests/test_oracle_full.py): ``pytest tests/ -m oracle`` proves the
 FULL query inventory against DuckDB in one command, not just the
 driver's per-round 50-query sample.
+
+``--record`` additionally appends one line to PROGRESS.jsonl
+({"oracle_gate": {...}}) so every round's full-gate run is on the
+permanent record — run it once before handoff each round.
 """
 
 from __future__ import annotations
@@ -90,9 +94,10 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 \
-        else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--record"]
+    record = "--record" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     spark = (
         SparkSession.builder.master("local[4]")
@@ -123,6 +128,18 @@ def main():
 
     print(f"\n{len(failures)} failures"
           + (f": {[f[0] for f in failures]}" if failures else ""))
+    if record:
+        import json as _json
+        import time as _time
+        line = {"ts": _time.time(), "oracle_gate": {
+            "sf_dir": sf_dir,
+            "total": sum(1 for n in qs if not only or n in only),
+            "with_oracle": sum(1 for n in qs
+                               if (not only or n in only)
+                               and n in oracles),
+            "failures": [f[0] for f in failures]}}
+        with open("/root/repo/PROGRESS.jsonl", "a") as fh:
+            fh.write(_json.dumps(line) + "\n")
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -69,8 +69,13 @@ class SiriEngine:
         # insert/drop/expiration never discard the wrapped data
         self._base_df: DataFrame | None = None
         self._catalog: DataFrame | None = None
+        #: driver-held catalog snapshot (micro-latency fast path)
+        self._local_cat: dict | None = None
         self._seq = 0
         self._multi_cache: DataFrame | None = None
+        #: driver-side catalog answers for list/count/skip-points
+        #: (plans/fastpath.py); off → always the distributed path
+        self.fastpath_enabled = True
         self.server_name = "sparksiri:0"
         self.log_level = "info"
         self.backup_mode = False
@@ -212,12 +217,74 @@ class SiriEngine:
 
     def _invalidate(self):
         self._mem_df = None
+        self._local_cat = None
         if self._catalog is not None:
             try:
                 self._catalog.unpersist()
             except Exception:
                 pass
         self._catalog = None
+
+    # ------------------------------------------------- catalog fast path
+    def _catalog_local(self) -> dict | None:
+        """Driver-held catalog snapshot — NO Spark job. The
+        micro-latency path for list/count/skip-points statements
+        (plans/fastpath.py): store-backed engines fold the catalog
+        parquet with pyarrow; memory-backed engines fold the in-heap
+        rows. None (→ distributed fallback) when a snapshot isn't
+        cheaply available: a crashed append needs the Spark-path
+        repair, or the points live in an arbitrary base DataFrame."""
+        if self._local_cat is not None:
+            return self._local_cat
+        raw = None
+        if self.store is not None:
+            raw = self.store.read_catalog_local()
+        elif self._base_df is None:
+            raw = {}
+            for r in self._mem_rows:
+                name, ts, tp = r[0], r[1], r[6]
+                cur = raw.get(name)
+                if cur is None:
+                    raw[name] = (1, ts, ts, tp)
+                else:
+                    raw[name] = (cur[0] + 1, min(cur[1], ts),
+                                 max(cur[2], ts), max(cur[3], tp))
+        if raw is None:
+            return None
+        cat = {}
+        for name, (ln, st, en, tp) in raw.items():
+            cat[name] = {
+                "name": name,
+                "type": TP_NAMES[tp],
+                "length": ln, "start": st, "end": en,
+                "pool": 0,
+                "shard_duration": (self.duration_log
+                                   if tp == TP_STRING
+                                   else self.duration_num),
+                "tp": tp,
+            }
+        self._local_cat = cat
+        return cat
+
+    def _local_selected(self, match, where) -> list | None:
+        """Matched+filtered catalog rows (sorted by name) from the
+        driver snapshot, or None when unavailable."""
+        cat = self._catalog_local()
+        if cat is None:
+            return None
+        from .plans import fastpath as FP
+        pred = FP.match_fn(match, self.groups, self.tags) \
+            if match is not None else (lambda s: True)
+        wpred = FP.where_fn(where) if where is not None else None
+        out = []
+        for name in sorted(cat):
+            if not pred(name):
+                continue
+            row = cat[name]
+            if wpred is not None and not wpred(row):
+                continue
+            out.append(row)
+        return out
 
     # -------------------------------------------------------------- frames
     def points_df(self) -> DataFrame:
@@ -424,6 +491,9 @@ class SiriEngine:
         return out_df
 
     def _select(self, stmt: N.SelectStmt) -> dict:
+        fast = self._fast_select_dict(stmt)
+        if fast is not None:
+            return fast
         out_df, seeds = self._select_plan(stmt)
         try:
             return self._collect(out_df, seeds)
@@ -621,12 +691,28 @@ class SiriEngine:
         out_df = final[0][0]
         return out_df, seeds
 
-    def _skip_points_plan(self, stmt: N.SelectStmt):
-        """Skip-get-points fast path (ref siridb_aggregate_can_skip,
-        aggregate.c:495-510 + async_no_points_aggregate,
-        listener.c:5447-5586): ``count()`` with no bucket, no time
-        range and no merge is answered from the catalog — the points
-        table is never scanned. Returns the result DataFrame or None."""
+    def _fast_select_dict(self, stmt: N.SelectStmt):
+        """Zero-Spark-job twin of :meth:`_skip_points_plan` for the
+        collecting ``query()`` path: a skip-points ``count()`` is
+        answered straight from the driver catalog snapshot — the
+        reference's sub-ms metadata answer (listener.c:5447-5586),
+        which a ~0.2 s Spark job floor would otherwise bury."""
+        if not self.fastpath_enabled:
+            return None
+        if self._skippable_count(stmt) is None:
+            return None
+        pl = stmt.pipelines[0]
+        sel = self._local_selected(stmt.match, stmt.where)
+        if sel is None:
+            return None
+        pre, suf = pl.prefix or "", pl.suffix or ""
+        return {f"{pre}{r['name']}{suf}": [[r["end"], r["length"]]]
+                for r in sel}
+
+    def _skippable_count(self, stmt: N.SelectStmt):
+        """The shared skip-points condition (aggregate.c:495-510):
+        single pipeline, bare unbucketed count(), no time range, no
+        merge. Returns the count AggFunc or None."""
         if stmt.merge is not None or stmt.timerange is not None \
                 or len(stmt.pipelines) != 1:
             return None
@@ -638,6 +724,17 @@ class SiriEngine:
         f = funcs[0]
         if f.name != "count" or f.group_by is not None:
             return None
+        return f
+
+    def _skip_points_plan(self, stmt: N.SelectStmt):
+        """Skip-get-points fast path (ref siridb_aggregate_can_skip,
+        aggregate.c:495-510 + async_no_points_aggregate,
+        listener.c:5447-5586): ``count()`` with no bucket, no time
+        range and no merge is answered from the catalog — the points
+        table is never scanned. Returns the result DataFrame or None."""
+        if self._skippable_count(stmt) is None:
+            return None
+        pl = stmt.pipelines[0]
         cat = self._selected_catalog(stmt.match, stmt.where)
         name = F.col("name")
         if pl.prefix or pl.suffix:
@@ -783,6 +880,22 @@ class SiriEngine:
     }
 
     def _list(self, stmt: N.ListStmt) -> dict:
+        if stmt.entity == "series" and self.fastpath_enabled:
+            sel = self._local_selected(stmt.match, stmt.where)
+            if sel is not None:
+                cols = stmt.columns \
+                    or self._LIST_DEFAULT_COLS[stmt.entity]
+                limit = stmt.limit if stmt.limit is not None \
+                    else self.list_limit
+                if stmt.limit is not None and (
+                        stmt.limit <= 0
+                        or stmt.limit > self.list_limit):
+                    raise QueryError(
+                        "Limit must be a value between 1 and "
+                        f"{self.list_limit} but received: "
+                        f"{stmt.limit}.")
+                return {"columns": cols, stmt.entity: [
+                    [r[c] for c in cols] for r in sel[:limit]]}
         df = self._entity_df(stmt.entity)
         if stmt.entity == "series" and stmt.match is not None:
             pred = compile_match(stmt.match, self.groups, self.tags,
@@ -810,6 +923,13 @@ class SiriEngine:
 
     def _count(self, stmt: N.CountStmt) -> dict:
         if stmt.entity == "series":
+            if self.fastpath_enabled:
+                sel = self._local_selected(stmt.match, stmt.where)
+                if sel is not None:
+                    if stmt.variant == "length":
+                        return {"series_length":
+                                sum(r["length"] for r in sel)}
+                    return {"series": len(sel)}
             cat = self.catalog_df()
             if stmt.match is not None:
                 cat = cat.where(compile_match(

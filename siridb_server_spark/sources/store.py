@@ -595,6 +595,50 @@ class PointsStore:
         return self._fold(base.unionByName(
             delta.select(*base.columns)))
 
+    def read_catalog_local(self) -> dict | None:
+        """Driver-side catalog snapshot WITHOUT a Spark job: fold the
+        base + delta parquet files with pyarrow into
+        ``{name: (length, start, end, tp)}``. This is the engine's
+        micro-latency path (the reference answers list/count/
+        skip-points selects from in-memory series structs; Spark's
+        job floor is ~0.2 s). Returns None when a crashed append
+        needs the Spark-path repair first (stale pending marker) or
+        when no catalog exists — callers then fall back to the
+        distributed path."""
+        if self._stale_markers():
+            return None  # needs rebuild_catalog (Spark path) first
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return None
+        files = []
+        if os.path.isdir(self._catalog_path):
+            for root, dirs, fs in os.walk(self._catalog_path):
+                dirs[:] = [d for d in dirs if not d.startswith(".")]
+                files.extend(os.path.join(root, f) for f in fs
+                             if f.endswith(".parquet"))
+        files.extend(self._delta_files())
+        if not files:
+            return None
+        out: dict = {}
+        cols = ["name", "length", "start", "end", "tp"]
+        for f in files:
+            try:
+                tbl = pq.read_table(f, columns=cols)
+            except Exception:  # racing compaction removed the file
+                continue
+            d = tbl.to_pydict()
+            for name, ln, st, en, tp in zip(
+                    d["name"], d["length"], d["start"], d["end"],
+                    d["tp"]):
+                cur = out.get(name)
+                if cur is None:
+                    out[name] = (ln, st, en, tp)
+                else:
+                    out[name] = (cur[0] + ln, min(cur[1], st),
+                                 max(cur[2], en), max(cur[3], tp))
+        return out
+
     def read_catalog(self, spark: SparkSession) -> DataFrame | None:
         stale = self._stale_markers()
         if stale:

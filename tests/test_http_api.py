@@ -144,3 +144,93 @@ def test_timeit_with_precision_option(served):
     assert "__timeit__" in out
     assert isinstance(out["__timeit__"][0], dict)
     assert out["data"][0][0] == 1579521271000
+
+
+SA = ("sa", "siri")
+
+
+def test_service_api_auth_and_gets(served):
+    """Service routes authenticate against SERVICE accounts (default
+    sa/siri, service/account.c:16-17), not database users."""
+    st, _ = _post(served, "/get-accounts", {}, auth=("iris", "siri"))
+    assert st == 401
+    st, out = _post(served, "/get-accounts", {}, auth=SA)
+    assert (st, out) == (200, ["sa"])
+    st, out = _post(served, "/get-databases", {}, auth=SA)
+    assert (st, out) == (200, ["sparksiri"])
+    st, out = _post(served, "/get-version", {}, auth=SA)
+    assert st == 200 and isinstance(out, list) and len(out) == 1
+
+
+def test_service_api_account_lifecycle(served):
+    """new-account / change-password / drop-account accept+reject
+    paths with the reference's verbatim validation messages
+    (service/account.c:123-141, request.c drop guard)."""
+    st, out = _post(served, "/new-account",
+                    {"account": "x", "password": "longenough"},
+                    auth=SA)
+    assert st == 400 and out["error_msg"] == \
+        "service account name should have at least 2 characters"
+    st, out = _post(served, "/new-account",
+                    {"account": "ops", "password": "p"}, auth=SA)
+    assert st == 400 and out["error_msg"] == \
+        "service account password should have at least 2 characters"
+    st, out = _post(served, "/new-account",
+                    {"account": "ops", "password": "secret"}, auth=SA)
+    assert st == 200
+    st, out = _post(served, "/new-account",
+                    {"account": "ops", "password": "secret"}, auth=SA)
+    assert st == 400 and out["error_msg"] == \
+        "service account 'ops' already exists"
+    # the new account authenticates
+    st, out = _post(served, "/get-accounts", {},
+                    auth=("ops", "secret"))
+    assert (st, out) == (200, ["ops", "sa"])
+    st, out = _post(served, "/change-password",
+                    {"account": "nobody", "password": "xx"}, auth=SA)
+    assert st == 400 and out["error_msg"] == \
+        "cannot find service account 'nobody'"
+    st, _ = _post(served, "/change-password",
+                  {"account": "ops", "password": "rotated"}, auth=SA)
+    assert st == 200
+    assert _post(served, "/get-accounts", {},
+                 auth=("ops", "secret"))[0] == 401
+    st, _ = _post(served, "/drop-account", {"account": "ops"},
+                  auth=SA)
+    assert st == 200
+    st, out = _post(served, "/drop-account", {"account": "sa"},
+                    auth=SA)
+    assert st == 400 and out["error_msg"] == (
+        "at least one service account is required, "
+        "cannot drop the last service account")
+
+
+def test_service_api_database_paths(served):
+    """new-database runs the reference's dbname/precision validation
+    (request.c:200 regex, :640 precision message) and answers
+    at-capacity for a valid new name (single logical database);
+    pool/replica mutations reject as N/A-by-design."""
+    st, out = _post(served, "/new-database", {"dbname": "9bad"},
+                    auth=SA)
+    assert st == 400 and out["error_msg"] == \
+        "invalid database name: '9bad'"
+    st, out = _post(served, "/new-database",
+                    {"dbname": "okname", "time_precision": "xx"},
+                    auth=SA)
+    assert st == 400 and out["error_msg"] == \
+        "invalid time precision: 'xx' (expecting s, ms, us or ns)"
+    st, out = _post(served, "/new-database", {"dbname": "sparksiri"},
+                    auth=SA)
+    assert st == 400 and out["error_msg"] == \
+        "database name already exists: 'sparksiri'"
+    st, out = _post(served, "/new-database",
+                    {"dbname": "okname", "time_precision": "ms"},
+                    auth=SA)
+    assert st == 400 and out["error_msg"] == \
+        "maximum number of databases is reached (1)"
+    st, out = _post(served, "/drop-database", {"dbname": "nosuch"},
+                    auth=SA)
+    assert st == 400 and out["error_msg"] == \
+        "cannot find database: 'nosuch'"
+    st, out = _post(served, "/new-pool", {}, auth=SA)
+    assert st == 400 and "not supported" in out["error_msg"]

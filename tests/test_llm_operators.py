@@ -493,7 +493,10 @@ def test_sample_by_source(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string,"
                                " source string")
     out = CU.sample_by_source(df, alpha=0.5, target_frac=0.5)
-    got = {(r["doc_id"]): r["keep_rate"] for r in out.collect()}
+    # keep_rate ships as exact DECIMAL(18,6) since r6 — compare as
+    # float against the python-computed 6-decimal rate
+    got = {(r["doc_id"]): float(r["keep_rate"])
+           for r in out.collect()}
     w_tot = _m.sqrt(90) + _m.sqrt(10)
     rate = {"big": min(1.0, _m.sqrt(90) / w_tot * 0.5 * 100 / 90),
             "small": min(1.0, _m.sqrt(10) / w_tot * 0.5 * 100 / 10)}

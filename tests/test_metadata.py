@@ -347,3 +347,70 @@ def test_register_views_sql_surface(eng):
     listed = eng.query("list series name, length")["series"]
     assert [(r["name"], r["length"]) for r in cat] == \
         sorted([tuple(r) for r in listed])
+
+
+def _n_jobs(spark):
+    return len(spark.sparkContext._jsc.sc().statusTracker()
+               .getJobIdsForGroup(None))
+
+
+def test_catalog_fastpath_zero_jobs_and_agreement(spark, tmp_path):
+    """list/count/skip-points answers come from the driver catalog
+    snapshot with ZERO Spark jobs (ref: in-memory series structs,
+    listener.c:5351-5586), and agree exactly with the distributed
+    path on match + where + limit + select-count."""
+    from siridb_server_spark import SiriEngine
+
+    eng = SiriEngine.open(spark, str(tmp_path / "fdb"), precision="s")
+    eng.insert({"cpu-a": [[100, 1], [200, 2]],
+                "cpu-b": [[150, 1.5]],
+                "log-x": [[100, "hello"]]})
+    eng.query("create group `cpu` for /cpu.*/")
+    eng.query("alter series 'log-x' tag `txt`")
+
+    queries = [
+        "list series",
+        "list series name, length, type, start, end /cpu.*/",
+        "list series `cpu` & /.*a/",
+        "list series where length > 1",
+        "list series limit 2",
+        "count series",
+        "count series /cpu.*/ - 'cpu-b'",
+        "count series length where type == float",
+        "select count() from /.*/",
+        "select count() prefix 'n_' from `cpu` where end >= 150",
+        "select count() from `txt`",
+    ]
+    # warm the snapshot (first call may read catalog parquet but must
+    # not launch a job either way), then assert zero jobs per query
+    eng.query("count series")
+    for q in queries:
+        before = _n_jobs(spark)
+        fast = eng.query(q)
+        assert _n_jobs(spark) == before, f"{q} launched a Spark job"
+        eng.fastpath_enabled = False
+        try:
+            slow = eng.query(q)
+        finally:
+            eng.fastpath_enabled = True
+        if "list" in q.split()[0]:
+            # row order (and WHICH rows under a limit) is engine-
+            # internal, as in the reference; compare as sets, and
+            # for limited lists only the count + membership
+            assert fast["columns"] == slow["columns"], q
+            if "limit" in q:
+                assert len(fast["series"]) == len(slow["series"]), q
+                full = {r[0] for r in
+                        eng.query("list series")["series"]}
+                assert {r[0] for r in fast["series"]} <= full, q
+            else:
+                assert sorted(map(tuple, fast["series"])) == \
+                    sorted(map(tuple, slow["series"])), q
+        else:
+            assert fast == slow, q
+    # unknown group/tag raises identically on the fast path
+    import pytest as _pytest
+
+    from siridb_server_spark.errors import QueryError
+    with _pytest.raises(QueryError, match="Cannot find group or tag"):
+        eng.query("count series `nope`")
