@@ -55,7 +55,7 @@ def _probe_payloads():
     y, x = np.mgrid[0:64, 0:64]
     rgb = np.stack([(y * 4) % 256, (x * 4) % 256,
                     ((x + y) * 2) % 256], axis=-1).astype(np.uint8)
-    png = _MM.encode_png(rgb, filters=[1, 2, 4, 0])
+    png = _MM.encode_png(rgb, filters=[1, 2, 4, 0] * 16)
     jpg = _MM.encode_jpeg_baseline(((x + y) * 2 % 256)
                                    .astype(np.uint8))
     frame = (x // 16 % 4).astype(int)

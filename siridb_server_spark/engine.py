@@ -266,6 +266,50 @@ class SiriEngine:
         self._local_cat = cat
         return cat
 
+    def _entity_rows_local(self, entity: str) -> list | None:
+        """Driver-side rows for the non-series entities — they all
+        live in driver structures already (groups/tags/users are
+        dicts, servers is this process, pools is the single pool),
+        so listing/counting them through createDataFrame+collect was
+        pure Spark-job overhead. Group/pool series counts come from
+        the catalog snapshot; None → distributed fallback. Returns
+        row dicts that carry BOTH display values and the hidden
+        where-comparison twins (e.g. users' access_bits)."""
+        if entity == "groups":
+            cat = self._catalog_local()
+            if cat is None:
+                return None
+            import re as _re
+            rows = []
+            for name, (pat, ci) in sorted(self.groups.items()):
+                rx = _re.compile(P.anchored_regex(pat, ci))
+                n = sum(1 for s in cat if rx.search(s))
+                rows.append({"name": name, "expression": pat,
+                             "series": n})
+            return rows
+        if entity == "tags":
+            return [{"name": name, "series": len(members)}
+                    for name, members in sorted(self.tags.items())]
+        if entity == "users":
+            return [{"name": name,
+                     "access": ACL.access_to_str(u["access"]),
+                     "access_bits": u["access"]}
+                    for name, u in sorted(self.users.items())]
+        if entity == "servers":
+            status = "running (backup mode)" if self.backup_mode \
+                else "running"
+            return [{"name": self.server_name, "pool": 0,
+                     "version": __version__, "online": True,
+                     "status": status, "log_level": self.log_level}]
+        if entity == "pools":
+            cat = self._catalog_local()
+            if cat is None:
+                return None
+            if not cat:
+                return []  # like the Spark groupBy over no series
+            return [{"pool": 0, "servers": 1, "series": len(cat)}]
+        return None  # shards need per-shard point stats — Spark path
+
     def _local_selected(self, match, where) -> list | None:
         """Matched+filtered catalog rows (sorted by name) from the
         driver snapshot, or None when unavailable."""
@@ -879,21 +923,41 @@ class SiriEngine:
         "shards": ["sid", "pool", "server", "size", "start", "end"],
     }
 
+    def _apply_local_where(self, entity: str, rows: list,
+                           where) -> list:
+        if where is None:
+            return rows
+        from .plans import fastpath as FP
+        pred = FP.where_fn(where)
+        if entity == "users":
+            # `where access < modify` compares the numeric bitmask
+            # (the Spark path's access→access_bits colmap)
+            return [r for r in rows
+                    if pred({**r, "access": r["access_bits"]})]
+        return [r for r in rows if pred(r)]
+
+    def _validated_limit(self, stmt) -> int:
+        if stmt.limit is not None and (
+                stmt.limit <= 0 or stmt.limit > self.list_limit):
+            raise QueryError(
+                "Limit must be a value between 1 and "
+                f"{self.list_limit} but received: {stmt.limit}.")
+        return stmt.limit if stmt.limit is not None \
+            else self.list_limit
+
     def _list(self, stmt: N.ListStmt) -> dict:
-        if stmt.entity == "series" and self.fastpath_enabled:
-            sel = self._local_selected(stmt.match, stmt.where)
+        if self.fastpath_enabled:
+            if stmt.entity == "series":
+                sel = self._local_selected(stmt.match, stmt.where)
+            else:
+                sel = self._entity_rows_local(stmt.entity)
+                if sel is not None:
+                    sel = self._apply_local_where(
+                        stmt.entity, sel, stmt.where)
             if sel is not None:
                 cols = stmt.columns \
                     or self._LIST_DEFAULT_COLS[stmt.entity]
-                limit = stmt.limit if stmt.limit is not None \
-                    else self.list_limit
-                if stmt.limit is not None and (
-                        stmt.limit <= 0
-                        or stmt.limit > self.list_limit):
-                    raise QueryError(
-                        "Limit must be a value between 1 and "
-                        f"{self.list_limit} but received: "
-                        f"{stmt.limit}.")
+                limit = self._validated_limit(stmt)
                 return {"columns": cols, stmt.entity: [
                     [r[c] for c in cols] for r in sel[:limit]]}
         df = self._entity_df(stmt.entity)
@@ -941,6 +1005,13 @@ class SiriEngine:
                                          F.lit(0)).alias("n")).collect()[0]
                 return {"series_length": row["n"]}
             return {"series": cat.count()}
+        if self.fastpath_enabled and not (
+                stmt.entity == "shards" and stmt.variant == "size"):
+            rows = self._entity_rows_local(stmt.entity)
+            if rows is not None:
+                rows = self._apply_local_where(
+                    stmt.entity, rows, stmt.where)
+                return {stmt.entity: len(rows)}
         df = self._entity_df(stmt.entity)
         if stmt.where is not None:
             df = df.where(compile_where(

@@ -380,6 +380,17 @@ def test_catalog_fastpath_zero_jobs_and_agreement(spark, tmp_path):
         "select count() from /.*/",
         "select count() prefix 'n_' from `cpu` where end >= 150",
         "select count() from `txt`",
+        # non-series entities are driver-held structures: zero jobs
+        "list groups",
+        "list tags",
+        "list users",
+        "list servers",
+        "list pools",
+        "count groups",
+        "count users where access >= full",
+        "count tags",
+        "count servers",
+        "count pools",
     ]
     # warm the snapshot (first call may read catalog parquet but must
     # not launch a job either way), then assert zero jobs per query
@@ -393,19 +404,20 @@ def test_catalog_fastpath_zero_jobs_and_agreement(spark, tmp_path):
             slow = eng.query(q)
         finally:
             eng.fastpath_enabled = True
-        if "list" in q.split()[0]:
+        if q.split()[0] == "list":
             # row order (and WHICH rows under a limit) is engine-
             # internal, as in the reference; compare as sets, and
             # for limited lists only the count + membership
+            ent = q.split()[1]
             assert fast["columns"] == slow["columns"], q
             if "limit" in q:
-                assert len(fast["series"]) == len(slow["series"]), q
+                assert len(fast[ent]) == len(slow[ent]), q
                 full = {r[0] for r in
-                        eng.query("list series")["series"]}
-                assert {r[0] for r in fast["series"]} <= full, q
+                        eng.query(f"list {ent}")[ent]}
+                assert {r[0] for r in fast[ent]} <= full, q
             else:
-                assert sorted(map(tuple, fast["series"])) == \
-                    sorted(map(tuple, slow["series"])), q
+                assert sorted(map(tuple, fast[ent])) == \
+                    sorted(map(tuple, slow[ent])), q
         else:
             assert fast == slow, q
     # unknown group/tag raises identically on the fast path
