@@ -109,8 +109,7 @@ PROBE_EXTRA = {
 }
 
 BASE = "/root/testdata/sf0.1"
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-QUERIES = sys.argv[2:] or [
+DEFAULT_QUERIES = [
     "siri_sum_bucket", "siri_median_bucket", "siri_limit_downsample",
     "ts_resample_interp", "ts_asof_join", "ts_moving_avg",
     "dedup_simhash", "dedup_contamination", "dedup_spans",
@@ -236,6 +235,8 @@ def run_probe(spark: SparkSession, k: int, queries: list,
 
 
 def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    queries = sys.argv[2:] or DEFAULT_QUERIES
     spark = (SparkSession.builder.master("local[32]")
              .appName("scale-probe")
              .config("spark.sql.shuffle.partitions", "32")
@@ -243,8 +244,8 @@ def main():
              .config("spark.driver.memory", "24g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
-    report = run_probe(spark, K, QUERIES)
-    print(json.dumps({"K": K, "results": report}))
+    report = run_probe(spark, k, queries)
+    print(json.dumps({"K": k, "results": report}))
 
 
 if __name__ == "__main__":

@@ -308,7 +308,46 @@ class SiriEngine:
             if not cat:
                 return []  # like the Spark groupBy over no series
             return [{"pool": 0, "servers": 1, "series": len(cat)}]
-        return None  # shards need per-shard point stats — Spark path
+        if entity == "shards":
+            return self._shards_rows_local()
+        return None
+
+    def _shards_rows_local(self) -> list | None:
+        """Shard rows without a Spark job: store-backed engines read
+        parquet FOOTER statistics (row counts + ts min/max — the
+        stats the reference keeps on its shard structs, shard.h);
+        memory-backed engines bucket the in-heap rows. Row shape is
+        byte-identical to :meth:`_shards_df`."""
+        if self.store is not None:
+            stats = self.store.shard_stats_local()
+            if stats is None:
+                return None
+        elif self._base_df is None:
+            buckets: dict = {}
+            for r in self._mem_rows:
+                ts, tp = r[1], r[6]
+                is_str = tp == TP_STRING
+                dur = self.duration_log if is_str \
+                    else self.duration_num
+                key = (ts - ts % dur, "log" if is_str else "num")
+                cur = buckets.get(key)
+                if cur is None:
+                    buckets[key] = [1, ts, ts]
+                else:
+                    cur[0] += 1
+                    cur[1] = min(cur[1], ts)
+                    cur[2] = max(cur[2], ts)
+            stats = [{"sid": sid, "kind": kind, "points": n,
+                      "start": mn, "end": mx}
+                     for (sid, kind), (n, mn, mx)
+                     in sorted(buckets.items())]
+        else:
+            return None
+        return [{"sid": s["sid"], "pool": 0, "server": "sparksiri:0",
+                 "size": s["points"] * 16, "start": s["start"],
+                 "end": s["end"],
+                 "type": "log" if s["kind"] == "log" else "number",
+                 "status": "ok"} for s in stats]
 
     def _local_selected(self, match, where) -> list | None:
         """Matched+filtered catalog rows (sorted by name) from the
@@ -1005,12 +1044,15 @@ class SiriEngine:
                                          F.lit(0)).alias("n")).collect()[0]
                 return {"series_length": row["n"]}
             return {"series": cat.count()}
-        if self.fastpath_enabled and not (
-                stmt.entity == "shards" and stmt.variant == "size"):
+        if self.fastpath_enabled:
             rows = self._entity_rows_local(stmt.entity)
             if rows is not None:
                 rows = self._apply_local_where(
                     stmt.entity, rows, stmt.where)
+                if stmt.entity == "shards" \
+                        and stmt.variant == "size":
+                    return {"shards_size":
+                            sum(r["size"] for r in rows)}
                 return {stmt.entity: len(rows)}
         df = self._entity_df(stmt.entity)
         if stmt.where is not None:

@@ -639,6 +639,46 @@ class PointsStore:
                                  max(cur[2], en), max(cur[3], tp))
         return out
 
+    def shard_stats_local(self) -> list | None:
+        """Per-shard (kind, sid, points, start, end) from parquet
+        FOOTERS only — pyarrow metadata, zero data pages read, no
+        Spark job. The reference keeps exactly these stats on its
+        in-memory shard structs (shard.h); parquet row-group
+        statistics make them free here. None on any surprise
+        (racing rewrite, missing ts stats) → Spark fallback."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return None
+        out = []
+        for kind, sid, p in self._sid_dirs():
+            n, mn, mx = 0, None, None
+            for f in os.listdir(p):
+                if not f.endswith(".parquet"):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(p, f)).metadata
+                except Exception:
+                    return None
+                n += md.num_rows
+                ts_idx = None
+                for i in range(md.num_columns):
+                    if md.schema.column(i).name == "ts":
+                        ts_idx = i
+                        break
+                if ts_idx is None:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ts_idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            if n:
+                out.append({"kind": kind, "sid": sid, "points": n,
+                            "start": mn, "end": mx})
+        return out
+
     def read_catalog(self, spark: SparkSession) -> DataFrame | None:
         stale = self._stale_markers()
         if stale:

@@ -391,6 +391,10 @@ def test_catalog_fastpath_zero_jobs_and_agreement(spark, tmp_path):
         "count tags",
         "count servers",
         "count pools",
+        # shards from parquet footers (store-backed, no data read)
+        "list shards",
+        "count shards",
+        "count shards size",
     ]
     # warm the snapshot (first call may read catalog parquet but must
     # not launch a job either way), then assert zero jobs per query
