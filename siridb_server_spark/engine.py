@@ -1117,7 +1117,34 @@ class SiriEngine:
         }
 
     # --------------------------------------------------------- DDL-ish ops
+    #: ref src/siri/db/group.c:15-16, tag.c:24-25
+    _MIN_GROUP_LEN, _MAX_GROUP_LEN = 1, 255
+    _MIN_TAG_LEN, _MAX_TAG_LEN = 1, 255
+
+    def _check_group_name(self, name: str):
+        """siridb_group_set_name validation (group.c:81-93)."""
+        if len(name) < self._MIN_GROUP_LEN:
+            raise QueryError(
+                f"Group name should be at least "
+                f"{self._MIN_GROUP_LEN} characters.")
+        if len(name) > self._MAX_GROUP_LEN:
+            raise QueryError(
+                f"Group name should be at most "
+                f"{self._MAX_GROUP_LEN} characters.")
+
+    def _check_tag_name(self, name: str):
+        """siridb_tag_check_name validation (tag.c:57-69)."""
+        if len(name) < self._MIN_TAG_LEN:
+            raise QueryError(
+                f"Tag name should be at least "
+                f"{self._MIN_TAG_LEN} characters.")
+        if len(name) > self._MAX_TAG_LEN:
+            raise QueryError(
+                f"Tag name should be at most "
+                f"{self._MAX_TAG_LEN} characters.")
+
     def _create_group(self, stmt: N.CreateGroup) -> dict:
+        self._check_group_name(stmt.name)
         if stmt.name in self.groups:
             raise QueryError(f"Group '{stmt.name}' already exists.")
         self.groups[stmt.name] = (stmt.pattern, stmt.case_insensitive)
@@ -1391,6 +1418,10 @@ class SiriEngine:
             self.groups[stmt.name] = (stmt.value, stmt.case_insensitive)
             final = stmt.name
         else:
+            self._check_group_name(stmt.value)
+            if stmt.value in self.groups:
+                raise QueryError(
+                    f"Group '{stmt.value}' already exists.")
             self.groups[stmt.value] = self.groups.pop(stmt.name)
             final = stmt.value
         return {"success_msg": f"Successfully updated group '{final}'."}
@@ -1398,6 +1429,14 @@ class SiriEngine:
     def _alter_tag(self, stmt: N.AlterTag) -> dict:
         if stmt.name not in self.tags:
             raise QueryError(f"Cannot find tag: '{stmt.name}'")
+        self._check_tag_name(stmt.new_name)
+        if stmt.new_name in self.tags:
+            raise QueryError(f"Tag '{stmt.new_name}' already exists.")
+        if stmt.new_name in self.groups:
+            # tags and groups share the `...` lookup namespace
+            # (tag.c siridb_tag_set_name checks both)
+            raise QueryError(
+                f"Group '{stmt.new_name}' already exists.")
         self.tags[stmt.new_name] = self.tags.pop(stmt.name)
         return {"success_msg":
                 f"Successfully updated tag '{stmt.new_name}'."}

@@ -135,3 +135,44 @@ def test_from_points_engine_survives_mutations(eng, spark):
     assert sorted(s[0] for s in got["series"]) == ["w", "y"]
     assert e2.query("select * from 'w'") == {
         "w": [[100, 1.0], [200, 2.0], [300, 3.0]]}
+
+
+def test_log_series_roundtrip(spark):
+    """Transliterated from itest/test_log.py DATA: string series
+    round-trip exactly — empty strings, surrogate-pair emoji/astral
+    chars, and multi-KB log lines; head/tail/first/last/count work on
+    string series (filter-less select parity)."""
+    from siridb_server_spark import SiriEngine
+
+    long_line = ("time series is a series of data points indexed in "
+                 "time order. " * 80)  # multi-KB payload
+    data = {
+        "empty": [[1471254710, ""], [1471254712, ""],
+                  [1471254714, ""]],
+        "log": [[1471254710, "log line one"],
+                [1471254712, "log line two"],
+                [1471254714, "another line (three)"]],
+        "utf16": [[1471254710, "\U0001F600\U0001F680"],
+                  [1471254712, "҉"],
+                  [1471254714, "\U0001D11E clef"]],
+        "long_log": [[1471254710, long_line]],
+    }
+    eng = SiriEngine(spark, precision="s")
+    assert eng.insert(data) == {
+        "success_msg": "Successfully inserted 10 point(s)."}
+    for name, pts in data.items():
+        assert eng.query(f'select * from "{name}"') == {name: pts}, name
+    # string series support count/first/last and head/tail
+    assert eng.query('select count() from "utf16"') == {
+        "utf16": [[1471254714, 3]]}
+    assert eng.query('select first() from "utf16"') == {
+        "utf16": [[1471254710, "\U0001F600\U0001F680"]]}
+    assert eng.query('select last() from "long_log"') == {
+        "long_log": [[1471254710, long_line]]}
+    assert eng.query('select * from "log" head 2') == {
+        "log": [[1471254710, "log line one"],
+                [1471254712, "log line two"]]}
+    # selecting unknown names alongside known ones silently ignores
+    # the unknown (itest/test_series.py:109-112)
+    assert eng.query('select * from "nexist", "empty", "x"') == {
+        "empty": data["empty"]}

@@ -430,3 +430,49 @@ def test_catalog_fastpath_zero_jobs_and_agreement(spark, tmp_path):
     from siridb_server_spark.errors import QueryError
     with _pytest.raises(QueryError, match="Cannot find group or tag"):
         eng.query("count series `nope`")
+
+
+def test_group_tag_name_validation(spark):
+    """Transliterated from itest/test_group.py:40-55 + the tag twin
+    (group.c:81-93, tag.c:57-69, set_name cross-namespace checks):
+    empty / >255-char names reject with the verbatim messages;
+    renames reject collisions in BOTH the tag and group namespaces."""
+    from siridb_server_spark import SiriEngine
+    from siridb_server_spark.errors import QueryError
+
+    eng = SiriEngine(spark, precision="s")
+    eng.insert({"a1": [[100, 1]], "b1": [[100, 2]]})
+
+    def err(q):
+        with pytest.raises(QueryError) as e:
+            eng.query(q)
+        return str(e.value)
+
+    assert err("create group `` for /c.*/") == \
+        "Group name should be at least 1 characters."
+    assert err(f"create group `{'a' * 300}` for /c.*/") == \
+        "Group name should be at most 255 characters."
+    eng.query("create group `a` for /a.*/")
+    assert err("create group `a` for /a.*/") == \
+        "Group 'a' already exists."
+    eng.query("create group `b` for /b.*/")
+    # rename validation + collision (group.c siridb_group_set_name)
+    assert err('alter group `b` set name ""') == \
+        "Group name should be at least 1 characters."
+    assert err('alter group `b` set name "a"') == \
+        "Group 'a' already exists."
+    assert eng.query('alter group `b` set name "bb"') == \
+        {"success_msg": "Successfully updated group 'bb'."}
+    # tag twin: length checks + both-namespace collision on rename
+    eng.query("alter series 'a1' tag `t1`")
+    eng.query("alter series 'b1' tag `t2`")
+    assert err('alter tag `t2` set name "t1"') == \
+        "Tag 't1' already exists."
+    assert err('alter tag `t2` set name "a"') == \
+        "Group 'a' already exists."
+    assert err(f"alter tag `t2` set name \"{'x' * 300}\"") == \
+        "Tag name should be at most 255 characters."
+    assert eng.query('alter tag `t2` set name "t3"') == \
+        {"success_msg": "Successfully updated tag 't3'."}
+    # membership carried over the rename
+    assert eng.query("count series `t3`") == {"series": 1}
