@@ -242,17 +242,23 @@ class SiriEngine:
         elif self._base_df is None:
             raw = {}
             for r in self._mem_rows:
-                name, ts, tp = r[0], r[1], r[6]
+                name, ts, seq, tp = r[0], r[1], r[2], r[6]
+                vals = (seq, r[3], r[4], r[5])
                 cur = raw.get(name)
                 if cur is None:
-                    raw[name] = (1, ts, ts, tp)
+                    raw[name] = (1, ts, ts, tp, vals, vals)
                 else:
+                    fst = vals if (ts, seq) < (cur[1], cur[4][0]) \
+                        else cur[4]
+                    lst = vals if (ts, seq) > (cur[2], cur[5][0]) \
+                        else cur[5]
                     raw[name] = (cur[0] + 1, min(cur[1], ts),
-                                 max(cur[2], ts), max(cur[3], tp))
+                                 max(cur[2], ts), max(cur[3], tp),
+                                 fst, lst)
         if raw is None:
             return None
         cat = {}
-        for name, (ln, st, en, tp) in raw.items():
+        for name, (ln, st, en, tp, fst, lst) in raw.items():
             cat[name] = {
                 "name": name,
                 "type": TP_NAMES[tp],
@@ -262,6 +268,11 @@ class SiriEngine:
                                    if tp == TP_STRING
                                    else self.duration_num),
                 "tp": tp,
+                # typed first/last values (skip-points first()/last())
+                "first": fst[1] if tp == TP_INT
+                else fst[2] if tp == TP_DOUBLE else fst[3],
+                "last": lst[1] if tp == TP_INT
+                else lst[2] if tp == TP_DOUBLE else lst[3],
             }
         self._local_cat = cat
         return cat
@@ -776,26 +787,43 @@ class SiriEngine:
 
     def _fast_select_dict(self, stmt: N.SelectStmt):
         """Zero-Spark-job twin of :meth:`_skip_points_plan` for the
-        collecting ``query()`` path: a skip-points ``count()`` is
-        answered straight from the driver catalog snapshot — the
-        reference's sub-ms metadata answer (listener.c:5447-5586),
-        which a ~0.2 s Spark job floor would otherwise bury."""
+        collecting ``query()`` path: a skip-points ``count()`` /
+        ``first()`` / ``last()`` is answered straight from the driver
+        catalog snapshot (which carries the typed first/last values)
+        — the reference's sub-ms metadata answer
+        (listener.c:5447-5586), which a ~0.2 s Spark job floor would
+        otherwise bury."""
         if not self.fastpath_enabled:
             return None
-        if self._skippable_count(stmt) is None:
+        f = self._skippable_agg(stmt)
+        if f is None:
             return None
         pl = stmt.pipelines[0]
         sel = self._local_selected(stmt.match, stmt.where)
         if sel is None:
             return None
         pre, suf = pl.prefix or "", pl.suffix or ""
-        return {f"{pre}{r['name']}{suf}": [[r["end"], r["length"]]]
-                for r in sel}
+        if f.name == "count":
+            return {f"{pre}{r['name']}{suf}":
+                    [[r["end"], r["length"]]] for r in sel}
+        if any(r.get("first") is None or r.get("last") is None
+               for r in sel):
+            # snapshot without values, or a series with mixed tp
+            # (possible only via the raw datasource sink, which does
+            # not coerce): let the distributed pipeline decide
+            return None
+        # to-one label: last point's ts, first's ts for first()
+        # (aggregate.c:1110-1112)
+        if f.name == "first":
+            return {f"{pre}{r['name']}{suf}":
+                    [[r["start"], r["first"]]] for r in sel}
+        return {f"{pre}{r['name']}{suf}":
+                [[r["end"], r["last"]]] for r in sel}
 
-    def _skippable_count(self, stmt: N.SelectStmt):
+    def _skippable_agg(self, stmt: N.SelectStmt):
         """The shared skip-points condition (aggregate.c:495-510):
-        single pipeline, bare unbucketed count(), no time range, no
-        merge. Returns the count AggFunc or None."""
+        single pipeline, one bare unbucketed count()/first()/last(),
+        no time range, no merge. Returns the AggFunc or None."""
         if stmt.merge is not None or stmt.timerange is not None \
                 or len(stmt.pipelines) != 1:
             return None
@@ -805,7 +833,8 @@ class SiriEngine:
         if len(funcs) != 1 or not isinstance(funcs[0], N.AggFunc):
             return None
         f = funcs[0]
-        if f.name != "count" or f.group_by is not None:
+        if f.name not in ("count", "first", "last") \
+                or f.group_by is not None:
             return None
         return f
 
@@ -815,7 +844,12 @@ class SiriEngine:
         listener.c:5447-5586): ``count()`` with no bucket, no time
         range and no merge is answered from the catalog — the points
         table is never scanned. Returns the result DataFrame or None."""
-        if self._skippable_count(stmt) is None:
+        f = self._skippable_agg(stmt)
+        if f is None or f.name != "count":
+            # first()/last() need the value columns, which the Spark
+            # catalog frame doesn't carry — only the count shortcut
+            # applies on the distributed path (the dict path answers
+            # all three from the snapshot)
             return None
         pl = stmt.pipelines[0]
         cat = self._selected_catalog(stmt.match, stmt.where)

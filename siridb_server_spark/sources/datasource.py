@@ -364,7 +364,8 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
                 "siridb sink requires duration_num and duration_log "
                 "options (shard durations in the store's ts unit)")
         self.dur_num, self.dur_log = int(dn), int(dl)
-        self.buckets = int(options.get("catalog_buckets") or 8)
+        b = options.get("catalog_buckets")
+        self._buckets_opt = int(b) if b else None
         # per-writer staging dir: concurrent writes to the same store
         # must not rmtree each other's staged files on commit/abort
         import uuid
@@ -422,25 +423,74 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
                 pq.write_table(sub, fp, compression="zstd")
                 files.append(("log" if k_flag else "num",
                               int(s), fp))
-        pdf = tbl.select(["series", "ts", "tp"]).to_pandas()
+        import pandas as pd
+
+        pdf = tbl.select(["series", "ts", "seq", "val_int",
+                          "val_dbl", "val_str", "tp"]).to_pandas()
         g = pdf.groupby("series").agg(
             length=("ts", "size"), start=("ts", "min"),
             end=("ts", "max"), tp=("tp", "max"))
-        stats = [(str(name), int(r.length), int(r.start),
-                  int(r.end), int(r.tp))
-                 for name, r in g.iterrows()]
+        # positional first/last row per series in (ts, seq) order —
+        # the typed value block the r6 catalog carries. GroupBy.nth
+        # is positional (.first() would skip nulls and lie about
+        # which row is first); .loc by series name pairs the rows
+        # with g regardless of group ordering.
+        order = np.lexsort((pdf["seq"].to_numpy(),
+                            pdf["ts"].to_numpy()))
+        sdf = pdf.iloc[order]
+        gb = sdf.groupby("series", sort=False)
+        first_rows = gb.nth(0).set_index("series")
+        last_rows = gb.nth(-1).set_index("series")
+
+        def _val(row, col, caster):
+            v = row[col]
+            return None if pd.isna(v) else caster(v)
+
+        stats = []
+        for name, r in g.iterrows():
+            fr, lr = first_rows.loc[name], last_rows.loc[name]
+            stats.append((
+                str(name), int(r.length), int(r.start), int(r.end),
+                int(r.tp),
+                int(fr["seq"]), _val(fr, "val_int", int),
+                _val(fr, "val_dbl", float), _val(fr, "val_str", str),
+                int(lr["seq"]), _val(lr, "val_int", int),
+                _val(lr, "val_dbl", float), _val(lr, "val_str", str),
+            ))
         return _WriteResult(files, stats)
 
     # ------------------------------------------------------ driver side
     def commit(self, messages):
+        import uuid
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from .store import PointsStore
         from .xxh import xxh64_signed
 
-        pending = os.path.join(self.path, "_catalog.pending")
-        with open(pending, "w"):
-            pass
+        # per-appender uuid/pid marker, registered in the process-
+        # wide active set so same-process readers see it as LIVE
+        # while the commit runs and as a crash signal if it raises
+        # (the r5 single shared "_catalog.pending" let any other
+        # appender's clear remove this commit's crash protection)
+        pending = os.path.join(
+            self.path,
+            f"{PointsStore._PENDING_PREFIX}{uuid.uuid4().hex}")
+        with open(pending, "w") as fh:
+            fh.write(str(os.getpid()))
+        PointsStore._process_active.add(pending)
+        try:
+            self._commit_inner(messages, pa, pq, xxh64_signed, uuid)
+        except BaseException:
+            # leave the marker on disk as the crash signal
+            PointsStore._process_active.discard(pending)
+            raise
+        self._drop_stage()
+        PointsStore._process_active.discard(pending)
+        os.remove(pending)
+
+    def _commit_inner(self, messages, pa, pq, xxh64_signed, uuid):
         for msg in messages:
             if msg is None:
                 continue
@@ -450,29 +500,42 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
                 os.makedirs(target, exist_ok=True)
                 os.rename(staged, os.path.join(
                     target, os.path.basename(staged)))
-        # fold per-task stats (associative) and append ONE delta file
+        # fold per-task stats (associative; first/last by argmin/
+        # argmax over (start/end, seq)) and append ONE delta commit
         folded: dict = {}
         for msg in messages:
             if msg is None:
                 continue
-            for name, length, start, end, tp in msg.stats:
+            for st in msg.stats:
+                name = st[0]
+                row = (st[1], st[2], st[3], st[4],
+                       tuple(st[5:9]), tuple(st[9:13]))
                 cur = folded.get(name)
-                folded[name] = (
-                    (length, start, end, tp) if cur is None else
-                    (cur[0] + length, min(cur[1], start),
-                     max(cur[2], end), max(cur[3], tp)))
+                if cur is None:
+                    folded[name] = row
+                else:
+                    fst = row[4] if (row[1], row[4][0]) \
+                        < (cur[1], cur[4][0]) else cur[4]
+                    lst = row[5] if (row[2], row[5][0]) \
+                        > (cur[2], cur[5][0]) else cur[5]
+                    folded[name] = (
+                        cur[0] + row[0], min(cur[1], row[1]),
+                        max(cur[2], row[2]), max(cur[3], row[3]),
+                        fst, lst)
         if folded:
-            import uuid
-
             # one file per touched bucket under the same Hive-style
             # bucket=N/ layout the engine's sharded delta append
             # writes (store.py::_merge_catalog) — a consistent layout
             # is what lets one spark.read cover deltas from BOTH
             # writers. All files of this commit share one uuid, so
             # the store's append counter sees a single append.
+            # Bucket values are cosmetic for correctness (folds
+            # re-derive from names), but use the store's persisted
+            # count so pruning stays aligned after an auto-resize.
+            buckets = self._store_buckets()
             by_bucket: dict = {}
             for n in sorted(folded):
-                b = xxh64_signed(n.encode("utf-8")) % self.buckets
+                b = xxh64_signed(n.encode("utf-8")) % buckets
                 by_bucket.setdefault(b, []).append(n)
             ddir = os.path.join(self.path, "_catalog_delta")
             commit = uuid.uuid4().hex
@@ -487,13 +550,44 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
                         [folded[n][2] for n in names], pa.int64()),
                     "tp": pa.array(
                         [folded[n][3] for n in names], pa.int32()),
+                    "f_seq": pa.array(
+                        [folded[n][4][0] for n in names], pa.int64()),
+                    "f_int": pa.array(
+                        [folded[n][4][1] for n in names], pa.int64()),
+                    "f_dbl": pa.array(
+                        [folded[n][4][2] for n in names],
+                        pa.float64()),
+                    "f_str": pa.array(
+                        [folded[n][4][3] for n in names],
+                        pa.string()),
+                    "l_seq": pa.array(
+                        [folded[n][5][0] for n in names], pa.int64()),
+                    "l_int": pa.array(
+                        [folded[n][5][1] for n in names], pa.int64()),
+                    "l_dbl": pa.array(
+                        [folded[n][5][2] for n in names],
+                        pa.float64()),
+                    "l_str": pa.array(
+                        [folded[n][5][3] for n in names],
+                        pa.string()),
                 })
                 bdir = os.path.join(ddir, f"bucket={b}")
                 os.makedirs(bdir, exist_ok=True)
                 pq.write_table(delta, os.path.join(
                     bdir, f"delta-{commit}.parquet"))
-        self._drop_stage()
-        os.remove(pending)
+
+    def _store_buckets(self) -> int:
+        """Active catalog bucket count: explicit writer option wins,
+        else the store's persisted auto-scaled count, else 8."""
+        if self._buckets_opt is not None:
+            return self._buckets_opt
+        try:
+            import json
+            with open(os.path.join(
+                    self.path, "_catalog.meta.json")) as fh:
+                return int(json.load(fh)["buckets"])
+        except (OSError, ValueError, KeyError):
+            return 8
 
     def abort(self, messages):
         # nothing became visible; drop the staging area

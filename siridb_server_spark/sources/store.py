@@ -92,10 +92,8 @@ class PointsStore:
         #: explicit override pins the count; None = auto-scale from
         #: the observed catalog size at compaction time
         self._buckets_fixed = catalog_buckets
-        #: pending tokens THIS instance is currently appending under;
-        #: a same-pid marker not in here is an abandoned append
-        #: (exception mid-append), i.e. stale
-        self._my_active: set = set()
+# class-level: see _process_active below (shared across every store
+# instance AND the Arrow datasource writer in this process)
 
     # ------------------------------------------------------------- write
     def _with_partitions(self, df: DataFrame) -> DataFrame:
@@ -240,17 +238,23 @@ class PointsStore:
     # catalog delta lands when it finishes.
     _PENDING_PREFIX = "_catalog.pending-"
 
+    #: PROCESS-WIDE registry of marker/lock paths with an append in
+    #: flight — class-level so every store instance and the Arrow
+    #: datasource writer agree: a same-pid marker NOT in here is an
+    #: abandoned append (exception mid-append), i.e. stale
+    _process_active: set = set()
+
     def _set_pending(self) -> str:
         os.makedirs(self.path, exist_ok=True)
         tok = os.path.join(
             self.path, f"{self._PENDING_PREFIX}{uuid.uuid4().hex}")
         with open(tok, "w") as fh:
             fh.write(str(os.getpid()))
-        self._my_active.add(tok)
+        PointsStore._process_active.add(tok)
         return tok
 
     def _clear_pending(self, tok: str):
-        self._my_active.discard(tok)
+        PointsStore._process_active.discard(tok)
         try:
             os.remove(tok)
         except FileNotFoundError:
@@ -268,7 +272,7 @@ class PointsStore:
         try:
             yield tok
         except BaseException:
-            self._my_active.discard(tok)
+            PointsStore._process_active.discard(tok)
             raise
         self._clear_pending(tok)
 
@@ -290,7 +294,7 @@ class PointsStore:
         if pid == os.getpid():
             # our own process: alive only while the append is actually
             # in flight on this store instance
-            return path in self._my_active
+            return path in PointsStore._process_active
         try:
             os.kill(pid, 0)  # signal 0: existence probe only
         except ProcessLookupError:
@@ -305,11 +309,33 @@ class PointsStore:
 
     @staticmethod
     def _batch_stats(df: DataFrame) -> DataFrame:
-        return df.groupBy(F.col("series").alias("name")).agg(
+        # start/end are the first/last TIMESTAMPS; the f_*/l_* block
+        # carries the typed first/last VALUES + their seq tiebreak
+        # (insert order on duplicate ts) so the engine's skip-points
+        # fast path answers first()/last() without touching points —
+        # the reference reads these from the series struct + one
+        # block (listener.c:5447-5586); here they ride the catalog
+        first = F.min_by(
+            F.struct(F.col("seq").alias("f_seq"),
+                     F.col("val_int").alias("f_int"),
+                     F.col("val_dbl").alias("f_dbl"),
+                     F.col("val_str").alias("f_str")),
+            F.struct("ts", "seq"))
+        last = F.max_by(
+            F.struct(F.col("seq").alias("l_seq"),
+                     F.col("val_int").alias("l_int"),
+                     F.col("val_dbl").alias("l_dbl"),
+                     F.col("val_str").alias("l_str")),
+            F.struct("ts", "seq"))
+        return (df.groupBy(F.col("series").alias("name")).agg(
             F.count(F.lit(1)).alias("length"),
             F.min("ts").alias("start"),
             F.max("ts").alias("end"),
-            F.max("tp").alias("tp"))
+            F.max("tp").alias("tp"),
+            first.alias("_f"), last.alias("_l"))
+            .select("name", "length", "start", "end", "tp",
+                    "_f.f_seq", "_f.f_int", "_f.f_dbl", "_f.f_str",
+                    "_l.l_seq", "_l.l_int", "_l.l_dbl", "_l.l_str"))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if "bucket" in df.columns:
@@ -386,7 +412,7 @@ class PointsStore:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 with os.fdopen(fd, "w") as fh:
                     fh.write(str(os.getpid()))
-                self._my_active.add(path)
+                PointsStore._process_active.add(path)
                 return True
             except FileExistsError:
                 if self._marker_alive(path):
@@ -398,7 +424,7 @@ class PointsStore:
         return False
 
     def _release_compact_lock(self):
-        self._my_active.discard(self._compact_lock_path)
+        PointsStore._process_active.discard(self._compact_lock_path)
         try:
             os.remove(self._compact_lock_path)
         except FileNotFoundError:
@@ -420,6 +446,12 @@ class PointsStore:
         if not self._acquire_compact_lock():
             return  # another compactor is live; our deltas fold later
         try:
+            if self._legacy_catalog():
+                # pre-r6 layout lacks the first/last value columns
+                # the folds carry now: one-time full recompute from
+                # the points (includes any just-appended batch)
+                self.rebuild_catalog(spark)
+                return
             # Snapshot the delta FILE LIST first and fold exactly
             # those files; afterwards delete exactly those files. An
             # rmtree of the whole delta dir would race a concurrent
@@ -490,12 +522,24 @@ class PointsStore:
         # count (never trusted from disk): grouping by an on-disk
         # bucket would split one series into two rows whenever base
         # and delta files were written under different bucket counts
-        # (auto-resize window)
+        # (auto-resize window). The first/last value blocks combine
+        # by argmin/argmax over (ts, seq) across partials — exact
+        # and associative, like the numeric folds.
+        first = F.min_by(
+            F.struct("f_seq", "f_int", "f_dbl", "f_str"),
+            F.struct("start", "f_seq"))
+        last = F.max_by(
+            F.struct("l_seq", "l_int", "l_dbl", "l_str"),
+            F.struct("end", "l_seq"))
         folded = (stats.drop("bucket").groupBy("name").agg(
             F.sum("length").alias("length"),
             F.min("start").alias("start"),
             F.max("end").alias("end"),
-            F.max("tp").alias("tp")))
+            F.max("tp").alias("tp"),
+            first.alias("_f"), last.alias("_l"))
+            .select("name", "length", "start", "end", "tp",
+                    "_f.f_seq", "_f.f_int", "_f.f_dbl", "_f.f_str",
+                    "_l.l_seq", "_l.l_int", "_l.l_dbl", "_l.l_str"))
         return self._with_bucket(folded)
 
     def _write_catalog(self, stats: DataFrame, full: bool = True):
@@ -595,6 +639,31 @@ class PointsStore:
         return self._fold(base.unionByName(
             delta.select(*base.columns)))
 
+    def _legacy_catalog(self) -> bool:
+        """True when any catalog/delta file predates the r6 layout
+        (no first/last value columns) — one-time migration via
+        rebuild_catalog, same stance as the marker repair."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return False
+        candidates = []
+        if os.path.isdir(self._catalog_path):
+            for root, dirs, fs in os.walk(self._catalog_path):
+                dirs[:] = [d for d in dirs if not d.startswith(".")]
+                candidates.extend(os.path.join(root, f) for f in fs
+                                  if f.endswith(".parquet"))
+                if candidates:
+                    break  # one base file decides the base layout
+        candidates.extend(self._delta_files())
+        for f in candidates:
+            try:
+                if "f_seq" not in pq.read_schema(f).names:
+                    return True
+            except Exception:
+                continue  # racing compaction; decided by the rest
+        return False
+
     def read_catalog_local(self) -> dict | None:
         """Driver-side catalog snapshot WITHOUT a Spark job: fold the
         base + delta parquet files with pyarrow into
@@ -621,22 +690,38 @@ class PointsStore:
         if not files:
             return None
         out: dict = {}
-        cols = ["name", "length", "start", "end", "tp"]
+        cols = ["name", "length", "start", "end", "tp",
+                "f_seq", "f_int", "f_dbl", "f_str",
+                "l_seq", "l_int", "l_dbl", "l_str"]
         for f in files:
             try:
                 tbl = pq.read_table(f, columns=cols)
-            except Exception:  # racing compaction removed the file
-                continue
+            except Exception:
+                # racing compaction removed the file, or a pre-r6
+                # legacy file lacks the value columns → let the
+                # Spark path repair/migrate
+                return None
             d = tbl.to_pydict()
-            for name, ln, st, en, tp in zip(
-                    d["name"], d["length"], d["start"], d["end"],
-                    d["tp"]):
+            for i, name in enumerate(d["name"]):
+                row = (d["length"][i], d["start"][i], d["end"][i],
+                       d["tp"][i],
+                       (d["f_seq"][i], d["f_int"][i], d["f_dbl"][i],
+                        d["f_str"][i]),
+                       (d["l_seq"][i], d["l_int"][i], d["l_dbl"][i],
+                        d["l_str"][i]))
                 cur = out.get(name)
                 if cur is None:
-                    out[name] = (ln, st, en, tp)
+                    out[name] = row
                 else:
-                    out[name] = (cur[0] + ln, min(cur[1], st),
-                                 max(cur[2], en), max(cur[3], tp))
+                    # argmin/argmax over (ts, seq) across partials
+                    fst = row[4] if (row[1], row[4][0]) \
+                        < (cur[1], cur[4][0]) else cur[4]
+                    lst = row[5] if (row[2], row[5][0]) \
+                        > (cur[2], cur[5][0]) else cur[5]
+                    out[name] = (cur[0] + row[0],
+                                 min(cur[1], row[1]),
+                                 max(cur[2], row[2]),
+                                 max(cur[3], row[3]), fst, lst)
         return out
 
     def shard_stats_local(self) -> list | None:
@@ -690,6 +775,8 @@ class PointsStore:
             self.rebuild_catalog(spark)
             for m in stale:
                 self._clear_pending(m)
+        elif self._legacy_catalog():
+            self.rebuild_catalog(spark)  # one-time r6 migration
         return self._read_catalog_raw(spark)
 
     def rebuild_catalog(self, spark: SparkSession):

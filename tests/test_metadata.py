@@ -380,6 +380,12 @@ def test_catalog_fastpath_zero_jobs_and_agreement(spark, tmp_path):
         "select count() from /.*/",
         "select count() prefix 'n_' from `cpu` where end >= 150",
         "select count() from `txt`",
+        # skip-points first()/last(): typed values straight from the
+        # catalog snapshot (int, double, and string series)
+        "select first() from /.*/",
+        "select last() from /.*/",
+        "select first() suffix '_f' from `txt`",
+        "select last() from 'cpu-b'",
         # non-series entities are driver-held structures: zero jobs
         "list groups",
         "list tags",

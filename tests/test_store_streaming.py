@@ -165,8 +165,10 @@ def test_incremental_catalog_maintenance(spark, tmp_path):
     # before the catalog merge): under-counted length for 'a'
     import os
     stale = spark.createDataFrame(
-        [("a", 1, 100, 100, 0)],
-        "name string, length long, start long, end long, tp int")
+        [("a", 1, 100, 100, 0, 0, 1, None, None, 0, 1, None, None)],
+        "name string, length long, start long, end long, tp int,"
+        " f_seq long, f_int long, f_dbl double, f_str string,"
+        " l_seq long, l_int long, l_dbl double, l_str string")
     eng.store._write_catalog(stale)
     # a LIVE marker (in-flight append, this process) must NOT trigger
     # a rebuild — the appender's delta lands when it finishes
@@ -986,3 +988,70 @@ def test_catalog_buckets_auto_grow(spark, tmp_path, monkeypatch):
     pinned.append_rows(spark, rows)
     pinned._compact_catalog(spark)
     assert pinned.catalog_buckets == 4
+
+
+def test_catalog_r6_migration_from_legacy_layout(spark, tmp_path):
+    """A store whose catalog predates the first/last value columns
+    (pre-r6 layout) migrates transparently: read_catalog detects the
+    legacy schema and rebuilds once from the points; the skip-points
+    first()/last() fast path works right after."""
+    from siridb_server_spark import SiriEngine
+
+    eng = SiriEngine.open(spark, str(tmp_path / "mdb"), precision="s")
+    eng.insert({"m": [[100, 1.5], [300, 9.5], [200, 4.5]]})
+    # overwrite the catalog with the r5 (legacy) shape
+    legacy = spark.createDataFrame(
+        [("m", 3, 100, 300, 1)],
+        "name string, length long, start long, end long, tp int")
+    eng.store._write_catalog(legacy)
+    eng._invalidate()
+    assert eng.store._legacy_catalog()
+    # the local path refuses legacy files → engine falls back, the
+    # Spark path migrates, and afterwards both paths carry values
+    assert eng.store.read_catalog_local() is None
+    cat = {r["name"]: (r["length"], r["f_dbl"], r["l_dbl"])
+           for r in eng.store.read_catalog(spark).collect()}
+    assert cat == {"m": (3, 1.5, 9.5)}
+    assert not eng.store._legacy_catalog()
+    assert eng.query("select first() from 'm'") == {
+        "m": [[100, 1.5]]}
+    assert eng.query("select last() from 'm'") == {
+        "m": [[300, 9.5]]}
+
+
+def test_catalog_first_last_values_fold_across_appends(spark,
+                                                       tmp_path):
+    """The first/last value blocks stay exact across multiple
+    appends, out-of-order timestamps, duplicate-ts seq ties, and
+    delta compaction — including through the Arrow datasource
+    writer's partial-stats path."""
+    from siridb_server_spark import SiriEngine
+
+    eng = SiriEngine.open(spark, str(tmp_path / "vdb"), precision="s")
+    eng.insert({"s": [[200, 5]]})
+    eng.insert({"s": [[100, 7]]})       # earlier ts in a LATER batch
+    eng.insert({"s": [[300, 2], [300, 4]]})  # dup ts: seq breaks tie
+    assert eng.query("select first() from 's'") == {"s": [[100, 7]]}
+    assert eng.query("select last() from 's'") == {"s": [[300, 4]]}
+    # fold survives compaction
+    eng.store._compact_catalog(spark)
+    eng._invalidate()
+    assert eng.query("select first() from 's'") == {"s": [[100, 7]]}
+    assert eng.query("select last() from 's'") == {"s": [[300, 4]]}
+    # datasource writer path: append via the named sink, then check
+    # the folded catalog feeds the same fast path
+    from siridb_server_spark.sources.datasource import register
+    register(spark)
+    df = spark.createDataFrame(
+        [("s", 50, 99, 3, None, None, 0),
+         ("w", 10, 98, None, 8.25, None, 1)],
+        "series string, ts long, seq long, val_int long,"
+        " val_dbl double, val_str string, tp int")
+    (df.write.format("siridb").mode("append")
+     .option("path", eng.store.path)
+     .option("duration_num", str(eng.store.duration_num))
+     .option("duration_log", str(eng.store.duration_log)).save())
+    eng._invalidate()
+    assert eng.query("select first() from 's'") == {"s": [[50, 3]]}
+    assert eng.query("select last() from 's'") == {"s": [[300, 4]]}
+    assert eng.query("select last() from 'w'") == {"w": [[10, 8.25]]}
