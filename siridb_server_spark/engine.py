@@ -97,18 +97,39 @@ class SiriEngine:
         self.duration_num = DEFAULT_DURATION_NUM_S * self.factor
         self.duration_log = DEFAULT_DURATION_LOG_S * self.factor
         self._exp_applied: dict = {}  # expiration key → last cutoff sid
+        #: open(auto_duration=True) on a fresh store: first insert
+        #: derives+persists durations from the observed interval
+        self._auto_duration_pending = False
         self._started = _time.time()
 
     @classmethod
     def open(cls, spark: SparkSession, path: str,
-             precision: str = "s") -> "SiriEngine":
+             precision: str = "s",
+             auto_duration: bool = False) -> "SiriEngine":
         """Open (or create) a persistent database at ``path`` —
-        shard-equivalent partitioned parquet (sources/store.py)."""
+        shard-equivalent partitioned parquet (sources/store.py).
+
+        ``auto_duration=True`` mirrors the reference's
+        enable_shard_auto_duration (shards.c:281-289): the first
+        insert derives the shard durations from the batch's median
+        point interval (sized toward OPTIMAL_POINTS_PER_SHARD,
+        shard.c:136-167) instead of the precision defaults.
+        Divergence note: the reference sizes each NEW shard
+        independently; this layout has one duration per kind (sid
+        math), so the auto-derived duration is fixed at first insert
+        and persisted. Durations always persist with the store and
+        win over the opener's defaults on reopen."""
         from .sources.store import PointsStore
 
         eng = cls(spark, precision)
         eng.store = PointsStore(path, eng.duration_num,
                                 eng.duration_log)
+        saved = eng.store.load_durations()
+        if saved is not None:
+            eng.duration_num, eng.duration_log = saved
+            eng.store.duration_num, eng.store.duration_log = saved
+        elif auto_duration:
+            eng._auto_duration_pending = True
         return eng
 
     @classmethod
@@ -177,6 +198,8 @@ class SiriEngine:
         rows = self._drop_expired_rows(rows)
         if rows:
             if self.store is not None:
+                if self._auto_duration_pending:
+                    self._apply_auto_duration(rows)
                 self.store.append(self.spark, rows)
             else:
                 self._mem_rows.extend(rows)
@@ -187,6 +210,40 @@ class SiriEngine:
         if self.expiration_num or self.expiration_log:
             self._apply_expiration()
         return {"success_msg": f"Successfully inserted {n} point(s)."}
+
+    def _apply_auto_duration(self, rows: list):
+        """Derive shard durations from the first batch's median
+        point interval (per kind, using the batch's largest series —
+        the reference samples the points being flushed,
+        shards.c:281-289); undetected/irregular intervals keep the
+        precision defaults. Persisted immediately so every later
+        opener agrees on the sid math."""
+        from .sources.store import (
+            duration_from_interval,
+            interval_from_points,
+        )
+
+        self._auto_duration_pending = False
+        by_kind: dict = {}
+        for r in rows:
+            is_log = r[6] == TP_STRING
+            by_kind.setdefault(is_log, {}).setdefault(
+                r[0], []).append(r[1])
+        for is_log, series in by_kind.items():
+            ts = sorted(max(series.values(), key=len))
+            interval = interval_from_points(ts)
+            if not interval:
+                continue
+            dur = duration_from_interval(
+                interval, self.factor,
+                self.duration_num, self.duration_log)
+            if is_log:
+                self.duration_log = dur
+                self.store.duration_log = dur
+            else:
+                self.duration_num = dur
+                self.store.duration_num = dur
+        self.store.persist_durations()
 
     def _drop_expired_rows(self, rows: list) -> list:
         if not (self.expiration_num or self.expiration_log):

@@ -489,6 +489,11 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
         self._drop_stage()
         PointsStore._process_active.discard(pending)
         os.remove(pending)
+        dur_file = os.path.join(self.path, "_durations.json")
+        if not os.path.exists(dur_file):
+            # persist the sid layout like PointsStore.append_df does
+            st = PointsStore(self.path, self.dur_num, self.dur_log)
+            st.persist_durations()
 
     def _commit_inner(self, messages, pa, pq, xxh64_signed, uuid):
         for msg in messages:

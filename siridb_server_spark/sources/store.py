@@ -59,6 +59,27 @@ N_CATALOG_BUCKETS = 8
 TARGET_ROWS_PER_BUCKET = 1_000_000
 
 
+#: ref src/siri/db/points.c:18
+TOLERANCE_INTERVAL_DETECT = 10
+
+
+def interval_from_points(ts_sorted) -> int:
+    """Exact port of siridb_points_get_interval
+    (points.c:1747-1787): the median of the first ≤63 consecutive
+    ts deltas; 0 (undetected) when fewer than 8 points or when the
+    Q1/Q3 spread exceeds 10% of the median (irregular sampling)."""
+    if len(ts_sorted) < 8:
+        return 0
+    n = min(len(ts_sorted) - 1, 63)
+    arr = sorted(ts_sorted[i + 1] - ts_sorted[i] for i in range(n))
+    a_i = n // 4
+    b_i = n // 2
+    c = arr[(b_i << 1) - a_i]
+    a, b = arr[a_i], arr[b_i]
+    x = b // (100 // TOLERANCE_INTERVAL_DETECT)
+    return 0 if (a + x < b or c - x > b) else b
+
+
 def duration_from_interval(interval: int, factor: int,
                            duration_num: int = 0,
                            duration_log: int = 0) -> int:
@@ -119,6 +140,10 @@ class PointsStore:
                 self._with_partitions(df), self.path, ["kind", "sid"],
                 compression="zstd")
             self._merge_catalog(df.sparkSession, self._batch_stats(df))
+        if not os.path.exists(self._durations_path):
+            # the durations define the sid layout; persist them with
+            # the first data so every later opener agrees
+            self.persist_durations()
 
     def _append_via_stage(self, df: DataFrame, target: str,
                           partition_cols: list,
@@ -195,6 +220,34 @@ class PointsStore:
     @property
     def _catalog_meta_path(self) -> str:
         return os.path.join(self.path, "_catalog.meta.json")
+
+    # Shard durations are PART OF THE LAYOUT (sid = ts - ts % dur):
+    # reopening a store with different durations would silently split
+    # shards and break sid pruning, so they persist alongside the
+    # data and win over the opener's defaults.
+    @property
+    def _durations_path(self) -> str:
+        return os.path.join(self.path, "_durations.json")
+
+    def persist_durations(self):
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{self._durations_path}.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"duration_num": int(self.duration_num),
+                       "duration_log": int(self.duration_log)}, fh)
+        os.replace(tmp, self._durations_path)
+
+    def load_durations(self) -> tuple | None:
+        import json
+
+        try:
+            with open(self._durations_path) as fh:
+                d = json.load(fh)
+            return int(d["duration_num"]), int(d["duration_log"])
+        except (OSError, ValueError, KeyError):
+            return None
 
     @property
     def catalog_buckets(self) -> int:

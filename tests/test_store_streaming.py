@@ -1055,3 +1055,45 @@ def test_catalog_first_last_values_fold_across_appends(spark,
     assert eng.query("select first() from 's'") == {"s": [[50, 3]]}
     assert eng.query("select last() from 's'") == {"s": [[300, 4]]}
     assert eng.query("select last() from 'w'") == {"w": [[10, 8.25]]}
+
+
+def test_auto_duration_from_first_insert(spark, tmp_path):
+    """itest/test_auto_duration.py parity (within the one-duration-
+    per-kind layout): open(auto_duration=True) derives the shard
+    duration from the first batch's median interval (points.c:1747
+    interval detection + shard.c:136 sizing), persists it, and a
+    reopen agrees; irregular batches keep the defaults. Durations
+    also persist for PLAIN opens so reopening never changes the sid
+    math."""
+    from siridb_server_spark.sources.store import (
+        duration_from_interval,
+        interval_from_points,
+    )
+
+    # interval detection port: regular 60 s cadence detects 60;
+    # irregular data detects 0; short series detect 0
+    assert interval_from_points(list(range(0, 600, 60))) == 60
+    assert interval_from_points([0, 1, 2, 3]) == 0
+    assert interval_from_points(
+        [0, 1, 50, 51, 300, 1000, 1001, 5000, 9000]) == 0
+
+    eng = SiriEngine.open(spark, str(tmp_path / "adb"),
+                          precision="s", auto_duration=True)
+    default_num = eng.duration_num
+    eng.insert({"m": [[1000 + 60 * i, float(i)] for i in range(20)]})
+    want = duration_from_interval(60, 1)
+    assert eng.duration_num == want != default_num
+    # persisted: a plain reopen sees the derived duration
+    eng2 = SiriEngine.open(spark, str(tmp_path / "adb"),
+                           precision="s")
+    assert eng2.duration_num == want
+    assert eng2.query("select count() from 'm'") == {
+        "m": [[1000 + 60 * 19, 20]]}
+    # irregular first batch keeps the defaults (and persists them)
+    eng3 = SiriEngine.open(spark, str(tmp_path / "bdb"),
+                           precision="s", auto_duration=True)
+    eng3.insert({"x": [[t, 1] for t in
+                       [0, 1, 50, 51, 300, 1000, 1001, 5000, 9000]]})
+    assert eng3.duration_num == default_num
+    assert SiriEngine.open(spark, str(tmp_path / "bdb"),
+                           precision="s").duration_num == default_num
