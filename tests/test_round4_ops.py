@@ -672,3 +672,62 @@ def test_round6_half_away_from_zero():
     assert np.allclose(got, exp, atol=1e-12)
     # np.round would disagree on the .5 boundaries
     assert np.round(0.0000005, 6) == 0.0
+
+
+def test_scaled_dsum_cross_engine_bit_identical(spark):
+    """The IEEE-identical claim behind functions/stable.py
+    scaled_dsum: Spark and DuckDB produce the SAME long term for
+    every double — including adversarial values near the .5
+    quantization boundaries (dyadic rationals like k/128 scale to
+    exact halves) and sign flips — so the summed contract can never
+    hash-diverge. 4000 deterministic pseudo-random doubles across
+    magnitudes."""
+    import random
+    import struct
+
+    import duckdb
+
+    from siridb_server_spark.functions.stable import (
+        SCALED_DSUM_SQL,
+        scaled_dsum,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    vals = []
+    for _ in range(3000):
+        mag = 10.0 ** rng.uniform(-8, 6)
+        vals.append(rng.uniform(-1.0, 1.0) * mag)
+    # dyadic rationals: x*1e6 lands EXACTLY on .5 boundaries
+    vals += [k / 128.0 for k in range(-256, 256)]
+    vals += [k / 64.0 for k in range(-128, 128)]
+    # bit-pattern fuzz (finite doubles only)
+    for _ in range(500):
+        b = struct.pack("<Q", rng.getrandbits(64))
+        (x,) = struct.unpack("<d", b)
+        if x == x and abs(x) < 1e12:  # finite, in-range
+            vals.append(x)
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = df.agg(scaled_dsum(F.col("x")).alias("s")) \
+        .collect()[0]["s"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    frag = SCALED_DSUM_SQL.format(x="x", s=10 ** 6)
+    got_duck = con.sql(f"SELECT {frag} AS s FROM t").fetchone()[0]
+
+    # repr-level equality — the same bar the driver's hash applies
+    assert repr(got_spark) == repr(got_duck), (got_spark, got_duck)
+    # and per-row term equality on the boundary values
+    term_sql = ("SELECT CASE WHEN CAST(x AS DOUBLE) >= 0.0"
+                " THEN CAST(floor(CAST(x AS DOUBLE) * 1000000.0"
+                " + 0.5) AS BIGINT)"
+                " ELSE -CAST(floor(-CAST(x AS DOUBLE) * 1000000.0"
+                " + 0.5) AS BIGINT) END FROM t")
+    duck_terms = [r[0] for r in con.sql(term_sql).fetchall()]
+    from siridb_server_spark.functions.stable import scaled_term
+    spark_terms = [r["t"] for r in
+                   df.select(scaled_term(F.col("x")).alias("t"))
+                   .collect()]
+    assert spark_terms == duck_terms
