@@ -265,6 +265,15 @@ class SiriEngine:
         if (self._mem_df is None and not self._mem_rows
                 and self._base_df is None and self.store is None):
             return []
+        if self.fastpath_enabled:
+            # type pre-flight from the driver snapshot: without this
+            # every insert pays a full Spark collect just to learn
+            # the existing series types (the reference reads them
+            # off the in-memory series structs)
+            cat = self._catalog_local()
+            if cat is not None:
+                return [{"name": n, "tp": cat[n]["tp"]}
+                        for n in names if n in cat]
         cat = self.catalog_df()
         rows = cat.where(F.col("name").isin(names)) \
                   .select("name", "type").collect()
