@@ -463,11 +463,7 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
     def commit(self, messages):
         import uuid
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         from .store import PointsStore
-        from .xxh import xxh64_signed
 
         # per-appender uuid/pid marker, registered in the process-
         # wide active set so same-process readers see it as LIVE
@@ -481,7 +477,7 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
             fh.write(str(os.getpid()))
         PointsStore._process_active.add(pending)
         try:
-            self._commit_inner(messages, pa, pq, xxh64_signed, uuid)
+            self._commit_inner(messages)
         except BaseException:
             # leave the marker on disk as the crash signal
             PointsStore._process_active.discard(pending)
@@ -495,7 +491,7 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
             st = PointsStore(self.path, self.dur_num, self.dur_log)
             st.persist_durations()
 
-    def _commit_inner(self, messages, pa, pq, xxh64_signed, uuid):
+    def _commit_inner(self, messages):
         for msg in messages:
             if msg is None:
                 continue
@@ -528,58 +524,13 @@ class SiriDBArrowWriter(DataSourceArrowWriter):
                         max(cur[2], row[2]), max(cur[3], row[3]),
                         fst, lst)
         if folded:
-            # one file per touched bucket under the same Hive-style
-            # bucket=N/ layout the engine's sharded delta append
-            # writes (store.py::_merge_catalog) — a consistent layout
-            # is what lets one spark.read cover deltas from BOTH
-            # writers. All files of this commit share one uuid, so
-            # the store's append counter sees a single append.
-            # Bucket values are cosmetic for correctness (folds
-            # re-derive from names), but use the store's persisted
-            # count so pruning stays aligned after an auto-resize.
-            buckets = self._store_buckets()
-            by_bucket: dict = {}
-            for n in sorted(folded):
-                b = xxh64_signed(n.encode("utf-8")) % buckets
-                by_bucket.setdefault(b, []).append(n)
-            ddir = os.path.join(self.path, "_catalog_delta")
-            commit = uuid.uuid4().hex
-            for b, names in by_bucket.items():
-                delta = pa.table({
-                    "name": pa.array(names, pa.string()),
-                    "length": pa.array(
-                        [folded[n][0] for n in names], pa.int64()),
-                    "start": pa.array(
-                        [folded[n][1] for n in names], pa.int64()),
-                    "end": pa.array(
-                        [folded[n][2] for n in names], pa.int64()),
-                    "tp": pa.array(
-                        [folded[n][3] for n in names], pa.int32()),
-                    "f_seq": pa.array(
-                        [folded[n][4][0] for n in names], pa.int64()),
-                    "f_int": pa.array(
-                        [folded[n][4][1] for n in names], pa.int64()),
-                    "f_dbl": pa.array(
-                        [folded[n][4][2] for n in names],
-                        pa.float64()),
-                    "f_str": pa.array(
-                        [folded[n][4][3] for n in names],
-                        pa.string()),
-                    "l_seq": pa.array(
-                        [folded[n][5][0] for n in names], pa.int64()),
-                    "l_int": pa.array(
-                        [folded[n][5][1] for n in names], pa.int64()),
-                    "l_dbl": pa.array(
-                        [folded[n][5][2] for n in names],
-                        pa.float64()),
-                    "l_str": pa.array(
-                        [folded[n][5][3] for n in names],
-                        pa.string()),
-                })
-                bdir = os.path.join(ddir, f"bucket={b}")
-                os.makedirs(bdir, exist_ok=True)
-                pq.write_table(delta, os.path.join(
-                    bdir, f"delta-{commit}.parquet"))
+            # shared commit shape with the engine's small-append path
+            # (store.write_arrow_delta): one file per touched bucket,
+            # Hive-style bucket=N/ layout, one uuid per commit.
+            from .store import write_arrow_delta
+
+            write_arrow_delta(self.path, folded,
+                              self._store_buckets())
 
     def _store_buckets(self) -> int:
         """Active catalog bucket count: explicit writer option wins,

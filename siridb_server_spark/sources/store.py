@@ -58,6 +58,132 @@ N_CATALOG_BUCKETS = 8
 #: would exceed this many catalog rows
 TARGET_ROWS_PER_BUCKET = 1_000_000
 
+#: appends whose landed parquet bytes fit under this compute their
+#: catalog delta with pyarrow on the driver — one fewer Spark job per
+#: micro-batch (the common streaming-ingest shape). Larger appends
+#: read the landed files back distributed.
+ARROW_STATS_MAX_BYTES = 64 * 1024 * 1024
+
+#: driver-held row batches up to this size write through the pure
+#: pyarrow path (zero Spark jobs); beyond it, distribute via Spark
+LOCAL_APPEND_MAX_ROWS = 5_000_000
+
+_STATS_COLS = ["series", "ts", "seq", "val_int", "val_dbl",
+               "val_str", "tp"]
+
+
+def _pa_points_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("series", pa.string()), ("ts", pa.int64()),
+        ("seq", pa.int64()), ("val_int", pa.int64()),
+        ("val_dbl", pa.float64()), ("val_str", pa.string()),
+        ("tp", pa.int32())])
+
+
+def _fold_stats_table(tbl) -> dict:
+    """Fold a pyarrow points table into the catalog-stats dict
+    ``{name: (length, start, end, tp, (f_seq, f_int, f_dbl, f_str),
+    (l_seq, l_int, l_dbl, l_str))}`` — the driver-side twin of the
+    Spark ``_batch_stats`` aggregation (first/last = argmin/argmax
+    over (ts, seq))."""
+    import pandas as pd
+
+    pdf = tbl.select(_STATS_COLS) \
+        .to_pandas(integer_object_nulls=True)
+    # pandas maps BOTH null and NaN doubles to NaN; a double series
+    # can hold real NaN points, so keep val_dbl as objects (None vs
+    # nan preserved)
+    pdf["val_dbl"] = pd.Series(
+        tbl.column("val_dbl").to_pylist(), dtype="object")
+    if pdf.empty:
+        return {}
+    # stable sort by (ts, seq): head/tail rows per series are the
+    # exact argmin/argmax the Spark _batch_stats computes
+    pdf = pdf.sort_values(["series", "ts", "seq"], kind="mergesort")
+    firsts = pdf.drop_duplicates("series", keep="first") \
+        .set_index("series")
+    lasts = pdf.drop_duplicates("series", keep="last") \
+        .set_index("series")
+    agg = pdf.groupby("series", sort=True).agg(
+        length=("ts", "size"), start=("ts", "min"),
+        end=("ts", "max"), tp=("tp", "max"))
+
+    def _int(v):
+        return None if v is None or v != v else int(v)
+
+    folded = {}
+    for name, row in agg.iterrows():
+        fr, lr = firsts.loc[name], lasts.loc[name]
+        folded[name] = (
+            int(row["length"]), int(row["start"]),
+            int(row["end"]), int(row["tp"]),
+            (int(fr["seq"]), _int(fr["val_int"]),
+             fr["val_dbl"], fr["val_str"]),
+            (int(lr["seq"]), _int(lr["val_int"]),
+             lr["val_dbl"], lr["val_str"]))
+    return folded
+
+
+def write_arrow_delta(path: str, folded: dict, buckets: int):
+    """Append one catalog delta commit driver-side with pyarrow.
+
+    ``folded`` is ``{name: (length, start, end, tp,
+    (f_seq, f_int, f_dbl, f_str), (l_seq, l_int, l_dbl, l_str))}``.
+    Writes one file per touched bucket under the same Hive-style
+    ``bucket=N/`` layout as the engine's sharded Spark delta append —
+    a consistent layout is what lets one ``spark.read`` cover deltas
+    from both writers. All files of the commit share one uuid, so the
+    store's append counter sees a single append. Bucket values are
+    re-derived on fold, but use the store's persisted count so
+    pruning stays aligned after an auto-resize."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .xxh import xxh64_signed
+
+    if not folded:
+        return
+    by_bucket: dict = {}
+    for n in sorted(folded):
+        b = xxh64_signed(n.encode("utf-8")) % buckets
+        by_bucket.setdefault(b, []).append(n)
+    ddir = os.path.join(path, "_catalog_delta")
+    commit = uuid.uuid4().hex
+    for b, names in by_bucket.items():
+        delta = pa.table({
+            "name": pa.array(names, pa.string()),
+            "length": pa.array(
+                [folded[n][0] for n in names], pa.int64()),
+            "start": pa.array(
+                [folded[n][1] for n in names], pa.int64()),
+            "end": pa.array(
+                [folded[n][2] for n in names], pa.int64()),
+            "tp": pa.array(
+                [folded[n][3] for n in names], pa.int32()),
+            "f_seq": pa.array(
+                [folded[n][4][0] for n in names], pa.int64()),
+            "f_int": pa.array(
+                [folded[n][4][1] for n in names], pa.int64()),
+            "f_dbl": pa.array(
+                [folded[n][4][2] for n in names], pa.float64()),
+            "f_str": pa.array(
+                [folded[n][4][3] for n in names], pa.string()),
+            "l_seq": pa.array(
+                [folded[n][5][0] for n in names], pa.int64()),
+            "l_int": pa.array(
+                [folded[n][5][1] for n in names], pa.int64()),
+            "l_dbl": pa.array(
+                [folded[n][5][2] for n in names], pa.float64()),
+            "l_str": pa.array(
+                [folded[n][5][3] for n in names], pa.string()),
+        })
+        bdir = os.path.join(ddir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(delta, os.path.join(
+            bdir, f"delta-{commit}.parquet"))
+
 
 #: ref src/siri/db/points.c:18
 TOLERANCE_INTERVAL_DETECT = 10
@@ -135,11 +261,26 @@ class PointsStore:
         # the next read_catalog() sees it and rebuilds — the catalog
         # can lag but can never silently under-count. (On Delta the
         # same guarantee comes from writing both in one transaction.)
+        spark = df.sparkSession
         with self._pending():
-            self._append_via_stage(
+            landed = self._append_via_stage(
                 self._with_partitions(df), self.path, ["kind", "sid"],
                 compression="zstd")
-            self._merge_catalog(df.sparkSession, self._batch_stats(df))
+            if landed:
+                # compute the catalog stats from the columnar bytes
+                # JUST WRITTEN (restricted to this append's files)
+                # instead of executing the batch plan a second time —
+                # the upstream pipeline may be arbitrarily expensive,
+                # the read-back is a pruned scan of what it produced.
+                # Small appends (streaming micro-batches) fold the
+                # stats driver-side with pyarrow — no second Spark
+                # job at all; big ones read back distributed.
+                if not self._merge_catalog_arrow(spark, landed):
+                    stats_src = (spark.read
+                                 .option("basePath", self.path)
+                                 .parquet(*landed))
+                    self._merge_catalog(spark,
+                                        self._batch_stats(stats_src))
         if not os.path.exists(self._durations_path):
             # the durations define the sid layout; persist them with
             # the first data so every later opener agrees
@@ -158,7 +299,8 @@ class PointsStore:
         carry per-job uuids, so concurrent appends are pure disjoint
         file additions; a crash mid-move leaves a partial set of
         visible files, which the caller's pending marker already
-        covers (one-time catalog rebuild)."""
+        covers (one-time catalog rebuild). Returns the list of moved
+        (now-visible) file paths."""
         # dot-prefixed: invisible to Spark's file listing, so a
         # crash-leftover stage can never pollute reads
         stage = os.path.join(target, f".append-{uuid.uuid4().hex}")
@@ -166,6 +308,7 @@ class PointsStore:
         if compression:
             w = w.option("compression", compression)
         w.parquet(stage)
+        moved = []
         try:
             for root, dirs, files in os.walk(stage):
                 dirs[:] = [d for d in dirs if not d.startswith(".")]
@@ -178,11 +321,13 @@ class PointsStore:
                     os.makedirs(dest, exist_ok=True)
                     os.rename(os.path.join(root, f),
                               os.path.join(dest, f))
+                    moved.append(os.path.join(dest, f))
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+        return moved
 
     def append_rows(self, spark: SparkSession, rows: list):
-        self.append_df(spark.createDataFrame(rows, POINTS_SCHEMA))
+        self.append_local(spark, rows)
 
     # alias used by the engine
     def append(self, spark: SparkSession, rows: list):
@@ -448,6 +593,97 @@ class PointsStore:
             self._delta_path, ["bucket"])
         if self._n_delta_appends() > self.DELTA_COMPACT_AT:
             self._compact_catalog(spark)
+
+    def _merge_catalog_arrow(self, spark: SparkSession,
+                             landed: list) -> bool:
+        """Driver-side catalog delta for a SMALL append: fold the
+        just-landed parquet files with pyarrow/pandas and write the
+        delta commit directly (same layout the Spark path produces).
+        Returns False — caller falls back to the distributed path —
+        when the landed bytes exceed ARROW_STATS_MAX_BYTES or pyarrow
+        is unavailable. This is exactly the Arrow datasource writer's
+        commit shape (datasource.py), so a streaming micro-batch
+        costs ONE Spark job (the points write), not two."""
+        try:
+            total = sum(os.path.getsize(f) for f in landed)
+        except OSError:
+            return False
+        if total > ARROW_STATS_MAX_BYTES:
+            return False
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return False
+        # integer_object_nulls downstream: null int64 must stay exact
+        # Python ints/None, not lossy float64-with-NaN
+        tbl = pa.concat_tables(
+            pq.read_table(f, columns=_STATS_COLS) for f in landed)
+        write_arrow_delta(self.path, _fold_stats_table(tbl),
+                          self.catalog_buckets)
+        if self._n_delta_appends() > self.DELTA_COMPACT_AT:
+            self._compact_catalog(spark)
+        return True
+
+    def append_local(self, spark: SparkSession, rows: list):
+        """Driver-local ingest: write the rows straight to their
+        shard partitions with pyarrow and fold the catalog delta
+        in-memory — ZERO Spark jobs. This is the reference's own
+        ingest shape (points buffer → native shard file append,
+        src/siri/db/insert.c + shards.c): a protocol insert's rows
+        are already driver-resident, so a distributed write job buys
+        nothing but ~1 s of scheduling. Same crash protocol as the
+        Spark path: per-appender pending marker, dot-prefixed temp +
+        rename per file. Falls back to :meth:`append_df` above
+        LOCAL_APPEND_MAX_ROWS or without pyarrow."""
+        if len(rows) > LOCAL_APPEND_MAX_ROWS:
+            self.append_df(spark.createDataFrame(rows, POINTS_SCHEMA))
+            return
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            self.append_df(spark.createDataFrame(rows, POINTS_SCHEMA))
+            return
+        groups: dict = {}
+        for r in rows:
+            kind = "log" if r[6] == TP_STRING else "num"
+            dur = self.duration_log if r[6] == TP_STRING \
+                else self.duration_num
+            ts = r[1]
+            # Spark's % is trunc-mod (remainder keeps ts's sign),
+            # Python's is floor-mod — match Spark so negative
+            # timestamps land in the same sid the distributed
+            # writer would pick
+            rem = ts % dur if ts >= 0 else -((-ts) % dur)
+            groups.setdefault((kind, ts - rem), []).append(r)
+        schema = _pa_points_schema()
+        with self._pending():
+            commit = uuid.uuid4().hex
+            tables = []
+            for i, ((kind, sid), grp) in enumerate(
+                    sorted(groups.items())):
+                tbl = pa.table(
+                    {name: [r[j] for r in grp]
+                     for j, name in enumerate(_STATS_COLS)},
+                    schema=schema)
+                tgt = os.path.join(self.path, f"kind={kind}",
+                                   f"sid={sid}")
+                os.makedirs(tgt, exist_ok=True)
+                base = f"local-{commit}-{i:05d}.parquet"
+                tmp = os.path.join(tgt, f".{base}")
+                pq.write_table(tbl, tmp, compression="zstd")
+                os.rename(tmp, os.path.join(tgt, base))
+                tables.append(tbl)
+            if tables:
+                write_arrow_delta(
+                    self.path,
+                    _fold_stats_table(pa.concat_tables(tables)),
+                    self.catalog_buckets)
+                if self._n_delta_appends() > self.DELTA_COMPACT_AT:
+                    self._compact_catalog(spark)
+        if not os.path.exists(self._durations_path):
+            self.persist_durations()
 
     @property
     def _compact_lock_path(self) -> str:

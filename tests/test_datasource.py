@@ -380,8 +380,9 @@ def test_write_negative_ts_matches_store_sid_alignment(spark,
             ("n", 5, 2, 3, None, None, 0)]
     _write(spark.createDataFrame(rows, POINTS_SCHEMA), path_a)
     PointsStore(path_b, 1000, 1000).append_rows(spark, rows)
-    sids = lambda p: sorted(
-        (k, s) for k, s, _f, _m in _shard_files(p))
+    # compare the DIRECTORY sets: file counts differ legitimately
+    # (append_local writes one file per shard, Spark one per task)
+    sids = lambda p: {(k, s) for k, s, _f, _m in _shard_files(p)}
     assert sids(path_a) == sids(path_b)
     # reads agree and pruning never loses the pre-epoch rows
     df = spark.read.format("siridb") \

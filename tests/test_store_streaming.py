@@ -1097,3 +1097,77 @@ def test_auto_duration_from_first_insert(spark, tmp_path):
     assert eng3.duration_num == default_num
     assert SiriEngine.open(spark, str(tmp_path / "bdb"),
                            precision="s").duration_num == default_num
+
+
+def test_arrow_stats_path_matches_spark_path(spark, tmp_path,
+                                             monkeypatch):
+    """Small appends fold catalog stats driver-side with pyarrow
+    (no second Spark job); the resulting catalog must be identical
+    to the distributed read-back path's — including exact null
+    ints, None-vs-NaN doubles, and (ts, seq) first/last ties."""
+    from siridb_server_spark.model import POINTS_SCHEMA
+    from siridb_server_spark.sources import store as store_mod
+
+    rows = [
+        ("a", 200, 0, 5, None, None, 1),
+        ("a", 100, 1, 7, None, None, 1),
+        ("a", 100, 2, 9, None, None, 1),       # dup ts, higher seq
+        ("d", 100, 0, None, float("nan"), None, 2),
+        ("d", 300, 1, None, 2.5, None, 2),
+        ("lg", 150, 0, None, None, "x", 3),
+    ]
+    df = spark.createDataFrame(rows, POINTS_SCHEMA)
+    s_arrow = PointsStore(str(tmp_path / "arrow"), 3600, 3600)
+    s_spark = PointsStore(str(tmp_path / "spark"), 3600, 3600)
+    s_arrow.append_df(df)
+    # force the distributed fallback for the twin store
+    monkeypatch.setattr(store_mod, "ARROW_STATS_MAX_BYTES", 0)
+    s_spark.append_df(df)
+    ca, cs = s_arrow.read_catalog_local(), s_spark.read_catalog_local()
+    assert ca is not None and cs is not None
+    assert set(ca) == set(cs) == {"a", "d", "lg"}
+    import math
+    for k in ca:
+        la, ls = ca[k], cs[k]
+        assert la[:4] == ls[:4]
+        for va, vs in zip(la[4] + la[5], ls[4] + ls[5]):
+            if isinstance(va, float) and math.isnan(va):
+                assert isinstance(vs, float) and math.isnan(vs)
+            else:
+                assert va == vs
+    # the arrow path found the exact first/last semantics
+    assert ca["a"][4] == (1, 7, None, None)   # min (ts, seq)
+    assert ca["a"][5] == (0, 5, None, None)   # max (ts, seq)
+    assert math.isnan(ca["d"][4][2])          # genuine NaN point kept
+
+
+def test_append_local_matches_spark_writer(spark, tmp_path):
+    """The zero-job pyarrow ingest path (append_local) lands rows in
+    the SAME sid directories — trunc-mod, not Python floor-mod, for
+    negative timestamps — and folds an identical catalog to the
+    distributed writer's."""
+    import os
+
+    from siridb_server_spark.model import POINTS_SCHEMA
+
+    rows = [("n", -5, 0, None, 1.5, None, 2),
+            ("n", -7200, 1, None, 2.5, None, 2),
+            ("n", 10, 2, None, 3.5, None, 2),
+            ("lg", 50, 3, None, None, "x", 3)]
+    a = PointsStore(str(tmp_path / "a"), 3600, 7200)
+    b = PointsStore(str(tmp_path / "b"), 3600, 7200)
+    a.append_local(spark, rows)
+    b.append_df(spark.createDataFrame(rows, POINTS_SCHEMA))
+
+    def sids(p):
+        out = set()
+        for _root, dirs, _files in os.walk(p):
+            out.update(d for d in dirs if d.startswith("sid="))
+        return sorted(out)
+
+    assert sids(str(tmp_path / "a")) == sids(str(tmp_path / "b"))
+    assert a.read_catalog_local() == b.read_catalog_local()
+    # both read back identically through the Spark scan
+    ra = a.read(spark).orderBy("ts", "seq").collect()
+    rb = b.read(spark).orderBy("ts", "seq").collect()
+    assert ra == rb
