@@ -886,22 +886,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_gif_decode"] = multimodal_gif_decode
 
     def multimodal_jpeg_decode(spark, sf_dir):
-        """REAL baseline-JPEG decode (from-scratch Huffman entropy
-        decode + dequant + IDCT + YCbCr) on hand-built images whose
-        expected values are independently derivable: flat and
-        flat-tile images survive the all-ones-quant pipeline
-        EXACTLY (a flat 8x8 block is pure DC, which rounds without
-        loss), so the oracle is constants. Covers DC prediction
-        across blocks, restart intervals, 4:2:0 subsampling, a
-        progressive (SOF2) reject and a non-JPEG reject."""
+        """REAL JPEG decode — baseline SOF0 AND progressive SOF2
+        (from-scratch Huffman entropy decode + multi-scan spectral/
+        successive-approximation accumulation + dequant + IDCT +
+        YCbCr) on hand-built images whose expected values are
+        independently derivable: flat and flat-tile images survive
+        the all-ones-quant pipeline EXACTLY (a flat 8x8 block is
+        pure DC, which rounds without loss), so the oracle is
+        constants. Covers DC prediction across blocks, restart
+        intervals, 4:2:0 subsampling, real progressive scans (gray
+        + subsampled color), a MALFORMED progressive reject (SOF2
+        with a baseline scan header) and a non-JPEG reject."""
         import numpy as np
         flat = np.full((8, 8), 100, np.uint8)
         tiles = np.zeros((16, 16), np.uint8)
         tiles[:8, 8:], tiles[8:, :8], tiles[8:, 8:] = 50, 100, 250
         color = np.zeros((16, 16, 3), np.uint8)
         color[:] = (200, 50, 120)
-        prog = bytearray(MM.encode_jpeg_baseline(flat))
-        prog[prog.index(b"\xFF\xC0") + 1] = 0xC2  # fake SOF2
+        bad = bytearray(MM.encode_jpeg_baseline(flat))
+        bad[bad.index(b"\xFF\xC0") + 1] = 0xC2  # corrupt scan combo
         rows = [
             (1, "image", MM.encode_jpeg_baseline(flat),
              "image/jpeg"),
@@ -911,8 +914,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 tiles, restart_interval=1), "image/jpeg"),
             (4, "image", MM.encode_jpeg_baseline(
                 color, subsample=(2, 2)), "image/jpeg"),
-            (5, "image", bytes(prog), "image/jpeg"),
+            (5, "image", bytes(bad), "image/jpeg"),
             (6, "image", b"not a jpeg", "application/octet-stream"),
+            (7, "image", MM.encode_jpeg_progressive(tiles),
+             "image/jpeg"),
+            (8, "image", MM.encode_jpeg_progressive(
+                color, subsample=(2, 2)), "image/jpeg"),
         ]
         media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
         return MM.decode_jpeg_meta(media)
@@ -2859,6 +2866,8 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 4, 16, 16, 3, 200.0, 50.0, 120.0"
         " UNION ALL SELECT 5, NULL, NULL, NULL, NULL, NULL, NULL"
         " UNION ALL SELECT 6, NULL, NULL, NULL, NULL, NULL, NULL"
+        " UNION ALL SELECT 7, 16, 16, 1, 100.0, 100.0, 100.0"
+        " UNION ALL SELECT 8, 16, 16, 3, 200.0, 50.0, 120.0"
     )
     o["multimodal_gif_frames"] = (
         "SELECT CAST(1 AS BIGINT) AS media_id,"

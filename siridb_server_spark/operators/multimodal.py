@@ -8,8 +8,11 @@ via stdlib zlib, baseline JPEG via from-scratch Huffman+IDCT, GIF via
 from-scratch LZW, P6 PPM), for RIFF/PCM16 WAV audio, and — since r6 —
 for MP4/ISO-BMFF video CONTAINER metadata (dims, frame count,
 duration, per-sample byte ranges via the public 14496-12 box walk).
-What remains stubbed is pixel-level compressed-codec decode only
-(H.264 frames, MP3, progressive JPEG — need native libraries): those
+Progressive (SOF2) JPEG also decodes for real since r6 — spectral
+selection + successive approximation per T.81 §G, sharing the
+baseline path's Huffman/IDCT/upsample machinery. What remains
+stubbed is pixel-level compressed-codec decode only
+(H.264 frames, MP3 — need native libraries): those
 paths raise NotImplementedError unless ``deterministic_fake=True``,
 which produces metadata derived only from the bytes (so tests and the
 correctness oracle can run).
@@ -77,7 +80,8 @@ def _fake_meta(payload: bytes) -> tuple:
 def _real_image_meta(payload: bytes):
     """Real (n_bytes, width, height, n_frames) for the library-free
     image formats this module actually decodes — PNG (stdlib zlib),
-    baseline JPEG (from-scratch Huffman + IDCT), GIF (LZW, with the
+    JPEG both baseline and progressive (from-scratch Huffman +
+    IDCT + §G multi-scan accumulation), GIF (LZW, with the
     true animation frame count) and P6 PPM. None for anything else
     (video/codec formats like MP4)."""
     png = _parse_png_raster(payload)
@@ -110,9 +114,9 @@ def decode_image_meta(media: DataFrame,
     Huffman+IDCT / LZW / plain header parse), and MP4/ISO-BMFF
     payloads yield REAL container metadata (dims, true frame count)
     via the box walk; what remains stubbed is pixel-level codec
-    decode only (H.264 frames, progressive JPEG) — deterministic
-    fake metadata derived from the bytes, or NotImplementedError
-    when ``deterministic_fake=False``."""
+    decode only (H.264 frames) — deterministic fake metadata
+    derived from the bytes, or NotImplementedError when
+    ``deterministic_fake=False``."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -126,12 +130,12 @@ def decode_image_meta(media: DataFrame,
                     if not deterministic_fake:
                         raise NotImplementedError(
                             "pixel-level codec decode (H.264 "
-                            "frames, progressive JPEG) requires "
-                            "ffmpeg — not available in this "
-                            "container; pass deterministic_fake="
-                            "True (PNG, baseline JPEG, GIF, P6 PPM "
-                            "and MP4 container metadata decode for "
-                            "real)")
+                            "frames) requires ffmpeg — not "
+                            "available in this container; pass "
+                            "deterministic_fake=True (PNG, "
+                            "baseline+progressive JPEG, GIF, P6 "
+                            "PPM and MP4 container metadata decode "
+                            "for real)")
                     m = _fake_meta(p)
                 metas.append(m)
             yield pd.DataFrame({
@@ -597,17 +601,20 @@ def _parse_jpeg_raster(payload: bytes):
     walk, DQT/DHT/SOF0/SOS/DRI parsing, canonical Huffman entropy
     decode with byte-unstuffing and restart intervals, dequantize +
     zigzag + IDCT per 8x8 block, chroma upsampling for 4:4:4 / 4:2:2
-    / 4:2:0, and BT.601 YCbCr->RGB. Supported subset: baseline
-    sequential (SOF0), 8-bit, 1 or 3 components. Progressive (SOF2),
-    arithmetic coding, and 12-bit return None — malformed input is
-    invalid, never a crash. Returns (w, h, n_components, HxWx3 uint8
-    rgb)."""
+    / 4:2:0, and BT.601 YCbCr->RGB. Supported: baseline sequential
+    (SOF0) AND progressive (SOF2 — spectral selection + successive
+    approximation per T.81 §G, multi-scan coefficient accumulation),
+    8-bit, 1 or 3 components. Arithmetic coding, 12-bit, and
+    hierarchical return None — malformed input is invalid, never a
+    crash. Returns (w, h, n_components, HxWx3 uint8 rgb)."""
+    import struct
+
     import numpy as np
 
     try:
         return _parse_jpeg_raster_inner(payload, np)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            TypeError):
+            TypeError, struct.error):
         return None
 
 
@@ -622,12 +629,18 @@ def _parse_jpeg_raster_inner(payload: bytes, np):
     huff_ac: dict = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    progressive = False
+    prog = None  # per-component coefficient state across scans
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             return None
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
-            return None  # EOI before SOS: no image
+            if prog is not None and prog.any_scan:
+                return _jpeg_progressive_finish(prog, qt, np)
+            return None  # EOI before any decodable scan: no image
+        if pos + 4 > len(payload):
+            return None  # truncated segment header
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + seglen]
         pos += 2 + seglen
@@ -654,7 +667,7 @@ def _parse_jpeg_raster_inner(payload: bytes, np):
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(
                     bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8 or nc not in (1, 3):
                 return None
@@ -663,15 +676,31 @@ def _parse_jpeg_raster_inner(payload: bytes, np):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if marker == 0xC2:
+                progressive = True
+                prog = _JpegProgState(w, h, comps, np)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # extended/lossless/arithmetic frame types
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 return None
             ns = body[0]
+            if progressive:
+                sel = []  # (cid, dc table, ac table) in scan order
+                for c in range(ns):
+                    cs, tt = body[1 + 2 * c:3 + 2 * c]
+                    sel.append((cs, tt >> 4, tt & 15))
+                ss, se, ahl = body[1 + 2 * ns:4 + 2 * ns]
+                pos = _jpeg_progressive_scan(
+                    payload, pos, prog, sel, ss, se,
+                    ahl >> 4, ahl & 15, huff_dc, huff_ac,
+                    restart_interval, np)
+                if pos is None:
+                    return None
+                continue
             scan = {}
             for c in range(ns):
                 cs, tt = body[1 + 2 * c:3 + 2 * c]
@@ -745,7 +774,13 @@ def _jpeg_decode_scan(payload, pos, frame, scan, qt, huff_dc,
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px + 128.0
-    # upsample each component plane to full resolution and crop
+    return _jpeg_assemble(planes, comps, w, h, hmax, vmax, np)
+
+
+def _jpeg_assemble(planes, comps, w, h, hmax, vmax, np):
+    """Upsample component planes to full resolution, crop, and
+    convert BT.601 YCbCr->RGB (shared by the baseline and
+    progressive reconstruction paths)."""
     full = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         p = planes[ci]
@@ -765,6 +800,232 @@ def _jpeg_decode_scan(payload, pos, frame, scan, qt, huff_dc,
             np.clip(np.round(rgb), 0, 255).astype(np.uint8))
 
 
+class _JpegProgState:
+    """Coefficient accumulator for a progressive (SOF2) frame: per
+    component, a (blocks_y, blocks_x, 64) zigzag-order int array
+    successive scans deposit into (spec T.81 §G: the image is coded
+    as spectral bands refined by successive approximation across
+    multiple scans; only after the last scan do dequantize + IDCT
+    run once)."""
+
+    def __init__(self, w, h, comps, np):
+        self.w, self.h, self.comps = w, h, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coefs = []       # per component, MCU-padded grid
+        self.comp_blocks = []  # (bw, bh) the non-interleaved dims
+        for cid, ch, cv, tq in comps:
+            self.coefs.append(np.zeros(
+                (self.mcus_y * cv, self.mcus_x * ch, 64),
+                dtype=np.int64))
+            bw = (-(-w * ch // self.hmax) + 7) // 8
+            bh = (-(-h * cv // self.vmax) + 7) // 8
+            self.comp_blocks.append((bw, bh))
+        self.any_scan = False
+
+
+def _jpeg_next_marker(data: bytes, pos: int) -> int:
+    """Skip past entropy-coded bytes to the next real marker
+    (stuffed FF00 and RSTn are entropy data, not segment starts)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 \
+                and not (0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return n
+
+
+def _jpeg_refine_nonzero(reader, coef, k, p1):
+    """AC refinement of an existing nonzero coefficient (G.1.2.3):
+    one correction bit; when set and the p1 magnitude bit is still
+    clear, nudge the value away from zero by p1. Two's-complement
+    ``&`` matches the spec's signed test (Python ints are infinite
+    two's complement)."""
+    if reader.read_bit() and (int(coef[k]) & p1) == 0:
+        coef[k] += p1 if coef[k] > 0 else -p1
+
+
+def _jpeg_prog_block(reader, coef, ss, se, ah, al, dc_tbl, ac_tbl,
+                     pred, eobrun):
+    """Decode ONE block's contribution for the current progressive
+    scan. Returns (pred, eobrun) or None on a corrupt stream.
+    ``coef`` is the block's 64-length zigzag view; ``pred`` the DC
+    predictor (DC scans), ``eobrun`` the end-of-band run counter
+    (AC scans)."""
+    if ss == 0:
+        if ah == 0:  # DC first: Huffman diff of the point transform
+            t = _huff_decode(reader, dc_tbl)
+            if t is None or t > 11:
+                return None
+            pred += _jpeg_extend(reader.receive(t), t)
+            coef[0] = pred << al
+        else:        # DC refinement: one bit per block
+            if reader.read_bit():
+                coef[0] = int(coef[0]) | (1 << al)
+        return pred, eobrun
+    p1 = 1 << al
+    if ah == 0:  # AC first (G.1.2.2)
+        if eobrun > 0:
+            return pred, eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            if rs is None:
+                return None
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                return None
+            coef[k] = _jpeg_extend(reader.receive(s), s) << al
+            k += 1
+        return pred, eobrun
+    # AC refinement (G.1.2.3)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            if rs is None:
+                return None
+            r, s = rs >> 4, rs & 15
+            if s == 0 and r < 15:  # EOBn: rest of band refines below
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            if s == 0:
+                newval = 0  # ZRL: 16 zero-history positions
+            elif s == 1:
+                newval = p1 if reader.read_bit() else -p1
+            else:
+                return None  # only ±1 insertions are legal here
+            # advance over r zero-history positions, refining any
+            # nonzero-history coefficients passed on the way
+            while k <= se:
+                if coef[k] != 0:
+                    _jpeg_refine_nonzero(reader, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB band: correction bits only
+            if coef[k] != 0:
+                _jpeg_refine_nonzero(reader, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return pred, eobrun
+
+
+def _jpeg_progressive_scan(payload, pos, prog, sel, ss, se, ah, al,
+                           huff_dc, huff_ac, restart_interval, np):
+    """Decode one progressive SOS into the coefficient state and
+    return the position of the next marker (None on corruption).
+    DC scans (ss == 0) may interleave components per MCU; AC scans
+    are single-component over that component's own block grid
+    (T.81 G.1; B.2.3 requires Ns=1 when Ss > 0)."""
+    if ss == 0:
+        if se != 0:
+            return None
+    elif len(sel) != 1 or se < ss or se > 63:
+        return None
+    idx = {c[0]: i for i, c in enumerate(prog.comps)}
+    try:
+        members = [(idx[cid], dc, ac) for cid, dc, ac in sel]
+    except KeyError:
+        return None
+    reader = _JpegBitReader(payload, pos)
+    preds = [0] * len(prog.comps)
+    eobrun = 0
+    n_units = 0
+
+    def unit_restart():
+        nonlocal preds, eobrun
+        reader.align_to_marker()
+        preds = [0] * len(prog.comps)
+        eobrun = 0
+
+    try:
+        if ss == 0 and len(members) > 1:
+            # interleaved DC scan: MCU order, ch x cv blocks each
+            for my in range(prog.mcus_y):
+                for mx in range(prog.mcus_x):
+                    if restart_interval and n_units and \
+                            n_units % restart_interval == 0:
+                        unit_restart()
+                    n_units += 1
+                    for ci, dc, ac in members:
+                        _cid, ch, cv, _tq = prog.comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = prog.coefs[ci][
+                                    my * cv + by, mx * ch + bx]
+                                got = _jpeg_prog_block(
+                                    reader, blk, 0, 0, ah, al,
+                                    huff_dc.get(dc), None,
+                                    preds[ci], 0)
+                                if got is None:
+                                    return None
+                                preds[ci] = got[0]
+        else:
+            # non-interleaved: the component's own block raster
+            ci, dc, ac = members[0]
+            bw, bh = prog.comp_blocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and n_units and \
+                            n_units % restart_interval == 0:
+                        unit_restart()
+                    n_units += 1
+                    blk = prog.coefs[ci][by, bx]
+                    got = _jpeg_prog_block(
+                        reader, blk, ss, se, ah, al,
+                        huff_dc.get(dc), huff_ac.get(ac),
+                        preds[ci], eobrun)
+                    if got is None:
+                        return None
+                    preds[ci], eobrun = got
+    except (IndexError, KeyError, TypeError, AttributeError):
+        return None  # truncated stream or missing Huffman table
+    prog.any_scan = True
+    return _jpeg_next_marker(payload, reader.pos)
+
+
+def _jpeg_progressive_finish(prog, qt, np):
+    """All scans landed: dequantize + IDCT every block at once
+    (vectorized einsum over the padded block grids), then the same
+    upsample/crop/color tail as baseline."""
+    idct = _jpeg_idct_matrix()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(prog.comps):
+        deq = prog.coefs[ci] * qt[tq]  # zigzag order
+        bh, bw = deq.shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[:, :, zz] = deq
+        blocks = nat.reshape(bh, bw, 8, 8)
+        # px[x, y] = sum_u sum_v C[u, x] B[u, v] C[v, y]
+        px = np.einsum("ux,ijuv,vy->ijxy", idct, blocks, idct)
+        planes.append(
+            px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0)
+    return _jpeg_assemble(planes, prog.comps, prog.w, prog.h,
+                          prog.hmax, prog.vmax, np)
+
+
 JPEG_META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.LongType(), True),
@@ -777,10 +1038,10 @@ JPEG_META_SCHEMA = T.StructType([
 
 
 def decode_jpeg_meta(media: DataFrame) -> DataFrame:
-    """REAL baseline-JPEG decode through the Arrow path: dims +
-    component count + per-channel means of the decoded raster.
-    Progressive/arithmetic/12-bit payloads (outside the declared
-    baseline subset) and malformed input yield NULL metadata."""
+    """REAL JPEG decode (baseline SOF0 + progressive SOF2) through
+    the Arrow path: dims + component count + per-channel means of
+    the decoded raster. Arithmetic/12-bit payloads (outside the
+    declared subset) and malformed input yield NULL metadata."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -971,6 +1232,271 @@ def encode_jpeg_baseline(px, subsample=(1, 1),
                         if run:
                             wtr.put(*ac_codes[0x00])  # EOB
     wtr.marker(0xD9)  # EOI
+    return bytes(wtr.out)
+
+
+def encode_jpeg_progressive(px, subsample=(1, 1)) -> bytes:
+    """Progressive (SOF2) JPEG writer — the encode counterpart of
+    the decoder's §G path, for tests/fixtures. Uses a libjpeg-style
+    scan script (spectral selection + successive approximation) that
+    exercises all four progressive scan kinds: DC first, DC
+    refinement, AC first, AC refinement, plus EOB runs and buffered
+    correction bits. Quantization is all-ones and the forward
+    transform is the same as :func:`encode_jpeg_baseline`, so the
+    quantized coefficients are IDENTICAL — a progressive decode must
+    reproduce the baseline decode of the same image bit-for-bit."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    sh, sv = (1, 1) if gray else subsample
+    if gray:
+        planes = [arr]
+        samps = [(1, 1)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb[::sv, ::sh], cr[::sv, ::sh]]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+    nc = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def padded(p, ch, cv):
+        th, tw = mcus_y * cv * 8, mcus_x * ch * 8
+        out = np.empty((th, tw))
+        ph, pw = p.shape
+        out[:ph, :pw] = p
+        out[ph:, :pw] = p[ph - 1:ph, :]
+        out[:, pw:] = out[:, pw - 1:pw]
+        return out
+
+    cmat = _jpeg_idct_matrix()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    coefs = []        # per comp: (bh_full, bw_full, 64) zigzag ints
+    comp_blocks = []  # non-interleaved (bw, bh)
+    for ci, (ch, cv) in enumerate(samps):
+        p = padded(planes[ci], ch, cv)
+        bh, bw = mcus_y * cv, mcus_x * ch
+        q = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                # same per-block op order as encode_jpeg_baseline so
+                # round() half-cases quantize identically — the
+                # round-trip tests assert bit-equality of the two
+                # encodings' decodes
+                q[by, bx] = np.round(cmat @ blk @ cmat.T
+                                     ).astype(np.int64).reshape(64)
+        coefs.append(q[:, :, zz])
+        comp_blocks.append(((-(-w * ch // hmax) + 7) // 8,
+                            (-(-h * cv // vmax) + 7) // 8))
+
+    dc_codes = _jfix_codes(_JFIX_DC_BITS, _JFIX_DC_VALS)
+    ac_codes = _jfix_codes(_JFIX_AC_BITS, _JFIX_AC_VALS)
+    wtr = _JpegBitWriter()
+    wtr.out += b"\xFF\xD8"
+    wtr.out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" \
+        + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (ch, cv) in enumerate(samps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    wtr.out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, vals in ((0, _JFIX_DC_BITS, _JFIX_DC_VALS),
+                           (1, _JFIX_AC_BITS, _JFIX_AC_VALS)):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        wtr.out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) \
+            + body
+
+    def put_val(v):
+        s = 0 if v == 0 else int(abs(v)).bit_length()
+        raw = v if v >= 0 else v + (1 << s) - 1
+        return s, raw
+
+    def sos(members, ss, se, ah, al):
+        body = bytes([len(members)])
+        for ci in members:
+            body += bytes([ci + 1, 0])  # dc table 0, ac table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        wtr.out += b"\xFF\xDA" + struct.pack(
+            ">H", 2 + len(body)) + body
+
+    def dc_blocks(members):
+        """Block iterator in scan order: MCU-interleaved for multi-
+        component scans, the component's own raster otherwise."""
+        if len(members) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in members:
+                        ch, cv = samps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                yield ci, coefs[ci][
+                                    my * cv + by, mx * ch + bx]
+        else:
+            ci = members[0]
+            bw, bh = comp_blocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    yield ci, coefs[ci][by, bx]
+
+    def scan_dc_first(members, al):
+        sos(members, 0, 0, 0, al)
+        preds = [0] * nc
+        for ci, blk in dc_blocks(members):
+            v = int(blk[0]) >> al  # arithmetic point transform
+            s, raw = put_val(v - preds[ci])
+            preds[ci] = v
+            wtr.put(*dc_codes[s])
+            if s:
+                wtr.put(raw, s)
+        wtr.flush()
+
+    def scan_dc_refine(members, al):
+        sos(members, 0, 0, al + 1, al)
+        for _ci, blk in dc_blocks(members):
+            wtr.put((int(blk[0]) >> al) & 1, 1)
+        wtr.flush()
+
+    def scan_ac_first(ci, ss, se, al):
+        sos([ci], ss, se, 0, al)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                wtr.put(*ac_codes[nb << 4])
+                if nb:
+                    wtr.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        bw, bh = comp_blocks[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = coefs[ci][by, bx]
+                # sign-preserving magnitude point transform (G.1.2.2)
+                tv = [(abs(int(v)) >> al) * (1 if v >= 0 else -1)
+                      for v in blk[ss:se + 1]]
+                if not any(tv):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for v in tv:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        wtr.put(*ac_codes[0xF0])
+                        run -= 16
+                    s, raw = put_val(v)
+                    wtr.put(*ac_codes[(run << 4) | s])
+                    wtr.put(raw, s)
+                    run = 0
+                if run:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        wtr.flush()
+
+    def scan_ac_refine(ci, ss, se, al):
+        """G.1.2.3 encoder with libjpeg's buffered-bit discipline:
+        ``buf[:be]`` holds correction bits belonging to the pending
+        EOB run (emitted right after the EOBn symbol); bits past
+        ``be`` belong to the current block and follow the next
+        emitted symbol (ZRL or run|1 + sign)."""
+        sos([ci], ss, se, al + 1, al)
+        eobrun = 0
+        buf: list = []
+        be = 0
+
+        def emit_cur():
+            nonlocal be
+            for bit in buf:
+                wtr.put(bit, 1)
+            buf.clear()
+            be = 0
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                wtr.put(*ac_codes[nb << 4])
+                if nb:
+                    wtr.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+                for bit in buf[:be]:
+                    wtr.put(bit, 1)
+                del buf[:be]
+                be = 0
+
+        bw, bh = comp_blocks[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = coefs[ci][by, bx]
+                absv = [abs(int(v)) >> al for v in blk[ss:se + 1]]
+                # last position that NEWLY becomes nonzero this scan
+                eob = 0
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i
+                run = 0
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        flush_eob()
+                        wtr.put(*ac_codes[0xF0])
+                        run -= 16
+                        emit_cur()
+                    if t > 1:  # history coefficient: correction bit
+                        buf.append(t & 1)
+                        continue
+                    flush_eob()
+                    wtr.put(*ac_codes[(run << 4) | 1])
+                    run = 0
+                    wtr.put(1 if blk[ss + i] > 0 else 0, 1)
+                    emit_cur()
+                if run > 0 or len(buf) > be:
+                    eobrun += 1
+                    be = len(buf)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        wtr.flush()
+
+    # libjpeg-style script: coarse DC, luma low band, full chroma,
+    # luma high band, then successive-approximation refinements
+    scan_dc_first(list(range(nc)), 1)
+    if nc == 1:
+        scan_ac_first(0, 1, 5, 2)
+        scan_ac_first(0, 6, 63, 2)
+        scan_ac_refine(0, 1, 63, 1)
+        scan_dc_refine(list(range(nc)), 0)
+        scan_ac_refine(0, 1, 63, 0)
+    else:
+        scan_ac_first(0, 1, 5, 2)
+        scan_ac_first(2, 1, 63, 1)
+        scan_ac_first(1, 1, 63, 1)
+        scan_ac_first(0, 6, 63, 2)
+        scan_ac_refine(0, 1, 63, 1)
+        scan_dc_refine(list(range(nc)), 0)
+        scan_ac_refine(2, 1, 63, 0)
+        scan_ac_refine(1, 1, 63, 0)
+        scan_ac_refine(0, 1, 63, 0)
+    wtr.marker(0xD9)
     return bytes(wtr.out)
 
 

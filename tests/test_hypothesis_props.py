@@ -207,3 +207,34 @@ def test_qpack_tcp_frame_roundtrip(data):
     finally:
         a.close()
         b.close()
+
+
+@given(st.data())
+@settings(max_examples=12, deadline=None)
+def test_progressive_jpeg_decodes_identical_to_baseline(data):
+    """Both encoders quantize the SAME coefficients (all-ones
+    tables, identical forward transform), and the progressive scan
+    script reconstructs them exactly (successive-approximation
+    chain down to Al=0) — so the two decodes must agree
+    bit-for-bit, not just within rounding."""
+    import numpy as np
+
+    from siridb_server_spark.operators.multimodal import (
+        _parse_jpeg_raster, encode_jpeg_baseline,
+        encode_jpeg_progressive)
+
+    h = data.draw(st.integers(1, 24), label="h")
+    w = data.draw(st.integers(1, 24), label="w")
+    seed = data.draw(st.integers(0, 2 ** 31 - 1), label="seed")
+    rgb = data.draw(st.booleans(), label="rgb")
+    sub = data.draw(st.sampled_from([(1, 1), (2, 2), (2, 1)]),
+                    label="subsample") if rgb else (1, 1)
+    shape = (h, w, 3) if rgb else (h, w)
+    px = np.random.RandomState(seed).randint(
+        0, 256, shape, dtype=np.int64).astype(np.uint8)
+    base = _parse_jpeg_raster(encode_jpeg_baseline(px, subsample=sub))
+    prog = _parse_jpeg_raster(
+        encode_jpeg_progressive(px, subsample=sub))
+    assert prog is not None
+    assert prog[:3] == base[:3]
+    assert (prog[3] == base[3]).all()

@@ -777,22 +777,30 @@ def test_jpeg_decode_spark_path_and_rejects(spark):
     import numpy as np
 
     flat = np.full((8, 8), 100, np.uint8)
-    prog = bytearray(MM.encode_jpeg_baseline(flat))
-    prog[prog.index(b"\xFF\xC0") + 1] = 0xC2
+    # flipping SOF0->SOF2 on a baseline stream yields a MALFORMED
+    # progressive file (its SOS says Ss=0, Se=63 — illegal for a
+    # DC scan): must NULL, never crash
+    bad_prog = bytearray(MM.encode_jpeg_baseline(flat))
+    bad_prog[bad_prog.index(b"\xFF\xC0") + 1] = 0xC2
     rows = [(1, "image", MM.encode_jpeg_baseline(flat),
              "image/jpeg"),
-            (2, "image", bytes(prog), "image/jpeg"),
-            (3, "image", b"\xFF\xD8garbage", "image/jpeg")]
+            (2, "image", bytes(bad_prog), "image/jpeg"),
+            (3, "image", b"\xFF\xD8garbage", "image/jpeg"),
+            (4, "image", MM.encode_jpeg_progressive(flat),
+             "image/jpeg")]
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in
            MM.decode_jpeg_meta(media).collect()}
     assert (got[1]["width"], got[1]["mean_r"]) == (8, 100.0)
-    assert got[2]["width"] is None  # progressive out of subset
+    assert got[2]["width"] is None  # corrupt scan header
     assert got[3]["width"] is None
-    # decode_image_meta auto-upgrades baseline JPEG to real dims
+    # REAL progressive decode through the Spark path
+    assert (got[4]["width"], got[4]["mean_r"]) == (8, 100.0)
+    # decode_image_meta auto-upgrades both JPEG modes to real dims
     meta = {r["media_id"]: r for r in
             MM.decode_image_meta(media).collect()}
     assert (meta[1]["width"], meta[1]["height"]) == (8, 8)
+    assert (meta[4]["width"], meta[4]["height"]) == (8, 8)
 
 
 def test_wav_features_finds_sine_frequency(spark):
