@@ -1921,3 +1921,44 @@ def decode_h264_rgb(payload: bytes, avcc: bytes = None):
         return None
     w, h, (Y, Cb, Cr) = out
     return w, h, _yuv420_to_rgb(Y, Cb, Cr)
+
+
+def build_avcc(stream_or_sps: bytes, pps: bytes = None,
+               length_size: int = 4) -> bytes:
+    """Build avcC (AVCDecoderConfigurationRecord, 14496-15 §5.2.4)
+    extradata from an Annex B stream (SPS/PPS extracted) or explicit
+    SPS + PPS NAL bytes."""
+    if pps is None:
+        sps_nal = pps_nal = None
+        for nal in split_annexb(stream_or_sps):
+            hdr = _nal_header(nal)
+            if hdr is None:
+                continue
+            if hdr[1] == 7 and sps_nal is None:
+                sps_nal = nal
+            elif hdr[1] == 8 and pps_nal is None:
+                pps_nal = nal
+        assert sps_nal and pps_nal, "stream lacks SPS/PPS"
+    else:
+        sps_nal, pps_nal = stream_or_sps, pps
+    out = bytearray()
+    out.append(1)                      # configurationVersion
+    out += sps_nal[1:4]                # profile / compat / level
+    out.append(0xFC | (length_size - 1))
+    out.append(0xE0 | 1)               # one SPS
+    out += len(sps_nal).to_bytes(2, "big") + sps_nal
+    out.append(1)                      # one PPS
+    out += len(pps_nal).to_bytes(2, "big") + pps_nal
+    return bytes(out)
+
+
+def annexb_to_avcc_sample(stream: bytes, length_size: int = 4) -> bytes:
+    """Re-frame the VCL NALs of an Annex B stream as one
+    length-prefixed MP4 sample (SPS/PPS move to avcC)."""
+    out = bytearray()
+    for nal in split_annexb(stream):
+        hdr = _nal_header(nal)
+        if hdr is None or hdr[1] in (7, 8):
+            continue
+        out += len(nal).to_bytes(length_size, "big") + nal
+    return bytes(out)

@@ -10,12 +10,15 @@ for MP4/ISO-BMFF video CONTAINER metadata (dims, frame count,
 duration, per-sample byte ranges via the public 14496-12 box walk).
 Progressive (SOF2) JPEG also decodes for real since r6 — spectral
 selection + successive approximation per T.81 §G, sharing the
-baseline path's Huffman/IDCT/upsample machinery. What remains
-stubbed is pixel-level compressed-codec decode only
-(H.264 frames, MP3 — need native libraries): those
-paths raise NotImplementedError unless ``deterministic_fake=True``,
-which produces metadata derived only from the bytes (so tests and the
-correctness oracle can run).
+baseline path's Huffman/IDCT/upsample machinery. H.264 video PIXELS
+decode for real since r6 too: ``decode_video_frames`` slices avc1
+samples out of the MP4 byte ranges and runs them through the
+from-scratch baseline I-frame decoder in operators/h264.py (CAVLC +
+intra prediction + exact integer transforms). What remains stubbed
+is the codec long tail only (H.264 inter/P/B + CABAC, H.265, MP3 —
+need native libraries): those paths raise NotImplementedError
+unless ``deterministic_fake=True``, which produces metadata derived
+only from the bytes (so tests and the correctness oracle can run).
 
 At 100 TB: binary payloads dominate row size, so these operators use
 mapInPandas (streaming Arrow batches, bounded memory via
@@ -113,9 +116,10 @@ def decode_image_meta(media: DataFrame,
     decode for REAL (library-free: stdlib zlib / from-scratch
     Huffman+IDCT / LZW / plain header parse), and MP4/ISO-BMFF
     payloads yield REAL container metadata (dims, true frame count)
-    via the box walk; what remains stubbed is pixel-level codec
-    decode only (H.264 frames) — deterministic fake metadata
-    derived from the bytes, or NotImplementedError when
+    via the box walk (I-frame PIXELS decode for real through
+    :func:`decode_video_frames`); what remains stubbed here is the
+    codec long tail (H.264 inter/CABAC, H.265) — deterministic fake
+    metadata derived from the bytes, or NotImplementedError when
     ``deterministic_fake=False``."""
 
     def run(batches: Iterator) -> Iterator:
@@ -129,13 +133,13 @@ def decode_image_meta(media: DataFrame,
                 if m is None:
                     if not deterministic_fake:
                         raise NotImplementedError(
-                            "pixel-level codec decode (H.264 "
-                            "frames) requires ffmpeg — not "
-                            "available in this container; pass "
+                            "inter-frame/CABAC codec decode "
+                            "requires ffmpeg — not available in "
+                            "this container; pass "
                             "deterministic_fake=True (PNG, "
                             "baseline+progressive JPEG, GIF, P6 "
-                            "PPM and MP4 container metadata decode "
-                            "for real)")
+                            "PPM, MP4 containers and baseline "
+                            "H.264 I-frames decode for real)")
                     m = _fake_meta(p)
                 metas.append(m)
             yield pd.DataFrame({
@@ -2094,9 +2098,10 @@ def resample_wav(media: DataFrame, out_rate: int) -> DataFrame:
 # mdia(mdhd, hdlr, minf(stbl(stsd, stts, stsc, stsz, stco/co64)))).
 # This replaces the r5 length-derived video STUB with REAL container
 # metadata (frame count, dimensions, duration, codec fourcc,
-# per-sample file offsets); only actual H.264/H.265 PIXEL decode
-# stays stubbed (needs ffmpeg). Same Arrow-batched mapInPandas shape
-# as the GIF/PNG/WAV decoders.
+# per-sample file offsets); baseline-intra H.264 PIXELS decode for
+# real via operators/h264.py (decode_video_frames below) — only the
+# inter/CABAC/H.265 codec tail stays stubbed (needs ffmpeg). Same
+# Arrow-batched mapInPandas shape as the GIF/PNG/WAV decoders.
 
 MP4_META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -2199,6 +2204,7 @@ def _parse_mp4(payload: bytes):
     return {
         "brand": brand,
         "codec": best["codec"],
+        "avcc": best.get("avcc"),
         "width": best["width"],
         "height": best["height"],
         "n_frames": best["n_frames"],
@@ -2237,16 +2243,19 @@ def _parse_mp4_track(buf: bytes, s: int, e: int):
     bs, be = stbl
 
     codec = None
+    avcc = None
     stsd = _mp4_find(buf, bs, be, b"stsd")
     if stsd:
         ss, se = stsd
         # fullbox(4) + entry_count(4), then the first sample entry
-        first = _mp4_find(buf, ss + 8, se, buf[ss + 12:ss + 16]) \
-            if se - ss >= 16 else None
-        for t2, _s2, _e2 in _mp4_boxes(buf, ss + 8, se):
+        for t2, s2, e2 in _mp4_boxes(buf, ss + 8, se):
             codec = t2.decode("latin1")
+            # VisualSampleEntry: 78 fixed bytes, then config boxes
+            if e2 - s2 > 78:
+                got = _mp4_find(buf, s2 + 78, e2, b"avcC")
+                if got:
+                    avcc = buf[got[0]:got[1]]
             break
-        del first
 
     # sample sizes
     sizes = []
@@ -2317,6 +2326,7 @@ def _parse_mp4_track(buf: bytes, s: int, e: int):
     return {
         "handler": handler,
         "codec": codec,
+        "avcc": avcc,
         "width": width,
         "height": height,
         "n_frames": n_frames,
@@ -2378,6 +2388,68 @@ def mp4_frame_offsets(media: DataFrame, every_n: int = 1) -> DataFrame:
     return media.mapInPandas(run, schema=MP4_FRAME_SCHEMA)
 
 
+VIDEO_FRAME_PIXELS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+])
+
+
+def decode_video_frames(media: DataFrame,
+                        every_n: int = 1) -> DataFrame:
+    """REAL video pixel decode — the path that was stubbed until r6.
+
+    MP4/ISO-BMFF payloads with an avc1 track: every ``every_n``-th
+    sample is sliced out via the stbl byte ranges and decoded by the
+    from-scratch H.264 baseline I-frame decoder (operators/h264.py,
+    CAVLC + intra prediction + exact integer transforms), using the
+    track's avcC extradata for SPS/PPS. Raw Annex B H.264 payloads
+    decode as a single frame. Emits dims + per-channel means of the
+    decoded RGB raster; samples outside the supported subset (P/B
+    slices, CABAC) or malformed yield NULL pixel columns so a
+    pipeline can count decode coverage. Shape: Arrow-batched
+    row-local mapInPandas — embarrassingly parallel, no shuffle."""
+    from . import h264 as _h264
+
+    def _frame_row(mid, idx, data, avcc):
+        out = _h264.decode_h264_rgb(data, avcc=avcc)
+        if out is None:
+            return (mid, idx, None, None, None, None, None)
+        w, h, rgb = out
+        means = rgb.reshape(-1, 3).mean(axis=0)
+        return (mid, idx, w, h,
+                round(float(means[0]), 6),
+                round(float(means[1]), 6),
+                round(float(means[2]), 6))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                mid = int(mid)
+                m = _parse_mp4(p)
+                if m is not None:
+                    for i in range(0, len(m["samples"]), every_n):
+                        off, sz = m["samples"][i]
+                        rows.append(_frame_row(
+                            mid, i, p[off:off + sz], m["avcc"]))
+                elif (p[:4] == b"\x00\x00\x00\x01"
+                        or p[:3] == b"\x00\x00\x01"):
+                    rows.append(_frame_row(mid, 0, p, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in
+                               VIDEO_FRAME_PIXELS_SCHEMA])
+
+    return media.mapInPandas(run, schema=VIDEO_FRAME_PIXELS_SCHEMA)
+
+
 def _b(btype: bytes, body: bytes) -> bytes:
     import struct
     return struct.pack(">I", 8 + len(body)) + btype + body
@@ -2392,15 +2464,23 @@ def _fb(btype: bytes, body: bytes, version: int = 0,
 def build_minimal_mp4(width: int, height: int, sample_sizes: list,
                       timescale: int = 600, delta: int = 60,
                       codec: bytes = b"avc1",
-                      samples_per_chunk: int = 2) -> bytes:
+                      samples_per_chunk: int = 2,
+                      sample_payloads: list = None,
+                      avcc: bytes = None) -> bytes:
     """Spec-correct minimal MP4 muxer for synthetic fixtures: one
     video track, ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr vide,
     minf(vmhd, dinf, stbl(stsd, stts, stsc, stsz, stco))))) + mdat.
-    Sample payloads are zero bytes of the given sizes, chunked
-    ``samples_per_chunk`` at a time with real stco offsets — so the
-    parser's offset reconstruction is verifiable byte-for-byte."""
+    Sample payloads are zero bytes of the given sizes (or the actual
+    ``sample_payloads``, e.g. AVCC-framed H.264 access units),
+    chunked ``samples_per_chunk`` at a time with real stco offsets —
+    so the parser's offset reconstruction is verifiable
+    byte-for-byte. When ``avcc`` is given it is embedded as the
+    avcC decoder-configuration box of the sample entry (14496-15),
+    making the track REALLY decodable by operators.h264."""
     import struct
 
+    if sample_payloads is not None:
+        sample_sizes = [len(p) for p in sample_payloads]
     n = len(sample_sizes)
     dur = n * delta
     ident = (struct.pack(">IIIIIIIII", 0x00010000, 0, 0, 0,
@@ -2426,7 +2506,8 @@ def build_minimal_mp4(width: int, height: int, sample_sizes: list,
                + struct.pack(">HH", width, height)
                + struct.pack(">II", 0x00480000, 0x00480000)
                + struct.pack(">I", 0) + struct.pack(">H", 1)
-               + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+               + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+               + (_b(b"avcC", avcc) if avcc else b""))
     stsd = _fb(b"stsd", struct.pack(">I", 1) + entry)
     stts = _fb(b"stts", struct.pack(">III", 1, n, delta))
     stsc = _fb(b"stsc", struct.pack(">IIII", 1, 1,
@@ -2459,5 +2540,7 @@ def build_minimal_mp4(width: int, height: int, sample_sizes: list,
         for s in sample_sizes[ci * samples_per_chunk:
                               (ci + 1) * samples_per_chunk]:
             pos += s
-    mdat = _b(b"mdat", b"\x00" * sum(sample_sizes))
+    mdat = _b(b"mdat", b"".join(sample_payloads)
+              if sample_payloads is not None
+              else b"\x00" * sum(sample_sizes))
     return ftyp + moov_with(offsets) + mdat

@@ -1,0 +1,217 @@
+"""H.264 baseline I-frame codec tests.
+
+The decoder (operators/h264.py) is exercised three ways:
+1. structural validation of every CAVLC codebook — the spec's VLC
+   tables must be prefix-free and Kraft-complete up to the
+   standard's known reserved holes, which catches transcription
+   errors without needing external streams;
+2. bit-exact roundtrips: the fixture encoder embeds a
+   decoder-identical reconstruction loop (H.264 decode is pure
+   integer math), so decode(encode(px)) must equal the encoder's
+   reconstruction EXACTLY, across macroblock kinds, QPs, sizes and
+   prediction modes — and I_PCM must reproduce gray input losslessly;
+3. the Spark surface: decode_video_frames over MP4(avc1 + avcC) and
+   raw Annex B payloads, with NULL rows for undecodable samples.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+import siridb_server_spark.operators.h264 as h
+import siridb_server_spark.operators.multimodal as MM
+
+
+def _check_codebook(name, codes, holes):
+    codes = list(codes)
+    assert len(set(codes)) == len(codes), name
+    for i, a in enumerate(codes):
+        for b in codes[i + 1:]:
+            assert not b.startswith(a) and not a.startswith(b), \
+                (name, a, b)
+    kraft = sum(2.0 ** -len(c) for c in codes)
+    hole = sum(2.0 ** -len(c) for c in holes)
+    assert abs(kraft + hole - 1.0) < 1e-12, (name, kraft, hole)
+
+
+def test_vlc_tables_prefix_free_and_complete():
+    # coeff_token: the reserved (unused) codewords per context are
+    # fixed by the spec's table layout
+    _check_codebook("ct0", h._COEFF_TOKEN[0],
+                    ["0000000000000000", "0000000000000001"])
+    _check_codebook("ct1", h._COEFF_TOKEN[1],
+                    ["00000000000000", "00000000000001",
+                     "00000000001100"])
+    _check_codebook("ct2", h._COEFF_TOKEN[2], ["0000000000"])
+    _check_codebook("ct3", h._COEFF_TOKEN[3], [])
+    for tc in range(15):
+        codes = [h._render(ln, b) for ln, b in
+                 zip(h._TZ_LEN[tc], h._TZ_BITS[tc])]
+        assert len(codes) == 16 - tc
+        _check_codebook(f"tz{tc + 1}", codes,
+                        ["000000000"] if tc == 0 else [])
+    for i, row in enumerate(h._TZ_CDC):
+        _check_codebook(f"tzcdc{i}", row, [])
+    for i, row in enumerate(h._RUN_BEFORE[:-1]):
+        _check_codebook(f"rb{i}", row, [])
+    _check_codebook("rb>6", h._RUN_BEFORE[6], ["00000000000"])
+
+
+def test_residual_cavlc_roundtrip_fuzz():
+    rng = random.Random(7)
+    for _ in range(3000):
+        max_coeff = rng.choice([16, 15, 4])
+        nC = (rng.choice([0, 1, 2, 3, 4, 7, 8, 20])
+              if max_coeff != 4 else -1)
+        coeffs = [0] * max_coeff
+        for pos in rng.sample(range(max_coeff),
+                              rng.randint(0, max_coeff)):
+            coeffs[pos] = rng.choice(
+                [1, -1, 2, -2, 3, 5, -9, 17, 200, -1000, 2047])
+        w = h._BitWriter()
+        tc = h._residual_write(w, nC, coeffs, max_coeff)
+        w.rbsp_trailing()
+        got, tc2 = h._residual_read(
+            h._BitReader(w.getvalue()), nC, max_coeff)
+        assert got == coeffs and tc == tc2
+
+
+def test_exp_golomb_and_ebsp_roundtrip():
+    w = h._BitWriter()
+    vals = [0, 1, 2, 3, 7, 255, 100000]
+    svals = [0, 1, -1, 2, -2, 300, -77777]
+    for v in vals:
+        w.ue(v)
+    for v in svals:
+        w.se(v)
+    w.rbsp_trailing()
+    ebsp = h._rbsp_to_ebsp(w.getvalue() + b"\x00\x00\x00\x00\x01")
+    r = h._BitReader(h._ebsp_to_rbsp(ebsp))
+    assert [r.ue() for _ in vals] == vals
+    assert [r.se() for _ in svals] == svals
+    assert b"\x00\x00\x00" not in ebsp
+
+
+_IMAGES = [
+    np.full((16, 16), 100, np.uint8),
+    np.tile(np.arange(64, dtype=np.uint8) * 4, (48, 1)),
+    np.random.RandomState(3).randint(
+        0, 256, (32, 48, 3), np.int64).astype(np.uint8),
+]
+
+
+@pytest.mark.parametrize("mode", ["pcm", "i16", "i4", "mixed"])
+def test_decode_equals_encoder_reconstruction(mode):
+    for px in _IMAGES:
+        for qp in (10, 26, 40):
+            stream, recon = h.encode_h264_annexb(px, mode=mode, qp=qp)
+            out = h.decode_h264_rgb(stream)
+            assert out is not None
+            w, hh, rgb = out
+            assert (w, hh) == (px.shape[1], px.shape[0])
+            assert (rgb == recon).all(), (mode, qp, px.shape)
+
+
+def test_ipcm_is_lossless_for_gray():
+    px = np.random.RandomState(5).randint(
+        0, 256, (48, 48), np.int64).astype(np.uint8)
+    stream, recon = h.encode_h264_annexb(px, mode="pcm", qp=26)
+    _, _, rgb = h.decode_h264_rgb(stream)
+    assert (rgb[:, :, 0] == px).all()
+    assert (rgb[:, :, 1] == px).all()
+
+
+def test_quality_monotone_in_qp():
+    px = np.tile(np.arange(64, dtype=np.uint8) * 4, (64, 1))
+    errs = []
+    for qp in (6, 26, 46):
+        stream, _ = h.encode_h264_annexb(px, mode="i4", qp=qp)
+        _, _, rgb = h.decode_h264_rgb(stream)
+        errs.append(np.abs(rgb[:, :, 0].astype(int)
+                           - px.astype(int)).mean())
+    assert errs[0] <= errs[1] <= errs[2]
+    assert errs[0] == 0.0  # near-lossless floor at qp 6 on gradients
+
+
+def test_avcc_and_mp4_sample_path():
+    px = np.full((32, 32), 77, np.uint8)
+    stream, recon = h.encode_h264_annexb(px, mode="mixed", qp=12)
+    avcc = h.build_avcc(stream)
+    sample = h.annexb_to_avcc_sample(stream)
+    out = h.decode_h264_rgb(sample, avcc=avcc)
+    assert out is not None and (out[2] == recon).all()
+    mp4 = MM.build_minimal_mp4(32, 32, [],
+                               sample_payloads=[sample, sample],
+                               avcc=avcc)
+    meta = MM._parse_mp4(mp4)
+    assert meta["codec"] == "avc1" and meta["avcc"] is not None
+    off, sz = meta["samples"][1]
+    out2 = h.decode_h264_rgb(mp4[off:off + sz], avcc=meta["avcc"])
+    assert (out2[2] == recon).all()
+
+
+def test_unsupported_streams_reject_not_crash():
+    px = np.full((16, 16), 50, np.uint8)
+    stream, _ = h.encode_h264_annexb(px, mode="i4", qp=20)
+    nals = h.split_annexb(stream)
+    assert h.decode_h264_frame(b"") is None
+    assert h.decode_h264_frame(b"\x00\x00\x01\x67garbage") is None
+    # CABAC: flip entropy_coding_mode in the PPS (first bit after
+    # pps_id=0/sps_id=0 ue pairs = bits "1","1" -> third bit)
+    pps = bytearray(nals[1])
+    pps[1] |= 0x20
+    bad = b"\x00\x00\x01" + bytes(nals[0]) + b"\x00\x00\x01" \
+        + bytes(pps) + b"\x00\x00\x01" + bytes(nals[2])
+    assert h.decode_h264_frame(bad) is None
+    # truncated slice data
+    trunc = stream[:len(stream) - len(nals[2]) // 2]
+    assert h.decode_h264_frame(trunc) is None
+    # P slice type in the header (slice_type 0 -> ue "1")
+    sl = bytearray(nals[2])
+    # first_mb ue(0)="1", slice_type ue(7)="0001000": force 0 ("1")
+    w = h._BitWriter()
+    w.u(1, 1)  # first_mb 0
+    w.u(1, 1)  # slice_type 0 (P)
+    head = w.buf + bytes([w.acc << (8 - w.nacc)]) if w.nacc else w.buf
+    sl2 = bytes([sl[0]]) + bytes(head) + bytes(sl[3:])
+    assert h.decode_h264_frame(
+        b"\x00\x00\x01" + bytes(nals[0]) + b"\x00\x00\x01"
+        + bytes(nals[1]) + b"\x00\x00\x01" + sl2) is None
+
+
+def test_decode_video_frames_spark(spark):
+    tiles = np.zeros((16, 16), np.uint8)
+    tiles[:8, 8:], tiles[8:, :8], tiles[8:, 8:] = 50, 100, 250
+    streams = [h.encode_h264_annexb(tiles, mode=m, qp=10)
+               for m in ("pcm", "i16", "i4")]
+    avcc = h.build_avcc(streams[0][0])
+    samples = [h.annexb_to_avcc_sample(s) for s, _ in streams]
+    mp4 = MM.build_minimal_mp4(16, 16, [], sample_payloads=samples,
+                               avcc=avcc)
+    color = np.full((32, 48, 3), (200, 50, 120), np.uint8)
+    raw, _ = h.encode_h264_annexb(color, mode="pcm", qp=26)
+    rows = [(1, "video", mp4, "video/mp4"),
+            (2, "video", raw, "video/h264"),
+            (3, "video", b"junk", "application/octet-stream"),
+            (4, "video", MM.build_minimal_mp4(8, 8, [5, 5]),
+             "video/mp4")]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {(r["media_id"], r["frame_idx"]): r
+           for r in MM.decode_video_frames(media).collect()}
+    for i in range(3):
+        assert got[(1, i)]["width"] == 16
+        assert got[(1, i)]["mean_r"] == 100.0  # (0+50+100+250)/4
+    # raw Annex B single frame; integer-YCbCr PCM roundtrip maps
+    # (200, 50, 120) -> (200, 50, 121)
+    assert (got[(2, 0)]["mean_r"], got[(2, 0)]["mean_g"],
+            got[(2, 0)]["mean_b"]) == (200.0, 50.0, 121.0)
+    # non-video emits nothing; avcC-less zero samples yield NULLs
+    assert 3 not in {k[0] for k in got}
+    assert got[(4, 0)]["width"] is None
+    # every_n strides the sample list
+    strided = MM.decode_video_frames(media, every_n=2).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in strided
+            if r["media_id"] == 1} == {(1, 0), (1, 2)}

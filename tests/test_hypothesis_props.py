@@ -238,3 +238,35 @@ def test_progressive_jpeg_decodes_identical_to_baseline(data):
     assert prog is not None
     assert prog[:3] == base[:3]
     assert (prog[3] == base[3]).all()
+
+
+@given(st.data())
+@settings(max_examples=10, deadline=None)
+def test_h264_decode_identical_to_encoder_reconstruction(data):
+    """H.264's decode loop is pure integer math, and the fixture
+    encoder reconstructs with the decoder's own dequant/transform/
+    prediction functions — so decode(encode(px)) must equal the
+    encoder reconstruction bit-for-bit for every macroblock kind,
+    and I_PCM must reproduce gray input losslessly."""
+    import numpy as np
+
+    from siridb_server_spark.operators.h264 import (
+        decode_h264_rgb, encode_h264_annexb)
+
+    h = data.draw(st.integers(1, 20), label="h") * 2
+    w = data.draw(st.integers(1, 20), label="w") * 2
+    seed = data.draw(st.integers(0, 2 ** 31 - 1), label="seed")
+    rgb = data.draw(st.booleans(), label="rgb")
+    mode = data.draw(st.sampled_from(["pcm", "i16", "i4", "mixed"]),
+                     label="mode")
+    qp = data.draw(st.sampled_from([8, 20, 33, 47]), label="qp")
+    shape = (h, w, 3) if rgb else (h, w)
+    px = np.random.RandomState(seed).randint(
+        0, 256, shape, dtype=np.int64).astype(np.uint8)
+    stream, recon = encode_h264_annexb(px, mode=mode, qp=qp)
+    out = decode_h264_rgb(stream)
+    assert out is not None
+    assert (out[0], out[1]) == (w, h)
+    assert (out[2] == recon).all()
+    if mode == "pcm" and not rgb:
+        assert (out[2][:, :, 0] == px).all()
