@@ -26,6 +26,7 @@ from siridb_server_spark.functions.stable import scaled_dsum as SSD
 from siridb_server_spark.functions.stable import stable_dsum as SD
 from siridb_server_spark.operators import curation as CU
 from siridb_server_spark.operators import dedup as D
+from siridb_server_spark.operators import h264 as H264
 from siridb_server_spark.operators import multimodal as MM
 from siridb_server_spark.operators import similarity as SIM
 from siridb_server_spark.operators import asof as AS
@@ -982,6 +983,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return MM.mp4_frame_offsets(media, every_n=2)
 
     q["multimodal_mp4_frames"] = multimodal_mp4_frames
+
+    def multimodal_h264_frames(spark, sf_dir):
+        """REAL H.264 video PIXEL decode (operators/h264.py:
+        from-scratch CAVLC + intra prediction + exact integer
+        transforms; the r5 stub is gone). Fixture: an MP4 whose avc1
+        track carries three I-frames of the same 16x16 tile image —
+        one I_PCM (lossless), one Intra_16x16, one Intra_4x4 — plus
+        a raw Annex B color frame (integer-YCbCr PCM roundtrip maps
+        (200,50,120) to (200,50,121)), a non-video payload (no
+        rows), and an avcC-less MP4 whose zero-byte samples yield
+        NULL pixel columns. All decode output is deterministic pure
+        integer math, so the oracle pins exact constants."""
+        import numpy as np
+        tiles = np.zeros((16, 16), np.uint8)
+        tiles[:8, 8:], tiles[8:, :8], tiles[8:, 8:] = 50, 100, 250
+        streams = [H264.encode_h264_annexb(tiles, mode=m, qp=10)[0]
+                   for m in ("pcm", "i16", "i4")]
+        avcc = H264.build_avcc(streams[0])
+        samples = [H264.annexb_to_avcc_sample(s) for s in streams]
+        mp4 = MM.build_minimal_mp4(16, 16, [],
+                                   sample_payloads=samples,
+                                   avcc=avcc)
+        color = np.full((32, 48, 3), (200, 50, 120), np.uint8)
+        raw = H264.encode_h264_annexb(color, mode="pcm", qp=26)[0]
+        rows = [(1, "video", mp4, "video/mp4"),
+                (2, "video", raw, "video/h264"),
+                (3, "video", b"not a video", "application/x-junk"),
+                (4, "video", MM.build_minimal_mp4(8, 8, [5, 5]),
+                 "video/mp4")]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.decode_video_frames(media)
+
+    q["multimodal_h264_frames"] = multimodal_h264_frames
 
     def multimodal_resize_any(spark, sf_dir):
         """REAL format-agnostic resize to 2x2 across ALL the really-
@@ -2960,6 +2994,25 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 2, 2, 8832, 4096"
         " UNION ALL SELECT 2, 4, 17024, 4096"
         " UNION ALL SELECT 2, 6, 25216, 4096"
+    )
+    # H.264 decode is deterministic integer math: I_PCM reproduces
+    # the tile image exactly (mean (0+50+100+250)/4 = 100), the
+    # I16/I4 lossy frames reconstruct it exactly at qp 10 (flat 8x8
+    # tiles are pure-DC), and the raw PCM color frame lands on the
+    # integer-YCbCr roundtrip of (200,50,120) = (200,50,121)
+    o["multimodal_h264_frames"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id,"
+        " CAST(0 AS BIGINT) AS frame_idx,"
+        " CAST(16 AS BIGINT) AS width,"
+        " CAST(16 AS BIGINT) AS height,"
+        " CAST(100.0 AS DOUBLE) AS mean_r,"
+        " CAST(100.0 AS DOUBLE) AS mean_g,"
+        " CAST(100.0 AS DOUBLE) AS mean_b"
+        " UNION ALL SELECT 1, 1, 16, 16, 100.0, 100.0, 100.0"
+        " UNION ALL SELECT 1, 2, 16, 16, 100.0, 100.0, 100.0"
+        " UNION ALL SELECT 2, 0, 48, 32, 200.0, 50.0, 121.0"
+        " UNION ALL SELECT 4, 0, NULL, NULL, NULL, NULL, NULL"
+        " UNION ALL SELECT 4, 1, NULL, NULL, NULL, NULL, NULL"
     )
     o["tpch_q1ish"] = (
         "SELECT l_returnflag, l_linestatus,"

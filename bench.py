@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "multimodal_jpeg_decode",
     "multimodal_wav_features",
     "multimodal_mp4_decode",
+    "multimodal_h264_frames",
     # event analytics
     "events_flow",
     "events_cohorts",
