@@ -71,8 +71,15 @@ def _probe_payloads():
     wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     mp4 = _MM.build_minimal_mp4(640, 480, [1000] * 24,
                                 timescale=600, delta=25)
+    from siridb_server_spark.operators import h264 as _H
+    streams = [_H.encode_h264_annexb(rgb, mode=m, qp=26)[0]
+               for m in ("i16", "i4")]
+    h264_mp4 = _MM.build_minimal_mp4(
+        64, 64, [], avcc=_H.build_avcc(streams[0]),
+        sample_payloads=[_H.annexb_to_avcc_sample(s)
+                         for s in streams])
     return {"png": png, "jpeg": jpg, "gif": gif, "wav": wav,
-            "mp4": mp4}
+            "mp4": mp4, "h264": h264_mp4}
 
 
 def _media_frame(spark, sf_dir, payload: bytes, kind: str):
@@ -96,6 +103,8 @@ def _decode_probes():
             _media_frame(s, d, p["wav"], "audio")),
         "probe_mp4_decode": lambda s, d: _MM.decode_mp4_meta(
             _media_frame(s, d, p["mp4"], "video")),
+        "probe_h264_decode": lambda s, d: _MM.decode_video_frames(
+            _media_frame(s, d, p["h264"], "video")),
     }
 
 

@@ -55,6 +55,7 @@ BOUNDS = {
     "probe_gif_decode": K * 2,
     "probe_wav_decode": K * 2,
     "probe_mp4_decode": K * 2,
+    "probe_h264_decode": K * 2,
 }
 
 
