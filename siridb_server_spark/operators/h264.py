@@ -1391,7 +1391,8 @@ def _decode_chroma(r, st, mbx, mby, qpy, chroma_qp_offset,
                          sub, residual)
 
 
-def decode_h264_frame(payload: bytes, avcc: bytes = None):
+def decode_h264_frame(payload: bytes, avcc: bytes = None,
+                      max_mbs: int = 65536):
     """Decode the first I/IDR frame of an H.264 elementary stream.
 
     payload: Annex B stream (SPS/PPS inline), or a length-prefixed
@@ -1452,6 +1453,10 @@ def decode_h264_frame(payload: bytes, avcc: bytes = None):
         if sh is None or sh["first_mb"] != 0:
             return None
         mbw, mbh = sps["pic_width_mbs"], sps["pic_height_mbs"]
+        if mbw * mbh > max_mbs:
+            # fuzz/abuse guard: a forged SPS can declare absurd
+            # dimensions; cap the allocation (default 4096x4096)
+            return None
         st = _FrameState(mbw, mbh)
         qpy = _clip_qp(sh["slice_qp"])
         n_mbs = mbw * mbh

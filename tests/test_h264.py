@@ -215,3 +215,57 @@ def test_decode_video_frames_spark(spark):
     strided = MM.decode_video_frames(media, every_n=2).collect()
     assert {(r["media_id"], r["frame_idx"]) for r in strided
             if r["media_id"] == 1} == {(1, 0), (1, 2)}
+
+
+def test_decoder_survives_bitstream_corruption():
+    """Whatever bytes arrive, decode returns a frame or None —
+    never raises (the Spark operator feeds it arbitrary payloads)."""
+    px = np.random.RandomState(1).randint(
+        0, 256, (32, 32), np.int64).astype(np.uint8)
+    stream, _ = h.encode_h264_annexb(px, mode="mixed", qp=24)
+    rng = random.Random(99)
+    for _ in range(400):
+        b = bytearray(stream)
+        kind = rng.choice(["flip", "trunc", "insert", "zero"])
+        if kind == "flip":
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        elif kind == "trunc":
+            b = b[:rng.randrange(len(b))]
+        elif kind == "insert":
+            b[rng.randrange(len(b)):0] = bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 4)))
+        else:
+            i = rng.randrange(len(b))
+            b[i:i + rng.randint(1, 16)] = b"\x00" * rng.randint(1, 16)
+        h.decode_h264_frame(bytes(b))  # must not raise
+
+
+def test_forged_sps_dimension_guard():
+    """A forged SPS declaring absurd dimensions must not allocate:
+    the max_mbs cap returns None instead."""
+    w = h._BitWriter()
+    w.u(8, 66)
+    w.u(8, 0xC0)
+    w.u(8, 30)
+    w.ue(0)
+    w.ue(0)
+    w.ue(2)
+    w.ue(0)
+    w.u(1, 0)
+    w.ue(9999)   # pic_width_in_mbs_minus1
+    w.ue(9999)
+    w.u(1, 1)
+    w.u(1, 0)
+    w.u(1, 0)
+    w.u(1, 0)
+    w.rbsp_trailing()
+    sps = b"\x67" + h._rbsp_to_ebsp(w.getvalue())
+    parsed = h.parse_sps(sps)
+    assert parsed is not None and parsed["pic_width_mbs"] == 10000
+    px = np.full((16, 16), 9, np.uint8)
+    stream, _ = h.encode_h264_annexb(px, mode="i4", qp=20)
+    nals = h.split_annexb(stream)
+    forged = (b"\x00\x00\x01" + sps + b"\x00\x00\x01"
+              + bytes(nals[1]) + b"\x00\x00\x01" + bytes(nals[2]))
+    assert h.decode_h264_frame(forged) is None
