@@ -26,6 +26,7 @@ from siridb_server_spark.functions.stable import scaled_dsum as SSD
 from siridb_server_spark.functions.stable import stable_dsum as SD
 from siridb_server_spark.operators import curation as CU
 from siridb_server_spark.operators import dedup as D
+from siridb_server_spark.operators import bpe as BPE
 from siridb_server_spark.operators import h264 as H264
 from siridb_server_spark.operators import multimodal as MM
 from siridb_server_spark.operators import similarity as SIM
@@ -365,6 +366,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_sentences"] = lambda spark, sf_dir: \
         TX.sentence_features(load(spark, sf_dir, "documents"))
+
+    def _bpe_fixture(spark):
+        return spark.createDataFrame([
+            (1, "The lower the better when lowering lowers."),
+            (2, "New, newer, NEWEST: lower and lowest!"),
+            (3, "Wider and wider widths widen the widest cases"),
+            (4, "low lows lowest lower low low"),
+            (5, "the the the and and a 42 42's"),
+            (6, None),
+            (7, ""),
+        ], "doc_id bigint, text string")
+
+    def text_bpe_merges(spark, sf_dir):
+        """REAL BPE tokenizer training (operators/bpe.py — the
+        public Sennrich merge-learning algorithm): one corpus-scale
+        word-count shuffle, then a driver-side merge loop over the
+        vocabulary-sized frequency table (bounded like the k-means
+        centroid loop). Deterministic tie-breaks make the learned
+        table an exact constant on this fixture corpus, which the
+        oracle pins in full (verified against an independent
+        in-memory implementation in tests/test_bpe.py)."""
+        return BPE.bpe_train(_bpe_fixture(spark), num_merges=8,
+                             vocab_cap=1000, min_count=2)
+
+    q["text_bpe_merges"] = text_bpe_merges
+
+    def text_bpe_encode(spark, sf_dir):
+        """Apply the learned merge table: Arrow-batched row-local
+        tokenization (no shuffle; the merge table rides the task
+        closure) with lowest-rank-first pair application and greedy
+        left-to-right replacement — every output token sequence is
+        an exact constant the oracle pins."""
+        df = _bpe_fixture(spark)
+        merges = BPE.bpe_train(df, num_merges=8, vocab_cap=1000,
+                               min_count=2)
+        return (BPE.bpe_encode(df, merges)
+                .select("doc_id", "n_tokens",
+                        F.array_join("tokens", " ")
+                        .alias("token_str")))
+
+    q["text_bpe_encode"] = text_bpe_encode
 
     q["sim_label_centroids"] = lambda spark, sf_dir: \
         SIM.label_centroid_dims(load(spark, sf_dir, "embeddings"))
@@ -3013,6 +3055,38 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 2, 0, 48, 32, 200.0, 50.0, 121.0"
         " UNION ALL SELECT 4, 0, NULL, NULL, NULL, NULL, NULL"
         " UNION ALL SELECT 4, 1, NULL, NULL, NULL, NULL, NULL"
+    )
+    # BPE training/encoding is exactly deterministic (count-desc,
+    # lexicographic tie-breaks; greedy left-to-right merges), so the
+    # fixture-corpus results are constants — independently re-derived
+    # by a second in-memory implementation in tests/test_bpe.py
+    o["text_bpe_merges"] = (
+        "SELECT CAST(0 AS INT) AS rank, 'l' AS left,"
+        " 'o' AS right, CAST(11 AS BIGINT) AS pair_count"
+        " UNION ALL SELECT 1, 'lo', 'w', 11"
+        " UNION ALL SELECT 2, 'e', 'r', 9"
+        " UNION ALL SELECT 3, 'er', '</w>', 7"
+        " UNION ALL SELECT 4, 'h', 'e', 7"
+        " UNION ALL SELECT 5, 'he', '</w>', 6"
+        " UNION ALL SELECT 6, 't', 'he</w>', 6"
+        " UNION ALL SELECT 7, 'e', 's', 5"
+    )
+    o["text_bpe_encode"] = (
+        "SELECT CAST(1 AS BIGINT) AS doc_id,"
+        " CAST(23 AS BIGINT) AS n_tokens,"
+        " 'the</w> low er</w> the</w> b e t t er</w> w he n </w>"
+        " low er i n g </w> low er s </w>' AS token_str"
+        " UNION ALL SELECT 2, 24, 'n e w </w> n e w er</w> n e w"
+        " es t </w> low er</w> a n d </w> low es t </w>'"
+        " UNION ALL SELECT 3, 37, 'w i d er</w> a n d </w> w i d"
+        " er</w> w i d t h s </w> w i d e n </w> the</w> w i d es"
+        " t </w> c a s es </w>'"
+        " UNION ALL SELECT 4, 15, 'low </w> low s </w> low es t"
+        " </w> low er</w> low </w> low </w>'"
+        " UNION ALL SELECT 5, 21, 'the</w> the</w> the</w> a n d"
+        " </w> a n d </w> a </w> 4 2 </w> 4 2 '' s </w>'"
+        " UNION ALL SELECT 6, 0, ''"
+        " UNION ALL SELECT 7, 0, ''"
     )
     o["tpch_q1ish"] = (
         "SELECT l_returnflag, l_linestatus,"

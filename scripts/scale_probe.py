@@ -108,7 +108,17 @@ def _decode_probes():
     }
 
 
+def _bpe_probe(spark, d):
+    from siridb_server_spark.operators import bpe as _B
+    docs = _load(spark, d, "documents")
+    merges = [(i, l, r) for i, (l, r) in enumerate([
+        ("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("a", "n"),
+        ("i", "n"), ("o", "n"), ("e", "r"), ("s", "</w>")])]
+    return _B.bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
 PROBE_EXTRA = {
+    "probe_bpe_encode": _bpe_probe,
     "probe_containment_capped": lambda spark, d: _D.containment_pairs(
         _docs_sample(spark, d), threshold=0.5, shingle_n=3,
         max_df=600),

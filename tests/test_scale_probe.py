@@ -56,6 +56,8 @@ BOUNDS = {
     "probe_wav_decode": K * 2,
     "probe_mp4_decode": K * 2,
     "probe_h264_decode": K * 2,
+    # row-local Arrow tokenization: linear with rows
+    "probe_bpe_encode": K * 2,
 }
 
 
