@@ -1367,6 +1367,135 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q14ish"] = tpch_q14ish
 
+    def tpch_q4ish(spark, sf_dir):
+        """q4 shape — order-priority checking via a SEMI join:
+        orders in one quarter that have at least one line shipped
+        more than 90 days after the order date. The EXISTS compiles
+        to LeftSemi, so lineitem rows never multiply the output and
+        the date predicates push to both scans."""
+        orders = load(spark, sf_dir, "orders")
+        li = load(spark, sf_dir, "lineitem")
+        a = F.lit("1996-01-01").cast("timestamp_ntz")
+        b = F.lit("1996-04-01").cast("timestamp_ntz")
+        o2 = orders.where((F.col("o_orderdate") >= a)
+                          & (F.col("o_orderdate") < b))
+        late = (o2.join(
+            li.select("l_orderkey", "l_shipdate"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "leftsemi"))
+        return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count")))
+
+    q["tpch_q4ish"] = tpch_q4ish
+
+    def tpch_q12ish(spark, sf_dir):
+        """q12 shape — CASE pivot over a fact join: per return
+        flag, how many 1996-shipped lines belong to high- vs
+        low-priority orders. Counts are exact integers; the pivot
+        is two conditional sums in one aggregate pass."""
+        orders = load(spark, sf_dir, "orders")
+        li = load(spark, sf_dir, "lineitem")
+        a = F.lit("1996-01-01").cast("timestamp_ntz")
+        b = F.lit("1997-01-01").cast("timestamp_ntz")
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.where((F.col("l_shipdate") >= a)
+                     & (F.col("l_shipdate") < b))
+            .select("l_orderkey", "l_returnflag")
+            .join(orders.select("o_orderkey", "o_orderpriority"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1))
+                 .alias("low_line_count")))
+
+    q["tpch_q12ish"] = tpch_q12ish
+
+    def tpch_q16ish(spark, sf_dir):
+        """q16 shape — ANTI join: brands of parts that moved no
+        volume in 1996. The NOT EXISTS compiles to LeftAnti against
+        the distinct moved-part set (aggregated BEFORE the join so
+        the anti probe is part-sized, not lineitem-sized)."""
+        part = load(spark, sf_dir, "part")
+        li = load(spark, sf_dir, "lineitem")
+        a = F.lit("1996-01-01").cast("timestamp_ntz")
+        b = F.lit("1997-01-01").cast("timestamp_ntz")
+        moved = (li.where((F.col("l_shipdate") >= a)
+                          & (F.col("l_shipdate") < b))
+                 .select("l_partkey").distinct())
+        return (part.join(moved,
+                          F.col("p_partkey") == F.col("l_partkey"),
+                          "leftanti")
+                .groupBy("p_brand")
+                .agg(F.count(F.lit(1)).alias("idle_parts"))
+                .orderBy(F.desc("idle_parts"), F.asc("p_brand"))
+                .limit(10))
+
+    q["tpch_q16ish"] = tpch_q16ish
+
+    def tpch_q18ish(spark, sf_dir):
+        """q18 shape — HAVING over a fact pre-aggregate: orders
+        whose total quantity exceeds 150, decorated with customer
+        name. The quantity rollup happens on lineitem FIRST (the
+        having filter kills ~all groups before any join), then the
+        surviving handful of orders join orders+customer."""
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        big = (li.groupBy("l_orderkey")
+               .agg((F.round(SSD(F.col("l_quantity")), 4)
+                     + F.lit(0.0)).alias("sum_qty"))
+               .where(F.col("sum_qty") > 150))
+        return (big.join(orders,
+                         F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cust,
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .select("c_name", "o_orderkey",
+                        F.date_format("o_orderdate", "yyyy-MM-dd")
+                        .alias("orderdate"),
+                        (F.round(F.col("o_totalprice"), 2)
+                         + F.lit(0.0)).alias("totalprice"),
+                        "sum_qty")
+                .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+                .limit(20))
+
+    q["tpch_q18ish"] = tpch_q18ish
+
+    def tpch_q19ish(spark, sf_dir):
+        """q19 shape — OR-of-ANDs across a join: three
+        (brand, size-band, quantity-band) disjuncts. The part side
+        prunes to the three brands BEFORE the join (the disjunction
+        of p_brand predicates pushes to the part scan) and
+        broadcasts; the mixed predicate rides the join condition."""
+        li = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part")
+        bands = [("Brand#12", 1, 15, 1, 11),
+                 ("Brand#23", 1, 25, 10, 20),
+                 ("Brand#34", 1, 35, 20, 30)]
+        disj = None
+        for brand, s0, s1, q0, q1 in bands:
+            c = ((F.col("p_brand") == brand)
+                 & F.col("p_size").between(s0, s1)
+                 & F.col("l_quantity").between(q0, q1))
+            disj = c if disj is None else (disj | c)
+        p2 = part.where(
+            F.col("p_brand").isin([b[0] for b in bands])) \
+            .select("p_partkey", "p_brand", "p_size")
+        return (
+            li.select("l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount")
+            .join(F.broadcast(p2),
+                  (F.col("l_partkey") == F.col("p_partkey")) & disj)
+            .agg((F.round(SSD(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                  + F.lit(0.0)).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+    q["tpch_q19ish"] = tpch_q19ish
+
     q["ts_moving_avg"] = lambda spark, sf_dir: TSO.moving_avg(
         _pts_dedup(spark, sf_dir), window=5)
 
@@ -3148,6 +3277,62 @@ def oracle_sql() -> dict[str, str]:
         " FROM lineitem JOIN part ON l_partkey = p_partkey"
         " WHERE l_shipdate >= TIMESTAMP '1996-03-01'"
         " AND l_shipdate < TIMESTAMP '1996-04-01'"
+    )
+    o["tpch_q4ish"] = (
+        "SELECT o_orderpriority, count(*) AS order_count"
+        " FROM orders"
+        " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o_orderdate < TIMESTAMP '1996-04-01'"
+        " AND EXISTS (SELECT 1 FROM lineitem"
+        "  WHERE l_orderkey = o_orderkey"
+        "  AND l_shipdate > o_orderdate + INTERVAL 90 DAY)"
+        " GROUP BY 1"
+    )
+    o["tpch_q12ish"] = (
+        "SELECT l_returnflag,"
+        " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        "  THEN 1 ELSE 0 END) AS high_line_count,"
+        " sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        "  THEN 0 ELSE 1 END) AS low_line_count"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1997-01-01'"
+        " GROUP BY 1"
+    )
+    o["tpch_q16ish"] = (
+        "SELECT p_brand, count(*) AS idle_parts FROM part"
+        " WHERE NOT EXISTS (SELECT 1 FROM lineitem"
+        "  WHERE l_partkey = p_partkey"
+        "  AND l_shipdate >= TIMESTAMP '1996-01-01'"
+        "  AND l_shipdate < TIMESTAMP '1997-01-01')"
+        " GROUP BY 1 ORDER BY idle_parts DESC, p_brand LIMIT 10"
+    )
+    o["tpch_q18ish"] = (
+        "WITH big AS (SELECT l_orderkey,"
+        f" round({_SC6('l_quantity')}, 4) + 0.0 AS sum_qty"
+        " FROM lineitem GROUP BY 1"
+        " HAVING sum_qty > 150)"
+        " SELECT c_name, o_orderkey,"
+        " strftime(o_orderdate, '%Y-%m-%d') AS orderdate,"
+        " round(o_totalprice, 2) + 0.0 AS totalprice, sum_qty"
+        " FROM big JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " ORDER BY sum_qty DESC, o_orderkey LIMIT 20"
+    )
+    o["tpch_q19ish"] = (
+        "SELECT"
+        f" round({_SC6('l_extendedprice * (1 - l_discount)')}"
+        ", 2) + 0.0 AS revenue, count(*) AS n_items"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE (p_brand = 'Brand#12'"
+        "  AND p_size BETWEEN 1 AND 15"
+        "  AND l_quantity BETWEEN 1 AND 11)"
+        " OR (p_brand = 'Brand#23'"
+        "  AND p_size BETWEEN 1 AND 25"
+        "  AND l_quantity BETWEEN 10 AND 20)"
+        " OR (p_brand = 'Brand#34'"
+        "  AND p_size BETWEEN 1 AND 35"
+        "  AND l_quantity BETWEEN 20 AND 30)"
     )
     o["tpch_monthly_revenue"] = (
         "SELECT strftime(o_orderdate, '%Y-%m') AS month,"

@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "tpch_join_revenue",
     "tpch_q5ish",
     "tpch_q14ish",
+    "tpch_q4ish",
+    "tpch_q16ish",
+    "tpch_q19ish",
 ]
 
 
