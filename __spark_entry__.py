@@ -818,7 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- multimodal plumbing (decode stubbed; Arrow path real)
     q["multimodal_meta"] = lambda spark, sf_dir: MM.decode_image_meta(
         MM.documents_as_media(load(spark, sf_dir, "documents")))
-    q["multimodal_frames"] = lambda spark, sf_dir: MM.frame_sample_stub(
+    q["multimodal_frames"] = lambda spark, sf_dir: MM.frame_sample(
         MM.documents_as_media(load(spark, sf_dir, "documents")),
         every_n=10)
 
@@ -982,7 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (3, "video", b"GIF89ajunk", "image/gif"),
         ]
         media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
-        return MM.frame_sample_stub(media, every_n=2)
+        return MM.frame_sample(media, every_n=2)
 
     q["multimodal_gif_frames"] = multimodal_gif_frames
 

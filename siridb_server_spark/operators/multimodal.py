@@ -153,7 +153,7 @@ def decode_image_meta(media: DataFrame,
     return media.mapInPandas(run, schema=DECODED_META_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_meta(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize operator shape: payload→payload. STUB — identity
     on bytes plus target-size metadata (a real impl swaps `transform`
     for the decoder+resampler; the Spark plumbing is identical).
@@ -233,7 +233,7 @@ def resize_image(media: DataFrame, out_w: int,
     return media.mapInPandas(run, schema=PPM_RESIZE_SCHEMA)
 
 
-def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling: one row in → k rows out (flatMap semantics
     via mapInPandas). REAL for GIF payloads (block-walk frame count)
     and for MP4/ISO-BMFF payloads (stsz sample count from the box
@@ -2544,3 +2544,10 @@ def build_minimal_mp4(width: int, height: int, sample_sizes: list,
               if sample_payloads is not None
               else b"\x00" * sum(sample_sizes))
     return ftyp + moov_with(offsets) + mdat
+
+
+#: r5-era names — the operators stopped being stubs in r6 (real GIF/
+#: MP4 frame counts, real H.264 pixels via decode_video_frames, real
+#: decode-backed resize in resize_image); aliases kept for callers
+frame_sample_stub = frame_sample
+resize_stub = resize_meta

@@ -238,7 +238,7 @@ def test_multimodal_frames(spark):
     docs = spark.createDataFrame(
         [(1, "x" * 30)], "doc_id long, text string")
     media = MM.documents_as_media(docs)
-    rows = MM.frame_sample_stub(media, every_n=10).collect()
+    rows = MM.frame_sample(media, every_n=10).collect()
     # 30 bytes → n_frames = 30 % 97 + 1 = 31 → frames 0,10,20,30
     assert [r["frame_idx"] for r in rows] == [0, 10, 20, 30]
 
@@ -1119,6 +1119,6 @@ def test_mp4_decode_and_frame_offsets(spark):
                     (1, 2, base + 30, 30)]
     # frame_sample_stub now uses the REAL frame count for MP4
     fs = [r["frame_idx"] for r in
-          MM.frame_sample_stub(media.where("media_id = 1"),
+          MM.frame_sample(media.where("media_id = 1"),
                                every_n=2).collect()]
     assert fs == [0, 2]
