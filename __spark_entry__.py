@@ -367,6 +367,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_sentences"] = lambda spark, sf_dir: \
         TX.sentence_features(load(spark, sf_dir, "documents"))
 
+    def text_phrase_search(spark, sf_dir):
+        """Exact phrase search ('scan scan' — a repeated term, the
+        positional edge case) via the single-shuffle anchor trick:
+        token at pos p matching phrase slot j emits anchor p-j; a
+        (doc, anchor) group holding all k distinct slots is a hit.
+        No self-joins; the term IN-list prunes the exploded stream
+        before the exchange. Oracle replays it positionally in SQL."""
+        return TX.phrase_search(load(spark, sf_dir, "documents"),
+                                "scan scan")
+
+    q["text_phrase_search"] = text_phrase_search
+
     def _bpe_fixture(spark):
         return spark.createDataFrame([
             (1, "The lower the better when lowering lowers."),
@@ -3189,6 +3201,26 @@ def oracle_sql() -> dict[str, str]:
     # lexicographic tie-breaks; greedy left-to-right merges), so the
     # fixture-corpus results are constants — independently re-derived
     # by a second in-memory implementation in tests/test_bpe.py
+    # positional phrase search, replayed in SQL: lateral
+    # generate_series indexes the token list, overlapping anchors
+    # count separately ("scan scan scan" holds two)
+    o["text_phrase_search"] = (
+        "WITH toks AS ("
+        " SELECT doc_id, i - 1 AS pos, l[i] AS term FROM ("
+        "  SELECT doc_id, l,"
+        "   unnest(generate_series(1, len(l))) AS i FROM ("
+        "   SELECT doc_id,"
+        "    regexp_extract_all(lower(text), '[a-z0-9'']+') AS l"
+        "   FROM documents))),"
+        " anchors AS ("
+        " SELECT doc_id, anchor FROM ("
+        "  SELECT doc_id, pos - j AS anchor, j FROM toks,"
+        "   (VALUES (0), (1)) AS slots(j)"
+        "  WHERE term = 'scan' AND pos - j >= 0)"
+        " GROUP BY 1, 2 HAVING count(DISTINCT j) = 2)"
+        " SELECT doc_id, count(*) AS n_matches,"
+        " min(anchor) AS first_pos FROM anchors GROUP BY 1"
+    )
     o["text_bpe_merges"] = (
         "SELECT CAST(0 AS INT) AS rank, 'l' AS left,"
         " 'o' AS right, CAST(11 AS BIGINT) AS pair_count"

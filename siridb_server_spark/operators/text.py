@@ -745,3 +745,46 @@ def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("text_clean", F.lit(""))
                     .alias("text_clean")))
+
+
+def phrase_search(df: DataFrame, phrase: str,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search via a positional index, in ONE shuffle.
+
+    Instead of k-1 self-joins (one per adjacent term pair — the
+    naive positional-index plan), every token occurrence that
+    matches phrase position j at text position p emits the anchor
+    p - j; a (doc, anchor) group holding all k distinct j values is
+    a phrase hit. One groupBy, no joins, and the term IN-list
+    prunes the exploded stream before the exchange — at 100 TB the
+    shuffle carries only occurrences of the phrase's terms.
+    Repeated phrase terms (e.g. "scan scan") are handled by the
+    distinct-j count, not occurrence counting.
+
+    Returns (id_col, n_matches, first_pos) for matching docs.
+    """
+    terms = [w for w in phrase.lower().split() if w]
+    if not terms:
+        raise ValueError("empty phrase")
+    k = len(terms)
+    tok = (df.select(
+        id_col,
+        F.posexplode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z0-9']+"), 0))
+        .alias("pos", "term"))
+        .where(F.col("term").isin(terms)))
+    # one row per (doc, anchor, j): token at pos matches phrase slot j
+    slots = None
+    for j, t in enumerate(terms):
+        s = (tok.where(F.col("term") == t)
+             .select(id_col, (F.col("pos") - F.lit(j)).alias("anchor"),
+                     F.lit(j).alias("j")))
+        slots = s if slots is None else slots.unionAll(s)
+    return (slots.where(F.col("anchor") >= 0)
+            .groupBy(id_col, "anchor")
+            .agg(F.count_distinct("j").alias("nj"))
+            .where(F.col("nj") == k)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.min("anchor").alias("first_pos")))

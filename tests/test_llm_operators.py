@@ -1122,3 +1122,29 @@ def test_mp4_decode_and_frame_offsets(spark):
           MM.frame_sample(media.where("media_id = 1"),
                                every_n=2).collect()]
     assert fs == [0, 2]
+
+
+def test_phrase_search_positional_semantics(spark):
+    """Anchor-trick phrase search: overlapping matches of a
+    repeated-term phrase count separately; single terms degenerate
+    to occurrence counting; NULL text contributes nothing."""
+    docs = [(1, "the quick brown fox the quick fox"),
+            (2, "quick the quick brown nothing"),
+            (3, "scan scan scan table"),
+            (4, None)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in TX.phrase_search(df, "the quick brown").collect()}
+    assert got == {1: (1, 0), 2: (1, 1)}
+    rep = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in TX.phrase_search(df, "scan scan").collect()}
+    assert rep == {3: (2, 0)}  # overlapping anchors 0 and 1
+    one = {r["doc_id"]: r["n_matches"]
+           for r in TX.phrase_search(df, "quick").collect()}
+    assert one == {1: 2, 2: 2}
+    # the exploded stream is pruned to the phrase terms before the
+    # exchange (IN-list on term), and the plan is join-free
+    plan = TX.phrase_search(df, "the quick")._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("simple"))
+    assert "Join" not in plan
