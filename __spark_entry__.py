@@ -379,6 +379,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_phrase_search"] = text_phrase_search
 
+    def text_vocab_stats(spark, sf_dir):
+        """Per-source corpus vocabulary statistics (exact type-token
+        ratio + hapax share): one exploded pass collapsed by map-side
+        combine into (source, word) counts, then a vocabulary-sized
+        rollup — the corpus-scale exchange is bounded by |vocab|."""
+        return TX.vocab_stats(load(spark, sf_dir, "documents"))
+
+    q["text_vocab_stats"] = text_vocab_stats
+
+    def curation_stratified_sample(spark, sf_dir):
+        """Deterministic stratified eval-set sampling: smallest
+        md5(doc_id) per source wins — no RNG, no partition-order
+        dependence, exactly replayable in SQL (the reproducibility
+        property a train/eval split needs)."""
+        return CU.stratified_sample(
+            load(spark, sf_dir, "documents"), "source", 20) \
+            .select("doc_id", "source")
+
+    q["curation_stratified_sample"] = curation_stratified_sample
+
     def _bpe_fixture(spark):
         return spark.createDataFrame([
             (1, "The lower the better when lowering lowers."),
@@ -3220,6 +3240,27 @@ def oracle_sql() -> dict[str, str]:
         " GROUP BY 1, 2 HAVING count(DISTINCT j) = 2)"
         " SELECT doc_id, count(*) AS n_matches,"
         " min(anchor) AS first_pos FROM anchors GROUP BY 1"
+    )
+    o["text_vocab_stats"] = (
+        "WITH wc AS (SELECT source, word, count(*) AS n FROM ("
+        " SELECT source, unnest(regexp_extract_all("
+        "  lower(text), '[a-z0-9'']+')) AS word FROM documents)"
+        " GROUP BY 1, 2)"
+        " SELECT source, sum(n) AS n_tokens,"
+        " count(*) AS n_vocab,"
+        " sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax,"
+        " round(count(*) / CAST(sum(n) AS DOUBLE), 6) + 0.0"
+        "  AS type_token_ratio,"
+        " round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+        "  / CAST(count(*) AS DOUBLE), 6) + 0.0 AS hapax_share"
+        " FROM wc GROUP BY 1"
+    )
+    o["curation_stratified_sample"] = (
+        "SELECT doc_id, source FROM ("
+        " SELECT doc_id, source, row_number() OVER ("
+        "  PARTITION BY source"
+        "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk"
+        " FROM documents) WHERE rk <= 20"
     )
     o["text_bpe_merges"] = (
         "SELECT CAST(0 AS INT) AS rank, 'l' AS left,"

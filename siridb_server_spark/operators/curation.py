@@ -240,3 +240,21 @@ def shard_export(df: DataFrame, n_shards: int = 32,
             .withColumn("pos",
                         (F.row_number().over(w) - 1).cast("long"))
             .select(id_col, "shard", "pos"))
+
+
+def stratified_sample(df: DataFrame, group_col: str, n_per_group: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sample: the n_per_group rows with
+    the smallest md5(id) per group. One window shuffle partitioned
+    by group; the hash order is engine-independent (no RNG, no
+    partition-order dependence), so eval-set construction is
+    reproducible anywhere — the property a train/eval split needs.
+    At 100 TB the rank is computed per group partition; heavily
+    skewed groups ride AQE, and no driver collect happens."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, id_col)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n_per_group)
+            .drop("_rk"))

@@ -788,3 +788,33 @@ def phrase_search(df: DataFrame, phrase: str,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.min("anchor").alias("first_pos")))
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text",
+                group_col: str = "source") -> DataFrame:
+    """Per-group corpus vocabulary statistics: token count, distinct
+    vocabulary, exact type-token ratio, and hapax share (words seen
+    once — the Zipf tail mass, a standard corpus-quality signal).
+    Two aggregations over one exploded pass: (group, word) counts
+    first (map-side combine collapses the Zipf head), then the
+    vocabulary-sized rollup — the corpus-scale exchange carries at
+    most |vocab| rows per partition."""
+    wc = (df.select(F.col(group_col).alias("grp"),
+                    F.explode(F.regexp_extract_all(
+                        F.lower(F.col(text_col)),
+                        F.lit(r"[a-z0-9']+"), 0)).alias("word"))
+          .groupBy("grp", "word")
+          .agg(F.count(F.lit(1)).alias("n")))
+    return (wc.groupBy("grp")
+            .agg(F.sum("n").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_vocab"),
+                 F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+                 .alias("n_hapax"))
+            .select(F.col("grp").alias(group_col), "n_tokens",
+                    "n_vocab", "n_hapax",
+                    (F.round(F.col("n_vocab")
+                             / F.col("n_tokens"), 6) + F.lit(0.0))
+                    .alias("type_token_ratio"),
+                    (F.round(F.col("n_hapax")
+                             / F.col("n_vocab"), 6) + F.lit(0.0))
+                    .alias("hapax_share")))

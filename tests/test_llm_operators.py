@@ -1148,3 +1148,37 @@ def test_phrase_search_positional_semantics(spark):
         .explainString(spark._jvm.org.apache.spark.sql.execution
                        .ExplainMode.fromString("simple"))
     assert "Join" not in plan
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = CU.stratified_sample(df, "source", 5).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 5 for v in per.values())
+    # deterministic across runs and partitioning
+    again = CU.stratified_sample(df.repartition(13), "source", 5) \
+        .collect()
+    assert sorted((r["source"], r["doc_id"]) for r in got) == \
+        sorted((r["source"], r["doc_id"]) for r in again)
+    # small groups come back whole
+    tiny = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                                 "doc_id bigint, source string")
+    assert CU.stratified_sample(tiny, "source", 5).count() == 3
+
+
+def test_vocab_stats_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "aa bb aa cc"), (2, "a", "aa dd"),
+         (3, "b", "zz zz zz"), (4, "b", None)],
+        "doc_id bigint, source string, text string")
+    got = {r["source"]: r for r in
+           TX.vocab_stats(df, group_col="source").collect()}
+    a = got["a"]
+    assert (a["n_tokens"], a["n_vocab"], a["n_hapax"]) == (6, 4, 3)
+    assert a["type_token_ratio"] == round(4 / 6, 6)
+    b = got["b"]
+    assert (b["n_tokens"], b["n_vocab"], b["n_hapax"]) == (3, 1, 0)
+    assert b["hapax_share"] == 0.0
