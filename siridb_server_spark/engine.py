@@ -76,6 +76,10 @@ class SiriEngine:
         #: driver-side catalog answers for list/count/skip-points
         #: (plans/fastpath.py); off → always the distributed path
         self.fastpath_enabled = True
+        # serve count/sum/mean/min/max bucketed selects from the
+        # store's materialized rollup when one is built (see
+        # enable_rollup); False forces the points path
+        self.rollup_enabled = True
         self.server_name = "sparksiri:0"
         self.log_level = "info"
         self.backup_mode = False
@@ -787,7 +791,9 @@ class SiriEngine:
         results = []
         checks = []
         for pl in stmt.pipelines:
-            res = self._run_pipeline(df, pl.funcs, types)
+            res = self._rollup_pipeline(pl, stmt, types)
+            if res is None:
+                res = self._run_pipeline(df, pl.funcs, types)
             out, rtypes = res.df, res.types
             checks.extend(res.checks)
             if merge is not None:
@@ -973,6 +979,80 @@ class SiriEngine:
             df, types = res.df, res.types
             checks.extend(res.checks)
         return StageResult(df, types, checks)
+
+    def enable_rollup(self, bucket: int) -> dict:
+        """Build (or refresh) the store's materialized bucket rollup
+        and serve eligible bucketed aggregates from it — the classic
+        TSDB continuous-aggregate: query-time work becomes
+        O(|series| x |buckets|) instead of O(|points|). The rollup
+        bucket must divide the shard duration (buckets then never
+        span shards); eligible selects are single-pipeline
+        count/sum/mean/min/max with a bucket that is a multiple of
+        the rollup bucket and no time range. Everything else — and
+        every shard whose files changed since the build — reads
+        points exactly as before, so answers are identical either
+        way (tests/test_rollup.py asserts equality)."""
+        if self.store is None:
+            raise QueryError("rollups need a store-backed engine")
+        return self.store.build_rollup(self.spark, bucket)
+
+    #: aggregates served from rollup partials, with their type
+    #: preconditions (sum/mean int-only keeps results bit-identical
+    #: to the points path; strings fall back so errors match)
+    def _rollup_servable(self, name: str, types) -> bool:
+        if name == "count":
+            return True
+        if name in ("min", "max"):
+            return TP_STRING not in types.tps
+        if name in ("sum", "mean"):
+            return types.tps == frozenset({TP_INT})
+        return False
+
+    def _rollup_pipeline(self, pl, stmt, types):
+        """Serve one pipeline from the materialized rollup, or None
+        to use the points path. Stale/new shards (files changed
+        since the build) contribute live partials — the hybrid stays
+        exact while the rollup lags behind appends."""
+        if (self.store is None or not self.rollup_enabled
+                or stmt.timerange is not None):
+            return None
+        if len(pl.funcs) != 1:
+            return None
+        f = pl.funcs[0]
+        if not isinstance(f, N.AggFunc) or f.group_by is None \
+                or not isinstance(f.group_by, int) or f.offset:
+            return None
+        if f.name not in P.ROLLUP_FNS \
+                or not self._rollup_servable(f.name, types):
+            return None
+        roll = self.store.read_rollup(self.spark)
+        if roll is None or f.group_by % roll["bucket"] != 0:
+            return None
+        parts = []
+        if roll["partials"] is not None:
+            parts.append(roll["partials"].select(
+                "series", "rbucket", "tp", "cnt", "vi_sum",
+                "vi_oflow", "num_sum", "vi_min", "vi_max",
+                "vd_min", "vd_max"))
+        if roll["stale"]:
+            live = self.store.read_points_of(self.spark,
+                                             roll["stale"])
+            if live is not None:
+                parts.append(P.rollup_partials(live, roll["bucket"]))
+        if not parts:
+            return None
+        partials = parts[0]
+        for extra in parts[1:]:
+            partials = partials.unionByName(extra)
+        pred = compile_match(stmt.match, self.groups, self.tags)
+        partials = partials.where(pred)
+        if stmt.where is not None:
+            names = self._selected_catalog(stmt.match, stmt.where) \
+                .select(F.col("name").alias("series"))
+            partials = partials.join(F.broadcast(names), "series",
+                                     "semi")
+        return P.compose_bucket_agg(partials, f.name, f.group_by,
+                                    types)
 
     def _collect(self, df: DataFrame, seeds: list | None = None) -> dict:
         rows = df.select(*COLS).collect()
@@ -1492,6 +1572,12 @@ class SiriEngine:
             self.store.optimize(self.spark, max_files_per_partition)
             with self.store._pending():
                 self.store._compact_catalog(self.spark)
+            # refresh the materialized rollup (compaction just
+            # renamed every fragmented shard's files, so a stale
+            # rollup would fall back to points everywhere)
+            info = self.store.rollup_info()
+            if info is not None:
+                self.store.build_rollup(self.spark, info["bucket"])
             self._invalidate()
         return {"success_msg": "Maintenance finished."}
 

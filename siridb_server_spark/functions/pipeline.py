@@ -494,3 +494,77 @@ def apply_limit(df: DataFrame, limit: int, agg_name: str,
     res = apply_bucket_agg(capped, agg_name, "_g", "_off", types)
     out = res.df.unionByName(passthrough)
     return StageResult(out, types.after(agg_name), res.checks)
+
+
+# --------------------------------------------------------------- rollups
+#: aggregates servable from bucketed rollup partials (sources/store.py
+#: build_rollup / engine._try_rollup). first/last/median/variance are
+#: not partial-composable at this granularity and always read points.
+ROLLUP_FNS = frozenset({"count", "sum", "mean", "min", "max"})
+
+
+def rollup_partials(df: DataFrame, bucket: int,
+                    extra_keys: list = ()) -> DataFrame:
+    """Per-(extra_keys..., series, rollup-bucket) partial aggregates.
+    Shared by the store's build job and the engine's live fallback
+    for stale shards so both sides compose identically.
+
+    ``vi_oflow`` records an int64 overflow INSIDE one partial
+    (try_sum went NULL with int rows present) so composition can
+    surface the overflow error instead of silently skipping the
+    NULL partial."""
+    agged = (df.groupBy(
+        *extra_keys, "series",
+        bucket_ts(F.col("ts"), bucket).alias("rbucket"))
+        .agg(F.max("tp").alias("tp"),
+             F.count(F.lit(1)).alias("cnt"),
+             F.try_sum("val_int").alias("vi_sum"),
+             F.count("val_int").alias("n_int"),
+             F.sum(_num()).alias("num_sum"),
+             F.min("val_int").alias("vi_min"),
+             F.max("val_int").alias("vi_max"),
+             F.min("val_dbl").alias("vd_min"),
+             F.max("val_dbl").alias("vd_max")))
+    return agged.withColumn(
+        "vi_oflow",
+        F.when(F.col("vi_sum").isNull() & (F.col("n_int") > 0), 1)
+        .otherwise(0)).drop("n_int")
+
+
+def compose_bucket_agg(partials: DataFrame, name: str, group_by: int,
+                       types: TypeSet) -> StageResult:
+    """Fold rollup partials up to the query bucket. Exactness per
+    aggregate (enforced by the engine's serving conditions):
+    count/min/max are order-free; sum/mean are served for int-only
+    selections (exact long / exact double-of-long arithmetic), so
+    every served result is bit-identical to the points path."""
+    assert name in ROLLUP_FNS, name
+    _check_agg_types(name, types)
+    grouped = partials.groupBy(
+        "series", bucket_ts(F.col("rbucket"), group_by).alias("ts"))
+    vi = vd = None
+    if name == "count":
+        vi = F.sum("cnt").cast("long")
+    elif name == "sum":
+        vi = F.when(F.max("vi_oflow") == 1,
+                    F.lit(None).cast("long")) \
+            .otherwise(F.try_sum("vi_sum"))
+        vd = F.lit(None).cast("double")
+    elif name == "mean":
+        vd = F.sum("num_sum") / F.sum("cnt")
+    elif name == "min":
+        vi, vd = F.min("vi_min"), F.min("vd_min")
+    elif name == "max":
+        vi, vd = F.max("vi_max"), F.max("vd_max")
+    agged = grouped.agg(
+        *([vi.alias("vi")] if vi is not None else []),
+        *([vd.alias("vd")] if vd is not None else []),
+        _tp_expr(name).alias("ntp"))
+    out = _norm(agged, ts=F.col("ts"),
+                vi=F.col("vi") if vi is not None else None,
+                vd=F.col("vd") if vd is not None else None,
+                vs=None, tp=F.col("ntp"))
+    checks = []
+    if name == "sum" and TP_INT in types.tps:
+        checks.append(OverflowCheck(out, name))
+    return StageResult(out, types.after(name), checks)

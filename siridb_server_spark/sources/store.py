@@ -1142,6 +1142,157 @@ class PointsStore:
                     cat.where(~F.col("name").isin(names)))
                 shutil.rmtree(self._delta_path, ignore_errors=True)
 
+
+    # ---------------------------------------------------------- rollup
+    @property
+    def _rollup_root(self) -> str:
+        return os.path.join(self.path, "_rollup")
+
+    @property
+    def _rollup_meta_path(self) -> str:
+        return os.path.join(self._rollup_root, "meta.json")
+
+    @property
+    def _rollup_data_path(self) -> str:
+        return os.path.join(self._rollup_root, "data")
+
+    def rollup_info(self) -> dict | None:
+        """{"bucket": b, "coverage": {"kind:sid": [files...]}} or
+        None when no rollup is built."""
+        import json
+
+        try:
+            with open(self._rollup_meta_path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _rollup_listing(self) -> dict:
+        """Current {"kind:sid": sorted point-file names}."""
+        out = {}
+        for kind, sid, p in self._sid_dirs():
+            files = sorted(f for f in os.listdir(p)
+                           if f.endswith(".parquet"))
+            out[f"{kind}:{sid}"] = files
+        return out
+
+    def build_rollup(self, spark: SparkSession, bucket: int) -> dict:
+        """Build/refresh the rollup at the given bucket width (same
+        unit as ts). Serialized behind the compact lock so the file
+        listing and the aggregation read see the same shards; appends
+        landing DURING the build simply show up as coverage
+        mismatches and fall back to live partials until the next
+        build. Returns the coverage meta."""
+        import json
+
+        from ..functions.pipeline import rollup_partials
+
+        if bucket <= 0:
+            raise ValueError("rollup bucket must be positive")
+        covered_kinds = [
+            k for k, dur in (("num", self.duration_num),
+                             ("log", self.duration_log))
+            if dur % bucket == 0]
+        if not covered_kinds:
+            raise ValueError(
+                f"rollup bucket {bucket} divides neither shard "
+                f"duration ({self.duration_num} num / "
+                f"{self.duration_log} log)")
+        if not self._acquire_compact_lock():
+            raise RuntimeError("rollup build: compact lock busy")
+        try:
+            listing = {
+                key: files for key, files in
+                self._rollup_listing().items()
+                if key.split(":", 1)[0] in covered_kinds}
+            paths = []
+            for key, files in listing.items():
+                kind, sid = key.split(":", 1)
+                d = os.path.join(self.path, f"kind={kind}",
+                                 f"sid={sid}")
+                paths.extend(os.path.join(d, f) for f in files)
+            os.makedirs(self._rollup_root, exist_ok=True)
+            tmp = os.path.join(self._rollup_root,
+                               f".build-{uuid.uuid4().hex}")
+            if paths:
+                pts = (spark.read.option("basePath", self.path)
+                       .parquet(*paths)
+                       .select("series", "ts", "val_int", "val_dbl",
+                               "tp", F.col("kind").cast("string")
+                               .alias("kind"),
+                               F.col("sid").cast("long")
+                               .alias("sid")))
+                partials = rollup_partials(pts, bucket,
+                                           ["kind", "sid"])
+                partials.write.mode("overwrite") \
+                    .option("compression", "zstd").parquet(tmp)
+            else:
+                os.makedirs(tmp, exist_ok=True)
+            if os.path.isdir(self._rollup_data_path):
+                shutil.rmtree(self._rollup_data_path)
+            os.replace(tmp, self._rollup_data_path)
+            meta = {"bucket": int(bucket), "coverage": listing}
+            mtmp = self._rollup_meta_path + f".{uuid.uuid4().hex}"
+            with open(mtmp, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(mtmp, self._rollup_meta_path)
+            return meta
+        finally:
+            self._release_compact_lock()
+
+    def read_rollup(self, spark: SparkSession):
+        """(partials_df, stale_keys) — partials_df holds ONLY shards
+        whose current files exactly match the build-time coverage;
+        stale_keys lists "kind:sid" shards (changed, new, or
+        never-covered) the caller must aggregate live from points."""
+        meta = self.rollup_info()
+        if meta is None:
+            return None
+        current = self._rollup_listing()
+        cov = meta["coverage"]
+        valid = [k for k, files in current.items()
+                 if cov.get(k) == files]
+        stale = [k for k in current if k not in set(valid)]
+        if os.path.isdir(self._rollup_data_path) and any(
+                f.endswith(".parquet")
+                for f in os.listdir(self._rollup_data_path)):
+            df = spark.read.parquet(self._rollup_data_path)
+        else:
+            df = None
+        if df is not None:
+            if not valid:
+                df = df.limit(0)
+            else:
+                key = F.concat_ws(":", F.col("kind"),
+                                  F.col("sid").cast("string"))
+                if len(valid) <= 256:
+                    df = df.where(key.isin(valid))
+                else:
+                    vdf = spark.createDataFrame(
+                        [(v,) for v in valid], "k string")
+                    df = (df.withColumn("_k", key)
+                          .join(F.broadcast(vdf),
+                                F.col("_k") == F.col("k"), "semi")
+                          .drop("_k"))
+        return {"bucket": meta["bucket"], "partials": df,
+                "stale": stale}
+
+    def read_points_of(self, spark: SparkSession, keys: list):
+        """Points frame restricted to the given "kind:sid" shards
+        (the live-fallback side of a rollup read)."""
+        paths = []
+        for key in keys:
+            kind, sid = key.split(":", 1)
+            d = os.path.join(self.path, f"kind={kind}", f"sid={sid}")
+            if os.path.isdir(d):
+                paths.append(d)
+        if not paths:
+            return None
+        return (spark.read.option("basePath", self.path)
+                .parquet(*paths)
+                .select("series", "ts", "seq", "val_int", "val_dbl",
+                        "val_str", "tp"))
+
     def optimize(self, spark: SparkSession,
                  max_files_per_partition: int = 1,
                  sort: bool = True):
@@ -1217,3 +1368,25 @@ class PointsStore:
             raise FileExistsError(dest)
         shutil.copytree(snapshot_path, dest)
         return cls(dest, duration_num, duration_log, catalog_buckets)
+
+
+# ---------------------------------------------------------------------
+# Bucketed rollups: a maintain-time materialized aggregate layer.
+#
+# The classic TSDB scale feature the reference lacks (it re-aggregates
+# points per query): per-(kind, shard) partial aggregates at a fixed
+# bucket width, built under the compact lock, served by the engine for
+# count/sum/mean/min/max selects whose bucket is a multiple of the
+# rollup bucket. Query-time work becomes O(|series| x |buckets|)
+# instead of O(|points|).
+#
+# Safety model (no append-path changes, drop-safe by construction):
+# - the rollup is keyed by (kind, sid) and records EXACTLY which
+#   point files each shard's partials were computed from;
+# - at read time a shard whose current file set differs (new append,
+#   compaction rewrite, drop rewrite, retention) is EXCLUDED from the
+#   rollup and the engine computes that shard's partials live from
+#   points — results stay exact while the rollup lags;
+# - the rollup bucket must divide the shard duration of a kind for
+#   that kind to be covered (buckets then never span shards), else
+#   the kind is simply never covered (permanent live fallback).

@@ -1,0 +1,167 @@
+"""Materialized bucket rollups (store continuous aggregates).
+
+The contract under test: with a rollup built, every ELIGIBLE select
+(single-pipeline count/sum/mean/min/max, bucket a multiple of the
+rollup bucket, no time range) returns answers IDENTICAL to the
+points path (``rollup_enabled = False``), including after appends
+the rollup has not seen (hybrid live fallback), after compaction
+renames every file (coverage mismatch -> full fallback), after
+``maintain()`` (which refreshes the rollup), and across a store
+reopen. Ineligible shapes and type errors behave exactly as before.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from siridb_server_spark import SiriEngine
+
+QUERIES = [
+    "select count(1800) from /.*/",
+    "select count(600) from /.*/",
+    "select min(600) from /cpu.*|mem.*/",
+    "select max(3600) from /.*/ where type != string",
+    "select sum(600) from 'cpu-int'",
+    "select sum(1200) from /.*int.*/",
+    "select mean(1200) from 'cpu-int'",
+]
+
+
+@pytest.fixture()
+def store_eng(spark):
+    root = tempfile.mkdtemp(prefix="sparksiri-rollup-")
+    eng = SiriEngine.open(spark, root, precision="s")
+    eng.insert({
+        "cpu-int": [[100, 5], [40, 2], [40, 3], [220, 7],
+                    [3700, 11], [700000, -4]],
+        "alt-int": [[30, 1], [630, 2], [1230, 3]],
+        "mem-dbl": [[10, 1.5], [700, 2.25], [700, 0.25],
+                    [3650, 9.0]],
+        "log-str": [[50, "a"], [90, "b"]],
+    })
+    yield eng
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _both(eng, q):
+    a = eng.query(q)
+    eng.rollup_enabled = False
+    try:
+        b = eng.query(q)
+    finally:
+        eng.rollup_enabled = True
+    return a, b
+
+
+def test_rollup_serves_identical_answers(store_eng):
+    store_eng.enable_rollup(600)
+    for q in QUERIES:
+        a, b = _both(store_eng, q)
+        assert a == b, q
+
+
+def test_rollup_hybrid_covers_unseen_appends(store_eng):
+    store_eng.enable_rollup(600)
+    # new points land in an already-covered shard AND a new shard
+    store_eng.insert({"cpu-int": [[650, 100], [50, 1],
+                                  [2 * 604800 + 5, 9]]})
+    for q in QUERIES:
+        a, b = _both(store_eng, q)
+        assert a == b, ("hybrid", q)
+    # rebuild folds them in; answers unchanged
+    store_eng.enable_rollup(600)
+    for q in QUERIES:
+        a, b = _both(store_eng, q)
+        assert a == b, ("rebuilt", q)
+
+
+def test_rollup_served_plan_reads_no_point_files(store_eng, spark):
+    store_eng.enable_rollup(600)
+    roll = store_eng.store.read_rollup(spark)
+    assert roll["stale"] == []  # nothing changed since the build
+    import siridb_server_spark.plans.nodes as N
+    from siridb_server_spark.functions.pipeline import TypeSet
+    from siridb_server_spark.model import TP_INT
+    from siridb_server_spark.plans.parser import Parser
+
+    stmt = Parser("select count(600) from /.*/", "s").parse().stmt
+    assert isinstance(stmt, N.SelectStmt)
+    res = store_eng._rollup_pipeline(
+        stmt.pipelines[0], stmt, TypeSet(frozenset({TP_INT})))
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "_rollup" in plan
+    assert "kind=" not in plan  # no point partitions in the scan
+
+
+def test_rollup_survives_compaction_and_maintain(store_eng):
+    store_eng.enable_rollup(600)
+    store_eng.insert({"cpu-int": [[45, 2], [46, 2], [47, 2]]})
+    # compaction renames every fragmented shard's files; maintain()
+    # then refreshes the rollup — answers identical at every step
+    for q in QUERIES:
+        a, b = _both(store_eng, q)
+        assert a == b, ("pre-maintain", q)
+    store_eng.maintain()
+    info = store_eng.store.rollup_info()
+    assert info is not None and info["bucket"] == 600
+    for q in QUERIES:
+        a, b = _both(store_eng, q)
+        assert a == b, ("post-maintain", q)
+
+
+def test_rollup_survives_reopen(store_eng, spark):
+    store_eng.enable_rollup(600)
+    path = store_eng.store.path
+    eng2 = SiriEngine.open(spark, path, precision="s")
+    for q in QUERIES:
+        a, b = _both(eng2, q)
+        assert a == b, ("reopen", q)
+
+
+def test_rollup_ineligible_shapes_fall_back(store_eng):
+    store_eng.enable_rollup(600)
+    for q in ["select count(600) from /.*/ after 100",
+              "select median(600) from 'mem-dbl'",
+              "select variance(600) from 'mem-dbl'",
+              "select filter(> 2) => count(600) from 'cpu-int'",
+              "select count(500) from /.*/",  # not a multiple
+              "select mean(600) from 'mem-dbl'",  # double mean
+              "select count() from 'cpu-int'"]:
+        a, b = _both(store_eng, q)
+        assert a == b, q
+
+
+def test_rollup_error_parity_for_string_sum(store_eng):
+    store_eng.enable_rollup(600)
+    msgs = []
+    for flag in (True, False):
+        store_eng.rollup_enabled = flag
+        with pytest.raises(Exception) as e:
+            store_eng.query("select sum(600) from /.*/")
+        msgs.append(str(e.value))
+    store_eng.rollup_enabled = True
+    assert msgs[0] == msgs[1]
+
+
+def test_rollup_bucket_must_divide_duration(store_eng):
+    with pytest.raises(ValueError):
+        store_eng.enable_rollup(store_eng.duration_num - 1)
+    with pytest.raises(ValueError):
+        store_eng.enable_rollup(0)
+
+
+def test_rollup_int_sum_overflow_error_parity(store_eng):
+    big = (1 << 62) + 11
+    store_eng.insert({"ovf-int": [[10, big], [20, big]]})
+    store_eng.enable_rollup(600)
+    msgs = []
+    for flag in (True, False):
+        store_eng.rollup_enabled = flag
+        with pytest.raises(Exception) as e:
+            store_eng.query("select sum(600) from 'ovf-int'")
+        msgs.append(str(e.value))
+    store_eng.rollup_enabled = True
+    assert msgs[0] == msgs[1]
