@@ -165,3 +165,54 @@ def test_rollup_int_sum_overflow_error_parity(store_eng):
         msgs.append(str(e.value))
     store_eng.rollup_enabled = True
     assert msgs[0] == msgs[1]
+
+
+def test_rollup_hybrid_with_streaming_ingest(spark, tmp_path):
+    """Streaming micro-batches land as ordinary appends; a rollup
+    built mid-stream serves the covered prefix from partials and the
+    newer micro-batch files live — identical answers throughout,
+    without any rebuild."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from siridb_server_spark import SiriEngine
+    from siridb_server_spark.sources.store import PointsStore
+    from siridb_server_spark.streaming import ingest as ING
+
+    store = PointsStore(str(tmp_path / "sdb"), 604800, 259200)
+    eng = SiriEngine.open(spark, store.path, precision="s")
+    eng.insert({"seed-int": [[10, 1], [700, 2]]})
+    eng.enable_rollup(600)
+
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", "40").load())
+    shaped = rate.select(
+        F.concat(F.lit("live-"), (F.col("value") % 2).cast("string"))
+        .alias("series"),
+        (F.col("value") * 7 % 50000).cast("long").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("value").alias("seq"))
+    q = ING.start_ingest(
+        shaped, store, series_col="series", ts_col="ts",
+        value_col="value", seq_col="seq",
+        checkpoint=str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            time.sleep(1.5)
+            if store.read(spark).count() >= 22:
+                break
+        q.stop()
+    except BaseException:
+        q.stop()
+        raise
+    eng._invalidate()
+    for query in ("select count(600) from /.*/",
+                  "select max(1200) from /.*/",
+                  "select sum(600) from 'seed-int'"):
+        a = eng.query(query)
+        eng.rollup_enabled = False
+        b = eng.query(query)
+        eng.rollup_enabled = True
+        assert a == b, query
