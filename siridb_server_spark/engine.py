@@ -790,8 +790,9 @@ class SiriEngine:
 
         results = []
         checks = []
+        roll_ctx: dict = {}
         for pl in stmt.pipelines:
-            res = self._rollup_pipeline(pl, stmt, types)
+            res = self._rollup_pipeline(pl, stmt, types, roll_ctx)
             if res is None:
                 res = self._run_pipeline(df, pl.funcs, types)
             out, rtypes = res.df, res.types
@@ -1008,11 +1009,14 @@ class SiriEngine:
             return types.tps == frozenset({TP_INT})
         return False
 
-    def _rollup_pipeline(self, pl, stmt, types):
+    def _rollup_pipeline(self, pl, stmt, types, ctx=None):
         """Serve one pipeline from the materialized rollup, or None
         to use the points path. Stale/new shards (files changed
         since the build) contribute live partials — the hybrid stays
-        exact while the rollup lags behind appends."""
+        exact while the rollup lags behind appends. ``ctx`` memoizes
+        the rollup read (a driver-side shard listing + parquet scan)
+        and the where-clause names frame across the pipelines of one
+        select."""
         if (self.store is None or not self.rollup_enabled
                 or stmt.timerange is not None):
             return None
@@ -1025,7 +1029,11 @@ class SiriEngine:
         if f.name not in P.ROLLUP_FNS \
                 or not self._rollup_servable(f.name, types):
             return None
-        roll = self.store.read_rollup(self.spark)
+        if ctx is None:
+            ctx = {}
+        if "roll" not in ctx:
+            ctx["roll"] = self.store.read_rollup(self.spark)
+        roll = ctx["roll"]
         if roll is None or f.group_by % roll["bucket"] != 0:
             return None
         parts = []
@@ -1047,10 +1055,12 @@ class SiriEngine:
         pred = compile_match(stmt.match, self.groups, self.tags)
         partials = partials.where(pred)
         if stmt.where is not None:
-            names = self._selected_catalog(stmt.match, stmt.where) \
-                .select(F.col("name").alias("series"))
-            partials = partials.join(F.broadcast(names), "series",
-                                     "semi")
+            if "names" not in ctx:
+                ctx["names"] = self._selected_catalog(
+                    stmt.match, stmt.where) \
+                    .select(F.col("name").alias("series"))
+            partials = partials.join(F.broadcast(ctx["names"]),
+                                     "series", "semi")
         return P.compose_bucket_agg(partials, f.name, f.group_by,
                                     types)
 
@@ -1577,7 +1587,15 @@ class SiriEngine:
             # rollup would fall back to points everywhere)
             info = self.store.rollup_info()
             if info is not None:
-                self.store.build_rollup(self.spark, info["bucket"])
+                try:
+                    self.store.build_rollup(self.spark,
+                                            info["bucket"])
+                except RuntimeError:
+                    # another process holds the compact lock: skip —
+                    # coverage mismatches keep answers exact and the
+                    # next maintain() refreshes (same busy-skip
+                    # _compact_catalog applies)
+                    pass
             self._invalidate()
         return {"success_msg": "Maintenance finished."}
 

@@ -536,8 +536,11 @@ def compose_bucket_agg(partials: DataFrame, name: str, group_by: int,
     """Fold rollup partials up to the query bucket. Exactness per
     aggregate (enforced by the engine's serving conditions):
     count/min/max are order-free; sum/mean are served for int-only
-    selections (exact long / exact double-of-long arithmetic), so
-    every served result is bit-identical to the points path."""
+    selections: sums fold exactly in int64 (with the overflow flag),
+    and means fold double sums of integers — exact (hence
+    bit-identical to the points path) while running sums stay below
+    2^53; beyond that both paths are in double territory where
+    Spark's own avg is already partition-order-dependent."""
     assert name in ROLLUP_FNS, name
     _check_agg_types(name, types)
     grouped = partials.groupBy(

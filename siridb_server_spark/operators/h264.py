@@ -19,12 +19,18 @@ surface stubbed:
   Hadamard, 2x2 chroma DC) and flat-matrix dequantization, so the
   reconstruction is bit-exact by construction — H.264's decode loop
   is pure integer math.
-- The in-loop deblocking filter for intra frames (bS 3/4, alpha/
-  beta/tc0 tables, normal + strong filters, chroma edges).
+
+The in-loop deblocking filter is NOT implemented: streams must signal
+``disable_deblocking_filter_idc == 1`` (as every fixture encoder here
+does) for the reconstruction to be conformant, and by default the
+decoder returns ``None`` for deblock-enabled streams rather than
+silently emitting pre-filter pixels; pass ``approximate=True`` to
+accept the (unfiltered, slightly blockier) reconstruction anyway.
 
 Unsupported (returns ``None``, never crashes): CABAC streams, P/B
 slices, interlaced coding (frame_mbs_only_flag == 0), high-profile
-tools (8x8 transform, scaling lists, monochrome), multi-slice frames.
+tools (8x8 transform, scaling lists, monochrome), multi-slice frames,
+and — without ``approximate=True`` — deblock-enabled streams.
 
 The encode side (``encode_h264_annexb``) exists to build
 deterministic test fixtures: I_PCM mode passes pixels through
@@ -1392,7 +1398,8 @@ def _decode_chroma(r, st, mbx, mby, qpy, chroma_qp_offset,
 
 
 def decode_h264_frame(payload: bytes, avcc: bytes = None,
-                      max_mbs: int = 65536):
+                      max_mbs: int = 65536,
+                      approximate: bool = False):
     """Decode the first I/IDR frame of an H.264 elementary stream.
 
     payload: Annex B stream (SPS/PPS inline), or a length-prefixed
@@ -1405,8 +1412,9 @@ def decode_h264_frame(payload: bytes, avcc: bytes = None,
     NOTE: the in-loop deblocking filter is not applied; conformant
     output is guaranteed for streams that signal
     disable_deblocking_filter_idc == 1 (all fixture encoders here
-    do). For other streams the pre-filter reconstruction is
-    returned.
+    do). Deblock-enabled streams return None unless
+    ``approximate=True``, which accepts the pre-filter
+    reconstruction.
     """
     try:
         sps = pps = None
@@ -1451,6 +1459,11 @@ def decode_h264_frame(payload: bytes, avcc: bytes = None,
         r = _BitReader(_ebsp_to_rbsp(nal[1:]))
         sh = _parse_slice_header(r, sps, pps, ntype, ref_idc)
         if sh is None or sh["first_mb"] != 0:
+            return None
+        if sh["disable_deblock"] != 1 and not approximate:
+            # no deblocking filter here: the pre-filter
+            # reconstruction would be non-conformant for this
+            # stream — refuse unless the caller opts in
             return None
         mbw, mbh = sps["pic_width_mbs"], sps["pic_height_mbs"]
         if mbw * mbh > max_mbs:
@@ -1843,7 +1856,8 @@ def _encode_mb_pcm(w, st, srcY, srcC, mbx, mby):
         st.set_chroma_nc(mbx, mby, blk, 1, 16)
 
 
-def encode_h264_annexb(px, mode: str = "mixed", qp: int = 26):
+def encode_h264_annexb(px, mode: str = "mixed", qp: int = 26,
+                       disable_deblock_idc: int = 1):
     """Encode an image (HxW gray or HxWx3 RGB uint8) as a one-frame
     H.264 Annex B stream (SPS + PPS + IDR, baseline, CAVLC,
     deblocking disabled). mode: "pcm" (lossless I_PCM), "i16",
@@ -1879,7 +1893,6 @@ def encode_h264_annexb(px, mode: str = "mixed", qp: int = 26):
         p[ch:, cw:] = C[ch - 1, cw - 1]
         padC.append(p)
     crop = (0, (mbw * 16 - w_) // 2, 0, (mbh * 16 - h) // 2)
-    assert w_ % 2 == 0 or crop[1] * 2 == mbw * 16 - w_ + 1 or True
 
     sps_nal = _write_sps(mbw, mbh, crop)
     pps_nal = _write_pps()
@@ -1893,7 +1906,10 @@ def encode_h264_annexb(px, mode: str = "mixed", qp: int = 26):
     w.u(1, 1)         # no_output_of_prior_pics
     w.u(1, 0)         # long_term_reference
     w.se(qp - 26)     # slice_qp_delta
-    w.ue(1)           # disable_deblocking_filter_idc = 1
+    w.ue(disable_deblock_idc)
+    if disable_deblock_idc != 1:
+        w.se(0)       # slice_alpha_c0_offset_div2
+        w.se(0)       # slice_beta_offset_div2
     st = _FrameState(mbw, mbh)
     qpc = _QPC[_clip_qp(qp)]
     kinds = {"pcm": ["pcm"], "i16": ["i16"], "i4": ["i4"],
@@ -1919,9 +1935,11 @@ def encode_h264_annexb(px, mode: str = "mixed", qp: int = 26):
     return stream, recon
 
 
-def decode_h264_rgb(payload: bytes, avcc: bytes = None):
+def decode_h264_rgb(payload: bytes, avcc: bytes = None,
+                    approximate: bool = False):
     """decode_h264_frame + YUV->RGB. Returns (w, h, rgb) or None."""
-    out = decode_h264_frame(payload, avcc=avcc)
+    out = decode_h264_frame(payload, avcc=avcc,
+                            approximate=approximate)
     if out is None:
         return None
     w, h, (Y, Cb, Cr) = out

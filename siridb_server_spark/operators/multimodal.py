@@ -2400,7 +2400,8 @@ VIDEO_FRAME_PIXELS_SCHEMA = T.StructType([
 
 
 def decode_video_frames(media: DataFrame,
-                        every_n: int = 1) -> DataFrame:
+                        every_n: int = 1,
+                        approximate: bool = False) -> DataFrame:
     """REAL video pixel decode — the path that was stubbed until r6.
 
     MP4/ISO-BMFF payloads with an avc1 track: every ``every_n``-th
@@ -2410,13 +2411,16 @@ def decode_video_frames(media: DataFrame,
     track's avcC extradata for SPS/PPS. Raw Annex B H.264 payloads
     decode as a single frame. Emits dims + per-channel means of the
     decoded RGB raster; samples outside the supported subset (P/B
-    slices, CABAC) or malformed yield NULL pixel columns so a
-    pipeline can count decode coverage. Shape: Arrow-batched
+    slices, CABAC, deblock-enabled streams unless
+    ``approximate=True`` accepts the pre-filter reconstruction) or
+    malformed yield NULL pixel columns so a pipeline can count
+    decode coverage. Shape: Arrow-batched
     row-local mapInPandas — embarrassingly parallel, no shuffle."""
     from . import h264 as _h264
 
     def _frame_row(mid, idx, data, avcc):
-        out = _h264.decode_h264_rgb(data, avcc=avcc)
+        out = _h264.decode_h264_rgb(data, avcc=avcc,
+                                    approximate=approximate)
         if out is None:
             return (mid, idx, None, None, None, None, None)
         w, h, rgb = out

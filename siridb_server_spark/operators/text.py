@@ -764,7 +764,12 @@ def phrase_search(df: DataFrame, phrase: str,
 
     Returns (id_col, n_matches, first_pos) for matching docs.
     """
-    terms = [w for w in phrase.lower().split() if w]
+    import re as _re
+
+    # the phrase goes through the SAME tokenizer as the text, so
+    # punctuation in the query ("foo, bar") can't silently produce
+    # unmatchable terms
+    terms = _re.findall(r"[a-z0-9']+", phrase.lower())
     if not terms:
         raise ValueError("empty phrase")
     k = len(terms)

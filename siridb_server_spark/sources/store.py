@@ -1152,9 +1152,8 @@ class PointsStore:
     def _rollup_meta_path(self) -> str:
         return os.path.join(self._rollup_root, "meta.json")
 
-    @property
-    def _rollup_data_path(self) -> str:
-        return os.path.join(self._rollup_root, "data")
+    def _rollup_data_path(self, gen: str) -> str:
+        return os.path.join(self._rollup_root, f"data-{gen}")
 
     def rollup_info(self) -> dict | None:
         """{"bucket": b, "coverage": {"kind:sid": [files...]}} or
@@ -1212,8 +1211,8 @@ class PointsStore:
                                  f"sid={sid}")
                 paths.extend(os.path.join(d, f) for f in files)
             os.makedirs(self._rollup_root, exist_ok=True)
-            tmp = os.path.join(self._rollup_root,
-                               f".build-{uuid.uuid4().hex}")
+            gen = uuid.uuid4().hex
+            tmp = os.path.join(self._rollup_root, f".build-{gen}")
             if paths:
                 pts = (spark.read.option("basePath", self.path)
                        .parquet(*paths)
@@ -1228,14 +1227,22 @@ class PointsStore:
                     .option("compression", "zstd").parquet(tmp)
             else:
                 os.makedirs(tmp, exist_ok=True)
-            if os.path.isdir(self._rollup_data_path):
-                shutil.rmtree(self._rollup_data_path)
-            os.replace(tmp, self._rollup_data_path)
-            meta = {"bucket": int(bucket), "coverage": listing}
+            # commit protocol: land the new generation dir, point the
+            # meta at it atomically, THEN drop older generations — a
+            # crash at any step leaves a consistent (meta, data) pair
+            os.replace(tmp, self._rollup_data_path(gen))
+            meta = {"bucket": int(bucket), "gen": gen,
+                    "coverage": listing}
             mtmp = self._rollup_meta_path + f".{uuid.uuid4().hex}"
             with open(mtmp, "w") as fh:
                 json.dump(meta, fh)
             os.replace(mtmp, self._rollup_meta_path)
+            for entry in os.listdir(self._rollup_root):
+                if (entry.startswith("data-") and entry != f"data-{gen}") \
+                        or entry.startswith(".build-"):
+                    shutil.rmtree(
+                        os.path.join(self._rollup_root, entry),
+                        ignore_errors=True)
             return meta
         finally:
             self._release_compact_lock()
@@ -1246,17 +1253,42 @@ class PointsStore:
         stale_keys lists "kind:sid" shards (changed, new, or
         never-covered) the caller must aggregate live from points."""
         meta = self.rollup_info()
-        if meta is None:
+        if meta is None or "gen" not in meta:
             return None
         current = self._rollup_listing()
+        # negative timestamps (possible only via the raw append API —
+        # insert and streaming ingest reject them) would relabel
+        # differently through the two-level bucket composition:
+        # refuse to serve, the engine falls back to points wholesale.
+        # They can only live in shards with sid <= 0, so the probe
+        # is one footer read of those shards (usually none).
+        for key in current:
+            if int(key.split(":", 1)[1]) < 0:
+                return None
+        if any(int(k.split(":", 1)[1]) == 0 for k in current):
+            stats = self.shard_stats_local()
+            if stats is None:
+                return None
+            for s in stats:
+                if s["sid"] == 0 and s["start"] is not None \
+                        and s["start"] < 0:
+                    return None
         cov = meta["coverage"]
         valid = [k for k, files in current.items()
                  if cov.get(k) == files]
         stale = [k for k in current if k not in set(valid)]
-        if os.path.isdir(self._rollup_data_path) and any(
-                f.endswith(".parquet")
-                for f in os.listdir(self._rollup_data_path)):
-            df = spark.read.parquet(self._rollup_data_path)
+        data = self._rollup_data_path(meta["gen"])
+        if os.path.isdir(data) and any(
+                f.endswith(".parquet") for f in os.listdir(data)):
+            df = spark.read.parquet(data)
+        elif valid:
+            # the generation the meta names is unreadable (crash or
+            # concurrent swap window): covered shards MUST NOT be
+            # silently dropped — demote every one of them to stale
+            # so the engine aggregates them live from points
+            stale = list(current)
+            valid = []
+            df = None
         else:
             df = None
         if df is not None:

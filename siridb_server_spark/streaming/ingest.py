@@ -45,9 +45,15 @@ def canonicalize(batch_df: DataFrame, series_col: str, ts_col: str,
                 F.lit(None).cast("double").alias("val_dbl"),
                 F.col(value_col).cast("string").alias("val_str"),
                 F.lit(2).alias("tp")]
+    # the engine's insert path rejects negative timestamps
+    # (model.point_row); the streaming path enforces the same model
+    # invariant by dropping such rows (a stream can't raise back to
+    # the producer) — also what keeps the store's bucket math and
+    # rollup composition on the non-negative domain they assume
     return batch_df.select(
         F.col(series_col).cast("string").alias("series"),
-        ts.alias("ts"), seq.alias("seq"), *vals)
+        ts.alias("ts"), seq.alias("seq"), *vals) \
+        .where(F.col("ts") >= 0)
 
 
 def start_ingest(stream_df: DataFrame, store, *,

@@ -269,3 +269,18 @@ def test_forged_sps_dimension_guard():
     forged = (b"\x00\x00\x01" + sps + b"\x00\x00\x01"
               + bytes(nals[1]) + b"\x00\x00\x01" + bytes(nals[2]))
     assert h.decode_h264_frame(forged) is None
+
+
+def test_deblock_enabled_streams_refused_unless_approximate():
+    """No deblocking filter exists here, so a stream that requires
+    it must not silently decode to non-conformant pixels: None by
+    default, pre-filter reconstruction only on explicit opt-in."""
+    px = np.full((16, 16), 80, np.uint8)
+    stream, recon = h.encode_h264_annexb(px, mode="i4", qp=20,
+                                         disable_deblock_idc=0)
+    assert h.decode_h264_frame(stream) is None
+    out = h.decode_h264_rgb(stream, approximate=True)
+    assert out is not None and (out[2] == recon).all()
+    # fixtures signal idc=1 and keep decoding strictly
+    strict, recon2 = h.encode_h264_annexb(px, mode="i4", qp=20)
+    assert (h.decode_h264_rgb(strict)[2] == recon2).all()

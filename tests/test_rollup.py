@@ -216,3 +216,54 @@ def test_rollup_hybrid_with_streaming_ingest(spark, tmp_path):
         b = eng.query(query)
         eng.rollup_enabled = True
         assert a == b, query
+
+
+def test_rollup_unreadable_data_falls_back_not_drops(store_eng,
+                                                     spark):
+    """A missing/mid-swap data generation with an intact meta MUST
+    demote covered shards to live fallback — never silently drop
+    them from the aggregate."""
+    import os
+    import shutil as sh
+
+    store_eng.enable_rollup(600)
+    q = "select count(600) from /.*/"
+    expected = store_eng.query(q)
+    info = store_eng.store.rollup_info()
+    sh.rmtree(store_eng.store._rollup_data_path(info["gen"]))
+    assert store_eng.query(q) == expected
+    roll = store_eng.store.read_rollup(spark)
+    assert roll["partials"] is None
+    assert set(roll["stale"]) == set(
+        store_eng.store._rollup_listing())
+
+
+def test_rollup_refuses_negative_shard_ids(store_eng, spark):
+    """Negative timestamps (possible only via the raw append API)
+    relabel differently through two-level bucketing; the store
+    refuses to serve and the engine uses points."""
+    from pyspark.sql import functions as F
+
+    store_eng.enable_rollup(600)
+    neg = spark.range(1).select(
+        F.lit("neg-int").alias("series"),
+        F.lit(-1200).cast("long").alias("ts"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit(5).cast("long").alias("val_int"),
+        F.lit(None).cast("double").alias("val_dbl"),
+        F.lit(None).cast("string").alias("val_str"),
+        F.lit(0).cast("int").alias("tp"))
+    store_eng.store.append_df(neg)
+    store_eng._invalidate()
+    assert store_eng.store.read_rollup(spark) is None
+    a, b = _both(store_eng, "select count(600) from /.*/")
+    assert a == b
+
+
+def test_phrase_search_tokenizes_phrase_like_text(spark):
+    from siridb_server_spark.operators import text as TX
+
+    df = spark.createDataFrame([(1, "say foo, bar loudly")],
+                               "doc_id bigint, text string")
+    got = TX.phrase_search(df, "foo, bar").collect()
+    assert len(got) == 1 and got[0]["first_pos"] == 1
