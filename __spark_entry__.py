@@ -1814,10 +1814,38 @@ def oracle_sql() -> dict[str, str]:
     # 1e6-scaled long sum, the mirror of stable.py::scaled_dsum —
     # the cheap path for money-like sums (every step IEEE-identical
     # on both engines)
-    from siridb_server_spark.functions.stable import SCALED_DSUM_SQL
+    from siridb_server_spark.functions.stable import (INT_PPM_SQL,
+                                                      SCALED_DSUM_SQL)
 
     def _SC6(x: str) -> str:
         return SCALED_DSUM_SQL.format(x=x, s=10 ** 6)
+
+    # exact parts-per-million of two integer columns, the mirror of
+    # stable.py::int_ppm — pure integer math, byte-identical hashes
+    _PPM = INT_PPM_SQL
+
+    from siridb_server_spark.functions.stable import (
+        INT_MEAN_SIGNED_SQL, INT_MEAN_SQL, SCALED_TERM_SQL)
+
+    def _QTERM(x: str) -> str:
+        # one micro-unit quantized term, the mirror of
+        # stable.py::scaled_term at scale 6
+        return SCALED_TERM_SQL.format(x=x, s=10 ** 6)
+
+    def _QMEAN(x: str) -> str:
+        # micro-unit quantized-term mean, the mirror of
+        # stable.py::scaled_term + int_mean: each transcendental term
+        # is quantized to the 1e-6 grid at birth, then summed and
+        # half-up-averaged in exact integer math — the hashed column
+        # carries no float bits
+        return INT_MEAN_SQL.format(sum=f"sum({_QTERM(x)})",
+                                   n="count(*)")
+
+    def _QMEAN_SIGNED(x: str) -> str:
+        # _QMEAN for sums that may be negative (half away from zero,
+        # the mirror of stable.py::int_mean_signed)
+        return INT_MEAN_SIGNED_SQL.format(
+            sum=f"sum({_QTERM(x)})", n="count(*)")
 
     o["siri_count_bucket"] = _bucket_sql("count(*)", H)
     o["siri_sum_bucket"] = _bucket_sql("sum(val)", H, nd=4)
@@ -2386,19 +2414,21 @@ def oracle_sql() -> dict[str, str]:
     # temperature sampling: the keep decision replays bit-identically
     # (same md5-prefix uniform, same IEEE op order for the rate)
     o["curation_sample_sources"] = (
-        "WITH c AS (SELECT source, count(*) AS n_s FROM documents"
-        " GROUP BY 1),"
-        " t AS (SELECT sum(n_s) AS n_tot,"
-        " CAST(sum(CAST(pow(n_s, 0.5) AS DECIMAL(38,18))) AS DOUBLE)"
-        " AS w_tot FROM c),"
-        " r AS (SELECT source, least(1.0,"
-        " pow(n_s, 0.5) / w_tot * 0.5 * n_tot / n_s) AS keep_rate"
-        " FROM c, t)"
-        " SELECT d.doc_id, d.source,"
-        " CAST(round(keep_rate, 6) AS DECIMAL(18,6))"
-        " AS keep_rate FROM documents d JOIN r ON d.source = r.source"
+        # pow quantized to a scaled long at birth; the keep rate is
+        # exact integer ppm and the keep predicate compares against
+        # it (operators/curation.py::sample_by_source)
+        "WITH c AS (SELECT source, count(*) AS n_s,"
+        " CAST(floor(pow(n_s, 0.5) * 1000000.0 + 0.5) AS BIGINT)"
+        " AS pw_q FROM documents GROUP BY 1),"
+        " t AS (SELECT sum(n_s) AS n_tot, sum(pw_q) AS w_tot_q"
+        " FROM c),"
+        " r AS (SELECT source, least(1000000,"
+        f" {_PPM.format(num='pw_q::HUGEINT * n_tot * 500000', den='w_tot_q::HUGEINT * n_s * 1000000')})"
+        " AS keep_rate_ppm FROM c, t)"
+        " SELECT d.doc_id, d.source, keep_rate_ppm"
+        " FROM documents d JOIN r ON d.source = r.source"
         " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))"
-        "::BIGINT / 4294967296.0 < keep_rate"
+        "::BIGINT / 4294967296.0 * 1000000.0 < keep_rate_ppm"
     )
 
     o["curation_pack_sequences"] = (
@@ -2426,7 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         " f AS (SELECT w, count(*) AS n_w FROM t2 GROUP BY 1),"
         " tot AS (SELECT sum(n_w) AS n_tot FROM f)"
         " SELECT doc_id, count(*) AS n_tokens,"
-        f" round({_SD.format(x='-ln(n_w / n_tot)')} / count(*), 6) + 0.0 AS xent"
+        f" {_QMEAN('-ln(n_w / n_tot)')} AS xent_micro"
         " FROM t2 JOIN f USING (w), tot GROUP BY doc_id"
     )
 
@@ -2674,8 +2704,8 @@ def oracle_sql() -> dict[str, str]:
         " c1 AS (SELECT a, count(*) AS n_a FROM b2 GROUP BY 1),"
         " v AS (SELECT count(DISTINCT b) AS v FROM b2)"
         " SELECT doc_id, count(*) AS n_bigrams,"
-        f" round({_SD.format(x='-ln((n_ab + 0.5) / (n_a + 0.5 * v))')} / count(*), 6) + 0.0"
-        " AS xent2"
+        f" {_QMEAN('-ln((n_ab + 0.5) / (n_a + 0.5 * v))')}"
+        " AS xent2_micro"
         " FROM b2 JOIN c2 USING (a, b) JOIN c1 USING (a), v"
         " GROUP BY doc_id"
     )
@@ -2705,29 +2735,33 @@ def oracle_sql() -> dict[str, str]:
         " k AS (SELECT count(*) AS n_tot, count(DISTINCT c) AS v"
         " FROM t3)"
         " SELECT doc_id, count(*) AS n_trigrams,"
-        f" round({_SD.format(x='-ln(0.5 * ((n_abc + 0.5) / (n_ab + 0.5 * v)) + 0.3 * ((n_bc + 0.5) / (n_b + 0.5 * v)) + 0.2 * ((n_c + 0.5) / (n_tot + 0.5 * v)))')} / count(*), 6) + 0.0"
-        " AS xent3"
+        f" {_QMEAN('-ln(0.5 * ((n_abc + 0.5) / (n_ab + 0.5 * v)) + 0.3 * ((n_bc + 0.5) / (n_b + 0.5 * v)) + 0.2 * ((n_c + 0.5) / (n_tot + 0.5 * v)))')}"
+        " AS xent3_micro"
         " FROM t3 JOIN c3 USING (a, b, c) JOIN cab USING (a, b)"
         " JOIN cbc USING (b, c) JOIN cb USING (b)"
         " JOIN cc USING (c), k GROUP BY doc_id"
     )
 
     o["curation_mix_weights"] = (
+        # pow() is quantized to a scaled long immediately; everything
+        # after is exact integer math (see operators/curation.py)
         "WITH per AS (SELECT source, count(*) AS n_docs,"
         " sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
         " len(string_split_regex(trim(text), '\\s+')) END)"
         " AS n_tokens FROM documents GROUP BY 1),"
+        " perq AS (SELECT *, CAST(floor(pow(n_tokens, 0.3)"
+        " * 1000000.0 + 0.5) AS BIGINT) AS pw_q FROM per),"
         " tot AS (SELECT sum(n_tokens) AS tok_tot,"
-        " CAST(sum(CAST(pow(n_tokens, 0.3) AS DECIMAL(38,18)))"
-        " AS DOUBLE) AS w_tot FROM per)"
+        " sum(pw_q) AS w_tot_q FROM perq)"
         " SELECT source, n_docs, n_tokens,"
-        " CAST(round(n_tokens / tok_tot, 6) AS DECIMAL(18,6))"
-        " AS token_share,"
-        " CAST(round(pow(n_tokens, 0.3) / w_tot, 6) AS DECIMAL(18,6))"
-        " AS target_share,"
-        " CAST(round(least(5.0, (pow(n_tokens, 0.3) / w_tot)"
-        " / (n_tokens / tok_tot)), 6) AS DECIMAL(18,6)) AS weight"
-        " FROM per, tot"
+        f" {_PPM.format(num='n_tokens', den='tok_tot')}"
+        " AS token_share_ppm,"
+        f" {_PPM.format(num='pw_q', den='w_tot_q')}"
+        " AS target_share_ppm,"
+        " least(5000000,"
+        f" {_PPM.format(num='pw_q::HUGEINT * tok_tot', den='w_tot_q::HUGEINT * n_tokens')})"
+        " AS weight_ppm"
+        " FROM perq, tot"
     )
 
     o["curation_shard_export"] = (
@@ -2758,8 +2792,7 @@ def oracle_sql() -> dict[str, str]:
         " - ln((n_r + 0.5) / (nr + 0.5 * v)) AS lam"
         " FROM c0, c)"
         " SELECT doc_id, count(*) AS n_tokens,"
-        f" CAST(round({_SD.format(x='lam')} / count(*), 6)"
-        " AS DECIMAL(18,6)) AS dsir_logratio"
+        f" {_QMEAN_SIGNED('lam')} AS dsir_micro"
         " FROM t JOIN lam USING (w) GROUP BY doc_id"
     )
 
@@ -3245,15 +3278,16 @@ def oracle_sql() -> dict[str, str]:
         "WITH wc AS (SELECT source, word, count(*) AS n FROM ("
         " SELECT source, unnest(regexp_extract_all("
         "  lower(text), '[a-z0-9'']+')) AS word FROM documents)"
-        " GROUP BY 1, 2)"
-        " SELECT source, sum(n) AS n_tokens,"
+        " GROUP BY 1, 2),"
+        " agg AS (SELECT source, sum(n) AS n_tokens,"
         " count(*) AS n_vocab,"
-        " sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax,"
-        " round(count(*) / CAST(sum(n) AS DOUBLE), 6) + 0.0"
-        "  AS type_token_ratio,"
-        " round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
-        "  / CAST(count(*) AS DOUBLE), 6) + 0.0 AS hapax_share"
-        " FROM wc GROUP BY 1"
+        " sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax"
+        " FROM wc GROUP BY 1)"
+        " SELECT source, n_tokens, n_vocab, n_hapax,"
+        f" {_PPM.format(num='n_vocab', den='n_tokens')}"
+        " AS type_token_ppm,"
+        f" {_PPM.format(num='n_hapax', den='n_vocab')}"
+        " AS hapax_ppm FROM agg"
     )
     o["curation_stratified_sample"] = (
         "SELECT doc_id, source FROM ("
@@ -3664,11 +3698,11 @@ def oracle_sql() -> dict[str, str]:
         " n AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns"
         " FROM documents),"
         " scored AS (SELECT source, term, tf,"
-        " round(tf * ln(ns / df), 6) + 0.0 AS score"
+        f" {_QTERM('tf * ln(ns / df)')} AS score_micro"
         " FROM tf JOIN dfreq USING (term) CROSS JOIN n),"
         " r AS (SELECT *, row_number() OVER (PARTITION BY source"
-        " ORDER BY score DESC, term) AS rk FROM scored)"
-        " SELECT source, term, tf, score FROM r WHERE rk <= 5"
+        " ORDER BY score_micro DESC, term) AS rk FROM scored)"
+        " SELECT source, term, tf, score_micro FROM r WHERE rk <= 5"
     )
     # Okapi BM25 over the letter-run tokenizer; idf = ln(1 +
     # (N-df+0.5)/(df+0.5)), k1=1.2 b=0.75, N/avgdl over docs with
@@ -3685,12 +3719,11 @@ def oracle_sql() -> dict[str, str]:
         " WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),"
         " dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),"
         " scored AS (SELECT doc_id, sum("
-        " ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
-        " * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))"
-        " AS s FROM tf JOIN dfreq USING (term)"
+        f" {_QTERM('ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))')})"
+        " AS score_micro FROM tf JOIN dfreq USING (term)"
         " JOIN per_doc USING (doc_id) CROSS JOIN consts GROUP BY 1)"
-        " SELECT doc_id, round(s, 6) + 0.0 AS score FROM scored"
-        " ORDER BY score DESC, doc_id LIMIT 10"
+        " SELECT doc_id, score_micro FROM scored"
+        " ORDER BY score_micro DESC, doc_id LIMIT 10"
     )
     # connected components over the exact block-local cosine pair
     # graph (same edges as sim_cosine_pairs), min-label clusters

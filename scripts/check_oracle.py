@@ -2,7 +2,13 @@
 queries() entry and its oracle_sql() side-by-side, compares row count,
 column names, and (sorted, rounded) values. Usage:
 
-    python scripts/check_oracle.py [sf_dir] [name ...]
+    python scripts/check_oracle.py [sf_dir] [name ...] \
+        [--record] [--stability]
+
+Values are compared at FULL precision (repr bytes, no rounding —
+matching the driver's value hash). ``--stability`` additionally
+re-runs every Spark entry under ``shuffle.partitions=1`` and
+requires byte-identical output across partitionings.
 
 The same comparison is wired into pytest as the ``oracle`` marker
 (tests/test_oracle_full.py): ``pytest tests/ -m oracle`` proves the
@@ -40,9 +46,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # repr distinguishes -0.0 from 0.0, like the driver's value
-        # hash does (plain == would forgive the sign)
-        return repr(round(v, 9))
+        # FULL-precision repr — no rounding. Round-6 lesson: this
+        # gate rounded to 9 dp and called both driver-red cells "ok",
+        # so the builder could not see what the driver's byte-level
+        # value hash sees. A contract is green only if every float
+        # bit matches (repr also distinguishes -0.0 from 0.0).
+        return repr(v)
     return v
 
 
@@ -55,14 +64,31 @@ def norm_rows(cols, rows):
 
 
 def compare_one(spark, con, sf_dir: str, name: str, fn,
-                oracle: str | None) -> str | None:
+                oracle: str | None,
+                stability: bool = False) -> str | None:
     """Run one queries() entry against its oracle SQL. Returns None
     when green (including the rows-only check for oracle-less
-    entries), else a failure description."""
+    entries), else a failure description. With ``stability``, also
+    re-runs the Spark side under ``shuffle.partitions=1`` and
+    requires byte-identical output — a float contract whose bits
+    depend on fold order fails HERE, not in a later driver round."""
     try:
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        if stability:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            try:
+                srows1 = [tuple(r) for r in fn(spark, sf_dir)
+                          .collect()]
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            if norm_rows(scols, srows) != norm_rows(scols, srows1):
+                d = [(a, b) for a, b in
+                     zip(norm_rows(scols, srows),
+                         norm_rows(scols, srows1)) if a != b][:2]
+                return f"partitioning-unstable output, e.g. {d}"
     except Exception as e:  # noqa: BLE001 -- report, don't crash
         return f"spark error: {e}"
     if oracle is None:
@@ -94,8 +120,10 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
-    args = [a for a in sys.argv[1:] if a != "--record"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--record", "--stability")]
     record = "--record" in sys.argv[1:]
+    stability = "--stability" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -115,7 +143,7 @@ def main():
         if only and name not in only:
             continue
         err = compare_one(spark, con, sf_dir, name, fn,
-                          oracles.get(name))
+                          oracles.get(name), stability=stability)
         if err is None:
             tag = "" if name in oracles \
                 else " (no oracle, rows-only check)"

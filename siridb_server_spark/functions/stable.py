@@ -78,3 +78,71 @@ def scaled_term(col: Column, scale: int = 6) -> Column:
                    F.floor(v + F.lit(0.5)))
             .otherwise(-F.floor(-v + F.lit(0.5)))
             .cast("long"))
+
+
+#: oracle fragment mirroring :func:`int_ppm`; format with num=expr,
+#: den=expr (DuckDB ``//`` on HUGEINT is exact integral division)
+INT_PPM_SQL = ("CAST(((CAST({num} AS HUGEINT) * 2000000 + {den})"
+               " // (CAST({den} AS HUGEINT) * 2)) AS BIGINT)")
+
+
+def int_ppm(num: Column, den: Column) -> Column:
+    """Exact parts-per-million ratio of two non-negative integer
+    columns, half-up rounded, as BIGINT — with NO floating-point op
+    anywhere: ``(2·num·10⁶ + den) div (2·den)`` in DECIMAL(38,0)
+    arithmetic is pure integer math, so Spark and a DuckDB oracle
+    (``INT_PPM_SQL``, HUGEINT ``//``) produce byte-identical longs
+    under any partitioning, libm, or rounding procedure. This is the
+    contract type for hashed ratio columns (CORRECTNESS r4–r6 showed
+    any rounded-DOUBLE ratio can flip its 6th decimal across
+    engines). DECIMAL(38,0) headroom means no overflow until
+    num ≈ 5e31 — beyond any corpus."""
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    return int_div(n * F.lit(2000000) + d, d * F.lit(2))
+
+
+def int_div(a: Column, b: Column) -> Column:
+    """SQL ``a div b`` — exact integral division, BIGINT result
+    (``div`` has no PySpark wrapper; resolve it by registry name)."""
+    return F.call_function("div", a, b)
+
+
+#: per-row scaled-long term of :func:`scaled_term` as an oracle SQL
+#: fragment; format with x=expr and s=10**scale
+SCALED_TERM_SQL = (
+    "CASE WHEN CAST({x} AS DOUBLE) >= 0.0"
+    " THEN CAST(floor(CAST({x} AS DOUBLE) * {s}.0 + 0.5) AS BIGINT)"
+    " ELSE -CAST(floor(-CAST({x} AS DOUBLE) * {s}.0 + 0.5)"
+    " AS BIGINT) END")
+
+#: oracle fragment mirroring :func:`int_mean` (operands must be
+#: non-negative; DuckDB ``//`` on BIGINT)
+INT_MEAN_SQL = "(({sum} * 2 + {n}) // ({n} * 2))"
+
+#: oracle fragment mirroring :func:`int_mean_signed`
+INT_MEAN_SIGNED_SQL = (
+    "(CASE WHEN {sum} >= 0 THEN (({sum} * 2 + {n}) // ({n} * 2))"
+    " ELSE -((-({sum}) * 2 + {n}) // ({n} * 2)) END)")
+
+
+def int_mean(sum_col: Column, n_col: Column) -> Column:
+    """Exact half-up integer mean ``round(sum/n)`` of NON-NEGATIVE
+    longs — ``(2·sum + n) div (2·n)``, pure integer math. Pair with
+    :func:`scaled_term`-quantized values: quantize each
+    transcendental term to a 10^-scale grid the moment it is
+    computed, sum the longs (exact, order-free), and emit this mean
+    in the same scaled units — no float bit survives into the hashed
+    contract, so a 1-ulp JVM-vs-libm ``ln``/``pow`` gap can flip at
+    most one quantized TERM (p ≈ ulp/grid ≈ 1e-9) instead of the
+    contract's 6th decimal (the round-4→6 driver hash-red class)."""
+    return int_div(sum_col * F.lit(2) + n_col, n_col * F.lit(2))
+
+
+def int_mean_signed(sum_col: Column, n_col: Column) -> Column:
+    """:func:`int_mean` for sums that may be negative — half AWAY
+    FROM ZERO (matching :func:`scaled_term`'s own quantization), via
+    sign-split so trunc-vs-floor integral division can't bite."""
+    pos = int_div(sum_col * F.lit(2) + n_col, n_col * F.lit(2))
+    neg = -int_div(-sum_col * F.lit(2) + n_col, n_col * F.lit(2))
+    return F.when(sum_col >= 0, pos).otherwise(neg)

@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.stable import stable_dsum
+from ..functions.stable import (int_mean, int_ppm, scaled_term,
+                                stable_dsum)
 
 #: tiny per-language stopword lists for the n-gram language heuristic.
 #: deliberately small & deterministic so the DuckDB oracle can mirror it.
@@ -272,7 +273,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     join of the token stream against the frequency table — AQE
     broadcasts the frequency side whenever the vocabulary fits, which
     at web scale (~10^7 types) it does. No Python anywhere.
-    Output: (doc_id, n_tokens, xent) — xent in nats, 6 decimals."""
+    Output: (doc_id, n_tokens, xent_micro) — cross-entropy in
+    micro-nats as BIGINT: each -ln p term is quantized to a 1e-6
+    grid the moment it is computed and everything after is exact
+    integer math (see functions/stable.py::int_mean — the
+    engine-portable contract for transcendental-seeded scores)."""
     toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(words(F.lower(F.col(text_col))))
@@ -287,9 +292,10 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
               .select("doc_id", (-logp).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 (F.round(stable_dsum(F.col("nll"))
-                          / F.count(F.lit(1)), 6) + F.lit(0.0))
-                 .alias("xent")))
+                 F.sum(scaled_term(F.col("nll"))).alias("_q"))
+            .select("doc_id", "n_tokens",
+                    int_mean(F.col("_q"), F.col("n_tokens"))
+                    .alias("xent_micro")))
 
 
 def bigram_logprob(df: DataFrame, text_col: str = "text",
@@ -308,7 +314,8 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     |bigram types| / |unigram types| rows, tiny next to the corpus;
     the score join is hash-on-(a,b), and AQE broadcasts the count
     side when the vocabulary fits. No Python anywhere.
-    Output: (doc_id, n_bigrams, xent2) — nats, 6 decimals."""
+    Output: (doc_id, n_bigrams, xent2_micro) — micro-nats BIGINT
+    (quantized-term integer contract, see unigram_logprob)."""
     ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
                   lambda x: x != "")
     docs = (df.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -331,9 +338,10 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
               .select("doc_id", (-F.log(p)).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 (F.round(stable_dsum(F.col("nll"))
-                          / F.count(F.lit(1)), 6) + F.lit(0.0))
-                 .alias("xent2")))
+                 F.sum(scaled_term(F.col("nll"))).alias("_q"))
+            .select("doc_id", "n_bigrams",
+                    int_mean(F.col("_q"), F.col("n_bigrams"))
+                    .alias("xent2_micro")))
 
 
 def trigram_logprob(df: DataFrame, text_col: str = "text",
@@ -353,8 +361,9 @@ def trigram_logprob(df: DataFrame, text_col: str = "text",
     aggregates — each shuffles |distinct keys| rows with map-side
     partial combine — and the score join hits vocab-sized tables
     that AQE broadcasts. No Python anywhere; float op order fixed
-    for the oracle. Output: (doc_id, n_trigrams, xent3) — nats, 6
-    decimals."""
+    for the oracle. Output: (doc_id, n_trigrams, xent3_micro) —
+    micro-nats BIGINT (quantized-term integer contract, see
+    unigram_logprob)."""
     l1, l2, l3 = (float(x) for x in lambdas)
     ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
                   lambda x: x != "")
@@ -387,9 +396,10 @@ def trigram_logprob(df: DataFrame, text_col: str = "text",
               .select("doc_id", (-F.log(p)).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
-                 (F.round(stable_dsum(F.col("nll"))
-                          / F.count(F.lit(1)), 6) + F.lit(0.0))
-                 .alias("xent3")))
+                 F.sum(scaled_term(F.col("nll"))).alias("_q"))
+            .select("doc_id", "n_trigrams",
+                    int_mean(F.col("_q"), F.col("n_trigrams"))
+                    .alias("xent3_micro")))
 
 
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
@@ -594,8 +604,9 @@ def tfidf_top_terms(df: DataFrame, k: int = 5,
     The df side joins on the term itself; at web scale the distinct
     term table is vocabulary-sized, so AQE broadcasts it. Ties break
     lexicographically for a deterministic result.
-    Output: (source, term, tf, score) — score = tf · ln(N/df), 6
-    decimals."""
+    Output: (source, term, tf, score_micro) — tf · ln(N/df) in
+    micro-units as BIGINT (quantized at birth, so the hashed column
+    and the top-k ordering both carry no float bits)."""
     from .dedup import _persist_bounded
 
     terms = (df.select(F.col(group_col).alias("source"),
@@ -616,12 +627,12 @@ def tfidf_top_terms(df: DataFrame, k: int = 5,
                  .select(group_col).distinct().count())
     scored = (tf.join(dfreq, "term")
               .select("source", "term", "tf",
-                      (F.round(F.col("tf")
-                               * F.log(F.lit(float(n_sources))
-                                       / F.col("df")), 6)
-                       + F.lit(0.0)).alias("score")))
+                      scaled_term(F.col("tf")
+                                  * F.log(F.lit(float(n_sources))
+                                          / F.col("df")))
+                      .alias("score_micro")))
     w = Window.partitionBy("source").orderBy(
-        F.desc("score"), F.asc("term"))
+        F.desc("score_micro"), F.asc("term"))
     return (scored.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k).drop("_rk"))
 
@@ -640,8 +651,10 @@ def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
     frequencies and the corpus-size/average-length constants are
     one tiny aggregate broadcast back. Scoring is row-local; the
     top-k is a TakeOrdered. Ties break by doc id.
-    Output: (doc_id, score) — 6 decimals, idf = ln(1 + (N-df+0.5)/
-    (df+0.5)) (the standard non-negative variant)."""
+    Output: (doc_id, score_micro) — BIGINT micro-units; idf =
+    ln(1 + (N-df+0.5)/(df+0.5)) (the standard non-negative variant),
+    each per-term contribution quantized at birth so the hashed
+    column and the top-k ordering carry no float bits."""
     qset = sorted({t.lower() for t in query_terms})
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(F.split(F.lower(F.col(text_col)),
@@ -669,10 +682,9 @@ def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
          * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl")))
     return (scored
             .groupBy("doc_id")
-            .agg(F.sum(idf * tf_part).alias("s"))
-            .select("doc_id",
-                    (F.round("s", 6) + F.lit(0.0)).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .agg(F.sum(scaled_term(idf * tf_part))
+                 .alias("score_micro"))
+            .orderBy(F.desc("score_micro"), F.asc("doc_id"))
             .limit(k))
 
 
@@ -798,12 +810,18 @@ def phrase_search(df: DataFrame, phrase: str,
 def vocab_stats(df: DataFrame, text_col: str = "text",
                 group_col: str = "source") -> DataFrame:
     """Per-group corpus vocabulary statistics: token count, distinct
-    vocabulary, exact type-token ratio, and hapax share (words seen
-    once — the Zipf tail mass, a standard corpus-quality signal).
+    vocabulary, type-token ratio and hapax share (words seen once —
+    the Zipf tail mass, a standard corpus-quality signal).
     Two aggregations over one exploded pass: (group, word) counts
     first (map-side combine collapses the Zipf head), then the
     vocabulary-sized rollup — the corpus-scale exchange carries at
-    most |vocab| rows per partition."""
+    most |vocab| rows per partition.
+
+    The two ratios ship as exact half-up parts-per-million BIGINTs
+    (:func:`~siridb_server_spark.functions.stable.int_ppm`) — pure
+    integer math end-to-end, so the hashed contract cannot diverge
+    across engines (the rounded-DOUBLE variant was driver-hash-red
+    in round 6 despite value-identical local runs)."""
     wc = (df.select(F.col(group_col).alias("grp"),
                     F.explode(F.regexp_extract_all(
                         F.lower(F.col(text_col)),
@@ -817,9 +835,7 @@ def vocab_stats(df: DataFrame, text_col: str = "text",
                  .alias("n_hapax"))
             .select(F.col("grp").alias(group_col), "n_tokens",
                     "n_vocab", "n_hapax",
-                    (F.round(F.col("n_vocab")
-                             / F.col("n_tokens"), 6) + F.lit(0.0))
-                    .alias("type_token_ratio"),
-                    (F.round(F.col("n_hapax")
-                             / F.col("n_vocab"), 6) + F.lit(0.0))
-                    .alias("hapax_share")))
+                    int_ppm(F.col("n_vocab"), F.col("n_tokens"))
+                    .alias("type_token_ppm"),
+                    int_ppm(F.col("n_hapax"), F.col("n_vocab"))
+                    .alias("hapax_ppm")))

@@ -87,42 +87,57 @@ def _fold_stats_table(tbl) -> dict:
     ``{name: (length, start, end, tp, (f_seq, f_int, f_dbl, f_str),
     (l_seq, l_int, l_dbl, l_str))}`` — the driver-side twin of the
     Spark ``_batch_stats`` aggregation (first/last = argmin/argmax
-    over (ts, seq))."""
-    import pandas as pd
+    over (ts, seq)).
 
-    pdf = tbl.select(_STATS_COLS) \
-        .to_pandas(integer_object_nulls=True)
-    # pandas maps BOTH null and NaN doubles to NaN; a double series
-    # can hold real NaN points, so keep val_dbl as objects (None vs
-    # nan preserved)
-    pdf["val_dbl"] = pd.Series(
-        tbl.column("val_dbl").to_pylist(), dtype="object")
-    if pdf.empty:
+    Vectorized group-boundary fold: dictionary-encode the series
+    column, lexsort (series, ts, seq), and read every per-group stat
+    off the sorted arrays — firsts/lasts are the boundary rows,
+    lengths are boundary diffs, tp is a ``maximum.reduceat``. The
+    only Python-loop work is building the G-entry output dict, and
+    the typed first/last values are materialized for just the 2·G
+    boundary rows (``take`` keeps pyarrow's null-vs-NaN distinction,
+    which pandas would destroy). Replaces a pandas object-sort +
+    per-series ``.loc`` loop that cost ~0.9 s per 100k-point append
+    (the round-6 ingest regression)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    if n == 0:
         return {}
-    # stable sort by (ts, seq): head/tail rows per series are the
-    # exact argmin/argmax the Spark _batch_stats computes
-    pdf = pdf.sort_values(["series", "ts", "seq"], kind="mergesort")
-    firsts = pdf.drop_duplicates("series", keep="first") \
-        .set_index("series")
-    lasts = pdf.drop_duplicates("series", keep="last") \
-        .set_index("series")
-    agg = pdf.groupby("series", sort=True).agg(
-        length=("ts", "size"), start=("ts", "min"),
-        end=("ts", "max"), tp=("tp", "max"))
+    dce = tbl.column("series").combine_chunks().dictionary_encode()
+    codes = dce.indices.to_numpy()
+    names = dce.dictionary.to_pylist()
+    ts = tbl.column("ts").combine_chunks().to_numpy()
+    seq = tbl.column("seq").combine_chunks().to_numpy()
+    tp = tbl.column("tp").combine_chunks().to_numpy()
+    order = np.lexsort((seq, ts, codes))
+    codes_s = codes[order]
+    starts = np.flatnonzero(
+        np.r_[True, codes_s[1:] != codes_s[:-1]])
+    stops = np.r_[starts[1:], n]
+    first_idx = order[starts]
+    last_idx = order[stops - 1]
+    lengths = stops - starts
+    tp_max = np.maximum.reduceat(tp[order], starts)
+    f_take = pa.array(first_idx)
+    l_take = pa.array(last_idx)
 
-    def _int(v):
-        return None if v is None or v != v else int(v)
+    def _vals(idx_arr):
+        return [tbl.column(c).take(idx_arr).to_pylist()
+                for c in ("val_int", "val_dbl", "val_str")]
 
+    f_int, f_dbl, f_str = _vals(f_take)
+    l_int, l_dbl, l_str = _vals(l_take)
+    grp_names = [names[codes_s[s]] for s in starts]
     folded = {}
-    for name, row in agg.iterrows():
-        fr, lr = firsts.loc[name], lasts.loc[name]
+    for i, name in enumerate(grp_names):
+        fi, li = first_idx[i], last_idx[i]
         folded[name] = (
-            int(row["length"]), int(row["start"]),
-            int(row["end"]), int(row["tp"]),
-            (int(fr["seq"]), _int(fr["val_int"]),
-             fr["val_dbl"], fr["val_str"]),
-            (int(lr["seq"]), _int(lr["val_int"]),
-             lr["val_dbl"], lr["val_str"]))
+            int(lengths[i]), int(ts[fi]), int(ts[li]),
+            int(tp_max[i]),
+            (int(seq[fi]), f_int[i], f_dbl[i], f_str[i]),
+            (int(seq[li]), l_int[i], l_dbl[i], l_str[i]))
     return folded
 
 

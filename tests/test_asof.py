@@ -61,12 +61,21 @@ def test_unigram_logprob(spark):
     df = spark.createDataFrame(
         [(0, "a a b"), (1, "a b"), (2, "")],
         "doc_id long, text string")
-    out = {r["doc_id"]: (r["n_tokens"], r["xent"])
+    out = {r["doc_id"]: (r["n_tokens"], r["xent_micro"])
            for r in unigram_logprob(df).collect()}
-    # corpus: a=3, b=2, total=5
+    # corpus: a=3, b=2, total=5; contract is the quantized-term
+    # micro-nat mean: q(t) = floor(t*1e6 + 0.5), then half-up mean
     pa, pb = 3 / 5, 2 / 5
-    x0 = round((-math.log(pa) * 2 - math.log(pb)) / 3, 6)
-    x1 = round((-math.log(pa) - math.log(pb)) / 2, 6)
+
+    def q(t):
+        return math.floor(t * 1e6 + 0.5)
+
+    def qmean(terms):
+        s, n = sum(q(t) for t in terms), len(terms)
+        return (2 * s + n) // (2 * n)
+
+    x0 = qmean([-math.log(pa), -math.log(pa), -math.log(pb)])
+    x1 = qmean([-math.log(pa), -math.log(pb)])
     assert out[0] == (3, x0)
     assert out[1] == (2, x1)
     assert 2 not in out                     # empty text filtered

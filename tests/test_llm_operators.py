@@ -493,13 +493,23 @@ def test_sample_by_source(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string,"
                                " source string")
     out = CU.sample_by_source(df, alpha=0.5, target_frac=0.5)
-    # keep_rate ships as exact DECIMAL(18,6) since r6 — compare as
-    # float against the python-computed 6-decimal rate
-    got = {(r["doc_id"]): float(r["keep_rate"])
+    # keep_rate_ppm ships as an exact integer ppm since r7: pow is
+    # quantized to a scaled long at birth and the rate is pure
+    # integer math (num·1e6 half-up div den); the keep predicate
+    # uses the SAME quantized rate — replay it all in python
+    got = {(r["doc_id"]): r["keep_rate_ppm"]
            for r in out.collect()}
-    w_tot = _m.sqrt(90) + _m.sqrt(10)
-    rate = {"big": min(1.0, _m.sqrt(90) / w_tot * 0.5 * 100 / 90),
-            "small": min(1.0, _m.sqrt(10) / w_tot * 0.5 * 100 / 10)}
+
+    def ppm(num, den):
+        return (2 * num * 1000000 + den) // (2 * den)
+
+    pw = {"big": _m.floor(_m.sqrt(90) * 1e6 + 0.5),
+          "small": _m.floor(_m.sqrt(10) * 1e6 + 0.5)}
+    w_tot_q = pw["big"] + pw["small"]
+    rate = {s: min(1000000,
+                   ppm(pw[s] * 100 * 500000,
+                       w_tot_q * n * 1000000))
+            for s, n in (("big", 90), ("small", 10))}
     # alpha<1 flattens: the small source keeps a larger fraction
     assert rate["small"] > rate["big"]
 
@@ -507,9 +517,9 @@ def test_sample_by_source(spark):
         h = hashlib.md5(str(doc_id).encode()).hexdigest()
         return int(h[:8], 16) / 4294967296.0
 
-    expect = {i: round(rate["big" if i < 90 else "small"], 6)
+    expect = {i: rate["big" if i < 90 else "small"]
               for i in range(100)
-              if u01(i) < rate["big" if i < 90 else "small"]}
+              if u01(i) * 1e6 < rate["big" if i < 90 else "small"]}
     assert got == expect
 
 
@@ -654,7 +664,7 @@ def test_bm25_ranks_matching_docs(spark):
     assert ids[0] == 1
     # long padded doc ranks below the short one despite same tf
     assert ids.index(2) < ids.index(4)
-    assert all(r["score"] > 0 for r in out)
+    assert all(r["score_micro"] > 0 for r in out)
 
 
 def test_pq_index_codes_and_rerank(spark):
@@ -1178,7 +1188,8 @@ def test_vocab_stats_exact_counts(spark):
            TX.vocab_stats(df, group_col="source").collect()}
     a = got["a"]
     assert (a["n_tokens"], a["n_vocab"], a["n_hapax"]) == (6, 4, 3)
-    assert a["type_token_ratio"] == round(4 / 6, 6)
+    # exact half-up ppm: 4/6 → 666667
+    assert a["type_token_ppm"] == 666667
     b = got["b"]
     assert (b["n_tokens"], b["n_vocab"], b["n_hapax"]) == (3, 1, 0)
-    assert b["hapax_share"] == 0.0
+    assert b["hapax_ppm"] == 0

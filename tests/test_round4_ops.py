@@ -20,12 +20,14 @@ def test_bigram_logprob_two_docs(spark):
            TX.bigram_logprob(docs).collect()}
     p_ab = (3 + 0.5) / (3 + 0.5 * 2)
     p_ba = (1 + 0.5) / (1 + 0.5 * 2)
-    x1 = round((2 * -math.log(p_ab) + -math.log(p_ba)) / 3, 6)
-    x2 = round(-math.log(p_ab), 6)
+    # quantized-term micro-nat contract (stable.py::int_mean)
+    q_ab = math.floor(-math.log(p_ab) * 1e6 + 0.5)
+    q_ba = math.floor(-math.log(p_ba) * 1e6 + 0.5)
+    x1 = (2 * (2 * q_ab + q_ba) + 3) // 6
     assert out[1]["n_bigrams"] == 3
-    assert out[1]["xent2"] == pytest.approx(x1, abs=1e-9)
+    assert out[1]["xent2_micro"] == x1
     assert out[2]["n_bigrams"] == 1
-    assert out[2]["xent2"] == pytest.approx(x2, abs=1e-9)
+    assert out[2]["xent2_micro"] == q_ab
 
 
 def test_bigram_logprob_short_docs_dropped(spark):
@@ -44,13 +46,13 @@ def test_mix_weights_flattens_toward_small_sources(spark):
     assert out["big"]["n_tokens"] == 8 * 9
     assert out["small"]["n_tokens"] == 2
     # temperature flattening: small source upweighted, big capped ≤ 1
-    assert out["small"]["weight"] > 1.0
-    assert out["big"]["weight"] < 1.0
+    assert out["small"]["weight_ppm"] > 1000000
+    assert out["big"]["weight_ppm"] < 1000000
     # cap applies
-    assert out["small"]["weight"] <= 5.0
-    # shares sum to 1
-    assert (out["big"]["token_share"] + out["small"]["token_share"]
-            == pytest.approx(1.0, abs=1e-5))
+    assert out["small"]["weight_ppm"] <= 5000000
+    # shares sum to 1 (ppm, half-up rounding slack)
+    assert abs(out["big"]["token_share_ppm"]
+               + out["small"]["token_share_ppm"] - 1000000) <= 1
 
 
 def test_mix_weights_invariant_under_repartition(spark):
@@ -289,14 +291,17 @@ def test_dsir_weights_hand_computed(spark):
         - math.log((2 + 0.5) / (6 + 1.0))
     lam_junk = math.log((0 + 0.5) / (4 + 1.0)) \
         - math.log((4 + 0.5) / (6 + 1.0))
-    # dsir_logratio ships as exact DECIMAL(18,6) — compare as float
-    assert rows[4]["dsir_logratio"] > 0 > rows[3]["dsir_logratio"]
-    assert float(rows[4]["dsir_logratio"]) == pytest.approx(
-        round(lam_good, 6), abs=1e-9)
-    assert float(rows[3]["dsir_logratio"]) == pytest.approx(
-        round(lam_junk, 6), abs=1e-9)
+    # dsir_micro: per-λ quantized micro-nats, signed half-away mean
+    def qt(t):
+        a = math.floor(abs(t) * 1e6 + 0.5)
+        return a if t >= 0 else -a
+
+    assert rows[4]["dsir_micro"] > 0 > rows[3]["dsir_micro"]
+    # both docs are one word repeated twice → mean = the λ term
+    assert rows[4]["dsir_micro"] == qt(lam_good)
+    assert rows[3]["dsir_micro"] == qt(lam_junk)
     assert rows[1]["n_tokens"] == 2          # target docs score too
-    assert rows[1]["dsir_logratio"] == rows[4]["dsir_logratio"]
+    assert rows[1]["dsir_micro"] == rows[4]["dsir_micro"]
 
 
 def test_approx_top_ngrams_matches_exact_when_collision_free(spark):
@@ -562,8 +567,7 @@ def test_trigram_logprob_hand_computed(spark):
     comp = 1.5 / (1 + 0.5 * v)
     p = 0.5 * comp + 0.3 * comp + 0.2 * comp
     assert r["n_trigrams"] == 1
-    assert r["xent3"] == pytest.approx(round(-math.log(p), 6),
-                                       abs=1e-9)
+    assert r["xent3_micro"] == math.floor(-math.log(p) * 1e6 + 0.5)
 
 
 def test_standardize_embeddings_whitens_and_keeps_arity(spark):
