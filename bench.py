@@ -179,33 +179,40 @@ def main():
         errors["_warmup"] = repr(exc)
 
     timings = {}
+    runs_detail = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs.get(name)
         if fn is None:
             errors[name] = "missing queries() entry"
             continue
-        # best of 3: the first run pays one-time Janino codegen
+        # best of 4: the first run pays one-time Janino codegen
         # compilation for this plan shape; later runs are steady
         # state, which is what a long-lived cluster session would
-        # see. Three samples (not two) because the box carries
-        # outside noisy-neighbor load — a single quiet window per
-        # query is enough for the minimum to be representative.
-        best = None
+        # see. Four samples because the box carries outside
+        # noisy-neighbor load AND JVM heap/GC state depends on which
+        # queries ran before this one — round-6's "sim-family
+        # regressions" (up to 2.4×) turned out to be exactly this
+        # (interleaved isolated A/B showed identical mins), so the
+        # raw samples are now recorded per query: a future
+        # round-over-round delta is only real if it clears the
+        # recorded sample spread.
+        samples = []
         try:
             for _ in range(int(os.environ.get(
-                    "SPARK_GRAFT_BENCH_RUNS", "3"))):
+                    "SPARK_GRAFT_BENCH_RUNS", "4"))):
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                samples.append(time.perf_counter() - t0)
         except Exception as exc:
             # one broken query must not zero out the whole bench:
             # record the failure and keep timing the rest
             errors[name] = repr(exc)[:500]
             continue
+        best = min(samples)
         timings[name] = round(best, 3)
+        runs_detail[name] = [round(s, 3) for s in samples]
         total += best
 
     # ingest throughput: canonicalize + partitioned-store append of
@@ -245,11 +252,15 @@ def main():
         "queries": timings,
         "sf": float(sf),
         "cpus": CPUS,
+        # raw per-query samples (first = codegen-cold): deltas vs a
+        # previous round are only real if they clear this spread
+        "runs": runs_detail,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
-    headline = {k: v for k, v in out.items() if k != "queries"}
+    headline = {k: v for k, v in out.items()
+                if k not in ("queries", "runs")}
     headline["n_queries"] = len(timings)
     headline["n_errors"] = len(errors)
     print(json.dumps(headline))

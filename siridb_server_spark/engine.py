@@ -1009,6 +1009,65 @@ class SiriEngine:
             return types.tps == frozenset({TP_INT})
         return False
 
+    @staticmethod
+    def _rollup_edge_ranges(t0, t1, B: int):
+        """The ≤2 closed ts intervals of rollup buckets the range
+        [t0, t1) cuts through (right-closed buckets (R−B, R]). An
+        aligned boundary produces no edge; overlapping/equal low and
+        high edge buckets collapse to one interval."""
+        edges = []
+        lo_r = None
+        if t0 is not None:
+            # bucket containing t0: label R = ceil(t0/B)·B
+            lo_r = -(-t0 // B) * B
+            if lo_r - B + 1 < t0:    # misaligned: bucket cut at t0
+                hi = lo_r if t1 is None else min(lo_r, t1 - 1)
+                if t0 <= hi:
+                    edges.append((t0, hi))
+        if t1 is not None:
+            hi_r = -(-(t1 - 1) // B) * B
+            if hi_r > t1 - 1 and (lo_r is None or hi_r != lo_r):
+                lo = hi_r - B + 1 if t0 is None \
+                    else max(hi_r - B + 1, t0)
+                if lo <= t1 - 1:
+                    edges.append((lo, t1 - 1))
+        return edges
+
+    def _rollup_edge_points(self, valid_keys: list, edges: list):
+        """Points frame for edge-bucket re-aggregation: only the
+        covered ("kind:sid") shards whose [sid, sid+duration) window
+        intersects one of the edge intervals are read — at most a
+        handful of directories regardless of store size."""
+        keys = []
+        for key in valid_keys or []:
+            kind, sid = key.split(":", 1)
+            sid = int(sid)
+            dur = self.store.duration_log if kind == "log" \
+                else self.store.duration_num
+            for lo, hi in edges:
+                if sid <= hi and sid + dur > lo:
+                    keys.append(key)
+                    break
+        if not keys:
+            return None
+        return self.store.read_points_of(self.spark, keys)
+
+    @staticmethod
+    def _rollup_range(tr):
+        """Normalize a select time range to half-open [t0, t1)
+        bounds (None = open side), or ``()`` when no range, or None
+        when the range kind can't be served from partials."""
+        if tr is None:
+            return ()
+        kind = tr[0]
+        if kind == "after":
+            return (tr[1], None)
+        if kind == "before":
+            return (None, tr[1])
+        if kind == "between":
+            return (tr[1], tr[2])
+        return None    # head/tail need per-series row order
+
     def _rollup_pipeline(self, pl, stmt, types, ctx=None):
         """Serve one pipeline from the materialized rollup, or None
         to use the points path. Stale/new shards (files changed
@@ -1016,9 +1075,20 @@ class SiriEngine:
         exact while the rollup lags behind appends. ``ctx`` memoizes
         the rollup read (a driver-side shard listing + parquet scan)
         and the where-clause names frame across the pipelines of one
-        select."""
+        select.
+
+        Time ranges (after/before/between) are served too: rollup
+        buckets are right-closed (R−B, R], so a bucket lies entirely
+        inside [t0, t1) iff R ≥ t0+B−1 and R ≤ t1−1 — those come
+        from partials untouched; the ≤2 EDGE buckets the range cuts
+        through are re-aggregated live from a point read pruned to
+        exactly the shards and timestamps of those buckets (the
+        two-sided analogue of the reference's shard skipping). A
+        range aligned to bucket boundaries therefore reads no points
+        at all from covered shards."""
+        rng = self._rollup_range(stmt.timerange)
         if (self.store is None or not self.rollup_enabled
-                or stmt.timerange is not None):
+                or rng is None):
             return None
         if len(pl.funcs) != 1:
             return None
@@ -1036,17 +1106,42 @@ class SiriEngine:
         roll = ctx["roll"]
         if roll is None or f.group_by % roll["bucket"] != 0:
             return None
+        B = roll["bucket"]
+        t0, t1 = rng if rng else (None, None)
         parts = []
         if roll["partials"] is not None:
-            parts.append(roll["partials"].select(
+            pre = roll["partials"].select(
                 "series", "rbucket", "tp", "cnt", "vi_sum",
                 "vi_oflow", "num_sum", "vi_min", "vi_max",
-                "vd_min", "vd_max"))
+                "vd_min", "vd_max")
+            # interior buckets only — edges re-read below
+            if t0 is not None:
+                pre = pre.where(F.col("rbucket") >= t0 + B - 1)
+            if t1 is not None:
+                pre = pre.where(F.col("rbucket") <= t1 - 1)
+            parts.append(pre)
+            edges = self._rollup_edge_ranges(t0, t1, B)
+            if edges:
+                epts = self._rollup_edge_points(roll["valid"], edges)
+                if epts is not None:
+                    cond = None
+                    for lo, hi in edges:
+                        c = (F.col("ts") >= lo) & (F.col("ts") <= hi)
+                        cond = c if cond is None else (cond | c)
+                    parts.append(P.rollup_partials(
+                        epts.where(cond), B))
         if roll["stale"]:
             live = self.store.read_points_of(self.spark,
                                              roll["stale"])
             if live is not None:
-                parts.append(P.rollup_partials(live, roll["bucket"]))
+                # stale shards aggregate live anyway: filter to the
+                # range first and every bucket (edge or interior)
+                # comes out exact
+                if t0 is not None:
+                    live = live.where(F.col("ts") >= t0)
+                if t1 is not None:
+                    live = live.where(F.col("ts") < t1)
+                parts.append(P.rollup_partials(live, B))
         if not parts:
             return None
         partials = parts[0]

@@ -1322,7 +1322,7 @@ class PointsStore:
                                 F.col("_k") == F.col("k"), "semi")
                           .drop("_k"))
         return {"bucket": meta["bucket"], "partials": df,
-                "stale": stale}
+                "stale": stale, "valid": valid}
 
     def read_points_of(self, spark: SparkSession, keys: list):
         """Points frame restricted to the given "kind:sid" shards

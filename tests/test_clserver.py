@@ -219,3 +219,58 @@ def test_failed_reauth_keeps_session(served):
         assert tp == CL.CPROTO_ERR_USER_ACCESS
     finally:
         c.close()
+
+
+def test_protocol_fast_path_zero_jobs_and_low_latency(spark,
+                                                      tmp_path):
+    """The qpack TCP path must inherit the engine's driver-side
+    catalog fast path: on a warm store-backed engine, `count series`
+    and skip-points selects answer over the SOCKET without launching
+    a single Spark job, and the measured round-trip sits in the
+    reference's interactive class (<5 ms median; the Spark job floor
+    is ~200 ms, so this also guards the fast path from silently
+    regressing to the distributed path)."""
+    import time
+
+    eng = SiriEngine.open(spark, str(tmp_path / "db"), precision="s")
+    eng.insert({"fp-a": [[10, 1], [20, 2]],
+                "fp-b": [[15, 2.5]]})
+    srv = CL.ClientServer(eng).start()
+    c = CL.SiriClient(srv.host, srv.port)
+    try:
+        tp, _ = c.auth("iris", "siri", "sparksiri")
+        assert tp == CL.CPROTO_RES_AUTH_SUCCESS
+        # warm both statements once (parser/catalog caches)
+        for q in ("count series", "select count() from /fp.*/"):
+            tp, _ = c.query(q)
+            assert tp == CL.CPROTO_RES_QUERY
+
+        def jobs():
+            return len(spark.sparkContext.statusTracker()
+                       .getJobIdsForGroup(None))
+
+        lats = {}
+        before = jobs()
+        for q in ("count series", "select count() from /fp.*/",
+                  "list series limit 3"):
+            samples = []
+            for _ in range(20):
+                t0 = time.perf_counter()
+                tp, body = c.query(q)
+                samples.append(time.perf_counter() - t0)
+                assert tp == CL.CPROTO_RES_QUERY
+            samples.sort()
+            lats[q] = samples[len(samples) // 2]
+        assert jobs() == before, "fast path took a Spark job"
+        for q, med in lats.items():
+            assert med < 0.005, (q, med)
+        # answers equal the distributed path
+        tp, body = c.query("count series")
+        eng.fastpath_enabled = False
+        try:
+            assert body == eng.query("count series")
+        finally:
+            eng.fastpath_enabled = True
+    finally:
+        c.close()
+        srv.stop()

@@ -234,3 +234,31 @@ def test_service_api_database_paths(served):
         "cannot find database: 'nosuch'"
     st, out = _post(served, "/new-pool", {}, auth=SA)
     assert st == 400 and "not supported" in out["error_msg"]
+
+
+def test_http_query_fast_path_zero_jobs(spark, tmp_path):
+    """HTTP /query inherits the driver-side catalog fast path on a
+    store-backed engine: after warmup, `count series` answers with
+    ZERO Spark jobs (HTTP framing adds ~ms on top of the sub-ms
+    engine answer; the guard here is jobs, the latency envelope is
+    asserted on the leaner qpack path in test_clserver)."""
+    from siridb_server_spark import SiriEngine
+
+    eng = SiriEngine.open(spark, str(tmp_path / "db"), precision="s")
+    eng.insert({"h-a": [[10, 1]], "h-b": [[20, 2.0]]})
+    srv = ApiServer(eng).start()
+    try:
+        status, out = _post(srv, "/query/sparksiri",
+                            {"q": "count series"})
+        assert (status, out) == (200, {"series": 2})
+        before = len(spark.sparkContext.statusTracker()
+                     .getJobIdsForGroup(None))
+        for _ in range(5):
+            status, out = _post(srv, "/query/sparksiri",
+                                {"q": "count series"})
+            assert (status, out) == (200, {"series": 2})
+        after = len(spark.sparkContext.statusTracker()
+                    .getJobIdsForGroup(None))
+        assert after == before, "HTTP query path took a Spark job"
+    finally:
+        srv.stop()

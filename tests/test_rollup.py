@@ -260,6 +260,80 @@ def test_rollup_refuses_negative_shard_ids(store_eng, spark):
     assert a == b
 
 
+#: ranged variants: aligned boundaries (pure partials), misaligned
+#: low/high/both edges, open sides, range past the data, and a range
+#: inside one bucket (low and high edge collapse to one interval)
+RANGE_SUFFIXES = [
+    "between 601 and 1201",    # both boundaries bucket-aligned
+    "between 50 and 800",      # both edges cut mid-bucket
+    "after 41",                # low edge only
+    "before 3650",             # high edge only
+    "between 41 and 3650",
+    "between 100 and 220",     # single-bucket range
+    "after 700001",            # beyond most data
+    "between 1 and 700001",    # everything, aligned low edge
+]
+
+
+def test_rollup_serves_time_ranged_selects(store_eng):
+    store_eng.enable_rollup(600)
+    for q in QUERIES:
+        for suf in RANGE_SUFFIXES:
+            a, b = _both(store_eng, f"{q} {suf}")
+            assert a == b, (q, suf)
+
+
+def test_rollup_ranged_hybrid_with_unseen_appends(store_eng):
+    store_eng.enable_rollup(600)
+    store_eng.insert({"cpu-int": [[650, 100], [50, 1],
+                                  [2 * 604800 + 5, 9]]})
+    for q in QUERIES:
+        for suf in RANGE_SUFFIXES:
+            a, b = _both(store_eng, f"{q} {suf}")
+            assert a == b, ("hybrid", q, suf)
+
+
+def test_rollup_aligned_range_reads_no_point_files(store_eng, spark):
+    """A range on rollup-bucket boundaries is answered purely from
+    partials; a misaligned range reads points ONLY for the ≤2 edge
+    buckets (the scan must not cover the store root)."""
+    store_eng.enable_rollup(600)
+    import siridb_server_spark.plans.nodes as N
+    from siridb_server_spark.functions.pipeline import TypeSet
+    from siridb_server_spark.model import TP_INT
+    from siridb_server_spark.plans.parser import Parser
+
+    def plan_of(q):
+        stmt = Parser(q, "s").parse().stmt
+        assert isinstance(stmt, N.SelectStmt)
+        res = store_eng._rollup_pipeline(
+            stmt.pipelines[0], stmt, TypeSet(frozenset({TP_INT})))
+        assert res is not None, q
+        return res.df._jdf.queryExecution().executedPlan().toString()
+
+    aligned = plan_of("select count(600) from /.*/"
+                      " between 601 and 1201")
+    assert "_rollup" in aligned
+    assert "kind=" not in aligned          # zero point partitions
+    edged = plan_of("select count(600) from /.*/"
+                    " between 50 and 800")
+    # the edge read is pruned to the one shard the edges live in
+    assert "kind=num/sid=0" in edged
+    assert "sid=604800" not in edged
+
+
+def test_rollup_edge_ranges_unit():
+    """_rollup_edge_ranges: closed intervals of cut buckets only."""
+    f = SiriEngine._rollup_edge_ranges
+    assert f(601, 1201, 600) == []               # aligned both
+    assert f(50, 800, 600) == [(50, 600), (601, 799)]
+    assert f(41, None, 600) == [(41, 600)]
+    assert f(None, 3650, 600) == [(3601, 3649)]
+    assert f(None, 3601, 600) == []              # aligned high
+    assert f(100, 220, 600) == [(100, 219)]     # collapsed single
+    assert f(1, 700201, 600) == []               # aligned low+high
+
+
 def test_phrase_search_tokenizes_phrase_like_text(spark):
     from siridb_server_spark.operators import text as TX
 
