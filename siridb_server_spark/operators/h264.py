@@ -20,17 +20,21 @@ surface stubbed:
   reconstruction is bit-exact by construction — H.264's decode loop
   is pure integer math.
 
-The in-loop deblocking filter is NOT implemented: streams must signal
-``disable_deblocking_filter_idc == 1`` (as every fixture encoder here
-does) for the reconstruction to be conformant, and by default the
-decoder returns ``None`` for deblock-enabled streams rather than
-silently emitting pre-filter pixels; pass ``approximate=True`` to
-accept the (unfiltered, slightly blockier) reconstruction anyway.
+The in-loop deblocking filter (spec section 8.7) IS implemented:
+boundary-strength derivation for intra pictures (4 on macroblock
+edges, 3 on internal transform edges), the Table 8-16/8-17
+alpha/beta/tC0 thresholds with slice alpha/beta offsets, normal and
+strong filtering for luma and chroma, and qPp = 0 for I_PCM
+macroblocks — so streams signaling
+``disable_deblocking_filter_idc`` 0 or 2 decode conformantly
+(bit-exact against the encoder-embedded filtered reconstruction,
+and the vectorized kernel is fuzz-checked against an independent
+scalar transcription of the spec formulas in test_h264.py).
 
 Unsupported (returns ``None``, never crashes): CABAC streams, P/B
 slices, interlaced coding (frame_mbs_only_flag == 0), high-profile
-tools (8x8 transform, scaling lists, monochrome), multi-slice frames,
-and — without ``approximate=True`` — deblock-enabled streams.
+tools (8x8 transform, scaling lists, monochrome), multi-slice
+frames.
 
 The encode side (``encode_h264_annexb``) exists to build
 deterministic test fixtures: I_PCM mode passes pixels through
@@ -1023,6 +1027,10 @@ class _FrameState:
         self.nc_cr = np.zeros((mbh * 2, mbw * 2), dtype=np.int32)
         # intra4x4 pred mode per block; -1 = not an Intra_4x4 block
         self.i4mode = np.full((mbh * 4, mbw * 4), -1, dtype=np.int32)
+        # per-MB luma QP + I_PCM flag, recorded for the in-loop
+        # deblocking filter (spec 8.7.2: qPp of an I_PCM MB is 0)
+        self.qp_map = np.zeros((mbh, mbw), dtype=np.int32)
+        self.pcm = np.zeros((mbh, mbw), dtype=bool)
 
     # -- CAVLC context ------------------------------------------------
 
@@ -1245,13 +1253,15 @@ def _parse_slice_header(r: _BitReader, sps, pps, nal_type, nal_ref_idc):
                 return None
     slice_qp = pps["pic_init_qp"] + r.se()
     disable_deblock = 0
+    alpha_off = beta_off = 0
     if pps["deblocking_filter_control"]:
         disable_deblock = r.ue()
         if disable_deblock != 1:
-            r.se()  # alpha offset
-            r.se()  # beta offset
+            alpha_off = r.se() * 2    # FilterOffsetA (spec 7.4.3)
+            beta_off = r.se() * 2     # FilterOffsetB
     return {"first_mb": first_mb, "slice_qp": slice_qp,
-            "pps_id": pps_id, "disable_deblock": disable_deblock}
+            "pps_id": pps_id, "disable_deblock": disable_deblock,
+            "alpha_off": alpha_off, "beta_off": beta_off}
 
 
 def _decode_mb(r, st, mbx, mby, qpy, chroma_qp_offset):
@@ -1262,6 +1272,8 @@ def _decode_mb(r, st, mbx, mby, qpy, chroma_qp_offset):
         raise ValueError("bad I mb_type")
 
     if mb_type == 25:  # I_PCM
+        st.pcm[mby, mbx] = True
+        st.qp_map[mby, mbx] = qpy
         r.byte_align()
         y0, x0 = mby * 16, mbx * 16
         for y in range(16):
@@ -1302,6 +1314,7 @@ def _decode_mb(r, st, mbx, mby, qpy, chroma_qp_offset):
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
             qpy = (qpy + r.se() + 52) % 52
+        st.qp_map[mby, mbx] = qpy
         for blk in range(16):
             if cbp_luma & (1 << (blk >> 2)):
                 nc = st.luma_nc(mbx, mby, blk)
@@ -1328,6 +1341,7 @@ def _decode_mb(r, st, mbx, mby, qpy, chroma_qp_offset):
     if chroma_mode > 3:
         raise ValueError("bad chroma mode")
     qpy = (qpy + r.se() + 52) % 52
+    st.qp_map[mby, mbx] = qpy
     # luma DC: 16 coefficients, nC derived like block 0
     nc = st.luma_nc(mbx, mby, 0)
     dc_scan, _tc = _residual_read(r, nc, 16)
@@ -1397,6 +1411,173 @@ def _decode_chroma(r, st, mbx, mby, qpy, chroma_qp_offset,
                          sub, residual)
 
 
+# ---------------------------------------------------------------------
+# In-loop deblocking filter (spec section 8.7)
+# ---------------------------------------------------------------------
+
+#: Table 8-16: alpha'(indexA) and beta'(indexB)
+_DB_ALPHA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144,
+    162, 182, 203, 226, 255, 255)
+_DB_BETA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16,
+    17, 17, 18, 18)
+#: Table 8-17: t'C0(indexA, bS) for bS = 1, 2, 3
+_DB_TC0 = (
+    (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0),
+    (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0),
+    (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0),
+    (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0),
+    (0, 0, 0), (0, 0, 1), (0, 0, 1), (0, 1, 1),
+    (0, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 2),
+    (1, 1, 2), (1, 1, 2), (1, 1, 2), (1, 2, 3),
+    (1, 2, 3), (2, 2, 3), (2, 2, 4), (2, 3, 4),
+    (2, 3, 4), (3, 3, 5), (3, 4, 6), (3, 4, 6),
+    (4, 5, 7), (4, 5, 8), (5, 6, 9), (6, 7, 10),
+    (6, 8, 11), (7, 9, 12), (8, 10, 13), (9, 11, 15),
+    (10, 13, 17), (11, 15, 19), (13, 17, 23), (14, 19, 25),
+    (16, 21, 28), (18, 24, 31), (20, 26, 34), (23, 29, 37))
+
+
+def _deblock_core(P, Q, bs, qpav, off_a, off_b, chroma):
+    """Filter one edge (spec 8.7.2.3/8.7.2.4), vectorized over the
+    edge's parallel sample lines. ``P``/``Q`` are length-4 lists of
+    int32 arrays [x0, x1, x2, x3] = the samples at distance 1..4
+    from the edge on each side. Returns the (possibly) modified
+    [p0, p1, p2] and [q0, q1, q2] arrays. All shifts are arithmetic
+    (numpy ``>>`` floors on negatives, exactly the spec's >>)."""
+    import numpy as np
+
+    idx_a = min(51, max(0, qpav + off_a))
+    idx_b = min(51, max(0, qpav + off_b))
+    alpha, beta = _DB_ALPHA[idx_a], _DB_BETA[idx_b]
+    p0, p1, p2, p3 = P
+    q0, q1, q2, q3 = Q
+    fs = ((np.abs(p0 - q0) < alpha)
+          & (np.abs(p1 - p0) < beta)
+          & (np.abs(q1 - q0) < beta))
+    if not fs.any():
+        return [p0, p1, p2], [q0, q1, q2]
+    if bs == 4:
+        if chroma:
+            np0 = np.where(fs, (2 * p1 + p0 + q1 + 2) >> 2, p0)
+            nq0 = np.where(fs, (2 * q1 + q0 + p1 + 2) >> 2, q0)
+            return [np0, p1, p2], [nq0, q1, q2]
+        strong = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+        ap = (np.abs(p2 - p0) < beta) & strong
+        aq = (np.abs(q2 - q0) < beta) & strong
+        np0 = np.where(
+            fs, np.where(ap, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1
+                              + 4) >> 3,
+                         (2 * p1 + p0 + q1 + 2) >> 2), p0)
+        np1 = np.where(fs & ap, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+        np2 = np.where(fs & ap,
+                       (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+        nq0 = np.where(
+            fs, np.where(aq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1
+                              + 4) >> 3,
+                         (2 * q1 + q0 + p1 + 2) >> 2), q0)
+        nq1 = np.where(fs & aq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+        nq2 = np.where(fs & aq,
+                       (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+        return [np0, np1, np2], [nq0, nq1, nq2]
+    tc0 = _DB_TC0[idx_a][bs - 1]
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+    if chroma:
+        tc = np.full_like(p0, tc0 + 1)
+    else:
+        tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = np.where(fs, np.clip(p0 + delta, 0, 255), p0)
+    nq0 = np.where(fs, np.clip(q0 - delta, 0, 255), q0)
+    np1, nq1 = p1, q1
+    if not chroma:
+        dp1 = np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1,
+                      -tc0, tc0)
+        dq1 = np.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1,
+                      -tc0, tc0)
+        np1 = np.where(fs & ap, p1 + dp1, p1)
+        nq1 = np.where(fs & aq, q1 + dq1, q1)
+    return [np0, np1, p2], [nq0, nq1, q2]
+
+
+def _deblock_plane_edge(plane, x_edge, y0, n, horiz, bs, qpav,
+                        off_a, off_b, chroma):
+    """Apply _deblock_core across one straight edge of ``n`` lines.
+    Vertical edge: samples plane[y0:y0+n, x_edge±i]; horizontal:
+    transposed."""
+    if horiz:
+        P = [plane[x_edge - 1 - i, y0:y0 + n].astype("int32")
+             for i in range(4)]
+        Q = [plane[x_edge + i, y0:y0 + n].astype("int32")
+             for i in range(4)]
+    else:
+        P = [plane[y0:y0 + n, x_edge - 1 - i].astype("int32")
+             for i in range(4)]
+        Q = [plane[y0:y0 + n, x_edge + i].astype("int32")
+             for i in range(4)]
+    newP, newQ = _deblock_core(P, Q, bs, qpav, off_a, off_b, chroma)
+    for i in range(3):
+        if horiz:
+            plane[x_edge - 1 - i, y0:y0 + n] = newP[i]
+            plane[x_edge + i, y0:y0 + n] = newQ[i]
+        else:
+            plane[y0:y0 + n, x_edge - 1 - i] = newP[i]
+            plane[y0:y0 + n, x_edge + i] = newQ[i]
+
+
+def _deblock_frame(st, sh, chroma_qp_offset):
+    """In-loop deblocking (spec 8.7) over an all-intra frame: per MB
+    in raster order, the 4 vertical luma edges left→right, then the
+    4 horizontal edges top→bottom, then the 2+2 chroma edges — each
+    edge reading the samples as modified by every previous edge, the
+    normative sequential order. bS derivation collapses for intra
+    pictures: 4 on macroblock edges, 3 on internal transform edges
+    (8.7.2.1, both sides always intra here). qPp of an I_PCM MB is 0
+    (8.7.2), so two adjacent PCM MBs average to indexA ≤ offsets —
+    alpha' 0 — and lossless samples pass through untouched."""
+    off_a, off_b = sh["alpha_off"], sh["beta_off"]
+
+    def qp_of(mx, my):
+        return 0 if st.pcm[my, mx] else int(st.qp_map[my, mx])
+
+    def qpc_of(mx, my):
+        return _QPC[_clip_qp(qp_of(mx, my) + chroma_qp_offset)]
+
+    for my in range(st.mbh):
+        for mx in range(st.mbw):
+            qq, qqc = qp_of(mx, my), qpc_of(mx, my)
+            for horiz in (False, True):
+                # neighbor across the MB edge for this direction
+                nx, ny = (mx - 1, my) if not horiz else (mx, my - 1)
+                for k in range(4):
+                    if k == 0 and (nx < 0 or ny < 0):
+                        continue   # picture boundary: never filtered
+                    bs = 4 if k == 0 else 3
+                    qp_p = qp_of(nx, ny) if k == 0 else qq
+                    qpav = (qp_p + qq + 1) >> 1
+                    edge = (my * 16 if horiz else mx * 16) + 4 * k
+                    base = mx * 16 if horiz else my * 16
+                    _deblock_plane_edge(st.Y, edge, base, 16, horiz,
+                                        bs, qpav, off_a, off_b,
+                                        False)
+                    if k in (0, 2):   # chroma edges at luma 0 and 8
+                        qpc_p = qpc_of(nx, ny) if k == 0 else qqc
+                        qpcav = (qpc_p + qqc + 1) >> 1
+                        cedge = (my * 8 if horiz else mx * 8) \
+                            + 2 * k
+                        cbase = mx * 8 if horiz else my * 8
+                        for cp in (st.Cb, st.Cr):
+                            _deblock_plane_edge(
+                                cp, cedge, cbase, 8, horiz, bs,
+                                qpcav, off_a, off_b, True)
+
+
 def decode_h264_frame(payload: bytes, avcc: bytes = None,
                       max_mbs: int = 65536,
                       approximate: bool = False):
@@ -1409,12 +1590,12 @@ def decode_h264_frame(payload: bytes, avcc: bytes = None,
     Returns (width, height, yuv_planes) where yuv_planes is a tuple
     of numpy arrays (Y, Cb, Cr) cropped to the picture size — or
     None for anything outside the supported subset or malformed.
-    NOTE: the in-loop deblocking filter is not applied; conformant
-    output is guaranteed for streams that signal
-    disable_deblocking_filter_idc == 1 (all fixture encoders here
-    do). Deblock-enabled streams return None unless
-    ``approximate=True``, which accepts the pre-filter
-    reconstruction.
+    The in-loop deblocking filter (spec 8.7) is applied when the
+    slice signals it (disable_deblocking_filter_idc 0 or 2,
+    including the slice alpha/beta offsets), so baseline intra
+    streams decode conformantly either way. ``approximate`` is kept
+    for API compatibility; it no longer gates anything (CAVLC intra
+    is fully supported, CABAC/inter streams still return None).
     """
     try:
         sps = pps = None
@@ -1460,11 +1641,6 @@ def decode_h264_frame(payload: bytes, avcc: bytes = None,
         sh = _parse_slice_header(r, sps, pps, ntype, ref_idc)
         if sh is None or sh["first_mb"] != 0:
             return None
-        if sh["disable_deblock"] != 1 and not approximate:
-            # no deblocking filter here: the pre-filter
-            # reconstruction would be non-conformant for this
-            # stream — refuse unless the caller opts in
-            return None
         mbw, mbh = sps["pic_width_mbs"], sps["pic_height_mbs"]
         if mbw * mbh > max_mbs:
             # fuzz/abuse guard: a forged SPS can declare absurd
@@ -1478,6 +1654,12 @@ def decode_h264_frame(payload: bytes, avcc: bytes = None,
                              pps["chroma_qp_offset"])
             if addr < n_mbs - 1 and not r.more_rbsp_data():
                 return None  # truncated multi-MB slice
+        if sh["disable_deblock"] != 1:
+            # in-loop deblocking (spec 8.7); idc 2 only exempts
+            # slice boundaries, and single-slice pictures (the only
+            # shape accepted above) have none that aren't picture
+            # edges — identical to idc 0 here
+            _deblock_frame(st, sh, pps["chroma_qp_offset"])
         cl, cr_, ct, cb_ = sps["crop"]
         w, h = sps["width"], sps["height"]
         Y = st.Y[2 * ct:2 * ct + h, 2 * cl:2 * cl + w]
@@ -1859,14 +2041,18 @@ def _encode_mb_pcm(w, st, srcY, srcC, mbx, mby):
 def encode_h264_annexb(px, mode: str = "mixed", qp: int = 26,
                        disable_deblock_idc: int = 1):
     """Encode an image (HxW gray or HxWx3 RGB uint8) as a one-frame
-    H.264 Annex B stream (SPS + PPS + IDR, baseline, CAVLC,
-    deblocking disabled). mode: "pcm" (lossless I_PCM), "i16",
-    "i4", or "mixed" (deterministic per-MB rotation over all three).
+    H.264 Annex B stream (SPS + PPS + IDR, baseline, CAVLC).
+    mode: "pcm" (lossless I_PCM), "i16", "i4", or "mixed"
+    (deterministic per-MB rotation over all three).
+    ``disable_deblock_idc``: 1 (default) signals no in-loop filter;
+    0 signals deblocking, in which case the embedded reconstruction
+    runs the spec-8.7 filter after the frame is coded (the same
+    in-loop step a conformant decoder performs).
 
     Returns (annexb_bytes, recon_rgb) where recon_rgb is the
     encoder's own reconstruction loop output — the exact frame a
-    conformant decoder must produce (for "pcm" it equals the input
-    up to the RGB<->YUV 4:2:0 conversion)."""
+    conformant decoder must produce (for "pcm" with deblocking off
+    it equals the input up to the RGB<->YUV 4:2:0 conversion)."""
     import numpy as np
 
     assert 6 <= qp <= 51, "qp out of supported fixture range"
@@ -1917,7 +2103,9 @@ def encode_h264_annexb(px, mode: str = "mixed", qp: int = 26,
     for addr in range(mbw * mbh):
         mbx, mby = addr % mbw, addr // mbw
         kind = kinds[(mbx + 2 * mby) % len(kinds)]
+        st.qp_map[mby, mbx] = qp
         if kind == "pcm":
+            st.pcm[mby, mbx] = True
             _encode_mb_pcm(w, st, padY, padC, mbx, mby)
         elif kind == "i16":
             _encode_mb_i16(w, st, padY, padC, mbx, mby, qp, qpc)
@@ -1927,6 +2115,11 @@ def encode_h264_annexb(px, mode: str = "mixed", qp: int = 26,
     idr_nal = b"\x65" + _rbsp_to_ebsp(w.getvalue())
     stream = b"".join(b"\x00\x00\x00\x01" + n
                       for n in (sps_nal, pps_nal, idr_nal))
+    if disable_deblock_idc != 1:
+        # the embedded reference reconstruction must include the
+        # signaled in-loop filter (chroma_qp_index_offset is 0 in
+        # _write_pps; the slice writes zero alpha/beta offsets)
+        _deblock_frame(st, {"alpha_off": 0, "beta_off": 0}, 0)
     cl, cr_, ct, cb_ = crop
     recon = _yuv420_to_rgb(
         st.Y[2 * ct:2 * ct + h, 2 * cl:2 * cl + w_],

