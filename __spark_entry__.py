@@ -576,6 +576,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curation_shard_export"] = lambda spark, sf_dir: \
         CU.shard_export(load(spark, sf_dir, "documents"), n_shards=32)
 
+    q["curation_epoch_plan"] = lambda spark, sf_dir: \
+        CU.epoch_plan(load(spark, sf_dir, "documents"),
+                      alpha=0.3, max_weight=5.0)
+
+    q["curation_length_buckets"] = lambda spark, sf_dir: \
+        CU.length_buckets(load(spark, sf_dir, "documents"),
+                          batch_docs=32)
+
     q["curation_dsir"] = lambda spark, sf_dir: \
         CU.dsir_weights(load(spark, sf_dir, "documents"),
                         is_target=F.col("lang") == "en")
@@ -2762,6 +2770,49 @@ def oracle_sql() -> dict[str, str]:
         f" {_PPM.format(num='pw_q::HUGEINT * tok_tot', den='w_tot_q::HUGEINT * n_tokens')})"
         " AS weight_ppm"
         " FROM perq, tot"
+    )
+
+    o["curation_epoch_plan"] = (
+        # mix_weights' exact-integer weight pipeline, expanded into
+        # the per-epoch repeat list (floor(w) full epochs + one more
+        # on the md5 fractional draw keyed doc_id:epoch)
+        "WITH per AS (SELECT source, count(*) AS n_docs,"
+        " sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END)"
+        " AS n_tokens FROM documents GROUP BY 1),"
+        " perq AS (SELECT *, CAST(floor(pow(n_tokens, 0.3)"
+        " * 1000000.0 + 0.5) AS BIGINT) AS pw_q FROM per),"
+        " tot AS (SELECT sum(n_tokens) AS tok_tot,"
+        " sum(pw_q) AS w_tot_q FROM perq),"
+        " w AS (SELECT source, least(5000000,"
+        f" {_PPM.format(num='pw_q::HUGEINT * tok_tot', den='w_tot_q::HUGEINT * n_tokens')})"
+        " AS weight_ppm FROM perq, tot),"
+        " d AS (SELECT doc_id, d.source, weight_ppm // 1000000"
+        " AS f, weight_ppm % 1000000 AS frac"
+        " FROM documents d JOIN w ON d.source = w.source),"
+        " e AS (SELECT doc_id, source, f + (CASE WHEN"
+        " ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+        " CAST(f AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+        " * 1000000.0 < frac THEN 1 ELSE 0 END) AS n FROM d)"
+        " SELECT doc_id, source, CAST(unnest(range(n)) AS INT)"
+        " AS epoch FROM e WHERE n > 0"
+    )
+
+    o["curation_length_buckets"] = (
+        # power-of-two length buckets via integer bit-width
+        # (length(bin(n)) — no float log2), md5-ordered batches
+        "WITH n AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0"
+        " THEN 0 ELSE len(string_split_regex(trim(text), '\\s+'))"
+        " END AS n_tokens FROM documents),"
+        " b AS (SELECT doc_id, n_tokens,"
+        " CAST(length(bin(n_tokens)) AS INT) AS bucket FROM n"
+        " WHERE n_tokens > 0),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY bucket"
+        " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk"
+        " FROM b)"
+        " SELECT doc_id, n_tokens, bucket,"
+        " CAST(rk // 32 AS BIGINT) AS batch_id,"
+        " CAST(rk % 32 AS INT) AS pos FROM r"
     )
 
     o["curation_shard_export"] = (

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "curation_mix_weights",
     "curation_pack_sequences",
+    "curation_epoch_plan",
+    "curation_length_buckets",
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",

@@ -291,3 +291,74 @@ def stratified_sample(df: DataFrame, group_col: str, n_per_group: int,
     return (df.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= n_per_group)
             .drop("_rk"))
+
+
+def epoch_plan(df: DataFrame, alpha: float = 0.3,
+               max_weight: float = 5.0,
+               source_col: str = "source",
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Materialize :func:`mix_weights` into an executable sampling
+    plan: every document appears in ``floor(weight)`` full training
+    epochs, plus one more with probability ``frac(weight)`` — the
+    standard way a weighted mixture becomes a concrete repeat-list
+    the data loader can stream (expected per-source token share
+    matches the temperature target exactly).
+
+    Determinism end-to-end: the weight is the exact integer
+    ``weight_ppm`` from mix_weights (no transcendental reaches this
+    op), the fractional keep replays the md5 uniform keyed on
+    ``doc_id:epoch`` (so re-runs and other engines draw the same
+    extra-epoch decisions), and the epoch list is row-local array
+    algebra on top of a broadcast |sources|-row join — the corpus is
+    touched once, no shuffle beyond mix_weights' own aggregates.
+    Output: (doc_id, source, epoch), one row per scheduled
+    appearance."""
+    from ..functions.stable import int_div
+
+    w = mix_weights(df, alpha=alpha, max_weight=max_weight,
+                    source_col=source_col, text_col=text_col) \
+        .select(source_col, "weight_ppm")
+    full = int_div(F.col("weight_ppm"), F.lit(1000000)).cast("int")
+    frac_ppm = F.col("weight_ppm") % F.lit(1000000)
+    extra = (uniform01(F.concat_ws(
+        ":", F.col(id_col).cast("string"), full.cast("string")))
+        * F.lit(1000000.0) < frac_ppm).cast("int")
+    n_epochs = full + extra
+    epochs = F.when(
+        n_epochs > 0,
+        F.sequence(F.lit(0), n_epochs - 1)).otherwise(
+        F.array().cast("array<int>"))
+    return (df.join(F.broadcast(w), source_col)
+            .select(id_col, source_col,
+                    F.explode(epochs).alias("epoch")))
+
+
+def length_buckets(df: DataFrame, batch_docs: int = 32,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Length-bucketed batch assignment — the padding-efficiency
+    move every sequence trainer makes: group documents whose token
+    counts share a power-of-two bucket (1-2, 3-4, 5-8, ... tokens),
+    then lay each bucket out into fixed ``batch_docs``-document
+    batches in deterministic md5 order. Batches then pad to at most
+    2× their shortest member.
+
+    The bucket is ``length(bin(n_tokens))`` — the integer bit-width,
+    exact on every engine (no log2 float). One window shuffle
+    partitioned by bucket; batches and positions are pure integer
+    math on the rank. Output: (doc_id, n_tokens, bucket, batch_id,
+    pos)."""
+    n = token_count(F.col(text_col))
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("bucket").orderBy(h, id_col)
+    rk = F.row_number().over(w) - 1
+    return (df.select(id_col, n.alias("n_tokens"))
+            .where(F.col("n_tokens") > 0)
+            .withColumn("bucket",
+                        F.length(F.bin(F.col("n_tokens")))
+                        .cast("int"))
+            .select(id_col, "n_tokens", "bucket",
+                    F.floor(rk / batch_docs).cast("long")
+                    .alias("batch_id"),
+                    (rk % batch_docs).cast("int").alias("pos")))

@@ -735,3 +735,56 @@ def test_scaled_dsum_cross_engine_bit_identical(spark):
                    df.select(scaled_term(F.col("x")).alias("t"))
                    .collect()]
     assert spark_terms == duck_terms
+
+
+def test_epoch_plan_expands_weights_deterministically(spark):
+    """A doc with weight 2.x appears in epochs {0, 1} always and in
+    epoch 2 iff the md5 draw on 'doc_id:2' clears the fraction —
+    replayed here in python, byte-for-byte."""
+    import hashlib
+
+    rows = [(i, "big", "t " * 9) for i in range(8)] + \
+        [(100, "small", "t t"), (101, "small", "t t")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    w = {r["source"]: r["weight_ppm"] for r in
+         CU.mix_weights(docs, alpha=0.3, max_weight=5.0).collect()}
+    got = {}
+    for r in CU.epoch_plan(docs, alpha=0.3,
+                           max_weight=5.0).collect():
+        got.setdefault(r["doc_id"], set()).add(r["epoch"])
+
+    def u01(key):
+        return int(hashlib.md5(key.encode()).hexdigest()[:8],
+                   16) / 4294967296.0
+
+    for doc_id, src in [(i, "big") for i in range(8)] + \
+            [(100, "small"), (101, "small")]:
+        full, frac = w[src] // 1000000, w[src] % 1000000
+        exp = set(range(full))
+        if u01(f"{doc_id}:{full}") * 1e6 < frac:
+            exp.add(full)
+        assert got.get(doc_id, set()) == exp, (doc_id, w[src])
+    # the small source is upweighted: at least one full extra epoch
+    assert w["small"] > 1000000 > w["big"]
+
+
+def test_length_buckets_batches_within_power_of_two(spark):
+    rows = [(1, "a"), (2, "a b c"), (3, "a b c d"),
+            (4, "a b c d e f g"), (5, "")] + \
+        [(10 + i, "w " * 5) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = CU.length_buckets(docs, batch_docs=32).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 5 not in by_id                    # empty docs dropped
+    assert by_id[1]["bucket"] == 1           # 1 token  -> bin '1'
+    assert by_id[2]["bucket"] == 2           # 3 tokens -> bin '11'
+    assert by_id[3]["bucket"] == 3           # 4 tokens -> '100'
+    assert by_id[4]["bucket"] == 3           # 7 tokens -> '111'
+    # the 40 five-token docs share bucket 3 with docs 3/4: 42 docs
+    # -> batch 0 full (32 docs, pos 0..31) and batch 1 partial
+    b3 = [r for r in out if r["bucket"] == 3]
+    assert len(b3) == 42
+    assert sorted(r["pos"] for r in b3 if r["batch_id"] == 0) \
+        == list(range(32))
+    assert sorted(r["pos"] for r in b3 if r["batch_id"] == 1) \
+        == list(range(10))
