@@ -584,6 +584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         CU.length_buckets(load(spark, sf_dir, "documents"),
                           batch_docs=32)
 
+    q["sim_ann_recall"] = lambda spark, sf_dir: \
+        SIM.ann_recall_curve(load(spark, sf_dir, "embeddings"),
+                             k=10, nprobes=(1, 2, 4, 10),
+                             n_queries=20)
+
     q["curation_dsir"] = lambda spark, sf_dir: \
         CU.dsir_weights(load(spark, sf_dir, "documents"),
                         is_target=F.col("lang") == "en")
@@ -3074,6 +3079,68 @@ def oracle_sql() -> dict[str, str]:
     )
     o["sim_ivf_kmeans"] = _ANN_PROPS
     o["sim_lsh_topk"] = _ANN_PROPS
+
+    # IVF recall@k curve, full replay: exact decimal centroid means,
+    # decimal-accumulated cosines quantized to micro-units, id/label
+    # tiebreaks, integer-ppm recall — every step order-free on both
+    # engines (operators/similarity.py::ann_recall_curve)
+    _SDX = "CAST(sum(CAST({x} AS DECIMAL(38,18))) AS DOUBLE)"
+    _CSC = _QTERM("d / (sqrt(nq) * sqrt(nc))")
+    o["sim_ann_recall"] = (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe"
+        " FROM embeddings WHERE vec_id < 20),"
+        " c AS (SELECT vec_id, label, embedding AS ce"
+        " FROM embeddings WHERE vec_id >= 20),"
+        " xp AS (SELECT qid, vec_id,"
+        " CAST(unnest(qe) AS DOUBLE) AS a,"
+        " CAST(unnest(ce) AS DOUBLE) AS b FROM q, c),"
+        f" xs AS (SELECT qid, vec_id, {_SDX.format(x='a * b')} AS d,"
+        f" {_SDX.format(x='a * a')} AS nq,"
+        f" {_SDX.format(x='b * b')} AS nc FROM xp GROUP BY 1, 2),"
+        " xr AS (SELECT qid, vec_id, row_number() OVER ("
+        f" PARTITION BY qid ORDER BY {_CSC} DESC, vec_id) AS rk"
+        " FROM xs),"
+        " exact AS (SELECT qid, vec_id FROM xr WHERE rk <= 10),"
+        " cd AS (SELECT label, unnest(range(len(ce))) AS dim,"
+        " CAST(unnest(ce) AS DOUBLE) AS v FROM c),"
+        f" cent AS (SELECT label, dim, {_SDX.format(x='v')}"
+        " / count(*) AS m FROM cd GROUP BY 1, 2),"
+        " qdim AS (SELECT qid, unnest(range(len(qe))) AS dim,"
+        " CAST(unnest(qe) AS DOUBLE) AS qv FROM q),"
+        " qc AS (SELECT qid, label,"
+        f" {_SDX.format(x='qv * m')} AS d,"
+        f" {_SDX.format(x='qv * qv')} AS nq,"
+        f" {_SDX.format(x='m * m')} AS nc"
+        " FROM qdim JOIN cent USING (dim) GROUP BY 1, 2),"
+        " ranked AS (SELECT qid, label, row_number() OVER ("
+        f" PARTITION BY qid ORDER BY {_CSC} DESC, label) AS crank"
+        " FROM qc),"
+        " np AS (SELECT unnest([1, 2, 4, 10]) AS nprobe),"
+        " probes AS (SELECT nprobe, qid, label FROM ranked, np"
+        " WHERE crank <= nprobe),"
+        " cp AS (SELECT nprobe, p.qid AS qid, c.vec_id AS vec_id,"
+        " CAST(unnest(qe) AS DOUBLE) AS a,"
+        " CAST(unnest(ce) AS DOUBLE) AS b"
+        " FROM probes p JOIN c USING (label)"
+        " JOIN q ON q.qid = p.qid),"
+        " cs2 AS (SELECT nprobe, qid, vec_id,"
+        f" {_SDX.format(x='a * b')} AS d,"
+        f" {_SDX.format(x='a * a')} AS nq,"
+        f" {_SDX.format(x='b * b')} AS nc"
+        " FROM cp GROUP BY 1, 2, 3),"
+        " ar AS (SELECT nprobe, qid, vec_id, row_number() OVER ("
+        " PARTITION BY nprobe, qid"
+        f" ORDER BY {_CSC} DESC, vec_id) AS rk FROM cs2),"
+        " appr AS (SELECT nprobe, qid, vec_id FROM ar"
+        " WHERE rk <= 10),"
+        " h AS (SELECT nprobe, count(*) AS n_hits FROM appr"
+        " JOIN exact USING (qid, vec_id) GROUP BY 1),"
+        " qn AS (SELECT count(*) AS nqq FROM q)"
+        " SELECT nprobe, nqq AS n_queries,"
+        " COALESCE(n_hits, 0) AS n_hits,"
+        f" {_PPM.format(num='COALESCE(n_hits, 0)', den='nqq * 10')}"
+        " AS recall_ppm FROM np LEFT JOIN h USING (nprobe), qn"
+    )
     o["sim_pq_ann"] = (
         "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
         " UNION ALL SELECT 'code_out_of_range', 0"

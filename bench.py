@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "text_topk_per_source",
     "sim_bruteforce_topk",
     "sim_ivf_index_search",
+    "sim_ann_recall",
     "sim_knn_join",
     "sim_cosine_pairs",
     "sim_dup_clusters",

@@ -660,3 +660,107 @@ def standardize_embeddings(emb: DataFrame,
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "z"))),
                 lambda s: s["z"]).alias("vector")))
+
+
+def ann_recall_curve(emb: DataFrame, k: int = 10,
+                     nprobes: tuple = (1, 2, 4, 10),
+                     n_queries: int = 20,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     label_col: str = "label") -> DataFrame:
+    """ANN quality evaluation: recall@k of IVF cell-probing against
+    exact search, per probe width — the curve that decides nprobe on
+    a real retrieval deployment. The first ``n_queries`` vectors are
+    the query set, the rest the corpus.
+
+    Deterministic end-to-end so a SQL oracle can replay it exactly:
+    centroids are exact decimal per-dimension means (order-free),
+    every cosine folds its per-dimension products through
+    ``stable_dsum`` (exact DECIMAL accumulation, no fold-order
+    bits), scores quantize to micro-units at birth, ties break on
+    ids, and the recall ratio is exact integer ppm. With nprobe =
+    |cells| the candidate set IS the corpus, so that row's recall is
+    exactly 1,000,000 by construction — a built-in self-check.
+
+    Scale shape: the exact pass is one corpus×queries scoring join
+    (queries broadcast — the small side by definition); each probe
+    width scores only its pruned candidate set (the IVF win being
+    measured); per-dimension explodes shuffle |pairs|·d product
+    rows with map-side decimal partial sums. Output: (nprobe,
+    n_queries, n_hits, recall_ppm)."""
+    from ..functions.stable import (int_div, int_ppm,
+                                    scaled_term, stable_dsum)
+
+    q = (emb.where(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("qid"),
+                 F.col(vec_col).alias("qe")))
+    corpus = (emb.where(F.col(id_col) >= n_queries)
+              .select(id_col, label_col, vec_col))
+
+    def topk_pairs(pairs):
+        """(qid, qe, vec_id, vec) → exact top-k per qid by quantized
+        cosine, id tiebreak."""
+        prods = pairs.select(
+            "qid", id_col,
+            F.posexplode(F.zip_with(
+                "qe", vec_col,
+                lambda a, b: F.struct(
+                    (a.cast("double") * b.cast("double")).alias("xy"),
+                    (a.cast("double") * a.cast("double")).alias("xx"),
+                    (b.cast("double") * b.cast("double"))
+                    .alias("yy")))).alias("dim", "p"))
+        s = prods.groupBy("qid", id_col).agg(
+            stable_dsum(F.col("p.xy")).alias("d"),
+            stable_dsum(F.col("p.xx")).alias("nq"),
+            stable_dsum(F.col("p.yy")).alias("nc"))
+        score = scaled_term(
+            F.try_divide(F.col("d"),
+                         F.sqrt("nq") * F.sqrt("nc")))
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score_micro"), F.asc(id_col))
+        return (s.select("qid", id_col,
+                         score.alias("score_micro"))
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
+
+    exact = topk_pairs(corpus.crossJoin(F.broadcast(q))) \
+        .select("qid", id_col)
+    # coarse quantizer: exact decimal per-dim centroid means
+    cent = (corpus.select(label_col,
+                          F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy(label_col, "dim")
+            .agg((stable_dsum(F.col("v"))
+                  / F.count(F.lit(1))).alias("m")))
+    qd = q.select("qid", F.posexplode("qe").alias("dim", "qv"))
+    qc = (qd.join(cent, "dim")
+          .groupBy("qid", label_col)
+          .agg(stable_dsum(F.col("qv").cast("double")
+                           * F.col("m")).alias("d"),
+               stable_dsum(F.col("qv").cast("double")
+                           * F.col("qv")).alias("nq"),
+               stable_dsum(F.col("m") * F.col("m")).alias("nc")))
+    cscore = scaled_term(F.try_divide(
+        F.col("d"), F.sqrt("nq") * F.sqrt("nc")))
+    wc = Window.partitionBy("qid").orderBy(
+        F.desc("cs"), F.asc(label_col))
+    ranked = (qc.select("qid", label_col, cscore.alias("cs"))
+              .withColumn("crank", F.row_number().over(wc)))
+    nq_k = q.select((F.count(F.lit(1)) * k).alias("den"))
+    out = None
+    for nprobe in nprobes:
+        probes = ranked.where(F.col("crank") <= nprobe) \
+            .select("qid", label_col)
+        cand = (corpus.join(F.broadcast(probes), label_col)
+                .join(F.broadcast(q), "qid"))
+        appr = topk_pairs(cand)
+        hits = appr.join(exact, ["qid", id_col], "semi")
+        row = (hits.agg(F.count(F.lit(1)).alias("n_hits"))
+               .crossJoin(F.broadcast(nq_k))
+               .select(F.lit(nprobe).alias("nprobe"),
+                       int_div(F.col("den"), F.lit(k))
+                       .alias("n_queries"),
+                       "n_hits",
+                       int_ppm(F.col("n_hits"), F.col("den"))
+                       .alias("recall_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1193,3 +1193,23 @@ def test_vocab_stats_exact_counts(spark):
     b = got["b"]
     assert (b["n_tokens"], b["n_vocab"], b["n_hapax"]) == (3, 1, 0)
     assert b["hapax_ppm"] == 0
+
+
+def test_ann_recall_curve_monotone_and_exact_at_full_probe(emb,
+                                                           spark):
+    from siridb_server_spark.operators.similarity import \
+        ann_recall_curve
+
+    # queries = vec_id < 3, corpus = {3, 4} (labels 1,1) plus a
+    # label-0 vector so probing is non-trivial
+    n_cells = emb.select("label").distinct().count()
+    rows = {r["nprobe"]: r for r in ann_recall_curve(
+        emb, k=2, nprobes=(1, n_cells), n_queries=3).collect()}
+    # recall grows with probe width...
+    rs = [rows[p]["recall_ppm"] for p in sorted(rows)]
+    assert rs == sorted(rs)
+    # ...and probing EVERY cell is exhaustive search: recall == 1.0
+    # exactly (integer ppm), the built-in self-check
+    full = rows[n_cells]
+    assert full["recall_ppm"] == 1000000
+    assert full["n_hits"] == full["n_queries"] * 2
