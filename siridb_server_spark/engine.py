@@ -988,8 +988,10 @@ class SiriEngine:
         O(|series| x |buckets|) instead of O(|points|). The rollup
         bucket must divide the shard duration (buckets then never
         span shards); eligible selects are single-pipeline
-        count/sum/mean/min/max with a bucket that is a multiple of
-        the rollup bucket and no time range. Everything else — and
+        count/sum/mean/min/max/first/last with a bucket that is a
+        multiple of the rollup bucket, with or without a time range
+        (interior buckets from partials, the ≤2 cut edge buckets
+        from a pruned point read). Everything else — and
         every shard whose files changed since the build — reads
         points exactly as before, so answers are identical either
         way (tests/test_rollup.py asserts equality)."""
@@ -1001,8 +1003,8 @@ class SiriEngine:
     #: preconditions (sum/mean int-only keeps results bit-identical
     #: to the points path; strings fall back so errors match)
     def _rollup_servable(self, name: str, types) -> bool:
-        if name == "count":
-            return True
+        if name in ("count", "first", "last"):
+            return True    # type-kept / typed, all series types
         if name in ("min", "max"):
             return TP_STRING not in types.tps
         if name in ("sum", "mean"):
@@ -1113,7 +1115,7 @@ class SiriEngine:
             pre = roll["partials"].select(
                 "series", "rbucket", "tp", "cnt", "vi_sum",
                 "vi_oflow", "num_sum", "vi_min", "vi_max",
-                "vd_min", "vd_max")
+                "vd_min", "vd_max", "f", "l")
             # interior buckets only — edges re-read below
             if t0 is not None:
                 pre = pre.where(F.col("rbucket") >= t0 + B - 1)

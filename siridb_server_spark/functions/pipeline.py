@@ -500,7 +500,8 @@ def apply_limit(df: DataFrame, limit: int, agg_name: str,
 #: aggregates servable from bucketed rollup partials (sources/store.py
 #: build_rollup / engine._try_rollup). first/last/median/variance are
 #: not partial-composable at this granularity and always read points.
-ROLLUP_FNS = frozenset({"count", "sum", "mean", "min", "max"})
+ROLLUP_FNS = frozenset({"count", "sum", "mean", "min", "max",
+                        "first", "last"})
 
 
 def rollup_partials(df: DataFrame, bucket: int,
@@ -513,6 +514,11 @@ def rollup_partials(df: DataFrame, bucket: int,
     (try_sum went NULL with int rows present) so composition can
     surface the overflow error instead of silently skipping the
     NULL partial."""
+    # typed first/last per bucket ((ts, seq) order, insert-order
+    # ties) so bucketed first()/last() compose from partials too —
+    # argmin/argmax fold associatively across partials
+    point = F.struct("ts", "seq", "val_int", "val_dbl", "val_str")
+    order = F.struct("ts", "seq")
     agged = (df.groupBy(
         *extra_keys, "series",
         bucket_ts(F.col("ts"), bucket).alias("rbucket"))
@@ -524,7 +530,9 @@ def rollup_partials(df: DataFrame, bucket: int,
              F.min("val_int").alias("vi_min"),
              F.max("val_int").alias("vi_max"),
              F.min("val_dbl").alias("vd_min"),
-             F.max("val_dbl").alias("vd_max")))
+             F.max("val_dbl").alias("vd_max"),
+             F.min_by(point, order).alias("f"),
+             F.max_by(point, order).alias("l")))
     return agged.withColumn(
         "vi_oflow",
         F.when(F.col("vi_sum").isNull() & (F.col("n_int") > 0), 1)
@@ -559,14 +567,27 @@ def compose_bucket_agg(partials: DataFrame, name: str, group_by: int,
         vi, vd = F.min("vi_min"), F.min("vd_min")
     elif name == "max":
         vi, vd = F.max("vi_max"), F.max("vd_max")
+    vs = None
+    if name in ("first", "last"):
+        # argmin/argmax over partial winners = the bucket's true
+        # first/last (type-kept, (ts, seq) insert-order ties)
+        col = "f" if name == "first" else "l"
+        pick = F.min_by if name == "first" else F.max_by
+        win = pick(F.col(col),
+                   F.struct(f"{col}.ts", f"{col}.seq"))
+        vi = win.getField("val_int")
+        vd = win.getField("val_dbl")
+        vs = win.getField("val_str")
     agged = grouped.agg(
         *([vi.alias("vi")] if vi is not None else []),
         *([vd.alias("vd")] if vd is not None else []),
+        *([vs.alias("vvs")] if vs is not None else []),
         _tp_expr(name).alias("ntp"))
     out = _norm(agged, ts=F.col("ts"),
                 vi=F.col("vi") if vi is not None else None,
                 vd=F.col("vd") if vd is not None else None,
-                vs=None, tp=F.col("ntp"))
+                vs=F.col("vvs") if vs is not None else None,
+                tp=F.col("ntp"))
     checks = []
     if name == "sum" and TP_INT in types.tps:
         checks.append(OverflowCheck(out, name))

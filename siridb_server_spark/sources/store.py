@@ -1231,8 +1231,9 @@ class PointsStore:
             if paths:
                 pts = (spark.read.option("basePath", self.path)
                        .parquet(*paths)
-                       .select("series", "ts", "val_int", "val_dbl",
-                               "tp", F.col("kind").cast("string")
+                       .select("series", "ts", "seq", "val_int",
+                               "val_dbl", "val_str", "tp",
+                               F.col("kind").cast("string")
                                .alias("kind"),
                                F.col("sid").cast("long")
                                .alias("sid")))
@@ -1246,7 +1247,11 @@ class PointsStore:
             # meta at it atomically, THEN drop older generations — a
             # crash at any step leaves a consistent (meta, data) pair
             os.replace(tmp, self._rollup_data_path(gen))
-            meta = {"bucket": int(bucket), "gen": gen,
+            # v2: partials carry typed first/last structs (f/l) so
+            # bucketed first()/last() serve from the rollup too;
+            # v1 rollups are refused by read_rollup (points fallback
+            # until the next build/maintain rebuilds them)
+            meta = {"bucket": int(bucket), "gen": gen, "v": 2,
                     "coverage": listing}
             mtmp = self._rollup_meta_path + f".{uuid.uuid4().hex}"
             with open(mtmp, "w") as fh:
@@ -1268,7 +1273,8 @@ class PointsStore:
         stale_keys lists "kind:sid" shards (changed, new, or
         never-covered) the caller must aggregate live from points."""
         meta = self.rollup_info()
-        if meta is None or "gen" not in meta:
+        if meta is None or "gen" not in meta \
+                or meta.get("v") != 2:
             return None
         current = self._rollup_listing()
         # negative timestamps (possible only via the raw append API —

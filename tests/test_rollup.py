@@ -27,6 +27,9 @@ QUERIES = [
     "select sum(600) from 'cpu-int'",
     "select sum(1200) from /.*int.*/",
     "select mean(1200) from 'cpu-int'",
+    "select first(600) from /.*/",     # type-kept incl. strings
+    "select last(1200) from /.*/",
+    "select first(1800) from 'log-str'",
 ]
 
 
