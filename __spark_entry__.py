@@ -3086,6 +3086,16 @@ def oracle_sql() -> dict[str, str]:
     # engines (operators/similarity.py::ann_recall_curve)
     _SDX = "CAST(sum(CAST({x} AS DECIMAL(38,18))) AS DOUBLE)"
     _CSC = _QTERM("d / (sqrt(nq) * sqrt(nc))")
+
+    # pair scoring: per-dimension products quantized to the 1e-12
+    # grid and summed as exact longs (mirror of the row-local
+    # pico_fold in ann_recall_curve), then the micro-quantized score
+    def _P12(x: str) -> str:
+        return "sum(" + SCALED_TERM_SQL.format(x=x, s=10 ** 12) + ")"
+
+    _PSC = _QTERM("(d / 1000000000000.0) /"
+                  " (sqrt(nq / 1000000000000.0)"
+                  " * sqrt(nc / 1000000000000.0))")
     o["sim_ann_recall"] = (
         "WITH q AS (SELECT vec_id AS qid, embedding AS qe"
         " FROM embeddings WHERE vec_id < 20),"
@@ -3094,11 +3104,11 @@ def oracle_sql() -> dict[str, str]:
         " xp AS (SELECT qid, vec_id,"
         " CAST(unnest(qe) AS DOUBLE) AS a,"
         " CAST(unnest(ce) AS DOUBLE) AS b FROM q, c),"
-        f" xs AS (SELECT qid, vec_id, {_SDX.format(x='a * b')} AS d,"
-        f" {_SDX.format(x='a * a')} AS nq,"
-        f" {_SDX.format(x='b * b')} AS nc FROM xp GROUP BY 1, 2),"
+        f" xs AS (SELECT qid, vec_id, {_P12('a * b')} AS d,"
+        f" {_P12('a * a')} AS nq,"
+        f" {_P12('b * b')} AS nc FROM xp GROUP BY 1, 2),"
         " xr AS (SELECT qid, vec_id, row_number() OVER ("
-        f" PARTITION BY qid ORDER BY {_CSC} DESC, vec_id) AS rk"
+        f" PARTITION BY qid ORDER BY {_PSC} DESC, vec_id) AS rk"
         " FROM xs),"
         " exact AS (SELECT qid, vec_id FROM xr WHERE rk <= 10),"
         " cd AS (SELECT label, unnest(range(len(ce))) AS dim,"
@@ -3124,13 +3134,13 @@ def oracle_sql() -> dict[str, str]:
         " FROM probes p JOIN c USING (label)"
         " JOIN q ON q.qid = p.qid),"
         " cs2 AS (SELECT nprobe, qid, vec_id,"
-        f" {_SDX.format(x='a * b')} AS d,"
-        f" {_SDX.format(x='a * a')} AS nq,"
-        f" {_SDX.format(x='b * b')} AS nc"
+        f" {_P12('a * b')} AS d,"
+        f" {_P12('a * a')} AS nq,"
+        f" {_P12('b * b')} AS nc"
         " FROM cp GROUP BY 1, 2, 3),"
         " ar AS (SELECT nprobe, qid, vec_id, row_number() OVER ("
         " PARTITION BY nprobe, qid"
-        f" ORDER BY {_CSC} DESC, vec_id) AS rk FROM cs2),"
+        f" ORDER BY {_PSC} DESC, vec_id) AS rk FROM cs2),"
         " appr AS (SELECT nprobe, qid, vec_id FROM ar"
         " WHERE rk <= 10),"
         " h AS (SELECT nprobe, count(*) AS n_hits FROM appr"
