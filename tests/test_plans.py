@@ -263,3 +263,57 @@ def test_bigram_lm_rowlocal_bigrams_no_python(spark):
     assert "Generate explode" in plan, plan
     for node in PY_NODES:
         assert node not in plan, plan
+
+
+def test_epoch_plan_broadcasts_weights_one_corpus_scan(spark):
+    """epoch_plan's big-side work must be ONE corpus scan feeding
+    mix_weights' aggregates plus a BROADCAST join of the
+    |sources|-row weight table back onto the corpus — no sort-merge
+    join, no Python nodes."""
+    from siridb_server_spark.operators.curation import epoch_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "tok " * (1 + i % 5)) for i in range(30)],
+        ["doc_id", "source", "text"])
+    plan = physical(epoch_plan(docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" \
+        in plan
+    assert "SortMergeJoin" not in plan
+    assert not any(n in plan for n in PY_NODES)
+
+
+def test_length_buckets_single_window_shuffle(spark):
+    """length_buckets is one window shuffle partitioned by bucket:
+    exactly one exchange above the scan, no joins, no Python."""
+    from siridb_server_spark.operators.curation import length_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 + i % 9)) for i in range(50)],
+        ["doc_id", "text"])
+    plan = physical(length_buckets(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert not any(n in plan for n in PY_NODES)
+
+
+def test_ann_recall_norms_above_scan_topk_pushdown(spark):
+    """ann_recall_curve: per-vector norms sit in a Project directly
+    over the scan (not recomputed per pair), the corpus side joins
+    probes/queries via BROADCAST only, and the per-(nprobe, qid)
+    top-k uses WindowGroupLimit pushdown."""
+    from siridb_server_spark.operators.similarity import \
+        ann_recall_curve
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(30)],
+        "vec_id long, embedding array<float>, label int")
+    plan = physical(ann_recall_curve(emb, k=3, nprobes=(1, 2),
+                                     n_queries=4))
+    assert "WindowGroupLimit" in plan
+    assert not any(n in plan for n in PY_NODES)
+    # the corpus-side pair scoring joins (probes on label, queries
+    # on qid) must be BROADCAST — the candidate stream is the only
+    # big side; everything else (centroid dims, post-top-k hits,
+    # the |nprobes|-row result) is tiny and AQE-converted at runtime
+    assert "BroadcastHashJoin [label" in plan
+    assert "BroadcastHashJoin [qid" in plan

@@ -58,6 +58,15 @@ BOUNDS = {
     "probe_h264_decode": K * 2,
     # row-local Arrow tokenization: linear with rows
     "probe_bpe_encode": K * 2,
+    # r7 additions — all linear shapes:
+    # one corpus agg + broadcast join + row-local explode
+    "curation_epoch_plan": K * 2,
+    # one window shuffle partitioned by bucket
+    "curation_length_buckets": K * 2,
+    # fixed query set × K× corpus: candidate volume linear in K
+    # (probe set and cells don't grow; a lost broadcast or a
+    # query-side blowup would land ~K²)
+    "sim_ann_recall": K * 2,
 }
 
 
