@@ -95,8 +95,10 @@ def int_ppm(num: Column, den: Column) -> Column:
     under any partitioning, libm, or rounding procedure. This is the
     contract type for hashed ratio columns (CORRECTNESS r4–r6 showed
     any rounded-DOUBLE ratio can flip its 6th decimal across
-    engines). DECIMAL(38,0) headroom means no overflow until
-    num ≈ 5e31 — beyond any corpus."""
+    engines). The DECIMAL(38,0) intermediates don't overflow until
+    num ≈ 5e31; the BIGINT RESULT bounds the usable ratio at
+    num/den ≲ 9.2e12 (callers pass shares ≤ 1 and capped weights —
+    far inside)."""
     n = num.cast("decimal(38,0)")
     d = den.cast("decimal(38,0)")
     return int_div(n * F.lit(2000000) + d, d * F.lit(2))

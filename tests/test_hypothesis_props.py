@@ -270,3 +270,61 @@ def test_h264_decode_identical_to_encoder_reconstruction(data):
     assert (out[2] == recon).all()
     if mode == "pcm" and not rgb:
         assert (out[2][:, :, 0] == px).all()
+
+
+# ---- integer-contract helpers (functions/stable.py) -----------------
+# One Spark round-trip per property would be minutes; instead assert
+# the SQL fragments against DuckDB (the oracle side) and the python
+# ground truth — the Spark side is pinned by the oracle gate, which
+# compares the two engines directly on every entry.
+
+@given(st.integers(min_value=1, max_value=10**15),
+       st.floats(min_value=0.0, max_value=10.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_int_ppm_sql_is_exact_half_up(den, ratio):
+    # the documented domain is ratio-like (num/den well under 9e12,
+    # where the BIGINT ppm result fits); contracts pass shares <= 1
+    # and weights capped at single digits
+    num = int(den * ratio)
+    import duckdb
+
+    from siridb_server_spark.functions.stable import INT_PPM_SQL
+
+    got = duckdb.sql("SELECT " + INT_PPM_SQL.format(
+        num=str(num), den=str(den))).fetchone()[0]
+    # half-up rounding of num*1e6/den in exact integer math
+    import fractions
+    x = fractions.Fraction(num * 1000000, den)
+    expect = int(x) + (1 if x - int(x) >= fractions.Fraction(1, 2)
+                       else 0)
+    assert got == expect
+
+
+@given(st.lists(st.floats(min_value=-50, max_value=50,
+                          allow_nan=False), min_size=1, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_scaled_term_mean_sql_matches_python_fold(xs):
+    import math
+
+    import duckdb
+
+    from siridb_server_spark.functions.stable import (
+        INT_MEAN_SIGNED_SQL, SCALED_TERM_SQL)
+
+    vals = " UNION ALL ".join(f"SELECT CAST({repr(v)} AS DOUBLE) AS x"
+                              for v in xs)
+    term = SCALED_TERM_SQL.format(x="x", s=10 ** 6)
+    got = duckdb.sql(
+        f"WITH t AS ({vals}) SELECT "
+        + INT_MEAN_SIGNED_SQL.format(sum=f"sum({term})",
+                                     n="count(*)")
+        + " FROM t").fetchone()[0]
+
+    def q(v):  # the exact same IEEE ops as the SQL/Spark term
+        s = abs(v) * 1e6 + 0.5
+        return int(math.floor(s)) * (1 if v >= 0 else -1)
+
+    s, n = sum(q(v) for v in xs), len(xs)
+    expect = (2 * s + n) // (2 * n) if s >= 0 \
+        else -((-s * 2 + n) // (2 * n))
+    assert got == expect
