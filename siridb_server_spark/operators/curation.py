@@ -362,3 +362,76 @@ def length_buckets(df: DataFrame, batch_docs: int = 32,
                     F.floor(rk / batch_docs).cast("long")
                     .alias("batch_id"),
                     (rk % batch_docs).cast("int").alias("pos")))
+
+
+def export_webdataset(df: DataFrame, path: str, n_shards: int = 32,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Write the corpus as webdataset-style tar shards — the actual
+    SINK behind :func:`shard_export`'s layout: every document lands
+    in ``shard-NNNNN.tar`` as member ``{id}.txt``, in the same
+    deterministic (md5 key, id) order other engines can reproduce.
+    Tar bytes are canonical (USTAR, zeroed mtime/uid/gid, fixed
+    mode), so re-running the export — on any cluster, any
+    partitioning — produces byte-identical shards; the returned
+    manifest carries each shard's sha256 to prove it.
+
+    Scale shape: ONE hash shuffle on the shard id (applyInPandas
+    groups whole shards), each shard streams to its own tar
+    independently — 100 TB is just more shards, and a failed task
+    rewrites only its shard. Returns (shard, n_docs, n_bytes,
+    sha256)."""
+    import hashlib
+    import io
+    import os
+    import tarfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    os.makedirs(path, exist_ok=True)
+    key = (F.conv(F.substring(
+        F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long"))
+    rows = (df.select(F.col(id_col).alias("doc_id"),
+                      F.coalesce(F.col(text_col), F.lit(""))
+                      .alias("text"))
+            .withColumn("_skey", key)
+            .withColumn("shard", F.pmod(F.col("_skey"),
+                                        F.lit(n_shards)).cast("int")))
+    schema = T.StructType([
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ])
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=schema.fieldNames())
+        pdf = pdf.sort_values(["_skey", "doc_id"])
+        shard = int(pdf["shard"].iloc[0])
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{doc_id}.txt")
+                info.size = len(data)
+                info.mtime = 0        # canonical bytes: no clock,
+                info.uid = info.gid = 0   # no user, fixed mode
+                info.mode = 0o644
+                tar.addfile(info, io.BytesIO(data))
+        raw = buf.getvalue()
+        name = os.path.join(path, f"shard-{shard:05d}.tar")
+        tmp = name + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(raw)
+        os.replace(tmp, name)        # atomic: retried tasks re-land
+        return pd.DataFrame([{
+            "shard": shard, "n_docs": len(pdf),
+            "n_bytes": len(raw),
+            "sha256": hashlib.sha256(raw).hexdigest()}])
+
+    return (rows.groupBy("shard")
+            .applyInPandas(write_shard, schema=schema))

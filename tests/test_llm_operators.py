@@ -1213,3 +1213,37 @@ def test_ann_recall_curve_monotone_and_exact_at_full_probe(emb,
     full = rows[n_cells]
     assert full["recall_ppm"] == 1000000
     assert full["n_hits"] == full["n_queries"] * 2
+
+
+def test_export_webdataset_deterministic_tars(spark, tmp_path):
+    """The tar sink is byte-deterministic: two exports of the same
+    corpus — under different partitioning — produce identical
+    sha256 per shard, members come back in shard_export's
+    (md5 key, id) order, and contents round-trip."""
+    import tarfile
+
+    rows = [(i, f"doc number {i} body") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    m1 = {r["shard"]: r for r in CU.export_webdataset(
+        docs, str(tmp_path / "a"), n_shards=4).collect()}
+    m2 = {r["shard"]: r for r in CU.export_webdataset(
+        docs.repartition(7), str(tmp_path / "b"),
+        n_shards=4).collect()}
+    assert set(m1) == set(m2) != set()
+    for s in m1:
+        assert m1[s]["sha256"] == m2[s]["sha256"]
+        assert m1[s]["n_docs"] == m2[s]["n_docs"]
+    assert sum(r["n_docs"] for r in m1.values()) == 40
+    # round-trip one shard: members in plan order, exact contents
+    plan = {(r["doc_id"]): (r["shard"], r["pos"]) for r in
+            CU.shard_export(docs, n_shards=4).collect()}
+    s0 = sorted(m1)[0]
+    with tarfile.open(str(tmp_path / "a" / f"shard-{s0:05d}.tar"),
+                      "r") as tar:
+        members = tar.getmembers()
+        for pos, m in enumerate(members):
+            doc_id = int(m.name.removesuffix(".txt"))
+            assert plan[doc_id] == (s0, pos)
+            body = tar.extractfile(m).read().decode()
+            assert body == f"doc number {doc_id} body"
+            assert (m.mtime, m.uid, m.gid, m.mode) == (0, 0, 0, 0o644)
