@@ -152,3 +152,48 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
         "lang", "source",
         F.length(F.coalesce(F.col("text"), F.lit("")))
         .alias("n_chars"))
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Documents frame from webdataset-style tar shards (the read
+    side of ``operators/curation.py::export_webdataset``): a
+    binaryFile scan over ``shard-*.tar`` feeds an Arrow mapInPandas
+    that untars each shard — one tar per input row, embarrassingly
+    parallel, no shuffle. Member names ``{doc_id}.txt`` become
+    (doc_id, text, shard) rows in archive order (the exporter's
+    deterministic (md5 key, id) order), so export → read is an
+    exact round-trip."""
+    import io
+    import re
+    import tarfile
+
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+    ])
+    bf = (spark.read.format("binaryFile")
+          .load(path + "/shard-*.tar")
+          .select("path", "content"))
+
+    def untar(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard-(\d+)\.tar$", p)
+                shard = int(m.group(1)) if m else -1
+                with tarfile.open(fileobj=io.BytesIO(bytes(content)),
+                                  mode="r") as tar:
+                    for member in tar.getmembers():
+                        if not member.name.endswith(".txt"):
+                            continue
+                        body = tar.extractfile(member).read()
+                        rows.append((
+                            int(member.name[:-4]),
+                            body.decode("utf-8"), shard))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "text", "shard"])
+
+    return bf.mapInPandas(untar, schema=schema)

@@ -131,3 +131,25 @@ def test_jsonl_docs_idless_duplicates_get_unique_ids(spark, tmp_path):
     ids = [r["doc_id"] for r in df.collect()]
     assert len(ids) == len(set(ids)) == 3
     assert 7 in ids
+
+
+def test_webdataset_export_read_roundtrip(spark, tmp_path):
+    from siridb_server_spark.operators.curation import \
+        export_webdataset
+    from siridb_server_spark.sources.files import read_webdataset
+
+    docs = spark.createDataFrame(
+        [(i, f"body of {i} with ünïcödé") for i in range(25)],
+        ["doc_id", "text"])
+    export_webdataset(docs, str(tmp_path), n_shards=4).collect()
+    back = read_webdataset(spark, str(tmp_path))
+    got = {r["doc_id"]: (r["text"], r["shard"])
+           for r in back.collect()}
+    assert set(got) == set(range(25))
+    for i in range(25):
+        assert got[i][0] == f"body of {i} with ünïcödé"
+    # shard column matches the exporter's assignment
+    from siridb_server_spark.operators.curation import shard_export
+    plan = {r["doc_id"]: r["shard"]
+            for r in shard_export(docs, n_shards=4).collect()}
+    assert {i: got[i][1] for i in got} == plan
