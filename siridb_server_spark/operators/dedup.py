@@ -828,3 +828,122 @@ def containment_pairs(df: DataFrame, threshold: float = 0.5,
                 (F.round(ca, 6) + F.lit(0.0)).alias("contain_a"),
                 (F.round(cb, 6) + F.lit(0.0)).alias("contain_b"))
     )
+
+
+# ---------------------------------------------------------------
+# Incremental dedup against a persisted index (the production
+# shape: a new crawl batch dedups against the historical corpus
+# WITHOUT re-scanning it — the index is orders of magnitude
+# smaller than the text it summarizes)
+# ---------------------------------------------------------------
+
+def _exact_fp(text_col: str):
+    """Exact-dup fingerprint: xxhash64 of the trimmed text."""
+    return F.xxhash64(F.trim(F.col(text_col)))
+
+
+def _banded_sigs(df: DataFrame, num_hashes: int, bands: int,
+                 shingle_n: int, text_col: str,
+                 id_col: str) -> DataFrame:
+    """(doc_id, sig, band, bh) — the LSH band rows minhash_lsh_pairs
+    builds, factored out so the persisted index and the incremental
+    probe use the identical signature math."""
+    k = num_hashes
+    if bands <= 0 or k % bands != 0:
+        raise ValueError(
+            f"num_hashes ({k}) must be a positive multiple of bands"
+            f" ({bands})")
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, k, shingle_n, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.get("sig", i)
+                         for i in range(b * rows_per_band,
+                                        (b + 1) * rows_per_band)])
+            .alias("bh"))
+        for b in range(bands)]
+    return (sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*band_cols)).alias("bb"))
+        .select("doc_id", "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bh").alias("bh")))
+
+
+def build_dedup_index(df: DataFrame, path: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
+    """Persist (or extend — mode append) the dedup index for a
+    corpus: ``{path}/exact`` holds (doc_id, fp) exact fingerprints,
+    ``{path}/bands`` holds the LSH band rows partitioned by band
+    (probes prune to their band's directory). Parameters are the
+    caller's contract — probe with the same (num_hashes, bands,
+    shingle_n) or the band hashes won't align."""
+    (df.select(F.col(id_col).alias("doc_id"),
+               _exact_fp(text_col).alias("fp"))
+     .write.mode("append").parquet(path + "/exact"))
+    (_banded_sigs(df, num_hashes, bands, shingle_n, text_col,
+                  id_col)
+     .write.mode("append").partitionBy("band")
+     .parquet(path + "/bands"))
+
+
+def dedup_incremental(new_df: DataFrame, path: str,
+                      threshold: float = 0.5,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_bucket: int | None = None) -> DataFrame:
+    """Dedup a NEW batch against the persisted index: exact hits via
+    a fingerprint equi-join, near hits via the band join of the
+    batch's LSH rows against ``{path}/bands`` verified by signature
+    agreement ≥ threshold. Per new doc, the single best match wins
+    (exact beats near, then highest est_jaccard, then smallest
+    match_id). Docs with no hit aren't returned — they're the keep
+    set (anti-join this output).
+
+    Scale shape: the historical corpus is touched only through its
+    index (hashes + ids — a few hundred bytes/doc at 100 TB); both
+    joins are hash-equi on (band, bh)/(fp) with the NEW side small
+    by definition; `max_bucket` caps boilerplate band buckets
+    exactly like the batch dedup. Output: (doc_id, match_id, kind,
+    est_jaccard)."""
+    spark = new_df.sparkSession
+    k = num_hashes
+    idx_exact = spark.read.parquet(path + "/exact")
+    idx_bands = spark.read.parquet(path + "/bands")
+    exact = (new_df.select(F.col(id_col).alias("doc_id"),
+                           _exact_fp(text_col).alias("fp"))
+             .join(idx_exact.withColumnRenamed("doc_id",
+                                               "match_id"), "fp")
+             .groupBy("doc_id")
+             .agg(F.min("match_id").alias("match_id"))
+             .select("doc_id", "match_id",
+                     F.lit("exact").alias("kind"),
+                     F.lit(1.0).alias("est_jaccard")))
+    probe = _banded_sigs(new_df, k, bands, shingle_n, text_col,
+                         id_col)
+    probe = _cap_hot_buckets(probe, ["band", "bh"], max_bucket)
+    agree = F.size(F.filter(
+        F.zip_with(F.col("sig"), F.col("isig"),
+                   lambda x, y: x == y), lambda m: m))
+    near = (probe.join(
+        idx_bands.select(F.col("doc_id").alias("match_id"),
+                         F.col("sig").alias("isig"), "band", "bh"),
+        ["band", "bh"])
+        .select("doc_id", "match_id",
+                (agree / F.lit(float(k))).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(
+            F.col("est_jaccard"),
+            (-F.col("match_id")).alias("neg_id"))).alias("w"))
+        .select("doc_id", (-F.col("w.neg_id")).alias("match_id"),
+                F.lit("near").alias("kind"),
+                (F.round(F.col("w.est_jaccard"), 6) + F.lit(0.0))
+                .alias("est_jaccard")))
+    # exact beats near for the same doc
+    near_only = near.join(exact.select("doc_id"), "doc_id",
+                          "left_anti")
+    return exact.unionByName(near_only)

@@ -1247,3 +1247,55 @@ def test_export_webdataset_deterministic_tars(spark, tmp_path):
             body = tar.extractfile(m).read().decode()
             assert body == f"doc number {doc_id} body"
             assert (m.mtime, m.uid, m.gid, m.mode) == (0, 0, 0, 0o644)
+
+
+def test_incremental_dedup_against_persisted_index(spark, tmp_path):
+    """Build the index on a historical corpus; a new batch finds its
+    exact dup, its near dup, and leaves the fresh doc alone — then
+    appending the batch to the index makes a later copy of it hit."""
+    idx = str(tmp_path / "idx")
+    hist = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated historical text about engines"),
+    ], ["doc_id", "text"])
+    D.build_dedup_index(hist, idx)
+    batch = spark.createDataFrame([
+        # exact dup of 1
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        # near dup of 1 (one word changed)
+        (11, "the quick brown fox jumps over the lazy cat today"),
+        # fresh
+        (12, "brand new subject matter never indexed before now"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           D.dedup_incremental(batch, idx, threshold=0.3).collect()}
+    assert got[10]["kind"] == "exact" and got[10]["match_id"] == 1
+    assert got[11]["kind"] == "near" and got[11]["match_id"] == 1
+    assert got[11]["est_jaccard"] < 1.0
+    assert 12 not in got                      # fresh → keep set
+    # grow the index with the accepted batch; a copy of 12 now hits
+    D.build_dedup_index(batch, idx)
+    later = spark.createDataFrame([
+        (20, "brand new subject matter never indexed before now"),
+    ], ["doc_id", "text"])
+    got2 = {r["doc_id"]: r for r in
+            D.dedup_incremental(later, idx, threshold=0.3).collect()}
+    assert got2[20]["kind"] == "exact" and got2[20]["match_id"] == 12
+
+
+def test_incremental_dedup_matches_batch_lsh_candidates(spark,
+                                                        tmp_path):
+    """Probing a corpus against an index of ITSELF reproduces the
+    batch LSH pair graph: every doc's best incremental match is a
+    doc it pairs with in minhash_lsh_pairs (plus itself as exact)."""
+    idx = str(tmp_path / "self")
+    rows = [(i, "alpha beta gamma delta epsilon zeta " + ("x" * (i % 3)))
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    D.build_dedup_index(docs, idx)
+    got = {r["doc_id"]: r for r in
+           D.dedup_incremental(docs, idx, threshold=0.5).collect()}
+    # every doc at least matches itself exactly
+    assert set(got) == set(range(8))
+    for i, r in got.items():
+        assert r["kind"] == "exact"
