@@ -1,0 +1,87 @@
+"""Streaming corpus curation: a live document feed deduped against
+the PERSISTED dedup index as it ingests — the crawl-pipeline shape
+(each micro-batch checks history without rescanning it, accepted
+docs extend the index so later batches see them).
+
+foreachBatch rather than a stateful operator on purpose: the dedup
+state here is the on-disk index (operators/dedup.py
+build_dedup_index), shared with batch jobs and unbounded in a way
+executor state stores shouldn't be — 100 TB of corpus history is a
+parquet index, not a state row per key. In-stream (same-batch)
+duplicates are handled by a batch self-dedup before the index probe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+
+
+def stream_corpus_dedup_ingest(
+        stream_df: DataFrame, index_path: str, accepted_path: str,
+        rejected_path: str | None = None, threshold: float = 0.5,
+        num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+        text_col: str = "text", id_col: str = "doc_id",
+        checkpoint: str | None = None):
+    """Start the dedup-ingest stream: per micro-batch —
+
+    1. drop in-batch exact duplicates (keep-first by id);
+    2. probe the survivors against the index
+       (:func:`dedup.dedup_incremental`): hits go to
+       ``rejected_path`` (with match_id/kind) when given, else are
+       dropped;
+    3. append the accepted docs to ``accepted_path`` (parquet) AND
+       to the index, so the NEXT batch — and any concurrent batch
+       job — sees them.
+
+    Exactly-once posture: foreachBatch re-delivers a failed batch;
+    the parquet appends are idempotent per batch id via a
+    batch-stamped subdirectory check. Returns the StreamingQuery."""
+    opts = dict(threshold=threshold, num_hashes=num_hashes,
+                bands=bands, shingle_n=shingle_n,
+                text_col=text_col, id_col=id_col)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        marker = os.path.join(accepted_path,
+                              f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return          # re-delivered batch: already applied
+        # 1. in-batch exact dedup, keep the smallest id per text
+        w_first = (batch_df
+                   .withColumn("_fp", D._exact_fp(text_col))
+                   .groupBy("_fp")
+                   .agg(F.min(F.col(id_col)).alias("_keep")))
+        batch = (batch_df.withColumn("_fp", D._exact_fp(text_col))
+                 .join(w_first, "_fp")
+                 .where(F.col(id_col) == F.col("_keep"))
+                 .drop("_fp", "_keep"))
+        # 2. probe history (index may not exist on the first batch)
+        if os.path.isdir(os.path.join(index_path, "exact")):
+            hits = D.dedup_incremental(batch, index_path, **opts)
+            hits = hits.localCheckpoint()     # probe once, use twice
+            if rejected_path is not None:
+                hits.write.mode("append").parquet(rejected_path)
+            accepted = batch.join(
+                hits.select(F.col("doc_id").alias(id_col)),
+                id_col, "left_anti")
+        else:
+            accepted = batch
+        # 3. land + index the accepted docs
+        accepted = accepted.localCheckpoint()
+        accepted.write.mode("append").parquet(
+            os.path.join(accepted_path, "docs"))
+        D.build_dedup_index(accepted, index_path,
+                            num_hashes=num_hashes, bands=bands,
+                            shingle_n=shingle_n, text_col=text_col,
+                            id_col=id_col)
+        open(marker, "w").close()
+
+    writer = stream_df.writeStream.foreachBatch(sink) \
+        .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1299,3 +1299,69 @@ def test_incremental_dedup_matches_batch_lsh_candidates(spark,
     assert set(got) == set(range(8))
     for i, r in got.items():
         assert r["kind"] == "exact"
+
+
+def test_stream_corpus_dedup_ingest(spark, tmp_path):
+    """Live corpus feed deduped against the growing index: batch 1
+    lands clean docs and indexes them; batch 2's exact/near dups of
+    batch 1 are rejected with their match ids, fresh docs accepted;
+    a re-delivered batch id is a no-op (idempotence marker)."""
+    import json
+    import time
+
+    from siridb_server_spark.streaming.corpus import \
+        stream_corpus_dedup_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    rej = str(tmp_path / "rej")
+
+    def feed(name, rows):
+        p = src / f"{name}.jsonl"
+        tmp = src / f".{name}.tmp"
+        tmp.write_text("\n".join(json.dumps(r) for r in rows))
+        tmp.rename(p)
+
+    feed("b1", [
+        {"doc_id": 1, "text": "the quick brown fox jumps over"
+                               " the lazy dog again and again"},
+        {"doc_id": 2, "text": "some other first-batch document"},
+        {"doc_id": 3, "text": "some other first-batch document"},
+    ])  # 3 is an IN-BATCH exact dup of 2
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src)))
+    q = stream_corpus_dedup_ingest(
+        stream, idx, acc, rejected_path=rej, threshold=0.3,
+        checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        feed("b2", [
+            {"doc_id": 10,
+             "text": "the quick brown fox jumps over"
+                     " the lazy dog again and again"},       # exact
+            {"doc_id": 11,
+             "text": "the quick brown fox jumps over"
+                     " the lazy cat again and again"},       # near
+            {"doc_id": 12, "text": "entirely novel content here"},
+        ])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {r["doc_id"] for r in
+                   spark.read.parquet(acc + "/docs").collect()}
+            if 12 in got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    accepted = {r["doc_id"] for r in
+                spark.read.parquet(acc + "/docs").collect()}
+    assert accepted == {1, 2, 12}        # 3 in-batch dup, 10/11 hit
+    rejects = {r["doc_id"]: (r["kind"], r["match_id"]) for r in
+               spark.read.parquet(rej).collect()}
+    assert rejects[10] == ("exact", 1)
+    assert rejects[11][0] == "near" and rejects[11][1] == 1
