@@ -1541,6 +1541,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q19ish"] = tpch_q19ish
 
+    def tpch_q10ish(spark, sf_dir):
+        """q10 shape — returned-item revenue by customer, top 20:
+        the date band pushes to the orders scan, the returnflag
+        predicate to the lineitem scan, the customer dim broadcasts,
+        and the top-k is a TakeOrdered on the rounded revenue."""
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        a = F.lit("1996-07-01").cast("timestamp_ntz")
+        b = F.lit("1996-10-01").cast("timestamp_ntz")
+        o2 = (orders.where((F.col("o_orderdate") >= a)
+                           & (F.col("o_orderdate") < b))
+              .select("o_orderkey", "o_custkey"))
+        l2 = (li.where(F.col("l_returnflag") == "R")
+              .select("l_orderkey",
+                      (F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("rev")))
+        return (
+            l2.join(o2, l2.l_orderkey == o2.o_orderkey)
+            .join(F.broadcast(cust.select("c_custkey", "c_name")),
+                  o2.o_custkey == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg((F.round(SSD(F.col("rev")), 2) + F.lit(0.0))
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+    q["tpch_q10ish"] = tpch_q10ish
+
+    def tpch_q13ish(spark, sf_dir):
+        """q13 shape — customer order-count distribution: a LEFT
+        join keeps zero-order customers (the part a plain groupBy
+        silently drops), then a counting aggregate over the counts.
+        All integer math — exact on any engine."""
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        o2 = (orders.where(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+        per = (cust.select("c_custkey")
+               .join(o2, F.col("c_custkey") == F.col("o_custkey"),
+                     "left")
+               .groupBy("c_custkey")
+               .agg(F.count("o_orderkey").alias("c_count")))
+        return (per.groupBy("c_count")
+                .agg(F.count(F.lit(1)).alias("custdist"))
+                .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+    q["tpch_q13ish"] = tpch_q13ish
+
+    def tpch_q17ish(spark, sf_dir):
+        """q17 shape — small-quantity-order revenue: the classic
+        correlated scalar subquery (per-part average quantity)
+        decorrelated into a per-part aggregate broadcast back onto
+        the fact. Quantities are integral, so the membership test
+        ``l_quantity < 0.2 · avg`` runs as EXACT integer math
+        (5·q·cnt < sum) — no float average can flip a row between
+        engines."""
+        li = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part")
+        p2 = part.where(F.col("p_brand") == "Brand#11") \
+            .select("p_partkey")
+        l2 = (li.join(F.broadcast(p2),
+                      F.col("l_partkey") == F.col("p_partkey"))
+              .select("l_partkey",
+                      F.col("l_quantity").cast("long").alias("qi"),
+                      "l_extendedprice"))
+        per_part = (l2.groupBy(F.col("l_partkey").alias("pk"))
+                    .agg(F.sum("qi").alias("qsum"),
+                         F.count(F.lit(1)).alias("qcnt")))
+        small = (l2.join(F.broadcast(per_part),
+                         F.col("l_partkey") == F.col("pk"))
+                 .where(F.col("qi") * 5 * F.col("qcnt")
+                        < F.col("qsum")))
+        return small.agg(
+            (F.round(SSD(F.col("l_extendedprice")) / 7.0, 2)
+             + F.lit(0.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"))
+
+    q["tpch_q17ish"] = tpch_q17ish
+
+    def tpch_q22ish(spark, sf_dir):
+        """q22 shape — dormant above-average customers per nation:
+        the global average-balance threshold and an ANTI join
+        against the urgent-order customers (in this synthetic data
+        every customer has SOME order; "no urgent order" keeps the
+        anti join non-trivial). Balances carry 2 decimals, so they quantize
+        exactly to cents and the threshold test runs as exact
+        integer math (cents·n > cents_sum) — engine-portable."""
+        from siridb_server_spark.functions.stable import scaled_term
+
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        c2 = cust.select("c_custkey", "c_nationkey",
+                         scaled_term(F.col("c_acctbal"), 2)
+                         .alias("ab_cents"))
+        pos = c2.where(F.col("ab_cents") > 0)
+        thr = pos.agg(F.sum("ab_cents").alias("cents_sum"),
+                      F.count(F.lit(1)).alias("n_pos"))
+        rich = (c2.crossJoin(F.broadcast(thr))
+                .where(F.col("ab_cents") * F.col("n_pos")
+                       > F.col("cents_sum")))
+        dormant = rich.join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey", "left_anti")
+        return (dormant.groupBy(F.col("c_nationkey").alias("cntry"))
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     (F.sum("ab_cents") / F.lit(100.0))
+                     .alias("totacctbal"))
+                .orderBy("cntry"))
+
+    q["tpch_q22ish"] = tpch_q22ish
+
     q["ts_moving_avg"] = lambda spark, sf_dir: TSO.moving_avg(
         _pts_dedup(spark, sf_dir), window=5)
 
@@ -1844,6 +1957,10 @@ def oracle_sql() -> dict[str, str]:
         # one micro-unit quantized term, the mirror of
         # stable.py::scaled_term at scale 6
         return SCALED_TERM_SQL.format(x=x, s=10 ** 6)
+
+    def _QTERM2(x: str) -> str:
+        # cents (scale 2) — for money-like columns with 2 decimals
+        return SCALED_TERM_SQL.format(x=x, s=10 ** 2)
 
     def _QMEAN(x: str) -> str:
         # micro-unit quantized-term mean, the mirror of
@@ -3574,6 +3691,55 @@ def oracle_sql() -> dict[str, str]:
         f" round({_SC6('o_totalprice')}, 2) + 0.0"
         " AS revenue,"
         " count(*) AS n_orders FROM orders GROUP BY 1"
+    )
+    o["tpch_q10ish"] = (
+        "SELECT c_custkey, c_name,"
+        f" round({_SC6('l_extendedprice * (1 - l_discount)')}"
+        ", 2) + 0.0 AS revenue"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " WHERE l_returnflag = 'R'"
+        " AND o_orderdate >= TIMESTAMP '1996-07-01'"
+        " AND o_orderdate < TIMESTAMP '1996-10-01'"
+        " GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20"
+    )
+    o["tpch_q13ish"] = (
+        "WITH per AS (SELECT c_custkey, count(o_orderkey) AS c_count"
+        " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+        " AND o_orderpriority <> '1-URGENT' GROUP BY 1)"
+        " SELECT c_count, count(*) AS custdist FROM per"
+        " GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+    )
+    o["tpch_q17ish"] = (
+        # the avg-quantity threshold in exact integer math:
+        # q < 0.2·(sum/cnt) ⟺ 5·q·cnt < sum (quantities integral)
+        "WITH l2 AS (SELECT l_partkey,"
+        " CAST(l_quantity AS BIGINT) AS qi, l_extendedprice"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE p_brand = 'Brand#11'),"
+        " pp AS (SELECT l_partkey AS pk, sum(qi) AS qsum,"
+        " count(*) AS qcnt FROM l2 GROUP BY 1)"
+        " SELECT"
+        f" round({_SC6('l_extendedprice')} / 7.0, 2) + 0.0"
+        " AS avg_yearly, count(*) AS n_items"
+        " FROM l2 JOIN pp ON l_partkey = pk"
+        " WHERE qi * 5 * qcnt < qsum"
+    )
+    o["tpch_q22ish"] = (
+        # exact-cents threshold: acctbal quantizes exactly at 2
+        # decimals; cents·n > cents_sum is pure integer math
+        "WITH c2 AS (SELECT c_custkey, c_nationkey,"
+        f" {_QTERM2('c_acctbal')} AS ab_cents FROM customer),"
+        " thr AS (SELECT sum(ab_cents) AS cents_sum,"
+        " count(*) AS n_pos FROM c2 WHERE ab_cents > 0),"
+        " rich AS (SELECT c_custkey, c_nationkey, ab_cents"
+        " FROM c2, thr WHERE ab_cents * n_pos > cents_sum),"
+        " dormant AS (SELECT * FROM rich WHERE c_custkey NOT IN"
+        " (SELECT o_custkey FROM orders"
+        " WHERE o_orderpriority = '1-URGENT'))"
+        " SELECT c_nationkey AS cntry, count(*) AS numcust,"
+        " sum(ab_cents) / 100.0 AS totacctbal"
+        " FROM dormant GROUP BY 1 ORDER BY 1"
     )
     o["tpch_q3ish"] = (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')"

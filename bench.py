@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "tpch_q4ish",
     "tpch_q16ish",
     "tpch_q19ish",
+    "tpch_q10ish",
+    "tpch_q13ish",
+    "tpch_q17ish",
+    "tpch_q22ish",
 ]
 
 

@@ -30,6 +30,9 @@ QUERIES = [
     "select first(600) from /.*/",     # type-kept incl. strings
     "select last(1200) from /.*/",
     "select first(1800) from 'log-str'",
+    # merge folds the per-series rollup answers downstream
+    "select sum(600) from /.*int.*/ merge as 't' using sum(600)",
+    "select first(600) from /.*int.*/ merge as 'f' using min(600)",
 ]
 
 
@@ -278,11 +281,19 @@ RANGE_SUFFIXES = [
 ]
 
 
+def _with_range(q: str, suf: str) -> str:
+    # the grammar orders the time range BEFORE the merge clause
+    if " merge as " in q:
+        head, tail = q.split(" merge as ", 1)
+        return f"{head} {suf} merge as {tail}"
+    return f"{q} {suf}"
+
+
 def test_rollup_serves_time_ranged_selects(store_eng):
     store_eng.enable_rollup(600)
     for q in QUERIES:
         for suf in RANGE_SUFFIXES:
-            a, b = _both(store_eng, f"{q} {suf}")
+            a, b = _both(store_eng, _with_range(q, suf))
             assert a == b, (q, suf)
 
 
@@ -292,7 +303,7 @@ def test_rollup_ranged_hybrid_with_unseen_appends(store_eng):
                                   [2 * 604800 + 5, 9]]})
     for q in QUERIES:
         for suf in RANGE_SUFFIXES:
-            a, b = _both(store_eng, f"{q} {suf}")
+            a, b = _both(store_eng, _with_range(q, suf))
             assert a == b, ("hybrid", q, suf)
 
 
