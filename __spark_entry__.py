@@ -1193,6 +1193,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_wav_decode"] = multimodal_wav_decode
 
+    def multimodal_audio_meta(spark, sf_dir):
+        """Format-dispatched audio metadata on spec-correct
+        fixtures: WAV (PCM sample scan), FLAC (STREAMINFO bits),
+        MPEG-1 Layer III (frame walk, behind an ID3v2 tag), junk →
+        NULLs. Oracle is the hand-derived constants."""
+        rows = [
+            (1, "audio", _wav(1, 8000, [(100,), (-100,), (100,),
+                                        (-100,)]), "audio/wav"),
+            (2, "audio", MM.build_flac_header(2, 44100, 16, 441000),
+             "audio/flac"),
+            (3, "audio", MM.build_mp3(10, id3_pad=32),
+             "audio/mpeg"),
+            (4, "audio", b"not audio", "application/octet-stream"),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.decode_audio_meta(media)
+
+    q["multimodal_audio_meta"] = multimodal_audio_meta
+
     def multimodal_wav_resample(spark, sf_dir):
         """REAL linear resample to 8 kHz on hand-built PCM16 audio:
         equal rate is identity, 4 kHz upsamples with midpoint
@@ -3431,6 +3450,21 @@ def oracle_sql() -> dict[str, str]:
         " CAST(100.0 AS DOUBLE) AS rms"
         " UNION ALL SELECT 2, 2, 44100, 16, 2, 0.000045, 1000.0"
         " UNION ALL SELECT 3, NULL, NULL, NULL, NULL, NULL, NULL"
+    )
+
+    # hand-derived constants: wav 4 samples @8 kHz → 0.5 ms half-up
+    # 1; flac STREAMINFO 441000 @44.1 kHz → 10 s; mp3 10×1152
+    # samples @44.1 kHz → 261.22 ms half-up 261; junk → NULLs
+    o["multimodal_audio_meta"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id, 'wav' AS container,"
+        " CAST(1 AS BIGINT) AS channels,"
+        " CAST(8000 AS BIGINT) AS sample_rate,"
+        " CAST(16 AS BIGINT) AS bits,"
+        " CAST(4 AS BIGINT) AS n_samples,"
+        " CAST(1 AS BIGINT) AS duration_ms"
+        " UNION ALL SELECT 2, 'flac', 2, 44100, 16, 441000, 10000"
+        " UNION ALL SELECT 3, 'mp3', 1, 44100, NULL, 11520, 261"
+        " UNION ALL SELECT 4, NULL, NULL, NULL, NULL, NULL, NULL"
     )
 
     # linear resample to 8 kHz: identity / midpoint-interpolated

@@ -2555,3 +2555,160 @@ def build_minimal_mp4(width: int, height: int, sample_sizes: list,
 #: decode-backed resize in resize_image); aliases kept for callers
 frame_sample_stub = frame_sample
 resize_stub = resize_meta
+
+
+# ---------------------------------------------------------------
+# Compressed-audio container metadata: FLAC STREAMINFO and MP3
+# frame-header walks — pure struct parsing of the published specs
+# (the audio analogue of the MP4 box walk; no DSP decode needed
+# for duration/rate/channel metadata)
+# ---------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("container", T.StringType(), True),
+    T.StructField("channels", T.LongType(), True),
+    T.StructField("sample_rate", T.LongType(), True),
+    T.StructField("bits", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+
+def _parse_flac_streaminfo(p: bytes):
+    """FLAC STREAMINFO (format spec: 'fLaC' magic, metadata block
+    headers of 1-byte last|type + 24-bit length; block type 0 is the
+    34-byte STREAMINFO whose bits 80..143 pack sample-rate(20),
+    channels-1(3), bits-1(5), total-samples(36))."""
+    if not p.startswith(b"fLaC"):
+        return None
+    pos = 4
+    while pos + 4 <= len(p):
+        hdr = p[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(p[pos + 1:pos + 4], "big")
+        pos += 4
+        if btype == 0 and ln >= 34 and pos + 34 <= len(p):
+            v = int.from_bytes(p[pos + 10:pos + 18], "big")
+            rate = v >> 44
+            ch = ((v >> 41) & 0x7) + 1
+            bits = ((v >> 36) & 0x1F) + 1
+            total = v & ((1 << 36) - 1)
+            if rate == 0:
+                return None
+            return ("flac", ch, rate, bits, total)
+        if last:
+            break
+        pos += ln
+    return None
+
+
+#: MPEG-1 Layer III bitrates (kbps) and sample rates — the spec's
+#: header tables (ISO/IEC 11172-3); index 0 (free) and 15 are invalid
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _parse_mp3(p: bytes):
+    """MPEG-1 Layer III frame walk: optional ID3v2 skip (synchsafe
+    length), then hop frame to frame via the header's bitrate/
+    sample-rate/padding (frame bytes = 144·bitrate/rate + pad);
+    1152 samples per frame. Returns after the walk with the exact
+    sample count — a constant-size scan per frame, no audio
+    decode."""
+    pos = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        pos = 10 + size
+    frames, rate, channels = 0, None, None
+    while pos + 4 <= len(p):
+        h = p[pos:pos + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            break
+        if (h[1] >> 3) & 0x3 != 3 or (h[1] >> 1) & 0x3 != 1:
+            return None          # only MPEG-1 Layer III
+        bri, sri = h[2] >> 4, (h[2] >> 2) & 0x3
+        if bri in (0, 15) or sri == 3:
+            return None
+        rate = _MP3_RATES[sri]
+        channels = 1 if (h[3] >> 6) == 3 else 2
+        flen = 144 * _MP3_BITRATES[bri] * 1000 // rate \
+            + ((h[2] >> 1) & 1)
+        frames += 1
+        pos += flen
+    if frames == 0:
+        return None
+    return ("mp3", channels, rate, None, frames * 1152)
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """Format-dispatching audio metadata: RIFF/PCM16 WAV (real
+    sample scan), FLAC (STREAMINFO struct), MPEG-1 Layer III
+    (frame-header walk) — container, channels, sample rate, bit
+    depth (NULL where the format doesn't fix it per stream), exact
+    sample count, and duration in ms (exact integer half-up of
+    n·1000/rate). Row-local Arrow map; unknown/invalid payloads
+    yield NULL columns."""
+
+    def dur_ms(n, rate):
+        return (2 * n * 1000 + rate) // (2 * rate)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                out = (None,) * 6
+                w = _parse_wav(p)
+                if w is not None:
+                    ch, rate, bits, n, _dur, _rms = w
+                    out = ("wav", ch, rate, bits, n,
+                           dur_ms(n, rate))
+                else:
+                    f = _parse_flac_streaminfo(p)
+                    m = _parse_mp3(p) if f is None else None
+                    got = f or m
+                    if got is not None:
+                        cont, ch, rate, bits, n = got
+                        out = (cont, ch, rate, bits, n,
+                               dur_ms(n, rate))
+                rows.append((int(mid),) + out)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA])
+
+    return media.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+def build_flac_header(channels: int, rate: int, bits: int,
+                      total_samples: int) -> bytes:
+    """Spec-correct minimal FLAC fixture: magic + one (last)
+    STREAMINFO block. Audio frames are absent — metadata-only, which
+    is exactly what decode_audio_meta reads."""
+    v = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) \
+        | total_samples
+    info = (b"\x00" * 10) + v.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") \
+        + info
+
+
+def build_mp3(frames: int, bitrate_idx: int = 9,
+              rate_idx: int = 0, mono: bool = True,
+              id3_pad: int = 0) -> bytes:
+    """Spec-correct minimal MPEG-1 Layer III fixture: ``frames``
+    zero-payload frames of the given bitrate/rate (+ optional ID3v2
+    tag with a synchsafe length)."""
+    out = b""
+    if id3_pad:
+        size = bytes([(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+                      (id3_pad >> 7) & 0x7F, id3_pad & 0x7F])
+        out += b"ID3\x03\x00\x00" + size + b"\x00" * id3_pad
+    rate = _MP3_RATES[rate_idx]
+    flen = 144 * _MP3_BITRATES[bitrate_idx] * 1000 // rate
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (rate_idx << 2),
+                 0xC0 if mono else 0x00])
+    frame = hdr + b"\x00" * (flen - 4)
+    return out + frame * frames

@@ -153,3 +153,37 @@ def test_webdataset_export_read_roundtrip(spark, tmp_path):
     plan = {r["doc_id"]: r["shard"]
             for r in shard_export(docs, n_shards=4).collect()}
     assert {i: got[i][1] for i in got} == plan
+
+
+def test_audio_meta_flac_mp3_wav_dispatch(spark):
+    """Spec-struct audio metadata: FLAC STREAMINFO bit unpacking,
+    MP3 frame walk (incl. ID3v2 skip, padding bit, stereo mode),
+    WAV reuse, and malformed payloads -> NULLs (never crashes)."""
+    from siridb_server_spark.operators import multimodal as MM
+
+    rows = [
+        (1, "audio", MM.build_flac_header(1, 96000, 24, 12345678),
+         "audio/flac"),
+        (2, "audio", MM.build_mp3(5, bitrate_idx=14, rate_idx=1,
+                                  mono=False), "audio/mpeg"),
+        (3, "audio", MM.build_mp3(3, id3_pad=100), "audio/mpeg"),
+        (4, "audio", b"fLaC\x00\x00", "audio/flac"),      # truncated
+        (5, "audio", b"\xff\xfb\xf0\x00", "audio/mpeg"),  # bad br=15
+        (6, "audio", b"", "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           MM.decode_audio_meta(media).collect()}
+    f = got[1]
+    assert (f["container"], f["channels"], f["sample_rate"],
+            f["bits"], f["n_samples"]) == ("flac", 1, 96000, 24,
+                                           12345678)
+    # 12345678 / 96000 s = 128601.3125 ms -> half-up 128601
+    assert f["duration_ms"] == 128601
+    m = got[2]
+    assert (m["container"], m["channels"], m["sample_rate"],
+            m["n_samples"]) == ("mp3", 2, 48000, 5 * 1152)
+    assert m["bits"] is None
+    assert got[3]["n_samples"] == 3 * 1152     # ID3 tag skipped
+    for bad in (4, 5, 6):
+        assert got[bad]["container"] is None, bad
