@@ -1673,6 +1673,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q22ish"] = tpch_q22ish
 
+    def tpch_q15ish(spark, sf_dir):
+        """q15 shape — top supplier(s) by quarterly revenue: the
+        revenue-equals-max pattern (a HAVING against a 1-row
+        aggregate broadcast), not a top-k — ties all surface.
+        Equality on the rounded scaled-long revenue is exact: both
+        sides derive from the identical integer sum."""
+        li = load(spark, sf_dir, "lineitem")
+        a = F.lit("1996-01-01").cast("timestamp_ntz")
+        b = F.lit("1996-04-01").cast("timestamp_ntz")
+        rev = (li.where((F.col("l_shipdate") >= a)
+                        & (F.col("l_shipdate") < b))
+               .groupBy("l_suppkey")
+               .agg((F.round(SSD(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 2)
+                     + F.lit(0.0)).alias("total_revenue")))
+        mx = rev.agg(F.max("total_revenue").alias("mx"))
+        return (rev.join(F.broadcast(mx),
+                         F.col("total_revenue") == F.col("mx"))
+                .select("l_suppkey", "total_revenue")
+                .orderBy("l_suppkey"))
+
+    q["tpch_q15ish"] = tpch_q15ish
+
+    def text_quality_score(spark, sf_dir):
+        return TX.quality_score_linear(
+            load(spark, sf_dir, "documents"))
+
+    q["text_quality_score"] = text_quality_score
+
     q["ts_moving_avg"] = lambda spark, sf_dir: TSO.moving_avg(
         _pts_dedup(spark, sf_dir), window=5)
 
@@ -2461,6 +2490,48 @@ def oracle_sql() -> dict[str, str]:
         return " + ".join(
             "CASE WHEN ' ' || lower(text) || ' ' LIKE '% " + m
             + " %' THEN 1 ELSE 0 END" for m in markers)
+
+    # fixed-weight logistic quality scorer: the sigmoid quantizes to
+    # micro-units at birth (portable-transcendental policy); the z
+    # op order replays operators/text.py::quality_score_linear
+    _QSZ = ("-1.0 + 8.0 * (CASE WHEN n_tokens = 0 THEN NULL"
+            " ELSE CAST(n_stop AS DOUBLE) / n_tokens END)"
+            " + (-6.0) * (CASE WHEN n_chars = 0 THEN NULL"
+            " ELSE CAST(n_punct AS DOUBLE) / n_chars END)"
+            " + 1.5 * least(CAST(n_tokens AS DOUBLE), 400.0)"
+            " / 400.0")
+    o["text_quality_score"] = (
+        "WITH f AS (SELECT doc_id,"
+        " CAST(length(text) AS DOUBLE) AS n_chars,"
+        " CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END"
+        " AS DOUBLE) AS n_tokens,"
+        " len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,"
+        " (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'"
+        " THEN 1 ELSE 0 END + CASE WHEN ' ' || lower(text) || ' '"
+        " LIKE '% and %' THEN 1 ELSE 0 END + CASE WHEN ' ' ||"
+        " lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END +"
+        " CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %'"
+        " THEN 1 ELSE 0 END + CASE WHEN ' ' || lower(text) || ' '"
+        " LIKE '% is %' THEN 1 ELSE 0 END) AS n_stop"
+        " FROM documents),"
+        f" z AS (SELECT doc_id, {_QSZ} AS zv FROM f)"
+        " SELECT doc_id,"
+        f" {_QTERM('1.0 / (1.0 + exp(-zv))')} AS score_micro,"
+        f" {_QTERM('1.0 / (1.0 + exp(-zv))')} >= 500000 AS keep"
+        " FROM z"
+    )
+
+    o["tpch_q15ish"] = (
+        "WITH rev AS (SELECT l_suppkey,"
+        f" round({_SC6('l_extendedprice * (1 - l_discount)')}"
+        ", 2) + 0.0 AS total_revenue FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1),"
+        " mx AS (SELECT max(total_revenue) AS m FROM rev)"
+        " SELECT l_suppkey, total_revenue FROM rev, mx"
+        " WHERE total_revenue = m ORDER BY l_suppkey"
+    )
 
     marks = TX.LANG_MARKERS
     o["text_topk_per_source"] = (

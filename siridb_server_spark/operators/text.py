@@ -839,3 +839,36 @@ def vocab_stats(df: DataFrame, text_col: str = "text",
                     .alias("type_token_ppm"),
                     int_ppm(F.col("n_hapax"), F.col("n_vocab"))
                     .alias("hapax_ppm")))
+
+
+def quality_score_linear(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality filtering stand-in: a fixed-weight
+    logistic scorer over the quality features (stopword density up,
+    punctuation density down, a saturating length prior) — the same
+    interface a fastText/linear quality classifier has in a real
+    pipeline, with deterministic public weights instead of learned
+    ones. Row-local, fuses into the scan.
+
+    The sigmoid is transcendental, so the probability quantizes to
+    micro-units AT BIRTH (the portable-transcendental policy) and
+    the keep decision compares the quantized integer — identical
+    across engines. Empty docs yield NULL score and keep. Output:
+    (doc_id, score_micro, keep)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_tokens = token_count(t).cast("double")
+    n_punct = F.size(F.regexp_extract_all(
+        t, F.lit(r"[^\w\s]"), F.lit(0))).cast("double")
+    n_stop = _marker_hits(t, LANG_MARKERS["en"]).cast("double")
+    # fixed op order — the oracle replays it verbatim
+    z = (F.lit(-1.0)
+         + F.lit(8.0) * F.try_divide(n_stop, n_tokens)
+         + F.lit(-6.0) * F.try_divide(n_punct, n_chars)
+         + F.lit(1.5) * F.least(n_tokens, F.lit(400.0))
+         / F.lit(400.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    score = scaled_term(p)
+    return df.select(
+        F.col(id_col), score.alias("score_micro"),
+        (score >= F.lit(500000)).alias("keep"))

@@ -1365,3 +1365,32 @@ def test_stream_corpus_dedup_ingest(spark, tmp_path):
                spark.read.parquet(rej).collect()}
     assert rejects[10] == ("exact", 1)
     assert rejects[11][0] == "near" and rejects[11][1] == 1
+
+
+def test_quality_score_linear_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame([
+        (1, "the cat and the dog of the house is big"),  # stopwordy
+        (2, "$$$ !!! ??? ###"),                           # punct junk
+        (3, ""),                                          # empty
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           TX.quality_score_linear(docs).collect()}
+
+    def score(n_stop, n_tokens, n_punct, n_chars):
+        z = (-1.0 + 8.0 * (n_stop / n_tokens)
+             + -6.0 * (n_punct / n_chars)
+             + 1.5 * min(n_tokens, 400.0) / 400.0)
+        p = 1.0 / (1.0 + math.exp(-z))
+        return math.floor(p * 1e6 + 0.5)
+
+    # doc 1: 4 stopword types hit (the, and, of, is), 10 tokens,
+    # 0 punct, 40 chars
+    assert got[1]["score_micro"] == score(4, 10.0, 0, 40.0)
+    assert got[1]["keep"] is True
+    # doc 2: 0 stopwords, 4 tokens, 12 punct chars, 15 chars
+    assert got[2]["score_micro"] == score(0, 4.0, 12, 15.0)
+    assert got[2]["keep"] is False
+    # empty doc: NULL score, NULL keep (fails closed downstream)
+    assert got[3]["score_micro"] is None and got[3]["keep"] is None
