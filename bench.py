@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "tpch_q13ish",
     "tpch_q17ish",
     "tpch_q22ish",
+    "tpch_q15ish",
 ]
 
 
