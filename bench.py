@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_bigram_lm",
     "text_trigram_lm",
     "text_quality",
+    "text_quality_score",
     "text_fingerprint",
     "text_topk_per_source",
     "sim_bruteforce_topk",
