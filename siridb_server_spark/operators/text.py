@@ -872,3 +872,42 @@ def quality_score_linear(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col), score.alias("score_micro"),
         (score >= F.lit(500000)).alias("keep"))
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6) -> DataFrame:
+    """Compressibility quality signal (the Gopher/FineWeb-class
+    repetitiveness heuristic): highly compressible text is
+    boilerplate/templated/repeated, incompressible text is
+    random-ish noise — both ends get filtered in production corpus
+    pipelines. Ratio = compressed/raw bytes as exact integer ppm
+    (zlib at a fixed level is deterministic for a given input, and
+    the ppm math carries no float bits). Row-local Arrow map — a
+    pure scan-side transform at any corpus size. Empty docs yield
+    NULLs. Output: (doc_id, n_bytes, ratio_ppm)."""
+    import zlib
+
+    import pandas as pd
+
+    schema = ("doc_id long, n_bytes long, ratio_ppm long")
+
+    def run(batches):
+        for pdf in batches:
+            ids, nb, rp = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                ids.append(int(i))
+                if not raw:
+                    nb.append(None)
+                    rp.append(None)
+                    continue
+                comp = zlib.compress(raw, level)
+                n, c = len(raw), len(comp)
+                nb.append(n)
+                rp.append((2 * c * 1000000 + n) // (2 * n))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": nb, "ratio_ppm": rp})
+
+    return (df.select(F.col(id_col).alias(id_col), text_col)
+            .mapInPandas(run, schema=schema))

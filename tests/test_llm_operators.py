@@ -1394,3 +1394,25 @@ def test_quality_score_linear_hand_computed(spark):
     assert got[2]["keep"] is False
     # empty doc: NULL score, NULL keep (fails closed downstream)
     assert got[3]["score_micro"] is None and got[3]["keep"] is None
+
+
+def test_compression_ratio_orders_repetitive_below_diverse(spark):
+    import zlib
+
+    rows = [(1, "spam " * 400),                 # highly compressible
+            (2, "x"),                           # tiny
+            (3, None),                          # null -> NULLs
+            (4, "the quick brown fox jumps over the lazy dog and"
+                " then discusses seventeen unrelated subjects in"
+                " one breath with unusual vocabulary throughout")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           TX.compression_ratio(docs).collect()}
+    assert got[1]["ratio_ppm"] < got[4]["ratio_ppm"]
+    assert got[3]["ratio_ppm"] is None
+    # exact integer contract replayed in python
+    raw = ("spam " * 400).encode()
+    c = len(zlib.compress(raw, 6))
+    n = len(raw)
+    assert got[1]["n_bytes"] == n
+    assert got[1]["ratio_ppm"] == (2 * c * 1000000 + n) // (2 * n)
