@@ -1028,7 +1028,11 @@ class SiriEngine:
                     edges.append((t0, hi))
         if t1 is not None:
             hi_r = -(-(t1 - 1) // B) * B
-            if hi_r > t1 - 1 and (lo_r is None or hi_r != lo_r):
+            # skip the high edge only when the LOW edge was actually
+            # appended for this same bucket (it then already covers
+            # [t0, t1-1]); an aligned start emits no low edge, so a
+            # same-bucket cut end still needs its high edge
+            if hi_r > t1 - 1 and not (edges and lo_r == hi_r):
                 lo = hi_r - B + 1 if t0 is None \
                     else max(hi_r - B + 1, t0)
                 if lo <= t1 - 1:

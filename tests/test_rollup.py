@@ -278,6 +278,8 @@ RANGE_SUFFIXES = [
     "between 100 and 220",     # single-bucket range
     "after 700001",            # beyond most data
     "between 1 and 700001",    # everything, aligned low edge
+    "between 601 and 700",     # aligned start, cut end, same bucket
+    "between 601 and 1200",    # aligned start, end cuts off R=1200
 ]
 
 
@@ -346,6 +348,11 @@ def test_rollup_edge_ranges_unit():
     assert f(None, 3601, 600) == []              # aligned high
     assert f(100, 220, 600) == [(100, 219)]     # collapsed single
     assert f(1, 700201, 600) == []               # aligned low+high
+    # aligned START + cut end inside the SAME bucket: the low edge
+    # is never emitted, so the high edge must be (regression: the
+    # old hi_r != lo_r guard dropped every point in the range)
+    assert f(601, 700, 600) == [(601, 699)]
+    assert f(601, 1200, 600) == [(601, 1199)]
 
 
 def test_phrase_search_tokenizes_phrase_like_text(spark):
