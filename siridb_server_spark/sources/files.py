@@ -187,11 +187,16 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                 with tarfile.open(fileobj=io.BytesIO(bytes(content)),
                                   mode="r") as tar:
                     for member in tar.getmembers():
-                        if not member.name.endswith(".txt"):
+                        # real webdataset shards may carry string
+                        # keys / other extensions — skip anything
+                        # that isn't a numeric-keyed .txt member
+                        # rather than failing the whole task
+                        km = re.fullmatch(r"(\d+)\.txt", member.name)
+                        if km is None:
                             continue
                         body = tar.extractfile(member).read()
                         rows.append((
-                            int(member.name[:-4]),
+                            int(km.group(1)),
                             body.decode("utf-8"), shard))
             yield pd.DataFrame(rows,
                                columns=["doc_id", "text", "shard"])

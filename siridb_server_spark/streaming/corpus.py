@@ -38,9 +38,17 @@ def stream_corpus_dedup_ingest(
        to the index, so the NEXT batch — and any concurrent batch
        job — sees them.
 
-    Exactly-once posture: foreachBatch re-delivers a failed batch;
-    the parquet appends are idempotent per batch id via a
-    batch-stamped subdirectory check. Returns the StreamingQuery."""
+    Exactly-once posture: foreachBatch re-delivers a failed batch
+    with the SAME batch_id and (from the checkpointed source) the
+    same rows, so every write is made idempotent per batch id:
+    accepted docs and reject rows land in ``batch=<id>``-stamped
+    subdirectories written with OVERWRITE (a redelivered batch
+    replaces its own partial output instead of appending twice),
+    and the index append — which must be an append — runs only if
+    its own per-batch marker is absent. The final marker makes fully
+    applied batches no-ops. A crash inside one parquet job relies on
+    Spark's output-commit protocol for that job's atomicity.
+    Returns the StreamingQuery."""
     opts = dict(threshold=threshold, num_hashes=num_hashes,
                 bands=bands, shingle_n=shingle_n,
                 text_col=text_col, id_col=id_col)
@@ -64,20 +72,31 @@ def stream_corpus_dedup_ingest(
             hits = D.dedup_incremental(batch, index_path, **opts)
             hits = hits.localCheckpoint()     # probe once, use twice
             if rejected_path is not None:
-                hits.write.mode("append").parquet(rejected_path)
+                # batch-stamped overwrite: redelivery replaces, not
+                # duplicates (partition-style dir so readers of
+                # rejected_path see batch as a column)
+                hits.write.mode("overwrite").parquet(os.path.join(
+                    rejected_path, f"batch={batch_id}"))
             accepted = batch.join(
                 hits.select(F.col("doc_id").alias(id_col)),
                 id_col, "left_anti")
         else:
             accepted = batch
-        # 3. land + index the accepted docs
+        # 3. land + index the accepted docs (same overwrite-per-batch
+        # idempotency for docs; the index APPEND is guarded by its
+        # own marker since an LSH index has no natural batch key)
         accepted = accepted.localCheckpoint()
-        accepted.write.mode("append").parquet(
-            os.path.join(accepted_path, "docs"))
-        D.build_dedup_index(accepted, index_path,
-                            num_hashes=num_hashes, bands=bands,
-                            shingle_n=shingle_n, text_col=text_col,
-                            id_col=id_col)
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_path, "docs",
+                         f"batch={batch_id}"))
+        ix_marker = os.path.join(index_path,
+                                 f"_batch-{batch_id}.indexed")
+        if not os.path.exists(ix_marker):
+            D.build_dedup_index(accepted, index_path,
+                                num_hashes=num_hashes, bands=bands,
+                                shingle_n=shingle_n,
+                                text_col=text_col, id_col=id_col)
+            open(ix_marker, "w").close()
         open(marker, "w").close()
 
     writer = stream_df.writeStream.foreachBatch(sink) \

@@ -1,0 +1,84 @@
+"""Hashed-oracle contract policy guard (ARCHITECTURE.md "Hashed
+oracle contract policy").
+
+Driver rounds 4-7 proved that ANY engine-recomputed transcendental
+(ln/exp/pow — not required to be correctly rounded by IEEE-754, so
+libms legitimately differ) in a hashed oracle column eventually goes
+hash-red on a different DuckDB/libm build, even when quantized to a
+1e-6 grid at birth (the r7 LM entries went green→red AFTER the
+quantized-integer migration; mix_weights was red four rounds
+running). The policy:
+
+- hashed columns carry only exact integer, rational-over-integer, or
+  CORRECTLY-ROUNDED IEEE-op lineage (+, -, x, /, sqrt, floor,
+  least/greatest, comparisons) — those produce bit-identical doubles
+  on every conforming engine, so quantizations of them can never
+  diverge;
+- transcendental scores (LM cross-entropy, DSIR λ, tf-idf/BM25,
+  sigmoids) are verified in pytest against Python oracles with
+  tolerance, never hashed.
+
+This test walks every oracle_sql() string and fails on transcendental
+tokens, so the class cannot be reintroduced by a future entry.
+"""
+
+import re
+
+import __spark_entry__ as E
+
+#: transcendental SQL functions whose results differ across libms.
+#: sqrt/cbrt are NOT here: IEEE-754 requires sqrt correctly rounded
+#: (cbrt intentionally still banned — it is not required-correct).
+_BANNED = re.compile(
+    r"(?<![a-z_])(ln|log|log2|log10|log1p|exp|exp2|pow|power|cbrt|"
+    r"sin|cos|tan|asin|acos|atan|atan2|sinh|cosh|tanh|gamma|"
+    r"lgamma)\s*\(", re.IGNORECASE)
+
+
+def test_no_transcendentals_in_hashed_oracle_surface():
+    offenders = {}
+    for name, sql in E.oracle_sql().items():
+        hits = sorted({m.group(1).lower()
+                       for m in _BANNED.finditer(sql)})
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "transcendental functions in hashed oracle SQL (move the "
+        "score to a pytest tolerance check and hash exact "
+        f"integer/rational sufficient statistics instead): "
+        f"{offenders}")
+
+
+def test_no_transcendentals_feed_hashed_spark_columns():
+    """The Spark twin of the SQL guard: queries() plans must not
+    contain LOG/EXP/POWER expressions either (they would only be
+    there to produce a hashed column — operators keep their float
+    scores, but entries select them away, so a compiled plan that
+    still carries one means an entry forgot to)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TINY",
+                        "/root/testdata/sf0.001")
+    bad = {}
+    for name, fn in E.queries().items():
+        try:
+            # the OPTIMIZED plan: entries keep operators' float
+            # scores in the analyzed plan but select them away, and
+            # Catalyst column pruning must actually remove the
+            # transcendental expression from what executes
+            plan = fn(spark, sf)._jdf.queryExecution() \
+                .optimizedPlan().toString()
+        except Exception:
+            continue    # entries needing fixtures absent at tiny sf
+        hits = sorted({m.group(1).upper() for m in re.finditer(
+            r"\b(LOG|EXP|POWER)\s*\(", plan)})
+        if hits:
+            bad[name] = hits
+    assert not bad, (
+        "transcendental expressions reach a queries() result plan "
+        f"(select them away; verify in pytest instead): {bad}")

@@ -1416,3 +1416,97 @@ def test_compression_ratio_orders_repetitive_below_diverse(spark):
     n = len(raw)
     assert got[1]["n_bytes"] == n
     assert got[1]["ratio_ppm"] == (2 * c * 1000000 + n) // (2 * n)
+
+
+def test_unigram_logprob_stats_and_xent(spark):
+    """Hashed contract = the exact-integer sufficient statistics;
+    the ln-seeded cross-entropy is verified here with tolerance
+    against a Python oracle (ARCHITECTURE.md contract policy)."""
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "  ")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           TX.unigram_logprob(docs).collect()}
+    # corpus counts: a=2 b=2 c=1, n_tot=5
+    assert set(got) == {1, 2}                  # blank doc dropped
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["n_types"]) == (3, 2)
+    assert (r1["sum_nw"], r1["max_nw"]) == (2 + 2 + 2, 2)
+    r2 = got[2]
+    assert (r2["n_tokens"], r2["n_types"]) == (2, 2)
+    assert (r2["sum_nw"], r2["max_nw"]) == (2 + 1, 2)
+    x1 = -(2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    x2 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert abs(r1["xent"] - x1) < 1e-12
+    assert abs(r2["xent"] - x2) < 1e-12
+
+
+def test_quality_score_z_micro_is_ieee_exact_logit(spark):
+    """z_micro (the hashed column) is the quantized logit — a pure
+    +,x,/ lineage both engines compute bit-identically; keep follows
+    z_micro's sign."""
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is big")],
+        ["doc_id", "text"])
+    r = TX.quality_score_linear(docs).collect()[0]
+    z = (-1.0 + 8.0 * (4 / 10) + -6.0 * (0 / 40.0)
+         + 1.5 * min(10.0, 400.0) / 400.0)
+    assert r["z_micro"] == math.floor(z * 1e6 + 0.5)
+    assert r["keep"] is (r["z_micro"] >= 0)
+
+
+def test_tfidf_stats_pins_postings(spark):
+    docs = spark.createDataFrame(
+        [(1, "s1", "scan scan merge"), (2, "s2", "scan batch")],
+        ["doc_id", "source", "text"])
+    got = {(r["source"], r["term"]): r for r in
+           TX.tfidf_stats(docs, ["scan", "merge"],
+                          group_col="source").collect()}
+    assert got[("s1", "scan")]["tf"] == 2
+    assert got[("s1", "scan")]["df"] == 2     # scan in both sources
+    assert got[("s1", "merge")]["df"] == 1
+    assert all(r["n_sources"] == 2 for r in got.values())
+    # the full ln-seeded operator still ranks correctly (tolerance
+    # territory): merge is s1-specific, scan is corpus-wide
+    top = {r["source"]: r["term"] for r in
+           TX.tfidf_top_terms(docs, k=1, group_col="source")
+           .collect()}
+    assert top["s1"] == "merge"
+
+
+def test_bm25_stats_pins_postings(spark):
+    docs = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "join vector filter"),
+         (3, "nothing here")], ["doc_id", "text"])
+    got = {(r["doc_id"], r["term"]): r for r in
+           TX.bm25_stats(docs, ["hash", "join"]).collect()}
+    assert got[(1, "hash")]["tf"] == 2
+    assert got[(1, "hash")]["dl"] == 3
+    assert got[(1, "join")]["df"] == 2
+    assert (2, "join") in got and (3, "hash") not in got
+    # the full ln-seeded ranker: doc 1 (2x hash + join) outranks 2
+    top = TX.bm25_topk(docs, ["hash", "join"], k=2).collect()
+    assert top[0]["doc_id"] == 1
+
+
+def test_mix_weights_sqrt_temperature_exact(spark):
+    """alpha=0.5: pw_q = floor(sqrt(n)*1e6+0.5) with sqrt correctly
+    rounded by IEEE-754 — the engine-identical hashed lineage; the
+    shares replay as plain double ops."""
+    rows = [(i, "big", "t " * 9) for i in range(8)] + \
+        [(100, "small", "t t")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["source"]: r for r in
+           CU.mix_weights(docs, alpha=0.5, max_weight=5.0).collect()}
+    n_big, n_small = 72, 2
+    pw_b = math.floor(math.sqrt(n_big) * 1e6 + 0.5)
+    pw_s = math.floor(math.sqrt(n_small) * 1e6 + 0.5)
+    tok_tot, w_tot = n_big + n_small, pw_b + pw_s
+    assert out["big"]["token_share_ppm"] == math.floor(
+        n_big / tok_tot * 1e6 + 0.5)
+    assert out["small"]["target_share_ppm"] == math.floor(
+        pw_s / w_tot * 1e6 + 0.5)
+    w_small = (pw_s / w_tot) / (n_small / tok_tot)
+    assert out["small"]["weight_ppm"] == min(
+        5000000, math.floor(w_small * 1e6 + 0.5))
+    assert out["small"]["weight_ppm"] > 1000000 \
+        > out["big"]["weight_ppm"]

@@ -20,14 +20,19 @@ def test_bigram_logprob_two_docs(spark):
            TX.bigram_logprob(docs).collect()}
     p_ab = (3 + 0.5) / (3 + 0.5 * 2)
     p_ba = (1 + 0.5) / (1 + 0.5 * 2)
-    # quantized-term micro-nat contract (stable.py::int_mean)
-    q_ab = math.floor(-math.log(p_ab) * 1e6 + 0.5)
-    q_ba = math.floor(-math.log(p_ba) * 1e6 + 0.5)
-    x1 = (2 * (2 * q_ab + q_ba) + 3) // 6
+    # exact-integer sufficient statistics (the hashed contract)
     assert out[1]["n_bigrams"] == 3
-    assert out[1]["xent2_micro"] == x1
+    assert (out[1]["sum_nab"], out[1]["sum_na"]) == (3 + 3 + 1,
+                                                     3 + 3 + 1)
+    assert out[1]["v"] == 2
     assert out[2]["n_bigrams"] == 1
-    assert out[2]["xent2_micro"] == q_ab
+    assert (out[2]["sum_nab"], out[2]["sum_na"], out[2]["v"]) == \
+        (3, 3, 2)
+    # the ln-seeded score is pytest-verified with tolerance, per the
+    # contract policy (ARCHITECTURE.md) — never hashed
+    x1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert abs(out[1]["xent2"] - x1) < 1e-12
+    assert abs(out[2]["xent2"] - (-math.log(p_ab))) < 1e-12
 
 
 def test_bigram_logprob_short_docs_dropped(spark):
@@ -291,17 +296,17 @@ def test_dsir_weights_hand_computed(spark):
         - math.log((2 + 0.5) / (6 + 1.0))
     lam_junk = math.log((0 + 0.5) / (4 + 1.0)) \
         - math.log((4 + 0.5) / (6 + 1.0))
-    # dsir_micro: per-λ quantized micro-nats, signed half-away mean
-    def qt(t):
-        a = math.floor(abs(t) * 1e6 + 0.5)
-        return a if t >= 0 else -a
-
-    assert rows[4]["dsir_micro"] > 0 > rows[3]["dsir_micro"]
+    # the hashed contract is the exact-integer sufficient stats
+    # (counts each token instance joined against); the λ score is
+    # pytest-verified with tolerance per the contract policy
+    assert (rows[4]["sum_nt"], rows[4]["sum_nr"]) == (4 + 4, 2 + 2)
+    assert (rows[3]["sum_nt"], rows[3]["sum_nr"]) == (0, 4 + 4)
+    assert rows[4]["dsir"] > 0 > rows[3]["dsir"]
     # both docs are one word repeated twice → mean = the λ term
-    assert rows[4]["dsir_micro"] == qt(lam_good)
-    assert rows[3]["dsir_micro"] == qt(lam_junk)
+    assert abs(rows[4]["dsir"] - lam_good) < 1e-12
+    assert abs(rows[3]["dsir"] - lam_junk) < 1e-12
     assert rows[1]["n_tokens"] == 2          # target docs score too
-    assert rows[1]["dsir_micro"] == rows[4]["dsir_micro"]
+    assert rows[1]["dsir"] == rows[4]["dsir"]
 
 
 def test_approx_top_ngrams_matches_exact_when_collision_free(spark):
@@ -567,7 +572,11 @@ def test_trigram_logprob_hand_computed(spark):
     comp = 1.5 / (1 + 0.5 * v)
     p = 0.5 * comp + 0.3 * comp + 0.2 * comp
     assert r["n_trigrams"] == 1
-    assert r["xent3_micro"] == math.floor(-math.log(p) * 1e6 + 0.5)
+    # hashed contract = the integer sufficient statistics
+    assert (r["sum_nabc"], r["sum_nab"], r["sum_nbc"],
+            r["sum_nb"], r["sum_nc"], r["v"]) == (1, 1, 1, 1, 1, 1)
+    # the λ-interpolated ln score: pytest tolerance, never hashed
+    assert abs(r["xent3"] - (-math.log(p))) < 1e-12
 
 
 def test_standardize_embeddings_whitens_and_keeps_arity(spark):

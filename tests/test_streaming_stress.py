@@ -92,3 +92,69 @@ def test_dedup_first_seen_state_bounded_by_distinct_hashes(
     assert got["rows"] == N_KEYS
     ops = got["progress"]["stateOperators"]
     assert ops[0]["numRowsTotal"] == N_KEYS
+
+
+def test_stream_corpus_dedup_batch_cost_flat_as_history_grows(
+        spark, tmp_path):
+    """The index-not-rescan claim of streaming/corpus.py, asserted:
+    an identical micro-batch through stream_corpus_dedup_ingest
+    costs roughly the SAME against a 32x-larger persisted history,
+    because history is touched only through band-partitioned index
+    probes (never rescanned). A regression that rescans the corpus
+    (or probes without the band structure) lands ~32x."""
+    import json
+    import time
+
+    from siridb_server_spark.operators.dedup import build_dedup_index
+    from siridb_server_spark.streaming.corpus import \
+        stream_corpus_dedup_ingest
+
+    B = 400              # batch docs
+
+    def history(n, tag):
+        return spark.range(n).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit(f"{tag} history document number "),
+                     F.col("id"),
+                     F.lit(" with stable filler words for shingles"
+                           " across the whole corpus"))
+            .alias("text"))
+
+    def run_once(tag, hist_docs):
+        root = tmp_path / tag
+        root.mkdir()
+        idx, acc = str(root / "idx"), str(root / "acc")
+        build_dedup_index(history(hist_docs, tag), idx)
+        src = root / "src"
+        src.mkdir()
+        rows = [{"doc_id": i,
+                 "text": f"novel incoming item {i} carrying"
+                         " disjoint vocabulary so nothing matches"
+                         " persisted entries at any band"}
+                for i in range(B)]
+        p = src / "b.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .json(str(src)))
+        q = stream_corpus_dedup_ingest(
+            stream, idx, acc, threshold=0.5,
+            checkpoint=str(root / "ckpt"))
+        try:
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            dt = time.perf_counter() - t0
+        finally:
+            q.stop()
+        n_acc = spark.read.parquet(acc + "/docs").count()
+        assert n_acc == B          # all fresh docs accepted
+        return dt
+
+    t_small = run_once("h1", B)            # history = 1 batch
+    t_big = run_once("h32", 32 * B)        # history = 32 batches
+    # flat-cost bound: generous 4x for ambient noise + the slightly
+    # larger (still index-sized) probe tables; a rescan lands ~32x
+    assert t_big <= 4.0 * t_small + 2.0, (
+        f"per-batch cost grew with history: {t_small:.2f}s -> "
+        f"{t_big:.2f}s at 32x history — the probe is rescanning "
+        "the corpus instead of using the index")
