@@ -1121,6 +1121,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_h264_frames"] = multimodal_h264_frames
 
+    def multimodal_h264_pframes(spark, sf_dir):
+        """H.264 P-frame (inter) decode through the Spark video
+        surface (operators/h264.py round 8: MV prediction,
+        quarter-pel MC, P_Skip, every P partition shape, inter
+        deblocking bS): an IDR + two P frames of a moving pattern,
+        delivered BOTH as an MP4 avc1 track (stateful sample-order
+        decode, one sample per access unit) and as the raw Annex B
+        stream — both must produce the same three frames. The whole
+        pipeline is deterministic integer math, so the oracle pins
+        the per-frame channel means as exact constants (golden;
+        bit-exactness against the encoder's embedded reconstruction
+        is asserted independently in tests/test_h264.py)."""
+        import numpy as np
+        base = np.zeros((32, 32, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:32, 0:32]
+        for c in range(3):
+            base[:, :, c] = ((xx * (3 + c) + yy * (5 - c)) % 256)
+        frames = [np.roll(base, (2 * i, 3 * i), axis=(0, 1))
+                  for i in range(3)]
+        stream, _recons = H264.encode_h264_sequence(
+            frames, qp=24, disable_deblock_idc=0)
+        avcc = H264.build_avcc(stream)
+        samples = [len(nal).to_bytes(4, "big") + nal
+                   for nal in H264.split_annexb(stream)
+                   if H264._nal_header(nal)
+                   and H264._nal_header(nal)[1] in (1, 5)]
+        mp4 = MM.build_minimal_mp4(32, 32, [],
+                                   sample_payloads=samples,
+                                   avcc=avcc)
+        rows = [(1, "video", mp4, "video/mp4"),
+                (2, "video", stream, "video/h264")]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.decode_video_frames(media)
+
+    q["multimodal_h264_pframes"] = multimodal_h264_pframes
+
     def multimodal_resize_any(spark, sf_dir):
         """REAL format-agnostic resize to 2x2 across ALL the really-
         decoded formats in one frame: a PNG (sampled source pixels
@@ -3632,6 +3668,19 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 4, 0, NULL, NULL, NULL, NULL, NULL"
         " UNION ALL SELECT 4, 1, NULL, NULL, NULL, NULL, NULL"
     )
+    # P-frame golden (deterministic integer decode; the mp4 track
+    # and the raw Annex B stream must agree frame-for-frame)
+    _PF = (("124.087891", "124.041016", "124.091797"),
+           ("125.006836", "124.683594", "124.265625"),
+           ("123.983398", "124.255859", "124.22168"))
+    o["multimodal_h264_pframes"] = " UNION ALL ".join(
+        f"SELECT CAST({mid} AS BIGINT) AS media_id,"
+        f" CAST({i} AS BIGINT) AS frame_idx,"
+        " CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,"
+        f" CAST({r} AS DOUBLE) AS mean_r,"
+        f" CAST({g} AS DOUBLE) AS mean_g,"
+        f" CAST({b} AS DOUBLE) AS mean_b"
+        for mid in (1, 2) for i, (r, g, b) in enumerate(_PF))
     # BPE training/encoding is exactly deterministic (count-desc,
     # lexicographic tie-breaks; greedy left-to-right merges), so the
     # fixture-corpus results are constants — independently re-derived

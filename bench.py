@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "multimodal_wav_features",
     "multimodal_mp4_decode",
     "multimodal_h264_frames",
+    "multimodal_h264_pframes",
     # event analytics
     "events_flow",
     "events_cohorts",

@@ -1,7 +1,7 @@
-"""From-scratch, library-free H.264/AVC baseline I-frame codec.
+"""From-scratch, library-free H.264/AVC baseline I+P codec.
 
 Implements the decode side of ITU-T H.264 (ISO/IEC 14496-10) for the
-all-intra baseline subset — the last pixel-level codec the multimodal
+CAVLC baseline subset — the last pixel-level codec the multimodal
 surface stubbed:
 
 - Annex B byte-stream parsing (start codes, emulation prevention)
@@ -20,25 +20,38 @@ surface stubbed:
   reconstruction is bit-exact by construction — H.264's decode loop
   is pure integer math.
 
+- P slices (spec 8.4, round 8): mb_skip_run/P_Skip, every P
+  partition shape (16x16, 16x8, 8x16, P_8x8 with 8x8/8x4/4x8/4x4
+  sub-partitions), median + directional motion-vector prediction
+  with the 8.4.1.3 availability/substitution rules, quarter-pel
+  luma interpolation (6-tap halves, unrounded-intermediate centre
+  j, half-up quarter averages — fuzz-checked against an independent
+  scalar transcription), eighth-pel bilinear chroma, the Inter
+  column of Table 9-4 for CBP, and intra MBs inside P slices.
+  Single-reference DPB (the baseline fixture shape): the previous
+  decoded picture, post-deblock, is list-0 reference 0.
+
 The in-loop deblocking filter (spec section 8.7) IS implemented:
-boundary-strength derivation for intra pictures (4 on macroblock
-edges, 3 on internal transform edges), the Table 8-16/8-17
-alpha/beta/tC0 thresholds with slice alpha/beta offsets, normal and
-strong filtering for luma and chroma, and qPp = 0 for I_PCM
-macroblocks — so streams signaling
+full boundary-strength derivation (intra 4/3 on MB/internal edges;
+inter bS 2 on coded coefficients, 1 on ≥1-quarter-sample MV deltas
+or reference changes, 0 unfiltered — per 4-sample segment), the
+Table 8-16/8-17 alpha/beta/tC0 thresholds with slice alpha/beta
+offsets, normal and strong filtering for luma and chroma, and
+qPp = 0 for I_PCM macroblocks — so streams signaling
 ``disable_deblocking_filter_idc`` 0 or 2 decode conformantly
 (bit-exact against the encoder-embedded filtered reconstruction,
 and the vectorized kernel is fuzz-checked against an independent
 scalar transcription of the spec formulas in test_h264.py).
 
-Unsupported (returns ``None``, never crashes): CABAC streams, P/B
-slices, interlaced coding (frame_mbs_only_flag == 0), high-profile
-tools (8x8 transform, scaling lists, monochrome), multi-slice
-frames.
+Unsupported (returns ``None``, never crashes): CABAC streams, B
+slices, interlaced coding (frame_mbs_only_flag == 0), multiple
+reference frames / list modification, high-profile tools (8x8
+transform, scaling lists, monochrome), multi-slice frames.
 
-The encode side (``encode_h264_annexb``) exists to build
+The encode side (``encode_h264_annexb`` for one intra frame,
+``encode_h264_sequence`` for IDR+P sequences) exists to build
 deterministic test fixtures: I_PCM mode passes pixels through
-losslessly, and the intra modes run a full forward transform +
+losslessly, and the intra/inter modes run a full forward transform +
 quantize + CAVLC write with an embedded decoder-identical
 reconstruction loop, so tests can assert the decoder reproduces the
 encoder's reconstruction bit-for-bit (everything is integer — there
@@ -1010,6 +1023,85 @@ _CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43,
 _CBP_INTRA_ENC = {v: i for i, v in enumerate(_CBP_INTRA)}
 
 
+# ---------------------------------------------------------------------
+# Inter prediction: quarter-pel luma interpolation (spec 8.4.2.2.1)
+# ---------------------------------------------------------------------
+
+#: reference-plane edge padding in luma samples — realizes the spec's
+#: out-of-picture sample clamping; bounds the legal MV excursion
+_MC_PAD = 32
+
+
+def _h6(a):
+    """6-tap (1,-5,20,20,-5,1) along axis 1; width w+5 -> w,
+    UNROUNDED (the spec's b1/h1 intermediates)."""
+    return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+            + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+
+def _v6(a):
+    """6-tap along axis 0; height h+5 -> h, unrounded."""
+    return (a[0:-5, :] - 5 * a[1:-4, :] + 20 * a[2:-3, :]
+            + 20 * a[3:-2, :] - 5 * a[4:-1, :] + a[5:, :])
+
+
+def _interp_luma(ref, x0, y0, w, h, mvx, mvy):
+    """One w x h quarter-pel luma prediction block from the padded
+    reference plane (x0, y0 already include the pad offset). The
+    sixteen (xFrac, yFrac) cases follow 8.4.2.2.2's sample grid
+    (G a b c / d e f g / h i j k m / n p q r / M ... s): half
+    samples from the 6-tap filter, the centre j from the 6-tap over
+    UNROUNDED horizontal intermediates, quarter samples as half-up
+    averages of their two nearest integer/half neighbours."""
+    import numpy as np
+
+    px, py = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    if fx == 0 and fy == 0:
+        return ref[py:py + h, px:px + w].copy()
+
+    def clip(a):
+        return np.clip(a, 0, 255)
+
+    def b_at(dy):       # horizontal half row-block shifted dy rows
+        a = ref[py + dy:py + dy + h, px - 2:px + w + 3]
+        return clip((_h6(a) + 16) >> 5)
+
+    def h_at(dx):       # vertical half col-block shifted dx cols
+        a = ref[py - 2:py + h + 3, px + dx:px + dx + w]
+        return clip((_v6(a) + 16) >> 5)
+
+    G = ref[py:py + h, px:px + w]
+    if fy == 0:         # a, b, c — horizontal only
+        b = b_at(0)
+        if fx == 2:
+            return b
+        H = ref[py:py + h, px + 1:px + w + 1]
+        return (b + (G if fx == 1 else H) + 1) >> 1
+    if fx == 0:         # d, h, n — vertical only
+        hh = h_at(0)
+        if fy == 2:
+            return hh
+        M = ref[py + 1:py + h + 1, px:px + w]
+        return (hh + (G if fy == 1 else M) + 1) >> 1
+    # centre j and the mixed quarters need j and/or two halves
+    hv = _h6(ref[py - 2:py + h + 3, px - 2:px + w + 3])   # (h+5, w)
+    j = clip((_v6(hv) + 512) >> 10)
+    if fx == 2 and fy == 2:
+        return j
+    if fx == 2:         # f (fy 1) / q (fy 3): j with b / s
+        other = b_at(0) if fy == 1 else b_at(1)
+        return (j + other + 1) >> 1
+    if fy == 2:         # i (fx 1) / k (fx 3): j with h / m
+        other = h_at(0) if fx == 1 else h_at(1)
+        return (j + other + 1) >> 1
+    # diagonal quarters e/g/p/r: nearest horizontal half (b or s)
+    # averaged with nearest vertical half (h or m)
+    bh = b_at(0) if fy == 1 else b_at(1)
+    vh = h_at(0) if fx == 1 else h_at(1)
+    return (bh + vh + 1) >> 1
+
+
 class _FrameState:
     """Reconstruction buffers + neighbor bookkeeping for one frame."""
 
@@ -1031,6 +1123,119 @@ class _FrameState:
         # deblocking filter (spec 8.7.2: qPp of an I_PCM MB is 0)
         self.qp_map = np.zeros((mbh, mbw), dtype=np.int32)
         self.pcm = np.zeros((mbh, mbw), dtype=bool)
+        # inter-prediction state (P slices): per-4x4 motion vector
+        # (quarter-pel) and reference index (-1 = intra/unset), a
+        # decoded-before grid for neighbor availability (8.4.1.3),
+        # per-MB intra flag for deblocking bS (8.7.2.1), and the
+        # previous decoded picture's padded planes as reference
+        self.mv = np.zeros((mbh * 4, mbw * 4, 2), dtype=np.int32)
+        self.ref = np.full((mbh * 4, mbw * 4), -1, dtype=np.int32)
+        self.seen = np.zeros((mbh * 4, mbw * 4), dtype=bool)
+        self.intra = np.ones((mbh, mbw), dtype=bool)
+        self.refpic = None      # (padY, padCb, padCr) or None
+
+    # -- inter prediction (8.4) -----------------------------------------
+
+    def set_ref_picture(self, Y, Cb, Cr):
+        """Install the previous DECODED (post-deblock) picture as
+        the single L0 reference, edge-padded so MVs may point up to
+        _MC_PAD luma samples outside the picture (spec 8.4.2.2.1
+        sample clamping, realized by replication)."""
+        np = self.np
+        self.refpic = (
+            np.pad(Y, _MC_PAD, mode="edge").astype(np.int32),
+            np.pad(Cb, _MC_PAD // 2, mode="edge").astype(np.int32),
+            np.pad(Cr, _MC_PAD // 2, mode="edge").astype(np.int32))
+
+    def store_mv(self, x0, y0, w, h, mv, ref=0):
+        """Record one partition's MV/ref over its 4x4 grid cells."""
+        gx, gy = x0 // 4, y0 // 4
+        self.mv[gy:gy + h // 4, gx:gx + w // 4] = mv
+        self.ref[gy:gy + h // 4, gx:gx + w // 4] = ref
+        self.seen[gy:gy + h // 4, gx:gx + w // 4] = True
+
+    def mark_intra_mb(self, mbx, mby):
+        """Intra MB in a P slice: ref -1, mv 0, but the grid cells
+        count as decoded for neighbor availability."""
+        self.store_mv(mbx * 16, mby * 16, 16, 16, (0, 0), ref=-1)
+
+    def _nbr(self, gx, gy):
+        """(available, ref, mv) of the 4x4 grid cell — unavailable
+        outside the picture or not yet decoded (8.4.1.3.2)."""
+        if gx < 0 or gy < 0 or gx >= self.mbw * 4 \
+                or gy >= self.mbh * 4 or not self.seen[gy, gx]:
+            return False, -1, (0, 0)
+        return (True, int(self.ref[gy, gx]),
+                (int(self.mv[gy, gx, 0]), int(self.mv[gy, gx, 1])))
+
+    def mv_pred(self, x0, y0, w, h, part=None, ref=0):
+        """Luma MV predictor (8.4.1.3) for the partition at luma
+        offset (x0, y0) size (w, h). ``part`` selects the 16x8/8x16
+        directional rules; None = median/16x16/sub-partition path."""
+        gx0, gy0 = x0 // 4, y0 // 4
+        gw = w // 4
+        avail_a, ref_a, mv_a = self._nbr(gx0 - 1, gy0)
+        avail_b, ref_b, mv_b = self._nbr(gx0, gy0 - 1)
+        avail_c, ref_c, mv_c = self._nbr(gx0 + gw, gy0 - 1)
+        if not avail_c:     # C -> D substitution (6.4.11.7)
+            avail_c, ref_c, mv_c = self._nbr(gx0 - 1, gy0 - 1)
+        # directional rules take priority (8.4.1.3 items 2-5)
+        if part == "16x8_top" and ref_b == ref:
+            return mv_b
+        if part == "16x8_bot" and ref_a == ref:
+            return mv_a
+        if part == "8x16_left" and ref_a == ref:
+            return mv_a
+        if part == "8x16_right" and ref_c == ref:
+            return mv_c
+        # 8.4.1.3.1: B, C (and the D it substituted) all unavailable
+        # and A available -> A wins regardless of reference
+        if avail_a and not avail_b and not avail_c:
+            return mv_a
+        matches = [mv for a, rf, mv in
+                   ((avail_a, ref_a, mv_a), (avail_b, ref_b, mv_b),
+                    (avail_c, ref_c, mv_c)) if a and rf == ref]
+        if len(matches) == 1:
+            return matches[0]
+        med = tuple(
+            sorted((mv_a[i], mv_b[i], mv_c[i]))[1] for i in (0, 1))
+        return med
+
+    def skip_mv(self, mbx, mby):
+        """P_Skip MV derivation (8.4.1.1): zero when A/B are
+        unavailable or either is a zero-MV ref-0 block, else the
+        16x16 predictor."""
+        gx0, gy0 = mbx * 4, mby * 4
+        avail_a, ref_a, mv_a = self._nbr(gx0 - 1, gy0)
+        avail_b, ref_b, mv_b = self._nbr(gx0, gy0 - 1)
+        if not avail_a or not avail_b:
+            return (0, 0)
+        if ref_a == 0 and mv_a == (0, 0):
+            return (0, 0)
+        if ref_b == 0 and mv_b == (0, 0):
+            return (0, 0)
+        return self.mv_pred(mbx * 16, mby * 16, 16, 16)
+
+    def mc_luma(self, x0, y0, w, h, mv):
+        """Quarter-pel motion-compensated luma block (8.4.2.2.1),
+        int32 (h, w)."""
+        return _interp_luma(self.refpic[0], x0 + _MC_PAD,
+                            y0 + _MC_PAD, w, h, mv[0], mv[1])
+
+    def mc_chroma(self, plane, x0, y0, w, h, mv):
+        """Eighth-pel bilinear chroma MC (8.4.2.2.2). (x0, y0) are
+        CHROMA plane offsets; mv stays in quarter-luma units."""
+        ref = self.refpic[1 + plane]
+        pad = _MC_PAD // 2
+        px = x0 + pad + (mv[0] >> 3)
+        py = y0 + pad + (mv[1] >> 3)
+        dx, dy = mv[0] & 7, mv[1] & 7
+        A = ref[py:py + h, px:px + w]
+        B = ref[py:py + h, px + 1:px + w + 1]
+        C = ref[py + 1:py + h + 1, px:px + w]
+        D = ref[py + 1:py + h + 1, px + 1:px + w + 1]
+        return ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B
+                + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
 
     # -- CAVLC context ------------------------------------------------
 
@@ -1236,14 +1441,22 @@ class _FrameState:
 def _parse_slice_header(r: _BitReader, sps, pps, nal_type, nal_ref_idc):
     first_mb = r.ue()
     slice_type = r.ue()
-    if slice_type % 5 != 2:  # I slices only
+    if slice_type % 5 not in (0, 2):  # P and I slices
         return None
+    is_p = slice_type % 5 == 0
     pps_id = r.ue()
     r.u(sps["log2_max_frame_num"])  # frame_num
     if nal_type == 5:
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])
+    if is_p:
+        if r.u(1):  # num_ref_idx_active_override_flag
+            if r.ue() != 0:   # num_ref_idx_l0_active_minus1
+                return None   # single-reference DPB only
+        # ref_pic_list_modification (7.3.3.1)
+        if r.u(1):            # ref_pic_list_modification_flag_l0
+            return None
     if nal_ref_idc:
         if nal_type == 5:
             r.u(1)  # no_output_of_prior_pics
@@ -1261,13 +1474,17 @@ def _parse_slice_header(r: _BitReader, sps, pps, nal_type, nal_ref_idc):
             beta_off = r.se() * 2     # FilterOffsetB
     return {"first_mb": first_mb, "slice_qp": slice_qp,
             "pps_id": pps_id, "disable_deblock": disable_deblock,
-            "alpha_off": alpha_off, "beta_off": beta_off}
+            "alpha_off": alpha_off, "beta_off": beta_off,
+            "is_p": is_p}
 
 
-def _decode_mb(r, st, mbx, mby, qpy, chroma_qp_offset):
-    """Decode one I-slice macroblock. Returns the updated running
-    QPy. Raises ValueError/EOFError on malformed input."""
-    mb_type = r.ue()
+def _decode_mb(r, st, mbx, mby, qpy, chroma_qp_offset, mb_type=None):
+    """Decode one intra macroblock (I slice, or an intra MB inside a
+    P slice when ``mb_type`` is passed pre-adjusted). Returns the
+    updated running QPy. Raises ValueError/EOFError on malformed
+    input."""
+    if mb_type is None:
+        mb_type = r.ue()
     if mb_type > 25:
         raise ValueError("bad I mb_type")
 
@@ -1375,7 +1592,10 @@ def _decode_mb(r, st, mbx, mby, qpy, chroma_qp_offset):
 
 
 def _decode_chroma(r, st, mbx, mby, qpy, chroma_qp_offset,
-                   chroma_mode, cbp_chroma):
+                   chroma_mode, cbp_chroma, preds=None):
+    """Chroma residual decode + reconstruction. ``preds``: two 8x8
+    list-of-lists (inter MC predictions) — when None the intra
+    ``chroma_mode`` prediction is used."""
     qpc = _QPC[_clip_qp(qpy + chroma_qp_offset)]
     dc_vals = [[0] * 4, [0] * 4]
     if cbp_chroma:
@@ -1396,7 +1616,8 @@ def _decode_chroma(r, st, mbx, mby, qpy, chroma_qp_offset,
             for blk in range(4):
                 st.set_chroma_nc(mbx, mby, blk, plane, 0)
     for plane in range(2):
-        pred = st.pred_chroma(mbx, mby, chroma_mode, plane)
+        pred = preds[plane] if preds is not None \
+            else st.pred_chroma(mbx, mby, chroma_mode, plane)
         for blk in range(4):
             raster = [0] * 16
             if ac[plane][blk] is not None:
@@ -1409,6 +1630,148 @@ def _decode_chroma(r, st, mbx, mby, qpy, chroma_qp_offset,
             sub = [pred[yo + yy][xo:xo + 4] for yy in range(4)]
             st.add_block(plane + 1, mbx * 8 + xo, mby * 8 + yo,
                          sub, residual)
+
+
+# ---------------------------------------------------------------------
+# P-slice macroblocks (spec 7.3.5 / 8.4)
+# ---------------------------------------------------------------------
+
+#: Table 9-4, Inter column: codeNum -> coded_block_pattern
+_CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+              14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43,
+              45, 46, 17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30,
+              22, 25, 38, 41]
+_CBP_INTER_ENC = {v: i for i, v in enumerate(_CBP_INTER)}
+
+#: P mb_type (Table 7-13) -> luma partitions
+#: (x_off, y_off, w, h, directional-predictor hint)
+_P_PARTS = {
+    0: [(0, 0, 16, 16, None)],
+    1: [(0, 0, 16, 8, "16x8_top"), (0, 8, 16, 8, "16x8_bot")],
+    2: [(0, 0, 8, 16, "8x16_left"), (8, 0, 8, 16, "8x16_right")],
+}
+#: P sub_mb_type (Table 7-17) -> sub-partitions within one 8x8
+_SUB_PARTS = {
+    0: [(0, 0, 8, 8)],
+    1: [(0, 0, 8, 4), (0, 4, 8, 4)],
+    2: [(0, 0, 4, 8), (4, 0, 4, 8)],
+    3: [(0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)],
+}
+
+
+def _inter_pred_mb(st, mbx, mby, parts):
+    """Motion-compensated 16x16 luma + two 8x8 chroma predictions
+    from a list of (x_off, y_off, w, h, mv) partitions."""
+    np = st.np
+    predY = np.zeros((16, 16), dtype=np.int32)
+    predC = [np.zeros((8, 8), dtype=np.int32) for _ in range(2)]
+    for xo, yo, w, h, mv in parts:
+        predY[yo:yo + h, xo:xo + w] = st.mc_luma(
+            mbx * 16 + xo, mby * 16 + yo, w, h, mv)
+        for pl in range(2):
+            predC[pl][yo // 2:(yo + h) // 2,
+                      xo // 2:(xo + w) // 2] = st.mc_chroma(
+                pl, mbx * 8 + xo // 2, mby * 8 + yo // 2,
+                w // 2, h // 2, mv)
+    return predY, predC
+
+
+def _recon_p_skip(st, mbx, mby, qpy):
+    """P_Skip: MC prediction with the skip MV, no residual."""
+    mv = st.skip_mv(mbx, mby)
+    st.intra[mby, mbx] = False
+    st.qp_map[mby, mbx] = qpy
+    st.store_mv(mbx * 16, mby * 16, 16, 16, mv)
+    predY, predC = _inter_pred_mb(st, mbx, mby,
+                                  [(0, 0, 16, 16, mv)])
+    st.Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = predY
+    st.Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predC[0]
+    st.Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predC[1]
+    for blk in range(16):
+        st.set_luma_nc(mbx, mby, blk, 0)
+    for blk in range(4):
+        st.set_chroma_nc(mbx, mby, blk, 0, 0)
+        st.set_chroma_nc(mbx, mby, blk, 1, 0)
+    return mv
+
+
+def _read_p_mvs(r, st, mbx, mby, mb_type):
+    """Parse mb_pred/sub_mb_pred MVDs and reconstruct this MB's MVs
+    in partition order (each prediction sees earlier partitions'
+    stored vectors, 8.4.1.3). Returns [(xo, yo, w, h, mv), ...]."""
+    x0, y0 = mbx * 16, mby * 16
+    parts = []
+    if mb_type in (0, 1, 2):
+        specs = _P_PARTS[mb_type]
+        # 7.3.5.1: ref_idx list first (absent with one reference),
+        # then every partition's mvd pair in order
+        mvds = [(r.se(), r.se()) for _ in specs]
+        for (xo, yo, w, h, hint), (dx, dy) in zip(specs, mvds):
+            px, py = st.mv_pred(x0 + xo, y0 + yo, w, h, part=hint)
+            mv = (px + dx, py + dy)
+            st.store_mv(x0 + xo, y0 + yo, w, h, mv)
+            parts.append((xo, yo, w, h, mv))
+        return parts
+    # P_8x8 / P_8x8ref0 (7.3.5.2): four sub_mb_types, then ref_idx
+    # (absent), then mvds grouped by 8x8 block in sub-part order
+    subs = []
+    for _ in range(4):
+        smt = r.ue()
+        if smt > 3:
+            raise ValueError("bad P sub_mb_type")
+        subs.append(smt)
+    for blk in range(4):
+        bx, by = (blk % 2) * 8, (blk // 2) * 8
+        for sxo, syo, w, h in _SUB_PARTS[subs[blk]]:
+            dx, dy = r.se(), r.se()
+            px, py = st.mv_pred(x0 + bx + sxo, y0 + by + syo, w, h)
+            mv = (px + dx, py + dy)
+            st.store_mv(x0 + bx + sxo, y0 + by + syo, w, h, mv)
+            parts.append((bx + sxo, by + syo, w, h, mv))
+    return parts
+
+
+def _decode_mb_p(r, st, mbx, mby, qpy, chroma_qp_offset):
+    """Decode one non-skipped P-slice macroblock. Returns the
+    updated running QPy."""
+    mb_type = r.ue()
+    if mb_type >= 5:
+        # intra MB in a P slice: mb_type - 5 indexes Table 7-11
+        st.mark_intra_mb(mbx, mby)
+        return _decode_mb(r, st, mbx, mby, qpy, chroma_qp_offset,
+                          mb_type - 5)
+    if mb_type > 4:
+        raise ValueError("bad P mb_type")
+    st.intra[mby, mbx] = False
+    parts = _read_p_mvs(r, st, mbx, mby, mb_type)
+    predY, predC = _inter_pred_mb(st, mbx, mby, parts)
+    cbp_code = r.ue()
+    if cbp_code > 47:
+        raise ValueError("bad cbp")
+    cbp = _CBP_INTER[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qpy = (qpy + r.se() + 52) % 52
+    st.qp_map[mby, mbx] = qpy
+    x0, y0 = mbx * 16, mby * 16
+    for blk in range(16):
+        bx, by = _ZSCAN_POS[blk]
+        if cbp_luma & (1 << (blk >> 2)):
+            nc = st.luma_nc(mbx, mby, blk)
+            coeffs, tc = _residual_read(r, nc, 16)
+            st.set_luma_nc(mbx, mby, blk, tc)
+            raster = [0] * 16
+            for k in range(16):
+                raster[_ZIGZAG4[k]] = coeffs[k]
+            residual = _itransform4x4(_dequant4x4(raster, qpy))
+        else:
+            st.set_luma_nc(mbx, mby, blk, 0)
+            residual = [0] * 16
+        sub = predY[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+        st.add_block(0, x0 + bx * 4, y0 + by * 4, sub, residual)
+    _decode_chroma(r, st, mbx, mby, qpy, chroma_qp_offset,
+                   None, cbp_chroma, preds=predC)
+    return qpy
 
 
 # ---------------------------------------------------------------------
@@ -1531,16 +1894,44 @@ def _deblock_plane_edge(plane, x_edge, y0, n, horiz, bs, qpav,
             plane[y0:y0 + n, x_edge + i] = newQ[i]
 
 
+def _edge_bs(st, horiz, mx, my, k, seg):
+    """Boundary strength (spec 8.7.2.1) of one 4-sample segment of
+    edge k of MB (mx, my): 4/3 when either side is intra (MB edge /
+    internal), 2 when either 4x4 block carries non-zero coefficient
+    levels, 1 on a >=1-quarter-sample MV difference or different
+    references, else 0 (segment unfiltered)."""
+    if horiz:
+        qgx, qgy = mx * 4 + seg, my * 4 + k
+    else:
+        qgx, qgy = mx * 4 + k, my * 4 + seg
+    pgx, pgy = (qgx, qgy - 1) if horiz else (qgx - 1, qgy)
+    p_intra = st.intra[pgy // 4, pgx // 4]
+    q_intra = st.intra[qgy // 4, qgx // 4]
+    if p_intra or q_intra:
+        return 4 if k == 0 else 3
+    if st.nc_y[pgy, pgx] > 0 or st.nc_y[qgy, qgx] > 0:
+        return 2
+    if int(st.ref[pgy, pgx]) != int(st.ref[qgy, qgx]):
+        return 1
+    if abs(int(st.mv[pgy, pgx, 0]) - int(st.mv[qgy, qgx, 0])) >= 4 \
+            or abs(int(st.mv[pgy, pgx, 1])
+                   - int(st.mv[qgy, qgx, 1])) >= 4:
+        return 1
+    return 0
+
+
 def _deblock_frame(st, sh, chroma_qp_offset):
-    """In-loop deblocking (spec 8.7) over an all-intra frame: per MB
-    in raster order, the 4 vertical luma edges left→right, then the
-    4 horizontal edges top→bottom, then the 2+2 chroma edges — each
-    edge reading the samples as modified by every previous edge, the
-    normative sequential order. bS derivation collapses for intra
-    pictures: 4 on macroblock edges, 3 on internal transform edges
-    (8.7.2.1, both sides always intra here). qPp of an I_PCM MB is 0
-    (8.7.2), so two adjacent PCM MBs average to indexA ≤ offsets —
-    alpha' 0 — and lossless samples pass through untouched."""
+    """In-loop deblocking (spec 8.7): per MB in raster order, the 4
+    vertical luma edges left→right, then the 4 horizontal edges
+    top→bottom, then the 2+2 chroma edges — each edge reading the
+    samples as modified by every previous edge, the normative
+    sequential order. bS comes from _edge_bs per 4-sample segment
+    (for all-intra frames it collapses to 4 on MB edges and 3 on
+    internal transform edges; P frames add the coefficient/MV
+    cases, with chroma segments inheriting the co-located luma
+    bS). qPp of an I_PCM MB is 0 (8.7.2), so two adjacent PCM MBs
+    average to indexA ≤ offsets — alpha' 0 — and lossless samples
+    pass through untouched."""
     off_a, off_b = sh["alpha_off"], sh["beta_off"]
 
     def qp_of(mx, my):
@@ -1548,6 +1939,22 @@ def _deblock_frame(st, sh, chroma_qp_offset):
 
     def qpc_of(mx, my):
         return _QPC[_clip_qp(qp_of(mx, my) + chroma_qp_offset)]
+
+    def run_edge(plane, edge, base, horiz, seg_bs, qpav, chroma):
+        """Filter one straight edge, grouping contiguous equal-bS
+        segments into single vectorized calls."""
+        seg_n = 2 if chroma else 4
+        s = 0
+        while s < 4:
+            e = s
+            while e < 4 and seg_bs[e] == seg_bs[s]:
+                e += 1
+            if seg_bs[s] > 0:
+                _deblock_plane_edge(
+                    plane, edge, base + s * seg_n,
+                    (e - s) * seg_n, horiz, seg_bs[s], qpav,
+                    off_a, off_b, chroma)
+            s = e
 
     for my in range(st.mbh):
         for mx in range(st.mbw):
@@ -1558,14 +1965,16 @@ def _deblock_frame(st, sh, chroma_qp_offset):
                 for k in range(4):
                     if k == 0 and (nx < 0 or ny < 0):
                         continue   # picture boundary: never filtered
-                    bs = 4 if k == 0 else 3
+                    seg_bs = [_edge_bs(st, horiz, mx, my, k, s)
+                              for s in range(4)]
+                    if not any(seg_bs):
+                        continue
                     qp_p = qp_of(nx, ny) if k == 0 else qq
                     qpav = (qp_p + qq + 1) >> 1
                     edge = (my * 16 if horiz else mx * 16) + 4 * k
                     base = mx * 16 if horiz else my * 16
-                    _deblock_plane_edge(st.Y, edge, base, 16, horiz,
-                                        bs, qpav, off_a, off_b,
-                                        False)
+                    run_edge(st.Y, edge, base, horiz, seg_bs, qpav,
+                             False)
                     if k in (0, 2):   # chroma edges at luma 0 and 8
                         qpc_p = qpc_of(nx, ny) if k == 0 else qqc
                         qpcav = (qpc_p + qqc + 1) >> 1
@@ -1573,30 +1982,23 @@ def _deblock_frame(st, sh, chroma_qp_offset):
                             + 2 * k
                         cbase = mx * 8 if horiz else my * 8
                         for cp in (st.Cb, st.Cr):
-                            _deblock_plane_edge(
-                                cp, cedge, cbase, 8, horiz, bs,
-                                qpcav, off_a, off_b, True)
+                            run_edge(cp, cedge, cbase, horiz,
+                                     seg_bs, qpcav, True)
 
 
-def decode_h264_frame(payload: bytes, avcc: bytes = None,
-                      max_mbs: int = 65536,
-                      approximate: bool = False):
-    """Decode the first I/IDR frame of an H.264 elementary stream.
+def decode_h264_frames(payload: bytes, avcc: bytes = None,
+                       max_mbs: int = 65536, max_frames: int = 64):
+    """Decode every access unit of an H.264 elementary stream —
+    IDR/I frames plus P frames (spec 8.4: MV prediction, quarter-pel
+    luma / eighth-pel chroma motion compensation, P_Skip, all P
+    partition shapes down to 4x4), single-reference baseline.
 
-    payload: Annex B stream (SPS/PPS inline), or a length-prefixed
-    MP4 sample when ``avcc`` (the avcC extradata box body, which
-    carries SPS/PPS and the NAL length size) is given.
-
-    Returns (width, height, yuv_planes) where yuv_planes is a tuple
-    of numpy arrays (Y, Cb, Cr) cropped to the picture size — or
-    None for anything outside the supported subset or malformed.
-    The in-loop deblocking filter (spec 8.7) is applied when the
-    slice signals it (disable_deblocking_filter_idc 0 or 2,
-    including the slice alpha/beta offsets), so baseline intra
-    streams decode conformantly either way. ``approximate`` is kept
-    for API compatibility; it no longer gates anything (CAVLC intra
-    is fully supported, CABAC/inter streams still return None).
-    """
+    payload: Annex B stream (SPS/PPS inline), or length-prefixed
+    MP4 samples when ``avcc`` (the avcC extradata box body) is
+    given. Returns a list of (width, height, (Y, Cb, Cr)) in
+    decode order — or None for anything outside the supported
+    subset (CABAC, B slices, interlace, multi-slice pictures,
+    multi-reference lists) or malformed."""
     try:
         sps = pps = None
         slices = []
@@ -1636,38 +2038,80 @@ def decode_h264_frame(payload: bytes, avcc: bytes = None,
                 slices.append((ref_idc, ntype, nal))
         if sps is None or pps is None or not slices:
             return None
-        ref_idc, ntype, nal = slices[0]
-        r = _BitReader(_ebsp_to_rbsp(nal[1:]))
-        sh = _parse_slice_header(r, sps, pps, ntype, ref_idc)
-        if sh is None or sh["first_mb"] != 0:
-            return None
         mbw, mbh = sps["pic_width_mbs"], sps["pic_height_mbs"]
         if mbw * mbh > max_mbs:
             # fuzz/abuse guard: a forged SPS can declare absurd
             # dimensions; cap the allocation (default 4096x4096)
             return None
-        st = _FrameState(mbw, mbh)
-        qpy = _clip_qp(sh["slice_qp"])
         n_mbs = mbw * mbh
-        for addr in range(n_mbs):
-            qpy = _decode_mb(r, st, addr % mbw, addr // mbw, qpy,
-                             pps["chroma_qp_offset"])
-            if addr < n_mbs - 1 and not r.more_rbsp_data():
-                return None  # truncated multi-MB slice
-        if sh["disable_deblock"] != 1:
-            # in-loop deblocking (spec 8.7); idc 2 only exempts
-            # slice boundaries, and single-slice pictures (the only
-            # shape accepted above) have none that aren't picture
-            # edges — identical to idc 0 here
-            _deblock_frame(st, sh, pps["chroma_qp_offset"])
-        cl, cr_, ct, cb_ = sps["crop"]
-        w, h = sps["width"], sps["height"]
-        Y = st.Y[2 * ct:2 * ct + h, 2 * cl:2 * cl + w]
-        Cb = st.Cb[ct:ct + (h + 1) // 2, cl:cl + (w + 1) // 2]
-        Cr = st.Cr[ct:ct + (h + 1) // 2, cl:cl + (w + 1) // 2]
-        return w, h, (Y, Cb, Cr)
+        cqo = pps["chroma_qp_offset"]
+        frames = []
+        prev = None     # last decoded picture (uncropped planes)
+        for ref_idc, ntype, nal in slices[:max_frames]:
+            r = _BitReader(_ebsp_to_rbsp(nal[1:]))
+            sh = _parse_slice_header(r, sps, pps, ntype, ref_idc)
+            if sh is None or sh["first_mb"] != 0:
+                return None
+            if sh["is_p"] and prev is None:
+                return None     # P with no decoded reference
+            st = _FrameState(mbw, mbh)
+            if prev is not None:
+                st.set_ref_picture(*prev)
+            qpy = _clip_qp(sh["slice_qp"])
+            if not sh["is_p"]:
+                for addr in range(n_mbs):
+                    qpy = _decode_mb(r, st, addr % mbw,
+                                     addr // mbw, qpy, cqo)
+                    if addr < n_mbs - 1 and not r.more_rbsp_data():
+                        return None  # truncated multi-MB slice
+            else:
+                addr = 0
+                while addr < n_mbs:
+                    run = r.ue()     # mb_skip_run (7.3.4)
+                    if addr + run > n_mbs:
+                        return None
+                    for _ in range(run):
+                        _recon_p_skip(st, addr % mbw, addr // mbw,
+                                      qpy)
+                        addr += 1
+                    if addr >= n_mbs:
+                        break
+                    if not r.more_rbsp_data():
+                        return None  # truncated slice
+                    qpy = _decode_mb_p(r, st, addr % mbw,
+                                       addr // mbw, qpy, cqo)
+                    addr += 1
+            if sh["disable_deblock"] != 1:
+                # in-loop deblocking (spec 8.7); idc 2 only exempts
+                # slice boundaries, and single-slice pictures (the
+                # only shape accepted) have none that aren't
+                # picture edges — identical to idc 0 here
+                _deblock_frame(st, sh, cqo)
+            # the reference is the post-deblock (in-loop) picture
+            prev = (st.Y, st.Cb, st.Cr)
+            cl, cr_, ct, cb_ = sps["crop"]
+            w, h = sps["width"], sps["height"]
+            frames.append((w, h, (
+                st.Y[2 * ct:2 * ct + h, 2 * cl:2 * cl + w],
+                st.Cb[ct:ct + (h + 1) // 2, cl:cl + (w + 1) // 2],
+                st.Cr[ct:ct + (h + 1) // 2, cl:cl + (w + 1) // 2])))
+        return frames or None
     except (EOFError, ValueError, IndexError, KeyError):
         return None
+
+
+def decode_h264_frame(payload: bytes, avcc: bytes = None,
+                      max_mbs: int = 65536,
+                      approximate: bool = False):
+    """Decode the first frame of an H.264 elementary stream (see
+    :func:`decode_h264_frames` for the multi-frame API and the
+    supported subset). Returns (width, height, (Y, Cb, Cr)) or
+    None. ``approximate`` is kept for API compatibility; it no
+    longer gates anything (CAVLC intra + P inter are fully
+    supported, CABAC/B/interlace streams still return None)."""
+    frames = decode_h264_frames(payload, avcc=avcc,
+                                max_mbs=max_mbs, max_frames=1)
+    return frames[0] if frames else None
 
 
 # ---------------------------------------------------------------------
@@ -1730,7 +2174,7 @@ def _sad(a, b):
     return sum(abs(x - y) for x, y in zip(a, b))
 
 
-def _write_sps(mbw, mbh, crop):
+def _write_sps(mbw, mbh, crop, num_ref=0):
     w = _BitWriter()
     w.u(8, 66)   # profile_idc baseline
     w.u(8, 0xC0)  # constraint_set0/1
@@ -1738,7 +2182,7 @@ def _write_sps(mbw, mbh, crop):
     w.ue(0)      # sps_id
     w.ue(0)      # log2_max_frame_num_minus4
     w.ue(2)      # pic_order_cnt_type 2
-    w.ue(0)      # max_num_ref_frames
+    w.ue(num_ref)  # max_num_ref_frames
     w.u(1, 0)    # gaps_in_frame_num
     w.ue(mbw - 1)
     w.ue(mbh - 1)
@@ -1789,9 +2233,11 @@ def _fwd_quant_block(st_plane_src, pred, x0, y0, qp, dc_skip):
     return _quant4x4(wt, qp, intra=True, dc_skip=dc_skip), wt[0]
 
 
-def _encode_mb_i16(w, st, srcY, srcC, mbx, mby, qp, qpc):
+def _encode_mb_i16(w, st, srcY, srcC, mbx, mby, qp, qpc,
+                   type_off=0):
     """Encode one Intra_16x16 MB and reconstruct it in st exactly as
-    the decoder will."""
+    the decoder will. ``type_off``: 5 when inside a P slice (Table
+    7-13 maps P mb_type 5.. to the intra table)."""
     x0, y0 = mbx * 16, mby * 16
     at, al = mby > 0, mbx > 0
     cand = [2]
@@ -1829,7 +2275,7 @@ def _encode_mb_i16(w, st, srcY, srcC, mbx, mby, qp, qpc):
         _encode_chroma_plan(st, srcC, mbx, mby, qpc)
 
     mt = 1 + mode16 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
-    w.ue(mt)
+    w.ue(type_off + mt)
     w.ue(chroma_mode)
     w.se(0)  # mb_qp_delta
     # luma DC (zigzag over the DC plane)
@@ -2036,6 +2482,248 @@ def _encode_mb_pcm(w, st, srcY, srcC, mbx, mby):
     for blk in range(4):
         st.set_chroma_nc(mbx, mby, blk, 0, 16)
         st.set_chroma_nc(mbx, mby, blk, 1, 16)
+
+
+def _chroma_levels_for_preds(srcC, preds, mbx, mby, qpc,
+                             intra=True):
+    """Quantized chroma DC/AC levels for FIXED predictions (the
+    inter-MB twin of _encode_chroma_plan's quantization step)."""
+    dc_levels = [None, None]
+    ac_levels = [[None] * 4, [None] * 4]
+    for plane in range(2):
+        dcs = [0] * 4
+        for blk in range(4):
+            xo, yo = (blk % 2) * 4, (blk // 2) * 4
+            sub = [[int(preds[plane][yo + yy][xo + xx])
+                    for xx in range(4)] for yy in range(4)]
+            resid = [int(srcC[plane][mby * 8 + yo + yy,
+                                     mbx * 8 + xo + xx])
+                     - sub[yy][xx]
+                     for yy in range(4) for xx in range(4)]
+            wt = _ftransform4x4(resid)
+            ac_levels[plane][blk] = _quant4x4(
+                wt, qpc, intra=intra, dc_skip=True)
+            dcs[blk] = wt[0]
+        dc_levels[plane] = _quant_dc(
+            _chroma_dc_transform(dcs), qpc, mf0_shift=1)
+    any_ac = any(any(lv) for pl in ac_levels for lv in pl)
+    any_dc = any(any(dl) for dl in dc_levels)
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    return dc_levels, ac_levels, cbp_chroma
+
+
+def _encode_mb_p(w, st, srcY, srcC, mbx, mby, qp, qpc, kind):
+    """Encode one inter P macroblock (P_L0_16x16 / 16x8 / 8x16 /
+    P_8x8 with a deterministic sub-partition mix), reconstructing in
+    ``st`` exactly as the decoder will. MVs are a deterministic
+    per-position pattern sweeping every quarter-pel phase."""
+    x0, y0 = mbx * 16, mby * 16
+    st.intra[mby, mbx] = False
+
+    def pick_mv(salt):
+        # quarter-pel MV pattern covering all 16 fractional phases
+        # and both signs, bounded well inside _MC_PAD
+        return (((mbx * 5 + mby * 3 + salt) % 17) - 8,
+                ((mbx * 3 + mby * 7 + 2 * salt) % 13) - 6)
+
+    if kind == "p16":
+        mb_type, specs = 0, _P_PARTS[0]
+    elif kind == "p16x8":
+        mb_type, specs = 1, _P_PARTS[1]
+    elif kind == "p8x16":
+        mb_type, specs = 2, _P_PARTS[2]
+    else:   # p8x8
+        mb_type = 3
+    w.ue(mb_type)
+    parts = []
+    if mb_type in (0, 1, 2):
+        mvs = [pick_mv(i) for i in range(len(specs))]
+        # mvds first (7.3.5.1), predictions replayed in order
+        mvds = []
+        for (xo, yo, pw, ph, hint), mv in zip(specs, mvs):
+            px, py = st.mv_pred(x0 + xo, y0 + yo, pw, ph, part=hint)
+            mvds.append((mv[0] - px, mv[1] - py))
+            st.store_mv(x0 + xo, y0 + yo, pw, ph, mv)
+            parts.append((xo, yo, pw, ph, mv))
+        # rewind not possible: but mvd computation used sequential
+        # store, matching the decoder's order; now serialize
+        for dx, dy in mvds:
+            w.se(dx)
+            w.se(dy)
+    else:
+        subs = [(mbx + mby + i) % 4 for i in range(4)]   # all shapes
+        for smt in subs:
+            w.ue(smt)
+        salt = 0
+        for blk in range(4):
+            bx, by = (blk % 2) * 8, (blk // 2) * 8
+            for sxo, syo, pw, ph in _SUB_PARTS[subs[blk]]:
+                mv = pick_mv(salt)
+                salt += 1
+                px, py = st.mv_pred(x0 + bx + sxo, y0 + by + syo,
+                                    pw, ph)
+                w.se(mv[0] - px)
+                w.se(mv[1] - py)
+                st.store_mv(x0 + bx + sxo, y0 + by + syo, pw, ph, mv)
+                parts.append((bx + sxo, by + syo, pw, ph, mv))
+    predY, predC = _inter_pred_mb(st, mbx, mby, parts)
+
+    # quantize luma residuals (16-coefficient inter blocks)
+    levels_all = [None] * 16
+    for blk in range(16):
+        bx, by = _ZSCAN_POS[blk]
+        resid = [int(srcY[y0 + by * 4 + yy, x0 + bx * 4 + xx])
+                 - int(predY[by * 4 + yy, bx * 4 + xx])
+                 for yy in range(4) for xx in range(4)]
+        levels_all[blk] = _quant4x4(_ftransform4x4(resid), qp,
+                                    intra=False)
+    cbp_luma = 0
+    for g in range(4):
+        if any(any(levels_all[4 * g + i]) for i in range(4)):
+            cbp_luma |= 1 << g
+    dc_levels, ac_levels, cbp_chroma = _chroma_levels_for_preds(
+        srcC, predC, mbx, mby, qpc, intra=False)
+    cbp = cbp_luma | (cbp_chroma << 4)
+    w.ue(_CBP_INTER_ENC[cbp])
+    if cbp:
+        w.se(0)   # mb_qp_delta
+    st.qp_map[mby, mbx] = qp
+    # luma residual write + reconstruction
+    for blk in range(16):
+        bx, by = _ZSCAN_POS[blk]
+        if cbp_luma & (1 << (blk >> 2)):
+            nc = st.luma_nc(mbx, mby, blk)
+            scan = [levels_all[blk][_ZIGZAG4[k]] for k in range(16)]
+            tc = _residual_write(w, nc, scan, 16)
+            st.set_luma_nc(mbx, mby, blk, tc)
+            residual = _itransform4x4(
+                _dequant4x4(levels_all[blk], qp))
+        else:
+            st.set_luma_nc(mbx, mby, blk, 0)
+            residual = [0] * 16
+        sub = predY[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+        st.add_block(0, x0 + bx * 4, y0 + by * 4, sub, residual)
+    if cbp_chroma:
+        _encode_chroma_write(w, st, mbx, mby, qpc, None, cbp_chroma,
+                             dc_levels, ac_levels, predC)
+    else:
+        # reconstruction without any coded chroma residual
+        _encode_chroma_write(w, st, mbx, mby, qpc, None, 0,
+                             dc_levels, ac_levels, predC)
+
+
+def encode_h264_sequence(frames, qp: int = 26,
+                         disable_deblock_idc: int = 1,
+                         p_kinds=("skip", "p16", "p16x8", "p8x16",
+                                  "p8x8", "i16")):
+    """Encode a list of same-size images as IDR + P frames (Annex B,
+    baseline, CAVLC, one reference). Frame 0 is an Intra_16x16 IDR;
+    each later frame is a P frame whose MBs rotate deterministically
+    through ``p_kinds`` (P_Skip, every P partition shape down to
+    4x4 sub-blocks, and an intra MB inside the P slice), with MVs
+    sweeping all sixteen quarter-pel phases. Returns
+    (annexb_bytes, [recon_rgb per frame]) where recon is the
+    encoder's embedded decoder-identical reconstruction — the exact
+    frames a conformant decoder must produce (used by the bit-exact
+    fixtures in tests/test_h264.py)."""
+    import numpy as np
+
+    assert 6 <= qp <= 51
+    pads = []
+    for px in frames:
+        Y, Cb, Cr = _rgb_to_yuv420(px)
+        h, w_ = Y.shape
+        assert h % 2 == 0 and w_ % 2 == 0
+        mbw, mbh = (w_ + 15) // 16, (h + 15) // 16
+        padY = np.empty((mbh * 16, mbw * 16), dtype=np.int32)
+        padY[:h, :w_] = Y
+        padY[h:, :w_] = Y[h - 1:, :]
+        padY[:h, w_:] = padY[:h, w_ - 1:w_]
+        padY[h:, w_:] = Y[h - 1, w_ - 1]
+        ch, cw = Cb.shape
+        padC = []
+        for C in (Cb, Cr):
+            p = np.empty((mbh * 8, mbw * 8), dtype=np.int32)
+            p[:ch, :cw] = C
+            p[ch:, :cw] = C[ch - 1:, :]
+            p[:ch, cw:] = p[:ch, cw - 1:cw]
+            p[ch:, cw:] = C[ch - 1, cw - 1]
+            padC.append(p)
+        pads.append((padY, padC, h, w_, mbw, mbh))
+    padY0, _c, h, w_, mbw, mbh = pads[0]
+    crop = (0, (mbw * 16 - w_) // 2, 0, (mbh * 16 - h) // 2)
+    qpc = _QPC[_clip_qp(qp)]
+    nals = [_write_sps(mbw, mbh, crop, num_ref=1), _write_pps()]
+    recons = []
+    prev = None
+    for fi, (padY, padC, _h, _w, _mw, _mh) in enumerate(pads):
+        w = _BitWriter()
+        st = _FrameState(mbw, mbh)
+        if fi == 0:
+            w.ue(0)            # first_mb_in_slice
+            w.ue(7)            # slice_type I
+            w.ue(0)            # pps_id
+            w.u(4, 0)          # frame_num
+            w.ue(0)            # idr_pic_id
+            w.u(1, 1)          # no_output_of_prior_pics
+            w.u(1, 0)          # long_term_reference
+            w.se(qp - 26)
+            w.ue(disable_deblock_idc)
+            if disable_deblock_idc != 1:
+                w.se(0)
+                w.se(0)
+            for addr in range(mbw * mbh):
+                mbx, mby = addr % mbw, addr // mbw
+                st.qp_map[mby, mbx] = qp
+                _encode_mb_i16(w, st, padY, padC, mbx, mby, qp, qpc)
+            nal_byte = b"\x65"
+        else:
+            st.set_ref_picture(*prev)
+            w.ue(0)            # first_mb_in_slice
+            w.ue(5)            # slice_type P (all-P picture)
+            w.ue(0)            # pps_id
+            w.u(4, fi % 16)    # frame_num
+            w.u(1, 0)          # num_ref_idx_active_override
+            w.u(1, 0)          # ref_pic_list_modification_flag_l0
+            w.u(1, 0)          # adaptive_ref_pic_marking_mode
+            w.se(qp - 26)
+            w.ue(disable_deblock_idc)
+            if disable_deblock_idc != 1:
+                w.se(0)
+                w.se(0)
+            skip_run = 0
+            for addr in range(mbw * mbh):
+                mbx, mby = addr % mbw, addr // mbw
+                kind = p_kinds[(addr + fi) % len(p_kinds)]
+                if kind == "skip":
+                    skip_run += 1
+                    _recon_p_skip(st, mbx, mby, qp)
+                    continue
+                w.ue(skip_run)     # mb_skip_run before a coded MB
+                skip_run = 0
+                if kind == "i16":
+                    st.mark_intra_mb(mbx, mby)
+                    st.qp_map[mby, mbx] = qp
+                    _encode_mb_i16(w, st, padY, padC, mbx, mby,
+                                   qp, qpc, type_off=5)
+                else:
+                    _encode_mb_p(w, st, padY, padC, mbx, mby,
+                                 qp, qpc, kind)
+            if skip_run:
+                w.ue(skip_run)     # trailing skip run
+            nal_byte = b"\x41"     # non-IDR slice, nal_ref_idc 2
+        w.rbsp_trailing()
+        nals.append(nal_byte + _rbsp_to_ebsp(w.getvalue()))
+        if disable_deblock_idc != 1:
+            _deblock_frame(st, {"alpha_off": 0, "beta_off": 0}, 0)
+        prev = (st.Y, st.Cb, st.Cr)
+        cl, cr_, ct, cb_ = crop
+        recons.append(_yuv420_to_rgb(
+            st.Y[2 * ct:2 * ct + h, 2 * cl:2 * cl + w_],
+            st.Cb[ct:ct + (h + 1) // 2, cl:cl + (w_ + 1) // 2],
+            st.Cr[ct:ct + (h + 1) // 2, cl:cl + (w_ + 1) // 2]))
+    stream = b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+    return stream, recons
 
 
 def encode_h264_annexb(px, mode: str = "mixed", qp: int = 26,

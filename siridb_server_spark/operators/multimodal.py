@@ -2404,19 +2404,39 @@ def decode_video_frames(media: DataFrame,
                         approximate: bool = False) -> DataFrame:
     """REAL video pixel decode — the path that was stubbed until r6.
 
-    MP4/ISO-BMFF payloads with an avc1 track: every ``every_n``-th
-    sample is sliced out via the stbl byte ranges and decoded by the
-    from-scratch H.264 baseline I-frame decoder (operators/h264.py,
-    CAVLC + intra prediction + exact integer transforms), using the
-    track's avcC extradata for SPS/PPS. Raw Annex B H.264 payloads
-    decode as a single frame. Emits dims + per-channel means of the
+    MP4/ISO-BMFF payloads with an avc1 track: the track's samples
+    (sliced out via the stbl byte ranges) decode IN ORDER as one
+    stateful stream through the from-scratch H.264 baseline decoder
+    (operators/h264.py — CAVLC, intra prediction, exact integer
+    transforms, and since r8 full P-slice inter prediction: MV
+    prediction, quarter-pel MC, P_Skip, single-reference DPB), using
+    the track's avcC extradata for SPS/PPS; every ``every_n``-th
+    decoded frame is emitted. Raw Annex B H.264 payloads decode the
+    same way (multi-frame). Emits dims + per-channel means of the
     decoded RGB raster; the in-loop deblocking filter runs when the
-    stream signals it (spec 8.7, added r7). Samples outside the
-    supported subset (P/B slices, CABAC, interlace) or
-    malformed yield NULL pixel columns so a pipeline can count
-    decode coverage. Shape: Arrow-batched
-    row-local mapInPandas — embarrassingly parallel, no shuffle."""
+    stream signals it (spec 8.7). If the stateful track decode fails
+    (a sample outside the supported subset — B slices, CABAC,
+    interlace — or corruption), the operator falls back to
+    per-sample intra decode so the decodable prefix/subset still
+    yields rows and the rest NULL out, letting a pipeline count
+    decode coverage. Shape: Arrow-batched row-local mapInPandas —
+    embarrassingly parallel, no shuffle."""
     from . import h264 as _h264
+
+    def _rgb_rows(mid, frames, n_expected):
+        rows = []
+        for i in range(0, n_expected, every_n):
+            if frames is not None and i < len(frames):
+                w, h, planes = frames[i]
+                rgb = _h264._yuv420_to_rgb(*planes)
+                means = rgb.reshape(-1, 3).mean(axis=0)
+                rows.append((mid, i, w, h,
+                             round(float(means[0]), 6),
+                             round(float(means[1]), 6),
+                             round(float(means[2]), 6)))
+            else:
+                rows.append((mid, i, None, None, None, None, None))
+        return rows
 
     def _frame_row(mid, idx, data, avcc):
         out = _h264.decode_h264_rgb(data, avcc=avcc,
@@ -2440,13 +2460,32 @@ def decode_video_frames(media: DataFrame,
                 mid = int(mid)
                 m = _parse_mp4(p)
                 if m is not None:
-                    for i in range(0, len(m["samples"]), every_n):
-                        off, sz = m["samples"][i]
-                        rows.append(_frame_row(
-                            mid, i, p[off:off + sz], m["avcc"]))
+                    # stateful track decode: samples concatenate to
+                    # one length-prefixed stream (P frames reference
+                    # the previous decoded picture)
+                    track = b"".join(p[off:off + sz]
+                                     for off, sz in m["samples"])
+                    frames = _h264.decode_h264_frames(
+                        track, avcc=m["avcc"],
+                        max_frames=len(m["samples"]))
+                    if frames is not None:
+                        rows.extend(_rgb_rows(mid, frames,
+                                              len(m["samples"])))
+                    else:
+                        for i in range(0, len(m["samples"]),
+                                       every_n):
+                            off, sz = m["samples"][i]
+                            rows.append(_frame_row(
+                                mid, i, p[off:off + sz], m["avcc"]))
                 elif (p[:4] == b"\x00\x00\x00\x01"
                         or p[:3] == b"\x00\x00\x01"):
-                    rows.append(_frame_row(mid, 0, p, None))
+                    frames = _h264.decode_h264_frames(p)
+                    if frames is not None:
+                        rows.extend(_rgb_rows(mid, frames,
+                                              len(frames)))
+                    else:
+                        rows.append((mid, 0, None, None,
+                                     None, None, None))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in
                                VIDEO_FRAME_PIXELS_SCHEMA])

@@ -397,3 +397,170 @@ def test_deblock_alpha_beta_offsets_respected():
     plain, recon = h.encode_h264_annexb(px, mode="i16", qp=8)
     out = h.decode_h264_rgb(stream)
     assert (out[2] == h.decode_h264_rgb(plain)[2]).all()
+
+
+# ---------------------------------------------------------------- P frames
+
+
+def _moving_frames(n=3, h_=48, w_=64, noise=True, seed=42):
+    rng = np.random.default_rng(seed)
+    base = np.zeros((h_, w_, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h_, 0:w_]
+    for c in range(3):
+        base[:, :, c] = ((xx * (3 + c) + yy * (5 - c)) % 256)
+    frames = [np.roll(base, (2 * i, 3 * i), axis=(0, 1))
+              for i in range(n)]
+    if noise and n > 2:
+        frames[2] = np.clip(
+            frames[2].astype(int)
+            + rng.integers(-8, 9, frames[2].shape),
+            0, 255).astype(np.uint8)
+    return frames
+
+
+@pytest.mark.parametrize("idc", [1, 0])
+@pytest.mark.parametrize("qp", [18, 24, 33])
+def test_p_frame_round_trip_bit_exact(idc, qp):
+    """IDR + two P frames rotating through P_Skip and every P
+    partition shape (16x16/16x8/8x16/P_8x8 with all four sub-part
+    shapes) plus an intra MB inside the P slice, MVs sweeping all
+    sixteen quarter-pel phases — the decoder must reproduce the
+    encoder's embedded reconstruction bit-for-bit, with and without
+    the in-loop deblocking filter (whose inter bS derivation the
+    idc=0 case exercises: coefficient/MV/reference rules, 8.7.2.1)."""
+    frames = _moving_frames()
+    stream, recons = h.encode_h264_sequence(
+        frames, qp=qp, disable_deblock_idc=idc)
+    out = h.decode_h264_frames(stream)
+    assert out is not None and len(out) == 3
+    for i, (w_, h2, planes) in enumerate(out):
+        assert (w_, h2) == (64, 48)
+        rgb = h._yuv420_to_rgb(*planes)
+        assert np.array_equal(rgb, recons[i]), f"frame {i} differs"
+
+
+def test_p_skip_static_content_is_copy():
+    """A static scene after the IDR: P_Skip MBs must reproduce the
+    reference exactly (zero-MV copy through the MC path)."""
+    still = _moving_frames(1)[0]
+    stream, recons = h.encode_h264_sequence(
+        [still, still], qp=24, p_kinds=("skip",))
+    out = h.decode_h264_frames(stream)
+    assert out is not None and len(out) == 2
+    y0 = out[0][2][0]
+    y1 = out[1][2][0]
+    assert np.array_equal(y0, y1)       # skip == reference copy
+    assert np.array_equal(h._yuv420_to_rgb(*out[1][2]), recons[1])
+
+
+def test_p_frame_single_mb_picture():
+    """16x16 picture: every MV-prediction neighbor is unavailable
+    (the 8.4.1.3.1 left-only/zero rules) — round-trips bit-exact."""
+    frames = [f[:16, :16] for f in _moving_frames(3)]
+    stream, recons = h.encode_h264_sequence(frames, qp=26)
+    out = h.decode_h264_frames(stream)
+    assert out is not None and len(out) == 3
+    for i, (_w, _h, planes) in enumerate(out):
+        assert np.array_equal(h._yuv420_to_rgb(*planes), recons[i])
+
+
+def test_p_frame_first_is_rejected():
+    """A P slice with no decoded reference returns None, not junk."""
+    frames = _moving_frames(2)
+    stream, _ = h.encode_h264_sequence(frames, qp=24)
+    nals = h.split_annexb(stream)
+    # keep SPS/PPS, drop the IDR, keep the P slice
+    keep = [n for n in nals if h._nal_header(n)[1] != 5]
+    cut = b"".join(b"\x00\x00\x00\x01" + n for n in keep)
+    assert h.decode_h264_frames(cut) is None
+
+
+def test_p_frame_truncation_rejected():
+    frames = _moving_frames(2)
+    stream, _ = h.encode_h264_sequence(frames, qp=24)
+    assert h.decode_h264_frames(stream[:len(stream) - 8]) is None
+
+
+def test_decode_h264_frame_returns_first_of_sequence():
+    frames = _moving_frames(2)
+    stream, recons = h.encode_h264_sequence(frames, qp=24)
+    one = h.decode_h264_frame(stream)
+    assert one is not None
+    assert np.array_equal(h._yuv420_to_rgb(*one[2]), recons[0])
+
+
+def test_interp_luma_matches_scalar_spec_transcription():
+    """Quarter-pel luma interpolation (8.4.2.2) fuzzed against an
+    independent scalar transcription of the spec's sample formulas
+    (6-tap halves, unrounded-intermediate centre j, half-up quarter
+    averages) across random MVs covering all 16 fractional phases."""
+    rng = np.random.default_rng(7)
+    pic = rng.integers(0, 256, size=(24, 28)).astype(np.int32)
+    ref = np.pad(pic, h._MC_PAD, mode="edge")
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    def full(x, y):
+        return int(ref[y, x])
+
+    def hh_un(x, y):
+        return (full(x - 2, y) - 5 * full(x - 1, y)
+                + 20 * full(x, y) + 20 * full(x + 1, y)
+                - 5 * full(x + 2, y) + full(x + 3, y))
+
+    def hv_un(x, y):
+        return (full(x, y - 2) - 5 * full(x, y - 1)
+                + 20 * full(x, y) + 20 * full(x, y + 1)
+                - 5 * full(x, y + 2) + full(x, y + 3))
+
+    def half_h(x, y):
+        return clip((hh_un(x, y) + 16) >> 5)
+
+    def half_v(x, y):
+        return clip((hv_un(x, y) + 16) >> 5)
+
+    def center_j(x, y):
+        s = (hh_un(x, y - 2) - 5 * hh_un(x, y - 1)
+             + 20 * hh_un(x, y) + 20 * hh_un(x, y + 1)
+             - 5 * hh_un(x, y + 2) + hh_un(x, y + 3))
+        return clip((s + 512) >> 10)
+
+    def scalar(x, y, fx, fy):
+        G, H, M = full(x, y), full(x + 1, y), full(x, y + 1)
+        if (fx, fy) == (0, 0):
+            return G
+        if fy == 0:
+            b = half_h(x, y)
+            return b if fx == 2 else \
+                (b + (G if fx == 1 else H) + 1) >> 1
+        if fx == 0:
+            hh = half_v(x, y)
+            return hh if fy == 2 else \
+                (hh + (G if fy == 1 else M) + 1) >> 1
+        j = center_j(x, y)
+        if (fx, fy) == (2, 2):
+            return j
+        if fx == 2:
+            o = half_h(x, y) if fy == 1 else half_h(x, y + 1)
+            return (j + o + 1) >> 1
+        if fy == 2:
+            o = half_v(x, y) if fx == 1 else half_v(x + 1, y)
+            return (j + o + 1) >> 1
+        bh = half_h(x, y) if fy == 1 else half_h(x, y + 1)
+        vh = half_v(x, y) if fx == 1 else half_v(x + 1, y)
+        return (bh + vh + 1) >> 1
+
+    for _ in range(120):
+        x0 = int(rng.integers(0, 20))
+        y0 = int(rng.integers(0, 16))
+        mvx = int(rng.integers(-40, 40))
+        mvy = int(rng.integers(-40, 40))
+        got = np.asarray(h._interp_luma(
+            ref, x0 + h._MC_PAD, y0 + h._MC_PAD, 8, 8, mvx, mvy))
+        fx, fy = mvx & 3, mvy & 3
+        bx = x0 + (mvx >> 2) + h._MC_PAD
+        by = y0 + (mvy >> 2) + h._MC_PAD
+        want = np.array([[scalar(bx + xx, by + yy, fx, fy)
+                          for xx in range(8)] for yy in range(8)])
+        assert np.array_equal(got, want), (mvx, mvy, fx, fy)
