@@ -2024,15 +2024,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries that were driver-green in round 2 AND carry redundant
     # pytest/golden coverage yield their window slot to the
     # round-new operators so fresh code gets driver-checked first.
+    # _HEAD: every entry whose HASHED CONTRACT changed in round 8
+    # (the transcendental-removal sweep + the new P-frame decode)
+    # moves to the front so the driver verifies the whole fix class,
+    # not just the five previously-red cells.
+    _HEAD = ("text_unigram_lm", "text_bigram_lm", "text_trigram_lm",
+             "text_vocab_stats", "curation_mix_weights",
+             "curation_epoch_plan", "curation_dsir",
+             "text_quality_score", "text_tfidf_sources",
+             "text_bm25_search", "curation_sample_sources",
+             "multimodal_h264_pframes")
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
              "text_pii_mask", "text_top_ngrams", "text_fingerprint",
              "text_repetition", "text_topk_per_source",
-             "dedup_ngram_jaccard",
-             "curation_sample_sources", "curation_pack_sequences",
+             "dedup_ngram_jaccard", "curation_pack_sequences",
              "curation_split", "sim_ivf_kmeans", "sim_lsh_topk",
              "multimodal_meta", "multimodal_frames")
-    q = {**{k: v for k, v in q.items() if k not in _TAIL},
+    q = {**{k: q[k] for k in _HEAD if k in q},
+         **{k: v for k, v in q.items()
+            if k not in _TAIL and k not in _HEAD},
          **{k: q[k] for k in _TAIL if k in q}}
     return q
 

@@ -49,6 +49,26 @@ def stream_corpus_dedup_ingest(
     applied batches no-ops. A crash inside one parquet job relies on
     Spark's output-commit protocol for that job's atomicity.
     Returns the StreamingQuery."""
+    sink = make_dedup_ingest_sink(
+        index_path, accepted_path, rejected_path=rejected_path,
+        threshold=threshold, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, text_col=text_col, id_col=id_col)
+    writer = stream_df.writeStream.foreachBatch(sink) \
+        .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def make_dedup_ingest_sink(
+        index_path: str, accepted_path: str,
+        rejected_path: str | None = None, threshold: float = 0.5,
+        num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+        text_col: str = "text", id_col: str = "doc_id"):
+    """The foreachBatch sink behind
+    :func:`stream_corpus_dedup_ingest`, exposed so tests can call it
+    directly with a repeated batch_id and assert redelivery
+    idempotence (the exactly-once property documented there)."""
     opts = dict(threshold=threshold, num_hashes=num_hashes,
                 bands=bands, shingle_n=shingle_n,
                 text_col=text_col, id_col=id_col)
@@ -67,9 +87,14 @@ def stream_corpus_dedup_ingest(
                  .join(w_first, "_fp")
                  .where(F.col(id_col) == F.col("_keep"))
                  .drop("_fp", "_keep"))
-        # 2. probe history (index may not exist on the first batch)
+        # 2. probe history (index may not exist on the first batch).
+        # A redelivered batch may ALREADY be in the index (crash
+        # after the index append, before the final marker) — a doc
+        # is never a duplicate of itself, so self-matches are
+        # excluded or redelivery would reject the whole batch.
         if os.path.isdir(os.path.join(index_path, "exact")):
-            hits = D.dedup_incremental(batch, index_path, **opts)
+            hits = D.dedup_incremental(batch, index_path, **opts) \
+                .where(F.col("match_id") != F.col("doc_id"))
             hits = hits.localCheckpoint()     # probe once, use twice
             if rejected_path is not None:
                 # batch-stamped overwrite: redelivery replaces, not
@@ -99,8 +124,4 @@ def stream_corpus_dedup_ingest(
             open(ix_marker, "w").close()
         open(marker, "w").close()
 
-    writer = stream_df.writeStream.foreachBatch(sink) \
-        .outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    return sink

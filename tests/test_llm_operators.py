@@ -1510,3 +1510,52 @@ def test_mix_weights_sqrt_temperature_exact(spark):
         5000000, math.floor(w_small * 1e6 + 0.5))
     assert out["small"]["weight_ppm"] > 1000000 \
         > out["big"]["weight_ppm"]
+
+
+def test_corpus_ingest_sink_redelivery_idempotent(spark, tmp_path):
+    """The exactly-once contract of stream_corpus_dedup_ingest,
+    asserted directly on its foreachBatch sink: re-delivering a
+    batch id after (a) full application and (b) a simulated crash
+    between the writes and the final marker leaves accepted docs,
+    reject rows, and the dedup index WITHOUT duplicates."""
+    import os
+
+    from siridb_server_spark.streaming.corpus import \
+        make_dedup_ingest_sink
+
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    rej = str(tmp_path / "rej")
+    sink = make_dedup_ingest_sink(idx, acc, rejected_path=rej,
+                                  threshold=0.3)
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "some other first-batch document")],
+        "doc_id long, text string")
+    sink(b1, 0)
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again"),
+         (12, "entirely novel content here")],
+        "doc_id long, text string")
+    sink(b2, 1)
+
+    def snapshot():
+        docs = sorted(r["doc_id"] for r in
+                      spark.read.parquet(acc + "/docs").collect())
+        rejects = sorted(r["doc_id"] for r in
+                         spark.read.parquet(rej).collect())
+        n_idx = spark.read.parquet(idx + "/exact").count()
+        return docs, rejects, n_idx
+
+    base = snapshot()
+    assert base[0] == [1, 2, 12] and base[1] == [10]
+    # (a) full redelivery: marker short-circuits, nothing changes
+    sink(b2, 1)
+    assert snapshot() == base
+    # (b) crash-window redelivery: final marker missing, all three
+    # writes already applied -> overwrite dirs replace themselves,
+    # the index marker skips the append
+    os.remove(os.path.join(acc, "_batch-1.done"))
+    sink(b2, 1)
+    assert snapshot() == base
+    assert os.path.exists(os.path.join(acc, "_batch-1.done"))
