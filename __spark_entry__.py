@@ -1157,6 +1157,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_h264_pframes"] = multimodal_h264_pframes
 
+    def _phash_fixture(spark):
+        """Four images + junk: a smooth radial-gradient PNG, the
+        SAME pixels as raw P6 PPM (format-independent hash), a
+        brightness-shifted copy (near-dup), an unrelated noise image
+        (far), and an undecodable payload (NULLs)."""
+        import numpy as np
+        yy, xx = np.mgrid[0:40, 0:50]
+        r2 = ((yy - 20.0) ** 2 / 400 + (xx - 25.0) ** 2 / 625)
+        img = np.stack([np.clip(255 - 180 * r2, 0, 255),
+                        np.clip(90 + 120 * np.exp(-r2 * 2), 0, 255),
+                        np.clip(40 + 150 * r2, 0, 255)],
+                       -1).astype(np.uint8)
+        bright = np.clip(img.astype(int) + 12, 0,
+                         255).astype(np.uint8)
+        rng = np.random.default_rng(9)
+        other = rng.integers(0, 256, img.shape).astype(np.uint8)
+        ppm = b"P6\n50 40\n255\n" + img.tobytes()
+        rows = [(1, "image", MM.encode_png(img), "image/png"),
+                (2, "image", ppm, "image/x-portable-pixmap"),
+                (3, "image", MM.encode_png(bright), "image/png"),
+                (4, "image", MM.encode_png(other), "image/png"),
+                (5, "image", b"junk", "application/x-junk")]
+        return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    def multimodal_image_phash(spark, sf_dir):
+        """Perceptual image hash (multimodal dedup, round 8): decode
+        → integer luma → 32x32 nearest resize → FIXED-POINT integer
+        DCT-II (hardcoded cosine table — no libm in the lineage) →
+        63-bit low-frequency median threshold. Exact integer math
+        end-to-end, so the golden constants hold on any platform;
+        robustness/discrimination properties are pytest-asserted."""
+        return MM.image_phash(_phash_fixture(spark))
+
+    q["multimodal_image_phash"] = multimodal_image_phash
+
+    def dedup_image_phash_pairs(spark, sf_dir):
+        """Near-duplicate image pairs: pHash signatures through the
+        generic banded Hamming join (dedup.hamming_pairs — banding
+        guarantees recall below ``bands``, candidates verify via
+        bit_count(xor), never all-pairs). The identical-pixels pair
+        lands at 0, the brightness-shifted copy at 2, the unrelated
+        image (hamming 30) is excluded."""
+        return MM.phash_pairs(_phash_fixture(spark), max_hamming=6)
+
+    q["dedup_image_phash_pairs"] = dedup_image_phash_pairs
+
     def multimodal_resize_any(spark, sf_dir):
         """REAL format-agnostic resize to 2x2 across ALL the really-
         decoded formats in one frame: a PNG (sampled source pixels
@@ -2033,7 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "curation_epoch_plan", "curation_dsir",
              "text_quality_score", "text_tfidf_sources",
              "text_bm25_search", "curation_sample_sources",
-             "multimodal_h264_pframes")
+             "multimodal_h264_pframes", "multimodal_image_phash",
+             "dedup_image_phash_pairs")
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
              "text_pii_mask", "text_top_ngrams", "text_fingerprint",
@@ -3678,6 +3725,24 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 2, 0, 48, 32, 200.0, 50.0, 121.0"
         " UNION ALL SELECT 4, 0, NULL, NULL, NULL, NULL, NULL"
         " UNION ALL SELECT 4, 1, NULL, NULL, NULL, NULL, NULL"
+    )
+    # pHash goldens: exact-integer pipeline (hardcoded cosine
+    # table), so the 63-bit hashes are platform-exact constants;
+    # PNG and PPM of the same pixels share one hash
+    o["multimodal_image_phash"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id,"
+        " CAST(50 AS BIGINT) AS width, CAST(40 AS BIGINT) AS height,"
+        " CAST(192259225235958612 AS BIGINT) AS phash"
+        " UNION ALL SELECT 2, 50, 40, 192259225235958612"
+        " UNION ALL SELECT 3, 50, 40, 157356328123837268"
+        " UNION ALL SELECT 4, 50, 40, 8003364334614956497"
+        " UNION ALL SELECT 5, NULL, NULL, NULL"
+    )
+    o["dedup_image_phash_pairs"] = (
+        "SELECT CAST(1 AS BIGINT) AS id_a, CAST(2 AS BIGINT) AS id_b,"
+        " CAST(0 AS BIGINT) AS hamming"
+        " UNION ALL SELECT 1, 3, 2"
+        " UNION ALL SELECT 2, 3, 2"
     )
     # P-frame golden (deterministic integer decode; the mp4 track
     # and the raw Annex B stream must agree frame-for-frame)

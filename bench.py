@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "multimodal_mp4_decode",
     "multimodal_h264_frames",
     "multimodal_h264_pframes",
+    "multimodal_image_phash",
+    "dedup_image_phash_pairs",
     # event analytics
     "events_flow",
     "events_cohorts",

@@ -165,6 +165,7 @@ def main():
             "with_oracle": sum(1 for n in qs
                                if (not only or n in only)
                                and n in oracles),
+            "stability": stability,
             "failures": [f[0] for f in failures]}}
         with open("/root/repo/PROGRESS.jsonl", "a") as fh:
             fh.write(_json.dumps(line) + "\n")

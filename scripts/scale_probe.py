@@ -72,12 +72,20 @@ def _probe_payloads():
     mp4 = _MM.build_minimal_mp4(640, 480, [1000] * 24,
                                 timescale=600, delta=25)
     from siridb_server_spark.operators import h264 as _H
-    streams = [_H.encode_h264_annexb(rgb, mode=m, qp=26)[0]
-               for m in ("i16", "i4")]
+    # IDR + two P frames (r8): the probe now scales the stateful
+    # inter-decode path (MV prediction + quarter-pel MC), still a
+    # row-linear pure map per payload copy
+    import numpy as np_
+    frames = [np_.roll(rgb, (2 * i, 3 * i), axis=(0, 1))
+              for i in range(3)]
+    seq, _rec = _H.encode_h264_sequence(frames, qp=26)
     h264_mp4 = _MM.build_minimal_mp4(
-        64, 64, [], avcc=_H.build_avcc(streams[0]),
-        sample_payloads=[_H.annexb_to_avcc_sample(s)
-                         for s in streams])
+        64, 64, [], avcc=_H.build_avcc(seq),
+        sample_payloads=[
+            len(nal).to_bytes(4, "big") + nal
+            for nal in _H.split_annexb(seq)
+            if _H._nal_header(nal)
+            and _H._nal_header(nal)[1] in (1, 5)])
     return {"png": png, "jpeg": jpg, "gif": gif, "wav": wav,
             "mp4": mp4, "h264": h264_mp4}
 

@@ -769,29 +769,47 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
     of dropped buckets).
     Output: (id_a, id_b, hamming)."""
     sig = simhash(df, bits, text_col, id_col)
-    chunk = bits // bands
     # both sides of the self-join read the signatures: persist so the
     # tokenize + 48-way vote aggregation runs once, not twice
     sig = _persist_bounded(sig)
+    return hamming_pairs(sig, sig_col="simhash", id_col="doc_id",
+                         bits=bits, bands=bands,
+                         max_hamming=max_hamming,
+                         max_bucket=max_bucket)
+
+
+def hamming_pairs(sig: DataFrame, sig_col: str, id_col: str,
+                  bits: int = 64, bands: int = 4,
+                  max_hamming: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
+    """Generic banded Hamming-distance pair join over any 64-bit-or-
+    less signature column (SimHash over text, perceptual image
+    hashes, audio fingerprints): banding on signature chunks
+    guarantees recall for distances < bands (pigeonhole); candidates
+    verify via bit_count(xor); ``max_bucket`` caps per-band-key
+    candidate blowup. One explode + one equi-join on (band, key) —
+    never all-pairs, the 100 TB shape. Output: (id_a, id_b,
+    hamming)."""
+    chunk = bits // bands
     banded = sig.select(
-        "doc_id", "simhash",
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * chunk)
+                F.shiftright(F.col(sig_col), b * chunk)
                 .bitwiseAND(F.lit((1 << chunk) - 1)).alias("key"))
             for b in range(bands)])).alias("bb"))\
-        .select("doc_id", "simhash", "bb.band", "bb.key")
+        .select("_id", "_sig", "bb.band", "bb.key")
     banded = _cap_hot_buckets(banded, ["band", "key"], max_bucket)
     a, b_ = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        F.col("a._sig").bitwiseXOR(F.col("b._sig")))
     return (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
                 ham.alias("hamming"))
         # filter BEFORE distinct: the Hamming cut drops most of the
         # candidate stream, so the dedup shuffle only carries real

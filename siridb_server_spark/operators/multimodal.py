@@ -192,6 +192,123 @@ def _decode_any_rgb(payload: bytes):
     return None
 
 
+#: fixed-point cos(pi*m/64)*2^14 for m=0..32 (hardcoded so the pHash
+#: DCT is EXACT INTEGER math end-to-end — no runtime libm cos whose
+#: half-ulp build differences could flip a table rounding; the same
+#: engine-portability rule the hashed oracle contracts follow)
+_PHASH_COS = (16384, 16364, 16305, 16207, 16069, 15893, 15679,
+              15426, 15137, 14811, 14449, 14053, 13623, 13160,
+              12665, 12140, 11585, 11003, 10394, 9760, 9102, 8423,
+              7723, 7005, 6270, 5520, 4756, 3981, 3196, 2404, 1606,
+              804, 0)
+
+
+def _phash_dct_matrix(np, n=32):
+    """Integer DCT-II basis C[k, j] = cos(pi*(2j+1)k/(2n))*2^14 via
+    the quarter-wave symmetry of the hardcoded table."""
+    C = np.empty((n, n), dtype=np.int64)
+    for k in range(n):
+        for j in range(n):
+            m = ((2 * j + 1) * k) % (4 * n)     # cos period 2*pi
+            if m > 2 * n:
+                m = 4 * n - m                   # cos(2*pi-x)=cos(x)
+            if m <= n:
+                C[k, j] = _PHASH_COS[m]
+            else:                               # cos(pi-x) = -cos(x)
+                C[k, j] = -_PHASH_COS[2 * n - m]
+    return C
+
+
+def _phash_of_rgb(np, rgb, hash_size=8):
+    """64-bit DCT perceptual hash — exact integer pipeline: integer
+    BT.601 luma, nearest resize to 32x32, fixed-point DCT-II (the
+    hardcoded cosine table), bit k set when the k-th low-frequency
+    coefficient (raster over the top-left 8x8, DC excluded) exceeds
+    the lower median of those 63 coefficients."""
+    h, w = rgb.shape[:2]
+    r = rgb[:, :, 0].astype(np.int64)
+    g = rgb[:, :, 1].astype(np.int64)
+    b = rgb[:, :, 2].astype(np.int64)
+    luma = (299 * r + 587 * g + 114 * b) // 1000
+    n = 4 * hash_size
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    small = luma[ys][:, xs]
+    C = _phash_dct_matrix(np, n)
+    coef = C @ small @ C.T          # int64-exact (|coef| < 2^45)
+    block = coef[:hash_size, :hash_size].ravel()[1:]   # drop DC
+    med = int(np.sort(block)[(len(block) - 1) // 2])   # lower median
+    bits = 0
+    for i, v in enumerate(block):
+        if int(v) > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual image hash for multimodal dedup — the image twin
+    of SimHash: decode any supported still format, integer luma,
+    32x32 nearest resize, fixed-point integer DCT-II, 63-bit
+    low-frequency median threshold. Near-duplicate images (resize,
+    re-encode, small edits) land within a few Hamming bits; pair
+    them with :func:`phash_pairs`. The whole pipeline is exact
+    integer math (hardcoded cosine table), so the hash is
+    bit-identical on any platform — safe to persist in a dedup
+    index. Row-local Arrow map; undecodable payloads yield NULLs.
+    Output: (media_id, width, height, phash)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rgb = _decode_any_rgb(bytes(p) if p is not None
+                                      else b"")
+                if rgb is None:
+                    rows.append((int(mid), None, None, None))
+                    continue
+                h, w = rgb.shape[:2]
+                ph = _phash_of_rgb(np, rgb, hash_size)
+                # store as signed int64 (bit 63 unused: 63-bit hash)
+                rows.append((int(mid), w, h, int(ph)))
+            out = pd.DataFrame(
+                rows, columns=["media_id", "width", "height",
+                               "phash"])
+            # nullable Int64, NOT float64: a None row must not send
+            # >2^53 hashes through a double (low bits would round)
+            out["phash"] = pd.array(
+                [r[3] for r in rows], dtype="Int64")
+            yield out
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 6,
+                bands: int = 4,
+                max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate IMAGE pairs: :func:`image_phash` signatures
+    through the generic banded Hamming join (dedup.hamming_pairs) —
+    banding guarantees recall for distances < bands, candidates
+    verify via bit_count(xor), never all-pairs. Output: (id_a,
+    id_b, hamming)."""
+    from .dedup import _persist_bounded, hamming_pairs
+
+    sig = image_phash(media).where(F.col("phash").isNotNull())
+    sig = _persist_bounded(sig)
+    return hamming_pairs(sig, sig_col="phash", id_col="media_id",
+                         bits=64, bands=bands,
+                         max_hamming=max_hamming,
+                         max_bucket=max_bucket)
+
+
 def resize_image(media: DataFrame, out_w: int,
                  out_h: int) -> DataFrame:
     """REAL format-agnostic resize: decode any supported still

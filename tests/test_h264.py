@@ -564,3 +564,31 @@ def test_interp_luma_matches_scalar_spec_transcription():
         want = np.array([[scalar(bx + xx, by + yy, fx, fy)
                           for xx in range(8)] for yy in range(8)])
         assert np.array_equal(got, want), (mvx, mvy, fx, fy)
+
+
+def test_p_stream_survives_bitstream_corruption():
+    """The multi-frame/P decode path under random corruption: frames
+    or None, never an exception (the Spark video operator feeds it
+    arbitrary payloads; the inter path adds MV/skip/partition parse
+    states the intra fuzz never reaches)."""
+    stream, _ = h.encode_h264_sequence(_moving_frames(3), qp=24,
+                                       disable_deblock_idc=0)
+    rng = random.Random(7)
+    for _ in range(300):
+        b = bytearray(stream)
+        kind = rng.choice(["flip", "trunc", "insert", "zero"])
+        if kind == "flip":
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        elif kind == "trunc":
+            b = b[:rng.randrange(len(b))]
+        elif kind == "insert":
+            b[rng.randrange(len(b)):0] = bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 4)))
+        else:
+            i = rng.randrange(len(b))
+            b[i:i + rng.randint(1, 16)] = b"\x00" * rng.randint(1, 16)
+        out = h.decode_h264_frames(bytes(b))   # must not raise
+        if out is not None:
+            for w_, h2, planes in out:
+                assert (w_, h2) == (64, 48)

@@ -1559,3 +1559,79 @@ def test_corpus_ingest_sink_redelivery_idempotent(spark, tmp_path):
     sink(b2, 1)
     assert snapshot() == base
     assert os.path.exists(os.path.join(acc, "_batch-1.done"))
+
+
+def _phash_test_image():
+    import numpy as np
+    yy, xx = np.mgrid[0:40, 0:50]
+    r2 = ((yy - 20.0) ** 2 / 400 + (xx - 25.0) ** 2 / 625)
+    return np.stack([np.clip(255 - 180 * r2, 0, 255),
+                     np.clip(90 + 120 * np.exp(-r2 * 2), 0, 255),
+                     np.clip(40 + 150 * r2, 0, 255)],
+                    -1).astype(np.uint8)
+
+
+def test_image_phash_robustness_and_discrimination():
+    """pHash kernel properties: format-independent (same pixels, any
+    container), stable under brightness shift / mild noise /
+    2x downscale (small Hamming), far from an unrelated image, and
+    the fixed-point DCT table matches libm cos exactly at 2^14."""
+    import math
+
+    import numpy as np
+
+    from siridb_server_spark.operators.multimodal import (
+        _phash_dct_matrix, _phash_of_rgb)
+
+    C = _phash_dct_matrix(np)
+    for k in range(32):
+        for j in range(0, 32, 5):
+            want = round(math.cos(
+                math.pi * (2 * j + 1) * k / 64) * 16384)
+            assert C[k, j] == want
+
+    img = _phash_test_image()
+    rng = np.random.default_rng(3)
+    h0 = _phash_of_rgb(np, img)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    bright = np.clip(img.astype(int) + 12, 0, 255).astype(np.uint8)
+    noise = np.clip(img.astype(int)
+                    + rng.integers(-4, 5, img.shape),
+                    0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, img.shape).astype(np.uint8)
+    assert ham(h0, _phash_of_rgb(np, bright)) <= 4
+    assert ham(h0, _phash_of_rgb(np, noise)) <= 8
+    assert ham(h0, _phash_of_rgb(np, img[::2, ::2])) <= 8
+    assert ham(h0, _phash_of_rgb(np, other)) > 16
+
+
+def test_phash_pairs_spark_end_to_end(spark):
+    """image_phash + banded Hamming join over PNG/PPM payloads: the
+    identical-pixels pair verifies at 0, the brightness copy within
+    the threshold, the unrelated image excluded, junk NULLs out."""
+    import numpy as np
+
+    img = _phash_test_image()
+    bright = np.clip(img.astype(int) + 12, 0, 255).astype(np.uint8)
+    other = np.random.default_rng(9).integers(
+        0, 256, img.shape).astype(np.uint8)
+    ppm = b"P6\n50 40\n255\n" + img.tobytes()
+    rows = [(1, "image", MM.encode_png(img), "image/png"),
+            (2, "image", ppm, "image/x-portable-pixmap"),
+            (3, "image", MM.encode_png(bright), "image/png"),
+            (4, "image", MM.encode_png(other), "image/png"),
+            (5, "image", b"junk", "application/x-junk")]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    hashes = {r["media_id"]: r["phash"]
+              for r in MM.image_phash(media).collect()}
+    assert hashes[1] == hashes[2] and hashes[5] is None
+    assert hashes[1] is not None and hashes[1] > 0
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in MM.phash_pairs(media, max_hamming=6)
+             .collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
