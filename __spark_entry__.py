@@ -1203,6 +1203,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_image_phash_pairs"] = dedup_image_phash_pairs
 
+    def _audio_fixture(spark):
+        """Three PCM16 WAVs: a six-tone melody, the SAME melody
+        delayed by 4096 samples with mild noise (a re-encoded
+        excerpt, the containment case), and unrelated noise — plus
+        junk (no landmarks)."""
+        import struct
+
+        import numpy as np
+
+        def wav_of(sig16, rate=8000):
+            data = sig16.astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2,
+                              2, 16)
+            body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            return (b"RIFF" + struct.pack("<I", 4 + len(body))
+                    + b"WAVE" + body)
+
+        rng = np.random.default_rng(5)
+        t = np.arange(16384) / 8000.0
+        sig = np.concatenate(
+            [np.sin(2 * np.pi * f * t[:2730]) * 9000
+             for f in (440, 660, 550, 880, 495, 770)])[:16384]
+        delayed = np.concatenate([np.zeros(4096), sig])[:20480]
+        delayed = delayed + rng.normal(0, 50, len(delayed))
+        rows = [(1, "audio", wav_of(sig), "audio/wav"),
+                (2, "audio",
+                 wav_of(np.clip(delayed, -32768, 32767)),
+                 "audio/wav"),
+                (3, "audio",
+                 wav_of(rng.normal(0, 8000, 16384)
+                        .clip(-32768, 32767)), "audio/wav"),
+                (4, "audio", b"junk", "application/x-junk")]
+        return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    def multimodal_audio_fingerprint(spark, sf_dir):
+        """Landmark audio fingerprints (peak-constellation hashing,
+        Wang 2003): STFT peaks → (f1, f2, dt) hashes, one row per
+        landmark — summarized per clip as exact landmark/distinct-fp
+        counts (golden constants; the matching behavior itself is
+        the dedup_audio_match entry)."""
+        fps = MM.audio_fingerprint(_audio_fixture(spark))
+        return (fps.groupBy("media_id")
+                .agg(F.count(F.lit(1)).alias("n_landmarks"),
+                     F.count_distinct("fp").alias("n_distinct_fp")))
+
+    q["multimodal_audio_fingerprint"] = multimodal_audio_fingerprint
+
+    def dedup_audio_match(spark, sf_dir):
+        """Audio near-dup/containment matching: fingerprints joined
+        on the landmark hash, then the time-offset histogram — the
+        delayed copy aligns EVERY landmark of the original at one
+        constant offset (−16 frames = 4096 samples / 256 hop), the
+        unrelated clip never clears min_matches. One equi-join + one
+        groupBy; never all-pairs."""
+        return MM.audio_match_pairs(_audio_fixture(spark),
+                                    min_matches=5)
+
+    q["dedup_audio_match"] = dedup_audio_match
+
     def multimodal_resize_any(spark, sf_dir):
         """REAL format-agnostic resize to 2x2 across ALL the really-
         decoded formats in one frame: a PNG (sampled source pixels
@@ -2080,7 +2140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "text_quality_score", "text_tfidf_sources",
              "text_bm25_search", "curation_sample_sources",
              "multimodal_h264_pframes", "multimodal_image_phash",
-             "dedup_image_phash_pairs")
+             "dedup_image_phash_pairs", "multimodal_audio_fingerprint",
+             "dedup_audio_match")
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
              "text_pii_mask", "text_top_ngrams", "text_fingerprint",
@@ -3743,6 +3804,21 @@ def oracle_sql() -> dict[str, str]:
         " CAST(0 AS BIGINT) AS hamming"
         " UNION ALL SELECT 1, 3, 2"
         " UNION ALL SELECT 2, 3, 2"
+    )
+    # audio landmark goldens (deterministic synthesis + numpy rfft
+    # on the one machine both engines run on; matching properties
+    # are additionally pytest-asserted)
+    o["multimodal_audio_fingerprint"] = (
+        "SELECT CAST(1 AS BIGINT) AS media_id,"
+        " CAST(909 AS BIGINT) AS n_landmarks,"
+        " CAST(179 AS BIGINT) AS n_distinct_fp"
+        " UNION ALL SELECT 2, 1149, 403"
+        " UNION ALL SELECT 3, 924, 914"
+    )
+    o["dedup_audio_match"] = (
+        "SELECT CAST(1 AS BIGINT) AS id_a, CAST(2 AS BIGINT) AS id_b,"
+        " CAST(-16 AS BIGINT) AS offset,"
+        " CAST(909 AS BIGINT) AS n_matches"
     )
     # P-frame golden (deterministic integer decode; the mp4 track
     # and the raw Annex B stream must agree frame-for-frame)

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "multimodal_h264_pframes",
     "multimodal_image_phash",
     "dedup_image_phash_pairs",
+    "multimodal_audio_fingerprint",
+    "dedup_audio_match",
     # event analytics
     "events_flow",
     "events_cohorts",

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2085,6 +2085,113 @@ def wav_features(media: DataFrame, frame: int = 256,
                 rows, columns=[f.name for f in WAV_FEATURES_SCHEMA])
 
     return media.mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
+
+
+def _landmarks_of_wav(np, payload: bytes, frame: int, hop: int,
+                      peaks_per_frame: int, fan_out: int,
+                      dt_max: int):
+    """Per-clip landmark extraction (peak-constellation hashing,
+    the public scheme of Wang 2003): STFT → top-k spectral peak
+    bins per frame (DC excluded, stable (-mag, bin) order) → each
+    peak pairs with the next ``fan_out`` peaks within ``dt_max``
+    frames → hash packs (f1, f2, dt) into one int. Returns a list
+    of (t1_frame, fp) or None for invalid/too-short payloads."""
+    parsed = _parse_wav_pcm(payload)
+    if parsed is None:
+        return None
+    channels, rate, samples = parsed
+    n = len(samples) // channels
+    if n < frame:
+        return None
+    sig = samples[:n * channels].reshape(n, channels).mean(axis=1)
+    n_frames = 1 + (n - frame) // hop
+    idx = (np.arange(frame)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    spec = np.abs(np.fft.rfft(sig[idx], axis=1))
+    peaks = []          # (t, bin) in time order, stable peak order
+    for t in range(n_frames):
+        mag = spec[t]
+        order = np.lexsort((np.arange(1, len(mag)), -mag[1:]))
+        for b in order[:peaks_per_frame]:
+            peaks.append((t, int(b) + 1))
+    out = []
+    for i, (t1, f1) in enumerate(peaks):
+        paired = 0
+        for t2, f2 in peaks[i + 1:]:
+            dt = t2 - t1
+            if dt <= 0:
+                continue
+            if dt > dt_max or paired >= fan_out:
+                break
+            fp = (f1 << 15) | (f2 << 6) | dt
+            out.append((t1, fp))
+            paired += 1
+    return out
+
+
+def audio_fingerprint(media: DataFrame, frame: int = 512,
+                      hop: int = 256, peaks_per_frame: int = 3,
+                      fan_out: int = 5,
+                      dt_max: int = 32) -> DataFrame:
+    """Landmark audio fingerprints for near-duplicate / containment
+    detection over an audio corpus — the audio twin of MinHash/pHash
+    dedup: one row per landmark (media_id, t1, fp), where fp packs
+    (peak-bin-1, peak-bin-2, frame-delta). Landmarks are local (a
+    time shift changes t1 but not fp), so two encodings or an
+    excerpt of the same recording share most fps — match them with
+    :func:`audio_match_pairs`. Row-local Arrow map (one rfft batch
+    per clip); invalid/too-short payloads yield no rows."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("t1", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                lms = _landmarks_of_wav(
+                    np, bytes(p) if p is not None else b"",
+                    frame, hop, peaks_per_frame, fan_out, dt_max)
+                if lms is None:
+                    continue
+                rows.extend((int(mid), t, fp) for t, fp in lms)
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "t1", "fp"])
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def audio_match_pairs(media: DataFrame, min_matches: int = 5,
+                      **fp_opts) -> DataFrame:
+    """Audio near-dup/containment pairs: fingerprint landmarks
+    self-joined on fp, then the classic time-offset histogram —
+    a true match aligns many landmarks at ONE constant offset
+    (t1_a − t1_b), noise spreads across offsets. One equi-join on
+    the fp hash + one groupBy: never all-pairs, and the join key is
+    a 24-bit-ish hash with natural selectivity — the 100 TB shape.
+    Output: (id_a, id_b, offset, n_matches) for the best-aligned
+    offset of every pair clearing ``min_matches``."""
+    from .dedup import _persist_bounded
+
+    fps = _persist_bounded(audio_fingerprint(media, **fp_opts))
+    a, b = fps.alias("a"), fps.alias("b")
+    hist = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .groupBy(F.col("a.media_id").alias("id_a"),
+                     F.col("b.media_id").alias("id_b"),
+                     (F.col("a.t1") - F.col("b.t1")).alias("offset"))
+            .agg(F.count(F.lit(1)).alias("n_matches")))
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("n_matches"), F.asc("offset"))
+    return (hist.withColumn("_rk", F.row_number().over(w))
+            .where((F.col("_rk") == 1)
+                   & (F.col("n_matches") >= min_matches))
+            .drop("_rk"))
 
 
 PPM_RESIZE_SCHEMA = T.StructType([

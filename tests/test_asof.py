@@ -61,21 +61,18 @@ def test_unigram_logprob(spark):
     df = spark.createDataFrame(
         [(0, "a a b"), (1, "a b"), (2, "")],
         "doc_id long, text string")
-    out = {r["doc_id"]: (r["n_tokens"], r["xent_micro"])
-           for r in unigram_logprob(df).collect()}
-    # corpus: a=3, b=2, total=5; contract is the quantized-term
-    # micro-nat mean: q(t) = floor(t*1e6 + 0.5), then half-up mean
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # corpus: a=3, b=2, total=5. Hashed contract = the exact-integer
+    # sufficient statistics; the ln-seeded xent is pytest-verified
+    # with tolerance (ARCHITECTURE.md contract policy)
     pa, pb = 3 / 5, 2 / 5
-
-    def q(t):
-        return math.floor(t * 1e6 + 0.5)
-
-    def qmean(terms):
-        s, n = sum(q(t) for t in terms), len(terms)
-        return (2 * s + n) // (2 * n)
-
-    x0 = qmean([-math.log(pa), -math.log(pa), -math.log(pb)])
-    x1 = qmean([-math.log(pa), -math.log(pb)])
-    assert out[0] == (3, x0)
-    assert out[1] == (2, x1)
+    r0, r1 = out[0], out[1]
+    assert (r0["n_tokens"], r0["n_types"]) == (3, 2)
+    assert (r0["sum_nw"], r0["max_nw"]) == (3 + 3 + 2, 3)
+    assert (r1["n_tokens"], r1["n_types"]) == (2, 2)
+    assert (r1["sum_nw"], r1["max_nw"]) == (3 + 2, 3)
+    x0 = -(2 * math.log(pa) + math.log(pb)) / 3
+    x1 = -(math.log(pa) + math.log(pb)) / 2
+    assert abs(r0["xent"] - x0) < 1e-12
+    assert abs(r1["xent"] - x1) < 1e-12
     assert 2 not in out                     # empty text filtered

@@ -1635,3 +1635,52 @@ def test_phash_pairs_spark_end_to_end(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def _wav_of(sig16, rate=8000):
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(sig16).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_audio_match_pairs_alignment(spark):
+    """Landmark matching end-to-end: a delayed noisy copy of a
+    melody aligns at exactly its sample delay (4096/256 hop = 16
+    frames) with every landmark of the original matching; unrelated
+    noise never clears the threshold; a time-SHIFTED copy shares the
+    fps (landmarks are local), which is the property that makes the
+    scheme an excerpt/containment detector."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    t = np.arange(16384) / 8000.0
+    sig = np.concatenate(
+        [np.sin(2 * np.pi * f * t[:2730]) * 9000
+         for f in (440, 660, 550, 880, 495, 770)])[:16384]
+    delayed = np.concatenate([np.zeros(4096), sig])[:20480]
+    delayed = delayed + rng.normal(0, 50, len(delayed))
+    rows = [(1, "audio", _wav_of(sig), "audio/wav"),
+            (2, "audio",
+             _wav_of(np.clip(delayed, -32768, 32767)), "audio/wav"),
+            (3, "audio",
+             _wav_of(rng.normal(0, 8000, 16384)
+                     .clip(-32768, 32767)), "audio/wav"),
+            (4, "audio", b"junk", "application/x-junk")]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    n_lms = {r["media_id"]: r["n"] for r in
+             MM.audio_fingerprint(media)
+             .groupBy("media_id").agg(F.count("*").alias("n"))
+             .collect()}
+    assert 4 not in n_lms and n_lms[1] > 500
+    got = {(r["id_a"], r["id_b"]): (r["offset"], r["n_matches"])
+           for r in MM.audio_match_pairs(media, min_matches=5)
+           .collect()}
+    assert got[(1, 2)][0] == -16          # 4096 samples / 256 hop
+    assert got[(1, 2)][1] == n_lms[1]     # every landmark aligned
+    assert not any(3 in p for p in got)
