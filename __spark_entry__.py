@@ -1263,6 +1263,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_audio_match"] = dedup_audio_match
 
+    def dedup_video_match(spark, sf_dir):
+        """Video near-dup/excerpt detection — the multimodal dedup
+        triad's third leg (text SimHash / image pHash / audio
+        landmarks / video = per-frame pHash + offset histogram):
+        three H.264 streams (a 6-frame textured pan, a 4-frame
+        re-encode of its frames 2..5 — the excerpt case — and
+        unrelated noise, plus junk). Frame pairs within the Hamming
+        threshold come from the banded join (lossy re-encodes land a
+        few bits apart, so exact equality is the wrong key); the
+        excerpt aligns ALL four frames at offset 2; noise never
+        pairs. Golden single-row oracle; separation margins are
+        pytest-asserted."""
+        import numpy as np
+
+        def frames_of(n, shift0=0):
+            yy, xx = np.mgrid[0:48, 0:64]
+            r2 = ((yy - 24.0) ** 2 / 576 + (xx - 32.0) ** 2 / 1024)
+            tex = ((xx // 8 + yy // 8) % 2) * 60
+            base = np.stack(
+                [np.clip(195 - 160 * r2, 0, 255),
+                 np.clip(60 + 120 * np.exp(-r2 * 2) + tex, 0, 255),
+                 np.clip(40 + 150 * r2 + tex, 0, 255)],
+                -1).astype(np.uint8)
+            return [np.roll(base, (3 * (i + shift0),
+                                   5 * (i + shift0)), (0, 1))
+                    for i in range(n)]
+
+        kinds = ("p16", "p16x8", "p8x16", "p8x8", "i16")
+        rng = np.random.default_rng(1)
+        rows = []
+        for mid, fr in ((1, frames_of(6)), (2, frames_of(4, 2)),
+                        (3, [rng.integers(0, 256, (48, 64, 3))
+                             .astype(np.uint8) for _ in range(4)])):
+            stream, _ = H264.encode_h264_sequence(
+                fr, qp=14, disable_deblock_idc=0, p_kinds=kinds)
+            rows.append((mid, "video", stream, "video/h264"))
+        rows.append((4, "video", b"junk", "application/x-junk"))
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return MM.video_match_pairs(media, max_hamming=8,
+                                    min_matches=2, bands=8)
+
+    q["dedup_video_match"] = dedup_video_match
+
     def multimodal_resize_any(spark, sf_dir):
         """REAL format-agnostic resize to 2x2 across ALL the really-
         decoded formats in one frame: a PNG (sampled source pixels
@@ -2141,7 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "text_bm25_search", "curation_sample_sources",
              "multimodal_h264_pframes", "multimodal_image_phash",
              "dedup_image_phash_pairs", "multimodal_audio_fingerprint",
-             "dedup_audio_match")
+             "dedup_audio_match", "dedup_video_match")
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
              "text_pii_mask", "text_top_ngrams", "text_fingerprint",
@@ -3819,6 +3862,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(1 AS BIGINT) AS id_a, CAST(2 AS BIGINT) AS id_b,"
         " CAST(-16 AS BIGINT) AS offset,"
         " CAST(909 AS BIGINT) AS n_matches"
+    )
+    o["dedup_video_match"] = (
+        "SELECT CAST(1 AS BIGINT) AS id_a, CAST(2 AS BIGINT) AS id_b,"
+        " CAST(2 AS BIGINT) AS offset,"
+        " CAST(4 AS BIGINT) AS n_matches"
     )
     # P-frame golden (deterministic integer decode; the mp4 track
     # and the raw Annex B stream must agree frame-for-frame)

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "dedup_image_phash_pairs",
     "multimodal_audio_fingerprint",
     "dedup_audio_match",
+    "dedup_video_match",
     # event analytics
     "events_flow",
     "events_cohorts",

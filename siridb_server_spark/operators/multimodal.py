@@ -2194,6 +2194,110 @@ def audio_match_pairs(media: DataFrame, min_matches: int = 5,
             .drop("_rk"))
 
 
+def video_phash_frames(media: DataFrame, every_n: int = 1,
+                       hash_size: int = 8) -> DataFrame:
+    """Per-frame perceptual hashes of really-decoded video: H.264
+    frames (mp4 avc1 tracks decoded statefully in sample order, or
+    multi-frame Annex B) through the exact-integer pHash kernel.
+    One row per sampled decoded frame: (media_id, frame_idx,
+    phash). Row-local Arrow map; undecodable payloads yield no
+    rows. The video twin of :func:`image_phash` — feed
+    :func:`video_match_pairs` for near-dup/excerpt detection."""
+    from . import h264 as _h264
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                mid = int(mid)
+                frames = None
+                m = _parse_mp4(p)
+                if m is not None and m["avcc"] is not None:
+                    track = b"".join(p[off:off + sz]
+                                     for off, sz in m["samples"])
+                    frames = _h264.decode_h264_frames(
+                        track, avcc=m["avcc"],
+                        max_frames=len(m["samples"]))
+                elif (p[:4] == b"\x00\x00\x00\x01"
+                        or p[:3] == b"\x00\x00\x01"):
+                    frames = _h264.decode_h264_frames(p)
+                if frames is None:
+                    continue
+                for i in range(0, len(frames), every_n):
+                    _w, _h, planes = frames[i]
+                    rgb = _h264._yuv420_to_rgb(*planes)
+                    rows.append((mid, i,
+                                 _phash_of_rgb(np, rgb, hash_size)))
+            out = pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "phash"])
+            out["phash"] = pd.array([r[2] for r in rows],
+                                    dtype="Int64")
+            yield out
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def video_match_pairs(media: DataFrame, max_hamming: int = 8,
+                      min_matches: int = 2, bands: int = 4,
+                      every_n: int = 1,
+                      max_bucket: int | None = None) -> DataFrame:
+    """Video near-dup/excerpt pairs — the offset-histogram scheme of
+    :func:`audio_match_pairs` over per-frame pHashes: frame pairs
+    within ``max_hamming`` found by the banded Hamming join (lossy
+    re-encodes of the same content land a few bits apart, so exact
+    hash equality is the wrong key), then grouped by the frame-index
+    offset — a true copy/excerpt aligns many frames at ONE constant
+    offset. Never all-pairs: banding + bit_count verify, one extra
+    groupBy. Output: (id_a, id_b, offset, n_matches) for each
+    pair's best-aligned offset clearing ``min_matches``."""
+    from .dedup import _persist_bounded, hamming_pairs
+
+    sig = video_phash_frames(media, every_n=every_n)
+    # pack (media, frame) into one id for the generic pair join;
+    # frame counts stay far below 2^20
+    packed = sig.select(
+        (F.col("media_id") * F.lit(1 << 20)
+         + F.col("frame_idx")).alias("fid"),
+        "phash")
+    packed = _persist_bounded(packed)
+    fp = hamming_pairs(packed, sig_col="phash", id_col="fid",
+                       bits=64, bands=bands,
+                       max_hamming=max_hamming,
+                       max_bucket=max_bucket)
+    pairs = fp.select(
+        F.shiftright(F.col("id_a"), 20).alias("ma"),
+        (F.col("id_a") % F.lit(1 << 20)).alias("fa"),
+        F.shiftright(F.col("id_b"), 20).alias("mb"),
+        (F.col("id_b") % F.lit(1 << 20)).alias("fb")) \
+        .where(F.col("ma") != F.col("mb"))
+    # normalize pair order (the packed ids order by (media, frame),
+    # which can interleave for frame-level pairs)
+    norm = pairs.select(
+        F.least("ma", "mb").alias("id_a"),
+        F.greatest("ma", "mb").alias("id_b"),
+        F.when(F.col("ma") < F.col("mb"),
+               F.col("fa") - F.col("fb"))
+        .otherwise(F.col("fb") - F.col("fa")).alias("offset"))
+    hist = (norm.groupBy("id_a", "id_b", "offset")
+            .agg(F.count(F.lit(1)).alias("n_matches")))
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("n_matches"), F.asc("offset"))
+    return (hist.withColumn("_rk", F.row_number().over(w))
+            .where((F.col("_rk") == 1)
+                   & (F.col("n_matches") >= min_matches))
+            .drop("_rk"))
+
+
 PPM_RESIZE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.LongType(), True),

@@ -1684,3 +1684,56 @@ def test_audio_match_pairs_alignment(spark):
     assert got[(1, 2)][0] == -16          # 4096 samples / 256 hop
     assert got[(1, 2)][1] == n_lms[1]     # every landmark aligned
     assert not any(3 in p for p in got)
+
+
+def test_video_match_pairs_excerpt(spark):
+    """Video dedup e2e: a 4-frame re-encode of frames 2..5 of a
+    6-frame textured pan aligns at offset 2 with ALL four frames
+    matched; unrelated noise video and junk never pair. Aligned
+    frame hashes sit within 4 bits, non-aligned >= 18 — the margin
+    the banded Hamming join (bands=8 -> guaranteed recall below 8)
+    relies on."""
+    import numpy as np
+
+    from siridb_server_spark.operators import h264 as H264
+
+    def frames_of(n, shift0=0):
+        yy, xx = np.mgrid[0:48, 0:64]
+        r2 = ((yy - 24.0) ** 2 / 576 + (xx - 32.0) ** 2 / 1024)
+        tex = ((xx // 8 + yy // 8) % 2) * 60
+        base = np.stack(
+            [np.clip(195 - 160 * r2, 0, 255),
+             np.clip(60 + 120 * np.exp(-r2 * 2) + tex, 0, 255),
+             np.clip(40 + 150 * r2 + tex, 0, 255)],
+            -1).astype(np.uint8)
+        return [np.roll(base, (3 * (i + shift0), 5 * (i + shift0)),
+                        (0, 1)) for i in range(n)]
+
+    kinds = ("p16", "p16x8", "p8x16", "p8x8", "i16")
+    rng = np.random.default_rng(1)
+    rows = []
+    for mid, fr in ((1, frames_of(6)), (2, frames_of(4, 2)),
+                    (3, [rng.integers(0, 256, (48, 64, 3))
+                         .astype(np.uint8) for _ in range(4)])):
+        stream, _ = H264.encode_h264_sequence(
+            fr, qp=14, disable_deblock_idc=0, p_kinds=kinds)
+        rows.append((mid, "video", stream, "video/h264"))
+    rows.append((4, "video", b"junk", "application/x-junk"))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    sig = MM.video_phash_frames(media).collect()
+    assert len(sig) == 14                 # 6 + 4 + 4, junk none
+    h = {(r["media_id"], r["frame_idx"]): r["phash"] for r in sig}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for j in range(4):
+        assert ham(h[(2, j)], h[(1, j + 2)]) <= 4
+        assert min(ham(h[(2, j)], h[(1, i)])
+                   for i in range(6) if i != j + 2) >= 12
+    out = MM.video_match_pairs(media, max_hamming=8,
+                               min_matches=2, bands=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["offset"],
+            r["n_matches"]) == (1, 2, 2, 4)
