@@ -113,6 +113,15 @@ def _decode_probes():
             _media_frame(s, d, p["mp4"], "video")),
         "probe_h264_decode": lambda s, d: _MM.decode_video_frames(
             _media_frame(s, d, p["h264"], "video")),
+        # r8 multimodal-dedup kernels: hashing/fingerprinting is the
+        # row-linear part (the pair joins are bucketed separately);
+        # one payload copy per documents row scales the map with K
+        "probe_image_phash": lambda s, d: _MM.image_phash(
+            _media_frame(s, d, p["png"], "image")),
+        "probe_audio_fingerprint": lambda s, d: _MM.audio_fingerprint(
+            _media_frame(s, d, p["wav"], "audio")),
+        "probe_video_phash": lambda s, d: _MM.video_phash_frames(
+            _media_frame(s, d, p["h264"], "video")),
     }
 
 

@@ -778,6 +778,24 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 64,
                          max_bucket=max_bucket)
 
 
+def banded_bits(sig: DataFrame, sig_col: str, id_col: str,
+                bits: int = 64, bands: int = 4) -> DataFrame:
+    """The band rows of a bit-signature column: (_id, _sig, band,
+    key) with key = the band's ``bits/bands``-bit chunk — shared by
+    the in-memory pair join and the persisted media dedup index so
+    probe and index band math always align."""
+    chunk = bits // bands
+    return sig.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig_col), b * chunk)
+                .bitwiseAND(F.lit((1 << chunk) - 1)).alias("key"))
+            for b in range(bands)])).alias("bb"))\
+        .select("_id", "_sig", "bb.band", "bb.key")
+
+
 def hamming_pairs(sig: DataFrame, sig_col: str, id_col: str,
                   bits: int = 64, bands: int = 4,
                   max_hamming: int = 3,
@@ -790,16 +808,7 @@ def hamming_pairs(sig: DataFrame, sig_col: str, id_col: str,
     candidate blowup. One explode + one equi-join on (band, key) —
     never all-pairs, the 100 TB shape. Output: (id_a, id_b,
     hamming)."""
-    chunk = bits // bands
-    banded = sig.select(
-        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col(sig_col), b * chunk)
-                .bitwiseAND(F.lit((1 << chunk) - 1)).alias("key"))
-            for b in range(bands)])).alias("bb"))\
-        .select("_id", "_sig", "bb.band", "bb.key")
+    banded = banded_bits(sig, sig_col, id_col, bits, bands)
     banded = _cap_hot_buckets(banded, ["band", "key"], max_bucket)
     a, b_ = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(

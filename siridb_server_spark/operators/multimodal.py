@@ -2298,6 +2298,90 @@ def video_match_pairs(media: DataFrame, max_hamming: int = 8,
             .drop("_rk"))
 
 
+def build_media_dedup_index(media: DataFrame, path: str,
+                            bands: int = 4, **fp_opts) -> None:
+    """Persist (or extend — mode append) the MEDIA dedup index for a
+    crawl pipeline — the multimodal twin of
+    ``dedup.build_dedup_index``: ``{path}/phash_bands`` holds the
+    banded pHash rows of every decodable image, partitioned by band
+    (probes prune to their band's directory); ``{path}/audio_fp``
+    holds every audio landmark (media_id, t1, fp). History is then
+    only ever touched through these hashes+ids — a few hundred
+    bytes per asset at 100 TB, never the payload bytes. Probe with
+    the SAME ``bands``/fingerprint options."""
+    from .dedup import banded_bits
+
+    sig = image_phash(media).where(F.col("phash").isNotNull())
+    (banded_bits(sig, "phash", "media_id", bits=64, bands=bands)
+     .withColumnRenamed("_id", "media_id")
+     .withColumnRenamed("_sig", "phash")
+     .write.mode("append").partitionBy("band")
+     .parquet(path + "/phash_bands"))
+    (audio_fingerprint(media, **fp_opts)
+     .write.mode("append").parquet(path + "/audio_fp"))
+
+
+def media_dedup_incremental(media: DataFrame, path: str,
+                            max_hamming: int = 6,
+                            min_matches: int = 5, bands: int = 4,
+                            max_bucket: int | None = None,
+                            **fp_opts) -> DataFrame:
+    """Dedup a NEW media batch against the persisted index: image
+    hits via the banded Hamming probe of ``{path}/phash_bands``
+    (bit_count verify ≤ max_hamming), audio hits via the landmark
+    join against ``{path}/audio_fp`` with the time-offset histogram
+    clearing ``min_matches``. Per new asset the single best match
+    wins (image: smallest hamming then smallest match_id; audio:
+    most aligned matches). Self-matches are excluded, so redelivered
+    batches that already extended the index probe cleanly (the
+    streaming-sink property). Both joins are hash-equi with the new
+    side small by definition — the historical corpus is touched
+    only through its index. Output: (media_id, match_id, kind,
+    score) where kind is 'image' (score = hamming) or 'audio'
+    (score = n_matches at the best offset)."""
+    from .dedup import _cap_hot_buckets, banded_bits
+
+    spark = media.sparkSession
+    sig = image_phash(media).where(F.col("phash").isNotNull())
+    probe = banded_bits(sig, "phash", "media_id", bits=64,
+                        bands=bands)
+    probe = _cap_hot_buckets(probe, ["band", "key"], max_bucket)
+    idx = spark.read.parquet(path + "/phash_bands").select(
+        F.col("media_id").alias("match_id"),
+        F.col("phash").alias("isig"), "band", "key")
+    ham = F.bit_count(F.col("_sig").bitwiseXOR(F.col("isig")))
+    image = (probe.join(idx, ["band", "key"])
+             .where(F.col("_id") != F.col("match_id"))
+             .select(F.col("_id").alias("media_id"), "match_id",
+                     ham.alias("hamming"))
+             .where(F.col("hamming") <= max_hamming)
+             .groupBy("media_id")
+             .agg(F.min(F.struct("hamming", "match_id")).alias("w"))
+             .select("media_id", F.col("w.match_id").alias("match_id"),
+                     F.lit("image").alias("kind"),
+                     F.col("w.hamming").cast("long").alias("score")))
+    fps = audio_fingerprint(media, **fp_opts)
+    idx_fp = spark.read.parquet(path + "/audio_fp").select(
+        F.col("media_id").alias("match_id"),
+        F.col("t1").alias("t1_idx"), "fp")
+    audio = (fps.join(idx_fp, "fp")
+             .where(F.col("media_id") != F.col("match_id"))
+             .groupBy("media_id", "match_id",
+                      (F.col("t1") - F.col("t1_idx")).alias("off"))
+             .agg(F.count(F.lit(1)).alias("n_matches"))
+             .where(F.col("n_matches") >= min_matches)
+             .groupBy("media_id")
+             .agg(F.max(F.struct(
+                 "n_matches",
+                 (-F.col("match_id")).alias("neg"))).alias("w"))
+             .select("media_id",
+                     (-F.col("w.neg")).alias("match_id"),
+                     F.lit("audio").alias("kind"),
+                     F.col("w.n_matches").cast("long")
+                     .alias("score")))
+    return image.unionByName(audio)
+
+
 PPM_RESIZE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.LongType(), True),

@@ -1737,3 +1737,48 @@ def test_video_match_pairs_excerpt(spark):
     r = out[0]
     assert (r["id_a"], r["id_b"], r["offset"],
             r["n_matches"]) == (1, 2, 2, 4)
+
+
+def test_media_dedup_incremental_index(spark, tmp_path):
+    """The crawl-pipeline shape for MEDIA: history persisted as a
+    phash-band + audio-landmark index, a new batch probed against it
+    without touching history payloads. An image near-dup of an
+    indexed image and a delayed copy of an indexed melody both hit;
+    fresh assets don't; self-ids are excluded so re-probing an
+    already-indexed batch is clean."""
+    import numpy as np
+
+    idx = str(tmp_path / "midx")
+    img = _phash_test_image()
+    bright = np.clip(img.astype(int) + 12, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(5)
+    t = np.arange(16384) / 8000.0
+    sig = np.concatenate(
+        [np.sin(2 * np.pi * f * t[:2730]) * 9000
+         for f in (440, 660, 550, 880, 495, 770)])[:16384]
+    delayed = np.concatenate([np.zeros(4096), sig])[:20480]
+    hist = spark.createDataFrame(
+        [(1, "image", MM.encode_png(img), "image/png"),
+         (2, "audio", _wav_of(sig), "audio/wav")],
+        MM.MEDIA_SCHEMA)
+    MM.build_media_dedup_index(hist, idx)
+    new = spark.createDataFrame(
+        [(10, "image", MM.encode_png(bright), "image/png"),
+         (11, "audio",
+          _wav_of(np.clip(delayed, -32768, 32767)), "audio/wav"),
+         (12, "image", MM.encode_png(
+             rng.integers(0, 256, img.shape).astype(np.uint8)),
+          "image/png"),
+         (13, "audio",
+          _wav_of(rng.normal(0, 8000, 16384).clip(-32768, 32767)),
+          "audio/wav")],
+        MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: (r["match_id"], r["kind"], r["score"])
+           for r in MM.media_dedup_incremental(new, idx).collect()}
+    assert got[10] == (1, "image", 2)       # hamming 2 near-dup
+    assert got[11][0] == 1 + 1 and got[11][1] == "audio"
+    assert got[11][2] > 500                 # aligned landmark count
+    assert 12 not in got and 13 not in got
+    # probe the HISTORY batch against its own index: self-excluded
+    again = MM.media_dedup_incremental(hist, idx).collect()
+    assert again == []

@@ -355,6 +355,33 @@ def test_rollup_edge_ranges_unit():
     assert f(601, 1200, 600) == [(601, 1199)]
 
 
+def test_rollup_edge_ranges_tile_exhaustively():
+    """Every ts in [t0, t1) is covered EXACTLY ONCE by either an
+    interior bucket (rbucket R with t0+B-1 <= R <= t1-1, the filter
+    _rollup_pipeline applies to partials) or an edge interval —
+    brute-forced over every (t0, t1) pair for a small bucket, the
+    geometry class whose aligned-start/same-bucket corner silently
+    dropped data before round 8."""
+    f = SiriEngine._rollup_edge_ranges
+    B = 8
+    for t0 in range(1, 50):
+        for t1 in range(t0 + 1, 60):
+            edges = f(t0, t1, B)
+            # edge intervals must not overlap interior buckets
+            interior = set()
+            for ts in range(t0, t1):
+                r = -(-ts // B) * B        # right-closed bucket label
+                if t0 + B - 1 <= r <= t1 - 1:
+                    interior.add(ts)
+            edged = []
+            for lo, hi in edges:
+                edged.extend(range(lo, hi + 1))
+            assert len(edged) == len(set(edged)), (t0, t1, edges)
+            covered = interior | set(edged)
+            assert covered == set(range(t0, t1)), (t0, t1, edges)
+            assert not (interior & set(edged)), (t0, t1, edges)
+
+
 def test_phrase_search_tokenizes_phrase_like_text(spark):
     from siridb_server_spark.operators import text as TX
 

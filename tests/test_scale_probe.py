@@ -67,6 +67,10 @@ BOUNDS = {
     # (probe set and cells don't grow; a lost broadcast or a
     # query-side blowup would land ~K²)
     "sim_ann_recall": K * 2,
+    # r8 multimodal-dedup kernels: row-local Arrow maps — linear
+    "probe_image_phash": K * 2,
+    "probe_audio_fingerprint": K * 2,
+    "probe_video_phash": K * 2,
 }
 
 
