@@ -592,3 +592,39 @@ def test_p_stream_survives_bitstream_corruption():
         if out is not None:
             for w_, h2, planes in out:
                 assert (w_, h2) == (64, 48)
+
+
+def test_p_frames_cropped_dims_long_chain():
+    """Non-MB-aligned picture (28x20, cropped from 32x32 MBs) over
+    an 8-frame prediction chain: MC reads the padded reconstruction
+    at the crop edges and every frame stays bit-exact — at low and
+    high QP, with deblocking on."""
+    yy, xx = np.mgrid[0:20, 0:28]
+    base = np.stack([(yy * 7) % 256, (xx * 5) % 256,
+                     ((xx + yy) * 3) % 256], -1).astype(np.uint8)
+    frames = [np.roll(base, (i, 2 * i), (0, 1)) for i in range(8)]
+    for qp in (16, 30):
+        stream, recons = h.encode_h264_sequence(
+            frames, qp=qp, disable_deblock_idc=0)
+        out = h.decode_h264_frames(stream)
+        assert out is not None and len(out) == 8
+        for i, (w_, h2, planes) in enumerate(out):
+            assert (w_, h2) == (28, 20)
+            assert np.array_equal(h._yuv420_to_rgb(*planes),
+                                  recons[i]), (qp, i)
+
+
+def test_p_skip_at_origin_single_mb_chain():
+    """P_Skip as the FIRST MB of the picture (A and B neighbors both
+    unavailable -> the 8.4.1.1 zero-MV rule) through an 8-frame
+    single-MB chain mixing every kind."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    base = np.stack([(yy * 7) % 256, (xx * 5) % 256,
+                     ((xx + yy) * 3) % 256], -1).astype(np.uint8)
+    frames = [np.roll(base, (i, 2 * i), (0, 1)) for i in range(8)]
+    stream, recons = h.encode_h264_sequence(
+        frames, qp=24, p_kinds=("skip", "p8x8", "i16", "p16"))
+    out = h.decode_h264_frames(stream)
+    assert len(out) == 8
+    for i, (_w, _h2, planes) in enumerate(out):
+        assert np.array_equal(h._yuv420_to_rgb(*planes), recons[i])
