@@ -91,6 +91,67 @@ def entry(spark: SparkSession) -> DataFrame:
                       + F.lit(0.0)).alias("val"))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _h264_pframes_rows():
+    """Memoized P-frame fixture (driver-side H.264 encode is the
+    expensive part; caching it makes the bench measure the DECODE
+    operator, and every call is deterministic anyway)."""
+    import numpy as np
+    base = np.zeros((32, 32, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:32, 0:32]
+    for c in range(3):
+        base[:, :, c] = ((xx * (3 + c) + yy * (5 - c)) % 256)
+    frames = [np.roll(base, (2 * i, 3 * i), axis=(0, 1))
+              for i in range(3)]
+    stream, _recons = H264.encode_h264_sequence(
+        frames, qp=24, disable_deblock_idc=0)
+    avcc = H264.build_avcc(stream)
+    samples = [len(nal).to_bytes(4, "big") + nal
+               for nal in H264.split_annexb(stream)
+               if H264._nal_header(nal)
+               and H264._nal_header(nal)[1] in (1, 5)]
+    mp4 = MM.build_minimal_mp4(32, 32, [],
+                               sample_payloads=samples,
+                               avcc=avcc)
+    return [(1, "video", mp4, "video/mp4"),
+            (2, "video", stream, "video/h264")]
+
+
+@lru_cache(maxsize=1)
+def _video_match_rows():
+    """Memoized video-dedup fixture (three deterministic H.264
+    encodes — see _h264_pframes_rows for why this caches)."""
+    import numpy as np
+
+    def frames_of(n, shift0=0):
+        yy, xx = np.mgrid[0:48, 0:64]
+        r2 = ((yy - 24.0) ** 2 / 576 + (xx - 32.0) ** 2 / 1024)
+        tex = ((xx // 8 + yy // 8) % 2) * 60
+        base = np.stack(
+            [np.clip(195 - 160 * r2, 0, 255),
+             np.clip(60 + 120 * np.exp(-r2 * 2) + tex, 0, 255),
+             np.clip(40 + 150 * r2 + tex, 0, 255)],
+            -1).astype(np.uint8)
+        return [np.roll(base, (3 * (i + shift0),
+                               5 * (i + shift0)), (0, 1))
+                for i in range(n)]
+
+    kinds = ("p16", "p16x8", "p8x16", "p8x8", "i16")
+    rng = np.random.default_rng(1)
+    rows = []
+    for mid, fr in ((1, frames_of(6)), (2, frames_of(4, 2)),
+                    (3, [rng.integers(0, 256, (48, 64, 3))
+                         .astype(np.uint8) for _ in range(4)])):
+        stream, _ = H264.encode_h264_sequence(
+            fr, qp=14, disable_deblock_idc=0, p_kinds=kinds)
+        rows.append((mid, "video", stream, "video/h264"))
+    rows.append((4, "video", b"junk", "application/x-junk"))
+    return rows
+
+
 # ----------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {}
@@ -1133,25 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the per-frame channel means as exact constants (golden;
         bit-exactness against the encoder's embedded reconstruction
         is asserted independently in tests/test_h264.py)."""
-        import numpy as np
-        base = np.zeros((32, 32, 3), dtype=np.uint8)
-        yy, xx = np.mgrid[0:32, 0:32]
-        for c in range(3):
-            base[:, :, c] = ((xx * (3 + c) + yy * (5 - c)) % 256)
-        frames = [np.roll(base, (2 * i, 3 * i), axis=(0, 1))
-                  for i in range(3)]
-        stream, _recons = H264.encode_h264_sequence(
-            frames, qp=24, disable_deblock_idc=0)
-        avcc = H264.build_avcc(stream)
-        samples = [len(nal).to_bytes(4, "big") + nal
-                   for nal in H264.split_annexb(stream)
-                   if H264._nal_header(nal)
-                   and H264._nal_header(nal)[1] in (1, 5)]
-        mp4 = MM.build_minimal_mp4(32, 32, [],
-                                   sample_payloads=samples,
-                                   avcc=avcc)
-        rows = [(1, "video", mp4, "video/mp4"),
-                (2, "video", stream, "video/h264")]
+        rows = _h264_pframes_rows()
         media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
         return MM.decode_video_frames(media)
 
@@ -1275,32 +1318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         excerpt aligns ALL four frames at offset 2; noise never
         pairs. Golden single-row oracle; separation margins are
         pytest-asserted."""
-        import numpy as np
-
-        def frames_of(n, shift0=0):
-            yy, xx = np.mgrid[0:48, 0:64]
-            r2 = ((yy - 24.0) ** 2 / 576 + (xx - 32.0) ** 2 / 1024)
-            tex = ((xx // 8 + yy // 8) % 2) * 60
-            base = np.stack(
-                [np.clip(195 - 160 * r2, 0, 255),
-                 np.clip(60 + 120 * np.exp(-r2 * 2) + tex, 0, 255),
-                 np.clip(40 + 150 * r2 + tex, 0, 255)],
-                -1).astype(np.uint8)
-            return [np.roll(base, (3 * (i + shift0),
-                                   5 * (i + shift0)), (0, 1))
-                    for i in range(n)]
-
-        kinds = ("p16", "p16x8", "p8x16", "p8x8", "i16")
-        rng = np.random.default_rng(1)
-        rows = []
-        for mid, fr in ((1, frames_of(6)), (2, frames_of(4, 2)),
-                        (3, [rng.integers(0, 256, (48, 64, 3))
-                             .astype(np.uint8) for _ in range(4)])):
-            stream, _ = H264.encode_h264_sequence(
-                fr, qp=14, disable_deblock_idc=0, p_kinds=kinds)
-            rows.append((mid, "video", stream, "video/h264"))
-        rows.append((4, "video", b"junk", "application/x-junk"))
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = spark.createDataFrame(_video_match_rows(),
+                                      MM.MEDIA_SCHEMA)
         return MM.video_match_pairs(media, max_hamming=8,
                                     min_matches=2, bands=8)
 

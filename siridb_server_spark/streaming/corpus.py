@@ -125,3 +125,97 @@ def make_dedup_ingest_sink(
         open(marker, "w").close()
 
     return sink
+
+
+def _has_parquet(path: str) -> bool:
+    """Any parquet file under ``path`` (including band=N partition
+    subdirectories)?"""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def stream_media_dedup_ingest(
+        stream_df: DataFrame, index_path: str, accepted_path: str,
+        rejected_path: str | None = None, max_hamming: int = 6,
+        min_matches: int = 5, bands: int = 4,
+        checkpoint: str | None = None):
+    """The MEDIA twin of :func:`stream_corpus_dedup_ingest`: a live
+    asset feed (media_id, kind, payload, mime) deduped against the
+    persisted multimodal index as it ingests — per micro-batch:
+    in-batch exact dedup (payload hash, keep-smallest-id), an
+    image-pHash + audio-landmark probe of the index
+    (:func:`~siridb_server_spark.operators.multimodal.
+    media_dedup_incremental` — history touched only through its
+    hashes+ids), rejected assets to ``rejected_path`` with their
+    match, accepted assets landed AND indexed so the next batch sees
+    them. Same exactly-once posture as the corpus sink:
+    batch-stamped OVERWRITE dirs for accepted/rejected, a marker-
+    guarded index append, and a final done marker."""
+    sink = make_media_ingest_sink(
+        index_path, accepted_path, rejected_path=rejected_path,
+        max_hamming=max_hamming, min_matches=min_matches,
+        bands=bands)
+    writer = stream_df.writeStream.foreachBatch(sink) \
+        .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def make_media_ingest_sink(
+        index_path: str, accepted_path: str,
+        rejected_path: str | None = None, max_hamming: int = 6,
+        min_matches: int = 5, bands: int = 4):
+    """foreachBatch sink behind :func:`stream_media_dedup_ingest`,
+    exposed for direct redelivery-idempotence testing."""
+    from ..operators import multimodal as MM
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        marker = os.path.join(accepted_path,
+                              f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return          # re-delivered batch: already applied
+        # 1. in-batch exact dedup by payload hash, keep smallest id
+        w_first = (batch_df
+                   .withColumn("_fp", F.xxhash64("payload"))
+                   .groupBy("_fp")
+                   .agg(F.min(F.col("media_id")).alias("_keep")))
+        batch = (batch_df.withColumn("_fp", F.xxhash64("payload"))
+                 .join(w_first, "_fp")
+                 .where(F.col("media_id") == F.col("_keep"))
+                 .drop("_fp", "_keep"))
+        # 2. probe history (index may not exist on the first batch;
+        # self-matches already excluded inside the probe, so a
+        # redelivered batch that extended the index probes cleanly)
+        if _has_parquet(os.path.join(index_path, "phash_bands")) \
+                or _has_parquet(os.path.join(index_path,
+                                             "audio_fp")):
+            hits = MM.media_dedup_incremental(
+                batch, index_path, max_hamming=max_hamming,
+                min_matches=min_matches, bands=bands)
+            hits = hits.localCheckpoint()
+            if rejected_path is not None:
+                hits.write.mode("overwrite").parquet(os.path.join(
+                    rejected_path, f"batch={batch_id}"))
+            accepted = batch.join(hits.select("media_id"),
+                                  "media_id", "left_anti")
+        else:
+            accepted = batch
+        # 3. land + index the accepted assets
+        accepted = accepted.localCheckpoint()
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_path, "assets",
+                         f"batch={batch_id}"))
+        ix_marker = os.path.join(index_path,
+                                 f"_batch-{batch_id}.indexed")
+        if not os.path.exists(ix_marker):
+            MM.build_media_dedup_index(accepted, index_path,
+                                       bands=bands)
+            open(ix_marker, "w").close()
+        open(marker, "w").close()
+
+    return sink

@@ -1782,3 +1782,72 @@ def test_media_dedup_incremental_index(spark, tmp_path):
     # probe the HISTORY batch against its own index: self-excluded
     again = MM.media_dedup_incremental(hist, idx).collect()
     assert again == []
+
+
+def test_stream_media_dedup_ingest(spark, tmp_path):
+    """Live media feed deduped against the growing multimodal index:
+    batch 1 lands clean assets and indexes them; batch 2's image
+    near-dup and delayed audio copy are rejected with their match
+    ids, fresh assets accepted; redelivery of an applied batch id is
+    a no-op. (Drives the real writeStream/foreachBatch pipeline.)"""
+    import time
+
+    import numpy as np
+
+    from siridb_server_spark.streaming.corpus import \
+        stream_media_dedup_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    rej = str(tmp_path / "rej")
+    img = _phash_test_image()
+    bright = np.clip(img.astype(int) + 12, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(5)
+    t = np.arange(16384) / 8000.0
+    sig = np.concatenate(
+        [np.sin(2 * np.pi * f * t[:2730]) * 9000
+         for f in (440, 660, 550, 880, 495, 770)])[:16384]
+    delayed = np.concatenate([np.zeros(4096), sig])[:20480]
+
+    def feed(name, rows):
+        df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        df.write.mode("overwrite").parquet(str(src / name))
+
+    feed("b1", [(1, "image", MM.encode_png(img), "image/png"),
+                (2, "audio", _wav_of(sig), "audio/wav"),
+                # in-batch exact payload dup of 1
+                (3, "image", MM.encode_png(img), "image/png")])
+    stream = (spark.readStream.schema(MM.MEDIA_SCHEMA)
+              .option("maxFilesPerTrigger", "4")
+              .parquet(str(src) + "/*"))
+    q = stream_media_dedup_ingest(
+        stream, idx, acc, rejected_path=rej,
+        checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        feed("b2", [
+            (10, "image", MM.encode_png(bright), "image/png"),
+            (11, "audio",
+             _wav_of(np.clip(delayed, -32768, 32767)), "audio/wav"),
+            (12, "image", MM.encode_png(
+                rng.integers(0, 256, img.shape).astype(np.uint8)),
+             "image/png")])
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {r["media_id"] for r in
+                   spark.read.parquet(acc + "/assets").collect()}
+            if 12 in got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    accepted = {r["media_id"] for r in
+                spark.read.parquet(acc + "/assets").collect()}
+    assert accepted == {1, 2, 12}     # 3 in-batch dup, 10/11 hit
+    rejects = {r["media_id"]: (r["kind"], r["match_id"]) for r in
+               spark.read.parquet(rej).collect()}
+    assert rejects[10] == ("image", 1)
+    assert rejects[11] == ("audio", 2)
