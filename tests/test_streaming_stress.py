@@ -158,3 +158,66 @@ def test_stream_corpus_dedup_batch_cost_flat_as_history_grows(
         f"per-batch cost grew with history: {t_small:.2f}s -> "
         f"{t_big:.2f}s at 32x history — the probe is rescanning "
         "the corpus instead of using the index")
+
+
+def test_stream_media_dedup_batch_cost_flat_as_history_grows(
+        spark, tmp_path):
+    """The media twin of the corpus-stream probe: an identical media
+    micro-batch through stream_media_dedup_ingest costs roughly the
+    SAME against a 16x-larger persisted index, because history is
+    touched only through its band-partitioned pHash rows and
+    landmark hashes."""
+    import struct
+    import time
+
+    import numpy as np
+
+    from siridb_server_spark.operators import multimodal as MM
+    from siridb_server_spark.operators.multimodal import \
+        build_media_dedup_index
+    from siridb_server_spark.streaming.corpus import \
+        stream_media_dedup_ingest
+
+    B = 48               # batch assets
+
+    def png_of(seed):
+        rng = np.random.default_rng(seed)
+        return MM.encode_png(
+            rng.integers(0, 256, (24, 32, 3)).astype(np.uint8))
+
+    def media_rows(n, base_id, seed0):
+        return [(base_id + i, "image", png_of(seed0 + i),
+                 "image/png") for i in range(n)]
+
+    def run_once(tag, hist_assets):
+        root = tmp_path / tag
+        root.mkdir()
+        idx, acc = str(root / "idx"), str(root / "acc")
+        hist = spark.createDataFrame(
+            media_rows(hist_assets, 10_000_000, 500_000),
+            MM.MEDIA_SCHEMA)
+        build_media_dedup_index(hist, idx)
+        src = root / "src"
+        spark.createDataFrame(media_rows(B, 0, 77),
+                              MM.MEDIA_SCHEMA) \
+            .write.parquet(str(src / "b"))
+        stream = (spark.readStream.schema(MM.MEDIA_SCHEMA)
+                  .parquet(str(src) + "/*"))
+        q = stream_media_dedup_ingest(
+            stream, idx, acc, checkpoint=str(root / "ckpt"))
+        try:
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            dt = time.perf_counter() - t0
+        finally:
+            q.stop()
+        n_acc = spark.read.parquet(acc + "/assets").count()
+        assert n_acc == B        # random images: all accepted
+        return dt
+
+    t_small = run_once("h1", B)
+    t_big = run_once("h16", 16 * B)
+    assert t_big <= 4.0 * t_small + 2.0, (
+        f"media batch cost grew with history: {t_small:.2f}s -> "
+        f"{t_big:.2f}s at 16x — the probe is rescanning payloads "
+        "instead of using the index")
