@@ -31,6 +31,7 @@ from siridb_server_spark.operators import h264 as H264
 from siridb_server_spark.operators import multimodal as MM
 from siridb_server_spark.operators import similarity as SIM
 from siridb_server_spark.operators import asof as AS
+from siridb_server_spark import pipelines as PIPE
 from siridb_server_spark.operators import text as TX
 from siridb_server_spark.operators import timeseries as TSO
 from siridb_server_spark.sources.testdata import (
@@ -279,6 +280,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n_clusters", "n_keep"))
 
     q["dedup_pipeline_summary"] = dedup_pipeline_summary
+
+    def curation_pipeline_report(spark, sf_dir):
+        """THE staged curation pipeline (pipelines.curate_corpus):
+        quality gate → language filter → exact dedup → near dedup,
+        each stage seeing only the previous stages' survivors, with
+        per-document first-failing-stage attribution — the retention
+        report is one groupBy, zero-count stages included. The
+        oracle replays every stage in SQL (gate features, marker
+        langid, md5 keep-first window, jaccard pairs + recursive-CTE
+        components with longest-wins resolution)."""
+        docs = load(spark, sf_dir, "documents") \
+            .where(F.col("doc_id") < 300).select("doc_id", "text")
+        _cur, staged = PIPE.curate_corpus(
+            docs, langs=("en",), near_threshold=0.8, max_df=MAX_DF)
+        return PIPE.curation_report(staged)
+
+    q["curation_pipeline_report"] = curation_pipeline_report
     def _prop(name: str, df_count: DataFrame) -> DataFrame:
         return df_count.agg(
             F.lit(name).alias("prop"),
@@ -4446,5 +4464,72 @@ def oracle_sql() -> dict[str, str]:
         " v.vec_id = coalesce(cc.comp, v.vec_id) AS is_kept"
         " FROM (SELECT vec_id FROM embeddings) v"
         " LEFT JOIN cc ON v.vec_id = cc.node"
+    )
+
+    # staged curation pipeline: every stage replayed in SQL over the
+    # previous stage's survivors — gate features + marker langid
+    # (both proven as their own green entries), md5 keep-first
+    # window, jaccard pairs + recursive-CTE components with
+    # longest-wins resolution; zero-count stages included
+    o["curation_pipeline_report"] = (
+        "WITH RECURSIVE"
+        " base AS (SELECT doc_id, text FROM documents"
+        " WHERE doc_id < 300),"
+        f" gate AS (SELECT * FROM ({o['text_quality_gate']})),"
+        f" lid AS (SELECT * FROM ({_lid})),"
+        " early AS (SELECT b.doc_id, b.text,"
+        " CASE WHEN NOT g.keep THEN 'quality'"
+        " WHEN l.pred_lang <> 'en' THEN 'lang' END AS stage"
+        " FROM base b JOIN gate g USING (doc_id)"
+        " JOIN lid l USING (doc_id)),"
+        " surv1 AS (SELECT doc_id, text FROM early"
+        " WHERE stage IS NULL),"
+        " ex AS (SELECT doc_id, text, CASE WHEN doc_id <>"
+        " min(doc_id) OVER (PARTITION BY md5(text))"
+        " THEN 'exact_dup' END AS stage FROM surv1),"
+        " surv2 AS (SELECT doc_id, text, length(text) AS n_chars"
+        " FROM ex WHERE stage IS NULL),"
+        " dw AS (SELECT DISTINCT doc_id,"
+        " unnest(string_split(lower(trim(text)), ' ')) AS w"
+        " FROM surv2),"
+        " dwf AS (SELECT * FROM dw WHERE w <> ''"
+        " AND w IN (SELECT w FROM dw WHERE w <> ''"
+        " GROUP BY 1 HAVING count(*) <= 100000)),"
+        " sz AS (SELECT doc_id, count(*) AS n FROM dwf GROUP BY 1),"
+        " ii AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " count(*) AS i FROM dwf a JOIN dwf b ON a.w = b.w"
+        " AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+        " pairs AS (SELECT id_a, id_b FROM ii"
+        " JOIN sz sa ON id_a = sa.doc_id"
+        " JOIN sz sb ON id_b = sb.doc_id"
+        " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),"
+        " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs),"
+        " walk(node, comp) AS (SELECT a, a FROM edges UNION"
+        " SELECT e.b, w.comp FROM walk w JOIN edges e"
+        " ON e.a = w.node),"
+        " cc AS (SELECT node, min(comp) AS comp FROM walk"
+        " GROUP BY 1),"
+        " wc AS (SELECT s.doc_id, s.n_chars,"
+        " coalesce(cc.comp, s.doc_id) AS comp FROM surv2 s"
+        " LEFT JOIN cc ON s.doc_id = cc.node),"
+        " win AS (SELECT comp, doc_id AS keep_id FROM"
+        " (SELECT comp, doc_id, row_number() OVER (PARTITION BY"
+        " comp ORDER BY n_chars DESC, doc_id) AS rn FROM wc)"
+        " WHERE rn = 1),"
+        " near AS (SELECT wc.doc_id, CASE WHEN"
+        " wc.doc_id = win.keep_id THEN 'kept' ELSE 'near_dup' END"
+        " AS stage FROM wc JOIN win USING (comp)),"
+        " staged AS ("
+        " SELECT doc_id, stage FROM early WHERE stage IS NOT NULL"
+        " UNION ALL SELECT doc_id, stage FROM ex"
+        " WHERE stage = 'exact_dup'"
+        " UNION ALL SELECT doc_id, stage FROM near),"
+        " allst AS (SELECT unnest(['quality', 'lang', 'exact_dup',"
+        " 'near_dup', 'kept']) AS stage)"
+        " SELECT allst.stage,"
+        " CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs"
+        " FROM allst LEFT JOIN (SELECT stage, count(*) AS n_docs"
+        " FROM staged GROUP BY 1) c USING (stage)"
     )
     return o

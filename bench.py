@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "curation_mix_weights",
     "curation_pack_sequences",
+    "curation_pipeline_report",
     "curation_epoch_plan",
     "curation_length_buckets",
     "multimodal_png_decode",

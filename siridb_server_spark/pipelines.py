@@ -1,0 +1,110 @@
+"""End-to-end corpus curation pipeline: the staged filter a
+web-scale training-data run actually executes, as ONE composable
+operator — quality gate → language filter → exact dedup → near dedup
+— with per-document stage attribution so the retention report falls
+out of a single groupBy instead of a count() per stage.
+
+Design for 100 TB: every stage is an annotation COLUMN, not a
+materialized intermediate — the corpus is scanned once for the
+row-local stages (quality features, language ID, content hash), and
+the two dedup stages reuse the bucketed shapes of operators/dedup.py
+(hash-grouped exact keep-first; inverted-index jaccard pairs +
+connected components restricted to the survivor set). The final
+``stage`` column is the FIRST failing stage in pipeline order, so
+downstream accounting (how much did each stage remove?) is exact and
+additive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators.text import lang_id, quality_gate
+
+#: pipeline order — the FIRST failing stage wins the attribution
+STAGES = ("quality", "lang", "exact_dup", "near_dup", "kept")
+
+
+def curate_corpus(docs: DataFrame, *, min_tokens: int = 10,
+                  max_tokens: int = 1000,
+                  min_avg_token: float = 2.0,
+                  max_avg_token: float = 12.0,
+                  max_punct_ratio: float = 0.2,
+                  max_digit_ratio: float = 0.2,
+                  langs: tuple | None = None,
+                  near_threshold: float = 0.8,
+                  max_df: int | None = None,
+                  text_col: str = "text"):
+    """Run the staged curation pipeline over ``docs`` (must carry a
+    ``doc_id`` column). Returns ``(curated, staged)``:
+
+    - ``staged``: (doc_id, stage) — stage is the first of
+      ``quality`` (Gopher-style gate failed), ``lang`` (language not
+      in ``langs``; stage skipped when langs is None), ``exact_dup``
+      (same content as an earlier-id survivor), ``near_dup``
+      (resolved away from its jaccard cluster — the LONGEST member
+      wins, ties to the smaller id), or ``kept``.
+    - ``curated``: the input rows whose stage is ``kept``.
+
+    Dedup stages see only the survivors of the stages before them —
+    a junk near-copy never shields its cluster, matching how staged
+    production pipelines behave."""
+    gate = quality_gate(
+        docs, min_tokens=min_tokens, max_tokens=max_tokens,
+        min_avg_token=min_avg_token, max_avg_token=max_avg_token,
+        max_punct_ratio=max_punct_ratio,
+        max_digit_ratio=max_digit_ratio, text_col=text_col) \
+        .select("doc_id", F.col("keep").alias("_q"))
+    ann = (docs.select("doc_id", F.col(text_col).alias("_text"))
+           .join(gate, "doc_id")
+           .withColumn("_lang", lang_id(F.col("_text"))))
+    lang_ok = F.lit(True) if langs is None \
+        else F.col("_lang").isin(list(langs))
+    early = ann.select(
+        "doc_id", "_text",
+        F.when(~F.col("_q"), "quality")
+        .when(~lang_ok, "lang").alias("_stage"))
+    # exact keep-first over the early survivors (md5 content class,
+    # smallest id wins — one hash-grouped window, no self-join)
+    surv1 = early.where(F.col("_stage").isNull())
+    w = Window.partitionBy(F.md5(F.col("_text")))
+    exact = surv1.withColumn(
+        "_stage", F.when(F.col("doc_id")
+                         != F.min("doc_id").over(w), "exact_dup"))
+    surv2 = (exact.where(F.col("_stage").isNull())
+             .select("doc_id", F.col("_text").alias(text_col))
+             .withColumn("n_chars", F.length(text_col)))
+    pairs = D.ngram_jaccard_pairs(surv2, threshold=near_threshold,
+                                  text_col=text_col, max_df=max_df)
+    res = D.resolve_duplicates_by(surv2, pairs, "n_chars")
+    near = (surv2.join(res.select("doc_id", "is_kept"), "doc_id")
+            .select("doc_id",
+                    F.when(~F.col("is_kept"), "near_dup")
+                    .otherwise("kept").alias("stage")))
+    staged = (early.where(F.col("_stage").isNotNull())
+              .select("doc_id", F.col("_stage").alias("stage"))
+              .unionByName(
+                  exact.where(F.col("_stage") == "exact_dup")
+                  .select("doc_id",
+                          F.col("_stage").alias("stage")))
+              .unionByName(near))
+    curated = docs.join(
+        staged.where(F.col("stage") == "kept").select("doc_id"),
+        "doc_id")
+    return curated, staged
+
+
+def curation_report(staged: DataFrame) -> DataFrame:
+    """Stage retention accounting: (stage, n_docs) over the full
+    pipeline order (stages with zero docs included, count 0) — the
+    one-look answer to "where did the corpus go?"."""
+    spark = staged.sparkSession
+    all_stages = spark.createDataFrame(
+        [(s,) for s in STAGES], "stage string")
+    counts = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    return (all_stages.join(counts, "stage", "left")
+            .select("stage",
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs")))

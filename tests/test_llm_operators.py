@@ -1851,3 +1851,38 @@ def test_stream_media_dedup_ingest(spark, tmp_path):
                spark.read.parquet(rej).collect()}
     assert rejects[10] == ("image", 1)
     assert rejects[11] == ("audio", 2)
+
+
+def test_curate_corpus_staged_attribution(spark):
+    """The staged pipeline's first-failing-stage semantics: quality
+    junk, wrong-language docs, exact copies, and near-dup cluster
+    losers each land in THEIR stage (dedup stages see only earlier
+    survivors); the longest cluster member wins near-dup resolution;
+    curated == kept; the report is additive over the input."""
+    from siridb_server_spark.pipelines import (curate_corpus,
+                                               curation_report)
+
+    good = ("the quick brown fox jumps over the lazy dog and then"
+            " walks home to rest for the evening meal")
+    rows = [
+        (1, good),                              # near-dup loser of 3
+        (2, good),                              # exact dup of 1
+        (3, good + " tonight"),                 # cluster winner
+        (4, "$$$ !!! ### %%% ^^^ &&& *** ((("),  # quality fail
+        (5, "le chat et le chien sont dans la maison avec les"
+            " enfants et il y a une grande table pour le dîner"),
+        (6, "an entirely different english document about spark"
+            " query engines and their shuffle behavior at scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, staged = curate_corpus(docs, langs=("en",),
+                                    near_threshold=0.6)
+    got = {r["doc_id"]: r["stage"] for r in staged.collect()}
+    assert got == {1: "near_dup", 2: "exact_dup", 3: "kept",
+                   4: "quality", 5: "lang", 6: "kept"}
+    assert sorted(r["doc_id"] for r in curated.collect()) == [3, 6]
+    rep = {r["stage"]: r["n_docs"]
+           for r in curation_report(staged).collect()}
+    assert rep == {"quality": 1, "lang": 1, "exact_dup": 1,
+                   "near_dup": 1, "kept": 2}
+    assert sum(rep.values()) == len(rows)       # additive, lossless
