@@ -2221,7 +2221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "text_bm25_search", "curation_sample_sources",
              "multimodal_h264_pframes", "multimodal_image_phash",
              "dedup_image_phash_pairs", "multimodal_audio_fingerprint",
-             "dedup_audio_match", "dedup_video_match")
+             "dedup_audio_match", "dedup_video_match",
+             "curation_pipeline_report")
     _TAIL = ("siri_sum_int_bucket", "siri_between_mean",
              "siri_catalog", "text_langid", "text_clean",
              "text_pii_mask", "text_top_ngrams", "text_fingerprint",

@@ -62,33 +62,38 @@ def curate_corpus(docs: DataFrame, *, min_tokens: int = 10,
            .withColumn("_lang", lang_id(F.col("_text"))))
     lang_ok = F.lit(True) if langs is None \
         else F.col("_lang").isin(list(langs))
+    # exact keep-first over the early survivors (md5 content class,
+    # smallest SURVIVING id wins — one hash-grouped window, no
+    # self-join)
     early = ann.select(
         "doc_id", "_text",
         F.when(~F.col("_q"), "quality")
-        .when(~lang_ok, "lang").alias("_stage"))
-    # exact keep-first over the early survivors (md5 content class,
-    # smallest id wins — one hash-grouped window, no self-join)
-    surv1 = early.where(F.col("_stage").isNull())
+        .when(~lang_ok, "lang").alias("_e"))
     w = Window.partitionBy(F.md5(F.col("_text")))
-    exact = surv1.withColumn(
-        "_stage", F.when(F.col("doc_id")
-                         != F.min("doc_id").over(w), "exact_dup"))
-    surv2 = (exact.where(F.col("_stage").isNull())
-             .select("doc_id", F.col("_text").alias(text_col))
+    exact_dup = F.col("doc_id") != F.min(
+        F.when(F.col("_e").isNull(), F.col("doc_id"))).over(w)
+    # ONE pass computes every row-local/window stage flag, then the
+    # NARROW (doc_id, stage-or-null) frame is checkpointed — the
+    # union branches and the dedup stages reuse it without
+    # recomputing gate/langid/window lineage (ids + a short string
+    # per doc: the hashes+ids materialization budget, never text)
+    flags = early.select(
+        "doc_id",
+        F.coalesce(F.col("_e"),
+                   F.when(exact_dup, "exact_dup")).alias("_stage"))
+    flags = flags.localCheckpoint()
+    surv2 = (docs.join(flags.where(F.col("_stage").isNull())
+                       .select("doc_id"), "doc_id")
+             .select("doc_id", text_col)
              .withColumn("n_chars", F.length(text_col)))
     pairs = D.ngram_jaccard_pairs(surv2, threshold=near_threshold,
                                   text_col=text_col, max_df=max_df)
     res = D.resolve_duplicates_by(surv2, pairs, "n_chars")
-    near = (surv2.join(res.select("doc_id", "is_kept"), "doc_id")
-            .select("doc_id",
-                    F.when(~F.col("is_kept"), "near_dup")
-                    .otherwise("kept").alias("stage")))
-    staged = (early.where(F.col("_stage").isNotNull())
+    near = (res.select("doc_id",
+                       F.when(~F.col("is_kept"), "near_dup")
+                       .otherwise("kept").alias("stage")))
+    staged = (flags.where(F.col("_stage").isNotNull())
               .select("doc_id", F.col("_stage").alias("stage"))
-              .unionByName(
-                  exact.where(F.col("_stage") == "exact_dup")
-                  .select("doc_id",
-                          F.col("_stage").alias("stage")))
               .unionByName(near))
     curated = docs.join(
         staged.where(F.col("stage") == "kept").select("doc_id"),
