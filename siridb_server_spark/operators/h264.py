@@ -2538,15 +2538,15 @@ def _encode_mb_p(w, st, srcY, srcC, mbx, mby, qp, qpc, kind):
     parts = []
     if mb_type in (0, 1, 2):
         mvs = [pick_mv(i) for i in range(len(specs))]
-        # mvds first (7.3.5.1), predictions replayed in order
+        # compute mvds with the DECODER's sequential predict-store
+        # order (each partition's predictor sees earlier partitions'
+        # stored vectors), then serialize them together per 7.3.5.1
         mvds = []
         for (xo, yo, pw, ph, hint), mv in zip(specs, mvs):
             px, py = st.mv_pred(x0 + xo, y0 + yo, pw, ph, part=hint)
             mvds.append((mv[0] - px, mv[1] - py))
             st.store_mv(x0 + xo, y0 + yo, pw, ph, mv)
             parts.append((xo, yo, pw, ph, mv))
-        # rewind not possible: but mvd computation used sequential
-        # store, matching the decoder's order; now serialize
         for dx, dy in mvds:
             w.se(dx)
             w.se(dy)
