@@ -1935,6 +1935,128 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q15ish"] = tpch_q15ish
 
+    def tpch_q7ish(spark, sf_dir):
+        """q7 shape — volume shipping between two nations, both
+        directions: the two tiny nation dims broadcast onto supplier
+        and (through orders) customer; only the fact joins shuffle.
+        Group by (supp_nation, cust_nation, ship year); exact
+        1e6-scaled long revenue sum."""
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        supp = load(spark, sf_dir, "supplier")
+        nat = load(spark, sf_dir, "nation")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        n1 = nat.select(F.col("n_nationkey").alias("snk"),
+                        F.col("n_name").alias("supp_nation"))
+        n2 = nat.select(F.col("n_nationkey").alias("cnk"),
+                        F.col("n_name").alias("cust_nation"))
+        pair_ok = (
+            ((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n1),
+                  F.col("s_nationkey") == F.col("snk"))
+            .join(F.broadcast(n2),
+                  F.col("c_nationkey") == F.col("cnk"))
+            .where(pair_ok)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg((F.round(SSD(rev), 2) + F.lit(0.0))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+    q["tpch_q7ish"] = tpch_q7ish
+
+    def tpch_q8ish(spark, sf_dir):
+        """q8 shape — national market share: ECONOMY-part order
+        volume into ASIA customers per year, with NATION_1's
+        supplier share. The share is a RATIO OF THE EXACT 1e6-scaled
+        LONG SUMS (int_ppm — pure integer division), so the hashed
+        contract carries no float ratio; part/supplier/nation/region
+        broadcast, the fact joins shuffle once each."""
+        from siridb_server_spark.functions.stable import (int_ppm,
+                                                          scaled_term)
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        supp = load(spark, sf_dir, "supplier")
+        nat = load(spark, sf_dir, "nation")
+        reg = load(spark, sf_dir, "region")
+        part = load(spark, sf_dir, "part")
+        rev_q = scaled_term(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+        asia_c = (cust.join(
+            F.broadcast(nat.join(F.broadcast(
+                reg.where(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey"))
+        sn = (supp.join(F.broadcast(nat),
+                        F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey",
+                      F.col("n_name").alias("supp_nation")))
+        base = (
+            li.join(F.broadcast(
+                part.where(F.col("p_type") == "ECONOMY")
+                .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(asia_c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(sn),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    rev_q.alias("rev_q"), "supp_nation"))
+        return (base.groupBy("o_year")
+                .agg(F.sum("rev_q").alias("_tot"),
+                     F.sum(F.when(
+                         F.col("supp_nation") == "NATION_1",
+                         F.col("rev_q")).otherwise(0))
+                     .alias("_nat"))
+                .select("o_year",
+                        (F.round(F.col("_tot")
+                                 / F.lit(1000000.0), 2)
+                         + F.lit(0.0)).alias("total_revenue"),
+                        int_ppm(F.col("_nat"), F.col("_tot"))
+                        .alias("mkt_share_ppm")))
+
+    q["tpch_q8ish"] = tpch_q8ish
+
+    def tpch_q9ish(spark, sf_dir):
+        """q9 shape (sans partsupp, which the corpus lacks) — profit
+        on red parts by supplier nation and order year: part filter
+        broadcast onto the fact, supplier→nation broadcast chain,
+        one grouped aggregate. Exact scaled-long revenue."""
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        supp = load(spark, sf_dir, "supplier")
+        nat = load(spark, sf_dir, "nation")
+        part = load(spark, sf_dir, "part")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        sn = (supp.join(F.broadcast(nat),
+                        F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", F.col("n_name").alias("nation")))
+        return (
+            li.join(F.broadcast(
+                part.where(F.col("p_name").like("%red%"))
+                .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(sn),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg((F.round(SSD(rev), 2) + F.lit(0.0)).alias("profit"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+    q["tpch_q9ish"] = tpch_q9ish
+
     def text_quality_score(spark, sf_dir):
         """Hashed contract = (doc_id, z_micro, keep): the logit's
         lineage is only correctly-rounded IEEE ops, so the quantized
@@ -4465,6 +4587,61 @@ def oracle_sql() -> dict[str, str]:
         " v.vec_id = coalesce(cc.comp, v.vec_id) AS is_kept"
         " FROM (SELECT vec_id FROM embeddings) v"
         " LEFT JOIN cc ON v.vec_id = cc.node"
+    )
+
+    # q7 shape: two-nation shipping volume, both directions
+    o["tpch_q7ish"] = (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+        " year(l_shipdate) AS l_year,"
+        f" round({_SC6('l_extendedprice * (1 - l_discount)')}, 2)"
+        " + 0.0 AS revenue, count(*) AS n_items"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+        " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+        " WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+        " OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')"
+        " GROUP BY 1, 2, 3"
+    )
+    # q8 shape: market share as an int_ppm RATIO of exact
+    # 1e6-scaled long sums — no float ratio in the hashed contract
+    _Q8REV = _QTERM("l_extendedprice * (1 - l_discount)")
+    o["tpch_q8ish"] = (
+        "WITH base AS (SELECT year(o_orderdate) AS o_year,"
+        f" {_Q8REV} AS rev_q, n1.n_name AS supp_nation"
+        " FROM lineitem"
+        " JOIN part ON l_partkey = p_partkey"
+        " AND p_type = 'ECONOMY'"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation nc ON c_nationkey = nc.n_nationkey"
+        " JOIN region ON nc.n_regionkey = r_regionkey"
+        " AND r_name = 'ASIA'"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation n1 ON s_nationkey = n1.n_nationkey),"
+        " agg AS (SELECT o_year, CAST(sum(rev_q) AS BIGINT) AS tot,"
+        " CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_q"
+        " ELSE 0 END) AS BIGINT) AS nat FROM base GROUP BY 1)"
+        " SELECT o_year,"
+        " round(tot / 1000000.0, 2) + 0.0 AS total_revenue,"
+        f" {_PPM.format(num='nat', den='tot')} AS mkt_share_ppm"
+        " FROM agg"
+    )
+    # q9 shape (no partsupp in the corpus): red-part profit by
+    # supplier nation and order year
+    o["tpch_q9ish"] = (
+        "SELECT n_name AS nation, year(o_orderdate) AS o_year,"
+        f" round({_SC6('l_extendedprice * (1 - l_discount)')}, 2)"
+        " + 0.0 AS profit, count(*) AS n_items"
+        " FROM lineitem"
+        " JOIN part ON l_partkey = p_partkey"
+        " AND p_name LIKE '%red%'"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " GROUP BY 1, 2"
     )
 
     # staged curation pipeline: every stage replayed in SQL over the

@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "tpch_q17ish",
     "tpch_q22ish",
     "tpch_q15ish",
+    "tpch_q7ish",
+    "tpch_q8ish",
+    "tpch_q9ish",
 ]
 
 
