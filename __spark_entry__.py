@@ -475,6 +475,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_vocab_stats"] = text_vocab_stats
 
+    def text_char_diversity(spark, sf_dir):
+        """Exact-integer character-diversity signal: counts +
+        Simpson collision mass as half-up ppm of a rational — the
+        contract-policy-compliant proxy for character entropy
+        (repetitive/mashed text scores high collision, prose low)."""
+        return TX.char_diversity(load(spark, sf_dir, "documents"))
+
+    q["text_char_diversity"] = text_char_diversity
+
     def curation_stratified_sample(spark, sf_dir):
         """Deterministic stratified eval-set sampling: smallest
         md5(doc_id) per source wins — no RNG, no partition-order
@@ -2099,6 +2108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_mad"] = lambda spark, sf_dir: \
         TSO.robust_scale(_pts_dedup(spark, sf_dir))
+
+    q["ts_acf"] = lambda spark, sf_dir: \
+        TSO.acf(_pts_dedup(spark, sf_dir), lags=(1, 2, 3))
 
     q["ts_linear_trend"] = lambda spark, sf_dir: \
         TSO.linear_trend(_pts_dedup(spark, sf_dir))
@@ -4065,6 +4077,24 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, count(*) AS n_matches,"
         " min(anchor) AS first_pos FROM anchors GROUP BY 1"
     )
+    # character diversity: positional substr char explode (identical
+    # semantics on both engines — no empty-delimiter split quirks),
+    # exact integer counts + int_ppm collision mass
+    o["text_char_diversity"] = (
+        "WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1)"
+        " AS ch FROM (SELECT doc_id, text,"
+        " unnest(range(1, length(text) + 1)) AS i FROM documents"
+        " WHERE length(text) > 0)),"
+        " cc AS (SELECT doc_id, ch, count(*) AS c FROM ch"
+        " GROUP BY 1, 2)"
+        " SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,"
+        " count(*) AS n_distinct_chars,"
+        + INT_PPM_SQL.format(
+            num="sum(c * c)",
+            den="CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT)")
+        + " AS collision_ppm FROM cc GROUP BY 1"
+    )
+
     # whitespace-token vocabulary (the driver-green tokenizer shared
     # by every other text entry); hashed contract = the three exact
     # COUNT columns — the ppm ratios are derived pure functions of
@@ -4411,6 +4441,25 @@ def oracle_sql() -> dict[str, str]:
 
     # per-series OLS trend: five sums, time re-based per series
     # before squaring; NULL slope on zero time-variance
+    # sample autocorrelation at lags 1-3: mean/deviation/lag windows
+    # replayed identically; zero-variance series -> NULL
+    o["ts_acf"] = (
+        _PD + ", d AS (SELECT series, ts,"
+        " val - avg(val) OVER (PARTITION BY series) AS dv FROM pd),"
+        " l AS (SELECT series, dv,"
+        " dv * lag(dv, 1) OVER (PARTITION BY series ORDER BY ts)"
+        " AS p1,"
+        " dv * lag(dv, 2) OVER (PARTITION BY series ORDER BY ts)"
+        " AS p2,"
+        " dv * lag(dv, 3) OVER (PARTITION BY series ORDER BY ts)"
+        " AS p3 FROM d)"
+        " SELECT series, count(*) AS n_points,"
+        " round(sum(p1) / nullif(sum(dv * dv), 0), 6) + 0.0 AS acf_1,"
+        " round(sum(p2) / nullif(sum(dv * dv), 0), 6) + 0.0 AS acf_2,"
+        " round(sum(p3) / nullif(sum(dv * dv), 0), 6) + 0.0 AS acf_3"
+        " FROM l GROUP BY 1"
+    )
+
     o["ts_linear_trend"] = (
         _PD + ", b AS (SELECT series,"
         " (ts - min(ts) OVER (PARTITION BY series)) / 1e9 AS x,"

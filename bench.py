@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_trigram_lm",
     "text_quality",
     "text_quality_score",
+    "text_char_diversity",
     "text_fingerprint",
     "text_topk_per_source",
     "sim_bruteforce_topk",
@@ -76,6 +77,7 @@ BENCH_QUERIES = [
     "ts_latency_quantiles",
     "ts_mad",
     "ts_linear_trend",
+    "ts_acf",
     "ts_level_shifts",
     "ts_value_hist",
     "ts_pct_change",

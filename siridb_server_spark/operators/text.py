@@ -963,6 +963,39 @@ def quality_score_linear(df: DataFrame, text_col: str = "text",
         scaled_term(p).alias("score_micro"))
 
 
+def char_diversity(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Character-level diversity signal (the exact-integer cousin of
+    character entropy, per the hashed-contract policy): per doc, the
+    character count, distinct-character count, and the Simpson
+    collision mass Σc²/n² as exact half-up ppm — high collision =
+    repetitive/low-diversity text (keyboard mashing, repeated
+    padding), low = diverse prose. Pure integer end-to-end (counts
+    and a rational ratio — no ln, unlike entropy, which this proxy
+    orders almost identically on natural text). One explode +
+    map-side-combined (doc, char) counts; the shuffle carries at
+    most |alphabet| rows per doc. Output: (doc_id, n_chars,
+    n_distinct_chars, collision_ppm)."""
+    chars = (df.where(F.length(text_col) > 0)
+             .select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.sequence(
+                         F.lit(1), F.length(text_col))).alias("i"),
+                     F.col(text_col).alias("_t"))
+             .select("doc_id",
+                     F.expr("substring(_t, i, 1)").alias("ch")))
+    cc = (chars.groupBy("doc_id", "ch")
+          .agg(F.count(F.lit(1)).alias("c")))
+    return (cc.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_chars"),
+                 F.count(F.lit(1)).alias("n_distinct_chars"),
+                 F.sum(F.col("c") * F.col("c")).alias("_c2"))
+            .select("doc_id", "n_chars", "n_distinct_chars",
+                    int_ppm(F.col("_c2"),
+                            F.col("n_chars").cast("decimal(38,0)")
+                            * F.col("n_chars"))
+                    .alias("collision_ppm")))
+
+
 def compression_ratio(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       level: int = 6) -> DataFrame:

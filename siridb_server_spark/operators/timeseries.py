@@ -266,6 +266,45 @@ def level_shifts(df: DataFrame, window: int = 10,
                 (F.round("_z", 6) + F.lit(0.0)).alias("shift_z")))
 
 
+def acf(df: DataFrame, lags: tuple = (1, 2, 3),
+        key_col: str = "series", ts_col: str = "ts",
+        val_col: str = "val") -> DataFrame:
+    """Per-series sample autocorrelation at small lags — the
+    "is this metric periodic/sticky or white" answer (an ACF near 1
+    at lag 1 means momentum, alternating signs mean oscillation,
+    ~0 means noise). r_k = Σ_{i>k}(v_i−v̄)(v_{i−k}−v̄) / Σ(v_i−v̄)².
+
+    One hash shuffle: the per-series mean comes from a
+    whole-partition window (reusing the same partitioning the lag
+    windows need), deviations and their lags are row-local, and one
+    groupBy folds the lag products. Series with zero variance or
+    n ≤ k report NULL at that lag. Output: (key, n_points,
+    acf_1..acf_k), 6 decimals."""
+    w = Window.partitionBy(key_col)
+    wo = w.orderBy(ts_col)
+    dev = (F.col(val_col).cast("double")
+           - F.avg(F.col(val_col).cast("double")).over(w))
+    base = df.select(F.col(key_col), F.col(ts_col),
+                     dev.alias("_d"))
+    cols = [F.col(key_col), F.col("_d")]
+    for k in lags:
+        cols.append((F.col("_d")
+                     * F.lag("_d", k).over(wo)).alias(f"_p{k}"))
+    lagged = base.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("_d") * F.col("_d")).alias("_ss")]
+    for k in lags:
+        aggs.append(F.sum(f"_p{k}").alias(f"_s{k}"))
+    out = lagged.groupBy(key_col).agg(*aggs)
+    sel = [F.col(key_col), F.col("n_points")]
+    for k in lags:
+        sel.append((F.round(F.col(f"_s{k}")
+                            / F.when(F.col("_ss") != 0,
+                                     F.col("_ss")), 6)
+                    + F.lit(0.0)).alias(f"acf_{k}"))
+    return out.select(*sel)
+
+
 def linear_trend(df: DataFrame, key_col: str = "series",
                  ts_col: str = "ts",
                  val_col: str = "val") -> DataFrame:

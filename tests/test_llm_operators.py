@@ -1886,3 +1886,25 @@ def test_curate_corpus_staged_attribution(spark):
     assert rep == {"quality": 1, "lang": 1, "exact_dup": 1,
                    "near_dup": 1, "kept": 2}
     assert sum(rep.values()) == len(rows)       # additive, lossless
+
+
+def test_char_diversity_exact_simpson(spark):
+    """Integer contract of the character-diversity signal: counts +
+    half-up ppm of the exact Simpson collision mass; repetitive text
+    collides far above prose; empty docs drop."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "aab"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           TX.char_diversity(docs).collect()}
+    assert 4 not in got
+    r1 = got[1]
+    assert (r1["n_chars"], r1["n_distinct_chars"]) == (4, 1)
+    assert r1["collision_ppm"] == 1000000          # 16/16
+    r2 = got[2]
+    assert (r2["n_chars"], r2["n_distinct_chars"]) == (4, 4)
+    assert r2["collision_ppm"] == 250000           # 4/16
+    r3 = got[3]
+    # (2^2 + 1^2) / 3^2 = 5/9 -> half-up ppm
+    assert r3["collision_ppm"] == (2 * 5 * 1000000 + 9) // (2 * 9)
+    assert got[1]["collision_ppm"] > got[2]["collision_ppm"]

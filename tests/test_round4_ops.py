@@ -797,3 +797,28 @@ def test_length_buckets_batches_within_power_of_two(spark):
         == list(range(32))
     assert sorted(r["pos"] for r in b3 if r["batch_id"] == 1) \
         == list(range(10))
+
+
+def test_acf_known_signals(spark):
+    """ACF sanity on constructed series: a period-2 alternating
+    signal has acf_1 = -1 and acf_2 = +1-ish (finite-sample scaled);
+    a constant series has zero variance -> NULL; a linear ramp is
+    strongly positive at lag 1."""
+    rows = []
+    alt = [1.0 if i % 2 == 0 else -1.0 for i in range(40)]
+    for i, v in enumerate(alt):
+        rows.append(("alt", i * 10, v))
+    for i in range(40):
+        rows.append(("const", i * 10, 5.0))
+        rows.append(("ramp", i * 10, float(i)))
+    df = spark.createDataFrame(rows, "series string, ts long, val double")
+    got = {r["series"]: r for r in TSO.acf(df).collect()}
+    import math
+    # exact finite-sample values: mean 0, ss = n; r_k = (n-k)(-1)^k/n
+    n = 40
+    assert math.isclose(got["alt"]["acf_1"], -(n - 1) / n,
+                        abs_tol=1e-6)
+    assert math.isclose(got["alt"]["acf_2"], (n - 2) / n,
+                        abs_tol=1e-6)
+    assert got["const"]["acf_1"] is None         # zero variance
+    assert got["ramp"]["acf_1"] > 0.85
