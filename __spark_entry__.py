@@ -2066,6 +2066,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q9ish"] = tpch_q9ish
 
+    def _region_suppliers(spark, sf_dir, r_name):
+        """supplier ⋈ nation ⋈ region chain pruned to one region —
+        dims only, always broadcast onto the fact side."""
+        supp = load(spark, sf_dir, "supplier")
+        nat = load(spark, sf_dir, "nation")
+        reg = load(spark, sf_dir, "region")
+        return (supp.join(
+            F.broadcast(nat.join(
+                F.broadcast(reg.where(F.col("r_name") == r_name)),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name"))
+
+    def tpch_q2ish(spark, sf_dir):
+        """q2 shape (partsupp stood in by the lineitem bridge) —
+        minimum-cost supplier per part: the classic correlated MIN
+        subquery, decorrelated into a per-part minimum joined back
+        by EQUALITY so ties all surface. Supply cost is the exact
+        cents-quantized minimum line price per (part, supplier), so
+        the equality probe is pure integer math on both engines.
+        The (part,supplier) cost table is pre-aggregated BEFORE any
+        dim join (fact scanned once); part subset, regional
+        suppliers, and the per-part minimum all broadcast."""
+        from siridb_server_spark.functions.stable import scaled_term
+        li = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part")
+        cost = (li.groupBy("l_partkey", "l_suppkey")
+                .agg(F.min(scaled_term(F.col("l_extendedprice"), 2))
+                     .alias("cost_cents")))
+        pe = (part.where((F.col("p_type") == "PROMO")
+                         & (F.col("p_size") <= 25))
+              .select("p_partkey", "p_brand"))
+        es = _region_suppliers(spark, sf_dir, "EUROPE")
+        c2 = (cost.join(F.broadcast(pe),
+                        F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(es),
+                    F.col("l_suppkey") == F.col("s_suppkey")))
+        mn = (c2.groupBy(F.col("p_partkey").alias("pk"))
+              .agg(F.min("cost_cents").alias("min_cents")))
+        return (c2.join(F.broadcast(mn),
+                        (F.col("p_partkey") == F.col("pk"))
+                        & (F.col("cost_cents") == F.col("min_cents")))
+                .select("p_partkey", "p_brand", "s_name",
+                        "cost_cents"))
+
+    q["tpch_q2ish"] = tpch_q2ish
+
+    def tpch_q11ish(spark, sf_dir):
+        """q11 shape — parts whose regional supply value exceeds a
+        fraction of the total: HAVING against a 1-row global
+        aggregate. Values are exact cents-quantized long sums and
+        the share test runs as integer math (value·2000 > total ⟺
+        share > 0.05%) — no float threshold can flip a part between
+        engines. One fact shuffle on l_partkey; the ASIA supplier
+        set and the 1-row total broadcast."""
+        from siridb_server_spark.functions.stable import scaled_term
+        li = load(spark, sf_dir, "lineitem")
+        asup = _region_suppliers(spark, sf_dir, "ASIA") \
+            .select("s_suppkey")
+        val = (li.join(F.broadcast(asup),
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+               .groupBy(F.col("l_partkey").alias("p_partkey"))
+               .agg(F.sum(scaled_term(F.col("l_extendedprice"), 2))
+                    .alias("value_cents")))
+        tot = val.agg(F.sum("value_cents").alias("total_cents"))
+        return (val.crossJoin(F.broadcast(tot))
+                .where(F.col("value_cents") * 2000
+                       > F.col("total_cents"))
+                .select("p_partkey", "value_cents"))
+
+    q["tpch_q11ish"] = tpch_q11ish
+
+    def tpch_q20ish(spark, sf_dir):
+        """q20 shape — suppliers whose 1996 shipments of widget
+        parts dominate their all-time volume for that part
+        (2·qty_96 > qty_all, the availqty>½·shipped test re-based
+        on shipping history): a per-(supplier,part) integer
+        aggregate, an integer-math HAVING, then a distinct semi-join
+        into the regional supplier dim. Quantities are integral so
+        every comparison is exact."""
+        li = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part")
+        pw = part.where(F.col("p_name").like("%widget%")) \
+            .select("p_partkey")
+        a = F.lit("1996-01-01").cast("timestamp_ntz")
+        b = F.lit("1997-01-01").cast("timestamp_ntz")
+        qi = F.col("l_quantity").cast("long")
+        in96 = (F.col("l_shipdate") >= a) & (F.col("l_shipdate") < b)
+        per = (li.join(F.broadcast(pw),
+                       F.col("l_partkey") == F.col("p_partkey"))
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum(F.when(in96, qi).otherwise(0))
+                    .alias("qty_96"),
+                    F.sum(qi).alias("qty_all")))
+        hot = (per.where(F.col("qty_96") * 2 > F.col("qty_all"))
+               .select("l_suppkey").distinct())
+        ams = _region_suppliers(spark, sf_dir, "AMERICA")
+        return (hot.join(F.broadcast(ams),
+                         F.col("l_suppkey") == F.col("s_suppkey"))
+                .select("s_suppkey", "s_name"))
+
+    q["tpch_q20ish"] = tpch_q20ish
+
+    def tpch_q21ish(spark, sf_dir):
+        """q21 shape — suppliers who alone held up multi-supplier
+        orders (late = shipped >180 days after the order date; the
+        corpus has no commit/receipt dates). The EXISTS/NOT-EXISTS
+        pair decorrelates into ONE per-order aggregate: an order
+        qualifies iff it has ≥2 distinct suppliers and EXACTLY ONE
+        distinct late supplier — that supplier's late-line count is
+        the original correlated l1 row count. One fact shuffle on
+        the order key, a supplier-sized rollup, broadcast name
+        join; dates compare exactly."""
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        supp = load(spark, sf_dir, "supplier")
+        of = (orders.where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+        lo = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
+              .join(of, F.col("l_orderkey") == F.col("o_orderkey"))
+              .select("l_orderkey", "l_suppkey",
+                      F.when(F.col("l_shipdate")
+                             > F.col("o_orderdate")
+                             + F.expr("INTERVAL 180 DAYS"), 1)
+                      .otherwise(0).alias("late")))
+        lsup = F.when(F.col("late") == 1, F.col("l_suppkey"))
+        po = (lo.groupBy("l_orderkey")
+              .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                   F.countDistinct(lsup).alias("n_late_supp"),
+                   F.max(lsup).alias("late_supp"),
+                   F.sum("late").alias("n_late_lines")))
+        return (po.where((F.col("n_supp") >= 2)
+                         & (F.col("n_late_supp") == 1))
+                .join(F.broadcast(
+                    supp.select("s_suppkey", "s_name")),
+                    F.col("late_supp") == F.col("s_suppkey"))
+                .groupBy("s_name")
+                .agg(F.sum("n_late_lines").alias("numwait"))
+                .orderBy(F.desc("numwait"), F.asc("s_name"))
+                .limit(20))
+
+    q["tpch_q21ish"] = tpch_q21ish
+
     def text_quality_score(spark, sf_dir):
         """Hashed contract = (doc_id, z_micro, keep): the logit's
         lineage is only correctly-rounded IEEE ops, so the quantized
@@ -4319,6 +4463,81 @@ def oracle_sql() -> dict[str, str]:
         " SELECT c_nationkey AS cntry, count(*) AS numcust,"
         " sum(ab_cents) / 100.0 AS totacctbal"
         " FROM dormant GROUP BY 1 ORDER BY 1"
+    )
+    _ES = (" (SELECT s_suppkey, s_name FROM supplier"
+           " JOIN nation ON s_nationkey = n_nationkey"
+           " JOIN region ON n_regionkey = r_regionkey"
+           " WHERE r_name = '{r}')")
+    o["tpch_q2ish"] = (
+        # exact-cents minimum supply cost; equality join keeps ties
+        "WITH cost AS (SELECT l_partkey, l_suppkey,"
+        f" min({_QTERM2('l_extendedprice')}) AS cost_cents"
+        " FROM lineitem GROUP BY 1, 2),"
+        " pe AS (SELECT p_partkey, p_brand FROM part"
+        " WHERE p_type = 'PROMO' AND p_size <= 25),"
+        " es AS" + _ES.format(r="EUROPE") + ","
+        " c2 AS (SELECT p_partkey, p_brand, s_name, cost_cents"
+        " FROM cost JOIN pe ON l_partkey = p_partkey"
+        " JOIN es ON l_suppkey = s_suppkey),"
+        " mn AS (SELECT p_partkey AS pk, min(cost_cents)"
+        " AS min_cents FROM c2 GROUP BY 1)"
+        " SELECT p_partkey, p_brand, s_name, cost_cents"
+        " FROM c2 JOIN mn ON p_partkey = pk"
+        " AND cost_cents = min_cents"
+    )
+    o["tpch_q11ish"] = (
+        # share test as integer math: value·2000 > total
+        "WITH asup AS (SELECT s_suppkey FROM supplier"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " WHERE r_name = 'ASIA'),"
+        " val AS (SELECT l_partkey AS p_partkey,"
+        f" CAST(sum({_QTERM2('l_extendedprice')}) AS BIGINT)"
+        " AS value_cents"
+        " FROM lineitem JOIN asup ON l_suppkey = s_suppkey"
+        " GROUP BY 1),"
+        " tot AS (SELECT sum(value_cents) AS total_cents FROM val)"
+        " SELECT p_partkey, value_cents FROM val, tot"
+        " WHERE value_cents * 2000 > total_cents"
+    )
+    o["tpch_q20ish"] = (
+        "WITH pw AS (SELECT p_partkey FROM part"
+        " WHERE p_name LIKE '%widget%'),"
+        " per AS (SELECT l_suppkey, l_partkey,"
+        " CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1997-01-01'"
+        " THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)"
+        " AS qty_96,"
+        " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        " AS qty_all"
+        " FROM lineitem JOIN pw ON l_partkey = p_partkey"
+        " GROUP BY 1, 2),"
+        " hot AS (SELECT DISTINCT l_suppkey FROM per"
+        " WHERE qty_96 * 2 > qty_all),"
+        " ams AS" + _ES.format(r="AMERICA") +
+        " SELECT s_suppkey, s_name"
+        " FROM hot JOIN ams ON l_suppkey = s_suppkey"
+    )
+    o["tpch_q21ish"] = (
+        # the EXISTS / NOT-EXISTS pair as one per-order aggregate:
+        # qualifies iff ≥2 suppliers and exactly one late supplier
+        "WITH lo AS (SELECT l_orderkey, l_suppkey,"
+        " CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY"
+        " THEN 1 ELSE 0 END AS late"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE o_orderstatus = 'F'),"
+        " po AS (SELECT l_orderkey,"
+        " count(DISTINCT l_suppkey) AS n_supp,"
+        " count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)"
+        " AS n_late_supp,"
+        " max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp,"
+        " CAST(sum(late) AS BIGINT) AS n_late_lines"
+        " FROM lo GROUP BY 1)"
+        " SELECT s_name, CAST(sum(n_late_lines) AS BIGINT)"
+        " AS numwait"
+        " FROM po JOIN supplier ON late_supp = s_suppkey"
+        " WHERE n_supp >= 2 AND n_late_supp = 1"
+        " GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"
     )
     o["tpch_q3ish"] = (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')"

@@ -134,6 +134,10 @@ BENCH_QUERIES = [
     "tpch_q7ish",
     "tpch_q8ish",
     "tpch_q9ish",
+    "tpch_q2ish",
+    "tpch_q11ish",
+    "tpch_q20ish",
+    "tpch_q21ish",
 ]
 
 
