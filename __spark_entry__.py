@@ -2383,6 +2383,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_dup_clusters"] = sim_dup_clusters
 
+    def sim_semdedup(spark, sf_dir):
+        """SemDeDup-style semantic dedup (Abbas et al. 2023,
+        arXiv:2303.09540): cluster the embedding space (the corpus
+        label stands in for the k-means cell; ``SIM.kmeans_fit`` is
+        the unlabeled path), edge within-cluster pairs whose cosine
+        clears the threshold, then keep ONE member per duplicate
+        group — the LEAST prototypical one (lowest cosine to its
+        cluster centroid), the paper's keep-low policy, ties to the
+        smaller id. The centroid enters only through the
+        per-cluster per-dim SUM vector (the 1/n scale cancels
+        inside the cosine), accumulated as exact DECIMAL(38,18) so
+        both engines derive bit-identical centroid vectors; the
+        per-row dot/norms are row-local array folds and the score
+        is micro-quantized at birth. Cluster-local pairs only —
+        never all-pairs — so the shape survives 100 TB; the
+        centroid table is labels×dims and broadcasts."""
+        from siridb_server_spark.functions.stable import scaled_term
+        emb = load(spark, sf_dir, "embeddings")
+        x = (emb.select("vec_id", "label",
+                        F.posexplode("embedding")
+                        .alias("pos", "v0"))
+             .select("label", "pos",
+                     F.col("v0").cast("double").alias("v")))
+        s = (x.groupBy("label", "pos")
+             .agg(F.sum(F.col("v").cast("decimal(38,18)"))
+                  .cast("double").alias("sv")))
+        sarr = (s.groupBy("label")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("pos", "sv"))).alias("ps"))
+                .select("label",
+                        F.transform("ps", lambda r: r["sv"])
+                        .alias("svec")))
+        vd = F.transform(F.col("embedding"),
+                         lambda c: c.cast("double"))
+        fold = (lambda arr: F.aggregate(
+            arr, F.lit(0.0), lambda acc, y: acc + y))
+        dot = fold(F.zip_with(vd, F.col("svec"),
+                              lambda a, b: a * b))
+        nv = F.sqrt(fold(F.transform(vd, lambda a: a * a)))
+        ns = F.sqrt(fold(F.transform(
+            F.col("svec"), lambda a: a * a)))
+        scored = (emb.join(F.broadcast(sarr), "label")
+                  .select("vec_id",
+                          scaled_term(dot / (nv * ns), 6)
+                          .alias("cos_c_micro"))
+                  .withColumn("_neg", -F.col("cos_c_micro")))
+        pairs = SIM.cosine_pairs_blocked(emb, threshold=0.3)
+        res = (D.resolve_duplicates_by(scored, pairs,
+                                       score_col="_neg",
+                                       id_col="vec_id")
+               .withColumnRenamed("doc_id", "vec_id"))
+        return (res.join(scored.select("vec_id", "cos_c_micro"),
+                         "vec_id")
+                .select("vec_id", "keep_id", "is_kept",
+                        "cos_c_micro"))
+
+    q["sim_semdedup"] = sim_semdedup
+
     def sim_pq_ann(spark, sf_dir):
         """Property rows for the product-quantization index: k rows
         returned, every code within [0, k_codebook), and recall@10
@@ -4855,6 +4913,55 @@ def oracle_sql() -> dict[str, str]:
         " v.vec_id = coalesce(cc.comp, v.vec_id) AS is_kept"
         " FROM (SELECT vec_id FROM embeddings) v"
         " LEFT JOIN cc ON v.vec_id = cc.node"
+    )
+
+    o["sim_semdedup"] = (
+        # same edge CTE as sim_dup_clusters; winner per component =
+        # LOWEST centroid-cosine (micro-quantized), ties to min id.
+        # The centroid is the exact DECIMAL(38,18) per-dim sum
+        # (scale cancels in the cosine), mirroring the Spark side.
+        "WITH RECURSIVE x AS (SELECT vec_id, label,"
+        " generate_subscripts(embedding, 1) AS pos,"
+        " CAST(unnest(embedding) AS DOUBLE) AS v"
+        " FROM embeddings),"
+        " s AS (SELECT label, pos,"
+        " CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS sv"
+        " FROM x GROUP BY 1, 2),"
+        " sn AS (SELECT label, sqrt(sum(sv * sv)) AS ns"
+        " FROM s GROUP BY 1),"
+        " cosc AS (SELECT vec_id,"
+        f" {SCALED_TERM_SQL.format(x='sum(v * sv) / (sqrt(sum(v * v)) * max(ns))', s=10 ** 6)}"
+        " AS cos_c_micro"
+        " FROM x JOIN s USING (label, pos)"
+        " JOIN sn USING (label) GROUP BY vec_id),"
+        " prod AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        " CAST(unnest(a.embedding) AS DOUBLE) AS px,"
+        " CAST(unnest(b.embedding) AS DOUBLE) AS py"
+        " FROM embeddings a JOIN embeddings b ON a.label = b.label"
+        " AND a.vec_id < b.vec_id),"
+        " ps AS (SELECT id_a, id_b, sum(px * py) AS d,"
+        " sum(px * px) AS na, sum(py * py) AS nb"
+        " FROM prod GROUP BY 1, 2),"
+        " pairs AS (SELECT id_a, id_b FROM ps"
+        " WHERE round(d / (sqrt(na) * sqrt(nb)), 6) >= 0.3),"
+        " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs),"
+        " walk(node, comp) AS (SELECT a, a FROM edges UNION"
+        " SELECT e.b, w.comp FROM walk w"
+        " JOIN edges e ON e.a = w.node),"
+        " cc AS (SELECT node, min(comp) AS comp FROM walk"
+        " GROUP BY 1),"
+        " scored AS (SELECT c.vec_id,"
+        " coalesce(cc.comp, c.vec_id) AS comp, c.cos_c_micro"
+        " FROM cosc c LEFT JOIN cc ON c.vec_id = cc.node),"
+        " best AS (SELECT comp, min(cos_c_micro) AS cmin"
+        " FROM scored GROUP BY 1),"
+        " winners AS (SELECT s.comp, min(s.vec_id) AS keep_id"
+        " FROM scored s JOIN best USING (comp)"
+        " WHERE s.cos_c_micro = best.cmin GROUP BY 1)"
+        " SELECT s.vec_id, w.keep_id,"
+        " s.vec_id = w.keep_id AS is_kept, s.cos_c_micro"
+        " FROM scored s JOIN winners w USING (comp)"
     )
 
     # q7 shape: two-nation shipping volume, both directions

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "sim_knn_join",
     "sim_cosine_pairs",
     "sim_dup_clusters",
+    "sim_semdedup",
     "multimodal_meta",
     "curation_dsir",
     # window time-series + corpus statistics

@@ -650,6 +650,65 @@ def test_dup_clusters_transitive_closure(spark):
     assert out[0] == (0, True) and out[3] == (3, True)
 
 
+def test_semdedup_keeps_least_prototypical(spark):
+    """SemDeDup keep-low policy: within a duplicate group the
+    survivor is the member with the LOWEST cosine to the cluster
+    centroid (the least prototypical copy), not the min id."""
+    # one cluster ('a'): 1 and 2 are near-identical along +x (edge),
+    # 3 points along +y (no edge to 1/2). The +y outlier pulls the
+    # centroid off-axis, so within group {1,2} the keeper is the one
+    # LESS aligned with it: vec 2 (pure +x, no +y component at all).
+    # A min-id policy would keep 1 — the test separates the two.
+    rows = [(1, [0.98, 0.199], "a"),
+            (2, [1.0, 0.0], "a"),
+            (3, [0.0, 1.0], "a")]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+
+    from pyspark.sql import functions as F
+
+    from siridb_server_spark.functions.stable import scaled_term
+    from siridb_server_spark.operators import dedup as D
+    from siridb_server_spark.operators import similarity as SIM
+
+    # replicate the entry's composition on the fixture
+    x = (emb.select("vec_id", "label",
+                    F.posexplode("embedding").alias("pos", "v0"))
+         .select("label", "pos",
+                 F.col("v0").cast("double").alias("v")))
+    s = (x.groupBy("label", "pos")
+         .agg(F.sum(F.col("v").cast("decimal(38,18)"))
+              .cast("double").alias("sv")))
+    sarr = (s.groupBy("label")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("pos", "sv"))).alias("ps"))
+            .select("label",
+                    F.transform("ps", lambda r: r["sv"])
+                    .alias("svec")))
+    vd = F.transform(F.col("embedding"), lambda c: c.cast("double"))
+    fold = (lambda arr: F.aggregate(
+        arr, F.lit(0.0), lambda acc, y: acc + y))
+    dot = fold(F.zip_with(vd, F.col("svec"), lambda a, b: a * b))
+    nv = F.sqrt(fold(F.transform(vd, lambda a: a * a)))
+    ns = F.sqrt(fold(F.transform(F.col("svec"), lambda a: a * a)))
+    scored = (emb.join(F.broadcast(sarr), "label")
+              .select("vec_id",
+                      scaled_term(dot / (nv * ns), 6)
+                      .alias("cos_c_micro"))
+              .withColumn("_neg", -F.col("cos_c_micro")))
+    pairs = SIM.cosine_pairs_blocked(emb, threshold=0.9)
+    out = {r["doc_id"]: (r["keep_id"], r["is_kept"])
+           for r in D.resolve_duplicates_by(
+               scored, pairs, score_col="_neg",
+               id_col="vec_id").collect()}
+    # group {1,2}: 2 is farther from the off-axis centroid → kept
+    assert out[2] == (2, True)
+    assert out[1] == (2, False)
+    assert out[1][0] != 1  # distinguishes keep-low from min-id
+    # 3 never edged anyone → singleton keeps itself
+    assert out[3] == (3, True)
+
+
 def test_bm25_ranks_matching_docs(spark):
     from siridb_server_spark.operators.text import bm25_topk
 
