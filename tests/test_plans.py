@@ -317,3 +317,38 @@ def test_ann_recall_norms_above_scan_topk_pushdown(spark):
     # the |nprobes|-row result) is tiny and AQE-converted at runtime
     assert "BroadcastHashJoin [label" in plan
     assert "BroadcastHashJoin [qid" in plan
+
+
+def test_tpch_sweep_new_shapes_broadcast_dims(spark):
+    """q2/q11/q20: the fact is pre-aggregated before any dim join
+    and every dim (part subset, regional suppliers, per-part min /
+    1-row total) rides a broadcast — no sort-merge join anywhere.
+    q21: the order-key fact join may shuffle (that IS the 100 TB
+    plan), but the supplier-name join must broadcast."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("tpch_q2ish", "tpch_q11ish", "tpch_q20ish"):
+        plan = physical(qs[name](spark, sf))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert not any(n in plan for n in PY_NODES), name
+    plan = physical(qs["tpch_q21ish"](spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert not any(n in plan for n in PY_NODES)
+    # the top-k is TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semdedup_centroids_broadcast_no_python_scoring(spark):
+    """sim_semdedup: the labels×dims centroid table broadcasts onto
+    the corpus and the score path (dot/norm folds) stays JVM-side;
+    the only Python nodes allowed are the blocked pair scorer's
+    Arrow stage (cosine_pairs_blocked), never row-at-a-time."""
+    import __spark_entry__ as entry
+
+    plan = physical(entry.queries()["sim_semdedup"](
+        spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
