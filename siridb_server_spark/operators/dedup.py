@@ -569,17 +569,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (e.union(e.select(F.col("b").alias("a"),
                               F.col("a").alias("b"))))\
-        .distinct().persist()
-    n_edges = edges.count()
-    if n_edges <= driver_edge_cap:
-        rows = [(r["a"], r["b"]) for r in edges.collect()]
-        edges.unpersist()
+        .distinct()
+    # ONE probing job decides the tier: take(cap+1) returns the
+    # whole edge set when it fits the driver (the common case — the
+    # banded pair graph is corpus-scale-independent) and proves it
+    # doesn't otherwise. A count-then-collect pair costs an extra
+    # evaluation of the pair-generation lineage for no information.
+    sample = edges.take(driver_edge_cap + 1)
+    if len(sample) <= driver_edge_cap:
+        rows = [(r["a"], r["b"]) for r in sample]
         labels = _union_find_min(rows)
         spark = pairs.sparkSession
         if not labels:
             return (pairs.sparkSession.createDataFrame(
                 [], "node long, comp long"))
         return spark.createDataFrame(labels, ["node", "comp"])
+    edges = edges.persist()
 
     # cluster state C(u): one row (u, v) per member v of u's set,
     # seeded with the adjacency plus self-loops
@@ -630,17 +635,21 @@ def resolve_duplicates_by(df: DataFrame, pairs: DataFrame,
     production pipelines actually want, because the first-crawled
     copy is often the worst one.
 
-    Same connected-components machinery; picking winners is a
-    two-stage aggregate — max score per component, then min id among
-    the rows that carry it (``eqNullSafe`` so an all-NULL-score
-    component still elects its min id rather than vanishing). Both
-    stages are skew-safe map-side-partial groupBys on the component
-    key and work for ANY orderable id/score type — a single
-    ``max_by(id, struct(score, -id))`` would be one pass but raises
-    AnalysisException for string ids (negation), silently narrowing
-    the id types the rest of the dedup stack supports. Everything
-    carries |docs| rows, nothing quadratic.
+    Same connected-components machinery; picking winners is two
+    window aggregates over the SAME component partitioning — max
+    score per component, then min id among the rows that carry it
+    (``eqNullSafe`` so an all-NULL-score component still elects its
+    min id rather than vanishing). Catalyst collapses both into one
+    Window node behind a single exchange on ``comp`` — one shuffle,
+    zero joins (the former two-groupBy + two-join plan spent ~6
+    fixed-latency jobs re-reading the same |docs|-row frame), and it
+    works for ANY orderable id/score type — a single
+    ``max_by(id, struct(score, -id))`` would also be one pass but
+    raises AnalysisException for string ids (negation), silently
+    narrowing the id types the rest of the dedup stack supports.
+    Everything carries |docs| rows, nothing quadratic.
     Output: (doc_id, keep_id, is_kept)."""
+    from pyspark.sql import Window
     comp = connected_components(pairs)
     scored = df.select(F.col(id_col).alias("doc_id"),
                        F.col(score_col).alias("_s"))
@@ -649,12 +658,11 @@ def resolve_duplicates_by(df: DataFrame, pairs: DataFrame,
              .select("doc_id", "_s",
                      F.coalesce("comp", F.col("doc_id"))
                      .alias("comp")))
-    best = withc.groupBy("comp").agg(F.max("_s").alias("_smax"))
-    winners = (withc.join(best, "comp")
-               .where(F.col("_s").eqNullSafe(F.col("_smax")))
-               .groupBy("comp")
-               .agg(F.min("doc_id").alias("keep_id")))
-    return (withc.join(winners, "comp")
+    wc = Window.partitionBy("comp")
+    withmax = withc.withColumn("_smax", F.max("_s").over(wc))
+    keep = F.min(F.when(F.col("_s").eqNullSafe(F.col("_smax")),
+                        F.col("doc_id"))).over(wc)
+    return (withmax.withColumn("keep_id", keep)
             .select("doc_id", "keep_id",
                     (F.col("doc_id") == F.col("keep_id"))
                     .alias("is_kept")))
