@@ -2371,6 +2371,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load(spark, sf_dir, "documents"),
         ["hash", "join", "vector"])
 
+    def text_hybrid_rrf(spark, sf_dir):
+        """Hybrid retrieval with reciprocal-rank fusion: an
+        exact-integer lexical ranker (idf-weighted tf with weights
+        ``int_ppm(n_docs, df)`` — pure integer math standing in for
+        BM25's ln-idf, which the contract policy keeps out of
+        hashed lineage) fused with a dense cosine ranker over the
+        id-aligned embedding table. Both rankers order by their
+        exact/quantized integer score with id tie-breaks, so ranks
+        are engine-identical; the RRF score 1/(60+r_lex)+1/(60+r_vec)
+        ships in exact RATIONAL form — integer (rrf_num, rrf_den)
+        columns, no float division anywhere in the hashed contract.
+        At 100 TB both candidate streams arrive index-pruned
+        (term postings / ANN cells) before the k-sized global rank,
+        which is the only single-partition step."""
+        from siridb_server_spark.functions.stable import (int_ppm,
+                                                          scaled_term)
+        K, k = 60, 20
+        docs = load(spark, sf_dir, "documents")
+        emb = load(spark, sf_dir, "embeddings")
+        stats = TX.bm25_stats(docs, ["hash", "join", "vector"])
+        nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        lex = (stats.crossJoin(F.broadcast(nd))
+               .select("doc_id",
+                       (F.col("tf")
+                        * int_ppm(F.col("n_docs"), F.col("df")))
+                       .alias("w"))
+               .groupBy("doc_id")
+               .agg(F.sum("w").alias("score")))
+        # top-k FIRST (TakeOrdered: per-partition heap + merge),
+        # then the single-partition rank window sees only k rows
+        wlex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        lr = (lex.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+              .withColumn("r_lex", F.row_number().over(wlex)
+                          .cast("long"))
+              .select("doc_id", "r_lex"))
+        qv = _query_vec(spark, sf_dir)
+        vd = F.transform(F.col("embedding"),
+                         lambda c: c.cast("double"))
+        fold = (lambda arr: F.aggregate(
+            arr, F.lit(0.0), lambda acc, y: acc + y))
+        qlit = F.array(*[F.lit(float(v)) for v in qv])
+        dot = fold(F.zip_with(vd, qlit, lambda a, b: a * b))
+        nv = F.sqrt(fold(F.transform(vd, lambda a: a * a)))
+        nq = float(sum(v * v for v in qv)) ** 0.5
+        cosr = (emb.where(F.col("vec_id") != 0)
+                .select("vec_id",
+                        scaled_term(dot / (nv * F.lit(nq)), 6)
+                        .alias("cos_micro")))
+        wvec = Window.orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+        vr = (cosr.orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+              .limit(k)
+              .withColumn("r_vec", F.row_number().over(wvec)
+                          .cast("long"))
+              .select("vec_id", "r_vec"))
+        f = (lr.join(vr, lr.doc_id == vr.vec_id, "full")
+             .select(F.coalesce("doc_id", "vec_id").alias("doc_id"),
+                     "r_lex", "r_vec"))
+        both = F.col("r_lex").isNotNull() & F.col("r_vec").isNotNull()
+        return f.select(
+            "doc_id", "r_lex", "r_vec",
+            F.when(both, F.lit(2 * K) + F.col("r_lex")
+                   + F.col("r_vec")).otherwise(F.lit(1))
+            .cast("long").alias("rrf_num"),
+            (F.coalesce(F.col("r_lex") + K, F.lit(1))
+             * F.coalesce(F.col("r_vec") + K, F.lit(1)))
+            .cast("long").alias("rrf_den"))
+
+    q["text_hybrid_rrf"] = text_hybrid_rrf
+
     def sim_dup_clusters(spark, sf_dir):
         """Embedding near-dup clustering: cosine pairs above the
         threshold (within quantizer blocks) become edges; connected
@@ -4888,6 +4957,48 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, term, tf, dl, df"
         " FROM tf JOIN dfreq USING (term)"
         " JOIN per_doc USING (doc_id)"
+    )
+    # hybrid retrieval: exact-integer lexical rank (tf · ppm-idf)
+    # fused with the quantized cosine rank; RRF ships as an exact
+    # rational (num, den) pair — no float division in the contract
+    o["text_hybrid_rrf"] = (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+        "lower(text), '[^a-z]+')) AS term FROM documents),"
+        " t AS (SELECT doc_id, term FROM toks WHERE term <> ''),"
+        " tf AS (SELECT doc_id, term, count(*) AS tf FROM t"
+        " WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),"
+        " dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),"
+        " nd AS (SELECT count(*) AS n_docs FROM documents),"
+        " lex AS (SELECT doc_id, CAST(sum(tf *"
+        f" {INT_PPM_SQL.format(num='n_docs', den='df')}"
+        ") AS BIGINT) AS score"
+        " FROM tf JOIN dfreq USING (term) CROSS JOIN nd"
+        " GROUP BY 1),"
+        " lr AS (SELECT doc_id, r_lex FROM (SELECT doc_id,"
+        " row_number() OVER (ORDER BY score DESC, doc_id)"
+        " AS r_lex FROM lex) WHERE r_lex <= 20),"
+        " qv AS (SELECT generate_subscripts(embedding, 1) AS pos,"
+        " CAST(unnest(embedding) AS DOUBLE) AS q"
+        " FROM embeddings WHERE vec_id = 0),"
+        " qn AS (SELECT sqrt(sum(q * q)) AS nq FROM qv),"
+        " x AS (SELECT vec_id, generate_subscripts(embedding, 1)"
+        " AS pos, CAST(unnest(embedding) AS DOUBLE) AS v"
+        " FROM embeddings WHERE vec_id <> 0),"
+        " cosr AS (SELECT vec_id,"
+        f" {SCALED_TERM_SQL.format(x='sum(v * q) / (sqrt(sum(v * v)) * max(nq))', s=10 ** 6)}"
+        " AS cos_micro FROM x JOIN qv USING (pos) CROSS JOIN qn"
+        " GROUP BY vec_id),"
+        " vr AS (SELECT vec_id, r_vec FROM (SELECT vec_id,"
+        " row_number() OVER (ORDER BY cos_micro DESC, vec_id)"
+        " AS r_vec FROM cosr) WHERE r_vec <= 20)"
+        " SELECT coalesce(lr.doc_id, vr.vec_id) AS doc_id,"
+        " r_lex, r_vec,"
+        " CAST(CASE WHEN r_lex IS NOT NULL AND r_vec IS NOT NULL"
+        " THEN 120 + r_lex + r_vec ELSE 1 END AS BIGINT)"
+        " AS rrf_num,"
+        " CAST(coalesce(r_lex + 60, 1) * coalesce(r_vec + 60, 1)"
+        " AS BIGINT) AS rrf_den"
+        " FROM lr FULL JOIN vr ON lr.doc_id = vr.vec_id"
     )
     # connected components over the exact block-local cosine pair
     # graph (same edges as sim_cosine_pairs), min-label clusters

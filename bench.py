@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "text_tfidf_sources",
     "text_boilerplate",
     "text_approx_top_ngrams",
+    "text_hybrid_rrf",
     "text_chunking",
     "text_sentences",
     "sim_label_centroids",

@@ -352,3 +352,15 @@ def test_semdedup_centroids_broadcast_no_python_scoring(spark):
         spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_hybrid_rrf_topk_is_takeordered(spark):
+    """text_hybrid_rrf: both ranker top-ks run as TakeOrdered
+    (per-partition heap + merge), so the single-partition rank
+    window only ever sees k rows; scoring stays JVM-side."""
+    import __spark_entry__ as entry
+
+    plan = physical(entry.queries()["text_hybrid_rrf"](
+        spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not any(n in plan for n in PY_NODES)
