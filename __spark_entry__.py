@@ -325,6 +325,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
+    def dedup_minhash_accuracy(spark, sf_dir):
+        """Estimator-quality audit for the MinHash family: on the
+        exact ground-truth pair set (3-gram shingle Jaccard ≥ 0.3,
+        tested as the integer rational i·10 ≥ u·3), the k=16
+        signature-agreement fraction must land within 0.25 of the
+        exact Jaccard for EVERY pair — in exact integer math,
+        |ag·u − 16·i| ≤ 4·u. (Observed max deviation on this corpus
+        is 0.11; one MinHash component's sd at j≈0.3 is ~0.115/√k.)
+        This is the audit a production dedup pipeline runs on a
+        bounded sample before trusting the sketch at corpus scale:
+        ground truth via the inverted-index join on the sample, the
+        estimator row-local everywhere. The oracle pins the
+        ground-truth pair count in SQL and the all-within-bound
+        invariant as a matching count."""
+        docs = load(spark, sf_dir, "documents") \
+            .select("doc_id", "text")
+        pairs = D._shingle_intersections(docs, 3, "text", "doc_id")
+        u = F.col("na") + F.col("nb") - F.col("i")
+        truth = (pairs.where(F.col("i") * 10 >= u * 3)
+                 .select("id_a", "id_b", "i", u.alias("u")))
+        sig = D.minhash_signatures(docs, 16, 3)
+        s1 = sig.alias("s1")
+        s2 = sig.alias("s2")
+        agree = F.size(F.filter(
+            F.zip_with(F.col("s1.sig"), F.col("s2.sig"),
+                       lambda x, y: x == y), lambda m: m))
+        j = (truth
+             .join(s1, F.col("id_a") == F.col("s1.doc_id"))
+             .join(s2, F.col("id_b") == F.col("s2.doc_id"))
+             .select("id_a", "id_b", "i", "u", agree.alias("ag")))
+        within = (F.abs(F.col("ag") * F.col("u")
+                        - F.col("i") * 16)
+                  <= F.col("u") * 4)
+        return (_prop("n_true_pairs", j)
+                .unionByName(_prop("est_within_quarter",
+                                   j.where(within))))
+
+    q["dedup_minhash_accuracy"] = dedup_minhash_accuracy
+
     def dedup_simhash(spark, sf_dir):
         """SimHash banding checked against the exact all-pairs
         Hamming join (pigeonhole: 4 bands, hamming<=3 → at least one
@@ -3113,6 +3152,21 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) AS BIGINT) AS n FROM j WHERE j >= 0.5"
         " UNION ALL SELECT 'high_j_pairs_missed', 0"
         " UNION ALL SELECT 'emitted_below_floor', 0"
+    )
+    # estimator audit: the exact >=0.3 pair count is SQL ground
+    # truth (integer rational test, no float j); the second row pins
+    # the every-estimate-within-0.25 invariant (observed max 0.11 at
+    # sf0.001/0.01) as an equal count — MinHash itself has no SQL twin
+    o["dedup_minhash_accuracy"] = (
+        _SHJ.replace(" j AS (SELECT", " jx AS (SELECT") +
+        ", truth AS (SELECT id_a, id_b, i, sa.n + sb.n - i AS u"
+        " FROM i JOIN sz sa ON id_a = sa.doc_id"
+        " JOIN sz sb ON id_b = sb.doc_id"
+        " WHERE i * 10 >= (sa.n + sb.n - i) * 3)"
+        " SELECT 'n_true_pairs' AS prop,"
+        " CAST(count(*) AS BIGINT) AS n FROM truth"
+        " UNION ALL SELECT 'est_within_quarter',"
+        " CAST(count(*) AS BIGINT) FROM truth"
     )
     # SimHash property oracle: n_docs is cross-engine; the two zero
     # rows pin the pigeonhole theorem (4 bands, hamming<=3 → at least

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     # round-5 additions: capped exact join, mixture weights, packing,
     # real PNG decode through the Arrow path
     "dedup_ngram_jaccard",
+    "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",
     "curation_pipeline_report",
