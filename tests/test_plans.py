@@ -364,3 +364,52 @@ def test_hybrid_rrf_topk_is_takeordered(spark):
         spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan, plan
     assert not any(n in plan for n in PY_NODES)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """The 100 TB fact-x-fact pattern: both tables bucketed on the
+    join key at write time -> the join plan carries NO Exchange on
+    either side (the scan's bucketing IS the partitioning), and a
+    bucket-key equality predicate prunes to one bucket."""
+    from pyspark.sql import functions as F
+
+    from siridb_server_spark.sources import bucketed as B
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"))
+    emb = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float"))
+        .alias("embedding"))
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path so the assertion is about
+        # bucketing, not about one side being tiny
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        B.write_bucketed(docs, "bkt_docs", "doc_id", 4,
+                         path=str(tmp_path / "bkt_docs"))
+        B.write_bucketed(emb, "bkt_emb", "doc_id", 4,
+                         path=str(tmp_path / "bkt_emb"))
+        j = B.colocated_join(spark, "bkt_docs", "bkt_emb", "doc_id")
+        assert j.count() == 400
+        plan = physical(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # bucket pruning: an equality predicate on the bucket key
+        # scans one bucket (SelectedBucketsCount: 1 out of 4). The
+        # planner auto-disables bucketed scans no operator needs, so
+        # pin it on for the pruning assertion.
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false")
+        one = B.read_bucketed(spark, "bkt_docs") \
+            .where(F.col("doc_id") == 7)
+        assert "SelectedBucketsCount: 1 out of 4" in physical(one), \
+            physical(one)
+    finally:
+        spark.conf.unset(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_emb")
