@@ -725,6 +725,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         CU.length_buckets(load(spark, sf_dir, "documents"),
                           batch_docs=32)
 
+    def curation_curriculum(spark, sf_dir):
+        """Curriculum assignment: within each SOURCE, rank documents
+        by the quality logit and cut into 4 curriculum stages
+        (ntile — low-quality stages trained first, high-quality
+        last, the standard quality-curriculum schedule). The window
+        partitions by source, so ranking parallelizes across
+        sources — no single-partition sort; ordering ties break on
+        doc_id and the logit is the IEEE-exact micro-quantized
+        z_micro, so stage boundaries are engine-identical. Empty
+        docs (NULL logit) are excluded, matching the gate's
+        fail-closed posture. Output: per (source, stage) doc count
+        and the stage's logit span."""
+        docs = load(spark, sf_dir, "documents")
+        sc = (TX.quality_score_linear(docs)
+              .select("doc_id", "z_micro")
+              .where(F.col("z_micro").isNotNull()))
+        j = docs.select("doc_id", "source").join(sc, "doc_id")
+        w = Window.partitionBy("source") \
+            .orderBy(F.asc("z_micro"), F.asc("doc_id"))
+        return (j.withColumn("stage",
+                             F.ntile(4).over(w).cast("long"))
+                .groupBy("source", "stage")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.min("z_micro").alias("z_lo"),
+                     F.max("z_micro").alias("z_hi")))
+
+    q["curation_curriculum"] = curation_curriculum
+
     q["sim_ann_recall"] = lambda spark, sf_dir: \
         SIM.ann_recall_curve(load(spark, sf_dir, "embeddings"),
                              k=10, nprobes=(1, 2, 4, 10),
@@ -3217,6 +3245,37 @@ def oracle_sql() -> dict[str, str]:
             " ELSE CAST(n_punct AS DOUBLE) / n_chars END)"
             " + 1.5 * least(CAST(n_tokens AS DOUBLE), 400.0)"
             " / 400.0")
+    _QF = (
+        "f AS (SELECT doc_id,"
+        " CAST(length(text) AS DOUBLE) AS n_chars,"
+        " CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END"
+        " AS DOUBLE) AS n_tokens,"
+        " len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,"
+        " (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'"
+        " THEN 1 ELSE 0 END + CASE WHEN ' ' || lower(text) || ' '"
+        " LIKE '% and %' THEN 1 ELSE 0 END + CASE WHEN ' ' ||"
+        " lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END +"
+        " CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %'"
+        " THEN 1 ELSE 0 END + CASE WHEN ' ' || lower(text) || ' '"
+        " LIKE '% is %' THEN 1 ELSE 0 END) AS n_stop"
+        " FROM documents)")
+    # per-source quality-logit quartiles: ntile ties broken by
+    # doc_id, logit = the same IEEE-exact micro-quantized z
+    o["curation_curriculum"] = (
+        "WITH " + _QF + ","
+        f" z AS (SELECT doc_id, {_QSZ} AS zv FROM f),"
+        f" zq AS (SELECT doc_id, {_QTERM('zv')} AS z_micro FROM z"
+        " WHERE zv IS NOT NULL),"
+        " j AS (SELECT d.source, zq.doc_id, zq.z_micro"
+        " FROM documents d JOIN zq ON d.doc_id = zq.doc_id),"
+        " st AS (SELECT source, z_micro, CAST(ntile(4) OVER"
+        " (PARTITION BY source ORDER BY z_micro, doc_id)"
+        " AS BIGINT) AS stage FROM j)"
+        " SELECT source, stage, count(*) AS n_docs,"
+        " min(z_micro) AS z_lo, max(z_micro) AS z_hi"
+        " FROM st GROUP BY 1, 2"
+    )
     o["text_quality_score"] = (
         "WITH f AS (SELECT doc_id,"
         " CAST(length(text) AS DOUBLE) AS n_chars,"

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "curation_pipeline_report",
     "curation_epoch_plan",
     "curation_length_buckets",
+    "curation_curriculum",
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
