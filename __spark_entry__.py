@@ -2372,6 +2372,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_gap_stats"] = events_gap_stats
 
+    def events_stickiness(spark, sf_dir):
+        """DAU/WAU stickiness: per day, the exact count of active
+        users, the exact rolling-7-day active-user count, and their
+        ratio in exact integer ppm. The rolling distinct is computed
+        by FORWARD-exploding each (day, user) pair into the ≤7
+        window anchors it serves — a bounded 7× fan-out of the
+        per-day DISTINCT pairs (already deduped, so the fan-out is
+        over unique user-days, not raw events), then one
+        countDistinct per anchor. No self-join, no window over an
+        unbounded frame; at extreme scale the approximate path swaps
+        the exact distinct for an HLL sketch per day and merges
+        sketches across the 7 anchors. Trailing anchors beyond the
+        observed day range drop out via the inner join with DAU."""
+        from siridb_server_spark.functions.stable import int_ppm
+        ev = load(spark, sf_dir, "events")
+        dd = (ev.select(F.unix_date(F.to_date("ts")).cast("long")
+                        .alias("d"), "user_id")
+              .distinct())
+        dau = dd.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+        ex = dd.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6)))
+            .alias("td"), "user_id")
+        wau = (ex.groupBy(F.col("td").alias("d"))
+               .agg(F.countDistinct("user_id").alias("wau")))
+        return (dau.join(wau, "d")
+                .select("d", "dau", "wau",
+                        int_ppm(F.col("dau"), F.col("wau"))
+                        .alias("stickiness_ppm")))
+
+    q["events_stickiness"] = events_stickiness
+
     def events_sessions_rollup(spark, sf_dir):
         """Session-level facts: duration, event count, and whether
         the session converted (contained a purchase) — the rollup a
@@ -4849,6 +4880,21 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # inter-event gap stats per event type over (user, type) lags
+    o["events_stickiness"] = (
+        "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS dt,"
+        " user_id FROM events),"
+        " dd AS (SELECT CAST(dt - DATE '1970-01-01' AS BIGINT)"
+        " AS d, user_id FROM du),"
+        " dau AS (SELECT d, count(*) AS dau FROM dd GROUP BY 1),"
+        " ex AS (SELECT d + i AS td, user_id FROM dd"
+        " CROSS JOIN range(7) r(i)),"
+        " wau AS (SELECT td AS d, count(DISTINCT user_id) AS wau"
+        " FROM ex GROUP BY 1)"
+        " SELECT dau.d, dau.dau, wau.wau,"
+        f" {INT_PPM_SQL.format(num='dau.dau', den='wau.wau')}"
+        " AS stickiness_ppm"
+        " FROM dau JOIN wau ON dau.d = wau.d"
+    )
     o["events_gap_stats"] = (
         "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts,"
         " event_id FROM events),"

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "events_funnel_steps",
     "events_sessions_rollup",
     "events_gap_stats",
+    "events_stickiness",
     # general analytics
     "tpch_q1ish",
     "tpch_q6ish",
