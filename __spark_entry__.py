@@ -334,13 +334,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         |ag·u − 16·i| ≤ 4·u. (Observed max deviation on this corpus
         is 0.11; one MinHash component's sd at j≈0.3 is ~0.115/√k.)
         This is the audit a production dedup pipeline runs on a
-        bounded sample before trusting the sketch at corpus scale:
-        ground truth via the inverted-index join on the sample, the
-        estimator row-local everywhere. The oracle pins the
-        ground-truth pair count in SQL and the all-within-bound
-        invariant as a matching count."""
-        docs = load(spark, sf_dir, "documents") \
-            .select("doc_id", "text")
+        BOUNDED SAMPLE before trusting the sketch at corpus scale —
+        the id-range cut below IS that bound (exact ground truth via
+        the inverted-index join stays sample-sized however big the
+        corpus grows; the estimator is row-local everywhere). The
+        oracle pins the ground-truth pair count in SQL and the
+        all-within-bound invariant as a matching count."""
+        docs = (load(spark, sf_dir, "documents")
+                .where(F.col("doc_id") < 1500)
+                .select("doc_id", "text"))
         pairs = D._shingle_intersections(docs, 3, "text", "doc_id")
         u = F.col("na") + F.col("nb") - F.col("i")
         truth = (pairs.where(F.col("i") * 10 >= u * 3)
@@ -3217,7 +3219,9 @@ def oracle_sql() -> dict[str, str]:
     # the every-estimate-within-0.25 invariant (observed max 0.11 at
     # sf0.001/0.01) as an equal count — MinHash itself has no SQL twin
     o["dedup_minhash_accuracy"] = (
-        _SHJ.replace(" j AS (SELECT", " jx AS (SELECT") +
+        _SHJ.replace(" j AS (SELECT", " jx AS (SELECT")
+        .replace("FROM documents)",
+                 "FROM documents WHERE doc_id < 1500)") +
         ", truth AS (SELECT id_a, id_b, i, sa.n + sb.n - i AS u"
         " FROM i JOIN sz sa ON id_a = sa.doc_id"
         " JOIN sz sb ON id_b = sb.doc_id"
