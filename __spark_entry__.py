@@ -634,6 +634,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TSO.resample_interpolate(_pts_dedup(spark, sf_dir),
                                  step=3_600_000_000_000)
 
+    def ts_decompose(spark, sf_dir):
+        """Classical seasonal decomposition (STL-lite): hourly
+        bucket means → centered 5-bucket moving-average TREND →
+        per-(series, hour-of-day) mean of the detrended values as
+        the SEASONAL component → REMAINDER. Every mean is an exact
+        DECIMAL(38,18) sum divided by a count (associative,
+        partition-order-free on both engines) and every derived
+        value is built from IEEE-exact ops only, then
+        micro-quantized at birth — the contract policy applied to a
+        three-layer windowed pipeline. Shape: one bucket groupBy,
+        one per-series ordered window, one per-(series, phase)
+        window — all key-partitioned, nothing global."""
+        from siridb_server_spark.functions.stable import scaled_term
+        H = 3_600_000_000_000
+        pts = _pts_dedup(spark, sf_dir)
+        dec = lambda c: F.sum(c.cast("decimal(38,18)")) \
+            .cast("double")
+        b = (pts.groupBy("series",
+                         ((F.col("ts") - F.col("ts") % H))
+                         .alias("hb"))
+             .agg((dec(F.col("val")) / F.count(F.lit(1)))
+                  .alias("vh")))
+        decw = lambda c, w: F.sum(c.cast("decimal(38,18)")) \
+            .over(w).cast("double")
+        w5 = (Window.partitionBy("series").orderBy("hb")
+              .rowsBetween(-2, 2))
+        t = (b.withColumn("ts5", decw(F.col("vh"), w5))
+             .withColumn("n5", F.count(F.lit(1)).over(w5))
+             .where(F.col("n5") == 5)
+             .withColumn("trend", F.col("ts5") / F.lit(5.0))
+             .withColumn("det", F.col("vh") - F.col("trend"))
+             .withColumn("phase", (F.col("hb") / F.lit(H))
+                         .cast("long") % 24))
+        wp = Window.partitionBy("series", "phase")
+        seas = (decw(F.col("det"), wp)
+                / F.count(F.lit(1)).over(wp))
+        return (t.withColumn("seasonal", seas)
+                .select("series", "hb",
+                        scaled_term(F.col("trend")).alias("trend_micro"),
+                        scaled_term(F.col("seasonal"))
+                        .alias("seasonal_micro"),
+                        scaled_term(F.col("det") - F.col("seasonal"))
+                        .alias("resid_micro")))
+
+    q["ts_decompose"] = ts_decompose
+
     def ts_sessionize(spark, sf_dir):
         ev = load(spark, sf_dir, "events")
         base = ev.select(
@@ -3622,6 +3668,34 @@ def oracle_sql() -> dict[str, str]:
         " pd AS (SELECT series, ts, val FROM pd0 WHERE rn = 1)"
     )
 
+    # STL-lite decomposition: every mean is an exact DECIMAL(38,18)
+    # sum / count; trend from a centered 5-bucket window, seasonal
+    # from the per-(series, hour-of-day) partition, all IEEE-exact
+    # before the micro quantization
+    _H_NS = 3_600_000_000_000
+    o["ts_decompose"] = (
+        _PD + ", b AS (SELECT series,"
+        f" ts - ts % {_H_NS} AS hb,"
+        " CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE)"
+        " / count(*) AS vh FROM pd GROUP BY 1, 2),"
+        " t AS (SELECT series, hb, vh,"
+        " CAST(sum(CAST(vh AS DECIMAL(38,18))) OVER w AS DOUBLE)"
+        " AS ts5, count(*) OVER w AS n5 FROM b"
+        " WINDOW w AS (PARTITION BY series ORDER BY hb"
+        " ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),"
+        " f AS (SELECT series, hb, vh, ts5 / 5.0 AS trend,"
+        " vh - ts5 / 5.0 AS det,"
+        f" (hb // {_H_NS}) % 24 AS phase"
+        " FROM t WHERE n5 = 5),"
+        " g AS (SELECT series, hb, trend, det,"
+        " CAST(sum(CAST(det AS DECIMAL(38,18))) OVER p AS DOUBLE)"
+        " / count(*) OVER p AS seasonal FROM f"
+        " WINDOW p AS (PARTITION BY series, phase))"
+        " SELECT series, hb,"
+        f" {_QTERM('trend')} AS trend_micro,"
+        f" {_QTERM('seasonal')} AS seasonal_micro,"
+        f" {_QTERM('det - seasonal')} AS resid_micro FROM g"
+    )
     # grid resample + linear interpolation, step = 1h in ns; grid
     # arithmetic stays in BIGINT (ts - ts % step), never double
     o["ts_resample_interp"] = (

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ts_asof_join",
     "ts_range_join",
     "ts_resample_interp",
+    "ts_decompose",
     "text_unigram_lm",
     "text_bigram_lm",
     "text_trigram_lm",
