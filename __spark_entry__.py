@@ -484,6 +484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TX.approx_top_ngrams(load(spark, sf_dir, "documents"),
                              n=2, k=20)
 
+    q["text_cms_accuracy"] = lambda spark, sf_dir: \
+        TX.cms_accuracy(load(spark, sf_dir, "documents"), n=2)
+
     q["text_chunking"] = lambda spark, sf_dir: \
         TX.chunk_documents(load(spark, sf_dir, "documents"),
                            chunk_tokens=64, overlap=16)
@@ -3583,6 +3586,36 @@ def oracle_sql() -> dict[str, str]:
         " ORDER BY est_count DESC, g LIMIT 20"
     )
 
+    # count-min audit: same sketch/candidate CTEs, plus the exact
+    # count of each candidate gram — overshoot >= 0 is the sketch's
+    # never-underestimate theorem, carried row by row
+    o["text_cms_accuracy"] = (
+        "WITH w AS (SELECT doc_id, string_split_regex("
+        "trim(lower(text)), '\\s+') AS ws FROM documents"
+        " WHERE length(trim(text)) > 0),"
+        " g AS (SELECT doc_id, unnest(list_transform("
+        "range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')))"
+        " AS g FROM w WHERE len(ws) >= 2),"
+        " cells AS (SELECT r, ('0x' || substr(md5(g),"
+        " CAST(1 + 8 * r AS INT), 8))::BIGINT % 4096"
+        " AS c, count(*) AS cnt"
+        " FROM g, range(0, 4) t(r) GROUP BY 1, 2),"
+        " samp AS (SELECT g FROM g WHERE ('0x' ||"
+        " substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " / 4294967296.0 < 0.25),"
+        " cand AS (SELECT g, count(*) AS s_cnt FROM samp"
+        " GROUP BY 1 ORDER BY s_cnt DESC, g LIMIT 200),"
+        " cc AS (SELECT g, r, ('0x' || substr(md5(g),"
+        " CAST(1 + 8 * r AS INT), 8))::BIGINT % 4096"
+        " AS c FROM cand, range(0, 4) t(r)),"
+        " est AS (SELECT g, min(cnt) AS est_count"
+        " FROM cc JOIN cells USING (r, c) GROUP BY 1),"
+        " exact AS (SELECT g.g, count(*) AS exact_count FROM g"
+        " WHERE g.g IN (SELECT g FROM cand) GROUP BY 1)"
+        " SELECT est.g AS ngram, est_count, exact_count,"
+        " est_count - exact_count AS overshoot"
+        " FROM est JOIN exact ON est.g = exact.g"
+    )
     # sentence count / mean / max length in words per document
     o["text_sentences"] = (
         "WITH f AS (SELECT doc_id, list_filter(list_transform("

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "text_boilerplate",
     "text_approx_top_ngrams",
     "text_hybrid_rrf",
+    "text_cms_accuracy",
     "text_chunking",
     "text_sentences",
     "sim_label_centroids",

@@ -589,6 +589,64 @@ def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
             .select(F.col("g").alias("ngram"), "est_count"))
 
 
+def cms_accuracy(df: DataFrame, n: int = 2, depth: int = 4,
+                 width: int = 4096, n_cand: int = 200,
+                 sample_frac: float = 0.25,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Estimator audit for :func:`approx_top_ngrams`'s count-min
+    sketch: for every candidate gram, the sketch estimate NEXT TO
+    its exact full-corpus count and the overshoot — count-min never
+    underestimates, so ``overshoot ≥ 0`` is a theorem the data
+    carries row by row (a negative value means the sketch or its
+    oracle replay is broken, not that the corpus is unusual).
+
+    Scale shape matches the sketch itself: the exact side counts
+    ONLY the |candidates| grams (a broadcast semi-join prunes the
+    gram stream before its shuffle), so the audit stays
+    candidate-sized no matter the corpus. All integers end to end.
+    Output: (ngram, est_count, exact_count, overshoot)."""
+    from .curation import uniform01
+
+    ws = words(F.lower(F.trim(F.col(text_col))))
+    grams = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.col(id_col).alias("doc_id"),
+                     F.explode(_ngrams(ws, n)).alias("g")))
+    if depth > 4:
+        raise ValueError("depth > 4 needs more than one md5 digest")
+
+    def cell_array(col):
+        m = F.md5(col)
+        return F.array(*[
+            F.struct(F.lit(i).cast("long").alias("r"),
+                     _md5_cell(m, i, width).alias("c"))
+            for i in range(depth)])
+
+    cells = (grams.select(F.explode(cell_array(F.col("g")))
+                          .alias("rc"))
+             .groupBy(F.col("rc.r").alias("r"),
+                      F.col("rc.c").alias("c"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    cand = (grams.where(uniform01(F.col("doc_id"))
+                        < F.lit(sample_frac))
+            .groupBy("g").agg(F.count(F.lit(1)).alias("s_cnt"))
+            .orderBy(F.desc("s_cnt"), F.asc("g")).limit(n_cand))
+    cand_cells = (cand.select(
+        "g", F.explode(cell_array(F.col("g"))).alias("rc"))
+        .select("g", F.col("rc.r").alias("r"),
+                F.col("rc.c").alias("c")))
+    est = (cells.join(F.broadcast(cand_cells), ["r", "c"])
+           .groupBy("g").agg(F.min("cnt").alias("est_count")))
+    exact = (grams.join(F.broadcast(cand.select("g")), "g")
+             .groupBy("g").agg(F.count(F.lit(1))
+                               .alias("exact_count")))
+    return (est.join(exact, "g")
+            .select(F.col("g").alias("ngram"), "est_count",
+                    "exact_count",
+                    (F.col("est_count") - F.col("exact_count"))
+                    .alias("overshoot")))
+
+
 def length_histogram(df: DataFrame, width: int = 16,
                      text_col: str = "text",
                      lang_col: str = "lang") -> DataFrame:
