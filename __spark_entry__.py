@@ -2734,6 +2734,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_sketch_stats"] = corpus_sketch_stats
 
+    def corpus_integrity(spark, sf_dir):
+        """Pre-training data-integrity gate: the checks a pipeline
+        runs before pointing a trainer at a corpus snapshot —
+        duplicate ids on either table, docs without an embedding,
+        orphan embeddings, malformed vectors (wrong dimension /
+        non-finite components), and empty texts. Every check is an
+        exact count from one aggregate or one anti-join; the
+        id-match joins are the bucketed-table shape
+        (sources/bucketed.py) when both sides are fact-sized.
+        Output: (check, n) — a green snapshot is all zeros except
+        the row counts."""
+        docs = load(spark, sf_dir, "documents")
+        emb = load(spark, sf_dir, "embeddings")
+        did = docs.select(F.col("doc_id").alias("id"))
+        vid = emb.select(F.col("vec_id").alias("id"))
+
+        def cnt(name, df):
+            return df.agg(F.lit(name).alias("check"),
+                          F.count(F.lit(1)).cast("long").alias("n"))
+
+        dup_docs = (did.groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .where(F.col("c") > 1))
+        dup_vecs = (vid.groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .where(F.col("c") > 1))
+        no_emb = did.join(vid, "id", "left_anti")
+        orphan = vid.join(did, "id", "left_anti")
+        bad_vec = emb.where(
+            (F.size("embedding") != 64)
+            | F.exists(F.transform("embedding",
+                                   lambda x: x.cast("double")),
+                       lambda x: x.isNull() | F.isnan(x)))
+        empty = docs.where(F.length(F.trim("text")) == 0)
+        return (cnt("n_docs", docs)
+                .unionByName(cnt("n_embeddings", emb))
+                .unionByName(cnt("dup_doc_ids", dup_docs))
+                .unionByName(cnt("dup_vec_ids", dup_vecs))
+                .unionByName(cnt("docs_without_embedding", no_emb))
+                .unionByName(cnt("orphan_embeddings", orphan))
+                .unionByName(cnt("malformed_vectors", bad_vec))
+                .unionByName(cnt("empty_texts", empty)))
+
+    q["corpus_integrity"] = corpus_integrity
+
     # deliberately last: the driver's correctness run caps at 50
     # entries, and these share the apply_bucket_agg path with ten
     # earlier green entries (typed min/max is also covered by
@@ -3586,6 +3631,34 @@ def oracle_sql() -> dict[str, str]:
         " ORDER BY est_count DESC, g LIMIT 20"
     )
 
+    # pre-training integrity gate: exact counts, one aggregate or
+    # anti-join each; a green snapshot is all zeros + the row counts
+    o["corpus_integrity"] = (
+        "SELECT 'n_docs' AS \"check\","
+        " CAST(count(*) AS BIGINT) AS n FROM documents"
+        " UNION ALL SELECT 'n_embeddings',"
+        " CAST(count(*) AS BIGINT) FROM embeddings"
+        " UNION ALL SELECT 'dup_doc_ids', CAST((SELECT count(*)"
+        " FROM (SELECT doc_id FROM documents GROUP BY 1"
+        " HAVING count(*) > 1)) AS BIGINT)"
+        " UNION ALL SELECT 'dup_vec_ids', CAST((SELECT count(*)"
+        " FROM (SELECT vec_id FROM embeddings GROUP BY 1"
+        " HAVING count(*) > 1)) AS BIGINT)"
+        " UNION ALL SELECT 'docs_without_embedding',"
+        " CAST((SELECT count(*) FROM documents WHERE doc_id NOT IN"
+        " (SELECT vec_id FROM embeddings)) AS BIGINT)"
+        " UNION ALL SELECT 'orphan_embeddings',"
+        " CAST((SELECT count(*) FROM embeddings WHERE vec_id NOT IN"
+        " (SELECT doc_id FROM documents)) AS BIGINT)"
+        " UNION ALL SELECT 'malformed_vectors',"
+        " CAST((SELECT count(*) FROM embeddings"
+        " WHERE len(embedding) <> 64 OR len(list_filter(embedding,"
+        " x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) > 0)"
+        " AS BIGINT)"
+        " UNION ALL SELECT 'empty_texts',"
+        " CAST((SELECT count(*) FROM documents"
+        " WHERE length(trim(text)) = 0) AS BIGINT)"
+    )
     # count-min audit: same sketch/candidate CTEs, plus the exact
     # count of each candidate gram — overshoot >= 0 is the sketch's
     # never-underestimate theorem, carried row by row

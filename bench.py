@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "curation_dsir",
     # window time-series + corpus statistics
+    "corpus_integrity",
     "ts_ewma",
     "ts_moving_avg",
     "ts_rolling_median",
