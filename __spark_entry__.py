@@ -494,6 +494,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_sentences"] = lambda spark, sf_dir: \
         TX.sentence_features(load(spark, sf_dir, "documents"))
 
+    def text_readability(spark, sf_dir):
+        """Readability signal (Flesch-style inputs): per document,
+        the exact sentence / word / syllable counts (syllables =
+        vowel-group runs, the standard heuristic) and the two
+        Flesch ratios as exact integer ppm — words-per-sentence and
+        syllables-per-word. The grade-level combination is a linear
+        float formula over these ratios, so the contract ships the
+        exact rational sufficient statistics and leaves the float
+        combination to the consumer (contract policy). Row-local —
+        fuses into the scan, zero shuffles."""
+        from siridb_server_spark.functions.stable import int_ppm
+        docs = load(spark, sf_dir, "documents")
+        t = F.col("text")
+        sents = F.size(F.filter(
+            F.transform(F.split(t, r"[.!?]+"), F.trim),
+            lambda s: s != ""))
+        words_ = F.size(F.filter(
+            F.split(F.lower(F.trim(t)), r"\s+"),
+            lambda w: w != ""))
+        syl = F.size(F.regexp_extract_all(
+            F.lower(t), F.lit("[aeiouy]+"), F.lit(0)))
+        out = docs.select(
+            "doc_id",
+            sents.cast("long").alias("n_sentences"),
+            words_.cast("long").alias("n_words"),
+            syl.cast("long").alias("n_syllables"))
+        nz = lambda c: F.when(F.col(c) > 0, F.col(c))
+        return out.select(
+            "doc_id", "n_sentences", "n_words", "n_syllables",
+            F.coalesce(int_ppm(F.col("n_words"),
+                               nz("n_sentences")), F.lit(0))
+            .alias("words_per_sentence_ppm"),
+            F.coalesce(int_ppm(F.col("n_syllables"),
+                               nz("n_words")), F.lit(0))
+            .alias("syllables_per_word_ppm"))
+
+    q["text_readability"] = text_readability
+
     def text_phrase_search(spark, sf_dir):
         """Exact phrase search ('scan scan' — a repeated term, the
         positional edge case) via the single-shuffle anchor trick:
@@ -2454,6 +2492,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_stickiness"] = events_stickiness
 
+    def events_rfm(spark, sf_dir):
+        """RFM report: per user, recency (last event timestamp),
+        frequency (event count), and monetary value (exact
+        cents-quantized sum of the value column). One map-side-
+        partial groupBy on user_id — the canonical per-entity
+        rollup; every output column is an exact integer."""
+        from siridb_server_spark.functions.stable import scaled_term
+        ev = load(spark, sf_dir, "events")
+        return (ev.select("user_id", epoch_ns(ev).alias("ts"),
+                          scaled_term(F.col("value"), 2)
+                          .alias("vc"))
+                .groupBy("user_id")
+                .agg(F.max("ts").alias("last_ts"),
+                     F.count(F.lit(1)).alias("n_events"),
+                     F.sum("vc").alias("value_cents")))
+
+    q["events_rfm"] = events_rfm
+
     def events_sessions_rollup(spark, sf_dir):
         """Session-level facts: duration, event count, and whether
         the session converted (contained a purchase) — the rollup a
@@ -3688,6 +3744,30 @@ def oracle_sql() -> dict[str, str]:
         " SELECT est.g AS ngram, est_count, exact_count,"
         " est_count - exact_count AS overshoot"
         " FROM est JOIN exact ON est.g = exact.g"
+    )
+    # Flesch-style readability inputs: exact counts + integer-ppm
+    # ratios; the float grade formula stays with the consumer
+    o["text_readability"] = (
+        "WITH c AS (SELECT doc_id,"
+        " CAST(len(list_filter(list_transform("
+        "string_split_regex(text, '[.!?]+'), s -> trim(s)),"
+        " s -> s <> '')) AS BIGINT) AS n_sentences,"
+        " CAST(len(list_filter(string_split_regex("
+        "trim(lower(text)), '\\s+'), w -> w <> '')) AS BIGINT)"
+        " AS n_words,"
+        " CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+        " AS BIGINT) AS n_syllables FROM documents)"
+        " SELECT doc_id, n_sentences, n_words, n_syllables,"
+        " coalesce("
+        + INT_PPM_SQL.format(
+            num="n_words",
+            den="CASE WHEN n_sentences > 0 THEN n_sentences END")
+        + ", 0) AS words_per_sentence_ppm,"
+        " coalesce("
+        + INT_PPM_SQL.format(
+            num="n_syllables",
+            den="CASE WHEN n_words > 0 THEN n_words END")
+        + ", 0) AS syllables_per_word_ppm FROM c"
     )
     # sentence count / mean / max length in words per document
     o["text_sentences"] = (
@@ -5064,6 +5144,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # inter-event gap stats per event type over (user, type) lags
+    o["events_rfm"] = (
+        "SELECT user_id, max(epoch_ns(ts)) AS last_ts,"
+        " count(*) AS n_events,"
+        f" CAST(sum({_QTERM2('value')}) AS BIGINT) AS value_cents"
+        " FROM events GROUP BY 1"
+    )
     o["events_stickiness"] = (
         "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS dt,"
         " user_id FROM events),"

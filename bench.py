@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "text_approx_top_ngrams",
     "text_hybrid_rrf",
     "text_cms_accuracy",
+    "text_readability",
     "text_chunking",
     "text_sentences",
     "sim_label_centroids",
@@ -125,6 +126,7 @@ BENCH_QUERIES = [
     "events_sessions_rollup",
     "events_gap_stats",
     "events_stickiness",
+    "events_rfm",
     # general analytics
     "tpch_q1ish",
     "tpch_q6ish",
