@@ -71,6 +71,27 @@ BOUNDS = {
     "probe_image_phash": K * 2,
     "probe_audio_fingerprint": K * 2,
     "probe_video_phash": K * 2,
+    # r8 extension-session additions:
+    # hybrid retrieval: postings + per-row cosine, both linear;
+    # a lost broadcast on the rank join would land ~K²
+    "text_hybrid_rrf": K * 2,
+    # bounded-sample audit: the id cut keeps ground truth
+    # SAMPLE-SIZED however big the corpus — near-flat by design
+    # (only the pre-filter scan grows), so the bound is a small
+    # constant, not a multiple of K
+    "dedup_minhash_accuracy": 4,
+    # CMS audit: sketch shuffle fixed at depth×width; exact side
+    # pruned to |candidates| by a broadcast semi-join
+    "text_cms_accuracy": K * 1.25,
+    # key-partitioned window pipelines: linear
+    "ts_decompose": K * 2,
+    "curation_curriculum": K * 2,
+    # bounded 7× fan-out of deduped user-days: linear
+    "events_stickiness": K * 2,
+    # exact counts + anti-joins: linear
+    "corpus_integrity": K * 2,
+    # one fact shuffle on the order key + supplier broadcast
+    "tpch_q21ish": K * 2,
 }
 
 
