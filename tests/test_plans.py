@@ -396,6 +396,12 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         plan = physical(j)
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan, plan
+        # a groupBy on the bucket key is exchange-free too: the
+        # scan's hash distribution satisfies the aggregation
+        g = (B.read_bucketed(spark, "bkt_docs")
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+        assert g.count() == 400
+        assert "Exchange" not in physical(g), physical(g)
         # bucket pruning: an equality predicate on the bucket key
         # scans one bucket (SelectedBucketsCount: 1 out of 4). The
         # planner auto-disables bucketed scans no operator needs, so
