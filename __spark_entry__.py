@@ -2645,6 +2645,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_hybrid_rrf"] = text_hybrid_rrf
 
+    def sim_mmr(spark, sf_dir):
+        """Maximal-marginal-relevance diversified top-k (Carbonell &
+        Goldstein 1998) — the RAG serving op that trades relevance
+        against redundancy: greedily pick the candidate maximizing
+        λ·rel − (1−λ)·max-sim-to-selected, λ=0.5, so the doubled
+        score is the pure INTEGER rel_micro − max(sim_micro).
+        Scale shape: the DISTRIBUTED part prunes the corpus to a
+        C=20 candidate set (TakeOrdered on the quantized cosine) and
+        scores the C×C pair matrix with one broadcast self-join; the
+        greedy tail is O(k·C) driver arithmetic over those bounded
+        integers — the same audited-bounded-collect class as the IVF
+        centroid pull. Every input to the greedy loop is a quantized
+        long with id tie-breaks, so selection order is
+        engine-identical; the oracle replays all five steps
+        UNROLLED in SQL. Output: (step, vec_id, rel_micro,
+        mmr2x_micro); step 1's score is its relevance (empty
+        penalty set)."""
+        from siridb_server_spark.functions.stable import scaled_term
+        C, k = 20, 5
+        emb = load(spark, sf_dir, "embeddings")
+        qv = _query_vec(spark, sf_dir)
+        vd = F.transform(F.col("embedding"),
+                         lambda c: c.cast("double"))
+        fold = (lambda arr: F.aggregate(
+            arr, F.lit(0.0), lambda acc, y: acc + y))
+        qlit = F.array(*[F.lit(float(v)) for v in qv])
+        dot = fold(F.zip_with(vd, qlit, lambda a, b: a * b))
+        nv = F.sqrt(fold(F.transform(vd, lambda a: a * a)))
+        nq = float(sum(v * v for v in qv)) ** 0.5
+        cand = (emb.where(F.col("vec_id") != 0)
+                .select("vec_id", "embedding",
+                        scaled_term(dot / (nv * F.lit(nq)), 6)
+                        .alias("rel"))
+                .orderBy(F.desc("rel"), F.asc("vec_id"))
+                .limit(C))
+        a = cand.select(F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("ea"))
+        b = cand.select(F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("eb"))
+        da = F.transform(F.col("ea"), lambda c: c.cast("double"))
+        db = F.transform(F.col("eb"), lambda c: c.cast("double"))
+        pdot = fold(F.zip_with(da, db, lambda x, y: x * y))
+        na = F.sqrt(fold(F.transform(da, lambda x: x * x)))
+        nb = F.sqrt(fold(F.transform(db, lambda x: x * x)))
+        sims = (a.join(F.broadcast(b),
+                       F.col("id_a") != F.col("id_b"))
+                .select("id_a", "id_b",
+                        scaled_term(pdot / (na * nb), 6)
+                        .alias("sim")))
+        rel = {r["vec_id"]: r["rel"]
+               for r in cand.select("vec_id", "rel").collect()}
+        sm = {(r["id_a"], r["id_b"]): r["sim"]
+              for r in sims.collect()}
+        picked, rows = [], []
+        for step in range(1, k + 1):
+            best = None
+            for v, rv in rel.items():
+                if v in picked:
+                    continue
+                pen = max((sm[(v, s)] for s in picked), default=0)
+                score = rv - pen if picked else rv
+                key = (-score, v)
+                if best is None or key < best[0]:
+                    best = (key, v, rv, score)
+            picked.append(best[1])
+            rows.append((step, best[1], best[2], best[3]))
+        return spark.createDataFrame(
+            rows, "step long, vec_id long, rel_micro long,"
+                  " mmr2x_micro long")
+
+    q["sim_mmr"] = sim_mmr
+
     def sim_dup_clusters(spark, sf_dir):
         """Embedding near-dup clustering: cosine pairs above the
         threshold (within quantizer blocks) become edges; connected
@@ -5428,6 +5500,61 @@ def oracle_sql() -> dict[str, str]:
         " CAST(coalesce(r_lex + 60, 1) * coalesce(r_vec + 60, 1)"
         " AS BIGINT) AS rrf_den"
         " FROM lr FULL JOIN vr ON lr.doc_id = vr.vec_id"
+    )
+    # MMR diversified top-k: the five greedy steps UNROLLED — each
+    # sel_i picks argmax(rel − max sim to selected) over the
+    # quantized integers with id tie-breaks, exactly the entry's
+    # driver loop
+    _CQ = SCALED_TERM_SQL.format(
+        x="sum(v * q) / (sqrt(sum(v * v)) * max(nq))", s=10 ** 6)
+    _SQ = SCALED_TERM_SQL.format(
+        x="sum(xx * yy) / (sqrt(sum(xx * xx)) * sqrt(sum(yy * yy)))",
+        s=10 ** 6)
+    _mmr_steps = []
+    for _i in range(2, 6):
+        _prev = " UNION ".join(
+            f"SELECT vec_id FROM sel{_j}" for _j in range(1, _i))
+        _mmr_steps.append(
+            f" selu{_i} AS ({_prev}),"
+            f" sc{_i} AS (SELECT c.vec_id, c.rel,"
+            " c.rel - (SELECT max(s.sim) FROM sims s"
+            " WHERE s.id_a = c.vec_id AND s.id_b IN"
+            f" (SELECT vec_id FROM selu{_i})) AS mmr"
+            " FROM cand c WHERE c.vec_id NOT IN"
+            f" (SELECT vec_id FROM selu{_i})),"
+            f" sel{_i} AS (SELECT CAST({_i} AS BIGINT) AS step,"
+            " vec_id, rel, mmr"
+            f" FROM sc{_i} ORDER BY mmr DESC, vec_id LIMIT 1)")
+    o["sim_mmr"] = (
+        "WITH qv AS (SELECT generate_subscripts(embedding, 1)"
+        " AS pos, CAST(unnest(embedding) AS DOUBLE) AS q"
+        " FROM embeddings WHERE vec_id = 0),"
+        " qn AS (SELECT sqrt(sum(q * q)) AS nq FROM qv),"
+        " x AS (SELECT vec_id, generate_subscripts(embedding, 1)"
+        " AS pos, CAST(unnest(embedding) AS DOUBLE) AS v"
+        " FROM embeddings WHERE vec_id <> 0),"
+        f" cosr AS (SELECT vec_id, {_CQ} AS rel"
+        " FROM x JOIN qv USING (pos) CROSS JOIN qn"
+        " GROUP BY vec_id),"
+        " cand AS (SELECT vec_id, rel FROM cosr"
+        " ORDER BY rel DESC, vec_id LIMIT 20),"
+        " cemb AS (SELECT c.vec_id, e.embedding FROM cand c"
+        " JOIN embeddings e USING (vec_id)),"
+        " px AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        " CAST(unnest(a.embedding) AS DOUBLE) AS xx,"
+        " CAST(unnest(b.embedding) AS DOUBLE) AS yy"
+        " FROM cemb a JOIN cemb b ON a.vec_id <> b.vec_id),"
+        f" sims AS (SELECT id_a, id_b, {_SQ} AS sim"
+        " FROM px GROUP BY 1, 2),"
+        " sel1 AS (SELECT CAST(1 AS BIGINT) AS step, vec_id,"
+        " rel, rel AS mmr FROM cand"
+        " ORDER BY rel DESC, vec_id LIMIT 1),"
+        + ",".join(_mmr_steps) +
+        " SELECT step, vec_id, rel AS rel_micro,"
+        " mmr AS mmr2x_micro FROM sel1"
+        + "".join(
+            f" UNION ALL SELECT step, vec_id, rel, mmr FROM sel{_j}"
+            for _j in range(2, 6))
     )
     # connected components over the exact block-local cosine pair
     # graph (same edges as sim_cosine_pairs), min-label clusters

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "sim_cosine_pairs",
     "sim_dup_clusters",
     "sim_semdedup",
+    "sim_mmr",
     "multimodal_meta",
     "curation_dsir",
     # window time-series + corpus statistics
