@@ -1967,3 +1967,60 @@ def test_char_diversity_exact_simpson(spark):
     # (2^2 + 1^2) / 3^2 = 5/9 -> half-up ppm
     assert r3["collision_ppm"] == (2 * 5 * 1000000 + 9) // (2 * 9)
     assert got[1]["collision_ppm"] > got[2]["collision_ppm"]
+
+
+def test_stickiness_window_semantics(spark):
+    """DAU/WAU via forward-explode: a user active on day d serves
+    window anchors d..d+6 only; anchors beyond the observed day
+    range drop out via the DAU inner join; the ratio is exact ppm."""
+    from pyspark.sql import functions as F
+
+    from siridb_server_spark.functions.stable import int_ppm
+
+    # user 1 active day 0 and day 3; user 2 active day 3 only
+    dd = spark.createDataFrame(
+        [(0, 1), (3, 1), (3, 2)], "d long, user_id long")
+    dau = dd.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    ex = dd.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6)))
+        .alias("td"), "user_id")
+    wau = (ex.groupBy(F.col("td").alias("d"))
+           .agg(F.countDistinct("user_id").alias("wau")))
+    out = {r["d"]: (r["dau"], r["wau"], r["stickiness_ppm"])
+           for r in dau.join(wau, "d")
+           .select("d", "dau", "wau",
+                   int_ppm(F.col("dau"), F.col("wau"))
+                   .alias("stickiness_ppm")).collect()}
+    # day 0: only user 1 active, window {0} ∩ activity = {u1}
+    assert out[0] == (1, 1, 1_000_000)
+    # day 3: both users active that day; u1's day-0 activity still
+    # inside the 7-day window → wau = 2, dau = 2
+    assert out[3] == (2, 2, 1_000_000)
+    # days 1,2 and 4..9 have no DAU row → dropped by the inner join
+    assert set(out) == {0, 3}
+
+
+def test_readability_empty_and_ratio_exactness(spark):
+    """Readability counts: empty text yields all zeros (ppm 0 via
+    the fail-closed coalesce); a known sentence yields exact counts
+    and half-up integer ppm ratios."""
+    import __spark_entry__ as entry
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES"
+                " (0, 'Hello world. It works!'),"
+                " (1, '')) t(doc_id, text)")
+    rows = {r[0]: r[1:] for r in
+            con.sql(entry.oracle_sql()["text_readability"]).fetchall()}
+    # doc 0: 2 sentences, 4 words, syllables = vowel-group runs:
+    # he-llo(2) wo-rld? 'hello world it works' vowel groups:
+    # e,o,o,i,o = 5... count them: hello→e,o; world→o; it→i;
+    # works→o = 5
+    assert rows[0][0] == 2 and rows[0][1] == 4
+    assert rows[0][2] == 5
+    # words/sentence = 2.0 → 2_000_000 ppm; syllables/word = 1.25
+    assert rows[0][3] == 2_000_000
+    assert rows[0][4] == 1_250_000
+    # empty doc: zeros everywhere, ratios coalesce to 0
+    assert rows[1] == (0, 0, 0, 0, 0)
