@@ -92,6 +92,12 @@ BOUNDS = {
     "corpus_integrity": K * 2,
     # one fact shuffle on the order key + supplier broadcast
     "tpch_q21ish": K * 2,
+    # MMR: linear candidate prune + fixed C×C scoring + O(k·C)
+    # driver tail — the corpus-scaling part is the prune only
+    "sim_mmr": K * 2,
+    # row-local scans: linear
+    "text_readability": K * 2,
+    "events_rfm": K * 2,
 }
 
 
