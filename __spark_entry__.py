@@ -41,6 +41,17 @@ from siridb_server_spark.sources.testdata import (
     events_points,
     load,
 )
+from siridb_server_spark.localdf import arrow_df
+
+
+def _media_df(spark, rows):
+    """Fixture media frame through the Arrow path (localdf.arrow_df):
+    the classic list-path frame re-entered a Python pickle worker on
+    every scan (~0.4 s/scan on this platform) — for a constant 8-row
+    fixture that overhead dwarfed the decode being measured."""
+    from siridb_server_spark.operators.multimodal import MEDIA_SCHEMA
+    return arrow_df(spark, rows, MEDIA_SCHEMA)
+
 
 H = 3_600_000_000_000  # 1h in nanoseconds (engine precision = ns)
 D6 = 86_400_000_000_000  # 1d in ns
@@ -578,7 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curation_stratified_sample"] = curation_stratified_sample
 
     def _bpe_fixture(spark):
-        return spark.createDataFrame([
+        return arrow_df(spark, [
             (1, "The lower the better when lowering lowers."),
             (2, "New, newer, NEWEST: lower and lowest!"),
             (3, "Wider and wider widths widen the widest cases"),
@@ -1157,7 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "image/ppm"),
             (4, "image", b"not a ppm", "application/octet-stream"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.decode_ppm_meta(media)
 
     q["multimodal_ppm_decode"] = multimodal_ppm_decode
@@ -1196,7 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (6, "image", bad16, "image/png"),
             (7, "image", b"not a png", "application/octet-stream"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.decode_png_meta(media)
 
     q["multimodal_png_decode"] = multimodal_png_decode
@@ -1229,7 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (3, "image", g3, "image/gif"),
             (4, "image", b"GIF89ajunk", "application/octet-stream"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.decode_gif_meta(media)
 
     q["multimodal_gif_decode"] = multimodal_gif_decode
@@ -1270,7 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (8, "image", MM.encode_jpeg_progressive(
                 color, subsample=(2, 2)), "image/jpeg"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.decode_jpeg_meta(media)
 
     q["multimodal_jpeg_decode"] = multimodal_jpeg_decode
@@ -1287,7 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (2, "video", MM.encode_gif([f], pal), "image/gif"),
             (3, "video", b"GIF89ajunk", "image/gif"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.frame_sample(media, every_n=2)
 
     q["multimodal_gif_frames"] = multimodal_gif_frames
@@ -1315,8 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         frame count, mvhd duration. Invalid/NULL payloads yield
         NULL metadata (kept). Oracle pins every value byte-derived
         from the deterministic muxer output."""
-        media = spark.createDataFrame(_mp4_fixture_rows(),
-                                      MM.MEDIA_SCHEMA)
+        media = _media_df(spark, _mp4_fixture_rows())
         return MM.decode_mp4_meta(media)
 
     q["multimodal_mp4_decode"] = multimodal_mp4_decode
@@ -1326,8 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tables: every 2nd sample's true file offset + size —
         the range-read contract of a distributed frame extractor.
         Non-BMFF payloads contribute no rows."""
-        media = spark.createDataFrame(_mp4_fixture_rows(),
-                                      MM.MEDIA_SCHEMA)
+        media = _media_df(spark, _mp4_fixture_rows())
         return MM.mp4_frame_offsets(media, every_n=2)
 
     q["multimodal_mp4_frames"] = multimodal_mp4_frames
@@ -1360,7 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (3, "video", b"not a video", "application/x-junk"),
                 (4, "video", MM.build_minimal_mp4(8, 8, [5, 5]),
                  "video/mp4")]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.decode_video_frames(media)
 
     q["multimodal_h264_frames"] = multimodal_h264_frames
@@ -1378,7 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bit-exactness against the encoder's embedded reconstruction
         is asserted independently in tests/test_h264.py)."""
         rows = _h264_pframes_rows()
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.decode_video_frames(media)
 
     q["multimodal_h264_pframes"] = multimodal_h264_pframes
@@ -1405,7 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (3, "image", MM.encode_png(bright), "image/png"),
                 (4, "image", MM.encode_png(other), "image/png"),
                 (5, "image", b"junk", "application/x-junk")]
-        return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return _media_df(spark, rows)
 
     def multimodal_image_phash(spark, sf_dir):
         """Perceptual image hash (multimodal dedup, round 8): decode
@@ -1462,7 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  wav_of(rng.normal(0, 8000, 16384)
                         .clip(-32768, 32767)), "audio/wav"),
                 (4, "audio", b"junk", "application/x-junk")]
-        return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        return _media_df(spark, rows)
 
     def multimodal_audio_fingerprint(spark, sf_dir):
         """Landmark audio fingerprints (peak-constellation hashing,
@@ -1501,8 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         excerpt aligns ALL four frames at offset 2; noise never
         pairs. Golden single-row oracle; separation margins are
         pytest-asserted."""
-        media = spark.createDataFrame(_video_match_rows(),
-                                      MM.MEDIA_SCHEMA)
+        media = _media_df(spark, _video_match_rows())
         return MM.video_match_pairs(media, max_hamming=8,
                                     min_matches=2, bands=8)
 
@@ -1533,7 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (3, "image", gif, "image/gif"),
             (4, "image", b"not an image", "text/plain"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.resize_image(media, 2, 2).drop("payload",
                                                  "n_bytes")
 
@@ -1558,7 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (3, "audio", _wav(1, 8000, [(100,)] * 64), "audio/wav"),
             (4, "audio", b"RIFFxxxx", "application/octet-stream"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.wav_features(media, frame=256, hop=128)
 
     q["multimodal_wav_features"] = multimodal_wav_features
@@ -1579,7 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "image/ppm"),
             (3, "image", b"not a ppm", "application/octet-stream"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.resize_ppm(media, 2, 2).drop("payload")
 
     q["multimodal_ppm_resize"] = multimodal_ppm_resize
@@ -1592,7 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          (1000, -1000)]), "audio/wav"),
             (3, "audio", b"RIFFxxxx", "application/octet-stream"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.decode_wav_meta(media)
 
     q["multimodal_wav_decode"] = multimodal_wav_decode
@@ -1611,7 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "audio/mpeg"),
             (4, "audio", b"not audio", "application/octet-stream"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.decode_audio_meta(media)
 
     q["multimodal_audio_meta"] = multimodal_audio_meta
@@ -1630,7 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "audio/wav"),
             (4, "audio", b"RIFFxxxx", "application/octet-stream"),
         ]
-        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        media = _media_df(spark, rows)
         return MM.resample_wav(media, 8000).drop("payload")
 
     q["multimodal_wav_resample"] = multimodal_wav_resample
@@ -2709,11 +2717,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 key = (-score, v)
                 if best is None or key < best[0]:
                     best = (key, v, rv, score)
+            if best is None:  # candidate pool exhausted before k
+                break
             picked.append(best[1])
             rows.append((step, best[1], best[2], best[3]))
-        return spark.createDataFrame(
-            rows, "step long, vec_id long, rel_micro long,"
-                  " mmr2x_micro long")
+        return arrow_df(
+            spark, rows, "step long, vec_id long, rel_micro long,"
+                         " mmr2x_micro long")
 
     q["sim_mmr"] = sim_mmr
 
@@ -2855,9 +2865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_ok = 1 if all(
             abs(a - e) <= max(2.0, 0.02 * e)
             for a, e in zip(approx, exact)) else 0
-        return spark.createDataFrame(
-            [("hll_within_3rsd", hll_ok),
-             ("quantiles_within_2pct", q_ok)],
+        return arrow_df(
+            spark, [("hll_within_3rsd", hll_ok),
+                    ("quantiles_within_2pct", q_ok)],
             "prop string, n long")
 
     q["corpus_sketch_stats"] = corpus_sketch_stats

@@ -214,6 +214,20 @@ def main():
     except Exception as exc:  # still bench what we can
         errors["_warmup"] = repr(exc)
 
+    # session-hygiene guard: a query that leaks temp views or cached
+    # RDDs into the session makes every LATER query pay for it (the
+    # r8 driver bench showed a within-run monotonic slowdown on
+    # tpch_q14ish that pointed at accumulating state). Snapshot the
+    # session state once, assert nothing grows across the run, and
+    # name the offender if it does.
+    def _session_state():
+        jsc = spark.sparkContext._jsc
+        return (len(spark.catalog.listTables()),
+                jsc.getPersistentRDDs().size())
+
+    state0 = _session_state()
+    hygiene = {}
+
     timings = {}
     runs_detail = {}
     total = 0.0
@@ -250,6 +264,11 @@ def main():
         timings[name] = round(best, 3)
         runs_detail[name] = [round(s, 3) for s in samples]
         total += best
+        state1 = _session_state()
+        if state1 != state0:
+            hygiene[name] = {"tables": state1[0] - state0[0],
+                             "cached_rdds": state1[1] - state0[1]}
+            state0 = state1
 
     # ingest throughput: canonicalize + partitioned-store append of
     # the full events table (the reference's envelope is thousands of
@@ -294,6 +313,8 @@ def main():
     }
     if errors:
         out["errors"] = errors
+    if hygiene:
+        out["hygiene_leaks"] = hygiene
     print(json.dumps(out))
     # the driver's capture window truncates the per-query map at
     # ~2000 chars (37/88 captured in BENCH_r07) — persist the FULL

@@ -458,8 +458,9 @@ class SiriEngine:
             if self._base_df is not None and not self._mem_rows:
                 self._mem_df = self._base_df
             else:
-                df = self.spark.createDataFrame(
-                    self._mem_rows, POINTS_SCHEMA)
+                from .localdf import arrow_df
+                df = arrow_df(self.spark, self._mem_rows,
+                              POINTS_SCHEMA)
                 if self._base_df is not None:
                     df = self._base_df.unionByName(df)
                 self._mem_df = df

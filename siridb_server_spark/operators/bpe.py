@@ -127,7 +127,8 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     wc = [(r["word"], r["count"]) for r in
           word_frequencies(df, text_col, vocab_cap).collect()]
     merges = _train_merges(wc, num_merges, min_count)
-    return df.sparkSession.createDataFrame(merges, MERGES_SCHEMA)
+    from ..localdf import arrow_df
+    return arrow_df(df.sparkSession, merges, MERGES_SCHEMA)
 
 
 def encode_word(word: str, ranks: dict) -> tuple:

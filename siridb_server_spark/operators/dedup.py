@@ -584,7 +584,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if not labels:
             return (pairs.sparkSession.createDataFrame(
                 [], "node long, comp long"))
-        return spark.createDataFrame(labels, ["node", "comp"])
+        from ..localdf import arrow_df
+        return arrow_df(spark, labels, "node long, comp long")
 
     # cluster state C(u): one row (u, v) per member v of u's set,
     # seeded with the adjacency plus self-loops

@@ -423,8 +423,9 @@ class IVFIndex:
         spark = self.cells.sparkSession
         cent_rows = [(cid, [float(x) for x in vec])
                      for cid, vec in self.centroids]
-        (spark.createDataFrame(
-            cent_rows, "cell long, centroid array<double>")
+        from ..localdf import arrow_df
+        (arrow_df(spark, cent_rows,
+                  "cell long, centroid array<double>")
          .coalesce(1).write.mode("overwrite")
          .parquet(f"{path}/centroids"))
 
@@ -775,8 +776,10 @@ def ann_recall_curve(emb: DataFrame, k: int = 10,
     # ~1.5 s at sf0.1)
     _ALL = 1 << 30
     spark = emb.sparkSession
-    npdf = spark.createDataFrame(
-        [(int(p),) for p in nprobes] + [(_ALL,)], "nprobe int")
+    from ..localdf import arrow_df
+    npdf = arrow_df(
+        spark, [(int(p),) for p in nprobes] + [(_ALL,)],
+        "nprobe int")
     probes = (ranked.crossJoin(F.broadcast(npdf))
               .where(F.col("crank") <= F.col("nprobe"))
               .select("nprobe", "qid", label_col))

@@ -106,8 +106,9 @@ def curation_report(staged: DataFrame) -> DataFrame:
     pipeline order (stages with zero docs included, count 0) — the
     one-look answer to "where did the corpus go?"."""
     spark = staged.sparkSession
-    all_stages = spark.createDataFrame(
-        [(s,) for s in STAGES], "stage string")
+    from .localdf import arrow_df
+    all_stages = arrow_df(spark, [(s,) for s in STAGES],
+                          "stage string")
     counts = staged.groupBy("stage").agg(
         F.count(F.lit(1)).alias("n_docs"))
     return (all_stages.join(counts, "stage", "left")

@@ -1321,8 +1321,9 @@ class PointsStore:
                 if len(valid) <= 256:
                     df = df.where(key.isin(valid))
                 else:
-                    vdf = spark.createDataFrame(
-                        [(v,) for v in valid], "k string")
+                    from ..localdf import arrow_df
+                    vdf = arrow_df(spark, [(v,) for v in valid],
+                                   "k string")
                     df = (df.withColumn("_k", key)
                           .join(F.broadcast(vdf),
                                 F.col("_k") == F.col("k"), "semi")
