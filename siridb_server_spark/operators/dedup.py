@@ -909,20 +909,39 @@ def _banded_sigs(df: DataFrame, num_hashes: int, bands: int,
 def build_dedup_index(df: DataFrame, path: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id") -> None:
-    """Persist (or extend — mode append) the dedup index for a
-    corpus: ``{path}/exact`` holds (doc_id, fp) exact fingerprints,
+                      id_col: str = "doc_id",
+                      subdir: str | None = None) -> None:
+    """Persist (or extend) the dedup index for a corpus:
+    ``{path}/exact`` holds (doc_id, fp) exact fingerprints,
     ``{path}/bands`` holds the LSH band rows partitioned by band
     (probes prune to their band's directory). Parameters are the
     caller's contract — probe with the same (num_hashes, bands,
-    shingle_n) or the band hashes won't align."""
+    shingle_n) or the band hashes won't align.
+
+    Two write layouts — pick ONE per index and never mix (Spark
+    can't read a directory holding both bare part files and
+    partition subdirectories):
+
+    - ``subdir=None`` (default): plain mode-append under
+      ``{path}/exact`` / ``{path}/bands`` — the one-shot batch
+      build.
+    - ``subdir="batch=<id>"``: the delta lands in its OWN
+      subdirectory with mode OVERWRITE, so re-running the same
+      delta (streaming foreachBatch redelivery after a crash
+      anywhere inside this function) replaces itself instead of
+      appending twice — the idempotent-writer layout. Readers see
+      ``subdir``'s key as an extra partition column, which the
+      probes ignore."""
+    exact_dir = path + "/exact" + (f"/{subdir}" if subdir else "")
+    bands_dir = path + "/bands" + (f"/{subdir}" if subdir else "")
+    mode = "overwrite" if subdir else "append"
     (df.select(F.col(id_col).alias("doc_id"),
                _exact_fp(text_col).alias("fp"))
-     .write.mode("append").parquet(path + "/exact"))
+     .write.mode(mode).parquet(exact_dir))
     (_banded_sigs(df, num_hashes, bands, shingle_n, text_col,
                   id_col)
-     .write.mode("append").partitionBy("band")
-     .parquet(path + "/bands"))
+     .write.mode(mode).partitionBy("band")
+     .parquet(bands_dir))
 
 
 def dedup_incremental(new_df: DataFrame, path: str,

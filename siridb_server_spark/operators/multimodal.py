@@ -2299,26 +2299,38 @@ def video_match_pairs(media: DataFrame, max_hamming: int = 8,
 
 
 def build_media_dedup_index(media: DataFrame, path: str,
-                            bands: int = 4, **fp_opts) -> None:
-    """Persist (or extend — mode append) the MEDIA dedup index for a
-    crawl pipeline — the multimodal twin of
-    ``dedup.build_dedup_index``: ``{path}/phash_bands`` holds the
-    banded pHash rows of every decodable image, partitioned by band
-    (probes prune to their band's directory); ``{path}/audio_fp``
-    holds every audio landmark (media_id, t1, fp). History is then
-    only ever touched through these hashes+ids — a few hundred
-    bytes per asset at 100 TB, never the payload bytes. Probe with
-    the SAME ``bands``/fingerprint options."""
+                            bands: int = 4,
+                            subdir: str | None = None,
+                            **fp_opts) -> None:
+    """Persist (or extend) the MEDIA dedup index for a crawl
+    pipeline — the multimodal twin of ``dedup.build_dedup_index``:
+    ``{path}/phash_bands`` holds the banded pHash rows of every
+    decodable image, partitioned by band (probes prune to their
+    band's directory); ``{path}/audio_fp`` holds every audio
+    landmark (media_id, t1, fp). History is then only ever touched
+    through these hashes+ids — a few hundred bytes per asset at
+    100 TB, never the payload bytes. Probe with the SAME ``bands``/
+    fingerprint options.
+
+    ``subdir`` selects the same two layouts as
+    ``dedup.build_dedup_index``: None → flat mode-append (one-shot
+    batch build); ``"batch=<id>"`` → per-delta subdirectory with
+    mode OVERWRITE, so a redelivered streaming batch replaces its
+    own delta instead of appending twice. Never mix layouts in one
+    index."""
     from .dedup import banded_bits
 
+    ph_dir = path + "/phash_bands" + (f"/{subdir}" if subdir else "")
+    au_dir = path + "/audio_fp" + (f"/{subdir}" if subdir else "")
+    mode = "overwrite" if subdir else "append"
     sig = image_phash(media).where(F.col("phash").isNotNull())
     (banded_bits(sig, "phash", "media_id", bits=64, bands=bands)
      .withColumnRenamed("_id", "media_id")
      .withColumnRenamed("_sig", "phash")
-     .write.mode("append").partitionBy("band")
-     .parquet(path + "/phash_bands"))
+     .write.mode(mode).partitionBy("band")
+     .parquet(ph_dir))
     (audio_fingerprint(media, **fp_opts)
-     .write.mode("append").parquet(path + "/audio_fp"))
+     .write.mode(mode).parquet(au_dir))
 
 
 def media_dedup_incremental(media: DataFrame, path: str,

@@ -40,15 +40,17 @@ def stream_corpus_dedup_ingest(
 
     Exactly-once posture: foreachBatch re-delivers a failed batch
     with the SAME batch_id and (from the checkpointed source) the
-    same rows, so every write is made idempotent per batch id:
-    accepted docs and reject rows land in ``batch=<id>``-stamped
-    subdirectories written with OVERWRITE (a redelivered batch
-    replaces its own partial output instead of appending twice),
-    and the index append — which must be an append — runs only if
-    its own per-batch marker is absent. The final marker makes fully
-    applied batches no-ops. A crash inside one parquet job relies on
-    Spark's output-commit protocol for that job's atomicity.
-    Returns the StreamingQuery."""
+    same rows, so EVERY write is idempotent per batch id: accepted
+    docs, reject rows, AND the index delta all land in
+    ``batch=<id>``-stamped subdirectories written with OVERWRITE —
+    a redelivered batch replaces its own partial output instead of
+    appending twice, whichever line the previous attempt died on.
+    The final marker makes fully applied batches no-ops. A crash
+    inside one parquet job relies on Spark's output-commit protocol
+    for that job's atomicity. (The index this sink manages therefore
+    uses build_dedup_index's subdir layout throughout; batch jobs
+    sharing it must probe read-only or extend it with the same
+    layout.) Returns the StreamingQuery."""
     sink = make_dedup_ingest_sink(
         index_path, accepted_path, rejected_path=rejected_path,
         threshold=threshold, num_hashes=num_hashes, bands=bands,
@@ -107,21 +109,21 @@ def make_dedup_ingest_sink(
                 id_col, "left_anti")
         else:
             accepted = batch
-        # 3. land + index the accepted docs (same overwrite-per-batch
-        # idempotency for docs; the index APPEND is guarded by its
-        # own marker since an LSH index has no natural batch key)
+        # 3. land + index the accepted docs. The index delta uses the
+        # SAME overwrite-per-batch idempotency as the doc writes
+        # (build_dedup_index subdir layout): a crash anywhere between
+        # here and the final marker redelivers the batch, and every
+        # write — docs, rejects, index delta — replaces its own
+        # previous attempt instead of appending twice.
         accepted = accepted.localCheckpoint()
         accepted.write.mode("overwrite").parquet(
             os.path.join(accepted_path, "docs",
                          f"batch={batch_id}"))
-        ix_marker = os.path.join(index_path,
-                                 f"_batch-{batch_id}.indexed")
-        if not os.path.exists(ix_marker):
-            D.build_dedup_index(accepted, index_path,
-                                num_hashes=num_hashes, bands=bands,
-                                shingle_n=shingle_n,
-                                text_col=text_col, id_col=id_col)
-            open(ix_marker, "w").close()
+        D.build_dedup_index(accepted, index_path,
+                            num_hashes=num_hashes, bands=bands,
+                            shingle_n=shingle_n,
+                            text_col=text_col, id_col=id_col,
+                            subdir=f"batch={batch_id}")
         open(marker, "w").close()
 
     return sink
@@ -153,8 +155,8 @@ def stream_media_dedup_ingest(
     hashes+ids), rejected assets to ``rejected_path`` with their
     match, accepted assets landed AND indexed so the next batch sees
     them. Same exactly-once posture as the corpus sink:
-    batch-stamped OVERWRITE dirs for accepted/rejected, a marker-
-    guarded index append, and a final done marker."""
+    batch-stamped OVERWRITE dirs for accepted/rejected AND the
+    index delta, then a final done marker."""
     sink = make_media_ingest_sink(
         index_path, accepted_path, rejected_path=rejected_path,
         max_hamming=max_hamming, min_matches=min_matches,
@@ -205,17 +207,16 @@ def make_media_ingest_sink(
                                   "media_id", "left_anti")
         else:
             accepted = batch
-        # 3. land + index the accepted assets
+        # 3. land + index the accepted assets (index delta is a
+        # batch-stamped overwrite — idempotent under redelivery,
+        # same as the corpus sink)
         accepted = accepted.localCheckpoint()
         accepted.write.mode("overwrite").parquet(
             os.path.join(accepted_path, "assets",
                          f"batch={batch_id}"))
-        ix_marker = os.path.join(index_path,
-                                 f"_batch-{batch_id}.indexed")
-        if not os.path.exists(ix_marker):
-            MM.build_media_dedup_index(accepted, index_path,
-                                       bands=bands)
-            open(ix_marker, "w").close()
+        MM.build_media_dedup_index(accepted, index_path,
+                                   bands=bands,
+                                   subdir=f"batch={batch_id}")
         open(marker, "w").close()
 
     return sink

@@ -1611,13 +1611,60 @@ def test_corpus_ingest_sink_redelivery_idempotent(spark, tmp_path):
     # (a) full redelivery: marker short-circuits, nothing changes
     sink(b2, 1)
     assert snapshot() == base
-    # (b) crash-window redelivery: final marker missing, all three
-    # writes already applied -> overwrite dirs replace themselves,
-    # the index marker skips the append
+    # (b) crash-window redelivery: final marker missing, ALL writes
+    # (docs, rejects, index delta) already applied — every one is a
+    # batch-stamped overwrite, so the re-run replaces each with
+    # itself; in particular the index delta does NOT append twice
+    # (the r8 residual window: a crash between the index append and
+    # the final marker used to duplicate the batch's signatures)
     os.remove(os.path.join(acc, "_batch-1.done"))
     sink(b2, 1)
     assert snapshot() == base
     assert os.path.exists(os.path.join(acc, "_batch-1.done"))
+    # the index layout is the per-batch delta one: each batch owns
+    # exactly one subdirectory, redelivery included
+    assert sorted(d for d in os.listdir(idx + "/exact")
+                  if d.startswith("batch=")) == ["batch=0", "batch=1"]
+
+
+def test_corpus_ingest_sink_crash_inside_index_write(spark,
+                                                     tmp_path):
+    """Kill-at-any-line redelivery: simulate a crash INSIDE the
+    index-delta write (after the exact fingerprints landed, before
+    the band rows) and redeliver — the batch's delta must end up
+    applied exactly once, with no duplicate signatures."""
+    import os
+
+    from siridb_server_spark.operators import dedup as D
+    from siridb_server_spark.streaming.corpus import \
+        make_dedup_ingest_sink
+
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    sink = make_dedup_ingest_sink(idx, acc, threshold=0.3)
+    b1 = spark.createDataFrame(
+        [(1, "seed document for the history index")],
+        "doc_id long, text string")
+    sink(b1, 0)
+    b2 = spark.createDataFrame(
+        [(5, "fresh second-batch text"),
+         (6, "another new document")], "doc_id long, text string")
+    # crashed first attempt: the exact-fp half of the index delta
+    # was written (for only part of the batch), the band half and
+    # the done marker were not
+    (b2.limit(1)
+       .select(F.col("doc_id"), D._exact_fp("text").alias("fp"))
+       .write.mode("overwrite")
+       .parquet(os.path.join(idx, "exact", "batch=1")))
+    # redelivery applies the whole batch; the partial delta is
+    # replaced, not extended
+    sink(b2, 1)
+    ex = spark.read.parquet(idx + "/exact")
+    assert ex.count() == 3                      # 1 seed + 2 new
+    assert ex.groupBy("fp").count().agg(
+        F.max("count")).first()[0] == 1         # no duplicate rows
+    bd = spark.read.parquet(idx + "/bands")
+    assert bd.select("doc_id").distinct().count() == 3
 
 
 def _phash_test_image():

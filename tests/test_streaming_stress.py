@@ -124,7 +124,8 @@ def test_stream_corpus_dedup_batch_cost_flat_as_history_grows(
         root = tmp_path / tag
         root.mkdir()
         idx, acc = str(root / "idx"), str(root / "acc")
-        build_dedup_index(history(hist_docs, tag), idx)
+        build_dedup_index(history(hist_docs, tag), idx,
+                          subdir="batch=-1")
         src = root / "src"
         src.mkdir()
         rows = [{"doc_id": i,
@@ -196,7 +197,7 @@ def test_stream_media_dedup_batch_cost_flat_as_history_grows(
         hist = spark.createDataFrame(
             media_rows(hist_assets, 10_000_000, 500_000),
             MM.MEDIA_SCHEMA)
-        build_media_dedup_index(hist, idx)
+        build_media_dedup_index(hist, idx, subdir="batch=-1")
         src = root / "src"
         spark.createDataFrame(media_rows(B, 0, 77),
                               MM.MEDIA_SCHEMA) \
