@@ -2036,7 +2036,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         l2 = (li.join(F.broadcast(p2),
                       F.col("l_partkey") == F.col("p_partkey"))
               .select("l_partkey",
-                      F.col("l_quantity").cast("long").alias("qi"),
+                      # floor on both sides: engine-identical
+                      # quantization (Spark cast truncates, DuckDB
+                      # CAST rounds)
+                      F.floor(F.col("l_quantity")).cast("long")
+                      .alias("qi"),
                       "l_extendedprice"))
         per_part = (l2.groupBy(F.col("l_partkey").alias("pk"))
                     .agg(F.sum("qi").alias("qsum"),
@@ -2317,7 +2321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("p_partkey")
         a = F.lit("1996-01-01").cast("timestamp_ntz")
         b = F.lit("1997-01-01").cast("timestamp_ntz")
-        qi = F.col("l_quantity").cast("long")
+        # floor(), not cast("long"): Spark's cast truncates while
+        # DuckDB's CAST AS BIGINT rounds — floor on BOTH sides makes
+        # the quantization rule engine-identical by construction
+        # even if quantities ever stop being integral
+        qi = F.floor(F.col("l_quantity")).cast("long")
         in96 = (F.col("l_shipdate") >= a) & (F.col("l_shipdate") < b)
         per = (li.join(F.broadcast(pw),
                        F.col("l_partkey") == F.col("p_partkey"))
@@ -3018,8 +3026,13 @@ def oracle_sql() -> dict[str, str]:
         return SCALED_TERM_SQL.format(x=x, s=10 ** 2)
 
     o["siri_count_bucket"] = _bucket_sql("count(*)", H)
-    o["siri_sum_bucket"] = _bucket_sql("sum(val)", H, nd=4)
-    o["siri_mean_bucket"] = _bucket_sql("avg(val)", D6, nd=6)
+    # decimal-fold mirrors (pipeline.stable_double_sum): both
+    # engines quantize each term once and fold exactly, so the
+    # pre-round double is bit-identical by construction
+    o["siri_sum_bucket"] = _bucket_sql(
+        "CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE)", H, nd=4)
+    o["siri_mean_bucket"] = _bucket_sql(
+        "(CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / count(val))", D6, nd=6)
     o["siri_min_bucket"] = _bucket_sql("min(val)", D6)
     o["siri_max_bucket"] = _bucket_sql("max(val)", D6)
     o["siri_median_bucket"] = _bucket_sql("quantile_cont(val, 0.5)",
@@ -3148,7 +3161,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["siri_between_mean"] = (
         f"{P} SELECT series, ((ts + {D6 - 1}) // {D6}) * {D6} AS ts,"
-        " round(avg(val), 6) + 0.0 AS val FROM pts"
+        " round((CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / count(val)), 6) + 0.0 AS val FROM pts"
         f" WHERE ts >= {BETWEEN_A} AND ts < {BETWEEN_B} GROUP BY 1, 2"
     )
     for name, order in (("siri_head", "ASC"), ("siri_tail", "DESC")):
@@ -3163,7 +3176,7 @@ def oracle_sql() -> dict[str, str]:
     o["siri_merge_using_mean"] = (
         f"{P} SELECT 'all' AS series,"
         f" ((ts + {D6 - 1}) // {D6}) * {D6} AS ts,"
-        " round(avg(val), 6) + 0.0 AS val FROM pts GROUP BY 1, 2"
+        " round((CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / count(val)), 6) + 0.0 AS val FROM pts GROUP BY 1, 2"
     )
     # offset: the engine sweeps (aggregate.c:1188-1220) — with a dense
     # merged stream every bucket is (B_{k-1}, B_k], B_k = k*g + off,
@@ -3208,7 +3221,8 @@ def oracle_sql() -> dict[str, str]:
         " CASE WHEN c AND (rn - runstart) % 2 = 1 THEN b"
         " WHEN jump THEN b + g ELSE b END AS label FROM runs),"
         " big AS (SELECT c.series, lab.label AS ts,"
-        " round(avg(c.val), 6) + 0.0 AS val FROM cand c"
+        " round((CAST(sum(CAST(c.val AS DECIMAL(38,18))) AS DOUBLE)"
+        " / count(c.val)), 6) + 0.0 AS val FROM cand c"
         " JOIN lab ON c.series = lab.series AND c.b = lab.b"
         " GROUP BY 1, 2)"
         " SELECT * FROM small UNION ALL SELECT * FROM big"
@@ -3782,12 +3796,19 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 'dup_vec_ids', CAST((SELECT count(*)"
         " FROM (SELECT vec_id FROM embeddings GROUP BY 1"
         " HAVING count(*) > 1)) AS BIGINT)"
+        # NOT EXISTS, not NOT IN: the Spark side counts via a
+        # left_anti join, and NOT IN returns ZERO rows whenever the
+        # subquery yields a NULL — the two engines would diverge
+        # exactly on the malformed (NULL-id) data this gate exists
+        # to catch. NOT EXISTS has anti-join NULL semantics.
         " UNION ALL SELECT 'docs_without_embedding',"
-        " CAST((SELECT count(*) FROM documents WHERE doc_id NOT IN"
-        " (SELECT vec_id FROM embeddings)) AS BIGINT)"
+        " CAST((SELECT count(*) FROM documents d WHERE NOT EXISTS"
+        " (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))"
+        " AS BIGINT)"
         " UNION ALL SELECT 'orphan_embeddings',"
-        " CAST((SELECT count(*) FROM embeddings WHERE vec_id NOT IN"
-        " (SELECT doc_id FROM documents)) AS BIGINT)"
+        " CAST((SELECT count(*) FROM embeddings e WHERE NOT EXISTS"
+        " (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))"
+        " AS BIGINT)"
         " UNION ALL SELECT 'malformed_vectors',"
         " CAST((SELECT count(*) FROM embeddings"
         " WHERE len(embedding) <> 64 OR len(list_filter(embedding,"
@@ -5054,7 +5075,7 @@ def oracle_sql() -> dict[str, str]:
         # the avg-quantity threshold in exact integer math:
         # q < 0.2·(sum/cnt) ⟺ 5·q·cnt < sum (quantities integral)
         "WITH l2 AS (SELECT l_partkey,"
-        " CAST(l_quantity AS BIGINT) AS qi, l_extendedprice"
+        " CAST(floor(l_quantity) AS BIGINT) AS qi, l_extendedprice"
         " FROM lineitem JOIN part ON l_partkey = p_partkey"
         " WHERE p_brand = 'Brand#11'),"
         " pp AS (SELECT l_partkey AS pk, sum(qi) AS qsum,"
@@ -5123,9 +5144,9 @@ def oracle_sql() -> dict[str, str]:
         " per AS (SELECT l_suppkey, l_partkey,"
         " CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'"
         " AND l_shipdate < TIMESTAMP '1997-01-01'"
-        " THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)"
-        " AS qty_96,"
-        " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        " THEN CAST(floor(l_quantity) AS BIGINT) ELSE 0 END)"
+        " AS BIGINT) AS qty_96,"
+        " CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)"
         " AS qty_all"
         " FROM lineitem JOIN pw ON l_partkey = p_partkey"
         " GROUP BY 1, 2),"

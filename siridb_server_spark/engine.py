@@ -1001,15 +1001,15 @@ class SiriEngine:
         return self.store.build_rollup(self.spark, bucket)
 
     #: aggregates served from rollup partials, with their type
-    #: preconditions (sum/mean int-only keeps results bit-identical
-    #: to the points path; strings fall back so errors match)
+    #: preconditions (strings fall back so errors match). Double
+    #: sum/mean serve since the points path and the compose path
+    #: share the stable_double_sum decimal fold (pipeline.py) —
+    #: bit-identical by construction, non-finite classes included.
     def _rollup_servable(self, name: str, types) -> bool:
         if name in ("count", "first", "last"):
             return True    # type-kept / typed, all series types
-        if name in ("min", "max"):
+        if name in ("min", "max", "sum", "mean"):
             return TP_STRING not in types.tps
-        if name in ("sum", "mean"):
-            return types.tps == frozenset({TP_INT})
         return False
 
     @staticmethod
@@ -1116,11 +1116,16 @@ class SiriEngine:
         B = roll["bucket"]
         t0, t1 = rng if rng else (None, None)
         parts = []
+        if roll["partials"] is not None and not set(
+                P.ROLLUP_PARTIAL_COLS).issubset(
+                roll["partials"].columns):
+            # persisted rollup predates the current partial layout
+            # (e.g. no stable-double-sum statistics): don't serve —
+            # the points path stays exact and the next enable_rollup/
+            # maintain() rebuild migrates the store
+            return None
         if roll["partials"] is not None:
-            pre = roll["partials"].select(
-                "series", "rbucket", "tp", "cnt", "vi_sum",
-                "vi_oflow", "num_sum", "vi_min", "vi_max",
-                "vd_min", "vd_max", "f", "l")
+            pre = roll["partials"].select(*P.ROLLUP_PARTIAL_COLS)
             # interior buckets only — edges re-read below
             if t0 is not None:
                 pre = pre.where(F.col("rbucket") >= t0 + B - 1)

@@ -116,15 +116,74 @@ class StageResult:
 
 
 # --------------------------------------------------------------- aggregates
+#: |x| below this joins the exact DECIMAL(38,18) fold; at/above it
+#: (finite) the sum falls back to plain double folding (the decimal
+#: type can't hold the terms). 1e18 leaves ~100 headroom in the
+#: decimal's 20 integer digits for the running sum.
+_DSUM_HUGE = 1e18
+
+
+def _dsum_small(x: Column) -> Column:
+    return (x.isNotNull() & ~F.isnan(x)
+            & (F.abs(x) < F.lit(_DSUM_HUGE)))
+
+
+def stable_double_sum(x: Column) -> Column:
+    """Partition-order-free double SUM with C-double semantics for
+    non-finite values — the aggregate both the points path and the
+    rollup-compose path use, so materialized rollups serve double
+    sums bit-identically to a live point read (engine._rollup_servable).
+
+    Finite |x| < 1e18 terms fold as exact DECIMAL(38,18) — each term
+    deterministically rounded once, the fold associative, the final
+    double cast order-free (functions/stable.py rationale). The
+    non-finite classes reproduce what a C loop of double adds yields
+    REGARDLESS of order: any NaN → NaN, +inf and −inf together →
+    NaN, one infinity sign alone → that infinity. Only the
+    astronomically-rare huge-finite class (|x| ≥ 1e18, and decimal
+    overflow of the running sum) falls back to the plain double fold
+    whose low bits are partition-order-dependent — documented, and
+    excluded from rollup bit-identity claims."""
+    n_nan = F.count(F.when(F.isnan(x), 1))
+    n_pinf = F.count(F.when(x == F.lit(float("inf")), 1))
+    n_ninf = F.count(F.when(x == F.lit(float("-inf")), 1))
+    n_huge = F.count(F.when(x.isNotNull() & ~F.isnan(x)
+                            & (F.abs(x) >= F.lit(_DSUM_HUGE))
+                            & (F.abs(x) != F.lit(float("inf"))), 1))
+    n_fin = F.count(F.when(_dsum_small(x), 1))
+    dsum = F.try_sum(F.when(_dsum_small(x), x)
+                     .cast("decimal(38,18)"))
+    psum = F.sum(x)
+    return (
+        F.when(F.count(x) == 0, F.lit(None).cast("double"))
+        .when((n_nan > 0) | ((n_pinf > 0) & (n_ninf > 0)),
+              F.lit(float("nan")))
+        .when(n_pinf > 0, F.lit(float("inf")))
+        .when(n_ninf > 0, F.lit(float("-inf")))
+        .when((n_huge > 0) | ((n_fin > 0) & dsum.isNull()), psum)
+        .otherwise(dsum.cast("double")))
+
+
+#: oracle fragment mirroring the finite branch of
+#: :func:`stable_double_sum` (testdata has no NaN/inf/huge values,
+#: so the CASE collapses to its ELSE); format with x=expr
+STABLE_SUM_SQL = "CAST(sum(CAST({x} AS DECIMAL(38,18))) AS DOUBLE)"
+#: …and the matching mean (one double division of exact values)
+STABLE_MEAN_SQL = (
+    "(CAST(sum(CAST({x} AS DECIMAL(38,18))) AS DOUBLE)"
+    " / count({x}))")
+
+
 def _agg_exprs(name: str, types: TypeSet, timespan: float | None = None):
     """Aggregate value expressions for one bucket/window group."""
     num = _num()
     if name == "count":
         return dict(vi=F.count(F.lit(1)))
     if name == "sum":
-        return dict(vi=F.try_sum("val_int"), vd=F.sum("val_dbl"))
+        return dict(vi=F.try_sum("val_int"),
+                    vd=stable_double_sum(F.col("val_dbl")))
     if name == "mean":
-        return dict(vd=F.avg(num))
+        return dict(vd=stable_double_sum(num) / F.count(num))
     if name == "median":
         return dict(vd=F.percentile(num, F.lit(0.5)))
     if name in ("median_low", "median_high"):
@@ -503,6 +562,56 @@ def apply_limit(df: DataFrame, limit: int, agg_name: str,
 ROLLUP_FNS = frozenset({"count", "sum", "mean", "min", "max",
                         "first", "last"})
 
+#: canonical partial-column layout (what rollup_partials emits, minus
+#: the grouping keys) — the engine projects persisted partials to
+#: this before unioning them with live-computed ones
+ROLLUP_PARTIAL_COLS = [
+    "series", "rbucket", "tp", "cnt", "vi_sum", "vi_oflow",
+    "num_sum", "n_nan", "n_pinf", "n_ninf",
+    "vd_cnt", "vd_fin", "vd_huge", "vd_dsum", "vd_psum",
+    "nm_cnt", "nm_fin", "nm_huge", "nm_dsum", "nm_psum",
+    "vi_min", "vi_max", "vd_min", "vd_max", "f", "l"]
+
+
+def _stable_sum_partials(x: Column, p: str) -> dict:
+    """The per-partial sufficient statistics of
+    :func:`stable_double_sum` over ``x`` (column-name prefix ``p``):
+    term-class counts, the exact decimal sum of the small-finite
+    terms, and the plain double sum for the huge fallback. All of
+    them fold associatively, so composing partials reproduces the
+    points-path CASE bit-for-bit (outside the documented huge/
+    overflow fallback)."""
+    return {
+        f"{p}_cnt": F.count(x),
+        f"{p}_fin": F.count(F.when(_dsum_small(x), 1)),
+        f"{p}_huge": F.count(
+            F.when(x.isNotNull() & ~F.isnan(x)
+                   & (F.abs(x) >= F.lit(_DSUM_HUGE))
+                   & (F.abs(x) != F.lit(float("inf"))), 1)),
+        f"{p}_dsum": F.try_sum(F.when(_dsum_small(x), x)
+                               .cast("decimal(38,18)")),
+        f"{p}_psum": F.sum(x),
+    }
+
+
+def _compose_stable_sum(p: str, n_nan, n_pinf, n_ninf) -> Column:
+    """Fold :func:`_stable_sum_partials` columns (prefix ``p``) up to
+    the query bucket — the same CASE as :func:`stable_double_sum`,
+    over summed counters and the re-folded decimal sum."""
+    cnt = F.sum(f"{p}_cnt")
+    fin = F.sum(f"{p}_fin")
+    huge = F.sum(f"{p}_huge")
+    dsum = F.try_sum(f"{p}_dsum")
+    psum = F.sum(f"{p}_psum")
+    return (
+        F.when(cnt == 0, F.lit(None).cast("double"))
+        .when((n_nan > 0) | ((n_pinf > 0) & (n_ninf > 0)),
+              F.lit(float("nan")))
+        .when(n_pinf > 0, F.lit(float("inf")))
+        .when(n_ninf > 0, F.lit(float("-inf")))
+        .when((huge > 0) | ((fin > 0) & dsum.isNull()), psum)
+        .otherwise(dsum.cast("double")))
+
 
 def rollup_partials(df: DataFrame, bucket: int,
                     extra_keys: list = ()) -> DataFrame:
@@ -513,12 +622,20 @@ def rollup_partials(df: DataFrame, bucket: int,
     ``vi_oflow`` records an int64 overflow INSIDE one partial
     (try_sum went NULL with int rows present) so composition can
     surface the overflow error instead of silently skipping the
-    NULL partial."""
+    NULL partial. The ``vd_*``/``nm_*`` families are the
+    :func:`_stable_sum_partials` statistics of val_dbl (double sum)
+    and num (mean numerator), plus the shared non-finite class
+    counts — they let double-typed sum/mean compose bit-identically
+    to the points path's :func:`stable_double_sum`."""
     # typed first/last per bucket ((ts, seq) order, insert-order
     # ties) so bucketed first()/last() compose from partials too —
     # argmin/argmax fold associatively across partials
     point = F.struct("ts", "seq", "val_int", "val_dbl", "val_str")
     order = F.struct("ts", "seq")
+    num = _num()
+    dbl = F.col("val_dbl")
+    stable = {**_stable_sum_partials(dbl, "vd"),
+              **_stable_sum_partials(num, "nm")}
     agged = (df.groupBy(
         *extra_keys, "series",
         bucket_ts(F.col("ts"), bucket).alias("rbucket"))
@@ -526,7 +643,15 @@ def rollup_partials(df: DataFrame, bucket: int,
              F.count(F.lit(1)).alias("cnt"),
              F.try_sum("val_int").alias("vi_sum"),
              F.count("val_int").alias("n_int"),
-             F.sum(_num()).alias("num_sum"),
+             F.sum(num).alias("num_sum"),
+             # non-finite classes live only in val_dbl (ints can't
+             # hold them), shared by the sum and mean composers
+             F.count(F.when(F.isnan(dbl), 1)).alias("n_nan"),
+             F.count(F.when(dbl == F.lit(float("inf")), 1))
+             .alias("n_pinf"),
+             F.count(F.when(dbl == F.lit(float("-inf")), 1))
+             .alias("n_ninf"),
+             *[v.alias(k) for k, v in stable.items()],
              F.min("val_int").alias("vi_min"),
              F.max("val_int").alias("vi_max"),
              F.min("val_dbl").alias("vd_min"),
@@ -543,16 +668,20 @@ def compose_bucket_agg(partials: DataFrame, name: str, group_by: int,
                        types: TypeSet) -> StageResult:
     """Fold rollup partials up to the query bucket. Exactness per
     aggregate (enforced by the engine's serving conditions):
-    count/min/max are order-free; sum/mean are served for int-only
-    selections: sums fold exactly in int64 (with the overflow flag),
-    and means fold double sums of integers — exact (hence
-    bit-identical to the points path) while running sums stay below
-    2^53; beyond that both paths are in double territory where
-    Spark's own avg is already partition-order-dependent."""
+    count/min/max are order-free; int sums fold exactly in int64
+    (with the overflow flag); double sums and means fold the
+    :func:`_stable_sum_partials` decimal statistics through the SAME
+    CASE as the points path's :func:`stable_double_sum` — exact and
+    associative, hence bit-identical to a live point read for every
+    finite selection below the 1e18 huge threshold (the documented
+    fallback class is order-dependent on both paths)."""
     assert name in ROLLUP_FNS, name
     _check_agg_types(name, types)
     grouped = partials.groupBy(
         "series", bucket_ts(F.col("rbucket"), group_by).alias("ts"))
+    n_nan = F.sum("n_nan")
+    n_pinf = F.sum("n_pinf")
+    n_ninf = F.sum("n_ninf")
     vi = vd = None
     if name == "count":
         vi = F.sum("cnt").cast("long")
@@ -560,9 +689,10 @@ def compose_bucket_agg(partials: DataFrame, name: str, group_by: int,
         vi = F.when(F.max("vi_oflow") == 1,
                     F.lit(None).cast("long")) \
             .otherwise(F.try_sum("vi_sum"))
-        vd = F.lit(None).cast("double")
+        vd = _compose_stable_sum("vd", n_nan, n_pinf, n_ninf)
     elif name == "mean":
-        vd = F.sum("num_sum") / F.sum("cnt")
+        vd = _compose_stable_sum("nm", n_nan, n_pinf, n_ninf) \
+            / F.sum("nm_cnt")
     elif name == "min":
         vi, vd = F.min("vi_min"), F.min("vd_min")
     elif name == "max":

@@ -338,6 +338,67 @@ def test_rollup_aligned_range_reads_no_point_files(store_eng, spark):
     assert "sid=604800" not in edged
 
 
+def test_rollup_serves_double_sum_mean_plan_and_equality(store_eng,
+                                                         spark):
+    """Double-typed sum/mean serve from partials since r9 (the
+    stable_double_sum decimal fold is shared by the points path and
+    the compose path): the served plan for an aligned range on the
+    double series reads ZERO point files, and every double sum/mean
+    shape answers bit-identically to the points path."""
+    store_eng.enable_rollup(600)
+    import siridb_server_spark.plans.nodes as N
+    from siridb_server_spark.functions.pipeline import TypeSet
+    from siridb_server_spark.model import TP_DOUBLE
+    from siridb_server_spark.plans.parser import Parser
+
+    for q in ("select sum(600) from 'mem-dbl'",
+              "select mean(600) from 'mem-dbl'",
+              "select sum(1200) from /.*/ where type != string",
+              "select mean(1800) from /mem.*|cpu.*/",
+              "select sum(600) from 'mem-dbl' between 601 and 1201"):
+        a, b = _both(store_eng, q)
+        assert a == b, q
+
+    stmt = Parser("select sum(600) from 'mem-dbl'"
+                  " between 601 and 1201", "s").parse().stmt
+    assert isinstance(stmt, N.SelectStmt)
+    res = store_eng._rollup_pipeline(
+        stmt.pipelines[0], stmt, TypeSet(frozenset({TP_DOUBLE})))
+    assert res is not None
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "_rollup" in plan
+    assert "kind=" not in plan             # zero point partitions
+
+
+def test_rollup_double_sum_nonfinite_parity(spark, tmp_path):
+    """NaN/inf points flow through the rollup compose with the same
+    C-double semantics as the points path: any NaN (or mixed-sign
+    infinities) → NaN, a single-signed infinity → that infinity —
+    bit-identical between rollup_enabled True/False."""
+    eng = SiriEngine.open(spark, str(tmp_path / "db"), precision="s")
+    eng.insert({
+        "has-nan": [[10, 1.5], [40, float("nan")], [70, 2.0]],
+        "has-pinf": [[10, 1.0], [40, float("inf")]],
+        "has-ninf": [[10, float("-inf")], [40, 3.0]],
+        "mixed-inf": [[10, float("inf")], [40, float("-inf")]],
+        "plain": [[10, 0.1], [40, 0.2], [1000, 0.3]],
+    })
+    eng.enable_rollup(600)
+    import math
+    for q in ("select sum(600) from /.*/",
+              "select mean(600) from /.*/",
+              "select sum(1200) from /has.*|mixed.*/"):
+        a, b = _both(eng, q)
+        assert repr(a) == repr(b), q       # NaN-safe equality
+    got = eng.query("select sum(600) from /.*/")
+    by = {s: {t: v for t, v in pts} for s, pts in got.items()}
+    assert math.isnan(by["has-nan"][600])
+    assert by["has-pinf"][600] == float("inf")
+    assert by["has-ninf"][600] == float("-inf")
+    assert math.isnan(by["mixed-inf"][600])
+    assert abs(by["plain"][600] - 0.3) < 1e-15
+
+
 def test_rollup_edge_ranges_unit():
     """_rollup_edge_ranges: closed intervals of cut buckets only."""
     f = SiriEngine._rollup_edge_ranges
