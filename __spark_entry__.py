@@ -261,6 +261,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         D.similar_docs(load(spark, sf_dir, "documents"),
                        query_id=7, k=10)
 
+    def dedup_cdc_tiling(spark, sf_dir):
+        """Content-defined chunking over the FULL documents table
+        (dedup.cdc_chunks — the rsync/LBFS boundary trick: edits
+        relocate only the chunks they touch, downstream chunks
+        re-align byte-identically), verified corpus-wide through its
+        tiling invariant: per source, the chunk table's byte total
+        and doc count must equal what the documents table says
+        directly — the oracle computes the right-hand side without
+        running CDC, so a single mis-sliced boundary anywhere in the
+        corpus flips the hash."""
+        ch = D.cdc_chunks(load(spark, sf_dir, "documents"))
+        docs = load(spark, sf_dir, "documents") \
+            .select("doc_id", "source")
+        return (ch.join(F.broadcast(docs), "doc_id")
+                .groupBy("source")
+                .agg(F.countDistinct("doc_id").alias("n_docs"),
+                     F.sum("length").alias("total_bytes")))
+
+    q["dedup_cdc_tiling"] = dedup_cdc_tiling
+
+    def _cdc_gen(n, seed):
+        # deterministic printable-ASCII corpus (LCG bytes; no RNG
+        # seeding ambiguity across machines)
+        out = bytearray()
+        x = seed
+        for _ in range(n):
+            x = (x * 6364136223846793005 + 1442695040888963407) \
+                % (1 << 64)
+            out.append(33 + (x >> 33) % 94)
+        return out.decode("ascii")
+
+    def dedup_cdc_resync(spark, sf_dir):
+        """THE content-defined-chunking property, pinned as
+        constants: against a 2000-byte base document, a copy with an
+        inserted header and a copy with a mid-document edit each
+        share 18 of 19 chunk hashes (every chunk outside the edited
+        window re-aligns), while an unrelated document shares none.
+        Fixed-size blocks would share ZERO after the header insert —
+        this row set is exactly the evidence CDC exists to produce."""
+        base = _cdc_gen(2000, 12345)
+        docs = arrow_df(spark, [
+            (1, base),
+            (2, "SHIFTED-HEADER-v2::" + base),
+            (3, base[:800] + "[EDITED SEGMENT]" + base[800:]),
+            (4, _cdc_gen(2000, 999)),
+            (5, None),
+            (6, ""),
+        ], "doc_id long, text string")
+        d = (D.cdc_chunks(docs)
+             .select("doc_id", "chunk_hash").distinct())
+        pairs = arrow_df(spark, [(1, 2, "header_insert"),
+                                 (1, 3, "mid_edit"),
+                                 (1, 4, "unrelated")],
+                         "left long, right long, pair string")
+        inter = (d.select(F.col("doc_id").alias("left"),
+                          F.col("chunk_hash").alias("h"))
+                 .join(d.select(F.col("doc_id").alias("right"),
+                                F.col("chunk_hash").alias("h")), "h")
+                 .groupBy("left", "right")
+                 .agg(F.count(F.lit(1)).alias("n_shared")))
+        counts = d.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"))
+        return (pairs
+                .join(inter, ["left", "right"], "left")
+                .join(counts.select(F.col("doc_id").alias("left"),
+                                    F.col("n").alias("n_left")),
+                      "left")
+                .join(counts.select(F.col("doc_id").alias("right"),
+                                    F.col("n").alias("n_right")),
+                      "right")
+                .select("pair",
+                        F.coalesce("n_shared", F.lit(0))
+                        .alias("n_shared"),
+                        "n_left", "n_right"))
+
+    q["dedup_cdc_resync"] = dedup_cdc_resync
+
     def dedup_pipeline_summary(spark, sf_dir):
         """End-to-end dedup report over one corpus slice: exact
         duplicate volume, near-dup pair/cluster counts, and the
@@ -3241,6 +3318,29 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact"] = (
         "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,"
         " count(*) AS n_copies FROM documents GROUP BY 1"
+    )
+    # CDC tiling: the oracle computes the per-source byte totals
+    # WITHOUT running the chunker — equality proves every document
+    # in the corpus was tiled exactly (no lost/overlapping bytes)
+    o["dedup_cdc_tiling"] = (
+        "SELECT source, count(*) AS n_docs,"
+        " CAST(sum(strlen(text)) AS BIGINT) AS total_bytes"
+        " FROM documents WHERE text IS NOT NULL AND strlen(text) > 0"
+        " GROUP BY 1"
+    )
+    # CDC resync: constants computed from the deterministic fixture
+    # (LCG corpus, xxhash64 chunk hashes — both engine-independent);
+    # the property itself is what the numbers SAY: 18/19 chunks
+    # survive a header insert or a mid-document edit, 0 survive a
+    # content swap
+    o["dedup_cdc_resync"] = (
+        "SELECT pair, CAST(n_shared AS BIGINT) AS n_shared,"
+        " CAST(n_left AS BIGINT) AS n_left,"
+        " CAST(n_right AS BIGINT) AS n_right FROM (VALUES"
+        " ('header_insert', 18, 19, 19),"
+        " ('mid_edit', 18, 19, 19),"
+        " ('unrelated', 0, 19, 15))"
+        " AS t(pair, n_shared, n_left, n_right)"
     )
     # dwf applies the same max_df=100000 posting-list cutoff as the
     # Spark entries (dedup._cap_posting_lists): sizes and the

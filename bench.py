@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     # round-5 additions: capped exact join, mixture weights, packing,
     # real PNG decode through the Arrow path
     "dedup_ngram_jaccard",
+    "dedup_cdc_tiling",
     "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",

@@ -134,6 +134,24 @@ def _bpe_probe(spark, d):
     return _B.bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
 
+def _knn_probe(spark, d):
+    from siridb_server_spark.operators import similarity as _S
+    emb = _load(spark, d, "embeddings")
+    qs = (emb.where("vec_id % 199 = 0")
+          .select(F.col("vec_id").alias("qid"), "embedding"))
+    return _S.knn_join(emb, qs, k=10)
+
+
+def _cc_probe(spark, d):
+    # connected components over the CAPPED minhash candidate graph —
+    # edge count grows ~linearly with the corpus under the hot-bucket
+    # cap, so this measures the resolve path end to end
+    docs = _docs_sample(spark, d)
+    pairs = _D.minhash_lsh_pairs(docs, threshold=0.5,
+                                 max_bucket=200)
+    return _D.resolve_duplicates(docs, pairs)
+
+
 PROBE_EXTRA = {
     "probe_bpe_encode": _bpe_probe,
     "probe_containment_capped": lambda spark, d: _D.containment_pairs(
@@ -142,6 +160,16 @@ PROBE_EXTRA = {
     "probe_cross_source_capped": lambda spark, d:
         _D.cross_source_dup_rates(_docs_sample(spark, d),
                                   threshold=0.8, max_df=600),
+    # r9 quadratic-risk family (VERDICT r8 next-round #4): every
+    # candidate generator capped exactly as production would run it
+    "probe_ngram_jaccard_capped": lambda spark, d:
+        _D.ngram_jaccard_pairs(_docs_sample(spark, d),
+                               threshold=0.5, max_df=600),
+    "probe_minhash_lsh_capped": lambda spark, d:
+        _D.minhash_lsh_pairs(_load(spark, d, "documents"),
+                             threshold=0.5, max_bucket=200),
+    "probe_connected_components": _cc_probe,
+    "probe_knn_join": _knn_probe,
 }
 
 BASE = "/root/testdata/sf0.1"

@@ -581,11 +581,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         edges.unpersist()
         labels = _union_find_min(rows)
         spark = pairs.sparkSession
+        # label schema mirrors the caller's id type (string ids are
+        # first-class across the dedup stack, not just bigint)
+        from pyspark.sql import types as T
+        idt = pairs.schema[id_a].dataType
+        schema = T.StructType([T.StructField("node", idt, False),
+                               T.StructField("comp", idt, False)])
         if not labels:
-            return (pairs.sparkSession.createDataFrame(
-                [], "node long, comp long"))
+            return pairs.sparkSession.createDataFrame([], schema)
         from ..localdf import arrow_df
-        return arrow_df(spark, labels, "node long, comp long")
+        return arrow_df(spark, labels, schema)
 
     # cluster state C(u): one row (u, v) per member v of u's set,
     # seeded with the adjacency plus self-loops
@@ -626,8 +631,8 @@ def resolve_duplicates(df: DataFrame, pairs: DataFrame,
 
 
 def resolve_duplicates_by(df: DataFrame, pairs: DataFrame,
-                          score_col: str,
-                          id_col: str = "doc_id") -> DataFrame:
+                          score_col: str, id_col: str = "doc_id",
+                          skew_safe: bool = False) -> DataFrame:
     """Policy-aware keep-one-per-cluster dedup: the representative
     is the cluster member with the HIGHEST ``score_col`` (quality
     score, length, recency — whatever the pipeline optimizes),
@@ -636,21 +641,30 @@ def resolve_duplicates_by(df: DataFrame, pairs: DataFrame,
     production pipelines actually want, because the first-crawled
     copy is often the worst one.
 
-    Same connected-components machinery; picking winners is two
-    window aggregates over the SAME component partitioning — max
-    score per component, then min id among the rows that carry it
-    (``eqNullSafe`` so an all-NULL-score component still elects its
-    min id rather than vanishing). Catalyst collapses both into one
-    Window node behind a single exchange on ``comp`` — one shuffle,
-    zero joins (the former two-groupBy + two-join plan spent ~6
-    fixed-latency jobs re-reading the same |docs|-row frame), and it
-    works for ANY orderable id/score type — a single
+    Same connected-components machinery; picking winners (default
+    path) is two window aggregates over the SAME component
+    partitioning — max score per component, then min id among the
+    rows that carry it (``eqNullSafe`` so an all-NULL-score
+    component still elects its min id rather than vanishing).
+    Catalyst collapses both into one Window node behind a single
+    exchange on ``comp`` — one shuffle, zero joins, and it works
+    for ANY orderable id/score type — a single
     ``max_by(id, struct(score, -id))`` would also be one pass but
     raises AnalysisException for string ids (negation), silently
     narrowing the id types the rest of the dedup stack supports.
     Everything carries |docs| rows, nothing quadratic.
+
+    SKEW: the window path lands each component in ONE task and
+    WindowExec buffers the whole partition — fine for dedup
+    clusters (bounded by the candidate generators' caps), but a
+    corpus-scale mega-component (site-wide boilerplate joining half
+    the corpus into one cluster) would bottleneck and can OOM a
+    task. ``skew_safe=True`` switches to groupBy aggregates with
+    map-side partial combine (max score per comp, then min id among
+    max-score rows, joined back): more jobs, but every reducer sees
+    pre-combined partials no matter how large one component gets —
+    use it when component sizes are unbounded.
     Output: (doc_id, keep_id, is_kept)."""
-    from pyspark.sql import Window
     comp = connected_components(pairs)
     scored = df.select(F.col(id_col).alias("doc_id"),
                        F.col(score_col).alias("_s"))
@@ -659,6 +673,17 @@ def resolve_duplicates_by(df: DataFrame, pairs: DataFrame,
              .select("doc_id", "_s",
                      F.coalesce("comp", F.col("doc_id"))
                      .alias("comp")))
+    if skew_safe:
+        smax = withc.groupBy("comp").agg(F.max("_s").alias("_smax"))
+        winners = (withc.join(smax, "comp")
+                   .where(F.col("_s").eqNullSafe(F.col("_smax")))
+                   .groupBy("comp")
+                   .agg(F.min("doc_id").alias("keep_id")))
+        return (withc.join(winners, "comp")
+                .select("doc_id", "keep_id",
+                        (F.col("doc_id") == F.col("keep_id"))
+                        .alias("is_kept")))
+    from pyspark.sql import Window
     wc = Window.partitionBy("comp")
     withmax = withc.withColumn("_smax", F.max("_s").over(wc))
     keep = F.min(F.when(F.col("_s").eqNullSafe(F.col("_smax")),
@@ -1002,3 +1027,165 @@ def dedup_incremental(new_df: DataFrame, path: str,
     near_only = near.join(exact.select("doc_id"), "doc_id",
                           "left_anti")
     return exact.unionByName(near_only)
+
+
+# ------------------------------------------------------- content-defined
+#: multiply-xor mixing constants for the CDC window hash (splitmix64
+#: finalizer constants — public domain, Steele et al.)
+_CDC_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_CDC_C2 = np.uint64(0x94D049BB133111EB)
+_CDC_WIN = 16   # boundary decision looks at the previous 16 bytes
+
+
+def _cdc_boundary_starts(data: bytes, min_size: int, avg_size: int,
+                         max_size: int) -> list:
+    """Chunk START offsets (byte positions, 0-based) for one
+    document. A position i is a CANDIDATE cut when the mix of the 16
+    bytes ENDING at i hits ``avg_size``'s mask — a pure function of
+    local content, so an edit relocates only the cuts whose windows
+    it touches (the CDC property). The greedy min/max pass then keeps
+    candidates at least ``min_size`` apart and forces a cut at
+    ``max_size`` — those forced/suppressed cuts are the only ones
+    with any positional dependence, and they re-synchronize at the
+    next surviving candidate.
+
+    The window hash is vectorized exactly in numpy: the two 8-byte
+    halves of each window are read as little-endian uint64 lanes
+    (wrapping multiply-xor mix, no Python loop over bytes); only the
+    sparse candidate list is walked in Python (~len/avg_size items).
+    """
+    n = len(data)
+    if n == 0:
+        return []
+    mask = np.uint64(avg_size - 1)      # avg_size is a power of two
+    if n >= _CDC_WIN:
+        buf = np.frombuffer(data, dtype=np.uint8)
+        # windows END at positions [_CDC_WIN-1 .. n-1]; lanes via
+        # shifted 8-byte views (alignment-safe: go through bytes)
+        end = n - _CDC_WIN + 1
+        lo = np.lib.stride_tricks.sliding_window_view(
+            buf[:end + 7], 8).view(np.uint64)[..., 0][:end]
+        hi = np.lib.stride_tricks.sliding_window_view(
+            buf[8:end + 15], 8).view(np.uint64)[..., 0][:end]
+        h = (lo * _CDC_C1) ^ (hi * _CDC_C2)
+        h = (h ^ (h >> np.uint64(31))) * _CDC_C1
+        cand = np.nonzero((h & mask) == 0)[0] + _CDC_WIN
+        # a candidate at index i cuts AFTER window end i-1 → chunk
+        # start i (cuts at n are meaningless)
+        cand = cand[cand < n]
+    else:
+        cand = np.empty(0, dtype=np.int64)
+    starts = [0]
+    last = 0
+    ci = 0
+    m = len(cand)
+    while True:
+        nxt = None
+        while ci < m:
+            c = int(cand[ci])
+            if c <= last:           # behind the current chunk start
+                ci += 1
+                continue
+            if c - last < min_size:  # too close: suppressed
+                ci += 1
+                continue
+            nxt = c
+            break
+        if nxt is None or nxt - last > max_size:
+            forced = last + max_size
+            if forced >= n:
+                break
+            starts.append(forced)
+            last = forced
+            continue
+        starts.append(nxt)
+        last = nxt
+        ci += 1
+        if last >= n:
+            break
+    return starts
+
+
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_size: int = 32,
+               avg_size: int = 128, max_size: int = 512) -> DataFrame:
+    """Content-defined chunking: split every document at positions
+    chosen by its CONTENT (windowed multiply-xor hash hitting a
+    1/avg_size mask), not by fixed offsets — so inserting or deleting
+    bytes early in a document relocates only the O(1) chunks whose
+    windows the edit touches, and every downstream chunk re-aligns
+    byte-identically. That re-synchronization is what makes
+    chunk-level dedup work on 100 TB of crawl snapshots where the
+    same article reappears with a shifted header: fixed-size blocks
+    never line up again, CDC chunks do (the rsync/LBFS idea; no
+    reference counterpart — the reference dedups nothing).
+
+    Scale shape: boundary detection is a row-local Arrow-batched
+    numpy kernel (one vectorized window hash per doc, a sparse
+    candidate walk in Python); chunk content hashing stays JVM-side
+    (``xxhash64(substr(binary))``) so the expensive per-byte work is
+    whole-stage-codegen. No shuffle at all until a caller aggregates
+    chunk hashes. Output: (doc_id, chunk_idx, start, length,
+    chunk_hash) — start is a 0-based BYTE offset into the utf-8
+    encoding; chunks tile the document exactly
+    (sum(length) == octet_length(text), pinned by the
+    dedup_cdc_tiling oracle entry).
+
+    ``avg_size`` must be a power of two (mask test). Empty/NULL
+    texts produce no chunks.
+    """
+    if avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two")
+    if not (0 < min_size <= avg_size <= max_size):
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+
+    out_schema = (f"{id_col} long, chunk_idx int, start long, "
+                  "length long")
+
+    def bounds(it):
+        for pdf in it:
+            ids, idxs, starts, lens = [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                data = txt.encode("utf-8")
+                ss = _cdc_boundary_starts(data, min_size, avg_size,
+                                          max_size)
+                n = len(data)
+                for j, s in enumerate(ss):
+                    e = ss[j + 1] if j + 1 < len(ss) else n
+                    ids.append(did)
+                    idxs.append(j)
+                    starts.append(s)
+                    lens.append(e - s)
+            yield pd.DataFrame({id_col: ids, "chunk_idx": idxs,
+                                "start": starts, "length": lens})
+
+    spans = df.select(id_col, text_col).mapInPandas(bounds,
+                                                    out_schema)
+    body = df.select(F.col(id_col),
+                     F.encode(F.col(text_col), "utf-8").alias("_b"))
+    return (spans.join(body, id_col)
+            .select(id_col, "chunk_idx", "start", "length",
+                    F.xxhash64(F.substring(
+                        F.col("_b"),
+                        (F.col("start") + 1).cast("int"),
+                        F.col("length").cast("int")))
+                    .alias("chunk_hash")))
+
+
+def cdc_dup_chunks(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", **cdc_opts) -> DataFrame:
+    """Chunk-level duplication census: every chunk hash appearing in
+    more than one document (or more than once in one), with its
+    total byte weight — the "how much of the corpus is re-used
+    bytes" answer exact dedup can't give when documents differ by a
+    header. One groupBy on the 8-byte chunk hash. Output:
+    (chunk_hash, n_copies, n_docs, bytes_total, keep_id)."""
+    ch = cdc_chunks(df, text_col, id_col, **cdc_opts)
+    return (ch.groupBy("chunk_hash")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.countDistinct(id_col).alias("n_docs"),
+                 F.sum("length").alias("bytes_total"),
+                 F.min(id_col).alias("keep_id"))
+            .where(F.col("n_copies") > 1))
