@@ -98,6 +98,21 @@ BOUNDS = {
     # row-local scans: linear
     "text_readability": K * 2,
     "events_rfm": K * 2,
+    # r9 additions — the quadratic-risk family, capped exactly as
+    # production runs it (VERDICT r8 #4): candidate generation is
+    # bucketed/capped, so the design target is UNDER the volume
+    # ratio; a lost cap lands ~K²
+    "probe_ngram_jaccard_capped": K * 1.25,
+    "probe_minhash_lsh_capped": K * 1.25,
+    # CC over the capped candidate graph: edges ~linear, driver
+    # union-find under the cap / O(log d) distributed rounds above
+    "probe_connected_components": K * 1.25,
+    # kNN join: fixed query set × K× corpus, local top-k cut keeps
+    # the shuffle at partitions·q·k rows
+    "probe_knn_join": K * 2,
+    # CDC chunking: row-local boundary kernel + per-chunk JVM hash,
+    # one broadcast join to the doc dim — linear with bytes
+    "dedup_cdc_tiling": K * 2,
 }
 
 
