@@ -338,6 +338,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cdc_resync"] = dedup_cdc_resync
 
+    def io_tfrecord_roundtrip(spark, sf_dir):
+        """TFRecord sink + source (sources/tfrecord.py — framing,
+        CRC-32C masks, and tf.train.Example protos all implemented
+        from the public wire format, no tensorflow): export the
+        documents table to deterministic shards, read every record
+        back through the binaryFile + Arrow decode path with FULL
+        data-CRC verification, and hand the oracle the row-level
+        contract — every (doc_id, n_chars, source) must match what
+        DuckDB reads from the parquet directly. A single corrupted
+        varint, mis-sliced record, or CRC bug anywhere in the
+        round-trip flips the hash."""
+        import hashlib
+        import tempfile
+
+        from siridb_server_spark.sources import tfrecord as TFR
+
+        # stable per-corpus dir (NOT a fresh tempdir): the returned
+        # DataFrame reads these files lazily, so they must outlive
+        # this call; the deterministic exporter makes re-runs
+        # byte-identical overwrites, so steady-state disk is one copy
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        tmp = f"{tempfile.gettempdir()}/sparksiri-tfr-{tag}"
+        TFR.export_tfrecord_documents(
+            load(spark, sf_dir, "documents"), tmp,
+            n_shards=8).collect()       # materialize the export
+        back = TFR.read_tfrecord_documents(spark, tmp,
+                                           verify_data=True)
+        return back.select("doc_id",
+                           F.length("text").cast("long")
+                           .alias("n_chars"),
+                           "source")
+
+    q["io_tfrecord_roundtrip"] = io_tfrecord_roundtrip
+
     def dedup_pipeline_summary(spark, sf_dir):
         """End-to-end dedup report over one corpus slice: exact
         duplicate volume, near-dup pair/cluster counts, and the
@@ -3333,6 +3367,14 @@ def oracle_sql() -> dict[str, str]:
     # the property itself is what the numbers SAY: 18/19 chunks
     # survive a header insert or a mid-document edit, 0 survive a
     # content swap
+    # TFRecord round-trip: the oracle reads the SAME rows straight
+    # from parquet — equality proves the export→CRC→proto→read chain
+    # reproduced every record exactly
+    o["io_tfrecord_roundtrip"] = (
+        "SELECT doc_id,"
+        " CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,"
+        " coalesce(source, '') AS source FROM documents"
+    )
     o["dedup_cdc_resync"] = (
         "SELECT pair, CAST(n_shared AS BIGINT) AS n_shared,"
         " CAST(n_left AS BIGINT) AS n_left,"

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     # real PNG decode through the Arrow path
     "dedup_ngram_jaccard",
     "dedup_cdc_tiling",
+    "io_tfrecord_roundtrip",
     "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",
