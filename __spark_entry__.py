@@ -740,6 +740,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bpe_encode"] = text_bpe_encode
 
+    def text_unigram_vocab(spark, sf_dir):
+        """REAL unigram-LM tokenizer training (operators/unigram.py
+        — SentencePiece-style hard-EM, Kudo 2018) on the BPE fixture
+        corpus. The trainer is float-free: segmentations compare as
+        exact integers (Π count · total^(L−k)), ties to fewer pieces
+        then lexicographic order, so the learned vocabulary is a
+        pure function of the corpus — the oracle pins every
+        multi-occurrence piece. (An independent check of the same
+        determinism claim lives in tests/test_unigram.py.)"""
+        from siridb_server_spark.operators import unigram as U
+        v = U.unigram_train(_bpe_fixture(spark), vocab_size=60,
+                            seed_size=600, n_iters=3)
+        return v.where(F.col("count") >= 2) \
+            .select("rank", "piece", "count")
+
+    q["text_unigram_vocab"] = text_unigram_vocab
+
+    def text_unigram_encode(spark, sf_dir):
+        """Viterbi encoding under the trained unigram vocabulary:
+        the full token stream of every fixture document, pinned
+        verbatim (joined with '|') — frequent words surface as
+        single pieces, morphology falls back to learned subwords,
+        NULL/empty docs tokenize to nothing."""
+        from siridb_server_spark.operators import unigram as U
+        docs = _bpe_fixture(spark)
+        v = U.unigram_train(docs, vocab_size=60, seed_size=600,
+                            n_iters=3)
+        enc = U.unigram_encode(docs, v)
+        return enc.select(
+            "doc_id", "n_tokens",
+            F.concat_ws("|", "tokens").alias("stream"))
+
+    q["text_unigram_encode"] = text_unigram_encode
+
+    def text_unigram_tiling(spark, sf_dir):
+        """Unigram tokenization over the FULL documents corpus,
+        verified through its tiling invariant: the characters of a
+        document's tokens, concatenated, are exactly the word
+        characters of the document — so per doc, total token chars
+        must equal what the oracle computes by just stripping
+        non-word characters. Training runs on a 1-in-10 doc slice
+        (the capped driver-side EM), encoding covers every doc —
+        tiling holds for ANY total-coverage vocabulary, which is
+        precisely why it is a safe corpus-wide contract."""
+        from siridb_server_spark.operators import unigram as U
+        docs = load(spark, sf_dir, "documents")
+        v = U.unigram_train(docs.where("doc_id % 10 = 0"),
+                            vocab_size=400, seed_size=4000,
+                            n_iters=2)
+        enc = U.unigram_encode(docs, v)
+        return enc.select(
+            "doc_id",
+            F.aggregate("tokens", F.lit(0).cast("long"),
+                        lambda a, t: a + F.length(t))
+            .alias("tok_chars"))
+
+    q["text_unigram_tiling"] = text_unigram_tiling
+
     q["sim_label_centroids"] = lambda spark, sf_dir: \
         SIM.label_centroid_dims(load(spark, sf_dir, "embeddings"))
 
@@ -5043,6 +5101,32 @@ def oracle_sql() -> dict[str, str]:
         "  PARTITION BY source"
         "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk"
         " FROM documents) WHERE rk <= 20"
+    )
+    o["text_unigram_vocab"] = (
+        "SELECT CAST(rank AS INT) AS rank, piece,"
+        " CAST(cnt AS BIGINT) AS count FROM (VALUES"
+        " (0, 'the', 6), (1, 'and', 4), (2, 'low', 3),"
+        " (3, 'lower', 3), (4, 'lowest', 2), (5, 'wider', 2))"
+        " AS t(rank, piece, cnt)"
+    )
+    o["text_unigram_encode"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(n AS BIGINT) AS n_tokens, stream FROM (VALUES"
+        " (1, 7, 'the|lower|the|better|when|lowering|lowers'),"
+        " (2, 6, 'new|newer|newest|lower|and|lowest'),"
+        " (3, 8, 'wider|and|wider|widths|widen|the|widest|cases'),"
+        " (4, 6, 'low|lows|lowest|lower|low|low'),"
+        " (5, 8, 'the|the|the|and|and|a|42|42''s'),"
+        " (6, 0, ''), (7, 0, ''))"
+        " AS t(doc_id, n, stream)"
+    )
+    # unigram tiling: the oracle strips non-word characters — no
+    # tokenizer on its side; equality proves every token stream
+    # tiles its document's word characters exactly
+    o["text_unigram_tiling"] = (
+        "SELECT doc_id, CAST(length(regexp_replace(lower("
+        "coalesce(text, '')), '[^a-z0-9'']', '', 'g')) AS BIGINT)"
+        " AS tok_chars FROM documents"
     )
     o["text_bpe_merges"] = (
         "SELECT CAST(0 AS INT) AS rank, 'l' AS left,"

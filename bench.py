@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_cdc_tiling",
     "io_tfrecord_roundtrip",
+    "text_unigram_tiling",
     "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",
