@@ -372,6 +372,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["io_tfrecord_roundtrip"] = io_tfrecord_roundtrip
 
+    def sketch_hll_registers(spark, sf_dir):
+        """Mergeable HLL distinct-count sketch as a plain DataFrame
+        (operators/sketches.py): per event_type, the 4096-register
+        table over user_id — every register an md5-derived integer,
+        so the oracle rebuilds the identical table in SQL and the
+        hash pins the whole sketch construction (bucket split,
+        hex-aligned leading-zero count, groupBy-max). Estimation
+        accuracy is pytest-verified separately (float, policy)."""
+        from siridb_server_spark.operators import sketches as SK
+        return SK.hll_registers(load(spark, sf_dir, "events"),
+                                "event_type", "user_id") \
+            .select("event_type", "bucket", "rho")
+
+    q["sketch_hll_registers"] = sketch_hll_registers
+
+    def sketch_hll_merge(spark, sf_dir):
+        """THE mergeability theorem, cross-checked across engines
+        AND construction orders: partial sketches built per
+        (event_type, arbitrary 7-way split) then merged with
+        groupBy-max must equal the one-shot sketch — the oracle
+        builds the one-shot table directly, so any non-associative
+        slip in the merge (or the split) flips the hash. This is the
+        property that lets 100 TB of history live as persisted daily
+        register tables instead of being rescanned."""
+        from siridb_server_spark.operators import sketches as SK
+        ev = load(spark, sf_dir, "events")
+        part = (epoch_ns(ev) % F.lit(7)).alias("part")
+        daily = SK.hll_registers(ev.withColumn("part", part),
+                                 ["event_type", "part"], "user_id")
+        return SK.hll_merge(daily, "event_type") \
+            .select("event_type", "bucket", "rho")
+
+    q["sketch_hll_merge"] = sketch_hll_merge
+
     def dedup_pipeline_summary(spark, sf_dir):
         """End-to-end dedup report over one corpus slice: exact
         duplicate volume, near-dup pair/cluster counts, and the
@@ -3425,6 +3459,19 @@ def oracle_sql() -> dict[str, str]:
     # the property itself is what the numbers SAY: 18/19 chunks
     # survive a header insert or a mid-document edit, 0 survive a
     # content swap
+    # HLL sketches: the oracle rebuilds the register table from md5
+    # in pure SQL (operators/sketches.py HLL_REGISTERS_SQL) — both
+    # entries hash against the DIRECT construction, so the merge
+    # entry's equality IS the mergeability theorem
+    from siridb_server_spark.operators.sketches import \
+        HLL_REGISTERS_SQL as _HLL
+    _hll_direct = (
+        "SELECT event_type, bucket, CAST(max(rho) AS INT) AS rho"
+        " FROM (" + _HLL.format(
+            member="CAST(user_id AS VARCHAR)", keys="event_type",
+            table="events") + ") GROUP BY 1, 2")
+    o["sketch_hll_registers"] = _hll_direct
+    o["sketch_hll_merge"] = _hll_direct
     # TFRecord round-trip: the oracle reads the SAME rows straight
     # from parquet — equality proves the export→CRC→proto→read chain
     # reproduced every record exactly

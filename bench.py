@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "dedup_cdc_tiling",
     "io_tfrecord_roundtrip",
     "text_unigram_tiling",
+    "sketch_hll_registers",
     "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",

@@ -1,0 +1,66 @@
+"""HLL sketches (operators/sketches.py): estimate accuracy against
+exact distincts across cardinality regimes, merge semantics
+(associative, idempotent, equal to one-shot), and null handling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from siridb_server_spark.operators import sketches as SK
+
+
+def _regs_of_range(spark, n, key="k"):
+    df = spark.range(n).select(
+        F.lit(key).alias("key"),
+        F.concat(F.lit("member-"), F.col("id")).alias("m"))
+    return SK.hll_registers(df, "key", "m")
+
+
+def test_estimate_accuracy_small_and_large(spark):
+    # linear-counting regime (n << m) and the raw regime (n >> m)
+    for n, tol in ((300, 0.05), (5_000, 0.05), (120_000, 0.05)):
+        regs = _regs_of_range(spark, n)
+        est = SK.hll_estimate(regs, "key").first()["estimate"]
+        assert abs(est - n) / n < tol, (n, est)
+
+
+def test_merge_equals_one_shot_and_is_idempotent(spark):
+    df = spark.range(20_000).select(
+        (F.col("id") % 5).cast("string").alias("key"),
+        F.concat(F.lit("u"), (F.col("id") % 7_777)).alias("m"),
+        (F.col("id") % 13).alias("part"))
+    direct = SK.hll_registers(df, "key", "m")
+    parts = SK.hll_registers(df, ["key", "part"], "m")
+    merged = SK.hll_merge(parts, "key")
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+    # merging a merged table with itself changes nothing
+    again = SK.hll_merge(merged.unionByName(merged), "key")
+    assert again.exceptAll(merged).count() == 0
+    assert merged.exceptAll(again).count() == 0
+
+
+def test_registers_bounded_and_null_members_skipped(spark):
+    from siridb_server_spark.localdf import arrow_df
+    df = arrow_df(spark, [("a", "x"), ("a", "y"), ("a", None),
+                          ("b", None)],
+                  "key string, m string")
+    regs = SK.hll_registers(df, "key", "m").collect()
+    assert all(r["key"] == "a" for r in regs)     # b: only nulls
+    assert all(0 <= r["bucket"] < SK.M for r in regs)
+    assert all(1 <= r["rho"] <= SK.RHO_MAX for r in regs)
+
+
+def test_union_estimate_via_merge(spark):
+    # sketch(A) merged with sketch(B) estimates |A ∪ B|
+    a = spark.range(4_000).select(
+        F.lit("k").alias("key"),
+        F.concat(F.lit("m"), F.col("id")).alias("m"))
+    b = spark.range(2_000, 6_000).select(
+        F.lit("k").alias("key"),
+        F.concat(F.lit("m"), F.col("id")).alias("m"))
+    merged = SK.hll_merge(
+        SK.hll_registers(a, "key", "m")
+        .unionByName(SK.hll_registers(b, "key", "m")), "key")
+    est = SK.hll_estimate(merged, "key").first()["estimate"]
+    assert abs(est - 6_000) / 6_000 < 0.05
