@@ -34,7 +34,10 @@ from ..functions.stable import stable_dsum
 # few and evict the oldest (the engine's points cache does the same,
 # one live entry).
 _SIG_CACHE: list[DataFrame] = []
-_SIG_CACHE_MAX = 2
+# 4, not 2: the staged-curation flags frame (pipelines.py) shares
+# this cache with the signature frames, and one curate_corpus call
+# can hold a sig frame + flags live at once
+_SIG_CACHE_MAX = 4
 
 
 def _persist_bounded(df: DataFrame) -> DataFrame:
@@ -606,6 +609,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                       F.col("v").alias("v")))
                .distinct().localCheckpoint(eager=True))
         changed = new.exceptAll(C).limit(1).count()
+        # `new` was checkpointed EAGERLY, so it no longer reads the
+        # superseded round's cache — release it (only the final C
+        # stays cached for the returned frame); without this every
+        # CC round leaked one session-lifetime cached RDD
+        try:
+            C.rdd.unpersist()
+        except Exception:
+            pass
         C = new
         if changed == 0:
             break

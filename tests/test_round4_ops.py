@@ -522,6 +522,12 @@ def test_resolve_duplicates_by_highest_score(spark):
     assert out[2] == (2, True)
     assert out[3] == (2, False)
     assert out[4] == (4, True)                # singleton
+    # the skew-safe groupBy path (for unbounded component sizes) is
+    # semantically identical to the single-window default
+    safe = {r["doc_id"]: (r["keep_id"], r["is_kept"]) for r in
+            D.resolve_duplicates_by(docs, pairs, "score",
+                                    skew_safe=True).collect()}
+    assert safe == out
 
 
 def test_linear_trend_exact_line_and_degenerate(spark):
