@@ -406,6 +406,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hll_merge"] = sketch_hll_merge
 
+    def sketch_kmv_values(spark, sf_dir):
+        """KMV (k-minimum-values) sketch per event_type over
+        user_id (operators/sketches.py, Beyer et al. 2007) — the
+        overlap-capable companion to the HLL entry: k smallest
+        distinct 60-bit md5 hashes with their order statistics,
+        rebuilt identically by the oracle in SQL (distinct +
+        windowed top-k over the same hash expression)."""
+        from siridb_server_spark.operators import sketches as SK
+        return SK.kmv_sketch(load(spark, sf_dir, "events"),
+                             "event_type", "user_id") \
+            .select("event_type", "pos", "h")
+
+    q["sketch_kmv_values"] = sketch_kmv_values
+
+    def sketch_kmv_merge(spark, sf_dir):
+        """KMV mergeability, pinned cross-engine: partial sketches
+        over an arbitrary 7-way split, merged (k smallest of the
+        union — EXACT, since the union's minima live inside the
+        partials' minima), must equal the one-shot sketch the
+        oracle builds directly."""
+        from siridb_server_spark.operators import sketches as SK
+        ev = load(spark, sf_dir, "events")
+        part = (epoch_ns(ev) % F.lit(7)).alias("part")
+        parts = SK.kmv_sketch(ev.withColumn("part", part),
+                              ["event_type", "part"], "user_id")
+        return SK.kmv_merge(parts, "event_type") \
+            .select("event_type", "pos", "h")
+
+    q["sketch_kmv_merge"] = sketch_kmv_merge
+
     def dedup_pipeline_summary(spark, sf_dir):
         """End-to-end dedup report over one corpus slice: exact
         duplicate volume, near-dup pair/cluster counts, and the
@@ -3472,6 +3502,16 @@ def oracle_sql() -> dict[str, str]:
             table="events") + ") GROUP BY 1, 2")
     o["sketch_hll_registers"] = _hll_direct
     o["sketch_hll_merge"] = _hll_direct
+    _kmv_direct = (
+        "WITH hs AS (SELECT DISTINCT event_type,"
+        " CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) AS h FROM events WHERE user_id IS NOT NULL),"
+        " r AS (SELECT event_type, h, row_number() OVER"
+        " (PARTITION BY event_type ORDER BY h) AS pos FROM hs)"
+        " SELECT event_type, CAST(pos AS INT) AS pos, h FROM r"
+        " WHERE pos <= 256")
+    o["sketch_kmv_values"] = _kmv_direct
+    o["sketch_kmv_merge"] = _kmv_direct
     # TFRecord round-trip: the oracle reads the SAME rows straight
     # from parquet — equality proves the export→CRC→proto→read chain
     # reproduced every record exactly

@@ -64,3 +64,49 @@ def test_union_estimate_via_merge(spark):
         .unionByName(SK.hll_registers(b, "key", "m")), "key")
     est = SK.hll_estimate(merged, "key").first()["estimate"]
     assert abs(est - 6_000) / 6_000 < 0.05
+
+
+def test_kmv_estimate_and_exact_small(spark):
+    for n, tol in ((100, 0.0), (50_000, 0.15)):
+        df = spark.range(n).select(
+            F.lit("k").alias("key"),
+            F.concat(F.lit("m"), F.col("id")).alias("m"))
+        sk = SK.kmv_sketch(df, "key", "m")
+        est = SK.kmv_estimate(sk, "key").first()
+        if n <= SK.KMV_K:
+            assert est["estimate"] == float(n)   # exact below k
+        else:
+            assert abs(est["estimate"] - n) / n < tol
+
+
+def test_kmv_merge_exactness_and_idempotence(spark):
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).cast("string").alias("key"),
+        F.concat(F.lit("u"), (F.col("id") % 9_999)).alias("m"),
+        (F.col("id") % 11).alias("part"))
+    direct = SK.kmv_sketch(df, "key", "m")
+    merged = SK.kmv_merge(
+        SK.kmv_sketch(df, ["key", "part"], "m"), "key")
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+    again = SK.kmv_merge(merged.unionByName(merged), "key")
+    assert again.exceptAll(merged).count() == 0
+
+
+def test_kmv_jaccard_overlap_estimate(spark):
+    # |A|=6000, |B|=6000, |A∩B|=3000 → J = 3000/9000 = 1/3
+    a = spark.range(6_000).select(
+        F.lit("a").alias("key"),
+        F.concat(F.lit("m"), F.col("id")).alias("m"))
+    b = spark.range(3_000, 9_000).select(
+        F.lit("b").alias("key"),
+        F.concat(F.lit("m"), F.col("id")).alias("m"))
+    ska = SK.kmv_sketch(a, "key", "m")
+    skb = SK.kmv_sketch(b, "key", "m")
+    j = SK.kmv_jaccard(ska, skb)
+    assert abs(j - 1 / 3) < 0.1
+    # disjoint sets estimate ~0
+    c = spark.range(50_000, 56_000).select(
+        F.lit("c").alias("key"),
+        F.concat(F.lit("m"), F.col("id")).alias("m"))
+    assert SK.kmv_jaccard(ska, SK.kmv_sketch(c, "key", "m")) < 0.02
