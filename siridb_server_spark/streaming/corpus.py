@@ -94,6 +94,7 @@ def make_dedup_ingest_sink(
         # after the index append, before the final marker) — a doc
         # is never a duplicate of itself, so self-matches are
         # excluded or redelivery would reject the whole batch.
+        hits = None
         if os.path.isdir(os.path.join(index_path, "exact")):
             hits = D.dedup_incremental(batch, index_path, **opts) \
                 .where(F.col("match_id") != F.col("doc_id"))
@@ -125,6 +126,15 @@ def make_dedup_ingest_sink(
                             text_col=text_col, id_col=id_col,
                             subdir=f"batch={batch_id}")
         open(marker, "w").close()
+        # release this batch's checkpoint caches: both frames are
+        # fully consumed by the writes above, and a long-running
+        # stream must not accumulate one cached RDD per micro-batch
+        for frame in (accepted, hits):
+            try:
+                if frame is not None:
+                    frame.rdd.unpersist()
+            except Exception:
+                pass
 
     return sink
 
@@ -193,6 +203,7 @@ def make_media_ingest_sink(
         # 2. probe history (index may not exist on the first batch;
         # self-matches already excluded inside the probe, so a
         # redelivered batch that extended the index probes cleanly)
+        hits = None
         if _has_parquet(os.path.join(index_path, "phash_bands")) \
                 or _has_parquet(os.path.join(index_path,
                                              "audio_fp")):
@@ -218,5 +229,73 @@ def make_media_ingest_sink(
                                    bands=bands,
                                    subdir=f"batch={batch_id}")
         open(marker, "w").close()
+        for frame in (accepted, hits):
+            try:
+                if frame is not None:
+                    frame.rdd.unpersist()
+            except Exception:
+                pass
 
     return sink
+
+
+def stream_sketch_ingest(stream_df: DataFrame, sketch_path: str,
+                         key_cols, member_col: str,
+                         checkpoint: str | None = None):
+    """Maintain persisted distinct-count sketches over a live feed:
+    per micro-batch, the batch's HLL register deltas and KMV minima
+    land under ``batch=<id>`` subdirectories with OVERWRITE — the
+    same idempotent-delta layout as the dedup-index sink, so
+    foreachBatch redelivery replaces a partial delta instead of
+    double-counting it (and since both merges are idempotent, even a
+    duplicated delta could not inflate an estimate). Readers call
+    :func:`read_sketches`, which folds ALL deltas with the exact
+    merge — history is never rescanned; the day's distincts cost the
+    day's pass. Returns the StreamingQuery."""
+    sink = make_sketch_ingest_sink(sketch_path, key_cols, member_col)
+    writer = stream_df.writeStream.foreachBatch(sink) \
+        .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def make_sketch_ingest_sink(sketch_path: str, key_cols,
+                            member_col: str):
+    """foreachBatch sink behind :func:`stream_sketch_ingest`,
+    exposed for direct redelivery-idempotence testing."""
+    from ..operators import sketches as SK
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        marker = os.path.join(sketch_path,
+                              f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        (SK.hll_registers(batch_df, keys, member_col)
+         .write.mode("overwrite")
+         .parquet(os.path.join(sketch_path, "hll",
+                               f"batch={batch_id}")))
+        (SK.kmv_sketch(batch_df, keys, member_col)
+         .write.mode("overwrite")
+         .parquet(os.path.join(sketch_path, "kmv",
+                               f"batch={batch_id}")))
+        open(marker, "w").close()
+
+    return sink
+
+
+def read_sketches(spark, sketch_path: str, key_cols):
+    """Fold every persisted per-batch delta into the current
+    sketches: (hll_registers, kmv_sketch) DataFrames equal to what a
+    one-shot build over the full history would produce (both merges
+    are exact/idempotent — the sketch_*_merge oracle property)."""
+    from ..operators import sketches as SK
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    hll = SK.hll_merge(
+        spark.read.parquet(sketch_path + "/hll"), keys)
+    kmv = SK.kmv_merge(
+        spark.read.parquet(sketch_path + "/kmv"), keys)
+    return hll, kmv

@@ -110,3 +110,70 @@ def test_kmv_jaccard_overlap_estimate(spark):
         F.lit("c").alias("key"),
         F.concat(F.lit("m"), F.col("id")).alias("m"))
     assert SK.kmv_jaccard(ska, SK.kmv_sketch(c, "key", "m")) < 0.02
+
+
+def test_stream_sketch_ingest_matches_one_shot(spark, tmp_path):
+    """Live sketch maintenance (streaming/corpus.py
+    stream_sketch_ingest): after the stream drains, the folded
+    per-batch deltas equal a one-shot build over everything seen —
+    and redelivering a batch id (crash before the done marker)
+    changes nothing."""
+    import os
+
+    from pyspark.sql import functions as FF
+
+    from siridb_server_spark.streaming.corpus import (
+        make_sketch_ingest_sink, read_sketches,
+        stream_sketch_ingest)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spath = str(tmp_path / "sk")
+
+    def feed(name, lo, hi):
+        spark.range(lo, hi).select(
+            (FF.col("id") % 3).cast("string").alias("key"),
+            FF.concat(FF.lit("u"), FF.col("id") % 500).alias("m")) \
+            .write.parquet(str(src / name))
+
+    feed("b1", 0, 900)
+    stream = (spark.readStream.schema("key string, m string")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(str(src) + "/*"))
+    q = stream_sketch_ingest(stream, spath, "key", "m",
+                             checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        feed("b2", 900, 2_000)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hll, kmv = read_sketches(spark, spath, "key")
+    everything = spark.range(2_000).select(
+        (FF.col("id") % 3).cast("string").alias("key"),
+        FF.concat(FF.lit("u"), FF.col("id") % 500).alias("m"))
+    dh = SK.hll_registers(everything, "key", "m")
+    dk = SK.kmv_sketch(everything, "key", "m")
+    assert hll.exceptAll(dh).count() == 0
+    assert dh.exceptAll(hll).count() == 0
+    assert kmv.exceptAll(dk).count() == 0
+    assert dk.exceptAll(kmv).count() == 0
+
+    # crash-window redelivery: drop a done marker and re-apply rows
+    # from the same feed (foreachBatch redelivers the same rows; a
+    # superset of the batch keeps every hash a true member). The
+    # replaced delta + idempotent merge must leave the folded
+    # sketches EQUAL to the one-shot build — nothing double-counts.
+    markers = [f for f in os.listdir(spath)
+               if f.endswith(".done")]
+    assert markers
+    os.remove(os.path.join(spath, markers[0]))
+    bid = int(markers[0].split("-")[1].split(".")[0])
+    sink = make_sketch_ingest_sink(spath, "key", "m")
+    sink(everything, bid)
+    hll2, kmv2 = read_sketches(spark, spath, "key")
+    assert hll2.exceptAll(dh).count() == 0
+    assert dh.exceptAll(hll2).count() == 0
+    assert kmv2.exceptAll(dk).count() == 0
+    assert dk.exceptAll(kmv2).count() == 0
