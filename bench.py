@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "io_tfrecord_roundtrip",
     "text_unigram_tiling",
     "sketch_hll_registers",
+    "sketch_kmv_values",
     "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",
