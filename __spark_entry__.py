@@ -436,6 +436,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_kmv_merge"] = sketch_kmv_merge
 
+    def eval_retrieval_metrics(spark, sf_dir):
+        """Retrieval-evaluation machinery (operators/text.py
+        retrieval_metrics) with an END-TO-END cross-engine contract:
+        integer term-frequency runs (tf_rank_runs — deterministic
+        ties to the smaller id) scored against exact-containment
+        qrels, producing per-query n_rel / hits@10 / reciprocal
+        rank ×2520 (lcm(1..10), so 1/rank is integral). recall@k,
+        precision@k and MRR replay from these integers; the same
+        metrics over the float bm25 ranking are pytest-verified
+        (tests/test_retrieval_eval.py)."""
+        docs = load(spark, sf_dir, "documents")
+        terms = ["hash", "join", "model", "data", "spark"]
+        run = TX.tf_rank_runs(docs, terms, k=10)
+        qrels = TX.containment_qrels(docs, terms)
+        return TX.retrieval_metrics(run, qrels, k=10)
+
+    q["eval_retrieval_metrics"] = eval_retrieval_metrics
+
     def dedup_pipeline_summary(spark, sf_dir):
         """End-to-end dedup report over one corpus slice: exact
         duplicate volume, near-dup pair/cluster counts, and the
@@ -3512,6 +3530,34 @@ def oracle_sql() -> dict[str, str]:
         " WHERE pos <= 256")
     o["sketch_kmv_values"] = _kmv_direct
     o["sketch_kmv_merge"] = _kmv_direct
+    # retrieval eval: full SQL mirror — tf ranking with identical
+    # tie-break, containment qrels, and the same integer metrics
+    o["eval_retrieval_metrics"] = (
+        "WITH q AS (SELECT unnest(['hash', 'join', 'model',"
+        " 'data', 'spark']) AS query),"
+        " w AS (SELECT doc_id,"
+        " unnest(string_split_regex(lower(text), '[^a-z0-9'']+'))"
+        " AS w FROM documents),"
+        " tf AS (SELECT query, doc_id, count(*) AS tf FROM w"
+        " JOIN q ON w = query GROUP BY 1, 2),"
+        " run AS (SELECT query, doc_id, rank FROM ("
+        " SELECT query, doc_id, row_number() OVER ("
+        " PARTITION BY query ORDER BY tf DESC, doc_id) AS rank"
+        " FROM tf) WHERE rank <= 10),"
+        " qrels AS (SELECT DISTINCT query, doc_id FROM w"
+        " JOIN q ON w = query),"
+        " nrel AS (SELECT query, count(*) AS n_rel FROM qrels"
+        " GROUP BY 1),"
+        " hit AS (SELECT run.query, count(*) AS hits_at_k,"
+        " min(rank) AS first_rank FROM run JOIN qrels"
+        " ON run.query = qrels.query AND run.doc_id = qrels.doc_id"
+        " GROUP BY 1)"
+        " SELECT nrel.query, CAST(n_rel AS BIGINT) AS n_rel,"
+        " CAST(coalesce(hits_at_k, 0) AS BIGINT) AS hits_at_k,"
+        " CAST(coalesce(2520 / first_rank, 0) AS BIGINT)"
+        " AS rr_x2520"
+        " FROM nrel LEFT JOIN hit ON nrel.query = hit.query"
+    )
     # TFRecord round-trip: the oracle reads the SAME rows straight
     # from parquet — equality proves the export→CRC→proto→read chain
     # reproduced every record exactly

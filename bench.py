@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "text_unigram_tiling",
     "sketch_hll_registers",
     "sketch_kmv_values",
+    "eval_retrieval_metrics",
     "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",

@@ -1091,3 +1091,81 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
 
     return (df.select(F.col(id_col).alias(id_col), text_col)
             .mapInPandas(run, schema=schema))
+
+
+# ------------------------------------------------------ retrieval eval
+def tf_rank_runs(df: DataFrame, queries: list, k: int = 10,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic integer retrieval runs for evaluation: per
+    query term, rank documents by raw term frequency (ties to the
+    smaller id) and keep the top ``k``. Not the production ranker
+    (bm25_topk is) — this one is integer-exact, so the EVALUATION
+    machinery downstream can be pinned cross-engine end to end; the
+    same metrics applied to the float bm25 ranking are
+    pytest-verified. Output: (query, doc_id, rank)."""
+    from pyspark.sql import Window
+
+    from ..localdf import arrow_df
+    q = F.broadcast(arrow_df(df.sparkSession,
+                             [(t,) for t in queries],
+                             "query string"))
+    ws = F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+    tf = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(ws).alias("w"))
+          .where(F.col("w") != "")
+          .join(q, F.col("w") == F.col("query"))
+          .groupBy("query", "doc_id")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    w = Window.partitionBy("query").orderBy(
+        F.col("tf").desc(), F.col("doc_id"))
+    return (tf.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query", "doc_id", "rank"))
+
+
+def containment_qrels(df: DataFrame, queries: list,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Ground-truth relevance by exact containment: a document is
+    relevant to a query term iff the term occurs as a whole word —
+    an oracle-computable qrel set (no ranker involved).
+    Output: (query, doc_id)."""
+    from ..localdf import arrow_df
+    q = F.broadcast(arrow_df(df.sparkSession,
+                             [(t,) for t in queries],
+                             "query string"))
+    ws = F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.array_distinct(ws).alias("ws"))
+            .join(q, F.array_contains(F.col("ws"), F.col("query")))
+            .select("query", "doc_id"))
+
+
+def retrieval_metrics(run: DataFrame, qrels: DataFrame,
+                      k: int = 10) -> DataFrame:
+    """Per-query retrieval quality as EXACT integers: ``n_rel``
+    (relevant set size), ``hits_at_k`` (relevant retrieved),
+    ``rr_x2520`` (reciprocal rank of the first relevant result,
+    scaled by 2520 = lcm(1..10) so 1/rank is integral for any rank
+    ≤ 10; 0 when nothing relevant was retrieved). recall@k =
+    hits/n_rel and precision@k = hits/k replay from these integers;
+    MRR = avg(rr_x2520)/2520. Rational-exact end to end — no float
+    enters the contract. Joins: run×qrels on (query, doc_id), one
+    groupBy."""
+    if k > 10:
+        raise ValueError("rr_x2520 scaling requires k <= 10")
+    hit = run.join(qrels, ["query", "doc_id"]) \
+        .where(F.col("rank") <= k)
+    per = (hit.groupBy("query")
+           .agg(F.count(F.lit(1)).alias("hits_at_k"),
+                F.min("rank").alias("first_rank")))
+    nrel = qrels.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_rel"))
+    return (nrel.join(per, "query", "left")
+            .select("query", "n_rel",
+                    F.coalesce("hits_at_k", F.lit(0))
+                    .cast("long").alias("hits_at_k"),
+                    F.coalesce(F.lit(2520) / F.col("first_rank"),
+                               F.lit(0)).cast("long")
+                    .alias("rr_x2520")))
