@@ -454,6 +454,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_retrieval_metrics"] = eval_retrieval_metrics
 
+    def curation_corpus_diff(spark, sf_dir):
+        """Snapshot delta (curation.corpus_diff): the documents
+        table against a deterministically mutated copy — ids
+        divisible by 97 dropped (removed), by 89 rewritten
+        (changed), a shifted id range appended (added), everything
+        else untouched (same). Per-doc status, full-outer hash
+        compare — the oracle rebuilds the identical mutation and
+        diff in SQL, so every row of the delta is pinned."""
+        docs = load(spark, sf_dir, "documents")
+        kept = docs.where("doc_id % 97 != 0")
+        mutated = kept.withColumn(
+            "text", F.when(F.col("doc_id") % 89 == 0,
+                           F.concat(F.lit("REVISED:: "),
+                                    F.coalesce("text", F.lit(""))))
+            .otherwise(F.col("text")))
+        added = docs.where("doc_id % 101 = 0").select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars")
+        new = mutated.unionByName(added)
+        return CU.corpus_diff(docs, new)
+
+    q["curation_corpus_diff"] = curation_corpus_diff
+
     def dedup_pipeline_summary(spark, sf_dir):
         """End-to-end dedup report over one corpus slice: exact
         duplicate volume, near-dup pair/cluster counts, and the
@@ -3530,6 +3553,27 @@ def oracle_sql() -> dict[str, str]:
         " WHERE pos <= 256")
     o["sketch_kmv_values"] = _kmv_direct
     o["sketch_kmv_merge"] = _kmv_direct
+    # corpus diff: the oracle rebuilds the same mutated snapshot and
+    # the same full-outer md5 compare (NULL text gets its own class)
+    o["curation_corpus_diff"] = (
+        "WITH oldh AS (SELECT doc_id,"
+        " md5(coalesce(text, chr(0) || 'null')) AS ho"
+        " FROM documents),"
+        " kept AS (SELECT doc_id, CASE WHEN doc_id % 89 = 0"
+        " THEN 'REVISED:: ' || coalesce(text, '') ELSE text END"
+        " AS text FROM documents WHERE doc_id % 97 <> 0),"
+        " added AS (SELECT doc_id + 10000000 AS doc_id, text"
+        " FROM documents WHERE doc_id % 101 = 0),"
+        " newh AS (SELECT doc_id,"
+        " md5(coalesce(text, chr(0) || 'null')) AS hn"
+        " FROM (SELECT * FROM kept UNION ALL SELECT * FROM added))"
+        " SELECT coalesce(oldh.doc_id, newh.doc_id) AS doc_id,"
+        " CASE WHEN ho IS NULL THEN 'added'"
+        " WHEN hn IS NULL THEN 'removed'"
+        " WHEN ho <> hn THEN 'changed' ELSE 'same' END AS status"
+        " FROM oldh FULL OUTER JOIN newh"
+        " ON oldh.doc_id = newh.doc_id"
+    )
     # retrieval eval: full SQL mirror — tf ranking with identical
     # tie-break, containment qrels, and the same integer metrics
     o["eval_retrieval_metrics"] = (

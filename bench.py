@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "sketch_hll_registers",
     "sketch_kmv_values",
     "eval_retrieval_metrics",
+    "curation_corpus_diff",
     "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",

@@ -450,3 +450,41 @@ def export_webdataset(df: DataFrame, path: str, n_shards: int = 32,
 
     return (rows.groupBy("shard")
             .applyInPandas(write_shard, schema=schema))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Snapshot-to-snapshot corpus delta — the retraining question
+    "what actually changed since the last crawl?" answered without
+    shipping either snapshot anywhere: a full-outer join on the doc
+    id comparing md5 content classes. Status per id: ``added`` (only
+    in new), ``removed`` (only in old), ``changed`` (both, different
+    content hash — NULL text and empty text are distinct classes),
+    ``same``. One hash-equi join; at 100 TB both sides prune to
+    (id, 16-byte hash) projections before the shuffle.
+    Output: (doc_id, status)."""
+    oh = old.select(F.col(id_col).alias("doc_id"),
+                    F.md5(F.coalesce(F.col(text_col),
+                                     F.lit("\x00null")))
+                    .alias("_ho"))
+    nh = new.select(F.col(id_col).alias("doc_id"),
+                    F.md5(F.coalesce(F.col(text_col),
+                                     F.lit("\x00null")))
+                    .alias("_hn"))
+    j = oh.join(nh, "doc_id", "full_outer")
+    status = (F.when(F.col("_ho").isNull(), "added")
+              .when(F.col("_hn").isNull(), "removed")
+              .when(F.col("_ho") != F.col("_hn"), "changed")
+              .otherwise("same"))
+    return j.select("doc_id", status.alias("status"))
+
+
+def corpus_diff_summary(old: DataFrame, new: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(status, n_docs) rollup of :func:`corpus_diff` — the one-look
+    retrain trigger (retrain when added+changed crosses a budget)."""
+    return (corpus_diff(old, new, text_col, id_col)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

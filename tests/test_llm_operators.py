@@ -2071,3 +2071,23 @@ def test_readability_empty_and_ratio_exactness(spark):
     assert rows[0][4] == 1_250_000
     # empty doc: zeros everywhere, ratios coalesce to 0
     assert rows[1] == (0, 0, 0, 0, 0)
+
+
+def test_corpus_diff_statuses(spark):
+    from siridb_server_spark.localdf import arrow_df
+    old = arrow_df(spark, [(1, "a"), (2, "b"), (3, None), (4, "d")],
+                   "doc_id long, text string")
+    new = arrow_df(spark, [(1, "a"), (2, "B2"), (3, None), (5, "e")],
+                   "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in
+           CU.corpus_diff(old, new).collect()}
+    assert got == {1: "same", 2: "changed", 3: "same",
+                   4: "removed", 5: "added"}
+    # NULL text is its OWN content class, distinct from empty
+    old2 = arrow_df(spark, [(1, None)], "doc_id long, text string")
+    new2 = arrow_df(spark, [(1, "")], "doc_id long, text string")
+    assert CU.corpus_diff(old2, new2).first()["status"] == "changed"
+    summ = {r["status"]: r["n_docs"] for r in
+            CU.corpus_diff_summary(old, new).collect()}
+    assert summ == {"same": 2, "changed": 1, "removed": 1,
+                    "added": 1}
