@@ -477,6 +477,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_corpus_diff"] = curation_corpus_diff
 
+    def text_vocab_drift(spark, sf_dir):
+        """Vocabulary drift between corpus snapshots
+        (text.vocab_drift): top-20 terms by the integer
+        cross-product deviation |c_old·T_new − c_new·T_old| against
+        a mutated copy (every source='web' doc suffixed with a
+        drift marker phrase) — the pre-training "did the crawl
+        shift?" gate. TV distance replays as Σdev/(2·T_old·T_new)
+        from the returned integers; no float in the contract."""
+        docs = load(spark, sf_dir, "documents")
+        new = docs.withColumn(
+            "text", F.when(
+                F.col("source") == "web",
+                F.concat(F.coalesce("text", F.lit("")),
+                         F.lit(" driftmarker phrase injected")))
+            .otherwise(F.col("text")))
+        return TX.vocab_drift(docs, new, k=20)
+
+    q["text_vocab_drift"] = text_vocab_drift
+
     def dedup_pipeline_summary(spark, sf_dir):
         """End-to-end dedup report over one corpus slice: exact
         duplicate volume, near-dup pair/cluster counts, and the
@@ -3553,6 +3572,33 @@ def oracle_sql() -> dict[str, str]:
         " WHERE pos <= 256")
     o["sketch_kmv_values"] = _kmv_direct
     o["sketch_kmv_merge"] = _kmv_direct
+    # vocab drift: identical mutation, tokenization, integer
+    # cross-product deviation, and top-k tie-break in SQL
+    o["text_vocab_drift"] = (
+        "WITH newdocs AS (SELECT doc_id, CASE WHEN source = 'web'"
+        " THEN coalesce(text, '') ||"
+        " ' driftmarker phrase injected' ELSE text END AS text"
+        " FROM documents),"
+        " wo AS (SELECT unnest(string_split_regex(lower(text),"
+        " '[^a-z0-9'']+')) AS term FROM documents),"
+        " wn AS (SELECT unnest(string_split_regex(lower(text),"
+        " '[^a-z0-9'']+')) AS term FROM newdocs),"
+        " co AS (SELECT term, count(*) AS c_old FROM wo"
+        " WHERE term <> '' GROUP BY 1),"
+        " cn AS (SELECT term, count(*) AS c_new FROM wn"
+        " WHERE term <> '' GROUP BY 1),"
+        " t AS (SELECT (SELECT sum(c_old) FROM co) AS t_old,"
+        " (SELECT sum(c_new) FROM cn) AS t_new),"
+        " j AS (SELECT coalesce(co.term, cn.term) AS term,"
+        " coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new"
+        " FROM co FULL OUTER JOIN cn ON co.term = cn.term)"
+        " SELECT term, CAST(c_old AS BIGINT) AS c_old,"
+        " CAST(c_new AS BIGINT) AS c_new,"
+        " CAST(abs(c_old * t_new - c_new * t_old) AS BIGINT) AS dev,"
+        " CAST(t_old AS BIGINT) AS t_old,"
+        " CAST(t_new AS BIGINT) AS t_new FROM j, t"
+        " ORDER BY dev DESC, term LIMIT 20"
+    )
     # corpus diff: the oracle rebuilds the same mutated snapshot and
     # the same full-outer md5 compare (NULL text gets its own class)
     o["curation_corpus_diff"] = (

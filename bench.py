@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "sketch_kmv_values",
     "eval_retrieval_metrics",
     "curation_corpus_diff",
+    "text_vocab_drift",
     "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",

@@ -1169,3 +1169,47 @@ def retrieval_metrics(run: DataFrame, qrels: DataFrame,
                     F.coalesce(F.lit(2520) / F.col("first_rank"),
                                F.lit(0)).cast("long")
                     .alias("rr_x2520")))
+
+
+def vocab_drift(old: DataFrame, new: DataFrame, k: int = 20,
+                text_col: str = "text") -> DataFrame:
+    """Distribution drift between two corpus snapshots, as exact
+    integers: per term, the cross-product deviation
+    ``|c_old·T_new − c_new·T_old|`` (the numerator of the term's
+    total-variation contribution |p_old − p_new|·T_old·T_new — zero
+    iff the term's relative frequency is unchanged), for the top
+    ``k`` most-drifted terms (ties to the lexicographically smaller
+    term). The TV distance itself replays as
+    Σ dev / (2·T_old·T_new) — a pure rational of the returned
+    integers, so no float enters the cross-engine contract.
+
+    Scale shape: two word-count aggregations (map-side combinable),
+    a full-outer join on the term, one TakeOrdered-style top-k —
+    never a global sort of the vocabulary. The drift question this
+    answers is the pre-training gate "did the crawl shift under
+    us?". Output: (term, c_old, c_new, dev) + totals carried on
+    every row (t_old, t_new)."""
+    def counts(df):
+        ws = F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+        return (df.select(F.explode(ws).alias("term"))
+                .where(F.col("term") != "")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("c")))
+
+    co = counts(old)
+    cn = counts(new)
+    t_old = co.agg(F.sum("c")).first()[0] or 0
+    t_new = cn.agg(F.sum("c")).first()[0] or 0
+    j = (co.withColumnRenamed("c", "c_old")
+         .join(cn.withColumnRenamed("c", "c_new"), "term",
+               "full_outer")
+         .select("term",
+                 F.coalesce("c_old", F.lit(0)).alias("c_old"),
+                 F.coalesce("c_new", F.lit(0)).alias("c_new")))
+    dev = F.abs(F.col("c_old") * F.lit(int(t_new))
+                - F.col("c_new") * F.lit(int(t_old)))
+    scored = j.select("term", "c_old", "c_new", dev.alias("dev"),
+                      F.lit(int(t_old)).alias("t_old"),
+                      F.lit(int(t_new)).alias("t_new"))
+    return (scored.orderBy(F.col("dev").desc(), F.col("term"))
+            .limit(k))

@@ -77,3 +77,28 @@ def test_metrics_on_real_bm25_ranking(spark):
                              840, 1260, 2520)
     # MRR/recall replay as rationals
     assert m["hits_at_k"] / 10 <= 1.0
+
+
+def test_vocab_drift_detects_injected_shift(spark):
+    old = arrow_df(spark, [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta common words"),
+    ], "doc_id long, text string")
+    new = arrow_df(spark, [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta common words newterm newterm newterm"),
+    ], "doc_id long, text string")
+    rows = TX.vocab_drift(old, new, k=3).collect()
+    # the injected term tops the drift list
+    assert rows[0]["term"] == "newterm"
+    assert rows[0]["c_old"] == 0 and rows[0]["c_new"] == 3
+    t_old, t_new = rows[0]["t_old"], rows[0]["t_new"]
+    assert (t_old, t_new) == (8, 11)
+    assert rows[0]["dev"] == abs(0 * t_new - 3 * t_old)
+    # identical snapshots drift nowhere: every dev is 0
+    same = TX.vocab_drift(old, old, k=5).collect()
+    assert all(r["dev"] == 0 for r in same)
+    # TV distance replays as an exact rational of the integers
+    full = TX.vocab_drift(old, new, k=1000).collect()
+    tv = sum(r["dev"] for r in full) / (2 * t_old * t_new)
+    assert 0 < tv < 1
