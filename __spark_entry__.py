@@ -496,6 +496,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_vocab_drift"] = text_vocab_drift
 
+    def curation_leakage_safe_split(spark, sf_dir):
+        """Cluster-consistent train/eval split
+        (curation.leakage_safe_split): near-dup clusters follow
+        their representative's deterministic md5 draw, so a
+        near-copy of an eval document can never land in train — the
+        contamination bug a per-doc split has by construction. The
+        oracle replays the connected components (recursive CTE) and
+        the identical draw, pinning every (doc_id, keep_id, split)
+        row."""
+        docs = load(spark, sf_dir, "documents").where(
+            F.col("doc_id") < 300)
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8,
+                                      max_df=MAX_DF)
+        return CU.leakage_safe_split(docs, pairs, eval_ppm=200_000)
+
+    q["curation_leakage_safe_split"] = curation_leakage_safe_split
+
     def dedup_pipeline_summary(spark, sf_dir):
         """End-to-end dedup report over one corpus slice: exact
         duplicate volume, near-dup pair/cluster counts, and the
@@ -3830,6 +3847,26 @@ def oracle_sql() -> dict[str, str]:
         " LEFT JOIN cc ON d.doc_id = cc.node"
     )
 
+    # leakage-safe split: the dedup_resolve CC plus the md5 draw on
+    # the representative — the whole cluster shares one draw
+    o["curation_leakage_safe_split"] = (
+        "WITH RECURSIVE pairs AS (" + _JP + "),"
+        " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs),"
+        " walk(node, comp) AS ("
+        " SELECT a, a FROM edges"
+        " UNION"
+        " SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node),"
+        " cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY 1),"
+        " res AS (SELECT d.doc_id,"
+        " coalesce(cc.comp, d.doc_id) AS keep_id"
+        " FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d"
+        " LEFT JOIN cc ON d.doc_id = cc.node)"
+        " SELECT doc_id, keep_id,"
+        " CASE WHEN ('0x' || substr(md5(CAST(keep_id AS VARCHAR)),"
+        " 1, 8))::BIGINT / 4294967296.0 * 1000000.0 < 200000.0"
+        " THEN 'eval' ELSE 'train' END AS split FROM res"
+    )
     # span-level exact dedup: keep-first over non-overlapping 10-word
     # spans; winner = min (doc_id, position) per distinct span text.
     # Spark groups by xxhash64(span), DuckDB by the span itself — the

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "eval_retrieval_metrics",
     "curation_corpus_diff",
     "text_vocab_drift",
+    "curation_leakage_safe_split",
     "dedup_minhash_accuracy",
     "curation_mix_weights",
     "curation_pack_sequences",

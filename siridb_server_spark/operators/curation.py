@@ -488,3 +488,28 @@ def corpus_diff_summary(old: DataFrame, new: DataFrame,
     return (corpus_diff(old, new, text_col, id_col)
             .groupBy("status")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       eval_ppm: int = 100_000,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Train/eval split that cannot leak near-duplicates across the
+    boundary: the unit of assignment is the DUPLICATE CLUSTER, not
+    the document — every doc maps to its cluster representative
+    (dedup.resolve_duplicates connected components; singletons map
+    to themselves) and the whole cluster follows the
+    representative's deterministic md5 draw. A naive per-doc split
+    puts near-copies of eval documents into train (the classic
+    benchmark-contamination bug); this one is immune by
+    construction, replayable in SQL, and partitioning-independent.
+    Output: (doc_id, keep_id, split ∈ train|eval)."""
+    from .dedup import resolve_duplicates
+
+    res = resolve_duplicates(df, pairs, id_col=id_col)
+    draw = (F.conv(F.substring(
+        F.md5(F.col("keep_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0) * F.lit(1000000.0))
+    return res.select(
+        "doc_id", "keep_id",
+        F.when(draw < F.lit(float(eval_ppm)), "eval")
+        .otherwise("train").alias("split"))

@@ -2091,3 +2091,28 @@ def test_corpus_diff_statuses(spark):
             CU.corpus_diff_summary(old, new).collect()}
     assert summ == {"same": 2, "changed": 1, "removed": 1,
                     "added": 1}
+
+
+def test_leakage_safe_split_cluster_consistent(spark):
+    from siridb_server_spark.localdf import arrow_df
+    docs = arrow_df(spark, [(i, f"doc {i}", "s") for i in range(40)],
+                    "doc_id long, text string, source string")
+    # clusters: {0,1,2}, {10,11}, rest singletons
+    pairs = arrow_df(spark, [(0, 1), (1, 2), (10, 11)],
+                     "id_a long, id_b long")
+    rows = CU.leakage_safe_split(docs, pairs,
+                                 eval_ppm=300_000).collect()
+    split = {r["doc_id"]: r["split"] for r in rows}
+    keep = {r["doc_id"]: r["keep_id"] for r in rows}
+    # every cluster member shares the representative's side
+    assert split[0] == split[1] == split[2]
+    assert split[10] == split[11]
+    assert keep[1] == 0 and keep[11] == 10
+    # the draw actually splits (both sides populated at 30% ppm)
+    sides = set(split.values())
+    assert sides == {"train", "eval"}
+    # deterministic across partitionings
+    rows2 = CU.leakage_safe_split(docs.repartition(7), pairs,
+                                  eval_ppm=300_000).collect()
+    assert {(r["doc_id"], r["split"]) for r in rows2} \
+        == {(r["doc_id"], r["split"]) for r in rows}
