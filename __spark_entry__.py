@@ -436,6 +436,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_kmv_merge"] = sketch_kmv_merge
 
+    def sketch_quantile_sample(spark, sf_dir):
+        """Mergeable quantile sketch (operators/sketches.py
+        quantile_sketch): per event_type, the 256 rows with the
+        smallest md5(event_id) priorities, carrying their values —
+        a deterministic bottom-k priority sample whose order
+        statistics estimate population quantiles. The hash-coin
+        replaces the RNG of KLL/reservoir samplers, which is what
+        makes the ENTIRE sketch state pinnable by a cross-engine
+        value hash (the oracle rebuilds it in SQL from the same md5
+        expression). Estimation accuracy: sketch_quantile_accuracy
+        + tests/test_sketches.py."""
+        from siridb_server_spark.operators import sketches as SK
+        return SK.quantile_sketch(load(spark, sf_dir, "events"),
+                                  "event_type", "value", "event_id") \
+            .select("event_type", "pos", "pri", "val")
+
+    q["sketch_quantile_sample"] = sketch_quantile_sample
+
+    def sketch_quantile_merge(spark, sf_dir):
+        """Quantile-sketch mergeability, pinned cross-engine:
+        partials over an arbitrary 7-way split, merged (bottom-k of
+        the union — EXACT by the KMV containment theorem applied to
+        row priorities), must equal the one-shot sketch the oracle
+        builds directly. The property that lets per-day sample
+        partials stand in for a 100 TB history rescan."""
+        from siridb_server_spark.operators import sketches as SK
+        ev = load(spark, sf_dir, "events")
+        part = (F.col("event_id") % F.lit(7)).alias("part")
+        parts = SK.quantile_sketch(ev.withColumn("part", part),
+                                   ["event_type", "part"],
+                                   "value", "event_id")
+        return SK.quantile_merge(parts, "event_type") \
+            .select("event_type", "pos", "pri", "val")
+
+    q["sketch_quantile_merge"] = sketch_quantile_merge
+
+    def sketch_quantile_estimates(spark, sf_dir):
+        """p50/p90/p99 estimates per event_type from the quantile
+        sketch: sample order statistic at ceil(q·k'), quantiles
+        given as integer parts-per-million so the whole estimator is
+        exact arithmetic plus a value pass-through — hashable end to
+        end, unlike percentile sketches with float interpolation."""
+        from siridb_server_spark.operators import sketches as SK
+        sk = SK.quantile_sketch(load(spark, sf_dir, "events"),
+                                "event_type", "value", "event_id")
+        return SK.quantile_estimate(
+            sk, "event_type", [500000, 900000, 990000]) \
+            .select("event_type", "q_ppm", "sample_n", "est")
+
+    q["sketch_quantile_estimates"] = sketch_quantile_estimates
+
+    def sketch_quantile_accuracy(spark, sf_dir):
+        """Estimator-accuracy audit, same design as
+        dedup_minhash_accuracy / text_cms_accuracy: each estimate's
+        EXACT population rank (count of values ≤ estimate, one
+        broadcast-join aggregate over the full table) against its
+        target rank ceil(q·n), both integers. The sample-quantile
+        theory bound |err| ≲ n·√(q(1−q)/k) is asserted in pytest;
+        the hashed contract pins the measured integers so a silent
+        estimator regression flips the gate."""
+        from siridb_server_spark.operators import sketches as SK
+        ev = load(spark, sf_dir, "events").where(
+            F.col("value").isNotNull())
+        sk = SK.quantile_sketch(ev, "event_type", "value",
+                                "event_id")
+        est = SK.quantile_estimate(
+            sk, "event_type", [500000, 900000, 990000])
+        joined = ev.join(F.broadcast(est), "event_type")
+        out = (joined.groupBy("event_type", "q_ppm")
+               .agg(F.sum(F.when(F.col("value") <= F.col("est"), 1)
+                          .otherwise(0)).alias("exact_rank"),
+                    F.count(F.lit(1)).alias("n")))
+        tgt = F.expr("(CAST(q_ppm AS BIGINT) * n + 999999)"
+                     " div 1000000")
+        return out.select(
+            "event_type", "q_ppm", "n", "exact_rank",
+            tgt.alias("target_rank"),
+            F.abs(F.col("exact_rank") - tgt).alias("abs_err"))
+
+    q["sketch_quantile_accuracy"] = sketch_quantile_accuracy
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -3589,6 +3670,53 @@ def oracle_sql() -> dict[str, str]:
         " WHERE pos <= 256")
     o["sketch_kmv_values"] = _kmv_direct
     o["sketch_kmv_merge"] = _kmv_direct
+    # quantile sketch: the oracle rebuilds the bottom-k priority
+    # sample from the same md5 expression; merge hashes against the
+    # DIRECT construction (= the mergeability theorem), estimates
+    # replay the integer ceil-rank order statistic, and the accuracy
+    # audit recomputes exact population ranks — every hashed column
+    # integer or a source-value pass-through
+    _qsk_cte = (
+        "WITH s AS (SELECT event_type, value AS val,"
+        " CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) AS pri FROM events WHERE value IS NOT NULL),"
+        " r AS (SELECT event_type, pri, val, row_number() OVER"
+        " (PARTITION BY event_type ORDER BY pri, val) AS pos FROM s),"
+        " sk AS (SELECT event_type, pri, val, CAST(pos AS INT) AS pos"
+        " FROM r WHERE pos <= 256)")
+    _qsk_direct = (_qsk_cte +
+                   " SELECT event_type, pos, pri, val FROM sk")
+    o["sketch_quantile_sample"] = _qsk_direct
+    o["sketch_quantile_merge"] = _qsk_direct
+    _qsk_est = (
+        _qsk_cte + ","
+        " rv AS (SELECT event_type, val, row_number() OVER"
+        " (PARTITION BY event_type ORDER BY val, pri) AS pos FROM sk),"
+        " kk AS (SELECT event_type, CAST(max(pos) AS INT) AS sample_n"
+        " FROM rv GROUP BY 1),"
+        " qs AS (SELECT CAST(unnest([500000, 900000, 990000]) AS INT)"
+        " AS q_ppm),"
+        " tgt AS (SELECT event_type, q_ppm, sample_n,"
+        " GREATEST(1, LEAST(CAST((CAST(q_ppm AS BIGINT) * sample_n"
+        " + 999999) // 1000000 AS INT), sample_n)) AS tpos"
+        " FROM kk, qs)"
+        " SELECT t.event_type, t.q_ppm, t.sample_n, rv.val AS est"
+        " FROM tgt t JOIN rv ON rv.event_type = t.event_type"
+        " AND rv.pos = t.tpos")
+    o["sketch_quantile_estimates"] = _qsk_est
+    o["sketch_quantile_accuracy"] = (
+        "WITH est AS (" + _qsk_est + ")"
+        " SELECT e.event_type, est.q_ppm,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(CASE WHEN e.value <= est.est THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS exact_rank,"
+        " CAST((CAST(est.q_ppm AS BIGINT) * count(*) + 999999)"
+        " // 1000000 AS BIGINT) AS target_rank,"
+        " CAST(abs(sum(CASE WHEN e.value <= est.est THEN 1 ELSE 0"
+        " END) - (CAST(est.q_ppm AS BIGINT) * count(*) + 999999)"
+        " // 1000000) AS BIGINT) AS abs_err"
+        " FROM events e JOIN est ON e.event_type = est.event_type"
+        " WHERE e.value IS NOT NULL GROUP BY 1, 2, est.est")
     # vocab drift: identical mutation, tokenization, integer
     # cross-product deviation, and top-k tie-break in SQL
     o["text_vocab_drift"] = (

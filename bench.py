@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "text_unigram_tiling",
     "sketch_hll_registers",
     "sketch_kmv_values",
+    "sketch_quantile_sample",
     "eval_retrieval_metrics",
     "curation_corpus_diff",
     "text_vocab_drift",

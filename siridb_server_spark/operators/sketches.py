@@ -213,3 +213,117 @@ def kmv_jaccard(a: DataFrame, b: DataFrame,
         return 0.0
     inter = sum(1 for h in union_k if h in ha and h in hb)
     return inter / len(union_k)
+
+
+# ----------------------------------------------------- quantile sample
+#: quantile-sketch sample size: k rows per key. Rank error of the
+#: sample q-quantile is ~ n·√(q(1−q)/k) (≈ 3% of n at k=256, q=0.5)
+QSK_K = 256
+
+
+def _row_priority(id_expr):
+    """60-bit md5 priority of a row id — the deterministic 'coin'.
+    A row's priority depends only on its id, so the k
+    smallest-priority rows form a uniform without-replacement sample
+    that every engine (and every partitioning) reconstructs
+    identically. Randomized samplers (reservoir, KLL compaction
+    coins) can't be pinned by a cross-engine value hash; this one
+    can."""
+    return F.conv(F.substring(F.md5(id_expr.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def quantile_sketch(df: DataFrame, key_cols, value_col: str,
+                    id_col: str, k: int = QSK_K) -> DataFrame:
+    """Per-key mergeable quantile sketch: the k rows with the
+    smallest md5(id) priorities, carrying their values — a
+    deterministic bottom-k priority sample (Duffield et al. 2007's
+    priority sampling with a hash in place of the RNG; the KLL/GK
+    alternative is order-dependent or coin-dependent and therefore
+    unpinnable across engines). Any sample order statistic estimates
+    the matching population quantile; the sketch is a plain
+    DataFrame, persists as parquet, and merges EXACTLY (the global
+    bottom-k lives inside the union of per-partial bottom-k — the
+    KMV containment theorem applied to rows).
+
+    One windowed top-k per key — a single shuffle whose output is
+    ≤ |keys|·k rows however many rows went in. At 100 TB: build
+    per-day partials in each day's ingest pass, merge with
+    :func:`quantile_merge` at read time; history is never rescanned.
+
+    Output: (key..., pos 1..k, pri, val). Ties (60-bit priority
+    collisions) break deterministically on (val, pri)."""
+    from pyspark.sql import Window
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    rows = (df.where(F.col(value_col).isNotNull())
+            .select(*key_cols,
+                    _row_priority(F.col(id_col)).alias("pri"),
+                    F.col(value_col).alias("val")))
+    w = Window.partitionBy(*key_cols).orderBy("pri", "val")
+    return (rows.withColumn("pos", F.row_number().over(w))
+            .where(F.col("pos") <= k)
+            .select(*key_cols, "pos", "pri", "val"))
+
+
+def quantile_merge(sketches: DataFrame, key_cols,
+                   k: int = QSK_K) -> DataFrame:
+    """Merge quantile-sketch partials: keep the k smallest
+    priorities of the union. EXACT — equals the one-shot sketch over
+    the combined rows (each partial retains its own bottom-k, and
+    the union's bottom-k is contained in their concatenation), so
+    merging is associative and idempotent; re-merging a partial
+    cannot bias the sample. Distinct on (pri, val) absorbs
+    re-delivered copies of the same partial."""
+    from pyspark.sql import Window
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    w = Window.partitionBy(*key_cols).orderBy("pri", "val")
+    return (sketches.select(*key_cols, "pri", "val").distinct()
+            .withColumn("pos", F.row_number().over(w))
+            .where(F.col("pos") <= k)
+            .select(*key_cols, "pos", "pri", "val"))
+
+
+def quantile_estimate(sketch: DataFrame, key_cols,
+                      q_ppm: list) -> DataFrame:
+    """Quantile estimates from a sketch: for each requested quantile
+    q (given in INTEGER parts-per-million to keep the whole path in
+    exact arithmetic), the sample order statistic at position
+    ceil(q·k') with k' the per-key sample size — the standard
+    sample-quantile estimator, rank error ~ n·√(q(1−q)/k').
+    Everything is integer math plus a pass-through of source values,
+    so estimates are hashable cross-engine (no transcendentals, no
+    float division). Output: (key..., q_ppm, sample_n, est).
+
+    The sketch's ``pos`` is PRIORITY order (the merge invariant);
+    the order statistic needs VALUE order, so the sample is
+    re-ranked by val here — a window over ≤k rows per key, trivial
+    at any scale."""
+    from pyspark.sql import Window
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    spark = sketch.sparkSession
+    qf = F.broadcast(spark.range(1).select(
+        F.explode(F.array(*[F.lit(int(q)) for q in q_ppm]))
+        .alias("q_ppm")))
+    wv = Window.partitionBy(*key_cols).orderBy("val", "pri")
+    sketch = (sketch.select(*key_cols, "pri", "val")
+              .withColumn("pos", F.row_number().over(wv)))
+    kk = (sketch.groupBy(*key_cols)
+          .agg(F.max("pos").alias("sample_n")))
+    tgt = kk.crossJoin(qf).withColumn(
+        "tpos",
+        F.expr("(CAST(q_ppm AS BIGINT) * sample_n + 999999)"
+               " div 1000000").cast("int"))
+    tgt = tgt.withColumn(
+        "tpos", F.greatest(F.lit(1), F.least(F.col("tpos"),
+                                             F.col("sample_n"))))
+    return (tgt.join(sketch.select(*key_cols,
+                                   F.col("pos").alias("tpos"),
+                                   F.col("val").alias("est")),
+                     [*key_cols, "tpos"])
+            .select(*key_cols, "q_ppm", "sample_n", "est"))

@@ -177,3 +177,86 @@ def test_stream_sketch_ingest_matches_one_shot(spark, tmp_path):
     assert dh.exceptAll(hll2).count() == 0
     assert kmv2.exceptAll(dk).count() == 0
     assert dk.exceptAll(kmv2).count() == 0
+
+
+# ------------------------------------------------- quantile sketch
+
+def _qdata(spark, n=20_000, keys=4):
+    # values: a per-key affine ramp — known exact quantiles
+    return spark.range(n).select(
+        (F.col("id") % keys).cast("string").alias("key"),
+        F.col("id").alias("rid"),
+        (F.col("id") / F.lit(float(n))).alias("v"))
+
+
+def test_quantile_sketch_bounded_and_sample_uniform(spark):
+    sk = SK.quantile_sketch(_qdata(spark), "key", "v", "rid")
+    rows = sk.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["key"], []).append(r)
+    for key, rs in per.items():
+        assert len(rs) == SK.QSK_K
+        assert sorted(r["pos"] for r in rs) == list(
+            range(1, SK.QSK_K + 1))
+        # priority order: pos increases with pri
+        byp = sorted(rs, key=lambda r: r["pos"])
+        assert all(a["pri"] <= b["pri"]
+                   for a, b in zip(byp, byp[1:]))
+
+
+def test_quantile_merge_exact_and_idempotent(spark):
+    df = _qdata(spark).withColumn("part", F.col("rid") % 9)
+    direct = SK.quantile_sketch(df, "key", "v", "rid")
+    parts = SK.quantile_sketch(df, ["key", "part"], "v", "rid")
+    merged = SK.quantile_merge(parts, "key")
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+    again = SK.quantile_merge(merged.unionByName(merged), "key")
+    assert again.exceptAll(merged).count() == 0
+    assert merged.exceptAll(again).count() == 0
+
+
+def test_quantile_estimate_rank_error_within_theory(spark):
+    # uniform ramp per key: true q-quantile value ≈ q, so the
+    # estimate's population rank error obeys the sampling bound
+    # |rank − q·n| ≲ 4·n·√(q(1−q)/k) (4 sd — deterministic here,
+    # the md5 sample is fixed)
+    n, keys = 20_000, 4
+    per_key = n // keys
+    sk = SK.quantile_sketch(_qdata(spark, n, keys), "key", "v",
+                            "rid")
+    est = SK.quantile_estimate(
+        sk, "key", [100000, 500000, 900000, 990000]).collect()
+    assert len(est) == keys * 4
+    for r in est:
+        q = r["q_ppm"] / 1e6
+        assert r["sample_n"] == SK.QSK_K
+        # ramp: rank of value v within a key ≈ v·per_key
+        rank = r["est"] * per_key
+        bound = 4 * per_key * (q * (1 - q) / SK.QSK_K) ** 0.5
+        assert abs(rank - q * per_key) <= bound + 1, (r, rank)
+
+
+def test_quantile_estimate_exact_when_sample_is_everything(spark):
+    # fewer rows than k: the sketch holds the whole population and
+    # the ceil-rank order statistic IS the exact lower quantile
+    df = spark.range(100).select(
+        F.lit("k").alias("key"), F.col("id").alias("rid"),
+        F.col("id").cast("double").alias("v"))
+    sk = SK.quantile_sketch(df, "key", "v", "rid")
+    est = {r["q_ppm"]: r for r in SK.quantile_estimate(
+        sk, "key", [500000, 990000, 1000000]).collect()}
+    assert est[500000]["sample_n"] == 100
+    assert est[500000]["est"] == 49.0   # ceil(.5·100) = 50th of 0..99
+    assert est[990000]["est"] == 98.0
+    assert est[1000000]["est"] == 99.0
+
+
+def test_quantile_sketch_skips_null_values(spark):
+    from siridb_server_spark.localdf import arrow_df
+    df = arrow_df(spark, [("a", 1, 5.0), ("a", 2, None),
+                          ("b", 3, None)],
+                  "key string, rid long, v double")
+    rows = SK.quantile_sketch(df, "key", "v", "rid").collect()
+    assert [(r["key"], r["val"]) for r in rows] == [("a", 5.0)]
