@@ -241,18 +241,23 @@ def make_media_ingest_sink(
 
 def stream_sketch_ingest(stream_df: DataFrame, sketch_path: str,
                          key_cols, member_col: str,
-                         checkpoint: str | None = None):
-    """Maintain persisted distinct-count sketches over a live feed:
-    per micro-batch, the batch's HLL register deltas and KMV minima
-    land under ``batch=<id>`` subdirectories with OVERWRITE — the
-    same idempotent-delta layout as the dedup-index sink, so
-    foreachBatch redelivery replaces a partial delta instead of
-    double-counting it (and since both merges are idempotent, even a
-    duplicated delta could not inflate an estimate). Readers call
-    :func:`read_sketches`, which folds ALL deltas with the exact
-    merge — history is never rescanned; the day's distincts cost the
-    day's pass. Returns the StreamingQuery."""
-    sink = make_sketch_ingest_sink(sketch_path, key_cols, member_col)
+                         checkpoint: str | None = None,
+                         value_col: str | None = None,
+                         id_col: str | None = None):
+    """Maintain persisted sketches over a live feed: per
+    micro-batch, the batch's HLL register deltas and KMV minima —
+    plus, when ``value_col``/``id_col`` are given, quantile-sample
+    partials — land under ``batch=<id>`` subdirectories with
+    OVERWRITE — the same idempotent-delta layout as the dedup-index
+    sink, so foreachBatch redelivery replaces a partial delta
+    instead of double-counting it (and since all three merges are
+    idempotent, even a duplicated delta could not inflate an
+    estimate). Readers call :func:`read_sketches` /
+    :func:`read_quantile_sketch`, which fold ALL deltas with the
+    exact merge — history is never rescanned; the day's distincts
+    and quantiles cost the day's pass. Returns the StreamingQuery."""
+    sink = make_sketch_ingest_sink(sketch_path, key_cols, member_col,
+                                   value_col, id_col)
     writer = stream_df.writeStream.foreachBatch(sink) \
         .outputMode("update")
     if checkpoint:
@@ -261,7 +266,9 @@ def stream_sketch_ingest(stream_df: DataFrame, sketch_path: str,
 
 
 def make_sketch_ingest_sink(sketch_path: str, key_cols,
-                            member_col: str):
+                            member_col: str,
+                            value_col: str | None = None,
+                            id_col: str | None = None):
     """foreachBatch sink behind :func:`stream_sketch_ingest`,
     exposed for direct redelivery-idempotence testing."""
     from ..operators import sketches as SK
@@ -281,6 +288,11 @@ def make_sketch_ingest_sink(sketch_path: str, key_cols,
          .write.mode("overwrite")
          .parquet(os.path.join(sketch_path, "kmv",
                                f"batch={batch_id}")))
+        if value_col is not None and id_col is not None:
+            (SK.quantile_sketch(batch_df, keys, value_col, id_col)
+             .write.mode("overwrite")
+             .parquet(os.path.join(sketch_path, "quantile",
+                                   f"batch={batch_id}")))
         open(marker, "w").close()
 
     return sink
@@ -299,3 +311,16 @@ def read_sketches(spark, sketch_path: str, key_cols):
     kmv = SK.kmv_merge(
         spark.read.parquet(sketch_path + "/kmv"), keys)
     return hll, kmv
+
+
+def read_quantile_sketch(spark, sketch_path: str, key_cols):
+    """Fold the persisted per-batch quantile-sample partials into
+    the current sketch — equal to a one-shot
+    :func:`~..operators.sketches.quantile_sketch` over the full
+    history (the bottom-k merge is exact and idempotent; pytest
+    pins equality against the one-shot build)."""
+    from ..operators import sketches as SK
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return SK.quantile_merge(
+        spark.read.parquet(sketch_path + "/quantile"), keys)

@@ -123,25 +123,31 @@ def test_stream_sketch_ingest_matches_one_shot(spark, tmp_path):
     from pyspark.sql import functions as FF
 
     from siridb_server_spark.streaming.corpus import (
-        make_sketch_ingest_sink, read_sketches,
-        stream_sketch_ingest)
+        make_sketch_ingest_sink, read_quantile_sketch,
+        read_sketches, stream_sketch_ingest)
 
     src = tmp_path / "src"
     src.mkdir()
     spath = str(tmp_path / "sk")
 
-    def feed(name, lo, hi):
-        spark.range(lo, hi).select(
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
             (FF.col("id") % 3).cast("string").alias("key"),
-            FF.concat(FF.lit("u"), FF.col("id") % 500).alias("m")) \
-            .write.parquet(str(src / name))
+            FF.concat(FF.lit("u"), FF.col("id") % 500).alias("m"),
+            FF.col("id").alias("rid"),
+            (FF.col("id") % 97).cast("double").alias("v"))
+
+    def feed(name, lo, hi):
+        rows(lo, hi).write.parquet(str(src / name))
 
     feed("b1", 0, 900)
-    stream = (spark.readStream.schema("key string, m string")
+    stream = (spark.readStream
+              .schema("key string, m string, rid long, v double")
               .option("maxFilesPerTrigger", "4")
               .parquet(str(src) + "/*"))
     q = stream_sketch_ingest(stream, spath, "key", "m",
-                             checkpoint=str(tmp_path / "ckpt"))
+                             checkpoint=str(tmp_path / "ckpt"),
+                             value_col="v", id_col="rid")
     try:
         q.processAllAvailable()
         feed("b2", 900, 2_000)
@@ -150,15 +156,17 @@ def test_stream_sketch_ingest_matches_one_shot(spark, tmp_path):
         q.stop()
 
     hll, kmv = read_sketches(spark, spath, "key")
-    everything = spark.range(2_000).select(
-        (FF.col("id") % 3).cast("string").alias("key"),
-        FF.concat(FF.lit("u"), FF.col("id") % 500).alias("m"))
+    qsk = read_quantile_sketch(spark, spath, "key")
+    everything = rows(0, 2_000)
     dh = SK.hll_registers(everything, "key", "m")
     dk = SK.kmv_sketch(everything, "key", "m")
+    dq = SK.quantile_sketch(everything, "key", "v", "rid")
     assert hll.exceptAll(dh).count() == 0
     assert dh.exceptAll(hll).count() == 0
     assert kmv.exceptAll(dk).count() == 0
     assert dk.exceptAll(kmv).count() == 0
+    assert qsk.exceptAll(dq).count() == 0
+    assert dq.exceptAll(qsk).count() == 0
 
     # crash-window redelivery: drop a done marker and re-apply rows
     # from the same feed (foreachBatch redelivers the same rows; a
@@ -170,13 +178,17 @@ def test_stream_sketch_ingest_matches_one_shot(spark, tmp_path):
     assert markers
     os.remove(os.path.join(spath, markers[0]))
     bid = int(markers[0].split("-")[1].split(".")[0])
-    sink = make_sketch_ingest_sink(spath, "key", "m")
+    sink = make_sketch_ingest_sink(spath, "key", "m",
+                                   value_col="v", id_col="rid")
     sink(everything, bid)
     hll2, kmv2 = read_sketches(spark, spath, "key")
+    qsk2 = read_quantile_sketch(spark, spath, "key")
     assert hll2.exceptAll(dh).count() == 0
     assert dh.exceptAll(hll2).count() == 0
     assert kmv2.exceptAll(dk).count() == 0
     assert dk.exceptAll(kmv2).count() == 0
+    assert qsk2.exceptAll(dq).count() == 0
+    assert dq.exceptAll(qsk2).count() == 0
 
 
 # ------------------------------------------------- quantile sketch
