@@ -3222,6 +3222,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_pq_ann"] = sim_pq_ann
 
+    def sim_sq_codes(spark, sf_dir):
+        """int8 scalar quantization of the embedding corpus
+        (operators/similarity.py scalar_quantize): symmetric codes
+        floor(x·127/smax + 0.5) with smax the corpus max |x| — pure
+        double arithmetic in a fixed op order, so every code is
+        bit-identical across Spark/DuckDB/CPython and the WHOLE
+        quantized corpus is pinned by the value hash. The 4×-smaller
+        serving copy that sq_topk scans."""
+        emb = load(spark, sf_dir, "embeddings")
+        scale = SIM.sq_scale(emb)
+        return SIM.scalar_quantize(emb, scale).select(
+            "vec_id", F.posexplode("qvec").alias("i", "q"))
+
+    q["sim_sq_codes"] = sim_sq_codes
+
+    def sim_sq_scores(spark, sf_dir):
+        """Integer coarse scores of the quantized corpus against the
+        quantized query (vec_id 0): exact int64 multiply-adds — the
+        scan stays in whole-stage codegen over int arrays, no floats
+        until the rescore stage. Top 40 by iscore with id
+        tie-break, the candidate set sq_topk rescores."""
+        emb = load(spark, sf_dir, "embeddings")
+        scale = SIM.sq_scale(emb)
+        qdf = SIM.scalar_quantize(emb.where(F.col("vec_id") != 0),
+                                  scale)
+        qcodes = SIM.quantize_query(_query_vec(spark, sf_dir), scale)
+        return (SIM.sq_coarse_scores(qdf, qcodes)
+                .orderBy(F.col("iscore").desc(), "vec_id")
+                .limit(40))
+
+    q["sim_sq_scores"] = sim_sq_scores
+
+    def sim_sq_recall(spark, sf_dir):
+        """Accuracy audit for the quantized search path: recall of
+        sq_topk (int8 coarse top-40 → exact cosine rescore → top-10)
+        against the exact brute-force top-10, as hashed integers.
+        On this corpus the rescored path recovers the exact answer
+        set — the hash pins that, so a quantization regression
+        (wrong scale, rounding drift, lost rescore) flips the
+        gate."""
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        vec = _query_vec(spark, sf_dir)
+        sq = SIM.sq_topk(emb, vec, k=10, rerank=4)
+        exact = SIM.brute_force_topk(emb, vec, k=10)
+        hits = sq.join(exact.select("vec_id"), "vec_id", "semi")
+        return (sq.agg(F.lit("k_returned").alias("prop"),
+                       F.count(F.lit(1)).cast("long").alias("n"))
+                .unionByName(hits.agg(
+                    F.lit("recall_hits_at_10").alias("prop"),
+                    F.count(F.lit(1)).cast("long").alias("n"))))
+
+    q["sim_sq_recall"] = sim_sq_recall
+
     q["text_quality_gate"] = lambda spark, sf_dir: TX.quality_gate(
         load(spark, sf_dir, "documents"))
 
@@ -5134,6 +5188,83 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
         " UNION ALL SELECT 'code_out_of_range', 0"
         " UNION ALL SELECT 'recall_at_10_ge_5', 1"
+    )
+    # scalar quantization: DuckDB rebuilds the int8 codes from the
+    # same floor(x·127/smax + 0.5) double expression (op order
+    # fixed; sqrt/floor are IEEE-exact, unlike the banned ln/exp/
+    # pow), the integer coarse scores from a positional join, and
+    # the recall audit replays coarse-then-rescore end to end
+    o["sim_sq_codes"] = (
+        "WITH m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS s FROM"
+        " (SELECT unnest(embedding) AS x FROM embeddings)),"
+        " x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, CAST(unnest(range(len(embedding))) AS INT) AS i"
+        " FROM embeddings)"
+        " SELECT vec_id, i,"
+        " CAST(floor(x * 127.0 / m.s + 0.5) AS INT) AS q"
+        " FROM x, m"
+    )
+    o["sim_sq_scores"] = (
+        "WITH m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS s FROM"
+        " (SELECT unnest(embedding) AS x FROM embeddings)),"
+        " x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, CAST(unnest(range(len(embedding))) AS INT) AS i"
+        " FROM embeddings),"
+        " qc AS (SELECT vec_id, i,"
+        " CAST(floor(x * 127.0 / m.s + 0.5) AS INT) AS q FROM x, m),"
+        " q0 AS (SELECT i, GREATEST(-127, LEAST(127, q)) AS q"
+        " FROM qc WHERE vec_id = 0),"
+        " sc AS (SELECT c.vec_id,"
+        " sum(CAST(c.q AS BIGINT) * q0.q) AS iscore"
+        " FROM qc c JOIN q0 USING (i) WHERE c.vec_id <> 0"
+        " GROUP BY 1)"
+        " SELECT vec_id, CAST(iscore AS BIGINT) AS iscore FROM sc"
+        " ORDER BY iscore DESC, vec_id LIMIT 40"
+    )
+    o["sim_sq_recall"] = (
+        "WITH e AS (SELECT * FROM embeddings WHERE vec_id <> 0),"
+        " m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS s FROM"
+        " (SELECT unnest(embedding) AS x FROM e)),"
+        " xc AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, CAST(unnest(range(len(embedding))) AS INT) AS i"
+        " FROM e),"
+        " qc AS (SELECT vec_id, i,"
+        " CAST(floor(x * 127.0 / m.s + 0.5) AS INT) AS q"
+        " FROM xc, m),"
+        " xq AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(range(len(embedding))) AS INT) AS i"
+        " FROM embeddings WHERE vec_id = 0),"
+        " q0 AS (SELECT i, GREATEST(-127, LEAST(127,"
+        " CAST(floor(x * 127.0 / m.s + 0.5) AS INT))) AS q"
+        " FROM xq, m),"
+        " sc AS (SELECT c.vec_id,"
+        " sum(CAST(c.q AS BIGINT) * q0.q) AS iscore"
+        " FROM qc c JOIN q0 USING (i) GROUP BY 1),"
+        " cand AS (SELECT vec_id FROM sc"
+        " ORDER BY iscore DESC, vec_id LIMIT 40),"
+        " prod AS (SELECT e2.vec_id,"
+        " CAST(unnest(e2.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(q.embedding) AS DOUBLE) AS y"
+        " FROM e e2 JOIN cand USING (vec_id), embeddings q"
+        " WHERE q.vec_id = 0),"
+        " s AS (SELECT vec_id, sum(x * y) AS d, sum(x * x) AS na,"
+        " sum(y * y) AS nb FROM prod GROUP BY 1),"
+        " sq10 AS (SELECT vec_id FROM s"
+        " ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10),"
+        " prodall AS (SELECT e2.vec_id,"
+        " CAST(unnest(e2.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(q.embedding) AS DOUBLE) AS y"
+        " FROM e e2, embeddings q WHERE q.vec_id = 0),"
+        " sall AS (SELECT vec_id, sum(x * y) AS d,"
+        " sum(x * x) AS na, sum(y * y) AS nb FROM prodall"
+        " GROUP BY 1),"
+        " ex10 AS (SELECT vec_id FROM sall"
+        " ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10)"
+        " SELECT 'k_returned' AS prop,"
+        " CAST(count(*) AS BIGINT) AS n FROM sq10"
+        " UNION ALL SELECT 'recall_hits_at_10',"
+        " CAST(count(*) AS BIGINT) FROM sq10 JOIN ex10"
+        " USING (vec_id)"
     )
     o["corpus_sketch_stats"] = (
         "SELECT 'hll_within_3rsd' AS prop, CAST(1 AS BIGINT) AS n"

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "sim_dup_clusters",
     "sim_semdedup",
     "sim_mmr",
+    "sim_sq_recall",
     "multimodal_meta",
     "curation_dsir",
     # window time-series + corpus statistics

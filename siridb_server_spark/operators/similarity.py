@@ -804,3 +804,98 @@ def ann_recall_curve(emb: DataFrame, k: int = 10,
                     .cast("long").alias("n_hits"),
                     int_ppm(F.coalesce(F.col("n_hits"), F.lit(0)),
                             F.col("den")).alias("recall_ppm")))
+
+
+# ------------------------------------------------ scalar quantization
+
+#: int8 symmetric range: codes in [-127, 127]
+SQ_LIM = 127
+
+
+def sq_scale(emb: DataFrame, vec_col: str = "embedding") -> float:
+    """Global symmetric quantization scale: the corpus max |x|.
+    One tiny aggregate (array_max folds inside the scan, the agg
+    returns a single double) — at 100 TB this is a full scan but a
+    bytes-bound one with a scalar result; production pins the scale
+    once per corpus snapshot and reuses it for every query."""
+    smax = emb.select(
+        F.max(F.array_max(F.transform(
+            vec_col, lambda x: F.abs(x.cast("double")))))
+        .alias("s")).first()["s"]
+    return float(smax) if smax else 1.0
+
+
+def _sq_code(x, scale: float):
+    # floor(x·127/scale + 0.5): round-half-up as pure double
+    # arithmetic — the same expression evaluates bit-identically in
+    # Spark, DuckDB, and CPython (IEEE doubles, same op order), so
+    # quantized codes are cross-engine hashable. F.round would be
+    # half-even in some engines and half-away in others.
+    return F.floor(x.cast("double") * F.lit(float(SQ_LIM))
+                   / F.lit(scale) + F.lit(0.5)).cast("int")
+
+
+def scalar_quantize(emb: DataFrame, scale: float,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """int8-range codes for every vector: (id, qvec array<int>).
+    4× smaller than float32 at rest and in shuffle, and candidate
+    scoring becomes integer multiply-adds. Quantization is row-local
+    (a pure projection — no shuffle); persist the result as the
+    serving copy of the corpus."""
+    q = F.transform(F.col(vec_col), lambda x: _sq_code(x, scale))
+    return emb.select(F.col(id_col), q.alias("qvec"))
+
+
+def quantize_query(query_vec, scale: float) -> list:
+    """The SAME rounding as :func:`_sq_code`, driver-side, with
+    codes clamped to ±127 (a query may exceed the corpus max)."""
+    import math
+
+    out = []
+    for x in query_vec:
+        c = int(math.floor(float(x) * float(SQ_LIM) / scale + 0.5))
+        out.append(max(-SQ_LIM, min(SQ_LIM, c)))
+    return out
+
+
+def int_dot(a, b):
+    """Exact integer dot product of two int-array columns — stays
+    in whole-stage codegen (zip_with + aggregate over longs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def sq_coarse_scores(qdf: DataFrame, qcodes: list,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Integer coarse scores of every quantized corpus vector
+    against one quantized query: (id, iscore long). With symmetric
+    per-corpus scaling, iscore·(scale/127)² ≈ the float dot product;
+    ranking by iscore IS the coarse ranking. Bounded by
+    |dim|·127² per element — exact int64, exact in SQL too."""
+    qq = F.array(*[F.lit(int(c)) for c in qcodes])
+    return qdf.select(F.col(id_col),
+                      int_dot(F.col("qvec"), qq).alias("iscore"))
+
+
+def sq_topk(emb: DataFrame, query_vec, k: int = 10,
+            rerank: int = 4, scale: float | None = None,
+            vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """Quantized ANN search with exact rescoring: integer coarse
+    scores over the int8 codes pick k·rerank candidates (TakeOrdered
+    — per-partition heap, no global sort), then ONLY those rows are
+    rescored with full-precision cosine. The scan that touches every
+    row reads 4×-smaller codes and does integer math; float work is
+    k·rerank rows. Same output contract as brute_force_topk."""
+    if scale is None:
+        scale = sq_scale(emb, vec_col)
+    qdf = scalar_quantize(emb, scale, vec_col, id_col)
+    qcodes = quantize_query(query_vec, scale)
+    cand = (sq_coarse_scores(qdf, qcodes, id_col)
+            .orderBy(F.col("iscore").desc(), F.col(id_col))
+            .limit(k * rerank)
+            .select(id_col))
+    kept = emb.join(F.broadcast(cand), id_col)
+    return brute_force_topk(kept, query_vec, k, vec_col, id_col)

@@ -2116,3 +2116,58 @@ def test_leakage_safe_split_cluster_consistent(spark):
                                   eval_ppm=300_000).collect()
     assert {(r["doc_id"], r["split"]) for r in rows2} \
         == {(r["doc_id"], r["split"]) for r in rows}
+
+
+# ----------------------------------------------- scalar quantization
+
+def _sq_emb(spark, n=60, dim=8):
+    # deterministic spread of magnitudes incl. negatives and a
+    # zero vector
+    rows = []
+    for i in range(n):
+        v = [(((i * 31 + j * 17) % 41) - 20) / 25.0
+             for j in range(dim)]
+        rows.append((i, v))
+    rows.append((n, [0.0] * dim))
+    from siridb_server_spark.localdf import arrow_df
+    return arrow_df(spark, rows, "vec_id long, embedding array<double>")
+
+
+def test_sq_codes_bounded_and_dequant_error(spark):
+    emb = _sq_emb(spark)
+    scale = SIM.sq_scale(emb)
+    assert scale == 0.8  # max |(..%41)-20|/25 = 20/25
+    rows = (SIM.scalar_quantize(emb, scale)
+            .join(emb, "vec_id").collect())
+    for r in rows:
+        assert len(r["qvec"]) == len(r["embedding"])
+        for q, x in zip(r["qvec"], r["embedding"]):
+            assert -127 <= q <= 127
+            # dequantized error within half a step
+            assert abs(q * scale / 127 - x) <= scale / 127 / 2 + 1e-12
+
+
+def test_sq_query_clamps_out_of_range(spark):
+    assert SIM.quantize_query([10.0, -10.0, 0.0], scale=1.0) == \
+        [127, -127, 0]
+
+
+def test_sq_topk_matches_exact_on_separated_data(spark):
+    emb = _sq_emb(spark)
+    q = [0.5, 0.4, -0.3, 0.2, 0.1, -0.4, 0.3, -0.2]
+    exact = [r["vec_id"] for r in
+             SIM.brute_force_topk(emb, q, k=5).collect()]
+    sq = [r["vec_id"] for r in SIM.sq_topk(emb, q, k=5).collect()]
+    # rescore stage uses full precision, so the top-5 SET matches
+    # whenever the coarse top-20 contains it; order equal too since
+    # rescoring is the same operator
+    assert sq == exact
+
+
+def test_sq_coarse_scores_are_exact_integers(spark):
+    from siridb_server_spark.localdf import arrow_df
+    qdf = arrow_df(spark, [(1, [127, -127, 3]), (2, [0, 0, 0])],
+                   "vec_id long, qvec array<int>")
+    got = {r["vec_id"]: r["iscore"] for r in
+           SIM.sq_coarse_scores(qdf, [127, 127, 127]).collect()}
+    assert got == {1: 127 * 127 - 127 * 127 + 3 * 127, 2: 0}
