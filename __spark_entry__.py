@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from siridb_server_spark import SiriEngine
 from siridb_server_spark.functions.stable import scaled_dsum as SSD
 from siridb_server_spark.functions.stable import stable_dsum as SD
+from siridb_server_spark.operators import classify as CL
 from siridb_server_spark.operators import curation as CU
 from siridb_server_spark.operators import dedup as D
 from siridb_server_spark.operators import bpe as BPE
@@ -3276,6 +3277,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_sq_recall"] = sim_sq_recall
 
+    def text_nb_model(spark, sf_dir):
+        """Multinomial Naive Bayes training
+        (operators/classify.py): the per-(language, term) token
+        counts — ONE map-side-combinable groupBy whose shuffle is
+        bounded by |labels|·|vocab| — which ARE the classifier
+        (plus the per-label totals the oracle re-derives by
+        summing). The trainable quality/domain-filter shape of
+        corpus curation pipelines, as exact hashed integers."""
+        m = CL.nb_train(load(spark, sf_dir, "documents"),
+                        label_col="lang")
+        return m.counts.select("label", "term", "cnt")
+
+    q["text_nb_model"] = text_nb_model
+
+    def text_nb_confusion(spark, sf_dir):
+        """End-to-end NB classification pinned cross-engine: the
+        confusion matrix of the QUANTIZED-LOG scorer (fixlog2 —
+        exponent + linear mantissa off the binary string, exact
+        int64, no libm) over the language labels. DuckDB replays
+        tokenize → train → score → argmax entirely in integer SQL,
+        so one flipped prediction anywhere flips the hash. The
+        full-precision float path's accuracy (and its agreement
+        with this path on separable data) is pytest-verified
+        (tests/test_classify.py, transcendental-ban policy)."""
+        docs = load(spark, sf_dir, "documents")
+        m = CL.nb_train(docs, label_col="lang")
+        pred = CL.nb_predict_int(m, docs)
+        return (CL.nb_confusion(docs, pred, label_col="lang")
+                .select("label", "pred", "n"))
+
+    q["text_nb_confusion"] = text_nb_confusion
+
     q["text_quality_gate"] = lambda spark, sf_dir: TX.quality_gate(
         load(spark, sf_dir, "documents"))
 
@@ -5189,6 +5222,56 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 'code_out_of_range', 0"
         " UNION ALL SELECT 'recall_at_10_ge_5', 1"
     )
+    # Naive Bayes: the model is the (label, term, cnt) table over the
+    # proven whitespace tokenizer; the confusion matrix replays the
+    # ENTIRE quantized-log path in integer SQL — fixlog2(x) =
+    # (len(bin(x))−1)·2^16 + (x·2^16 // 2^(len(bin(x))−1)) − 2^16,
+    # spelled with << and // (Spark reads the same mantissa off the
+    # binary string; both are exact int64, no libm anywhere)
+    _nb_toks = (
+        "SELECT doc_id, lang, unnest(list_filter("
+        "string_split_regex(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')) AS term FROM documents"
+        " WHERE length(trim(text)) > 0")
+    _nb_counts = (
+        "SELECT lang AS label, term, count(*) AS cnt FROM ("
+        + _nb_toks + ") GROUP BY 1, 2")
+    o["text_nb_model"] = (
+        "SELECT label, term, CAST(cnt AS BIGINT) AS cnt FROM ("
+        + _nb_counts + ")")
+    _fix = ("((length(bin({x})) - 1) * 65536"
+            " + ({x} * 65536) // (1::BIGINT << (length(bin({x})) - 1))"
+            " - 65536)")
+    o["text_nb_confusion"] = (
+        "WITH toks AS (" + _nb_toks + "),"
+        " c AS (" + _nb_counts + "),"
+        " lt AS (SELECT label, sum(cnt) AS n_tokens FROM c"
+        " GROUP BY 1),"
+        " ld AS (SELECT lang AS label, count(*) AS n_docs"
+        " FROM documents WHERE length(trim(text)) > 0 GROUP BY 1),"
+        " v AS (SELECT count(DISTINCT term) AS vocab FROM c),"
+        " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+        " GROUP BY 1, 2),"
+        " j AS (SELECT t.doc_id, l.label, t.tf,"
+        " CAST(coalesce(c.cnt, 0) + 1 AS BIGINT) AS num,"
+        " CAST(l.n_tokens + v.vocab AS BIGINT) AS den,"
+        " CAST(ld.n_docs AS BIGINT) AS nd"
+        " FROM tf t CROSS JOIN lt l JOIN ld USING (label)"
+        " CROSS JOIN v"
+        " LEFT JOIN c ON c.label = l.label AND c.term = t.term),"
+        " sc AS (SELECT doc_id, label,"
+        " sum(tf * (" + _fix.format(x="num") + " - "
+        + _fix.format(x="den") + ")) + min("
+        + _fix.format(x="nd") + ") AS iscore"
+        " FROM j GROUP BY 1, 2),"
+        " pred AS (SELECT doc_id, label AS pred FROM ("
+        " SELECT doc_id, label, row_number() OVER ("
+        " PARTITION BY doc_id ORDER BY iscore DESC, label) AS rn"
+        " FROM sc) WHERE rn = 1)"
+        " SELECT d.lang AS label, p.pred,"
+        " CAST(count(*) AS BIGINT) AS n"
+        " FROM documents d JOIN pred p USING (doc_id)"
+        " GROUP BY 1, 2")
     # scalar quantization: DuckDB rebuilds the int8 codes from the
     # same floor(x·127/smax + 0.5) double expression (op order
     # fixed; sqrt/floor are IEEE-exact, unlike the banned ln/exp/

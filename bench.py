@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "text_readability",
     "text_chunking",
     "text_sentences",
+    "text_nb_confusion",
     "sim_label_centroids",
     "sim_standardize",
     # round-5 additions: capped exact join, mixture weights, packing,
