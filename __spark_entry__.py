@@ -963,6 +963,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bpe_encode"] = text_bpe_encode
 
+    def text_wordpiece_vocab(spark, sf_dir):
+        """REAL WordPiece training (operators/wordpiece.py — the
+        BERT-style likelihood-scored merge: count(pair)/(count(l)·
+        count(r)) compared as exact cross-multiplied integers) on
+        the BPE fixture corpus. Alphabet pieces first, then merges
+        in learn order — a deterministic constant the oracle pins
+        in full; the corpus-wide contract is the tiling entry."""
+        from siridb_server_spark.operators import wordpiece as WP
+        return WP.wordpiece_train(_bpe_fixture(spark),
+                                  num_merges=12, min_count=2)
+
+    q["text_wordpiece_vocab"] = text_wordpiece_vocab
+
+    def text_wordpiece_encode(spark, sf_dir):
+        """Greedy longest-match-first WordPiece encoding with the
+        learned vocabulary (the standard serving-time algorithm —
+        no merge ranks needed): Arrow-batched, row-local, vocab in
+        the task closure. Every token sequence is an exact constant
+        the oracle pins, n_unk included."""
+        from siridb_server_spark.operators import wordpiece as WP
+        df = _bpe_fixture(spark)
+        v = WP.wordpiece_train(df, num_merges=12, min_count=2)
+        return (WP.wordpiece_encode(df, v)
+                .select("doc_id", "n_tokens", "n_unk",
+                        F.array_join("tokens", " ")
+                        .alias("token_str")))
+
+    q["text_wordpiece_encode"] = text_wordpiece_encode
+
+    def text_wordpiece_tiling(spark, sf_dir):
+        """WordPiece over the FULL documents corpus, verified
+        through the tiling invariant: per doc, Σ(piece chars minus
+        the ## prefixes) must equal the word characters the oracle
+        counts by stripping non-word characters — and n_unk must be
+        zero, because the alphabet is seeded from the corpus itself
+        (both word-initial and continuation forms). One mis-sliced
+        match anywhere flips the hash."""
+        from siridb_server_spark.operators import wordpiece as WP
+        docs = load(spark, sf_dir, "documents")
+        v = WP.wordpiece_train(docs, num_merges=40, min_count=2)
+        enc = WP.wordpiece_encode(docs, v)
+        piece_chars = F.aggregate(
+            "tokens", F.lit(0).cast("long"),
+            lambda a, t: a + F.length(t)
+            - F.when(t.startswith("##"), 2).otherwise(0))
+        return enc.select("doc_id", "n_unk",
+                          piece_chars.alias("tok_chars"))
+
+    q["text_wordpiece_tiling"] = text_wordpiece_tiling
+
     def text_unigram_vocab(spark, sf_dir):
         """REAL unigram-LM tokenizer training (operators/unigram.py
         — SentencePiece-style hard-EM, Kudo 2018) on the BPE fixture
@@ -5757,6 +5807,18 @@ def oracle_sql() -> dict[str, str]:
         " </w> a n d </w> a </w> 4 2 </w> 4 2 '' s </w>'"
         " UNION ALL SELECT 6, 0, ''"
         " UNION ALL SELECT 7, 0, ''"
+    )
+    # WordPiece: the fixture vocabulary and encodings are exact
+    # deterministic constants (likelihood-scored merges with
+    # integer cross-multiplied comparisons, lexical ties); the
+    # corpus-wide contract is the tiling oracle below
+    o["text_wordpiece_vocab"] = "SELECT * FROM (VALUES ('''', CAST(0 AS INT)), ('2', CAST(1 AS INT)), ('4', CAST(2 AS INT)), ('a', CAST(3 AS INT)), ('b', CAST(4 AS INT)), ('c', CAST(5 AS INT)), ('d', CAST(6 AS INT)), ('e', CAST(7 AS INT)), ('g', CAST(8 AS INT)), ('h', CAST(9 AS INT)), ('i', CAST(10 AS INT)), ('l', CAST(11 AS INT)), ('n', CAST(12 AS INT)), ('o', CAST(13 AS INT)), ('r', CAST(14 AS INT)), ('s', CAST(15 AS INT)), ('t', CAST(16 AS INT)), ('w', CAST(17 AS INT)), ('##''', CAST(18 AS INT)), ('##2', CAST(19 AS INT)), ('##4', CAST(20 AS INT)), ('##a', CAST(21 AS INT)), ('##b', CAST(22 AS INT)), ('##c', CAST(23 AS INT)), ('##d', CAST(24 AS INT)), ('##e', CAST(25 AS INT)), ('##g', CAST(26 AS INT)), ('##h', CAST(27 AS INT)), ('##i', CAST(28 AS INT)), ('##l', CAST(29 AS INT)), ('##n', CAST(30 AS INT)), ('##o', CAST(31 AS INT)), ('##r', CAST(32 AS INT)), ('##s', CAST(33 AS INT)), ('##t', CAST(34 AS INT)), ('##w', CAST(35 AS INT)), ('42', CAST(36 AS INT)), ('wi', CAST(37 AS INT)), ('th', CAST(38 AS INT)), ('an', CAST(39 AS INT)), ('and', CAST(40 AS INT)), ('wid', CAST(41 AS INT)), ('lo', CAST(42 AS INT)), ('low', CAST(43 AS INT)), ('##st', CAST(44 AS INT)), ('##er', CAST(45 AS INT)), ('##est', CAST(46 AS INT)), ('##ew', CAST(47 AS INT))) AS t(piece, rank)"
+    o["text_wordpiece_encode"] = "SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(23 AS BIGINT), CAST(0 AS BIGINT), 'th ##e low ##er th ##e b ##e ##t ##t ##er w ##h ##e ##n low ##er ##i ##n ##g low ##er ##s'), (CAST(2 AS BIGINT), CAST(13 AS BIGINT), CAST(0 AS BIGINT), 'n ##ew n ##ew ##er n ##ew ##est low ##er and low ##est'), (CAST(3 AS BIGINT), CAST(21 AS BIGINT), CAST(0 AS BIGINT), 'wid ##er and wid ##er wid ##t ##h ##s wid ##e ##n th ##e wid ##est c ##a ##s ##e ##s'), (CAST(4 AS BIGINT), CAST(9 AS BIGINT), CAST(0 AS BIGINT), 'low low ##s low ##est low ##er low low'), (CAST(5 AS BIGINT), CAST(13 AS BIGINT), CAST(0 AS BIGINT), 'th ##e th ##e th ##e and and a 42 42 ##'' ##s'), (CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''), (CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), '')) AS t(doc_id, n_tokens, n_unk, token_str)"
+    o["text_wordpiece_tiling"] = (
+        "SELECT doc_id, CAST(0 AS BIGINT) AS n_unk,"
+        " CAST(length(regexp_replace(lower("
+        "coalesce(text, '')), '[^a-z0-9'']', '', 'g')) AS BIGINT)"
+        " AS tok_chars FROM documents"
     )
     o["tpch_q1ish"] = (
         "SELECT l_returnflag, l_linestatus,"

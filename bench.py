@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "dedup_cdc_tiling",
     "io_tfrecord_roundtrip",
     "text_unigram_tiling",
+    "text_wordpiece_tiling",
     "sketch_hll_registers",
     "sketch_kmv_values",
     "sketch_quantile_sample",
