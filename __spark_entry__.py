@@ -518,6 +518,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_quantile_accuracy"] = sketch_quantile_accuracy
 
+    def curation_quantile_filter(spark, sf_dir):
+        """Sketch-driven outlier gating (operators/curation.py
+        quantile_filter): per-source p5/p95 length cutoffs read off
+        the mergeable quantile sketch (at scale: off persisted
+        per-day partials, never a history rescan), thresholds
+        broadcast back, keep = value within [lo, hi]. Exact
+        arithmetic end to end — every keep/drop bit is in the
+        hash."""
+        return CU.quantile_filter(load(spark, sf_dir, "documents"),
+                                  "n_chars", "doc_id", "source")
+
+    q["curation_quantile_filter"] = curation_quantile_filter
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -3841,6 +3854,40 @@ def oracle_sql() -> dict[str, str]:
         " FROM tgt t JOIN rv ON rv.event_type = t.event_type"
         " AND rv.pos = t.tpos")
     o["sketch_quantile_estimates"] = _qsk_est
+    # sketch-driven curation gate: the same bottom-k construction
+    # per source over n_chars, estimates at 50k/950k ppm, keep bits
+    # replayed exactly
+    o["curation_quantile_filter"] = (
+        "WITH s AS (SELECT source, n_chars AS val,"
+        " CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) AS pri FROM documents"
+        " WHERE n_chars IS NOT NULL),"
+        " r AS (SELECT source, pri, val, row_number() OVER"
+        " (PARTITION BY source ORDER BY pri, val) AS pos FROM s),"
+        " sk AS (SELECT source, pri, val FROM r WHERE pos <= 256),"
+        " rv AS (SELECT source, val, row_number() OVER"
+        " (PARTITION BY source ORDER BY val, pri) AS pos FROM sk),"
+        " kk AS (SELECT source, CAST(max(pos) AS INT) AS sample_n"
+        " FROM rv GROUP BY 1),"
+        " qs AS (SELECT CAST(unnest([50000, 950000]) AS INT)"
+        " AS q_ppm),"
+        " tgt AS (SELECT source, q_ppm, sample_n,"
+        " GREATEST(1, LEAST(CAST((CAST(q_ppm AS BIGINT) * sample_n"
+        " + 999999) // 1000000 AS INT), sample_n)) AS tpos"
+        " FROM kk, qs),"
+        " est AS (SELECT t.source, t.q_ppm, rv.val AS est"
+        " FROM tgt t JOIN rv ON rv.source = t.source"
+        " AND rv.pos = t.tpos),"
+        " b AS (SELECT source,"
+        " min(CASE WHEN q_ppm = 50000 THEN est END) AS lo,"
+        " min(CASE WHEN q_ppm = 950000 THEN est END) AS hi"
+        " FROM est GROUP BY 1)"
+        " SELECT d.doc_id, d.source,"
+        " CAST(d.n_chars AS BIGINT) AS value,"
+        " CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,"
+        " d.n_chars >= b.lo AND d.n_chars <= b.hi AS keep"
+        " FROM documents d JOIN b USING (source)"
+        " WHERE d.n_chars IS NOT NULL")
     o["sketch_quantile_accuracy"] = (
         "WITH est AS (" + _qsk_est + ")"
         " SELECT e.event_type, est.q_ppm,"

@@ -277,6 +277,10 @@ def main():
         timings[name] = round(best, 3)
         runs_detail[name] = [round(s, 3) for s in samples]
         total += best
+        # the dedup operators keep a BOUNDED (≤4) signature cache to
+        # feed self-joins; release it so the hygiene snapshot below
+        # checks for genuinely unbounded growth, not the cache fill
+        D.release_sig_cache()
         state1 = _session_state()
         if state1 != state0:
             hygiene[name] = {"tables": state1[0] - state0[0],

@@ -513,3 +513,39 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame,
         "doc_id", "keep_id",
         F.when(draw < F.lit(float(eval_ppm)), "eval")
         .otherwise("train").alias("split"))
+
+
+def quantile_filter(df: DataFrame, value_col: str, id_col: str,
+                    group_col: str, lo_ppm: int = 50000,
+                    hi_ppm: int = 950000) -> DataFrame:
+    """Per-group quantile gating from the MERGEABLE quantile sketch
+    (operators/sketches.py) — the length/score outlier filter every
+    curation pipeline runs, built so the thresholds come from a
+    sketch instead of a full percentile pass: at 100 TB the p5/p95
+    cutoffs per source are read off persisted per-day sample
+    partials (quantile_merge), not recomputed over history.
+
+    keep = lo ≤ value ≤ hi with lo/hi the sketch's order-statistic
+    estimates at lo_ppm/hi_ppm (integer ceil-ranks, value
+    pass-throughs — the whole decision is exact arithmetic, so every
+    keep/drop bit is pinned by the cross-engine hash). Thresholds
+    join back broadcast (|groups|·2 rows). Output: (id, group,
+    value, lo, hi, keep)."""
+    from . import sketches as SK
+
+    sk = SK.quantile_sketch(df, group_col, value_col, id_col)
+    est = SK.quantile_estimate(sk, group_col,
+                               [int(lo_ppm), int(hi_ppm)])
+    bounds = (est.groupBy(group_col)
+              .agg(F.min(F.when(F.col("q_ppm") == int(lo_ppm),
+                                F.col("est"))).alias("lo"),
+                   F.min(F.when(F.col("q_ppm") == int(hi_ppm),
+                                F.col("est"))).alias("hi")))
+    out = (df.select(F.col(id_col), F.col(group_col),
+                     F.col(value_col).alias("value"))
+           .where(F.col("value").isNotNull())
+           .join(F.broadcast(bounds), group_col))
+    keep = (F.col("value") >= F.col("lo")) & \
+        (F.col("value") <= F.col("hi"))
+    return out.select(id_col, group_col, "value", "lo", "hi",
+                      keep.alias("keep"))

@@ -51,6 +51,20 @@ def _persist_bounded(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_sig_cache() -> None:
+    """Unpersist the bounded signature cache. The cache avoids
+    recomputing shingle/minhash signatures when one call feeds both
+    sides of a self-join (and across immediate re-runs); callers
+    that need a clean session afterwards — the bench's per-query
+    hygiene guard, long-lived services between jobs — release it
+    explicitly."""
+    while _SIG_CACHE:
+        try:
+            _SIG_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by content hash; keep the minimum id.

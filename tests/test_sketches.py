@@ -272,3 +272,27 @@ def test_quantile_sketch_skips_null_values(spark):
                   "key string, rid long, v double")
     rows = SK.quantile_sketch(df, "key", "v", "rid").collect()
     assert [(r["key"], r["val"]) for r in rows] == [("a", 5.0)]
+
+
+def test_quantile_filter_gates_per_group(spark):
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import curation as CU
+    # group "a": ramp 0..999 — p5/p95 cut the tails; group "b":
+    # constant value — everything kept
+    rows = [( "a", i, float(i)) for i in range(1000)] + \
+           [("b", 10_000 + i, 7.0) for i in range(50)]
+    df = arrow_df(spark, rows, "src string, rid long, v double")
+    out = CU.quantile_filter(df, "v", "rid", "src",
+                             lo_ppm=50000, hi_ppm=950000)
+    rows = out.collect()
+    assert len(rows) == 1050
+    a = [r for r in rows if r["src"] == "a"]
+    b = [r for r in rows if r["src"] == "b"]
+    assert all(r["keep"] for r in b)
+    lo = a[0]["lo"]; hi = a[0]["hi"]
+    # sketch thresholds approximate the true p5/p95 of 0..999
+    assert 0 < lo < 150 and 850 < hi < 999
+    kept = [r for r in a if r["keep"]]
+    assert all(lo <= r["value"] <= hi for r in kept)
+    dropped = [r for r in a if not r["keep"]]
+    assert all(r["value"] < lo or r["value"] > hi for r in dropped)
