@@ -660,3 +660,69 @@ def streaming_holt(stream_df: DataFrame, *, alpha: float = 0.25,
             .applyInPandasWithState(
                 fn, HOLT_SCHEMA, _HOLT_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+QUANTILES_SCHEMA = ("key string, sample_n int, p50 double,"
+                    " p90 double, p99 double")
+_QUANTILES_STATE_SCHEMA = "pris array<long>, vals array<double>"
+
+
+def streaming_quantiles(stream_df: DataFrame, *,
+                        k: int = 256,
+                        key_col: str = "key",
+                        value_col: str = "value",
+                        id_col: str = "id") -> DataFrame:
+    """Streaming per-key quantile tracking with BOUNDED state: the
+    same deterministic bottom-k priority sample as the batch
+    quantile sketch (operators/sketches.py quantile_sketch — md5(id)
+    priorities, computed JVM-side before the stateful operator), so
+    after any prefix of the stream the state EQUALS the batch sketch
+    over the rows seen so far and the emitted quantiles equal
+    quantile_estimate's (tests pin this equality, and restart
+    survival falls out of the checkpointed state). State per key is
+    ≤ k (pri, val) pairs forever — where an exact streaming
+    percentile would hoard every value.
+
+    Emits (key, sample_n, p50, p90, p99) per touched key per batch
+    (update mode): the sample order statistic at ceil(q·k'), the
+    estimator quantile_estimate uses."""
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            pris, vals = state.get
+            pairs = list(zip(pris, vals))
+        else:
+            pairs = []
+        for pdf in pdfs:
+            pairs.extend(zip((int(p) for p in pdf["pri"]),
+                             (float(v) for v in pdf["val"])))
+        # bottom-k by (pri, val) — the batch sketch's exact order
+        pairs.sort()
+        del pairs[k:]
+        state.update(([p for p, _ in pairs],
+                      [v for _, v in pairs]))
+        sn = len(pairs)
+        by_val = sorted((v, p) for p, v in pairs)
+
+        def q(ppm):
+            t = max(1, min((ppm * sn + 999999) // 1000000, sn))
+            return by_val[t - 1][0]
+
+        yield pd.DataFrame({
+            "key": [key[0]], "sample_n": [sn],
+            "p50": [q(500000)], "p90": [q(900000)],
+            "p99": [q(990000)]})
+
+    from ..operators.sketches import _row_priority
+
+    keyed = (stream_df
+             .where(F.col(value_col).isNotNull())
+             .select(F.col(key_col).alias("key"),
+                     _row_priority(F.col(id_col)).alias("pri"),
+                     F.col(value_col).cast("double").alias("val")))
+    return (keyed.groupBy("key")
+            .applyInPandasWithState(
+                fn, QUANTILES_SCHEMA, _QUANTILES_STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))

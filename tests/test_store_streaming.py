@@ -1171,3 +1171,65 @@ def test_append_local_matches_spark_writer(spark, tmp_path):
     ra = a.read(spark).orderBy("ts", "seq").collect()
     rb = b.read(spark).orderBy("ts", "seq").collect()
     assert ra == rb
+
+
+def test_streaming_quantiles_match_batch_across_restart(
+        spark, tmp_path):
+    """The streaming quantile tracker's state is the SAME
+    deterministic bottom-k priority sample as the batch sketch, so
+    after draining the stream — including across a checkpoint
+    restart between micro-batches — the last emitted quantiles per
+    key equal quantile_estimate over the batch sketch of everything
+    seen."""
+    from pyspark.sql import functions as FF
+
+    from siridb_server_spark.operators import sketches as SK
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "key string, id long, value double"
+    rows1 = [("a", i, float((i * 37) % 500)) for i in range(400)] + \
+            [("b", 10_000 + i, float(i)) for i in range(100)]
+    rows2 = [("a", 5_000 + i, float((i * 13) % 900))
+             for i in range(300)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def run_once(out_name):
+        out = str(tmp_path / out_name)
+
+        def sink(bdf, bid):
+            bdf.withColumn("bid", FF.lit(bid)) \
+                .write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (ST.streaming_quantiles(stream, key_col="key",
+                                    value_col="value", id_col="id")
+             .writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        res = spark.read.parquet(out)
+        last = res.orderBy("bid").collect()
+        return {r["key"]: (r["sample_n"], r["p50"], r["p90"],
+                           r["p99"])
+                for r in last}  # later bids overwrite earlier
+
+    write_batch(rows1)
+    run_once("out_q")
+    write_batch(rows2)
+    got = run_once("out_q")
+
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    sk = SK.quantile_sketch(batch_df, "key", "value", "id")
+    est = SK.quantile_estimate(sk, "key",
+                               [500000, 900000, 990000]).collect()
+    want = {}
+    for r in est:
+        sn, p = want.setdefault(r["key"], [r["sample_n"], {}])
+        p[r["q_ppm"]] = r["est"]
+    for key, (sn, p) in want.items():
+        assert got[key] == (sn, p[500000], p[900000], p[990000]), key
