@@ -3372,6 +3372,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_nb_confusion"] = text_nb_confusion
 
+    def text_hash_embed(spark, sf_dir):
+        """Feature-hashing document vectors (operators/text.py
+        hash_embed — the hashing trick): md5-bucketed ±1 signed
+        word counts in dim 64, one explode + one map-side-combined
+        groupBy. Model-free embeddings for prefiltering; EXACT
+        integers, the full matrix is the hashed contract."""
+        return TX.hash_embed(load(spark, sf_dir, "documents"))
+
+    q["text_hash_embed"] = text_hash_embed
+
+    def text_hash_embed_sim(spark, sf_dir):
+        """Cheap similarity search over the hash embeddings: top 20
+        neighbors of doc 0 by exact integer dot product (query
+        components broadcast onto the bucket index, one groupBy
+        sum). Composes with the int8/ANN serving stack; every
+        (doc_id, dot) pair is in the hash."""
+        return TX.hash_embed_neighbors(
+            load(spark, sf_dir, "documents"), query_id=0)
+
+    q["text_hash_embed_sim"] = text_hash_embed_sim
+
     q["text_quality_gate"] = lambda spark, sf_dir: TX.quality_gate(
         load(spark, sf_dir, "documents"))
 
@@ -5369,6 +5390,29 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) AS BIGINT) AS n"
         " FROM documents d JOIN pred p USING (doc_id)"
         " GROUP BY 1, 2")
+    # feature hashing: DuckDB rebuilds the md5 bucket/sign mapping
+    # and the signed-count sums; the neighbor entry replays the
+    # integer dot-product ranking
+    _he = (
+        "SELECT doc_id, CAST("
+        " CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % 64 AS BIGINT)"
+        " AS i,"
+        " CASE WHEN CAST(('0x' || substr(h, 16, 1)) AS BIGINT) < 8"
+        " THEN 1 ELSE -1 END AS s"
+        " FROM (SELECT doc_id, md5(word) AS h FROM ("
+        " SELECT doc_id, unnest(list_filter(string_split_regex("
+        "trim(lower(text)), '\\s+'), x -> x <> '')) AS word"
+        " FROM documents WHERE length(trim(text)) > 0))")
+    o["text_hash_embed"] = (
+        "SELECT doc_id, i, CAST(sum(s) AS BIGINT) AS v FROM ("
+        + _he + ") GROUP BY 1, 2")
+    o["text_hash_embed_sim"] = (
+        "WITH emb AS (SELECT doc_id, i, CAST(sum(s) AS BIGINT) AS v"
+        " FROM (" + _he + ") GROUP BY 1, 2),"
+        " qv AS (SELECT i, v AS qv FROM emb WHERE doc_id = 0)"
+        " SELECT e.doc_id, CAST(sum(e.v * qv.qv) AS BIGINT) AS dot"
+        " FROM emb e JOIN qv USING (i) WHERE e.doc_id <> 0"
+        " GROUP BY 1 ORDER BY dot DESC, e.doc_id LIMIT 20")
     # scalar quantization: DuckDB rebuilds the int8 codes from the
     # same floor(x·127/smax + 0.5) double expression (op order
     # fixed; sqrt/floor are IEEE-exact, unlike the banned ln/exp/

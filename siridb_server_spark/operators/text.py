@@ -1213,3 +1213,56 @@ def vocab_drift(old: DataFrame, new: DataFrame, k: int = 20,
                       F.lit(int(t_new)).alias("t_new"))
     return (scored.orderBy(F.col("dev").desc(), F.col("term"))
             .limit(k))
+
+
+def hash_embed(df: DataFrame, dim: int = 64,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Feature-hashing document vectors (the hashing trick,
+    Weinberger et al. 2009): each word lands in bucket
+    md5(word) mod dim with a ±1 sign from the next md5 nibble, and
+    the document vector is the signed count sum — a model-free
+    dense embedding good enough for near-dup prefiltering and cheap
+    clustering long before a learned encoder enters the pipeline.
+
+    One explode + one (doc, bucket) groupBy with map-side combine;
+    output is (doc_id, i, v) in long-exploded form — EXACT integers
+    derived from md5 string ops, so the whole embedding matrix is
+    cross-engine hashable (same determinism trick as the sketch
+    family). Assemble arrays with collect_list when feeding the
+    similarity operators; compose with similarity.scalar_quantize /
+    sq_topk for the serving path."""
+    w = F.filter(words(F.lower(F.trim(F.col(text_col)))),
+                 lambda x: x != "")
+    toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(w).alias("word")))
+    h = F.md5(F.col("word"))
+    idx = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
+        % F.lit(dim)
+    sign = F.when(F.conv(F.substring(h, 16, 1), 16, 10)
+                  .cast("int") < 8, F.lit(1)).otherwise(F.lit(-1))
+    return (toks.select("doc_id", idx.alias("i"),
+                        sign.alias("s"))
+            .groupBy("doc_id", "i")
+            .agg(F.sum("s").cast("long").alias("v")))
+
+
+def hash_embed_neighbors(df: DataFrame, query_id, dim: int = 64,
+                         k: int = 20, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Top-k neighbors of one document by EXACT integer dot product
+    over the hash embeddings — the cheap similarity search these
+    vectors exist for. The query's ≤dim nonzero components broadcast
+    to a hash join on the bucket index; the dot product is one
+    groupBy-sum of v·v products, ties to the smaller doc_id. All
+    integers — fully hashable. Output: (doc_id, dot)."""
+    emb = hash_embed(df, dim, text_col, id_col)
+    qv = (emb.where(F.col("doc_id") == query_id)
+          .select(F.col("i"), F.col("v").alias("qv")))
+    return (emb.where(F.col("doc_id") != query_id)
+            .join(F.broadcast(qv), "i")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+            .orderBy(F.col("dot").desc(), F.col("doc_id"))
+            .limit(k))

@@ -2171,3 +2171,43 @@ def test_sq_coarse_scores_are_exact_integers(spark):
     got = {r["vec_id"]: r["iscore"] for r in
            SIM.sq_coarse_scores(qdf, [127, 127, 127]).collect()}
     assert got == {1: 127 * 127 - 127 * 127 + 3 * 127, 2: 0}
+
+
+# ------------------------------------------------- feature hashing
+
+def test_hash_embed_signed_counts_and_bounds(spark):
+    from siridb_server_spark.localdf import arrow_df
+    df = arrow_df(spark, [(1, "cat cat dog"), (2, "cat"),
+                          (3, None), (4, "  ")],
+                  "doc_id long, text string")
+    rows = TX.hash_embed(df).collect()
+    assert all(0 <= r["i"] < 64 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["i"]] = r["v"]
+    assert set(by_doc) == {1, 2}          # empty/null docs drop
+    # same word, same bucket/sign everywhere: doc1's cat component
+    # is exactly twice doc2's (±1 if dog happens to share the bucket)
+    (cat_i, cat_v), = by_doc[2].items()
+    assert abs(cat_v) == 1
+    assert by_doc[1][cat_i] in (2 * cat_v - 1, 2 * cat_v,
+                                2 * cat_v + 1)
+
+
+def test_hash_embed_neighbors_ranks_shared_vocab(spark):
+    from siridb_server_spark.localdf import arrow_df
+    df = arrow_df(spark, [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),   # identical → max dot
+        (2, "alpha beta"),               # half overlap
+        (3, "zeta eta theta iota"),      # disjoint
+    ], "doc_id long, text string")
+    got = TX.hash_embed_neighbors(df, query_id=0, k=3).collect()
+    assert [r["doc_id"] for r in got][:2] == [1, 2]
+    dots = {r["doc_id"]: r["dot"] for r in got}
+    # bucket collisions can inflate the self-similarity (that's the
+    # hashing trick's bias), but ranking must hold: identical doc
+    # beats half-overlap beats disjoint
+    assert dots[1] > dots[2] > 0
+    assert dots.get(3, 0) < dots[2]
+    assert 0 not in dots                  # query excluded
