@@ -233,8 +233,54 @@ def _row_priority(id_expr):
                   16, 10).cast("long")
 
 
+#: pre-filter expectation multiple: keep ~PREF_MULT·k candidates
+#: per key before the window (failure odds exp(-k·(PREF_MULT−1)²/…)
+#: — astronomically small at 8×, and the fallback restores
+#: exactness regardless)
+PREF_MULT = 8
+
+
+def _bottomk_prefilter(rows: DataFrame, key_cols: list,
+                       k: int) -> DataFrame:
+    """Shrink ``rows`` (key..., pri, ...) to ~PREF_MULT·k candidate
+    rows per key WITHOUT changing the bottom-k: priorities are
+    uniform 60-bit hashes, so rows with pri < PREF_MULT·k/n · 2⁶⁰
+    number ~PREF_MULT·k per key, and whenever ≥ k survive they
+    provably contain the k smallest (anything outside is larger
+    than k candidates). This is what makes the sketch build scale:
+    the corpus-size pass is a partial-agg count + a filter; the
+    rank window only ever sorts the ~8k-row remnant — the full
+    table never flows through a per-key sort.
+
+    Exactness is CHECKED, not assumed: keys whose surviving count
+    fell below min(k, n) (possible only through astronomical hash
+    luck) are routed back through unfiltered — the output is the
+    exact bottom-k input either way."""
+    counts = rows.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"))
+    thr = F.when(
+        F.col("_n") <= F.lit(PREF_MULT * k),
+        F.lit(KMV_SPACE)).otherwise(
+        F.expr(f"CAST({KMV_SPACE} AS BIGINT) DIV _n")
+        * F.lit(PREF_MULT * k))
+    bounds = counts.select(*key_cols, F.col("_n"),
+                           thr.alias("_thr"))
+    cand = (rows.join(F.broadcast(bounds), key_cols)
+            .where(F.col("pri") < F.col("_thr")))
+    ok = (cand.groupBy(*key_cols)
+          .agg(F.count(F.lit(1)).alias("_c"))
+          .join(bounds.select(*key_cols, "_n"), key_cols)
+          .where(F.col("_c") >= F.least(F.lit(k), F.col("_n")))
+          .select(*key_cols))
+    good = cand.join(F.broadcast(ok), key_cols, "semi") \
+        .drop("_n", "_thr")
+    rescue = rows.join(F.broadcast(ok), key_cols, "anti")
+    return good.unionByName(rescue)
+
+
 def quantile_sketch(df: DataFrame, key_cols, value_col: str,
-                    id_col: str, k: int = QSK_K) -> DataFrame:
+                    id_col: str, k: int = QSK_K,
+                    prefilter: bool = True) -> DataFrame:
     """Per-key mergeable quantile sketch: the k rows with the
     smallest md5(id) priorities, carrying their values — a
     deterministic bottom-k priority sample (Duffield et al. 2007's
@@ -246,10 +292,13 @@ def quantile_sketch(df: DataFrame, key_cols, value_col: str,
     bottom-k lives inside the union of per-partial bottom-k — the
     KMV containment theorem applied to rows).
 
-    One windowed top-k per key — a single shuffle whose output is
-    ≤ |keys|·k rows however many rows went in. At 100 TB: build
-    per-day partials in each day's ingest pass, merge with
-    :func:`quantile_merge` at read time; history is never rescanned.
+    Scale shape: the corpus-size work is a partial-agg count plus a
+    priority threshold filter (:func:`_bottomk_prefilter`); the
+    rank window — a per-key SORT, the one thing that must never see
+    the full table — runs over the ~8k-row surviving candidates.
+    At 100 TB: build per-day partials in each day's ingest pass,
+    merge with :func:`quantile_merge` at read time; history is
+    never rescanned.
 
     Output: (key..., pos 1..k, pri, val). Ties (60-bit priority
     collisions) break deterministically on (val, pri)."""
@@ -261,6 +310,8 @@ def quantile_sketch(df: DataFrame, key_cols, value_col: str,
             .select(*key_cols,
                     _row_priority(F.col(id_col)).alias("pri"),
                     F.col(value_col).alias("val")))
+    if prefilter:
+        rows = _bottomk_prefilter(rows, key_cols, k)
     w = Window.partitionBy(*key_cols).orderBy("pri", "val")
     return (rows.withColumn("pos", F.row_number().over(w))
             .where(F.col("pos") <= k)

@@ -296,3 +296,22 @@ def test_quantile_filter_gates_per_group(spark):
     assert all(lo <= r["value"] <= hi for r in kept)
     dropped = [r for r in a if not r["keep"]]
     assert all(r["value"] < lo or r["value"] > hi for r in dropped)
+
+
+def test_quantile_prefilter_equals_unfiltered(spark):
+    from siridb_server_spark.localdf import arrow_df
+    # the threshold pre-filter must be invisible in the output —
+    # exact bottom-k either way (5000 rows/key > PREF_MULT·k = 2048,
+    # so the real thr < MAX branch is exercised)
+    df = _qdata(spark, n=20_000, keys=4)
+    fast = SK.quantile_sketch(df, "key", "v", "rid",
+                              prefilter=True)
+    slow = SK.quantile_sketch(df, "key", "v", "rid",
+                              prefilter=False)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    # small keys (n <= 8k) take the keep-all threshold branch
+    small = arrow_df(spark, [("s", i, float(i)) for i in range(40)],
+                     "key string, rid long, v double")
+    f2 = SK.quantile_sketch(small, "key", "v", "rid")
+    assert f2.count() == 40
