@@ -157,6 +157,12 @@ def kmv_sketch(df: DataFrame, key_cols, member_col: str,
               .select(*key_cols,
                       _kmv_hash(F.col(member_col)).alias("h"))
               .distinct())
+    # same scale shape as the quantile sketch: a priority-threshold
+    # prefilter keeps the rank window off the full distinct set
+    # (exact — see _bottomk_prefilter; defined below, resolved at
+    # call time)
+    hashes = _bottomk_prefilter(hashes, list(key_cols), k,
+                                pri_col="h")
     w = Window.partitionBy(*key_cols).orderBy("h")
     return (hashes.withColumn("pos", F.row_number().over(w))
             .where(F.col("pos") <= k)
@@ -241,7 +247,7 @@ PREF_MULT = 8
 
 
 def _bottomk_prefilter(rows: DataFrame, key_cols: list,
-                       k: int) -> DataFrame:
+                       k: int, pri_col: str = "pri") -> DataFrame:
     """Shrink ``rows`` (key..., pri, ...) to ~PREF_MULT·k candidate
     rows per key WITHOUT changing the bottom-k: priorities are
     uniform 60-bit hashes, so rows with pri < PREF_MULT·k/n · 2⁶⁰
@@ -266,7 +272,7 @@ def _bottomk_prefilter(rows: DataFrame, key_cols: list,
     bounds = counts.select(*key_cols, F.col("_n"),
                            thr.alias("_thr"))
     cand = (rows.join(F.broadcast(bounds), key_cols)
-            .where(F.col("pri") < F.col("_thr")))
+            .where(F.col(pri_col) < F.col("_thr")))
     ok = (cand.groupBy(*key_cols)
           .agg(F.count(F.lit(1)).alias("_c"))
           .join(bounds.select(*key_cols, "_n"), key_cols)
