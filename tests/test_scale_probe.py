@@ -113,6 +113,22 @@ BOUNDS = {
     # CDC chunking: row-local boundary kernel + per-chunk JVM hash,
     # one broadcast join to the doc dim — linear with bytes
     "dedup_cdc_tiling": K * 2,
+    # r9 second session: the bottom-k sketches are DESIGNED to stay
+    # flat — the threshold prefilter bounds the rank window at ~8k
+    # rows per key regardless of volume (measured 0.8–1.1 at K=8);
+    # a lost prefilter turns them into full per-key sorts
+    "sketch_quantile_sample": K * 1.25,
+    "sketch_kmv_values": K * 1.25,
+    # int8 ANN recall audit: linear integer-scan coarse pass +
+    # bounded rescore (measured 0.83)
+    "sim_sq_recall": K * 1.25,
+    # feature hashing / NB / WordPiece: row-linear token work
+    # (measured 1.6–2.1 on the saturated box)
+    "text_hash_embed": K * 2,
+    "text_nb_confusion": K * 2,
+    "text_wordpiece_tiling": K * 2,
+    # sketch-driven gate: sketch build + broadcast threshold join
+    "curation_quantile_filter": K * 1.25,
 }
 
 
