@@ -3393,6 +3393,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_hash_embed_sim"] = text_hash_embed_sim
 
+    def text_hash_embed_tfidf(spark, sf_dir):
+        """TF-IDF-weighted feature hashing (operators/text.py
+        hash_embed_tfidf): each word contributes
+        sign·tf·(fixlog2(N) − fixlog2(df)) — the exact fixed-point
+        log₂(N/df), so rare terms dominate like real tf-idf while
+        the whole matrix stays integer and hashable. Two partial
+        aggregates + one vocab-sized hash join."""
+        return TX.hash_embed_tfidf(load(spark, sf_dir, "documents"))
+
+    q["text_hash_embed_tfidf"] = text_hash_embed_tfidf
+
     q["text_quality_gate"] = lambda spark, sf_dir: TX.quality_gate(
         load(spark, sf_dir, "documents"))
 
@@ -5413,6 +5424,29 @@ def oracle_sql() -> dict[str, str]:
         " SELECT e.doc_id, CAST(sum(e.v * qv.qv) AS BIGINT) AS dot"
         " FROM emb e JOIN qv USING (i) WHERE e.doc_id <> 0"
         " GROUP BY 1 ORDER BY dot DESC, e.doc_id LIMIT 20")
+    # tf-idf-weighted variant: same bucket/sign mapping, weights
+    # tf·(fixlog2(N) − fixlog2(df)) — the fixlog2 spelled with
+    # bin()/<<// exactly like the NB confusion oracle
+    o["text_hash_embed_tfidf"] = (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "string_split_regex(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')) AS word FROM documents"
+        " WHERE length(trim(text)) > 0),"
+        " nd AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),"
+        " dfreq AS (SELECT word, count(DISTINCT doc_id) AS df"
+        " FROM toks GROUP BY 1),"
+        " tf AS (SELECT doc_id, word, count(*) AS tf FROM toks"
+        " GROUP BY 1, 2),"
+        " j AS (SELECT t.doc_id, md5(t.word) AS h, t.tf,"
+        " (" + _fix.format(x="nd.nd") + " - "
+        + _fix.format(x="d.df") + ") AS idf"
+        " FROM tf t JOIN dfreq d USING (word) CROSS JOIN nd)"
+        " SELECT doc_id, CAST(CAST(('0x' || substr(h, 1, 15))"
+        " AS BIGINT) % 64 AS BIGINT) AS i,"
+        " CAST(sum((CASE WHEN CAST(('0x' || substr(h, 16, 1))"
+        " AS BIGINT) < 8 THEN 1 ELSE -1 END) * tf * idf)"
+        " AS BIGINT) AS v"
+        " FROM j GROUP BY 1, 2")
     # scalar quantization: DuckDB rebuilds the int8 codes from the
     # same floor(x·127/smax + 0.5) double expression (op order
     # fixed; sqrt/floor are IEEE-exact, unlike the banned ln/exp/

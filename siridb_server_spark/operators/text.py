@@ -1266,3 +1266,45 @@ def hash_embed_neighbors(df: DataFrame, query_id, dim: int = 64,
             .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
             .orderBy(F.col("dot").desc(), F.col("doc_id"))
             .limit(k))
+
+
+def hash_embed_tfidf(df: DataFrame, dim: int = 64,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF-weighted feature hashing: like :func:`hash_embed` but
+    each word contributes sign·tf·idf_fix instead of a raw signed
+    count, with idf_fix = fixlog2(N) − fixlog2(df_w) — the exact
+    fixed-point log₂(N/df) (operators/classify.py fixlog2, read off
+    the binary string, no libm). The embedding stays ALL integers
+    and cross-engine hashable while rare terms dominate common ones
+    the way real tf-idf vectors behave.
+
+    Two map-side-combined aggregates (document frequencies, then the
+    weighted bucket sums) + one hash join of the token stream
+    against the |vocab|-row df table — AQE broadcasts it whenever
+    the vocabulary fits. Output: (doc_id, i, v) longs."""
+    from .classify import fixlog2
+
+    w = F.filter(words(F.lower(F.trim(F.col(text_col)))),
+                 lambda x: x != "")
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    toks = base.select(F.col(id_col).alias("doc_id"),
+                       F.explode(w).alias("word"))
+    n_docs = base.select(
+        F.count_distinct(F.col(id_col)).alias("nd"))
+    dfreq = (toks.select("doc_id", "word").distinct()
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).alias("df")))
+    tf = (toks.groupBy("doc_id", "word")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    h = F.md5(F.col("word"))
+    idx = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
+        % F.lit(dim)
+    sign = F.when(F.conv(F.substring(h, 16, 1), 16, 10)
+                  .cast("int") < 8, F.lit(1)).otherwise(F.lit(-1))
+    idf = fixlog2(F.col("nd")) - fixlog2(F.col("df"))
+    return (tf.join(dfreq, "word").crossJoin(F.broadcast(n_docs))
+            .select("doc_id", idx.alias("i"),
+                    (sign * F.col("tf") * idf).alias("t"))
+            .groupBy("doc_id", "i")
+            .agg(F.sum("t").cast("long").alias("v")))

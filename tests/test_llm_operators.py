@@ -2211,3 +2211,27 @@ def test_hash_embed_neighbors_ranks_shared_vocab(spark):
     assert dots[1] > dots[2] > 0
     assert dots.get(3, 0) < dots[2]
     assert 0 not in dots                  # query excluded
+
+
+def test_hash_embed_tfidf_weights_rare_terms(spark):
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators.classify import FIXLOG_B
+    # "common" in every doc → idf_fix = fixlog2(3) - fixlog2(3) = 0,
+    # so it contributes NOTHING; "rare" (df=1) carries weight
+    # fixlog2(3) - fixlog2(1) = fixlog2(3)
+    df = arrow_df(spark, [
+        (1, "common rare"),
+        (2, "common"),
+        (3, "common common"),
+    ], "doc_id long, text string")
+    rows = TX.hash_embed_tfidf(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["i"]] = r["v"]
+    fix3 = (3 .bit_length() - 1) * (1 << FIXLOG_B) + \
+        ((3 << FIXLOG_B) // 2) - (1 << FIXLOG_B)
+    # docs 2 and 3: only the zero-idf common term → all-zero vectors
+    assert all(v == 0 for v in by_doc.get(2, {}).values())
+    assert all(v == 0 for v in by_doc.get(3, {}).values())
+    nz = [v for v in by_doc[1].values() if v != 0]
+    assert len(nz) == 1 and abs(nz[0]) == fix3
