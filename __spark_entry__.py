@@ -3340,6 +3340,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_sq_recall"] = sim_sq_recall
 
+    def sim_ivf_sq_topk(spark, sf_dir):
+        """IVF + int8 composition (operators/similarity.py
+        ivf_sq_topk — the FAISS IVF-SQ8 serving shape): label-cell
+        centroids ranked on the driver, int8 coarse scan inside the
+        3 probed cells only, exact cosine rescore of the top 40.
+        Partition pruning × ¼ code width × bounded float work. The
+        oracle replays cells, codes, coarse ranking, and rescore
+        entirely in SQL — the full-value contract, same as
+        sim_ivf_topk."""
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        return SIM.ivf_sq_topk(emb, _query_vec(spark, sf_dir),
+                               k=10, nprobe=3, rerank=4)
+
+    q["sim_ivf_sq_topk"] = sim_ivf_sq_topk
+
     def text_nb_model(spark, sf_dir):
         """Multinomial Naive Bayes training
         (operators/classify.py): the per-(language, term) token
@@ -5258,6 +5274,55 @@ def oracle_sql() -> dict[str, str]:
         " FROM e, (SELECT embedding AS qe FROM embeddings"
         " WHERE vec_id = 0) q"
         " WHERE e.label IN (SELECT label FROM probes)),"
+        " s AS (SELECT vec_id, sum(x * y) AS d, sum(x * x) AS na,"
+        " sum(y * y) AS nb FROM prod GROUP BY 1)"
+        " SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 6)"
+        " + 0.0 AS cos FROM s"
+        " ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10"
+    )
+    # IVF-SQ8: the sim_ivf_topk probe CTEs + the int8 code CTEs,
+    # composed — cells ranked by centroid cosine, integer coarse
+    # top-40 inside the probed cells, exact rescore
+    o["sim_ivf_sq_topk"] = (
+        "WITH e AS (SELECT vec_id, label, embedding FROM embeddings"
+        " WHERE vec_id <> 0),"
+        " pos AS (SELECT label, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, unnest(range(1, len(embedding) + 1)) AS i FROM e),"
+        " cent AS (SELECT label, i, avg(x) AS c FROM pos"
+        " GROUP BY 1, 2),"
+        " qv AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS y,"
+        " unnest(range(1, len(embedding) + 1)) AS i FROM embeddings"
+        " WHERE vec_id = 0),"
+        " cd AS (SELECT label, sum(c * y) AS d, sum(c * c) AS na,"
+        " sum(y * y) AS nb FROM cent JOIN qv USING (i) GROUP BY 1),"
+        " probes AS (SELECT label FROM cd"
+        " ORDER BY d / (sqrt(na) * sqrt(nb)) DESC LIMIT 3),"
+        " sub AS (SELECT * FROM e WHERE label IN"
+        " (SELECT label FROM probes)),"
+        " m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS s FROM"
+        " (SELECT unnest(embedding) AS x FROM e)),"
+        " xc AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, CAST(unnest(range(len(embedding))) AS INT) AS i"
+        " FROM sub),"
+        " qc AS (SELECT vec_id, i,"
+        " CAST(floor(x * 127.0 / m.s + 0.5) AS INT) AS q"
+        " FROM xc, m),"
+        " xq AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(range(len(embedding))) AS INT) AS i"
+        " FROM embeddings WHERE vec_id = 0),"
+        " q0 AS (SELECT i, GREATEST(-127, LEAST(127,"
+        " CAST(floor(x * 127.0 / m.s + 0.5) AS INT))) AS q"
+        " FROM xq, m),"
+        " sc AS (SELECT c.vec_id,"
+        " sum(CAST(c.q AS BIGINT) * q0.q) AS iscore"
+        " FROM qc c JOIN q0 USING (i) GROUP BY 1),"
+        " cand AS (SELECT vec_id FROM sc"
+        " ORDER BY iscore DESC, vec_id LIMIT 40),"
+        " prod AS (SELECT s2.vec_id,"
+        " CAST(unnest(s2.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(q.embedding) AS DOUBLE) AS y"
+        " FROM sub s2 JOIN cand USING (vec_id), embeddings q"
+        " WHERE q.vec_id = 0),"
         " s AS (SELECT vec_id, sum(x * y) AS d, sum(x * x) AS na,"
         " sum(y * y) AS nb FROM prod GROUP BY 1)"
         " SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 6)"

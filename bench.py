@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "sim_semdedup",
     "sim_mmr",
     "sim_sq_recall",
+    "sim_ivf_sq_topk",
     "multimodal_meta",
     "curation_dsir",
     # window time-series + corpus statistics

@@ -899,3 +899,42 @@ def sq_topk(emb: DataFrame, query_vec, k: int = 10,
             .select(id_col))
     kept = emb.join(F.broadcast(cand), id_col)
     return brute_force_topk(kept, query_vec, k, vec_col, id_col)
+
+
+def ivf_sq_topk(emb: DataFrame, query_vec, k: int = 10,
+                nprobe: int = 3, rerank: int = 4,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id",
+                label_col: str = "label") -> DataFrame:
+    """IVF + int8 composition (the FAISS IVF-SQ8 serving shape):
+    rank coarse cells by centroid cosine on the driver, then inside
+    ONLY the probed cells run the int8 coarse scan
+    (:func:`sq_coarse_scores` — exact int64 multiply-adds over
+    4×-smaller codes) and rescore the top k·rerank candidates at
+    full precision. Three multiplicative savings stack: partition
+    pruning (nprobe/|cells| of the corpus), code width (¼ the
+    bytes), and float work bounded at k·rerank rows. Same output
+    contract as brute_force_topk; at 100 TB the cells are parquet
+    partitions and the probe filter is directory pruning."""
+    q = [float(x) for x in query_vec]
+    cents = [(r[label_col], list(r["centroid"])) for r in
+             label_centroids(emb, vec_col, label_col).collect()]
+
+    def py_cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(cents, key=lambda cv: -py_cos(cv[1], q))
+    probes = [cid for cid, _ in ranked[:nprobe]]
+    sub = emb.where(F.col(label_col).isin(probes))
+    scale = sq_scale(emb, vec_col)
+    qdf = scalar_quantize(sub, scale, vec_col, id_col)
+    qcodes = quantize_query(q, scale)
+    cand = (sq_coarse_scores(qdf, qcodes, id_col)
+            .orderBy(F.col("iscore").desc(), F.col(id_col))
+            .limit(k * rerank)
+            .select(id_col))
+    kept = sub.join(F.broadcast(cand), id_col)
+    return brute_force_topk(kept, q, k, vec_col, id_col)

@@ -2235,3 +2235,19 @@ def test_hash_embed_tfidf_weights_rare_terms(spark):
     assert all(v == 0 for v in by_doc.get(3, {}).values())
     nz = [v for v in by_doc[1].values() if v != 0]
     assert len(nz) == 1 and abs(nz[0]) == fix3
+
+
+def test_ivf_sq_topk_matches_ivf_on_probed_cells(spark):
+    # with the same probed cells, the int8 coarse + rescore path
+    # must recover the float IVF result (rescore is full precision)
+    from siridb_server_spark.sources.testdata import load
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where("vec_id <> 0")
+    q = [float(x) for x in
+         load(spark, "/root/testdata/sf0.001", "embeddings")
+         .where("vec_id = 0").first()["embedding"]]
+    sq = [(r["vec_id"], r["cos"]) for r in
+          SIM.ivf_sq_topk(emb, q, k=5, nprobe=3).collect()]
+    flt = [(r["vec_id"], r["cos"]) for r in
+           SIM.ivf_topk(emb, q, k=5, nprobe=3).collect()]
+    assert sq == flt
