@@ -3420,6 +3420,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_hash_embed_tfidf"] = text_hash_embed_tfidf
 
+    def text_quality_percentile(spark, sf_dir):
+        """Within-source rank normalization of the quality logit
+        (operators/text.py quality_percentile): curation thresholds
+        set on per-source percentiles instead of raw scores. Ranks
+        on the already-exact z_micro with doc_id ties —
+        pct_ppm = (rank−1)·10⁶ div (n−1), integers end to end."""
+        return TX.quality_percentile(load(spark, sf_dir,
+                                          "documents"))
+
+    q["text_quality_percentile"] = text_quality_percentile
+
     q["text_quality_gate"] = lambda spark, sf_dir: TX.quality_gate(
         load(spark, sf_dir, "documents"))
 
@@ -4398,6 +4409,27 @@ def oracle_sql() -> dict[str, str]:
         f" {_QTERM('zv')} >= 0 AS keep"
         " FROM z"
     )
+    # within-source percentile of the same z_micro: rank with
+    # doc_id ties, (rank−1)·10⁶ // (n−1) — integer replay of the
+    # quality-score CTE plus one window
+    o["text_quality_percentile"] = (
+        o["text_quality_score"]
+        .replace(" SELECT doc_id,", " , zm AS (SELECT f2.doc_id,"
+                 " d.source,", 1)
+        .replace(" FROM z",
+                 " FROM z f2 JOIN documents d ON f2.doc_id ="
+                 " d.doc_id)"
+                 " SELECT doc_id, source,"
+                 " CAST(row_number() OVER (PARTITION BY source"
+                 " ORDER BY z_micro DESC, doc_id) AS BIGINT)"
+                 " AS rank,"
+                 " CAST(count(*) OVER (PARTITION BY source)"
+                 " AS BIGINT) AS n,"
+                 " CAST((row_number() OVER (PARTITION BY source"
+                 " ORDER BY z_micro DESC, doc_id) - 1) * 1000000"
+                 " // GREATEST(count(*) OVER (PARTITION BY source)"
+                 " - 1, 1) AS BIGINT) AS pct_ppm"
+                 " FROM zm WHERE z_micro IS NOT NULL", 1))
 
     o["tpch_q15ish"] = (
         "WITH rev AS (SELECT l_suppkey,"

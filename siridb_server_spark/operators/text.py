@@ -1308,3 +1308,40 @@ def hash_embed_tfidf(df: DataFrame, dim: int = 64,
                     (sign * F.col("tf") * idf).alias("t"))
             .groupBy("doc_id", "i")
             .agg(F.sum("t").cast("long").alias("v")))
+
+
+def quality_percentile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       group_col: str = "source") -> DataFrame:
+    """Per-group rank normalization of the quality logit: the raw
+    quality score means different things in different sources (a
+    mid-tier web doc outranks a mid-tier forum post), so curation
+    thresholds are usually set on the WITHIN-SOURCE percentile. Rank
+    on the micro-quantized logit z_micro (already integer and
+    cross-engine exact), ties to the smaller doc_id;
+    pct_ppm = (rank−1)·10⁶ div max(n−1, 1) — exact integers end to
+    end.
+
+    The window is a per-group sort — fine for gate-sized data and
+    for per-source partitions at scale; when a group outgrows one
+    task, the sketch path (curation.quantile_filter) serves the
+    same thresholds without the sort. Output: (doc_id, group, rank,
+    n, pct_ppm); empty/NULL docs (NULL z) are excluded."""
+    from pyspark.sql import Window
+
+    scores = quality_score_linear(df, text_col, id_col) \
+        .select(id_col, "z_micro")
+    base = df.select(F.col(id_col), F.col(group_col)) \
+        .join(scores, id_col) \
+        .where(F.col("z_micro").isNotNull())
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("z_micro").desc(), F.col(id_col))
+    wn = Window.partitionBy(group_col)
+    out = (base.withColumn("rank", F.row_number().over(w))
+           .withColumn("n", F.count(F.lit(1)).over(wn)))
+    pct = F.expr("(CAST(rank - 1 AS BIGINT) * 1000000)"
+                 " div greatest(n - 1, 1)")
+    return out.select(id_col, group_col,
+                      F.col("rank").cast("long").alias("rank"),
+                      F.col("n").cast("long").alias("n"),
+                      pct.alias("pct_ppm"))

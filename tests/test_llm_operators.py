@@ -2251,3 +2251,30 @@ def test_ivf_sq_topk_matches_ivf_on_probed_cells(spark):
     flt = [(r["vec_id"], r["cos"]) for r in
            SIM.ivf_topk(emb, q, k=5, nprobe=3).collect()]
     assert sq == flt
+
+
+def test_quality_percentile_rank_semantics(spark):
+    from siridb_server_spark.localdf import arrow_df
+    # src a: three docs with clearly ordered quality (stopword-rich
+    # long text ranks above punctuation junk); src b: one doc
+    df = arrow_df(spark, [
+        (1, "a", "the cat and the dog went to the park and it is"
+         " a very fine day for all of the animals to play"),
+        (2, "a", "!!! ??? ### $$$ %%% ^^^ &&&"),
+        (3, "a", "the quick fox and the hen"),
+        (4, "b", "only doc here"),
+        (5, "b", None),
+    ], "doc_id long, source string, text string")
+    rows = {r["doc_id"]: r for r in
+            TX.quality_percentile(df).collect()}
+    assert 5 not in rows                       # NULL text excluded
+    a = [rows[i] for i in (1, 2, 3)]
+    assert all(r["n"] == 3 for r in a)
+    # the logit is stopword-DENSITY driven: the short stopword-dense
+    # doc 3 outranks the long doc 1; punctuation junk ranks last
+    assert rows[3]["rank"] == 1 and rows[3]["pct_ppm"] == 0
+    assert rows[1]["rank"] == 2 and rows[1]["pct_ppm"] == 500000
+    assert rows[2]["rank"] == 3 and rows[2]["pct_ppm"] == 1000000
+    # singleton group: rank 1 of 1, pct 0 (div by max(n-1,1))
+    assert (rows[4]["rank"], rows[4]["n"], rows[4]["pct_ppm"]) == \
+        (1, 1, 0)
