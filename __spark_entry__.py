@@ -531,6 +531,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_quantile_filter"] = curation_quantile_filter
 
+    def corpus_skew_report(spark, sf_dir):
+        """Join-key skew diagnostics (operators/curation.py
+        skew_report): the 10 heaviest event_type|user_id series
+        keys with exact row counts and ppm shares — the pre-join
+        check that decides salting/capping/broadcast at scale.
+        NULL keys surface as their own row."""
+        ev = load(spark, sf_dir, "events")
+        keyed = ev.select(F.concat_ws(
+            "|", F.col("event_type"),
+            F.col("user_id").cast("string")).alias("series"))
+        return CU.skew_report(keyed, "series")
+
+    q["corpus_skew_report"] = corpus_skew_report
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -3913,6 +3927,16 @@ def oracle_sql() -> dict[str, str]:
         " FROM tgt t JOIN rv ON rv.event_type = t.event_type"
         " AND rv.pos = t.tpos")
     o["sketch_quantile_estimates"] = _qsk_est
+    # skew report: exact counts + integer ppm shares, ties to key
+    o["corpus_skew_report"] = (
+        "WITH c AS (SELECT event_type || '|' ||"
+        " CAST(user_id AS VARCHAR) AS key, count(*) AS n"
+        " FROM events GROUP BY 1),"
+        " t AS (SELECT sum(n) AS t FROM c)"
+        " SELECT key, CAST(n AS BIGINT) AS n,"
+        " CAST(t.t AS BIGINT) AS total,"
+        " CAST(n * 1000000 // t.t AS BIGINT) AS share_ppm"
+        " FROM c, t ORDER BY n DESC, key LIMIT 10")
     # sketch-driven curation gate: the same bottom-k construction
     # per source over n_chars, estimates at 50k/950k ppm, keep bits
     # replayed exactly

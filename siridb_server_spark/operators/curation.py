@@ -549,3 +549,28 @@ def quantile_filter(df: DataFrame, value_col: str, id_col: str,
         (F.col("value") <= F.col("hi"))
     return out.select(id_col, group_col, "value", "lo", "hi",
                       keep.alias("keep"))
+
+
+def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Join/group-key skew diagnostics: the k heaviest values of a
+    key column with their row counts and corpus share in ppm — the
+    number you check BEFORE a corpus-scale join or groupBy ships,
+    because one key holding 30% of the rows means one straggler
+    task (the cue to salt, cap, or broadcast). One
+    map-side-combined count + a top-k over the |distinct|-sized
+    result; share_ppm is exact integer arithmetic
+    (count·10⁶ div total). NULL keys are reported as their own row
+    (they hash to one partition like any other value — the classic
+    silent skew). Output: (key string, n, total, share_ppm)."""
+    from pyspark.sql import Window
+
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("t"))
+    ranked = (counts.crossJoin(F.broadcast(total))
+              .withColumn("share_ppm",
+                          F.expr("n * 1000000 div t"))
+              .orderBy(F.col("n").desc(), "key")
+              .limit(k))
+    return ranked.select("key", "n", F.col("t").alias("total"),
+                         "share_ppm")

@@ -2278,3 +2278,16 @@ def test_quality_percentile_rank_semantics(spark):
     # singleton group: rank 1 of 1, pct 0 (div by max(n-1,1))
     assert (rows[4]["rank"], rows[4]["n"], rows[4]["pct_ppm"]) == \
         (1, 1, 0)
+
+
+def test_skew_report_counts_shares_and_nulls(spark):
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import curation as CU
+    df = arrow_df(spark, [("hot",)] * 6 + [("warm",)] * 3 +
+                  [(None,)], "k string")
+    rows = CU.skew_report(df, "k", k=2).collect()
+    assert [(r["key"], r["n"], r["total"], r["share_ppm"])
+            for r in rows] == [("hot", 6, 10, 600000),
+                               ("warm", 3, 10, 300000)]
+    all_rows = CU.skew_report(df, "k", k=10).collect()
+    assert any(r["key"] is None and r["n"] == 1 for r in all_rows)
