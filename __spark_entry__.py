@@ -545,6 +545,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_skew_report"] = corpus_skew_report
 
+    def corpus_datacard(spark, sf_dir):
+        """One-row corpus data card — the summary panel a training
+        run records next to its data snapshot: sizes, source/lang
+        diversity, exact-dup volume, quality keep count. Pure
+        composition of existing contracts (counts, whitespace
+        tokens, md5 exact-dup groups, the z_micro quality gate),
+        all exact integers; three bounded aggregates crossJoined
+        into the single row."""
+        docs = load(spark, sf_dir, "documents")
+        base = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.length(F.trim("text")) > 0, 1)
+                  .otherwise(0)).alias("n_nonempty"),
+            F.count_distinct("source").alias("n_sources"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(F.length("text")).cast("long")
+            .alias("total_chars"),
+            F.sum(TX.token_count(F.col("text")))
+            .cast("long").alias("total_tokens"))
+        dup = (docs.where(F.col("text").isNotNull())
+               .groupBy(F.md5("text").alias("h"))
+               .agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.coalesce(F.sum(F.when(F.col("c") > 1,
+                                            F.col("c"))),
+                               F.lit(0)).cast("long")
+                    .alias("dup_docs")))
+        keep = (TX.quality_score_linear(docs)
+                .agg(F.sum(F.when(F.col("z_micro") >= 0, 1)
+                           .otherwise(0)).cast("long")
+                     .alias("quality_keep")))
+        return base.crossJoin(F.broadcast(dup)) \
+            .crossJoin(F.broadcast(keep))
+
+    q["corpus_datacard"] = corpus_datacard
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -4455,6 +4490,41 @@ def oracle_sql() -> dict[str, str]:
                  " - 1, 1) AS BIGINT) AS pct_ppm"
                  " FROM zm WHERE z_micro IS NOT NULL", 1))
 
+    # data card: scalar subqueries over the same proven fragments
+    # (whitespace tokens, md5 dup groups, the z_micro gate via the
+    # _QSZ/_QTERM helpers used by text_quality_score)
+    o["corpus_datacard"] = (
+        "WITH f AS (SELECT doc_id,"
+        " CAST(length(text) AS DOUBLE) AS n_chars,"
+        " CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END"
+        " AS DOUBLE) AS n_tokens,"
+        " len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,"
+        " (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'"
+        " THEN 1 ELSE 0 END + CASE WHEN ' ' || lower(text) || ' '"
+        " LIKE '% and %' THEN 1 ELSE 0 END + CASE WHEN ' ' ||"
+        " lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END +"
+        " CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %'"
+        " THEN 1 ELSE 0 END + CASE WHEN ' ' || lower(text) || ' '"
+        " LIKE '% is %' THEN 1 ELSE 0 END) AS n_stop"
+        " FROM documents),"
+        f" z AS (SELECT doc_id, {_QSZ} AS zv FROM f),"
+        " d AS (SELECT md5(text) AS h, count(*) AS c"
+        " FROM documents WHERE text IS NOT NULL GROUP BY 1)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0"
+        " END) AS BIGINT) AS n_nonempty,"
+        " CAST(count(DISTINCT source) AS BIGINT) AS n_sources,"
+        " CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,"
+        " CAST(sum(length(text)) AS BIGINT) AS total_chars,"
+        " CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+        " len(string_split_regex(trim(text), '\\s+')) END)"
+        " AS BIGINT) AS total_tokens,"
+        " CAST((SELECT coalesce(sum(CASE WHEN c > 1 THEN c END), 0)"
+        " FROM d) AS BIGINT) AS dup_docs,"
+        f" CAST((SELECT sum(CASE WHEN {_QTERM('zv')} >= 0"
+        " THEN 1 ELSE 0 END) FROM z) AS BIGINT) AS quality_keep"
+        " FROM documents")
     o["tpch_q15ish"] = (
         "WITH rev AS (SELECT l_suppkey,"
         f" round({_SC6('l_extendedprice * (1 - l_discount)')}"
