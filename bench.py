@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "text_chunking",
     "text_sentences",
     "text_nb_confusion",
+    "text_hash_embed_tfidf",
+    "text_quality_percentile",
     "sim_label_centroids",
     "sim_standardize",
     # round-5 additions: capped exact join, mixture weights, packing,
@@ -110,6 +112,7 @@ BENCH_QUERIES = [
     "sketch_hll_registers",
     "sketch_kmv_values",
     "sketch_quantile_sample",
+    "curation_quantile_filter",
     "eval_retrieval_metrics",
     "curation_corpus_diff",
     "text_vocab_drift",

@@ -328,3 +328,63 @@ def test_scaled_term_mean_sql_matches_python_fold(xs):
     expect = (2 * s + n) // (2 * n) if s >= 0 \
         else -((-s * 2 + n) // (2 * n))
     assert got == expect
+
+
+@given(n=st.integers(1, 2 ** 31 - 1))
+@settings(max_examples=500, deadline=None)
+def test_fixlog2_pure_python_model(n):
+    """fixlog2's driver-side model: exponent + 16-bit linear
+    mantissa must bracket 2^16·log2(n) from below by at most
+    0.0862 bit (chord gap + truncation), be monotone, and be exact
+    at powers of two."""
+    import math
+
+    e = n.bit_length() - 1
+    fix = e * 65536 + ((n << 16) // (1 << e)) - 65536
+    err = fix / 65536 - math.log2(n)
+    assert -0.0862 <= err <= 0.0
+    if n & (n - 1) == 0:
+        assert fix == e * 65536
+    # monotone: next integer never maps lower
+    e2 = (n + 1).bit_length() - 1
+    fix2 = e2 * 65536 + (((n + 1) << 16) // (1 << e2)) - 65536
+    assert fix2 >= fix
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 2 ** 60 - 1),
+                               st.floats(-1e6, 1e6)),
+                     min_size=0, max_size=400),
+       k=st.integers(1, 64),
+       nparts=st.integers(1, 7))
+@settings(max_examples=200, deadline=None)
+def test_bottomk_merge_theorem_model(rows, k, nparts):
+    """The quantile/KMV merge theorem on the pure-Python model:
+    bottom-k of arbitrary partials' bottom-k equals the one-shot
+    bottom-k, for any partitioning."""
+    def bottomk(pairs):
+        return sorted(pairs)[:k]
+
+    direct = bottomk(rows)
+    parts = [rows[i::nparts] for i in range(nparts)]
+    merged = bottomk([p for part in parts for p in bottomk(part)])
+    assert merged == direct
+
+
+@given(xs=st.lists(st.floats(-1e3, 1e3, allow_nan=False),
+                   min_size=1, max_size=64),
+       smax=st.floats(0.1, 1e3))
+@settings(max_examples=300, deadline=None)
+def test_sq_code_model_bounds_and_roundtrip(xs, smax):
+    """Scalar-quantization model: codes of in-range values stay in
+    [-128, 128] (floor(x·127/s + .5) hits ±127 only at |x| ≤ s…
+    clamp applies to queries), and dequantization error is within
+    half a step for |x| ≤ smax."""
+    import math
+
+    lim = 127
+    for x in xs:
+        c = math.floor(x * lim / smax + 0.5)
+        if abs(x) <= smax:
+            assert -lim - 1 <= c <= lim + 1
+            # half-step dequant bound
+            assert abs(c * smax / lim - x) <= smax / lim / 2 + 1e-9
