@@ -315,3 +315,58 @@ def test_quantile_prefilter_equals_unfiltered(spark):
                      "key string, rid long, v double")
     f2 = SK.quantile_sketch(small, "key", "v", "rid")
     assert f2.count() == 40
+
+
+def test_quantile_sketch_differential_random_frames(spark, tmp_path):
+    """Differential check on RANDOM data (the fixed-corpus oracle
+    gate can miss data-dependent divergence): random frames with
+    adversarial doubles (±0.0, ±inf, NaN, denormals, ties) must
+    produce byte-identical sketches and estimates in Spark and
+    DuckDB. Deterministic seed — failures reproduce."""
+    import math
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xC0FFEE)
+    special = [0.0, -0.0, float("inf"), float("-inf"),
+               float("nan"), 5e-324, -5e-324, 1e308, 27.0]
+
+    def rand_rows(n):
+        rows = []
+        for i in range(n):
+            r = rng.random()
+            v = (rng.choice(special) if r < 0.3
+                 else rng.uniform(-1e6, 1e6) if r < 0.9
+                 else float(rng.randint(-5, 5)))  # ties
+            rows.append((str(rng.randint(0, 2)), i, v))
+        return rows
+
+    qsk_sql = (
+        "WITH s AS (SELECT key, val,"
+        " CAST(('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 15))"
+        " AS BIGINT) AS pri FROM t WHERE val IS NOT NULL),"
+        " r AS (SELECT key, pri, val, row_number() OVER"
+        " (PARTITION BY key ORDER BY pri, val) AS pos FROM s)"
+        " SELECT key, CAST(pos AS INT) AS pos, pri, val FROM r"
+        " WHERE pos <= 256")
+
+    def norm(v):
+        if isinstance(v, float) and math.isnan(v):
+            return "nan"
+        return v
+
+    for trial in range(5):
+        rows = rand_rows(400)
+        df = spark.createDataFrame(rows,
+                                   "key string, rid long, val double")
+        got = sorted(tuple(norm(c) for c in r) for r in
+                     SK.quantile_sketch(df, "key", "val", "rid")
+                     .collect())
+        pq = str(tmp_path / f"t{trial}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(pq)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW t AS SELECT * FROM '{pq}/*.parquet'")
+        want = sorted(tuple(norm(c) for c in r) for r in
+                      con.sql(qsk_sql).fetchall())
+        assert got == want, f"trial {trial}"
