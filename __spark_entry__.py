@@ -536,10 +536,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         skew_report): the 10 heaviest event_type|user_id series
         keys with exact row counts and ppm shares — the pre-join
         check that decides salting/capping/broadcast at scale.
-        NULL keys surface as their own row."""
+        NULL keys surface as their own row (F.concat, not
+        concat_ws: it propagates NULL like the oracle's ||, so a
+        NULL user_id lands in the NULL-key row on BOTH engines)."""
         ev = load(spark, sf_dir, "events")
-        keyed = ev.select(F.concat_ws(
-            "|", F.col("event_type"),
+        keyed = ev.select(F.concat(
+            F.col("event_type"), F.lit("|"),
             F.col("user_id").cast("string")).alias("series"))
         return CU.skew_report(keyed, "series")
 
@@ -3935,9 +3937,10 @@ def oracle_sql() -> dict[str, str]:
     # audit recomputes exact population ranks — every hashed column
     # integer or a source-value pass-through
     _qsk_cte = (
-        "WITH s AS (SELECT event_type, value AS val,"
+        "WITH s AS (SELECT DISTINCT event_type, value AS val,"
         " CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))"
-        " AS BIGINT) AS pri FROM events WHERE value IS NOT NULL),"
+        " AS BIGINT) AS pri FROM events WHERE value IS NOT NULL"
+        " AND event_id IS NOT NULL),"
         " r AS (SELECT event_type, pri, val, row_number() OVER"
         " (PARTITION BY event_type ORDER BY pri, val) AS pos FROM s),"
         " sk AS (SELECT event_type, pri, val, CAST(pos AS INT) AS pos"
@@ -3976,10 +3979,10 @@ def oracle_sql() -> dict[str, str]:
     # per source over n_chars, estimates at 50k/950k ppm, keep bits
     # replayed exactly
     o["curation_quantile_filter"] = (
-        "WITH s AS (SELECT source, n_chars AS val,"
+        "WITH s AS (SELECT DISTINCT source, n_chars AS val,"
         " CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
         " AS BIGINT) AS pri FROM documents"
-        " WHERE n_chars IS NOT NULL),"
+        " WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),"
         " r AS (SELECT source, pri, val, row_number() OVER"
         " (PARTITION BY source ORDER BY pri, val) AS pos FROM s),"
         " sk AS (SELECT source, pri, val FROM r WHERE pos <= 256),"

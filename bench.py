@@ -274,8 +274,12 @@ def main():
                 samples.append(time.perf_counter() - t0)
         except Exception as exc:
             # one broken query must not zero out the whole bench:
-            # record the failure and keep timing the rest
+            # record the failure and keep timing the rest (and
+            # still release the signature cache, or the leak gets
+            # attributed to the NEXT query)
             errors[name] = repr(exc)[:500]
+            D.release_sig_cache()
+            state0 = _session_state()
             continue
         best = min(samples)
         timings[name] = round(best, 3)

@@ -15,14 +15,15 @@ Two serving paths, same split as the int8 ANN family
 - ``nb_score_float``: the standard Laplace-smoothed log-likelihood
   (F.log doubles) — the user-facing score, accuracy pytest-verified.
 - ``nb_score_int``: a quantized-log scorer with NO transcendentals:
-  ilog2q(n) = length(bin(n²)) − 1 = floor(2·log₂ n), exact integer
-  arithmetic that Spark (F.bin) and DuckDB (bin) evaluate
-  identically — so classifications are deterministic and the WHOLE
-  confusion matrix is pinnable by a cross-engine value hash. The
-  half-bit log resolution costs a little accuracy vs the float path
-  (measured in tests/test_classify.py); the trade is the same one
-  int8 embeddings make: exactness and 2× smaller scores for the
-  reproducibility contract, floats where precision matters.
+  fixlog2(n) ≈ 2¹⁶·log₂ n — exponent plus a 16-bit linear mantissa
+  read off the binary string, exact integer arithmetic that Spark
+  (F.bin/F.conv) and DuckDB (bin/<<///) evaluate identically — so
+  classifications are deterministic and the WHOLE confusion matrix
+  is pinnable by a cross-engine value hash. The ≤0.0861-bit log
+  error costs a little accuracy vs the float path (measured in
+  tests/test_classify.py); the trade is the same one int8
+  embeddings make: exactness for the reproducibility contract,
+  floats where precision matters.
 
 Tokenization is the repo-wide proven contract: whitespace tokens of
 the lowered, trimmed text (operators/text.py words()).
@@ -78,17 +79,6 @@ def nb_train(df: DataFrame, label_col: str = "source",
     return NBModel(counts=counts, labels=labels,
                    vocab=int(agg["v"] or 0),
                    total_docs=int(total_docs or 0))
-
-
-def ilog2q(col):
-    """floor(2·log₂ n) for n ≥ 1 as EXACT integer arithmetic:
-    length of the binary representation of n², minus one. n ≤ 2³¹
-    keeps n² in int64. No libm anywhere — Spark's bin() and
-    DuckDB's bin() emit the same string, so the quantized log is
-    bit-identical across engines (the transcendental-ban-compatible
-    log)."""
-    n = col.cast("long")
-    return (F.length(F.bin(n * n)) - F.lit(1)).cast("long")
 
 
 #: fixed-point log fractional bits (2^16 units per bit)

@@ -118,6 +118,15 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding",
     )
 
 
+def _py_cos(a, b):
+    """Driver-side cosine for ranking the (tiny) centroid lists —
+    shared by every IVF variant so the ranking rule cannot drift."""
+    num = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(y * y for y in b) ** 0.5
+    return num / (na * nb) if na and nb else 0.0
+
+
 def ivf_topk(emb: DataFrame, query_vec, k: int = 10, nprobe: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
              label_col: str = "label") -> DataFrame:
@@ -127,15 +136,8 @@ def ivf_topk(emb: DataFrame, query_vec, k: int = 10, nprobe: int = 2,
     isin() filter becomes partition pruning — the scan never touches
     the other cells."""
     cents = label_centroids(emb, vec_col, label_col).collect()
-
-    def py_cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
     ranked = sorted(
-        cents, key=lambda r: -py_cos(r["centroid"], list(query_vec)))
+        cents, key=lambda r: -_py_cos(r["centroid"], list(query_vec)))
     probes = [r[label_col] for r in ranked[:nprobe]]
     return brute_force_topk(
         emb.where(F.col(label_col).isin(probes)), query_vec, k,
@@ -395,15 +397,8 @@ class IVFIndex:
         """Rank cells by centroid cosine (driver-side — the centroid
         list is k×dim floats), brute-force only the probed cells."""
         q = [float(x) for x in query_vec]
-
-        def py_cos(a, b):
-            num = sum(x * y for x, y in zip(a, b))
-            na = sum(x * x for x in a) ** 0.5
-            nb = sum(y * y for y in b) ** 0.5
-            return num / (na * nb) if na and nb else 0.0
-
         ranked = sorted(self.centroids,
-                        key=lambda cv: -py_cos(cv[1], q))
+                        key=lambda cv: -_py_cos(cv[1], q))
         probes = [cid for cid, _ in ranked[:nprobe]]
         return brute_force_topk(
             self.cells.where(F.col("_cell").isin(probes)),
@@ -905,7 +900,9 @@ def ivf_sq_topk(emb: DataFrame, query_vec, k: int = 10,
                 nprobe: int = 3, rerank: int = 4,
                 vec_col: str = "embedding",
                 id_col: str = "vec_id",
-                label_col: str = "label") -> DataFrame:
+                label_col: str = "label",
+                scale: float | None = None,
+                centroids: list | None = None) -> DataFrame:
     """IVF + int8 composition (the FAISS IVF-SQ8 serving shape):
     rank coarse cells by centroid cosine on the driver, then inside
     ONLY the probed cells run the int8 coarse scan
@@ -915,26 +912,22 @@ def ivf_sq_topk(emb: DataFrame, query_vec, k: int = 10,
     pruning (nprobe/|cells| of the corpus), code width (¼ the
     bytes), and float work bounded at k·rerank rows. Same output
     contract as brute_force_topk; at 100 TB the cells are parquet
-    partitions and the probe filter is directory pruning."""
+    partitions and the probe filter is directory pruning.
+
+    Serving shape: pass a pinned ``scale`` (one per corpus
+    snapshot) and precomputed ``centroids`` — otherwise each call
+    pays one full-corpus max scan and one centroid aggregate before
+    pruning, which defeats the point of an index. The coarse +
+    rescore body IS :func:`sq_topk` applied to the probed cells, so
+    the two paths cannot drift."""
     q = [float(x) for x in query_vec]
-    cents = [(r[label_col], list(r["centroid"])) for r in
-             label_centroids(emb, vec_col, label_col).collect()]
-
-    def py_cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(cents, key=lambda cv: -py_cos(cv[1], q))
+    if centroids is None:
+        centroids = [(r[label_col], list(r["centroid"])) for r in
+                     label_centroids(emb, vec_col, label_col)
+                     .collect()]
+    ranked = sorted(centroids, key=lambda cv: -_py_cos(cv[1], q))
     probes = [cid for cid, _ in ranked[:nprobe]]
     sub = emb.where(F.col(label_col).isin(probes))
-    scale = sq_scale(emb, vec_col)
-    qdf = scalar_quantize(sub, scale, vec_col, id_col)
-    qcodes = quantize_query(q, scale)
-    cand = (sq_coarse_scores(qdf, qcodes, id_col)
-            .orderBy(F.col("iscore").desc(), F.col(id_col))
-            .limit(k * rerank)
-            .select(id_col))
-    kept = sub.join(F.broadcast(cand), id_col)
-    return brute_force_topk(kept, q, k, vec_col, id_col)
+    if scale is None:
+        scale = sq_scale(emb, vec_col)
+    return sq_topk(sub, q, k, rerank, scale, vec_col, id_col)

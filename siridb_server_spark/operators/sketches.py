@@ -312,10 +312,19 @@ def quantile_sketch(df: DataFrame, key_cols, value_col: str,
 
     if isinstance(key_cols, str):
         key_cols = [key_cols]
-    rows = (df.where(F.col(value_col).isNotNull())
+    rows = (df.where(F.col(value_col).isNotNull()
+                     & F.col(id_col).isNotNull())
             .select(*key_cols,
                     _row_priority(F.col(id_col)).alias("pri"),
-                    F.col(value_col).alias("val")))
+                    F.col(value_col).alias("val"))
+            # distinct on (key, pri, val): duplicate (id, value)
+            # rows are treated as redelivered copies, exactly like
+            # KMV's distinct hashes — this is what makes build and
+            # merge agree (merge dedupes partials on the same
+            # columns) and re-merging idempotent. NULL ids are
+            # excluded: a NULL priority would rank first in Spark
+            # and last in DuckDB.
+            .distinct())
     if prefilter:
         rows = _bottomk_prefilter(rows, key_cols, k)
     w = Window.partitionBy(*key_cols).orderBy("pri", "val")
@@ -332,7 +341,9 @@ def quantile_merge(sketches: DataFrame, key_cols,
     the union's bottom-k is contained in their concatenation), so
     merging is associative and idempotent; re-merging a partial
     cannot bias the sample. Distinct on (pri, val) absorbs
-    re-delivered copies of the same partial."""
+    re-delivered copies of the same partial — the same dedup the
+    BUILD applies to its input rows, so merge == one-shot holds
+    even when the raw input carried duplicate (id, value) rows."""
     from pyspark.sql import Window
 
     if isinstance(key_cols, str):

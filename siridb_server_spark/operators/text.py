@@ -1215,6 +1215,20 @@ def vocab_drift(old: DataFrame, new: DataFrame, k: int = 20,
             .limit(k))
 
 
+def _hash_bucket_sign(word_col, dim: int):
+    """(bucket index, ±1 sign) for the hashing trick — md5's first
+    15 hex chars mod dim, sign from the 16th nibble. ONE definition:
+    this pair is the cross-engine contract mirrored verbatim in the
+    hash-embed oracles, so the plain and tf-idf embeddings must
+    share it."""
+    h = F.md5(word_col)
+    idx = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
+        % F.lit(dim)
+    sign = F.when(F.conv(F.substring(h, 16, 1), 16, 10)
+                  .cast("int") < 8, F.lit(1)).otherwise(F.lit(-1))
+    return idx, sign
+
+
 def hash_embed(df: DataFrame, dim: int = 64,
                text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
@@ -1237,11 +1251,7 @@ def hash_embed(df: DataFrame, dim: int = 64,
     toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(w).alias("word")))
-    h = F.md5(F.col("word"))
-    idx = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
-        % F.lit(dim)
-    sign = F.when(F.conv(F.substring(h, 16, 1), 16, 10)
-                  .cast("int") < 8, F.lit(1)).otherwise(F.lit(-1))
+    idx, sign = _hash_bucket_sign(F.col("word"), dim)
     return (toks.select("doc_id", idx.alias("i"),
                         sign.alias("s"))
             .groupBy("doc_id", "i")
@@ -1297,11 +1307,7 @@ def hash_embed_tfidf(df: DataFrame, dim: int = 64,
              .agg(F.count(F.lit(1)).alias("df")))
     tf = (toks.groupBy("doc_id", "word")
           .agg(F.count(F.lit(1)).alias("tf")))
-    h = F.md5(F.col("word"))
-    idx = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
-        % F.lit(dim)
-    sign = F.when(F.conv(F.substring(h, 16, 1), 16, 10)
-                  .cast("int") < 8, F.lit(1)).otherwise(F.lit(-1))
+    idx, sign = _hash_bucket_sign(F.col("word"), dim)
     idf = fixlog2(F.col("nd")) - fixlog2(F.col("df"))
     return (tf.join(dfreq, "word").crossJoin(F.broadcast(n_docs))
             .select("doc_id", idx.alias("i"),

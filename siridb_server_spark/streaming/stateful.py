@@ -685,9 +685,15 @@ def streaming_quantiles(stream_df: DataFrame, *,
 
     Emits (key, sample_n, p50, p90, p99) per touched key per batch
     (update mode): the sample order statistic at ceil(q·k'), the
-    estimator quantile_estimate uses."""
+    estimator quantile_estimate uses. One boundary caveat: a NaN
+    order statistic surfaces as NULL here — pandas uses NaN as its
+    missing-value marker, so the Arrow hand-off cannot carry the
+    distinction (the batch estimator returns NaN for the same
+    input; tests treat the two as equivalent)."""
 
     def fn(key, pdfs, state: GroupState):
+        import math
+
         import pandas as pd
 
         if state.exists:
@@ -698,13 +704,25 @@ def streaming_quantiles(stream_df: DataFrame, *,
         for pdf in pdfs:
             pairs.extend(zip((int(p) for p in pdf["pri"]),
                              (float(v) for v in pdf["val"])))
-        # bottom-k by (pri, val) — the batch sketch's exact order
-        pairs.sort()
+        # dedupe (pri, val) exactly like the batch sketch's
+        # distinct (NaN-aware — set() would keep NaN duplicates
+        # since NaN != NaN, but Spark's distinct collapses them)
+        pairs = list({
+            (p, math.isnan(v), 0.0 if math.isnan(v) else v): (p, v)
+            for p, v in pairs}.values())
+        # bottom-k by (pri, val) with NaN sorting LAST within a pri
+        # tie — Python's raw tuple sort mis-orders NaNs (every
+        # comparison False), which would silently corrupt the order
+        # statistics; Spark/DuckDB both sort NaN after +inf, so the
+        # explicit isnan key keeps all three engines identical
+        pairs.sort(key=lambda pv: (pv[0], math.isnan(pv[1]), pv[1]))
         del pairs[k:]
         state.update(([p for p, _ in pairs],
                       [v for _, v in pairs]))
         sn = len(pairs)
-        by_val = sorted((v, p) for p, v in pairs)
+        by_val = sorted(((v, p) for p, v in pairs),
+                        key=lambda vp: (math.isnan(vp[0]), vp[0],
+                                        vp[1]))
 
         def q(ppm):
             t = max(1, min((ppm * sn + 999999) // 1000000, sn))

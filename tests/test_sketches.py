@@ -343,9 +343,10 @@ def test_quantile_sketch_differential_random_frames(spark, tmp_path):
         return rows
 
     qsk_sql = (
-        "WITH s AS (SELECT key, val,"
+        "WITH s AS (SELECT DISTINCT key, val,"
         " CAST(('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 15))"
-        " AS BIGINT) AS pri FROM t WHERE val IS NOT NULL),"
+        " AS BIGINT) AS pri FROM t WHERE val IS NOT NULL"
+        " AND rid IS NOT NULL),"
         " r AS (SELECT key, pri, val, row_number() OVER"
         " (PARTITION BY key ORDER BY pri, val) AS pos FROM s)"
         " SELECT key, CAST(pos AS INT) AS pos, pri, val FROM r"
@@ -370,3 +371,76 @@ def test_quantile_sketch_differential_random_frames(spark, tmp_path):
         want = sorted(tuple(norm(c) for c in r) for r in
                       con.sql(qsk_sql).fetchall())
         assert got == want, f"trial {trial}"
+
+
+def test_quantile_build_and_merge_agree_on_duplicate_rows(spark):
+    from siridb_server_spark.localdf import arrow_df
+    # duplicate (id, value) rows — redelivered copies: the build's
+    # distinct and the merge's distinct must land on the SAME sample
+    rows = [("k", i, float(i % 13)) for i in range(600)]
+    rows += rows[:200]                     # 200 duplicated rows
+    df = arrow_df(spark, rows, "key string, rid long, v double") \
+        .withColumn("part", F.col("rid") % 5)
+    direct = SK.quantile_sketch(df, "key", "v", "rid")
+    merged = SK.quantile_merge(
+        SK.quantile_sketch(df, ["key", "part"], "v", "rid"), "key")
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+    # and NULL ids are excluded, not ranked first
+    df2 = arrow_df(spark, [("k", None, 1.0), ("k", 7, 2.0)],
+                   "key string, rid long, v double")
+    got = SK.quantile_sketch(df2, "key", "v", "rid").collect()
+    assert [(r["pos"], r["val"]) for r in got] == [(1, 2.0)]
+
+
+def test_streaming_quantiles_nan_matches_batch(spark, tmp_path):
+    """NaN values must not corrupt the streaming tracker's order
+    statistics (Python tuple sort mis-orders NaN): the emitted
+    quantiles still equal the batch estimator, which sorts NaN
+    last like Spark/DuckDB."""
+    from pyspark.sql import functions as FF
+
+    from siridb_server_spark.operators import sketches as SKM
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [("k", i, float(i)) for i in range(50)]
+    rows += [("k", 1000 + i, float("nan")) for i in range(5)]
+    spark.createDataFrame(rows, "key string, id long, value double") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    out = str(tmp_path / "out")
+
+    def sink(bdf, bid):
+        bdf.withColumn("bid", FF.lit(bid)) \
+            .write.mode("append").parquet(out)
+
+    stream = spark.readStream \
+        .schema("key string, id long, value double") \
+        .parquet(str(src) + "/*")
+    q = (ST.streaming_quantiles(stream, key_col="key",
+                                value_col="value", id_col="id")
+         .writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    last = spark.read.parquet(out).orderBy("bid").collect()[-1]
+
+    batch = spark.createDataFrame(
+        rows, "key string, id long, value double")
+    sk = SKM.quantile_sketch(batch, "key", "value", "id")
+    est = {r["q_ppm"]: r["est"] for r in SKM.quantile_estimate(
+        sk, "key", [500000, 900000, 990000]).collect()}
+    import math
+
+    def norm(v):
+        # the stream's pandas/Arrow boundary surfaces a NaN order
+        # statistic as NULL (documented in streaming_quantiles);
+        # the batch estimator returns NaN — treat as equivalent
+        return "nan" if v is None or (
+            isinstance(v, float) and math.isnan(v)) else v
+
+    assert last["sample_n"] == 55
+    assert norm(last["p50"]) == norm(est[500000])
+    assert norm(last["p90"]) == norm(est[900000])
+    assert norm(last["p99"]) == norm(est[990000]) == "nan"
