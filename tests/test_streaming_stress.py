@@ -222,3 +222,27 @@ def test_stream_media_dedup_batch_cost_flat_as_history_grows(
         f"media batch cost grew with history: {t_small:.2f}s -> "
         f"{t_big:.2f}s at 16x — the probe is rescanning payloads "
         "instead of using the index")
+
+
+def test_streaming_quantiles_state_bounded_per_key(
+        spark, tmp_path, rocksdb_state):
+    """The quantile tracker's state is ≤ k (pri, val) pairs per key
+    — at 100k keys × 8 rows the state row count equals the KEY
+    count (one state row per key, each holding the bounded sample),
+    not the input row count."""
+    n_keys, rows_per_key = 100_000, 8
+    src = tmp_path / "in"
+    (spark.range(n_keys * rows_per_key)
+     .select((F.col("id") % n_keys).cast("string").alias("key"),
+             F.col("id").alias("id"),
+             (F.col("id") % 101).cast("double").alias("value"))
+     .write.parquet(str(src)))
+    stream = (spark.readStream
+              .schema("key string, id long, value double")
+              .parquet(str(src)))
+    got = _run_stream(
+        spark, tmp_path,
+        lambda: ST.streaming_quantiles(stream), "ck_q")
+    assert got["rows"] == n_keys
+    ops = got["progress"]["stateOperators"]
+    assert ops[0]["numRowsTotal"] == n_keys
