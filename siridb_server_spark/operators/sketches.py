@@ -155,14 +155,14 @@ def kmv_sketch(df: DataFrame, key_cols, member_col: str,
         key_cols = [key_cols]
     hashes = (df.where(F.col(member_col).isNotNull())
               .select(*key_cols,
-                      _kmv_hash(F.col(member_col)).alias("h"))
-              .distinct())
+                      _kmv_hash(F.col(member_col)).alias("h")))
     # same scale shape as the quantile sketch: a priority-threshold
-    # prefilter keeps the rank window off the full distinct set
-    # (exact — see _bottomk_prefilter; defined below, resolved at
-    # call time)
-    hashes = _bottomk_prefilter(hashes, list(key_cols), k,
-                                pri_col="h")
+    # prefilter keeps BOTH the distinct shuffle and the rank window
+    # off the full hash stream (exact — see
+    # _bottomk_prefilter_distinct; defined below, resolved at call
+    # time)
+    hashes = _bottomk_prefilter_distinct(hashes, list(key_cols), k,
+                                         pri_col="h")
     w = Window.partitionBy(*key_cols).orderBy("h")
     return (hashes.withColumn("pos", F.row_number().over(w))
             .where(F.col("pos") <= k)
@@ -246,42 +246,52 @@ def _row_priority(id_expr):
 PREF_MULT = 8
 
 
-def _bottomk_prefilter(rows: DataFrame, key_cols: list,
-                       k: int, pri_col: str = "pri") -> DataFrame:
-    """Shrink ``rows`` (key..., pri, ...) to ~PREF_MULT·k candidate
-    rows per key WITHOUT changing the bottom-k: priorities are
-    uniform 60-bit hashes, so rows with pri < PREF_MULT·k/n · 2⁶⁰
-    number ~PREF_MULT·k per key, and whenever ≥ k survive they
-    provably contain the k smallest (anything outside is larger
-    than k candidates). This is what makes the sketch build scale:
-    the corpus-size pass is a partial-agg count + a filter; the
-    rank window only ever sorts the ~8k-row remnant — the full
-    table never flows through a per-key sort.
+def _bottomk_prefilter_distinct(rows: DataFrame, key_cols: list,
+                                k: int,
+                                pri_col: str = "pri") -> DataFrame:
+    """DISTINCT bottom-k superset of ``rows`` (key..., pri, ...):
+    shrink to ~PREF_MULT·k candidates per key, then dedupe — WITHOUT
+    changing the distinct bottom-k. Priorities are uniform 60-bit
+    hashes, so rows with pri < PREF_MULT·k/n̂ · 2⁶⁰ number
+    ~PREF_MULT·k per key (n̂ = approx_count_distinct of the
+    priorities — HLL-based, partition-order independent, ±5%, far
+    inside the 8× headroom); whenever ≥ k DISTINCT candidates
+    survive they provably contain the k smallest distinct values
+    (anything above the threshold is larger than k of them). This is
+    what makes the sketch build scale: the corpus-size passes are a
+    partial-agg sketch count and a broadcast-join filter — both
+    scan-shaped; the dedup shuffle and the rank window only ever see
+    the ~8k-row-per-key remnant. (An earlier draft deduped BEFORE
+    filtering; with no exchange reuse across the check branches that
+    recomputed a corpus-wide distinct up to 4×.)
 
-    Exactness is CHECKED, not assumed: keys whose surviving count
-    fell below min(k, n) (possible only through astronomical hash
-    luck) are routed back through unfiltered — the output is the
-    exact bottom-k input either way."""
-    counts = rows.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("_n"))
+    Exactness is CHECKED, not assumed — eagerly, at build time (one
+    driver action over a |keys|-row aggregate, the same
+    build-once-eagerly trade IVFIndex/kmeans make): a key whose
+    surviving distinct count fell below k despite a real threshold
+    (possible only through astronomical hash luck) routes the WHOLE
+    build through the unfiltered path. The returned plan in the
+    (always-taken) good case is just scan → broadcast-filter →
+    distinct → window: no check branches, no repeated corpus
+    passes."""
+    est = rows.groupBy(*key_cols).agg(
+        F.approx_count_distinct(pri_col).alias("_n"))
     thr = F.when(
         F.col("_n") <= F.lit(PREF_MULT * k),
         F.lit(KMV_SPACE)).otherwise(
         F.expr(f"CAST({KMV_SPACE} AS BIGINT) DIV _n")
         * F.lit(PREF_MULT * k))
-    bounds = counts.select(*key_cols, F.col("_n"),
-                           thr.alias("_thr"))
+    bounds = est.select(*key_cols, thr.alias("_thr"))
     cand = (rows.join(F.broadcast(bounds), key_cols)
-            .where(F.col(pri_col) < F.col("_thr")))
-    ok = (cand.groupBy(*key_cols)
-          .agg(F.count(F.lit(1)).alias("_c"))
-          .join(bounds.select(*key_cols, "_n"), key_cols)
-          .where(F.col("_c") >= F.least(F.lit(k), F.col("_n")))
-          .select(*key_cols))
-    good = cand.join(F.broadcast(ok), key_cols, "semi") \
-        .drop("_n", "_thr")
-    rescue = rows.join(F.broadcast(ok), key_cols, "anti")
-    return good.unionByName(rescue)
+            .where(F.col(pri_col) < F.col("_thr"))
+            .distinct())
+    bad = (cand.groupBy(*key_cols, "_thr")
+           .agg(F.count(F.lit(1)).alias("_c"))
+           .where((F.col("_thr") < F.lit(KMV_SPACE))
+                  & (F.col("_c") < F.lit(k))))
+    if not bad.isEmpty():  # pragma: no cover — e^-hundreds odds
+        return rows.distinct()
+    return cand.drop("_thr")
 
 
 def quantile_sketch(df: DataFrame, key_cols, value_col: str,
@@ -312,21 +322,24 @@ def quantile_sketch(df: DataFrame, key_cols, value_col: str,
 
     if isinstance(key_cols, str):
         key_cols = [key_cols]
+    # distinct on (key, pri, val): duplicate (id, value) rows are
+    # treated as redelivered copies, exactly like KMV's distinct
+    # hashes — this is what makes build and merge agree (merge
+    # dedupes partials on the same columns) and re-merging
+    # idempotent. The prefilter performs the dedup AFTER its
+    # threshold filter (same result — distinct commutes with a
+    # row-deterministic filter — but the shuffle only carries the
+    # ~8k-row remnant). NULL ids are excluded: a NULL priority
+    # would rank first in Spark and last in DuckDB.
     rows = (df.where(F.col(value_col).isNotNull()
                      & F.col(id_col).isNotNull())
             .select(*key_cols,
                     _row_priority(F.col(id_col)).alias("pri"),
-                    F.col(value_col).alias("val"))
-            # distinct on (key, pri, val): duplicate (id, value)
-            # rows are treated as redelivered copies, exactly like
-            # KMV's distinct hashes — this is what makes build and
-            # merge agree (merge dedupes partials on the same
-            # columns) and re-merging idempotent. NULL ids are
-            # excluded: a NULL priority would rank first in Spark
-            # and last in DuckDB.
-            .distinct())
+                    F.col(value_col).alias("val")))
     if prefilter:
-        rows = _bottomk_prefilter(rows, key_cols, k)
+        rows = _bottomk_prefilter_distinct(rows, key_cols, k)
+    else:
+        rows = rows.distinct()
     w = Window.partitionBy(*key_cols).orderBy("pri", "val")
     return (rows.withColumn("pos", F.row_number().over(w))
             .where(F.col("pos") <= k)
