@@ -582,6 +582,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_datacard"] = corpus_datacard
 
+    def ts_dtw_topk(spark, sf_dir):
+        """Banded-DTW series similarity search
+        (operators/timeseries.py dtw_topk): elastic alignment the
+        correlation top-k can't express, as an exact int64 DP per
+        series (values scaled ×1000) — row-local, linear in
+        |series|, no pairwise join. Query = lexicographically first
+        series; property contract: 10 rows, the query itself ranks
+        first at cost 0, costs non-negative (the DP itself is
+        pinned exactly by tests/test_timeseries.py against a
+        reference implementation — a recursive DP has no SQL
+        mirror)."""
+        pts = events_points(spark, sf_dir)
+        qname = pts.agg(F.min("series")).first()[0]
+        pts = pts.select("series", "ts",
+                         F.col("val_dbl").alias("val"))
+        top = TSO.dtw_topk(pts, qname, k=10)
+        first = top.limit(1)
+        return (top.agg(F.lit("k_returned").alias("prop"),
+                        F.count(F.lit(1)).cast("long").alias("n"))
+                .unionByName(first.agg(
+                    F.lit("top1_is_query_at_zero").alias("prop"),
+                    F.max(F.when((F.col("series") == F.lit(qname))
+                                 & (F.col("dtw_cost") == 0), 1)
+                          .otherwise(0)).cast("long").alias("n")))
+                .unionByName(top.agg(
+                    F.lit("neg_cost_rows").alias("prop"),
+                    F.sum(F.when(F.col("dtw_cost") < 0, 1)
+                          .otherwise(0)).cast("long").alias("n"))))
+
+    q["ts_dtw_topk"] = ts_dtw_topk
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -3965,6 +3996,13 @@ def oracle_sql() -> dict[str, str]:
         " FROM tgt t JOIN rv ON rv.event_type = t.event_type"
         " AND rv.pos = t.tpos")
     o["sketch_quantile_estimates"] = _qsk_est
+    # DTW: property oracle — a recursive DP has no SQL mirror; the
+    # DP itself is pinned exactly in pytest against a reference
+    # implementation (test_dtw_topk_matches_reference_dp)
+    o["ts_dtw_topk"] = (
+        "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
+        " UNION ALL SELECT 'top1_is_query_at_zero', 1"
+        " UNION ALL SELECT 'neg_cost_rows', 0")
     # skew report: exact counts + integer ppm shares, ties to key
     o["corpus_skew_report"] = (
         "WITH c AS (SELECT event_type || '|' ||"

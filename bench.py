@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "ts_rolling_median",
     "ts_holt_forecast",
     "ts_corr_topk",
+    "ts_dtw_topk",
     "ts_seasonal_anomalies",
     "ts_latency_quantiles",
     "ts_mad",

@@ -99,3 +99,62 @@ def test_zscore_anomalies_exclusive_frame(spark):
     out = zscore_anomalies(df, window=5, threshold=3.0).collect()
     assert [(r["ts"], r["val"]) for r in out] == [(7, 50.0)]
     assert out[0]["z"] > 3.0
+
+
+# ----------------------------------------------------------- DTW
+
+def _dtw_ref(a, b, band):
+    # plain full-matrix banded DP reference
+    INF = 1 << 62
+    n, m = len(a), len(b)
+    w = max(band, abs(n - m))
+    D = [[INF] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(1, i - w), min(m, i + w) + 1):
+            d = abs(a[i - 1] - b[j - 1])
+            D[i][j] = d + min(D[i - 1][j], D[i][j - 1],
+                              D[i - 1][j - 1])
+    return D[n][m]
+
+
+def test_dtw_topk_matches_reference_dp(spark):
+    import random
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rng = random.Random(7)
+    series = {f"s{i}": [rng.randint(-50, 50) for _ in range(40)]
+              for i in range(6)}
+    rows = [(name, t, float(v)) for name, vs in series.items()
+            for t, v in enumerate(vs)]
+    df = arrow_df(spark, rows, "series string, ts long, val double")
+    got = {r["series"]: r["dtw_cost"] for r in
+           TSO.dtw_topk(df, "s0", k=6, band=8).collect()}
+    q = [v * 1000 for v in series["s0"]]
+    for name, vs in series.items():
+        want = _dtw_ref([v * 1000 for v in vs], q, band=8)
+        assert got[name] == want, name
+    assert got["s0"] == 0
+
+
+def test_dtw_topk_elastic_beats_pointwise(spark):
+    import math
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rows = []
+    for i in range(64):
+        rows.append(("query", i, math.sin(i / 5)))
+        rows.append(("shifted", i, math.sin((i - 3) / 5)))
+        rows.append(("flat", i, 0.1))
+    df = arrow_df(spark, rows, "series string, ts long, val double")
+    got = [r["series"] for r in
+           TSO.dtw_topk(df, "query", k=3).collect()]
+    assert got == ["query", "shifted", "flat"]
+    # deterministic across partitionings
+    again = [r["series"] for r in
+             TSO.dtw_topk(df.repartition(7), "query", k=3).collect()]
+    assert again == got
