@@ -613,6 +613,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_dtw_topk"] = ts_dtw_topk
 
+    def ts_sax_words(spark, sf_dir):
+        """SAX symbolic words per series (operators/timeseries.py
+        sax_words — the iSAX-style index representation that
+        prefilters candidates before the DTW DP): integer-exact
+        equi-range variant, one groupBy per stage, the whole word
+        table hashed cross-engine (PAA integer-div means, per-series
+        min/max breakpoints, ordered symbol concatenation)."""
+        pts = events_points(spark, sf_dir).select(
+            "series", "ts", F.col("val_dbl").alias("val"))
+        return TSO.sax_words(pts)
+
+    q["ts_sax_words"] = ts_sax_words
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -3996,6 +4009,33 @@ def oracle_sql() -> dict[str, str]:
         " FROM tgt t JOIN rv ON rv.event_type = t.event_type"
         " AND rv.pos = t.tpos")
     o["sketch_quantile_estimates"] = _qsk_est
+    # SAX words: full SQL mirror — same ts-then-val ordering, the
+    # integer bucket/PAA/breakpoint arithmetic replayed verbatim
+    # (both engines truncate integer division toward zero)
+    o["ts_sax_words"] = (
+        EVENTS_PTS_SQL + ","
+        " r AS (SELECT series,"
+        " CAST(floor(val * 1000.0) AS BIGINT) AS v,"
+        " row_number() OVER (PARTITION BY series"
+        " ORDER BY ts, val) AS rn FROM pts),"
+        " tk AS (SELECT series, v, rn - 1 AS i FROM r"
+        " WHERE rn <= 128),"
+        " nn AS (SELECT series, count(*) AS n FROM tk GROUP BY 1),"
+        " b AS (SELECT tk.series,"
+        " (CAST(tk.i AS BIGINT) * 8) // nn.n AS j, tk.v, nn.n"
+        " FROM tk JOIN nn USING (series)),"
+        " paa AS (SELECT series, j,"
+        " CAST(sum(v) AS BIGINT) // count(*) AS paa,"
+        " max(n) AS n FROM b GROUP BY 1, 2),"
+        " rng AS (SELECT series, min(paa) AS lo, max(paa) AS hi,"
+        " max(n) AS n_points FROM paa GROUP BY 1),"
+        " sym AS (SELECT p.series, p.j,"
+        " LEAST(3, CAST((p.paa - g.lo) * 4 AS BIGINT)"
+        " // (g.hi - g.lo + 1)) AS s, g.n_points"
+        " FROM paa p JOIN rng g USING (series))"
+        " SELECT series, CAST(max(n_points) AS BIGINT) AS n_points,"
+        " string_agg(substr('0123', CAST(s AS INT) + 1, 1), ''"
+        " ORDER BY j) AS word FROM sym GROUP BY 1")
     # DTW: property oracle — a recursive DP has no SQL mirror; the
     # DP itself is pinned exactly in pytest against a reference
     # implementation (test_dtw_topk_matches_reference_dp)

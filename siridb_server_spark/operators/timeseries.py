@@ -961,3 +961,58 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
     scored = per.mapInPandas(run, schema=schema)
     return (scored.orderBy(F.col("dtw_cost").asc(), "series")
             .limit(k))
+
+
+def sax_words(df: DataFrame, word_len: int = 8, alphabet: int = 4,
+              max_len: int = 128, scale: int = 1000) -> DataFrame:
+    """SAX-style symbolic words per series — the indexable
+    representation that makes series-similarity search scale: series
+    whose words disagree everywhere can't be close, so a cheap
+    word-equality/Hamming prefilter bounds how many candidates ever
+    reach the DTW DP (the iSAX pattern; dtw_topk is the exact
+    scorer behind it).
+
+    Integer-exact variant (hashable cross-engine, unlike classic
+    Gaussian-breakpoint SAX whose z-normalization is a float sum):
+    the first ``max_len`` ts-ordered points are scaled to int64,
+    split into ``word_len`` buckets (bucket of point i =
+    i·word_len div n), PAA = integer-div bucket mean, and symbols
+    are equi-range: (paa − min)·alphabet div (range+1) over the
+    series' own PAA min/max. One groupBy per stage, all integer
+    arithmetic. Output: (series, n_points, word string of
+    [0-9a-z] symbols)."""
+    if not 2 <= alphabet <= 36:
+        raise ValueError("alphabet must be in [2, 36]")
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:alphabet]
+    per = (df.groupBy("series")
+           .agg(F.slice(F.array_sort(F.collect_list(
+               F.struct("ts", "val"))), 1, max_len).alias("pv"))
+           .select("series",
+                   F.transform("pv", lambda s: F.floor(
+                       s["val"] * F.lit(float(scale)))
+                       .cast("long")).alias("sv")))
+    pos = per.select(
+        "series", F.size("sv").alias("n"),
+        F.posexplode("sv").alias("i", "v"))
+    paa = (pos.withColumn(
+        "j", F.expr(f"CAST(i * {word_len} AS BIGINT) div n"))
+        .groupBy("series", "j")
+        .agg(F.expr("CAST(sum(v) AS BIGINT) div count(1)")
+             .alias("paa"),
+             F.max("n").alias("n")))
+    rng = (paa.groupBy("series")
+           .agg(F.min("paa").alias("lo"), F.max("paa").alias("hi"),
+                F.max("n").alias("n_points")))
+    sym = (paa.join(rng, "series")
+           .withColumn("s", F.least(
+               F.lit(alphabet - 1),
+               F.expr(f"CAST((paa - lo) * {alphabet} AS BIGINT)"
+                      " div (hi - lo + 1)")))
+           .withColumn("c", F.substring(
+               F.lit(digits), F.col("s").cast("int") + 1, 1)))
+    return (sym.groupBy("series")
+            .agg(F.max("n_points").alias("n_points"),
+                 F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("j", "c"))),
+                     lambda x: x["c"])).alias("word")))

@@ -158,3 +158,32 @@ def test_dtw_topk_elastic_beats_pointwise(spark):
     again = [r["series"] for r in
              TSO.dtw_topk(df.repartition(7), "query", k=3).collect()]
     assert again == got
+
+
+def test_sax_words_structure_and_similarity(spark):
+    import math
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rows = []
+    for i in range(64):
+        rows.append(("rampup", i, float(i)))
+        rows.append(("rampup2", i, float(i) * 2 + 5))  # same shape
+        rows.append(("rampdown", i, float(64 - i)))
+        rows.append(("vee", i, float(abs(i - 32))))
+    df = arrow_df(spark, rows, "series string, ts long, val double")
+    got = {r["series"]: r for r in TSO.sax_words(df).collect()}
+    for r in got.values():
+        assert r["n_points"] == 64
+        assert len(r["word"]) == 8
+        assert set(r["word"]) <= set("0123")
+    # equi-range symbols see SHAPE, not scale: both ramps share a
+    # word; the reverse ramp is its mirror; the vee differs from all
+    assert got["rampup"]["word"] == got["rampup2"]["word"]
+    assert got["rampdown"]["word"] == got["rampup"]["word"][::-1]
+    assert got["vee"]["word"] not in (got["rampup"]["word"],
+                                      got["rampdown"]["word"])
+    # monotone ramp: symbols non-decreasing
+    w = got["rampup"]["word"]
+    assert list(w) == sorted(w)
