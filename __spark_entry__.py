@@ -597,19 +597,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qname = pts.agg(F.min("series")).first()[0]
         pts = pts.select("series", "ts",
                          F.col("val_dbl").alias("val"))
-        top = TSO.dtw_topk(pts, qname, k=10)
-        first = top.limit(1)
-        return (top.agg(F.lit("k_returned").alias("prop"),
-                        F.count(F.lit(1)).cast("long").alias("n"))
-                .unionByName(first.agg(
-                    F.lit("top1_is_query_at_zero").alias("prop"),
-                    F.max(F.when((F.col("series") == F.lit(qname))
-                                 & (F.col("dtw_cost") == 0), 1)
-                          .otherwise(0)).cast("long").alias("n")))
-                .unionByName(top.agg(
-                    F.lit("neg_cost_rows").alias("prop"),
-                    F.sum(F.when(F.col("dtw_cost") < 0, 1)
-                          .otherwise(0)).cast("long").alias("n"))))
+        # collect ONCE (k bounded rows) — three lazy property aggs
+        # over the un-persisted top-k would re-run the whole DP per
+        # branch (TakeOrdered is not a reusable exchange)
+        rows = TSO.dtw_topk(pts, qname, k=10).collect()
+        props = [
+            ("k_returned", len(rows)),
+            ("top1_is_query_at_zero",
+             int(bool(rows) and rows[0]["series"] == qname
+                 and rows[0]["dtw_cost"] == 0)),
+            ("neg_cost_rows",
+             sum(1 for r in rows if r["dtw_cost"] < 0)),
+        ]
+        return arrow_df(spark, props, "prop string, n long")
 
     q["ts_dtw_topk"] = ts_dtw_topk
 

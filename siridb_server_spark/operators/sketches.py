@@ -273,7 +273,10 @@ def _bottomk_prefilter_distinct(rows: DataFrame, key_cols: list,
     build through the unfiltered path. The returned plan in the
     (always-taken) good case is just scan → broadcast-filter →
     distinct → window: no check branches, no repeated corpus
-    passes."""
+    passes. (The eager check costs ~2 extra jobs per build — on the
+    streaming sink that is per MICRO-BATCH input, which is
+    batch-sized, not corpus-sized; acceptable for the exactness
+    guarantee it buys.)"""
     est = rows.groupBy(*key_cols).agg(
         F.approx_count_distinct(pri_col).alias("_n"))
     thr = F.when(
@@ -285,10 +288,14 @@ def _bottomk_prefilter_distinct(rows: DataFrame, key_cols: list,
     cand = (rows.join(F.broadcast(bounds), key_cols)
             .where(F.col(pri_col) < F.col("_thr"))
             .distinct())
-    bad = (cand.groupBy(*key_cols, "_thr")
-           .agg(F.count(F.lit(1)).alias("_c"))
-           .where((F.col("_thr") < F.lit(KMV_SPACE))
-                  & (F.col("_c") < F.lit(k))))
+    # the check must start from BOUNDS, not from cand: a key whose
+    # every priority cleared the threshold has no cand group at all
+    # and a cand-derived check would silently drop it
+    cand_counts = (cand.groupBy(*key_cols)
+                   .agg(F.count(F.lit(1)).alias("_c")))
+    bad = (bounds.where(F.col("_thr") < F.lit(KMV_SPACE))
+           .join(cand_counts, key_cols, "left")
+           .where(F.coalesce(F.col("_c"), F.lit(0)) < F.lit(k)))
     if not bad.isEmpty():  # pragma: no cover — e^-hundreds odds
         return rows.distinct()
     return cand.drop("_thr")
@@ -308,10 +315,12 @@ def quantile_sketch(df: DataFrame, key_cols, value_col: str,
     bottom-k lives inside the union of per-partial bottom-k — the
     KMV containment theorem applied to rows).
 
-    Scale shape: the corpus-size work is a partial-agg count plus a
-    priority threshold filter (:func:`_bottomk_prefilter`); the
-    rank window — a per-key SORT, the one thing that must never see
-    the full table — runs over the ~8k-row surviving candidates.
+    Scale shape: the corpus-size work is one approx-distinct
+    partial aggregate plus a priority threshold filter
+    (:func:`_bottomk_prefilter_distinct`); the rank window — a
+    per-key SORT, the one thing that must never see the full table
+    — runs over the ~8k-row surviving candidates, as does the
+    distinct shuffle.
     At 100 TB: build per-day partials in each day's ingest pass,
     merge with :func:`quantile_merge` at read time; history is
     never rescanned.

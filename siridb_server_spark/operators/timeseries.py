@@ -869,6 +869,24 @@ def ewma(df: DataFrame, alpha: float = 0.25,
             .mapInPandas(gen, out_schema))
 
 
+def _series_vectors(df: DataFrame, max_len: int,
+                    scale: int) -> DataFrame:
+    """(series, vals array<long>): the first ``max_len`` points per
+    series in (ts, val) order, integer-scaled — ONE definition of
+    the vector-assembly contract shared by the DTW scorer and the
+    SAX prefilter so the two can never diverge. NULL values are
+    excluded up front (they would poison the integer DP and skew
+    the PAA means differently per engine)."""
+    return (df.where(F.col("val").isNotNull())
+            .groupBy("series")
+            .agg(F.slice(F.array_sort(F.collect_list(
+                F.struct("ts", "val"))), 1, max_len).alias("pv"))
+            .select("series",
+                    F.transform("pv", lambda s: F.floor(
+                        s["val"] * F.lit(float(scale)))
+                        .cast("long")).alias("vals")))
+
+
 def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
              band: int = 8, max_len: int = 128,
              scale: int = 1000) -> DataFrame:
@@ -897,13 +915,7 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
     import pandas as pd
     from pyspark.sql import types as T
 
-    per = (df.groupBy("series")
-           .agg(F.slice(F.array_sort(F.collect_list(
-               F.struct("ts", "val"))), 1, max_len).alias("pv"))
-           .select("series",
-                   F.transform("pv", lambda s: F.floor(
-                       s["val"] * F.lit(float(scale)))
-                       .cast("long")).alias("vals")))
+    per = _series_vectors(df, max_len, scale)
     qrow = per.where(F.col("series") == query_series).first()
     if qrow is None:
         raise ValueError(f"query series {query_series!r} not found")
@@ -984,16 +996,10 @@ def sax_words(df: DataFrame, word_len: int = 8, alphabet: int = 4,
     if not 2 <= alphabet <= 36:
         raise ValueError("alphabet must be in [2, 36]")
     digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:alphabet]
-    per = (df.groupBy("series")
-           .agg(F.slice(F.array_sort(F.collect_list(
-               F.struct("ts", "val"))), 1, max_len).alias("pv"))
-           .select("series",
-                   F.transform("pv", lambda s: F.floor(
-                       s["val"] * F.lit(float(scale)))
-                       .cast("long")).alias("sv")))
+    per = _series_vectors(df, max_len, scale)
     pos = per.select(
-        "series", F.size("sv").alias("n"),
-        F.posexplode("sv").alias("i", "v"))
+        "series", F.size("vals").alias("n"),
+        F.posexplode("vals").alias("i", "v"))
     paa = (pos.withColumn(
         "j", F.expr(f"CAST(i * {word_len} AS BIGINT) div n"))
         .groupBy("series", "j")
