@@ -324,3 +324,51 @@ def read_quantile_sketch(spark, sketch_path: str, key_cols):
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     return SK.quantile_merge(
         spark.read.parquet(sketch_path + "/quantile"), keys)
+
+
+def compact_sketches(spark, sketch_path: str, key_cols) -> dict:
+    """Fold the accumulated per-batch sketch deltas into one base
+    partition per family — the maintenance pass that keeps
+    read-time fold cost flat as micro-batches accumulate (10k
+    batches = 10k parquet dirs otherwise; after compaction, one).
+
+    Crash-safe WITHOUT a commit protocol, because every family's
+    merge is idempotent (HLL register max; KMV/quantile distinct
+    bottom-k): the fold is written to a dot-prefixed temp dir
+    (invisible to parquet readers), atomically renamed to a
+    NEGATIVE batch id (streaming batch ids are ≥ 0, so a future
+    micro-batch can never overwrite a base), and only then are the
+    consumed delta dirs removed — a crash at any line leaves
+    consumed dirs alongside the new base, and re-folding those
+    duplicates cannot change any sketch. Returns
+    {family: n_dirs_folded}."""
+    import shutil
+
+    from ..operators import sketches as SK
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    mergers = {
+        "hll": lambda df: SK.hll_merge(df, keys),
+        "kmv": lambda df: SK.kmv_merge(df, keys),
+        "quantile": lambda df: SK.quantile_merge(df, keys),
+    }
+    folded = {}
+    for fam, merge in mergers.items():
+        fdir = os.path.join(sketch_path, fam)
+        if not os.path.isdir(fdir):
+            continue
+        parts = [d for d in os.listdir(fdir)
+                 if d.startswith("batch=")]
+        if len(parts) <= 1:
+            continue
+        next_base = min([0] + [int(d.split("=")[1]) for d in parts
+                               if d.split("=")[1].lstrip("-")
+                               .isdigit()]) - 1
+        merged = merge(spark.read.parquet(fdir))
+        tmp = os.path.join(fdir, f".tmp-compact{abs(next_base)}")
+        merged.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(fdir, f"batch={next_base}"))
+        for d in parts:
+            shutil.rmtree(os.path.join(fdir, d), ignore_errors=True)
+        folded[fam] = len(parts)
+    return folded

@@ -444,3 +444,60 @@ def test_streaming_quantiles_nan_matches_batch(spark, tmp_path):
     assert norm(last["p50"]) == norm(est[500000])
     assert norm(last["p90"]) == norm(est[900000])
     assert norm(last["p99"]) == norm(est[990000]) == "nan"
+
+
+def test_compact_sketches_preserves_folds_and_survives_crash(
+        spark, tmp_path):
+    """Compaction folds per-batch deltas into one negative-id base
+    without changing any reader result, and a crash between the
+    base rename and the delta cleanup (consumed dirs left behind)
+    re-folds harmlessly — every family's merge is idempotent."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from siridb_server_spark.streaming.corpus import (
+        compact_sketches, make_sketch_ingest_sink,
+        read_quantile_sketch, read_sketches)
+
+    spath = str(tmp_path / "sk")
+    sink = make_sketch_ingest_sink(spath, "key", "m",
+                                   value_col="v", id_col="rid")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            (FF.col("id") % 3).cast("string").alias("key"),
+            FF.concat(FF.lit("u"), FF.col("id") % 400).alias("m"),
+            FF.col("id").alias("rid"),
+            (FF.col("id") % 89).cast("double").alias("v"))
+
+    for bid, (lo, hi) in enumerate([(0, 500), (500, 900),
+                                    (900, 1500)]):
+        sink(rows(lo, hi), bid)
+
+    before = [sorted(map(tuple, f.collect())) for f in
+              (*read_sketches(spark, spath, "key"),
+               read_quantile_sketch(spark, spath, "key"))]
+    folded = compact_sketches(spark, spath, "key")
+    assert folded == {"hll": 3, "kmv": 3, "quantile": 3}
+    assert os.listdir(os.path.join(spath, "hll")) == ["batch=-1"]
+    after = [sorted(map(tuple, f.collect())) for f in
+             (*read_sketches(spark, spath, "key"),
+              read_quantile_sketch(spark, spath, "key"))]
+    assert after == before
+
+    # crash window: base written+renamed but one consumed delta
+    # survived — simulate by feeding a NEW batch then duplicating
+    # the base next to it before compacting again
+    sink(rows(1500, 1800), 3)
+    hll_dir = os.path.join(spath, "hll")
+    shutil.copytree(os.path.join(hll_dir, "batch=-1"),
+                    os.path.join(hll_dir, "batch=7"))  # stale dup
+    folded2 = compact_sketches(spark, spath, "key")
+    assert folded2["hll"] == 3          # -1, 3, and the stale 7
+    want_hll = sorted(map(tuple, read_sketches(
+        spark, spath, "key")[0].collect()))
+    one_shot = sorted(map(tuple, SK.hll_registers(
+        rows(0, 1800), "key", "m").collect()))
+    assert want_hll == one_shot
