@@ -1214,3 +1214,48 @@ def cdc_dup_chunks(df: DataFrame, text_col: str = "text",
                  F.sum("length").alias("bytes_total"),
                  F.min(id_col).alias("keep_id"))
             .where(F.col("n_copies") > 1))
+
+
+def compact_dedup_index(spark, path: str) -> dict:
+    """Fold a batch-subdir dedup index (the streaming sink's
+    ``batch=<id>`` delta layout) into one base partition per family
+    — the read-amplification fix for long-running ingest (one
+    parquet dir per micro-batch otherwise; probes list and fold all
+    of them). Deltas dedupe on their natural keys ((doc_id, fp);
+    (doc_id, sig, band, bh)) into ``batch=-<n>`` — streaming batch
+    ids are ≥ 0, so a future micro-batch can never overwrite the
+    base.
+
+    Crash-safe without a commit protocol: the fold is written to a
+    dot-prefixed temp dir (invisible to readers), renamed into
+    place, and only then are consumed dirs removed. A crash
+    mid-cleanup leaves duplicate signature rows — probes tolerate
+    them (duplicate candidate pairs, never data loss) and the next
+    compaction distincts them away. Returns
+    {family: n_dirs_folded}."""
+    import os
+    import shutil
+
+    folded = {}
+    for fam, part_cols in (("exact", []), ("bands", ["band"])):
+        fdir = os.path.join(path, fam)
+        if not os.path.isdir(fdir):
+            continue
+        parts = [d for d in os.listdir(fdir)
+                 if d.startswith("batch=")]
+        if len(parts) <= 1:
+            continue
+        next_base = min([0] + [int(d.split("=")[1]) for d in parts
+                               if d.split("=")[1].lstrip("-")
+                               .isdigit()]) - 1
+        df = spark.read.parquet(fdir).drop("batch").distinct()
+        tmp = os.path.join(fdir, f".tmp-compact{abs(next_base)}")
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
+        os.rename(tmp, os.path.join(fdir, f"batch={next_base}"))
+        for d in parts:
+            shutil.rmtree(os.path.join(fdir, d), ignore_errors=True)
+        folded[fam] = len(parts)
+    return folded

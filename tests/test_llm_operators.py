@@ -2291,3 +2291,44 @@ def test_skew_report_counts_shares_and_nulls(spark):
                                ("warm", 3, 10, 300000)]
     all_rows = CU.skew_report(df, "k", k=10).collect()
     assert any(r["key"] is None and r["n"] == 1 for r in all_rows)
+
+
+def test_compact_dedup_index_preserves_probes(spark, tmp_path):
+    """Folding the per-batch index deltas into one base partition
+    must not change any probe result, and re-compacting after a
+    simulated crash (a consumed delta left behind) self-heals via
+    the distinct."""
+    import os
+    import shutil
+
+    from siridb_server_spark.localdf import arrow_df
+
+    idx = str(tmp_path / "idx")
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different content about spark engines")],
+        [(3, "the quick brown fox jumps over the lazy dog today"),
+         (4, "another unrelated document body entirely here")],
+    ]
+    for bid, rows in enumerate(batches):
+        D.build_dedup_index(
+            arrow_df(spark, rows, "doc_id long, text string"),
+            idx, subdir=f"batch={bid}")
+    probe = arrow_df(
+        spark, [(9, "the quick brown fox jumps over the lazy dog"
+                 " today")], "doc_id long, text string")
+    before = sorted(map(tuple, D.dedup_incremental(probe, idx)
+                        .collect()))
+    folded = D.compact_dedup_index(spark, idx)
+    assert folded == {"exact": 2, "bands": 2}
+    assert os.listdir(os.path.join(idx, "exact")) == ["batch=-1"]
+    after = sorted(map(tuple, D.dedup_incremental(probe, idx)
+                       .collect()))
+    assert after == before and before  # non-empty: doc 1/3 match
+    # crash simulation: stale consumed delta beside the base
+    shutil.copytree(os.path.join(idx, "exact", "batch=-1"),
+                    os.path.join(idx, "exact", "batch=5"))
+    D.compact_dedup_index(spark, idx)
+    healed = sorted(map(tuple, D.dedup_incremental(probe, idx)
+                        .collect()))
+    assert healed == before
