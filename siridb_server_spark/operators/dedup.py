@@ -1236,8 +1236,21 @@ def compact_dedup_index(spark, path: str) -> dict:
     import os
     import shutil
 
+    return compact_batch_dirs(spark, path,
+                              (("exact", []), ("bands", ["band"])))
+
+
+def compact_batch_dirs(spark, path: str, families) -> dict:
+    """Generic batch=<id> delta compaction shared by the dedup and
+    media indexes: per family (name, partition_cols), fold all
+    delta dirs with DISTINCT into ``batch=-<n>`` via a dot-prefixed
+    temp dir + rename, then remove the consumed dirs. See
+    :func:`compact_dedup_index` for the crash-safety argument."""
+    import os
+    import shutil
+
     folded = {}
-    for fam, part_cols in (("exact", []), ("bands", ["band"])):
+    for fam, part_cols in families:
         fdir = os.path.join(path, fam)
         if not os.path.isdir(fdir):
             continue

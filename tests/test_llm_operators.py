@@ -2332,3 +2332,39 @@ def test_compact_dedup_index_preserves_probes(spark, tmp_path):
     healed = sorted(map(tuple, D.dedup_incremental(probe, idx)
                         .collect()))
     assert healed == before
+
+
+def test_compact_media_dedup_index_preserves_probes(spark, tmp_path):
+    """Media-index compaction: probe results identical before and
+    after folding the batch deltas into the negative-id base."""
+    import os
+
+    import numpy as np
+
+    idx = str(tmp_path / "midx")
+    img = _phash_test_image()
+    bright = np.clip(img.astype(int) + 12, 0, 255).astype(np.uint8)
+    b1 = spark.createDataFrame(
+        [(1, "image", MM.encode_png(img), "image/png")],
+        MM.MEDIA_SCHEMA)
+    rng = np.random.default_rng(9)
+    b2 = spark.createDataFrame(
+        [(2, "image", MM.encode_png(
+            rng.integers(0, 256, img.shape).astype(np.uint8)),
+          "image/png")], MM.MEDIA_SCHEMA)
+    MM.build_media_dedup_index(b1, idx, subdir="batch=0")
+    MM.build_media_dedup_index(b2, idx, subdir="batch=1")
+    probe = spark.createDataFrame(
+        [(10, "image", MM.encode_png(bright), "image/png")],
+        MM.MEDIA_SCHEMA)
+    before = sorted(map(tuple,
+                        MM.media_dedup_incremental(probe, idx)
+                        .collect()))
+    folded = MM.compact_media_dedup_index(spark, idx)
+    assert folded.get("phash_bands") == 2
+    assert os.listdir(os.path.join(idx, "phash_bands")) == \
+        ["batch=-1"]
+    after = sorted(map(tuple,
+                       MM.media_dedup_incremental(probe, idx)
+                       .collect()))
+    assert after == before and before
