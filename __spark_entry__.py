@@ -626,6 +626,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_sax_words"] = ts_sax_words
 
+    def corpus_assign_ids(spark, sf_dir):
+        """Deterministic content ids for a raw corpus
+        (operators/curation.py assign_content_ids): 60-bit md5 of
+        (source ‖ NUL ‖ text), row-local and reproducible across
+        runs/partitionings — what every downstream dedup/sketch
+        operator keys on when the crawl has no id. Hashed contract:
+        the full (doc_id → content_id) mapping plus the collision
+        count (exact duplicates share ids BY DESIGN; distinct-text
+        collisions are birthday-bounded and audited separately)."""
+        docs = load(spark, sf_dir, "documents")
+        return (CU.assign_content_ids(docs)
+                .select("doc_id", "content_id"))
+
+    q["corpus_assign_ids"] = corpus_assign_ids
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -4036,6 +4051,13 @@ def oracle_sql() -> dict[str, str]:
         " SELECT series, CAST(max(n_points) AS BIGINT) AS n_points,"
         " string_agg(substr('0123', CAST(s AS INT) + 1, 1), ''"
         " ORDER BY j) AS word FROM sym GROUP BY 1")
+    # content ids: the same md5(salt || NUL || text) 60-bit
+    # truncation in SQL
+    o["corpus_assign_ids"] = (
+        "SELECT doc_id,"
+        " CAST(('0x' || substr(md5(coalesce(CAST(source AS VARCHAR),"
+        " '') || chr(0) || coalesce(text, '')), 1, 15)) AS BIGINT)"
+        " AS content_id FROM documents")
     # DTW: property oracle — a recursive DP has no SQL mirror; the
     # DP itself is pinned exactly in pytest against a reference
     # implementation (test_dtw_topk_matches_reference_dp)

@@ -574,3 +574,49 @@ def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
               .limit(k))
     return ranked.select("key", "n", F.col("t").alias("total"),
                          "share_ppm")
+
+
+def assign_content_ids(df: DataFrame, text_col: str = "text",
+                       salt_cols: tuple = ("source",)) -> DataFrame:
+    """Deterministic 60-bit document ids from content — the first
+    step on a raw crawl, because every dedup/sketch/sampling
+    operator downstream keys on an id column the raw data doesn't
+    have. id = md5(salt_cols ‖ NUL ‖ text) truncated to 60 bits:
+    row-local (no global sort, no zipWithIndex barrier, and unlike
+    monotonically_increasing_id it is REPRODUCIBLE across runs and
+    partitionings — re-crawls of the same doc get the same id, which
+    is exactly what the redelivery-idempotent sinks key on).
+
+    Exact-duplicate rows collide BY DESIGN (same content ⇒ same id —
+    exact dedup falls out for free); distinct-content collisions are
+    birthday-bounded (~n²/2⁶¹: one in a billion docs ⇒ ~2.5×10⁻⁴
+    expected pairs) and auditable with
+    :func:`content_id_collisions`. Output: df + ``content_id``."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(""))
+             for c in salt_cols]
+    payload = F.concat_ws("\x00", *parts,
+                          F.coalesce(F.col(text_col), F.lit("")))
+    cid = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10) \
+        .cast("long")
+    return df.withColumn("content_id", cid)
+
+
+def content_id_collisions(df: DataFrame, text_col: str = "text",
+                          salt_cols: tuple = ("source",)) -> DataFrame:
+    """The collision audit for :func:`assign_content_ids`: ids held
+    by MORE THAN ONE distinct (salt, text) payload — true hash
+    collisions, as opposed to exact duplicates (which share the id
+    on purpose). One groupBy on the id over distinct payload
+    hashes; empty output = no collisions. Output:
+    (content_id, n_payloads)."""
+    with_ids = assign_content_ids(df, text_col, salt_cols)
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(""))
+             for c in salt_cols]
+    payload_fp = F.md5(F.concat_ws(
+        "\x00", *parts, F.coalesce(F.col(text_col), F.lit(""))))
+    return (with_ids.select("content_id",
+                            payload_fp.alias("_fp"))
+            .distinct()
+            .groupBy("content_id")
+            .agg(F.count(F.lit(1)).alias("n_payloads"))
+            .where(F.col("n_payloads") > 1))

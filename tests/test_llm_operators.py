@@ -2368,3 +2368,26 @@ def test_compact_media_dedup_index_preserves_probes(spark, tmp_path):
                        MM.media_dedup_incremental(probe, idx)
                        .collect()))
     assert after == before and before
+
+
+def test_assign_content_ids_reproducible_and_collision_audit(spark):
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import curation as CU
+    df = arrow_df(spark, [
+        (1, "web", "same text"),
+        (2, "web", "same text"),      # exact dup: same id BY DESIGN
+        (3, "lab", "same text"),      # different salt: different id
+        (4, "web", "other text"),
+        (5, "web", None),             # NULL text: still gets an id
+    ], "doc_id long, source string, text string")
+    ids = {r["doc_id"]: r["content_id"] for r in
+           CU.assign_content_ids(df).collect()}
+    assert ids[1] == ids[2]
+    assert ids[1] != ids[3] and ids[1] != ids[4]
+    assert all(0 <= v < (1 << 60) for v in ids.values())
+    # reproducible across partitionings
+    again = {r["doc_id"]: r["content_id"] for r in
+             CU.assign_content_ids(df.repartition(5)).collect()}
+    assert again == ids
+    # the audit sees NO collisions here (dups are not collisions)
+    assert CU.content_id_collisions(df).count() == 0
