@@ -641,6 +641,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_assign_ids"] = corpus_assign_ids
 
+    def curation_nb_lang_gate(spark, sf_dir):
+        """Classifier-driven curation gate: keep documents whose
+        quantized-NB language prediction agrees with their declared
+        lang (disagreement = mislabeled or mixed-language doc — the
+        standard drop before monolingual training). Pure
+        composition: nb_train + nb_predict_int over the lang labels
+        (operators/classify.py), every keep/drop bit integer-exact
+        and replayed by the oracle end to end."""
+        docs = load(spark, sf_dir, "documents")
+        m = CL.nb_train(docs, label_col="lang")
+        pred = CL.nb_predict_int(m, docs)
+        truth = docs.select("doc_id", F.col("lang").alias("label"))
+        return (truth.join(pred, "doc_id")
+                .select("doc_id", "label", "pred",
+                        (F.col("label") == F.col("pred"))
+                        .alias("keep")))
+
+    q["curation_nb_lang_gate"] = curation_nb_lang_gate
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -5695,6 +5714,16 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) AS BIGINT) AS n"
         " FROM documents d JOIN pred p USING (doc_id)"
         " GROUP BY 1, 2")
+    # NB language gate: same CTE chain, per-document keep bits
+    o["curation_nb_lang_gate"] = (
+        o["text_nb_confusion"].replace(
+            " SELECT d.lang AS label, p.pred,"
+            " CAST(count(*) AS BIGINT) AS n"
+            " FROM documents d JOIN pred p USING (doc_id)"
+            " GROUP BY 1, 2",
+            " SELECT d.doc_id, d.lang AS label, p.pred,"
+            " d.lang = p.pred AS keep"
+            " FROM documents d JOIN pred p USING (doc_id)"))
     # feature hashing: DuckDB rebuilds the md5 bucket/sign mapping
     # and the signed-count sums; the neighbor entry replays the
     # integer dot-product ranking

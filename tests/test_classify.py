@@ -102,3 +102,23 @@ def test_nb_float_scores_match_python_oracle(spark):
             for t in ("goal", "kernel", "the"))
         expect += math.log(labels[lab]["n_docs"] / m.total_docs)
         assert abs(got[lab] - expect) < 1e-9, lab
+
+
+def test_nb_lang_gate_composition(spark):
+    # separable data: the gate keeps every correctly-labeled doc
+    # and drops a deliberately mislabeled one
+    rows = [(i, "sport", "goal match team score") for i in range(20)]
+    rows += [(100 + i, "tech", "compiler kernel bug code")
+             for i in range(20)]
+    rows.append((999, "sport", "compiler kernel bug code"))  # mislabeled
+    docs = arrow_df(spark, rows, "doc_id long, lang string, text string")
+    m = CL.nb_train(docs, label_col="lang")
+    pred = CL.nb_predict_int(m, docs)
+    truth = docs.select("doc_id", F.col("lang").alias("label"))
+    gate = {r["doc_id"]: r["keep"] for r in
+            truth.join(pred, "doc_id")
+            .select("doc_id", (F.col("label") == F.col("pred"))
+                    .alias("keep")).collect()}
+    assert gate[999] is False
+    assert all(gate[i] for i in range(20))
+    assert all(gate[100 + i] for i in range(20))
