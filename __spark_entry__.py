@@ -5338,7 +5338,8 @@ def oracle_sql() -> dict[str, str]:
         " f AS (SELECT trim(line) AS t FROM l WHERE trim(line) <> ''"
         " GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),"
         " k AS (SELECT doc_id, i, line FROM l"
-        " WHERE trim(line) NOT IN (SELECT t FROM f)),"
+        " WHERE NOT EXISTS (SELECT 1 FROM f"
+        " WHERE f.t = trim(line))),"
         " reb AS (SELECT doc_id, count(*) AS n_kept,"
         " string_agg(line, chr(10) ORDER BY i, line) AS text_clean"
         " FROM k GROUP BY 1),"
@@ -5423,7 +5424,8 @@ def oracle_sql() -> dict[str, str]:
         " WHERE series IN (SELECT series FROM ref)),"
         " j AS (SELECT bm.series, bm.v, refb.qv FROM bm"
         " JOIN refb USING (b)"
-        " WHERE bm.series NOT IN (SELECT series FROM ref)),"
+        " WHERE NOT EXISTS (SELECT 1 FROM ref"
+        " WHERE ref.series = bm.series)),"
         " a AS (SELECT series, count(*) AS n_buckets,"
         " sum(v * qv) AS sxy, sum(v) AS sx, sum(qv) AS sy,"
         " sum(v * v) AS sxx, sum(qv * qv) AS syy FROM j GROUP BY 1),"
@@ -6433,9 +6435,10 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS n_pos FROM c2 WHERE ab_cents > 0),"
         " rich AS (SELECT c_custkey, c_nationkey, ab_cents"
         " FROM c2, thr WHERE ab_cents * n_pos > cents_sum),"
-        " dormant AS (SELECT * FROM rich WHERE c_custkey NOT IN"
-        " (SELECT o_custkey FROM orders"
-        " WHERE o_orderpriority = '1-URGENT'))"
+        " dormant AS (SELECT * FROM rich WHERE NOT EXISTS"
+        " (SELECT 1 FROM orders"
+        " WHERE o_custkey = rich.c_custkey"
+        " AND o_orderpriority = '1-URGENT'))"
         " SELECT c_nationkey AS cntry, count(*) AS numcust,"
         " sum(ab_cents) / 100.0 AS totacctbal"
         " FROM dormant GROUP BY 1 ORDER BY 1"
@@ -6889,8 +6892,9 @@ def oracle_sql() -> dict[str, str]:
             " c.rel - (SELECT max(s.sim) FROM sims s"
             " WHERE s.id_a = c.vec_id AND s.id_b IN"
             f" (SELECT vec_id FROM selu{_i})) AS mmr"
-            " FROM cand c WHERE c.vec_id NOT IN"
-            f" (SELECT vec_id FROM selu{_i})),"
+            " FROM cand c WHERE NOT EXISTS"
+            f" (SELECT 1 FROM selu{_i} u"
+            " WHERE u.vec_id = c.vec_id)),"
             f" sel{_i} AS (SELECT CAST({_i} AS BIGINT) AS step,"
             " vec_id, rel, mmr"
             f" FROM sc{_i} ORDER BY mmr DESC, vec_id LIMIT 1)")

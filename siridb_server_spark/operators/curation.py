@@ -570,7 +570,12 @@ def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     ranked = (counts.crossJoin(F.broadcast(total))
               .withColumn("share_ppm",
                           F.expr("n * 1000000 div t"))
-              .orderBy(F.col("n").desc(), "key")
+              # asc_nulls_last: Spark default sorts NULL keys
+              # first ascending but DuckDB's ORDER BY sorts them
+              # last, so a NULL-key row tying in count at the k
+              # boundary would pick different rows per engine
+              .orderBy(F.col("n").desc(),
+                       F.col("key").asc_nulls_last())
               .limit(k))
     return ranked.select("key", "n", F.col("t").alias("total"),
                          "share_ppm")

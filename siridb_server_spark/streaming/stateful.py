@@ -737,6 +737,13 @@ def streaming_quantiles(stream_df: DataFrame, *,
 
     keyed = (stream_df
              .where(F.col(value_col).isNotNull())
+             # NULL ids are excluded exactly like the batch
+             # quantile_sketch (operators/sketches.py): a NULL id
+             # yields a NULL priority that arrives as NaN at the
+             # Arrow boundary, and int(NaN) in the stateful worker
+             # would kill the streaming query where the batch path
+             # silently drops the row.
+             .where(F.col(id_col).isNotNull())
              .select(F.col(key_col).alias("key"),
                      _row_priority(F.col(id_col)).alias("pri"),
                      F.col(value_col).cast("double").alias("val")))

@@ -49,6 +49,22 @@ def test_no_transcendentals_in_hashed_oracle_surface():
         f"{offenders}")
 
 
+def test_no_not_in_subqueries_in_oracles():
+    """NOT IN (SELECT ...) returns ZERO rows whenever the subquery
+    yields a single NULL — the silent failure class the driver
+    flagged on corpus_integrity in r8. The Spark sides all use
+    left_anti joins / NOT EXISTS semantics (NULL-robust), so every
+    oracle must be NOT EXISTS by construction, not NULL-free by
+    corpus luck. Literal IN-lists (`NOT IN ('a','b')`) stay legal:
+    their NULL behavior is visible at the call site."""
+    not_in_subq = re.compile(r"NOT\s+IN\s*\(\s*SELECT", re.IGNORECASE)
+    offenders = [name for name, sql in E.oracle_sql().items()
+                 if not_in_subq.search(sql)]
+    assert not offenders, (
+        "NOT IN (SELECT ...) in oracle SQL — rewrite as NOT EXISTS "
+        f"(NULL-robust by construction): {offenders}")
+
+
 def test_no_transcendentals_feed_hashed_spark_columns():
     """The Spark twin of the SQL guard: queries() plans must not
     contain LOG/EXP/POWER expressions either (they would only be

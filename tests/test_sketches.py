@@ -446,6 +446,53 @@ def test_streaming_quantiles_nan_matches_batch(spark, tmp_path):
     assert norm(last["p99"]) == norm(est[990000]) == "nan"
 
 
+def test_streaming_quantiles_null_ids_match_batch(spark, tmp_path):
+    """NULL-id rows must be dropped by the stream exactly like the
+    batch quantile_sketch drops them — not crash the stateful
+    worker on int(NaN) when the NULL priority crosses the Arrow
+    boundary."""
+    from pyspark.sql import functions as FF
+
+    from siridb_server_spark.operators import sketches as SKM
+    from siridb_server_spark.streaming import stateful as ST
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [("k", i, float(i)) for i in range(40)]
+    rows += [("k", None, 1e9), ("k", None, -1e9), ("j", None, 5.0)]
+    spark.createDataFrame(rows, "key string, id long, value double") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    out = str(tmp_path / "out")
+
+    def sink(bdf, bid):
+        bdf.withColumn("bid", FF.lit(bid)) \
+            .write.mode("append").parquet(out)
+
+    stream = spark.readStream \
+        .schema("key string, id long, value double") \
+        .parquet(str(src) + "/*")
+    q = (ST.streaming_quantiles(stream, key_col="key",
+                                value_col="value", id_col="id")
+         .writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    # key "j" has ONLY a NULL-id row -> no state, no output row
+    assert sorted(r["key"] for r in got) == ["k"]
+    last = got[0]
+
+    batch = spark.createDataFrame(
+        rows, "key string, id long, value double")
+    sk = SKM.quantile_sketch(batch, "key", "value", "id")
+    est = {r["q_ppm"]: r["est"] for r in SKM.quantile_estimate(
+        sk, "key", [500000, 900000, 990000]).collect()}
+    assert last["sample_n"] == 40
+    assert last["p50"] == est[500000]
+    assert last["p90"] == est[900000]
+    assert last["p99"] == est[990000]
+
+
 def test_compact_sketches_preserves_folds_and_survives_crash(
         spark, tmp_path):
     """Compaction folds per-batch deltas into one negative-id base
