@@ -626,6 +626,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_sax_words"] = ts_sax_words
 
+    def ts_dtw_prefilter(spark, sf_dir):
+        """SAX-gated DTW search (operators/timeseries.py dtw_topk
+        prefilter=True): the iSAX pattern sax_words' representation
+        exists for — candidates whose SAX word disagrees with the
+        query's at EVERY position are pruned by a |series|-sized
+        semi join before the exact banded DP re-scores survivors.
+        Property contract pins the ANN-style promise: the gated
+        top-k equals the unfiltered top-k on this corpus
+        (series, n_points and exact integer costs, in order) and
+        the query still ranks first at cost 0."""
+        pts = events_points(spark, sf_dir)
+        qname = pts.agg(F.min("series")).first()[0]
+        pts = pts.select("series", "ts",
+                         F.col("val_dbl").alias("val"))
+        base = [(r["series"], r["n_points"], r["dtw_cost"])
+                for r in TSO.dtw_topk(pts, qname, k=10).collect()]
+        gated = [(r["series"], r["n_points"], r["dtw_cost"])
+                 for r in TSO.dtw_topk(pts, qname, k=10,
+                                       prefilter=True).collect()]
+        props = [
+            ("k_returned", len(gated)),
+            ("equal_to_unfiltered", int(gated == base)),
+            ("top1_is_query_at_zero",
+             int(bool(gated) and gated[0][0] == qname
+                 and gated[0][2] == 0)),
+        ]
+        return arrow_df(spark, props, "prop string, n long")
+
+    q["ts_dtw_prefilter"] = ts_dtw_prefilter
+
     def corpus_assign_ids(spark, sf_dir):
         """Deterministic content ids for a raw corpus
         (operators/curation.py assign_content_ids): 60-bit md5 of
@@ -4091,6 +4121,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
         " UNION ALL SELECT 'top1_is_query_at_zero', 1"
         " UNION ALL SELECT 'neg_cost_rows', 0")
+    # SAX-gated DTW: the gate is heuristic candidate generation
+    # with exact re-scoring, so the CONTRACT is equality with the
+    # unfiltered ranking (computed Spark-side on both paths and
+    # pinned here as the property)
+    o["ts_dtw_prefilter"] = (
+        "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
+        " UNION ALL SELECT 'equal_to_unfiltered', 1"
+        " UNION ALL SELECT 'top1_is_query_at_zero', 1")
     # skew report: exact counts + integer ppm shares, ties to key
     o["corpus_skew_report"] = (
         "WITH c AS (SELECT event_type || '|' ||"

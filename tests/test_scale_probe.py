@@ -129,6 +129,11 @@ BOUNDS = {
     "text_wordpiece_tiling": K * 2,
     # sketch-driven gate: sketch build + broadcast threshold join
     "curation_quantile_filter": K * 1.25,
+    # r10: SAX-pooled + endpoint-LB exact DTW search — one word
+    # aggregate + one row-local LB scan over the corpus, DP only on
+    # pool+survivors (all linear; a lost bound would surface as the
+    # full DP, still linear but ~K× the kernel time)
+    "ts_dtw_prefilter": K * 2,
 }
 
 

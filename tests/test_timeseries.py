@@ -160,6 +160,89 @@ def test_dtw_topk_elastic_beats_pointwise(spark):
     assert again == got
 
 
+def test_dtw_batch_kernel_matches_reference_dp():
+    """The batched anti-diagonal kernel is bit-identical to the
+    full-matrix reference DP over randomized mixed-length batches
+    (including empty series and length-1 edges)."""
+    import numpy as np
+
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rng = np.random.RandomState(11)
+    for trial in range(25):
+        nq = rng.randint(1, 129)
+        q = rng.randint(-10**6, 10**6, size=nq).astype(np.int64)
+        ser = [rng.randint(-10**6, 10**6,
+                           size=rng.randint(0, 129)).astype(np.int64)
+               for _ in range(rng.randint(1, 30))]
+        got = TSO._dtw_batch(ser, q, 8)
+        for s, g in zip(ser, got):
+            if len(s) == 0:
+                assert g == 1 << 62
+            else:
+                assert g == _dtw_ref(list(map(int, s)),
+                                     list(map(int, q)), 8), trial
+
+
+def test_dtw_topk_prefilter_exact_two_phase(spark):
+    """prefilter=True is an EXACT top-k: the SAX-pooled + endpoint-
+    lower-bound two-phase search returns the unfiltered ranking on
+    a shape corpus where most series are prunable (distant offset
+    levels -> huge endpoint LB), with a pool far smaller than the
+    corpus."""
+    import math
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rows = []
+    for i in range(64):
+        rows.append(("query", i, math.sin(i / 5)))
+        rows.append(("shifted", i, math.sin((i - 3) / 5)))
+        rows.append(("flat", i, 0.1))
+        for m in range(30):
+            # far series: big constant offsets the endpoint bound
+            # sees immediately
+            rows.append((f"far{m:02d}", i,
+                         100.0 + 10 * m + math.sin(i / 3)))
+    df = arrow_df(spark, rows, "series string, ts long, val double")
+    base = [(r["series"], r["dtw_cost"]) for r in
+            TSO.dtw_topk(df, "query", k=3).collect()]
+    gated = [(r["series"], r["dtw_cost"]) for r in
+             TSO.dtw_topk(df, "query", k=3, prefilter=True,
+                          pool=4).collect()]
+    assert base == gated
+    assert [s for s, _ in base] == ["query", "shifted", "flat"]
+
+
+def test_dtw_topk_prefilter_randomized_equality(spark):
+    """Randomized corpora: the two-phase search equals the
+    unfiltered top-k regardless of data shape — the exactness is a
+    property of the lower bound, not of any fixture."""
+    import random
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rng = random.Random(23)
+    for trial in range(3):
+        rows = []
+        for s in range(25):
+            n = rng.randint(1, 60)
+            lvl = rng.uniform(-50, 50)
+            for i in range(n):
+                rows.append((f"s{s:02d}", i,
+                             lvl + rng.uniform(-5, 5)))
+        df = arrow_df(spark, rows,
+                      "series string, ts long, val double")
+        base = [(r["series"], r["dtw_cost"]) for r in
+                TSO.dtw_topk(df, "s00", k=7).collect()]
+        gated = [(r["series"], r["dtw_cost"]) for r in
+                 TSO.dtw_topk(df, "s00", k=7, prefilter=True,
+                              pool=8).collect()]
+        assert base == gated, trial
+
+
 def test_sax_words_structure_and_similarity(spark):
     import math
 
