@@ -690,6 +690,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_nb_lang_gate"] = curation_nb_lang_gate
 
+    def curation_nb_lang_gate_ngram(spark, sf_dir):
+        """The language gate on character-3-gram features
+        (operators/classify.py _tokens features="chars") — the
+        featurizer real langid needs where whitespace words fail:
+        short documents and test-time vocabulary unseen in training
+        (word-NB collapses to the prior there; char patterns still
+        separate languages — measured in tests/test_classify.py).
+        Same integer contract: the oracle replays grams, counts,
+        fixlog2 scores and keep bits end to end."""
+        docs = load(spark, sf_dir, "documents")
+        m = CL.nb_train(docs, label_col="lang",
+                        features="chars", ngram_n=3)
+        pred = CL.nb_predict_int(m, docs)
+        truth = docs.select("doc_id", F.col("lang").alias("label"))
+        return (truth.join(pred, "doc_id")
+                .select("doc_id", "label", "pred",
+                        (F.col("label") == F.col("pred"))
+                        .alias("keep")))
+
+    q["curation_nb_lang_gate_ngram"] = curation_nb_lang_gate_ngram
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -3522,6 +3543,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_sq_topk"] = sim_ivf_sq_topk
 
+    def sim_sq_index(spark, sf_dir):
+        """Persisted IVF-SQ8 index (operators/similarity.py
+        SQIndex): scale + int8 codes + centroids pinned once per
+        corpus snapshot, cells laid out as parquet
+        partitionBy(cell). Property contract pins the serving
+        promises: a search on the LOADED index returns exactly the
+        fresh per-call ivf_sq_topk result with the same pinned
+        scale/centroids (ids, order and full-precision cosines),
+        and its scan plan carries a PartitionFilter on cell —
+        probing IS directory pruning, no per-call corpus max scan
+        or centroid aggregate."""
+        import hashlib
+        import re
+        import tempfile
+
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        vec = _query_vec(spark, sf_dir)
+        idx = SIM.SQIndex.from_labels(emb)
+        try:
+            # stable per-corpus dir: deterministic rebuild makes
+            # re-runs byte-identical overwrites
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+            path = f"{tempfile.gettempdir()}/sparksiri-sqidx-{tag}"
+            idx.save(path)
+            fresh = [(r["vec_id"], r["cos"]) for r in
+                     SIM.ivf_sq_topk(emb, vec, k=10, nprobe=3,
+                                     rerank=4, scale=idx.scale,
+                                     centroids=idx.centroids)
+                     .collect()]
+        finally:
+            idx.unpersist()
+        loaded = SIM.SQIndex.load(spark, path)
+        got_df = loaded.search(vec, k=10, nprobe=3, rerank=4)
+        got = [(r["vec_id"], r["cos"]) for r in got_df.collect()]
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        props = [
+            ("k_returned", len(got)),
+            ("equal_to_fresh_build", int(got == fresh)),
+            ("partition_pruned", int(bool(re.search(
+                r"PartitionFilters: \[[^]]*cell", plan)))),
+        ]
+        return arrow_df(spark, props, "prop string, n long")
+
+    q["sim_sq_index"] = sim_sq_index
+
     def text_nb_model(spark, sf_dir):
         """Multinomial Naive Bayes training
         (operators/classify.py): the per-(language, term) token
@@ -5771,6 +5838,18 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, d.lang AS label, p.pred,"
             " d.lang = p.pred AS keep"
             " FROM documents d JOIN pred p USING (doc_id)"))
+    # char-3-gram language gate: the SAME CTE chain with the token
+    # stream swapped for overlapping character trigrams of
+    # lower(trim(text)) (short tail grams dropped by the length
+    # filter — the exact _tokens(features="chars") definition)
+    _nb_toks3 = (
+        "SELECT doc_id, lang, unnest(list_filter(list_transform("
+        "range(1, greatest(length(trim(lower(text))), 1) + 1),"
+        " p -> substr(trim(lower(text)), CAST(p AS INT), 3)),"
+        " g -> length(g) = 3)) AS term FROM documents"
+        " WHERE length(trim(text)) > 0")
+    o["curation_nb_lang_gate_ngram"] = \
+        o["curation_nb_lang_gate"].replace(_nb_toks, _nb_toks3)
     # feature hashing: DuckDB rebuilds the md5 bucket/sign mapping
     # and the signed-count sums; the neighbor entry replays the
     # integer dot-product ranking
@@ -5849,6 +5928,13 @@ def oracle_sql() -> dict[str, str]:
         " SELECT vec_id, CAST(iscore AS BIGINT) AS iscore FROM sc"
         " ORDER BY iscore DESC, vec_id LIMIT 40"
     )
+    # persisted IVF-SQ8 index: the contract is equality with the
+    # per-call path (computed Spark-side on both) + a plan-asserted
+    # partition-pruned probe, pinned as properties
+    o["sim_sq_index"] = (
+        "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
+        " UNION ALL SELECT 'equal_to_fresh_build', 1"
+        " UNION ALL SELECT 'partition_pruned', 1")
     o["sim_sq_recall"] = (
         "WITH e AS (SELECT * FROM embeddings WHERE vec_id <> 0),"
         " m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS s FROM"

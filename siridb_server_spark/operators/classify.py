@@ -39,11 +39,32 @@ from pyspark.sql import functions as F
 from .text import words
 
 
-def _tokens(df: DataFrame, text_col: str, *keep):
-    ws = F.filter(words(F.lower(F.trim(F.col(text_col)))),
-                  lambda x: x != "")
+def _tokens(df: DataFrame, text_col: str, *keep,
+            features: str = "words", ngram_n: int = 3):
+    """Feature stream per document: ``words`` = the repo-wide
+    whitespace tokenizer contract; ``chars`` = overlapping
+    character n-grams of the lowered/trimmed text (whitespace kept
+    inside grams — word boundaries are a real langid signal). The
+    char path is what makes NB a usable language identifier on
+    short documents and related languages: test-time words unseen
+    in training carry zero signal for the word model (it collapses
+    to the prior), while their character patterns still match.
+    Both are pure Catalyst array expressions; the SQL mirror for
+    chars is list_transform(range(...)) + substr + a
+    length-filter (short tail grams dropped)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    if features == "words":
+        toks = F.filter(words(t), lambda x: x != "")
+    elif features == "chars":
+        n = int(ngram_n)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+            lambda p: t.substr(p, F.lit(n)))
+        toks = F.filter(grams, lambda g: F.length(g) == n)
+    else:
+        raise ValueError(f"unknown features {features!r}")
     return (df.where(F.length(F.trim(F.col(text_col))) > 0)
-            .select(*keep, F.explode(ws).alias("term")))
+            .select(*keep, F.explode(toks).alias("term")))
 
 
 @dataclass
@@ -55,15 +76,24 @@ class NBModel:
     labels: DataFrame
     vocab: int
     total_docs: int
+    #: featurizer the model was trained with — scoring reuses it,
+    #: so train/serve tokenization can never diverge
+    features: str = "words"
+    ngram_n: int = 3
 
 
 def nb_train(df: DataFrame, label_col: str = "source",
-             text_col: str = "text") -> NBModel:
+             text_col: str = "text", features: str = "words",
+             ngram_n: int = 3) -> NBModel:
     """Fit the model: per-(label, term) token counts, per-label
     token/document totals, and the vocabulary size. All integers —
     the sufficient statistics ARE the model, and they hash
-    cross-engine (text_nb_model entry)."""
-    toks = _tokens(df, text_col, F.col(label_col).alias("label"))
+    cross-engine (text_nb_model entry). ``features="chars"``
+    trains on character ``ngram_n``-grams instead of whitespace
+    words (see :func:`_tokens` for why that is the right langid
+    featurizer); the scorers read the choice off the model."""
+    toks = _tokens(df, text_col, F.col(label_col).alias("label"),
+                   features=features, ngram_n=ngram_n)
     counts = (toks.groupBy("label", "term")
               .agg(F.count(F.lit(1)).alias("cnt")))
     tok_totals = (toks.groupBy("label")
@@ -78,7 +108,8 @@ def nb_train(df: DataFrame, label_col: str = "source",
         .first()["d"]
     return NBModel(counts=counts, labels=labels,
                    vocab=int(agg["v"] or 0),
-                   total_docs=int(total_docs or 0))
+                   total_docs=int(total_docs or 0),
+                   features=features, ngram_n=int(ngram_n))
 
 
 #: fixed-point log fractional bits (2^16 units per bit)
@@ -120,7 +151,8 @@ def _doc_label_scores(model: NBModel, df: DataFrame,
     per-document-term-label frame both scorers aggregate. tokens ×
     |labels| rows (labels are few and bounded), then a hash join
     against the counts table on (label, term)."""
-    tf = (_tokens(df, text_col, F.col(id_col).alias("doc_id"))
+    tf = (_tokens(df, text_col, F.col(id_col).alias("doc_id"),
+                  features=model.features, ngram_n=model.ngram_n)
           .groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
     tl = tf.crossJoin(F.broadcast(model.labels))

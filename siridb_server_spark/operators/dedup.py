@@ -1241,16 +1241,43 @@ def compact_dedup_index(spark, path: str) -> dict:
 
 
 def compact_batch_dirs(spark, path: str, families) -> dict:
-    """Generic batch=<id> delta compaction shared by the dedup and
-    media indexes: per family (name, partition_cols), fold all
-    delta dirs with DISTINCT into ``batch=-<n>`` via a dot-prefixed
-    temp dir + rename, then remove the consumed dirs. See
-    :func:`compact_dedup_index` for the crash-safety argument."""
+    """Generic batch=<id> delta compaction shared by the dedup,
+    media and sketch stores: per family
+    ``(name, partition_cols[, merge])``, fold all delta dirs into
+    ``batch=-<n>`` via a dot-prefixed temp dir + rename, then
+    remove the consumed dirs. ``merge`` (DataFrame → DataFrame,
+    applied to the family's full read) defaults to
+    drop-batch-column + DISTINCT — the right fold for signature
+    indexes; the sketch store passes its HLL/KMV/quantile merges
+    instead. See :func:`compact_dedup_index` for the crash-safety
+    argument (idempotent merge ⇒ re-folding leftovers is harmless).
+
+    Concurrency contract: run compaction from the single-writer
+    MAINTENANCE job, never beside an active reader — the temp dir
+    is invisible to readers, but removing consumed delta dirs can
+    transiently break a reader that already listed them (a
+    FileNotFound on a vanished dir, not wrong data; re-running the
+    read after compaction is always correct). A delta landing
+    mid-compaction is safe: the dir listing is snapshotted before
+    the fold, so the new delta simply survives to the next pass.
+
+    Filesystem contract: this loop drives the fold with
+    os.listdir/os.rename/shutil.rmtree, which assumes a LOCAL
+    POSIX filesystem (atomic directory rename). The 100 TB
+    object-store/HDFS deployments the index docstrings describe
+    have no atomic directory rename — there, the equivalent
+    maintenance pass writes the new base through the storage
+    committer (a Spark write to ``batch=-<n>`` directly, relying on
+    the idempotent merge instead of rename-atomicity) and
+    tombstones consumed deltas via the store's own listing API."""
     import os
     import shutil
 
     folded = {}
-    for fam, part_cols in families:
+    for fam, *rest in families:
+        part_cols = rest[0] if rest else []
+        merge = rest[1] if len(rest) > 1 else (
+            lambda df: df.drop("batch").distinct())
         fdir = os.path.join(path, fam)
         if not os.path.isdir(fdir):
             continue
@@ -1261,7 +1288,7 @@ def compact_batch_dirs(spark, path: str, families) -> dict:
         next_base = min([0] + [int(d.split("=")[1]) for d in parts
                                if d.split("=")[1].lstrip("-")
                                .isdigit()]) - 1
-        df = spark.read.parquet(fdir).drop("batch").distinct()
+        df = merge(spark.read.parquet(fdir))
         tmp = os.path.join(fdir, f".tmp-compact{abs(next_base)}")
         w = df.write.mode("overwrite")
         if part_cols:

@@ -931,3 +931,126 @@ def ivf_sq_topk(emb: DataFrame, query_vec, k: int = 10,
     if scale is None:
         scale = sq_scale(emb, vec_col)
     return sq_topk(sub, q, k, rerank, scale, vec_col, id_col)
+
+
+class SQIndex:
+    """Build-once / search-many IVF-SQ8 index — the persisted
+    serving shape :func:`ivf_sq_topk`'s docstring prescribes.
+    Build pins the quantization ``scale`` and the centroid list
+    ONCE per corpus snapshot and materializes every vector's int8
+    codes alongside the full-precision copy, repartitioned by
+    coarse cell. Each search ranks the (driver-held, tiny)
+    centroid list, scans ONLY the probed cells with exact-int64
+    coarse scores over the 4×-smaller codes, and rescores the top
+    k·rerank candidates at full precision from the same cells
+    frame — no per-call corpus max scan, no per-call centroid
+    aggregate. ``save``/``load`` lay the cells out as parquet
+    ``partitionBy(cell)``, so at 100 TB the probe filter is
+    directory-level partition pruning (plan-asserted in pytest).
+    The search body reuses :func:`sq_coarse_scores` +
+    :func:`brute_force_topk`, so index serving and the per-call
+    :func:`ivf_sq_topk` path cannot drift."""
+
+    def __init__(self, centroids: list, scale: float,
+                 cells: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        #: list of (cell_id, centroid_vector); tiny, driver-held
+        self.centroids = centroids
+        #: pinned symmetric quantization scale (corpus max |x|)
+        self.scale = float(scale)
+        #: (id, vec, qvec, _cell), partitioned by _cell
+        self.cells = cells
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def _build(cls, emb: DataFrame, centroids: list, cell: Column,
+               scale, vec_col: str, id_col: str) -> "SQIndex":
+        if scale is None:
+            scale = sq_scale(emb, vec_col)
+        qv = F.transform(F.col(vec_col),
+                         lambda x: _sq_code(x, scale))
+        cells = (emb.withColumn("qvec", qv)
+                 .withColumn("_cell", cell)
+                 .select(id_col, vec_col, "qvec", "_cell")
+                 .repartition(max(len(centroids), 1), "_cell")
+                 .persist())
+        cells.count()  # materialize the build now, not on search
+        return cls(centroids, scale, cells, vec_col, id_col)
+
+    @classmethod
+    def train(cls, emb: DataFrame, k: int = 8, iters: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              scale: float | None = None) -> "SQIndex":
+        """k-means quantizer + cell-partitioned int8 corpus."""
+        cents = kmeans_fit(emb, k, iters, vec_col, id_col)
+        return cls._build(emb, list(enumerate(cents)),
+                          assign_cells(emb, cents, vec_col),
+                          scale, vec_col, id_col)
+
+    @classmethod
+    def from_labels(cls, emb: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    scale: float | None = None) -> "SQIndex":
+        """Adopt an existing coarse partition (label column) as the
+        quantizer — centroids computed once, |cells| rows
+        collected."""
+        cents = [(r[label_col], list(r["centroid"])) for r in
+                 label_centroids(emb, vec_col, label_col).collect()]
+        return cls._build(emb, cents, F.col(label_col),
+                          scale, vec_col, id_col)
+
+    def search(self, query_vec, k: int = 10, nprobe: int = 3,
+               rerank: int = 4) -> DataFrame:
+        """IVF-SQ8 probe: centroid ranking is driver-side, the int8
+        coarse scan touches only the probed cells, float work is
+        k·rerank rows. Same output contract as brute_force_topk —
+        and as :func:`ivf_sq_topk` called with this index's pinned
+        scale/centroids (the equality the oracle entry pins)."""
+        q = [float(x) for x in query_vec]
+        ranked = sorted(self.centroids,
+                        key=lambda cv: -_py_cos(cv[1], q))
+        probes = [cid for cid, _ in ranked[:nprobe]]
+        sub = self.cells.where(F.col("_cell").isin(probes))
+        qcodes = quantize_query(q, self.scale)
+        cand = (sq_coarse_scores(
+                    sub.select(self.id_col, "qvec"), qcodes,
+                    self.id_col)
+                .orderBy(F.col("iscore").desc(), F.col(self.id_col))
+                .limit(k * rerank)
+                .select(self.id_col))
+        kept = sub.join(F.broadcast(cand), self.id_col)
+        return brute_force_topk(kept, q, k, self.vec_col,
+                                self.id_col)
+
+    def unpersist(self):
+        self.cells.unpersist()
+
+    def save(self, path: str):
+        """Persist: cells (id, vec, int8 codes) as parquet
+        PARTITIONED BY CELL + one tiny meta parquet holding the
+        centroid list and the pinned scale."""
+        (self.cells.withColumnRenamed("_cell", "cell")
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(f"{path}/cells"))
+        spark = self.cells.sparkSession
+        from ..localdf import arrow_df
+
+        meta = [(int(cid), [float(x) for x in vec], self.scale)
+                for cid, vec in self.centroids]
+        (arrow_df(spark, meta,
+                  "cell long, centroid array<double>, scale double")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{path}/meta"))
+
+    @classmethod
+    def load(cls, spark, path: str, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> "SQIndex":
+        """Open a saved index. Searches scan only the probed cells'
+        directories (PartitionFilters on the parquet scan)."""
+        rows = spark.read.parquet(f"{path}/meta").collect()
+        cents = [(r["cell"], list(r["centroid"])) for r in rows]
+        cells = (spark.read.parquet(f"{path}/cells")
+                 .withColumnRenamed("cell", "_cell"))
+        return cls(cents, rows[0]["scale"], cells, vec_col, id_col)

@@ -340,35 +340,18 @@ def compact_sketches(spark, sketch_path: str, key_cols) -> dict:
     micro-batch can never overwrite a base), and only then are the
     consumed delta dirs removed — a crash at any line leaves
     consumed dirs alongside the new base, and re-folding those
-    duplicates cannot change any sketch. Returns
+    duplicates cannot change any sketch. The shared fold loop
+    (list → merge → dot-temp → rename → cleanup, with its
+    concurrency and local-POSIX-filesystem contracts) lives in
+    :func:`~..operators.dedup.compact_batch_dirs`; this wrapper
+    only supplies the per-family sketch merges. Returns
     {family: n_dirs_folded}."""
-    import shutil
-
     from ..operators import sketches as SK
+    from ..operators.dedup import compact_batch_dirs
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    mergers = {
-        "hll": lambda df: SK.hll_merge(df, keys),
-        "kmv": lambda df: SK.kmv_merge(df, keys),
-        "quantile": lambda df: SK.quantile_merge(df, keys),
-    }
-    folded = {}
-    for fam, merge in mergers.items():
-        fdir = os.path.join(sketch_path, fam)
-        if not os.path.isdir(fdir):
-            continue
-        parts = [d for d in os.listdir(fdir)
-                 if d.startswith("batch=")]
-        if len(parts) <= 1:
-            continue
-        next_base = min([0] + [int(d.split("=")[1]) for d in parts
-                               if d.split("=")[1].lstrip("-")
-                               .isdigit()]) - 1
-        merged = merge(spark.read.parquet(fdir))
-        tmp = os.path.join(fdir, f".tmp-compact{abs(next_base)}")
-        merged.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(fdir, f"batch={next_base}"))
-        for d in parts:
-            shutil.rmtree(os.path.join(fdir, d), ignore_errors=True)
-        folded[fam] = len(parts)
-    return folded
+    return compact_batch_dirs(spark, sketch_path, (
+        ("hll", [], lambda df: SK.hll_merge(df, keys)),
+        ("kmv", [], lambda df: SK.kmv_merge(df, keys)),
+        ("quantile", [], lambda df: SK.quantile_merge(df, keys)),
+    ))

@@ -122,3 +122,52 @@ def test_nb_lang_gate_composition(spark):
     assert gate[999] is False
     assert all(gate[i] for i in range(20))
     assert all(gate[100 + i] for i in range(20))
+
+
+def test_char_ngram_features_beat_words_on_unseen_vocab(spark):
+    """The langid case the char path exists for: test docs whose
+    WORDS never appeared in training. The word model collapses to
+    the prior (predicts one label for everything, ~50% accuracy);
+    the char-3-gram model still reads the languages' character
+    patterns and classifies every held-out doc correctly."""
+    def lang_a(i):          # 'zz'-flavored pseudo-language
+        return f"zzar{i} bozz{i} zzil{i}ka"
+
+    def lang_b(i):          # 'qq'-flavored pseudo-language
+        return f"qqor{i} tuqq{i} qqol{i}mo"
+
+    train = [(i, "A", lang_a(i)) for i in range(20)]
+    train += [(100 + i, "B", lang_b(i)) for i in range(20)]
+    test = [(1000 + i, "A", lang_a(500 + i)) for i in range(10)]
+    test += [(2000 + i, "B", lang_b(500 + i)) for i in range(10)]
+    tr = arrow_df(spark, train,
+                  "doc_id long, lang string, text string")
+    te = arrow_df(spark, test,
+                  "doc_id long, lang string, text string")
+
+    def accuracy(model):
+        pred = CL.nb_predict_int(model, te)
+        truth = te.select("doc_id", F.col("lang").alias("label"))
+        hits = (truth.join(pred, "doc_id")
+                .where(F.col("label") == F.col("pred")).count())
+        return hits / 20
+
+    acc_w = accuracy(CL.nb_train(tr, label_col="lang"))
+    acc_c = accuracy(CL.nb_train(tr, label_col="lang",
+                                 features="chars", ngram_n=3))
+    # words: every test term unseen -> prior tie-break -> one label
+    assert acc_w <= 0.5
+    assert acc_c == 1.0
+
+
+def test_char_ngram_tokens_definition(spark):
+    """The char featurizer yields exactly the overlapping n-grams
+    of lower(trim(text)) with short tails dropped — the definition
+    the DuckDB oracle mirrors with list_transform + substr."""
+    df = arrow_df(spark, [(1, "x", "  AbC d ")],
+                  "doc_id long, lang string, text string")
+    toks = sorted(
+        r["term"] for r in CL._tokens(
+            df, "text", F.col("doc_id"),
+            features="chars", ngram_n=3).collect())
+    assert toks == sorted(["abc", "bc ", "c d"])

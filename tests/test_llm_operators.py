@@ -2253,6 +2253,41 @@ def test_ivf_sq_topk_matches_ivf_on_probed_cells(spark):
     assert sq == flt
 
 
+def test_sq_index_matches_per_call_path_and_prunes(spark, tmp_path):
+    """SQIndex.search == ivf_sq_topk with the same pinned scale and
+    centroids (index serving and the per-call path share the coarse
+    + rescore body); save/load lays cells out partitionBy(cell) and
+    a search on the loaded index shows PartitionFilters — probing
+    IS directory pruning at scale."""
+    import re
+
+    from siridb_server_spark.sources.testdata import load
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where("vec_id <> 0")
+    q = [float(x) for x in
+         load(spark, "/root/testdata/sf0.001", "embeddings")
+         .where("vec_id = 0").first()["embedding"]]
+    idx = SIM.SQIndex.from_labels(emb)
+    try:
+        got = [(r["vec_id"], r["cos"]) for r in
+               idx.search(q, k=5, nprobe=3).collect()]
+        fresh = [(r["vec_id"], r["cos"]) for r in
+                 SIM.ivf_sq_topk(emb, q, k=5, nprobe=3,
+                                 scale=idx.scale,
+                                 centroids=idx.centroids).collect()]
+        assert got == fresh
+        idx.save(str(tmp_path / "sq"))
+    finally:
+        idx.unpersist()
+    idx2 = SIM.SQIndex.load(spark, str(tmp_path / "sq"))
+    assert idx2.scale == idx.scale
+    got_df = idx2.search(q, k=5, nprobe=3)
+    assert [(r["vec_id"], r["cos"]) for r in got_df.collect()] \
+        == got
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
+
+
 def test_quality_percentile_rank_semantics(spark):
     from siridb_server_spark.localdf import arrow_df
     # src a: three docs with clearly ordered quality (stopword-rich
