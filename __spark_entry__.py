@@ -1710,6 +1710,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_knn_join"] = sim_knn_join
 
+    def sim_ivf_knn_join(spark, sf_dir):
+        """Batch IVF ANN join (operators/similarity.py
+        ivf_knn_join): every query's top-5 neighbors drawn from its
+        2 nearest coarse cells only — the corpus-vs-corpus ANN
+        shape where BOTH sides stay distributed (knn_join collects
+        the query side). Broadcast centroid ranking per query,
+        cell-keyed hash join, exact per-candidate cosine rounded
+        to 6 before ranking; the oracle replays centroids,
+        per-query probes, scores and ranks end to end."""
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 3) \
+            .select(F.col("vec_id").alias("qid"), "embedding")
+        return SIM.ivf_knn_join(emb.where(F.col("vec_id") >= 3),
+                                queries, k=5, nprobe=2)
+
+    q["sim_ivf_knn_join"] = sim_ivf_knn_join
+
     def sim_ivf_topk(spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
         vec = _query_vec(spark, sf_dir)
@@ -5599,6 +5616,46 @@ def oracle_sql() -> dict[str, str]:
         " CAST(unnest(q.embedding) AS DOUBLE) AS y"
         " FROM embeddings e, embeddings q"
         " WHERE e.vec_id >= 3 AND q.vec_id < 3),"
+        " s AS (SELECT qid, vec_id, sum(x * y) AS d,"
+        " sum(x * x) AS na, sum(y * y) AS nb"
+        " FROM prod GROUP BY 1, 2),"
+        " sc AS (SELECT qid, vec_id,"
+        " round(CASE WHEN na = 0 OR nb = 0 THEN 0.0"
+        " ELSE d / (sqrt(na) * sqrt(nb)) END, 6) + 0.0 AS cos"
+        " FROM s),"
+        " r AS (SELECT qid, vec_id, cos, row_number() OVER"
+        " (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank"
+        " FROM sc)"
+        " SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank"
+        " FROM r WHERE rank <= 5"
+    )
+    # batch IVF join: per-QUERY cell ranking (row_number over qid,
+    # ties to the smaller cell id, zero-norm guarded), then scores
+    # and ranks only inside each query's probed cells
+    o["sim_ivf_knn_join"] = (
+        "WITH e AS (SELECT vec_id, label, embedding"
+        " FROM embeddings WHERE vec_id >= 3),"
+        " q AS (SELECT vec_id AS qid, embedding AS qe"
+        " FROM embeddings WHERE vec_id < 3),"
+        " pos AS (SELECT label, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, unnest(range(1, len(embedding) + 1)) AS i FROM e),"
+        " cent AS (SELECT label, i, avg(x) AS c FROM pos"
+        " GROUP BY 1, 2),"
+        " qd AS (SELECT qid, CAST(unnest(qe) AS DOUBLE) AS y,"
+        " unnest(range(1, len(qe) + 1)) AS i FROM q),"
+        " cd AS (SELECT qid, label, sum(c * y) AS d,"
+        " sum(y * y) AS na, sum(c * c) AS nb"
+        " FROM cent JOIN qd USING (i) GROUP BY 1, 2),"
+        " pr AS (SELECT qid, label FROM (SELECT qid, label,"
+        " row_number() OVER (PARTITION BY qid ORDER BY"
+        " CASE WHEN na = 0 OR nb = 0 THEN 0.0"
+        " ELSE d / (sqrt(na) * sqrt(nb)) END DESC, label) AS rn"
+        " FROM cd) WHERE rn <= 2),"
+        " prod AS (SELECT p.qid, e.vec_id,"
+        " CAST(unnest(e.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(q.qe) AS DOUBLE) AS y"
+        " FROM pr p JOIN e USING (label)"
+        " JOIN q ON q.qid = p.qid),"
         " s AS (SELECT qid, vec_id, sum(x * y) AS d,"
         " sum(x * x) AS na, sum(y * y) AS nb"
         " FROM prod GROUP BY 1, 2),"

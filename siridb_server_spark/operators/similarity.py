@@ -1054,3 +1054,79 @@ class SQIndex:
         cells = (spark.read.parquet(f"{path}/cells")
                  .withColumnRenamed("cell", "_cell"))
         return cls(cents, rows[0]["scale"], cells, vec_col, id_col)
+
+
+def ivf_knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
+                 nprobe: int = 2, vec_col: str = "embedding",
+                 id_col: str = "vec_id", qid_col: str = "qid",
+                 label_col: str = "label",
+                 centroids: list | None = None) -> DataFrame:
+    """Batch IVF ANN join: top-k cosine neighbors for EVERY query
+    row, scanning only each query's ``nprobe`` nearest coarse
+    cells — the corpus-vs-corpus ANN shape (contamination checks,
+    embedding-space near-dup between two 100 TB snapshots,
+    hard-negative mining at scale) that :func:`knn_join` can't
+    serve once the query side is too big to collect: here BOTH
+    sides stay distributed.
+
+    Spark shape, pure Catalyst end to end: (1) the tiny centroid
+    frame broadcasts against the query side and a per-qid window
+    keeps the nprobe best cells (cells tie to the smaller id,
+    zero-norm guarded — same ranking rule as every IVF variant);
+    (2) probes hash-join the cell-keyed corpus ON THE CELL KEY, so
+    the shuffle carries query·nprobe + corpus rows and the
+    candidate volume is nprobe/|cells| of the cross product —
+    never corpus·q; (3) exact cosine per candidate (sequential
+    fold, the cross-engine-reproducible op order), rounded to 6
+    decimals BEFORE ranking with ties to the smaller corpus id —
+    deterministic under any partitioning. Skewed cells shard like
+    any hash join (AQE skew-split applies; a hot cell is a
+    quantizer-quality problem first). Output:
+    (qid, vec_id, cos, rank), rank 1..k."""
+    from ..localdf import arrow_df
+
+    if centroids is None:
+        centroids = [(r[label_col], list(r["centroid"])) for r in
+                     label_centroids(emb, vec_col, label_col)
+                     .collect()]
+    spark = emb.sparkSession
+    cent = arrow_df(
+        spark,
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "_cell long, _centroid array<double>")
+
+    d = dot(F.col("_qv"), F.col("_centroid"))
+    na = dot(F.col("_qv"), F.col("_qv"))
+    nb = dot(F.col("_centroid"), F.col("_centroid"))
+    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("_cc"), F.asc("_cell"))
+    probes = (queries
+              .select(F.col(qid_col).alias("qid"),
+                      F.col(vec_col).alias("_qv"))
+              .crossJoin(F.broadcast(cent))
+              .withColumn("_cc", ccos)
+              .withColumn("_pr", F.row_number().over(wq))
+              .where(F.col("_pr") <= int(nprobe))
+              .select("qid", "_qv", "_cell"))
+
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).cast("long").alias("_cell"))
+    pd_ = probes.join(corpus, "_cell")
+    dd = dot(F.col("_cv"), F.col("_qv"))
+    nna = dot(F.col("_cv"), F.col("_cv"))
+    nnb = dot(F.col("_qv"), F.col("_qv"))
+    cos = F.round(
+        F.when((nna == 0) | (nnb == 0), F.lit(0.0))
+        .otherwise(dd / (F.sqrt(nna) * F.sqrt(nnb))), 6)
+    sc = pd_.select("qid", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.asc("vec_id"))
+    return (sc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("qid", "vec_id",
+                    (F.col("cos") + F.lit(0.0)).alias("cos"),
+                    "rank"))

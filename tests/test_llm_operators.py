@@ -2288,6 +2288,33 @@ def test_sq_index_matches_per_call_path_and_prunes(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
 
 
+def test_ivf_knn_join_full_probe_equals_exact(spark):
+    """With nprobe = |cells| the IVF join probes everything, so it
+    must equal the exact knn_join on (qid, vec_id, cos, rank); with
+    nprobe=1 every result still carries the exact cosine for its
+    id (candidates are a subset, scores are never approximated)."""
+    from siridb_server_spark.sources.testdata import load
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 3") \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.where("vec_id >= 3")
+    ncells = corpus.select("label").distinct().count()
+    exact = sorted(tuple(r) for r in
+                   SIM.knn_join(corpus, queries, k=5).collect())
+    full = sorted(tuple(r) for r in
+                  SIM.ivf_knn_join(corpus, queries, k=5,
+                                   nprobe=ncells).collect())
+    assert full == exact
+    one = SIM.ivf_knn_join(corpus, queries, k=5, nprobe=1)
+    cos_by_id = {(r[0], r[1]): r[2] for r in exact}
+    exact_all = {
+        (r["qid"], r["vec_id"]): r["cos"]
+        for r in SIM.knn_join(corpus, queries,
+                              k=corpus.count()).collect()}
+    for r in one.collect():
+        assert r["cos"] == exact_all[(r["qid"], r["vec_id"])]
+
+
 def test_quality_percentile_rank_semantics(spark):
     from siridb_server_spark.localdf import arrow_df
     # src a: three docs with clearly ordered quality (stopword-rich
