@@ -3606,6 +3606,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_sq_index"] = sim_sq_index
 
+    def sim_sq_index_append(spark, sf_dir):
+        """Incremental SQIndex growth (operators/similarity.py
+        sq_index_append): a delta batch quantized with the saved
+        index's PINNED scale (clamped like out-of-range queries),
+        assigned to its nearest frozen centroid by the search-side
+        cosine rule, appended into the existing cell partition
+        dirs. Properties pin the contract: every delta row is
+        indexed, and a search on the loaded appended index equals
+        the in-memory index over the same union with the same
+        pinned scale/centroids (a pure persistence/quantization
+        round-trip check — the quantizer is frozen BY DESIGN, so
+        equality with a full retrain is NOT the contract)."""
+        import hashlib
+        import shutil
+        import tempfile
+
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        base = emb.where(F.col("vec_id") % 7 != 1)
+        delta = emb.where(F.col("vec_id") % 7 == 1)
+        vec = _query_vec(spark, sf_dir)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/sparksiri-sqapp-{tag}"
+        shutil.rmtree(path, ignore_errors=True)  # append is not
+        # idempotent across runs: start from a fresh base each time
+        idx = SIM.SQIndex.from_labels(base)
+        try:
+            idx.save(path)
+            scale, cents = idx.scale, idx.centroids
+        finally:
+            idx.unpersist()
+        n = SIM.sq_index_append(spark, path, delta)
+        loaded = SIM.SQIndex.load(spark, path)
+        got = [(r["vec_id"], r["cos"]) for r in
+               loaded.search(vec, k=10, nprobe=3).collect()]
+
+        cent = arrow_df(
+            spark,
+            [(int(c), [float(x) for x in v]) for c, v in cents],
+            "_cell long, _centroid array<double>")
+        d = SIM.dot(F.col("embedding"), F.col("_centroid"))
+        na = SIM.dot(F.col("embedding"), F.col("embedding"))
+        nb = SIM.dot(F.col("_centroid"), F.col("_centroid"))
+        ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+            .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
+        from pyspark.sql import Window as W
+        w = W.partitionBy("vec_id").orderBy(
+            F.desc("_cc"), F.asc("_cell"))
+        dcells = (delta.select("vec_id", "embedding")
+                  .crossJoin(F.broadcast(cent))
+                  .withColumn("_cc", ccos)
+                  .withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1)
+                  .select("vec_id", "embedding",
+                          F.col("_cell").alias("label")))
+        union = base.select("vec_id", "embedding", "label") \
+            .unionByName(dcells)
+        qv = F.transform(
+            F.col("embedding"),
+            lambda x: F.greatest(
+                F.lit(-SIM.SQ_LIM),
+                F.least(F.lit(SIM.SQ_LIM),
+                        SIM._sq_code(x, scale))))
+        ref = SIM.SQIndex(cents, scale, union.select(
+            "vec_id", "embedding", qv.alias("qvec"),
+            F.col("label").cast("long").alias("_cell")))
+        want = [(r["vec_id"], r["cos"]) for r in
+                ref.search(vec, k=10, nprobe=3).collect()]
+        props = [
+            ("delta_rows_indexed",
+             int(n == delta.count()
+                 and loaded.cells.count() == base.count() + n)),
+            ("equal_to_in_memory_union", int(got == want)),
+            ("k_returned", len(got)),
+        ]
+        return arrow_df(spark, props, "prop string, n long")
+
+    q["sim_sq_index_append"] = sim_sq_index_append
+
     def text_nb_model(spark, sf_dir):
         """Multinomial Naive Bayes training
         (operators/classify.py): the per-(language, term) token
@@ -5992,6 +6071,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
         " UNION ALL SELECT 'equal_to_fresh_build', 1"
         " UNION ALL SELECT 'partition_pruned', 1")
+    o["sim_sq_index_append"] = (
+        "SELECT 'delta_rows_indexed' AS prop, CAST(1 AS BIGINT)"
+        " AS n"
+        " UNION ALL SELECT 'equal_to_in_memory_union', 1"
+        " UNION ALL SELECT 'k_returned', 10")
     o["sim_sq_recall"] = (
         "WITH e AS (SELECT * FROM embeddings WHERE vec_id <> 0),"
         " m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS s FROM"

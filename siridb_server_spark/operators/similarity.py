@@ -1130,3 +1130,55 @@ def ivf_knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("qid", "vec_id",
                     (F.col("cos") + F.lit(0.0)).alias("cos"),
                     "rank"))
+
+
+def sq_index_append(spark, path: str, new_emb: DataFrame,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> int:
+    """Append a batch of new vectors to a SAVED :class:`SQIndex`
+    without rebuilding: codes are quantized with the index's
+    PINNED scale (clamped to ±127 like out-of-range queries — new
+    data may exceed the old corpus max; the scale is a snapshot
+    property by design), each vector is assigned to its nearest
+    saved centroid by the SAME cosine rule searches rank cells
+    with (ties to the smaller cell id), and the rows land as new
+    parquet files inside the existing ``cells/cell=<id>``
+    partition dirs (``mode("append")`` + ``partitionBy`` — a torn
+    write leaves only an invisible temp file, so readers never see
+    half a batch). The quantizer stays frozen — the standard
+    serving tradeoff; retrain + rebuild when drift accumulates.
+    Returns the number of rows appended."""
+    from ..localdf import arrow_df
+
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    scale = float(meta[0]["scale"])
+    cent = arrow_df(
+        spark,
+        [(int(r["cell"]), [float(x) for x in r["centroid"]])
+         for r in meta],
+        "_cell long, _centroid array<double>")
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.greatest(
+            F.lit(-SQ_LIM),
+            F.least(F.lit(SQ_LIM), _sq_code(x, scale))))
+    d = dot(F.col(vec_col), F.col("_centroid"))
+    na = dot(F.col(vec_col), F.col(vec_col))
+    nb = dot(F.col("_centroid"), F.col("_centroid"))
+    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_cc"), F.asc("_cell"))
+    assigned = (new_emb.select(id_col, vec_col)
+                .withColumn("qvec", qv)
+                .crossJoin(F.broadcast(cent))
+                .withColumn("_cc", ccos)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(id_col, vec_col, "qvec",
+                        F.col("_cell").alias("cell")))
+    n = assigned.count()
+    (assigned.write.mode("append").partitionBy("cell")
+     .parquet(f"{path}/cells"))
+    return n

@@ -2288,6 +2288,67 @@ def test_sq_index_matches_per_call_path_and_prunes(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
 
 
+def test_sq_index_append_equals_rebuilt_in_memory(spark, tmp_path):
+    """Appending a delta to a saved SQIndex (pinned scale, frozen
+    quantizer, nearest-centroid assignment) round-trips through
+    parquet to exactly the index you'd get constructing the same
+    union in memory — and the appended rows are searchable."""
+    from siridb_server_spark.sources.testdata import load
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where("vec_id <> 0")
+    base = emb.where("vec_id % 7 <> 1")
+    delta = emb.where("vec_id % 7 = 1")
+    q = [float(x) for x in
+         load(spark, "/root/testdata/sf0.001", "embeddings")
+         .where("vec_id = 0").first()["embedding"]]
+    idx = SIM.SQIndex.from_labels(base)
+    idx.save(str(tmp_path / "sq"))
+    scale, cents = idx.scale, idx.centroids
+    idx.unpersist()
+    n = SIM.sq_index_append(spark, str(tmp_path / "sq"), delta)
+    assert n == delta.count() > 0
+    loaded = SIM.SQIndex.load(spark, str(tmp_path / "sq"))
+    assert loaded.cells.count() == base.count() + n
+    got = [(r["vec_id"], r["cos"]) for r in
+           loaded.search(q, k=10, nprobe=3).collect()]
+
+    # in-memory reference: same pinned scale/centroids, same
+    # assignment rule, no persistence
+    cent_rows = [(int(c), [float(x) for x in v]) for c, v in cents]
+    from siridb_server_spark.localdf import arrow_df
+    cent = arrow_df(spark, cent_rows,
+                    "_cell long, _centroid array<double>")
+    d = SIM.dot(F.col("embedding"), F.col("_centroid"))
+    na = SIM.dot(F.col("embedding"), F.col("embedding"))
+    nb = SIM.dot(F.col("_centroid"), F.col("_centroid"))
+    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("_cc"), F.asc("_cell"))
+    dcells = (delta.select("vec_id", "embedding")
+              .crossJoin(F.broadcast(cent))
+              .withColumn("_cc", ccos)
+              .withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1)
+              .select("vec_id", "embedding",
+                      F.col("_cell").alias("label")))
+    union = base.select("vec_id", "embedding", "label") \
+        .unionByName(dcells)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-SIM.SQ_LIM),
+            F.least(F.lit(SIM.SQ_LIM), SIM._sq_code(x, scale))))
+    cells_ref = union.select(
+        "vec_id", "embedding", qv.alias("qvec"),
+        F.col("label").cast("long").alias("_cell"))
+    ref = SIM.SQIndex(cents, scale, cells_ref)
+    want = [(r["vec_id"], r["cos"]) for r in
+            ref.search(q, k=10, nprobe=3).collect()]
+    assert got == want
+
+
 def test_ivf_knn_join_full_probe_equals_exact(spark):
     """With nprobe = |cells| the IVF join probes everything, so it
     must equal the exact knn_join on (qid, vec_id, cos, rank); with
