@@ -1048,11 +1048,22 @@ class SQIndex:
     def load(cls, spark, path: str, vec_col: str = "embedding",
              id_col: str = "vec_id") -> "SQIndex":
         """Open a saved index. Searches scan only the probed cells'
-        directories (PartitionFilters on the parquet scan)."""
+        directories (PartitionFilters on the parquet scan — the
+        cell filter pushes through the union into both the base
+        scan and any streaming-ingest delta scans under
+        ``cells_delta/batch=<id>/cell=<c>``)."""
+        import os
+
         rows = spark.read.parquet(f"{path}/meta").collect()
         cents = [(r["cell"], list(r["centroid"])) for r in rows]
         cells = (spark.read.parquet(f"{path}/cells")
                  .withColumnRenamed("cell", "_cell"))
+        ddir = f"{path}/cells_delta"
+        if os.path.isdir(ddir) and any(
+                d.startswith("batch=") for d in os.listdir(ddir)):
+            delta = (spark.read.parquet(ddir).drop("batch")
+                     .withColumnRenamed("cell", "_cell"))
+            cells = cells.unionByName(delta)
         return cls(cents, rows[0]["scale"], cells, vec_col, id_col)
 
 
@@ -1148,6 +1159,21 @@ def sq_index_append(spark, path: str, new_emb: DataFrame,
     half a batch). The quantizer stays frozen — the standard
     serving tradeoff; retrain + rebuild when drift accumulates.
     Returns the number of rows appended."""
+    assigned = _sq_assign(spark, path, new_emb, vec_col, id_col)
+    n = assigned.count()
+    (assigned.write.mode("append").partitionBy("cell")
+     .parquet(f"{path}/cells"))
+    return n
+
+
+def _sq_assign(spark, path: str, new_emb: DataFrame,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(id, vec, qvec, cell) rows for a delta batch against a SAVED
+    index: codes quantized with the pinned scale (clamped), cells
+    assigned by the search-side centroid-cosine rule (ties to the
+    smaller cell id) — the ONE assignment definition shared by
+    :func:`sq_index_append` and the streaming ingest sink."""
     from ..localdf import arrow_df
 
     meta = spark.read.parquet(f"{path}/meta").collect()
@@ -1170,15 +1196,11 @@ def sq_index_append(spark, path: str, new_emb: DataFrame,
         .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
     w = Window.partitionBy(id_col).orderBy(
         F.desc("_cc"), F.asc("_cell"))
-    assigned = (new_emb.select(id_col, vec_col)
-                .withColumn("qvec", qv)
-                .crossJoin(F.broadcast(cent))
-                .withColumn("_cc", ccos)
-                .withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .select(id_col, vec_col, "qvec",
-                        F.col("_cell").alias("cell")))
-    n = assigned.count()
-    (assigned.write.mode("append").partitionBy("cell")
-     .parquet(f"{path}/cells"))
-    return n
+    return (new_emb.select(id_col, vec_col)
+            .withColumn("qvec", qv)
+            .crossJoin(F.broadcast(cent))
+            .withColumn("_cc", ccos)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_col, vec_col, "qvec",
+                    F.col("_cell").alias("cell")))

@@ -355,3 +355,70 @@ def compact_sketches(spark, sketch_path: str, key_cols) -> dict:
         ("kmv", [], lambda df: SK.kmv_merge(df, keys)),
         ("quantile", [], lambda df: SK.quantile_merge(df, keys)),
     ))
+
+
+def make_sq_index_ingest_sink(index_path: str,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id"):
+    """foreachBatch sink growing a SAVED
+    :class:`~..operators.similarity.SQIndex` from a live embedding
+    feed — the serving-index shape of a streaming corpus (documents
+    embed as they ingest; the ANN index must see them without a
+    rebuild). Each micro-batch is assigned with the index's pinned
+    scale + frozen centroids (``similarity._sq_assign`` — the one
+    definition shared with the batch append path) and lands as a
+    batch-stamped delta ``cells_delta/batch=<id>/cell=<c>`` written
+    with OVERWRITE, so a redelivered batch replaces its own partial
+    output instead of double-indexing (exactly-once by idempotence,
+    the dedup-ingest sink's layout); the final ``_batch-<id>.done``
+    marker makes fully applied batches no-ops.
+    ``SQIndex.load`` folds base + deltas; run
+    :func:`compact_sq_index` from the maintenance job to fold
+    deltas down (read amplification stays flat)."""
+    from ..operators.similarity import _sq_assign
+
+    def sink(batch_df, batch_id: int):
+        marker = os.path.join(index_path,
+                              f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        assigned = _sq_assign(batch_df.sparkSession, index_path,
+                              batch_df, vec_col, id_col)
+        (assigned.write.mode("overwrite").partitionBy("cell")
+         .parquet(os.path.join(index_path, "cells_delta",
+                               f"batch={batch_id}")))
+        with open(marker, "w") as fh:
+            fh.write("done\n")
+
+    return sink
+
+
+def stream_sq_index_ingest(stream_df, index_path: str,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           checkpoint: str | None = None):
+    """Start the SQIndex ingest stream (see
+    :func:`make_sq_index_ingest_sink`). Returns the
+    StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(
+        make_sq_index_ingest_sink(index_path, vec_col, id_col)) \
+        .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def compact_sq_index(spark, index_path: str) -> dict:
+    """Fold the accumulated ``cells_delta/batch=<id>`` dirs into one
+    negative-id delta base — same crash-safety argument as every
+    compactor here: the fold is drop-batch + DISTINCT on full rows
+    (a re-folded leftover dir cannot add anything), dot-temp +
+    rename, cleanup last. The base ``cells`` dir is never touched —
+    appending into it would NOT be idempotent (duplicate vector
+    rows would double-index on a crash-refold). Single-writer
+    maintenance contract and local-FS assumption per
+    :func:`~..operators.dedup.compact_batch_dirs`."""
+    from ..operators.dedup import compact_batch_dirs
+
+    return compact_batch_dirs(spark, index_path,
+                              (("cells_delta", ["cell"]),))

@@ -1233,3 +1233,86 @@ def test_streaming_quantiles_match_batch_across_restart(
         p[r["q_ppm"]] = r["est"]
     for key, (sn, p) in want.items():
         assert got[key] == (sn, p[500000], p[900000], p[990000]), key
+
+
+def test_sq_index_stream_ingest_exactly_once_and_compaction(
+        spark, tmp_path):
+    """Streaming SQIndex growth: batch-stamped overwrite deltas make
+    redelivery a no-op (marker) or a replace (partial write), the
+    loaded index equals the batch-append path over the same deltas
+    (shared _sq_assign), and delta compaction folds dirs without
+    changing any search result — crash leftovers re-fold
+    harmlessly."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from siridb_server_spark.operators import similarity as SIM
+    from siridb_server_spark.sources.testdata import load
+    from siridb_server_spark.streaming import corpus as SC
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where("vec_id <> 0")
+    base = emb.where("vec_id % 5 = 0")
+    d1 = emb.where("vec_id % 5 = 1")
+    d2 = emb.where("vec_id % 5 = 2")
+    q = [float(x) for x in
+         load(spark, "/root/testdata/sf0.001", "embeddings")
+         .where("vec_id = 0").first()["embedding"]]
+
+    streamed = str(tmp_path / "streamed")
+    batched = str(tmp_path / "batched")
+    for p in (streamed, batched):
+        idx = SIM.SQIndex.from_labels(base)
+        idx.save(p)
+        idx.unpersist()
+
+    sink = SC.make_sq_index_ingest_sink(streamed)
+    # partial previous attempt for batch 0: half the rows, no
+    # marker -> the redelivered sink call must REPLACE it
+    half = d1.limit(max(1, d1.count() // 2))
+    (SIM._sq_assign(spark, streamed, half)
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(streamed, "cells_delta", "batch=0")))
+    sink(d1, 0)
+    sink(d1, 0)          # marker present -> no-op, no duplicates
+    sink(d2, 1)
+
+    SIM.sq_index_append(spark, batched, d1)
+    SIM.sq_index_append(spark, batched, d2)
+
+    want_n = base.count() + d1.count() + d2.count()
+    got_idx = SIM.SQIndex.load(spark, streamed)
+    assert got_idx.cells.count() == want_n
+    got = [(r["vec_id"], r["cos"]) for r in
+           got_idx.search(q, k=10, nprobe=3).collect()]
+    want = [(r["vec_id"], r["cos"]) for r in
+            SIM.SQIndex.load(spark, batched)
+            .search(q, k=10, nprobe=3).collect()]
+    assert got == want
+
+    # compaction folds the two delta dirs into one negative base
+    folded = SC.compact_sq_index(spark, streamed)
+    assert folded == {"cells_delta": 2}
+    ddirs = [d for d in os.listdir(
+        os.path.join(streamed, "cells_delta"))
+        if d.startswith("batch=")]
+    assert ddirs == ["batch=-1"]
+    after = [(r["vec_id"], r["cos"]) for r in
+             SIM.SQIndex.load(spark, streamed)
+             .search(q, k=10, nprobe=3).collect()]
+    assert after == want
+
+    # crash-refold: a consumed dir resurfacing re-folds harmlessly
+    # (distinct on full rows)
+    src = os.path.join(streamed, "cells_delta", "batch=-1")
+    shutil.copytree(src, os.path.join(streamed, "cells_delta",
+                                      "batch=7"))
+    SC.compact_sq_index(spark, streamed)
+    again = [(r["vec_id"], r["cos"]) for r in
+             SIM.SQIndex.load(spark, streamed)
+             .search(q, k=10, nprobe=3).collect()]
+    assert again == want
+    n_after = SIM.SQIndex.load(spark, streamed).cells.count()
+    assert n_after == want_n
