@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "sim_mmr",
     "sim_sq_recall",
     "sim_ivf_sq_topk",
+    # r10: persisted/incremental IVF-SQ8 index + batch ANN join
+    "sim_sq_index",
+    "sim_sq_index_append",
+    "sim_ivf_knn_join",
     "multimodal_meta",
     "curation_dsir",
     # window time-series + corpus statistics
@@ -80,6 +84,7 @@ BENCH_QUERIES = [
     "ts_holt_forecast",
     "ts_corr_topk",
     "ts_dtw_topk",
+    "ts_dtw_prefilter",
     "ts_seasonal_anomalies",
     "ts_latency_quantiles",
     "ts_mad",

@@ -134,6 +134,10 @@ BOUNDS = {
     # pool+survivors (all linear; a lost bound would surface as the
     # full DP, still linear but ~K× the kernel time)
     "ts_dtw_prefilter": K * 2,
+    # r10: batch IVF join — fixed 3-query side × K× corpus through
+    # a cell-keyed hash join: candidate volume linear in K; a lost
+    # centroid broadcast or cell key would land ~K²
+    "sim_ivf_knn_join": K * 2,
 }
 
 
