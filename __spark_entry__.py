@@ -1727,6 +1727,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_knn_join"] = sim_ivf_knn_join
 
+    def sim_ivf_sq_knn_join(spark, sf_dir):
+        """Batch IVF-SQ8 join (operators/similarity.py
+        ivf_sq_knn_join — the full FAISS-style batch serving path):
+        per-query probes bound candidates at nprobe/|cells|, the
+        probed-cell scan is exact int64 multiply-adds over int8
+        codes (corpus codes unclamped off the corpus-max scale,
+        query codes clamped), only the 20 coarse survivors per
+        query reach the full-precision rescore. The oracle replays
+        centroids → per-query probes → codes → integer coarse cut
+        → rescore → ranks entirely in SQL."""
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 3) \
+            .select(F.col("vec_id").alias("qid"), "embedding")
+        return SIM.ivf_sq_knn_join(emb.where(F.col("vec_id") >= 3),
+                                   queries, k=5, nprobe=2, rerank=4)
+
+    q["sim_ivf_sq_knn_join"] = sim_ivf_sq_knn_join
+
     def sim_ivf_topk(spark, sf_dir):
         emb = load(spark, sf_dir, "embeddings")
         vec = _query_vec(spark, sf_dir)
@@ -5695,6 +5713,64 @@ def oracle_sql() -> dict[str, str]:
         " CAST(unnest(q.embedding) AS DOUBLE) AS y"
         " FROM embeddings e, embeddings q"
         " WHERE e.vec_id >= 3 AND q.vec_id < 3),"
+        " s AS (SELECT qid, vec_id, sum(x * y) AS d,"
+        " sum(x * x) AS na, sum(y * y) AS nb"
+        " FROM prod GROUP BY 1, 2),"
+        " sc AS (SELECT qid, vec_id,"
+        " round(CASE WHEN na = 0 OR nb = 0 THEN 0.0"
+        " ELSE d / (sqrt(na) * sqrt(nb)) END, 6) + 0.0 AS cos"
+        " FROM s),"
+        " r AS (SELECT qid, vec_id, cos, row_number() OVER"
+        " (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank"
+        " FROM sc)"
+        " SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank"
+        " FROM r WHERE rank <= 5"
+    )
+    # batch IVF-SQ8 join: per-query probes + int8 codes + integer
+    # coarse cut + rescore, all replayed per query
+    o["sim_ivf_sq_knn_join"] = (
+        "WITH e AS (SELECT vec_id, label, embedding"
+        " FROM embeddings WHERE vec_id >= 3),"
+        " q AS (SELECT vec_id AS qid, embedding AS qe"
+        " FROM embeddings WHERE vec_id < 3),"
+        " pos AS (SELECT label, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, unnest(range(1, len(embedding) + 1)) AS i FROM e),"
+        " cent AS (SELECT label, i, avg(x) AS c FROM pos"
+        " GROUP BY 1, 2),"
+        " qd AS (SELECT qid, CAST(unnest(qe) AS DOUBLE) AS y,"
+        " unnest(range(1, len(qe) + 1)) AS i FROM q),"
+        " cdist AS (SELECT qid, label, sum(c * y) AS d,"
+        " sum(y * y) AS na, sum(c * c) AS nb"
+        " FROM cent JOIN qd USING (i) GROUP BY 1, 2),"
+        " pr AS (SELECT qid, label FROM (SELECT qid, label,"
+        " row_number() OVER (PARTITION BY qid ORDER BY"
+        " CASE WHEN na = 0 OR nb = 0 THEN 0.0"
+        " ELSE d / (sqrt(na) * sqrt(nb)) END DESC, label) AS rn"
+        " FROM cdist) WHERE rn <= 2),"
+        " m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS s FROM"
+        " (SELECT unnest(embedding) AS x FROM e)),"
+        " cq AS (SELECT vec_id, label,"
+        " CAST(unnest(range(len(embedding))) AS INT) AS i,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE)"
+        " * 127.0 / m.s + 0.5) AS INT) AS cqv FROM e, m),"
+        " qq AS (SELECT qid, CAST(unnest(range(len(qe))) AS INT)"
+        " AS i, GREATEST(-127, LEAST(127,"
+        " CAST(floor(CAST(unnest(qe) AS DOUBLE)"
+        " * 127.0 / m.s + 0.5) AS INT))) AS qqv FROM q, m),"
+        " isc AS (SELECT p.qid, c.vec_id,"
+        " sum(CAST(c.cqv AS BIGINT) * q2.qqv) AS iscore"
+        " FROM pr p JOIN cq c ON c.label = p.label"
+        " JOIN qq q2 ON q2.qid = p.qid AND q2.i = c.i"
+        " GROUP BY 1, 2),"
+        " cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,"
+        " row_number() OVER (PARTITION BY qid"
+        " ORDER BY iscore DESC, vec_id) AS rn FROM isc)"
+        " WHERE rn <= 20),"
+        " prod AS (SELECT cd2.qid, cd2.vec_id,"
+        " CAST(unnest(e.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(q.qe) AS DOUBLE) AS y"
+        " FROM cand cd2 JOIN e USING (vec_id)"
+        " JOIN q ON q.qid = cd2.qid),"
         " s AS (SELECT qid, vec_id, sum(x * y) AS d,"
         " sum(x * x) AS na, sum(y * y) AS nb"
         " FROM prod GROUP BY 1, 2),"

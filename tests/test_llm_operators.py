@@ -2376,6 +2376,39 @@ def test_ivf_knn_join_full_probe_equals_exact(spark):
         assert r["cos"] == exact_all[(r["qid"], r["vec_id"])]
 
 
+def test_ivf_sq_knn_join_recovers_float_and_index_path_agrees(
+        spark, tmp_path):
+    """The batch int8 path: with the same per-query probes, the
+    coarse-cut + full-precision rescore recovers the float
+    ivf_knn_join result; and SQIndex.knn_join served from saved
+    cells equals the per-call path with the index's pinned
+    scale/centroids (shared body + persistence round-trip)."""
+    from siridb_server_spark.sources.testdata import load
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 3") \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    corpus = emb.where("vec_id >= 3")
+    flt = sorted(tuple(r) for r in SIM.ivf_knn_join(
+        corpus, queries, k=5, nprobe=2).collect())
+    sq = sorted(tuple(r) for r in SIM.ivf_sq_knn_join(
+        corpus, queries, k=5, nprobe=2, rerank=4).collect())
+    assert sq == flt
+
+    idx = SIM.SQIndex.from_labels(corpus)
+    try:
+        idx.save(str(tmp_path / "sq"))
+        pinned = sorted(tuple(r) for r in SIM.ivf_sq_knn_join(
+            corpus, queries, k=5, nprobe=2, rerank=4,
+            scale=idx.scale, centroids=idx.centroids).collect())
+    finally:
+        idx.unpersist()
+    served = sorted(tuple(r) for r in
+                    SIM.SQIndex.load(spark, str(tmp_path / "sq"))
+                    .knn_join(queries, k=5, nprobe=2, rerank=4)
+                    .collect())
+    assert served == pinned
+
+
 def test_quality_percentile_rank_semantics(spark):
     from siridb_server_spark.localdf import arrow_df
     # src a: three docs with clearly ordered quality (stopword-rich

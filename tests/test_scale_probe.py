@@ -138,6 +138,9 @@ BOUNDS = {
     # a cell-keyed hash join: candidate volume linear in K; a lost
     # centroid broadcast or cell key would land ~K²
     "sim_ivf_knn_join": K * 2,
+    # same join with the int8 coarse cut in the middle: candidate
+    # volume identical, per-candidate work smaller
+    "sim_ivf_sq_knn_join": K * 2,
 }
 
 
