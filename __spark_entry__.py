@@ -3703,6 +3703,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_sq_index_append"] = sim_sq_index_append
 
+    def sim_sq_index_drift(spark, sf_dir):
+        """Frozen-quantizer drift report (operators/similarity.py
+        sq_index_drift): per saved cell, indexed vs would-append
+        counts (exact, + integer ppm delta share) and mean centroid
+        cosine of base vs delta members (order-free DECIMAL sums,
+        rounded once) — the retrain signal the append path's frozen
+        quantizer defers to. The oracle replays centroids, the
+        frozen assignment rule, and both aggregate families."""
+        import hashlib
+        import shutil
+        import tempfile
+
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        base = emb.where(F.col("vec_id") % 7 != 1)
+        delta = emb.where(F.col("vec_id") % 7 == 1)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/sparksiri-sqdrift-{tag}"
+        shutil.rmtree(path, ignore_errors=True)
+        idx = SIM.SQIndex.from_labels(base)
+        try:
+            idx.save(path)
+        finally:
+            idx.unpersist()
+        return SIM.sq_index_drift(spark, path, delta)
+
+    q["sim_sq_index_drift"] = sim_sq_index_drift
+
     def text_nb_model(spark, sf_dir):
         """Multinomial Naive Bayes training
         (operators/classify.py): the per-(language, term) token
@@ -6152,6 +6180,57 @@ def oracle_sql() -> dict[str, str]:
         " AS n"
         " UNION ALL SELECT 'equal_to_in_memory_union', 1"
         " UNION ALL SELECT 'k_returned', 10")
+    # drift report: full replay — centroids, per-row cosines, the
+    # frozen assignment rule (rn=1 per delta row, ties to smaller
+    # cell), exact counts + ppm shares, order-free decimal-sum means
+    _sdsum = ("CAST(sum(CAST(CAST({x} AS DOUBLE)"
+              " AS DECIMAL(38,18))) AS DOUBLE)")
+    o["sim_sq_index_drift"] = (
+        "WITH e AS (SELECT vec_id, label, embedding"
+        " FROM embeddings WHERE vec_id <> 0 AND vec_id % 7 <> 1),"
+        " dl AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE vec_id <> 0 AND vec_id % 7 = 1),"
+        " pos AS (SELECT label, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, unnest(range(1, len(embedding) + 1)) AS i FROM e),"
+        " cent AS (SELECT label AS cell, i, avg(x) AS c FROM pos"
+        " GROUP BY 1, 2),"
+        " bp AS (SELECT vec_id, label AS cell,"
+        " CAST(unnest(embedding) AS DOUBLE) AS x,"
+        " unnest(range(1, len(embedding) + 1)) AS i FROM e),"
+        " bs0 AS (SELECT b.vec_id, b.cell, sum(b.x * c.c) AS d,"
+        " sum(b.x * b.x) AS na, sum(c.c * c.c) AS nb"
+        " FROM bp b JOIN cent c ON c.cell = b.cell AND c.i = b.i"
+        " GROUP BY 1, 2),"
+        " bcos AS (SELECT cell, CASE WHEN na = 0 OR nb = 0"
+        " THEN 0.0 ELSE d / (sqrt(na) * sqrt(nb)) END AS cos"
+        " FROM bs0),"
+        " bs AS (SELECT cell, count(*) AS n_base,"
+        " round(" + _sdsum.format(x="cos") + " / count(*), 6)"
+        " + 0.0 AS mean_cos_base FROM bcos GROUP BY 1),"
+        " dp AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, unnest(range(1, len(embedding) + 1)) AS i FROM dl),"
+        " ds0 AS (SELECT p.vec_id, c.cell, sum(p.x * c.c) AS d,"
+        " sum(p.x * p.x) AS na, sum(c.c * c.c) AS nb"
+        " FROM dp p JOIN cent c USING (i) GROUP BY 1, 2),"
+        " dcos AS (SELECT vec_id, cell, CASE WHEN na = 0 OR nb = 0"
+        " THEN 0.0 ELSE d / (sqrt(na) * sqrt(nb)) END AS cos"
+        " FROM ds0),"
+        " asg AS (SELECT vec_id, cell, cos FROM (SELECT vec_id,"
+        " cell, cos, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY cos DESC, cell) AS rn FROM dcos) WHERE rn = 1),"
+        " ns AS (SELECT cell, count(*) AS n_new,"
+        " round(" + _sdsum.format(x="cos") + " / count(*), 6)"
+        " + 0.0 AS mean_cos_new FROM asg GROUP BY 1),"
+        " t AS (SELECT sum(n_new) AS t FROM ns),"
+        " cl AS (SELECT DISTINCT cell FROM cent)"
+        " SELECT cl.cell,"
+        " CAST(coalesce(bs.n_base, 0) AS BIGINT) AS n_base,"
+        " CAST(coalesce(ns.n_new, 0) AS BIGINT) AS n_new,"
+        " CAST(coalesce(ns.n_new, 0) * 1000000"
+        " // greatest(t.t, 1) AS BIGINT) AS new_share_ppm,"
+        " bs.mean_cos_base, ns.mean_cos_new"
+        " FROM cl LEFT JOIN bs USING (cell)"
+        " LEFT JOIN ns USING (cell), t")
     o["sim_sq_recall"] = (
         "WITH e AS (SELECT * FROM embeddings WHERE vec_id <> 0),"
         " m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS s FROM"

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "sim_sq_index_append",
     "sim_ivf_knn_join",
     "sim_ivf_sq_knn_join",
+    "sim_sq_index_drift",
     "multimodal_meta",
     "curation_dsir",
     # window time-series + corpus statistics

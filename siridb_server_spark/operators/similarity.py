@@ -1329,3 +1329,75 @@ def ivf_sq_knn_join(emb: DataFrame, queries: DataFrame,
         corpus, queries.select(F.col(qid_col).alias(qid_col),
                                F.col(vec_col).alias("_qv")),
         cent, scale, k, nprobe, rerank, qid_col)
+
+
+def sq_index_drift(spark, path: str, new_emb: DataFrame,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Quantizer drift report for a frozen-coarse index — the
+    "when to retrain" signal :func:`sq_index_append`'s frozen-
+    quantizer tradeoff defers to. Per saved cell:
+
+    - ``n_base`` / ``n_new``: indexed rows vs delta rows the frozen
+      assignment rule would put there, and ``new_share_ppm`` (exact
+      integer ppm of the delta) — a hot cell growing far past its
+      base share means the quantizer no longer balances the data
+      (skewed probes, straggler cells);
+    - ``mean_cos_base`` / ``mean_cos_new``: mean centroid cosine of
+      the indexed vs delta members (order-free DECIMAL(38,18) sums,
+      rounded once) — new data sitting systematically farther from
+      its own centroid than the base did is distribution shift the
+      balance numbers can't see.
+
+    One broadcast join + two groupBys over |cells| keys; the delta
+    assignment is the SAME ``_sq_assign`` rule the append/ingest
+    paths use, so the report describes exactly what an append would
+    do. Output: (cell, n_base, n_new, new_share_ppm,
+    mean_cos_base, mean_cos_new) — one row per saved cell."""
+    from ..functions.stable import stable_dsum
+    from ..localdf import arrow_df
+
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    cent = arrow_df(
+        spark,
+        [(int(r["cell"]), [float(x) for x in r["centroid"]])
+         for r in meta],
+        "cell long, _centroid array<double>")
+
+    d = dot(F.col("_v"), F.col("_centroid"))
+    na = dot(F.col("_v"), F.col("_v"))
+    nb = dot(F.col("_centroid"), F.col("_centroid"))
+    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
+
+    def stats(df, cell_col, n_name, m_name):
+        scored = (df.select(F.col(cell_col).alias("cell"),
+                            F.col(vec_col).alias("_v"))
+                  .join(F.broadcast(cent), "cell")
+                  .select("cell", ccos.alias("_cos")))
+        return (scored.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias(n_name),
+                     F.round(stable_dsum(F.col("_cos"))
+                             / F.count(F.lit(1)), 6)
+                     .alias(m_name)))
+
+    base = SQIndex.load(spark, path, vec_col, id_col).cells
+    bs = stats(base, "_cell", "n_base", "mean_cos_base")
+    assigned = _sq_assign(spark, path, new_emb, vec_col, id_col)
+    ns = stats(assigned, "cell", "n_new", "mean_cos_new")
+    tot = ns.agg(F.sum("n_new").alias("_t"))
+    return (cent.select("cell")
+            .join(bs, "cell", "left")
+            .join(ns, "cell", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "cell",
+                F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                F.expr("coalesce(n_new, 0) * 1000000"
+                       " div greatest(_t, 1)")
+                .alias("new_share_ppm"),
+                (F.col("mean_cos_base") + F.lit(0.0))
+                .alias("mean_cos_base"),
+                (F.col("mean_cos_new") + F.lit(0.0))
+                .alias("mean_cos_new")))

@@ -2409,6 +2409,52 @@ def test_ivf_sq_knn_join_recovers_float_and_index_path_agrees(
     assert served == pinned
 
 
+def test_sq_index_drift_report_semantics(spark, tmp_path):
+    """Drift report: counts follow the frozen assignment rule
+    exactly; in-distribution deltas keep mean_cos_new near
+    mean_cos_base while a shifted delta drops it — the retrain
+    signal."""
+    from siridb_server_spark.localdf import arrow_df
+    base_rows = []
+    for i in range(20):
+        base_rows.append((i, [1.0, 0.05 * (i % 3), 0.0], 0))
+        base_rows.append((100 + i, [0.0, 1.0, 0.05 * (i % 3)], 1))
+    base = arrow_df(
+        spark, base_rows,
+        "vec_id long, embedding array<float>, label int")
+    idx = SIM.SQIndex.from_labels(base)
+    idx.save(str(tmp_path / "sq"))
+    idx.unpersist()
+
+    # in-distribution delta: 4 rows near cell 0, 2 near cell 1
+    good = arrow_df(spark, [
+        (1000, [1.0, 0.02, 0.0]), (1001, [0.98, 0.05, 0.0]),
+        (1002, [1.0, 0.07, 0.01]), (1003, [0.9, 0.03, 0.0]),
+        (1004, [0.0, 1.0, 0.03]), (1005, [0.01, 0.97, 0.06]),
+    ], "vec_id long, embedding array<float>")
+    rep = {r["cell"]: r for r in SIM.sq_index_drift(
+        spark, str(tmp_path / "sq"), good).collect()}
+    assert rep[0]["n_base"] == 20 and rep[1]["n_base"] == 20
+    assert rep[0]["n_new"] == 4 and rep[1]["n_new"] == 2
+    assert rep[0]["new_share_ppm"] == 666666
+    assert rep[1]["new_share_ppm"] == 333333
+    for c in (0, 1):
+        assert rep[c]["mean_cos_new"] > 0.95
+        assert abs(rep[c]["mean_cos_new"]
+                   - rep[c]["mean_cos_base"]) < 0.05
+
+    # shifted delta: a new mode between the cells -> assigned
+    # somewhere, but far from every frozen centroid
+    bad = arrow_df(spark, [
+        (2000 + i, [0.7, 0.7, 0.7]) for i in range(5)
+    ], "vec_id long, embedding array<float>")
+    rep2 = {r["cell"]: r for r in SIM.sq_index_drift(
+        spark, str(tmp_path / "sq"), bad).collect()}
+    hot = max(rep2.values(), key=lambda r: r["n_new"])
+    assert hot["n_new"] == 5
+    assert hot["mean_cos_new"] < hot["mean_cos_base"] - 0.2
+
+
 def test_quality_percentile_rank_semantics(spark):
     from siridb_server_spark.localdf import arrow_df
     # src a: three docs with clearly ordered quality (stopword-rich

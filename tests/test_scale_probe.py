@@ -141,6 +141,9 @@ BOUNDS = {
     # same join with the int8 coarse cut in the middle: candidate
     # volume identical, per-candidate work smaller
     "sim_ivf_sq_knn_join": K * 2,
+    # drift report: one broadcast join + |cells|-key groupBys over
+    # base+delta — pure linear scans
+    "sim_sq_index_drift": K * 2,
 }
 
 
