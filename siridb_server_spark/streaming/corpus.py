@@ -422,3 +422,55 @@ def compact_sq_index(spark, index_path: str) -> dict:
 
     return compact_batch_dirs(spark, index_path,
                               (("cells_delta", ["cell"]),))
+
+
+def make_ann_query_sink(index_path: str, out_path: str,
+                        k: int = 10, nprobe: int = 2,
+                        rerank: int = 4, qid_col: str = "qid",
+                        vec_col: str = "embedding"):
+    """foreachBatch sink answering a STREAM of query vectors against
+    the saved :class:`~..operators.similarity.SQIndex` — the online
+    half of the serving story (the ingest sink grows the index; this
+    one queries it). Per micro-batch: ``SQIndex.load`` (metadata +
+    lazy scans — the probe filter still prunes cell directories) →
+    :meth:`SQIndex.knn_join` over the whole batch at once (one
+    cell-keyed join for ALL queries in the batch, not a loop) →
+    results land in ``batch=<id>``-stamped dirs with OVERWRITE +
+    a done-marker, so redelivery replaces partial output
+    (exactly-once by idempotence, the standard sink layout here).
+    Queries arriving between an ingest batch and its read simply see
+    the index as of their own batch — the expected serving
+    semantics."""
+    from ..operators.similarity import SQIndex
+
+    def sink(batch_df, batch_id: int):
+        marker = os.path.join(out_path, f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        idx = SQIndex.load(batch_df.sparkSession, index_path)
+        res = idx.knn_join(batch_df, k=k, nprobe=nprobe,
+                           rerank=rerank, qid_col=qid_col,
+                           vec_col=vec_col)
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}"))
+        with open(marker, "w") as fh:
+            fh.write("done\n")
+
+    return sink
+
+
+def stream_ann_queries(stream_df, index_path: str, out_path: str,
+                       k: int = 10, nprobe: int = 2,
+                       rerank: int = 4, qid_col: str = "qid",
+                       vec_col: str = "embedding",
+                       checkpoint: str | None = None):
+    """Start the ANN query-serving stream (see
+    :func:`make_ann_query_sink`). Returns the StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(
+        make_ann_query_sink(index_path, out_path, k=k,
+                            nprobe=nprobe, rerank=rerank,
+                            qid_col=qid_col, vec_col=vec_col)) \
+        .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1316,3 +1316,68 @@ def test_sq_index_stream_ingest_exactly_once_and_compaction(
     assert again == want
     n_after = SIM.SQIndex.load(spark, streamed).cells.count()
     assert n_after == want_n
+
+
+def test_ann_query_stream_serves_index_results(spark, tmp_path):
+    """A real availableNow query stream answered against the saved
+    SQIndex: per-batch results equal the batch knn_join over the
+    same queries, redelivery is a marker no-op, and queries see
+    index growth from an interleaved ingest delta."""
+    import os
+
+    from pyspark.sql import functions as FF
+
+    from siridb_server_spark.operators import similarity as SIM
+    from siridb_server_spark.sources.testdata import load
+    from siridb_server_spark.streaming import corpus as SC
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 20")
+    queries = emb.where("vec_id < 3") \
+        .select(FF.col("vec_id").alias("qid"), "embedding")
+    ipath = str(tmp_path / "idx")
+    idx = SIM.SQIndex.from_labels(corpus)
+    idx.save(ipath)
+    idx.unpersist()
+
+    src = tmp_path / "qin"
+    src.mkdir()
+    queries.coalesce(1).write.parquet(str(src / "b1"))
+    out = str(tmp_path / "res")
+    stream = spark.readStream \
+        .schema("qid long, embedding array<float>") \
+        .parquet(str(src) + "/*")
+    q = SC.stream_ann_queries(
+        stream, ipath, out, k=5, nprobe=2, rerank=4,
+        checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out)
+                 .select("qid", "vec_id", "cos", "rank").collect())
+    want = sorted(tuple(r) for r in
+                  SIM.SQIndex.load(spark, ipath)
+                  .knn_join(queries, k=5, nprobe=2, rerank=4)
+                  .collect())
+    assert got == want and len(got) > 0
+
+    # redelivery with the same batch id is a no-op (marker)
+    sink = SC.make_ann_query_sink(ipath, out, k=5, nprobe=2)
+    before = os.listdir(out)
+    sink(queries, 0)
+    assert os.listdir(out) == before
+
+    # an ingest delta is visible to the NEXT query batch
+    delta = emb.where("(vec_id >= 3) AND (vec_id < 20)") \
+        .select("vec_id", "embedding")
+    SC.make_sq_index_ingest_sink(ipath)(delta, 0)
+    sink2 = SC.make_ann_query_sink(ipath, out, k=5, nprobe=2,
+                                   rerank=4)
+    sink2(queries, 9)
+    seen = {r["vec_id"] for r in spark.read.parquet(
+        os.path.join(out, "batch=9")).collect()}
+    grown = SIM.SQIndex.load(spark, ipath)
+    want2 = {r["vec_id"] for r in
+             grown.knn_join(queries, k=5, nprobe=2, rerank=4)
+             .collect()}
+    assert seen == want2
