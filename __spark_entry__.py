@@ -6046,8 +6046,18 @@ def oracle_sql() -> dict[str, str]:
         " ld AS (SELECT lang AS label, count(*) AS n_docs"
         " FROM documents WHERE length(trim(text)) > 0 GROUP BY 1),"
         " v AS (SELECT count(DISTINCT term) AS vocab FROM c),"
-        " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+        # zero-token docs (char-gram path: text shorter than n)
+        # score the prior alone via a synthetic tf=0 row — mirror
+        # of classify._doc_label_scores' tokenless union
+        " tf0 AS (SELECT doc_id, term, count(*) AS tf FROM toks"
         " GROUP BY 1, 2),"
+        " dd AS (SELECT doc_id FROM documents"
+        " WHERE length(trim(text)) > 0),"
+        " tf AS (SELECT doc_id, term, tf FROM tf0 UNION ALL"
+        " SELECT d.doc_id, CAST(NULL AS VARCHAR) AS term,"
+        " CAST(0 AS BIGINT) AS tf FROM dd d"
+        " WHERE NOT EXISTS (SELECT 1 FROM tf0"
+        " WHERE tf0.doc_id = d.doc_id)),"
         " j AS (SELECT t.doc_id, l.label, t.tf,"
         " CAST(coalesce(c.cnt, 0) + 1 AS BIGINT) AS num,"
         " CAST(l.n_tokens + v.vocab AS BIGINT) AS den,"

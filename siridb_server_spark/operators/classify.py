@@ -150,11 +150,28 @@ def _doc_label_scores(model: NBModel, df: DataFrame,
     """(doc_id, label, tf, cnt, n_tokens, n_docs) — the joined
     per-document-term-label frame both scorers aggregate. tokens ×
     |labels| rows (labels are few and bounded), then a hash join
-    against the counts table on (label, term)."""
+    against the counts table on (label, term).
+
+    Documents with ZERO feature tokens (chars path: text shorter
+    than ``ngram_n``) still get scored — a synthetic tf=0 row per
+    label makes their likelihood sum empty, so they score the
+    class prior alone, exactly like the word path scores a doc of
+    all-unseen words. Without this the gate would silently emit no
+    keep/drop bit for short docs (an inner join downstream would
+    drop them; a 'missing = pass' reading would let them through
+    ungated)."""
     tf = (_tokens(df, text_col, F.col(id_col).alias("doc_id"),
                   features=model.features, ngram_n=model.ngram_n)
           .groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
+    base = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id")))
+    tokenless = (base.join(tf.select("doc_id"), "doc_id",
+                           "left_anti")
+                 .withColumn("term",
+                             F.lit(None).cast("string"))
+                 .withColumn("tf", F.lit(0).cast("long")))
+    tf = tf.unionByName(tokenless)
     tl = tf.crossJoin(F.broadcast(model.labels))
     return (tl.join(model.counts, ["label", "term"], "left")
             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))

@@ -1065,24 +1065,35 @@ class SQIndex:
         spark = self.cells.sparkSession
         from ..localdf import arrow_df
 
-        meta = [(int(cid), [float(x) for x in vec], self.scale)
+        meta = [(int(cid), [float(x) for x in vec], self.scale,
+                 self.vec_col, self.id_col)
                 for cid, vec in self.centroids]
         (arrow_df(spark, meta,
-                  "cell long, centroid array<double>, scale double")
+                  "cell long, centroid array<double>, scale double,"
+                  " vec_col string, id_col string")
          .coalesce(1).write.mode("overwrite")
          .parquet(f"{path}/meta"))
 
     @classmethod
-    def load(cls, spark, path: str, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> "SQIndex":
+    def load(cls, spark, path: str,
+             vec_col: str | None = None,
+             id_col: str | None = None) -> "SQIndex":
         """Open a saved index. Searches scan only the probed cells'
         directories (PartitionFilters on the parquet scan — the
         cell filter pushes through the union into both the base
         scan and any streaming-ingest delta scans under
-        ``cells_delta/batch=<id>/cell=<c>``)."""
+        ``cells_delta/batch=<id>/cell=<c>``). Column names are read
+        from the saved meta (``save`` is self-describing); passing
+        them here overrides."""
         import os
 
         rows = spark.read.parquet(f"{path}/meta").collect()
+        if vec_col is None:
+            vec_col = (rows[0]["vec_col"]
+                       if "vec_col" in rows[0] else "embedding")
+        if id_col is None:
+            id_col = (rows[0]["id_col"]
+                      if "id_col" in rows[0] else "vec_id")
         cents = [(r["cell"], list(r["centroid"])) for r in rows]
         cells = (spark.read.parquet(f"{path}/cells")
                  .withColumnRenamed("cell", "_cell"))
@@ -1093,6 +1104,29 @@ class SQIndex:
                      .withColumnRenamed("cell", "_cell"))
             cells = cells.unionByName(delta)
         return cls(cents, rows[0]["scale"], cells, vec_col, id_col)
+
+
+def _rank_cells(df: DataFrame, cent: DataFrame, vec_alias: str,
+                part_col: str, n_best: int) -> DataFrame:
+    """Keep each row's ``n_best`` nearest coarse cells by
+    zero-norm-guarded centroid cosine, ties to the smaller cell id
+    — THE cell-ranking rule, written once and shared by the
+    append/ingest assignment (``n_best=1``), the float batch join,
+    and the int8 batch join, so the rule cannot drift. ``cent`` is
+    the broadcast-tiny (_cell, _centroid) frame; the output keeps
+    ``df``'s columns plus ``_cell``."""
+    d = dot(F.col(vec_alias), F.col("_centroid"))
+    na = dot(F.col(vec_alias), F.col(vec_alias))
+    nb = dot(F.col("_centroid"), F.col("_centroid"))
+    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
+    w = Window.partitionBy(part_col).orderBy(
+        F.desc("_cc"), F.asc("_cell"))
+    return (df.crossJoin(F.broadcast(cent))
+            .withColumn("_cc", ccos)
+            .withColumn("_pr", F.row_number().over(w))
+            .where(F.col("_pr") <= int(n_best))
+            .drop("_cc", "_pr", "_centroid"))
 
 
 def ivf_knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -1120,7 +1154,10 @@ def ivf_knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
     decimals BEFORE ranking with ties to the smaller corpus id —
     deterministic under any partitioning. Skewed cells shard like
     any hash join (AQE skew-split applies; a hot cell is a
-    quantizer-quality problem first). Output:
+    quantizer-quality problem first). Corpus rows with a NULL
+    ``label_col`` are EXCLUDED (a cell-keyed join cannot reach
+    them — assign cells first; same documented-exclusion posture
+    as the sketches' NULL ids). Output:
     (qid, vec_id, cos, rank), rank 1..k."""
     from ..localdf import arrow_df
 
@@ -1134,26 +1171,16 @@ def ivf_knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "_cell long, _centroid array<double>")
 
-    d = dot(F.col("_qv"), F.col("_centroid"))
-    na = dot(F.col("_qv"), F.col("_qv"))
-    nb = dot(F.col("_centroid"), F.col("_centroid"))
-    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
-        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
-    wq = Window.partitionBy("qid").orderBy(
-        F.desc("_cc"), F.asc("_cell"))
-    probes = (queries
-              .select(F.col(qid_col).alias("qid"),
-                      F.col(vec_col).alias("_qv"))
-              .crossJoin(F.broadcast(cent))
-              .withColumn("_cc", ccos)
-              .withColumn("_pr", F.row_number().over(wq))
-              .where(F.col("_pr") <= int(nprobe))
-              .select("qid", "_qv", "_cell"))
+    probes = _rank_cells(
+        queries.select(F.col(qid_col).alias("qid"),
+                       F.col(vec_col).alias("_qv")),
+        cent, "_qv", "qid", nprobe)
 
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_cv"),
-        F.col(label_col).cast("long").alias("_cell"))
+    corpus = (emb.where(F.col(label_col).isNotNull())
+              .select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_cv"),
+                      F.col(label_col).cast("long")
+                      .alias("_cell")))
     pd_ = probes.join(corpus, "_cell")
     dd = dot(F.col("_cv"), F.col("_qv"))
     nna = dot(F.col("_cv"), F.col("_cv"))
@@ -1187,10 +1214,20 @@ def sq_index_append(spark, path: str, new_emb: DataFrame,
     half a batch). The quantizer stays frozen — the standard
     serving tradeoff; retrain + rebuild when drift accumulates.
     Returns the number of rows appended."""
-    assigned = _sq_assign(spark, path, new_emb, vec_col, id_col)
-    n = assigned.count()
-    (assigned.write.mode("append").partitionBy("cell")
-     .parquet(f"{path}/cells"))
+    # localCheckpoint: the assignment (centroid crossJoin + window)
+    # runs ONCE for count + write, and the cache is released before
+    # returning so long-running callers don't accumulate RDDs
+    assigned = _sq_assign(spark, path, new_emb, vec_col, id_col) \
+        .localCheckpoint()
+    try:
+        n = assigned.count()
+        (assigned.write.mode("append").partitionBy("cell")
+         .parquet(f"{path}/cells"))
+    finally:
+        try:
+            assigned.rdd.unpersist()
+        except Exception:
+            pass
     return n
 
 
@@ -1217,19 +1254,9 @@ def _sq_assign(spark, path: str, new_emb: DataFrame,
         lambda x: F.greatest(
             F.lit(-SQ_LIM),
             F.least(F.lit(SQ_LIM), _sq_code(x, scale))))
-    d = dot(F.col(vec_col), F.col("_centroid"))
-    na = dot(F.col(vec_col), F.col(vec_col))
-    nb = dot(F.col("_centroid"), F.col("_centroid"))
-    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
-        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("_cc"), F.asc("_cell"))
-    return (new_emb.select(id_col, vec_col)
-            .withColumn("qvec", qv)
-            .crossJoin(F.broadcast(cent))
-            .withColumn("_cc", ccos)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+    return (_rank_cells(new_emb.select(id_col, vec_col)
+                        .withColumn("qvec", qv),
+                        cent, vec_col, id_col, 1)
             .select(id_col, vec_col, "qvec",
                     F.col("_cell").alias("cell")))
 
@@ -1249,21 +1276,10 @@ def _sq_knn_body(corpus: DataFrame, queries: DataFrame, cent,
         lambda x: F.greatest(
             F.lit(-SQ_LIM),
             F.least(F.lit(SQ_LIM), _sq_code(x, scale))))
-    d = dot(F.col("_qv"), F.col("_centroid"))
-    na = dot(F.col("_qv"), F.col("_qv"))
-    nb = dot(F.col("_centroid"), F.col("_centroid"))
-    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
-        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
-    wq = Window.partitionBy("qid").orderBy(
-        F.desc("_cc"), F.asc("_cell"))
-    probes = (queries
-              .select(F.col(qid_col).alias("qid"), "_qv")
-              .withColumn("_qq", qcode)
-              .crossJoin(F.broadcast(cent))
-              .withColumn("_cc", ccos)
-              .withColumn("_pr", F.row_number().over(wq))
-              .where(F.col("_pr") <= int(nprobe))
-              .select("qid", "_qv", "_qq", "_cell"))
+    probes = _rank_cells(
+        queries.select(F.col(qid_col).alias("qid"), "_qv")
+        .withColumn("_qq", qcode),
+        cent, "_qv", "qid", nprobe)
 
     wc = Window.partitionBy("qid").orderBy(
         F.desc("iscore"), F.asc("vec_id"))
@@ -1319,12 +1335,16 @@ def ivf_sq_knn_join(emb: DataFrame, queries: DataFrame,
         emb.sparkSession,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "_cell long, _centroid array<double>")
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_cv"),
-        F.transform(F.col(vec_col),
-                    lambda x: _sq_code(x, scale)).alias("_cq"),
-        F.col(label_col).cast("long").alias("_cell"))
+    # NULL-label rows are excluded like in ivf_knn_join (a
+    # cell-keyed join cannot reach them — assign cells first)
+    corpus = (emb.where(F.col(label_col).isNotNull())
+              .select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_cv"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: _sq_code(x, scale))
+                      .alias("_cq"),
+                      F.col(label_col).cast("long")
+                      .alias("_cell")))
     return _sq_knn_body(
         corpus, queries.select(F.col(qid_col).alias(qid_col),
                                F.col(vec_col).alias("_qv")),

@@ -1020,8 +1020,18 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
     import numpy as np
 
     per = _series_vectors(df, max_len, scale)
+    if prefilter:
+        # the two-phase search drives four driver actions over this
+        # |series|-bounded frame (query row, word lookup, pool
+        # top-k, LB scan) — persist so the corpus groupBy runs once
+        # instead of per action; unpersisted before returning, so
+        # the caller's collect recomputes it exactly once more and
+        # no cached RDD outlives the call (bench hygiene)
+        per = per.persist()
     qrow = per.where(F.col("series") == query_series).first()
     if qrow is None:
+        if prefilter:
+            per.unpersist()
         raise ValueError(f"query series {query_series!r} not found")
     q = [int(x) for x in qrow["vals"]]
 
@@ -1049,52 +1059,59 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
     from ..localdf import arrow_df
 
     spark = df.sparkSession
-    words = _sax_from_vectors(per, word_len, alphabet)
-    qw = (words.where(F.col("series") == query_series)
-          .first()["word"])
-    qlit = qw.replace("'", "''")
-    # agreement count with the query word over the shorter of the
-    # two words (a short series is judged only on buckets it has)
-    agree_n = F.expr(
-        f"size(filter(sequence(1, int(least(length(word),"
-        f" {len(qw)}))), p -> substring(word, p, 1) ="
-        f" substring('{qlit}', p, 1)))")
-    pool_names = (words.select("series", agree_n.alias("na"))
-                  .orderBy(F.desc("na"), "series")
-                  .limit(max(k, pool))
-                  .select("series"))
-    pool_scored = (per.join(pool_names, "series", "semi")
-                   .mapInPandas(run, schema=schema))
-    top_pool = (pool_scored
+    try:
+        words = _sax_from_vectors(per, word_len, alphabet)
+        qw = (words.where(F.col("series") == query_series)
+              .first()["word"])
+        qlit = qw.replace("'", "''")
+        # agreement count with the query word over the shorter of
+        # the two words (a short series is judged only on buckets
+        # it has)
+        agree_n = F.expr(
+            f"size(filter(sequence(1, int(least(length(word),"
+            f" {len(qw)}))), p -> substring(word, p, 1) ="
+            f" substring('{qlit}', p, 1)))")
+        pool_names = (words.select("series", agree_n.alias("na"))
+                      .orderBy(F.desc("na"), "series")
+                      .limit(max(k, pool))
+                      .select("series"))
+        pool_scored = (per.join(pool_names, "series", "semi")
+                       .mapInPandas(run, schema=schema))
+        top_pool = (pool_scored
+                    .orderBy(F.col("dtw_cost").asc(), "series")
+                    .limit(k).collect())
+        if len(top_pool) < k:
+            # fewer series than k: nothing can be pruned correctly
+            scored = per.mapInPandas(run, schema=schema)
+            return (scored
+                    .orderBy(F.col("dtw_cost").asc(), "series")
+                    .limit(k))
+        tau = int(top_pool[-1]["dtw_cost"])
+        # endpoint lower bound: every DTW path matches s[0]↔q[0]
+        # and s[n−1]↔q[nq−1]; the two cells coincide only when
+        # n==nq==1
+        s0 = F.expr("element_at(vals, 1)")
+        sl = F.expr("element_at(vals, size(vals))")
+        lb = F.abs(s0 - F.lit(q[0]))
+        if len(q) > 1:
+            lb = lb + F.abs(sl - F.lit(q[-1]))
+        else:
+            lb = lb + F.when(F.size("vals") > 1,
+                             F.abs(sl - F.lit(q[0]))) \
+                .otherwise(F.lit(0))
+        extra = (per.join(pool_names, "series", "left_anti")
+                 .where(lb <= F.lit(tau))
+                 .mapInPandas(run, schema=schema))
+        pool_top = arrow_df(
+            spark,
+            [(r["series"], r["n_points"], r["dtw_cost"])
+             for r in top_pool],
+            "series string, n_points long, dtw_cost long")
+        return (extra.unionByName(pool_top)
                 .orderBy(F.col("dtw_cost").asc(), "series")
-                .limit(k).collect())
-    if len(top_pool) < k:
-        # fewer series than k: nothing can be pruned correctly
-        scored = per.mapInPandas(run, schema=schema)
-        return (scored.orderBy(F.col("dtw_cost").asc(), "series")
                 .limit(k))
-    tau = int(top_pool[-1]["dtw_cost"])
-    # endpoint lower bound: every DTW path matches s[0]↔q[0] and
-    # s[n−1]↔q[nq−1]; the two cells coincide only when n==nq==1
-    s0 = F.expr("element_at(vals, 1)")
-    sl = F.expr("element_at(vals, size(vals))")
-    lb = F.abs(s0 - F.lit(q[0]))
-    if len(q) > 1:
-        lb = lb + F.abs(sl - F.lit(q[-1]))
-    else:
-        lb = lb + F.when(F.size("vals") > 1,
-                         F.abs(sl - F.lit(q[0]))).otherwise(F.lit(0))
-    extra = (per.join(pool_names, "series", "left_anti")
-             .where(lb <= F.lit(tau))
-             .mapInPandas(run, schema=schema))
-    pool_top = arrow_df(
-        spark,
-        [(r["series"], r["n_points"], r["dtw_cost"])
-         for r in top_pool],
-        "series string, n_points long, dtw_cost long")
-    return (extra.unionByName(pool_top)
-            .orderBy(F.col("dtw_cost").asc(), "series")
-            .limit(k))
+    finally:
+        per.unpersist()
 
 
 def sax_words(df: DataFrame, word_len: int = 8, alphabet: int = 4,

@@ -171,3 +171,23 @@ def test_char_ngram_tokens_definition(spark):
             df, "text", F.col("doc_id"),
             features="chars", ngram_n=3).collect())
     assert toks == sorted(["abc", "bc ", "c d"])
+
+
+def test_char_ngram_short_docs_still_get_gated(spark):
+    """A doc shorter than ngram_n has zero char-gram tokens but
+    must still receive a prediction (the class prior), so the
+    language gate emits a keep/drop bit for EVERY non-empty doc —
+    no silent gap between 'kept' and 'rejected'."""
+    rows = [(i, "A", f"zzar{i} bozz{i}") for i in range(6)]
+    rows += [(100 + i, "B", f"qqor{i} tuqq{i}") for i in range(4)]
+    rows.append((999, "A", "hi"))        # len 2 < ngram_n 3
+    docs = arrow_df(spark, rows,
+                    "doc_id long, lang string, text string")
+    m = CL.nb_train(docs, label_col="lang",
+                    features="chars", ngram_n=3)
+    pred = {r["doc_id"]: r["pred"] for r in
+            CL.nb_predict_int(m, docs).collect()}
+    assert 999 in pred
+    # prior argmax: A has 7 docs, B has 4 -> prior picks A
+    assert pred[999] == "A"
+    assert len(pred) == 11
