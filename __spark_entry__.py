@@ -373,6 +373,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["io_tfrecord_roundtrip"] = io_tfrecord_roundtrip
 
+    def io_arrowipc_roundtrip(spark, sf_dir):
+        """Arrow IPC (Feather v2) sink + source
+        (sources/arrowipc.py): the zero-copy columnar container
+        training loaders mmap directly. Export is one hash shuffle
+        on a deterministic md5 shard key (byte-identical re-runs,
+        sha256 manifest); read is binaryFile + mapInPandas, no
+        shuffle. The oracle checks the roundtrip against the raw
+        table — any mis-sliced batch, dropped row, or mangled
+        string flips the hash."""
+        import hashlib
+        import tempfile
+
+        from siridb_server_spark.sources import arrowipc as AI
+
+        # stable per-corpus dir (same rationale as the tfrecord
+        # entry: lazy readers must outlive this call; deterministic
+        # export makes re-runs byte-identical overwrites)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        tmp = f"{tempfile.gettempdir()}/sparksiri-ipc-{tag}"
+        AI.export_arrow_documents(
+            load(spark, sf_dir, "documents"), tmp,
+            n_shards=8).collect()
+        back = AI.read_arrow_documents(spark, tmp)
+        return back.select("doc_id",
+                           F.length("text").cast("long")
+                           .alias("n_chars"),
+                           "source")
+
+    q["io_arrowipc_roundtrip"] = io_arrowipc_roundtrip
+
     def sketch_hll_registers(spark, sf_dir):
         """Mergeable HLL distinct-count sketch as a plain DataFrame
         (operators/sketches.py): per event_type, the 4096-register
@@ -4479,6 +4509,7 @@ def oracle_sql() -> dict[str, str]:
         " CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,"
         " coalesce(source, '') AS source FROM documents"
     )
+    o["io_arrowipc_roundtrip"] = o["io_tfrecord_roundtrip"]
     o["dedup_cdc_resync"] = (
         "SELECT pair, CAST(n_shared AS BIGINT) AS n_shared,"
         " CAST(n_left AS BIGINT) AS n_left,"

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_cdc_tiling",
     "io_tfrecord_roundtrip",
+    "io_arrowipc_roundtrip",
     "text_unigram_tiling",
     "text_wordpiece_tiling",
     "sketch_hll_registers",

@@ -187,3 +187,50 @@ def test_audio_meta_flac_mp3_wav_dispatch(spark):
     assert got[3]["n_samples"] == 3 * 1152     # ID3 tag skipped
     for bad in (4, 5, 6):
         assert got[bad]["container"] is None, bad
+
+
+# ------------------------------------------------- Arrow IPC shards
+
+def test_arrow_ipc_documents_roundtrip_and_determinism(
+        spark, tmp_path):
+    """Docs survive the IPC roundtrip exactly (unicode included),
+    and the export is byte-identical under any input partitioning
+    (per-shard sha256 equality)."""
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.sources import arrowipc as AI
+
+    rows = [(1, "héllo wörld 世界", "a"),
+            (2, "plain", "b"), (3, "", "a"),
+            (4, None, "c"), (5, "tab\tnl\n", "b")]
+    df = arrow_df(spark, rows,
+                  "doc_id long, text string, source string")
+    m1 = {r["shard"]: r["sha256"] for r in AI.export_arrow_documents(
+        df, str(tmp_path / "d1"), n_shards=3).collect()}
+    m2 = {r["shard"]: r["sha256"] for r in AI.export_arrow_documents(
+        df.repartition(7), str(tmp_path / "d2"),
+        n_shards=3).collect()}
+    assert m1 == m2 and len(m1) >= 1
+
+    back = {r["doc_id"]: (r["text"], r["source"]) for r in
+            AI.read_arrow_documents(spark,
+                                    str(tmp_path / "d1")).collect()}
+    assert back[1] == ("héllo wörld 世界", "a")
+    assert back[4] == ("", "c")          # NULL text exported as ''
+    assert back[5] == ("tab\tnl\n", "b")
+    assert len(back) == 5
+
+
+def test_arrow_ipc_embeddings_roundtrip(spark, tmp_path):
+    from siridb_server_spark.sources import arrowipc as AI
+    from siridb_server_spark.sources.testdata import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where("vec_id < 40")
+    AI.export_arrow_embeddings(emb, str(tmp_path / "e"),
+                               n_shards=4).collect()
+    back = AI.read_arrow_embeddings(spark, str(tmp_path / "e"))
+    a = sorted((r["vec_id"], r["label"], tuple(r["embedding"]))
+               for r in emb.collect())
+    b = sorted((r["vec_id"], r["label"], tuple(r["embedding"]))
+               for r in back.collect())
+    assert a == b and len(a) == 40
