@@ -592,6 +592,41 @@ class PQIndex:
     def unpersist(self):
         self.codes.unpersist()
 
+    def save(self, path: str):
+        """Persist the index: the codes frame (the ONLY thing a
+        search scans — m bytes/vector) as parquet, plus one tiny
+        meta parquet holding the flattened codebooks and dsub/
+        id_col (self-describing load, same pattern as SQIndex)."""
+        self.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        spark = self.codes.sparkSession
+        from ..localdf import arrow_df
+
+        meta = [(j, ci, [float(x) for x in c], int(self.dsub),
+                 self.id_col)
+                for j, cb in enumerate(self.codebooks)
+                for ci, c in enumerate(cb)]
+        (arrow_df(spark, meta,
+                  "sub int, idx int, centroid array<double>,"
+                  " dsub int, id_col string")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{path}/meta"))
+
+    @classmethod
+    def load(cls, spark, path: str,
+             id_col: str | None = None) -> "PQIndex":
+        """Open a saved index. The codes scan is lazy — a search
+        reads m-byte codes straight off parquet; no rebuild, no
+        k-means."""
+        rows = spark.read.parquet(f"{path}/meta").collect()
+        m = max(r["sub"] for r in rows) + 1
+        codebooks = [[] for _ in range(m)]
+        for r in sorted(rows, key=lambda r: (r["sub"], r["idx"])):
+            codebooks[r["sub"]].append(list(r["centroid"]))
+        if id_col is None:
+            id_col = rows[0]["id_col"]
+        return cls(codebooks, spark.read.parquet(f"{path}/codes"),
+                   int(rows[0]["dsub"]), id_col)
+
 
 def l2_topk_exact(emb: DataFrame, query_vec, k: int = 10,
                   vec_col: str = "embedding",

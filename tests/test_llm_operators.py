@@ -754,6 +754,38 @@ def test_pq_index_codes_and_rerank(spark):
     idx.unpersist()
 
 
+def test_pq_index_save_load_roundtrip(spark, tmp_path):
+    """A saved PQIndex reopens self-describing (codebooks, dsub,
+    id_col from meta) and serves the same ADC ranking and rerank
+    result with no rebuild."""
+    import random
+
+    from siridb_server_spark.operators.similarity import PQIndex
+
+    rng = random.Random(13)
+    base = [[float(c)] * 16 for c in (0, 10, 20, 30)]
+    rows = [(i, [v + rng.uniform(-0.5, 0.5)
+                 for v in base[i % 4]]) for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    idx = PQIndex.train(emb, m=4, k=4, iters=3)
+    q = rows[1][1]
+    want_adc = [tuple(r) for r in idx.search(q, k=8).collect()]
+    want_rr = [tuple(r) for r in
+               idx.search_rerank(emb, q, k=5,
+                                 shortlist=30).collect()]
+    idx.save(str(tmp_path / "pq"))
+    idx.unpersist()
+    idx2 = PQIndex.load(spark, str(tmp_path / "pq"))
+    assert idx2.dsub == 4 and idx2.id_col == "vec_id"
+    assert idx2.codebooks == idx.codebooks
+    assert [tuple(r) for r in idx2.search(q, k=8).collect()] \
+        == want_adc
+    assert [tuple(r) for r in
+            idx2.search_rerank(emb, q, k=5,
+                               shortlist=30).collect()] == want_rr
+
+
 def test_quality_gate_fails_closed_on_edge_docs(spark):
     from siridb_server_spark.operators.text import quality_gate
 
