@@ -70,12 +70,9 @@ BENCH_QUERIES = [
     "sim_mmr",
     "sim_sq_recall",
     "sim_ivf_sq_topk",
-    # r10: persisted/incremental IVF-SQ8 index + batch ANN join
-    "sim_sq_index",
-    "sim_sq_index_append",
+    # r10 batch ANN joins (light serving queries)
     "sim_ivf_knn_join",
     "sim_ivf_sq_knn_join",
-    "sim_sq_index_drift",
     "multimodal_meta",
     "curation_dsir",
     # window time-series + corpus statistics
@@ -86,7 +83,6 @@ BENCH_QUERIES = [
     "ts_holt_forecast",
     "ts_corr_topk",
     "ts_dtw_topk",
-    "ts_dtw_prefilter",
     "ts_seasonal_anomalies",
     "ts_latency_quantiles",
     "ts_mad",
@@ -175,6 +171,16 @@ BENCH_QUERIES = [
     "tpch_q11ish",
     "tpch_q20ish",
     "tpch_q21ish",
+    # r10 heavy AUDIT entries last: each builds/saves/loads whole
+    # indexes (or runs a gated AND an ungated search) 4×, and the
+    # heap/page-cache state they leave behind measurably inflates
+    # whatever runs next (ts_latency_quantiles 0.49 s isolated vs
+    # 2.1 s right after this family) — at the tail they can only
+    # pollute each other
+    "sim_sq_index",
+    "sim_sq_index_append",
+    "sim_sq_index_drift",
+    "ts_dtw_prefilter",
 ]
 
 
