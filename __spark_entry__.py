@@ -657,24 +657,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_sax_words"] = ts_sax_words
 
     def ts_dtw_prefilter(spark, sf_dir):
-        """SAX-gated DTW search (operators/timeseries.py dtw_topk
-        prefilter=True): the iSAX pattern sax_words' representation
-        exists for — candidates whose SAX word disagrees with the
-        query's at EVERY position are pruned by a |series|-sized
-        semi join before the exact banded DP re-scores survivors.
-        Property contract pins the ANN-style promise: the gated
-        top-k equals the unfiltered top-k on this corpus
-        (series, n_points and exact integer costs, in order) and
-        the query still ranks first at cost 0."""
-        pts = events_points(spark, sf_dir)
-        qname = pts.agg(F.min("series")).first()[0]
-        pts = pts.select("series", "ts",
-                         F.col("val_dbl").alias("val"))
-        base = [(r["series"], r["n_points"], r["dtw_cost"])
-                for r in TSO.dtw_topk(pts, qname, k=10).collect()]
-        gated = [(r["series"], r["n_points"], r["dtw_cost"])
-                 for r in TSO.dtw_topk(pts, qname, k=10,
-                                       prefilter=True).collect()]
+        """SAX-gated EXACT DTW search (operators/timeseries.py
+        dtw_topk prefilter=True): a SAX-agreement pool's k-th DP
+        cost becomes threshold τ, non-pool series are pruned by the
+        provable endpoint lower bound (cost ≥ |s₀−q₀|+|s_l−q_l|),
+        survivors run the exact DP — equality with the unfiltered
+        ranking is a theorem. This AUDIT entry runs the gated AND
+        the unfiltered search and pins their equality (series,
+        n_points, exact integer costs, in order) plus
+        query-ranks-first-at-zero; the points frame is persisted
+        across the two searches and released before returning
+        (both otherwise rescan the raw corpus per driver
+        action)."""
+        pts = events_points(spark, sf_dir).select(
+            "series", "ts",
+            F.col("val_dbl").alias("val")).persist()
+        try:
+            qname = pts.agg(F.min("series")).first()[0]
+            base = [(r["series"], r["n_points"], r["dtw_cost"])
+                    for r in TSO.dtw_topk(pts, qname,
+                                          k=10).collect()]
+            gated = [(r["series"], r["n_points"], r["dtw_cost"])
+                     for r in TSO.dtw_topk(pts, qname, k=10,
+                                           prefilter=True)
+                     .collect()]
+        finally:
+            pts.unpersist()
         props = [
             ("k_returned", len(gated)),
             ("equal_to_unfiltered", int(gated == base)),
