@@ -3279,6 +3279,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_funnel_steps"] = events_funnel_steps
 
+    def events_funnel_ci(spark, sf_dir):
+        """Funnel conversion rates WITH uncertainty
+        (operators/timeseries.py wilson_bounds): per adjacent step
+        pair, the exact integer ppm conversion plus the 95% Wilson
+        score interval — built from +,−,×,/ and sqrt only (IEEE
+        requires sqrt correctly rounded, unlike the banned ln/exp),
+        so with the fixed operator order the bounds hash
+        cross-engine. The number a funnel report needs before
+        anyone compares two rates."""
+        ev = load(spark, sf_dir, "events")
+        base = ev.select(F.col("user_id").cast("long")
+                         .alias("user_id"),
+                         epoch_ns(ev).alias("ts"), "event_type")
+        per_user = TSO.funnel_steps(
+            base, ["view", "click", "purchase"])
+        c = per_user.agg(F.count("t1").alias("k1"),
+                         F.count("t2").alias("k2"),
+                         F.count("t3").alias("k3"))
+        pairs = c.select(F.explode(F.array(
+            F.struct(F.lit(2).cast("long").alias("step"),
+                     F.col("k2").alias("k"),
+                     F.col("k1").alias("n")),
+            F.struct(F.lit(3).cast("long").alias("step"),
+                     F.col("k3").alias("k"),
+                     F.col("k2").alias("n")))).alias("s")) \
+            .select("s.*")
+        lo, hi = TSO.wilson_bounds(F.col("k"), F.col("n"))
+        return pairs.select(
+            "step", "k", "n",
+            F.expr("k * 1000000 div greatest(n, 1)")
+            .alias("conv_ppm"),
+            (F.round(lo, 6) + F.lit(0.0)).alias("wilson_lo"),
+            (F.round(hi, 6) + F.lit(0.0)).alias("wilson_hi"))
+
+    q["events_funnel_ci"] = events_funnel_ci
+
     def events_coverage(spark, sf_dir):
         """Minutes-active per user: union of 5-minute activity
         intervals opened by each event (overlaps merge)."""
@@ -7034,6 +7070,43 @@ def oracle_sql() -> dict[str, str]:
         " count(t3) AS step3_users FROM u3"
     )
 
+    # funnel conversions + Wilson 95% bounds: same funnel CTE, then
+    # the identical fixed-op-order sqrt formula per step pair
+    _wl = ("CASE WHEN n > 0 THEN"
+           " round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+           " + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))"
+           " / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)))"
+           " {sign} (1.96 * sqrt((CAST(k AS DOUBLE)"
+           " / CAST(n AS DOUBLE))"
+           " * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+           " / CAST(n AS DOUBLE) + (1.96 * 1.96)"
+           " / (4.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+           " / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))), 6)"
+           " + 0.0 END")
+    o["events_funnel_ci"] = (
+        "WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type"
+        " FROM events),"
+        " u1 AS (SELECT user_id, min(CASE WHEN event_type = 'view'"
+        " THEN ts END) AS t1 FROM e GROUP BY 1),"
+        " u2 AS (SELECT e.user_id, u1.t1,"
+        " min(CASE WHEN event_type = 'click' AND e.ts > u1.t1"
+        " THEN e.ts END) AS t2"
+        " FROM e JOIN u1 USING (user_id) GROUP BY 1, 2),"
+        " u3 AS (SELECT e.user_id, u2.t1, u2.t2,"
+        " min(CASE WHEN event_type = 'purchase' AND e.ts > u2.t2"
+        " THEN e.ts END) AS t3"
+        " FROM e JOIN u2 USING (user_id) GROUP BY 1, 2, 3),"
+        " c AS (SELECT count(t1) AS k1, count(t2) AS k2,"
+        " count(t3) AS k3 FROM u3),"
+        " p AS (SELECT CAST(2 AS BIGINT) AS step,"
+        " CAST(k2 AS BIGINT) AS k, CAST(k1 AS BIGINT) AS n FROM c"
+        " UNION ALL SELECT 3, CAST(k3 AS BIGINT),"
+        " CAST(k2 AS BIGINT) FROM c)"
+        " SELECT step, k, n,"
+        " CAST(k * 1000000 // greatest(n, 1) AS BIGINT)"
+        " AS conv_ppm,"
+        " " + _wl.format(sign="-") + " AS wilson_lo,"
+        " " + _wl.format(sign="+") + " AS wilson_hi FROM p")
     # per-series heartbeat uptime: gap excess beyond 1 day = downtime
     o["ts_uptime"] = (
         _PD + ", g AS (SELECT series, ts, ts - lag(ts) OVER"

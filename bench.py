@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "events_gap_stats",
     "events_stickiness",
     "events_rfm",
+    "events_funnel_ci",
     # general analytics
     "tpch_q1ish",
     "tpch_q6ish",

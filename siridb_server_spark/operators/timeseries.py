@@ -1170,3 +1170,28 @@ def _sax_from_vectors(per: DataFrame, word_len: int,
                      F.array_sort(F.collect_list(
                          F.struct("j", "c"))),
                      lambda x: x["c"])).alias("word")))
+
+
+def wilson_bounds(k, n, z: float = 1.96):
+    """Wilson score interval for a binomial proportion k/n — the
+    uncertainty number a funnel/conversion report needs before
+    anyone compares two rates. Built from +, −, ×, / and sqrt
+    ONLY: IEEE-754 requires sqrt correctly rounded (unlike ln/exp,
+    which the hashed-oracle policy bans), so with this FIXED
+    operator order the bounds are bit-identical across Spark,
+    DuckDB and CPython and can be hashed after rounding. z defaults
+    to the 95% normal quantile as the conventional 1.96 LITERAL —
+    a library erf would be transcendental. Returns (lo, hi)
+    columns, NULL when n = 0."""
+    kk = k.cast("double")
+    nn = n.cast("double")
+    zz = F.lit(float(z))
+    z2 = zz * zz
+    p = kk / nn
+    denom = F.lit(1.0) + z2 / nn
+    center = (p + z2 / (F.lit(2.0) * nn)) / denom
+    half = (zz * F.sqrt(p * (F.lit(1.0) - p) / nn
+                        + z2 / (F.lit(4.0) * (nn * nn)))) / denom
+    lo = F.when(n > 0, center - half)
+    hi = F.when(n > 0, center + half)
+    return lo, hi

@@ -270,3 +270,47 @@ def test_sax_words_structure_and_similarity(spark):
     # monotone ramp: symbols non-decreasing
     w = got["rampup"]["word"]
     assert list(w) == sorted(w)
+
+
+def test_wilson_bounds_match_python_reference(spark):
+    """Wilson bounds equal the textbook formula (same fixed op
+    order, sqrt-only) and behave: contain p̂, tighten with n,
+    NULL at n=0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rows = [(1, 8, 10), (2, 80, 100), (3, 800, 1000),
+            (4, 0, 50), (5, 50, 50), (6, 3, 0)]
+    df = arrow_df(spark, rows, "id long, k long, n long")
+    lo, hi = TSO.wilson_bounds(F.col("k"), F.col("n"))
+    got = {r["id"]: (r["lo"], r["hi"]) for r in
+           df.select("id", lo.alias("lo"), hi.alias("hi"))
+           .collect()}
+
+    def ref(k, n, z=1.96):
+        p = k / n
+        z2 = z * z
+        den = 1.0 + z2 / n
+        c = (p + z2 / (2.0 * n)) / den
+        h = (z * math.sqrt(p * (1.0 - p) / n
+                           + z2 / (4.0 * (n * n)))) / den
+        return c - h, c + h
+
+    for i, k, n in rows:
+        if n == 0:
+            assert got[i] == (None, None)
+            continue
+        rl, rh = ref(k, n)
+        assert got[i] == (rl, rh), i
+        assert rl <= k / n <= rh
+    # interval tightens as n grows at fixed p
+    w10 = got[1][1] - got[1][0]
+    w100 = got[2][1] - got[2][0]
+    w1000 = got[3][1] - got[3][0]
+    assert w10 > w100 > w1000
+    # degenerate proportions stay inside [0, 1]
+    assert got[4][0] >= 0.0 and got[5][1] <= 1.0
