@@ -474,3 +474,47 @@ def stream_ann_queries(stream_df, index_path: str, out_path: str,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def make_sq_drift_sink(index_path: str, out_path: str,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """foreachBatch sink writing a quantizer-drift snapshot
+    (:func:`~..operators.similarity.sq_index_drift`) for every
+    micro-batch of embeddings — the continuous form of the retrain
+    signal: each batch's per-cell balance ppm and base-vs-delta
+    mean centroid cosine land in ``batch=<id>``-stamped dirs with
+    OVERWRITE + a done-marker (the standard exactly-once layout),
+    so the maintenance job reads a time series of drift reports
+    and triggers the rebuild when the trend crosses its threshold
+    — no full-corpus comparison job needed."""
+    from ..operators.similarity import sq_index_drift
+
+    def sink(batch_df, batch_id: int):
+        marker = os.path.join(out_path,
+                              f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        rep = sq_index_drift(batch_df.sparkSession, index_path,
+                             batch_df, vec_col, id_col)
+        rep.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}"))
+        with open(marker, "w") as fh:
+            fh.write("done\n")
+
+    return sink
+
+
+def stream_sq_index_drift(stream_df, index_path: str,
+                          out_path: str,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          checkpoint: str | None = None):
+    """Start the drift-snapshot stream (see
+    :func:`make_sq_drift_sink`). Returns the StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(
+        make_sq_drift_sink(index_path, out_path, vec_col,
+                           id_col)).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

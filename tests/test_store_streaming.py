@@ -1381,3 +1381,48 @@ def test_ann_query_stream_serves_index_results(spark, tmp_path):
              grown.knn_join(queries, k=5, nprobe=2, rerank=4)
              .collect()}
     assert seen == want2
+
+
+def test_sq_drift_stream_snapshots_per_batch(spark, tmp_path):
+    """A real drift-snapshot stream: per-batch reports equal the
+    batch sq_index_drift over the same rows, land batch-stamped,
+    and redelivery is a marker no-op."""
+    import os
+
+    from pyspark.sql import functions as FF
+
+    from siridb_server_spark.operators import similarity as SIM
+    from siridb_server_spark.sources.testdata import load
+    from siridb_server_spark.streaming import corpus as SC
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where("vec_id % 5 = 0")
+    delta = emb.where("vec_id % 5 = 1") \
+        .select("vec_id", "embedding")
+    ipath = str(tmp_path / "idx")
+    idx = SIM.SQIndex.from_labels(base)
+    idx.save(ipath)
+    idx.unpersist()
+
+    src = tmp_path / "din"
+    src.mkdir()
+    delta.coalesce(1).write.parquet(str(src / "b1"))
+    out = str(tmp_path / "drift")
+    stream = spark.readStream \
+        .schema("vec_id long, embedding array<float>") \
+        .parquet(str(src) + "/*")
+    q = SC.stream_sq_index_drift(
+        stream, ipath, out, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out)
+                 .drop("batch").collect())
+    want = sorted(tuple(r) for r in SIM.sq_index_drift(
+        spark, ipath, delta).collect())
+    assert got == want and len(got) > 0
+
+    sink = SC.make_sq_drift_sink(ipath, out)
+    before = sorted(os.listdir(out))
+    sink(delta, 0)                       # marker -> no-op
+    assert sorted(os.listdir(out)) == before
