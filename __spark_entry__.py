@@ -749,6 +749,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_nb_lang_gate_ngram"] = curation_nb_lang_gate_ngram
 
+    def text_nb_confusion_ngram(spark, sf_dir):
+        """The char-3-gram model's full confusion matrix — the
+        accuracy surface the word-feature text_nb_confusion pins,
+        on the featurizer real langid uses (same exact fixlog2
+        integer scorer; zero-token short docs score the prior,
+        r10). Oracle replays grams → counts → quantized scores →
+        argmax → matrix end to end in SQL."""
+        docs = load(spark, sf_dir, "documents")
+        m = CL.nb_train(docs, label_col="lang",
+                        features="chars", ngram_n=3)
+        pred = CL.nb_predict_int(m, docs)
+        return CL.nb_confusion(docs, pred, label_col="lang")
+
+    q["text_nb_confusion_ngram"] = text_nb_confusion_ngram
+
     def eval_retrieval_metrics(spark, sf_dir):
         """Retrieval-evaluation machinery (operators/text.py
         retrieval_metrics) with an END-TO-END cross-engine contract:
@@ -3805,6 +3820,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_sq_index_drift"] = sim_sq_index_drift
 
+    def sim_sq_index_rebuild(spark, sf_dir):
+        """Quantizer rebuild (operators/similarity.py
+        sq_index_rebuild) — the remediation the drift report
+        triggers: fresh k-means quantizer + fresh scale over
+        everything indexed (base + appended deltas), saved as a NEW
+        snapshot (rotation, not in-place mutation). Properties pin
+        the row-preservation contract: every (id, vector) from the
+        old index — including the appended delta — survives into
+        the rebuilt one, the requested cell count holds, and a
+        search on the loaded rebuilt snapshot serves k rows."""
+        import hashlib
+        import shutil
+        import tempfile
+
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        base = emb.where(F.col("vec_id") % 5 != 1)
+        delta = emb.where(F.col("vec_id") % 5 == 1)
+        vec = _query_vec(spark, sf_dir)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        p0 = f"{tempfile.gettempdir()}/sparksiri-sqrb0-{tag}"
+        p1 = f"{tempfile.gettempdir()}/sparksiri-sqrb1-{tag}"
+        shutil.rmtree(p0, ignore_errors=True)
+        shutil.rmtree(p1, ignore_errors=True)
+        idx = SIM.SQIndex.from_labels(base)
+        try:
+            idx.save(p0)
+        finally:
+            idx.unpersist()
+        SIM.sq_index_append(spark, p0, delta)
+        new = SIM.sq_index_rebuild(spark, p0, p1, k=4, iters=3)
+        new.unpersist()
+        old_rows = (SIM.SQIndex.load(spark, p0).cells
+                    .select("vec_id", "embedding"))
+        loaded = SIM.SQIndex.load(spark, p1)
+        new_rows = loaded.cells.select("vec_id", "embedding")
+        props = [
+            ("rows_preserved",
+             int(old_rows.exceptAll(new_rows).count() == 0
+                 and new_rows.exceptAll(old_rows).count() == 0)),
+            ("cells_requested",
+             int(len(loaded.centroids) == 4)),
+            ("k_returned",
+             loaded.search(vec, k=10, nprobe=4).count()),
+        ]
+        return arrow_df(spark, props, "prop string, n long")
+
+    q["sim_sq_index_rebuild"] = sim_sq_index_rebuild
+
     def text_nb_model(spark, sf_dir):
         """Multinomial Naive Bayes training
         (operators/classify.py): the per-(language, term) token
@@ -6175,6 +6239,10 @@ def oracle_sql() -> dict[str, str]:
         " WHERE length(trim(text)) > 0")
     o["curation_nb_lang_gate_ngram"] = \
         o["curation_nb_lang_gate"].replace(_nb_toks, _nb_toks3)
+    # char-3-gram confusion matrix: the word chain with the token
+    # stream swapped, same matrix tail
+    o["text_nb_confusion_ngram"] = \
+        o["text_nb_confusion"].replace(_nb_toks, _nb_toks3)
     # feature hashing: DuckDB rebuilds the md5 bucket/sign mapping
     # and the signed-count sums; the neighbor entry replays the
     # integer dot-product ranking
@@ -6264,6 +6332,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'delta_rows_indexed' AS prop, CAST(1 AS BIGINT)"
         " AS n"
         " UNION ALL SELECT 'equal_to_in_memory_union', 1"
+        " UNION ALL SELECT 'k_returned', 10")
+    o["sim_sq_index_rebuild"] = (
+        "SELECT 'rows_preserved' AS prop, CAST(1 AS BIGINT) AS n"
+        " UNION ALL SELECT 'cells_requested', 1"
         " UNION ALL SELECT 'k_returned', 10")
     # drift report: full replay — centroids, per-row cosines, the
     # frozen assignment rule (rn=1 per delta row, ties to smaller

@@ -1456,3 +1456,28 @@ def sq_index_drift(spark, path: str, new_emb: DataFrame,
                 .alias("mean_cos_base"),
                 (F.col("mean_cos_new") + F.lit(0.0))
                 .alias("mean_cos_new")))
+
+
+def sq_index_rebuild(spark, path: str, new_path: str,
+                     k: int | None = None,
+                     iters: int = 5) -> "SQIndex":
+    """Retrain a saved :class:`SQIndex` from its own indexed rows —
+    the REMEDIATION :func:`sq_index_drift` triggers: when appended
+    data drifts from the frozen quantizer (hot cells, falling mean
+    centroid cosine), rebuild fits a fresh k-means quantizer AND a
+    fresh scale over everything indexed so far (base + all deltas,
+    exactly what ``load`` folds) and saves the result as a NEW
+    snapshot at ``new_path`` — snapshot rotation, not in-place
+    mutation, so readers of the old index are never torn and the
+    cutover is one path swap. Row preservation is the contract:
+    every (id, vector) in the old index lands in the new one
+    (pinned by the oracle entry); search quality claims stay with
+    the recall audits. Returns the new (persisted) index."""
+    old = SQIndex.load(spark, path)
+    emb = old.cells.select(
+        F.col(old.id_col), F.col(old.vec_col))
+    new = SQIndex.train(emb, k=k or len(old.centroids),
+                        iters=iters, vec_col=old.vec_col,
+                        id_col=old.id_col)
+    new.save(new_path)
+    return new

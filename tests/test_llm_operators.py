@@ -2487,6 +2487,44 @@ def test_sq_index_drift_report_semantics(spark, tmp_path):
     assert hot["mean_cos_new"] < hot["mean_cos_base"] - 0.2
 
 
+def test_sq_index_rebuild_preserves_rows_and_serves(
+        spark, tmp_path):
+    """Rebuild = fresh quantizer + fresh scale over base + deltas,
+    saved as a NEW snapshot: every (id, vector) survives, cell
+    count matches the request, and the rebuilt index serves
+    searches (query present, k rows)."""
+    from siridb_server_spark.sources.testdata import load
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where("vec_id <> 0")
+    base = emb.where("vec_id % 5 <> 1")
+    delta = emb.where("vec_id % 5 = 1")
+    q = [float(x) for x in
+         load(spark, "/root/testdata/sf0.001", "embeddings")
+         .where("vec_id = 0").first()["embedding"]]
+    p0, p1 = str(tmp_path / "old"), str(tmp_path / "new")
+    idx = SIM.SQIndex.from_labels(base)
+    idx.save(p0)
+    idx.unpersist()
+    SIM.sq_index_append(spark, p0, delta)
+
+    new = SIM.sq_index_rebuild(spark, p0, p1, k=4, iters=3)
+    try:
+        assert len(new.centroids) == 4
+    finally:
+        new.unpersist()
+    old_ids = {(r["vec_id"], tuple(r["embedding"])) for r in
+               SIM.SQIndex.load(spark, p0).cells
+               .select("vec_id", "embedding").collect()}
+    new_loaded = SIM.SQIndex.load(spark, p1)
+    new_ids = {(r["vec_id"], tuple(r["embedding"])) for r in
+               new_loaded.cells
+               .select("vec_id", "embedding").collect()}
+    assert new_ids == old_ids
+    # fresh scale pinned from the full indexed set, searches serve
+    res = new_loaded.search(q, k=10, nprobe=4).collect()
+    assert len(res) == 10
+
+
 def test_quality_percentile_rank_semantics(spark):
     from siridb_server_spark.localdf import arrow_df
     # src a: three docs with clearly ordered quality (stopword-rich
