@@ -1386,9 +1386,59 @@ def ivf_sq_knn_join(emb: DataFrame, queries: DataFrame,
         cent, scale, k, nprobe, rerank, qid_col)
 
 
+def sq_index_base_stats(spark, path: str,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> list:
+    """Collect the drift report's base-side statistics ONCE —
+    (cell, n_base, mean_cos_base) rows, |cells|-bounded. For a
+    FROZEN index these are invariant between appends, so the
+    streaming drift sink computes them at construction and passes
+    them to every micro-batch instead of rescanning the whole
+    index per batch (refresh after an append/rebuild rotates the
+    snapshot)."""
+    from ..localdf import arrow_df
+
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    cent = arrow_df(
+        spark,
+        [(int(r["cell"]), [float(x) for x in r["centroid"]])
+         for r in meta],
+        "cell long, _centroid array<double>")
+    base = SQIndex.load(spark, path, vec_col, id_col).cells
+    return [(r["cell"], r["n_base"], r["mean_cos_base"])
+            for r in _drift_stats(cent, base, "_cell", vec_col,
+                                  "n_base", "mean_cos_base")
+            .collect()]
+
+
+def _drift_stats(cent: DataFrame, df: DataFrame, cell_col: str,
+                 vec_col: str, n_name: str,
+                 m_name: str) -> DataFrame:
+    """Per-cell (count, mean centroid cosine) — the one stats
+    definition both drift sides share (order-free DECIMAL sums,
+    rounded once)."""
+    from ..functions.stable import stable_dsum
+
+    d = dot(F.col("_v"), F.col("_centroid"))
+    na = dot(F.col("_v"), F.col("_v"))
+    nb = dot(F.col("_centroid"), F.col("_centroid"))
+    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
+        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
+    scored = (df.select(F.col(cell_col).alias("cell"),
+                        F.col(vec_col).alias("_v"))
+              .join(F.broadcast(cent), "cell")
+              .select("cell", ccos.alias("_cos")))
+    return (scored.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias(n_name),
+                 F.round(stable_dsum(F.col("_cos"))
+                         / F.count(F.lit(1)), 6)
+                 .alias(m_name)))
+
+
 def sq_index_drift(spark, path: str, new_emb: DataFrame,
                    vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id",
+                   base_stats: list | None = None) -> DataFrame:
     """Quantizer drift report for a frozen-coarse index — the
     "when to retrain" signal :func:`sq_index_append`'s frozen-
     quantizer tradeoff defers to. Per saved cell:
@@ -1407,9 +1457,12 @@ def sq_index_drift(spark, path: str, new_emb: DataFrame,
     One broadcast join + two groupBys over |cells| keys; the delta
     assignment is the SAME ``_sq_assign`` rule the append/ingest
     paths use, so the report describes exactly what an append would
-    do. Output: (cell, n_base, n_new, new_share_ppm,
-    mean_cos_base, mean_cos_new) — one row per saved cell."""
-    from ..functions.stable import stable_dsum
+    do. ``base_stats`` (from :func:`sq_index_base_stats`) skips the
+    base-side index scan — for a frozen index those numbers are
+    invariant, so a repeated caller (the streaming drift sink)
+    computes them once. Output: (cell, n_base, n_new,
+    new_share_ppm, mean_cos_base, mean_cos_new) — one row per
+    saved cell."""
     from ..localdf import arrow_df
 
     meta = spark.read.parquet(f"{path}/meta").collect()
@@ -1419,27 +1472,19 @@ def sq_index_drift(spark, path: str, new_emb: DataFrame,
          for r in meta],
         "cell long, _centroid array<double>")
 
-    d = dot(F.col("_v"), F.col("_centroid"))
-    na = dot(F.col("_v"), F.col("_v"))
-    nb = dot(F.col("_centroid"), F.col("_centroid"))
-    ccos = F.when((na == 0) | (nb == 0), F.lit(0.0)) \
-        .otherwise(d / (F.sqrt(na) * F.sqrt(nb)))
-
-    def stats(df, cell_col, n_name, m_name):
-        scored = (df.select(F.col(cell_col).alias("cell"),
-                            F.col(vec_col).alias("_v"))
-                  .join(F.broadcast(cent), "cell")
-                  .select("cell", ccos.alias("_cos")))
-        return (scored.groupBy("cell")
-                .agg(F.count(F.lit(1)).alias(n_name),
-                     F.round(stable_dsum(F.col("_cos"))
-                             / F.count(F.lit(1)), 6)
-                     .alias(m_name)))
-
-    base = SQIndex.load(spark, path, vec_col, id_col).cells
-    bs = stats(base, "_cell", "n_base", "mean_cos_base")
+    if base_stats is None:
+        base = SQIndex.load(spark, path, vec_col, id_col).cells
+        bs = _drift_stats(cent, base, "_cell", vec_col,
+                          "n_base", "mean_cos_base")
+    else:
+        bs = arrow_df(spark,
+                      [(int(c), int(n), m)
+                       for c, n, m in base_stats],
+                      "cell long, n_base long,"
+                      " mean_cos_base double")
     assigned = _sq_assign(spark, path, new_emb, vec_col, id_col)
-    ns = stats(assigned, "cell", "n_new", "mean_cos_new")
+    ns = _drift_stats(cent, assigned, "cell", vec_col,
+                      "n_new", "mean_cos_new")
     tot = ns.agg(F.sum("n_new").alias("_t"))
     return (cent.select("cell")
             .join(bs, "cell", "left")
@@ -1474,10 +1519,16 @@ def sq_index_rebuild(spark, path: str, new_path: str,
     (pinned by the oracle entry); search quality claims stay with
     the recall audits. Returns the new (persisted) index."""
     old = SQIndex.load(spark, path)
+    # persist: train drives iters+3 driver actions (k-means init
+    # collect, per-iteration means, scale scan, assignment build)
+    # that would otherwise each re-read the full saved index
     emb = old.cells.select(
-        F.col(old.id_col), F.col(old.vec_col))
-    new = SQIndex.train(emb, k=k or len(old.centroids),
-                        iters=iters, vec_col=old.vec_col,
-                        id_col=old.id_col)
-    new.save(new_path)
+        F.col(old.id_col), F.col(old.vec_col)).persist()
+    try:
+        new = SQIndex.train(emb, k=k or len(old.centroids),
+                            iters=iters, vec_col=old.vec_col,
+                            id_col=old.id_col)
+        new.save(new_path)
+    finally:
+        emb.unpersist()
     return new

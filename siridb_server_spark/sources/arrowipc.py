@@ -37,10 +37,7 @@ _MANIFEST = T.StructType([
 ])
 
 
-def _shard_key(id_col: str):
-    return (F.conv(F.substring(
-        F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long"))
+from .shards import clean_stale_shards, shard_key as _shard_key
 
 
 def _write_shard_file(path, shard, table) -> dict:
@@ -79,6 +76,7 @@ def export_arrow_documents(df: DataFrame, path: str,
     import pyarrow as pa
 
     os.makedirs(path, exist_ok=True)
+    clean_stale_shards(path, "shard-*.arrow")
     rows = (df.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("text"),
@@ -152,7 +150,13 @@ def export_arrow_embeddings(df: DataFrame, path: str,
     import pyarrow as pa
 
     os.makedirs(path, exist_ok=True)
-    rows = (df.select("vec_id", "embedding", "label")
+    clean_stale_shards(path, "shard-*.arrow")
+    # NULL labels coalesce to -1, the established exporter contract
+    # (export_tfrecord_embeddings does the same) — astype(int32) on
+    # a NaN would otherwise kill the task
+    rows = (df.select("vec_id", "embedding",
+                      F.coalesce(F.col("label"), F.lit(-1))
+                      .alias("label"))
             .withColumn("_skey", _shard_key("vec_id"))
             .withColumn("shard", F.pmod(F.col("_skey"),
                                         F.lit(n_shards))

@@ -280,9 +280,10 @@ def export_tfrecord_documents(df: DataFrame, path: str,
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
-    key = (F.conv(F.substring(
-        F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long"))
+    from .shards import clean_stale_shards, shard_key
+
+    clean_stale_shards(path, "shard-*.tfrecord")
+    key = shard_key(id_col)
     rows = (df.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("text"),
@@ -372,10 +373,11 @@ def export_tfrecord_embeddings(df: DataFrame, path: str,
 
     import pandas as pd
 
+    from .shards import clean_stale_shards, shard_key
+
     os.makedirs(path, exist_ok=True)
-    key = (F.conv(F.substring(
-        F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"))
+    clean_stale_shards(path, "shard-*.tfrecord")
+    key = shard_key("vec_id")
     rows = (df.select("vec_id", "embedding",
                       F.coalesce(F.col("label"), F.lit(-1))
                       .cast("long").alias("label"))

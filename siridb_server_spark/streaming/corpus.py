@@ -396,15 +396,19 @@ def make_sq_index_ingest_sink(index_path: str,
 def stream_sq_index_ingest(stream_df, index_path: str,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
-                           checkpoint: str | None = None):
+                           checkpoint: str | None = None,
+                           available_now: bool = False):
     """Start the SQIndex ingest stream (see
-    :func:`make_sq_index_ingest_sink`). Returns the
-    StreamingQuery."""
+    :func:`make_sq_index_ingest_sink`). ``available_now`` processes
+    everything currently available then terminates (backfills,
+    tests). Returns the StreamingQuery."""
     writer = stream_df.writeStream.foreachBatch(
         make_sq_index_ingest_sink(index_path, vec_col, id_col)) \
         .outputMode("update")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
 
 
@@ -463,9 +467,12 @@ def stream_ann_queries(stream_df, index_path: str, out_path: str,
                        k: int = 10, nprobe: int = 2,
                        rerank: int = 4, qid_col: str = "qid",
                        vec_col: str = "embedding",
-                       checkpoint: str | None = None):
+                       checkpoint: str | None = None,
+                       available_now: bool = False):
     """Start the ANN query-serving stream (see
-    :func:`make_ann_query_sink`). Returns the StreamingQuery."""
+    :func:`make_ann_query_sink`). ``available_now`` processes
+    everything currently available then terminates. Returns the
+    StreamingQuery."""
     writer = stream_df.writeStream.foreachBatch(
         make_ann_query_sink(index_path, out_path, k=k,
                             nprobe=nprobe, rerank=rerank,
@@ -473,6 +480,8 @@ def stream_ann_queries(stream_df, index_path: str, out_path: str,
         .outputMode("update")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
 
 
@@ -488,15 +497,29 @@ def make_sq_drift_sink(index_path: str, out_path: str,
     so the maintenance job reads a time series of drift reports
     and triggers the rebuild when the trend crosses its threshold
     — no full-corpus comparison job needed."""
-    from ..operators.similarity import sq_index_drift
+    from ..operators.similarity import (
+        sq_index_base_stats,
+        sq_index_drift,
+    )
+
+    # the base side of the report is invariant for a frozen index:
+    # compute its |cells|-bounded stats ONCE here instead of
+    # rescanning the whole index every micro-batch (rebuild the
+    # sink after an append/rebuild rotates the snapshot)
+    cached_base = {}
 
     def sink(batch_df, batch_id: int):
         marker = os.path.join(out_path,
                               f"_batch-{batch_id}.done")
         if os.path.exists(marker):
             return
+        if "stats" not in cached_base:
+            cached_base["stats"] = sq_index_base_stats(
+                batch_df.sparkSession, index_path, vec_col,
+                id_col)
         rep = sq_index_drift(batch_df.sparkSession, index_path,
-                             batch_df, vec_col, id_col)
+                             batch_df, vec_col, id_col,
+                             base_stats=cached_base["stats"])
         rep.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={batch_id}"))
         with open(marker, "w") as fh:
@@ -509,12 +532,17 @@ def stream_sq_index_drift(stream_df, index_path: str,
                           out_path: str,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",
-                          checkpoint: str | None = None):
+                          checkpoint: str | None = None,
+                          available_now: bool = False):
     """Start the drift-snapshot stream (see
-    :func:`make_sq_drift_sink`). Returns the StreamingQuery."""
+    :func:`make_sq_drift_sink`). ``available_now`` processes
+    everything currently available then terminates. Returns the
+    StreamingQuery."""
     writer = stream_df.writeStream.foreachBatch(
         make_sq_drift_sink(index_path, out_path, vec_col,
                            id_col)).outputMode("update")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()

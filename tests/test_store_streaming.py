@@ -1349,7 +1349,7 @@ def test_ann_query_stream_serves_index_results(spark, tmp_path):
         .parquet(str(src) + "/*")
     q = SC.stream_ann_queries(
         stream, ipath, out, k=5, nprobe=2, rerank=4,
-        checkpoint=str(tmp_path / "ck"))
+        checkpoint=str(tmp_path / "ck"), available_now=True)
     q.awaitTermination(120)
     q.stop()
 
@@ -1412,7 +1412,8 @@ def test_sq_drift_stream_snapshots_per_batch(spark, tmp_path):
         .schema("vec_id long, embedding array<float>") \
         .parquet(str(src) + "/*")
     q = SC.stream_sq_index_drift(
-        stream, ipath, out, checkpoint=str(tmp_path / "ck"))
+        stream, ipath, out, checkpoint=str(tmp_path / "ck"),
+        available_now=True)
     q.awaitTermination(120)
     q.stop()
 
