@@ -3718,8 +3718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sq_index_append): a delta batch quantized with the saved
         index's PINNED scale (clamped like out-of-range queries),
         assigned to its nearest frozen centroid by the search-side
-        cosine rule, appended into the existing cell partition
-        dirs. Properties pin the contract: every delta row is
+        cosine rule, landed as a batch-stamped cells_delta dir
+        (idempotent by content-fingerprint batch id — the streaming
+        sink's layout). Properties pin the contract: every delta row is
         indexed, and a search on the loaded appended index equals
         the in-memory index over the same union with the same
         pinned scale/centroids (a pure persistence/quantization
@@ -3736,8 +3737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vec = _query_vec(spark, sf_dir)
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         path = f"{tempfile.gettempdir()}/sparksiri-sqapp-{tag}"
-        shutil.rmtree(path, ignore_errors=True)  # append is not
-        # idempotent across runs: start from a fresh base each time
+        shutil.rmtree(path, ignore_errors=True)  # fresh base per
+        # run: the props compare against base+delta exactly once
+        # (the append itself is idempotent since r11 — a leftover
+        # done-marker would just short-circuit it)
         idx = SIM.SQIndex.from_labels(base)
         try:
             idx.save(path)

@@ -134,10 +134,17 @@ def ivf_topk(emb: DataFrame, query_vec, k: int = 10, nprobe: int = 2,
     the driver (|cells| rows — tiny), then brute-force ONLY within the
     nprobe nearest cells. With the table partitioned by cell id the
     isin() filter becomes partition pruning — the scan never touches
-    the other cells."""
+    the other cells. NULL-label rows are EXCLUDED (no cell can be
+    probed for them — the posture every IVF variant shares); cosine
+    ties rank the smaller cell id first, matching
+    :func:`_rank_cells`' rule so the single-query and batch paths
+    pick identical probes."""
+    emb = emb.where(F.col(label_col).isNotNull())
+    q = [float(x) for x in query_vec]
     cents = label_centroids(emb, vec_col, label_col).collect()
     ranked = sorted(
-        cents, key=lambda r: -_py_cos(r["centroid"], list(query_vec)))
+        cents,
+        key=lambda r: (-_py_cos(r["centroid"], q), r[label_col]))
     probes = [r[label_col] for r in ranked[:nprobe]]
     return brute_force_topk(
         emb.where(F.col(label_col).isin(probes)), query_vec, k,
@@ -382,7 +389,11 @@ class IVFIndex:
                     vec_col: str = "embedding",
                     id_col: str = "vec_id") -> "IVFIndex":
         """Adopt an existing coarse partition (label column) as the
-        quantizer — centroids computed once, |cells| rows collected."""
+        quantizer — centroids computed once, |cells| rows collected.
+        NULL-label rows are EXCLUDED (a cell-keyed index cannot
+        reach them — the documented posture every IVF variant
+        shares)."""
+        emb = emb.where(F.col(label_col).isNotNull())
         cents = [(r[label_col], list(r["centroid"])) for r in
                  label_centroids(emb, vec_col, label_col).collect()]
         cells = (emb.select(id_col, vec_col,
@@ -395,17 +406,23 @@ class IVFIndex:
     def search(self, query_vec, k: int = 10,
                nprobe: int = 2) -> DataFrame:
         """Rank cells by centroid cosine (driver-side — the centroid
-        list is k×dim floats), brute-force only the probed cells."""
+        list is k×dim floats), brute-force only the probed cells.
+        Cosine ties rank the smaller cell id first — the same rule
+        :func:`_rank_cells` applies on the batch side, so probe
+        selection matches between single-query and batch paths and
+        between a fresh and a loaded index."""
         q = [float(x) for x in query_vec]
         ranked = sorted(self.centroids,
-                        key=lambda cv: -_py_cos(cv[1], q))
+                        key=lambda cv: (-_py_cos(cv[1], q), cv[0]))
         probes = [cid for cid, _ in ranked[:nprobe]]
         return brute_force_topk(
             self.cells.where(F.col("_cell").isin(probes)),
             q, k, self.vec_col, self.id_col)
 
     def unpersist(self):
-        self.cells.unpersist()
+        # blocking for the same hygiene-ledger reason as
+        # SQIndex.unpersist
+        self.cells.unpersist(blocking=True)
 
     def save(self, path: str):
         """Persist the index: cells as parquet PARTITIONED BY CELL —
@@ -958,9 +975,12 @@ def ivf_sq_topk(emb: DataFrame, query_vec, k: int = 10,
     q = [float(x) for x in query_vec]
     if centroids is None:
         centroids = [(r[label_col], list(r["centroid"])) for r in
-                     label_centroids(emb, vec_col, label_col)
+                     label_centroids(
+                         emb.where(F.col(label_col).isNotNull()),
+                         vec_col, label_col)
                      .collect()]
-    ranked = sorted(centroids, key=lambda cv: -_py_cos(cv[1], q))
+    ranked = sorted(centroids,
+                    key=lambda cv: (-_py_cos(cv[1], q), cv[0]))
     probes = [cid for cid, _ in ranked[:nprobe]]
     sub = emb.where(F.col(label_col).isin(probes))
     if scale is None:
@@ -1030,7 +1050,11 @@ class SQIndex:
                     scale: float | None = None) -> "SQIndex":
         """Adopt an existing coarse partition (label column) as the
         quantizer — centroids computed once, |cells| rows
-        collected."""
+        collected. NULL-label rows are EXCLUDED (a cell-keyed index
+        cannot reach them — the documented posture every IVF
+        variant shares; save() would otherwise crash materializing
+        int(None) cell ids)."""
+        emb = emb.where(F.col(label_col).isNotNull())
         cents = [(r[label_col], list(r["centroid"])) for r in
                  label_centroids(emb, vec_col, label_col).collect()]
         return cls._build(emb, cents, F.col(label_col),
@@ -1042,10 +1066,15 @@ class SQIndex:
         coarse scan touches only the probed cells, float work is
         k·rerank rows. Same output contract as brute_force_topk —
         and as :func:`ivf_sq_topk` called with this index's pinned
-        scale/centroids (the equality the oracle entry pins)."""
+        scale/centroids (the equality the oracle entry pins).
+        Cosine ties rank the smaller cell id first — the same rule
+        :func:`_rank_cells` applies on the batch side, so probe
+        selection matches between single-query and batch paths and
+        between a fresh and a loaded index (the collect()/load
+        order of the centroid list never decides a probe)."""
         q = [float(x) for x in query_vec]
         ranked = sorted(self.centroids,
-                        key=lambda cv: -_py_cos(cv[1], q))
+                        key=lambda cv: (-_py_cos(cv[1], q), cv[0]))
         probes = [cid for cid, _ in ranked[:nprobe]]
         sub = self.cells.where(F.col("_cell").isin(probes))
         qcodes = quantize_query(q, self.scale)
@@ -1088,7 +1117,11 @@ class SQIndex:
             cent, self.scale, k, nprobe, rerank, qid_col)
 
     def unpersist(self):
-        self.cells.unpersist()
+        # blocking: the non-blocking default frees the cache
+        # asynchronously, so a caller's very next cached-RDD
+        # snapshot (the bench hygiene ledger) samples it one query
+        # late
+        self.cells.unpersist(blocking=True)
 
     def save(self, path: str):
         """Persist: cells (id, vec, int8 codes) as parquet
@@ -1196,6 +1229,7 @@ def ivf_knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
     (qid, vec_id, cos, rank), rank 1..k."""
     from ..localdf import arrow_df
 
+    emb = emb.where(F.col(label_col).isNotNull())
     if centroids is None:
         centroids = [(r[label_col], list(r["centroid"])) for r in
                      label_centroids(emb, vec_col, label_col)
@@ -1235,29 +1269,68 @@ def ivf_knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 def sq_index_append(spark, path: str, new_emb: DataFrame,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> int:
+                    id_col: str = "vec_id",
+                    batch_id: str | int | None = None) -> int:
     """Append a batch of new vectors to a SAVED :class:`SQIndex`
     without rebuilding: codes are quantized with the index's
     PINNED scale (clamped to ±127 like out-of-range queries — new
     data may exceed the old corpus max; the scale is a snapshot
     property by design), each vector is assigned to its nearest
     saved centroid by the SAME cosine rule searches rank cells
-    with (ties to the smaller cell id), and the rows land as new
-    parquet files inside the existing ``cells/cell=<id>``
-    partition dirs (``mode("append")`` + ``partitionBy`` — a torn
-    write leaves only an invisible temp file, so readers never see
-    half a batch). The quantizer stays frozen — the standard
-    serving tradeoff; retrain + rebuild when drift accumulates.
-    Returns the number of rows appended."""
+    with (ties to the smaller cell id), and the batch lands as a
+    batch-stamped delta ``cells_delta/batch=<id>/cell=<c>`` written
+    with OVERWRITE plus a ``_batch-<id>.done`` marker — the exact
+    layout the streaming ingest sink uses, so ``SQIndex.load``
+    folds it and :func:`~..streaming.corpus.compact_sq_index`
+    maintains it.
+
+    Crash safety is exactly-once BY IDEMPOTENCE, not by write
+    atomicity: Spark's job commit renames task files one by one, so
+    a crash mid-commit CAN expose a partial batch to a concurrent
+    reader — but retrying the same append overwrites the whole
+    batch directory (same ``batch_id`` → same target), converging
+    to exactly the full batch, and a fully applied batch is a no-op
+    (the done marker returns the recorded row count). ``batch_id``
+    defaults to a content fingerprint of the batch's ids (order-free
+    bit_xor of per-id sha2 — no collect), so a blind retry of the
+    same data is idempotent without the caller tracking ids.
+
+    The quantizer stays frozen — the standard serving tradeoff;
+    retrain + rebuild when drift accumulates. Returns the number of
+    rows in the batch (0 for an empty delta)."""
+    import os
+
+    if batch_id is not None:
+        marker = os.path.join(path, f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip() or 0)
     # localCheckpoint: the assignment (centroid crossJoin + window)
-    # runs ONCE for count + write, and the cache is released before
-    # returning so long-running callers don't accumulate RDDs
+    # runs ONCE for count + fingerprint + write, and the cache is
+    # released before returning so long-running callers don't
+    # accumulate RDDs
     assigned = _sq_assign(spark, path, new_emb, vec_col, id_col) \
         .localCheckpoint()
     try:
         n = assigned.count()
-        (assigned.write.mode("append").partitionBy("cell")
-         .parquet(f"{path}/cells"))
+        if batch_id is None:
+            fp = (assigned.select(
+                F.conv(F.substring(
+                    F.sha2(F.col(id_col).cast("string"), 256),
+                    1, 15), 16, 10).cast("long").alias("_fp"))
+                .agg(F.expr("bit_xor(_fp)")).first()[0]) or 0
+            batch_id = "a%016x" % (fp & (2 ** 64 - 1))
+        marker = os.path.join(path, f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip() or 0)
+        if n:  # an empty delta writes nothing (a cell-less batch
+            # dir would break schema inference on the delta read)
+            (assigned.write.mode("overwrite").partitionBy("cell")
+             .parquet(os.path.join(path, "cells_delta",
+                                   f"batch={batch_id}")))
+        with open(marker, "w") as fh:
+            fh.write(f"{n}\n")
     finally:
         try:
             assigned.rdd.unpersist()
@@ -1360,6 +1433,7 @@ def ivf_sq_knn_join(emb: DataFrame, queries: DataFrame,
     Output: (qid, vec_id, cos, rank), rank 1..k."""
     from ..localdf import arrow_df
 
+    emb = emb.where(F.col(label_col).isNotNull())
     if centroids is None:
         centroids = [(r[label_col], list(r["centroid"])) for r in
                      label_centroids(emb, vec_col, label_col)

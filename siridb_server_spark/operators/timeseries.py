@@ -1182,7 +1182,10 @@ def wilson_bounds(k, n, z: float = 1.96):
     DuckDB and CPython and can be hashed after rounding. z defaults
     to the 95% normal quantile as the conventional 1.96 LITERAL —
     a library erf would be transcendental. Returns (lo, hi)
-    columns, NULL when n = 0."""
+    columns, NULL when n = 0 — and NULL (not NaN) for invalid
+    inputs outside 0 ≤ k ≤ n: k > n or k < 0 puts a negative value
+    under the sqrt, and a silent NaN would otherwise propagate into
+    the hashed oracle surface."""
     kk = k.cast("double")
     nn = n.cast("double")
     zz = F.lit(float(z))
@@ -1192,6 +1195,7 @@ def wilson_bounds(k, n, z: float = 1.96):
     center = (p + z2 / (F.lit(2.0) * nn)) / denom
     half = (zz * F.sqrt(p * (F.lit(1.0) - p) / nn
                         + z2 / (F.lit(4.0) * (nn * nn)))) / denom
-    lo = F.when(n > 0, center - half)
-    hi = F.when(n > 0, center + half)
+    ok = (n > 0) & (k >= 0) & (k <= n)
+    lo = F.when(ok, center - half)
+    hi = F.when(ok, center + half)
     return lo, hi

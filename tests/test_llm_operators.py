@@ -2381,6 +2381,60 @@ def test_sq_index_append_equals_rebuilt_in_memory(spark, tmp_path):
     assert got == want
 
 
+def test_sq_index_append_idempotent_retry(spark, tmp_path):
+    """Exactly-once by idempotence: re-running the same append (a
+    blind retry of the same delta — same content fingerprint) is a
+    no-op via the done marker; a retry after a TORN write (partial
+    batch dir, no marker) overwrites the whole batch dir and
+    converges to exactly one copy of the batch; an explicit
+    batch_id short-circuits before any Spark work."""
+    import os
+    import shutil
+
+    from siridb_server_spark.sources.testdata import load
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where("vec_id <> 0")
+    base = emb.where("vec_id % 7 <> 1")
+    delta = emb.where("vec_id % 7 = 1")
+    p = str(tmp_path / "sq")
+    idx = SIM.SQIndex.from_labels(base)
+    idx.save(p)
+    idx.unpersist()
+
+    n = SIM.sq_index_append(spark, p, delta)
+    want_n = base.count() + n
+    assert SIM.SQIndex.load(spark, p).cells.count() == want_n
+
+    # blind retry, same content -> marker no-op, same count back,
+    # nothing double-indexed
+    assert SIM.sq_index_append(spark, p, delta) == n
+    assert SIM.SQIndex.load(spark, p).cells.count() == want_n
+
+    # torn write: keep the partial batch dir (drop half its cell
+    # subdirs) and remove the marker -> the retry must overwrite
+    ddir = os.path.join(p, "cells_delta")
+    bdir = [d for d in os.listdir(ddir) if d.startswith("batch=")]
+    assert len(bdir) == 1
+    cells = [c for c in os.listdir(os.path.join(ddir, bdir[0]))
+             if c.startswith("cell=")]
+    for c in cells[: max(1, len(cells) // 2)]:
+        shutil.rmtree(os.path.join(ddir, bdir[0], c))
+    for m in os.listdir(p):
+        if m.startswith("_batch-") and m.endswith(".done"):
+            os.remove(os.path.join(p, m))
+    assert SIM.SQIndex.load(spark, p).cells.count() < want_n
+    assert SIM.sq_index_append(spark, p, delta) == n
+    assert SIM.SQIndex.load(spark, p).cells.count() == want_n
+
+    # explicit batch_id with an existing marker: returns the
+    # recorded count without touching the delta frame
+    marker = os.path.join(p, "_batch-b7.done")
+    with open(marker, "w") as fh:
+        fh.write("123\n")
+    assert SIM.sq_index_append(spark, p, delta,
+                               batch_id="b7") == 123
+
+
 def test_ivf_knn_join_full_probe_equals_exact(spark):
     """With nprobe = |cells| the IVF join probes everything, so it
     must equal the exact knn_join on (qid, vec_id, cos, rank); with
@@ -2406,6 +2460,89 @@ def test_ivf_knn_join_full_probe_equals_exact(spark):
                               k=corpus.count()).collect()}
     for r in one.collect():
         assert r["cos"] == exact_all[(r["qid"], r["vec_id"])]
+
+
+def test_ivf_family_excludes_null_labels(spark, tmp_path):
+    """NULL-label corpus rows are EXCLUDED, not a crash: every IVF
+    entry point that materializes the centroid list (batch joins,
+    from_labels → save) must filter them before int(cell) — and the
+    surviving results equal the same call on the pre-filtered
+    corpus."""
+    from siridb_server_spark.sources.testdata import load
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where("vec_id >= 3").withColumn(
+        "label", F.when(F.col("vec_id") % 5 == 0,
+                        F.lit(None)).otherwise(F.col("label")))
+    clean = corpus.where(F.col("label").isNotNull())
+    queries = emb.where("vec_id < 3") \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+
+    for fn in (SIM.ivf_knn_join, SIM.ivf_sq_knn_join):
+        got = sorted(tuple(r) for r in
+                     fn(corpus, queries, k=5, nprobe=2).collect())
+        want = sorted(tuple(r) for r in
+                      fn(clean, queries, k=5, nprobe=2).collect())
+        assert got == want and got
+
+    q = [float(x) for x in emb.where("vec_id = 0")
+         .first()["embedding"]]
+    idx = SIM.SQIndex.from_labels(corpus)
+    try:
+        idx.save(str(tmp_path / "nullsq"))  # int(cell) path
+        got = [r["vec_id"] for r in idx.search(q, k=5).collect()]
+    finally:
+        idx.unpersist()
+    ref = SIM.SQIndex.from_labels(clean)
+    try:
+        want = [r["vec_id"] for r in ref.search(q, k=5).collect()]
+    finally:
+        ref.unpersist()
+    assert got == want
+    # single-query ivf paths share the exclusion posture
+    assert SIM.ivf_topk(corpus, q, k=5, nprobe=2).collect() \
+        == SIM.ivf_topk(clean, q, k=5, nprobe=2).collect()
+
+
+def test_centroid_tie_break_prefers_smaller_cell_id(spark):
+    """Exact-cosine centroid ties resolve to the SMALLER cell id in
+    the driver-side ranking — the _rank_cells rule — so probe
+    selection cannot depend on the collect()/load order of the
+    centroid list. Two cells share an identical centroid but hold
+    DIFFERENT members; with nprobe=1 the search must probe the
+    smaller cell id regardless of how the centroid list is ordered
+    when the index object is constructed."""
+    from siridb_server_spark.localdf import arrow_df
+    # cells 3 and 7: identical single-member centroid direction
+    # ([1,0] scaled), different member ids; query = [1,0] ties them
+    rows = [(10, [1.0, 0.0], 3), (20, [2.0, 0.0], 7),
+            (30, [0.0, 1.0], 9)]
+    emb = arrow_df(spark, rows,
+                   "vec_id long, embedding array<double>,"
+                   " label long")
+    q = [1.0, 0.0]
+    want = None
+    for order in (False, True):
+        idx = SIM.SQIndex.from_labels(emb)
+        try:
+            cents = sorted(idx.centroids, reverse=order,
+                           key=lambda cv: cv[0])
+            shuffled = SIM.SQIndex(cents, idx.scale, idx.cells,
+                                   idx.vec_col, idx.id_col)
+            got = [r["vec_id"] for r in
+                   shuffled.search(q, k=5, nprobe=1).collect()]
+            # cosine(q, centroid) == 1.0 for BOTH cell 3 and 7:
+            # the smaller cell id (3, member 10) must win
+            assert got == [10], got
+            want = want or got
+            assert got == want
+            # IVFIndex shares the rule
+            ivf = SIM.IVFIndex(cents, idx.cells.select(
+                "vec_id", "embedding", "_cell"))
+            got2 = [r["vec_id"] for r in
+                    ivf.search(q, k=5, nprobe=1).collect()]
+            assert got2 == [10], got2
+        finally:
+            idx.unpersist()
 
 
 def test_ivf_sq_knn_join_recovers_float_and_index_path_agrees(

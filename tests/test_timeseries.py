@@ -284,7 +284,10 @@ def test_wilson_bounds_match_python_reference(spark):
     from siridb_server_spark.operators import timeseries as TSO
 
     rows = [(1, 8, 10), (2, 80, 100), (3, 800, 1000),
-            (4, 0, 50), (5, 50, 50), (6, 3, 0)]
+            (4, 0, 50), (5, 50, 50), (6, 3, 0),
+            # invalid k/n pairs (k > n, k < 0): NULL, never NaN —
+            # a NaN would silently reach the hashed oracle surface
+            (7, 11, 10), (8, -1, 10)]
     df = arrow_df(spark, rows, "id long, k long, n long")
     lo, hi = TSO.wilson_bounds(F.col("k"), F.col("n"))
     got = {r["id"]: (r["lo"], r["hi"]) for r in
@@ -301,7 +304,7 @@ def test_wilson_bounds_match_python_reference(spark):
         return c - h, c + h
 
     for i, k, n in rows:
-        if n == 0:
+        if n == 0 or k < 0 or k > n:
             assert got[i] == (None, None)
             continue
         rl, rh = ref(k, n)
