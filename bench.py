@@ -179,8 +179,11 @@ BENCH_QUERIES = [
     # 2.1 s right after this family) — at the tail they can only
     # pollute each other
     "sim_sq_index",
-    "sim_sq_index_append",
     "sim_sq_index_drift",
+    # append last of the sq trio: its samples leave delta dirs on
+    # the shared fixture path, which would otherwise grow the base
+    # the drift entry scans
+    "sim_sq_index_append",
     "ts_dtw_prefilter",
 ]
 
@@ -229,6 +232,59 @@ def main():
     _ivf = SIM.IVFIndex.from_labels(_emb.where("vec_id <> 0"))
     qs["sim_ivf_index_search"] = (
         lambda s, d: _ivf.search(_qvec, k=10, nprobe=3))
+
+    # heavy AUDIT entries (r10 verdict): their queries() bodies
+    # deliberately run the audit harness — the gated AND the
+    # ungated DTW search to pin their equality; a fresh index
+    # build+save+load per sample — which belongs in the sf0.01
+    # correctness gate, not the headline timing. Here the fixture
+    # (saved index / assembled points) is built ONCE untimed and
+    # the timed entry measures the OPERATOR: the gated search, one
+    # append+probe, one drift report, one probe on a loaded index.
+    import hashlib
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from siridb_server_spark.operators import timeseries as TSO
+    from siridb_server_spark.sources.testdata import events_points
+
+    _pts = events_points(spark, SF_DIR).select(
+        "series", "ts", F.col("val_dbl").alias("val"))
+    _dtw_q = _pts.agg(F.min("series")).first()[0]
+    qs["ts_dtw_prefilter"] = lambda s, d: TSO.dtw_topk(
+        _pts, _dtw_q, k=10, prefilter=True)
+
+    _tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:10]
+    _sq_base = _emb.where("vec_id <> 0 and vec_id % 7 <> 1")
+    _sq_delta = _emb.where("vec_id % 7 = 1")
+    _sq_path = f"{_tf.gettempdir()}/sparksiri-benchsq-{_tag}"
+    _sh.rmtree(_sq_path, ignore_errors=True)
+    _bidx = SIM.SQIndex.from_labels(_sq_base)
+    _bidx.save(_sq_path)
+    _bidx.unpersist()
+    _sq_loaded = SIM.SQIndex.load(spark, _sq_path)
+    qs["sim_sq_index"] = lambda s, d: _sq_loaded.search(
+        _qvec, k=10, nprobe=3, rerank=4)
+    qs["sim_sq_index_drift"] = lambda s, d: SIM.sq_index_drift(
+        s, _sq_path, _sq_delta)
+
+    def _bench_sq_append(s, d):
+        # reset the delta state (local-FS cleanup, microseconds) so
+        # every sample appends the SAME batch against the SAME base,
+        # then serve one probe from the appended index — the
+        # operator pair the entry exists to time
+        _sh.rmtree(os.path.join(_sq_path, "cells_delta"),
+                   ignore_errors=True)
+        for m in os.listdir(_sq_path):
+            if m.startswith("_batch-") and m.endswith(".done"):
+                os.remove(os.path.join(_sq_path, m))
+        SIM.sq_index_append(s, _sq_path, _sq_delta)
+        return SIM.SQIndex.load(s, _sq_path).search(
+            _qvec, k=10, nprobe=3)
+
+    qs["sim_sq_index_append"] = _bench_sq_append
 
     # untimed warmup: JVM/codegen spin-up + file-index priming so the
     # timings measure steady-state query cost, not session startup

@@ -1,0 +1,60 @@
+"""Releasable localCheckpoint for iterative / per-micro-batch use.
+
+``DataFrame.localCheckpoint`` both truncates lineage AND persists the
+checkpoint blocks — but gives the caller no handle to free them:
+
+- ``df.rdd.unpersist()`` is a silent no-op (``df.rdd`` wraps a NEW
+  conversion RDD, not the JVM-side checkpoint RDD), so "release"
+  code built on it leaks one session-lifetime cached RDD per call
+  until the ContextCleaner happens to collect it;
+- the real checkpoint RDD lives only in the SparkContext's
+  persistent-RDD map, and unpersisting it DESTROYS the checkpoint
+  (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on any later action), so it
+  must only happen once the frame is provably finished.
+
+``tracked_local_checkpoint`` captures exactly which persistent-RDD
+ids the checkpoint registered (``persist`` registers in the map
+immediately, before materialization, so the diff is race-free on a
+single-threaded driver); ``release_local_checkpoint`` frees those
+blocks (blocking) when the caller is done with the frame. Callers:
+the distributed connected-components loop (one superseded state
+frame per round) and the streaming ingest sinks (two frames per
+micro-batch — a long-running stream must not grow the block manager
+monotonically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _persistent_ids(sc) -> set[int]:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+
+
+def tracked_local_checkpoint(df: DataFrame,
+                             eager: bool = True):
+    """``df.localCheckpoint(eager)`` plus the set of persistent-RDD
+    ids it registered — pass both to
+    :func:`release_local_checkpoint` when the frame is finished.
+    The returned frame must NOT be used after release."""
+    sc = df.sparkSession.sparkContext
+    pre = _persistent_ids(sc)
+    out = df.localCheckpoint(eager=eager)
+    return out, _persistent_ids(sc) - pre
+
+
+def release_local_checkpoint(df: DataFrame, ids) -> None:
+    """Free the checkpoint blocks ``tracked_local_checkpoint``
+    registered for ``df`` (blocking, so a hygiene snapshot taken
+    right after sees them gone). Safe on an empty id set; swallows
+    a torn-down context."""
+    if not ids:
+        return
+    try:
+        m = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+        for k in list(m.keySet()):
+            if int(k) in ids:
+                m.get(k).unpersist(True)
+    except Exception:
+        pass

@@ -611,27 +611,31 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     # cluster state C(u): one row (u, v) per member v of u's set,
     # seeded with the adjacency plus self-loops
-    C = edges.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+    from ..ckpt import (release_local_checkpoint,
+                        tracked_local_checkpoint)
+
+    C, c_ids = tracked_local_checkpoint(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(edges.select(F.col("a").alias("u"),
-                                  F.col("a").alias("v"))) \
-        .distinct().localCheckpoint(eager=True)
+                                  F.col("a").alias("v")))
+        .distinct())
     for _ in range(max_iter):
         m = C.groupBy("u").agg(F.min("v").alias("m"))
         Cm = C.join(m, "u")
-        new = (Cm.select(F.col("v").alias("u"), F.col("m").alias("v"))
-               .unionByName(Cm.select(F.col("m").alias("u"),
-                                      F.col("v").alias("v")))
-               .distinct().localCheckpoint(eager=True))
+        new, new_ids = tracked_local_checkpoint(
+            Cm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(Cm.select(F.col("m").alias("u"),
+                                   F.col("v").alias("v")))
+            .distinct())
         changed = new.exceptAll(C).limit(1).count()
         # `new` was checkpointed EAGERLY, so it no longer reads the
-        # superseded round's cache — release it (only the final C
-        # stays cached for the returned frame); without this every
-        # CC round leaked one session-lifetime cached RDD
-        try:
-            C.rdd.unpersist()
-        except Exception:
-            pass
-        C = new
+        # superseded round's checkpoint — release it through the
+        # JVM persistent-RDD map (only the final C stays cached for
+        # the returned frame); the old df.rdd.unpersist() here was
+        # a silent no-op and every CC round leaked one
+        # session-lifetime cached RDD (ckpt.py)
+        release_local_checkpoint(C, c_ids)
+        C, c_ids = new, new_ids
         if changed == 0:
             break
     edges.unpersist()

@@ -1305,12 +1305,16 @@ def sq_index_append(spark, path: str, new_emb: DataFrame,
         if os.path.exists(marker):
             with open(marker) as fh:
                 return int(fh.read().strip() or 0)
-    # localCheckpoint: the assignment (centroid crossJoin + window)
-    # runs ONCE for count + fingerprint + write, and the cache is
-    # released before returning so long-running callers don't
-    # accumulate RDDs
+    # persist: the assignment (centroid crossJoin + window) runs
+    # ONCE for count + fingerprint + write, and the cache is
+    # released (blocking) before returning so long-running callers
+    # don't accumulate RDDs. NOT localCheckpoint: a checkpointed
+    # RDD's cache entry isn't reachable through df.rdd.unpersist
+    # (that wraps a NEW conversion RDD), so the release only
+    # happened when the ContextCleaner got to it — one bench query
+    # late
     assigned = _sq_assign(spark, path, new_emb, vec_col, id_col) \
-        .localCheckpoint()
+        .persist()
     try:
         n = assigned.count()
         if batch_id is None:
@@ -1332,10 +1336,9 @@ def sq_index_append(spark, path: str, new_emb: DataFrame,
         with open(marker, "w") as fh:
             fh.write(f"{n}\n")
     finally:
-        try:
-            assigned.rdd.unpersist()
-        except Exception:
-            pass
+        # blocking: the hygiene ledger samples cached RDDs right
+        # after the call returns
+        assigned.unpersist(blocking=True)
     return n
 
 

@@ -1031,7 +1031,7 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
     qrow = per.where(F.col("series") == query_series).first()
     if qrow is None:
         if prefilter:
-            per.unpersist()
+            per.unpersist(blocking=True)
         raise ValueError(f"query series {query_series!r} not found")
     q = [int(x) for x in qrow["vals"]]
 
@@ -1111,7 +1111,9 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
                 .orderBy(F.col("dtw_cost").asc(), "series")
                 .limit(k))
     finally:
-        per.unpersist()
+        # blocking: callers (the bench hygiene ledger) snapshot
+        # cached RDDs immediately after the search returns
+        per.unpersist(blocking=True)
 
 
 def sax_words(df: DataFrame, word_len: int = 8, alphabet: int = 4,

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import release_local_checkpoint, tracked_local_checkpoint
 from ..operators import dedup as D
 
 
@@ -95,10 +96,14 @@ def make_dedup_ingest_sink(
         # is never a duplicate of itself, so self-matches are
         # excluded or redelivery would reject the whole batch.
         hits = None
+        hit_ids = set()
         if os.path.isdir(os.path.join(index_path, "exact")):
             hits = D.dedup_incremental(batch, index_path, **opts) \
                 .where(F.col("match_id") != F.col("doc_id"))
-            hits = hits.localCheckpoint()     # probe once, use twice
+            # probe once, use twice — tracked so the blocks are
+            # actually freed below (ckpt.py)
+            hits, hit_ids = tracked_local_checkpoint(hits,
+                                                     eager=False)
             if rejected_path is not None:
                 # batch-stamped overwrite: redelivery replaces, not
                 # duplicates (partition-style dir so readers of
@@ -116,7 +121,8 @@ def make_dedup_ingest_sink(
         # here and the final marker redelivers the batch, and every
         # write — docs, rejects, index delta — replaces its own
         # previous attempt instead of appending twice.
-        accepted = accepted.localCheckpoint()
+        accepted, acc_ids = tracked_local_checkpoint(accepted,
+                                                     eager=False)
         accepted.write.mode("overwrite").parquet(
             os.path.join(accepted_path, "docs",
                          f"batch={batch_id}"))
@@ -126,15 +132,13 @@ def make_dedup_ingest_sink(
                             text_col=text_col, id_col=id_col,
                             subdir=f"batch={batch_id}")
         open(marker, "w").close()
-        # release this batch's checkpoint caches: both frames are
+        # release this batch's checkpoint blocks: both frames are
         # fully consumed by the writes above, and a long-running
         # stream must not accumulate one cached RDD per micro-batch
-        for frame in (accepted, hits):
-            try:
-                if frame is not None:
-                    frame.rdd.unpersist()
-            except Exception:
-                pass
+        # (the old df.rdd.unpersist() was a silent no-op — ckpt.py)
+        release_local_checkpoint(accepted, acc_ids)
+        if hits is not None:
+            release_local_checkpoint(hits, hit_ids)
 
     return sink
 
@@ -204,13 +208,15 @@ def make_media_ingest_sink(
         # self-matches already excluded inside the probe, so a
         # redelivered batch that extended the index probes cleanly)
         hits = None
+        hit_ids = set()
         if _has_parquet(os.path.join(index_path, "phash_bands")) \
                 or _has_parquet(os.path.join(index_path,
                                              "audio_fp")):
             hits = MM.media_dedup_incremental(
                 batch, index_path, max_hamming=max_hamming,
                 min_matches=min_matches, bands=bands)
-            hits = hits.localCheckpoint()
+            hits, hit_ids = tracked_local_checkpoint(hits,
+                                                     eager=False)
             if rejected_path is not None:
                 hits.write.mode("overwrite").parquet(os.path.join(
                     rejected_path, f"batch={batch_id}"))
@@ -221,7 +227,8 @@ def make_media_ingest_sink(
         # 3. land + index the accepted assets (index delta is a
         # batch-stamped overwrite — idempotent under redelivery,
         # same as the corpus sink)
-        accepted = accepted.localCheckpoint()
+        accepted, acc_ids = tracked_local_checkpoint(accepted,
+                                                     eager=False)
         accepted.write.mode("overwrite").parquet(
             os.path.join(accepted_path, "assets",
                          f"batch={batch_id}"))
@@ -229,12 +236,11 @@ def make_media_ingest_sink(
                                    bands=bands,
                                    subdir=f"batch={batch_id}")
         open(marker, "w").close()
-        for frame in (accepted, hits):
-            try:
-                if frame is not None:
-                    frame.rdd.unpersist()
-            except Exception:
-                pass
+        # see the corpus sink: tracked release, the rdd.unpersist
+        # variant never freed anything
+        release_local_checkpoint(accepted, acc_ids)
+        if hits is not None:
+            release_local_checkpoint(hits, hit_ids)
 
     return sink
 

@@ -650,6 +650,54 @@ def test_dup_clusters_transitive_closure(spark):
     assert out[0] == (0, True) and out[3] == (3, True)
 
 
+def test_connected_components_releases_round_checkpoints(spark):
+    """The distributed CC loop localCheckpoints one state frame per
+    round; superseded rounds must be FREED through the JVM
+    persistent-RDD map (df.rdd.unpersist was a silent no-op — the
+    old 'release' left one session-lifetime cached RDD per round).
+    After consuming the result, at most ONE checkpoint (the final
+    state, which the returned frame reads) may remain."""
+    from siridb_server_spark.operators.dedup import (
+        connected_components)
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # chain 0-1-2-...-9 forces several hash-to-min rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    base = n_persistent()
+    out = connected_components(pairs, driver_edge_cap=0)
+    comps = {r["node"]: r["comp"] for r in out.collect()}
+    assert set(comps.values()) == {0} and len(comps) == 10
+    assert n_persistent() - base <= 1
+
+
+def test_corpus_sink_releases_batch_checkpoints(spark, tmp_path):
+    """A streaming ingest micro-batch checkpoints its hits/accepted
+    frames; the sink must free them before returning (a long
+    stream otherwise grows the block manager monotonically — the
+    rdd.unpersist variant never freed anything)."""
+    import siridb_server_spark.streaming.corpus as SC
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    sink = SC.make_dedup_ingest_sink(
+        str(tmp_path / "idx"), str(tmp_path / "acc"),
+        rejected_path=str(tmp_path / "rej"))
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "unique text two")],
+        "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta"), (4, "brand new text")],
+        "doc_id long, text string")
+    base = n_persistent()
+    sink(b0, 0)
+    sink(b1, 1)  # probes the index -> hits frame exists
+    assert n_persistent() == base
+
+
 def test_semdedup_keeps_least_prototypical(spark):
     """SemDeDup keep-low policy: within a duplicate group the
     survivor is the member with the LOWEST cosine to the cluster
