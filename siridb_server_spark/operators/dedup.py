@@ -1220,7 +1220,8 @@ def cdc_dup_chunks(df: DataFrame, text_col: str = "text",
             .where(F.col("n_copies") > 1))
 
 
-def compact_dedup_index(spark, path: str) -> dict:
+def compact_dedup_index(spark, path: str,
+                        fs: str = "posix") -> dict:
     """Fold a batch-subdir dedup index (the streaming sink's
     ``batch=<id>`` delta layout) into one base partition per family
     — the read-amplification fix for long-running ingest (one
@@ -1230,9 +1231,12 @@ def compact_dedup_index(spark, path: str) -> dict:
     ids are ≥ 0, so a future micro-batch can never overwrite the
     base.
 
-    Crash-safe without a commit protocol: the fold is written to a
-    dot-prefixed temp dir (invisible to readers), renamed into
-    place, and only then are consumed dirs removed. A crash
+    Crash-safe without a commit protocol: by default the fold is
+    written to a dot-prefixed temp dir (invisible to readers),
+    renamed into place, and only then are consumed dirs removed;
+    ``fs="committer"`` publishes through the storage committer
+    instead for object stores with no atomic rename (protocol and
+    crash argument in :func:`compact_batch_dirs`). A crash
     mid-cleanup leaves duplicate signature rows — probes tolerate
     them (duplicate candidate pairs, never data loss) and the next
     compaction distincts them away. Returns
@@ -1241,42 +1245,63 @@ def compact_dedup_index(spark, path: str) -> dict:
     import shutil
 
     return compact_batch_dirs(spark, path,
-                              (("exact", []), ("bands", ["band"])))
+                              (("exact", []), ("bands", ["band"])),
+                              fs=fs)
 
 
-def compact_batch_dirs(spark, path: str, families) -> dict:
+def compact_batch_dirs(spark, path: str, families,
+                       fs: str = "posix") -> dict:
     """Generic batch=<id> delta compaction shared by the dedup,
-    media and sketch stores: per family
+    media, sketch and SQIndex stores: per family
     ``(name, partition_cols[, merge])``, fold all delta dirs into
-    ``batch=-<n>`` via a dot-prefixed temp dir + rename, then
-    remove the consumed dirs. ``merge`` (DataFrame → DataFrame,
-    applied to the family's full read) defaults to
-    drop-batch-column + DISTINCT — the right fold for signature
-    indexes; the sketch store passes its HLL/KMV/quantile merges
-    instead. See :func:`compact_dedup_index` for the crash-safety
-    argument (idempotent merge ⇒ re-folding leftovers is harmless).
+    one new ``batch=-<n>`` base, then remove the consumed dirs.
+    ``merge`` (DataFrame → DataFrame, applied to the family's full
+    read) defaults to drop-batch-column + DISTINCT — the right fold
+    for signature indexes; the sketch store passes its HLL/KMV/
+    quantile merges instead. See :func:`compact_dedup_index` for
+    the crash-safety argument (idempotent merge ⇒ re-folding
+    leftovers is harmless).
 
-    Concurrency contract: run compaction from the single-writer
-    MAINTENANCE job, never beside an active reader — the temp dir
-    is invisible to readers, but removing consumed delta dirs can
-    transiently break a reader that already listed them (a
-    FileNotFound on a vanished dir, not wrong data; re-running the
-    read after compaction is always correct). A delta landing
-    mid-compaction is safe: the dir listing is snapshotted before
-    the fold, so the new delta simply survives to the next pass.
+    ``fs`` picks the publication protocol for the new base:
 
-    Filesystem contract: this loop drives the fold with
-    os.listdir/os.rename/shutil.rmtree, which assumes a LOCAL
-    POSIX filesystem (atomic directory rename). The 100 TB
-    object-store/HDFS deployments the index docstrings describe
-    have no atomic directory rename — there, the equivalent
-    maintenance pass writes the new base through the storage
-    committer (a Spark write to ``batch=-<n>`` directly, relying on
-    the idempotent merge instead of rename-atomicity) and
-    tombstones consumed deltas via the store's own listing API."""
+    - ``"posix"`` (default): write to a dot-prefixed temp dir
+      (invisible to readers), then one atomic directory RENAME into
+      ``batch=-<n>``. Right for local FS / HDFS, where rename is
+      atomic — readers never see a partial base.
+    - ``"committer"``: the object-store shape — no directory rename
+      exists there, so the fold is a Spark write DIRECTLY to the
+      final ``batch=-<n>`` dir through the storage committer, and
+      safety comes from the idempotent merge instead of rename
+      atomicity: a crash mid-write leaves a PARTIAL new base beside
+      the intact deltas, and the next compaction simply folds
+      base-partial + deltas into ``batch=-<n-1>`` (every partial
+      row is a subset the merge de-duplicates; negative ids keep
+      descending so a refold never overwrites a possibly-torn
+      target). Consumed dirs are then tombstoned via the listing
+      seam below. Probes between a crash and the refold see
+      duplicate signature rows — duplicate candidate pairs, never
+      data loss, same as the posix mid-cleanup window.
+
+    Concurrency contract (both modes): run compaction from the
+    single-writer MAINTENANCE job, never beside an active reader —
+    removing consumed delta dirs can transiently break a reader
+    that already listed them (a FileNotFound on a vanished dir, not
+    wrong data; re-running the read after compaction is always
+    correct). A delta landing mid-compaction is safe: the dir
+    listing is snapshotted before the fold, so the new delta simply
+    survives to the next pass.
+
+    Filesystem seam: listing and removal go through os.listdir /
+    shutil.rmtree here — on a real object store those two calls are
+    the store SDK's list/delete (an S3A/GCS connector exposes them
+    through the Hadoop FileSystem API Spark already carries); the
+    ``"committer"`` protocol is written so NOTHING else assumes
+    POSIX semantics — no rename, no temp-dir visibility rules."""
     import os
     import shutil
 
+    if fs not in ("posix", "committer"):
+        raise ValueError(f"unknown fs strategy {fs!r}")
     folded = {}
     for fam, *rest in families:
         part_cols = rest[0] if rest else []
@@ -1293,12 +1318,21 @@ def compact_batch_dirs(spark, path: str, families) -> dict:
                                if d.split("=")[1].lstrip("-")
                                .isdigit()]) - 1
         df = merge(spark.read.parquet(fdir))
-        tmp = os.path.join(fdir, f".tmp-compact{abs(next_base)}")
         w = df.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
-        w.parquet(tmp)
-        os.rename(tmp, os.path.join(fdir, f"batch={next_base}"))
+        if fs == "posix":
+            tmp = os.path.join(fdir,
+                               f".tmp-compact{abs(next_base)}")
+            w.parquet(tmp)
+            os.rename(tmp, os.path.join(fdir,
+                                        f"batch={next_base}"))
+        else:
+            # committer path: publish straight to the final dir —
+            # the storage committer's task/job commit is the only
+            # atomicity used, and the idempotent merge covers a
+            # crash anywhere before the cleanup below
+            w.parquet(os.path.join(fdir, f"batch={next_base}"))
         for d in parts:
             shutil.rmtree(os.path.join(fdir, d), ignore_errors=True)
         folded[fam] = len(parts)

@@ -3186,15 +3186,19 @@ def build_mp3(frames: int, bitrate_idx: int = 9,
     return out + frame * frames
 
 
-def compact_media_dedup_index(spark, path: str) -> dict:
+def compact_media_dedup_index(spark, path: str,
+                              fs: str = "posix") -> dict:
     """Fold the media index's per-batch deltas (streaming layout of
     :func:`build_media_dedup_index`) into one base partition per
     family — same protocol and crash-safety argument as
-    ``dedup.compact_dedup_index`` (distinct fold → dot-temp →
-    rename to a negative batch id → remove consumed dirs; probes
-    tolerate the duplicate rows a mid-cleanup crash leaves, and the
-    next compaction removes them)."""
+    ``dedup.compact_dedup_index`` (distinct fold → publish to a
+    negative batch id → remove consumed dirs; probes tolerate the
+    duplicate rows a mid-cleanup crash leaves, and the next
+    compaction removes them). ``fs`` picks posix-rename vs
+    object-store-committer publication per
+    :func:`~.dedup.compact_batch_dirs`."""
     from .dedup import compact_batch_dirs
 
     return compact_batch_dirs(
-        spark, path, (("phash_bands", ["band"]), ("audio_fp", [])))
+        spark, path, (("phash_bands", ["band"]), ("audio_fp", [])),
+        fs=fs)

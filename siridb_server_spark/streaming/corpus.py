@@ -332,7 +332,8 @@ def read_quantile_sketch(spark, sketch_path: str, key_cols):
         spark.read.parquet(sketch_path + "/quantile"), keys)
 
 
-def compact_sketches(spark, sketch_path: str, key_cols) -> dict:
+def compact_sketches(spark, sketch_path: str, key_cols,
+                     fs: str = "posix") -> dict:
     """Fold the accumulated per-batch sketch deltas into one base
     partition per family — the maintenance pass that keeps
     read-time fold cost flat as micro-batches accumulate (10k
@@ -347,8 +348,9 @@ def compact_sketches(spark, sketch_path: str, key_cols) -> dict:
     consumed delta dirs removed — a crash at any line leaves
     consumed dirs alongside the new base, and re-folding those
     duplicates cannot change any sketch. The shared fold loop
-    (list → merge → dot-temp → rename → cleanup, with its
-    concurrency and local-POSIX-filesystem contracts) lives in
+    (list → merge → publish → cleanup, with its concurrency and
+    filesystem contracts, including the ``fs="committer"``
+    object-store protocol) lives in
     :func:`~..operators.dedup.compact_batch_dirs`; this wrapper
     only supplies the per-family sketch merges. Returns
     {family: n_dirs_folded}."""
@@ -360,7 +362,7 @@ def compact_sketches(spark, sketch_path: str, key_cols) -> dict:
         ("hll", [], lambda df: SK.hll_merge(df, keys)),
         ("kmv", [], lambda df: SK.kmv_merge(df, keys)),
         ("quantile", [], lambda df: SK.quantile_merge(df, keys)),
-    ))
+    ), fs=fs)
 
 
 def make_sq_index_ingest_sink(index_path: str,
@@ -418,20 +420,22 @@ def stream_sq_index_ingest(stream_df, index_path: str,
     return writer.start()
 
 
-def compact_sq_index(spark, index_path: str) -> dict:
+def compact_sq_index(spark, index_path: str,
+                     fs: str = "posix") -> dict:
     """Fold the accumulated ``cells_delta/batch=<id>`` dirs into one
     negative-id delta base — same crash-safety argument as every
     compactor here: the fold is drop-batch + DISTINCT on full rows
-    (a re-folded leftover dir cannot add anything), dot-temp +
-    rename, cleanup last. The base ``cells`` dir is never touched —
+    (a re-folded leftover dir cannot add anything), publish,
+    cleanup last. The base ``cells`` dir is never touched —
     appending into it would NOT be idempotent (duplicate vector
     rows would double-index on a crash-refold). Single-writer
-    maintenance contract and local-FS assumption per
+    maintenance contract and the ``fs`` publication protocols
+    (posix rename vs object-store committer) per
     :func:`~..operators.dedup.compact_batch_dirs`."""
     from ..operators.dedup import compact_batch_dirs
 
     return compact_batch_dirs(spark, index_path,
-                              (("cells_delta", ["cell"]),))
+                              (("cells_delta", ["cell"]),), fs=fs)
 
 
 def make_ann_query_sink(index_path: str, out_path: str,

@@ -2791,6 +2791,81 @@ def test_compact_dedup_index_preserves_probes(spark, tmp_path):
     assert healed == before
 
 
+def test_compact_committer_path_crash_refold(spark, tmp_path):
+    """The object-store compaction protocol (fs='committer'): the
+    fold publishes the new base DIRECTLY to batch=-<n> through the
+    Spark committer — no directory rename anywhere — and the
+    crash-refold guarantees still hold: (a) probe results are
+    identical to the posix fold, (b) a crash that leaves a PARTIAL
+    new base beside intact deltas self-heals on the next fold
+    (idempotent merge, descending negative ids), (c) a stale
+    consumed delta re-folds harmlessly."""
+    import os
+    import shutil
+
+    from siridb_server_spark.localdf import arrow_df
+
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different content about spark engines")],
+        [(3, "the quick brown fox jumps over the lazy dog today"),
+         (4, "another unrelated document body entirely here")],
+    ]
+
+    def build(idx):
+        for bid, rows in enumerate(batches):
+            D.build_dedup_index(
+                arrow_df(spark, rows, "doc_id long, text string"),
+                idx, subdir=f"batch={bid}")
+
+    probe = arrow_df(
+        spark, [(9, "the quick brown fox jumps over the lazy dog"
+                 " today")], "doc_id long, text string")
+
+    posix, committer = str(tmp_path / "p"), str(tmp_path / "c")
+    build(posix)
+    build(committer)
+    before = sorted(map(tuple, D.dedup_incremental(probe, committer)
+                        .collect()))
+    D.compact_dedup_index(spark, posix)
+    folded = D.compact_dedup_index(spark, committer, fs="committer")
+    assert folded == {"exact": 2, "bands": 2}
+    assert os.listdir(os.path.join(committer, "exact")) \
+        == ["batch=-1"]
+    # (a) identical probes through either protocol
+    want = sorted(map(tuple, D.dedup_incremental(probe, posix)
+                      .collect()))
+    got = sorted(map(tuple, D.dedup_incremental(probe, committer)
+                     .collect()))
+    assert got == want == before and before
+
+    # (b) torn committer write: a PARTIAL batch=-2 appears beside
+    # re-created deltas (the next fold target is -2 only until the
+    # partial claims it; the refold must go to -3 and dedupe the
+    # partial's rows)
+    build(committer)  # fresh deltas batch=0/1 beside batch=-1
+    partial = os.path.join(committer, "exact", "batch=-2")
+    os.makedirs(partial)
+    src = os.path.join(committer, "exact", "batch=-1")
+    pq = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    shutil.copy(os.path.join(src, pq[0]),
+                os.path.join(partial, pq[0]))
+    D.compact_dedup_index(spark, committer, fs="committer")
+    dirs = os.listdir(os.path.join(committer, "exact"))
+    assert dirs == ["batch=-3"], dirs
+    healed = sorted(map(tuple, D.dedup_incremental(probe, committer)
+                        .collect()))
+    assert healed == before
+
+    # (c) stale consumed delta beside the base re-folds harmlessly
+    shutil.copytree(os.path.join(committer, "exact", "batch=-3"),
+                    os.path.join(committer, "exact", "batch=5"))
+    D.compact_dedup_index(spark, committer, fs="committer")
+    final = sorted(map(tuple, D.dedup_incremental(probe, committer)
+                       .collect()))
+    assert final == before
+
+
 def test_compact_media_dedup_index_preserves_probes(spark, tmp_path):
     """Media-index compaction: probe results identical before and
     after folding the batch deltas into the negative-id base."""
