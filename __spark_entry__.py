@@ -694,6 +694,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_dtw_prefilter"] = ts_dtw_prefilter
 
+    def ts_dtw_knn_join(spark, sf_dir):
+        """Batch exact-DTW join (operators/timeseries.py
+        dtw_knn_join): every query series' top-k corpus neighbors
+        in one job — per-query SAX pools, one collected τ row per
+        query, endpoint-LB pruning in pure Catalyst, ONE
+        mapInPandas DP pass over pool ∪ survivors; both sides stay
+        distributed. AUDIT contract: the join's answer for each of
+        3 query series equals the per-query dtw_topk(prefilter)
+        loop exactly (series, n_points, integer costs, in rank
+        order) — the same equality-by-construction the batch ANN
+        joins pin against their single-query paths."""
+        pts = events_points(spark, sf_dir).select(
+            "series", "ts",
+            F.col("val_dbl").alias("val")).persist()
+        try:
+            qnames = [r["series"] for r in
+                      pts.select("series").distinct()
+                      .orderBy("series").limit(3).collect()]
+            queries = pts.where(F.col("series").isin(qnames))
+            got = {}
+            for r in TSO.dtw_knn_join(pts, queries, k=5) \
+                    .collect():
+                got.setdefault(r["qseries"], []).append(
+                    (r["rank"], r["series"], r["n_points"],
+                     r["dtw_cost"]))
+            equal = 1
+            self_first = 1
+            for qn in qnames:
+                want = [(i + 1, r["series"], r["n_points"],
+                         r["dtw_cost"]) for i, r in enumerate(
+                    TSO.dtw_topk(pts, qn, k=5, prefilter=True)
+                    .collect())]
+                g = sorted(got.get(qn, []))
+                if g != want:
+                    equal = 0
+                if not (g and g[0][1] == qn and g[0][3] == 0):
+                    self_first = 0
+        finally:
+            pts.unpersist()
+        props = [
+            ("n_queries_served", len(got)),
+            ("equal_to_per_query_loop", equal),
+            ("each_query_ranks_self_first_at_zero", self_first),
+        ]
+        return arrow_df(spark, props, "prop string, n long")
+
+    q["ts_dtw_knn_join"] = ts_dtw_knn_join
+
     def corpus_assign_ids(spark, sf_dir):
         """Deterministic content ids for a raw corpus
         (operators/curation.py assign_content_ids): 60-bit md5 of
@@ -4479,6 +4527,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'k_returned' AS prop, CAST(10 AS BIGINT) AS n"
         " UNION ALL SELECT 'equal_to_unfiltered', 1"
         " UNION ALL SELECT 'top1_is_query_at_zero', 1")
+    # batch DTW join: contract is per-query equality with the
+    # (itself exactness-proven) dtw_topk prefilter loop
+    o["ts_dtw_knn_join"] = (
+        "SELECT 'n_queries_served' AS prop, CAST(3 AS BIGINT) AS n"
+        " UNION ALL SELECT 'equal_to_per_query_loop', 1"
+        " UNION ALL SELECT"
+        " 'each_query_ranks_self_first_at_zero', 1")
     # skew report: exact counts + integer ppm shares, ties to key
     o["corpus_skew_report"] = (
         "WITH c AS (SELECT event_type || '|' ||"

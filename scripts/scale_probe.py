@@ -142,6 +142,23 @@ def _knn_probe(spark, d):
     return _S.knn_join(emb, qs, k=10)
 
 
+def _dtw_join_probe(spark, d):
+    # fixed 3-query side × K× corpus through the batch DTW join —
+    # mirrors the sim_ivf_knn_join probe design: the DP-candidate
+    # volume (pool + LB survivors) must stay linear in K; a lost
+    # bound would run the full q×corpus DP grid
+    from siridb_server_spark.operators import timeseries as _T
+    from siridb_server_spark.sources.testdata import (
+        events_points as _ep)
+
+    pts = _ep(spark, d).select("series", "ts",
+                               F.col("val_dbl").alias("val"))
+    qn = [r["series"] for r in pts.select("series").distinct()
+          .orderBy("series").limit(3).collect()]
+    return _T.dtw_knn_join(
+        pts, pts.where(F.col("series").isin(qn)), k=10)
+
+
 def _cc_probe(spark, d):
     # connected components over the CAPPED minhash candidate graph —
     # edge count grows ~linearly with the corpus under the hot-bucket
@@ -170,6 +187,7 @@ PROBE_EXTRA = {
                              threshold=0.5, max_bucket=200),
     "probe_connected_components": _cc_probe,
     "probe_knn_join": _knn_probe,
+    "probe_dtw_knn_join": _dtw_join_probe,
 }
 
 BASE = "/root/testdata/sf0.1"

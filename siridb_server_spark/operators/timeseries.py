@@ -1116,6 +1116,200 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
         per.unpersist(blocking=True)
 
 
+def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 band: int = 8, max_len: int = 128,
+                 scale: int = 1000, word_len: int = 8,
+                 alphabet: int = 4, pool: int = 32) -> DataFrame:
+    """Batch EXACT banded-DTW join: for EVERY series in ``queries``
+    (a points frame — series, ts, val), the top-k most-similar
+    series in ``corpus`` (same shape) — the corpus-vs-corpus
+    series-similarity shape (series contamination between two
+    snapshots, near-dup telemetry channels, shape-cluster seeding)
+    that :func:`dtw_topk` can't serve once the query side is a
+    corpus too: that path runs one driver-side search per query;
+    here BOTH sides stay distributed and the answer per query is
+    IDENTICAL to ``dtw_topk(prefilter=True)``'s (the per-query-loop
+    equality the oracle entry pins).
+
+    Spark shape, the two-phase exact search batched:
+
+    1. one groupBy per side assembles the int64 vectors
+       (:func:`_series_vectors` — the SAME assembly the per-query
+       path uses) and their SAX words (:func:`_sax_from_vectors`);
+    2. per-query candidate POOL = the ``max(k, pool)`` corpus
+       series with the highest SAX-word agreement, via the word
+       frames' crossJoin (|q|·|corpus| rows of two ≤word_len
+       strings — the query words broadcast; this tiny-row quadratic
+       is inherent to corpus-vs-corpus series search, same as the
+       LB scan below, and carries no arrays) + a per-query window;
+       the lexicographically first k corpus series are unioned into
+       every pool so τ always exists (pool quality affects only
+       speed, never the answer);
+    3. the exact DP scores pool pairs (one ``mapInPandas`` over
+       (query, candidate) rows, the anti-diagonal kernel
+       :func:`_dtw_batch` vectorized per query-group within each
+       Arrow batch) and each query's k-th pool cost becomes its
+       pruning threshold τ — collected as ONE (qseries, τ) row per
+       query (16 bytes each; this is the only driver barrier, and
+       it carries thresholds, never vectors — the reason the
+       returned plan doesn't have to recompute the pool DP inside
+       every downstream subtree);
+    4. every non-pool (query, candidate) pair is pruned by the
+       PROVABLE endpoint lower bound (cost ≥ |s₀−q₀| + |s_l−q_l|,
+       the two cells coinciding only for two single-point series —
+       same theorem as the per-query path) evaluated in pure
+       Catalyst over endpoint scalars only (never the arrays);
+       lb > τ ⟹ the pair cannot displace any pool candidate
+       (strict pruning, ties impossible);
+    5. pool ∪ survivors run the exact DP in ONE pass and a
+       per-query window takes the final top-k (cost asc, series
+       asc).
+
+    At corpus scale the expensive part — the O(len·band) DP — runs
+    on |pool|·|q| + |survivors| pairs (the pool twice: once for τ,
+    once in the returned plan); the full |q|·|corpus| grid is
+    touched only by the two scalar scans (word agreement, 4-long
+    endpoint LB). The assembled-vector frames are persisted only
+    for the τ action and released (blocking) before returning, so
+    no cached state outlives the call. The K=8 probe bound asserts
+    the DP-candidate volume stays linear.
+
+    Output: (qseries, series, n_points, dtw_cost, rank 1..k) —
+    exact integer costs in scaled units; a query series also
+    present in the corpus ranks itself first at cost 0."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    import numpy as np
+
+    per_c = _series_vectors(corpus, max_len, scale)
+    per_q = (_series_vectors(queries, max_len, scale)
+             .select(F.col("series").alias("qseries"),
+                     F.col("vals").alias("qvals")))
+    w_c = _sax_from_vectors(per_c, word_len, alphabet) \
+        .select("series", "word")
+    w_q = (_sax_from_vectors(
+        per_q.select(F.col("qseries").alias("series"),
+                     F.col("qvals").alias("vals")),
+        word_len, alphabet)
+        .select(F.col("series").alias("qseries"),
+                F.col("word").alias("qword")))
+
+    # 2. per-query pool by word agreement (over the shorter word —
+    # a short series is judged only on buckets it has), unioned
+    # with the first-k-by-name floor so every query has ≥ min(k,
+    # |corpus|) pool members
+    agree_n = F.expr(
+        "size(filter(sequence(1, int(least(length(word),"
+        " length(qword)))), p -> substring(word, p, 1) ="
+        " substring(qword, p, 1)))")
+    wp = Window.partitionBy("qseries").orderBy(
+        F.desc("_na"), F.asc("series"))
+    pool_pairs = (w_c.crossJoin(F.broadcast(w_q))
+                  .withColumn("_na", agree_n)
+                  .withColumn("_pr", F.row_number().over(wp))
+                  .where(F.col("_pr") <= max(int(k), int(pool)))
+                  .select("qseries", "series"))
+    floor_names = (w_c.select("series")
+                   .orderBy("series").limit(int(k)))
+    pool_pairs = (pool_pairs.unionByName(
+        w_q.select("qseries").crossJoin(F.broadcast(floor_names)))
+        .distinct())
+
+    schema = T.StructType([
+        T.StructField("qseries", T.StringType()),
+        T.StructField("series", T.StringType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("dtw_cost", T.LongType()),
+    ])
+
+    def run_pairs(batches):
+        for pdf in batches:
+            outs = []
+            for _, grp in pdf.groupby("qseries", sort=True):
+                qa = np.asarray(grp["qvals"].iloc[0],
+                                dtype=np.int64)
+                sers = [np.asarray(v, dtype=np.int64)
+                        for v in grp["svals"]]
+                outs.append(pd.DataFrame({
+                    "qseries": grp["qseries"].to_numpy(),
+                    "series": grp["series"].to_numpy(),
+                    "n_points": [len(s) for s in sers],
+                    "dtw_cost": _dtw_batch(sers, qa, band)}))
+            yield (pd.concat(outs) if outs else pd.DataFrame(
+                {f.name: [] for f in schema.fields}))
+
+    def score(pairs: DataFrame) -> DataFrame:
+        return (pairs
+                .join(per_c.select("series",
+                                   F.col("vals").alias("svals")),
+                      "series")
+                .join(per_q, "qseries")
+                .select("qseries", "series", "svals", "qvals")
+                .mapInPandas(run_pairs, schema=schema))
+
+    wt = Window.partitionBy("qseries").orderBy(
+        F.asc("dtw_cost"), F.asc("series"))
+
+    # 3. pool DP → τ per query, collected (|q| rows of 16 bytes —
+    # thresholds only). The persists make the τ action's four
+    # references to the assembled vectors one groupBy each, and are
+    # released before returning.
+    from ..localdf import arrow_df
+
+    per_c = per_c.persist()
+    per_q = per_q.persist()
+    try:
+        tau_rows = [
+            (r["qseries"], int(r["dtw_cost"])) for r in
+            (score(pool_pairs)
+             .withColumn("_rn", F.row_number().over(wt))
+             .where(F.col("_rn") <= int(k))
+             .groupBy("qseries")
+             .agg(F.max("dtw_cost").alias("dtw_cost"))
+             .collect())]
+        tau = arrow_df(corpus.sparkSession, tau_rows,
+                       "qseries string, _tau long")
+
+        # 4. endpoint LB prune over the non-pool grid (scalars
+        # only, never the arrays)
+        ends_c = per_c.select(
+            "series",
+            F.expr("element_at(vals, 1)").alias("_s0"),
+            F.expr("element_at(vals, size(vals))").alias("_sl"),
+            F.size("vals").alias("_sn"))
+        ends_q = per_q.select(
+            "qseries",
+            F.expr("element_at(qvals, 1)").alias("_q0"),
+            F.expr("element_at(qvals, size(qvals))").alias("_ql"),
+            F.size("qvals").alias("_qn"))
+        lb = (F.abs(F.col("_s0") - F.col("_q0"))
+              + F.when((F.col("_sn") > 1) | (F.col("_qn") > 1),
+                       F.abs(F.col("_sl") - F.col("_ql")))
+              .otherwise(F.lit(0)))
+        survivors = (ends_c
+                     .crossJoin(F.broadcast(
+                         ends_q.join(F.broadcast(tau), "qseries")))
+                     .where(lb <= F.col("_tau"))
+                     .select("qseries", "series"))
+
+        # 5. ONE exact-DP pass over pool ∪ survivors, then the
+        # final per-query top-k. The returned plan re-derives the
+        # vector assembly lazily (no persisted state survives the
+        # call); building it inside the try keeps the analysis
+        # errors, if any, before the unpersist.
+        candidates = pool_pairs.unionByName(survivors).distinct()
+        out = (score(candidates)
+               .withColumn("rank", F.row_number().over(wt))
+               .where(F.col("rank") <= int(k))
+               .select("qseries", "series", "n_points",
+                       "dtw_cost", "rank"))
+    finally:
+        per_c.unpersist(blocking=True)
+        per_q.unpersist(blocking=True)
+    return out
+
+
 def sax_words(df: DataFrame, word_len: int = 8, alphabet: int = 4,
               max_len: int = 128, scale: int = 1000) -> DataFrame:
     """SAX-style symbolic words per series — the indexable

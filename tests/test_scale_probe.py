@@ -141,6 +141,10 @@ BOUNDS = {
     # same join with the int8 coarse cut in the middle: candidate
     # volume identical, per-candidate work smaller
     "sim_ivf_sq_knn_join": K * 2,
+    # r11: batch DTW join — fixed 3-query side × K× corpus; word
+    # agreement + endpoint LB are scalar scans, the DP runs on
+    # pool ∪ LB-survivors only (a lost bound = full q×corpus DP)
+    "probe_dtw_knn_join": K * 2,
     # drift report: one broadcast join + |cells|-key groupBys over
     # base+delta — pure linear scans
     "sim_sq_index_drift": K * 2,

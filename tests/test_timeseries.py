@@ -243,6 +243,58 @@ def test_dtw_topk_prefilter_randomized_equality(spark):
         assert base == gated, trial
 
 
+def test_dtw_knn_join_randomized_equality_with_loop(spark):
+    """The batch join equals the per-query dtw_topk loop on
+    randomized corpora — queries both inside and OUTSIDE the
+    corpus, single-point series included, small pool to force the
+    LB-pruning path to do real work. Exactness is the lower bound's
+    theorem, not fixture luck."""
+    import random
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rng = random.Random(41)
+    for trial in range(2):
+        rows = []
+        for s in range(20):
+            n = 1 if s == 7 else rng.randint(1, 50)
+            lvl = rng.uniform(-40, 40)
+            for i in range(n):
+                rows.append((f"s{s:02d}", i,
+                             lvl + rng.uniform(-4, 4)))
+        corpus = arrow_df(spark, rows,
+                          "series string, ts long, val double")
+        # queries: two corpus members (one the single-point series)
+        # plus one foreign series not in the corpus at all
+        qrows = [(s, t, v) for s, t, v in rows
+                 if s in ("s03", "s07")]
+        qrows += [("zq", i, 1000.0 + i) for i in range(10)]
+        queries = arrow_df(spark, qrows,
+                           "series string, ts long, val double")
+        got = {}
+        for r in TSO.dtw_knn_join(corpus, queries, k=6,
+                                  pool=4).collect():
+            got.setdefault(r["qseries"], []).append(
+                (r["rank"], r["series"], r["n_points"],
+                 r["dtw_cost"]))
+        assert set(got) == {"s03", "s07", "zq"}, trial
+        # per-query reference: dtw_topk over corpus ∪ that query
+        # alone (the query must exist in the searched frame), its
+        # own row dropped for the foreign query
+        for qn in ("s03", "s07", "zq"):
+            searched = corpus if qn != "zq" else corpus.unionByName(
+                arrow_df(spark, [r for r in qrows if r[0] == "zq"],
+                         "series string, ts long, val double"))
+            ref = [r for r in TSO.dtw_topk(searched, qn, k=7)
+                   .collect()]
+            if qn == "zq":
+                ref = [r for r in ref if r["series"] != "zq"]
+            want = [(i + 1, r["series"], r["n_points"],
+                     r["dtw_cost"]) for i, r in enumerate(ref[:6])]
+            assert sorted(got[qn]) == want, (trial, qn)
+
+
 def test_sax_words_structure_and_similarity(spark):
     import math
 
