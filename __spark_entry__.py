@@ -758,44 +758,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_assign_ids"] = corpus_assign_ids
 
     def curation_nb_lang_gate(spark, sf_dir):
-        """Classifier-driven curation gate: keep documents whose
-        quantized-NB language prediction agrees with their declared
-        lang (disagreement = mislabeled or mixed-language doc — the
-        standard drop before monolingual training). Pure
-        composition: nb_train + nb_predict_int over the lang labels
-        (operators/classify.py), every keep/drop bit integer-exact
-        and replayed by the oracle end to end."""
-        docs = load(spark, sf_dir, "documents")
-        m = CL.nb_train(docs, label_col="lang")
-        pred = CL.nb_predict_int(m, docs)
-        truth = docs.select("doc_id", F.col("lang").alias("label"))
-        return (truth.join(pred, "doc_id")
-                .select("doc_id", "label", "pred",
-                        (F.col("label") == F.col("pred"))
-                        .alias("keep")))
+        """THE classifier-driven curation language gate
+        (pipelines.nb_lang_gate): keep documents whose quantized-NB
+        language prediction agrees with their declared lang. Runs
+        on the DEFAULT featurizer — character 3-grams, the
+        measured-better langid features (r11 default flip: word-NB
+        collapses to the label prior on short/out-of-vocabulary
+        docs where char-NB still separates languages —
+        tests/test_classify.py; delta recorded in COVERAGE.md).
+        Every keep/drop bit integer-exact and replayed by the
+        oracle end to end (grams → counts → fixlog2 scores →
+        argmax → keep)."""
+        return PIPE.nb_lang_gate(load(spark, sf_dir, "documents"))
 
     q["curation_nb_lang_gate"] = curation_nb_lang_gate
 
-    def curation_nb_lang_gate_ngram(spark, sf_dir):
-        """The language gate on character-3-gram features
-        (operators/classify.py _tokens features="chars") — the
-        featurizer real langid needs where whitespace words fail:
-        short documents and test-time vocabulary unseen in training
-        (word-NB collapses to the prior there; char patterns still
-        separate languages — measured in tests/test_classify.py).
-        Same integer contract: the oracle replays grams, counts,
-        fixlog2 scores and keep bits end to end."""
-        docs = load(spark, sf_dir, "documents")
-        m = CL.nb_train(docs, label_col="lang",
-                        features="chars", ngram_n=3)
-        pred = CL.nb_predict_int(m, docs)
-        truth = docs.select("doc_id", F.col("lang").alias("label"))
-        return (truth.join(pred, "doc_id")
-                .select("doc_id", "label", "pred",
-                        (F.col("label") == F.col("pred"))
-                        .alias("keep")))
+    def curation_nb_lang_gate_word(spark, sf_dir):
+        """The word-feature OPTION of the language gate
+        (pipelines.nb_lang_gate features="words") — right where
+        documents are long and in-vocabulary; kept as the named
+        non-default since the r11 char flip. Same integer
+        contract, word-token oracle replay."""
+        return PIPE.nb_lang_gate(load(spark, sf_dir, "documents"),
+                                 features="words")
 
-    q["curation_nb_lang_gate_ngram"] = curation_nb_lang_gate_ngram
+    q["curation_nb_lang_gate_word"] = curation_nb_lang_gate_word
 
     def text_nb_confusion_ngram(spark, sf_dir):
         """The char-3-gram model's full confusion matrix — the
@@ -3645,6 +3632,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_pq_ann"] = sim_pq_ann
 
+    def sim_pq_index_append(spark, sf_dir):
+        """PQ index lifecycle — append (operators/similarity.py
+        pq_index_append): a delta encoded with the saved index's
+        FROZEN codebooks lands as an idempotent batch-stamped
+        codes_delta (SQIndex's layout). Property contract: every
+        delta row indexed, a blind retry is a no-op, and a search
+        on the loaded appended index equals the in-memory union
+        encoded with the same frozen books (k-means isn't
+        SQL-replayable, so this family pins properties like
+        sim_pq_ann)."""
+        import hashlib
+        import shutil
+        import tempfile
+
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        base = emb.where(F.col("vec_id") % 7 != 1)
+        delta = emb.where(F.col("vec_id") % 7 == 1)
+        vec = _query_vec(spark, sf_dir)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/sparksiri-pqapp-{tag}"
+        shutil.rmtree(path, ignore_errors=True)
+        idx = SIM.PQIndex.train(base, m=4, k=8, iters=2)
+        try:
+            idx.save(path)
+            books, dsub = idx.codebooks, idx.dsub
+        finally:
+            idx.unpersist()
+        n = SIM.pq_index_append(spark, path, delta)
+        n2 = SIM.pq_index_append(spark, path, delta)  # no-op
+        loaded = SIM.PQIndex.load(spark, path)
+        got = [(r["vec_id"], r["adc"]) for r in
+               loaded.search(vec, k=10).collect()]
+        ref = SIM.PQIndex(
+            books,
+            emb.select("vec_id",
+                       SIM._pq_encode(books, dsub, "embedding")
+                       .alias("code")),
+            dsub)
+        want = [(r["vec_id"], r["adc"]) for r in
+                ref.search(vec, k=10).collect()]
+        props = [
+            ("delta_rows_indexed",
+             int(n == delta.count()
+                 and loaded.codes.count() == base.count() + n)),
+            ("retry_is_noop", int(n2 == n)),
+            ("equal_to_in_memory_union", int(got == want)),
+            ("k_returned", len(got)),
+        ]
+        return arrow_df(spark, props, "prop string, n long")
+
+    q["sim_pq_index_append"] = sim_pq_index_append
+
+    def sim_pq_index_drift(spark, sf_dir):
+        """PQ drift report (operators/similarity.py
+        pq_index_drift): per (subspace, code) — stored-code usage
+        vs what the frozen quantizer would assign the delta, exact
+        integer ppm shares, and the delta's mean quantization error
+        (order-free DECIMAL sums). Property contract (codebooks
+        come from k-means — not SQL-replayable): full m×k grid,
+        exact count totals both sides, per-sub ppm bounded, qerr
+        present exactly where deltas landed."""
+        import hashlib
+        import shutil
+        import tempfile
+
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        base = emb.where(F.col("vec_id") % 7 != 1)
+        delta = emb.where(F.col("vec_id") % 7 == 1)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/sparksiri-pqdrift-{tag}"
+        shutil.rmtree(path, ignore_errors=True)
+        idx = SIM.PQIndex.train(base, m=4, k=8, iters=2)
+        try:
+            idx.save(path)
+        finally:
+            idx.unpersist()
+        rep = SIM.pq_index_drift(spark, path, delta).collect()
+        nb = sum(r["n_base"] for r in rep)
+        nn = sum(r["n_new"] for r in rep)
+        ppm_ok = all(
+            0 < sum(r["new_share_ppm"] for r in rep
+                    if r["sub"] == s) <= 1_000_000
+            for s in range(4))
+        qerr_ok = all(
+            (r["mean_qerr_new"] is not None
+             and r["mean_qerr_new"] >= 0)
+            == (r["n_new"] > 0) for r in rep)
+        props = [
+            ("grid_rows", len(rep)),
+            ("base_counts_exact", int(nb == base.count() * 4)),
+            ("new_counts_exact", int(nn == delta.count() * 4)),
+            ("ppm_per_sub_bounded", int(ppm_ok)),
+            ("qerr_iff_delta_landed", int(qerr_ok)),
+        ]
+        return arrow_df(spark, props, "prop string, n long")
+
+    q["sim_pq_index_drift"] = sim_pq_index_drift
+
     def sim_sq_codes(spark, sf_dir):
         """int8 scalar quantization of the embedding corpus
         (operators/similarity.py scalar_quantize): symmetric codes
@@ -6215,6 +6302,20 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 'code_out_of_range', 0"
         " UNION ALL SELECT 'recall_at_10_ge_5', 1"
     )
+    # PQ lifecycle (r11): property contracts — the codebooks come
+    # from k-means, which has no SQL replay (same posture as
+    # sim_pq_ann)
+    o["sim_pq_index_append"] = (
+        "SELECT 'delta_rows_indexed' AS prop, CAST(1 AS BIGINT)"
+        " AS n UNION ALL SELECT 'retry_is_noop', 1"
+        " UNION ALL SELECT 'equal_to_in_memory_union', 1"
+        " UNION ALL SELECT 'k_returned', 10")
+    o["sim_pq_index_drift"] = (
+        "SELECT 'grid_rows' AS prop, CAST(32 AS BIGINT) AS n"
+        " UNION ALL SELECT 'base_counts_exact', 1"
+        " UNION ALL SELECT 'new_counts_exact', 1"
+        " UNION ALL SELECT 'ppm_per_sub_bounded', 1"
+        " UNION ALL SELECT 'qerr_iff_delta_landed', 1")
     # Naive Bayes: the model is the (label, term, cnt) table over the
     # proven whitespace tokenizer; the confusion matrix replays the
     # ENTIRE quantized-log path in integer SQL — fixlog2(x) =
@@ -6275,8 +6376,10 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) AS BIGINT) AS n"
         " FROM documents d JOIN pred p USING (doc_id)"
         " GROUP BY 1, 2")
-    # NB language gate: same CTE chain, per-document keep bits
-    o["curation_nb_lang_gate"] = (
+    # NB language gate, word-feature OPTION (r11: the unsuffixed
+    # name is the char default below): same CTE chain as the
+    # confusion matrix, per-document keep bits
+    o["curation_nb_lang_gate_word"] = (
         o["text_nb_confusion"].replace(
             " SELECT d.lang AS label, p.pred,"
             " CAST(count(*) AS BIGINT) AS n"
@@ -6285,18 +6388,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, d.lang AS label, p.pred,"
             " d.lang = p.pred AS keep"
             " FROM documents d JOIN pred p USING (doc_id)"))
-    # char-3-gram language gate: the SAME CTE chain with the token
-    # stream swapped for overlapping character trigrams of
-    # lower(trim(text)) (short tail grams dropped by the length
-    # filter — the exact _tokens(features="chars") definition)
+    # char-3-gram language gate — THE default: the SAME CTE chain
+    # with the token stream swapped for overlapping character
+    # trigrams of lower(trim(text)) (short tail grams dropped by
+    # the length filter — the exact _tokens(features="chars")
+    # definition)
     _nb_toks3 = (
         "SELECT doc_id, lang, unnest(list_filter(list_transform("
         "range(1, greatest(length(trim(lower(text))), 1) + 1),"
         " p -> substr(trim(lower(text)), CAST(p AS INT), 3)),"
         " g -> length(g) = 3)) AS term FROM documents"
         " WHERE length(trim(text)) > 0")
-    o["curation_nb_lang_gate_ngram"] = \
-        o["curation_nb_lang_gate"].replace(_nb_toks, _nb_toks3)
+    o["curation_nb_lang_gate"] = \
+        o["curation_nb_lang_gate_word"].replace(_nb_toks, _nb_toks3)
     # char-3-gram confusion matrix: the word chain with the token
     # stream swapped, same matrix tail
     o["text_nb_confusion_ngram"] = \

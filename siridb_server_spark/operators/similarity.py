@@ -564,14 +564,9 @@ class PQIndex:
                 F.slice(F.col(vec_col), j * dsub + 1, dsub)
                 .alias(vec_col))
             codebooks.append(kmeans_fit(sub, k, iters, vec_col, id_col))
-        code_cols = []
-        for j, cb in enumerate(codebooks):
-            sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-            d = F.array(*[_sq_dist(sub, c) for c in cb])
-            code_cols.append(
-                (F.array_position(d, F.array_min(d)) - 1).cast("int"))
         codes = (emb.select(F.col(id_col),
-                            F.array(*code_cols).alias("code"))
+                            _pq_encode(codebooks, dsub, vec_col)
+                            .alias("code"))
                  .persist())
         codes.count()  # materialize the build, not the first search
         return cls(codebooks, codes, dsub, id_col)
@@ -607,7 +602,9 @@ class PQIndex:
         return l2_topk_exact(sub, query_vec, k, vec_col, self.id_col)
 
     def unpersist(self):
-        self.codes.unpersist()
+        # blocking for the same hygiene-ledger reason as
+        # SQIndex.unpersist
+        self.codes.unpersist(blocking=True)
 
     def save(self, path: str):
         """Persist the index: the codes frame (the ONLY thing a
@@ -633,7 +630,13 @@ class PQIndex:
              id_col: str | None = None) -> "PQIndex":
         """Open a saved index. The codes scan is lazy — a search
         reads m-byte codes straight off parquet; no rebuild, no
-        k-means."""
+        k-means. ``codes_delta/batch=<id>`` dirs (from
+        :func:`pq_index_append` / the streaming ingest sink) are
+        folded in, same layout as SQIndex;
+        :func:`~..streaming.corpus.compact_pq_index` keeps the dir
+        count flat."""
+        import os
+
         rows = spark.read.parquet(f"{path}/meta").collect()
         m = max(r["sub"] for r in rows) + 1
         codebooks = [[] for _ in range(m)]
@@ -641,8 +644,196 @@ class PQIndex:
             codebooks[r["sub"]].append(list(r["centroid"]))
         if id_col is None:
             id_col = rows[0]["id_col"]
-        return cls(codebooks, spark.read.parquet(f"{path}/codes"),
+        codes = spark.read.parquet(f"{path}/codes")
+        ddir = f"{path}/codes_delta"
+        if os.path.isdir(ddir) and any(
+                d.startswith("batch=") for d in os.listdir(ddir)):
+            codes = codes.unionByName(
+                spark.read.parquet(ddir).drop("batch"))
+        return cls(codebooks, codes,
                    int(rows[0]["dsub"]), id_col)
+
+
+def _pq_encode(codebooks: list, dsub: int, vec_col: str):
+    """The PQ code column — per subspace, the index of the nearest
+    sub-centroid by squared L2 (argmin via array_position, so ties
+    go to the LOWEST code deterministically). ONE definition shared
+    by ``PQIndex.train``, the batch append and the streaming ingest
+    sink, so stored codes can never drift from the quantizer."""
+    code_cols = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        d = F.array(*[_sq_dist(sub, c) for c in cb])
+        code_cols.append(
+            (F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return F.array(*code_cols)
+
+
+def _pq_meta(spark, path: str):
+    """(codebooks, dsub, id_col) off a saved PQIndex's meta parquet
+    — the frozen quantizer every lifecycle helper encodes with."""
+    rows = spark.read.parquet(f"{path}/meta").collect()
+    m = max(r["sub"] for r in rows) + 1
+    codebooks = [[] for _ in range(m)]
+    for r in sorted(rows, key=lambda r: (r["sub"], r["idx"])):
+        codebooks[r["sub"]].append(list(r["centroid"]))
+    return codebooks, int(rows[0]["dsub"]), rows[0]["id_col"]
+
+
+def pq_index_append(spark, path: str, new_emb: DataFrame,
+                    vec_col: str = "embedding",
+                    batch_id: str | int | None = None) -> int:
+    """Append a batch of new vectors to a SAVED :class:`PQIndex`
+    without retraining: the delta is encoded with the index's
+    FROZEN codebooks (:func:`_pq_encode` — the one definition
+    ``train`` uses) and lands as a batch-stamped delta
+    ``codes_delta/batch=<id>`` written with OVERWRITE plus a
+    ``_batch-<id>.done`` marker — exactly
+    :func:`sq_index_append`'s layout and exactly-once-by-idempotence
+    contract (content-fingerprint default batch id, blind retries
+    converge, applied batches are no-ops returning the recorded
+    count). ``PQIndex.load`` folds the deltas;
+    :func:`~..streaming.corpus.compact_pq_index` maintains them.
+    The quantizer stays frozen — the standard serving tradeoff;
+    when :func:`pq_index_drift` says retrain, rotate via
+    :func:`pq_index_rebuild` (which needs the SOURCE vectors: PQ
+    codes are lossy, an index cannot retrain itself — the one
+    lifecycle difference from SQIndex, which keeps full vectors)."""
+    import os
+
+    if batch_id is not None:
+        marker = os.path.join(path, f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip() or 0)
+    codebooks, dsub, id_col = _pq_meta(spark, path)
+    encoded = (new_emb.select(
+        F.col(id_col),
+        _pq_encode(codebooks, dsub, vec_col).alias("code"))
+        .persist())
+    try:
+        n = encoded.count()
+        if batch_id is None:
+            fp = (encoded.select(
+                F.conv(F.substring(
+                    F.sha2(F.col(id_col).cast("string"), 256),
+                    1, 15), 16, 10).cast("long").alias("_fp"))
+                .agg(F.expr("bit_xor(_fp)")).first()[0]) or 0
+            batch_id = "a%016x" % (fp & (2 ** 64 - 1))
+        marker = os.path.join(path, f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip() or 0)
+        if n:
+            (encoded.write.mode("overwrite")
+             .parquet(os.path.join(path, "codes_delta",
+                                   f"batch={batch_id}")))
+        with open(marker, "w") as fh:
+            fh.write(f"{n}\n")
+    finally:
+        encoded.unpersist(blocking=True)
+    return n
+
+
+def pq_index_drift(spark, path: str, new_emb: DataFrame,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Quantizer drift report for a frozen-codebook PQ index — the
+    "when to retrain" signal :func:`pq_index_append` defers to.
+    Per (subspace, code):
+
+    - ``n_base`` / ``n_new``: stored codes vs the codes the frozen
+      quantizer would assign the delta, and ``new_share_ppm``
+      (exact integer ppm of the delta within the subspace) — a code
+      soaking up far more than its base share means the codebook no
+      longer covers the data (rising ADC error on exactly the new
+      rows);
+    - ``mean_qerr_new``: the delta members' mean squared-L2
+      distance to their ASSIGNED sub-centroid (order-free
+      DECIMAL(38,18) sums, rounded once) — the quantization error
+      new data actually pays. The base-side twin is deliberately
+      absent: the index stores CODES only (lossy by design), so
+      base reconstruction error is not recoverable from the index —
+      track the report over successive deltas instead.
+
+    One encode pass over the delta + two groupBys over m×k keys;
+    the assignment is the SAME :func:`_pq_encode` rule the append/
+    ingest paths use, so the report describes exactly what an
+    append would do. Output: (sub, code, n_base, n_new,
+    new_share_ppm, mean_qerr_new) — one row per codebook entry."""
+    from ..functions.stable import stable_dsum
+    from ..localdf import arrow_df
+
+    codebooks, dsub, id_col = _pq_meta(spark, path)
+    base = PQIndex.load(spark, path).codes
+    bs = (base.select(F.posexplode("code").alias("sub", "code"))
+          .groupBy("sub", "code")
+          .agg(F.count(F.lit(1)).alias("n_base")))
+
+    # per-sub struct of (assigned code, its squared distance) —
+    # one expression family, no second argmin definition
+    subs = []
+    for j, cb in enumerate(codebooks):
+        sv = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        d = F.array(*[_sq_dist(sv, c) for c in cb])
+        subs.append(F.struct(
+            F.lit(j).alias("sub"),
+            (F.array_position(d, F.array_min(d)) - 1).cast("int")
+            .alias("code"),
+            F.array_min(d).alias("qerr")))
+    exploded = (new_emb.select(
+        F.explode(F.array(*subs)).alias("s"))
+        .select("s.sub", "s.code", "s.qerr"))
+    ns = (exploded.groupBy("sub", "code")
+          .agg(F.count(F.lit(1)).alias("n_new"),
+               F.round(stable_dsum(F.col("qerr"))
+                       / F.count(F.lit(1)), 6)
+               .alias("mean_qerr_new")))
+    tot = ns.groupBy("sub").agg(F.sum("n_new").alias("_t"))
+
+    grid = arrow_df(
+        spark,
+        [(j, ci) for j, cb in enumerate(codebooks)
+         for ci in range(len(cb))],
+        "sub int, code int")
+    return (grid.join(bs, ["sub", "code"], "left")
+            .join(ns, ["sub", "code"], "left")
+            .join(tot, "sub", "left")
+            .select(
+                F.col("sub").cast("long").alias("sub"),
+                F.col("code").cast("long").alias("code"),
+                F.coalesce("n_base", F.lit(0)).cast("long")
+                .alias("n_base"),
+                F.coalesce("n_new", F.lit(0)).cast("long")
+                .alias("n_new"),
+                F.expr("coalesce(n_new, 0) * 1000000"
+                       " div greatest(coalesce(_t, 0), 1)")
+                .alias("new_share_ppm"),
+                (F.col("mean_qerr_new") + F.lit(0.0))
+                .alias("mean_qerr_new")))
+
+
+def pq_index_rebuild(spark, path: str, new_path: str,
+                     emb: DataFrame, m: int | None = None,
+                     k: int | None = None, iters: int = 3,
+                     vec_col: str = "embedding",
+                     id_col: str | None = None) -> "PQIndex":
+    """Retrain a PQ index as a NEW snapshot at ``new_path`` —
+    the remediation :func:`pq_index_drift` triggers, as snapshot
+    ROTATION (readers of the old index are never torn; cutover is
+    one path swap), mirroring :func:`sq_index_rebuild`. The one
+    honest difference: ``emb`` (the source vectors) is REQUIRED.
+    PQ stores m one-byte codes per vector — the 32:1 compression is
+    the point — so the index cannot reconstruct its own training
+    data; rebuild re-encodes the corpus the caller still owns.
+    ``m``/``k`` default to the old index's geometry. Returns the
+    new (persisted) index."""
+    codebooks, dsub, old_id = _pq_meta(spark, path)
+    new = PQIndex.train(
+        emb, m=m or len(codebooks),
+        k=k or len(codebooks[0]), iters=iters,
+        vec_col=vec_col, id_col=id_col or old_id)
+    new.save(new_path)
+    return new
 
 
 def l2_topk_exact(emb: DataFrame, query_vec, k: int = 10,

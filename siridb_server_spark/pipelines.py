@@ -27,6 +27,37 @@ from .operators.text import lang_id, quality_gate
 STAGES = ("quality", "lang", "exact_dup", "near_dup", "kept")
 
 
+def nb_lang_gate(docs: DataFrame, label_col: str = "lang",
+                 text_col: str = "text",
+                 features: str = "chars",
+                 ngram_n: int = 3) -> DataFrame:
+    """THE classifier-driven curation language gate: keep documents
+    whose quantized-NB language prediction agrees with their
+    declared label (disagreement = mislabeled or mixed-language doc
+    — the standard drop before monolingual training).
+
+    ``features`` defaults to character n-grams, not words, because
+    that is the MEASURED-better langid featurizer (r10,
+    tests/test_classify.py): on short documents and test-time
+    vocabulary unseen in training, word-NB collapses to the label
+    prior (every unseen word contributes the same smoothing mass to
+    every label) while character patterns still separate languages
+    — 100% vs prior-only on the measured fixture. Pass
+    ``features="words"`` for the word path where documents are long
+    and in-vocabulary. Output: (doc_id, label, pred, keep) —
+    integer-exact end to end (fixlog2 scorer)."""
+    from .operators import classify as CL
+
+    m = CL.nb_train(docs, label_col=label_col, text_col=text_col,
+                    features=features, ngram_n=ngram_n)
+    pred = CL.nb_predict_int(m, docs, text_col=text_col)
+    truth = docs.select("doc_id", F.col(label_col).alias("label"))
+    return (truth.join(pred, "doc_id")
+            .select("doc_id", "label", "pred",
+                    (F.col("label") == F.col("pred"))
+                    .alias("keep")))
+
+
 def curate_corpus(docs: DataFrame, *, min_tokens: int = 10,
                   max_tokens: int = 1000,
                   min_avg_token: float = 2.0,
@@ -36,7 +67,8 @@ def curate_corpus(docs: DataFrame, *, min_tokens: int = 10,
                   langs: tuple | None = None,
                   near_threshold: float = 0.8,
                   max_df: int | None = None,
-                  text_col: str = "text"):
+                  text_col: str = "text",
+                  lang_model=None):
     """Run the staged curation pipeline over ``docs`` (must carry a
     ``doc_id`` column). Returns ``(curated, staged)``:
 
@@ -48,6 +80,15 @@ def curate_corpus(docs: DataFrame, *, min_tokens: int = 10,
       wins, ties to the smaller id), or ``kept``.
     - ``curated``: the input rows whose stage is ``kept``.
 
+    The ``lang`` stage's language PREDICTION comes from the
+    row-local :func:`~.operators.text.lang_id` heuristic by
+    default; pass a trained
+    :class:`~.operators.classify.NBModel` as ``lang_model`` to use
+    its quantized-NB prediction instead (train it with the default
+    char-n-gram featurizer — :func:`nb_lang_gate` documents why
+    chars beat words for langid; the model carries its featurizer,
+    so scoring can't diverge from training).
+
     Dedup stages see only the survivors of the stages before them —
     a junk near-copy never shields its cluster, matching how staged
     production pipelines behave."""
@@ -58,8 +99,24 @@ def curate_corpus(docs: DataFrame, *, min_tokens: int = 10,
         max_digit_ratio=max_digit_ratio, text_col=text_col) \
         .select("doc_id", F.col("keep").alias("_q"))
     ann = (docs.select("doc_id", F.col(text_col).alias("_text"))
-           .join(gate, "doc_id")
-           .withColumn("_lang", lang_id(F.col("_text"))))
+           .join(gate, "doc_id"))
+    if lang_model is not None:
+        from .operators import classify as CL
+
+        pred = CL.nb_predict_int(
+            lang_model, docs.select("doc_id", text_col),
+            text_col=text_col) \
+            .select("doc_id", F.col("pred").alias("_p"))
+        # docs the scorer can't see (all-whitespace text) coalesce
+        # to a sentinel no langs list contains — a NULL prediction
+        # must fail the gate, never dodge it
+        ann = (ann.join(pred, "doc_id", "left")
+               .withColumn("_lang",
+                           F.coalesce(F.col("_p"),
+                                      F.lit("__unscored__")))
+               .drop("_p"))
+    else:
+        ann = ann.withColumn("_lang", lang_id(F.col("_text")))
     lang_ok = F.lit(True) if langs is None \
         else F.col("_lang").isin(list(langs))
     # exact keep-first over the early survivors (md5 content class,

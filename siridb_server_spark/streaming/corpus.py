@@ -438,6 +438,70 @@ def compact_sq_index(spark, index_path: str,
                               (("cells_delta", ["cell"]),), fs=fs)
 
 
+def make_pq_index_ingest_sink(index_path: str,
+                              vec_col: str = "embedding"):
+    """foreachBatch sink growing a SAVED
+    :class:`~..operators.similarity.PQIndex` from a live embedding
+    feed — the PQ twin of :func:`make_sq_index_ingest_sink`. Each
+    micro-batch is encoded with the index's FROZEN codebooks
+    (``similarity._pq_encode`` — the one definition train/append
+    share) and lands as a batch-stamped delta
+    ``codes_delta/batch=<id>`` written with OVERWRITE + a done
+    marker: exactly-once by idempotence, the standard sink layout
+    here. ``PQIndex.load`` folds base + deltas; run
+    :func:`compact_pq_index` from the maintenance job."""
+    from ..operators.similarity import _pq_encode, _pq_meta
+
+    def sink(batch_df, batch_id: int):
+        marker = os.path.join(index_path,
+                              f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        codebooks, dsub, id_col = _pq_meta(spark, index_path)
+        encoded = batch_df.select(
+            F.col(id_col),
+            _pq_encode(codebooks, dsub, vec_col).alias("code"))
+        encoded.write.mode("overwrite").parquet(
+            os.path.join(index_path, "codes_delta",
+                         f"batch={batch_id}"))
+        with open(marker, "w") as fh:
+            fh.write("done\n")
+
+    return sink
+
+
+def stream_pq_index_ingest(stream_df, index_path: str,
+                           vec_col: str = "embedding",
+                           checkpoint: str | None = None,
+                           available_now: bool = False):
+    """Start the PQIndex ingest stream (see
+    :func:`make_pq_index_ingest_sink`). ``available_now`` processes
+    everything currently available then terminates (backfills,
+    tests). Returns the StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(
+        make_pq_index_ingest_sink(index_path, vec_col)) \
+        .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_pq_index(spark, index_path: str,
+                     fs: str = "posix") -> dict:
+    """Fold the PQ index's ``codes_delta/batch=<id>`` dirs into one
+    negative-id delta base — same idempotent-merge fold and
+    contracts as :func:`compact_sq_index` (protocols in
+    :func:`~..operators.dedup.compact_batch_dirs`); the base
+    ``codes`` dir is never touched."""
+    from ..operators.dedup import compact_batch_dirs
+
+    return compact_batch_dirs(spark, index_path,
+                              (("codes_delta", []),), fs=fs)
+
+
 def make_ann_query_sink(index_path: str, out_path: str,
                         k: int = 10, nprobe: int = 2,
                         rerank: int = 4, qid_col: str = "qid",

@@ -2074,6 +2074,45 @@ def test_curate_corpus_staged_attribution(spark):
     assert sum(rep.values()) == len(rows)       # additive, lossless
 
 
+def test_curate_corpus_nb_lang_model_gate(spark):
+    """curate_corpus(lang_model=...) swaps the heuristic lang_id
+    for the quantized-NB prediction (trained, per the r11 default,
+    on char n-grams — pipelines.nb_lang_gate documents why): a doc
+    whose declared-language WORDS are out-of-vocabulary still gates
+    correctly through char patterns, and an all-whitespace doc can
+    never dodge the gate (NULL prediction -> sentinel fail)."""
+    from siridb_server_spark import pipelines as PIPE
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import classify as CL
+
+    base = ("the quick brown fox jumps over the lazy dog and then"
+            " walks home to rest for the evening meal number")
+    fr = ("le chat et le chien sont dans la maison avec les"
+          " enfants et il y a une grande table pour le diner la")
+    train = [(i, "en", base + f" {i}") for i in range(800, 820)]
+    train += [(i, "fr", fr + f" {i}") for i in range(900, 920)]
+    tdf = arrow_df(spark, train,
+                   "doc_id long, lang string, text string")
+    model = CL.nb_train(tdf, label_col="lang", features="chars")
+
+    rows = [(1, base + " one"), (2, fr + " deux"),
+            (3, "   ")]  # whitespace-only: must fail lang, not pass
+    docs = arrow_df(spark, rows, "doc_id long, text string")
+    curated, staged = PIPE.curate_corpus(
+        docs, langs=("en",), min_tokens=5, lang_model=model)
+    got = {r["doc_id"]: r["stage"] for r in staged.collect()}
+    assert got[1] == "kept"
+    assert got[2] == "lang"
+    assert got[3] in ("quality", "lang")  # gated, never kept
+    assert [r["doc_id"] for r in curated.collect()] == [1]
+
+    # the helper default IS chars: same keep bits as explicit chars
+    g1 = sorted(map(tuple, PIPE.nb_lang_gate(tdf).collect()))
+    g2 = sorted(map(tuple, PIPE.nb_lang_gate(
+        tdf, features="chars").collect()))
+    assert g1 == g2
+
+
 def test_char_diversity_exact_simpson(spark):
     """Integer contract of the character-diversity signal: counts +
     half-up ppm of the exact Simpson collision mass; repetitive text
@@ -2427,6 +2466,95 @@ def test_sq_index_append_equals_rebuilt_in_memory(spark, tmp_path):
     want = [(r["vec_id"], r["cos"]) for r in
             ref.search(q, k=10, nprobe=3).collect()]
     assert got == want
+
+
+def test_pq_index_lifecycle_append_drift_rebuild(spark, tmp_path):
+    """PQIndex lifecycle parity with SQIndex (r10 verdict #6):
+    append encodes with the FROZEN codebooks into idempotent
+    batch-stamped deltas that load() folds; the streaming ingest
+    sink produces the identical index; compaction folds the delta
+    dirs; drift reports per-(sub, code) usage plus delta
+    quantization error; rebuild rotates to a new snapshot from the
+    source vectors (codes are lossy — the index can't retrain
+    itself)."""
+    import os
+
+    import siridb_server_spark.streaming.corpus as SC
+    from siridb_server_spark.sources.testdata import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where("vec_id <> 0")
+    base = emb.where("vec_id % 7 <> 1")
+    delta = emb.where("vec_id % 7 = 1")
+    q = [float(x) for x in
+         load(spark, "/root/testdata/sf0.001", "embeddings")
+         .where("vec_id = 0").first()["embedding"]]
+    p = str(tmp_path / "pq")
+    idx = SIM.PQIndex.train(base, m=4, k=8, iters=2)
+    idx.save(p)
+    books, dsub = idx.codebooks, idx.dsub
+    idx.unpersist()
+
+    # batch append: idempotent, folded by load
+    n = SIM.pq_index_append(spark, p, delta)
+    assert n == delta.count() > 0
+    assert SIM.pq_index_append(spark, p, delta) == n  # marker no-op
+    loaded = SIM.PQIndex.load(spark, p)
+    assert loaded.codes.count() == base.count() + n
+    got = [(r["vec_id"], r["adc"]) for r in
+           loaded.search(q, k=10).collect()]
+    # reference: union encoded in memory with the SAME frozen books
+    ref_codes = emb.select(
+        "vec_id", SIM._pq_encode(books, dsub, "embedding")
+        .alias("code"))
+    want = [(r["vec_id"], r["adc"]) for r in
+            SIM.PQIndex(books, ref_codes, dsub).search(q, k=10)
+            .collect()]
+    assert got == want
+
+    # streaming ingest sink builds the identical delta
+    p2 = str(tmp_path / "pq2")
+    idx2 = SIM.PQIndex.train(base, m=4, k=8, iters=2)
+    idx2.save(p2)
+    idx2.unpersist()
+    sink = SC.make_pq_index_ingest_sink(p2)
+    sink(delta, 0)
+    sink(delta, 0)  # redelivery no-op
+    got2 = [(r["vec_id"], r["adc"]) for r in
+            SIM.PQIndex.load(spark, p2).search(q, k=10).collect()]
+    assert got2 == want
+    # compaction folds deltas; dir count returns to one
+    SIM.pq_index_append(spark, p2, delta.limit(3), batch_id="x2")
+    assert SC.compact_pq_index(spark, p2) == {"codes_delta": 2}
+    ddirs = os.listdir(os.path.join(p2, "codes_delta"))
+    assert ddirs == ["batch=-1"]
+
+    # drift report invariants
+    rep = SIM.pq_index_drift(spark, p, delta).collect()
+    assert len(rep) == 4 * 8
+    m_base = sum(r["n_base"] for r in rep)
+    m_new = sum(r["n_new"] for r in rep)
+    assert m_base == (base.count() + n) * 4  # folded delta counts
+    assert m_new == delta.count() * 4
+    for sub in range(4):
+        ppm = sum(r["new_share_ppm"] for r in rep
+                  if r["sub"] == sub)
+        assert 0 < ppm <= 1_000_000
+    assert all(r["mean_qerr_new"] >= 0 for r in rep
+               if r["n_new"] > 0)
+    assert all(r["mean_qerr_new"] is None for r in rep
+               if r["n_new"] == 0)
+
+    # rebuild: new snapshot from source vectors, old untouched
+    p3 = str(tmp_path / "pq3")
+    new = SIM.pq_index_rebuild(spark, p, p3, emb)
+    new.unpersist()
+    reb = SIM.PQIndex.load(spark, p3)
+    assert reb.codes.count() == emb.count()
+    assert len(reb.codebooks) == 4
+    assert len(reb.search(q, k=10).collect()) == 10
+    assert SIM.PQIndex.load(spark, p).codes.count() \
+        == base.count() + n
 
 
 def test_sq_index_append_idempotent_retry(spark, tmp_path):
