@@ -274,13 +274,16 @@ def main():
         # reset the delta state (local-FS cleanup, microseconds) so
         # every sample appends the SAME batch against the SAME base,
         # then serve one probe from the appended index — the
-        # operator pair the entry exists to time
+        # operator pair the entry exists to time. Explicit batch id:
+        # the caller-tracked-id path (the content-fingerprint
+        # default is the gate entry's job)
         _sh.rmtree(os.path.join(_sq_path, "cells_delta"),
                    ignore_errors=True)
         for m in os.listdir(_sq_path):
             if m.startswith("_batch-") and m.endswith(".done"):
                 os.remove(os.path.join(_sq_path, m))
-        SIM.sq_index_append(s, _sq_path, _sq_delta)
+        SIM.sq_index_append(s, _sq_path, _sq_delta,
+                            batch_id="bench")
         return SIM.SQIndex.load(s, _sq_path).search(
             _qvec, k=10, nprobe=3)
 
@@ -300,6 +303,15 @@ def main():
         # Arrow-kernel entry (dedup_simhash) absorbs that cost
         D.simhash(_load(spark, SF_DIR, "documents").limit(64)).write \
             .format("noop").mode("overwrite").save()
+        # ...and the heavy-tail entries' plan shapes (index assign/
+        # delta-write/load/probe + the gated DTW): each spans ~5
+        # fresh plan shapes, and without this their FIRST samples
+        # measured Janino codegen + allocator spin-up (22 s vs the
+        # 2.7 s steady state measured standalone), not the operator
+        for _warm in ("sim_sq_index", "sim_sq_index_drift",
+                      "sim_sq_index_append", "ts_dtw_prefilter"):
+            qs[_warm](spark, SF_DIR).write \
+                .format("noop").mode("overwrite").save()
     except Exception as exc:  # still bench what we can
         errors["_warmup"] = repr(exc)
 
