@@ -307,11 +307,21 @@ def main():
         # delta-write/load/probe + the gated DTW): each spans ~5
         # fresh plan shapes, and without this their FIRST samples
         # measured Janino codegen + allocator spin-up (22 s vs the
-        # 2.7 s steady state measured standalone), not the operator
+        # 2.7 s steady state measured standalone), not the
+        # operator. Append warms LAST and its delta is cleaned up:
+        # a leftover delta would make every timed drift/search
+        # sample scan base+delta while their warmed plans compiled
+        # base-only — the exact mixed-state pollution the tail
+        # ordering exists to avoid
         for _warm in ("sim_sq_index", "sim_sq_index_drift",
-                      "sim_sq_index_append", "ts_dtw_prefilter"):
+                      "ts_dtw_prefilter", "sim_sq_index_append"):
             qs[_warm](spark, SF_DIR).write \
                 .format("noop").mode("overwrite").save()
+        _sh.rmtree(os.path.join(_sq_path, "cells_delta"),
+                   ignore_errors=True)
+        for _m in os.listdir(_sq_path):
+            if _m.startswith("_batch-") and _m.endswith(".done"):
+                os.remove(os.path.join(_sq_path, _m))
     except Exception as exc:  # still bench what we can
         errors["_warmup"] = repr(exc)
 

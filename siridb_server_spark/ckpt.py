@@ -10,17 +10,24 @@ checkpoint blocks — but gives the caller no handle to free them:
 - the real checkpoint RDD lives only in the SparkContext's
   persistent-RDD map, and unpersisting it DESTROYS the checkpoint
   (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on any later action), so it
-  must only happen once the frame is provably finished.
+  must only happen once the frame is provably finished — and only
+  for blocks this caller actually owns.
 
-``tracked_local_checkpoint`` captures exactly which persistent-RDD
-ids the checkpoint registered (``persist`` registers in the map
-immediately, before materialization, so the diff is race-free on a
-single-threaded driver); ``release_local_checkpoint`` frees those
-blocks (blocking) when the caller is done with the frame. Callers:
-the distributed connected-components loop (one superseded state
-frame per round) and the streaming ingest sinks (two frames per
-micro-batch — a long-running stream must not grow the block manager
-monotonically).
+Ownership is read STRAIGHT OFF the checkpointed frame: a
+localCheckpoint'd Dataset's logical plan is a ``LogicalRDD`` whose
+``rdd()`` is exactly the persisted checkpoint RDD, so its id — not a
+before/after diff of the persistent-RDD map — identifies the blocks.
+That makes release correct under CONCURRENT queries too (two
+streaming sinks checkpointing on their own foreachBatch threads can
+never capture each other's registrations, which a map-diff could).
+A defensive diff fallback covers any future Spark where the logical
+plan shape changes; the fallback inherits the single-threaded-driver
+caveat, so it logs nothing and simply releases what it saw register.
+
+Callers: the distributed connected-components loop (one superseded
+state frame per round) and the streaming ingest sinks (two frames
+per micro-batch — a long-running stream must not grow the block
+manager monotonically).
 """
 
 from __future__ import annotations
@@ -34,14 +41,22 @@ def _persistent_ids(sc) -> set[int]:
 
 def tracked_local_checkpoint(df: DataFrame,
                              eager: bool = True):
-    """``df.localCheckpoint(eager)`` plus the set of persistent-RDD
-    ids it registered — pass both to
+    """``df.localCheckpoint(eager)`` plus the persistent-RDD ids the
+    checkpoint owns — pass both to
     :func:`release_local_checkpoint` when the frame is finished.
     The returned frame must NOT be used after release."""
     sc = df.sparkSession.sparkContext
     pre = _persistent_ids(sc)
     out = df.localCheckpoint(eager=eager)
-    return out, _persistent_ids(sc) - pre
+    try:
+        # precise ownership: the checkpointed Dataset's logical plan
+        # is LogicalRDD(rdd) where rdd IS the persisted checkpoint
+        # RDD (verified for eager and lazy on Spark 4)
+        return out, {int(out._jdf.queryExecution().logical()
+                         .rdd().id())}
+    except Exception:
+        # fallback: map-diff attribution (single-writer only)
+        return out, _persistent_ids(sc) - pre
 
 
 def release_local_checkpoint(df: DataFrame, ids) -> None:

@@ -637,21 +637,47 @@ class PQIndex:
         count flat."""
         import os
 
-        rows = spark.read.parquet(f"{path}/meta").collect()
-        m = max(r["sub"] for r in rows) + 1
-        codebooks = [[] for _ in range(m)]
-        for r in sorted(rows, key=lambda r: (r["sub"], r["idx"])):
-            codebooks[r["sub"]].append(list(r["centroid"]))
+        codebooks, dsub, saved_id = _pq_meta(spark, path)
         if id_col is None:
-            id_col = rows[0]["id_col"]
+            id_col = saved_id
         codes = spark.read.parquet(f"{path}/codes")
         ddir = f"{path}/codes_delta"
         if os.path.isdir(ddir) and any(
                 d.startswith("batch=") for d in os.listdir(ddir)):
             codes = codes.unionByName(
                 spark.read.parquet(ddir).drop("batch"))
-        return cls(codebooks, codes,
-                   int(rows[0]["dsub"]), id_col)
+        return cls(codebooks, codes, dsub, id_col)
+
+
+def _content_batch_id(df: DataFrame, id_col: str):
+    """Deterministic content fingerprint of a delta batch's id
+    MULTISET — the default idempotence key for index appends (a
+    blind retry of the same batch maps to the same batch dir),
+    shared by :func:`sq_index_append` and :func:`pq_index_append`
+    so the two families' keys cannot diverge. SUM (never xor) of a
+    60-bit sha2 slice per id, as DECIMAL(38,0) so duplicate ids
+    COUNT — an xor fold cancels a repeated id pairwise, making
+    {a, b, b} collide with {a} and silently skip the batch against
+    {a}'s done marker — folded mod 2^64 with the row count
+    prefixed. Returns (n_rows, batch_id); ONE aggregate, no
+    collect."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.conv(F.substring(
+            F.sha2(F.col(id_col).cast("string"), 256), 1, 15),
+            16, 10).cast("decimal(38,0)")).alias("s")).first()
+    n = int(row["n"])
+    s = int(row["s"] or 0) % (2 ** 64)
+    return n, "a%d-%016x" % (n, s)
+
+
+def _read_batch_marker(marker: str) -> int:
+    """Row count recorded in a ``_batch-<id>.done`` marker; 0 for
+    legacy markers that carried no count (the pre-r11 streaming
+    sinks wrote the literal 'done')."""
+    with open(marker) as fh:
+        txt = fh.read().strip()
+    return int(txt) if txt.lstrip("-").isdigit() else 0
 
 
 def _pq_encode(codebooks: list, dsub: int, vec_col: str):
@@ -690,9 +716,9 @@ def pq_index_append(spark, path: str, new_emb: DataFrame,
     ``codes_delta/batch=<id>`` written with OVERWRITE plus a
     ``_batch-<id>.done`` marker — exactly
     :func:`sq_index_append`'s layout and exactly-once-by-idempotence
-    contract (content-fingerprint default batch id, blind retries
-    converge, applied batches are no-ops returning the recorded
-    count). ``PQIndex.load`` folds the deltas;
+    contract (shared :func:`_content_batch_id` default batch id,
+    blind retries converge, applied batches are no-ops returning
+    the recorded count). ``PQIndex.load`` folds the deltas;
     :func:`~..streaming.corpus.compact_pq_index` maintains them.
     The quantizer stays frozen — the standard serving tradeoff;
     when :func:`pq_index_drift` says retrain, rotate via
@@ -704,26 +730,27 @@ def pq_index_append(spark, path: str, new_emb: DataFrame,
     if batch_id is not None:
         marker = os.path.join(path, f"_batch-{batch_id}.done")
         if os.path.exists(marker):
-            with open(marker) as fh:
-                return int(fh.read().strip() or 0)
+            return _read_batch_marker(marker)
     codebooks, dsub, id_col = _pq_meta(spark, path)
+    # ONE row per id: ids are the index key, and duplicate-id rows
+    # in a batch collapse deterministically (smallest code array
+    # wins) — the same one-row-per-id posture _sq_assign's
+    # nearest-cell window gives sq_index_append
+    wdup = Window.partitionBy(id_col).orderBy("code")
     encoded = (new_emb.select(
         F.col(id_col),
         _pq_encode(codebooks, dsub, vec_col).alias("code"))
+        .withColumn("_rn", F.row_number().over(wdup))
+        .where(F.col("_rn") == 1).drop("_rn")
         .persist())
     try:
-        n = encoded.count()
         if batch_id is None:
-            fp = (encoded.select(
-                F.conv(F.substring(
-                    F.sha2(F.col(id_col).cast("string"), 256),
-                    1, 15), 16, 10).cast("long").alias("_fp"))
-                .agg(F.expr("bit_xor(_fp)")).first()[0]) or 0
-            batch_id = "a%016x" % (fp & (2 ** 64 - 1))
+            n, batch_id = _content_batch_id(encoded, id_col)
+        else:
+            n = encoded.count()
         marker = os.path.join(path, f"_batch-{batch_id}.done")
         if os.path.exists(marker):
-            with open(marker) as fh:
-                return int(fh.read().strip() or 0)
+            return _read_batch_marker(marker)
         if n:
             (encoded.write.mode("overwrite")
              .parquet(os.path.join(path, "codes_delta",
@@ -1162,13 +1189,17 @@ def ivf_sq_topk(emb: DataFrame, query_vec, k: int = 10,
     pays one full-corpus max scan and one centroid aggregate before
     pruning, which defeats the point of an index. The coarse +
     rescore body IS :func:`sq_topk` applied to the probed cells, so
-    the two paths cannot drift."""
+    the two paths cannot drift. NULL-label rows are EXCLUDED before
+    the default scale/centroids are computed (not just before the
+    probe filter) — :meth:`SQIndex.from_labels` pins its scale over
+    the labeled rows only, so an unfiltered default scale here
+    could quantize differently and break the documented equality
+    with the index-served path."""
+    emb = emb.where(F.col(label_col).isNotNull())
     q = [float(x) for x in query_vec]
     if centroids is None:
         centroids = [(r[label_col], list(r["centroid"])) for r in
-                     label_centroids(
-                         emb.where(F.col(label_col).isNotNull()),
-                         vec_col, label_col)
+                     label_centroids(emb, vec_col, label_col)
                      .collect()]
     ranked = sorted(centroids,
                     key=lambda cv: (-_py_cos(cv[1], q), cv[0]))
@@ -1482,9 +1513,14 @@ def sq_index_append(spark, path: str, new_emb: DataFrame,
     batch directory (same ``batch_id`` → same target), converging
     to exactly the full batch, and a fully applied batch is a no-op
     (the done marker returns the recorded row count). ``batch_id``
-    defaults to a content fingerprint of the batch's ids (order-free
-    bit_xor of per-id sha2 — no collect), so a blind retry of the
-    same data is idempotent without the caller tracking ids.
+    defaults to a content fingerprint of the batch's id multiset
+    (:func:`_content_batch_id` — order-free, duplicate-counting, no
+    collect), so a blind retry of the same data is idempotent
+    without the caller tracking ids. Ids are the index key: a batch
+    carrying the same id twice collapses to ONE indexed row
+    (``_sq_assign``'s nearest-cell window keeps each id's best
+    (vector, cell) pair), and the fingerprint is taken AFTER the
+    collapse so it keys exactly what lands on disk.
 
     The quantizer stays frozen — the standard serving tradeoff;
     retrain + rebuild when drift accumulates. Returns the number of
@@ -1494,8 +1530,7 @@ def sq_index_append(spark, path: str, new_emb: DataFrame,
     if batch_id is not None:
         marker = os.path.join(path, f"_batch-{batch_id}.done")
         if os.path.exists(marker):
-            with open(marker) as fh:
-                return int(fh.read().strip() or 0)
+            return _read_batch_marker(marker)
     # persist: the assignment (centroid crossJoin + window) runs
     # ONCE for count + fingerprint + write, and the cache is
     # released (blocking) before returning so long-running callers
@@ -1507,18 +1542,13 @@ def sq_index_append(spark, path: str, new_emb: DataFrame,
     assigned = _sq_assign(spark, path, new_emb, vec_col, id_col) \
         .persist()
     try:
-        n = assigned.count()
         if batch_id is None:
-            fp = (assigned.select(
-                F.conv(F.substring(
-                    F.sha2(F.col(id_col).cast("string"), 256),
-                    1, 15), 16, 10).cast("long").alias("_fp"))
-                .agg(F.expr("bit_xor(_fp)")).first()[0]) or 0
-            batch_id = "a%016x" % (fp & (2 ** 64 - 1))
+            n, batch_id = _content_batch_id(assigned, id_col)
+        else:
+            n = assigned.count()
         marker = os.path.join(path, f"_batch-{batch_id}.done")
         if os.path.exists(marker):
-            with open(marker) as fh:
-                return int(fh.read().strip() or 0)
+            return _read_batch_marker(marker)
         if n:  # an empty delta writes nothing (a cell-less batch
             # dir would break schema inference on the delta read)
             (assigned.write.mode("overwrite").partitionBy("cell")

@@ -382,21 +382,20 @@ def make_sq_index_ingest_sink(index_path: str,
     marker makes fully applied batches no-ops.
     ``SQIndex.load`` folds base + deltas; run
     :func:`compact_sq_index` from the maintenance job to fold
-    deltas down (read amplification stays flat)."""
-    from ..operators.similarity import _sq_assign
+    deltas down (read amplification stays flat). The body IS
+    :func:`~..operators.similarity.sq_index_append` with the
+    stream's batch id — one choreography (marker short-circuit,
+    empty-batch guard, overwrite-then-marker) for batch and
+    streaming growth, so the two cannot drift (the sink previously
+    re-implemented it without the empty-batch guard: a 0-row
+    micro-batch left a file-less batch dir that broke delta schema
+    inference on load)."""
+    from ..operators.similarity import sq_index_append
 
     def sink(batch_df, batch_id: int):
-        marker = os.path.join(index_path,
-                              f"_batch-{batch_id}.done")
-        if os.path.exists(marker):
-            return
-        assigned = _sq_assign(batch_df.sparkSession, index_path,
-                              batch_df, vec_col, id_col)
-        (assigned.write.mode("overwrite").partitionBy("cell")
-         .parquet(os.path.join(index_path, "cells_delta",
-                               f"batch={batch_id}")))
-        with open(marker, "w") as fh:
-            fh.write("done\n")
+        sq_index_append(batch_df.sparkSession, index_path,
+                        batch_df, vec_col, id_col,
+                        batch_id=batch_id)
 
     return sink
 
@@ -449,24 +448,16 @@ def make_pq_index_ingest_sink(index_path: str,
     ``codes_delta/batch=<id>`` written with OVERWRITE + a done
     marker: exactly-once by idempotence, the standard sink layout
     here. ``PQIndex.load`` folds base + deltas; run
-    :func:`compact_pq_index` from the maintenance job."""
-    from ..operators.similarity import _pq_encode, _pq_meta
+    :func:`compact_pq_index` from the maintenance job. The body IS
+    :func:`~..operators.similarity.pq_index_append` with the
+    stream's batch id — one choreography (marker short-circuit,
+    empty-batch guard, overwrite-then-marker) for batch and
+    streaming growth."""
+    from ..operators.similarity import pq_index_append
 
     def sink(batch_df, batch_id: int):
-        marker = os.path.join(index_path,
-                              f"_batch-{batch_id}.done")
-        if os.path.exists(marker):
-            return
-        spark = batch_df.sparkSession
-        codebooks, dsub, id_col = _pq_meta(spark, index_path)
-        encoded = batch_df.select(
-            F.col(id_col),
-            _pq_encode(codebooks, dsub, vec_col).alias("code"))
-        encoded.write.mode("overwrite").parquet(
-            os.path.join(index_path, "codes_delta",
-                         f"batch={batch_id}"))
-        with open(marker, "w") as fh:
-            fh.write("done\n")
+        pq_index_append(batch_df.sparkSession, index_path,
+                        batch_df, vec_col, batch_id=batch_id)
 
     return sink
 
