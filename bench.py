@@ -270,18 +270,24 @@ def main():
     qs["sim_sq_index_drift"] = lambda s, d: SIM.sq_index_drift(
         s, _sq_path, _sq_delta)
 
-    def _bench_sq_append(s, d):
-        # reset the delta state (local-FS cleanup, microseconds) so
-        # every sample appends the SAME batch against the SAME base,
-        # then serve one probe from the appended index — the
-        # operator pair the entry exists to time. Explicit batch id:
-        # the caller-tracked-id path (the content-fingerprint
-        # default is the gate entry's job)
+    def _reset_sq_delta():
+        # drop the shared fixture's delta state (local-FS cleanup,
+        # microseconds) — ONE definition used by the append entry's
+        # per-sample reset and the warm-phase cleanup, so the delta
+        # layout can't drift between the two
         _sh.rmtree(os.path.join(_sq_path, "cells_delta"),
                    ignore_errors=True)
         for m in os.listdir(_sq_path):
             if m.startswith("_batch-") and m.endswith(".done"):
                 os.remove(os.path.join(_sq_path, m))
+
+    def _bench_sq_append(s, d):
+        # reset so every sample appends the SAME batch against the
+        # SAME base, then serve one probe from the appended index —
+        # the operator pair the entry exists to time. Explicit
+        # batch id: the caller-tracked-id path (the content-
+        # fingerprint default is the gate entry's job)
+        _reset_sq_delta()
         SIM.sq_index_append(s, _sq_path, _sq_delta,
                             batch_id="bench")
         return SIM.SQIndex.load(s, _sq_path).search(
@@ -308,20 +314,20 @@ def main():
         # fresh plan shapes, and without this their FIRST samples
         # measured Janino codegen + allocator spin-up (22 s vs the
         # 2.7 s steady state measured standalone), not the
-        # operator. Append warms LAST and its delta is cleaned up:
-        # a leftover delta would make every timed drift/search
-        # sample scan base+delta while their warmed plans compiled
-        # base-only — the exact mixed-state pollution the tail
-        # ordering exists to avoid
-        for _warm in ("sim_sq_index", "sim_sq_index_drift",
-                      "ts_dtw_prefilter", "sim_sq_index_append"):
-            qs[_warm](spark, SF_DIR).write \
-                .format("noop").mode("overwrite").save()
-        _sh.rmtree(os.path.join(_sq_path, "cells_delta"),
-                   ignore_errors=True)
-        for _m in os.listdir(_sq_path):
-            if _m.startswith("_batch-") and _m.endswith(".done"):
-                os.remove(os.path.join(_sq_path, _m))
+        # operator. Append warms LAST and its delta is cleaned up
+        # IN A FINALLY — a warm-phase failure mid-append would
+        # otherwise leave a partial delta every timed drift/search
+        # sample then scans (base+delta) while their warmed plans
+        # compiled base-only: the exact mixed-state pollution the
+        # tail ordering exists to avoid
+        try:
+            for _warm in ("sim_sq_index", "sim_sq_index_drift",
+                          "ts_dtw_prefilter",
+                          "sim_sq_index_append"):
+                qs[_warm](spark, SF_DIR).write \
+                    .format("noop").mode("overwrite").save()
+        finally:
+            _reset_sq_delta()
     except Exception as exc:  # still bench what we can
         errors["_warmup"] = repr(exc)
 

@@ -660,7 +660,15 @@ def _content_batch_id(df: DataFrame, id_col: str):
     {a, b, b} collide with {a} and silently skip the batch against
     {a}'s done marker — folded mod 2^64 with the row count
     prefixed. Returns (n_rows, batch_id); ONE aggregate, no
-    collect."""
+    collect.
+
+    Upgrade note: the fingerprint FORMAT is part of the
+    idempotence contract — changing it orphans markers written
+    under the old format, so a blind retry spanning the upgrade
+    would re-index its batch (duplicate rows until the compactor's
+    DISTINCT folds them). When evolving this function, either keep
+    recognizing old-format ids or have operators clear markers +
+    run compaction at upgrade."""
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.conv(F.substring(
@@ -708,7 +716,8 @@ def _pq_meta(spark, path: str):
 
 def pq_index_append(spark, path: str, new_emb: DataFrame,
                     vec_col: str = "embedding",
-                    batch_id: str | int | None = None) -> int:
+                    batch_id: str | int | None = None,
+                    assume_unique_ids: bool = False) -> int:
     """Append a batch of new vectors to a SAVED :class:`PQIndex`
     without retraining: the delta is encoded with the index's
     FROZEN codebooks (:func:`_pq_encode` — the one definition
@@ -732,17 +741,23 @@ def pq_index_append(spark, path: str, new_emb: DataFrame,
         if os.path.exists(marker):
             return _read_batch_marker(marker)
     codebooks, dsub, id_col = _pq_meta(spark, path)
-    # ONE row per id: ids are the index key, and duplicate-id rows
-    # in a batch collapse deterministically (smallest code array
-    # wins) — the same one-row-per-id posture _sq_assign's
-    # nearest-cell window gives sq_index_append
-    wdup = Window.partitionBy(id_col).orderBy("code")
-    encoded = (new_emb.select(
+    encoded = new_emb.select(
         F.col(id_col),
         _pq_encode(codebooks, dsub, vec_col).alias("code"))
-        .withColumn("_rn", F.row_number().over(wdup))
-        .where(F.col("_rn") == 1).drop("_rn")
-        .persist())
+    if not assume_unique_ids:
+        # ONE row per id: ids are the index key, and duplicate-id
+        # rows in a batch collapse deterministically (smallest code
+        # array wins) — the same one-row-per-id posture
+        # _sq_assign's nearest-cell window gives sq_index_append.
+        # assume_unique_ids=True skips the window shuffle for
+        # callers whose upstream already keys batches uniquely
+        # (e.g. an exactly-once stream) — the hot ingest path then
+        # pays encode + one write, nothing wider
+        wdup = Window.partitionBy(id_col).orderBy("code")
+        encoded = (encoded
+                   .withColumn("_rn", F.row_number().over(wdup))
+                   .where(F.col("_rn") == 1).drop("_rn"))
+    encoded = encoded.persist()
     try:
         if batch_id is None:
             n, batch_id = _content_batch_id(encoded, id_col)

@@ -438,7 +438,8 @@ def compact_sq_index(spark, index_path: str,
 
 
 def make_pq_index_ingest_sink(index_path: str,
-                              vec_col: str = "embedding"):
+                              vec_col: str = "embedding",
+                              assume_unique_ids: bool = False):
     """foreachBatch sink growing a SAVED
     :class:`~..operators.similarity.PQIndex` from a live embedding
     feed — the PQ twin of :func:`make_sq_index_ingest_sink`. Each
@@ -452,12 +453,16 @@ def make_pq_index_ingest_sink(index_path: str,
     :func:`~..operators.similarity.pq_index_append` with the
     stream's batch id — one choreography (marker short-circuit,
     empty-batch guard, overwrite-then-marker) for batch and
-    streaming growth."""
+    streaming growth. ``assume_unique_ids=True`` skips the
+    per-batch duplicate-id collapse (a window shuffle) for streams
+    whose upstream already keys micro-batches uniquely — the hot
+    path then pays encode + one write."""
     from ..operators.similarity import pq_index_append
 
     def sink(batch_df, batch_id: int):
         pq_index_append(batch_df.sparkSession, index_path,
-                        batch_df, vec_col, batch_id=batch_id)
+                        batch_df, vec_col, batch_id=batch_id,
+                        assume_unique_ids=assume_unique_ids)
 
     return sink
 
@@ -465,13 +470,15 @@ def make_pq_index_ingest_sink(index_path: str,
 def stream_pq_index_ingest(stream_df, index_path: str,
                            vec_col: str = "embedding",
                            checkpoint: str | None = None,
-                           available_now: bool = False):
+                           available_now: bool = False,
+                           assume_unique_ids: bool = False):
     """Start the PQIndex ingest stream (see
     :func:`make_pq_index_ingest_sink`). ``available_now`` processes
     everything currently available then terminates (backfills,
     tests). Returns the StreamingQuery."""
     writer = stream_df.writeStream.foreachBatch(
-        make_pq_index_ingest_sink(index_path, vec_col)) \
+        make_pq_index_ingest_sink(index_path, vec_col,
+                                  assume_unique_ids)) \
         .outputMode("update")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
