@@ -3732,6 +3732,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_pq_index_drift"] = sim_pq_index_drift
 
+    def dedup_embedding_contamination(spark, sf_dir):
+        """Cross-snapshot eval-leakage sweep in EMBEDDING space
+        (operators/similarity.py embedding_contamination): each
+        eval vector's nearest TRAIN vector through the batch IVF
+        join (k=1, nprobe=3 — both corpora distributed, candidates
+        cell-bounded), verdict at threshold 0.9 as exact micro-int
+        compare. The eval set is the held-out slice PLUS planted
+        exact copies of train rows (qid = vec_id + 1e6) — the
+        leaked-eval scenario the sweep exists to catch: copies that
+        probe their source's cell flag contaminated at cos 1.0,
+        clean evals on this near-orthogonal corpus stay far below
+        threshold. Full SQL replay: centroids → per-eval probes →
+        exact cosine → rank-1 → micro verdict."""
+        emb = load(spark, sf_dir, "embeddings")
+        train = emb.where("vec_id % 19 <> 1")
+        clean = emb.where("vec_id % 19 = 1").select(
+            F.col("vec_id").alias("qid"), "embedding")
+        planted = train.where("vec_id % 23 = 2").select(
+            (F.col("vec_id") + 1000000).alias("qid"), "embedding")
+        return SIM.embedding_contamination(
+            train, clean.unionByName(planted),
+            threshold=0.9, nprobe=3)
+
+    q["dedup_embedding_contamination"] = \
+        dedup_embedding_contamination
+
     def sim_sq_codes(spark, sf_dir):
         """int8 scalar quantization of the embedding corpus
         (operators/similarity.py scalar_quantize): symmetric codes
@@ -6135,6 +6161,50 @@ def oracle_sql() -> dict[str, str]:
         " FROM sc)"
         " SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank"
         " FROM r WHERE rank <= 5"
+    )
+    # embedding contamination: the ivf_knn_join chain at k=1 with
+    # the planted-copy eval set and the micro-int verdict tail
+    o["dedup_embedding_contamination"] = (
+        "WITH e AS (SELECT vec_id, label, embedding"
+        " FROM embeddings WHERE vec_id % 19 <> 1),"
+        " q AS (SELECT vec_id AS qid, embedding AS qe"
+        " FROM embeddings WHERE vec_id % 19 = 1"
+        " UNION ALL SELECT vec_id + 1000000, embedding"
+        " FROM embeddings WHERE vec_id % 19 <> 1"
+        " AND vec_id % 23 = 2),"
+        " pos AS (SELECT label, CAST(unnest(embedding) AS DOUBLE)"
+        " AS x, unnest(range(1, len(embedding) + 1)) AS i FROM e),"
+        " cent AS (SELECT label, i, avg(x) AS c FROM pos"
+        " GROUP BY 1, 2),"
+        " qd AS (SELECT qid, CAST(unnest(qe) AS DOUBLE) AS y,"
+        " unnest(range(1, len(qe) + 1)) AS i FROM q),"
+        " cd AS (SELECT qid, label, sum(c * y) AS d,"
+        " sum(y * y) AS na, sum(c * c) AS nb"
+        " FROM cent JOIN qd USING (i) GROUP BY 1, 2),"
+        " pr AS (SELECT qid, label FROM (SELECT qid, label,"
+        " row_number() OVER (PARTITION BY qid ORDER BY"
+        " CASE WHEN na = 0 OR nb = 0 THEN 0.0"
+        " ELSE d / (sqrt(na) * sqrt(nb)) END DESC, label) AS rn"
+        " FROM cd) WHERE rn <= 3),"
+        " prod AS (SELECT p.qid, e.vec_id,"
+        " CAST(unnest(e.embedding) AS DOUBLE) AS x,"
+        " CAST(unnest(q.qe) AS DOUBLE) AS y"
+        " FROM pr p JOIN e USING (label)"
+        " JOIN q ON q.qid = p.qid),"
+        " s AS (SELECT qid, vec_id, sum(x * y) AS d,"
+        " sum(x * x) AS na, sum(y * y) AS nb"
+        " FROM prod GROUP BY 1, 2),"
+        " sc AS (SELECT qid, vec_id,"
+        " round(CASE WHEN na = 0 OR nb = 0 THEN 0.0"
+        " ELSE d / (sqrt(na) * sqrt(nb)) END, 6) + 0.0 AS cos"
+        " FROM s),"
+        " r AS (SELECT qid, vec_id, cos, row_number() OVER"
+        " (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank"
+        " FROM sc)"
+        " SELECT qid, vec_id AS train_id, cos,"
+        " CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_micro,"
+        " floor(cos * 1000000 + 0.5) >= 900000 AS contaminated"
+        " FROM r WHERE rank = 1"
     )
     # Full-value IVF oracle: DuckDB recomputes the label centroids,
     # ranks cells by centroid cosine, probes the top 3, and

@@ -1699,6 +1699,48 @@ def ivf_sq_knn_join(emb: DataFrame, queries: DataFrame,
         cent, scale, k, nprobe, rerank, qid_col)
 
 
+def embedding_contamination(train: DataFrame, evals: DataFrame,
+                            threshold: float = 0.9,
+                            nprobe: int = 2,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            qid_col: str = "qid",
+                            label_col: str = "label",
+                            centroids: list | None = None
+                            ) -> DataFrame:
+    """Cross-snapshot contamination check in EMBEDDING space: each
+    eval vector's nearest TRAIN vector by exact cosine, with an
+    integer-exact verdict at ``threshold`` — the eval-leakage sweep
+    a training run does before trusting its benchmark numbers. The
+    text-side twin (n-gram containment, ``dedup.py``) catches
+    verbatim overlap; this catches what n-grams can't —
+    paraphrases, translations, templated rewrites — wherever the
+    embedding puts them near their source.
+
+    Spark shape: served END TO END by :func:`ivf_knn_join` with
+    k=1 (both corpora stay distributed; candidates bounded at
+    nprobe/|cells| of the eval×train cross product by the
+    cell-keyed hash join), so the 100 TB story is the batch ANN
+    join's. The verdict compares round-6 cosines as exact micro
+    ints (floor(cos·10⁶ + 0.5) ≥ threshold_micro) — hashable
+    cross-engine, no float threshold ambiguity at the boundary.
+    Output: (qid, train_id, cos, cos_micro, contaminated), one row
+    per eval vector that has ≥1 candidate in its probed cells."""
+    nn = ivf_knn_join(train, evals, k=1, nprobe=nprobe,
+                      vec_col=vec_col, id_col=id_col,
+                      qid_col=qid_col, label_col=label_col,
+                      centroids=centroids)
+    thr = int(round(float(threshold) * 1_000_000))
+    cm = F.floor(F.col("cos") * 1_000_000 + F.lit(0.5)) \
+        .cast("long")
+    return (nn.where(F.col("rank") == 1)
+            .select(F.col(qid_col),
+                    F.col("vec_id").alias("train_id"),
+                    "cos",
+                    cm.alias("cos_micro"),
+                    (cm >= F.lit(thr)).alias("contaminated")))
+
+
 def sq_index_base_stats(spark, path: str,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> list:

@@ -2817,6 +2817,36 @@ def test_centroid_tie_break_prefers_smaller_cell_id(spark):
             idx.unpersist()
 
 
+def test_embedding_contamination_verdicts(spark):
+    """Cross-snapshot embedding contamination: an exact planted
+    copy of a train vector flags contaminated at cos 1.0 (micro
+    1000000) against its own source; an orthogonal eval stays
+    clean; with nprobe = |cells| the probe set is exhaustive so
+    the verdicts are exact, and the threshold compares micro ints
+    (no float boundary ambiguity)."""
+    from siridb_server_spark.localdf import arrow_df
+
+    train = arrow_df(
+        spark,
+        [(1, [1.0, 0.0, 0.0], 0), (2, [0.9, 0.1, 0.0], 0),
+         (3, [0.0, 1.0, 0.0], 1), (4, [0.1, 0.9, 0.0], 1)],
+        "vec_id long, embedding array<double>, label long")
+    evals = arrow_df(
+        spark,
+        [(100, [0.9, 0.1, 0.0]),   # exact copy of train id 2
+         (200, [0.0, 0.0, 1.0])],  # orthogonal to everything
+        "qid long, embedding array<double>")
+    out = {r["qid"]: r for r in
+           SIM.embedding_contamination(train, evals,
+                                       threshold=0.9, nprobe=2)
+           .collect()}
+    assert out[100]["contaminated"] is True
+    assert out[100]["train_id"] == 2
+    assert out[100]["cos_micro"] == 1000000
+    assert out[200]["contaminated"] is False
+    assert out[200]["cos_micro"] == 0
+
+
 def test_ivf_sq_knn_join_recovers_float_and_index_path_agrees(
         spark, tmp_path):
     """The batch int8 path: with the same per-query probes, the
