@@ -22,7 +22,10 @@ streaming sinks checkpointing on their own foreachBatch threads can
 never capture each other's registrations, which a map-diff could).
 A defensive diff fallback covers any future Spark where the logical
 plan shape changes; the fallback inherits the single-threaded-driver
-caveat, so it logs nothing and simply releases what it saw register.
+caveat, so it (a) restricts the diffed ids to locally-checkpointed
+RDDs — a concurrent query's ordinary ``.persist()`` can never be
+captured — and (b) warns loudly, so a production log shows exactly
+when release dropped to single-writer semantics.
 
 Callers: the distributed connected-components loop (one superseded
 state frame per round) and the streaming ingest sinks (two frames
@@ -39,6 +42,32 @@ def _persistent_ids(sc) -> set[int]:
     return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
 
 
+def _precise_owned(out: DataFrame) -> set[int]:
+    """The checkpointed Dataset's own block id: its logical plan is
+    LogicalRDD(rdd) where rdd IS the persisted checkpoint RDD
+    (verified for eager and lazy on Spark 4)."""
+    return {int(out._jdf.queryExecution().logical().rdd().id())}
+
+
+def _fallback_owned(sc, pre: set[int]) -> set[int]:
+    """Map-diff attribution restricted to locally-checkpointed RDDs.
+    The persisted RDD KEEPS its original class after localCheckpoint
+    (only its checkpointData changes), so the checkpoint-backed test
+    is ``isLocallyCheckpointed`` — true from the localCheckpoint()
+    call onward, eager or lazy. A concurrent thread's plain
+    ``.persist()`` is never locally checkpointed and can't be
+    captured; only another thread's SIMULTANEOUS localCheckpoint
+    could (the single-writer caveat the caller warns about)."""
+    new = _persistent_ids(sc) - pre
+    owned = set()
+    m = sc._jsc.getPersistentRDDs()
+    for k in list(m.keySet()):
+        if int(k) in new and \
+                m.get(k).rdd().isLocallyCheckpointed():
+            owned.add(int(k))
+    return owned
+
+
 def tracked_local_checkpoint(df: DataFrame,
                              eager: bool = True):
     """``df.localCheckpoint(eager)`` plus the persistent-RDD ids the
@@ -49,14 +78,18 @@ def tracked_local_checkpoint(df: DataFrame,
     pre = _persistent_ids(sc)
     out = df.localCheckpoint(eager=eager)
     try:
-        # precise ownership: the checkpointed Dataset's logical plan
-        # is LogicalRDD(rdd) where rdd IS the persisted checkpoint
-        # RDD (verified for eager and lazy on Spark 4)
-        return out, {int(out._jdf.queryExecution().logical()
-                         .rdd().id())}
+        return out, _precise_owned(out)
     except Exception:
-        # fallback: map-diff attribution (single-writer only)
-        return out, _persistent_ids(sc) - pre
+        # say so in the logs instead of degrading silently
+        import warnings
+
+        warnings.warn(
+            "tracked_local_checkpoint: LogicalRDD introspection "
+            "failed on this Spark build; falling back to "
+            "persistent-map diff (single concurrent checkpointing "
+            "driver thread assumed)", RuntimeWarning,
+            stacklevel=2)
+        return out, _fallback_owned(sc, pre)
 
 
 def release_local_checkpoint(df: DataFrame, ids) -> None:

@@ -688,6 +688,26 @@ def _read_batch_marker(marker: str) -> int:
     return int(txt) if txt.lstrip("-").isdigit() else 0
 
 
+def _write_batch_marker(marker: str, n: int) -> None:
+    """Publish a ``_batch-<id>.done`` marker ATOMICALLY: write the
+    count to a temp name, fsync, then ``os.replace`` into place. A
+    plain ``open(marker, 'w')`` creates the file before the count
+    lands, so a crash mid-write leaves an existing-but-empty marker
+    and a later retry of the (already fully written) batch
+    short-circuits to 0 instead of the recorded row count. With
+    rename-publish a marker either exists with a valid count or
+    not at all — the same exists-means-complete contract the
+    batch-dir overwrite relies on."""
+    import os
+
+    tmp = f"{marker}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(f"{int(n)}\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, marker)
+
+
 def _pq_encode(codebooks: list, dsub: int, vec_col: str):
     """The PQ code column — per subspace, the index of the nearest
     sub-centroid by squared L2 (argmin via array_position, so ties
@@ -770,8 +790,7 @@ def pq_index_append(spark, path: str, new_emb: DataFrame,
             (encoded.write.mode("overwrite")
              .parquet(os.path.join(path, "codes_delta",
                                    f"batch={batch_id}")))
-        with open(marker, "w") as fh:
-            fh.write(f"{n}\n")
+        _write_batch_marker(marker, n)
     finally:
         encoded.unpersist(blocking=True)
     return n
@@ -1569,8 +1588,7 @@ def sq_index_append(spark, path: str, new_emb: DataFrame,
             (assigned.write.mode("overwrite").partitionBy("cell")
              .parquet(os.path.join(path, "cells_delta",
                                    f"batch={batch_id}")))
-        with open(marker, "w") as fh:
-            fh.write(f"{n}\n")
+        _write_batch_marker(marker, n)
     finally:
         # blocking: the hygiene ledger samples cached RDDs right
         # after the call returns
@@ -1733,8 +1751,12 @@ def embedding_contamination(train: DataFrame, evals: DataFrame,
     thr = int(round(float(threshold) * 1_000_000))
     cm = F.floor(F.col("cos") * 1_000_000 + F.lit(0.5)) \
         .cast("long")
+    # ivf_knn_join's output columns are the FIXED names
+    # (qid, vec_id, cos, rank) regardless of qid_col — the caller's
+    # qid_col only selects the INPUT column. Alias back here so a
+    # non-default qid_col round-trips.
     return (nn.where(F.col("rank") == 1)
-            .select(F.col(qid_col),
+            .select(F.col("qid").alias(qid_col),
                     F.col("vec_id").alias("train_id"),
                     "cos",
                     cm.alias("cos_micro"),

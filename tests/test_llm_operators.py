@@ -2707,6 +2707,33 @@ def test_sq_index_append_idempotent_retry(spark, tmp_path):
                                batch_id="b7") == 123
 
 
+def test_batch_marker_publish_is_atomic(tmp_path):
+    """Done markers publish by temp + os.replace: after a write the
+    marker holds a valid count, no temp sibling remains, and an
+    interrupted write (temp exists, no rename) leaves NO marker at
+    all — exists-means-complete, so a retry re-runs the batch
+    instead of short-circuiting to a torn 0 (r11 ADVICE item)."""
+    import os
+
+    from siridb_server_spark.operators.similarity import (
+        _read_batch_marker, _write_batch_marker)
+
+    marker = str(tmp_path / "_batch-a3-abc.done")
+    _write_batch_marker(marker, 42)
+    assert _read_batch_marker(marker) == 42
+    assert [f for f in os.listdir(tmp_path)
+            if ".tmp-" in f] == []
+    # overwrite (a retry that re-recorded the same batch) is fine
+    _write_batch_marker(marker, 42)
+    assert _read_batch_marker(marker) == 42
+    # a crash BETWEEN temp-write and rename: only the temp exists,
+    # so the exists-check a retry performs sees no marker
+    orphan = str(tmp_path / "_batch-b9.done")
+    with open(orphan + ".tmp-999", "w") as fh:
+        fh.write("7\n")
+    assert not os.path.exists(orphan)
+
+
 def test_ivf_knn_join_full_probe_equals_exact(spark):
     """With nprobe = |cells| the IVF join probes everything, so it
     must equal the exact knn_join on (qid, vec_id, cos, rank); with
@@ -2845,6 +2872,17 @@ def test_embedding_contamination_verdicts(spark):
     assert out[100]["cos_micro"] == 1000000
     assert out[200]["contaminated"] is False
     assert out[200]["cos_micro"] == 0
+
+    # non-default qid_col: ivf_knn_join's output columns are the
+    # FIXED names (qid, ...), so the operator must alias back —
+    # same verdicts, caller-named id column (r11 ADVICE item)
+    out2 = SIM.embedding_contamination(
+        train, evals.withColumnRenamed("qid", "query_id"),
+        threshold=0.9, nprobe=2, qid_col="query_id")
+    assert "query_id" in out2.columns and "qid" not in out2.columns
+    got2 = {r["query_id"]: r["contaminated"]
+            for r in out2.collect()}
+    assert got2 == {100: True, 200: False}
 
 
 def test_ivf_sq_knn_join_recovers_float_and_index_path_agrees(
