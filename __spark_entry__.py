@@ -3632,6 +3632,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_pq_ann"] = sim_pq_ann
 
+    def sim_pq_knn_join(spark, sf_dir):
+        """Batch PQ ADC serving (operators/similarity.py
+        PQIndex.knn_join; r11 verdict #3): top-k for EVERY query
+        row in one job — per-query m×k ADC tables built in pure
+        Catalyst on the query side, broadcast against the m-byte
+        codes scan, per-qid window top-k; optional exact rerank
+        from the source vectors. AUDIT contract (k-means has no
+        SQL replay — property posture like sim_pq_ann): for each
+        of 3 query vectors the batch join equals the
+        PQIndex.search loop exactly (ids, 6-decimal ADC, rank
+        order), the rerank variant equals the search_rerank loop,
+        and k rows come back per query."""
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        idx = SIM.PQIndex.train(emb, m=8, k=16, iters=3)
+        try:
+            qrows = emb.orderBy("vec_id").limit(3).collect()
+            qvecs = {int(r["vec_id"]) + 1000:
+                     [float(x) for x in r["embedding"]]
+                     for r in qrows}
+            queries = arrow_df(
+                spark, sorted(qvecs.items()),
+                "qid long, embedding array<double>")
+            got = {}
+            for r in idx.knn_join(queries, k=10).collect():
+                got.setdefault(r["qid"], []).append(
+                    (r["rank"], r["vec_id"], r["adc"]))
+            equal = int(all(
+                sorted(got.get(qid, [])) ==
+                [(i + 1, r["vec_id"], r["adc"]) for i, r in
+                 enumerate(idx.search(qv, k=10).collect())]
+                for qid, qv in qvecs.items()))
+            got_rr = {}
+            for r in idx.knn_join(queries, k=5, emb=emb,
+                                  shortlist=50).collect():
+                got_rr.setdefault(r["qid"], []).append(
+                    (r["rank"], r["vec_id"], r["d2"]))
+            equal_rr = int(all(
+                sorted(got_rr.get(qid, [])) ==
+                [(i + 1, r["vec_id"], r["d2"]) for i, r in
+                 enumerate(idx.search_rerank(
+                     emb, qv, k=5, shortlist=50).collect())]
+                for qid, qv in qvecs.items()))
+        finally:
+            idx.unpersist()
+        props = [
+            ("equal_to_per_query_search", equal),
+            ("equal_to_per_query_rerank", equal_rr),
+            ("rows_returned", sum(len(v) for v in got.values())),
+        ]
+        return arrow_df(spark, props, "prop string, n long")
+
+    q["sim_pq_knn_join"] = sim_pq_knn_join
+
     def sim_pq_index_append(spark, sf_dir):
         """PQ index lifecycle — append (operators/similarity.py
         pq_index_append): a delta encoded with the saved index's
@@ -6372,6 +6426,13 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 'code_out_of_range', 0"
         " UNION ALL SELECT 'recall_at_10_ge_5', 1"
     )
+    # PQ batch serving (r12): property contract — equality with the
+    # per-query search/search_rerank loops (k-means, no SQL replay)
+    o["sim_pq_knn_join"] = (
+        "SELECT 'equal_to_per_query_search' AS prop,"
+        " CAST(1 AS BIGINT) AS n"
+        " UNION ALL SELECT 'equal_to_per_query_rerank', 1"
+        " UNION ALL SELECT 'rows_returned', 30")
     # PQ lifecycle (r11): property contracts — the codebooks come
     # from k-means, which has no SQL replay (same posture as
     # sim_pq_ann)

@@ -142,6 +142,22 @@ def _knn_probe(spark, d):
     return _S.knn_join(emb, qs, k=10)
 
 
+def _pq_join_probe(spark, d):
+    # fixed 3-query side × K× corpus through the batch PQ ADC join:
+    # train (k-means over K× rows, fixed iters), encode, and the
+    # per-query codes scan are all row-linear; the ADC tables are a
+    # fixed-size broadcast. codes are unpersisted before returning
+    # (the noop write re-derives the pure encode map) so the probe's
+    # two timed runs don't leak cached RDDs
+    from siridb_server_spark.operators import similarity as _S
+    emb = _load(spark, d, "embeddings").where("vec_id <> 0")
+    qs = (emb.orderBy("vec_id").limit(3)
+          .select(F.col("vec_id").alias("qid"), "embedding"))
+    idx = _S.PQIndex.train(emb, m=4, k=8, iters=1)
+    idx.unpersist()
+    return idx.knn_join(qs, k=10)
+
+
 def _dtw_join_probe(spark, d):
     # fixed 3-query side × K× corpus through the batch DTW join —
     # mirrors the sim_ivf_knn_join probe design: the DP-candidate
@@ -188,6 +204,7 @@ PROBE_EXTRA = {
     "probe_connected_components": _cc_probe,
     "probe_knn_join": _knn_probe,
     "probe_dtw_knn_join": _dtw_join_probe,
+    "probe_pq_knn_join": _pq_join_probe,
 }
 
 BASE = "/root/testdata/sf0.1"

@@ -461,6 +461,16 @@ def _sq_dist(vec_col, centroid) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _sq_dist_cols(a: Column, b: Column) -> Column:
+    """Pairwise squared L2 between two array COLUMNS — the same
+    sequential fold as :func:`_sq_dist`, so a batch rerank scores
+    bit-identically to the per-query constant-vector path before
+    the 6-decimal round."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
 def assign_cells(emb: DataFrame, centroids: list,
                  vec_col: str = "embedding") -> Column:
     """Nearest-centroid cell id as a row-local column expression: the
@@ -577,8 +587,13 @@ class PQIndex:
         adc = F.lit(0.0)
         for j, cb in enumerate(self.codebooks):
             qs = q[j * self.dsub:(j + 1) * self.dsub]
+            # (a-b)*(a-b), never **2: libm pow can differ from the
+            # multiply by 1 ulp, and knn_join computes these same
+            # tables in Catalyst (zip_with multiply, identical fold
+            # order) — the documented per-query equality needs both
+            # paths bit-equal before the 6-decimal round
             table = [
-                sum((cv - qv) ** 2 for cv, qv in zip(c, qs))
+                sum((cv - qv) * (cv - qv) for cv, qv in zip(c, qs))
                 for c in cb]
             adc = adc + F.element_at(
                 F.array(*[F.lit(t) for t in table]),
@@ -600,6 +615,86 @@ class PQIndex:
         cand = self.search(query_vec, k=shortlist).select(self.id_col)
         sub = emb.join(F.broadcast(cand), self.id_col, "semi")
         return l2_topk_exact(sub, query_vec, k, vec_col, self.id_col)
+
+    def knn_join(self, queries: DataFrame, k: int = 10,
+                 qid_col: str = "qid",
+                 vec_col: str = "embedding",
+                 emb: DataFrame | None = None,
+                 shortlist: int = 200) -> DataFrame:
+        """Batch ADC serving — PQ's analogue of
+        :meth:`SQIndex.knn_join` (r11 verdict #3): top-k by
+        ADC-approximate squared L2 for EVERY query row, per query
+        IDENTICAL to :meth:`search` (same tables up to fold order —
+        bit-equal, see search — same 6-decimal round, ties to the
+        smaller id).
+
+        PQ has no coarse cells, so a batch search IS one scan of
+        the m-byte codes per query — that full scan is the codec's
+        documented serving shape, and what makes it the 100 TB
+        shape is what flows: each query reduces to its m×k ADC
+        table (k·dim multiply-adds, computed in pure Catalyst on
+        the distributed query side, ~1 KB per query), the tables
+        broadcast against the codes scan, each (query, code) pair
+        costs m array lookups + adds, and a per-qid window takes
+        the top k. No join touches the corpus side; for probe-style
+        pruning use :class:`SQIndex`/IVF — PQ is the compression
+        codec, not the partitioner. A very large query side should
+        be slabbed (the broadcast carries |q|·m·k doubles).
+
+        With ``emb`` (the source vectors) the serving pattern of
+        :meth:`search_rerank` applies per query: ADC keeps
+        ``shortlist`` candidates, exact L2 re-ranks just those
+        (|q|·shortlist pairs through two hash joins). Output:
+        (qid, vec_id, adc, rank) — or (qid, vec_id, d2, rank)
+        when re-ranked."""
+        def _tab(j: int) -> Column:
+            # a def (not a default-arg lambda): transform treats a
+            # two-parameter callable as the (element, index) form
+            # and would shadow the bound j with the array index
+            qsub = F.slice(F.col("_qv"), j * self.dsub + 1,
+                           self.dsub)
+            return F.transform(
+                F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                          for c in self.codebooks[j]]),
+                lambda c: F.aggregate(
+                    F.zip_with(c, qsub,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x))
+
+        tabs = F.array(*[_tab(j) for j in range(len(self.codebooks))])
+        qt = (queries.select(F.col(qid_col).alias("qid"),
+                             F.col(vec_col).alias("_qv"))
+              .withColumn("_tabs", tabs))
+        adc = F.round(
+            F.aggregate(
+                F.zip_with(F.col("_tabs"), F.col("code"),
+                           lambda t, c: F.element_at(t, c + 1)),
+                F.lit(0.0), lambda acc, x: acc + x),
+            6) + F.lit(0.0)
+        w = Window.partitionBy("qid").orderBy(
+            F.asc("adc"), F.asc(self.id_col))
+        ranked = (self.codes
+                  .crossJoin(F.broadcast(qt.select("qid", "_tabs")))
+                  .select("qid", F.col(self.id_col),
+                          adc.alias("adc"))
+                  .withColumn("rank", F.row_number().over(w)))
+        if emb is None:
+            return (ranked.where(F.col("rank") <= int(k))
+                    .select("qid", self.id_col, "adc", "rank"))
+        cand = (ranked.where(F.col("rank") <= int(shortlist))
+                .select("qid", self.id_col))
+        sub = cand.join(
+            emb.select(F.col(self.id_col),
+                       F.col(vec_col).alias("_cv")), self.id_col)
+        d2 = F.round(_sq_dist_cols(F.col("_cv"), F.col("_qv")),
+                     6) + F.lit(0.0)
+        w2 = Window.partitionBy("qid").orderBy(
+            F.asc("d2"), F.asc(self.id_col))
+        return (sub.join(qt.select("qid", "_qv"), "qid")
+                .select("qid", F.col(self.id_col), d2.alias("d2"))
+                .withColumn("rank", F.row_number().over(w2))
+                .where(F.col("rank") <= int(k))
+                .select("qid", self.id_col, "d2", "rank"))
 
     def unpersist(self):
         # blocking for the same hygiene-ledger reason as

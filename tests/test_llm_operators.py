@@ -807,6 +807,64 @@ def test_pq_index_codes_and_rerank(spark):
     idx.unpersist()
 
 
+def test_pq_knn_join_equals_per_query_search(spark):
+    """Batch ADC serving: PQIndex.knn_join's per-query answers
+    equal the PQIndex.search loop exactly (ids, 6-decimal ADC,
+    rank order — the tables are computed in Catalyst on the query
+    side vs python literals in search, so this also pins the
+    bit-parity of the two table paths), and the emb-rerank variant
+    equals search_rerank per query. Queries both inside and
+    outside the corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from siridb_server_spark.operators.similarity import PQIndex
+
+    rng = random.Random(17)
+    base = [[float(c)] * 16 for c in (0, 10, 20, 30)]
+    rows = [(i, [v + rng.uniform(-0.7, 0.7)
+                 for v in base[i % 4]]) for i in range(70)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    idx = PQIndex.train(emb, m=4, k=4, iters=3)
+    try:
+        qvecs = {100: rows[0][1], 200: rows[3][1],
+                 300: [v + 2.5 for v in base[2]]}  # foreign query
+        queries = spark.createDataFrame(
+            sorted(qvecs.items()),
+            "qid long, embedding array<double>")
+        got = {}
+        for r in idx.knn_join(queries, k=6).collect():
+            got.setdefault(r["qid"], []).append(
+                (r["rank"], r["vec_id"], r["adc"]))
+        assert set(got) == set(qvecs)
+        for qid, qv in qvecs.items():
+            want = [(i + 1, r["vec_id"], r["adc"]) for i, r in
+                    enumerate(idx.search(qv, k=6).collect())]
+            assert sorted(got[qid]) == want, qid
+        # rerank variant == search_rerank loop
+        got_rr = {}
+        for r in idx.knn_join(queries, k=4, emb=emb,
+                              shortlist=30).collect():
+            got_rr.setdefault(r["qid"], []).append(
+                (r["rank"], r["vec_id"], r["d2"]))
+        for qid, qv in qvecs.items():
+            want = [(i + 1, r["vec_id"], r["d2"]) for i, r in
+                    enumerate(idx.search_rerank(
+                        emb, qv, k=4, shortlist=30).collect())]
+            assert sorted(got_rr[qid]) == want, qid
+        # non-default qid_col round-trips
+        alt = idx.knn_join(
+            queries.withColumnRenamed("qid", "query_id")
+            .withColumn("qid", F.lit(0)),  # decoy column
+            k=2, qid_col="query_id")
+        assert alt.columns == ["qid", "vec_id", "adc", "rank"]
+        assert {r["qid"] for r in alt.collect()} == set(qvecs)
+    finally:
+        idx.unpersist()
+
+
 def test_pq_index_save_load_roundtrip(spark, tmp_path):
     """A saved PQIndex reopens self-describing (codebooks, dsub,
     id_col from meta) and serves the same ADC ranking and rerank

@@ -150,6 +150,11 @@ BOUNDS = {
     # drift report: one broadcast join + |cells|-key groupBys over
     # base+delta — pure linear scans
     "sim_sq_index_drift": K * 2,
+    # r12: batch PQ ADC join — fixed 3-query side × K× corpus;
+    # train/encode/scan all row-linear, the ADC tables a fixed
+    # broadcast (a lost broadcast or a per-row table rebuild
+    # lands ~K²)
+    "probe_pq_knn_join": K * 2,
 }
 
 
