@@ -1427,3 +1427,144 @@ def test_sq_drift_stream_snapshots_per_batch(spark, tmp_path):
     before = sorted(os.listdir(out))
     sink(delta, 0)                       # marker -> no-op
     assert sorted(os.listdir(out)) == before
+
+
+def test_index_lifecycle_committer_end_to_end(spark, tmp_path,
+                                              monkeypatch):
+    """The FULL index lifecycle under the object-store contract
+    (fs='committer', no directory rename anywhere), for BOTH
+    SQIndex and PQIndex: save → REAL streaming append (availableNow
+    file stream, one file per micro-batch) → committer compaction
+    with a crash injected BETWEEN the fold and the delta tombstones
+    → self-healing refold → rebuild (snapshot rotation) → serve.
+    The served answers after the healed compaction equal a plain
+    batch-append twin that never compacted or crashed; previously
+    only covered piecewise (r11 verdict #5)."""
+    import shutil
+
+    from siridb_server_spark.operators import similarity as SIM
+    from siridb_server_spark.sources.testdata import load
+    from siridb_server_spark.streaming import corpus as SC
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where("vec_id % 5 = 0 AND vec_id <> 0")
+    d1 = emb.where("vec_id % 5 = 1").select("vec_id", "embedding")
+    d2 = emb.where("vec_id % 5 = 2").select("vec_id", "embedding")
+    qvec = [float(x) for x in
+            emb.where("vec_id = 0").first()["embedding"]]
+    want_n = base.count() + d1.count() + d2.count()
+
+    def crash_compact(fn, path):
+        # fold lands, every consumed delta survives (the crash
+        # window between publish and tombstones)
+        real = shutil.rmtree
+        monkeypatch.setattr(
+            shutil, "rmtree",
+            lambda *a, **kw: (_ for _ in ()).throw(
+                RuntimeError("injected pre-tombstone crash")))
+        try:
+            with pytest.raises(RuntimeError,
+                               match="pre-tombstone"):
+                fn(spark, path, fs="committer")
+        finally:
+            monkeypatch.setattr(shutil, "rmtree", real)
+
+    def stream_in(start_fn, path, tag):
+        src = tmp_path / f"src-{tag}"
+        src.mkdir()
+        d1.coalesce(1).write.parquet(str(src / "f1"))
+        d2.coalesce(1).write.parquet(str(src / "f2"))
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<float>")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*"))
+        q = start_fn(stream, path,
+                     checkpoint=str(tmp_path / f"ck-{tag}"),
+                     available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+
+    # ---- SQIndex ----
+    sq_stream, sq_batch = str(tmp_path / "sqs"), str(tmp_path / "sqb")
+    idx = SIM.SQIndex.from_labels(base)
+    for p in (sq_stream, sq_batch):
+        idx.save(p)
+    idx.unpersist()
+    stream_in(SC.stream_sq_index_ingest, sq_stream, "sq")
+    SIM.sq_index_append(spark, sq_batch, d1)
+    SIM.sq_index_append(spark, sq_batch, d2)
+    assert SIM.SQIndex.load(spark, sq_stream).cells.count() == want_n
+
+    crash_compact(SC.compact_sq_index, sq_stream)
+    ddir = os.path.join(sq_stream, "cells_delta")
+    dirs = sorted(d for d in os.listdir(ddir)
+                  if d.startswith("batch="))
+    assert "batch=-1" in dirs and len(dirs) == 3, dirs
+    # refold self-heals: one negative base, duplicates distinct'd
+    assert SC.compact_sq_index(spark, sq_stream, fs="committer") \
+        == {"cells_delta": 3}
+    assert sorted(d for d in os.listdir(ddir)
+                  if d.startswith("batch=")) == ["batch=-2"]
+    healed = SIM.SQIndex.load(spark, sq_stream)
+    assert healed.cells.count() == want_n
+    got = [tuple(r) for r in
+           healed.search(qvec, k=10, nprobe=3).collect()]
+    want = [tuple(r) for r in
+            SIM.SQIndex.load(spark, sq_batch)
+            .search(qvec, k=10, nprobe=3).collect()]
+    assert got == want and len(got) == 10
+    # rebuild rotates a NEW snapshot from the healed index: every
+    # indexed (id) row lands in the new one, and it serves
+    sq_new = str(tmp_path / "sq-rebuilt")
+    new = SIM.sq_index_rebuild(spark, sq_stream, sq_new, iters=2)
+    try:
+        old_ids = {r["vec_id"] for r in
+                   healed.cells.select("vec_id").collect()}
+        new_ids = {r["vec_id"] for r in
+                   new.cells.select("vec_id").collect()}
+        assert new_ids == old_ids
+    finally:
+        new.unpersist()
+    assert len(SIM.SQIndex.load(spark, sq_new)
+               .search(qvec, k=10).collect()) == 10
+
+    # ---- PQIndex ----
+    pq_stream, pq_batch = str(tmp_path / "pqs"), str(tmp_path / "pqb")
+    pidx = SIM.PQIndex.train(base, m=4, k=8, iters=2)
+    for p in (pq_stream, pq_batch):
+        pidx.save(p)
+    pidx.unpersist()
+    stream_in(SC.stream_pq_index_ingest, pq_stream, "pq")
+    SIM.pq_index_append(spark, pq_batch, d1)
+    SIM.pq_index_append(spark, pq_batch, d2)
+    assert SIM.PQIndex.load(spark, pq_stream).codes.count() == want_n
+
+    crash_compact(SC.compact_pq_index, pq_stream)
+    cdir = os.path.join(pq_stream, "codes_delta")
+    dirs = sorted(d for d in os.listdir(cdir)
+                  if d.startswith("batch="))
+    assert "batch=-1" in dirs and len(dirs) == 3, dirs
+    assert SC.compact_pq_index(spark, pq_stream, fs="committer") \
+        == {"codes_delta": 3}
+    assert sorted(d for d in os.listdir(cdir)
+                  if d.startswith("batch=")) == ["batch=-2"]
+    phealed = SIM.PQIndex.load(spark, pq_stream)
+    assert phealed.codes.count() == want_n
+    pgot = [tuple(r) for r in phealed.search(qvec, k=10).collect()]
+    pwant = [tuple(r) for r in
+             SIM.PQIndex.load(spark, pq_batch)
+             .search(qvec, k=10).collect()]
+    assert pgot == pwant and len(pgot) == 10
+    # rebuild: PQ honestly requires the source vectors (codes are
+    # lossy); rotation from the caller-owned corpus serves
+    pq_new = str(tmp_path / "pq-rebuilt")
+    pnew = SIM.pq_index_rebuild(
+        spark, pq_stream, pq_new,
+        emb=base.select("vec_id", "embedding")
+        .unionByName(d1).unionByName(d2), iters=1)
+    try:
+        assert pnew.codes.count() == want_n
+    finally:
+        pnew.unpersist()
+    assert len(SIM.PQIndex.load(spark, pq_new)
+               .search(qvec, k=10).collect()) == 10
