@@ -1029,6 +1029,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_contamination"] = dedup_contamination
 
+    def text_ngram_novelty(spark, sf_dir):
+        """Per-document n-gram novelty (operators/dedup.py
+        ngram_novelty): of each scored document's distinct 3-word
+        shingles, how many never appear in the reference corpus —
+        the freshness/memorization score of a new crawl against
+        what the model already saw (the scoring mirror of
+        dedup_contamination's threshold flag). Docs with doc_id %
+        20 == 0 are the scored 'new' slice, the rest the
+        reference; integer sufficient statistics (n_ngrams,
+        n_novel), the ratio left to the caller."""
+        docs = load(spark, sf_dir, "documents")
+        return D.ngram_novelty(
+            docs.where(F.col("doc_id") % 20 == 0),
+            docs.where(F.col("doc_id") % 20 != 0), n=3)
+
+    q["text_ngram_novelty"] = text_ngram_novelty
+
     def dedup_resolve(spark, sf_dir):
         docs = load(spark, sf_dir, "documents").where(
             F.col("doc_id") < 300)
@@ -1784,6 +1801,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.where(F.col("vec_id") != 0), vec, k=10)
 
     q["sim_bruteforce_topk"] = sim_bruteforce_topk
+
+    def sim_dim_truncation_recall(spark, sf_dir):
+        """Matryoshka truncation audit (operators/similarity.py
+        dim_truncation_recall): top-10-by-cosine over the first
+        8/16/32 coordinates scored against the full 64-dim exact
+        top-10 — one corpus scan, one dim-partitioned window.
+        Integer contract: (dim, k, hits); recall@k is the caller's
+        hits/k."""
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        vec = _query_vec(spark, sf_dir)
+        return SIM.dim_truncation_recall(emb, vec,
+                                         dims=(8, 16, 32), k=10)
+
+    q["sim_dim_truncation_recall"] = sim_dim_truncation_recall
 
     def sim_knn_join(spark, sf_dir):
         """Batch kNN join: 3 query vectors against the rest of the
@@ -4911,6 +4943,28 @@ def oracle_sql() -> dict[str, str]:
         " SELECT tr.doc_id, count(*) AS overlap"
         " FROM tr JOIN ev USING (g) GROUP BY 1 HAVING count(*) >= 1"
     )
+    # n-gram novelty: the contamination CTE reversed — the scored
+    # slice left_anti-joins the reference's distinct shingles; the
+    # oracle joins on shingle STRINGS where Spark joins on their
+    # xxhash64 (the family's established hash↔string equivalence)
+    o["text_ngram_novelty"] = (
+        "WITH tok AS (SELECT doc_id,"
+        " list_filter(string_split(lower(trim(text)), ' '),"
+        " x -> x <> '') AS w FROM documents),"
+        " grams AS (SELECT doc_id, list_distinct(list_transform("
+        " range(1, greatest(len(w) - 2, 1) + 1),"
+        " i -> array_to_string(w[i:i+2], ' '))) AS gs FROM tok),"
+        " x AS (SELECT doc_id, unnest(gs) AS g FROM grams),"
+        " new AS (SELECT doc_id, g FROM x WHERE doc_id % 20 = 0),"
+        " ref AS (SELECT DISTINCT g FROM x WHERE doc_id % 20 <> 0),"
+        " tot AS (SELECT doc_id, count(*) AS n_ngrams FROM new"
+        " GROUP BY 1),"
+        " nov AS (SELECT doc_id, count(*) AS n_novel FROM new"
+        " ANTI JOIN ref USING (g) GROUP BY 1)"
+        " SELECT t.doc_id, CAST(t.n_ngrams AS BIGINT) AS n_ngrams,"
+        " CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel"
+        " FROM tot t LEFT JOIN nov USING (doc_id)"
+    )
     # duplicate-cluster resolution: connected components (min label
     # reachable over the undirected near-dup graph) via recursive CTE
     _JP = o["dedup_ngram_jaccard"]
@@ -6095,6 +6149,34 @@ def oracle_sql() -> dict[str, str]:
         " + 0.0 AS cos"
         " FROM s ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id"
         " LIMIT 10"
+    )
+    # truncation audit: per prefix dim, rank on the 6-decimal
+    # cosine over the sliced vectors (ties to the smaller id —
+    # exactly the operator's window), hits against the full-dim set
+    o["sim_dim_truncation_recall"] = (
+        "WITH dims(dim) AS (VALUES (8), (16), (32), (64)),"
+        " q AS (SELECT embedding AS qe FROM embeddings"
+        " WHERE vec_id = 0),"
+        " prod AS (SELECT dims.dim, e.vec_id,"
+        " CAST(unnest(e.embedding[1:dims.dim]) AS DOUBLE) AS x,"
+        " CAST(unnest(q.qe[1:dims.dim]) AS DOUBLE) AS y"
+        " FROM embeddings e, q, dims WHERE e.vec_id <> 0),"
+        " s AS (SELECT dim, vec_id, sum(x * y) AS d,"
+        " sum(x * x) AS na, sum(y * y) AS nb FROM prod"
+        " GROUP BY 1, 2),"
+        " r AS (SELECT dim, vec_id, row_number() OVER ("
+        " PARTITION BY dim ORDER BY round(CASE WHEN na = 0 OR"
+        " nb = 0 THEN 0.0 ELSE d / (sqrt(na) * sqrt(nb)) END, 6)"
+        " DESC, vec_id) AS rn FROM s),"
+        " top AS (SELECT dim, vec_id FROM r WHERE rn <= 10),"
+        " f AS (SELECT vec_id FROM top WHERE dim = 64),"
+        " h AS (SELECT t.dim, count(*) AS hits FROM top t"
+        " JOIN f USING (vec_id) WHERE t.dim <> 64 GROUP BY 1)"
+        " SELECT CAST(d.dim AS BIGINT) AS dim,"
+        " CAST(10 AS BIGINT) AS k,"
+        " CAST(coalesce(h.hits, 0) AS BIGINT) AS hits"
+        " FROM (SELECT dim FROM dims WHERE dim <> 64) d"
+        " LEFT JOIN h ON d.dim = h.dim"
     )
     # batch kNN join: every query (vec_id < 3) against the corpus;
     # rank on the 6-decimal-rounded cosine with vec_id tie-break,

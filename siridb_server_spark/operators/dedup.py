@@ -189,6 +189,49 @@ def ngram_contamination(train_df: DataFrame, eval_df: DataFrame,
     )
 
 
+def ngram_novelty(docs: DataFrame, reference: DataFrame,
+                  n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  broadcast_reference: bool = True) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: of a
+    document's distinct n-word shingles, how many never appear
+    anywhere in ``reference``. The scoring mirror of
+    :func:`ngram_contamination` (which flags overlap above a
+    threshold; this scores EVERY doc): the freshness signal a
+    data-mixing run uses to weight a new crawl against what the
+    model has already seen, and the memorization-risk score for
+    generated text judged against its training corpus.
+
+    Scale shape: the docs side is a row-local shingle-hash map (no
+    pre-join shuffle — ``shingles`` dedups per doc); the reference
+    collapses to a distinct hash set, BROADCAST by default (eval
+    sets, style guides — anything driver-small). For a
+    corpus-scale reference pass ``broadcast_reference=False``: the
+    novelty test becomes a plain left_anti hash join shuffling
+    8-byte keys — the 100 TB shape. One groupBy(doc_id) each for
+    the total and the novel count.
+
+    Output: (doc_id, n_ngrams, n_novel) — integer sufficient
+    statistics (distinct shingles and the unseen subset); the
+    novelty ratio is the caller's division, so the contract hashes
+    cross-engine with no float boundary."""
+    hs = F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(hs).alias("h"))
+    ref = reference.select(F.explode(hs).alias("h")).distinct()
+    if broadcast_reference:
+        ref = F.broadcast(ref)
+    total = d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"))
+    novel = (d.join(ref, "h", "left_anti")
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_novel")))
+    return (total.join(novel, "doc_id", "left")
+            .select("doc_id", "n_ngrams",
+                    F.coalesce("n_novel", F.lit(0))
+                    .cast("long").alias("n_novel")))
+
+
 def _cap_posting_lists(dw: DataFrame,
                        max_df: int | None) -> DataFrame:
     """Document-frequency cutoff for inverted-index self-joins: drop

@@ -992,6 +992,77 @@ def pq_index_rebuild(spark, path: str, new_path: str,
     return new
 
 
+def dim_truncation_recall(emb: DataFrame, query_vec,
+                          dims=(8, 16, 32), k: int = 10,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka-style truncation audit: for each prefix length
+    ``d`` in ``dims``, the top-k by cosine over the FIRST d
+    coordinates, scored against the full-dimension exact top-k —
+    the measurement a serving team runs before cutting index cost
+    by storing truncated embeddings (MRL, Kusupati et al. 2022:
+    prefixes of a matryoshka-trained embedding are usable
+    embeddings; this audit tells you which prefix holds your
+    recall floor on YOUR corpus).
+
+    Spark shape: ONE corpus scan emits (id, dim, cos) via a
+    row-local explode over the requested prefixes (each cosine is
+    a sequential fold over a slice — no UDF), one window ranks all
+    prefixes at once (single shuffle partitioned by dim), and the
+    full-dim top-k joins back as the reference set. Audit-sized by
+    design: run it on a bounded sample, then pick the serving dim.
+
+    Output: (dim, k, hits) — integers (hits of k recovered by the
+    truncated ranking; recall@k = hits/k is the caller's division,
+    so the contract hashes cross-engine). Ranking rounds the
+    cosine to 6 decimals first and breaks ties on the smaller id —
+    the family's determinism rule."""
+    q = [float(x) for x in query_vec]
+    full_d = len(q)
+    audit = sorted({int(d) for d in dims} - {full_d})
+    if any(d < 1 or d > full_d for d in audit):
+        raise ValueError(f"dims must be within [1, {full_d}]")
+
+    def cos_d(d: int) -> Column:
+        sub = F.slice(F.col(vec_col), 1, d)
+        qd = q[:d]
+        nq = sum(x * x for x in qd)
+        if nq == 0.0:
+            return F.lit(0.0)
+        dd = dot(sub, F.array(*[F.lit(x) for x in qd]))
+        na = dot(sub, sub)
+        return F.round(
+            F.when(na == 0, F.lit(0.0))
+            .otherwise(dd / (F.sqrt(na) * F.sqrt(F.lit(nq)))), 6)
+
+    scored = emb.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("dim"),
+                     cos_d(d).alias("cos"))
+            for d in audit + [full_d]])).alias("s")) \
+        .select(id_col, "s.dim", "s.cos")
+    w = Window.partitionBy("dim").orderBy(
+        F.desc("cos"), F.asc(id_col))
+    top = (scored.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") <= int(k))
+           .select("dim", id_col))
+    full_ids = top.where(F.col("dim") == full_d).select(id_col)
+    hits = (top.where(F.col("dim") != full_d)
+            .join(F.broadcast(full_ids), id_col, "semi")
+            .groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("hits")))
+    from ..localdf import arrow_df
+
+    dims_df = arrow_df(emb.sparkSession, [(d,) for d in audit],
+                       "dim int")
+    return (dims_df.join(hits, "dim", "left")
+            .select(F.col("dim").cast("long").alias("dim"),
+                    F.lit(int(k)).cast("long").alias("k"),
+                    F.coalesce("hits", F.lit(0)).cast("long")
+                    .alias("hits")))
+
+
 def l2_topk_exact(emb: DataFrame, query_vec, k: int = 10,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:

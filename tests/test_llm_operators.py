@@ -107,6 +107,66 @@ def test_ngram_contamination(docs, spark):
     assert strict == {1}
 
 
+def test_ngram_novelty_counts_and_broadcast_parity(spark):
+    """Planted novelty: an exact copy of a reference doc scores 0
+    novel shingles, an all-new doc scores all of them, a partial
+    rewrite scores exactly the shingles its changed word created;
+    the non-broadcast (corpus-scale-reference) path returns the
+    identical frame."""
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "some other reference material entirely")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "completely unseen words in every single gram"),
+         (12, "the quick brown cat jumps over the lazy dog")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_novel"]) for r in
+           D.ngram_novelty(new, ref, n=3).collect()}
+    # 9 words -> 7 distinct 3-grams each
+    assert got[10] == (7, 0)       # verbatim copy: nothing novel
+    assert got[11] == (5, 5)       # 7 words -> 5 grams, all new
+    # one changed word (fox->cat) touches grams at offsets 1,2,3
+    assert got[12] == (7, 3)
+    flat = sorted(tuple(r) for r in D.ngram_novelty(
+        new, ref, n=3, broadcast_reference=False).collect())
+    assert flat == sorted((k, *v) for k, v in got.items())
+
+
+def test_dim_truncation_recall_planted(spark):
+    """Planted geometry: vectors whose FIRST two coordinates are
+    identical across the corpus (dim-2 ranking ties everywhere →
+    falls to the id tie-break) while the tail coordinates separate
+    them — dim-2 recall is the id-order overlap, full-prefix dims
+    recover the exact set; a dim equal to the full width is
+    excluded from the output and out-of-range dims raise."""
+    import pytest as _pt
+
+    from siridb_server_spark.operators import similarity as SIM
+
+    # corpus: 8 vectors, dims 0-1 constant, dims 2-3 distinguish;
+    # ids 100.. so the id tie-break order is deterministic
+    rows = [(100 + i, [1.0, 1.0, float(i), float(i) / 2])
+            for i in range(8)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    q = [1.0, 1.0, 7.0, 3.5]     # = vector 107's direction
+    out = {r["dim"]: (r["k"], r["hits"]) for r in
+           SIM.dim_truncation_recall(emb, q, dims=(2, 3, 4), k=3)
+           .collect()}
+    assert set(out) == {2, 3}    # dim 4 == full width: excluded
+    # dim 2: all cosines tie at 1.0 -> top-3 by id = 100,101,102;
+    # full top-3 by cosine = highest-i vectors -> overlap is empty
+    assert out[2] == (3, 0)
+    # dim 3 already ranks by the separating coordinate: full recall
+    assert out[3] == (3, 3)
+    with _pt.raises(ValueError, match="dims must be within"):
+        SIM.dim_truncation_recall(emb, q, dims=(0, 2), k=3)
+    with _pt.raises(ValueError, match="dims must be within"):
+        SIM.dim_truncation_recall(emb, q, dims=(5,), k=3)
+
+
 def test_minhash_lsh(docs):
     pairs = {(r["id_a"], r["id_b"])
              for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
