@@ -437,6 +437,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hll_merge"] = sketch_hll_merge
 
+    def sketch_bloom_membership(spark, sf_dir):
+        """Bloom membership sketch, build AND probe pinned
+        cross-engine (operators/sketches.py bloom_bits /
+        bloom_might_contain): the reference side (3-word shingles
+        of docs with doc_id % 20 ≠ 0 — ~16k members at sf0.01)
+        becomes a distinct md5-positioned set-bit relation
+        (m = 2¹⁶, k = 4 — sized so the probe surface carries REAL
+        false positives, ~14% of the truly-novel probes at this
+        fill), the held-out docs' shingles probe it — the
+        bloom-backed approximate twin of text_ngram_novelty for
+        when the reference's member set can't be collected. The
+        construction is deterministic, so the exact
+        false-positive count is a hashable VALUE, not a
+        tolerance — the oracle replays positions, bits, semi-join
+        and the hits==k verdict in SQL. Props: bits_set,
+        ref_total / ref_missed (must be 0 — no false negatives,
+        the Bloom theorem), probe_total / probe_flagged."""
+        from siridb_server_spark.operators import sketches as SK
+        from siridb_server_spark.operators.dedup import shingles
+        docs = load(spark, sf_dir, "documents")
+        w = F.explode(shingles("text", 3)).alias("w")
+        ref = docs.where(F.col("doc_id") % 20 != 0).select(w)
+        probe = docs.where(F.col("doc_id") % 20 == 0).select(w)
+        bloom = SK.bloom_bits(ref, [], "w", m_bits=1 << 16, k=4)
+        self_mc = SK.bloom_might_contain(
+            ref, bloom, "w", m_bits=1 << 16, k=4)
+        probe_mc = SK.bloom_might_contain(
+            probe, bloom, "w", m_bits=1 << 16, k=4)
+        rows = [
+            bloom.agg(F.lit("bits_set").alias("prop"),
+                      F.count(F.lit(1)).cast("long").alias("n")),
+            self_mc.agg(F.lit("ref_total").alias("prop"),
+                        F.count(F.lit(1)).cast("long").alias("n")),
+            self_mc.where(~F.col("might_contain")).agg(
+                F.lit("ref_missed").alias("prop"),
+                F.count(F.lit(1)).cast("long").alias("n")),
+            probe_mc.agg(F.lit("probe_total").alias("prop"),
+                         F.count(F.lit(1)).cast("long").alias("n")),
+            probe_mc.where(F.col("might_contain")).agg(
+                F.lit("probe_flagged").alias("prop"),
+                F.count(F.lit(1)).cast("long").alias("n")),
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    q["sketch_bloom_membership"] = sketch_bloom_membership
+
     def sketch_kmv_values(spark, sf_dir):
         """KMV (k-minimum-values) sketch per event_type over
         user_id (operators/sketches.py, Beyer et al. 2007) — the
@@ -4661,6 +4710,42 @@ def oracle_sql() -> dict[str, str]:
                    " SELECT event_type, pos, pri, val FROM sk")
     o["sketch_quantile_sample"] = _qsk_direct
     o["sketch_quantile_merge"] = _qsk_direct
+    # bloom membership: build (md5 7-hex slices mod 2^16, distinct
+    # bits) AND probe (semi-join + hits==4) replayed end to end —
+    # the FP count is a deterministic VALUE, not a tolerance
+    _bloom_pos = ("unnest(["
+                  "('0x' || substr(md5(w), 1, 7))::BIGINT % 65536,"
+                  "('0x' || substr(md5(w), 8, 7))::BIGINT % 65536,"
+                  "('0x' || substr(md5(w), 15, 7))::BIGINT % 65536,"
+                  "('0x' || substr(md5(w), 22, 7))::BIGINT % 65536"
+                  "]) AS bit")
+    o["sketch_bloom_membership"] = (
+        "WITH tok AS (SELECT doc_id,"
+        " list_filter(string_split(lower(trim(text)), ' '),"
+        " x -> x <> '') AS wl FROM documents),"
+        " grams AS (SELECT doc_id, unnest(list_distinct("
+        " list_transform(range(1, greatest(len(wl) - 2, 1) + 1),"
+        " i -> array_to_string(wl[i:i+2], ' ')))) AS w FROM tok),"
+        " ref AS (SELECT DISTINCT w FROM grams"
+        " WHERE doc_id % 20 <> 0),"
+        " probe AS (SELECT DISTINCT w FROM grams"
+        " WHERE doc_id % 20 = 0),"
+        f" rpos AS (SELECT w, {_bloom_pos} FROM ref),"
+        " bits AS (SELECT DISTINCT bit FROM rpos),"
+        f" ppos AS (SELECT w, {_bloom_pos} FROM probe),"
+        " rh AS (SELECT w, count(*) AS hits FROM rpos"
+        " SEMI JOIN bits USING (bit) GROUP BY 1),"
+        " ph AS (SELECT w, count(*) AS hits FROM ppos"
+        " SEMI JOIN bits USING (bit) GROUP BY 1)"
+        " SELECT 'bits_set' AS prop, CAST(count(*) AS BIGINT) AS n"
+        " FROM bits"
+        " UNION ALL SELECT 'ref_total', count(*) FROM ref"
+        " UNION ALL SELECT 'ref_missed', count(*) FROM ref"
+        " LEFT JOIN rh USING (w) WHERE coalesce(hits, 0) <> 4"
+        " UNION ALL SELECT 'probe_total', count(*) FROM probe"
+        " UNION ALL SELECT 'probe_flagged', count(*) FROM ph"
+        " WHERE hits = 4"
+    )
     _qsk_est = (
         _qsk_cte + ","
         " rv AS (SELECT event_type, val, row_number() OVER"

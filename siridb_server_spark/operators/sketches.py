@@ -417,3 +417,93 @@ def quantile_estimate(sketch: DataFrame, key_cols,
                                    F.col("val").alias("est")),
                      [*key_cols, "tpos"])
             .select(*key_cols, "q_ppm", "sample_n", "est"))
+
+
+def _bloom_positions(member, m_bits: int, k: int) -> list:
+    """k bit positions from ONE md5 digest: non-overlapping 7-hex
+    (28-bit) slices mod ``m_bits`` — the same one-digest budget the
+    count-min sketch uses (depth ≤ 4), so k ≤ 4. Pure string/conv
+    arithmetic, byte-identical in Spark and DuckDB
+    (``('0x' || substr(md5(x), 1 + 7·i, 7))::BIGINT % m``)."""
+    if not 1 <= int(k) <= 4:
+        raise ValueError("k must be in [1, 4] (one md5 digest)")
+    if int(m_bits) < 2:
+        raise ValueError("m_bits must be >= 2")
+    h = F.md5(member.cast("string"))
+    return [F.pmod(F.conv(F.substring(h, 1 + 7 * i, 7), 16, 10)
+                   .cast("long"), F.lit(int(m_bits)))
+            for i in range(int(k))]
+
+
+def bloom_bits(df: DataFrame, key_cols, member_col: str,
+               m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Bloom membership sketch as a PLAIN integer relation — the
+    family's shape (HLL registers, KMV values): the sketch IS the
+    distinct (key_cols..., bit) set-bit table. Build per partition/
+    day/source, persist as parquet, MERGE BY UNION (set-OR is
+    distinct on the union — :func:`bloom_merge`), probe with
+    :func:`bloom_might_contain`. The structure a 100 TB
+    decontamination or novelty pass uses when the reference's
+    member set can't be collected or broadcast: membership tests
+    against ~m/8 bytes instead of the member set, no false
+    negatives ever (every member's k bits are set by
+    construction), false positives at the standard
+    (1 − e^(−k·n/m))^k rate.
+
+    md5-derived positions, so the relation is cross-engine
+    reproducible and the driver's value-hash gate pins it (the
+    sketch_bloom_membership oracle replays build AND probe in
+    SQL). NULL members are EXCLUDED (md5(NULL) has no positions) —
+    the family's documented NULL posture. Output:
+    (key_cols..., bit), distinct."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    keys = [F.col(c) for c in (key_cols or [])]
+    pos = _bloom_positions(F.col(member_col), m_bits, k)
+    return (df.where(F.col(member_col).isNotNull())
+            .select(*keys, F.explode(F.array(*pos)).alias("bit"))
+            .distinct())
+
+
+def bloom_merge(sketches: DataFrame, key_cols) -> DataFrame:
+    """Set-OR of bloom sketches: union the bit relations, distinct.
+    Exact merge is the Bloom theorem (bits(A ∪ B) = bits(A) ∪
+    bits(B) for a shared geometry) — pinned by pytest."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    return sketches.select(*(key_cols or []), "bit").distinct()
+
+
+def bloom_might_contain(items: DataFrame, bloom: DataFrame,
+                        member_col: str, m_bits: int = 1 << 20,
+                        k: int = 4, key_cols=None,
+                        broadcast_bloom: bool = True) -> DataFrame:
+    """Probe: an item MIGHT be a member iff all k of its bit
+    positions are set. One join of the probes' (key, bit) stream
+    against the bit relation (broadcast for driver-small sketches;
+    ``broadcast_bloom=False`` for a shuffled hash join when m is
+    huge), one groupBy counting matched positions — hits == k is
+    the verdict. Repeated positions (two hash slices landing on
+    the same bit) stay correct: a row per slice must match, and
+    duplicates of a set bit match with their multiplicity.
+    Output: distinct (key_cols..., member_col, might_contain)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    keys = list(key_cols or [])
+    probes = (items.where(F.col(member_col).isNotNull())
+              .select(*keys, F.col(member_col).alias("_member"))
+              .distinct())
+    pb = probes.select(
+        *keys, "_member",
+        F.explode(F.array(*_bloom_positions(
+            F.col("_member"), m_bits, k))).alias("bit"))
+    b = bloom.select(*keys, "bit")
+    if broadcast_bloom:
+        b = F.broadcast(b)
+    hits = (pb.join(b, keys + ["bit"], "semi")
+            .groupBy(*keys, "_member")
+            .agg(F.count(F.lit(1)).alias("_hits")))
+    return (probes.join(hits, keys + ["_member"], "left")
+            .select(*keys, F.col("_member").alias(member_col),
+                    (F.coalesce("_hits", F.lit(0))
+                     == F.lit(int(k))).alias("might_contain")))

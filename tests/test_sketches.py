@@ -548,3 +548,73 @@ def test_compact_sketches_preserves_folds_and_survives_crash(
     one_shot = sorted(map(tuple, SK.hll_registers(
         rows(0, 1800), "key", "m").collect()))
     assert want_hll == one_shot
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom invariants on planted members: every built member
+    probes true (NO false negatives — the theorem), non-members
+    probe mostly false at a generous m, the sketch merges by plain
+    union-distinct (bits(A ∪ B) == merge(bits A, bits B)), and
+    NULL members are excluded on both sides."""
+    a = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)] + [(None,)],
+        "m string")
+    b = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(150, 400)], "m string")
+    other = spark.createDataFrame(
+        [(f"absent-{i}",) for i in range(300)] + [(None,)],
+        "m string")
+    M, K = 1 << 20, 4
+
+    bloom_a = SK.bloom_bits(a, [], "m", m_bits=M, k=K)
+    # no false negatives, NULL row dropped
+    mc = SK.bloom_might_contain(a, bloom_a, "m", m_bits=M, k=K)
+    got = mc.collect()
+    assert len(got) == 200 and all(r["might_contain"] for r in got)
+    # at m=2^20 with n=200 the FP rate is ~0 — non-members all miss
+    miss = SK.bloom_might_contain(other, bloom_a, "m",
+                                  m_bits=M, k=K)
+    rows = miss.collect()
+    assert len(rows) == 300
+    assert sum(r["might_contain"] for r in rows) == 0
+    # merge == one-shot over the union
+    bloom_b = SK.bloom_bits(b, [], "m", m_bits=M, k=K)
+    merged = sorted(r["bit"] for r in SK.bloom_merge(
+        bloom_a.unionByName(bloom_b), []).collect())
+    one_shot = sorted(r["bit"] for r in SK.bloom_bits(
+        a.unionByName(b), [], "m", m_bits=M, k=K).collect())
+    assert merged == one_shot
+    # shuffled-join probe path agrees with the broadcast path
+    flat = sorted(map(tuple, SK.bloom_might_contain(
+        other.unionByName(a), bloom_a, "m", m_bits=M, k=K,
+        broadcast_bloom=False).collect()))
+    bc = sorted(map(tuple, SK.bloom_might_contain(
+        other.unionByName(a), bloom_a, "m", m_bits=M, k=K)
+        .collect()))
+    assert flat == bc
+
+
+def test_bloom_keyed_and_validation(spark):
+    """Keyed sketches stay independent per key (a member of key x
+    must not probe true under key y unless it collides), and the
+    geometry guards reject k outside one md5 digest / degenerate
+    m."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("x", "alpha"), ("x", "beta"), ("y", "gamma")],
+        "k string, m string")
+    bloom = SK.bloom_bits(df, ["k"], "m", m_bits=1 << 20, k=4)
+    probe = spark.createDataFrame(
+        [("x", "alpha"), ("y", "alpha"), ("y", "gamma")],
+        "k string, m string")
+    got = {(r["k"], r["m"]): r["might_contain"] for r in
+           SK.bloom_might_contain(probe, bloom, "m",
+                                  m_bits=1 << 20, k=4,
+                                  key_cols=["k"]).collect()}
+    assert got == {("x", "alpha"): True, ("y", "alpha"): False,
+                   ("y", "gamma"): True}
+    with pytest.raises(ValueError, match=r"k must be in \[1, 4\]"):
+        SK.bloom_bits(df, [], "m", k=5)
+    with pytest.raises(ValueError, match="m_bits"):
+        SK.bloom_bits(df, [], "m", m_bits=1)
