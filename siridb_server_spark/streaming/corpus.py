@@ -529,10 +529,87 @@ def make_ann_query_sink(index_path: str, out_path: str,
                            vec_col=vec_col)
         res.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={batch_id}"))
-        with open(marker, "w") as fh:
-            fh.write("done\n")
+        _touch_marker(marker)
 
     return sink
+
+
+def _touch_marker(marker: str) -> None:
+    """Publish a content-less done marker atomically (temp +
+    os.replace) — the query sinks only test existence, but a plain
+    open('w') still creates-before-writing, and exists-means-
+    complete should hold under a crash at any line (same argument
+    as similarity._write_batch_marker for the counted markers)."""
+    tmp = f"{marker}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("done\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, marker)
+
+
+def make_pq_query_sink(index_path: str, out_path: str,
+                       k: int = 10, qid_col: str = "qid",
+                       vec_col: str = "embedding",
+                       emb_path: str | None = None,
+                       shortlist: int = 200):
+    """foreachBatch sink answering a STREAM of query vectors
+    against the saved :class:`~..operators.similarity.PQIndex` —
+    the PQ twin of :func:`make_ann_query_sink`, completing the PQ
+    serving story (ingest sink grows the codes, this one queries
+    them). Per micro-batch: ``PQIndex.load`` (codebooks + the lazy
+    m-byte codes scan, deltas folded) →
+    :meth:`PQIndex.knn_join` over the whole batch at once (ADC
+    tables broadcast, one codes scan for ALL queries in the
+    batch) → ``batch=<id>``-stamped OVERWRITE + done marker
+    (exactly-once by idempotence, the standard layout).
+    ``emb_path`` (a parquet of the source vectors) enables the
+    exact re-rank of each query's ADC shortlist — PQ codes are
+    lossy, so the index cannot re-rank itself; without it the sink
+    serves raw ADC rankings."""
+    from ..operators.similarity import PQIndex
+
+    def sink(batch_df, batch_id: int):
+        marker = os.path.join(out_path, f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        idx = PQIndex.load(spark, index_path)
+        emb = (spark.read.parquet(emb_path)
+               if emb_path is not None else None)
+        res = idx.knn_join(batch_df, k=k, qid_col=qid_col,
+                           vec_col=vec_col, emb=emb,
+                           shortlist=shortlist)
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}"))
+        _touch_marker(marker)
+
+    return sink
+
+
+def stream_pq_ann_queries(stream_df, index_path: str,
+                          out_path: str, k: int = 10,
+                          qid_col: str = "qid",
+                          vec_col: str = "embedding",
+                          emb_path: str | None = None,
+                          shortlist: int = 200,
+                          checkpoint: str | None = None,
+                          available_now: bool = False):
+    """Start the PQ ANN query-serving stream (see
+    :func:`make_pq_query_sink`). ``available_now`` processes
+    everything currently available then terminates. Returns the
+    StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(
+        make_pq_query_sink(index_path, out_path, k=k,
+                           qid_col=qid_col, vec_col=vec_col,
+                           emb_path=emb_path,
+                           shortlist=shortlist)) \
+        .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_ann_queries(stream_df, index_path: str, out_path: str,

@@ -1568,3 +1568,69 @@ def test_index_lifecycle_committer_end_to_end(spark, tmp_path,
         pnew.unpersist()
     assert len(SIM.PQIndex.load(spark, pq_new)
                .search(qvec, k=10).collect()) == 10
+
+
+def test_pq_ann_query_stream_serves_batches(spark, tmp_path):
+    """The PQ serving twin of the SQ ANN query stream: a real
+    availableNow stream of query vectors answered against a saved
+    PQIndex — per-batch results equal PQIndex.load().knn_join over
+    the same queries (ADC path), redelivery with the same batch id
+    is a marker no-op, and with emb_path the sink serves the
+    exactly re-ranked shortlist instead."""
+    import os
+
+    from siridb_server_spark.operators import similarity as SIM
+    from siridb_server_spark.sources.testdata import load
+    from siridb_server_spark.streaming import corpus as SC
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where("vec_id <> 0")
+    queries = emb.where("vec_id < 4") \
+        .select((F.col("vec_id") + 1000).alias("qid"), "embedding")
+    ipath = str(tmp_path / "pq-idx")
+    idx = SIM.PQIndex.train(emb, m=4, k=8, iters=2)
+    idx.save(ipath)
+    idx.unpersist()
+
+    src = tmp_path / "qin"
+    src.mkdir()
+    queries.coalesce(1).write.parquet(str(src / "b1"))
+    out = str(tmp_path / "res")
+    stream = spark.readStream \
+        .schema("qid long, embedding array<float>") \
+        .parquet(str(src) + "/*")
+    q = SC.stream_pq_ann_queries(
+        stream, ipath, out, k=5,
+        checkpoint=str(tmp_path / "ck"), available_now=True)
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out)
+                 .select("qid", "vec_id", "adc", "rank").collect())
+    want = sorted(tuple(r) for r in
+                  SIM.PQIndex.load(spark, ipath)
+                  .knn_join(queries, k=5).collect())
+    assert got == want and len(got) == 15
+
+    # redelivery with the same batch id is a no-op (marker)
+    sink = SC.make_pq_query_sink(ipath, out, k=5)
+    before = sorted(os.listdir(out))
+    sink(queries, 0)
+    assert sorted(os.listdir(out)) == before
+
+    # emb_path switches the sink to the exact re-ranked serving
+    epath = str(tmp_path / "emb")
+    emb.select("vec_id", "embedding").write.parquet(epath)
+    out2 = str(tmp_path / "res-rr")
+    sink_rr = SC.make_pq_query_sink(ipath, out2, k=5,
+                                    emb_path=epath, shortlist=30)
+    sink_rr(queries, 7)
+    got_rr = sorted(tuple(r) for r in spark.read.parquet(
+        os.path.join(out2, "batch=7"))
+        .select("qid", "vec_id", "d2", "rank").collect())
+    want_rr = sorted(tuple(r) for r in
+                     SIM.PQIndex.load(spark, ipath)
+                     .knn_join(queries, k=5,
+                               emb=spark.read.parquet(epath),
+                               shortlist=30).collect())
+    assert got_rr == want_rr and len(got_rr) == 15
