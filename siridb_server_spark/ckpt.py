@@ -62,8 +62,14 @@ def _fallback_owned(sc, pre: set[int]) -> set[int]:
     owned = set()
     m = sc._jsc.getPersistentRDDs()
     for k in list(m.keySet()):
-        if int(k) in new and \
-                m.get(k).rdd().isLocallyCheckpointed():
+        if int(k) not in new:
+            continue
+        # re-fetch under the live map: a concurrent thread may have
+        # unpersisted this RDD between the keySet() snapshot and
+        # here — exactly the scenario the fallback exists for, so
+        # a vanished entry must be skipped, not dereferenced
+        rdd = m.get(k)
+        if rdd is not None and rdd.rdd().isLocallyCheckpointed():
             owned.add(int(k))
     return owned
 

@@ -1310,23 +1310,22 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # the LB scan below is the one |q|·|corpus| term left (4
         # scalars per row, and it is the exactness guarantee) —
         # warn when that grid gets big enough that the caller
-        # should slab the query side; the count is gated on a
-        # large query side so the common small-|q| serving path
-        # pays no extra job (per_c is persisted, so when it does
-        # run it is a cached-scan count)
+        # should slab the query side. The count runs on the
+        # persisted (already materialized by the τ action) vector
+        # frame — a cached scan, cheap enough to honor the
+        # documented contract unconditionally (a small query side
+        # against a HUGE corpus must warn too)
         nq = len(tau_rows)
-        nc = None
-        if _stats is not None or nq >= 10_000:
-            nc = per_c.count()
-            if nq * nc > 50_000_000:
-                import warnings
+        nc = per_c.count()
+        if nq * nc > 50_000_000:
+            import warnings
 
-                warnings.warn(
-                    f"dtw_knn_join: the exact endpoint-LB filter "
-                    f"scans |q|x|corpus| = {nq}x{nc} scalar rows; "
-                    "split a query side this large into slabs (the "
-                    "per-slab answers are independent)",
-                    RuntimeWarning, stacklevel=2)
+            warnings.warn(
+                f"dtw_knn_join: the exact endpoint-LB filter "
+                f"scans |q|x|corpus| = {nq}x{nc} scalar rows; "
+                "split a query side this large into slabs (the "
+                "per-slab answers are independent)",
+                RuntimeWarning, stacklevel=2)
 
         # 4. endpoint LB prune over the non-pool grid (scalars
         # only, never the arrays)

@@ -523,6 +523,13 @@ def make_ann_query_sink(index_path: str, out_path: str,
         marker = os.path.join(out_path, f"_batch-{batch_id}.done")
         if os.path.exists(marker):
             return
+        # empty-batch guard (the sink-choreography rule): a 0-row
+        # micro-batch writes NOTHING — a part-file-less batch dir
+        # breaks parquet schema inference on the consumer's read —
+        # and still publishes its marker so redelivery is a no-op
+        if batch_df.isEmpty():
+            _touch_marker(marker)
+            return
         idx = SQIndex.load(batch_df.sparkSession, index_path)
         res = idx.knn_join(batch_df, k=k, nprobe=nprobe,
                            rerank=rerank, qid_col=qid_col,
@@ -535,17 +542,19 @@ def make_ann_query_sink(index_path: str, out_path: str,
 
 
 def _touch_marker(marker: str) -> None:
-    """Publish a content-less done marker atomically (temp +
-    os.replace) — the query sinks only test existence, but a plain
-    open('w') still creates-before-writing, and exists-means-
-    complete should hold under a crash at any line (same argument
-    as similarity._write_batch_marker for the counted markers)."""
-    tmp = f"{marker}.tmp-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        fh.write("done\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, marker)
+    """Publish a done marker atomically for the query sinks — ONE
+    implementation of the exists-means-complete publish
+    (similarity's temp+fsync+os.replace), so a future hardening
+    fix lands in one place. The query sinks only test existence;
+    the recorded count (0) is what ``_read_batch_marker`` maps any
+    content-less legacy marker to anyway. The out dir may not
+    exist yet — an EMPTY first micro-batch writes no parquet (the
+    write is what normally creates it) but still publishes its
+    marker."""
+    from ..operators.similarity import _write_batch_marker
+
+    os.makedirs(os.path.dirname(marker) or ".", exist_ok=True)
+    _write_batch_marker(marker, 0)
 
 
 def make_pq_query_sink(index_path: str, out_path: str,
@@ -572,6 +581,10 @@ def make_pq_query_sink(index_path: str, out_path: str,
     def sink(batch_df, batch_id: int):
         marker = os.path.join(out_path, f"_batch-{batch_id}.done")
         if os.path.exists(marker):
+            return
+        # empty-batch guard — same choreography as the SQ sink
+        if batch_df.isEmpty():
+            _touch_marker(marker)
             return
         spark = batch_df.sparkSession
         idx = PQIndex.load(spark, index_path)

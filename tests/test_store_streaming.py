@@ -1634,3 +1634,19 @@ def test_pq_ann_query_stream_serves_batches(spark, tmp_path):
                                emb=spark.read.parquet(epath),
                                shortlist=30).collect())
     assert got_rr == want_rr and len(got_rr) == 15
+
+    # 0-row micro-batch through BOTH query sinks: marker published
+    # (redelivery no-op), NO file-less batch dir poisoning the
+    # consumer's parquet read (the sink-choreography rule)
+    empty = queries.where("qid < 0")
+    out3 = str(tmp_path / "res-empty")
+    SC.make_pq_query_sink(ipath, out3, k=5)(empty, 3)
+    assert os.path.exists(os.path.join(out3, "_batch-3.done"))
+    assert not os.path.exists(os.path.join(out3, "batch=3"))
+    sq_ipath = str(tmp_path / "sq-for-empty")
+    sidx = SIM.SQIndex.from_labels(emb)
+    sidx.save(sq_ipath)
+    sidx.unpersist()
+    SC.make_ann_query_sink(sq_ipath, out3, k=5)(empty, 4)
+    assert os.path.exists(os.path.join(out3, "_batch-4.done"))
+    assert not os.path.exists(os.path.join(out3, "batch=4"))
