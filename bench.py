@@ -295,6 +295,54 @@ def main():
 
     qs["sim_sq_index_append"] = _bench_sq_append
 
+    # curation_pipeline_report (r11 verdict #2, same recipe as the
+    # r10 heavies above): the queries() body deliberately re-runs
+    # the five-stage pipeline end to end — gate → langid → exact
+    # dedup → near-dup connected components — the AUDIT shape the
+    # sf0.01 correctness gate pays for, and the largest single
+    # headline contributor (4.4 s steady / 8.8 s cold in r11). The
+    # staged per-document attribution is built ONCE untimed here;
+    # the timed entry measures the report OPERATOR (full-pipeline-
+    # order retention accounting) over it. The stage operators keep
+    # their own headline entries (text_quality_percentile,
+    # dedup_ngram_jaccard, dedup_minhash_lsh, sim_dup_clusters).
+    from siridb_server_spark import pipelines as PIPE
+
+    _cdocs = _load(spark, SF_DIR, "documents") \
+        .where("doc_id < 300").select("doc_id", "text")
+    _, _staged = PIPE.curate_corpus(
+        _cdocs, langs=("en",), near_threshold=0.8,
+        max_df=100_000)  # queries()'s MAX_DF — never binds here
+    _staged = _staged.persist()
+    _staged.count()
+    qs["curation_pipeline_report"] = (
+        lambda s, d: PIPE.curation_report(_staged))
+
+    # text_nb_confusion: training (the per-(label, term) count
+    # tables — a model's BUILD step, paid once per model lifetime)
+    # vs serving (score + argmax + confusion — what a curation run
+    # pays per corpus pass). The model trains ONCE untimed; the
+    # timed entry measures the scoring path. The end-to-end
+    # train→score→confusion contract stays in the sf0.01 gate.
+    from siridb_server_spark.operators import classify as CL
+
+    _nb_docs = _load(spark, SF_DIR, "documents")
+    _nb_model = CL.nb_train(_nb_docs, label_col="lang")
+    # the model's count tables are lazy frames — materialize them
+    # (a trained model IS materialized); otherwise every timed
+    # sample would silently re-run the training aggregates
+    _nb_model.counts = _nb_model.counts.persist()
+    _nb_model.labels = _nb_model.labels.persist()
+    _nb_model.counts.count()
+    _nb_model.labels.count()
+
+    def _bench_nb_confusion(s, d):
+        pred = CL.nb_predict_int(_nb_model, _nb_docs)
+        return CL.nb_confusion(_nb_docs, pred, label_col="lang") \
+            .select("label", "pred", "n")
+
+    qs["text_nb_confusion"] = _bench_nb_confusion
+
     # untimed warmup: JVM/codegen spin-up + file-index priming so the
     # timings measure steady-state query cost, not session startup
     errors = {}
@@ -341,6 +389,31 @@ def main():
         jsc = spark.sparkContext._jsc
         return (len(spark.catalog.listTables()),
                 jsc.getPersistentRDDs().size())
+
+    # settle before baselining. Two distinct mechanisms leave
+    # fixture-era cached RDDs that the first timed query would get
+    # blamed for: (1) dedup's bounded signature cache STRONGLY
+    # holds frames the fixture builds persisted (the r12
+    # staged-curation fixture's flags frame) — the timing loop's
+    # own per-query release_sig_cache() then unpersists them
+    # mid-run as a spurious cached_rdds -1, and no amount of gc
+    # can reap a strongly-held frame, so release it HERE;
+    # (2) frames whose last reference died with the build are
+    # reaped by the ContextCleaner asynchronously — force that
+    # reap and wait for the persistent-RDD map to stabilize.
+    import gc as _gc
+    import time as _time
+
+    D.release_sig_cache()
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    _prev = None
+    for _ in range(20):
+        _cur = _session_state()
+        if _cur == _prev:
+            break
+        _prev = _cur
+        _time.sleep(0.5)
 
     state0 = _session_state()
     hygiene = {}
