@@ -1184,8 +1184,10 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     persisted only for the τ action and released (blocking) before
     returning, so no cached state outlives the call. The K=8 probe
     bound asserts the DP-candidate volume stays linear; pass a dict
-    as ``_stats`` to get {n_queries, n_corpus, n_candidates} filled
-    in (costs one extra count action — diagnostics only).
+    as ``_stats`` to get {n_queries, n_corpus, n_pool_stream,
+    n_candidates} filled in (the two candidate counts are extra
+    actions — diagnostics only; n_corpus is counted on every call,
+    a cached scan backing the grid-size warning).
 
     Output: (qseries, series, n_points, dtw_cost, rank 1..k) —
     exact integer costs in scaled units; a query series also
