@@ -1095,6 +1095,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_ngram_novelty"] = text_ngram_novelty
 
+    def dedup_bloom_novelty(spark, sf_dir):
+        """Bloom-approximate n-gram novelty (operators/dedup.py
+        bloom_novelty): text_ngram_novelty's 100 TB form — the
+        reference corpus collapses to a 2¹⁶-bit Bloom
+        (sketches.bloom_bits over its 3-word shingles) and each
+        held-out doc's shingles probe it. n_seen can only
+        OVERCOUNT (no false negatives), so the implied novelty
+        lower-bounds the exact one — pinned in pytest; here the
+        deterministic md5 positions make the approximate counts
+        themselves exact cross-engine values (full build+probe SQL
+        replay)."""
+        from siridb_server_spark.operators import sketches as SK
+        from siridb_server_spark.operators.dedup import shingles
+        docs = load(spark, sf_dir, "documents")
+        ref = docs.where(F.col("doc_id") % 20 != 0).select(
+            F.explode(shingles("text", 3)).alias("s"))
+        bloom = SK.bloom_bits(ref, [], "s", m_bits=1 << 16, k=4)
+        return D.bloom_novelty(
+            docs.where(F.col("doc_id") % 20 == 0), bloom, n=3,
+            m_bits=1 << 16, k=4)
+
+    q["dedup_bloom_novelty"] = dedup_bloom_novelty
+
     def dedup_resolve(spark, sf_dir):
         docs = load(spark, sf_dir, "documents").where(
             F.col("doc_id") < 300)
@@ -1474,6 +1497,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_resample_interp"] = lambda spark, sf_dir: \
         TSO.resample_interpolate(_pts_dedup(spark, sf_dir),
                                  step=3_600_000_000_000)
+
+    def ts_backtest_seasonal(spark, sf_dir):
+        """Seasonal-naive forecast backtest (operators/
+        timeseries.py seasonal_backtest): hold out each series'
+        last 8 points, forecast each with the actual 24 points
+        earlier (row-indexed seasonal naive), score against
+        naive-1 — sae_seasonal/sae_naive is the MASE-style
+        is-the-seasonality-real gate a forecasting pipeline runs
+        before fitting any model. Integer contract: scaled-long
+        absolute-error sums, floor(|err|·1000 + 0.5); full SQL
+        replay of the same lag windows over the deduped points."""
+        return TSO.seasonal_backtest(_pts_dedup(spark, sf_dir),
+                                     season=24, horizon=8)
+
+    q["ts_backtest_seasonal"] = ts_backtest_seasonal
 
     def ts_decompose(spark, sf_dir):
         """Classical seasonal decomposition (STL-lite): hourly
@@ -4746,6 +4784,32 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL SELECT 'probe_flagged', count(*) FROM ph"
         " WHERE hits = 4"
     )
+    # bloom-approximate per-doc novelty: the same build replayed,
+    # probed per (doc, shingle) with the hits==4 verdict
+    o["dedup_bloom_novelty"] = (
+        "WITH tok AS (SELECT doc_id,"
+        " list_filter(string_split(lower(trim(text)), ' '),"
+        " x -> x <> '') AS wl FROM documents),"
+        " grams AS (SELECT doc_id, unnest(list_distinct("
+        " list_transform(range(1, greatest(len(wl) - 2, 1) + 1),"
+        " i -> array_to_string(wl[i:i+2], ' ')))) AS w FROM tok),"
+        " ref AS (SELECT DISTINCT w FROM grams"
+        " WHERE doc_id % 20 <> 0),"
+        f" rpos AS (SELECT w, {_bloom_pos} FROM ref),"
+        " bits AS (SELECT DISTINCT bit FROM rpos),"
+        " new AS (SELECT doc_id, w FROM grams"
+        " WHERE doc_id % 20 = 0),"
+        f" npos AS (SELECT doc_id, w, {_bloom_pos} FROM new),"
+        " nh AS (SELECT doc_id, w, count(*) AS hits FROM npos"
+        " SEMI JOIN bits USING (bit) GROUP BY 1, 2),"
+        " seen AS (SELECT doc_id, count(*) AS n_seen FROM nh"
+        " WHERE hits = 4 GROUP BY 1),"
+        " tot AS (SELECT doc_id, count(*) AS n_ngrams FROM new"
+        " GROUP BY 1)"
+        " SELECT t.doc_id, CAST(t.n_ngrams AS BIGINT) AS n_ngrams,"
+        " CAST(coalesce(s.n_seen, 0) AS BIGINT) AS n_seen"
+        " FROM tot t LEFT JOIN seen s USING (doc_id)"
+    )
     _qsk_est = (
         _qsk_cte + ","
         " rv AS (SELECT event_type, val, row_number() OVER"
@@ -7582,6 +7646,29 @@ def oracle_sql() -> dict[str, str]:
         " (PARTITION BY series ORDER BY ts"
         " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) + 0.0"
         " AS avg FROM pd"
+    )
+    # seasonal-naive backtest: identical lag windows + the exact
+    # scaled-long floor(|err|*1000 + 0.5) terms, summed per series
+    o["ts_backtest_seasonal"] = (
+        _PD + ", t AS (SELECT series, ts, val,"
+        " row_number() OVER (PARTITION BY series ORDER BY ts DESC)"
+        " AS rev,"
+        " lag(val, 24) OVER (PARTITION BY series ORDER BY ts)"
+        " AS slag,"
+        " lag(val, 1) OVER (PARTITION BY series ORDER BY ts)"
+        " AS nlag FROM pd)"
+        " SELECT series,"
+        " CAST(sum(CASE WHEN slag IS NOT NULL AND nlag IS NOT NULL"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_test,"
+        " CAST(sum(CASE WHEN slag IS NULL OR nlag IS NULL"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,"
+        " CAST(sum(CASE WHEN slag IS NOT NULL AND nlag IS NOT NULL"
+        " THEN CAST(floor(abs(val - slag) * 1000 + 0.5) AS BIGINT)"
+        " ELSE 0 END) AS BIGINT) AS sae_seasonal,"
+        " CAST(sum(CASE WHEN slag IS NOT NULL AND nlag IS NOT NULL"
+        " THEN CAST(floor(abs(val - nlag) * 1000 + 0.5) AS BIGINT)"
+        " ELSE 0 END) AS BIGINT) AS sae_naive"
+        " FROM t WHERE rev <= 8 GROUP BY 1"
     )
     # ordered 3-step funnel with strict inter-step ordering
     o["events_funnel_steps"] = (

@@ -232,6 +232,53 @@ def ngram_novelty(docs: DataFrame, reference: DataFrame,
                     .cast("long").alias("n_novel")))
 
 
+def bloom_novelty(docs: DataFrame, bloom: DataFrame, n: int = 3,
+                  m_bits: int = 1 << 16, k: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  broadcast_bloom: bool = True) -> DataFrame:
+    """Approximate per-document n-gram novelty against a BLOOM of
+    the reference corpus (:func:`~.sketches.bloom_bits` over the
+    reference's shingles) — the 100 TB form of
+    :func:`ngram_novelty`: the reference rides along as ~m/8 bytes
+    of set bits instead of a distinct-shingle set, so the probe is
+    a semi-join against a (broadcastable) bit relation however big
+    the reference corpus was. The error direction is SAFE for a
+    freshness gate: a Bloom has no false negatives, so ``n_seen``
+    can only OVERCOUNT (false positives) and the implied novelty
+    LOWER-BOUNDS the exact one — a doc this scorer calls novel
+    really is. Deterministic md5 positions make even the
+    approximate counts exact cross-engine values (the oracle
+    replays build and probe in SQL).
+
+    One row-local shingle explode (distinct per doc), k position
+    rows per shingle, one semi-join, two groupBys. Output:
+    (doc_id, n_ngrams, n_seen) — novelty = (n_ngrams − n_seen) is
+    the caller's subtraction."""
+    from .sketches import _bloom_positions
+
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(shingles(text_col, n)).alias("s"))
+    pb = sh.select(
+        "doc_id", "s",
+        F.explode(F.array(*_bloom_positions(F.col("s"), m_bits,
+                                            k))).alias("bit"))
+    b = bloom.select("bit")
+    if broadcast_bloom:
+        b = F.broadcast(b)
+    seen = (pb.join(b, "bit", "semi")
+            .groupBy("doc_id", "s")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+            .where(F.col("_hits") == int(k))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_seen")))
+    total = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"))
+    return (total.join(seen, "doc_id", "left")
+            .select("doc_id", "n_ngrams",
+                    F.coalesce("n_seen", F.lit(0)).cast("long")
+                    .alias("n_seen")))
+
+
 def _cap_posting_lists(dw: DataFrame,
                        max_df: int | None) -> DataFrame:
     """Document-frequency cutoff for inverted-index self-joins: drop

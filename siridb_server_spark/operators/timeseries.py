@@ -460,6 +460,55 @@ def interval_coverage(df: DataFrame, length: int,
                  F.sum("span").alias("covered")))
 
 
+def seasonal_backtest(df: DataFrame, season: int = 24,
+                      horizon: int = 8, scale: int = 1000,
+                      key_col: str = "series", ts_col: str = "ts",
+                      val_col: str = "val") -> DataFrame:
+    """Seasonal-naive forecast BACKTEST per series — the evaluation
+    a forecasting pipeline runs before trusting any model: hold out
+    each series' last ``horizon`` points, "forecast" each held-out
+    point with the actual value ``season`` points earlier
+    (seasonal naive — the standard no-model baseline, row-indexed
+    so irregular series work), score against the naive-1 baseline
+    (the previous actual). The ratio sae_seasonal/sae_naive is
+    MASE-style: < 1 means the seasonal structure is real and worth
+    modeling; ≥ 1 means a model must beat plain persistence first.
+
+    Integer contract (hashes cross-engine): absolute errors are
+    scaled longs ``floor(|err|·scale + 0.5)`` summed per series —
+    the subtraction is exact IEEE on both engines, floor/abs are
+    exact, so no float leaves the operator. Held-out points
+    missing either lag (a series shorter than season + its test
+    window) are excluded and counted in ``n_skipped``.
+
+    REQUIRES unique ``ts_col`` per series (pre-aggregate duplicate
+    timestamps first — e.g. max per (series, ts) — or the lag
+    windows are nondeterministic). One window family over
+    (series, ts): single shuffle. Output: (series, n_test,
+    n_skipped, sae_seasonal, sae_naive)."""
+    def sabs(c):
+        return F.floor(F.abs(c) * F.lit(float(scale))
+                       + F.lit(0.5)).cast("long")
+    pts = (df.select(F.col(key_col).alias("series"),
+                     F.col(ts_col).alias("_ts"),
+                     F.col(val_col).alias("_v"))
+           .withColumn("_rev", F.row_number().over(
+               Window.partitionBy("series").orderBy(F.desc("_ts"))))
+           .withColumn("_slag", F.lag("_v", int(season)).over(
+               Window.partitionBy("series").orderBy(F.asc("_ts"))))
+           .withColumn("_nlag", F.lag("_v", 1).over(
+               Window.partitionBy("series").orderBy(F.asc("_ts")))))
+    test = pts.where(F.col("_rev") <= int(horizon))
+    ok = F.col("_slag").isNotNull() & F.col("_nlag").isNotNull()
+    return (test.groupBy("series")
+            .agg(F.sum(ok.cast("long")).alias("n_test"),
+                 F.sum((~ok).cast("long")).alias("n_skipped"),
+                 F.sum(F.when(ok, sabs(F.col("_v") - F.col("_slag")))
+                       .otherwise(F.lit(0))).alias("sae_seasonal"),
+                 F.sum(F.when(ok, sabs(F.col("_v") - F.col("_nlag")))
+                       .otherwise(F.lit(0))).alias("sae_naive")))
+
+
 def holt_linear(df: DataFrame, alpha: float = 0.25,
                 beta: float = 0.125,
                 key_col: str = "series", ts_col: str = "ts",

@@ -3333,3 +3333,37 @@ def test_assign_content_ids_reproducible_and_collision_audit(spark):
     assert again == ids
     # the audit sees NO collisions here (dups are not collisions)
     assert CU.content_id_collisions(df).count() == 0
+
+
+def test_bloom_novelty_lower_bounds_exact(spark):
+    """bloom_novelty vs the exact ngram_novelty on planted docs: a
+    verbatim copy of a reference doc sees ALL its shingles (no
+    false negatives), an all-new doc at a generous m sees none,
+    and across every doc n_seen >= exact-seen (false positives
+    only inflate seen — novelty is a LOWER bound)."""
+    from siridb_server_spark.operators import sketches as SK
+
+    ref_docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "some other reference material entirely today")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "completely unseen words in every single gram"),
+         (12, "the quick brown cat jumps over the lazy dog")],
+        "doc_id long, text string")
+    ref = ref_docs.select(
+        F.explode(D.shingles("text", 3)).alias("s"))
+    M, K = 1 << 20, 4
+    bloom = SK.bloom_bits(ref, [], "s", m_bits=M, k=K)
+    approx = {r["doc_id"]: (r["n_ngrams"], r["n_seen"]) for r in
+              D.bloom_novelty(new, bloom, n=3, m_bits=M, k=K)
+              .collect()}
+    exact = {r["doc_id"]: (r["n_ngrams"], r["n_novel"]) for r in
+             D.ngram_novelty(new, ref_docs, n=3).collect()}
+    assert approx[10] == (7, 7)      # verbatim: everything seen
+    assert approx[11] == (5, 0)      # all-new, m huge -> no FPs
+    assert approx[12] == (7, 4)      # 3 novel grams stay novel
+    for d, (tot, seen) in approx.items():
+        assert tot == exact[d][0]
+        assert seen >= tot - exact[d][1]  # lower-bound novelty

@@ -415,3 +415,31 @@ def test_wilson_bounds_match_python_reference(spark):
     assert w10 > w100 > w1000
     # degenerate proportions stay inside [0, 1]
     assert got[4][0] >= 0.0 and got[5][1] <= 1.0
+
+
+def test_seasonal_backtest_hand_computed(spark):
+    """Planted periodic series: period-4 sawtooth with a +0.5
+    drift on the held-out points — seasonal errors are exactly the
+    drift, naive-1 errors the step size; a second series shorter
+    than the season skips all its test points; MASE < 1 verdict
+    reproduced by hand."""
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    rows = []
+    # s1: 12 points of pattern [10, 20, 30, 40], then the test
+    # window (last 2 points) carries +0.5 vs one season earlier
+    base = [10.0, 20.0, 30.0, 40.0] * 3
+    base[-1] += 0.5
+    base[-2] += 0.5
+    rows += [("s1", i, v) for i, v in enumerate(base)]
+    rows += [("tiny", i, float(i)) for i in range(3)]  # < season
+    df = arrow_df(spark, rows, "series string, ts long, val double")
+    got = {r["series"]: (r["n_test"], r["n_skipped"],
+                         r["sae_seasonal"], r["sae_naive"]) for r in
+           TSO.seasonal_backtest(df, season=4, horizon=2,
+                                 scale=1000).collect()}
+    # test points: vals 30.5 (vs slag 30 -> 0.5; nlag 20 -> 10.5)
+    #              40.5 (vs slag 40 -> 0.5; nlag 30.5 -> 10.0)
+    assert got["s1"] == (2, 0, 1000, 20500), got
+    assert got["tiny"] == (0, 2, 0, 0), got
