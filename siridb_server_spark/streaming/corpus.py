@@ -557,6 +557,156 @@ def _touch_marker(marker: str) -> None:
     _write_batch_marker(marker, 0)
 
 
+def make_bloom_novelty_sink(bloom_path: str, accepted_path: str,
+                            rejected_path: str | None = None,
+                            min_novel_ppm: int = 200_000,
+                            n: int = 3, m_bits: int = 1 << 20,
+                            k: int = 4, text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """foreachBatch sink gating a document stream on n-gram
+    NOVELTY against a persisted Bloom of everything accepted so
+    far — the crawl-side freshness filter: a feed dominated by
+    re-crawls of known content is cut to the docs that actually
+    add shingles, and the filter state for an unbounded history is
+    ~m/8 bytes of bits (:func:`~..operators.sketches.bloom_bits`),
+    not a shingle set. The Bloom's error direction is the SAFE one
+    for this gate: false positives only make docs look LESS novel,
+    so nothing truly stale ever sneaks through — a genuinely novel
+    doc can only be over-rejected at the standard FP rate.
+
+    Per micro-batch: (1) in-batch exact dedup (keep-first by id,
+    the dedup-ingest rule); (2) score survivors with
+    :func:`~..operators.dedup.bloom_novelty` against the bits
+    accumulated so far (first batch: everything is novel);
+    (3) verdict in INTEGER cross-multiplication —
+    ``n_novel·1_000_000 ≥ min_novel_ppm·n_ngrams`` with
+    ``n_novel = n_ngrams − n_seen``; zero-shingle docs fail (an
+    empty text has nothing to judge; note ``shingles`` maps empty
+    text to one empty-string shingle, so after the first empty doc
+    is accepted later ones score fully-seen and reject);
+    (4) accepted/rejected docs land ``batch=<id>``-stamped with
+    OVERWRITE, the accepted docs' shingle bits land
+    ``bits/batch=<id>`` the same way, and ONE final atomic marker
+    makes the whole batch idempotent — exactly-once by
+    redelivery-replaces, the standard sink choreography here.
+    ``compact_bloom`` folds the accumulated bit deltas (distinct —
+    a re-folded leftover cannot add anything), same crash
+    contracts as every compactor (:func:`~..operators.dedup
+    .compact_batch_dirs`)."""
+    from ..operators.dedup import bloom_novelty, shingles
+    from ..operators.sketches import bloom_bits
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        marker = os.path.join(accepted_path,
+                              f"_batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        if batch_df.isEmpty():
+            os.makedirs(accepted_path, exist_ok=True)
+            _touch_marker(marker)
+            return
+        spark = batch_df.sparkSession
+        # 1. in-batch exact dedup, keep the smallest id per text
+        w_first = (batch_df
+                   .withColumn("_fp", D._exact_fp(text_col))
+                   .groupBy("_fp")
+                   .agg(F.min(F.col(id_col)).alias("_keep")))
+        batch = (batch_df.withColumn("_fp", D._exact_fp(text_col))
+                 .join(w_first, "_fp")
+                 .where(F.col(id_col) == F.col("_keep"))
+                 .drop("_fp", "_keep"))
+        # 2. novelty vs the accumulated bits (none yet -> all novel)
+        bdir = os.path.join(bloom_path, "bits")
+        if _has_parquet(bdir):
+            scores = bloom_novelty(
+                batch, spark.read.parquet(bdir), n=n,
+                m_bits=m_bits, k=k, text_col=text_col,
+                id_col=id_col)
+        else:
+            scores = (batch.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(shingles(text_col, n)).alias("s"))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_ngrams"))
+                .withColumn("n_seen", F.lit(0).cast("long")))
+        novel = F.col("n_ngrams") - F.col("n_seen")
+        verdict = scores.select(
+            F.col("doc_id").alias(id_col), "n_ngrams", "n_seen",
+            ((F.col("n_ngrams") > 0)
+             & (novel * F.lit(1_000_000)
+                >= F.lit(int(min_novel_ppm)) * F.col("n_ngrams")))
+            .alias("_keep"))
+        verdict, v_ids = tracked_local_checkpoint(verdict,
+                                                  eager=False)
+        # 3. batch-stamped idempotent writes; bits delta last, one
+        # marker for the whole batch
+        if rejected_path is not None:
+            (batch.join(verdict.where(~F.col("_keep"))
+                        .select(id_col, "n_ngrams", "n_seen"),
+                        id_col)
+             .write.mode("overwrite").parquet(
+                 os.path.join(rejected_path,
+                              f"batch={batch_id}")))
+        accepted = batch.join(
+            verdict.where(F.col("_keep")).select(id_col), id_col)
+        accepted, a_ids = tracked_local_checkpoint(accepted,
+                                                   eager=False)
+        n_acc = accepted.count()
+        if n_acc:
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(accepted_path, "docs",
+                             f"batch={batch_id}"))
+            (bloom_bits(accepted.select(
+                F.explode(shingles(text_col, n)).alias("s")),
+                [], "s", m_bits=m_bits, k=k)
+             .write.mode("overwrite")
+             .parquet(os.path.join(bdir, f"batch={batch_id}")))
+        os.makedirs(accepted_path, exist_ok=True)
+        _touch_marker(marker)
+        release_local_checkpoint(accepted, a_ids)
+        release_local_checkpoint(verdict, v_ids)
+
+    return sink
+
+
+def stream_bloom_novelty_ingest(stream_df, bloom_path: str,
+                                accepted_path: str,
+                                rejected_path: str | None = None,
+                                min_novel_ppm: int = 200_000,
+                                n: int = 3, m_bits: int = 1 << 20,
+                                k: int = 4, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                checkpoint: str | None = None,
+                                available_now: bool = False):
+    """Start the Bloom novelty-gate stream (see
+    :func:`make_bloom_novelty_sink`). Returns the StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(
+        make_bloom_novelty_sink(
+            bloom_path, accepted_path, rejected_path=rejected_path,
+            min_novel_ppm=min_novel_ppm, n=n, m_bits=m_bits, k=k,
+            text_col=text_col, id_col=id_col)) \
+        .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_bloom(spark, bloom_path: str,
+                  fs: str = "posix") -> dict:
+    """Fold the novelty gate's accumulated ``bits/batch=<id>``
+    deltas into one negative-id base — bits are a SET, so the fold
+    is drop-batch + DISTINCT and a re-folded leftover cannot add
+    anything (the idempotent-merge crash argument and the posix/
+    committer publication protocols of
+    :func:`~..operators.dedup.compact_batch_dirs`)."""
+    from ..operators.dedup import compact_batch_dirs
+
+    return compact_batch_dirs(spark, bloom_path, (("bits", []),),
+                              fs=fs)
+
+
 def make_pq_query_sink(index_path: str, out_path: str,
                        k: int = 10, qid_col: str = "qid",
                        vec_col: str = "embedding",

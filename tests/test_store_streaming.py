@@ -1650,3 +1650,85 @@ def test_pq_ann_query_stream_serves_batches(spark, tmp_path):
     SC.make_ann_query_sink(sq_ipath, out3, k=5)(empty, 4)
     assert os.path.exists(os.path.join(out3, "_batch-4.done"))
     assert not os.path.exists(os.path.join(out3, "batch=4"))
+
+
+def test_bloom_novelty_gate_stream(spark, tmp_path):
+    """The Bloom novelty gate end to end: batch 0 (fresh bloom)
+    accepts everything and seeds the bits; batch 1 rejects
+    re-crawled batch-0 docs and a barely-edited near-copy, accepts
+    genuinely new text; redelivery is a marker no-op; a
+    crash-window redelivery (marker removed) REPLACES the batch's
+    output instead of duplicating it; compacting the bit deltas
+    changes no verdict."""
+    import os
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.streaming import corpus as SC
+
+    bloom = str(tmp_path / "bloom")
+    acc = str(tmp_path / "acc")
+    rej = str(tmp_path / "rej")
+    sink = SC.make_bloom_novelty_sink(
+        bloom, acc, rejected_path=rej, min_novel_ppm=500_000, n=3)
+
+    b0 = arrow_df(spark, [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "an entirely different document about spark engines"),
+        (3, "an entirely different document about spark engines"),
+    ], "doc_id long, text string")  # in-batch exact dup collapses
+    sink(b0, 0)
+    a0 = spark.read.parquet(os.path.join(acc, "docs", "batch=0"))
+    assert a0.count() == 2
+    assert os.path.isdir(os.path.join(bloom, "bits", "batch=0"))
+
+    b1 = arrow_df(spark, [
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "the quick brown cat jumps over the lazy dog today"),
+        (12, "totally novel words that nothing before contained"),
+    ], "doc_id long, text string")
+    sink(b1, 1)
+    a1 = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(acc, "docs", "batch=1")).collect()}
+    r1 = {r["doc_id"]: (r["n_ngrams"], r["n_seen"]) for r in
+          spark.read.parquet(os.path.join(rej, "batch=1"))
+          .collect()}
+    # 10 = verbatim re-crawl (0 novel); 11 = one changed word (3 of
+    # 8 grams novel < 50%); 12 = all novel
+    assert a1 == {12}
+    assert set(r1) == {10, 11}
+    assert r1[10][1] == r1[10][0]          # fully seen
+    assert 0 < r1[11][1] < r1[11][0]       # partially seen
+
+    # redelivery: marker no-op
+    before = sorted(os.listdir(os.path.join(acc, "docs")))
+    sink(b1, 1)
+    assert sorted(os.listdir(os.path.join(acc, "docs"))) == before
+
+    # crash-window redelivery replaces, never duplicates
+    os.remove(os.path.join(acc, "_batch-1.done"))
+    sink(b1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(acc, "docs", "batch=1")).collect()} == {12}
+    n_bits = spark.read.parquet(os.path.join(bloom, "bits")) \
+        .select("bit").distinct().count()
+
+    # compaction folds the deltas; the distinct bit set and the
+    # verdicts are unchanged (doc 10 re-sent in a new batch still
+    # rejects)
+    folded = SC.compact_bloom(spark, bloom)
+    assert folded == {"bits": 2}
+    assert sorted(d for d in os.listdir(os.path.join(bloom, "bits"))
+                  if d.startswith("batch=")) == ["batch=-1"]
+    assert spark.read.parquet(os.path.join(bloom, "bits")) \
+        .select("bit").distinct().count() == n_bits
+    b2 = b1.where("doc_id = 10").withColumn(
+        "doc_id", F.col("doc_id") + 100)
+    sink(b2, 2)
+    assert not os.path.isdir(os.path.join(acc, "docs", "batch=2"))
+    assert {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(rej, "batch=2")).collect()} == {110}
+
+    # empty micro-batch: marker only, no poisoned dirs
+    sink(b1.where("doc_id < 0"), 3)
+    assert os.path.exists(os.path.join(acc, "_batch-3.done"))
+    assert not os.path.isdir(os.path.join(acc, "docs", "batch=3"))
