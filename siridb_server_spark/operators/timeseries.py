@@ -483,9 +483,17 @@ def seasonal_backtest(df: DataFrame, season: int = 24,
 
     REQUIRES unique ``ts_col`` per series (pre-aggregate duplicate
     timestamps first — e.g. max per (series, ts) — or the lag
-    windows are nondeterministic). One window family over
-    (series, ts): single shuffle. Output: (series, n_test,
-    n_skipped, sae_seasonal, sae_naive)."""
+    windows are nondeterministic), and ``horizon ≤ season``: with
+    a longer horizon the seasonal lag for the most recent test
+    points lands INSIDE the held-out window — forecasting from
+    hold-out actuals the gate must be blind to — so that geometry
+    raises instead of silently flattering the seasonal score. One
+    window family over (series, ts): single shuffle. Output:
+    (series, n_test, n_skipped, sae_seasonal, sae_naive)."""
+    if int(horizon) > int(season):
+        raise ValueError(
+            f"horizon ({horizon}) must be <= season ({season}): "
+            "the seasonal lag would read held-out actuals")
     def sabs(c):
         return F.floor(F.abs(c) * F.lit(float(scale))
                        + F.lit(0.5)).cast("long")

@@ -82,14 +82,8 @@ def make_dedup_ingest_sink(
         if os.path.exists(marker):
             return          # re-delivered batch: already applied
         # 1. in-batch exact dedup, keep the smallest id per text
-        w_first = (batch_df
-                   .withColumn("_fp", D._exact_fp(text_col))
-                   .groupBy("_fp")
-                   .agg(F.min(F.col(id_col)).alias("_keep")))
-        batch = (batch_df.withColumn("_fp", D._exact_fp(text_col))
-                 .join(w_first, "_fp")
-                 .where(F.col(id_col) == F.col("_keep"))
-                 .drop("_fp", "_keep"))
+        batch = _in_batch_exact_dedup(batch_df,
+                                      D._exact_fp(text_col), id_col)
         # 2. probe history (index may not exist on the first batch).
         # A redelivered batch may ALREADY be in the index (crash
         # after the index append, before the final marker) — a doc
@@ -154,6 +148,21 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
+def _in_batch_exact_dedup(batch_df: DataFrame, fp,
+                          id_col: str) -> DataFrame:
+    """Keep the smallest-id row per exact fingerprint column ``fp``
+    — the ONE in-batch dedup choreography every ingest sink
+    (corpus dedup, media, bloom novelty) shares, so a fingerprint-
+    rule fix lands once instead of silently diverging per sink."""
+    w_first = (batch_df.withColumn("_fp", fp)
+               .groupBy("_fp")
+               .agg(F.min(F.col(id_col)).alias("_keep")))
+    return (batch_df.withColumn("_fp", fp)
+            .join(w_first, "_fp")
+            .where(F.col(id_col) == F.col("_keep"))
+            .drop("_fp", "_keep"))
+
+
 def stream_media_dedup_ingest(
         stream_df: DataFrame, index_path: str, accepted_path: str,
         rejected_path: str | None = None, max_hamming: int = 6,
@@ -196,14 +205,8 @@ def make_media_ingest_sink(
         if os.path.exists(marker):
             return          # re-delivered batch: already applied
         # 1. in-batch exact dedup by payload hash, keep smallest id
-        w_first = (batch_df
-                   .withColumn("_fp", F.xxhash64("payload"))
-                   .groupBy("_fp")
-                   .agg(F.min(F.col("media_id")).alias("_keep")))
-        batch = (batch_df.withColumn("_fp", F.xxhash64("payload"))
-                 .join(w_first, "_fp")
-                 .where(F.col("media_id") == F.col("_keep"))
-                 .drop("_fp", "_keep"))
+        batch = _in_batch_exact_dedup(
+            batch_df, F.xxhash64("payload"), "media_id")
         # 2. probe history (index may not exist on the first batch;
         # self-matches already excluded inside the probe, so a
         # redelivered batch that extended the index probes cleanly)
@@ -577,18 +580,23 @@ def make_bloom_novelty_sink(bloom_path: str, accepted_path: str,
     Per micro-batch: (1) in-batch exact dedup (keep-first by id,
     the dedup-ingest rule); (2) score survivors with
     :func:`~..operators.dedup.bloom_novelty` against the bits
-    accumulated so far (first batch: everything is novel);
-    (3) verdict in INTEGER cross-multiplication —
-    ``n_novel·1_000_000 ≥ min_novel_ppm·n_ngrams`` with
-    ``n_novel = n_ngrams − n_seen``; zero-shingle docs fail (an
-    empty text has nothing to judge; note ``shingles`` maps empty
-    text to one empty-string shingle, so after the first empty doc
-    is accepted later ones score fully-seen and reject);
-    (4) accepted/rejected docs land ``batch=<id>``-stamped with
-    OVERWRITE, the accepted docs' shingle bits land
-    ``bits/batch=<id>`` the same way, and ONE final atomic marker
-    makes the whole batch idempotent — exactly-once by
-    redelivery-replaces, the standard sink choreography here.
+    accumulated so far — EXCLUDING this batch's own delta, so a
+    redelivered batch whose crashed first attempt already wrote
+    its bits can never score itself fully-seen (the self-match
+    window every ingest sink here handles); (3) verdict in INTEGER
+    cross-multiplication — ``n_novel·1_000_000 ≥
+    min_novel_ppm·n_ngrams`` with ``n_novel = n_ngrams − n_seen``;
+    a doc absent from the score frame (no shingle rows at all)
+    fails closed into rejected with (0, 0), and NULL/empty text
+    maps to the single empty-string shingle (``shingles``'s
+    contract), so the first such doc is genuinely novel and every
+    later one rejects — accepted ∪ rejected always PARTITIONS the
+    batch; (4) accepted/rejected docs land ``batch=<id>``-stamped
+    with OVERWRITE (an empty side REMOVES its stale dir — replace
+    semantics even when a redelivery's verdict flips), the
+    accepted docs' shingle bits land ``bits/batch=<id>`` the same
+    way, and ONE final atomic marker makes the whole batch
+    idempotent — exactly-once by redelivery-replaces.
     ``compact_bloom`` folds the accumulated bit deltas (distinct —
     a re-folded leftover cannot add anything), same crash
     contracts as every compactor (:func:`~..operators.dedup
@@ -597,6 +605,8 @@ def make_bloom_novelty_sink(bloom_path: str, accepted_path: str,
     from ..operators.sketches import bloom_bits
 
     def sink(batch_df: DataFrame, batch_id: int):
+        import shutil
+
         marker = os.path.join(accepted_path,
                               f"_batch-{batch_id}.done")
         if os.path.exists(marker):
@@ -607,28 +617,25 @@ def make_bloom_novelty_sink(bloom_path: str, accepted_path: str,
             return
         spark = batch_df.sparkSession
         # 1. in-batch exact dedup, keep the smallest id per text
-        w_first = (batch_df
-                   .withColumn("_fp", D._exact_fp(text_col))
-                   .groupBy("_fp")
-                   .agg(F.min(F.col(id_col)).alias("_keep")))
-        batch = (batch_df.withColumn("_fp", D._exact_fp(text_col))
-                 .join(w_first, "_fp")
-                 .where(F.col(id_col) == F.col("_keep"))
-                 .drop("_fp", "_keep"))
-        # 2. novelty vs the accumulated bits (none yet -> all novel)
+        batch = _in_batch_exact_dedup(batch_df,
+                                      D._exact_fp(text_col), id_col)
+        # 2. novelty vs the accumulated bits — EXCLUDING this
+        # batch's own delta: a redelivered batch whose first
+        # attempt crashed after the bits write but before the
+        # marker would otherwise score itself fully-seen and flip
+        # its own docs to rejected (the self-match window every
+        # ingest sink here must handle). No bits yet -> probe an
+        # empty relation through the SAME scoring path.
         bdir = os.path.join(bloom_path, "bits")
         if _has_parquet(bdir):
-            scores = bloom_novelty(
-                batch, spark.read.parquet(bdir), n=n,
-                m_bits=m_bits, k=k, text_col=text_col,
-                id_col=id_col)
+            bits = spark.read.parquet(bdir).where(
+                F.col("batch") != int(batch_id))
         else:
-            scores = (batch.select(
-                F.col(id_col).alias("doc_id"),
-                F.explode(shingles(text_col, n)).alias("s"))
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("n_ngrams"))
-                .withColumn("n_seen", F.lit(0).cast("long")))
+            bits = spark.range(0).select(
+                F.col("id").alias("bit"))
+        scores = bloom_novelty(batch, bits, n=n, m_bits=m_bits,
+                               k=k, text_col=text_col,
+                               id_col=id_col)
         novel = F.col("n_ngrams") - F.col("n_seen")
         verdict = scores.select(
             F.col("doc_id").alias(id_col), "n_ngrams", "n_seen",
@@ -636,35 +643,52 @@ def make_bloom_novelty_sink(bloom_path: str, accepted_path: str,
              & (novel * F.lit(1_000_000)
                 >= F.lit(int(min_novel_ppm)) * F.col("n_ngrams")))
             .alias("_keep"))
-        verdict, v_ids = tracked_local_checkpoint(verdict,
-                                                  eager=False)
+        # accepted ∪ rejected must PARTITION the batch: a NULL-text
+        # doc has no shingle rows (shingles(NULL) is NULL), so it
+        # is absent from `scores` — the left join lands it in
+        # rejected with (0, 0), never silently dropped
+        judged = (batch.join(verdict, id_col, "left")
+                  .withColumn("_keep", F.coalesce(
+                      F.col("_keep"), F.lit(False)))
+                  .withColumn("n_ngrams", F.coalesce(
+                      F.col("n_ngrams"), F.lit(0)).cast("long"))
+                  .withColumn("n_seen", F.coalesce(
+                      F.col("n_seen"), F.lit(0)).cast("long")))
+        judged, j_ids = tracked_local_checkpoint(judged,
+                                                 eager=False)
         # 3. batch-stamped idempotent writes; bits delta last, one
-        # marker for the whole batch
+        # marker for the whole batch. Replace-semantics also for
+        # an EMPTY side: a redelivery that accepts (or rejects)
+        # nothing REMOVES the crashed attempt's stale dir instead
+        # of leaving it beside the other verdict (a file-less dir
+        # would break schema inference, so empty = absent).
+        def land(df, path):
+            if df.limit(1).count():
+                df.write.mode("overwrite").parquet(path)
+                return True
+            shutil.rmtree(path, ignore_errors=True)
+            return False
+
         if rejected_path is not None:
-            (batch.join(verdict.where(~F.col("_keep"))
-                        .select(id_col, "n_ngrams", "n_seen"),
-                        id_col)
-             .write.mode("overwrite").parquet(
-                 os.path.join(rejected_path,
-                              f"batch={batch_id}")))
-        accepted = batch.join(
-            verdict.where(F.col("_keep")).select(id_col), id_col)
-        accepted, a_ids = tracked_local_checkpoint(accepted,
-                                                   eager=False)
-        n_acc = accepted.count()
-        if n_acc:
-            accepted.write.mode("overwrite").parquet(
+            land(judged.where(~F.col("_keep"))
+                 .drop("_keep"),
+                 os.path.join(rejected_path, f"batch={batch_id}"))
+        accepted = judged.where(F.col("_keep")) \
+            .drop("_keep", "n_ngrams", "n_seen")
+        if land(accepted,
                 os.path.join(accepted_path, "docs",
-                             f"batch={batch_id}"))
+                             f"batch={batch_id}")):
             (bloom_bits(accepted.select(
                 F.explode(shingles(text_col, n)).alias("s")),
                 [], "s", m_bits=m_bits, k=k)
              .write.mode("overwrite")
              .parquet(os.path.join(bdir, f"batch={batch_id}")))
+        else:
+            shutil.rmtree(os.path.join(bdir, f"batch={batch_id}"),
+                          ignore_errors=True)
         os.makedirs(accepted_path, exist_ok=True)
         _touch_marker(marker)
-        release_local_checkpoint(accepted, a_ids)
-        release_local_checkpoint(verdict, v_ids)
+        release_local_checkpoint(judged, j_ids)
 
     return sink
 

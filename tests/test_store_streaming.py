@@ -1704,19 +1704,49 @@ def test_bloom_novelty_gate_stream(spark, tmp_path):
     sink(b1, 1)
     assert sorted(os.listdir(os.path.join(acc, "docs"))) == before
 
-    # crash-window redelivery replaces, never duplicates
+    # crash-window redelivery replaces, never duplicates — AND the
+    # batch's own bits/batch=1 delta (already written by the
+    # "crashed" first attempt) must NOT poison the re-score: the
+    # sink excludes its own partition, so the verdicts are
+    # identical, accepted stays {12} and rejected stays {10, 11}
+    # (doc 12 must not flip to rejected against its own bits)
     os.remove(os.path.join(acc, "_batch-1.done"))
+    assert os.path.isdir(os.path.join(bloom, "bits", "batch=1"))
     sink(b1, 1)
     assert {r["doc_id"] for r in spark.read.parquet(
         os.path.join(acc, "docs", "batch=1")).collect()} == {12}
-    n_bits = spark.read.parquet(os.path.join(bloom, "bits")) \
-        .select("bit").distinct().count()
+    assert {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(rej, "batch=1")).collect()} == {10, 11}
+
+    # NULL-text docs cannot vanish: shingles() maps NULL/empty text
+    # to the single empty-string shingle (concat_ws skips NULLs),
+    # so the FIRST one is genuinely novel and accepted, and every
+    # later one scores fully-seen and rejects — accepted ∪ rejected
+    # partitions every batch either way
+    bnull = arrow_df(spark, [
+        (40, None),
+        (41, "fresh words appearing here for the first time")],
+        "doc_id long, text string")
+    sink(bnull, 9)
+    assert {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(acc, "docs", "batch=9")).collect()} \
+        == {40, 41}
+    assert not os.path.isdir(os.path.join(rej, "batch=9"))
+    sink(arrow_df(spark, [(50, None)],
+                  "doc_id long, text string"), 10)
+    assert not os.path.isdir(os.path.join(acc, "docs", "batch=10"))
+    rnull = {r["doc_id"]: (r["n_ngrams"], r["n_seen"]) for r in
+             spark.read.parquet(os.path.join(rej, "batch=10"))
+             .collect()}
+    assert rnull == {50: (1, 1)}
 
     # compaction folds the deltas; the distinct bit set and the
     # verdicts are unchanged (doc 10 re-sent in a new batch still
     # rejects)
+    n_bits = spark.read.parquet(os.path.join(bloom, "bits")) \
+        .select("bit").distinct().count()
     folded = SC.compact_bloom(spark, bloom)
-    assert folded == {"bits": 2}
+    assert folded == {"bits": 3}  # batch=0, batch=1, batch=9
     assert sorted(d for d in os.listdir(os.path.join(bloom, "bits"))
                   if d.startswith("batch=")) == ["batch=-1"]
     assert spark.read.parquet(os.path.join(bloom, "bits")) \

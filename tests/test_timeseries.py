@@ -443,3 +443,18 @@ def test_seasonal_backtest_hand_computed(spark):
     #              40.5 (vs slag 40 -> 0.5; nlag 30.5 -> 10.0)
     assert got["s1"] == (2, 0, 1000, 20500), got
     assert got["tiny"] == (0, 2, 0, 0), got
+
+
+def test_seasonal_backtest_rejects_leaky_horizon(spark):
+    """horizon > season means the seasonal lag reads held-out
+    actuals — the geometry raises instead of flattering the
+    score."""
+    import pytest
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+
+    df = arrow_df(spark, [("s", i, float(i)) for i in range(20)],
+                  "series string, ts long, val double")
+    with pytest.raises(ValueError, match="horizon.*must be <="):
+        TSO.seasonal_backtest(df, season=4, horizon=8)
