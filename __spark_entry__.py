@@ -1634,6 +1634,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", "n_trigrams", "sum_nabc", "sum_nab",
                 "sum_nbc", "sum_nb", "sum_nc", "v")
 
+    def curation_token_budget(spark, sf_dir):
+        """Greedy token-budget selection (operators/curation.py
+        token_budget_select): docs ranked by type diversity
+        (distinct whitespace tokens — an integer quality proxy,
+        ties to the smaller id) are kept while the cumulative
+        token count fits a 12k budget — the step that turns
+        per-doc scores into a training set. The Spark side runs
+        the DISTRIBUTED two-level prefix sum (per-score totals +
+        |scores|-row offset window + score-partitioned intra
+        cumsum); the oracle replays the contract with one plain
+        global-window cumsum — the equality IS the proof the
+        decomposition is exact."""
+        docs = load(spark, sf_dir, "documents")
+        w = TX.words(F.col("text"))
+        empty = F.length(F.trim(F.col("text"))) == 0
+        scored = docs.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("n_tokens"),
+            F.when(empty, F.lit(0))
+            .otherwise(F.size(F.array_distinct(w)))
+            .cast("long").alias("n_types"))
+        return CU.token_budget_select(
+            scored, budget_tokens=12_000,
+            score_col="n_types", token_col="n_tokens")
+
+    q["curation_token_budget"] = curation_token_budget
+
     # alpha=0.5: the temperature term is sqrt (correctly rounded on
     # every engine) — the pow-seeded 0.3 variant was driver-hash-red
     # four rounds running (ARCHITECTURE.md contract policy)
@@ -6055,6 +6082,26 @@ def oracle_sql() -> dict[str, str]:
     _MXW_W = ("(CAST(pw_q AS DOUBLE) / CAST(w_tot_q AS DOUBLE))"
               " / (CAST(n_tokens AS DOUBLE)"
               " / CAST(tok_tot AS DOUBLE))")
+    # token-budget selection: the oracle's single global-window
+    # cumsum over (score desc, id) replays the distributed
+    # two-level prefix sum exactly
+    o["curation_token_budget"] = (
+        "WITH tok AS (SELECT doc_id,"
+        " CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]"
+        " ELSE string_split_regex(trim(text), '\\s+') END AS w"
+        " FROM documents),"
+        " d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,"
+        " CAST(len(list_distinct(w)) AS BIGINT) AS n_types"
+        " FROM tok)"
+        " SELECT doc_id, n_types AS score, n_tokens,"
+        " CAST(sum(n_tokens) OVER (ORDER BY n_types DESC, doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS cum_tokens,"
+        " sum(n_tokens) OVER (ORDER BY n_types DESC, doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " <= 12000 AS selected"
+        " FROM d"
+    )
     o["curation_mix_weights"] = (
         _MXW
         + " SELECT source, n_docs, n_tokens,"

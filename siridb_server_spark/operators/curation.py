@@ -136,6 +136,60 @@ def pack_sequences(df: DataFrame, budget: int = 256,
                 (start % budget).cast("long").alias("seq_offset")))
 
 
+def token_budget_select(df: DataFrame, budget_tokens: int,
+                        score_col: str, token_col: str,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Greedy score-ordered document selection under a TOKEN
+    budget — the step that turns per-doc quality scores into an
+    actual training set: walk docs in (score desc, id asc) order
+    and keep each one whose cumulative token count (itself
+    included) still fits ``budget_tokens``. TRUNCATION semantics:
+    once the running total passes the budget nothing later is
+    pulled in (no first-fit backfill) — deterministic under any
+    partitioning, and the contract cross-engine SQL can replay
+    with one window.
+
+    Spark shape — a DISTRIBUTED exact prefix sum, because the
+    naive global-window cumsum serializes the whole corpus through
+    ONE partition: (1) per-score token totals (one groupBy);
+    (2) the cumulative offset BEFORE each score runs over the
+    per-score frame — |distinct scores| rows through one window,
+    tiny for the quantized integer scores this repo's contracts
+    produce, never |docs|; (3) the intra-score cumsum is a window
+    PARTITIONED BY score (parallel across scores; a hot score is
+    ordinary window skew). cum_tokens = offset + intra.
+
+    Rows with a NULL score or NULL/negative tokens are EXCLUDED
+    up front (they have no place in the order — filter earlier if
+    you need them attributed). Output: (id, score, tokens,
+    cum_tokens, selected), one row per surviving input doc."""
+    d = (df.select(F.col(id_col),
+                   F.col(score_col).alias("score"),
+                   F.col(token_col).cast("long").alias("n_tokens"))
+         .where(F.col("score").isNotNull()
+                & F.col("n_tokens").isNotNull()
+                & (F.col("n_tokens") >= 0)))
+    per_score = d.groupBy("score").agg(
+        F.sum("n_tokens").alias("_stot"))
+    ws = (Window.orderBy(F.desc("score"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_score.select(
+        "score",
+        F.coalesce(F.sum("_stot").over(ws), F.lit(0))
+        .alias("_off"))
+    wi = (Window.partitionBy("score").orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (d.join(offsets, "score")
+            .withColumn("cum_tokens",
+                        (F.col("_off")
+                         + F.sum("n_tokens").over(wi))
+                        .cast("long"))
+            .select(id_col, "score", "n_tokens", "cum_tokens",
+                    (F.col("cum_tokens")
+                     <= F.lit(int(budget_tokens)))
+                    .alias("selected")))
+
+
 def mix_weights(df: DataFrame, alpha: float = 0.5,
                 max_weight: float = 5.0,
                 source_col: str = "source",

@@ -3367,3 +3367,31 @@ def test_bloom_novelty_lower_bounds_exact(spark):
     for d, (tot, seen) in approx.items():
         assert tot == exact[d][0]
         assert seen >= tot - exact[d][1]  # lower-bound novelty
+
+
+def test_token_budget_select_hand_computed(spark):
+    """Greedy truncation under a token budget, hand-checked:
+    (score desc, id asc) order, cumulative includes the doc
+    itself, the first over-budget doc and everything after it are
+    unselected (truncation, no backfill — a small later doc that
+    would fit is still out), score ties order by id, NULL
+    score/tokens rows are excluded entirely."""
+    from siridb_server_spark.operators import curation as CU
+
+    rows = [
+        (1, 9, 40),    # cum 40  -> in
+        (2, 9, 30),    # tie with 1, id-ordered after: cum 70 -> in
+        (3, 7, 50),    # cum 120 -> OVER 100: out
+        (4, 5, 10),    # would fit, but truncation: cum 130 -> out
+        (5, None, 10),
+        (6, 3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score long, tokens long")
+    got = {r["doc_id"]: (r["cum_tokens"], r["selected"]) for r in
+           CU.token_budget_select(df, budget_tokens=100,
+                                  score_col="score",
+                                  token_col="tokens").collect()}
+    assert got == {1: (40, True), 2: (70, True),
+                   3: (120, False), 4: (130, False)}
+    assert 5 not in got and 6 not in got
