@@ -1444,6 +1444,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_label_centroids"] = lambda spark, sf_dir: \
         SIM.label_centroid_dims(load(spark, sf_dir, "embeddings"))
 
+    def sim_centroid_shift(spark, sf_dir):
+        """Per-label centroid drift between snapshots
+        (operators/similarity.py centroid_shift): even vec_ids are
+        the old snapshot, odd the new — with label 0 REMOVED from
+        the new side, so the vanished-class NULL path is part of
+        the contract. Integer sufficient statistics only (micro-
+        scaled centroid components → exact dot/na/nb sums); the
+        drift cosine is the caller's float."""
+        emb = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") != 0)
+        return SIM.centroid_shift(
+            emb.where("vec_id % 2 = 0"),
+            emb.where("vec_id % 2 = 1 AND label <> 0"))
+
+    q["sim_centroid_shift"] = sim_centroid_shift
+
     def sim_standardize(spark, sf_dir):
         """Whitened embeddings, projected to long (id, dim, z) form
         for the value comparison (the operator itself reassembles
@@ -5843,6 +5859,35 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS n_vectors,"
         f" round({_SD.format(x='v')} / count(*), 6) + 0.0 AS centroid"
         " FROM x GROUP BY 1, 2"
+    )
+
+    # centroid drift: both snapshots' 6-decimal centroid components
+    # micro-scaled to ints, then exact integer dot/norm sums — the
+    # one float (the cosine) never enters the hash
+    _cdim = (
+        "(SELECT label, dim, count(*) AS {n},"
+        " CAST(floor((round({sd} / count(*), 6) + 0.0)"
+        " * 1000000.0 + 0.5) AS BIGINT) AS {c}"
+        " FROM (SELECT label, unnest(range(len(embedding))) AS dim,"
+        " unnest(embedding) AS v FROM embeddings"
+        " WHERE vec_id <> 0 AND {side}) GROUP BY 1, 2)"
+    )
+    o["sim_centroid_shift"] = (
+        "WITH co AS " + _cdim.format(
+            n="n_old", c="ca", sd=_SD.format(x="v"),
+            side="vec_id % 2 = 0")
+        + ", cn AS " + _cdim.format(
+            n="n_new", c="cb", sd=_SD.format(x="v"),
+            side="vec_id % 2 = 1 AND label <> 0")
+        + ", j AS (SELECT coalesce(co.label, cn.label) AS label,"
+        " co.n_old, cn.n_new, co.ca, cn.cb FROM co"
+        " FULL JOIN cn ON co.label = cn.label AND co.dim = cn.dim)"
+        " SELECT label, CAST(max(n_old) AS BIGINT) AS n_old,"
+        " CAST(max(n_new) AS BIGINT) AS n_new,"
+        " CAST(sum(ca * cb) AS BIGINT) AS dot_scaled,"
+        " CAST(sum(ca * ca) AS BIGINT) AS na_scaled,"
+        " CAST(sum(cb * cb) AS BIGINT) AS nb_scaled"
+        " FROM j GROUP BY 1"
     )
 
     # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for

@@ -992,6 +992,49 @@ def pq_index_rebuild(spark, path: str, new_path: str,
     return new
 
 
+def centroid_shift(old: DataFrame, new: DataFrame,
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Per-label centroid DRIFT between two corpus snapshots — the
+    embedding-space retrain signal for a labeled corpus: per
+    label, both snapshots' mean vectors reduced to the INTEGER
+    sufficient statistics of their cosine. Each centroid component
+    is :func:`label_centroid_dims`' 6-decimal contract scaled to a
+    micro int, so dot/na/nb are exact integer sums over dims
+    (hashable cross-engine — no float sum-order ambiguity);
+    ``cos = dot/sqrt(na·nb)`` is the caller's one float division.
+    A label present in only one snapshot carries the other side as
+    NULLs — appeared/vanished classes are half the point of a
+    drift report, so they surface instead of dropping.
+
+    Two long-form centroid aggregates (|labels|·dims rows through
+    the shuffle — the scalable layout label_centroid_dims
+    documents) + one full join on (label, dim) + one per-label
+    sum. Output: (label, n_old, n_new, dot_scaled, na_scaled,
+    nb_scaled)."""
+
+    def micro(c: Column) -> Column:
+        return F.floor(c * F.lit(1_000_000.0)
+                       + F.lit(0.5)).cast("long")
+
+    a = label_centroid_dims(old, vec_col, label_col).select(
+        "label", "dim", F.col("n_vectors").alias("n_old"),
+        micro(F.col("centroid")).alias("_ca"))
+    b = label_centroid_dims(new, vec_col, label_col).select(
+        "label", "dim", F.col("n_vectors").alias("n_new"),
+        micro(F.col("centroid")).alias("_cb"))
+    return (a.join(b, ["label", "dim"], "full")
+            .groupBy("label")
+            .agg(F.max("n_old").alias("n_old"),
+                 F.max("n_new").alias("n_new"),
+                 F.sum(F.col("_ca") * F.col("_cb"))
+                 .alias("dot_scaled"),
+                 F.sum(F.col("_ca") * F.col("_ca"))
+                 .alias("na_scaled"),
+                 F.sum(F.col("_cb") * F.col("_cb"))
+                 .alias("nb_scaled")))
+
+
 def dim_truncation_recall(emb: DataFrame, query_vec,
                           dims=(8, 16, 32), k: int = 10,
                           vec_col: str = "embedding",

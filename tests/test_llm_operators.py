@@ -3395,3 +3395,36 @@ def test_token_budget_select_hand_computed(spark):
     assert got == {1: (40, True), 2: (70, True),
                    3: (120, False), 4: (130, False)}
     assert 5 not in got and 6 not in got
+
+
+def test_centroid_shift_planted_drift(spark):
+    """Planted geometry: a label whose new-snapshot centroid is the
+    old one exactly (cos micro-stats equal → drift 0), one rotated
+    90° (dot 0), one present only in the old snapshot (NULL new
+    side — the vanished-class report), one only in the new."""
+    from siridb_server_spark.operators.similarity import (
+        centroid_shift,
+    )
+
+    old = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),
+         (3, [0.0, 1.0], 1),
+         (4, [2.0, 2.0], 7)],          # label 7 vanishes
+        "vec_id long, embedding array<double>, label long")
+    new = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0),          # unchanged centroid
+         (11, [1.0, 0.0], 1),          # rotated from [0,1]
+         (12, [3.0, 4.0], 9)],         # label 9 appears
+        "vec_id long, embedding array<double>, label long")
+    got = {r["label"]: r.asDict() for r in
+           centroid_shift(old, new).collect()}
+    assert set(got) == {0, 1, 7, 9}
+    m = 1_000_000
+    assert got[0]["n_old"] == 2 and got[0]["n_new"] == 1
+    assert (got[0]["dot_scaled"] == got[0]["na_scaled"]
+            == got[0]["nb_scaled"] == m * m)   # cos exactly 1
+    assert got[1]["dot_scaled"] == 0           # orthogonal shift
+    assert got[7]["n_new"] is None and got[7]["dot_scaled"] is None
+    assert got[7]["na_scaled"] == 2 * (2 * m) ** 2
+    assert got[9]["n_old"] is None
+    assert got[9]["nb_scaled"] == (3 * m) ** 2 + (4 * m) ** 2
