@@ -1504,11 +1504,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _pts_dedup(spark, sf_dir):
         """events points, one row per (series, ts): last-writer-wins
-        by seq so window ordering is deterministic on both engines."""
+        by seq so window ordering is deterministic on both engines.
+
+        Implemented as a window dedup partitioned by SERIES ONLY
+        (sort (ts asc, seq desc, val desc); keep each ts-run's first
+        row ≡ the old groupBy(series, ts) max(struct(seq, val))) so
+        every downstream consumer — all partitioned or grouped by
+        series or (series, bucket) — satisfies its distribution from
+        THIS exchange: HashPartitioning(series) ⊆ any grouping that
+        contains series, and the (ts, seq desc) sort prefix covers
+        the ts-ordered windows. One shuffle total instead of the old
+        dedup-shuffle + operator-shuffle (guide §2.4); values are
+        identical row for row."""
         pts = events_points(spark, sf_dir)
-        return (pts.groupBy("series", "ts")
-                .agg(F.max(F.struct("seq", "val_dbl")).alias("m"))
-                .select("series", "ts", F.col("m.val_dbl").alias("val")))
+        w = Window.partitionBy("series").orderBy(
+            F.col("ts").asc(), F.col("seq").desc(),
+            F.col("val_dbl").desc())
+        return (pts
+                .withColumn("_prev_ts", F.lag("ts").over(w))
+                .where(F.col("_prev_ts").isNull()
+                       | (F.col("_prev_ts") != F.col("ts")))
+                .select("series", "ts",
+                        F.col("val_dbl").alias("val")))
 
     q["ts_resample_interp"] = lambda spark, sf_dir: \
         TSO.resample_interpolate(_pts_dedup(spark, sf_dir),

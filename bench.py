@@ -188,6 +188,26 @@ BENCH_QUERIES = [
 ]
 
 
+def _aqe_min_partition_bytes(sf_dir: str, cpus: int) -> int:
+    """Scale-adaptive AQE coalescing floor (guide §2.2/§2.5: derive
+    partitioning from input size, don't pin it to either local mode
+    or the cluster). AQE's default minPartitionSize (1 MB) is sized
+    for cluster shuffles; at small input sizes it coalesces every
+    post-shuffle stage to 1-2 partitions, serializing row-EXPANDING
+    operators downstream of a shuffle (resample's grid explode ran
+    1-threaded: 1.78 s vs 0.54 s at sf0.1 on 32 cores). Target
+    ~8 partitions per core over the total input, clamped to
+    [16 KB, 1 MB] — any realistically large input hits the 1 MB
+    Spark default and this returns exactly stock behavior."""
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir) if f.endswith(".parquet"))
+    except OSError:
+        return 1 << 20
+    return max(16 << 10, min(1 << 20, total // (8 * cpus)))
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -199,6 +219,8 @@ def main():
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                str(_aqe_min_partition_bytes(SF_DIR, CPUS)))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
