@@ -3676,6 +3676,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("rel"))
                 .orderBy(F.desc("rel"), F.asc("vec_id"))
                 .limit(C))
+        # ONE corpus pass: collect the C candidates (ids + vectors +
+        # rel) and score the C×C pair matrix over a literal local
+        # relation — same expressions on the same float values (the
+        # collect round-trips array<float> exactly), so sims are
+        # bit-identical to the former second corpus TakeOrdered
+        cand_rows = cand.collect()
+        cand = arrow_df(
+            spark, [(r["vec_id"], r["embedding"], r["rel"])
+                    for r in cand_rows],
+            cand.schema)
         a = cand.select(F.col("vec_id").alias("id_a"),
                         F.col("embedding").alias("ea"))
         b = cand.select(F.col("vec_id").alias("id_b"),
@@ -3690,8 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("id_a", "id_b",
                         scaled_term(pdot / (na * nb), 6)
                         .alias("sim")))
-        rel = {r["vec_id"]: r["rel"]
-               for r in cand.select("vec_id", "rel").collect()}
+        rel = {r["vec_id"]: r["rel"] for r in cand_rows}
         sm = {(r["id_a"], r["id_b"]): r["sim"]
               for r in sims.collect()}
         picked, rows = [], []

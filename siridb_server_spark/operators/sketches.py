@@ -161,12 +161,29 @@ def kmv_sketch(df: DataFrame, key_cols, member_col: str,
     # off the full hash stream (exact — see
     # _bottomk_prefilter_distinct; defined below, resolved at call
     # time)
-    hashes = _bottomk_prefilter_distinct(hashes, list(key_cols), k,
-                                         pri_col="h")
+    cand, active = _bottomk_prefilter_distinct(
+        hashes, list(key_cols), k, pri_col="h")
     w = Window.partitionBy(*key_cols).orderBy("h")
-    return (hashes.withColumn("pos", F.row_number().over(w))
-            .where(F.col("pos") <= k)
-            .select(*key_cols, "pos", "h"))
+
+    def rank(src):
+        return (src.withColumn("pos", F.row_number().over(w))
+                .where(F.col("pos") <= k)
+                .select(*key_cols, "pos", "h"))
+
+    out = rank(cand)
+    if not active:
+        return out
+    # sketch rows are driver-small by contract (≤ k per key, keys
+    # broadcast-bounded): collect once, run the exactness check on
+    # the result, and hand the caller a literal local relation — the
+    # corpus is scanned exactly once per build
+    out_rows = out.collect()
+    if not _bottomk_exactness_check(
+            out_rows, list(key_cols), k,
+            active):  # pragma: no cover — e^-hundreds odds
+        return rank(hashes.distinct())
+    from ..localdf import arrow_df
+    return arrow_df(df.sparkSession, out_rows, out.schema)
 
 
 def kmv_merge(sketches: DataFrame, key_cols,
@@ -247,8 +264,7 @@ PREF_MULT = 8
 
 
 def _bottomk_prefilter_distinct(rows: DataFrame, key_cols: list,
-                                k: int,
-                                pri_col: str = "pri") -> DataFrame:
+                                k: int, pri_col: str = "pri"):
     """DISTINCT bottom-k superset of ``rows`` (key..., pri, ...):
     shrink to ~PREF_MULT·k candidates per key, then dedupe — WITHOUT
     changing the distinct bottom-k. Priorities are uniform 60-bit
@@ -265,40 +281,64 @@ def _bottomk_prefilter_distinct(rows: DataFrame, key_cols: list,
     filtering; with no exchange reuse across the check branches that
     recomputed a corpus-wide distinct up to 4×.)
 
-    Exactness is CHECKED, not assumed — eagerly, at build time (one
-    driver action over a |keys|-row aggregate, the same
-    build-once-eagerly trade IVFIndex/kmeans make): a key whose
-    surviving distinct count fell below k despite a real threshold
-    (possible only through astronomical hash luck) routes the WHOLE
-    build through the unfiltered path. The returned plan in the
-    (always-taken) good case is just scan → broadcast-filter →
-    distinct → window: no check branches, no repeated corpus
-    passes. (The eager check costs ~2 extra jobs per build — on the
-    streaming sink that is per MICRO-BATCH input, which is
-    batch-sized, not corpus-sized; acceptable for the exactness
-    guarantee it buys.)"""
-    est = rows.groupBy(*key_cols).agg(
-        F.approx_count_distinct(pri_col).alias("_n"))
-    thr = F.when(
-        F.col("_n") <= F.lit(PREF_MULT * k),
-        F.lit(KMV_SPACE)).otherwise(
-        F.expr(f"CAST({KMV_SPACE} AS BIGINT) DIV _n")
-        * F.lit(PREF_MULT * k))
-    bounds = est.select(*key_cols, thr.alias("_thr"))
-    cand = (rows.join(F.broadcast(bounds), key_cols)
+    Returns ``(cand, active)``: ``cand`` is the DISTINCT bottom-k
+    superset (lazy), ``active`` the driver-side set of key tuples
+    whose threshold was REAL (thr < KMV_SPACE; empty ⇒ ``cand`` is
+    just ``rows.distinct()``). Exactness is still CHECKED, not
+    assumed, but by the CALLER on its (driver-small by contract)
+    final sketch rows: for every active key, < k surviving distinct
+    rows (possible only through astronomical hash luck) must route
+    the build through the unfiltered path. Moving the check onto the
+    k-rows-per-key OUTPUT — instead of an eager extra action over
+    ``cand`` here — halves the corpus passes per build: the old
+    shape ran est+cand once for the check and recomputed both in the
+    final plan; now the |keys|-row estimate aggregate is collected
+    ONCE (it had to be broadcast-small anyway — the thresholds
+    rejoin as a literal local relation) and the filter pass runs
+    once."""
+    from ..localdf import arrow_df
+    from pyspark.sql import types as T
+
+    est_rows = (rows.groupBy(*key_cols)
+                .agg(F.approx_count_distinct(pri_col).alias("_n"))
+                .collect())
+    active = set()
+    bounds = []
+    for r in est_rows:
+        kt = tuple(r[c] for c in key_cols)
+        n = int(r["_n"])
+        if n <= PREF_MULT * k:
+            thr = KMV_SPACE
+        else:
+            # same integer math as the former SQL expression:
+            # (KMV_SPACE DIV n̂) · (PREF_MULT·k)
+            thr = (KMV_SPACE // n) * (PREF_MULT * k)
+            active.add(kt)
+        bounds.append(kt + (thr,))
+    if not active:
+        return rows.distinct(), active
+    schema = T.StructType(
+        [rows.schema[c] for c in key_cols]
+        + [T.StructField("_thr", T.LongType())])
+    bdf = arrow_df(rows.sparkSession, bounds, schema)
+    cand = (rows.join(F.broadcast(bdf), list(key_cols))
             .where(F.col(pri_col) < F.col("_thr"))
+            .drop("_thr")
             .distinct())
-    # the check must start from BOUNDS, not from cand: a key whose
-    # every priority cleared the threshold has no cand group at all
-    # and a cand-derived check would silently drop it
-    cand_counts = (cand.groupBy(*key_cols)
-                   .agg(F.count(F.lit(1)).alias("_c")))
-    bad = (bounds.where(F.col("_thr") < F.lit(KMV_SPACE))
-           .join(cand_counts, key_cols, "left")
-           .where(F.coalesce(F.col("_c"), F.lit(0)) < F.lit(k)))
-    if not bad.isEmpty():  # pragma: no cover — e^-hundreds odds
-        return rows.distinct()
-    return cand.drop("_thr")
+    return cand, active
+
+
+def _bottomk_exactness_check(out_rows, key_cols: list, k: int,
+                             active) -> bool:
+    """True iff the prefiltered build is PROVEN exact: every key
+    whose threshold was real kept ≥ k distinct rows (they then
+    provably contain the true bottom-k — anything cut was larger
+    than k survivors). A key missing from ``out_rows`` entirely
+    counts as 0 — the former bounds-side left join's guarantee."""
+    from collections import Counter
+
+    cnt = Counter(tuple(r[c] for c in key_cols) for r in out_rows)
+    return all(cnt.get(kt, 0) >= k for kt in active)
 
 
 def quantile_sketch(df: DataFrame, key_cols, value_col: str,
@@ -345,14 +385,28 @@ def quantile_sketch(df: DataFrame, key_cols, value_col: str,
             .select(*key_cols,
                     _row_priority(F.col(id_col)).alias("pri"),
                     F.col(value_col).alias("val")))
-    if prefilter:
-        rows = _bottomk_prefilter_distinct(rows, key_cols, k)
-    else:
-        rows = rows.distinct()
     w = Window.partitionBy(*key_cols).orderBy("pri", "val")
-    return (rows.withColumn("pos", F.row_number().over(w))
-            .where(F.col("pos") <= k)
-            .select(*key_cols, "pos", "pri", "val"))
+
+    def rank(src):
+        return (src.withColumn("pos", F.row_number().over(w))
+                .where(F.col("pos") <= k)
+                .select(*key_cols, "pos", "pri", "val"))
+
+    if not prefilter:
+        return rank(rows.distinct())
+    cand, active = _bottomk_prefilter_distinct(rows, key_cols, k)
+    out = rank(cand)
+    if not active:
+        return out
+    # see kmv_sketch: collect the (contract-small) sketch once, check
+    # exactness on the result, return a literal local relation
+    out_rows = out.collect()
+    if not _bottomk_exactness_check(
+            out_rows, key_cols, k,
+            active):  # pragma: no cover — e^-hundreds odds
+        return rank(rows.distinct())
+    from ..localdf import arrow_df
+    return arrow_df(df.sparkSession, out_rows, out.schema)
 
 
 def quantile_merge(sketches: DataFrame, key_cols,

@@ -1118,8 +1118,11 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
     spark = df.sparkSession
     try:
         words = _sax_from_vectors(per, word_len, alphabet)
-        qw = (words.where(F.col("series") == query_series)
-              .first()["word"])
+        # the query's word is a pure function of the vals already
+        # collected — the Python twin (pinned in pytest against the
+        # pipeline) saves a driver action that ran the whole
+        # posexplode + two-groupBy word pipeline for ONE row
+        qw = _sax_word_py(q, word_len, alphabet)
         qlit = qw.replace("'", "''")
         # agreement count with the query word over the shorter of
         # the two words (a short series is judged only on buckets
@@ -1454,6 +1457,46 @@ def sax_words(df: DataFrame, word_len: int = 8, alphabet: int = 4,
     [0-9a-z] symbols)."""
     per = _series_vectors(df, max_len, scale)
     return _sax_from_vectors(per, word_len, alphabet)
+
+
+def _sax_word_py(vals, word_len: int, alphabet: int) -> str:
+    """Driver-side twin of :func:`_sax_from_vectors` for ONE
+    already-assembled vals vector — integer-exact, so the word is
+    identical to the distributed pipeline's (pinned by
+    tests/test_timeseries_ops.py::test_sax_word_py_matches_pipeline).
+    Lets dtw_topk's prefilter derive the QUERY's word from the vals
+    it has already collected instead of running the posexplode +
+    two-groupBy word pipeline for a single row."""
+    if not 2 <= alphabet <= 36:
+        raise ValueError("alphabet must be in [2, 36]")
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:alphabet]
+    n = len(vals)
+    if n == 0:
+        return ""
+    buckets: dict[int, list] = {}
+    for i, v in enumerate(vals):
+        buckets.setdefault((i * word_len) // n, []).append(int(v))
+    # paa = integer-div bucket mean; symbols equi-range over the
+    # series' own PAA min/max — same formulas as _sax_from_vectors
+    paa = {j: _trunc_div(sum(vs), len(vs))
+           for j, vs in buckets.items()}
+    lo, hi = min(paa.values()), max(paa.values())
+    word = []
+    for j in sorted(paa):
+        s = min(alphabet - 1,
+                _trunc_div((paa[j] - lo) * alphabet, hi - lo + 1))
+        word.append(digits[s])
+    return "".join(word)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark's integral ``div`` truncates toward zero; Python's //
+    floors — they differ on negative bucket sums, so mirror Spark
+    exactly."""
+    q = abs(a) // abs(b)
+    if (a < 0) != (b < 0):
+        q = -q
+    return q
 
 
 def _sax_from_vectors(per: DataFrame, word_len: int,

@@ -370,6 +370,38 @@ def test_sax_words_structure_and_similarity(spark):
     assert list(w) == sorted(w)
 
 
+def test_sax_word_py_matches_pipeline(spark):
+    """The driver-side SAX-word twin (_sax_word_py, used by
+    dtw_topk's prefilter for the query's own word) is byte-identical
+    to the distributed word pipeline — including short series,
+    single-point series, negative and constant values (negative
+    bucket sums exercise the trunc-vs-floor div edge)."""
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+    from siridb_server_spark.operators.timeseries import (
+        _sax_word_py,
+        _series_vectors,
+    )
+
+    rows = []
+    for i in range(64):
+        rows.append(("rampup", i, float(i)))
+        rows.append(("neg", i, float(-3 - (i % 7))))
+        rows.append(("vee", i, float(abs(i - 32))))
+        rows.append(("const", i, 5.0))
+    for i in range(5):
+        rows.append(("short", i, float(i * i)))
+    rows.append(("single", 0, 42.0))
+    df = arrow_df(spark, rows, "series string, ts long, val double")
+    per = {r["series"]: [int(x) for x in r["vals"]]
+           for r in _series_vectors(df, 128, 1000).collect()}
+    words = {r["series"]: r["word"]
+             for r in TSO.sax_words(df).collect()}
+    assert set(per) == set(words)
+    for name, vals in per.items():
+        assert _sax_word_py(vals, 8, 4) == words[name], name
+
+
 def test_wilson_bounds_match_python_reference(spark):
     """Wilson bounds equal the textbook formula (same fixed op
     order, sqrt-only) and behave: contain p̂, tighten with n,
