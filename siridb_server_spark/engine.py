@@ -673,7 +673,16 @@ class SiriEngine:
             self._multi_cache = None
 
     def _select_plan(self, stmt: N.SelectStmt, need_seeds: bool = True):
-        cat = self._selected_catalog(stmt.match, stmt.where)
+        # the one-pass stats branch below never touches the catalog —
+        # don't build (and cache-register) it there
+        cat = None
+        # the skip-points plan answers FROM the catalog — keep the
+        # catalog route for it (the one-pass branch would add a
+        # points pass the skip path exists to avoid)
+        skippable = self._skippable_agg(stmt) is not None
+        if need_seeds or self.store is not None \
+                or stmt.where is not None or skippable:
+            cat = self._selected_catalog(stmt.match, stmt.where)
         tp_of = {v: k for k, v in TP_NAMES.items()}
         if need_seeds:
             # query(): ONE driver-side collect over the catalog — the
@@ -684,6 +693,27 @@ class SiriEngine:
             total_points = sum(r["length"] for r in sel_rows)
             sel_names = [r["name"] for r in sel_rows]
             n_sel = len(sel_names)
+        elif self.store is None and stmt.where is None \
+                and not skippable:
+            # select_df() on a memory/wrapped-frame engine with no
+            # metadata where: the plan only needs the type set and
+            # the points-limit bound — ONE partial-aggregated pass
+            # over the matched points (collect_set over ≤3 tp values
+            # + a count fold map-side to one row per task), instead
+            # of building and caching the per-series catalog
+            # (groupBy(series) shuffle) just to re-aggregate it to
+            # one row. n_sel stays unknown (0): it only TIGHTENED
+            # the head/tail points bound — the exact-count guard
+            # below keeps the same errors either way.
+            pred = compile_match(stmt.match, self.groups, self.tags)
+            agg = (self.points_df().where(pred)
+                   .agg(F.collect_set("tp").alias("tps"),
+                        F.count(F.lit(1)).alias("total"))
+                   .collect()[0])
+            tps = frozenset(int(t) for t in agg["tps"])
+            total_points = agg["total"] or 0
+            sel_names = []
+            n_sel = 0
         else:
             # select_df(): the plan only needs the type set, the
             # points-limit bound, and the series count — one tiny
@@ -748,8 +778,11 @@ class SiriEngine:
                 w = Window.partitionBy("series").orderBy(*order)
                 df = (df.withColumn("_rn", F.row_number().over(w))
                       .where(F.col("_rn") <= tr[1]).drop("_rn"))
-                total_points = min(total_points,
-                                   tr[1] * max(n_sel, 1))
+                if n_sel:  # unknown (0) on the one-pass stats path:
+                    # skipping the tightener only risks one extra
+                    # exact count below, never a missed error
+                    total_points = min(total_points,
+                                       tr[1] * n_sel)
                 restricted = True
 
         if has_sid:

@@ -553,7 +553,6 @@ def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
     recall, ``width`` to tighten estimates.
     Output: (ngram, est_count) — top-k by estimate, ties broken
     lexicographically; deterministic and engine-independent."""
-    from .curation import uniform01
 
     ws = words(F.lower(F.trim(F.col(text_col))))
     grams = (df.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -575,10 +574,11 @@ def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
              .groupBy(F.col("rc.r").alias("r"),
                       F.col("rc.c").alias("c"))
              .agg(F.count(F.lit(1)).alias("cnt")))
-    cand = (grams.where(uniform01(F.col("doc_id"))
-                        < F.lit(sample_frac))
-            .groupBy("g").agg(F.count(F.lit(1)).alias("s_cnt"))
-            .orderBy(F.desc("s_cnt"), F.asc("g")).limit(n_cand))
+    # candidates are n_cand rows BY CONSTRUCTION: collect them once
+    # and rejoin as a literal local relation — the former lazy shape
+    # re-materialized the full sampled-count subtree per broadcast
+    # consumer. Same rows, same order, one candidate pass.
+    cand = _collect_cand_ngrams(grams, sample_frac, n_cand)
     cand_cells = (cand.select(
         "g", F.explode(cell_array(F.col("g"))).alias("rc"))
         .select("g", F.col("rc.r").alias("r"),
@@ -587,6 +587,26 @@ def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
            .groupBy("g").agg(F.min("cnt").alias("est_count")))
     return (est.orderBy(F.desc("est_count"), F.asc("g")).limit(k)
             .select(F.col("g").alias("ngram"), "est_count"))
+
+
+def _collect_cand_ngrams(grams: DataFrame, sample_frac: float,
+                         n_cand: int) -> DataFrame:
+    """The count-min candidate set (top ``n_cand`` grams by exact
+    count over the deterministic md5 document sample) as a LITERAL
+    local relation: one corpus pass, collected (≤ n_cand rows — the
+    bound is the point of candidate generation), handed back as an
+    arrow frame so downstream broadcasts never recompute the pass."""
+    from .curation import uniform01
+    from ..localdf import arrow_df
+
+    cand_plan = (grams.where(uniform01(F.col("doc_id"))
+                             < F.lit(sample_frac))
+                 .groupBy("g").agg(F.count(F.lit(1)).alias("s_cnt"))
+                 .orderBy(F.desc("s_cnt"), F.asc("g")).limit(n_cand))
+    rows = cand_plan.collect()
+    return arrow_df(grams.sparkSession,
+                    [(r["g"], r["s_cnt"]) for r in rows],
+                    cand_plan.schema)
 
 
 def cms_accuracy(df: DataFrame, n: int = 2, depth: int = 4,
@@ -606,7 +626,6 @@ def cms_accuracy(df: DataFrame, n: int = 2, depth: int = 4,
     gram stream before its shuffle), so the audit stays
     candidate-sized no matter the corpus. All integers end to end.
     Output: (ngram, est_count, exact_count, overshoot)."""
-    from .curation import uniform01
 
     ws = words(F.lower(F.trim(F.col(text_col))))
     grams = (df.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -627,10 +646,12 @@ def cms_accuracy(df: DataFrame, n: int = 2, depth: int = 4,
              .groupBy(F.col("rc.r").alias("r"),
                       F.col("rc.c").alias("c"))
              .agg(F.count(F.lit(1)).alias("cnt")))
-    cand = (grams.where(uniform01(F.col("doc_id"))
-                        < F.lit(sample_frac))
-            .groupBy("g").agg(F.count(F.lit(1)).alias("s_cnt"))
-            .orderBy(F.desc("s_cnt"), F.asc("g")).limit(n_cand))
+    # see approx_top_ngrams: the candidate set is n_cand rows by
+    # construction — collect once, rejoin as a local relation (the
+    # lazy shape re-ran the sampled-count pass for EACH of its two
+    # broadcast consumers: the cell probe and the exact-count
+    # semi-join)
+    cand = _collect_cand_ngrams(grams, sample_frac, n_cand)
     cand_cells = (cand.select(
         "g", F.explode(cell_array(F.col("g"))).alias("rc"))
         .select("g", F.col("rc.r").alias("r"),

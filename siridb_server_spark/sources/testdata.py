@@ -62,13 +62,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except OSError:
             sz = 0
         cores = spark.sparkContext.defaultParallelism
-        # One split per ~128 KB of parquet, capped at the core count:
-        # big corpora still fan out to every core, but tiny tables
-        # keep a handful of partitions so per-task scheduling and
-        # Arrow-batch overhead can't dominate the row-local work
-        # (measured: 32 splits of a 600 KB table run 30-70% slower
-        # than 4-8 splits on these operators)
-        target = min(cores, sz // (128 * 1024))
+        # One split per ~16 KB of parquet, capped at the core count:
+        # big corpora still fan out to every core, and tiny tables
+        # keep a handful of partitions so per-task scheduling can't
+        # dominate. Re-measured r13 (after the AQE coalescing-floor
+        # fix): the CPU-heavy row-local operators scale near-linearly
+        # with splits on this table — the gram explode ran 2.30 s at
+        # 4 splits vs 0.64 s at 32, minhash signatures 1.40 s vs
+        # 0.49 s — so the old 128 KB/split calibration ("32 splits
+        # 30-70% slower", round 6) was starving them of cores.
+        target = min(cores, sz // (16 * 1024))
         if target > 1:
             df = df.repartition(target)
     if len(_LOAD_MEMO) > 64:  # bound: 10 tables × a few sf dirs
