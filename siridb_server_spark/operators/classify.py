@@ -172,9 +172,29 @@ def _doc_label_scores(model: NBModel, df: DataFrame,
                              F.lit(None).cast("string"))
                  .withColumn("tf", F.lit(0).cast("long")))
     tf = tf.unionByName(tokenless)
-    tl = tf.crossJoin(F.broadcast(model.labels))
-    return (tl.join(model.counts, ["label", "term"], "left")
-            .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    # precompute the log terms ON THE MODEL TABLES — they depend
+    # only on (label, term) / label, but inlining them in the
+    # scorers' aggregates re-evaluated the fixlog2/ln string-op
+    # chains per joined (doc, term, label) row (tokens × labels
+    # evaluations of bin/conv/rpad). Same functions of the same
+    # integers ⇒ identical scores. Missing terms: cnt→0, so
+    # fixlog2(0+1) = 0 and ln(0+1) = 0.0 are the coalesce literals.
+    counts = model.counts.withColumn(
+        "_lc_i", fixlog2(F.col("cnt") + F.lit(1))).withColumn(
+        "_lc_f", F.log((F.col("cnt") + F.lit(1)).cast("double")))
+    labels = model.labels.withColumn(
+        "_lt_i", fixlog2(F.col("n_tokens") + F.lit(model.vocab))
+    ).withColumn(
+        "_lt_f", F.log((F.col("n_tokens")
+                        + F.lit(model.vocab)).cast("double"))
+    ).withColumn("_lp_i", fixlog2(F.col("n_docs")))
+    tl = tf.crossJoin(F.broadcast(labels))
+    return (tl.join(counts, ["label", "term"], "left")
+            .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+            .withColumn("_lc_i", F.coalesce(F.col("_lc_i"),
+                                            F.lit(0).cast("long")))
+            .withColumn("_lc_f", F.coalesce(F.col("_lc_f"),
+                                            F.lit(0.0))))
 
 
 def nb_score_int(model: NBModel, df: DataFrame,
@@ -187,12 +207,9 @@ def nb_score_int(model: NBModel, df: DataFrame,
     which argmax ignores). Pure integers end to end. Output:
     (doc_id, label, iscore long)."""
     j = _doc_label_scores(model, df, id_col, text_col)
-    term = F.col("tf") * (fixlog2(F.col("cnt") + F.lit(1))
-                          - fixlog2(F.col("n_tokens")
-                                    + F.lit(model.vocab)))
+    term = F.col("tf") * (F.col("_lc_i") - F.col("_lt_i"))
     return (j.groupBy("doc_id", "label")
-            .agg((F.sum(term)
-                  + F.first(fixlog2(F.col("n_docs"))))
+            .agg((F.sum(term) + F.first(F.col("_lp_i")))
                  .alias("iscore")))
 
 
@@ -218,10 +235,7 @@ def nb_score_float(model: NBModel, df: DataFrame,
     Σ_t tf·ln((cnt+1)/(n_tokens+V)) + ln(n_docs/total_docs).
     Output: (doc_id, label, score double)."""
     j = _doc_label_scores(model, df, id_col, text_col)
-    term = F.col("tf") * (
-        F.log((F.col("cnt") + F.lit(1)).cast("double"))
-        - F.log((F.col("n_tokens")
-                 + F.lit(model.vocab)).cast("double")))
+    term = F.col("tf") * (F.col("_lc_f") - F.col("_lt_f"))
     prior = (F.log(F.col("n_docs").cast("double"))
              - F.lit(float(__import__("math").log(
                  max(model.total_docs, 1)))))

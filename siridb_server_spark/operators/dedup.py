@@ -1340,7 +1340,8 @@ def compact_dedup_index(spark, path: str,
 
 
 def compact_batch_dirs(spark, path: str, families,
-                       fs: str = "posix") -> dict:
+                       fs: str = "posix",
+                       skip_batch_ids=None) -> dict:
     """Generic batch=<id> delta compaction shared by the dedup,
     media, sketch and SQIndex stores: per family
     ``(name, partition_cols[, merge])``, fold all delta dirs into
@@ -1351,6 +1352,13 @@ def compact_batch_dirs(spark, path: str, families,
     quantile merges instead. See :func:`compact_dedup_index` for
     the crash-safety argument (idempotent merge ⇒ re-folding
     leftovers is harmless).
+
+    ``skip_batch_ids`` (a set of integer batch ids) leaves those
+    delta dirs OUT of the fold and on disk — the seam a caller with
+    an in-flight/crashed-batch notion (the Bloom novelty gate's
+    unmarked batches) uses so a pending batch's delta never
+    migrates into the base while its producer may still redeliver
+    and re-score against ``batch != id``.
 
     ``fs`` picks the publication protocol for the new base:
 
@@ -1402,12 +1410,21 @@ def compact_batch_dirs(spark, path: str, families,
             continue
         parts = [d for d in os.listdir(fdir)
                  if d.startswith("batch=")]
+        if skip_batch_ids:
+            parts = [
+                d for d in parts
+                if not (d.split("=")[1].lstrip("-").isdigit()
+                        and int(d.split("=")[1]) in skip_batch_ids)]
         if len(parts) <= 1:
             continue
         next_base = min([0] + [int(d.split("=")[1]) for d in parts
                                if d.split("=")[1].lstrip("-")
                                .isdigit()]) - 1
-        df = merge(spark.read.parquet(fdir))
+        # read ONLY the folded dirs (basePath keeps the batch
+        # partition column) — a skipped pending delta must not leak
+        # into the new base
+        df = merge(spark.read.option("basePath", fdir).parquet(
+            *[os.path.join(fdir, d) for d in parts]))
         w = df.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)

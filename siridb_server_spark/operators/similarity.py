@@ -268,6 +268,17 @@ def cosine_pairs_blocked(emb: DataFrame, threshold: float = 0.35,
             .applyInPandas(block_pairs, schema=schema))
 
 
+#: brute-force knn_join collects the query side to the driver; above
+#: this many rows that contract is being misused (at 64 float64 dims
+#: the cap is ~512 MB of query matrix) — fail loudly, don't OOM
+KNN_JOIN_QUERY_CAP = 1_000_000
+
+#: PQIndex.knn_join broadcasts |q|·m·k doubles of ADC tables; warn
+#: when the estimate passes this (well under the 8 GB broadcast cap,
+#: big enough that every executor holding it starts to matter)
+PQ_KNN_BROADCAST_WARN_BYTES = 256 << 20
+
+
 def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              qid_col: str = "qid") -> DataFrame:
@@ -292,7 +303,21 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     from pyspark.sql import types as T
 
+    # guarded collect: queries are the small side BY CONTRACT —
+    # misuse now fails loudly (here, or earlier on
+    # spark.driver.maxResultSize for a truly huge frame) instead of
+    # silently building an oversized q×d float matrix on the driver
+    # and every executor. A take(cap+1) pre-probe was rejected:
+    # take's incremental partition ramp-up re-runs the query-side
+    # plan up to 4× (the connected_components lesson).
     qrows = queries.select(qid_col, vec_col).collect()
+    if len(qrows) > KNN_JOIN_QUERY_CAP:
+        raise ValueError(
+            f"knn_join: query side exceeds {KNN_JOIN_QUERY_CAP} "
+            "rows — it is the driver-collected small side by "
+            "contract. Slab the query set, or use ivf_knn_join/"
+            "SQIndex.knn_join/PQIndex.knn_join, which keep both "
+            "sides distributed.")
     if not qrows:
         return emb.sparkSession.createDataFrame(
             [], "qid long, vec_id long, cos double, rank int")
@@ -665,6 +690,25 @@ class PQIndex:
         qt = (queries.select(F.col(qid_col).alias("qid"),
                              F.col(vec_col).alias("_qv"))
               .withColumn("_tabs", tabs))
+        # runtime broadcast guard (the dtw_knn_join 50M-grid
+        # pattern): the ADC-table broadcast carries |q|·m·k doubles
+        # — count the query side (one cheap action on the small-by-
+        # contract side; on the streaming sink this is micro-batch-
+        # sized) and warn before a large batch is shipped to the
+        # driver and every executor
+        n_q = queries.count()
+        per_q = (len(self.codebooks)
+                 * len(self.codebooks[0]) * 8 if self.codebooks
+                 else 0)
+        if n_q * per_q > PQ_KNN_BROADCAST_WARN_BYTES:
+            import warnings
+
+            warnings.warn(
+                f"PQIndex.knn_join: {n_q} query rows build a "
+                f"~{n_q * per_q >> 20} MB ADC-table broadcast — "
+                "slab the query side (the broadcast must fit the "
+                "driver and every executor; the 8 GB broadcast cap "
+                "is a hard failure)", stacklevel=2)
         adc = F.round(
             F.aggregate(
                 F.zip_with(F.col("_tabs"), F.col("code"),
@@ -1062,6 +1106,17 @@ def dim_truncation_recall(emb: DataFrame, query_vec,
     the family's determinism rule."""
     q = [float(x) for x in query_vec]
     full_d = len(q)
+    if full_d in {int(d) for d in dims}:
+        # the drop must be loud: a caller computing recall per
+        # requested dim would otherwise get a shorter frame than
+        # asked for (full-dim recall is trivially k/k — request
+        # only truncations)
+        import warnings
+
+        warnings.warn(
+            f"dim_truncation_recall: requested dim {full_d} equals "
+            "the full dimension and is excluded from the audit "
+            "(its recall is k/k by definition)", stacklevel=2)
     audit = sorted({int(d) for d in dims} - {full_d})
     if any(d < 1 or d > full_d for d in audit):
         raise ValueError(f"dims must be within [1, {full_d}]")

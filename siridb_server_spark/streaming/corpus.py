@@ -717,18 +717,44 @@ def stream_bloom_novelty_ingest(stream_df, bloom_path: str,
     return writer.start()
 
 
-def compact_bloom(spark, bloom_path: str,
-                  fs: str = "posix") -> dict:
+def compact_bloom(spark, bloom_path: str, fs: str = "posix",
+                  accepted_path: str | None = None) -> dict:
     """Fold the novelty gate's accumulated ``bits/batch=<id>``
     deltas into one negative-id base — bits are a SET, so the fold
     is drop-batch + DISTINCT and a re-folded leftover cannot add
     anything (the idempotent-merge crash argument and the posix/
     committer publication protocols of
-    :func:`~..operators.dedup.compact_batch_dirs`)."""
+    :func:`~..operators.dedup.compact_batch_dirs`).
+
+    ``accepted_path`` (the sink's marker directory) makes the fold
+    CRASH-BATCH AWARE: a positive-id delta with no
+    ``_batch-<id>.done`` marker belongs to a crashed attempt whose
+    batch may still be redelivered — its bits must stay in their
+    own ``batch=<id>`` dir so the redelivery's
+    ``batch != batch_id`` self-exclusion still sees them as ITS
+    OWN. Folding them into the negative-id base would make the
+    redelivered batch score its own shingles as already-seen and
+    permanently reject genuinely novel docs (their bits are set,
+    the docs land only in rejected). Without ``accepted_path`` the
+    caller must guarantee no pending/crashed batch exists when
+    compaction runs (the single-writer maintenance contract)."""
     from ..operators.dedup import compact_batch_dirs
 
+    pending = None
+    if accepted_path is not None:
+        bdir = os.path.join(bloom_path, "bits")
+        pending = set()
+        if os.path.isdir(bdir):
+            for d in os.listdir(bdir):
+                if not d.startswith("batch="):
+                    continue
+                bid = d.split("=")[1]
+                if bid.isdigit() and not os.path.exists(
+                        os.path.join(accepted_path,
+                                     f"_batch-{bid}.done")):
+                    pending.add(int(bid))
     return compact_batch_dirs(spark, bloom_path, (("bits", []),),
-                              fs=fs)
+                              fs=fs, skip_batch_ids=pending)
 
 
 def make_pq_query_sink(index_path: str, out_path: str,

@@ -1762,3 +1762,62 @@ def test_bloom_novelty_gate_stream(spark, tmp_path):
     sink(b1.where("doc_id < 0"), 3)
     assert os.path.exists(os.path.join(acc, "_batch-3.done"))
     assert not os.path.isdir(os.path.join(acc, "docs", "batch=3"))
+
+
+def test_bloom_compact_skips_crashed_batch_then_redelivers(
+        spark, tmp_path):
+    """The crash → compact → redeliver interleaving: a batch whose
+    first attempt wrote its bits delta but crashed before the
+    marker must NOT have those bits folded into the negative-id
+    base — marker-aware compact_bloom (accepted_path passed) leaves
+    the unmarked delta in place, so the redelivery's
+    ``batch != id`` self-exclusion still works and genuinely novel
+    docs are accepted, not permanently self-rejected."""
+    import os
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.streaming import corpus as SC
+
+    bloom = str(tmp_path / "bloom")
+    acc = str(tmp_path / "acc")
+    rej = str(tmp_path / "rej")
+    sink = SC.make_bloom_novelty_sink(
+        bloom, acc, rejected_path=rej, min_novel_ppm=500_000, n=3)
+
+    sink(arrow_df(spark, [
+        (1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string"), 0)
+    b1 = arrow_df(spark, [
+        (10, "totally novel words that nothing before contained")],
+        "doc_id long, text string")
+    sink(b1, 1)
+    # simulate the crash window: bits/batch=1 exists, marker gone
+    os.remove(os.path.join(acc, "_batch-1.done"))
+
+    # marker-aware compaction folds ONLY the marked batch=0 delta;
+    # the crashed batch=1 delta survives in place
+    folded = SC.compact_bloom(spark, bloom, accepted_path=acc)
+    assert folded == {}  # batch=0 alone: nothing to fold (<=1 dir)
+    sink(arrow_df(spark, [
+        (2, "more fresh sentences to make a second marked delta")],
+        "doc_id long, text string"), 2)
+    folded = SC.compact_bloom(spark, bloom, accepted_path=acc)
+    assert folded == {"bits": 2}  # batch=0 + batch=2 only
+    dirs = sorted(d for d in os.listdir(os.path.join(bloom, "bits"))
+                  if d.startswith("batch="))
+    assert dirs == ["batch=-1", "batch=1"]
+
+    # redelivery of the crashed batch: its own surviving delta is
+    # excluded by batch != 1, so doc 10 is still judged novel and
+    # ACCEPTED (the unguarded fold flipped it to rejected forever)
+    sink(b1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(acc, "docs", "batch=1")).collect()} == {10}
+    assert not os.path.isdir(os.path.join(rej, "batch=1"))
+
+    # with every batch marked, a later compaction folds the rest
+    folded = SC.compact_bloom(spark, bloom, accepted_path=acc)
+    assert folded == {"bits": 2}  # batch=-1 + batch=1
+    dirs = sorted(d for d in os.listdir(os.path.join(bloom, "bits"))
+                  if d.startswith("batch="))
+    assert dirs == ["batch=-2"]
