@@ -337,13 +337,15 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
             " i -> struct(ws[i] AS a, ws[i + 1] AS b))")).alias("p"))
         .select("doc_id", "p.a", "p.b"))
     c2 = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
-    # the unigram marginal and V derive from the JOINT table —
-    # c(a) = Σ_b c(a,b), V = |distinct b of c2| — so the row-local
-    # tokenize+explode runs once for the count side instead of once
-    # per aggregate (each aggregate subtree re-evaluated it; the
-    # joint table is |bigram types| rows, tiny next to the stream)
-    c1 = c2.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
-    v = c2.agg(F.countDistinct("b").alias("v"))
+    # NOTE r13: deriving c1/v from c2 (marginals of the joint table)
+    # was tried and REVERTED — it halves the tokenize passes but
+    # chains a second exchange level under every marginal, and the
+    # interleaved A/B measured it 40-60% slower at sf0.1 (the
+    # repartition exchange under the stream is REUSED across the
+    # aggregate subtrees, so the repeated tokenize is cheaper than
+    # the extra stage barriers)
+    c1 = bi.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    v = bi.agg(F.countDistinct("b").alias("v"))
     # keep the float op order fixed — the oracle replays it verbatim
     p = (F.col("n_ab") + F.lit(k)) / \
         (F.col("n_a") + F.lit(k) * F.col("v"))
@@ -399,17 +401,17 @@ def trigram_logprob(df: DataFrame, text_col: str = "text",
         .select("doc_id", "t.a", "t.b", "t.c"))
     c3 = tri.groupBy("a", "b", "c").agg(
         F.count(F.lit(1)).alias("n_abc"))
-    # every marginal (and V / the stream total) derives from the
-    # JOINT trigram table — c(a,b) = Σ_c c(a,b,c) etc. — so the
-    # row-local tokenize+explode runs ONCE for the whole count side
-    # instead of once per aggregate subtree (6×); the marginals
-    # aggregate |trigram types| rows, tiny next to the stream
-    cab = c3.groupBy("a", "b").agg(F.sum("n_abc").alias("n_ab"))
-    cbc = c3.groupBy("b", "c").agg(F.sum("n_abc").alias("n_bc"))
-    cb = c3.groupBy("b").agg(F.sum("n_abc").alias("n_b"))
-    cc = c3.groupBy("c").agg(F.sum("n_abc").alias("n_c"))
-    consts = c3.agg(F.sum("n_abc").alias("n_tot"),
-                    F.countDistinct("c").alias("v"))
+    # NOTE r13: marginals-from-the-joint-table (cab = Σ_c c3 etc.)
+    # was tried and REVERTED — see bigram_logprob's note; the
+    # interleaved A/B measured the chained-exchange shape 40-60%
+    # slower at sf0.1 than re-aggregating the stream off the reused
+    # repartition exchange
+    cab = tri.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    cbc = tri.groupBy("b", "c").agg(F.count(F.lit(1)).alias("n_bc"))
+    cb = tri.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    cc = tri.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    consts = tri.agg(F.count(F.lit(1)).alias("n_tot"),
+                     F.countDistinct("c").alias("v"))
     kv = F.lit(k) * F.col("v")
     p3 = (F.col("n_abc") + F.lit(k)) / (F.col("n_ab") + kv)
     p2 = (F.col("n_bc") + F.lit(k)) / (F.col("n_b") + kv)
