@@ -862,10 +862,40 @@ def _pq_encode(codebooks: list, dsub: int, vec_col: str):
     return F.array(*code_cols)
 
 
+#: collected index-meta rows keyed by (applicationId, meta dir,
+#: listing fingerprint). The meta parquet is tiny and FROZEN between
+#: save()s, but every lifecycle call (assign/load/drift/append) paid
+#: ~0.2-0.3 s of reader construction + a collect job to re-read it;
+#: the fingerprint (file names + sizes + mtimes) invalidates the
+#: memo the moment a rebuild rewrites the directory.
+_META_MEMO: dict = {}
+
+
+def _read_meta_rows(spark, meta_dir: str):
+    import os
+
+    try:
+        fp = tuple(sorted(
+            (f, st.st_size, st.st_mtime_ns)
+            for f in os.listdir(meta_dir)
+            for st in [os.stat(os.path.join(meta_dir, f))]))
+    except OSError:
+        fp = None
+    key = (spark.sparkContext.applicationId, meta_dir, fp)
+    if fp is not None and key in _META_MEMO:
+        return _META_MEMO[key]
+    rows = spark.read.parquet(meta_dir).collect()
+    if fp is not None:
+        if len(_META_MEMO) > 64:
+            _META_MEMO.clear()
+        _META_MEMO[key] = rows
+    return rows
+
+
 def _pq_meta(spark, path: str):
     """(codebooks, dsub, id_col) off a saved PQIndex's meta parquet
     — the frozen quantizer every lifecycle helper encodes with."""
-    rows = spark.read.parquet(f"{path}/meta").collect()
+    rows = _read_meta_rows(spark, f"{path}/meta")
     m = max(r["sub"] for r in rows) + 1
     codebooks = [[] for _ in range(m)]
     for r in sorted(rows, key=lambda r: (r["sub"], r["idx"])):
@@ -1675,7 +1705,7 @@ class SQIndex:
         them here overrides."""
         import os
 
-        rows = spark.read.parquet(f"{path}/meta").collect()
+        rows = _read_meta_rows(spark, f"{path}/meta")
         if vec_col is None:
             vec_col = (rows[0]["vec_col"]
                        if "vec_col" in rows[0] else "embedding")
@@ -1870,7 +1900,7 @@ def _sq_assign(spark, path: str, new_emb: DataFrame,
     :func:`sq_index_append` and the streaming ingest sink."""
     from ..localdf import arrow_df
 
-    meta = spark.read.parquet(f"{path}/meta").collect()
+    meta = _read_meta_rows(spark, f"{path}/meta")
     scale = float(meta[0]["scale"])
     cent = arrow_df(
         spark,
@@ -2039,7 +2069,7 @@ def sq_index_base_stats(spark, path: str,
     snapshot)."""
     from ..localdf import arrow_df
 
-    meta = spark.read.parquet(f"{path}/meta").collect()
+    meta = _read_meta_rows(spark, f"{path}/meta")
     cent = arrow_df(
         spark,
         [(int(r["cell"]), [float(x) for x in r["centroid"]])
@@ -2106,7 +2136,7 @@ def sq_index_drift(spark, path: str, new_emb: DataFrame,
     saved cell."""
     from ..localdf import arrow_df
 
-    meta = spark.read.parquet(f"{path}/meta").collect()
+    meta = _read_meta_rows(spark, f"{path}/meta")
     cent = arrow_df(
         spark,
         [(int(r["cell"]), [float(x) for x in r["centroid"]])

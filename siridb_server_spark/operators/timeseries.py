@@ -1167,9 +1167,20 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
             [(r["series"], r["n_points"], r["dtw_cost"])
              for r in top_pool],
             "series string, n_points long, dtw_cost long")
-        return (extra.unionByName(pool_top)
-                .orderBy(F.col("dtw_cost").asc(), "series")
-                .limit(k))
+        # run the final k-row top-k NOW, while the assembled-vector
+        # cache is still live — a lazy return recomputed the whole
+        # per-series groupBy assembly at the caller's action (the
+        # finally-unpersist below must run before returning). k rows
+        # by construction: hand back a literal local relation.
+        final = (extra.unionByName(pool_top)
+                 .orderBy(F.col("dtw_cost").asc(), "series")
+                 .limit(k))
+        rows = final.collect()
+        return arrow_df(
+            spark,
+            [(r["series"], r["n_points"], r["dtw_cost"])
+             for r in rows],
+            "series string, n_points long, dtw_cost long")
     finally:
         # blocking: callers (the bench hygiene ledger) snapshot
         # cached RDDs immediately after the search returns

@@ -278,8 +278,21 @@ class PointsStore:
         # same guarantee comes from writing both in one transaction.)
         spark = df.sparkSession
         with self._pending():
+            # cluster the batch by its output partitions before the
+            # write (guide §6: output file sizing): without this a
+            # single-split source writes EVERY (kind, sid) dir from
+            # one task (serialized encoding), and a many-split
+            # source writes splits×dirs tiny files. REBALANCE is
+            # AQE-aware — small batches coalesce to few tasks, a
+            # skewed shard splits — with a plain hash repartition
+            # fallback for AQE-off sessions.
+            batch = self._with_partitions(df)
+            try:
+                batch = batch.hint("rebalance", "kind", "sid")
+            except Exception:
+                batch = batch.repartition("kind", "sid")
             landed = self._append_via_stage(
-                self._with_partitions(df), self.path, ["kind", "sid"],
+                batch, self.path, ["kind", "sid"],
                 compression="zstd")
             if landed:
                 # compute the catalog stats from the columnar bytes
