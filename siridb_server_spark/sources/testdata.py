@@ -62,16 +62,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except OSError:
             sz = 0
         cores = spark.sparkContext.defaultParallelism
-        # One split per ~16 KB of parquet, capped at the core count:
-        # big corpora still fan out to every core, and tiny tables
-        # keep a handful of partitions so per-task scheduling can't
-        # dominate. Re-measured r13 (after the AQE coalescing-floor
-        # fix): the CPU-heavy row-local operators scale near-linearly
-        # with splits on this table — the gram explode ran 2.30 s at
-        # 4 splits vs 0.64 s at 32, minhash signatures 1.40 s vs
-        # 0.49 s — so the old 128 KB/split calibration ("32 splits
-        # 30-70% slower", round 6) was starving them of cores.
-        target = min(cores, sz // (16 * 1024))
+        # One split per ~32 KB of parquet, capped at the core count.
+        # Re-calibrated r13 (after the AQE coalescing-floor fix) by
+        # per-entry sweep at 4/18/32 splits: the CPU-heavy gram/
+        # signature operators scale near-linearly with splits (the
+        # raw gram explode: 2.30 s at 4 splits vs 0.64 s at 32;
+        # count-min accuracy end-to-end 4.1 s vs 2.2 s) while the
+        # cheap single-aggregate consumers prefer FEW splits
+        # (dedup_exact 0.24 s at 4 vs 0.59 s at 32 — task overhead
+        # on a 500-row result). 32 KB ≈ 18 splits at sf0.1 is the
+        # measured basket optimum between the two regimes; the old
+        # 128 KB calibration starved the heavy half of cores.
+        target = min(cores, sz // (32 * 1024))
         if target > 1:
             df = df.repartition(target)
     if len(_LOAD_MEMO) > 64:  # bound: 10 tables × a few sf dirs
