@@ -1240,25 +1240,29 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
        same theorem as the per-query path) evaluated in pure
        Catalyst over endpoint scalars only (never the arrays);
        lb > τ ⟹ the pair cannot displace any pool candidate
-       (strict pruning, ties impossible);
+       (strict pruning, ties impossible). The gate itself is a
+       quantized-bin EQUI-join, not a grid scan: cost ≥ |s₀−q₀|
+       means a survivor's first endpoint lies in [q₀−τ, q₀+τ], so
+       with bin width W = max(1, max τ) each query probes only the
+       ≤ 3 bins covering that interval and corpus bins farther out
+       are provably excludable; the exact lb ≤ τ filter on the
+       join output makes the survivor set IDENTICAL to the full
+       grid's (the banding's cannot-change-the-answer pattern);
     5. pool ∪ survivors run the exact DP in ONE pass and a
        per-query window takes the final top-k (cost asc, series
        asc).
 
     At corpus scale the expensive part — the O(len·band) DP — runs
     on |pool|·|q| + |survivors| pairs (the pool twice: once for τ,
-    once in the returned plan); the full |q|·|corpus| grid is
-    touched ONLY by the endpoint-LB scan — 4 scalars per row, never
-    the arrays, and it is what makes the search exact, so it cannot
-    be skipped; above ~50M grid rows the operator warns that the
-    query side should be slabbed. The assembled-vector frames are
-    persisted only for the τ action and released (blocking) before
-    returning, so no cached state outlives the call. The K=8 probe
-    bound asserts the DP-candidate volume stays linear; pass a dict
-    as ``_stats`` to get {n_queries, n_corpus, n_pool_stream,
-    n_candidates} filled in (the two candidate counts are extra
-    actions — diagnostics only; n_corpus is counted on every call,
-    a cached scan backing the grid-size warning).
+    once in the returned plan); the endpoint-LB gate touches each
+    side ONCE (hash the corpus endpoints by bin, probe ≤ 3 bins per
+    query) — no |q|·|corpus| term remains anywhere in the operator.
+    The assembled-vector frames are persisted only for the τ action
+    and released (blocking) before returning, so no cached state
+    outlives the call. The K=8 probe bound asserts the DP-candidate
+    volume stays linear; pass a dict as ``_stats`` to get
+    {n_queries, n_corpus, n_pool_stream, n_candidates} filled in
+    (the three counts are extra actions — diagnostics only).
 
     Output: (qseries, series, n_points, dtw_cost, rank 1..k) —
     exact integer costs in scaled units; a query series also
@@ -1380,33 +1384,30 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
         tau = arrow_df(corpus.sparkSession, tau_rows,
                        "qseries string, _tau long")
 
-        # the LB scan below is the one |q|·|corpus| term left (4
-        # scalars per row, and it is the exactness guarantee) —
-        # warn when that grid gets big enough that the caller
-        # should slab the query side. The count runs on the
-        # persisted (already materialized by the τ action) vector
-        # frame — a cached scan, cheap enough to honor the
-        # documented contract unconditionally (a small query side
-        # against a HUGE corpus must warn too)
         nq = len(tau_rows)
-        nc = per_c.count()
-        if nq * nc > 50_000_000:
-            import warnings
 
-            warnings.warn(
-                f"dtw_knn_join: the exact endpoint-LB filter "
-                f"scans |q|x|corpus| = {nq}x{nc} scalar rows; "
-                "split a query side this large into slabs (the "
-                "per-slab answers are independent)",
-                RuntimeWarning, stacklevel=2)
+        # 4. endpoint LB prune, as a quantized-bin EQUI-join over
+        # endpoint scalars (never the arrays, never a |q|·|corpus|
+        # grid): lb ≥ |s0−q0| unconditionally, so a pair surviving
+        # lb ≤ τ has s0 ∈ [q0−τ, q0+τ]; with bin width
+        # W = max(1, max τ) that interval spans ≤ 3 bins, the
+        # corpus hashes each endpoint into its bin once, and the
+        # exact lb ≤ τ filter on the join output reproduces the
+        # full grid's survivor set exactly. pmod keeps the floor
+        # division exact in int64 for negative endpoints.
+        tau_max = max((t for _, t in tau_rows), default=0)
+        binw = max(1, int(tau_max))
 
-        # 4. endpoint LB prune over the non-pool grid (scalars
-        # only, never the arrays)
+        def _fbin(x: str) -> F.Column:
+            return F.expr(
+                f"(({x}) - pmod(({x}), {binw})) div {binw}")
+
         ends_c = per_c.select(
             "series",
             F.expr("element_at(vals, 1)").alias("_s0"),
             F.expr("element_at(vals, size(vals))").alias("_sl"),
-            F.size("vals").alias("_sn"))
+            F.size("vals").alias("_sn")) \
+            .withColumn("_b", _fbin("_s0"))
         ends_q = per_q.select(
             "qseries",
             F.expr("element_at(qvals, 1)").alias("_q0"),
@@ -1416,9 +1417,11 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
               + F.when((F.col("_sn") > 1) | (F.col("_qn") > 1),
                        F.abs(F.col("_sl") - F.col("_ql")))
               .otherwise(F.lit(0)))
+        qbins = (ends_q.join(F.broadcast(tau), "qseries")
+                 .withColumn("_b", F.explode(F.sequence(
+                     _fbin("_q0 - _tau"), _fbin("_q0 + _tau")))))
         survivors = (ends_c
-                     .crossJoin(F.broadcast(
-                         ends_q.join(F.broadcast(tau), "qseries")))
+                     .join(F.broadcast(qbins), "_b")
                      .where(lb <= F.col("_tau"))
                      .select("qseries", "series"))
 
@@ -1430,7 +1433,9 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
         candidates = pool_pairs.unionByName(survivors).distinct()
         if _stats is not None:
             _stats["n_queries"] = nq
-            _stats["n_corpus"] = nc
+            # a cached scan (the τ action materialized per_c) —
+            # diagnostics only, no longer needed on the hot path
+            _stats["n_corpus"] = per_c.count()
             # the banded pool stream — the number that was
             # |q|·|corpus| under the r11 word crossJoin and is now
             # provably ≤ bands·|q|·band_cap (whole hot buckets

@@ -219,3 +219,18 @@ def test_dtw_join_candidate_volume_bounded(spark):
     assert sk["n_corpus"] >= K * s1["n_corpus"] * 0.9, (s1, sk)
     assert sk["n_candidates"] <= 2 * K * max(
         s1["n_candidates"], 1), (s1, sk)
+
+    # r13: vary |q| too (fixed corpus) — with the endpoint-LB gate
+    # now a bin equi-join the DP-candidate volume must grow at most
+    # linearly in the query count, never |q|·|corpus|
+    qk = queries
+    for i in range(1, K):
+        qk = qk.unionByName(queries.withColumn(
+            "series", F.concat_ws("_q", F.col("series"),
+                                  F.lit(str(i)))))
+    sq = {}
+    _T.dtw_knn_join(scaled(1), qk, k=10, _stats=sq) \
+        .write.format("noop").mode("overwrite").save()
+    assert sq["n_queries"] == K * s1["n_queries"], (s1, sq)
+    assert sq["n_candidates"] <= 2 * K * max(
+        s1["n_candidates"], 1), (s1, sq)

@@ -302,10 +302,11 @@ def test_dtw_knn_join_banding_cannot_change_answer(spark):
     the default — a missed pool candidate has to beat τ through
     the exhaustive endpoint LB to matter, and the LB never
     misses. Also pins the documented candidate-stream invariant
-    n_pool_stream ≤ bands·|q|·band_cap and that the r11 word
-    crossJoin is gone from the pool stage (no BroadcastNestedLoop
-    over the word frames — the only NLJs left are the tiny floor
-    pool and the scalar endpoint-LB grid)."""
+    n_pool_stream ≤ bands·|q|·band_cap and the r13 plan shape:
+    the r11 word crossJoin AND the r12 endpoint-LB grid BNLJ are
+    both gone — the LB gate is a bin equi-join now, so the only
+    NestedLoop left in the whole plan is the tiny broadcast floor
+    pool."""
     import random
 
     from siridb_server_spark.localdf import arrow_df
@@ -339,6 +340,13 @@ def test_dtw_knn_join_banding_cannot_change_answer(spark):
     stats_capped = {}
     run(bands=4, band_cap=3, _stats=stats_capped)
     assert stats_capped["n_pool_stream"] <= 4 * 3 * 3
+
+    # plan shape: exactly one NestedLoop join survives (the
+    # broadcast floor pool); the endpoint-LB gate must appear as a
+    # bin equi-join, never a grid BNLJ
+    plan = (TSO.dtw_knn_join(corpus, queries, k=4, pool=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
 def test_sax_words_structure_and_similarity(spark):
