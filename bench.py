@@ -199,6 +199,9 @@ def _aqe_min_partition_bytes(sf_dir: str, cpus: int) -> int:
     ~8 partitions per core over the total input, clamped to
     [16 KB, 1 MB] — any realistically large input hits the 1 MB
     Spark default and this returns exactly stock behavior."""
+    env = os.environ.get("SPARK_GRAFT_AQE_FLOOR")
+    if env:
+        return int(env)
     try:
         total = sum(
             os.path.getsize(os.path.join(sf_dir, f))

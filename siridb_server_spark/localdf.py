@@ -60,3 +60,30 @@ def arrow_df(spark: SparkSession, rows, schema) -> DataFrame:
                 "spark.sql.execution.arrow.pyspark.enabled", prev)
     except Exception:
         return spark.createDataFrame(rows, schema)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a few-split input across the session's cores before a
+    CPU-HEAVY ROW-LOCAL stage (md5 per gram, per-shingle hash
+    families, signature votes) — guide §2.5/§6: derive partitioning
+    from what the operator needs instead of inheriting whatever the
+    scan produced. The testdata corpora are single-row-group parquet
+    (one split), and the r13 sweep measured the heavy gram/signature
+    operators near-linear in split count (raw gram explode 2.30 s at
+    4 splits vs 0.64 s at 32 on 32 cores) while every LIGHT consumer
+    of the same tables prefers the few-split scan (task overhead on
+    sub-second queries — dedup_exact 0.24 s at 4 splits vs 0.59 s at
+    32). So the fan-out lives HERE, at the heavy operators' entry,
+    not in the shared loader. No-op whenever the input already has
+    at least core-count partitions — at production scale inputs
+    arrive as thousands of native splits and this adds nothing.
+    Row-preserving: cannot change any downstream result."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if parts >= cores:
+        return df
+    return df.repartition(cores)

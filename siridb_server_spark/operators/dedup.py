@@ -531,6 +531,12 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
     map over the input splits (the earlier shape exploded shingles
     and shuffled the token stream into a groupBy vote).
     Output: (doc_id, sig array<long>[k])."""
+    from ..localdf import fan_out
+
+    # k hash families per shingle is the CPU bill — spread a
+    # few-split input over the cores first (no-op at production
+    # split counts; row-preserving)
+    df = fan_out(df)
     hs = F.transform(shingles(text_col, shingle_n),
                      lambda s: F.xxhash64(s))
     return (
@@ -858,7 +864,12 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
     per band instead of 4k, which is what keeps candidate-pair
     counts linear instead of quadratic on dup-heavy corpora.
     Output: (doc_id, simhash)."""
+    from ..localdf import fan_out
+
     assert bits == 64, "lane-packed simhash is fixed at 64 bits"
+    # the per-token hash + bit vote is row-local CPU work — fan a
+    # few-split input out first (no-op at production split counts)
+    df = fan_out(df)
     if arrow:
         arr = F.array_distinct(F.filter(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),

@@ -565,7 +565,12 @@ def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
     recall, ``width`` to tighten estimates.
     Output: (ngram, est_count) — top-k by estimate, ties broken
     lexicographically; deterministic and engine-independent."""
+    from ..localdf import fan_out
 
+    # the per-gram md5 sketch pass is the CPU bill here — spread a
+    # few-split input across the cores first (no-op at production
+    # split counts; row-preserving)
+    df = fan_out(df)
     ws = words(F.lower(F.trim(F.col(text_col))))
     grams = (df.where(F.length(F.trim(F.col(text_col))) > 0)
              .select(F.col(id_col).alias("doc_id"),
@@ -638,7 +643,11 @@ def cms_accuracy(df: DataFrame, n: int = 2, depth: int = 4,
     gram stream before its shuffle), so the audit stays
     candidate-sized no matter the corpus. All integers end to end.
     Output: (ngram, est_count, exact_count, overshoot)."""
+    from ..localdf import fan_out
 
+    # see approx_top_ngrams: the md5 sketch pass wants core-width
+    # parallelism even off a single-split scan
+    df = fan_out(df)
     ws = words(F.lower(F.trim(F.col(text_col))))
     grams = (df.where(F.length(F.trim(F.col(text_col))) > 0)
              .select(F.col(id_col).alias("doc_id"),
@@ -1279,6 +1288,11 @@ def hash_embed(df: DataFrame, dim: int = 64,
     family). Assemble arrays with collect_list when feeding the
     similarity operators; compose with similarity.scalar_quantize /
     sq_topk for the serving path."""
+    from ..localdf import fan_out
+
+    # per-token md5 bucketing is the CPU bill — fan a few-split
+    # input out first (no-op at production split counts)
+    df = fan_out(df)
     w = F.filter(words(F.lower(F.trim(F.col(text_col)))),
                  lambda x: x != "")
     toks = (df.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -1326,8 +1340,11 @@ def hash_embed_tfidf(df: DataFrame, dim: int = 64,
     weighted bucket sums) + one hash join of the token stream
     against the |vocab|-row df table — AQE broadcasts it whenever
     the vocabulary fits. Output: (doc_id, i, v) longs."""
+    from ..localdf import fan_out
     from .classify import fixlog2
 
+    # same CPU shape as hash_embed: md5 per token
+    df = fan_out(df)
     w = F.filter(words(F.lower(F.trim(F.col(text_col)))),
                  lambda x: x != "")
     base = df.where(F.length(F.trim(F.col(text_col))) > 0)

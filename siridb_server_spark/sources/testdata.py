@@ -62,18 +62,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except OSError:
             sz = 0
         cores = spark.sparkContext.defaultParallelism
-        # One split per ~32 KB of parquet, capped at the core count.
-        # Re-calibrated r13 (after the AQE coalescing-floor fix) by
-        # per-entry sweep at 4/18/32 splits: the CPU-heavy gram/
-        # signature operators scale near-linearly with splits (the
-        # raw gram explode: 2.30 s at 4 splits vs 0.64 s at 32;
-        # count-min accuracy end-to-end 4.1 s vs 2.2 s) while the
-        # cheap single-aggregate consumers prefer FEW splits
-        # (dedup_exact 0.24 s at 4 vs 0.59 s at 32 — task overhead
-        # on a 500-row result). 32 KB ≈ 18 splits at sf0.1 is the
-        # measured basket optimum between the two regimes; the old
-        # 128 KB calibration starved the heavy half of cores.
-        target = min(cores, sz // (32 * 1024))
+        # One split per ~128 KB of parquet, capped at the core
+        # count. The r13 interleaved 2x2 sweep (split size x AQE
+        # floor) settled a mid-round detour: a 32 KB calibration
+        # sped the CPU-heavy gram/signature operators up (raw gram
+        # explode 2.30 s at 4 splits vs 0.64 s at 32) but taxed the
+        # ~30 LIGHT consumers of the same tables 1.5-3x each
+        # (text_trigram_lm 1.60->3.26 s, sim_semdedup 1.54->3.70,
+        # corpus_integrity 0.54->1.70 — consistent across
+        # interleaved rounds, not load noise). The loader therefore
+        # keeps the FEW-split shape the light majority wants, and
+        # the handful of measured-heavy operators fan out at their
+        # own entry via localdf.fan_out (no-op at production split
+        # counts). SPARK_GRAFT_SPLIT_KB overrides for sweeps.
+        split_kb = int(os.environ.get("SPARK_GRAFT_SPLIT_KB", "128"))
+        target = min(cores, sz // (split_kb * 1024))
         if target > 1:
             df = df.repartition(target)
     if len(_LOAD_MEMO) > 64:  # bound: 10 tables × a few sf dirs
