@@ -18,6 +18,12 @@ driver's per-round 50-query sample.
 ``--record`` additionally appends one line to PROGRESS.jsonl
 ({"oracle_gate": {...}}) so every round's full-gate run is on the
 permanent record — run it once before handoff each round.
+
+``--full-record <path>`` (VERDICT r12 #6) writes the PER-ENTRY
+result map as JSON — {"entries": {name: "ok" | "ok (rows-only)" |
+"<failure>"}, ...} — so the full gate's per-entry state survives on
+the permanent record, not just the total (the driver's 50-sample
+rotates; this file covers the whole inventory).
 """
 
 from __future__ import annotations
@@ -120,10 +126,16 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
-    args = [a for a in sys.argv[1:]
+    argv = sys.argv[1:]
+    full_record = None
+    if "--full-record" in argv:
+        i = argv.index("--full-record")
+        full_record = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv
             if a not in ("--record", "--stability")]
-    record = "--record" in sys.argv[1:]
-    stability = "--stability" in sys.argv[1:]
+    record = "--record" in argv
+    stability = "--stability" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -139,6 +151,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    entries = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -147,10 +160,14 @@ def main():
         if err is None:
             tag = "" if name in oracles \
                 else " (no oracle, rows-only check)"
+            entries[name] = "ok" if name in oracles \
+                else "ok (rows-only)"
             print(f"ok   {name}{tag}")
         elif err.startswith("zero rows"):
+            entries[name] = f"ok WARNING {err}"
             print(f"ok   {name}: WARNING {err}")
         else:
+            entries[name] = err
             failures.append((name, err))
             print(f"FAIL {name}: {err}")
 
@@ -169,6 +186,17 @@ def main():
             "failures": [f[0] for f in failures]}}
         with open("/root/repo/PROGRESS.jsonl", "a") as fh:
             fh.write(_json.dumps(line) + "\n")
+    if full_record:
+        import json as _json
+        import time as _time
+        with open(full_record, "w") as fh:
+            _json.dump({"ts": _time.time(), "sf_dir": sf_dir,
+                        "stability": stability,
+                        "n_entries": len(entries),
+                        "n_failures": len(failures),
+                        "entries": entries}, fh, indent=1,
+                       sort_keys=True)
+            fh.write("\n")
     spark.stop()
     sys.exit(1 if failures else 0)
 
