@@ -130,6 +130,9 @@ def main():
     full_record = None
     if "--full-record" in argv:
         i = argv.index("--full-record")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("usage: --full-record <output-path> (path must"
+                     " follow the flag)")
         full_record = argv[i + 1]
         del argv[i:i + 2]
     args = [a for a in argv

@@ -62,6 +62,38 @@ def arrow_df(spark: SparkSession, rows, schema) -> DataFrame:
         return spark.createDataFrame(rows, schema)
 
 
+def fan_out_keyed(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Pin the NEXT keyed shuffle at core-count partitions when the
+    input is provably small — the per-operator replacement for the
+    r13 session-global AQE-floor config (removed on driver
+    evidence: it taxed every multi-join plan to speed a handful of
+    row-expanding ones). Rationale (guide §2.2/§2.5, §3.3): an
+    operator that EXPANDS rows after its shuffle (grid explode,
+    partitioned encode) gets its parallelism from that shuffle's
+    post-AQE partition count, and AQE sizes partitions from the
+    PRE-expansion bytes — a few MB of input coalesces to 1-2 tasks
+    no matter how many rows the operator emits. A keyed repartition
+    with an EXPLICIT partition count collapses into the downstream
+    requirement (same single exchange — plan-asserted in pytest)
+    and AQE never coalesces user-numbered repartitions.
+
+    Scale-adaptive by construction: the gate is the OPTIMIZER'S OWN
+    size estimate — only a plan estimated under ~1 MB/core (i.e.
+    one AQE would coalesce below core count) is repinned; any
+    realistic input leaves the plan byte-identical. Row-preserving:
+    cannot change any downstream result."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+    except Exception:
+        return df
+    if est <= 0 or est >= cores * (1 << 20):
+        return df
+    return df.repartition(cores, *key_cols)
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a few-split input across the session's cores before a
     CPU-HEAVY ROW-LOCAL stage (md5 per gram, per-shingle hash

@@ -691,24 +691,27 @@ class PQIndex:
                              F.col(vec_col).alias("_qv"))
               .withColumn("_tabs", tabs))
         # runtime broadcast guard (the dtw_knn_join 50M-grid
-        # pattern): the ADC-table broadcast carries |q|·m·k doubles
-        # — count the query side (one cheap action on the small-by-
-        # contract side; on the streaming sink this is micro-batch-
-        # sized) and warn before a large batch is shipped to the
-        # driver and every executor
-        n_q = queries.count()
+        # pattern): the ADC-table broadcast carries |q|·m·k doubles.
+        # The count re-executes the query side's (possibly expensive,
+        # derived) plan, so only pay for it when the warn threshold
+        # is reachable by a plausibly-sized batch — with tiny
+        # codebooks the cap needs millions of query rows and the
+        # guard could never usefully trip
         per_q = (len(self.codebooks)
                  * len(self.codebooks[0]) * 8 if self.codebooks
                  else 0)
-        if n_q * per_q > PQ_KNN_BROADCAST_WARN_BYTES:
-            import warnings
+        if per_q and (PQ_KNN_BROADCAST_WARN_BYTES // per_q
+                      <= 2_000_000):
+            n_q = queries.count()
+            if n_q * per_q > PQ_KNN_BROADCAST_WARN_BYTES:
+                import warnings
 
-            warnings.warn(
-                f"PQIndex.knn_join: {n_q} query rows build a "
-                f"~{n_q * per_q >> 20} MB ADC-table broadcast — "
-                "slab the query side (the broadcast must fit the "
-                "driver and every executor; the 8 GB broadcast cap "
-                "is a hard failure)", stacklevel=2)
+                warnings.warn(
+                    f"PQIndex.knn_join: {n_q} query rows build a "
+                    f"~{n_q * per_q >> 20} MB ADC-table broadcast — "
+                    "slab the query side (the broadcast must fit the "
+                    "driver and every executor; the 8 GB broadcast "
+                    "cap is a hard failure)", stacklevel=2)
         adc = F.round(
             F.aggregate(
                 F.zip_with(F.col("_tabs"), F.col("code"),

@@ -161,7 +161,7 @@ def kmv_sketch(df: DataFrame, key_cols, member_col: str,
     # off the full hash stream (exact — see
     # _bottomk_prefilter_distinct; defined below, resolved at call
     # time)
-    cand, active = _bottomk_prefilter_distinct(
+    cand, active, n_keys = _bottomk_prefilter_distinct(
         hashes, list(key_cols), k, pri_col="h")
     w = Window.partitionBy(*key_cols).orderBy("h")
 
@@ -173,9 +173,17 @@ def kmv_sketch(df: DataFrame, key_cols, member_col: str,
     out = rank(cand)
     if not active:
         return out
-    # sketch rows are driver-small by contract (≤ k per key, keys
-    # broadcast-bounded): collect once, run the exactness check on
-    # the result, and hand the caller a literal local relation — the
+    if n_keys * k > SKETCH_COLLECT_CAP_ROWS:
+        # not provably driver-small: stay lazy, verify exactness
+        # with the eager candidate-count action instead
+        if not _bottomk_candidate_check(
+                cand, list(key_cols), k,
+                active):  # pragma: no cover — e^-hundreds odds
+            return rank(hashes.distinct())
+        return out
+    # sketch rows are driver-small (≤ k per key over n_keys keys —
+    # gated above): collect once, run the exactness check on the
+    # result, and hand the caller a literal local relation — the
     # corpus is scanned exactly once per build
     out_rows = out.collect()
     if not _bottomk_exactness_check(
@@ -281,10 +289,12 @@ def _bottomk_prefilter_distinct(rows: DataFrame, key_cols: list,
     filtering; with no exchange reuse across the check branches that
     recomputed a corpus-wide distinct up to 4×.)
 
-    Returns ``(cand, active)``: ``cand`` is the DISTINCT bottom-k
-    superset (lazy), ``active`` the driver-side set of key tuples
-    whose threshold was REAL (thr < KMV_SPACE; empty ⇒ ``cand`` is
-    just ``rows.distinct()``). Exactness is still CHECKED, not
+    Returns ``(cand, active, n_keys)``: ``cand`` is the DISTINCT
+    bottom-k superset (lazy), ``active`` the driver-side set of key
+    tuples whose threshold was REAL (thr < KMV_SPACE; empty ⇒
+    ``cand`` is just ``rows.distinct()``), ``n_keys`` the observed
+    key count (the caller's n_keys·k driver-size bound for its
+    collect-the-sketch fast path). Exactness is still CHECKED, not
     assumed, but by the CALLER on its (driver-small by contract)
     final sketch rows: for every active key, < k surviving distinct
     rows (possible only through astronomical hash luck) must route
@@ -316,7 +326,7 @@ def _bottomk_prefilter_distinct(rows: DataFrame, key_cols: list,
             active.add(kt)
         bounds.append(kt + (thr,))
     if not active:
-        return rows.distinct(), active
+        return rows.distinct(), active, len(est_rows)
     schema = T.StructType(
         [rows.schema[c] for c in key_cols]
         + [T.StructField("_thr", T.LongType())])
@@ -325,7 +335,30 @@ def _bottomk_prefilter_distinct(rows: DataFrame, key_cols: list,
             .where(F.col(pri_col) < F.col("_thr"))
             .drop("_thr")
             .distinct())
-    return cand, active
+    return cand, active, len(est_rows)
+
+
+#: collect-the-sketch fast-path bound: above n_keys·k ≈ this many
+#: rows the sketch is no longer provably driver-small (driver
+#: maxResultSize / memory), so the build returns the LAZY rank plan
+#: and verifies exactness with an eager candidate-count action
+#: instead (one extra aggregate pass over the ~PREF_MULT·k-per-key
+#: remnant — never the corpus)
+SKETCH_COLLECT_CAP_ROWS = 1 << 20
+
+
+def _bottomk_candidate_check(cand: DataFrame, key_cols: list,
+                             k: int, active) -> bool:
+    """Eager twin of :func:`_bottomk_exactness_check` for sketches
+    too large to collect: every active key must keep ≥ k distinct
+    candidates (``cand`` is already distinct, so a plain count per
+    key counts distinct rows). |keys| result rows — the same driver
+    size as the estimate aggregate that built the thresholds."""
+    cnt = {tuple(r[c] for c in key_cols): r["_c"]
+           for r in (cand.groupBy(*key_cols)
+                     .agg(F.count(F.lit(1)).alias("_c"))
+                     .collect())}
+    return all(cnt.get(kt, 0) >= k for kt in active)
 
 
 def _bottomk_exactness_check(out_rows, key_cols: list, k: int,
@@ -394,12 +427,20 @@ def quantile_sketch(df: DataFrame, key_cols, value_col: str,
 
     if not prefilter:
         return rank(rows.distinct())
-    cand, active = _bottomk_prefilter_distinct(rows, key_cols, k)
+    cand, active, n_keys = _bottomk_prefilter_distinct(
+        rows, key_cols, k)
     out = rank(cand)
     if not active:
         return out
-    # see kmv_sketch: collect the (contract-small) sketch once, check
-    # exactness on the result, return a literal local relation
+    if n_keys * k > SKETCH_COLLECT_CAP_ROWS:
+        # see kmv_sketch: not provably driver-small — stay lazy
+        if not _bottomk_candidate_check(
+                cand, key_cols, k,
+                active):  # pragma: no cover — e^-hundreds odds
+            return rank(rows.distinct())
+        return out
+    # see kmv_sketch: collect the (driver-small, gated above) sketch
+    # once, check exactness on the result, return a local relation
     out_rows = out.collect()
     if not _bottomk_exactness_check(
             out_rows, key_cols, k,

@@ -32,6 +32,14 @@ def resample_interpolate(df: DataFrame, step: int,
     One lead() window per series then a row-local ``sequence`` +
     explode — no joins. Output: (key, ts, val) with val =
     v0 + (v1-v0)·(t-t0)/(t1-t0), 6 decimals."""
+    from ..localdf import fan_out_keyed
+
+    # the explode multiplies rows ~gap/step AFTER the window's
+    # shuffle, so that shuffle must be sized for the EXPANDED
+    # output: on a provably-small input (where AQE would coalesce
+    # it to 1-2 tasks) pin it at core count — same single exchange,
+    # no-op on any realistic input (see fan_out_keyed)
+    df = fan_out_keyed(df, key_col)
     w = Window.partitionBy(key_col).orderBy(ts_col)
     nxt_t = F.lead(ts_col).over(w)
     nxt_v = F.lead(val_col).over(w)
@@ -1078,14 +1086,22 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
 
     per = _series_vectors(df, max_len, scale)
     if prefilter:
-        # the two-phase search drives four driver actions over this
-        # |series|-bounded frame (query row, word lookup, pool
-        # top-k, LB scan) — persist so the corpus groupBy runs once
-        # instead of per action; unpersisted before returning, so
-        # the caller's collect recomputes it exactly once more and
-        # no cached RDD outlives the call (bench hygiene)
+        # the two-phase search drives several driver actions over
+        # this |series|-bounded frame (pool top-k, LB scan) —
+        # persist so the corpus groupBy runs once instead of per
+        # action; unpersisted before returning, so the caller's
+        # collect recomputes it exactly once more and no cached RDD
+        # outlives the call (bench hygiene)
         per = per.persist()
-    qrow = per.where(F.col("series") == query_series).first()
+    # the query's assembled vector from a FILTERED single-series
+    # branch: fetching it out of `per` paid the full-corpus
+    # groupBy's map side just to read ONE row. The same expressions
+    # over only the query's own points produce the identical vector
+    # (array_sort makes assembly order-free) for the cost of a
+    # plain scan (guide §1.2 — don't compute what you throw away).
+    qrow = (_series_vectors(
+        df.where(F.col("series") == query_series), max_len, scale)
+        .first())
     if qrow is None:
         if prefilter:
             per.unpersist(blocking=True)
@@ -1520,35 +1536,45 @@ def _sax_from_vectors(per: DataFrame, word_len: int,
     """SAX words from an already-assembled ``_series_vectors``
     frame — the single word definition shared by :func:`sax_words`
     and :func:`dtw_topk`'s prefilter, so the index representation
-    and the scorer's candidate gate can never diverge."""
+    and the scorer's candidate gate can never diverge.
+
+    ROW-LOCAL (guide §2.4 remove shuffles): the former
+    posexplode + two-groupBy + join pipeline recomputed what is a
+    pure function of each row's ``vals`` array through THREE extra
+    exchanges. Bucket of point i (0-based) = (i·word_len) div n is
+    non-decreasing in i, so bucket j is the contiguous slice
+    [lo_j, hi_j) with lo_j = ceil(j·n/word_len) — empty exactly for
+    the j values the exploded pipeline never emitted. Every term is
+    the SAME integer expression as before (bigint sums, truncating
+    ``div``), and integer addition is order-free, so the output is
+    identical row for row; rows with an empty/null vals array are
+    dropped, exactly as posexplode dropped them."""
     if not 2 <= alphabet <= 36:
         raise ValueError("alphabet must be in [2, 36]")
     digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:alphabet]
-    pos = per.select(
-        "series", F.size("vals").alias("n"),
-        F.posexplode("vals").alias("i", "v"))
-    paa = (pos.withColumn(
-        "j", F.expr(f"CAST(i * {word_len} AS BIGINT) div n"))
-        .groupBy("series", "j")
-        .agg(F.expr("CAST(sum(v) AS BIGINT) div count(1)")
-             .alias("paa"),
-             F.max("n").alias("n")))
-    rng = (paa.groupBy("series")
-           .agg(F.min("paa").alias("lo"), F.max("paa").alias("hi"),
-                F.max("n").alias("n_points")))
-    sym = (paa.join(rng, "series")
-           .withColumn("s", F.least(
-               F.lit(alphabet - 1),
-               F.expr(f"CAST((paa - lo) * {alphabet} AS BIGINT)"
-                      " div (hi - lo + 1)")))
-           .withColumn("c", F.substring(
-               F.lit(digits), F.col("s").cast("int") + 1, 1)))
-    return (sym.groupBy("series")
-            .agg(F.max("n_points").alias("n_points"),
-                 F.concat_ws("", F.transform(
-                     F.array_sort(F.collect_list(
-                         F.struct("j", "c"))),
-                     lambda x: x["c"])).alias("word")))
+    wl = int(word_len)
+    lo_j = f"(j * cast(size(vals) as bigint) + {wl - 1}) div {wl}"
+    hi_j = (f"((j + 1) * cast(size(vals) as bigint) + {wl - 1})"
+            f" div {wl}")
+    paas = F.expr(
+        f"transform(filter(sequence(bigint(0), bigint({wl - 1})),"
+        f" j -> {hi_j} > {lo_j}),"
+        f" j -> aggregate(slice(vals, cast({lo_j} as int) + 1,"
+        f" cast({hi_j} - ({lo_j}) as int)),"
+        f" cast(0 as bigint), (acc, x) -> acc + x)"
+        f" div ({hi_j} - ({lo_j})))")
+    word = F.expr(
+        f"concat_ws('', transform(_paas,"
+        f" p -> substring('{digits}', cast(least("
+        f"bigint({alphabet - 1}),"
+        f" (p - _lo) * {alphabet} div (_hi - _lo + 1)) as int) + 1,"
+        f" 1)))")
+    return (per.where(F.size("vals") > 0)
+            .withColumn("_paas", paas)
+            .withColumn("_lo", F.array_min("_paas"))
+            .withColumn("_hi", F.array_max("_paas"))
+            .select("series", F.size("vals").alias("n_points"),
+                    word.alias("word")))
 
 
 def wilson_bounds(k, n, z: float = 1.96):

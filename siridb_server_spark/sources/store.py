@@ -287,9 +287,27 @@ class PointsStore:
             # skewed shard splits — with a plain hash repartition
             # fallback for AQE-off sessions.
             batch = self._with_partitions(df)
-            try:
+            # DataFrame.hint never raises for unsupported hints (an
+            # unresolved hint is dropped at analysis with a warning),
+            # so an AQE-off session must be detected explicitly for
+            # the plain hash-repartition fallback to ever run
+            aqe_on = str(spark.conf.get(
+                "spark.sql.adaptive.enabled", "true")).lower()
+            from ..localdf import fan_out_keyed
+
+            fanned = fan_out_keyed(batch, "kind", "sid")
+            if fanned is not batch:
+                # provably-small batch: REBALANCE would coalesce it
+                # to one task that encodes every (kind, sid) dir
+                # serially — a keyed repartition pinned at core
+                # count parallelizes the encode instead (bounded by
+                # the distinct dir count; no-op at realistic batch
+                # sizes, where REBALANCE's size-targeted splitting
+                # is the right tool)
+                batch = fanned
+            elif aqe_on == "true":
                 batch = batch.hint("rebalance", "kind", "sid")
-            except Exception:
+            else:
                 batch = batch.repartition("kind", "sid")
             landed = self._append_via_stage(
                 batch, self.path, ["kind", "sid"],

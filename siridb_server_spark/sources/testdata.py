@@ -35,8 +35,26 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 _LOAD_MEMO: dict = {}
 
 
+def _listing_fingerprint(path: str):
+    """(names, sizes, mtimes) of a parquet file-or-directory — the
+    same invalidation key similarity._read_meta_rows uses, so a
+    regenerated sf_dir within one application never serves a stale
+    cached plan/file listing."""
+    try:
+        if os.path.isdir(path):
+            return tuple(sorted(
+                (f, st.st_size, st.st_mtime_ns)
+                for f in os.listdir(path)
+                for st in [os.stat(os.path.join(path, f))]))
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name,
+           _listing_fingerprint(f"{sf_dir}/{name}.parquet"))
     hit = _LOAD_MEMO.get(key)
     if hit is not None:
         return hit

@@ -317,6 +317,33 @@ def test_quantile_prefilter_equals_unfiltered(spark):
     assert f2.count() == 40
 
 
+def test_sketch_collect_cap_lazy_path_identical(spark, monkeypatch):
+    # above SKETCH_COLLECT_CAP_ROWS the build must stay LAZY (no
+    # driver collect of the sketch) and still return the identical
+    # exact bottom-k — force the gate with a tiny cap and diff the
+    # two paths on the same data
+    from siridb_server_spark.localdf import arrow_df
+
+    df = _qdata(spark, n=20_000, keys=4)
+    eager_q = SK.quantile_sketch(df, "key", "v", "rid")
+    kdf = spark.range(20_000).select(
+        (F.col("id") % 3).cast("string").alias("key"),
+        F.concat(F.lit("m"), F.col("id") % 9_000).alias("m"))
+    eager_k = SK.kmv_sketch(kdf, "key", "m")
+    monkeypatch.setattr(SK, "SKETCH_COLLECT_CAP_ROWS", 1)
+    lazy_q = SK.quantile_sketch(df, "key", "v", "rid")
+    lazy_k = SK.kmv_sketch(kdf, "key", "m")
+    # the gated path returns the lazy rank plan (its window is still
+    # in the plan), not a collected local relation
+    assert "indow" in lazy_q._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "indow" not in eager_q._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    for a, b in ((eager_q, lazy_q), (eager_k, lazy_k)):
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
 def test_quantile_sketch_differential_random_frames(spark, tmp_path):
     """Differential check on RANDOM data (the fixed-corpus oracle
     gate can miss data-dependent divergence): random frames with

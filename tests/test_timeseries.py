@@ -378,6 +378,70 @@ def test_sax_words_structure_and_similarity(spark):
     assert list(w) == sorted(w)
 
 
+def test_sax_from_vectors_row_local_matches_exploded(spark):
+    """The row-local word computation (r14: zero exchanges of its
+    own) is row-identical to the posexplode + two-groupBy reference
+    pipeline it replaced — exercised across word_len/alphabet/
+    max_len combos, negative values (trunc-div edge) and short
+    series — and sax_words' whole plan keeps exactly ONE exchange
+    (the vector-assembly groupBy)."""
+    from pyspark.sql import functions as F
+
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import timeseries as TSO
+    from siridb_server_spark.operators.timeseries import (
+        _sax_from_vectors,
+        _series_vectors,
+    )
+
+    def exploded_reference(per, word_len, alphabet):
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:alphabet]
+        pos = per.select("series", F.size("vals").alias("n"),
+                         F.posexplode("vals").alias("i", "v"))
+        paa = (pos.withColumn(
+            "j", F.expr(f"CAST(i * {word_len} AS BIGINT) div n"))
+            .groupBy("series", "j")
+            .agg(F.expr("CAST(sum(v) AS BIGINT) div count(1)")
+                 .alias("paa"), F.max("n").alias("n")))
+        rng = (paa.groupBy("series")
+               .agg(F.min("paa").alias("lo"),
+                    F.max("paa").alias("hi"),
+                    F.max("n").alias("n_points")))
+        sym = (paa.join(rng, "series")
+               .withColumn("s", F.least(
+                   F.lit(alphabet - 1),
+                   F.expr(f"CAST((paa - lo) * {alphabet} AS BIGINT)"
+                          " div (hi - lo + 1)")))
+               .withColumn("c", F.substring(
+                   F.lit(digits), F.col("s").cast("int") + 1, 1)))
+        return (sym.groupBy("series")
+                .agg(F.max("n_points").alias("n_points"),
+                     F.concat_ws("", F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("j", "c"))),
+                         lambda x: x["c"])).alias("word")))
+
+    rows = []
+    for i in range(64):
+        rows.append(("rampup", i, float(i)))
+        rows.append(("neg", i, float(-50 + (i * 3) % 97)))
+        rows.append(("const", i, -2.5))
+    for i in range(5):
+        rows.append(("short", i, float(i * i - 6)))
+    rows.append(("single", 0, -42.0))
+    df = arrow_df(spark, rows, "series string, ts long, val double")
+    for wl, al, ml in ((8, 4, 128), (5, 3, 7), (16, 36, 128),
+                       (3, 2, 2)):
+        per = _series_vectors(df, ml, 1000)
+        new = _sax_from_vectors(per, wl, al)
+        old = exploded_reference(per, wl, al)
+        assert new.exceptAll(old).count() == 0, (wl, al, ml)
+        assert old.exceptAll(new).count() == 0, (wl, al, ml)
+    plan = (TSO.sax_words(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_sax_word_py_matches_pipeline(spark):
     """The driver-side SAX-word twin (_sax_word_py, used by
     dtw_topk's prefilter for the query's own word) is byte-identical
