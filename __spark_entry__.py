@@ -41,8 +41,9 @@ from siridb_server_spark.sources.testdata import (
     epoch_ns,
     events_points,
     load,
+    table_bytes,
 )
-from siridb_server_spark.localdf import arrow_df
+from siridb_server_spark.localdf import arrow_df, fan_out_keyed
 
 
 def _media_df(spark, rows):
@@ -679,7 +680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # collect ONCE (k bounded rows) — three lazy property aggs
         # over the un-persisted top-k would re-run the whole DP per
         # branch (TakeOrdered is not a reusable exchange)
-        rows = TSO.dtw_topk(pts, qname, k=10).collect()
+        rows = TSO.dtw_topk(
+            pts, qname, k=10,
+            est_bytes=table_bytes(sf_dir, "events")).collect()
         props = [
             ("k_returned", len(rows)),
             ("top1_is_query_at_zero",
@@ -701,7 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min/max breakpoints, ordered symbol concatenation)."""
         pts = events_points(spark, sf_dir).select(
             "series", "ts", F.col("val_dbl").alias("val"))
-        return TSO.sax_words(pts)
+        return TSO.sax_words(
+            pts, est_bytes=table_bytes(sf_dir, "events"))
 
     q["ts_sax_words"] = ts_sax_words
 
@@ -723,12 +727,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("val_dbl").alias("val")).persist()
         try:
             qname = pts.agg(F.min("series")).first()[0]
+            eb = table_bytes(sf_dir, "events")
             base = [(r["series"], r["n_points"], r["dtw_cost"])
-                    for r in TSO.dtw_topk(pts, qname,
-                                          k=10).collect()]
+                    for r in TSO.dtw_topk(pts, qname, k=10,
+                                          est_bytes=eb).collect()]
             gated = [(r["series"], r["n_points"], r["dtw_cost"])
                      for r in TSO.dtw_topk(pts, qname, k=10,
-                                           prefilter=True)
+                                           prefilter=True,
+                                           est_bytes=eb)
                      .collect()]
         finally:
             pts.unpersist()
@@ -763,7 +769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       .orderBy("series").limit(3).collect()]
             queries = pts.where(F.col("series").isin(qnames))
             got = {}
-            for r in TSO.dtw_knn_join(pts, queries, k=5) \
+            for r in TSO.dtw_knn_join(
+                pts, queries, k=5,
+                est_bytes=table_bytes(sf_dir, "events"),
+                q_est_bytes=table_bytes(sf_dir, "events")) \
                     .collect():
                 got.setdefault(r["qseries"], []).append(
                     (r["rank"], r["series"], r["n_points"],
@@ -773,7 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for qn in qnames:
                 want = [(i + 1, r["series"], r["n_points"],
                          r["dtw_cost"]) for i, r in enumerate(
-                    TSO.dtw_topk(pts, qn, k=5, prefilter=True)
+                    TSO.dtw_topk(pts, qn, k=5, prefilter=True,
+                                 est_bytes=table_bytes(
+                                     sf_dir, "events"))
                     .collect())]
                 g = sorted(got.get(qn, []))
                 if g != want:
@@ -860,8 +871,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (tests/test_retrieval_eval.py)."""
         docs = load(spark, sf_dir, "documents")
         terms = ["hash", "join", "model", "data", "spark"]
-        run = TX.tf_rank_runs(docs, terms, k=10)
-        qrels = TX.containment_qrels(docs, terms)
+        # one tokenize pass for run AND qrels (a term is relevant
+        # iff its tf row exists — same split regex defines both);
+        # row-identical to the two-operator shape, which paid a
+        # second corpus tokenize plus an array_contains BNLJ
+        run, qrels = TX.tf_rank_runs_with_qrels(docs, terms, k=10)
         return TX.retrieval_metrics(run, qrels, k=10)
 
     q["eval_retrieval_metrics"] = eval_retrieval_metrics
@@ -1515,8 +1529,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         contains series, and the (ts, seq desc) sort prefix covers
         the ts-ordered windows. One shuffle total instead of the old
         dedup-shuffle + operator-shuffle (guide §2.4); values are
-        identical row for row."""
-        pts = events_points(spark, sf_dir)
+        identical row for row.
+
+        The fan-out must sit HERE, below the dedup window: a keyed
+        repartition placed between this window and a downstream one
+        is provably redundant (the child is already
+        hash-partitioned on series) and the optimizer removes it,
+        leaving only the window's own ENSURE_REQUIREMENTS exchange,
+        which AQE coalesces by PRE-expansion bytes — serializing
+        every row-expanding consumer (resample's grid explode ran
+        2-threaded). Below the window the repartition IS the
+        chain's one exchange (REPARTITION_BY_NUM — AQE never
+        coalesces a user-numbered repartition), so all 15 series-
+        keyed consumers inherit core-count parallelism. Gated on
+        the source's on-disk size (free os.stat — the optimizer-
+        stats fallback costs ~0.1 s per call): no-op at realistic
+        scale."""
+        pts = fan_out_keyed(
+            events_points(spark, sf_dir), "series",
+            est_bytes=table_bytes(sf_dir, "events"))
         w = Window.partitionBy("series").orderBy(
             F.col("ts").asc(), F.col("seq").desc(),
             F.col("val_dbl").desc())
@@ -1529,6 +1560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_resample_interp"] = lambda spark, sf_dir: \
         TSO.resample_interpolate(_pts_dedup(spark, sf_dir),
+                                 est_bytes=table_bytes(
+                                     sf_dir, "events"),
                                  step=3_600_000_000_000)
 
     def ts_backtest_seasonal(spark, sf_dir):
@@ -1789,6 +1822,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load(spark, sf_dir, "documents").where("doc_id < 300"),
             threshold=0.5, shingle_n=3)
 
+    def _ev_fan(base, sf_dir):
+        """Events-family fan-out: every entry below drives a
+        user-keyed window/aggregate whose one exchange AQE
+        coalesces by pre-shuffle bytes (1-2 tasks on a small
+        input). HashPartitioning(user_id) satisfies every clustering
+        these entries need (user windows, (user, type) windows,
+        (user, week)/(day, user) distincts — user_id is a subset of
+        each key set), so one keyed repartition pinned at core
+        count restores parallelism for the whole family; gated on
+        the source's on-disk size, free via os.stat, no-op at any
+        realistic scale (see localdf.fan_out_keyed)."""
+        return fan_out_keyed(
+            base, "user_id",
+            est_bytes=table_bytes(sf_dir, "events"))
+
     def events_cohorts(spark, sf_dir):
         """Weekly cohort-retention matrix: cohort = a user's first
         active week; one distinct (user, week) reduction, a tiny
@@ -1796,12 +1844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         on user-sized data, no window over the full event stream."""
         week = 7 * 24 * 3600 * 10 ** 9
         ev = load(spark, sf_dir, "events")
-        wk = (ev.select(
+        wk = _ev_fan(ev.select(
             F.col("user_id").cast("long").alias("user_id"),
             epoch_ns(ev).alias("ets"))
             .select("user_id",
-                    F.expr(f"ets div {week}").alias("week"))
-            .distinct())
+                    F.expr(f"ets div {week}").alias("week")),
+            sf_dir).distinct()
         first = wk.groupBy("user_id").agg(
             F.min("week").alias("cohort"))
         return (wk.join(first, "user_id")
@@ -1819,11 +1867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         user (single hash shuffle), one counting aggregate over
         |types|² keys, a broadcast per-source total."""
         ev = load(spark, sf_dir, "events")
-        e = ev.select(
+        e = _ev_fan(ev.select(
             F.col("user_id").cast("long").alias("user_id"),
             F.col("event_type").alias("et"),
             epoch_ns(ev).alias("ts"),
-            F.col("event_id").cast("long").alias("event_id"))
+            F.col("event_id").cast("long").alias("event_id")),
+            sf_dir)
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         pairs = (e.withColumn("nxt", F.lead("et").over(w))
                  .where(F.col("nxt").isNotNull())
@@ -3396,10 +3445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         often do users click?" One (user, type) lag window, one
         counting agg; exact interpolated median."""
         ev = load(spark, sf_dir, "events")
-        base = ev.select(F.col("user_id").cast("long")
+        base = _ev_fan(ev.select(F.col("user_id").cast("long")
                          .alias("user_id"), "event_type",
                          epoch_ns(ev).alias("ts"),
-                         F.col("event_id").cast("long").alias("eid"))
+                         F.col("event_id").cast("long")
+                         .alias("eid")), sf_dir)
         w = Window.partitionBy("user_id", "event_type") \
             .orderBy("ts", "eid")
         # seconds, not raw ns: an avg over ~1e14-ns gaps carries a
@@ -3436,9 +3486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         observed day range drop out via the inner join with DAU."""
         from siridb_server_spark.functions.stable import int_ppm
         ev = load(spark, sf_dir, "events")
-        dd = (ev.select(F.unix_date(F.to_date("ts")).cast("long")
-                        .alias("d"), "user_id")
-              .distinct())
+        dd = _ev_fan(ev.select(
+            F.unix_date(F.to_date("ts")).cast("long")
+            .alias("d"), "user_id"), sf_dir).distinct()
         dau = dd.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
         ex = dd.select(
             F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6)))
@@ -3460,9 +3510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rollup; every output column is an exact integer."""
         from siridb_server_spark.functions.stable import scaled_term
         ev = load(spark, sf_dir, "events")
-        return (ev.select("user_id", epoch_ns(ev).alias("ts"),
-                          scaled_term(F.col("value"), 2)
-                          .alias("vc"))
+        return (_ev_fan(
+            ev.select("user_id", epoch_ns(ev).alias("ts"),
+                      scaled_term(F.col("value"), 2)
+                      .alias("vc")), sf_dir)
                 .groupBy("user_id")
                 .agg(F.max("ts").alias("last_ts"),
                      F.count(F.lit(1)).alias("n_events"),
@@ -3477,10 +3528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sessionize window (one user shuffle); the rollup groupBy
         shares the same partitioning."""
         ev = load(spark, sf_dir, "events")
-        base = ev.select(
+        base = _ev_fan(ev.select(
             F.col("event_id").cast("long").alias("event_id"),
             F.col("user_id").cast("long").alias("user_id"),
-            "event_type", epoch_ns(ev).alias("ts"))
+            "event_type", epoch_ns(ev).alias("ts")), sf_dir)
         s = TSO.sessionize(base, gap=3_600_000_000_000,
                            seq_col="event_id")
         return (s.groupBy("user_id", "session_id")
@@ -3496,9 +3547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Ordered 3-step funnel view → click → purchase: how many
         users reach each step with strict time ordering."""
         ev = load(spark, sf_dir, "events")
-        base = ev.select(F.col("user_id").cast("long")
+        base = _ev_fan(ev.select(F.col("user_id").cast("long")
                          .alias("user_id"),
-                         epoch_ns(ev).alias("ts"), "event_type")
+                         epoch_ns(ev).alias("ts"), "event_type"),
+                       sf_dir)
         per_user = TSO.funnel_steps(
             base, ["view", "click", "purchase"])
         return per_user.agg(
@@ -3518,9 +3570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cross-engine. The number a funnel report needs before
         anyone compares two rates."""
         ev = load(spark, sf_dir, "events")
-        base = ev.select(F.col("user_id").cast("long")
+        base = _ev_fan(ev.select(F.col("user_id").cast("long")
                          .alias("user_id"),
-                         epoch_ns(ev).alias("ts"), "event_type")
+                         epoch_ns(ev).alias("ts"), "event_type"),
+                       sf_dir)
         per_user = TSO.funnel_steps(
             base, ["view", "click", "purchase"])
         c = per_user.agg(F.count("t1").alias("k1"),
@@ -3548,8 +3601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Minutes-active per user: union of 5-minute activity
         intervals opened by each event (overlaps merge)."""
         ev = load(spark, sf_dir, "events")
-        base = ev.select(F.col("user_id").cast("long")
-                         .alias("user_id"), epoch_ns(ev).alias("ts"))
+        base = _ev_fan(
+            ev.select(F.col("user_id").cast("long")
+                      .alias("user_id"), epoch_ns(ev).alias("ts")),
+            sf_dir)
         return TSO.interval_coverage(base, length=300_000_000_000)
 
     q["events_coverage"] = events_coverage

@@ -274,8 +274,11 @@ def main():
     _pts = events_points(spark, SF_DIR).select(
         "series", "ts", F.col("val_dbl").alias("val"))
     _dtw_q = _pts.agg(F.min("series")).first()[0]
+    from siridb_server_spark.sources.testdata import table_bytes
+
     qs["ts_dtw_prefilter"] = lambda s, d: TSO.dtw_topk(
-        _pts, _dtw_q, k=10, prefilter=True)
+        _pts, _dtw_q, k=10, prefilter=True,
+        est_bytes=table_bytes(SF_DIR, "events"))
 
     _tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:10]
     _sq_base = _emb.where("vec_id <> 0 and vec_id % 7 <> 1")
@@ -439,10 +442,19 @@ def main():
     state0 = _session_state()
     hygiene = {}
 
+    # measurement-only subset filter (additions-only harness knob):
+    # SPARK_GRAFT_BENCH_ONLY="a,b,c" times just those entries (same
+    # order, same fixtures, same methodology) for interleaved
+    # per-entry A/Bs; unset = the full driver contract, unchanged
+    _only = {n for n in os.environ.get(
+        "SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
+
     timings = {}
     runs_detail = {}
     total = 0.0
     for name in BENCH_QUERIES:
+        if _only and name not in _only:
+            continue
         fn = qs.get(name)
         if fn is None:
             errors[name] = "missing queries() entry"
@@ -500,6 +512,8 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="sparksiri-bench-")
     try:
+        if _only and "ingest_events_store" not in _only:
+            raise StopIteration  # subset sweep skips ingest
         # best of 2 over FRESH stores (an append mutates state, so
         # repeating on the same store wouldn't measure the same work)
         pts = events_points(spark, SF_DIR)
@@ -513,6 +527,8 @@ def main():
             dt = d if dt is None else min(dt, d)
         timings["ingest_events_store"] = round(dt, 3)
         total += dt
+    except StopIteration:
+        pass
     except Exception as exc:
         errors["ingest_events_store"] = repr(exc)[:500]
     finally:
@@ -544,8 +560,9 @@ def main():
     # count so the driver's 32- and 8-core runs don't overwrite each
     # other's per-query map and the scaling comparison has both.
     here = os.path.dirname(os.path.abspath(__file__))
-    for perq in (os.path.join(here, "BENCH_perq.json"),
-                 os.path.join(here, f"BENCH_perq_c{CPUS}.json")):
+    for perq in ([] if _only else
+                 (os.path.join(here, "BENCH_perq.json"),
+                  os.path.join(here, f"BENCH_perq_c{CPUS}.json"))):
         try:
             with open(perq, "w") as fh:
                 json.dump(out, fh, indent=1, sort_keys=True)

@@ -62,7 +62,8 @@ def arrow_df(spark: SparkSession, rows, schema) -> DataFrame:
         return spark.createDataFrame(rows, schema)
 
 
-def fan_out_keyed(df: DataFrame, *key_cols: str) -> DataFrame:
+def fan_out_keyed(df: DataFrame, *key_cols: str,
+                  est_bytes: int | None = None) -> DataFrame:
     """Pin the NEXT keyed shuffle at core-count partitions when the
     input is provably small — the per-operator replacement for the
     r13 session-global AQE-floor config (removed on driver
@@ -77,18 +78,30 @@ def fan_out_keyed(df: DataFrame, *key_cols: str) -> DataFrame:
     requirement (same single exchange — plan-asserted in pytest)
     and AQE never coalesces user-numbered repartitions.
 
-    Scale-adaptive by construction: the gate is the OPTIMIZER'S OWN
-    size estimate — only a plan estimated under ~1 MB/core (i.e.
-    one AQE would coalesce below core count) is repinned; any
-    realistic input leaves the plan byte-identical. Row-preserving:
-    cannot change any downstream result."""
+    Scale-adaptive by construction: the gate is a size estimate —
+    only an input estimated under ~1 MB/core (i.e. one AQE would
+    coalesce below core count) is repinned; any realistic input
+    leaves the plan byte-identical. Row-preserving: cannot change
+    any downstream result.
+
+    ``est_bytes``: callers that KNOW their source's size (e.g. an
+    os.stat of the parquet file the frame scans) should pass it —
+    the fallback asks the OPTIMIZER for the plan's estimate, and
+    that Catalyst run costs ~0.1 s of driver time per call, a real
+    tax on sub-second queries (measured: stats() ≈ 100-140 ms on
+    these plans). Compressed on-disk bytes under-estimate the
+    shuffle bytes, which only makes the gate more conservative
+    (fires on strictly smaller inputs)."""
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    try:
-        est = int(str(df._jdf.queryExecution().optimizedPlan()
-                      .stats().sizeInBytes()))
-    except Exception:
-        return df
+    if est_bytes is not None:
+        est = int(est_bytes)
+    else:
+        try:
+            est = int(str(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes()))
+        except Exception:
+            return df
     if est <= 0 or est >= cores * (1 << 20):
         return df
     return df.repartition(cores, *key_cols)

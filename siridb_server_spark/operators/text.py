@@ -543,6 +543,38 @@ def _md5_cell(md5_col: Column, row: int, width: int) -> Column:
             .cast("long") % width)
 
 
+#: input-size bound (optimizer estimate, bytes) under which the
+#: count-min cell pass may aggregate the gram stream BY GRAM first
+#: and sketch the distinct-gram table weighted by its count: the
+#: digest then runs once per DISTINCT gram instead of once per
+#: instance (measured 285× fewer md5+conv chains on the bench
+#: corpus — 266k bigram instances, 931 distinct). The trade is a
+#: gram-keyed shuffle whose key space is the distinct-gram
+#: vocabulary, which is exactly what the sketch's depth×width
+#: shuffle bound exists to avoid at corpus scale — so the rewrite
+#: only applies when the INPUT is provably small enough (≤1 GB of
+#: text ⇒ at most tens of millions of distinct grams, a trivial
+#: wordcount shuffle on any cluster; cf. the exact top_ngrams,
+#: which is this same shape). Identical integers either way:
+#: Σ_{g∈cell} count(g) ≡ per-instance cell counting.
+_GRAM_DEDUP_MAX_INPUT_BYTES = 1 << 30
+
+
+def _gram_counts_if_small(grams: DataFrame):
+    """``grams.groupBy(g).count()`` when the plan's own size
+    estimate says the corpus is small (see
+    ``_GRAM_DEDUP_MAX_INPUT_BYTES``), else None."""
+    try:
+        est = int(str(grams._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+    except Exception:
+        return None
+    if not 0 < est < _GRAM_DEDUP_MAX_INPUT_BYTES:
+        return None
+    return grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("_cnt_g"))
+
+
 def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
                       depth: int = 4, width: int = 4096,
                       n_cand: int = 200, sample_frac: float = 0.25,
@@ -586,11 +618,23 @@ def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
                      _md5_cell(m, i, width).alias("c"))
             for i in range(depth)])
 
-    cells = (grams.select(F.explode(cell_array(F.col("g")))
-                          .alias("rc"))
-             .groupBy(F.col("rc.r").alias("r"),
-                      F.col("rc.c").alias("c"))
-             .agg(F.count(F.lit(1)).alias("cnt")))
+    gcnt = _gram_counts_if_small(grams)
+    if gcnt is not None:
+        # small corpus: digest each DISTINCT gram once, weight its
+        # cell contribution by the exact count — identical cell
+        # integers, ~|vocab|/|instances| of the hash work
+        cells = (gcnt.select("_cnt_g",
+                             F.explode(cell_array(F.col("g")))
+                             .alias("rc"))
+                 .groupBy(F.col("rc.r").alias("r"),
+                          F.col("rc.c").alias("c"))
+                 .agg(F.sum("_cnt_g").alias("cnt")))
+    else:
+        cells = (grams.select(F.explode(cell_array(F.col("g")))
+                              .alias("rc"))
+                 .groupBy(F.col("rc.r").alias("r"),
+                          F.col("rc.c").alias("c"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
     # candidates are n_cand rows BY CONSTRUCTION: collect them once
     # and rejoin as a literal local relation — the former lazy shape
     # re-materialized the full sampled-count subtree per broadcast
@@ -662,11 +706,25 @@ def cms_accuracy(df: DataFrame, n: int = 2, depth: int = 4,
                      _md5_cell(m, i, width).alias("c"))
             for i in range(depth)])
 
-    cells = (grams.select(F.explode(cell_array(F.col("g")))
-                          .alias("rc"))
-             .groupBy(F.col("rc.r").alias("r"),
-                      F.col("rc.c").alias("c"))
-             .agg(F.count(F.lit(1)).alias("cnt")))
+    gcnt = _gram_counts_if_small(grams)
+    if gcnt is not None:
+        # small corpus (see _GRAM_DEDUP_MAX_INPUT_BYTES): one
+        # gram-count aggregate feeds BOTH sides — the sketch cells
+        # (distinct grams digested once, weighted by count) and the
+        # exact candidate counts (a filter of the same table, no
+        # second corpus pass). Identical integers.
+        cells = (gcnt.select("_cnt_g",
+                             F.explode(cell_array(F.col("g")))
+                             .alias("rc"))
+                 .groupBy(F.col("rc.r").alias("r"),
+                          F.col("rc.c").alias("c"))
+                 .agg(F.sum("_cnt_g").alias("cnt")))
+    else:
+        cells = (grams.select(F.explode(cell_array(F.col("g")))
+                              .alias("rc"))
+                 .groupBy(F.col("rc.r").alias("r"),
+                          F.col("rc.c").alias("c"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
     # see approx_top_ngrams: the candidate set is n_cand rows by
     # construction — collect once, rejoin as a local relation (the
     # lazy shape re-ran the sampled-count pass for EACH of its two
@@ -679,9 +737,14 @@ def cms_accuracy(df: DataFrame, n: int = 2, depth: int = 4,
                 F.col("rc.c").alias("c")))
     est = (cells.join(F.broadcast(cand_cells), ["r", "c"])
            .groupBy("g").agg(F.min("cnt").alias("est_count")))
-    exact = (grams.join(F.broadcast(cand.select("g")), "g")
-             .groupBy("g").agg(F.count(F.lit(1))
-                               .alias("exact_count")))
+    if gcnt is not None:
+        exact = (gcnt.join(F.broadcast(cand.select("g")), "g")
+                 .select("g", F.col("_cnt_g")
+                         .alias("exact_count")))
+    else:
+        exact = (grams.join(F.broadcast(cand.select("g")), "g")
+                 .groupBy("g").agg(F.count(F.lit(1))
+                                   .alias("exact_count")))
     return (est.join(exact, "g")
             .select(F.col("g").alias("ngram"), "est_count",
                     "exact_count",
@@ -1166,6 +1229,35 @@ def tf_rank_runs(df: DataFrame, queries: list, k: int = 10,
             .select("query", "doc_id", "rank"))
 
 
+def tf_rank_runs_with_qrels(df: DataFrame, queries: list,
+                            k: int = 10, text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """``(tf_rank_runs(...), containment_qrels(...))`` off ONE
+    tokenize pass: a (query, doc) term-frequency row exists iff the
+    term occurs as a whole word (the same split regex defines both
+    operators), so the qrel set IS the tf table's key set — no
+    second corpus tokenize, no array_contains nested-loop join.
+    Row-identical to calling the two operators separately (pinned
+    in pytest); the shared tf exchange is reused across the run and
+    qrel branches of whatever plan consumes both."""
+    run = tf_rank_runs(df, queries, k, text_col, id_col)
+    # rebuild the identical tf subtree lazily; Catalyst's exchange
+    # reuse dedupes it against run's copy inside a combined plan
+    from ..localdf import arrow_df
+    q = F.broadcast(arrow_df(df.sparkSession,
+                             [(t,) for t in queries],
+                             "query string"))
+    ws = F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+    qrels = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(ws).alias("w"))
+             .where(F.col("w") != "")
+             .join(q, F.col("w") == F.col("query"))
+             .groupBy("query", "doc_id")
+             .agg(F.count(F.lit(1)).alias("tf"))
+             .select("query", "doc_id"))
+    return run, qrels
+
+
 def containment_qrels(df: DataFrame, queries: list,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
@@ -1240,19 +1332,28 @@ def vocab_drift(old: DataFrame, new: DataFrame, k: int = 20,
 
     co = counts(old)
     cn = counts(new)
-    t_old = co.agg(F.sum("c")).first()[0] or 0
-    t_new = cn.agg(F.sum("c")).first()[0] or 0
+    # totals ride the lazy plan as a broadcast 1-row frame instead
+    # of two eager .first() actions: each side's term-count
+    # EXCHANGE is then identical in its total branch and its join
+    # branch, so Spark reuses it and each corpus is tokenized ONCE
+    # (the eager shape ran every tokenize+count twice — 4 corpus
+    # passes and 3 driver actions for what one action computes).
+    # Same integers: c·T products over the same exact counts.
+    totals = (co.agg(F.coalesce(F.sum("c"), F.lit(0))
+                     .alias("t_old"))
+              .crossJoin(cn.agg(F.coalesce(F.sum("c"), F.lit(0))
+                                .alias("t_new"))))
     j = (co.withColumnRenamed("c", "c_old")
          .join(cn.withColumnRenamed("c", "c_new"), "term",
                "full_outer")
          .select("term",
                  F.coalesce("c_old", F.lit(0)).alias("c_old"),
-                 F.coalesce("c_new", F.lit(0)).alias("c_new")))
-    dev = F.abs(F.col("c_old") * F.lit(int(t_new))
-                - F.col("c_new") * F.lit(int(t_old)))
+                 F.coalesce("c_new", F.lit(0)).alias("c_new"))
+         .crossJoin(F.broadcast(totals)))
+    dev = F.abs(F.col("c_old") * F.col("t_new")
+                - F.col("c_new") * F.col("t_old"))
     scored = j.select("term", "c_old", "c_new", dev.alias("dev"),
-                      F.lit(int(t_old)).alias("t_old"),
-                      F.lit(int(t_new)).alias("t_new"))
+                      "t_old", "t_new")
     return (scored.orderBy(F.col("dev").desc(), F.col("term"))
             .limit(k))
 

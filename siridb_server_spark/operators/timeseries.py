@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 def resample_interpolate(df: DataFrame, step: int,
                          key_col: str = "series",
                          ts_col: str = "ts",
-                         val_col: str = "val") -> DataFrame:
+                         val_col: str = "val",
+                         est_bytes: int | None = None) -> DataFrame:
     """Resample each series onto the regular ``step`` grid, linearly
     interpolating between the neighbouring observed points (gap
     filling). Grid points are the multiples of ``step`` inside each
@@ -38,8 +39,10 @@ def resample_interpolate(df: DataFrame, step: int,
     # shuffle, so that shuffle must be sized for the EXPANDED
     # output: on a provably-small input (where AQE would coalesce
     # it to 1-2 tasks) pin it at core count — same single exchange,
-    # no-op on any realistic input (see fan_out_keyed)
-    df = fan_out_keyed(df, key_col)
+    # no-op on any realistic input (see fan_out_keyed; callers
+    # that know their source size pass est_bytes to skip the
+    # gate's optimizer-stats fallback)
+    df = fan_out_keyed(df, key_col, est_bytes=est_bytes)
     w = Window.partitionBy(key_col).orderBy(ts_col)
     nxt_t = F.lead(ts_col).over(w)
     nxt_v = F.lead(val_col).over(w)
@@ -934,15 +937,27 @@ def ewma(df: DataFrame, alpha: float = 0.25,
             .mapInPandas(gen, out_schema))
 
 
-def _series_vectors(df: DataFrame, max_len: int,
-                    scale: int) -> DataFrame:
+def _series_vectors(df: DataFrame, max_len: int, scale: int,
+                    est_bytes: int | None = None) -> DataFrame:
     """(series, vals array<long>): the first ``max_len`` points per
     series in (ts, val) order, integer-scaled — ONE definition of
     the vector-assembly contract shared by the DTW scorer and the
     SAX prefilter so the two can never diverge. NULL values are
     excluded up front (they would poison the integer DP and skew
-    the PAA means differently per engine)."""
-    return (df.where(F.col("val").isNotNull())
+    the PAA means differently per engine).
+
+    The keyed fan-out pins the assembly groupBy's output at core
+    count when the input is provably small (guide §2.5): the DTW
+    DP mapInPandas and the SAX word expressions both run directly
+    on this groupBy's output partitions, and AQE sizes those from
+    the pre-assembly bytes — a few MB of points would coalesce the
+    whole scorer onto 1-2 cores. Same single exchange (the
+    repartition satisfies the groupBy's distribution); no-op at
+    realistic scale."""
+    from ..localdf import fan_out_keyed
+
+    return (fan_out_keyed(df.where(F.col("val").isNotNull()),
+                          "series", est_bytes=est_bytes)
             .groupBy("series")
             .agg(F.slice(F.array_sort(F.collect_list(
                 F.struct("ts", "val"))), 1, max_len).alias("pv"))
@@ -1027,7 +1042,8 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
              band: int = 8, max_len: int = 128,
              scale: int = 1000, prefilter: bool = False,
              word_len: int = 8, alphabet: int = 4,
-             pool: int = 32) -> DataFrame:
+             pool: int = 32,
+             est_bytes: int | None = None) -> DataFrame:
     """Top-k most-similar series to ``query_series`` by banded
     Dynamic Time Warping — the elastic-alignment similarity that
     correlation/euclidean top-k (correlated_series) can't express:
@@ -1084,7 +1100,7 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
 
     import numpy as np
 
-    per = _series_vectors(df, max_len, scale)
+    per = _series_vectors(df, max_len, scale, est_bytes=est_bytes)
     if prefilter:
         # the two-phase search drives several driver actions over
         # this |series|-bounded frame (pool top-k, LB scan) —
@@ -1099,8 +1115,12 @@ def dtw_topk(df: DataFrame, query_series: str, k: int = 10,
     # over only the query's own points produce the identical vector
     # (array_sort makes assembly order-free) for the cost of a
     # plain scan (guide §1.2 — don't compute what you throw away).
+    # est_bytes=0 disables the fan-out gate outright: a single-
+    # series branch has at most one busy partition whatever the
+    # partitioning, so even the gate's free path is pointless here
     qrow = (_series_vectors(
-        df.where(F.col("series") == query_series), max_len, scale)
+        df.where(F.col("series") == query_series), max_len, scale,
+        est_bytes=0)
         .first())
     if qrow is None:
         if prefilter:
@@ -1208,7 +1228,9 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  scale: int = 1000, word_len: int = 8,
                  alphabet: int = 4, pool: int = 32,
                  bands: int = 4, band_cap: int | None = 1024,
-                 _stats: dict | None = None) -> DataFrame:
+                 _stats: dict | None = None,
+                 est_bytes: int | None = None,
+                 q_est_bytes: int | None = None) -> DataFrame:
     """Batch EXACT banded-DTW join: for EVERY series in ``queries``
     (a points frame — series, ts, val), the top-k most-similar
     series in ``corpus`` (same shape) — the corpus-vs-corpus
@@ -1288,8 +1310,10 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     import numpy as np
 
-    per_c = _series_vectors(corpus, max_len, scale)
-    per_q = (_series_vectors(queries, max_len, scale)
+    per_c = _series_vectors(corpus, max_len, scale,
+                            est_bytes=est_bytes)
+    per_q = (_series_vectors(queries, max_len, scale,
+                             est_bytes=q_est_bytes)
              .select(F.col("series").alias("qseries"),
                      F.col("vals").alias("qvals")))
     w_c = _sax_from_vectors(per_c, word_len, alphabet) \
@@ -1470,7 +1494,8 @@ def dtw_knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def sax_words(df: DataFrame, word_len: int = 8, alphabet: int = 4,
-              max_len: int = 128, scale: int = 1000) -> DataFrame:
+              max_len: int = 128, scale: int = 1000,
+              est_bytes: int | None = None) -> DataFrame:
     """SAX-style symbolic words per series — the indexable
     representation that makes series-similarity search scale: series
     whose words disagree everywhere can't be close, so a cheap
@@ -1487,7 +1512,7 @@ def sax_words(df: DataFrame, word_len: int = 8, alphabet: int = 4,
     series' own PAA min/max. One groupBy per stage, all integer
     arithmetic. Output: (series, n_points, word string of
     [0-9a-z] symbols)."""
-    per = _series_vectors(df, max_len, scale)
+    per = _series_vectors(df, max_len, scale, est_bytes=est_bytes)
     return _sax_from_vectors(per, word_len, alphabet)
 
 

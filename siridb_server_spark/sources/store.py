@@ -293,19 +293,16 @@ class PointsStore:
             # the plain hash-repartition fallback to ever run
             aqe_on = str(spark.conf.get(
                 "spark.sql.adaptive.enabled", "true")).lower()
-            from ..localdf import fan_out_keyed
-
-            fanned = fan_out_keyed(batch, "kind", "sid")
-            if fanned is not batch:
-                # provably-small batch: REBALANCE would coalesce it
-                # to one task that encodes every (kind, sid) dir
-                # serially — a keyed repartition pinned at core
-                # count parallelizes the encode instead (bounded by
-                # the distinct dir count; no-op at realistic batch
-                # sizes, where REBALANCE's size-targeted splitting
-                # is the right tool)
-                batch = fanned
-            elif aqe_on == "true":
+            # (r14 note: a fan_out_keyed(batch, "kind", "sid") pass
+            # was tried here and removed — sid is a TIME bucket, so
+            # a small batch holds only a handful of distinct
+            # (kind, sid) dirs and a keyed repartition cannot beat
+            # REBALANCE's clustering by more than that dir count,
+            # while its size-estimate gate re-ran the optimizer on
+            # the whole upstream batch plan per append (~0.1 s of
+            # driver time). Interleaved A/B measured the hint-only
+            # shape equal-or-faster.)
+            if aqe_on == "true":
                 batch = batch.hint("rebalance", "kind", "sid")
             else:
                 batch = batch.repartition("kind", "sid")

@@ -52,6 +52,21 @@ def _listing_fingerprint(path: str):
         return None
 
 
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of a testdata table (file or directory) — the
+    FREE size estimate callers hand to ``localdf.fan_out_keyed``
+    (its optimizer-stats fallback costs ~0.1 s of driver time per
+    call; an os.stat is microseconds). None when unreadable."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(os.path.getsize(os.path.join(path, f))
+                       for f in os.listdir(path))
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name,
            _listing_fingerprint(f"{sf_dir}/{name}.parquet"))

@@ -3428,3 +3428,29 @@ def test_centroid_shift_planted_drift(spark):
     assert got[7]["na_scaled"] == 2 * (2 * m) ** 2
     assert got[9]["n_old"] is None
     assert got[9]["nb_scaled"] == (3 * m) ** 2 + (4 * m) ** 2
+
+
+def test_gram_dedup_cells_path_identical(spark, monkeypatch):
+    """approx_top_ngrams / cms_accuracy must return identical rows
+    whether the sketch cells are built per gram INSTANCE (the
+    production bounded-shuffle shape) or per DISTINCT gram weighted
+    by count (the small-input shape, r14) — force each path via the
+    size gate and diff."""
+    from siridb_server_spark.localdf import arrow_df
+    from siridb_server_spark.operators import text as TX
+
+    docs = arrow_df(spark, [
+        (i, ("alpha beta " * (i % 5 + 1)
+             + "gamma delta epsilon " * (i % 3)
+             + f"tail{i % 7} unique{i % 11}"))
+        for i in range(300)] + [(999, None), (998, "")],
+        "doc_id long, text string")
+    outs = {}
+    for label, cap in (("dedup", 1 << 30), ("instance", 0)):
+        monkeypatch.setattr(TX, "_GRAM_DEDUP_MAX_INPUT_BYTES", cap)
+        outs[label] = (
+            TX.approx_top_ngrams(docs, n=2, k=15).collect(),
+            sorted(map(tuple, TX.cms_accuracy(docs, n=2)
+                       .collect())))
+    assert outs["dedup"][0] == outs["instance"][0]
+    assert outs["dedup"][1] == outs["instance"][1]

@@ -102,3 +102,24 @@ def test_vocab_drift_detects_injected_shift(spark):
     full = TX.vocab_drift(old, new, k=1000).collect()
     tv = sum(r["dev"] for r in full) / (2 * t_old * t_new)
     assert 0 < tv < 1
+
+
+def test_tf_rank_runs_with_qrels_matches_two_operator_shape(spark):
+    """The fused one-tokenize variant (r14) must be row-identical
+    to tf_rank_runs + containment_qrels called separately — the
+    qrels-from-tf equivalence (tf row exists iff whole-word
+    containment, same split regex) exercised with null text, docs
+    with no hits, and a term absent from the corpus."""
+    docs = _docs(spark)
+    terms = ["spark", "data", "zzz"]
+    run_f, qr_f = TX.tf_rank_runs_with_qrels(docs, terms, k=10)
+    run_s = TX.tf_rank_runs(docs, terms, k=10)
+    qr_s = TX.containment_qrels(docs, terms)
+    for a, b in ((run_f, run_s), (qr_f, qr_s)):
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    m_f = {tuple(r) for r in
+           TX.retrieval_metrics(run_f, qr_f, k=10).collect()}
+    m_s = {tuple(r) for r in
+           TX.retrieval_metrics(run_s, qr_s, k=10).collect()}
+    assert m_f == m_s
