@@ -1211,10 +1211,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_approx_top_ngrams"] = lambda spark, sf_dir: \
         TX.approx_top_ngrams(load(spark, sf_dir, "documents"),
-                             n=2, k=20)
+                             n=2, k=20,
+                             est_bytes=table_bytes(sf_dir,
+                                                   "documents"))
 
     q["text_cms_accuracy"] = lambda spark, sf_dir: \
-        TX.cms_accuracy(load(spark, sf_dir, "documents"), n=2)
+        TX.cms_accuracy(load(spark, sf_dir, "documents"), n=2,
+                        est_bytes=table_bytes(sf_dir, "documents"))
 
     q["text_chunking"] = lambda spark, sf_dir: \
         TX.chunk_documents(load(spark, sf_dir, "documents"),

@@ -56,10 +56,15 @@ def _tokens(df: DataFrame, text_col: str, *keep,
     if features == "words":
         toks = F.filter(words(t), lambda x: x != "")
     elif features == "chars":
+        from ..functions.bind import let
+
         n = int(ngram_n)
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
-            lambda p: t.substr(p, F.lit(n)))
+        # let-bind the lowered text: substr-ing the lower(trim(..))
+        # EXPRESSION inside the lambda re-lowers the whole document
+        # once per character position — O(|doc|²) per doc
+        grams = let(t, lambda tv: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(tv), F.lit(1))),
+            lambda p: tv.substr(p, F.lit(n))))
         toks = F.filter(grams, lambda g: F.length(g) == n)
     else:
         raise ValueError(f"unknown features {features!r}")

@@ -464,11 +464,22 @@ def cross_source_dup_rates(df: DataFrame, threshold: float = 0.8,
 
 
 def shingles(text_col: str, n: int = 3):
-    """n-word shingle array column."""
+    """n-word shingle array column.
+
+    The token array is let-bound (functions/bind.py): slicing the
+    split EXPRESSION inside the transform lambda would re-tokenize
+    the document once per shingle position — O(|doc|²) per doc."""
+    from ..functions.bind import let
+
     w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+
+    def build(a):
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(a) - n + 1, F.lit(1)))
+        return F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(a, i, n))))
+
+    return let(w, build)
 
 
 def _shingle_intersections(df: DataFrame, shingle_n: int,
@@ -1301,8 +1312,13 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
             yield pd.DataFrame({id_col: ids, "chunk_idx": idxs,
                                 "start": starts, "length": lens})
 
-    spans = df.select(id_col, text_col).mapInPandas(bounds,
-                                                    out_schema)
+    # the per-doc boundary walk is the CPU bill (Python/numpy per
+    # document) — spread a few-split input across the cores first
+    # (no-op at production split counts; row-preserving)
+    from ..localdf import fan_out
+
+    spans = fan_out(df.select(id_col, text_col)).mapInPandas(
+        bounds, out_schema)
     body = df.select(F.col(id_col),
                      F.encode(F.col(text_col), "utf-8").alias("_b"))
     return (spans.join(body, id_col)

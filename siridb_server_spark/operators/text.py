@@ -153,25 +153,49 @@ def fingerprint(text: Column) -> Column:
 def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     """Rolling window fingerprints (winnowing-style): md5 of each
     ``window``-word shingle — the building block for fuzzy containment
-    checks. Returns array<string>."""
-    w = words(F.lower(text))
-    n = F.size(w)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, window))))
+    checks. Returns array<string>.
+
+    The token array is let-bound (functions/bind.py) so each window
+    position slices a BOUND variable — referencing the split
+    expression inside the lambda would re-tokenize the document per
+    position, O(|doc|²)."""
+    from ..functions.bind import let
+
+    def build(a):
+        n = F.size(a)
+        idx = F.sequence(F.lit(1),
+                         F.greatest(n - window + 1, F.lit(1)))
+        return F.transform(
+            idx,
+            lambda i: F.md5(F.concat_ws(" ", F.slice(a, i, window))))
+
+    return let(words(F.lower(text)), build)
 
 
 def _ngrams(ws: Column, n: int) -> Column:
     """Word n-grams as space-joined strings; empty array when the
-    document has fewer than n words (guards sequence() descending)."""
-    size = F.size(ws)
-    return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + j) for j in range(n)]))
-    ).otherwise(F.array().cast("array<string>"))
+    document has fewer than n words (guards sequence() descending).
+
+    ``ws`` is let-bound (functions/bind.py) before the per-position
+    ``element_at`` lookups: callers pass the tokenizer EXPRESSION,
+    and an expression referenced inside a transform lambda is
+    re-evaluated per element — each n-gram position would re-split
+    the whole document, O(|doc|²) per doc (measured 10×+ on real
+    corpus queries). Bound, each lookup is O(1) on the one
+    materialized array."""
+    from ..functions.bind import let
+
+    def build(a):
+        size = F.size(a)
+        return F.when(
+            size >= n,
+            F.transform(
+                F.sequence(F.lit(1), size - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(a, i + j) for j in range(n)]))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(ws, build)
 
 
 def _max_run(sorted_arr: Column) -> Column:
@@ -560,15 +584,22 @@ def _md5_cell(md5_col: Column, row: int, width: int) -> Column:
 _GRAM_DEDUP_MAX_INPUT_BYTES = 1 << 30
 
 
-def _gram_counts_if_small(grams: DataFrame):
-    """``grams.groupBy(g).count()`` when the plan's own size
-    estimate says the corpus is small (see
-    ``_GRAM_DEDUP_MAX_INPUT_BYTES``), else None."""
-    try:
-        est = int(str(grams._jdf.queryExecution().optimizedPlan()
-                      .stats().sizeInBytes()))
-    except Exception:
-        return None
+def _gram_counts_if_small(grams: DataFrame,
+                          est_bytes: int | None = None):
+    """``grams.groupBy(g).count()`` when the input size estimate
+    says the corpus is small (see ``_GRAM_DEDUP_MAX_INPUT_BYTES``),
+    else None. ``est_bytes``: callers that know their source's
+    on-disk size pass it (os.stat, microseconds); the fallback asks
+    the optimizer for the plan's estimate, which costs ~0.1 s of
+    driver time PER CALL — a real tax on sub-second queries."""
+    if est_bytes is not None:
+        est = int(est_bytes)
+    else:
+        try:
+            est = int(str(grams._jdf.queryExecution()
+                          .optimizedPlan().stats().sizeInBytes()))
+        except Exception:
+            return None
     if not 0 < est < _GRAM_DEDUP_MAX_INPUT_BYTES:
         return None
     return grams.groupBy("g").agg(
@@ -579,7 +610,8 @@ def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
                       depth: int = 4, width: int = 4096,
                       n_cand: int = 200, sample_frac: float = 0.25,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      est_bytes: int | None = None) -> DataFrame:
     """Approximate corpus heavy hitters: a count-min sketch plus
     sampled candidate generation — the bounded-shuffle replacement
     for :func:`top_ngrams` when the n-gram key space stops fitting a
@@ -618,7 +650,7 @@ def approx_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
                      _md5_cell(m, i, width).alias("c"))
             for i in range(depth)])
 
-    gcnt = _gram_counts_if_small(grams)
+    gcnt = _gram_counts_if_small(grams, est_bytes)
     if gcnt is not None:
         # small corpus: digest each DISTINCT gram once, weight its
         # cell contribution by the exact count — identical cell
@@ -674,7 +706,8 @@ def cms_accuracy(df: DataFrame, n: int = 2, depth: int = 4,
                  width: int = 4096, n_cand: int = 200,
                  sample_frac: float = 0.25,
                  text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 est_bytes: int | None = None) -> DataFrame:
     """Estimator audit for :func:`approx_top_ngrams`'s count-min
     sketch: for every candidate gram, the sketch estimate NEXT TO
     its exact full-corpus count and the overshoot — count-min never
@@ -706,7 +739,7 @@ def cms_accuracy(df: DataFrame, n: int = 2, depth: int = 4,
                      _md5_cell(m, i, width).alias("c"))
             for i in range(depth)])
 
-    gcnt = _gram_counts_if_small(grams)
+    gcnt = _gram_counts_if_small(grams, est_bytes)
     if gcnt is not None:
         # small corpus (see _GRAM_DEDUP_MAX_INPUT_BYTES): one
         # gram-count aggregate feeds BOTH sides — the sketch cells
@@ -1437,10 +1470,13 @@ def hash_embed_tfidf(df: DataFrame, dim: int = 64,
     and cross-engine hashable while rare terms dominate common ones
     the way real tf-idf vectors behave.
 
-    Two map-side-combined aggregates (document frequencies, then the
-    weighted bucket sums) + one hash join of the token stream
-    against the |vocab|-row df table — AQE broadcasts it whenever
-    the vocabulary fits. Output: (doc_id, i, v) longs."""
+    One explode + one (doc, word) tf aggregate; the document
+    frequencies are the tf table's own per-word row counts (a tf
+    row exists iff the (doc, word) pair exists — the r13 shape
+    re-tokenized the corpus a second time through distinct() to
+    count the same pairs; guide §1.2 "don't compute things twice").
+    The |vocab|-row df table joins back onto tf — AQE broadcasts it
+    whenever the vocabulary fits. Output: (doc_id, i, v) longs."""
     from ..localdf import fan_out
     from .classify import fixlog2
 
@@ -1453,11 +1489,10 @@ def hash_embed_tfidf(df: DataFrame, dim: int = 64,
                        F.explode(w).alias("word"))
     n_docs = base.select(
         F.count_distinct(F.col(id_col)).alias("nd"))
-    dfreq = (toks.select("doc_id", "word").distinct()
-             .groupBy("word")
-             .agg(F.count(F.lit(1)).alias("df")))
     tf = (toks.groupBy("doc_id", "word")
           .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("word")
+             .agg(F.count(F.lit(1)).alias("df")))
     idx, sign = _hash_bucket_sign(F.col("word"), dim)
     idf = fixlog2(F.col("nd")) - fixlog2(F.col("df"))
     return (tf.join(dfreq, "word").crossJoin(F.broadcast(n_docs))

@@ -395,21 +395,51 @@ def robust_scale(df: DataFrame, key_col: str = "series",
     cross-series comparison (one glitch reading moves a stddev; it
     cannot move a MAD).
 
-    Two grouped percentile passes: per-series medians (|series|
-    rows) broadcast back onto the point stream, then the median of
-    |x − med|. All JVM, two key shuffles + one map-side join.
+    ONE grouped pass: per-series sorted value array (collect_list —
+    the same rows a percentile aggregate buffers, collected once
+    instead of twice) and both medians read off it row-locally with
+    the exact interpolation arithmetic ``F.percentile`` uses —
+    t = (m−1)·p; (⌈t⌉−t)·a[⌊t⌋] + (t−⌊t⌋)·a[⌈t⌉] — so every float
+    bit matches the two-pass shape (the r13 form re-computed the
+    whole upstream plan for the deviation pass and paid two
+    interpreted ObjectHashAggregate percentile walks). The
+    deviation median binds its sorted array once (functions/bind
+    let) — med is O(1) per reference but the deviation ARRAY is
+    O(m log m) and med_of reads it three times.
     Output: (key, n_points, med, mad), 6 decimals."""
-    med = df.groupBy(key_col).agg(
-        F.percentile(F.col(val_col), F.lit(0.5)).alias("_med"),
-        F.count(F.lit(1)).alias("n_points"))
-    dev = (df.join(F.broadcast(med), key_col)
-           .select(F.col(key_col), "_med", "n_points",
-                   F.abs(F.col(val_col) - F.col("_med")).alias("_d")))
-    return (dev.groupBy(key_col, "_med", "n_points")
-            .agg(F.percentile(F.col("_d"), F.lit(0.5)).alias("_mad"))
-            .select(F.col(key_col), "n_points",
-                    (F.round("_med", 6) + F.lit(0.0)).alias("med"),
-                    (F.round("_mad", 6) + F.lit(0.0)).alias("mad")))
+    from ..functions.bind import let
+
+    def med_of(a):
+        # F.percentile's interpolation, verbatim: skip-null count m,
+        # target rank t=(m−1)/2 over the SORTED values, linear
+        # interpolation between the two bracketing elements. IEEE
+        # mult/add are operand-order commutative, so the products
+        # and their sum reproduce the aggregate bit for bit.
+        m = F.size(a)
+        t = (m - 1).cast("double") * F.lit(0.5)
+        lo = F.floor(t).cast("int")
+        hi = F.ceil(t).cast("int")
+        lov = F.element_at(a, lo + 1)
+        hiv = F.element_at(a, hi + 1)
+        return F.when(m == 0, F.lit(None).cast("double")) \
+            .otherwise(F.when(lo == hi, lov).otherwise(
+                (hi.cast("double") - t) * lov
+                + (t - lo.cast("double")) * hiv))
+
+    g = (df.groupBy(key_col)
+         .agg(F.array_sort(F.collect_list(F.col(val_col)))
+              .alias("_a"),
+              F.count(F.lit(1)).alias("n_points"))
+         .select(F.col(key_col), "n_points", "_a",
+                 med_of(F.col("_a")).alias("_med")))
+    mad = let(
+        F.array_sort(F.transform(
+            F.col("_a"), lambda x: F.abs(x - F.col("_med")))),
+        med_of)
+    return g.select(
+        F.col(key_col), "n_points",
+        (F.round("_med", 6) + F.lit(0.0)).alias("med"),
+        (F.round(mad, 6) + F.lit(0.0)).alias("mad"))
 
 
 def winsorize(df: DataFrame, lo: float = 0.05, hi: float = 0.95,
