@@ -1312,13 +1312,14 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
             yield pd.DataFrame({id_col: ids, "chunk_idx": idxs,
                                 "start": starts, "length": lens})
 
-    # the per-doc boundary walk is the CPU bill (Python/numpy per
-    # document) — spread a few-split input across the cores first
-    # (no-op at production split counts; row-preserving)
-    from ..localdf import fan_out
-
-    spans = fan_out(df.select(id_col, text_col)).mapInPandas(
-        bounds, out_schema)
+    # NOTE r14: fan_out before this mapInPandas was tried and
+    # REVERTED — the boundary walk is a vectorized numpy kernel, so
+    # at bench scale 32 Python tasks cost more in worker spin-up
+    # than they recover (interleaved A/B: 0.43 s at 4 splits vs
+    # 0.65 s fanned out), and at production split counts a fan-out
+    # is a no-op anyway — it has no upside at any scale here.
+    spans = df.select(id_col, text_col).mapInPandas(bounds,
+                                                    out_schema)
     body = df.select(F.col(id_col),
                      F.encode(F.col(text_col), "utf-8").alias("_b"))
     return (spans.join(body, id_col)

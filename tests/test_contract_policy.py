@@ -24,6 +24,8 @@ tokens, so the class cannot be reintroduced by a future entry.
 
 import re
 
+import pytest
+
 import __spark_entry__ as E
 
 #: transcendental SQL functions whose results differ across libms.
@@ -65,12 +67,24 @@ def test_no_not_in_subqueries_in_oracles():
         f"(NULL-robust by construction): {offenders}")
 
 
-def test_no_transcendentals_feed_hashed_spark_columns():
-    """The Spark twin of the SQL guard: queries() plans must not
-    contain LOG/EXP/POWER expressions either (they would only be
-    there to produce a hashed column — operators keep their float
-    scores, but entries select them away, so a compiled plan that
-    still carries one means an entry forgot to)."""
+#: entries whose fn() runs EAGER fixture work per call (index
+#: train/save/load audits, the staged curation pipeline, collected
+#: sketch/DTW fixtures) and then returns a driver-local or tiny
+#: audit frame. Calling them costs 3-30 s EACH at sf0.001 (measured;
+#: they were ~115 s of the 210 s default-suite sweep) while the plan
+#: the test would inspect is the post-eager local relation — near
+#: zero policy surface. The default per-verify sweep skips them;
+#: the stress-marked full sweep (below) still covers every entry.
+_EAGER_AUDIT_ENTRIES = frozenset({
+    "sim_pq_knn_join", "sim_pq_ann", "sim_pq_index_append",
+    "sim_pq_index_drift", "sim_ivf_kmeans", "sim_sq_index_rebuild",
+    "sim_sq_index", "sim_sq_index_append", "sim_sq_index_drift",
+    "curation_pipeline_report", "ts_dtw_knn_join",
+    "ts_dtw_prefilter", "ts_dtw_topk",
+})
+
+
+def _sweep_spark_plans_for_transcendentals(skip=frozenset()):
     import os
 
     from pyspark.sql import SparkSession
@@ -82,6 +96,8 @@ def test_no_transcendentals_feed_hashed_spark_columns():
                         "/root/testdata/sf0.001")
     bad = {}
     for name, fn in E.queries().items():
+        if name in skip:
+            continue
         try:
             # the OPTIMIZED plan: entries keep operators' float
             # scores in the analyzed plan but select them away, and
@@ -98,3 +114,21 @@ def test_no_transcendentals_feed_hashed_spark_columns():
     assert not bad, (
         "transcendental expressions reach a queries() result plan "
         f"(select them away; verify in pytest instead): {bad}")
+
+
+def test_no_transcendentals_feed_hashed_spark_columns():
+    """The Spark twin of the SQL guard: queries() plans must not
+    contain LOG/EXP/POWER expressions either (they would only be
+    there to produce a hashed column — operators keep their float
+    scores, but entries select them away, so a compiled plan that
+    still carries one means an entry forgot to). Skips the eager
+    audit entries (see _EAGER_AUDIT_ENTRIES) so the per-verify
+    sweep stays inside the budget; the stress variant sweeps all."""
+    _sweep_spark_plans_for_transcendentals(_EAGER_AUDIT_ENTRIES)
+
+
+@pytest.mark.stress
+def test_no_transcendentals_full_sweep():
+    """Full-inventory variant incl. the eager audit entries (run
+    with ``-m stress``, alongside the per-round full oracle gate)."""
+    _sweep_spark_plans_for_transcendentals()

