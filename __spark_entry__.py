@@ -1826,19 +1826,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.5, shingle_n=3)
 
     def _ev_fan(base, sf_dir):
-        """Events-family fan-out: every entry below drives a
-        user-keyed window/aggregate whose one exchange AQE
-        coalesces by pre-shuffle bytes (1-2 tasks on a small
-        input). HashPartitioning(user_id) satisfies every clustering
-        these entries need (user windows, (user, type) windows,
-        (user, week)/(day, user) distincts — user_id is a subset of
-        each key set), so one keyed repartition pinned at core
-        count restores parallelism for the whole family; gated on
-        the source's on-disk size, free via os.stat, no-op at any
-        realistic scale (see localdf.fan_out_keyed)."""
-        return fan_out_keyed(
-            base, "user_id",
-            est_bytes=table_bytes(sf_dir, "events"))
+        """Events-family fan-out: ADJUDICATED OUT (round 14). The
+        user_id fan-out (see localdf.fan_out_keyed) was applied here
+        on the ts_* rationale, but these entries are sub-second
+        aggregates, not row-expanders: a dedicated interleaved A/B
+        (fan vs identity, 2 rounds, min-of-8) measured the fan side
+        slower on balance (family sum 6.53 vs 6.21 s; cohorts 0.385
+        vs 0.291, rfm 0.220 vs 0.174), and best-of-12-samples full
+        bench mins showed every events entry 0.74-0.88x vs the r13
+        tree — ~0.1 s of extra task-scheduling overhead per entry
+        from pinning 32 partitions under a ~0.3 s aggregate, for a
+        fan-out that is a no-op at any realistic scale anyway.
+        Kept as an identity hook so the decision is code-visible."""
+        del sf_dir
+        return base
 
     def events_cohorts(spark, sf_dir):
         """Weekly cohort-retention matrix: cohort = a user's first
